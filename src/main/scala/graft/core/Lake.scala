@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access for a scale-factor directory of the driver-generated corpus.
+  *
+  * One parquet file per table (TESTDATA.md:13-15; FIXTURES.md row counts).
+  * The reference checkout was empty at survey time (SURVEY.md §0), so the
+  * data contract here is grounded in driver artifacts, not reference code.
+  *
+  * Scale notes: `spark.read.parquet` on a directory of files behaves the
+  * same as on a single file; at 100 TB each "table" becomes a directory of
+  * many row-group-sized files (optionally hive-partitioned), and everything
+  * downstream — vectorized scan, pushdown, pruning — is unchanged.
+  */
+object Lake {
+  /** All tables present in every sf dir (8 documented + documents/embeddings). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Read one table. `events.ts` is physically TIMESTAMP(NANOS), which
+    * Spark 4 refuses to read as a timestamp; we read it as a long and
+    * truncate ns→µs ourselves (integer division — a double division would
+    * lose precision above 2^53). DuckDB applies the same ns→µs truncation
+    * on scan, so both engines agree (and the corpus has zero sub-µs parts;
+    * FIXTURES.md events).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(dir, name))
+    df.schema.fields.find(f => f.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  /** Register all tables as temp views named after the files, for spark.sql. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}
