@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (SURVEY.md §2.7 L4/L5). Everything here is a pure Column expression —
+  * codegen'd, shuffle-free, and deterministic, so it scales linearly with
+  * the corpus and is usable inside any aggregation or dedup pipeline.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: runs of letters, single digits, and
+    * single punctuation marks — a cheap, deterministic proxy for an LLM
+    * tokenizer's token count.
+    */
+  def tokenEstimate(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles ("a b c", n=2 → ["a b", "b c"]); empty when the
+    * document has fewer than n tokens (sequence() would run backwards).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array())
+  }
+
+  /** Character n-gram shingles over the raw string. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(0), length(text) - n),
+        i => text.substr(i + 1, lit(n))))
+      .otherwise(array())
+
+  /** Rolling polynomial hash fingerprint of the full document:
+    * fold(acc = acc*31 + ord(char) mod 1e9+7). The modulus keeps every
+    * intermediate below 2^35, safe under ANSI overflow checking, and the
+    * same fold is expressible in the DuckDB oracle via list_reduce.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % 1000000007L)
+
+  /** Heuristic quality score in (0,1): logistic in average word length
+    * (garbage runs → very long "words" → low score; single letters → low
+    * chars/token). Rounded to 6dp so it is engine-comparable.
+    */
+  def qualityScore(text: Column): Column =
+    round(
+      lit(1.0) / (lit(1.0) +
+        exp(-(length(text).cast("double") / tokenCount(text).cast("double") - lit(5.0)))),
+      6)
+
+  /** Uppercase ratio — another quality signal (shouting / OCR noise). */
+  def uppercaseRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
+        length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-vote
+    * language identifier. Public common function words.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "人"))
+
+  /** Stopword-vote language ID: count occurrences of each language's
+    * stopwords among the tokens, pick the argmax (ties broken by language
+    * code, deterministic). Returns "und" when no stopword matches.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(
+        size(filter(toks, t => array_contains(typedlit(sw), t))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.7
+  * L1/L2). All of them are shuffle-partitioned on a hash of the content —
+  * the pattern that scales to 100 TB: a dedup is a groupBy on a digest,
+  * never a pairwise comparison, except where candidate pairs have already
+  * been narrowed by LSH banding.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `idCol` per distinct
+    * value of `keyCol` (typically `md5(text)`). Planned as a window
+    * row_number over a hash-partitioned sort — one shuffle on the digest,
+    * no driver involvement, skew-free (digests are uniform).
+    */
+  def exactDedup(df: DataFrame, keyCol: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(idCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** MinHash+LSH near-dup candidate pairs over word-shingle sets.
+    *
+    * Pipeline: shingle → hash to a sparse binary feature vector
+    * (HashingTF, binary) → MinHashLSH signatures (seeded, deterministic)
+    * → approxSimilarityJoin, which OR-bands the signatures and
+    * shuffle-joins on band buckets — candidate generation is linear in
+    * the corpus, never O(n²). Returns (a_id, b_id, jaccard_dist) with
+    * a_id < b_id and distance ≤ maxDistance.
+    */
+  def minHashNearDups(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleLen: Int = 3,
+      numHashTables: Int = 8,
+      maxDistance: Double = 0.5,
+      numFeatures: Int = 1 << 18,
+      seed: Long = 42L): DataFrame = {
+    val shingled = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.wordShingles(col(textCol), shingleLen).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val tf = new HashingTF()
+      .setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(numFeatures).setBinary(true)
+    val feats = tf.transform(shingled)
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("sig")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, maxDistance, "jaccard_dist")
+      .select(
+        col("datasetA.id").as("a_id"),
+        col("datasetB.id").as("b_id"),
+        col("jaccard_dist"))
+      .filter(col("a_id") < col("b_id"))
+  }
+
+  /** 60-bit token hash from md5 (first 15 hex chars) — stable across
+    * engines and sessions, unlike hash()/xxhash64 seeds.
+    */
+  private def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  private val pow2: Seq[Long] = Seq.tabulate(60)(i => 1L << i)
+
+  /** 60-bit SimHash over whitespace tokens: per bit, sum +1/−1 votes from
+    * each token's hash bit, set the bit when the vote is ≥ 0. Pure Column
+    * expression (two nested folds) — linear, shuffle-free, deterministic.
+    */
+  def simHash(text: Column): Column = {
+    val counts = aggregate(
+      TextFunctions.tokens(text),
+      array_repeat(lit(0), 60),
+      (acc, t) => {
+        val h = tokenHash60(t)
+        zip_with(acc,
+          transform(typedlit(pow2), p =>
+            when(h.bitwiseAND(p) =!= 0L, 1).otherwise(-1)),
+          (a, b) => a + b)
+      })
+    aggregate(
+      zip_with(counts, typedlit(pow2), (cnt, p) => when(cnt >= 0, p).otherwise(0L)),
+      lit(0L),
+      (acc, v) => acc + v)
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: banding on the high/low halves of the
+    * signature (a pair within hamming distance d ≤ maxHamming shares at
+    * least one exact half when maxHamming < 2), then exact hamming rerank.
+    * Scales as a pair of equi-joins on 30-bit bucket keys, not O(n²).
+    */
+  def simHashNearDups(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      simHash(col(textCol)).as("sig"))
+    // 4 bands of 15 bits: any pair with hamming ≤ 3 shares ≥ 1 exact band.
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 15).bitwiseAND(lit((1L << 15) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        hamming(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for a candidate-pair DataFrame
+    * (columns a_id, b_id) against the docs table — the rerank stage after
+    * any LSH candidate generation.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      pairs: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "sh_a"), "a_id")
+      .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "sh_b"), "b_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .select(col("a_id"), col("b_id"),
+        when(col("uni") > 0, col("inter").cast("double") / col("uni").cast("double"))
+          .otherwise(lit(1.0)).as("jaccard"))
+  }
+}

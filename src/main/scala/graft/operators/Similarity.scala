@@ -1,0 +1,173 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (SURVEY.md §2.7 L3).
+  *
+  * Scale design: the exact path is score-then-TakeOrderedAndProject —
+  * per-partition k-heaps, O(k) to the driver, no total sort, no shuffle of
+  * the corpus. The approximate paths (hyperplane LSH, IVF) cut the scored
+  * fraction: LSH probes signature buckets; IVF probes the nprobe nearest
+  * coarse-centroid partitions. Both are deterministic under a fixed seed.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for one query vector (literal → evaluated
+    * map-side; no join, no shuffle; TakeOrderedAndProject finishes it).
+    */
+  def bruteTopK(
+      emb: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = typedlit(query)
+    emb.select(col(idCol),
+        round(cosineSimilarity(col(vecCol), q), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact top-k most-similar PAIRS across the collection — the all-pairs
+    * flavor used for embedding near-dup detection. O(n²) scoring; at scale
+    * run `lshNearDupPairs` instead and rerank.
+    */
+  def topSimilarPairs(
+      emb: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosineSimilarity(col("va"), col("vb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH. */
+  private[operators] def hyperplanes(bits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH signature: bit i = (dot(v, h_i) >= 0). */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotProduct(vec, typedlit(p)) >= 0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate cosine top-k via sign-LSH bucket probing: score only the
+    * rows whose signature is within `probeHamming` bits of the query's
+    * signature (multi-probe), then exact-rerank. The signature filter is a
+    * map-side bit_count — the scan stays pruned/pushed-down, and only the
+    * candidate fraction pays the 64-dim dot product.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      bits: Int = 16,
+      probeHamming: Int = 3,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(bits, dim, seed)
+    val qd = query.map(_.toDouble)
+    val qSig = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(qd).map { case (a, b) => a * b }.sum
+      if (d >= 0) 1L << i else 0L
+    }.sum
+    emb
+      .withColumn("__sig", lshSignature(col(vecCol), planes))
+      .filter(bit_count(col("__sig").bitwiseXOR(lit(qSig))) <= probeHamming)
+      .select(col(idCol),
+        round(cosineSimilarity(col(vecCol), typedlit(query)), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed near-dup pairs: join on exact signature equality (plus
+    * band splits for robustness), then exact cosine rerank ≥ minSim.
+    * Linear candidate generation — the 100 TB path for embedding dedup.
+    */
+  def lshNearDupPairs(
+      emb: DataFrame,
+      minSim: Double,
+      bits: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(bits % bands == 0, "bits must divide into equal bands")
+    val width = bits / bands
+    val dim = 64
+    val planes = hyperplanes(bits, dim, seed)
+    val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    val banded = sigs.select(col("id"), col("v"),
+      explode(array((0 until bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          shiftright(col("sig"), bnd * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("v"), col("bk.band"), col("bk.key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        round(cosineSimilarity(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** IVF-style coarse quantization: assign every vector to its nearest of
+    * `nlist` deterministic centroids (sampled rows), search only the
+    * `nprobe` centroid partitions nearest the query, exact-rerank inside.
+    * At 100 TB the assignment becomes a write-time partition key so a
+    * query touches nprobe/nlist of the data.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // Deterministic centroids: hash-sample nlist rows (stable across runs).
+    val cents = emb.select(col(idCol), col(vecCol))
+      .withColumn("__h", abs(xxhash64(col(idCol).cast("string"), lit(seed))))
+      .orderBy(col("__h")).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toSeq)
+    val qd = query.map(_.toDouble)
+    def dist2(c: Seq[Float]): Double =
+      c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probeSet = cents.zipWithIndex.sortBy(p => dist2(p._1)).take(nprobe).map(_._2).toSet
+    val assignExpr = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(col(vecCol), typedlit(c),
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("d"),
+        lit(i).as("i"))
+    }
+    val nearest = least(assignExpr: _*).getField("i")
+    emb.withColumn("__list", nearest)
+      .filter(col("__list").isin(probeSet.toSeq: _*))
+      .select(col(idCol),
+        round(cosineSimilarity(col(vecCol), typedlit(query)), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

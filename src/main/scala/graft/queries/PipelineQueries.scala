@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Lake
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Gate-checkable entries for the LLM-data-pipeline operators (SURVEY.md
+  * §2.7) beyond the 16-query contract. SQL-expressible ones carry a DuckDB
+  * oracle; candidate-generation ops (MinHash, sign-LSH) are aggregated to a
+  * deterministic single row and property-tested in ScalaTest instead.
+  */
+object PipelineQueries {
+
+  /** L1: exact dedup keeping the smallest doc_id per distinct text —
+    * checked via (row count, sum of surviving ids), which pins exactly
+    * WHICH rows survived, not just how many.
+    */
+  def l1DedupKeepfirst(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    Dedup.exactDedup(docs, md5(col("text")), col("doc_id"))
+      .agg(count(lit(1)).as("c"), sum(col("doc_id")).as("sum_kept"))
+  }
+
+  /** L2: MinHash+LSH near-dup candidate pairs, aggregated to a stable
+    * summary row (pair count + id checksum). Deterministic under the
+    * fixed LSH seed; semantics are property-tested in DedupSpec.
+    */
+  def l2MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    Dedup.minHashNearDups(docs, "text", "doc_id", shingleLen = 2,
+        numHashTables = 8, maxDistance = 0.95)
+      .agg(count(lit(1)).as("pairs"),
+        coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_checksum"))
+  }
+
+  /** L2: SimHash near-dup pairs (hamming ≤ 3 over 60-bit signatures),
+    * aggregated the same way. Fully deterministic (md5-derived hashes).
+    */
+  def l2SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
+      .agg(count(lit(1)).as("pairs"),
+        coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_checksum"))
+  }
+
+  /** L3: exact top-20 most-similar embedding pairs (embedding near-dup
+    * surface; at sf0.01 the max pairwise cosine is ~0.51, so a threshold
+    * query would be vacuous — top-k pairs is always a live check).
+    */
+  def l3TopPairsCosine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topSimilarPairs(Lake.table(spark, dir, "embeddings"), 20)
+
+  /** L3: sign-LSH approximate top-k for the vec_id=0 query vector.
+    * Deterministic under the fixed hyperplane seed; recall vs brute force
+    * is property-tested. Rows-only gate (bucket membership is
+    * implementation-defined, not SQL semantics).
+    */
+  def l3LshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Lake.table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), q, 10,
+      bits = 8, probeHamming = 3)
+  }
+
+  /** L4: whitespace-token statistics per source. */
+  def l4TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("c"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("st"),
+        avg(TextFunctions.tokenCount(col("text"))).as("at"))
+      .orderBy(col("source"))
+
+  /** L4: BPE-ish regex token-count estimate per language. */
+  def l4TokenEstimate(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(TextFunctions.tokenEstimate(col("text")).cast("long")).as("est_tokens"),
+        count(lit(1)).as("c"))
+      .orderBy(col("lang"))
+
+  /** L4: heuristic quality score, averaged per language (exact decimal
+    * sum of the 6dp-rounded scores → engine-identical).
+    */
+  def l4Quality(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("c"),
+        (sum(TextFunctions.qualityScore(col("text")).cast(DecimalType(12, 6)))
+          .cast("double") / count(lit(1))).as("avg_q"))
+      .orderBy(col("lang"))
+
+  /** L4: rolling-hash document fingerprints per source (count distinct +
+    * checksum pins the exact fingerprint values across engines).
+    */
+  def l4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(TextFunctions.fingerprint(col("text"))).as("fps"),
+        sum(TextFunctions.fingerprint(col("text"))).as("fp_sum"))
+      .orderBy(col("source"))
+
+  /** L4: stopword-vote language ID distribution (rows-only: the argmax
+    * tie-break is operator-defined; accuracy is tested on labeled samples
+    * in TextFunctionsSpec).
+    */
+  def l4LangId(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "documents")
+      .groupBy(TextFunctions.langId(col("text")).as("pred_lang"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("pred_lang"))
+
+  /** Batch session_window (Spark ≥3.2 native session windows) — must
+    * agree with the lag/running-sum formulation (q16's oracle), a real
+    * semantic cross-check of the two sessionization paths.
+    */
+  def q17SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("st"), max(col("ts")).as("en"))
+      .select(col("user_id"), col("st"), col("en"), col("n"))
+      .orderBy(col("user_id"), col("st"))
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "l1_dedup_keepfirst" -> (l1DedupKeepfirst _),
+    "l2_minhash_pairs"   -> (l2MinhashPairs _),
+    "l2_simhash_pairs"   -> (l2SimhashPairs _),
+    "l3_toppairs_cosine" -> (l3TopPairsCosine _),
+    "l3_lsh_topk"        -> (l3LshTopK _),
+    "l4_token_stats"     -> (l4TokenStats _),
+    "l4_token_estimate"  -> (l4TokenEstimate _),
+    "l4_quality"         -> (l4Quality _),
+    "l4_fingerprint"     -> (l4Fingerprint _),
+    "l4_langid"          -> (l4LangId _),
+    "q17_session_window" -> (q17SessionWindow _))
+
+  /** DuckDB oracles for the SQL-expressible subset. */
+  val oracle: Map[String, String] = Map(
+    "l1_dedup_keepfirst" ->
+      """SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(kept) AS BIGINT) AS sum_kept
+        |FROM (SELECT min(doc_id) AS kept FROM documents GROUP BY md5(text)) t""".stripMargin,
+    "l3_toppairs_cosine" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_sum(list_transform(range(1,65), i -> a.e[i]*b.e[i]))/(a.nrm*b.nrm), 6) AS sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC, a_id, b_id LIMIT 20""".stripMargin,
+    "l4_token_stats" ->
+      """SELECT source, count(*) AS c,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS st,
+        |  avg(len(string_split(text, ' '))) AS at
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "l4_token_estimate" ->
+      """SELECT lang,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))) AS BIGINT) AS est_tokens,
+        |  count(*) AS c
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "l4_quality" ->
+      """SELECT lang, count(*) AS c,
+        |  CAST(sum(CAST(round(1.0/(1.0+exp(-(CAST(length(text) AS DOUBLE)/len(string_split(text,' ')) - 5.0))), 6) AS DECIMAL(12,6))) AS DOUBLE)/count(*) AS avg_q
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "l4_fingerprint" ->
+      """WITH f AS (SELECT source,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |    (a, b) -> (a*31+b) % 1000000007) AS fp
+        |  FROM documents)
+        |SELECT source, count(DISTINCT fp) AS fps, CAST(sum(fp) AS BIGINT) AS fp_sum
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q17_session_window" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS ns FROM events),
+        |     s AS (SELECT user_id, ts,
+        |       sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)
+        |SELECT user_id, min(ts) AS st, max(ts) AS en, count(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, st""".stripMargin)
+}
