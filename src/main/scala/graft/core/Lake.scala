@@ -30,6 +30,10 @@ object Lake {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Uniform TimestampType (LTZ) ingest; with the session pinned to UTC
+    // this is value-identical to NTZ and keeps the catalog's type surface
+    // consistent (SURVEY.md §1.2).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(path(dir, name))
     df.schema.fields.find(f => f.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>

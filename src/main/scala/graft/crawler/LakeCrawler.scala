@@ -1,0 +1,137 @@
+package graft.crawler
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.parquet.format.converter.ParquetMetadataConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** One discovered dataset in the lake (the crawler's unit of work). */
+case class DatasetInfo(
+    name: String,
+    path: String,
+    format: String,
+    numFiles: Int,
+    sizeBytes: Long,
+    modifiedMs: Long)
+
+/** Lake walk + dataset discovery + format detection (SURVEY.md §2.8 C1/C2).
+  *
+  * Orchestration is deliberately driver-side (a lake crawler enumerates
+  * directories and launches Spark jobs per dataset — the listing itself is
+  * metadata-sized, not data-sized). Everything data-sized (profiling,
+  * catalog writes) runs as Spark jobs. At 100 TB the listing of a huge
+  * lake can itself be parallelized with a Spark job over subdirectory
+  * ranges; the per-dataset logic below is unchanged.
+  */
+object LakeCrawler {
+
+  /** Formats the crawler recognizes, by extension then magic bytes. */
+  val ParquetMagic: Array[Byte] = "PAR1".getBytes("US-ASCII")
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Sniff a file's format: extension first, then magic bytes (PAR1
+    * header for parquet, a JSON opener for json-lines, else csv).
+    */
+  def detectFormat(spark: SparkSession, file: Path): String = {
+    val name = file.getName.toLowerCase
+    if (name.endsWith(".parquet") || name.endsWith(".parq")) "parquet"
+    else if (name.endsWith(".json") || name.endsWith(".jsonl")) "json"
+    else if (name.endsWith(".csv") || name.endsWith(".tsv")) "csv"
+    else {
+      val in = fs(spark, file.toString).open(file)
+      try {
+        val head = new Array[Byte](4)
+        val n = in.read(head)
+        if (n >= 4 && head.sameElements(ParquetMagic)) "parquet"
+        else if (n >= 1 && (head(0) == '{' || head(0) == '[')) "json"
+        else "csv"
+      } finally in.close()
+    }
+  }
+
+  /** C1: walk the lake root; each data file or uniform directory of data
+    * files becomes a dataset. Hidden/underscore entries (_SUCCESS, …) are
+    * skipped, as are empty directories.
+    */
+  def discover(spark: SparkSession, root: String): Seq[DatasetInfo] = {
+    val filesystem = fs(spark, root)
+    def visible(st: FileStatus): Boolean = {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    def stripExt(n: String): String =
+      if (n.contains('.')) n.substring(0, n.lastIndexOf('.')) else n
+
+    filesystem.listStatus(new Path(root)).filter(visible).toSeq.flatMap { st =>
+      if (st.isFile) {
+        val fmt = detectFormat(spark, st.getPath)
+        Some(DatasetInfo(stripExt(st.getPath.getName), st.getPath.toString,
+          fmt, 1, st.getLen, st.getModificationTime))
+      } else {
+        val files = filesystem.listStatus(st.getPath).filter(_.isFile).filter(visible)
+        if (files.isEmpty) None
+        else {
+          val fmt = detectFormat(spark, files.head.getPath)
+          Some(DatasetInfo(st.getPath.getName, st.getPath.toString, fmt,
+            files.length, files.map(_.getLen).sum,
+            files.map(_.getModificationTime).max))
+        }
+      }
+    }.sortBy(_.name)
+  }
+
+  /** Columns of a parquet file whose physical type is INT64 TIMESTAMP(NANOS)
+    * — Spark refuses these natively; we ingest them as long then truncate
+    * to µs timestamps, and report them as timestamps in the catalog.
+    */
+  private def nanosTimestampColumns(spark: SparkSession, info: DatasetInfo): Set[String] = {
+    if (info.format != "parquet") return Set.empty
+    val filesystem = fs(spark, info.path)
+    val p = new Path(info.path)
+    val file =
+      if (filesystem.getFileStatus(p).isFile) p
+      else filesystem.listStatus(p).filter(_.isFile)
+        .filterNot(s => s.getPath.getName.startsWith("_")).head.getPath
+    val footer = ParquetFileReader.readFooter(
+      spark.sparkContext.hadoopConfiguration, file, ParquetMetadataConverter.NO_FILTER)
+    footer.getFileMetaData.getSchema.getFields.toArray.collect {
+      case f: org.apache.parquet.schema.Type
+          if f.getLogicalTypeAnnotation.isInstanceOf[TimestampLogicalTypeAnnotation] &&
+            f.getLogicalTypeAnnotation.asInstanceOf[TimestampLogicalTypeAnnotation]
+              .getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+        f.getName
+    }.toSet
+  }
+
+  /** Open a dataset as a DataFrame, with schema inference for csv/json and
+    * ns-timestamp normalization (ns → µs truncation) for parquet.
+    */
+  def open(spark: SparkSession, info: DatasetInfo): DataFrame = info.format match {
+    case "parquet" =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      val raw = spark.read.parquet(info.path)
+      nanosTimestampColumns(spark, info).foldLeft(raw) { (df, c) =>
+        df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+      }
+    case "json" => spark.read.json(info.path)
+    case "csv" => spark.read
+      .option("header", "true").option("inferSchema", "true").csv(info.path)
+    case other => throw new IllegalArgumentException(s"unknown format $other")
+  }
+
+  /** C2: extracted (ingest) schema per dataset — what `open` produces,
+    * i.e. footer-driven for parquet (ns timestamps normalized to µs
+    * TimestampType) and inference-driven for csv/json.
+    */
+  def extractSchema(spark: SparkSession, info: DatasetInfo): StructType =
+    open(spark, info).schema
+}
