@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ContractQueries, CrawlerQueries, PipelineQueries}
+import graft.queries.{ContractQueries, CrawlerQueries, PipelineQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (ContractQueries.all ++ PipelineQueries.all ++ CrawlerQueries.all).toMap
+    (ContractQueries.all ++ PipelineQueries.all ++ CrawlerQueries.all ++
+      StreamingQueries.all).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ContractQueries.oracle ++ PipelineQueries.oracle ++ CrawlerQueries.oracle
+    ContractQueries.oracle ++ PipelineQueries.oracle ++ CrawlerQueries.oracle ++
+      StreamingQueries.oracle
 }

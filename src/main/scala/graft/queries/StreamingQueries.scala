@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Gate entries for the streaming surface (SURVEY.md §2.9). Each runs a
+  * real Structured Streaming query (file source → stateful op → memory
+  * sink) to completion and is checked against the BATCH DuckDB oracle —
+  * Structured Streaming's batch-equivalence property makes that a valid
+  * correctness check. Complete output mode is used so finite input
+  * flushes every window (append mode would hold back windows newer than
+  * the final watermark).
+  */
+object StreamingQueries {
+
+  /** ST1: tumbling 1-hour windows == batch date_trunc aggregation. */
+  def st1Tumbling(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.runToMemory(spark,
+        EventStreams.tumblingCounts(EventStreams.readEventsStream(spark, dir)),
+        "st1_mem", "complete")
+      .orderBy(col("h"), col("event_type"))
+
+  /** ST2: sliding 1h/15min windows == batch bucket-expansion SQL. */
+  def st2Sliding(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.runToMemory(spark,
+        EventStreams.slidingCounts(EventStreams.readEventsStream(spark, dir)),
+        "st2_mem", "complete")
+      .orderBy(col("ws"), col("event_type"))
+
+  /** ST3: streaming session windows == the lag/running-sum batch oracle
+    * (same oracle as q17 — three independent formulations must agree).
+    */
+  def st3Session(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.runToMemory(spark,
+        EventStreams.sessionCounts(EventStreams.readEventsStream(spark, dir)),
+        "st3_mem", "complete")
+      .orderBy(col("user_id"), col("st"))
+
+  /** ST4: stateful dedup — the stream is deliberately DOUBLED (union of
+    * two copies of the source) so dropDuplicates has real work; the final
+    * count must equal the batch distinct count.
+    */
+  def st4DedupCount(spark: SparkSession, dir: String): DataFrame = {
+    val doubled = EventStreams.readEventsStream(spark, dir)
+      .unionByName(EventStreams.readEventsStream(spark, dir))
+    EventStreams.runToMemory(spark,
+      EventStreams.dedup(doubled).groupBy().agg(count(lit(1)).as("c")),
+      "st4_mem", "complete")
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st1_tumbling"    -> (st1Tumbling _),
+    "st2_sliding"     -> (st2Sliding _),
+    "st3_session"     -> (st3Session _),
+    "st4_dedup_count" -> (st4DedupCount _))
+
+  val oracle: Map[String, String] = Map(
+    "st1_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "st2_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS ws,
+        | event_type, count(*) AS c
+        |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "st3_session" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS ns FROM events),
+        |     s AS (SELECT user_id, ts,
+        |       sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)
+        |SELECT user_id, min(ts) AS st, max(ts) AS en, count(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, st""".stripMargin,
+    "st4_dedup_count" ->
+      "SELECT count(DISTINCT event_id) AS c FROM events")
+}
