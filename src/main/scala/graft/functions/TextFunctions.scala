@@ -56,10 +56,11 @@ object TextFunctions {
     * chars/token). Rounded to 6dp so it is engine-comparable.
     */
   def qualityScore(text: Column): Column =
-    round(
-      lit(1.0) / (lit(1.0) +
-        exp(-(length(text).cast("double") / tokenCount(text).cast("double") - lit(5.0)))),
-      6)
+    when(length(trim(text)) === 0, lit(0.0)).otherwise(
+      round(
+        lit(1.0) / (lit(1.0) +
+          exp(-(length(text).cast("double") / tokenCount(text).cast("double") - lit(5.0)))),
+        6))
 
   /** Uppercase ratio — another quality signal (shouting / OCR noise). */
   def uppercaseRatio(text: Column): Column =

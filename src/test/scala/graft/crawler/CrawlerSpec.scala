@@ -1,0 +1,62 @@
+package graft.crawler
+
+import graft.SparkSpecBase
+
+class CrawlerSpec extends SparkSpecBase {
+
+  test("C1: discovers exactly the 10 corpus datasets, all parquet") {
+    val infos = LakeCrawler.discover(spark, sf0001)
+    assert(infos.map(_.name) == Seq("customer", "documents", "embeddings",
+      "events", "lineitem", "nation", "orders", "part", "region", "supplier"))
+    assert(infos.forall(_.format == "parquet"))
+    assert(infos.forall(_.sizeBytes > 0))
+  }
+
+  test("C2: events schema normalizes ns timestamp to TimestampType") {
+    val info = LakeCrawler.discover(spark, sf0001).find(_.name == "events").get
+    val sch = LakeCrawler.extractSchema(spark, info)
+    assert(sch("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(sch("event_id").dataType == org.apache.spark.sql.types.LongType)
+  }
+
+  test("C3: nation profile is exact and complete") {
+    val info = LakeCrawler.discover(spark, sf0001).find(_.name == "nation").get
+    val profs = Profiler.profile(spark, LakeCrawler.open(spark, info), "nation")
+    val byCol = profs.map(p => p.column -> p).toMap
+    assert(byCol("n_nationkey").cnt == 25)
+    assert(byCol("n_nationkey").ndistinct == 25)
+    assert(byCol("n_nationkey").distinctIsExact)
+    assert(byCol("n_nationkey").nulls == 0)
+    assert(byCol("n_nationkey").min_s.contains("0"))
+    assert(byCol("n_nationkey").max_s.contains("24"))
+  }
+
+  test("C3: profiler skips min/max for array columns but counts them") {
+    val info = LakeCrawler.discover(spark, sf0001).find(_.name == "embeddings").get
+    val profs = Profiler.profile(spark, LakeCrawler.open(spark, info), "embeddings")
+    val e = profs.find(_.column == "embedding").get
+    assert(e.cnt == 500 && e.min_s.isEmpty && e.max_s.isEmpty)
+  }
+
+  test("C5: diff flags size/mtime changes and additions/removals") {
+    val a = DatasetInfo("t1", "/x/t1", "parquet", 1, 100, 1000)
+    val b = DatasetInfo("t2", "/x/t2", "parquet", 1, 200, 1000)
+    val c = DatasetInfo("t3", "/x/t3", "parquet", 1, 300, 1000)
+    val d = CatalogStore.diff(
+      prev = Seq(a, b, c),
+      cur = Seq(a, b.copy(sizeBytes = 999), DatasetInfo("t4", "/x/t4", "csv", 1, 1, 1)))
+    assert(d.unchanged == Seq("t1"))
+    assert(d.changed == Seq("t2"))
+    assert(d.added == Seq("t4"))
+    assert(d.removed == Seq("t3"))
+  }
+
+  test("topK returns most frequent values first") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1("a"), Tuple1("a"), Tuple1("a"), Tuple1("b"), Tuple1("b"), Tuple1("c")
+    )).toDF("v")
+    val top = Profiler.topK(df, "v", 2).collect()
+    assert(top.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(top.map(_.getLong(1)).toSeq == Seq(3L, 2L))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c).head().get(0)
+
+  test("langId identifies handcrafted samples; und for no stopwords") {
+    assert(one(TextFunctions.langId(col("t")),
+      "the cat sat on the mat and it is happy") == "en")
+    assert(one(TextFunctions.langId(col("t")),
+      "el gato y la casa de los amigos") == "es")
+    assert(one(TextFunctions.langId(col("t")),
+      "der hund und die katze ist von dem haus") == "de")
+    assert(one(TextFunctions.langId(col("t")),
+      "le chat et les amis du jardin est une merveille") == "fr")
+    assert(one(TextFunctions.langId(col("t")),
+      "qwerty zxcvb asdfgh") == "und")
+  }
+
+  test("fingerprint is deterministic and sensitive to single-char edits") {
+    val a = one(TextFunctions.fingerprint(col("t")), "hello world")
+    val b = one(TextFunctions.fingerprint(col("t")), "hello world")
+    val c = one(TextFunctions.fingerprint(col("t")), "hello worle")
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("qualityScore: empty text → 0.0; longer words → higher score") {
+    assert(one(TextFunctions.qualityScore(col("t")), "") == 0.0)
+    assert(one(TextFunctions.qualityScore(col("t")), "   ") == 0.0)
+    val short = one(TextFunctions.qualityScore(col("t")), "a b c d").asInstanceOf[Double]
+    val long = one(TextFunctions.qualityScore(col("t")), "wonderful excellent paragraph").asInstanceOf[Double]
+    assert(long > short)
+  }
+
+  test("wordShingles: shorter than n → empty; correct n-grams") {
+    assert(one(TextFunctions.wordShingles(col("t"), 3), "a b")
+      .asInstanceOf[scala.collection.Seq[String]].isEmpty)
+    assert(one(TextFunctions.wordShingles(col("t"), 2), "a b c")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a b", "b c"))
+  }
+
+  test("charShingles produce overlapping windows") {
+    assert(one(TextFunctions.charShingles(col("t"), 3), "abcd")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("abc", "bcd"))
+  }
+
+  test("tokenEstimate counts letter runs, digits, punct separately") {
+    assert(one(TextFunctions.tokenEstimate(col("t")), "hello w0rld, x!") == 7)
+  }
+
+  test("uppercaseRatio") {
+    assert(one(TextFunctions.uppercaseRatio(col("t")), "AbCd") == 0.5)
+  }
+}

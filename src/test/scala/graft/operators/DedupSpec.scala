@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Property tests for the dedup family on planted duplicates
+  * (SURVEY.md §5.4): exact dups must always pair; near-dups (one token
+  * edited) must be recalled by MinHash and sit close in SimHash space.
+  */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** 20 genuinely distinct docs (disjoint vocabularies) + exact dup of #0
+    * + near dup of #1 (single token edited).
+    */
+  private lazy val docs = {
+    val distinct = (0 until 20).map { i =>
+      (i.toLong, (0 until 30).map(j => s"w${i}x$j").mkString(" "))
+    }
+    val exactDup = Seq((100L, distinct(0)._2))
+    val nearDup  = Seq((101L, distinct(1)._2.replace("w1x29", "zzz")))
+    (distinct ++ exactDup ++ nearDup).toDF("doc_id", "text")
+  }
+
+  test("exactDedup keeps exactly one row per distinct text, smallest id") {
+    val out = Dedup.exactDedup(docs, md5(col("text")), col("doc_id"))
+    assert(out.count() == 21) // 22 rows, one exact dup removed
+    assert(out.filter(col("doc_id") === 100L).count() == 0)
+    assert(out.filter(col("doc_id") === 0L).count() == 1)
+  }
+
+  test("exactDedup is idempotent") {
+    val once = Dedup.exactDedup(docs, md5(col("text")), col("doc_id"))
+    val twice = Dedup.exactDedup(once, md5(col("text")), col("doc_id"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("minhash recalls the exact dup and the planted near-dup") {
+    val pairs = Dedup.minHashNearDups(docs, "text", "doc_id",
+      shingleLen = 3, numHashTables = 8, maxDistance = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)), "exact dup pair missed")
+    assert(pairs.contains((1L, 101L)), "planted near-dup pair missed")
+  }
+
+  test("simhash: identical texts hamming 0, near-dup close, others far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(0L, 100L) == 0)
+    assert(ham(1L, 101L) <= 6, s"near-dup hamming ${ham(1L, 101L)}")
+    val far = ham(2L, 3L)
+    assert(far > ham(1L, 101L), s"unrelated docs ($far) not farther than near-dups")
+  }
+
+  test("simHashNearDups finds the exact-dup pair via banding") {
+    val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)))
+  }
+
+  test("ngramJaccard: exact dup = 1.0, near-dup high, reflexive bound") {
+    val cand = Seq((0L, 100L), (1L, 101L), (2L, 3L)).toDF("a_id", "b_id")
+    val j = Dedup.ngramJaccard(docs, cand, "text", "doc_id", n = 3)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((0L, 100L)) == 1.0)
+    assert(j((1L, 101L)) > 0.8 && j((1L, 101L)) < 1.0)
+    assert(j((2L, 3L)) < j((1L, 101L)))
+  }
+}

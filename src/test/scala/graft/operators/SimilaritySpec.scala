@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.core.Lake
+
+/** Exactness and recall properties for the similarity-search paths over
+  * the sf0.001 embeddings (500 × 64-d float vectors).
+  */
+class SimilaritySpec extends SparkSpecBase {
+
+  private lazy val emb = Lake.table(spark, sf0001, "embeddings")
+  private lazy val query: Seq[Float] =
+    emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0)
+  private lazy val corpus = emb.filter(col("vec_id") =!= 0)
+
+  test("bruteTopK returns k descending, ids unique") {
+    val rows = Similarity.bruteTopK(corpus, query, 10).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(rows.map(_.getLong(0)).distinct.length == 10)
+  }
+
+  test("lshTopK with full probing equals brute force exactly") {
+    val brute = Similarity.bruteTopK(corpus, query, 10).collect().toSeq
+    val full = Similarity.lshTopK(corpus, query, 10,
+      bits = 8, probeHamming = 8).collect().toSeq
+    assert(full == brute)
+  }
+
+  test("lshTopK partial probing has reasonable recall vs brute") {
+    val brute = Similarity.bruteTopK(corpus, query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(corpus, query, 10,
+      bits = 8, probeHamming = 3).collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(approx).size / 10.0
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
+  test("ivfTopK probing all lists equals brute force exactly") {
+    val brute = Similarity.bruteTopK(corpus, query, 10).collect().toSeq
+    val ivf = Similarity.ivfTopK(corpus, query, 10,
+      nlist = 4, nprobe = 4).collect().toSeq
+    assert(ivf == brute)
+  }
+
+  test("topSimilarPairs is symmetric-free (a<b) and sorted") {
+    val rows = Similarity.topSimilarPairs(emb, 15).collect()
+    assert(rows.length == 15)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("lshNearDupPairs only returns pairs above threshold, deterministic") {
+    val p1 = Similarity.lshNearDupPairs(emb, minSim = 0.3).collect().toSet
+    val p2 = Similarity.lshNearDupPairs(emb, minSim = 0.3).collect().toSet
+    assert(p1 == p2)
+    assert(p1.forall(_.getDouble(2) >= 0.3))
+  }
+}
