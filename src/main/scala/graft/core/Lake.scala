@@ -28,7 +28,24 @@ object Lake {
     * on scan, so both engines agree (and the corpus has zero sub-µs parts;
     * FIXTURES.md events).
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Per-session cache of table DataFrames: the file listing + footer
+    * schema read costs ~100 ms per spark.read.parquet call, and every
+    * query would otherwise pay it again (the DuckDB oracle likewise
+    * creates its views once per session). Keyed weakly by session so
+    * stopped sessions don't pin plans.
+    */
+  private val tableCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), DataFrame]]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableCache.synchronized {
+      tableCache.computeIfAbsent(spark,
+          _ => scala.collection.mutable.Map.empty[(String, String), DataFrame])
+        .getOrElseUpdate((dir, name), load(spark, dir, name))
+    }
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Uniform TimestampType (LTZ) ingest; with the session pinned to UTC
     // this is value-identical to NTZ and keeps the catalog's type surface

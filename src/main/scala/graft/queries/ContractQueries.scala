@@ -33,7 +33,20 @@ import graft.functions.VectorFunctions
   */
 object ContractQueries {
 
-  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact, order-independent, FAST cross-engine sum of 2-decimal money
+    * doubles: quantize each value to integer cents (the corpus is exactly
+    * 2-decimal, so round(x*100) is lossless), sum as primitive longs
+    * (codegen'd, no BigDecimal), scale back once. Bitwise-identical on
+    * both engines regardless of partial-aggregation order.
+    */
+  private def moneySum(c: Column): Column =
+    sum(round(c * 100).cast("long")) / 100.0
+
+  /** Same idea at 1e-6 quantization for derived (non-2-decimal) products;
+    * magnitudes here keep the long sum far from overflow (≤ ~1.8e16).
+    */
+  private def microSum(c: Column): Column =
+    sum(round(c * 1000000).cast("long")) / 1000000.0
 
   /** q01: scan, timestamp filter, arithmetic, multi-agg hash aggregate. */
   def q01(spark: SparkSession, dir: String): DataFrame = {
@@ -42,9 +55,8 @@ object ContractQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sq"),
-        sum(money(col("l_extendedprice"))).cast("double").as("sp"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(28, 10))).cast("double").as("disc"),
+        moneySum(col("l_extendedprice")).as("sp"),
+        microSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc"),
         avg(col("l_quantity")).as("aq"),
         count(lit(1)).as("c"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -64,7 +76,7 @@ object ContractQueries {
       .groupBy(col("n_name"))
       .agg(
         count(lit(1)).as("c"),
-        sum(money(col("o_totalprice"))).cast("double").as("s"))
+        moneySum(col("o_totalprice")).as("s"))
       .orderBy(col("s").desc, col("n_name"))
   }
 
@@ -123,7 +135,7 @@ object ContractQueries {
   def q08(spark: SparkSession, dir: String): DataFrame =
     Lake.table(spark, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
-      .agg(sum(money(col("value"))).cast("double").as("s"), count(lit(1)).as("c"))
+      .agg(moneySum(col("value")).as("s"), count(lit(1)).as("c"))
       .orderBy(col("h"), col("event_type"))
       .limit(200)
 
@@ -133,7 +145,7 @@ object ContractQueries {
       .groupBy((get_json_object(col("props"), "$.k").cast("int") % 10).as("kb"))
       .agg(
         count(lit(1)).as("c"),
-        (sum(money(col("value"))).cast("double") / count(lit(1))).as("av"))
+        (moneySum(col("value")) / count(lit(1))).as("av"))
       .orderBy(asc_nulls_first("kb"))
 
   /** q10: top-k by sort+limit → TakeOrderedAndProjectExec (no total sort). */
@@ -239,14 +251,14 @@ object ContractQueries {
   val oracle: Map[String, String] = Map(
     "q01_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
-        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS disc,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sp,
+        | sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) / 1000000.0 AS disc,
         | avg(l_quantity) AS aq, count(*) AS c
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_join4" ->
       """SELECT n_name, count(*) AS c,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        | sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS s
         |FROM orders JOIN customer ON o_custkey=c_custkey
         |JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
         |WHERE r_name='ASIA' GROUP BY n_name ORDER BY s DESC, n_name""".stripMargin,
@@ -274,11 +286,11 @@ object ContractQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q08_date" ->
       """SELECT date_trunc('hour', ts) AS h, event_type,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s, count(*) AS c
+        | sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS s, count(*) AS c
         |FROM events GROUP BY 1,2 ORDER BY 1,2 LIMIT 200""".stripMargin,
     "q09_json" ->
       """SELECT CAST(json_extract_string(props,'$.k') AS INT) % 10 AS kb, count(*) AS c,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS av
+        | sum(CAST(round(value*100) AS BIGINT)) / 100.0 / count(*) AS av
         |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "q10_topk_sort" ->
       """SELECT l_orderkey, l_extendedprice FROM lineitem

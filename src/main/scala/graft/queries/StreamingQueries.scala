@@ -59,7 +59,7 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     "st1_tumbling" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+        | sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS s
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "st2_sliding" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS ws,

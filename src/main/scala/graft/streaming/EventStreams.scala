@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType}
 
 import graft.core.Lake
 
@@ -44,7 +44,7 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("c"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("s"))
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("s"))
       .select(col("window.start").as("h"), col("event_type"), col("c"), col("s"))
 
   /** ST2: sliding 1-hour window, 15-minute slide. */
