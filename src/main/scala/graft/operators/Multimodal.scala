@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata travelling with an opaque media payload. */
+case class MediaMeta(
+    kind: String,      // "image" | "audio" | "video"
+    width: Int,
+    height: Int,
+    channels: Int,
+    frameCount: Int,
+    format: String)
+
+/** One record of the raw media table: id + opaque bytes + typed meta. */
+case class MediaRecord(media_id: Long, payload: Array[Byte], meta: MediaMeta)
+
+/** A decoded image: fixed-shape pixel buffer (h × w × channels bytes). */
+case class DecodedImage(media_id: Long, width: Int, height: Int,
+    channels: Int, pixels: Array[Byte])
+
+/** Per-media feature vector (e.g. for the similarity ops downstream). */
+case class MediaFeatures(media_id: Long, features: Array[Float])
+
+/** Multimodal column handling (SURVEY.md §2.7 L6 + builder mandate):
+  * image/audio/video as opaque `binary` columns with typed metadata.
+  *
+  * The Spark-side plumbing here is REAL and tested — schema (binary +
+  * struct metadata), partition-parallel batched decode via
+  * `Dataset.mapPartitions` (the Scala-native equivalent of mapInPandas:
+  * one iterator per partition, amortized per-batch setup), resize /
+  * feature-extraction / frame-sampling math that operates on any pixel
+  * buffer. The CODEC itself is stubbed (this container has no image/audio
+  * libraries): `decodePayload` expands bytes deterministically instead of
+  * invoking a real decoder, and is the single function to swap for a real
+  * codec (marked STUB below).
+  *
+  * Scale design: decode is embarrassingly parallel — co-partition by
+  * media_id, never collect payloads; features (small) flow to joins/ANN,
+  * pixels stay inside the partition unless explicitly materialized.
+  */
+object Multimodal {
+
+  /** STUB — deterministic fake codec. A real deployment replaces ONLY
+    * this: payload bytes → decoded pixel buffer of meta's declared shape.
+    * The fake expands the payload with a SplitMix64-style generator so
+    * output is reproducible, shape-correct, and content-dependent.
+    */
+  private[operators] def decodePayload(payload: Array[Byte], meta: MediaMeta): Array[Byte] = {
+    val n = meta.width * meta.height * meta.channels
+    val out = new Array[Byte](n)
+    var state = payload.foldLeft(0x9e3779b97f4a7c15L)((acc, b) => (acc * 31) + b)
+    var i = 0
+    while (i < n) {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      out(i) = ((z ^ (z >>> 31)) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Build a media table from the documents corpus: payload = utf-8 text
+    * bytes (a stand-in for real files), metadata derived from doc_id so
+    * shapes vary deterministically.
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        struct(
+          lit("image").as("kind"),
+          (col("doc_id") % 4 * 8 + 16).cast("int").as("width"),
+          (col("doc_id") % 3 * 8 + 16).cast("int").as("height"),
+          lit(3).as("channels"),
+          lit(1).as("frameCount"),
+          lit("fake").as("format")).as("meta"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-parallel batched decode (mapPartitions = one setup per
+    * partition, streaming through records — the batch shape a real codec
+    * wants).
+    */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition setup for a real codec would go here (open context,
+      // pin buffers); the stub needs none.
+      it.map { r =>
+        DecodedImage(r.media_id, r.meta.width, r.meta.height, r.meta.channels,
+          decodePayload(r.payload, r.meta))
+      }
+    }
+  }
+
+  /** Nearest-neighbour resize — real pixel math, codec-independent. */
+  private[operators] def resizeBuffer(
+      px: Array[Byte], w: Int, h: Int, c: Int, w2: Int, h2: Int): Array[Byte] = {
+    val out = new Array[Byte](w2 * h2 * c)
+    var y = 0
+    while (y < h2) {
+      val sy = math.min(h - 1, y * h / h2)
+      var x = 0
+      while (x < w2) {
+        val sx = math.min(w - 1, x * w / w2)
+        var ch = 0
+        while (ch < c) {
+          out((y * w2 + x) * c + ch) = px((sy * w + sx) * c + ch)
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def resize(decoded: Dataset[DecodedImage], w2: Int, h2: Int): Dataset[DecodedImage] = {
+    import decoded.sparkSession.implicits._
+    decoded.map(d => DecodedImage(d.media_id, w2, h2, d.channels,
+      resizeBuffer(d.pixels, d.width, d.height, d.channels, w2, h2)))
+  }
+
+  /** 16-bin normalized byte histogram — a real, deterministic feature
+    * extractor over any pixel buffer.
+    */
+  private[operators] def histogram16(px: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](16)
+    var i = 0
+    while (i < px.length) { bins((px(i) & 0xff) >>> 4) += 1f; i += 1 }
+    if (px.length > 0) { var b = 0; while (b < 16) { bins(b) /= px.length; b += 1 } }
+    bins
+  }
+
+  def extractFeatures(decoded: Dataset[DecodedImage]): Dataset[MediaFeatures] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map(d => MediaFeatures(d.media_id, histogram16(d.pixels))))
+  }
+
+  /** Frame sampling for "video" payloads: treat the decoded buffer as
+    * frameCount frames of w×h×c and keep every nth — real chunking logic.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], everyNth: Int): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    require(everyNth >= 1)
+    media.flatMap { r =>
+      val frameBytes = r.meta.width * r.meta.height * r.meta.channels
+      val all = decodePayload(r.payload,
+        r.meta.copy(width = r.meta.width * r.meta.frameCount))
+      (0 until r.meta.frameCount by everyNth).map { f =>
+        DecodedImage(r.media_id * 1000 + f, r.meta.width, r.meta.height,
+          r.meta.channels,
+          java.util.Arrays.copyOfRange(all, f * frameBytes, (f + 1) * frameBytes))
+      }
+    }
+  }
+}

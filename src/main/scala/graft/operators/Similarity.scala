@@ -5,7 +5,8 @@ import scala.util.Random
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions._
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions.dotProduct
 
 /** Similarity search over an embedding column (SURVEY.md §2.7 L3).
   *
@@ -16,6 +17,18 @@ import graft.functions.VectorFunctions._
   * coarse-centroid partitions. Both are deterministic under a fixed seed.
   */
 object Similarity {
+
+  /** Cosine scorer: the native codegen Expression (graft.plans.
+    * CosineSimilarity — single fused loop, no per-row array allocation)
+    * by default; bitwise-identical to the higher-order-function
+    * formulation (same ascending fold), which remains available for
+    * comparison via `useNativeCosine = false`.
+    */
+  @volatile var useNativeCosine: Boolean = true
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    if (useNativeCosine) graft.plans.GraftFunctions.cosine_sim(a, b)
+    else VectorFunctions.cosineSimilarity(a, b)
 
   /** Exact cosine top-k for one query vector (literal → evaluated
     * map-side; no join, no shuffle; TakeOrderedAndProject finishes it).

@@ -196,7 +196,7 @@ object ContractQueries {
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"),
-        round(VectorFunctions.cosineSimilarity(col("embedding"), col("qv")), 6).as("sim"))
+        round(graft.operators.Similarity.cosineSimilarity(col("embedding"), col("qv")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }

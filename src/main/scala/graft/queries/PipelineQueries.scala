@@ -118,6 +118,25 @@ object PipelineQueries {
       .agg(count(lit(1)).as("c"))
       .orderBy(col("pred_lang"))
 
+  /** L6: multimodal pipeline surface — binary payload + typed metadata →
+    * partition-parallel decode (stubbed codec, real plumbing) → 16-d
+    * histogram features → per-source aggregate. Deterministic; rows-only
+    * gate (the fake codec is not SQL-expressible); shapes and math are
+    * pinned in MultimodalSpec.
+    */
+  def l6MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    val media = graft.operators.Multimodal.mediaFromDocuments(spark, docs)
+    val feats = graft.operators.Multimodal.extractFeatures(
+      graft.operators.Multimodal.decodeImages(media))
+    feats.toDF()
+      .join(docs.select(col("doc_id").as("media_id"), col("source")), "media_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("c"),
+        round(avg(element_at(col("features"), 1)), 6).as("avg_bin1"))
+      .orderBy(col("source"))
+  }
+
   /** Batch session_window (Spark ≥3.2 native session windows) — must
     * agree with the lag/running-sum formulation (q16's oracle), a real
     * semantic cross-check of the two sessionization paths.
@@ -140,6 +159,7 @@ object PipelineQueries {
     "l4_quality"         -> (l4Quality _),
     "l4_fingerprint"     -> (l4Fingerprint _),
     "l4_langid"          -> (l4LangId _),
+    "l6_media_features"  -> (l6MediaFeatures _),
     "q17_session_window" -> (q17SessionWindow _))
 
   /** DuckDB oracles for the SQL-expressible subset. */

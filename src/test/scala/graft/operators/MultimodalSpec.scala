@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.core.Lake
+
+class MultimodalSpec extends SparkSpecBase {
+
+  private lazy val media =
+    Multimodal.mediaFromDocuments(spark, Lake.table(spark, sf0001, "documents"))
+
+  test("decode produces shape-correct, deterministic pixel buffers") {
+    val a = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    val b = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    assert(a.length == 500)
+    assert(a.forall(d => d.pixels.length == d.width * d.height * d.channels))
+    assert(a.zip(b).forall { case (x, y) => x.pixels.sameElements(y.pixels) })
+  }
+
+  test("decode is content-dependent (different payloads → different pixels)") {
+    val two = Multimodal.decodeImages(media)
+      .filter(_.media_id < 2).collect().sortBy(_.media_id)
+    assert(!two(0).pixels.sameElements(two(1).pixels.take(two(0).pixels.length)))
+  }
+
+  test("resize: nearest-neighbour on a crafted 2x2 → 4x4 duplicates pixels") {
+    val px = Array[Byte](1, 2, 3, 4) // 2x2, 1 channel
+    val out = Multimodal.resizeBuffer(px, 2, 2, 1, 4, 4)
+    assert(out.toSeq == Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+  }
+
+  test("resize dataset changes declared and actual shape") {
+    val out = Multimodal.resize(Multimodal.decodeImages(media), 8, 8).head()
+    assert(out.width == 8 && out.height == 8 && out.pixels.length == 8 * 8 * 3)
+  }
+
+  test("histogram16 is a distribution and content-sensitive") {
+    val h = Multimodal.histogram16(Array.tabulate(256)(_.toByte))
+    assert(math.abs(h.sum - 1.0f) < 1e-5)
+    assert(h.forall(v => math.abs(v - 1 / 16f) < 1e-5)) // uniform bytes → uniform bins
+    val skew = Multimodal.histogram16(Array.fill(100)(0x00.toByte))
+    assert(skew(0) == 1.0f && skew.drop(1).forall(_ == 0f))
+  }
+
+  test("extractFeatures yields 16-d vectors for every record") {
+    val f = Multimodal.extractFeatures(Multimodal.decodeImages(media)).collect()
+    assert(f.length == 500)
+    assert(f.forall(_.features.length == 16))
+  }
+
+  test("sampleFrames keeps ceil(frameCount/n) frames of the right size") {
+    import spark.implicits._
+    val vid = Seq(MediaRecord(7L, "somepayload".getBytes,
+      MediaMeta("video", 4, 4, 3, 10, "fake"))).toDS()
+    val frames = Multimodal.sampleFrames(vid, 3).collect()
+    assert(frames.length == 4) // frames 0,3,6,9
+    assert(frames.forall(_.pixels.length == 4 * 4 * 3))
+    assert(frames.map(_.media_id).toSeq.sorted == Seq(7000L, 7003L, 7006L, 7009L))
+  }
+}
