@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.core.Lake
+import graft.crawler.{CatalogStore, DatasetInfo}
+import graft.plans.CosineSimilarity
+
+/** Session extensions: registers the engine's native functions so any
+  * session created with `spark.sql.extensions=graft.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) can call them from SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs.head, exprs(1))))
+  }
+}
+
+/** The user-facing entry point: a configured session + a lake bound to a
+  * directory of tables, exposing the SQL surface, the DataFrame surface,
+  * and the crawler. A user of the reference system starts here.
+  *
+  * {{{
+  * val eng = GraftEngine.open("/root/testdata/sf0.01")
+  * eng.sql("SELECT count(*) FROM lineitem").show()
+  * eng.table("documents").groupBy("lang").count()
+  * eng.crawl("/data/lake", "/data/catalog")
+  * }}}
+  */
+object GraftEngine {
+
+  /** Opinionated session: UTC, AQE, core-matched shuffle partitions, the
+    * engine's extensions — the settings every gate/bench run uses.
+    */
+  def session(
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      appName: String = "graft"): SparkSession = {
+    val cpus = master.replaceAll(".*\\[|\\].*", "") match {
+      case "*" | "" => Runtime.getRuntime.availableProcessors().toString
+      case n => n
+    }
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    // getOrCreate may return a pre-existing session built WITHOUT the
+    // extensions (builder extensions only apply to new sessions); register
+    // the native functions directly so the SQL surface is always complete.
+    graft.plans.GraftFunctions.register(s)
+    s
+  }
+
+  final class Engine private[GraftEngine] (val spark: SparkSession, dir: String) {
+    Lake.registerAll(spark, dir)
+
+    /** The relational surface (EP2): full Spark SQL over the lake views. */
+    def sql(text: String): DataFrame = spark.sql(text)
+
+    /** The DataFrame surface over one table. */
+    def table(name: String): DataFrame = Lake.table(spark, dir, name)
+
+    /** The crawler surface (EP1): crawl a lake root into a catalog. */
+    def crawl(lakeRoot: String, catalogDir: String): Seq[DatasetInfo] =
+      CatalogStore.crawl(spark, lakeRoot, catalogDir)
+  }
+
+  def open(dir: String, spark: SparkSession = session()): Engine =
+    new Engine(spark, dir)
+}

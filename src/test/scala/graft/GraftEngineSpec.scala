@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the user-facing entry point: extension-registered SQL function,
+  * lake views, crawler — the switch-from-the-reference surface.
+  */
+class GraftEngineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = GraftEngine.session("local[8]", "engine-spec")
+  private lazy val eng = GraftEngine.open("/root/testdata/sf0.001", spark)
+
+  test("sql surface: contract q01 text runs against the registered views") {
+    val rows = eng.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) c FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin).collect()
+    assert(rows.length == 6)
+  }
+
+  test("cosine_sim is available in SQL via GraftExtensions (no manual registration)") {
+    val sim = eng.sql(
+      """SELECT cosine_sim(a.embedding, a.embedding) s
+        |FROM embeddings a WHERE a.vec_id = 3""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+
+  test("table surface returns the normalized schema") {
+    assert(eng.table("events").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("crawl surface produces a catalog") {
+    val out = java.nio.file.Files.createTempDirectory("graft_eng_snap").toString
+    val infos = eng.crawl("/root/testdata/sf0.001", out)
+    assert(infos.size == 10)
+    assert(spark.read.parquet(s"$out/profiles").count() > 0)
+  }
+}
