@@ -44,8 +44,15 @@ object TextFunctions {
     * fold(acc = acc*31 + ord(char) mod 1e9+7). The modulus keeps every
     * intermediate below 2^35, safe under ANSI overflow checking, and the
     * same fold is expressible in the DuckDB oracle via list_reduce.
+    * Default is the native codegen expression (no per-char array
+    * allocation); `fingerprintHof` keeps the higher-order-function
+    * formulation for cross-checking.
     */
   def fingerprint(text: Column): Column =
+    graft.plans.RollingFingerprint.fingerprint(text)
+
+  /** HOF formulation of the same fold (identical results on ASCII). */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       transform(split(text, ""), ch => ascii(ch).cast("long")),
       lit(0L),

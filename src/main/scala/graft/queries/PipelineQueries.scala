@@ -47,6 +47,29 @@ object PipelineQueries {
         coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_checksum"))
   }
 
+  /** L2: exact n-gram Jaccard top-10 pairs — the rerank stage of near-dup
+    * dedup, here over ALL pairs (500 docs → 125k pairs at sf0.01; at
+    * scale the pair set comes from minHashNearDups candidates instead of
+    * a cross join). Fully oracle-checked: the corpus contains genuine
+    * near-dups (top Jaccard ≈ 0.989).
+    */
+  def l2JaccardTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+        array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val pairs = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
+        col("a_id") < col("b_id"))
+    pairs
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(10)
+  }
+
   /** L3: exact top-20 most-similar embedding pairs (embedding near-dup
     * surface; at sf0.01 the max pairwise cosine is ~0.51, so a threshold
     * query would be vacuous — top-k pairs is always a live check).
@@ -152,6 +175,7 @@ object PipelineQueries {
     "l1_dedup_keepfirst" -> (l1DedupKeepfirst _),
     "l2_minhash_pairs"   -> (l2MinhashPairs _),
     "l2_simhash_pairs"   -> (l2SimhashPairs _),
+    "l2_jaccard_top_pairs" -> (l2JaccardTopPairs _),
     "l3_toppairs_cosine" -> (l3TopPairsCosine _),
     "l3_lsh_topk"        -> (l3LshTopK _),
     "l4_token_stats"     -> (l4TokenStats _),
@@ -167,6 +191,19 @@ object PipelineQueries {
     "l1_dedup_keepfirst" ->
       """SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(kept) AS BIGINT) AS sum_kept
         |FROM (SELECT min(doc_id) AS kept FROM documents GROUP BY md5(text)) t""".stripMargin,
+    "l2_jaccard_top_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) s
+        |  FROM (SELECT doc_id, string_split(text,' ') w FROM documents)
+        |  WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id a_id, b.doc_id b_id,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, jaccard FROM p
+        |ORDER BY jaccard DESC, a_id, b_id LIMIT 10""".stripMargin,
     "l3_toppairs_cosine" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nrm

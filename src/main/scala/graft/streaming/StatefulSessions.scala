@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+case class SessionEvent(user_id: Long, ts: Timestamp)
+
+/** Open-session state per user: bounds in epoch micros + event count. */
+case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+case class ClosedSession(user_id: Long, st: Timestamp, en: Timestamp, n: Long)
+
+/** Custom stateful sessionization via flatMapGroupsWithState — the
+  * hand-rolled state machine underneath what `session_window` does
+  * natively (SURVEY.md EP3: KeyValueGroupedDataset custom state). Kept as
+  * a first-class operator because real pipelines need variants the
+  * built-in can't express (per-session aggregates beyond count/min/max,
+  * emission of partial sessions, side outputs).
+  *
+  * Semantics (identical to q16's lag/running-sum formulation and to
+  * session_window): a gap > gapMinutes starts a new session. Sessions
+  * close either when a later event for the same user exceeds the gap, or
+  * when the event-time watermark passes the open session's end + gap
+  * (EventTimeTimeout).
+  *
+  * Scale: state is O(one OpenSession per active user); the shuffle is the
+  * same groupBy-user exchange any sessionization needs; RocksDB state
+  * store holds the map at 100 TB cardinalities.
+  */
+object StatefulSessions extends Serializable {
+
+  // Timestamps in this corpus have sub-ms precision=0 at the µs level
+  // after ns→µs truncation; state rounds through ms only for the
+  // Timestamp constructor (µs part re-attached via setNanos).
+  private def micros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000 + t.getNanos / 1000
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000 * 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(uid: Long, it: Iterator[SessionEvent],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(ClosedSession(uid, fromMicros(s.startUs), fromMicros(s.endUs), s.n))
+      } else {
+        val ts = it.map(e => micros(e.ts)).toArray.sorted
+        var open = state.getOption
+        val closed = Seq.newBuilder[ClosedSession]
+        ts.foreach { t =>
+          open match {
+            case Some(s) if t - s.endUs <= gapUs =>
+              open = Some(OpenSession(s.startUs, t, s.n + 1))
+            case Some(s) =>
+              closed += ClosedSession(uid, fromMicros(s.startUs), fromMicros(s.endUs), s.n)
+              open = Some(OpenSession(t, t, 1))
+            case None =>
+              open = Some(OpenSession(t, t, 1))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp((s.endUs + gapUs) / 1000)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

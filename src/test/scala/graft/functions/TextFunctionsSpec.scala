@@ -31,6 +31,15 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(a != c)
   }
 
+  test("native fingerprint equals the HOF formulation on corpus text") {
+    val docs = graft.core.Lake.table(spark, sf0001, "documents")
+    val diff = docs.select(
+        TextFunctions.fingerprint(col("text")).as("n"),
+        TextFunctions.fingerprintHof(col("text")).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(diff == 0)
+  }
+
   test("qualityScore: empty text → 0.0; longer words → higher score") {
     assert(one(TextFunctions.qualityScore(col("t")), "") == 0.0)
     assert(one(TextFunctions.qualityScore(col("t")), "   ") == 0.0)
