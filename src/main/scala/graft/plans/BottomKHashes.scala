@@ -1,0 +1,97 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Bottom-k sketch aggregate: the k smallest DISTINCT values of a long
+  * column per group — the classic mergeable MinHash/bottom-k signature
+  * (signature overlap estimates Jaccard between groups).
+  *
+  * Why a TypedImperativeAggregate: the sketch needs a mutable bounded
+  * buffer with a real MERGE (elementwise union-then-trim) so Spark can
+  * partial-aggregate map-side and combine per-partition sketches at the
+  * exchange — O(k) state per group at any corpus size, the property that
+  * makes group signatures feasible at 100 TB (a collect_set would be
+  * O(distinct values)).
+  */
+case class BottomKHashes(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k > 0, "k must be positive")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def trim(buf: java.util.TreeSet[java.lang.Long]): Unit =
+    while (buf.size() > k) buf.pollLast()
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) { buf.add(v.asInstanceOf[Long]); trim(buf) }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    buf.addAll(other); trim(buf); buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size())
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.add(in.readLong()))
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def withNewMutableAggBufferOffset(offset: Int): BottomKHashes =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BottomKHashes =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomKHashes =
+    copy(child = newChildren.head)
+}
+
+object BottomKHashes {
+  /** Column-level accessor: bottom-k distinct hashes as a sorted array. */
+  def bottom_k_hashes(c: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      BottomKHashes(org.apache.spark.sql.graftbridge.Bridge.expression(c), k)
+        .toAggregateExpression())
+}

@@ -141,6 +141,23 @@ object PipelineQueries {
       .agg(count(lit(1)).as("c"))
       .orderBy(col("pred_lang"))
 
+  /** L5: bottom-k sketch signature per language — k smallest distinct
+    * rolling-hash token values via the mergeable TypedImperativeAggregate
+    * (O(k) state per group regardless of corpus size). Oracle-exact: the
+    * DuckDB side computes the same k-minima with the same hash.
+    */
+  def l5BottomkSketch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    docs.select(col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("lang"), TextFunctions.fingerprint(col("tok")).as("h"))
+      .groupBy(col("lang"))
+      .agg(graft.plans.BottomKHashes.bottom_k_hashes(col("h"), 8).as("sig_arr"))
+      .select(col("lang"),
+        concat_ws(",", transform(col("sig_arr"), _.cast("string"))).as("sig"))
+      .orderBy(col("lang"))
+  }
+
   /** L6: multimodal pipeline surface — binary payload + typed metadata →
     * partition-parallel decode (stubbed codec, real plumbing) → 16-d
     * histogram features → per-source aggregate. Deterministic; rows-only
@@ -183,6 +200,7 @@ object PipelineQueries {
     "l4_quality"         -> (l4Quality _),
     "l4_fingerprint"     -> (l4Fingerprint _),
     "l4_langid"          -> (l4LangId _),
+    "l5_bottomk_sketch"  -> (l5BottomkSketch _),
     "l6_media_features"  -> (l6MediaFeatures _),
     "q17_session_window" -> (q17SessionWindow _))
 
@@ -234,6 +252,15 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT source, count(DISTINCT fp) AS fps, CAST(sum(fp) AS BIGINT) AS fp_sum
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "l5_bottomk_sketch" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT lang,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+        |    (a, b) -> (a*31+b) % 1000000007) AS hv
+        |  FROM t)
+        |SELECT lang, array_to_string(list_slice(list_sort(list(DISTINCT hv)), 1, 8), ',') AS sig
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
     "q17_session_window" ->
       """WITH g AS (SELECT user_id, ts,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
