@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpecBase
+
+/** Plan-shape regression guards: the perf-critical physical properties
+  * (pushdown, broadcast, top-k heaps, no stray sort-merge exchanges at
+  * dimension scale) must survive future query edits — a correct result
+  * from a degraded plan is still a regression at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf0001)
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q01_agg_lineitem")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q01: scan schema is pruned to the referenced columns") {
+    val p = plan("q01_agg_lineitem")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_orderkey"), "unreferenced column not pruned")
+  }
+
+  test("q02: dimension joins broadcast, no sort-merge join") {
+    val p = plan("q02_join4")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to sort-merge")
+  }
+
+  test("q10/q14: top-k plans as TakeOrderedAndProject (no total sort)") {
+    assert(plan("q10_topk_sort").contains("TakeOrderedAndProject"))
+    assert(plan("q14_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q11/q12: subphases plan as semi/anti broadcast joins") {
+    assert(plan("q11_semijoin").contains("LeftSemi"))
+    assert(plan("q12_antijoin").contains("LeftAnti"))
+  }
+
+  test("q14: cosine scoring runs inside whole-stage codegen") {
+    val p = plan("q14_cosine_topk")
+    assert(p.contains("cosinesimilarity") && p.contains("*("),
+      "native cosine not in a codegen stage")
+  }
+}
