@@ -143,6 +143,30 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** k-NN JOIN: for EVERY query vector, its top-k nearest corpus vectors.
+    * Queries broadcast (the query set is the small side); scoring is
+    * map-side over the corpus; the reduce is the mergeable TopKByScore
+    * aggregate — O(n log k) map-side heaps + an O(k)-per-query shuffle,
+    * never a per-query corpus sort. Output: (q_id, n_id, sim, rnk).
+    */
+  def knnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"),
+        cosineSimilarity(col("nv"), col("qv")).as("sim"))
+    scored.groupBy(col("q_id"))
+      .agg(graft.plans.TopKByScore.top_k_by_score(col("sim"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("q_id"), col("hit.id").as("n_id"),
+        round(col("hit.score"), 6).as("sim"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `nlist` deterministic centroids (sampled rows), search only the
     * `nprobe` centroid partitions nearest the query, exact-rerank inside.

@@ -90,6 +90,17 @@ object PipelineQueries {
       bits = 8, probeHamming = 3)
   }
 
+  /** L3: k-NN join — top-10 neighbors for EACH of the first 5 query
+    * vectors, via the mergeable top-k aggregate (map-side heaps). Oracle:
+    * DuckDB window row_number over the same pairwise sims.
+    */
+  def l3KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Lake.table(spark, dir, "embeddings")
+    Similarity.knnJoin(
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 10)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** L4: whitespace-token statistics per source. */
   def l4TokenStats(spark: SparkSession, dir: String): DataFrame =
     Lake.table(spark, dir, "documents")
@@ -195,6 +206,7 @@ object PipelineQueries {
     "l2_jaccard_top_pairs" -> (l2JaccardTopPairs _),
     "l3_toppairs_cosine" -> (l3TopPairsCosine _),
     "l3_lsh_topk"        -> (l3LshTopK _),
+    "l3_knn_join"        -> (l3KnnJoin _),
     "l4_token_stats"     -> (l4TokenStats _),
     "l4_token_estimate"  -> (l4TokenEstimate _),
     "l4_quality"         -> (l4Quality _),
@@ -230,6 +242,18 @@ object PipelineQueries {
         |  round(list_sum(list_transform(range(1,65), i -> a.e[i]*b.e[i]))/(a.nrm*b.nrm), 6) AS sim
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |ORDER BY sim DESC, a_id, b_id LIMIT 20""".stripMargin,
+    "l3_knn_join" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nrm
+        |  FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 5), c AS (SELECT * FROM n WHERE vec_id >= 5),
+        |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
+        |  list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i]))/(q.nrm*c.nrm) sim
+        |  FROM q, c),
+        |r AS (SELECT q_id, n_id, sim,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) rnk FROM p)
+        |SELECT q_id, n_id, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "l4_token_stats" ->
       """SELECT source, count(*) AS c,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS st,

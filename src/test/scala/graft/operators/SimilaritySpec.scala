@@ -55,6 +55,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(sims.sameElements(sims.sorted.reverse))
   }
 
+  test("knnJoin per-query results equal bruteTopK run per query") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val joined = Similarity.knnJoin(queries, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val perQuery = (0L until 3L).flatMap { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.bruteTopK(corpus, qv, 5)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(joined == perQuery)
+  }
+
   test("lshNearDupPairs only returns pairs above threshold, deterministic") {
     val p1 = Similarity.lshNearDupPairs(emb, minSim = 0.3).collect().toSet
     val p2 = Similarity.lshNearDupPairs(emb, minSim = 0.3).collect().toSet
