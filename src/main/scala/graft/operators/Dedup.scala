@@ -126,6 +126,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Resolve near-dup candidate pairs into duplicate GROUPS: connected
+    * components by iterative min-label propagation (each iteration is one
+    * join + aggregate; converges in O(component diameter) rounds — near-dup
+    * components are tiny, so 2–4 rounds in practice, bounded explicitly).
+    * Returns (id, canonical) where canonical = the component's min id —
+    * the survivor a dedup keeps. Only ids that appear in a pair are
+    * returned (singletons are trivially their own canonical).
+    */
+  def resolveDupGroups(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+    // localCheckpoint (not cache) each round: an iterative join would
+    // otherwise stack the whole history into one exponentially-growing
+    // logical plan (lineage blowup — OOMs at ~15 iterations).
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, labels("id") === prop("src"), "left")
+        .select(labels("id"),
+          least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") < col("o.lbl")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("canonical"))
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate-pair DataFrame
     * (columns a_id, b_id) against the docs table — the rerank stage after
     * any LSH candidate generation.

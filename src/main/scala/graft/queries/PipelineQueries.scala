@@ -70,6 +70,29 @@ object PipelineQueries {
       .limit(10)
   }
 
+  /** L1/L2 end-to-end: near-dup pairs (Jaccard ≥ 0.8 over 3-shingles) →
+    * connected components → duplicate groups with canonical survivors.
+    * Oracle: DuckDB recursive-CTE reachability computes the same
+    * component minima.
+    */
+  def l1DupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+        array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val pairs = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
+        col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= 0.8)
+      .select(col("a_id"), col("b_id"))
+    Dedup.resolveDupGroups(pairs)
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+      .orderBy(col("canonical"))
+  }
+
   /** L3: exact top-20 most-similar embedding pairs (embedding near-dup
     * surface; at sf0.01 the max pairwise cosine is ~0.51, so a threshold
     * query would be vacuous — top-k pairs is always a live check).
@@ -204,6 +227,7 @@ object PipelineQueries {
     "l2_minhash_pairs"   -> (l2MinhashPairs _),
     "l2_simhash_pairs"   -> (l2SimhashPairs _),
     "l2_jaccard_top_pairs" -> (l2JaccardTopPairs _),
+    "l1_dup_groups"      -> (l1DupGroups _),
     "l3_toppairs_cosine" -> (l3TopPairsCosine _),
     "l3_lsh_topk"        -> (l3LshTopK _),
     "l3_knn_join"        -> (l3KnnJoin _),
@@ -221,6 +245,26 @@ object PipelineQueries {
     "l1_dedup_keepfirst" ->
       """SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(kept) AS BIGINT) AS sum_kept
         |FROM (SELECT min(doc_id) AS kept FROM documents GROUP BY md5(text)) t""".stripMargin,
+    "l1_dup_groups" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) s
+        |  FROM (SELECT doc_id, string_split(text,' ') w FROM documents)
+        |  WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id a, b.doc_id b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.8),
+        |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |r(id, l) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT e.dst, r.l FROM r JOIN e ON e.src = r.id),
+        |cc AS (SELECT id, min(l) AS canonical FROM r GROUP BY id)
+        |SELECT canonical, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum
+        |FROM cc GROUP BY canonical ORDER BY canonical""".stripMargin,
     "l2_jaccard_top_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),

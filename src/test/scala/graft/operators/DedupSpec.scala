@@ -60,6 +60,22 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.contains((0L, 100L)))
   }
 
+  test("resolveDupGroups: chains collapse to the min id, components separate") {
+    // chain 1-2-3 (transitive), pair 10-11, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a_id", "b_id")
+    val groups = Dedup.resolveDupGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("resolveDupGroups: long chain converges within the iteration bound") {
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val groups = Dedup.resolveDupGroups(chain).as[(Long, Long)].collect().toMap
+    assert(groups.values.toSet == Set(1L))
+    assert(groups.size == 20)
+  }
+
   test("ngramJaccard: exact dup = 1.0, near-dup high, reflexive bound") {
     val cand = Seq((0L, 100L), (1L, 101L), (2L, 3L)).toDF("a_id", "b_id")
     val j = Dedup.ngramJaccard(docs, cand, "text", "doc_id", n = 3)
