@@ -45,6 +45,12 @@ object CrawlerQueries {
       .orderBy(col("col_name"))
   }
 
+  /** C3 (top-k frequent values): exact top-3 most frequent customer
+    * market segments from the profiler's topK, cross-engine checked.
+    */
+  def c3TopkMktsegment(spark: SparkSession, dir: String): DataFrame =
+    Profiler.topK(graft.core.Lake.table(spark, dir, "customer"), "c_mktsegment", 3)
+
   /** C4+C5: full crawl → snapshot → incremental re-crawl over the
     * unchanged lake must show zero drift. Exercises catalog write + read
     * + diff end-to-end; the oracle is the invariant (10,0,0,0).
@@ -64,6 +70,7 @@ object CrawlerQueries {
     "c1_discover"         -> (c1Discover _),
     "c2_schemas"          -> (c2Schemas _),
     "c3_profile_customer" -> (c3ProfileCustomer _),
+    "c3_topk_mktsegment"  -> (c3TopkMktsegment _),
     "c5_incremental"      -> (c5Incremental _))
 
   private val expectedSchemas: Seq[(String, Seq[(String, String)])] = Seq(
@@ -117,6 +124,9 @@ object CrawlerQueries {
     "c3_profile_customer" ->
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .map(profBlock).mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "c3_topk_mktsegment" ->
+      """SELECT CAST(c_mktsegment AS VARCHAR) AS value, count(*) AS freq
+        |FROM customer GROUP BY 1 ORDER BY freq DESC, value LIMIT 3""".stripMargin,
     "c5_incremental" ->
       """SELECT CAST(10 AS BIGINT) AS unchanged, CAST(0 AS BIGINT) AS changed,
         | CAST(0 AS BIGINT) AS added, CAST(0 AS BIGINT) AS removed""".stripMargin)

@@ -51,6 +51,20 @@ class CrawlerSpec extends SparkSpecBase {
     assert(d.removed == Seq("t3"))
   }
 
+  test("schema evolution: mergeSchema read yields the superset schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/part1")
+    Seq((2L, 9.5)).toDF("id", "score").write.parquet(s"$dir/part2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/part1", s"$dir/part2")
+    assert(merged.schema.fieldNames.sorted.toSeq == Seq("id", "name", "score"))
+    assert(merged.count() == 2)
+    val row = merged.filter(org.apache.spark.sql.functions.col("id") === 1L)
+      .select("score").head()
+    assert(row.isNullAt(0)) // evolved column null for old files
+  }
+
   test("topK returns most frequent values first") {
     val df = spark.createDataFrame(Seq(
       Tuple1("a"), Tuple1("a"), Tuple1("a"), Tuple1("b"), Tuple1("b"), Tuple1("c")
