@@ -31,15 +31,20 @@ object Lake {
   /** Per-session cache of table DataFrames: the file listing + footer
     * schema read costs ~100 ms per spark.read.parquet call, and every
     * query would otherwise pay it again (the DuckDB oracle likewise
-    * creates its views once per session). Keyed weakly by session so
-    * stopped sessions don't pin plans.
+    * creates its views once per session). Eviction is explicit, not weak:
+    * a cached DataFrame strongly references its session (via
+    * queryExecution), so a WeakHashMap keyed by session could never
+    * collect an entry — instead, entries whose underlying SparkContext
+    * has stopped are dropped on every access.
     */
   private val tableCache =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.HashMap[SparkSession,
       scala.collection.mutable.Map[(String, String), DataFrame]]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     tableCache.synchronized {
+      val it = tableCache.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       tableCache.computeIfAbsent(spark,
           _ => scala.collection.mutable.Map.empty[(String, String), DataFrame])
         .getOrElseUpdate((dir, name), load(spark, dir, name))

@@ -148,14 +148,17 @@ object Dedup {
     while (!converged && iter < maxIterations) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      // Convergence is carried as a flag column computed INSIDE the
+      // propagation job (did any label shrink this round?), so each round
+      // costs one heavy job (the eager localCheckpoint) plus a take(1)
+      // scan of the checkpointed partitions — not a second join+count.
       val next = labels.join(prop, labels("id") === prop("src"), "left")
         .select(labels("id"),
-          least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("lbl"))
+          least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), labels("lbl")) < labels("lbl")).as("__chg"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") < col("o.lbl")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("__chg")).isEmpty
+      labels = next.drop("__chg")
       iter += 1
     }
     labels.select(col("id"), col("lbl").as("canonical"))

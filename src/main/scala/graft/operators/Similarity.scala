@@ -121,7 +121,11 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(bits % bands == 0, "bits must divide into equal bands")
     val width = bits / bands
-    val dim = 64
+    // Derive the dimension from the data (one 1-row job): a hardcoded dim
+    // would silently zero every signature bit for other-width embeddings
+    // (zip_with pads with nulls) and collapse all rows into one bucket —
+    // reintroducing the O(n²) join this function exists to avoid.
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(bits, dim, seed)
     val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshSignature(col(vecCol), planes).as("sig"))

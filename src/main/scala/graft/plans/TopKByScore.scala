@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -25,6 +26,17 @@ case class TopKByScore(
 
   require(k > 0, "k must be positive")
 
+  /** Reject mismatched types at ANALYSIS time (update() casts with
+    * asInstanceOf — without this a float score column would pass analysis
+    * and ClassCastException on executors mid-job).
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, id.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i) => TypeCheckResult.TypeCheckFailure(
+        s"top_k_by_score expects (double score, bigint id), got ($s, $i)")
+    }
+
   private object Ord extends Ordering[(Double, Long)] with Serializable {
     // best-first: higher score first, then smaller id
     override def compare(a: (Double, Long), b: (Double, Long)): Int = {
@@ -44,7 +56,9 @@ case class TopKByScore(
       input: InternalRow): java.util.TreeSet[(Double, Long)] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) {
+    // NaN would compare above every real score (Double.compare semantics)
+    // and pollute the heap; skip it like SQL aggregates skip null.
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double])) {
       buf.add((s.asInstanceOf[Double], i.asInstanceOf[Long])); trim(buf)
     }
     buf

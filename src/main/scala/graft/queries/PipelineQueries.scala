@@ -38,7 +38,9 @@ object PipelineQueries {
   }
 
   /** L2: SimHash near-dup pairs (hamming ≤ 3 over 60-bit signatures),
-    * aggregated the same way. Fully deterministic (md5-derived hashes).
+    * aggregated the same way. Fully deterministic (md5-derived hashes) —
+    * oracle-exact: DuckDB recomputes the identical 60-bit signatures from
+    * md5 substrings and the identical band-join pairs.
     */
   def l2SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Lake.table(spark, dir, "documents")
@@ -165,9 +167,11 @@ object PipelineQueries {
         sum(TextFunctions.fingerprint(col("text"))).as("fp_sum"))
       .orderBy(col("source"))
 
-  /** L4: stopword-vote language ID distribution (rows-only: the argmax
-    * tie-break is operator-defined; accuracy is tested on labeled samples
-    * in TextFunctionsSpec).
+  /** L4: stopword-vote language ID distribution. Oracle-exact: the scorer
+    * is a per-language stopword count with the argmax tie broken toward
+    * the lexicographically greatest language code (greatest() over
+    * (score, lang) structs), all CASE-expressible in DuckDB. Accuracy is
+    * additionally tested on labeled samples in TextFunctionsSpec.
     */
   def l4LangId(spark: SparkSession, dir: String): DataFrame =
     Lake.table(spark, dir, "documents")
@@ -214,6 +218,13 @@ object PipelineQueries {
   /** Batch session_window (Spark ≥3.2 native session windows) — must
     * agree with the lag/running-sum formulation (q16's oracle), a real
     * semantic cross-check of the two sessionization paths.
+    *
+    * Boundary semantics: session_window is half-open — a session covers
+    * [start, lastEvent + gap), so an event at EXACTLY lastEvent + 30 min
+    * starts a new session. The oracle below therefore splits on
+    * `diff >= 30 min`, unlike q16's lag formulation which (per the
+    * normative contract SQL) splits on strict `>`. The two queries pin
+    * the two distinct, documented boundary definitions.
     */
   def q17SessionWindow(spark: SparkSession, dir: String): DataFrame =
     Lake.table(spark, dir, "events")
@@ -240,8 +251,57 @@ object PipelineQueries {
     "l6_media_features"  -> (l6MediaFeatures _),
     "q17_session_window" -> (q17SessionWindow _))
 
+  /** langid oracle scorer, generated from the SAME stopword lists the
+    * engine uses (single source of truth): per-language token count, argmax
+    * with ties to the lexicographically greatest code — exactly greatest()
+    * over (score, lang) structs.
+    */
+  private def langIdOracleSql: String = {
+    val langs = TextFunctions.stopwords.keys.toSeq.sorted
+    def scoreExpr(lang: String): String = {
+      val lst = TextFunctions.stopwords(lang).map(w => s"'$w'").mkString(",")
+      s"len(list_filter(string_split(lower(text),' '), t -> list_contains([$lst], t)))"
+    }
+    val cols = langs.map(l => s"${scoreExpr(l)} AS s_$l").mkString(",\n  ")
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ",", ")")
+    // ties → lexicographically greatest lang: test in descending code order
+    val cases = langs.sorted.reverse.init
+      .map(l => s"WHEN s_$l = $m THEN '$l'").mkString("\n  ")
+    s"""WITH s AS (SELECT
+       |  $cols
+       |  FROM documents),
+       |p AS (SELECT CASE WHEN $m = 0 THEN 'und'
+       |  $cases
+       |  ELSE '${langs.min}' END AS pred_lang FROM s)
+       |SELECT pred_lang, count(*) AS c FROM p
+       |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+  }
+
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
+    "l2_simhash_pairs" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(substr(md5(tok),1,15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |    (a, b) -> a*16 + b) AS hv
+        |  FROM t),
+        |bits AS (SELECT doc_id, i,
+        |  sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, range(0, 60) r(i) GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, sig, b, (sig >> (b*15)) & 32767 AS key
+        |  FROM sig, range(0, 4) r(b)),
+        |pr AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    bit_count(xor(a.sig, b.sig)) AS hamming
+        |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS pairs,
+        |  coalesce(CAST(sum(a_id + b_id) AS BIGINT), 0) AS id_checksum
+        |FROM pr WHERE hamming <= 3""".stripMargin,
+    "l4_langid" -> langIdOracleSql,
     "l1_dedup_keepfirst" ->
       """SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(kept) AS BIGINT) AS sum_kept
         |FROM (SELECT min(doc_id) AS kept FROM documents GROUP BY md5(text)) t""".stripMargin,
@@ -332,7 +392,7 @@ object PipelineQueries {
     "q17_session_window" ->
       """WITH g AS (SELECT user_id, ts,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
         |       THEN 1 ELSE 0 END AS ns FROM events),
         |     s AS (SELECT user_id, ts,
         |       sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)

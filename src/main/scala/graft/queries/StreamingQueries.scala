@@ -66,10 +66,13 @@ object StreamingQueries {
         | event_type, count(*) AS c
         |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // session_window is half-open ([start, last + gap)), so the oracle
+    // splits on diff >= 30 min — matching the engine's boundary exactly
+    // (an exact-30-minute gap starts a NEW session on both sides).
     "st3_session" ->
       """WITH g AS (SELECT user_id, ts,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
         |       THEN 1 ELSE 0 END AS ns FROM events),
         |     s AS (SELECT user_id, ts,
         |       sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)

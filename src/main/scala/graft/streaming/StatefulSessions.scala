@@ -19,11 +19,15 @@ case class ClosedSession(user_id: Long, st: Timestamp, en: Timestamp, n: Long)
   * built-in can't express (per-session aggregates beyond count/min/max,
   * emission of partial sessions, side outputs).
   *
-  * Semantics (identical to q16's lag/running-sum formulation and to
-  * session_window): a gap > gapMinutes starts a new session. Sessions
-  * close either when a later event for the same user exceeds the gap, or
-  * when the event-time watermark passes the open session's end + gap
-  * (EventTimeTimeout).
+  * Semantics (identical to q16's lag/running-sum formulation, and spec'd
+  * against it): a gap STRICTLY greater than gapMinutes starts a new
+  * session — an event at exactly lastEvent + gap continues the session.
+  * Note this differs at the boundary from the built-in session_window,
+  * which is half-open ([start, last + gap)) and splits on gap >=; the two
+  * boundary definitions are pinned by their respective gates
+  * (q16/this vs q17/st3). Sessions close either when a later event for
+  * the same user exceeds the gap, or when the event-time watermark passes
+  * the open session's end + gap (EventTimeTimeout).
   *
   * Scale: state is O(one OpenSession per active user); the shuffle is the
   * same groupBy-user exchange any sessionization needs; RocksDB state

@@ -56,4 +56,50 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(err.getMessage.toLowerCase.contains("cosine_sim") ||
       err.getMessage.toLowerCase.contains("data type"))
   }
+
+  test("zero-norm vectors yield null, not NaN — in both eval and codegen") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)), // zero left
+      (2L, Seq(1f, 2f, 3f), Seq(0f, 0f, 0f)), // zero right
+      (3L, Seq.empty[Float], Seq(1f, 2f, 3f)), // empty
+      (4L, Seq(1f, 0f, 0f), Seq(1f, 0f, 0f))  // normal
+    ).toDF("id", "a", "b")
+    // codegen path (DataFrame pipeline) ...
+    val rows = df.select(col("id"), GraftFunctions.cosine_sim(col("a"), col("b")).as("s"))
+      .orderBy(col("id")).collect()
+    assert(rows(0).isNullAt(1) && rows(1).isNullAt(1) && rows(2).isNullAt(1))
+    assert(math.abs(rows(3).getDouble(1) - 1.0) < 1e-12)
+    // ... and the interpreted eval path directly
+    val expr = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0f, 0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1f, 2f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(expr.eval(null) == null)
+  }
+
+  test("top_k_by_score skips NaN scores and rejects wrong input types") {
+    import spark.implicits._
+    // NaN scores must never enter the heap
+    val scored = Seq((1L, 0.9), (2L, Double.NaN), (3L, 0.5))
+      .toDF("id", "s")
+      .agg(TopKByScore.top_k_by_score(col("s"), col("id"), 2).as("top"))
+      .select(explode(col("top")).as("h")).select(col("h.id"), col("h.score"))
+      .collect()
+    assert(scored.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // float score / int id → analysis-time failure, not executor crash
+    val err = intercept[Exception] {
+      Seq((1, 0.5f)).toDF("id", "s")
+        .agg(TopKByScore.top_k_by_score(col("s"), col("id"), 2)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("top_k_by_score") ||
+      err.getMessage.toLowerCase.contains("data type"))
+    val err2 = intercept[Exception] {
+      Seq((1, 2)).toDF("id", "h")
+        .agg(BottomKHashes.bottom_k_hashes(col("h"), 2)).collect()
+    }
+    assert(err2.getMessage.toLowerCase.contains("bottom_k_hashes") ||
+      err2.getMessage.toLowerCase.contains("data type"))
+  }
 }
