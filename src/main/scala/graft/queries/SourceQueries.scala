@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Lake
+import graft.crawler.LakeCrawler
+
+/** Gate entries proving the NON-parquet ingestion paths end-to-end
+  * (SURVEY.md §2.1 S2/S3) and the multi-file parquet scan story.
+  *
+  * The corpus is all-parquet, so without these the CSV/JSON inference code
+  * (LakeCrawler.open) would only ever be exercised by unit specs. Each gate
+  * MATERIALIZES a corpus table in the target format (a deterministic
+  * function of the sf dir), re-ingests it through the crawler's discovery +
+  * format-detection + schema-inference path, and aggregates; the DuckDB
+  * oracle reads the very same files via read_csv/read_json, so inference
+  * divergence (types, quoting, header handling) fails the gate.
+  *
+  * The write target is a fixed path under the repo's build dir: the oracle
+  * SQL must name the same absolute path the gate wrote (the driver runs
+  * the oracle in a separate DuckDB process after Verify completes).
+  */
+object SourceQueries {
+
+  /** Fixed materialization root (inside the repo build dir). */
+  val gateRoot = "/root/repo/target/gatedata"
+
+  /** Crawl `root` and open dataset `name` through the full crawler path —
+    * discovery, format sniffing, then schema-inferred read.
+    */
+  private def crawlOpen(spark: SparkSession, root: String, name: String,
+      expectFormat: String): DataFrame = {
+    val info = LakeCrawler.discover(spark, root)
+      .find(_.name == name)
+      .getOrElse(sys.error(s"gate dataset $name not discovered under $root"))
+    require(info.format == expectFormat,
+      s"format detection: expected $expectFormat for $name, got ${info.format}")
+    LakeCrawler.open(spark, info)
+  }
+
+  /** S2: customer → 4-file headered CSV → crawler discovery + inference →
+    * aggregate. Types round-trip through CSV text: the agg casts keys to
+    * BIGINT on both sides (Spark infers int where DuckDB infers bigint)
+    * and money through the integer-cents canonicalization.
+    */
+  def s2CsvInference(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$gateRoot/customer_csv"
+    Lake.table(spark, dir, "customer")
+      .repartition(4)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    crawlOpen(spark, gateRoot, "customer_csv", "csv")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("c"),
+        (sum(round(col("c_acctbal") * 100).cast("long")) / 100.0).as("s"),
+        min(col("c_custkey")).cast("long").as("mn"),
+        max(col("c_custkey")).cast("long").as("mx"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** S3: part → 4-file JSON-lines → crawler discovery + inference →
+    * aggregate (string lengths, int range, money sum).
+    */
+  def s3JsonInference(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$gateRoot/part_json"
+    Lake.table(spark, dir, "part")
+      .repartition(4)
+      .write.mode("overwrite").json(out)
+    crawlOpen(spark, gateRoot, "part_json", "json")
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("c"),
+        min(length(col("p_name"))).cast("long").as("mn_name"),
+        max(col("p_size")).cast("long").as("mx_size"),
+        (sum(round(col("p_retailprice") * 100).cast("long")) / 100.0).as("s"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** S1 at scale shape: lineitem rewritten as a 16-file parquet layout,
+    * then the q01 aggregation over the multi-file table. The oracle runs
+    * the same aggregation against the ORIGINAL single-file table — so the
+    * gate pins layout-independence: splitting a table across files must
+    * not change any result, and the scan must actually fan out (inputFiles
+    * is asserted; the bench records the parallelism win separately).
+    */
+  def s1MultifileScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$gateRoot/lineitem16"
+    Lake.table(spark, dir, "lineitem")
+      .repartition(16)
+      .write.mode("overwrite").parquet(out)
+    val li = spark.read.parquet(out)
+    require(li.inputFiles.length == 16,
+      s"expected 16-file layout, got ${li.inputFiles.length}")
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sq"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sp"),
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1000000)
+          .cast("long")) / 1000000.0).as("disc"),
+        avg(col("l_quantity")).as("aq"),
+        count(lit(1)).as("c"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s2_csv_inference"  -> (s2CsvInference _),
+    "s3_json_inference" -> (s3JsonInference _),
+    "s1_multifile_scan" -> (s1MultifileScan _))
+
+  val oracle: Map[String, String] = Map(
+    // Reads the SAME csv files the gate wrote — engine inference vs DuckDB
+    // inference must agree on values, not just on the happy parquet path.
+    "s2_csv_inference" ->
+      s"""SELECT c_mktsegment, count(*) AS c,
+         | sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS s,
+         | CAST(min(c_custkey) AS BIGINT) AS mn, CAST(max(c_custkey) AS BIGINT) AS mx
+         |FROM read_csv('$gateRoot/customer_csv/*.csv', header=true)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "s3_json_inference" ->
+      s"""SELECT p_brand, count(*) AS c,
+         | CAST(min(length(p_name)) AS BIGINT) AS mn_name,
+         | CAST(max(p_size) AS BIGINT) AS mx_size,
+         | sum(CAST(round(p_retailprice*100) AS BIGINT)) / 100.0 AS s
+         |FROM read_json_auto('$gateRoot/part_json/*.json')
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // Same aggregation as q01 but against the ORIGINAL single-file table:
+    // a 16-way split of the data must be result-identical.
+    "s1_multifile_scan" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sp,
+        | sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) / 1000000.0 AS disc,
+        | avg(l_quantity) AS aq, count(*) AS c
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)
+}
