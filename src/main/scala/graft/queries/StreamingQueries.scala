@@ -17,14 +17,14 @@ object StreamingQueries {
 
   /** ST1: tumbling 1-hour windows == batch date_trunc aggregation. */
   def st1Tumbling(spark: SparkSession, dir: String): DataFrame =
-    EventStreams.runToMemory(spark,
+    EventStreams.runToMemoryForGate(spark,
         EventStreams.tumblingCounts(EventStreams.readEventsStream(spark, dir)),
         "st1_mem", "complete")
       .orderBy(col("h"), col("event_type"))
 
   /** ST2: sliding 1h/15min windows == batch bucket-expansion SQL. */
   def st2Sliding(spark: SparkSession, dir: String): DataFrame =
-    EventStreams.runToMemory(spark,
+    EventStreams.runToMemoryForGate(spark,
         EventStreams.slidingCounts(EventStreams.readEventsStream(spark, dir)),
         "st2_mem", "complete")
       .orderBy(col("ws"), col("event_type"))
@@ -33,7 +33,7 @@ object StreamingQueries {
     * (same oracle as q17 — three independent formulations must agree).
     */
   def st3Session(spark: SparkSession, dir: String): DataFrame =
-    EventStreams.runToMemory(spark,
+    EventStreams.runToMemoryForGate(spark,
         EventStreams.sessionCounts(EventStreams.readEventsStream(spark, dir)),
         "st3_mem", "complete")
       .orderBy(col("user_id"), col("st"))
@@ -45,16 +45,40 @@ object StreamingQueries {
   def st4DedupCount(spark: SparkSession, dir: String): DataFrame = {
     val doubled = EventStreams.readEventsStream(spark, dir)
       .unionByName(EventStreams.readEventsStream(spark, dir))
-    EventStreams.runToMemory(spark,
+    EventStreams.runToMemoryForGate(spark,
       EventStreams.dedup(doubled).groupBy().agg(count(lit(1)).as("c")),
       "st4_mem", "complete")
+  }
+
+  /** ST5: the PRODUCTION streaming shape — file source in micro-batches →
+    * watermarked tumbling agg → parquet FILE sink + checkpoint, append
+    * mode. A sentinel event 2 h past the last real event pushes the final
+    * watermark so every real window flushes; the sentinel's own window is
+    * filtered back out. Must equal the same batch oracle as st1 — which
+    * pins that append-mode emission (each window exactly once, via the
+    * checkpoint offset log + _spark_metadata commit log) loses nothing.
+    * Kill-and-restart recovery on the same checkpoint is proven in
+    * StreamingRecoverySpec.
+    */
+  def st5FileSink(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val staging = Files.createTempDirectory("graft_st5_in").toString
+    val outP = Files.createTempDirectory("graft_st5_out").toString
+    val ckpt = Files.createTempDirectory("graft_st5_ck").toString
+    EventStreams.stageEventsWithSentinel(spark, dir, staging)
+    val q = EventStreams.startTumblingFileSink(spark, staging, outP, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outP)
+      .filter(col("event_type") =!= EventStreams.SentinelType)
+      .orderBy(col("h"), col("event_type"))
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st1_tumbling"    -> (st1Tumbling _),
     "st2_sliding"     -> (st2Sliding _),
     "st3_session"     -> (st3Session _),
-    "st4_dedup_count" -> (st4DedupCount _))
+    "st4_dedup_count" -> (st4DedupCount _),
+    "st5_file_sink"   -> (st5FileSink _))
 
   val oracle: Map[String, String] = Map(
     "st1_tumbling" ->
@@ -79,5 +103,11 @@ object StreamingQueries {
         |SELECT user_id, min(ts) AS st, max(ts) AS en, count(*) AS n
         |FROM s GROUP BY user_id, sid ORDER BY user_id, st""".stripMargin,
     "st4_dedup_count" ->
-      "SELECT count(DISTINCT event_id) AS c FROM events")
+      "SELECT count(DISTINCT event_id) AS c FROM events",
+    // Same batch truth as st1 — append-mode file-sink emission must be
+    // lossless and exactly-once.
+    "st5_file_sink" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c,
+        | sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS s
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
 }
