@@ -16,13 +16,16 @@ case class ColumnProfile(
     min_s: Option[String],
     max_s: Option[String])
 
-/** Column profiling: ONE wide aggregation pass computes row count,
-  * per-column non-null counts, HLL distinct estimates and min/max; a
-  * second (cheap) pass upgrades the distinct count to exact for columns
-  * whose estimate is below the threshold. The driver only ever receives
-  * O(columns) values — never data — so the same plan profiles a 100 TB
-  * dataset (the wide agg is a partial-aggregated scan, no shuffle of rows,
-  * one shuffle of a single row of sketch buffers).
+/** Column profiling: ONE wide aggregation pass — a single scan of the
+  * dataset — computes row count, per-column non-null counts, min/max, an
+  * HLL distinct estimate AND an exact-below-threshold distinct count (the
+  * capped BoundedDistinct aggregate: exact while ≤ threshold distinct
+  * values, null → fall back to the HLL estimate once over). The driver
+  * only ever receives O(columns) values — never data — so the same plan
+  * profiles a 100 TB dataset: a partial-aggregated scan with O(threshold)
+  * worst-case aggregation state per column, one shuffle of a single row
+  * of sketch buffers, and no second scan (the previous design re-scanned
+  * the table to upgrade small-cardinality columns with countDistinct).
   */
 object Profiler {
 
@@ -38,12 +41,15 @@ object Profiler {
       dataset: String,
       exactDistinctThreshold: Long = 100000L): Seq[ColumnProfile] = {
     val fields = df.schema.fields.toSeq
+    val cap = exactDistinctThreshold.min(Int.MaxValue.toLong).toInt
     val aggs: Seq[Column] =
       count(lit(1)).as("__total") +: fields.flatMap { f =>
         val c = col(s"`${f.name}`")
         Seq(
           count(c).as(s"cnt__${f.name}"),
-          approx_count_distinct(c).as(s"adist__${f.name}")) ++
+          approx_count_distinct(c).as(s"adist__${f.name}"),
+          graft.plans.BoundedDistinct.bounded_distinct(c, cap)
+            .as(s"bdist__${f.name}")) ++
           (if (orderable(f.dataType))
             Seq(min(c).cast("string").as(s"min__${f.name}"),
               max(c).cast("string").as(s"max__${f.name}"))
@@ -52,28 +58,18 @@ object Profiler {
     val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getAs[Long]("__total")
 
-    val approx = fields.map(f => f.name -> row.getAs[Long](s"adist__${f.name}")).toMap
-    // Second pass: exact distinct where the estimate says it's affordable.
-    val exactCols = fields.filter(f => approx(f.name) <= exactDistinctThreshold * 2)
-    val exact: Map[String, Long] =
-      if (exactCols.isEmpty) Map.empty
-      else {
-        val exAggs = exactCols.map(f =>
-          countDistinct(col(s"`${f.name}`")).as(s"d__${f.name}"))
-        val exRow = df.agg(exAggs.head, exAggs.tail: _*).head()
-        exactCols.map(f => f.name -> exRow.getAs[Long](s"d__${f.name}")).toMap
-      }
-
     fields.map { f =>
-      val isExact = exact.contains(f.name)
+      val bIdx = row.fieldIndex(s"bdist__${f.name}")
+      val exact: Option[Long] =
+        if (row.isNullAt(bIdx)) None else Some(row.getLong(bIdx))
       ColumnProfile(
         dataset = dataset,
         column = f.name,
         dtype = f.dataType.simpleString,
         cnt = row.getAs[Long](s"cnt__${f.name}"),
         nulls = total - row.getAs[Long](s"cnt__${f.name}"),
-        ndistinct = exact.getOrElse(f.name, approx(f.name)),
-        distinctIsExact = isExact,
+        ndistinct = exact.getOrElse(row.getAs[Long](s"adist__${f.name}")),
+        distinctIsExact = exact.isDefined,
         min_s = if (orderable(f.dataType))
           Option(row.getAs[String](s"min__${f.name}")) else None,
         max_s = if (orderable(f.dataType))
