@@ -71,6 +71,55 @@ object Dedup {
   private def tokenHash60(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
+  /** MinHash signature: k independent minima over the shingle set, hash
+    * family h_i(s) = md5_60("i:" + s). Engine-reproducible (md5-derived,
+    * no RNG), mergeable (min is order- and duplicate-insensitive), and
+    * the per-element cost is k md5 evaluations — the classic
+    * sig-overlap/k ≈ Jaccard estimator.
+    */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingles, s => tokenHash60(concat(lit(s"$i:"), s))))): _*)
+
+  /** Own-implementation MinHash+LSH near-dup candidate pairs: signature →
+    * bands of r consecutive components → equi-join on (band, key) —
+    * linear candidate generation like the ml.MinHashLSH path, but with an
+    * md5-derived hash family every engine can recompute, which makes the
+    * gate DuckDB-oracle-exact (l2_minhash_pairs). Returns one row per
+    * banded candidate pair with the signature-overlap Jaccard estimate.
+    */
+  def minHashBandedPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into equal bands")
+    val r = numHashes / bands
+    val sh = docs.select(col(idCol).as("id"),
+        TextFunctions.wordShingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = sh.select(col("id"), minHashSignature(col("sh"), numHashes).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until r).map(j =>
+            element_at(col("sig"), b * r + j + 1).cast("string")): _*).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        (aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_j"))
+  }
+
   private val pow2: Seq[Long] = Seq.tabulate(60)(i => 1L << i)
 
   /** 60-bit SimHash over whitespace tokens: per bit, sum +1/−1 votes from

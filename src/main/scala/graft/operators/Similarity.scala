@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.util.Random
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -64,11 +62,22 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic random hyperplanes for sign-LSH. */
-  private[operators] def hyperplanes(bits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
-    val rnd = new Random(seed)
-    Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  /** One Rademacher (±1) hyperplane component, derived from md5 of
+    * "lsh:seed:i:j" (parity of the first hex nibble). Sign-random-
+    * projection LSH needs only sub-Gaussian components, so ±1 planes
+    * preserve the cosine-LSH collision property — and unlike seeded
+    * Gaussians they are reproducible by ANY engine with an md5 function,
+    * which is what makes the l3_lsh gates DuckDB-oracle-able.
+    */
+  private def rademacher(seed: Long, i: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"lsh:$seed:$i:$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 1) 1.0 else -1.0
   }
+
+  /** Deterministic hyperplanes for sign-LSH (md5-Rademacher). */
+  private[operators] def hyperplanes(bits: Int, dim: Int, seed: Long): Seq[Seq[Double]] =
+    Seq.tabulate(bits)(i => Seq.tabulate(dim)(j => rademacher(seed, i, j)))
 
   /** Sign-LSH signature: bit i = (dot(v, h_i) >= 0). */
   def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column =

@@ -25,16 +25,17 @@ object PipelineQueries {
       .agg(count(lit(1)).as("c"), sum(col("doc_id")).as("sum_kept"))
   }
 
-  /** L2: MinHash+LSH near-dup candidate pairs, aggregated to a stable
-    * summary row (pair count + id checksum). Deterministic under the
-    * fixed LSH seed; semantics are property-tested in DedupSpec.
+  /** L2: MinHash+LSH near-dup candidate pairs via the own-implementation
+    * md5-derived hash family (Dedup.minHashBandedPairs) — oracle-exact:
+    * DuckDB recomputes identical signatures, band keys, candidate pairs
+    * and signature-overlap Jaccard estimates. The ml.MinHashLSH variant
+    * (Dedup.minHashNearDups) stays property-tested in DedupSpec (its
+    * seeded hash family is JVM-internal, not SQL-expressible).
     */
   def l2MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Lake.table(spark, dir, "documents")
-    Dedup.minHashNearDups(docs, "text", "doc_id", shingleLen = 2,
-        numHashTables = 8, maxDistance = 0.95)
-      .agg(count(lit(1)).as("pairs"),
-        coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_checksum"))
+    Dedup.minHashBandedPairs(docs, "text", "doc_id")
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** L2: SimHash near-dup pairs (hamming ≤ 3 over 60-bit signatures),
@@ -103,9 +104,11 @@ object PipelineQueries {
     Similarity.topSimilarPairs(Lake.table(spark, dir, "embeddings"), 20)
 
   /** L3: sign-LSH approximate top-k for the vec_id=0 query vector.
-    * Deterministic under the fixed hyperplane seed; recall vs brute force
-    * is property-tested. Rows-only gate (bucket membership is
-    * implementation-defined, not SQL semantics).
+    * Oracle-exact: the hyperplanes are md5-Rademacher (engine-
+    * reproducible), so DuckDB recomputes the identical signatures, probes
+    * the identical hamming-≤3 candidate set, and reranks with the same
+    * rounded cosine. Recall vs brute force is additionally
+    * property-tested in SimilaritySpec.
     */
   def l3LshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Lake.table(spark, dir, "embeddings")
@@ -279,6 +282,32 @@ object PipelineQueries {
 
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
+    "l2_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_transform(range(1, len(w)-1),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS s
+        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |m AS (
+        |  SELECT doc_id, i,
+        |    list_min(list_transform(s, x ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split_regex(substr(md5(i||':'||x),1,15), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |        (a, b) -> a*16 + b))) AS mn
+        |  FROM sh, range(0,12) t(i)),
+        |sig AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM m GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, sig, b,
+        |    array_to_string(list_slice(sig, b*3+1, b*3+3), ',') AS key
+        |  FROM sig, range(0,4) t(b)),
+        |pr AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT pr.a_id, pr.b_id,
+        |  len(list_filter(range(1,13), j -> sa.sig[j] = sb.sig[j])) / 12.0 AS est_j
+        |FROM pr JOIN sig sa ON sa.doc_id = pr.a_id JOIN sig sb ON sb.doc_id = pr.b_id
+        |ORDER BY a_id, b_id""".stripMargin,
     "l2_simhash_pairs" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |h AS (SELECT doc_id,
@@ -302,6 +331,35 @@ object PipelineQueries {
         |  coalesce(CAST(sum(a_id + b_id) AS BIGINT), 0) AS id_checksum
         |FROM pr WHERE hamming <= 3""".stripMargin,
     "l4_langid" -> langIdOracleSql,
+    // Recomputes the md5-Rademacher hyperplanes, per-vector signatures
+    // (sequential double fold, same order as the engine's HOF fold),
+    // hamming-probe candidate filter and rounded-cosine rerank.
+    "l3_lsh_topk" ->
+      """WITH planes AS (
+        |  SELECT i, list(CASE WHEN (strpos('0123456789abcdef',
+        |      substr(md5('lsh:42:'||i||':'||j),1,1))-1) & 1 = 1
+        |    THEN 1.0 ELSE -1.0 END ORDER BY j) AS p
+        |  FROM range(0,8) t1(i), range(0,64) t2(j) GROUP BY i),
+        |sigs AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1,65), j -> CAST(e.embedding[j] AS DOUBLE) * pl.p[j])),
+        |        (a,b) -> a+b) >= 0 THEN CAST(1 AS BIGINT) << pl.i ELSE 0 END) AS BIGINT) AS sig
+        |  FROM embeddings e, planes pl GROUP BY e.vec_id),
+        |q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+        |qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT e.vec_id,
+        |    round(list_sum(list_transform(range(1,65),
+        |      j -> CAST(e.embedding[j] AS DOUBLE) * qv.e[j])) /
+        |      (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * qv.nrm),
+        |      6) AS sim
+        |  FROM embeddings e, sigs s, q, qv
+        |  WHERE e.vec_id = s.vec_id AND e.vec_id <> 0
+        |    AND bit_count(xor(s.sig, q.qsig)) <= 3)
+        |SELECT vec_id, sim FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "l1_dedup_keepfirst" ->
       """SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(kept) AS BIGINT) AS sum_kept
         |FROM (SELECT min(doc_id) AS kept FROM documents GROUP BY md5(text)) t""".stripMargin,
