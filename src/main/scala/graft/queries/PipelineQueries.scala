@@ -118,6 +118,19 @@ object PipelineQueries {
       bits = 8, probeHamming = 3)
   }
 
+  /** L3: embedding-cosine near-dup pairs via banded sign-LSH — the
+    * 100 TB-scale candidate generator (equi-join on 4-bit band keys, not
+    * all-pairs) with exact cosine rerank. Oracle-exact: md5-Rademacher
+    * planes let DuckDB recompute identical signatures, band keys,
+    * candidate pairs and rounded-cosine scores. minSim 0.2 because the
+    * synthetic corpus's max pairwise cosine is ≈0.51 — a higher
+    * threshold would make the gate vacuous.
+    */
+  def l3LshNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Lake.table(spark, dir, "embeddings"),
+        minSim = 0.2, bits = 16, bands = 4)
+      .orderBy(col("a_id"), col("b_id"))
+
   /** L3: k-NN join — top-10 neighbors for EACH of the first 5 query
     * vectors, via the mergeable top-k aggregate (map-side heaps). Oracle:
     * DuckDB window row_number over the same pairwise sims.
@@ -244,6 +257,7 @@ object PipelineQueries {
     "l1_dup_groups"      -> (l1DupGroups _),
     "l3_toppairs_cosine" -> (l3TopPairsCosine _),
     "l3_lsh_topk"        -> (l3LshTopK _),
+    "l3_lsh_neardup"     -> (l3LshNearDup _),
     "l3_knn_join"        -> (l3KnnJoin _),
     "l4_token_stats"     -> (l4TokenStats _),
     "l4_token_estimate"  -> (l4TokenEstimate _),
@@ -331,7 +345,32 @@ object PipelineQueries {
         |  coalesce(CAST(sum(a_id + b_id) AS BIGINT), 0) AS id_checksum
         |FROM pr WHERE hamming <= 3""".stripMargin,
     "l4_langid" -> langIdOracleSql,
-    // Recomputes the md5-Rademacher hyperplanes, per-vector signatures
+    // Banded sign-LSH near-dup: same plane/signature recomputation as
+    // l3_lsh_topk, then 4-bit band-key equi-join + rounded-cosine rerank.
+    "l3_lsh_neardup" ->
+      """WITH planes AS (
+        |  SELECT i, list(CASE WHEN (strpos('0123456789abcdef',
+        |      substr(md5('lsh:42:'||i||':'||j),1,1))-1) & 1 = 1
+        |    THEN 1.0 ELSE -1.0 END ORDER BY j) AS p
+        |  FROM range(0,16) t1(i), range(0,64) t2(j) GROUP BY i),
+        |sigs AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1,65), j -> CAST(e.embedding[j] AS DOUBLE) * pl.p[j])),
+        |        (a,b) -> a+b) >= 0 THEN CAST(1 AS BIGINT) << pl.i ELSE 0 END) AS BIGINT) AS sig
+        |  FROM embeddings e, planes pl GROUP BY e.vec_id),
+        |banded AS (SELECT vec_id, b, (sig >> (b*4)) & 15 AS key
+        |  FROM sigs, range(0,4) t(b)),
+        |pr AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM banded a JOIN banded b ON a.b = b.b AND a.key = b.key
+        |    AND a.vec_id < b.vec_id),
+        |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |sims AS (SELECT a_id, b_id,
+        |  round(list_sum(list_transform(range(1,65), j -> na.e[j]*nb.e[j]))/(na.nrm*nb.nrm), 6) AS sim
+        |  FROM pr JOIN n na ON na.vec_id = pr.a_id JOIN n nb ON nb.vec_id = pr.b_id)
+        |SELECT a_id, b_id, sim FROM sims WHERE sim >= 0.2 ORDER BY a_id, b_id""".stripMargin,
     // (sequential double fold, same order as the engine's HOF fold),
     // hamming-probe candidate filter and rounded-cosine rerank.
     "l3_lsh_topk" ->
