@@ -76,6 +76,29 @@ object TextFunctions {
         length(text).cast("double"))
       .otherwise(lit(0.0))
 
+  /** Punctuation ratio: chars that are not letters/digits/whitespace over
+    * total chars (OCR garbage and markup boilerplate score high). Unicode
+    * classes so non-ASCII letters don't count as punctuation.
+    */
+  def punctuationRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+        length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Stopword ratio against one language's function-word list — natural
+    * prose sits near the language's typical density; keyword spam and
+    * non-prose sit near zero.
+    */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val sw = stopwords(lang)
+    val toks = tokens(lower(text))
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(typedlit(sw), t))).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Tiny per-language stopword lists for the n-gram/stopword-vote
     * language identifier. Public common function words.
     */

@@ -172,6 +172,26 @@ object PipelineQueries {
           .cast("double") / count(lit(1))).as("avg_q"))
       .orderBy(col("lang"))
 
+  /** L4: the remaining quality-signal ratios, averaged per language
+    * through the same 6dp-round + DECIMAL-sum canonicalization as
+    * l4_quality. The stopword ratio is the live signal on this corpus;
+    * the punctuation ratio is structurally 0 here (the synthetic text is
+    * `[a-z ]` only) but still cross-checked — a regex-class divergence
+    * between engines would surface as a nonzero — and its nonzero
+    * behavior is pinned on constructed strings in TextFunctionsSpec.
+    */
+  def l4TextRatios(spark: SparkSession, dir: String): DataFrame = {
+    def avg6(c: org.apache.spark.sql.Column) =
+      sum(round(c, 6).cast(DecimalType(12, 6))).cast("double") / count(lit(1))
+    Lake.table(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("c"),
+        avg6(TextFunctions.stopwordRatio(col("text"))).as("avg_stop"),
+        avg6(TextFunctions.punctuationRatio(col("text"))).as("avg_punct"))
+      .orderBy(col("lang"))
+  }
+
   /** L4: rolling-hash document fingerprints per source (count distinct +
     * checksum pins the exact fingerprint values across engines).
     */
@@ -263,6 +283,7 @@ object PipelineQueries {
     "l4_token_estimate"  -> (l4TokenEstimate _),
     "l4_quality"         -> (l4Quality _),
     "l4_fingerprint"     -> (l4Fingerprint _),
+    "l4_text_ratios"     -> (l4TextRatios _),
     "l4_langid"          -> (l4LangId _),
     "l5_bottomk_sketch"  -> (l5BottomkSketch _),
     "l6_media_features"  -> (l6MediaFeatures _),
@@ -477,6 +498,14 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT source, count(DISTINCT fp) AS fps, CAST(sum(fp) AS BIGINT) AS fp_sum
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "l4_text_ratios" ->
+      """SELECT lang, count(*) AS c,
+        |  CAST(sum(CAST(round(CAST(len(list_filter(string_split(lower(text),' '),
+        |      t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS DOUBLE)
+        |    / len(string_split(text,' ')), 6) AS DECIMAL(12,6))) AS DOUBLE)/count(*) AS avg_stop,
+        |  CAST(sum(CAST(round(CAST(length(regexp_replace(text, '[\pL\pN\s]', '', 'g')) AS DOUBLE)
+        |    / length(text), 6) AS DECIMAL(12,6))) AS DOUBLE)/count(*) AS avg_punct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "l5_bottomk_sketch" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |h AS (SELECT lang,

@@ -67,4 +67,18 @@ class TextFunctionsSpec extends SparkSpecBase {
   test("uppercaseRatio") {
     assert(one(TextFunctions.uppercaseRatio(col("t")), "AbCd") == 0.5)
   }
+
+  test("punctuationRatio: unicode letters are NOT punctuation; empty → 0") {
+    assert(one(TextFunctions.punctuationRatio(col("t")), "ab,.!?cd") == 0.5)
+    assert(one(TextFunctions.punctuationRatio(col("t")), "héllo wörld") == 0.0)
+    assert(one(TextFunctions.punctuationRatio(col("t")), "a1 b2") == 0.0)
+    assert(one(TextFunctions.punctuationRatio(col("t")), "") == 0.0)
+  }
+
+  test("stopwordRatio: counts function words per language list") {
+    assert(one(TextFunctions.stopwordRatio(col("t")), "the cat and the dog") == 0.6)
+    assert(one(TextFunctions.stopwordRatio(col("t")), "cat dog") == 0.0)
+    assert(one(TextFunctions.stopwordRatio(col("t"), "es"), "el perro y la gata") == 0.6)
+    assert(one(TextFunctions.stopwordRatio(col("t")), "") == 0.0)
+  }
 }
