@@ -104,10 +104,36 @@ object SourceQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** S7: bucketed tables — the co-located-join layout. Both join sides
+    * are written bucketed 8 ways on the join key (explicit external
+    * paths under gateRoot; metadata in the session catalog); the join
+    * then needs NO shuffle exchange on either side — at 100 TB this is
+    * the difference between re-shuffling two fact tables per query and
+    * reading co-located buckets. The zero-Exchange plan shape is
+    * asserted in BucketedJoinSpec; this gate pins that the bucketed
+    * round-trip is LOSSLESS (same aggregate as the plain-layout oracle).
+    */
+  def s7BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    Lake.table(spark, dir, "orders")
+      .write.mode("overwrite").option("path", s"$gateRoot/orders_bkt")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_bkt")
+    Lake.table(spark, dir, "customer")
+      .write.mode("overwrite").option("path", s"$gateRoot/customer_bkt")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_bkt")
+    spark.table("orders_bkt")
+      .join(spark.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("c"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("s"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "s2_csv_inference"  -> (s2CsvInference _),
     "s3_json_inference" -> (s3JsonInference _),
-    "s1_multifile_scan" -> (s1MultifileScan _))
+    "s1_multifile_scan" -> (s1MultifileScan _),
+    "s7_bucketed_join"  -> (s7BucketedJoin _))
 
   val oracle: Map[String, String] = Map(
     // Reads the SAME csv files the gate wrote — engine inference vs DuckDB
@@ -125,6 +151,13 @@ object SourceQueries {
          | sum(CAST(round(p_retailprice*100) AS BIGINT)) / 100.0 AS s
          |FROM read_json_auto('$gateRoot/part_json/*.json')
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // Bucketed layout must be lossless: same aggregate from the plain
+    // tables.
+    "s7_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS c,
+        | sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS s
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // Same aggregation as q01 but against the ORIGINAL single-file table:
     // a 16-way split of the data must be result-identical.
     "s1_multifile_scan" ->
