@@ -251,6 +251,45 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** P1: the END-TO-END curation pipeline a training-data user actually
+    * runs, composed from the library's own stages: language filter
+    * (stopword-vote langid = 'en') → quality filter (score ≥ 0.6) →
+    * exact dedup (md5 keep-first) → near-dup group resolution (3-shingle
+    * Jaccard ≥ 0.8 → connected components → keep canonical) → per-source
+    * doc/token accounting. Every stage is individually oracle-exact, so
+    * the COMPOSITION is too — one DuckDB query replays the whole
+    * pipeline. The all-pairs Jaccard step is the sf0.01 gate
+    * formulation; at scale the pair source is minHashBandedPairs
+    * candidates (same rerank, linear candidates).
+    */
+  def p1CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    val filtered = docs
+      .filter(TextFunctions.langId(col("text")) === "en")
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.6)
+    val deduped = Dedup.exactDedup(filtered, md5(col("text")), col("doc_id"))
+    val sh = deduped.select(col("doc_id"),
+        array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val pairs = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
+        col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= 0.8)
+      .select(col("a_id"), col("b_id"))
+    val dropIds = Dedup.resolveDupGroups(pairs)
+      .filter(col("id") =!= col("canonical"))
+      .select(col("id").as("doc_id"))
+    deduped.join(dropIds, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("c"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("tokens"),
+        sum(TextFunctions.tokenEstimate(col("text")).cast("long")).as("est_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Batch session_window (Spark ≥3.2 native session windows) — must
     * agree with the lag/running-sum formulation (q16's oracle), a real
     * semantic cross-check of the two sessionization paths.
@@ -287,6 +326,7 @@ object PipelineQueries {
     "l4_langid"          -> (l4LangId _),
     "l5_bottomk_sketch"  -> (l5BottomkSketch _),
     "l6_media_features"  -> (l6MediaFeatures _),
+    "p1_curation_pipeline" -> (p1CurationPipeline _),
     "q17_session_window" -> (q17SessionWindow _))
 
   /** langid oracle scorer, generated from the SAME stopword lists the
@@ -315,8 +355,51 @@ object PipelineQueries {
        |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
   }
 
+  /** Whole-pipeline oracle: language scorer generated from the SAME
+    * stopword lists the engine uses, then quality filter, keep-first
+    * dedup, recursive-CTE near-dup components, per-source accounting.
+    */
+  private def curationOracleSql: String = {
+    val langs = TextFunctions.stopwords.keys.toSeq.sorted
+    def scoreExpr(lang: String): String = {
+      val lst = TextFunctions.stopwords(lang).map(w => s"'$w'").mkString(",")
+      s"len(list_filter(string_split(lower(text),' '), t -> list_contains([$lst], t)))"
+    }
+    val cols = langs.map(l => s"${scoreExpr(l)} AS s_$l").mkString(",\n  ")
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ",", ")")
+    val cases = langs.sorted.reverse.init
+      .map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+    s"""WITH RECURSIVE sc AS (SELECT doc_id, text, source,
+       |  $cols,
+       |  round(1.0/(1.0+exp(-(CAST(length(text) AS DOUBLE)/len(string_split(text,' ')) - 5.0))), 6) AS q
+       |  FROM documents),
+       |filt AS (SELECT doc_id, text, source FROM sc
+       |  WHERE q >= 0.6 AND $m > 0
+       |    AND CASE $cases ELSE '${langs.min}' END = 'en'),
+       |ded AS (SELECT f.* FROM filt f
+       |  JOIN (SELECT md5(text) h, min(doc_id) keep FROM filt GROUP BY md5(text)) k
+       |    ON md5(f.text) = k.h AND f.doc_id = k.keep),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+       |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) s
+       |  FROM (SELECT doc_id, string_split(text,' ') w FROM ded) WHERE len(w) >= 3),
+       |p AS (SELECT a.doc_id a, b.doc_id b FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |    (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.8),
+       |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+       |v AS (SELECT DISTINCT src AS id FROM e),
+       |r(id, l) AS (SELECT id, id FROM v UNION SELECT e.dst, r.l FROM r JOIN e ON e.src = r.id),
+       |cc AS (SELECT id, min(l) AS canonical FROM r GROUP BY id),
+       |kept AS (SELECT * FROM ded
+       |  WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> canonical))
+       |SELECT source, count(*) AS c,
+       |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS tokens,
+       |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))) AS BIGINT) AS est_tokens
+       |FROM kept GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
+    "p1_curation_pipeline" -> curationOracleSql,
     "l2_minhash_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id, list_transform(range(1, len(w)-1),
