@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Lake
+import graft.operators.TemporalJoins
+
+/** Gate entries for the time-series join operators (SURVEY.md §2.3 J7 —
+  * undeclared in round 1 for lack of corpus affordance; the affordance is
+  * events-to-events, since orders dates (1995–2001) and events ts (2024)
+  * never overlap).
+  */
+object TemporalQueries {
+
+  /** J7a: backward as-of join — for every purchase event, the most recent
+    * click by the same user at or before it (ties on ts broken by max
+    * event_id; left-outer, so click-less purchases keep nulls). One
+    * shuffle on user_id; no range join anywhere in the plan.
+    */
+  def j7AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Lake.table(spark, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    TemporalJoins.asofJoin(
+        purchases, clicks,
+        leftKey = "user_id", rightKey = "c_user",
+        leftTime = "p_ts", rightTime = "click_ts",
+        rightTie = "click_id", rightPayload = Seq("click_id"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("click_ts"),
+        (unix_micros(col("p_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** J7b: pure range join (no equi key) — ordered pairs of events from
+    * DIFFERENT users within 2 seconds of each other. Candidate generation
+    * is a bucketed equi-join (3 buckets per right row), never O(n²).
+    */
+  def j7RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Lake.table(spark, dir, "events")
+    val a = events.select(col("event_id").as("a_id"),
+      col("user_id").as("a_user"), unix_micros(col("ts")).as("a_us"))
+    val b = events.select(col("event_id").as("b_id"),
+      col("user_id").as("b_user"), unix_micros(col("ts")).as("b_us"))
+    TemporalJoins.proximityJoin(a, b, "a_us", "b_us", 2000000L)
+      .filter(col("b_us") > col("a_us") && col("a_user") =!= col("b_user"))
+      .select(col("a_id"), col("b_id"),
+        (col("b_us") - col("a_us")).as("gap_us"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "j7_asof_join"  -> (j7AsofJoin _),
+    "j7_range_join" -> (j7RangeJoin _))
+
+  val oracle: Map[String, String] = Map(
+    // Independent formulation: correlated max-ts subquery + tie-break max
+    // event_id — NOT the union-window algorithm the Spark side uses.
+    "j7_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type='click'),
+        |     p AS (SELECT user_id, ts, event_id FROM events WHERE event_type='purchase'),
+        |     m AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+        |             (SELECT max(c.ts) FROM c
+        |               WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts
+        |           FROM p)
+        |SELECT m.purchase_id, m.user_id, m.p_ts,
+        |       (SELECT max(c.event_id) FROM c
+        |         WHERE c.user_id = m.user_id AND c.ts = m.click_ts) AS click_id,
+        |       m.click_ts,
+        |       epoch_us(m.p_ts) - epoch_us(m.click_ts) AS gap_us
+        |FROM m ORDER BY purchase_id""".stripMargin,
+    "j7_range_join" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 SECOND
+        |     AND a.user_id <> b.user_id
+        |ORDER BY a_id, b_id""".stripMargin)
+}

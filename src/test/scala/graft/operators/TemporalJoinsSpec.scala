@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class TemporalJoinsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // Hand-checkable fixture: key, time, id. Includes a tie (two right rows
+  // at t=10 for key 1) and an exact boundary (left at t=10).
+  private lazy val left = Seq(
+    (1L, 10L, 100L), // boundary: right rows exist at exactly t=10
+    (1L, 25L, 101L),
+    (2L, 5L, 102L),  // no right row at or before t=5 for key 2
+    (3L, 50L, 103L)  // key with no right rows at all
+  ).toDF("k", "t", "lid")
+
+  private lazy val right = Seq(
+    (1L, 10L, 7L), (1L, 10L, 9L), (1L, 20L, 11L), (1L, 30L, 13L),
+    (2L, 6L, 21L), (2L, 4L, 23L)
+  ).toDF("rk", "rt", "rid")
+
+  test("asofJoin inclusive: max (time, tie) at-or-before, left outer") {
+    val out = TemporalJoins.asofJoin(left, right,
+        "k", "rk", "t", "rt", "rid", Seq("rid"))
+      .select("lid", "rt", "rid").collect().map(r =>
+        (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(out === Set(
+      (100L, Some(10L), Some(9L)), // tie at t=10 broken by max rid
+      (101L, Some(20L), Some(11L)),
+      (102L, Some(4L), Some(23L)),
+      (103L, None, None)))
+  }
+
+  test("asofJoin exclusive: strictly-before drops the boundary row") {
+    val out = TemporalJoins.asofJoin(left, right,
+        "k", "rk", "t", "rt", "rid", Seq("rid"), inclusive = false)
+      .select("lid", "rid").collect().map(r =>
+        (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+    assert(out === Set(
+      (100L, None),          // t=10 rows excluded, nothing earlier
+      (101L, Some(11L)),
+      (102L, Some(23L)),
+      (103L, None)))
+  }
+
+  test("asofJoin equals naive per-row computation on random data") {
+    val rnd = new scala.util.Random(42)
+    val ldata = (1 to 300).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val rdata = (1 to 300).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(100).toLong, (1000 + i).toLong))
+    val l = ldata.toDF("k", "t", "lid")
+    val r = rdata.toDF("rk", "rt", "rid")
+    val got = TemporalJoins.asofJoin(l, r, "k", "rk", "t", "rt", "rid", Seq("rid"))
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), Option(x.get(1)).map(_.asInstanceOf[Long]))).toMap
+    val want = ldata.map { case (k, t, lid) =>
+      val cand = rdata.filter(rr => rr._1 == k && rr._2 <= t)
+      lid -> (if (cand.isEmpty) None
+              else Some(cand.maxBy(rr => (rr._2, rr._3))._3))
+    }.toMap
+    assert(got === want)
+  }
+
+  test("proximityJoin equals naive cross filter, incl. exact boundary") {
+    val rnd = new scala.util.Random(7)
+    // Mix tight clusters and negatives so buckets -1/0/+1 all matter.
+    val adata = (1 to 200).map(i => (i.toLong, rnd.nextLong() % 500L))
+    val bdata = (1 to 200).map(i => ((1000 + i).toLong, rnd.nextLong() % 500L))
+    val tol = 37L
+    val a = adata.toDF("a_id", "a_pos")
+    val b = bdata.toDF("b_id", "b_pos")
+    val got = TemporalJoins.proximityJoin(a, b, "a_pos", "b_pos", tol)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (ai, ap) <- adata; (bi, bp) <- bdata
+      if math.abs(ap - bp) <= tol
+    } yield (ai, bi)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("proximityJoin produces each pair exactly once") {
+    val a = Seq((1L, 100L)).toDF("a_id", "a_pos")
+    val b = Seq((2L, 100L), (3L, 137L), (4L, 63L), (5L, 138L)).toDF("b_id", "b_pos")
+    val rows = TemporalJoins.proximityJoin(a, b, "a_pos", "b_pos", 37L)
+      .select("b_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(rows === Seq(2L, 3L, 4L)) // 138 is outside |Δ|<=37
+  }
+}
