@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+
+import graft.core.Lake
+
+/** Analytic-surface gates widening SURVEY.md §2.4–§2.6: PIVOT/UNPIVOT,
+  * CUBE grouping sets, exact quantiles (cont + disc + median), map-typed
+  * columns (F7), edit distance, and a seeded stratified sample checked as
+  * a statistical property. All plans are plain shuffles/aggregations —
+  * nothing here degrades at scale (pivot widens columns, not rows; cube
+  * is Catalyst Expand; quantiles are a single sort-based agg per group).
+  */
+object AnalyticQueries {
+
+  /** A7: PIVOT — per user-id bucket, one count column per event type.
+    * Pivot values are pinned explicitly so the output schema is static
+    * (at 100 TB a dynamic pivot would need a driver-side distinct scan
+    * first; pinning removes that job). Empty cells coalesce to 0.
+    */
+  def a7Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val base = Lake.table(spark, dir, "events")
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(base)((df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy(col("bucket"))
+  }
+
+  /** A8: CUBE grouping sets over two dims with cents-exact money sums. */
+  def a8Cube(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("c"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+          .as("revenue"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** A9: UNPIVOT (wide metrics → long) of a per-flag aggregate. */
+  def a9Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("qty"),
+        (sum(round(col("l_discount") * 100).cast("long")) / 100.0).as("disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("disc")),
+        "metric", "val")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  /** A10: seeded stratified sample (`sampleBy`) — engines can't share a
+    * sampler, so the gate checks the PROPERTY: the per-stratum sampled
+    * count is within ±35% of the 10% target (≥5 sigma at sf0.001's
+    * ~200-row strata). The oracle verifies strata + the boolean contract.
+    */
+  def a10StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val events = Lake.table(spark, dir, "events")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val sampled = events.stat
+      .sampleBy("event_type", types.map(_ -> 0.1).toMap, 42L)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val totals = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("total"))
+    totals.join(sampled, Seq("event_type"), "left")
+      .select(col("event_type"), col("total"),
+        (abs(coalesce(col("n"), lit(0L)) - col("total") * 0.1) <=
+          col("total") * 0.035 + 20.0).as("ok"))
+      .orderBy(col("event_type"))
+  }
+
+  /** F7: map-typed columns — parse props JSON into MAP<STRING,BIGINT>,
+    * explode entries, aggregate per (event_type, key). The keys come from
+    * the DATA on both engines (json_keys in DuckDB), not a hardcoded list.
+    */
+  def f7MapFunctions(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), MapType(StringType, LongType)).as("m"))
+      .select(col("event_type"), explode(col("m")).as(Seq("key", "val")))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("c"), sum(col("val")).as("s"),
+        min(col("val")).as("mn"), max(col("val")).as("mx"))
+      .orderBy(col("event_type"), col("key"))
+
+  /** F8: exact quantiles — interpolated (percentile_cont ≡ percentile)
+    * at 0.25/0.75, discrete at 0.5 (the one probe point where Spark's
+    * ceil(p·n) and DuckDB's floor(p·(n−1))+1 index rules provably agree
+    * for every n), plus median. Sort-based agg per group; at scale this
+    * is the exact path — approx_percentile (A3-style sketch) is the
+    * 100 TB default and is property-tested in the spec instead.
+    */
+  def f8Quantiles(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        median(col("l_quantity")).as("med_qty"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("p75_price"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p50_disc"))
+      .orderBy(col("l_returnflag"))
+
+  /** F9: edit distance (fuzzy matching for curation) — levenshtein
+    * between each part's name and type, bucketed into a distance
+    * histogram per brand. Codegen'd binary string expression; no joins.
+    */
+  def f9EditDistance(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "part")
+      .select(col("p_brand"),
+        levenshtein(col("p_name"), col("p_type")).as("d"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("c"), min(col("d")).cast("long").as("dmin"),
+        max(col("d")).cast("long").as("dmax"),
+        sum(col("d")).cast("long").as("dsum"))
+      .orderBy(col("p_brand"))
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "a7_pivot"             -> (a7Pivot _),
+    "a8_cube"              -> (a8Cube _),
+    "a9_unpivot"           -> (a9Unpivot _),
+    "a10_stratified_sample" -> (a10StratifiedSample _),
+    "f7_map_functions"     -> (f7MapFunctions _),
+    "f8_quantiles"         -> (f8Quantiles _),
+    "f9_edit_distance"     -> (f9EditDistance _))
+
+  val oracle: Map[String, String] = Map(
+    "a7_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a8_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS c,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "a9_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS qty,
+        |    sum(CAST(round(l_discount*100) AS BIGINT)) / 100.0 AS disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'qty' AS metric, qty AS val FROM w
+        |UNION ALL SELECT l_returnflag, 'disc', disc FROM w
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "a10_stratified_sample" ->
+      """SELECT event_type, count(*) AS total, true AS ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f7_map_functions" ->
+      """SELECT event_type, key, count(*) AS c,
+        |  sum(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS s,
+        |  min(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS mn,
+        |  max(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS mx
+        |FROM (SELECT event_type, unnest(json_keys(props)) AS key, props
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "f8_quantiles" ->
+      """SELECT l_returnflag,
+        |  median(l_quantity) AS med_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75_price,
+        |  quantile_disc(l_extendedprice, 0.5) AS p50_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f9_edit_distance" ->
+      """SELECT p_brand, count(*) AS c,
+        |  min(levenshtein(p_name, p_type)) AS dmin,
+        |  max(levenshtein(p_name, p_type)) AS dmax,
+        |  sum(levenshtein(p_name, p_type)) AS dsum
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)
+}
