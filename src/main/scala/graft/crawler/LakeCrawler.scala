@@ -32,6 +32,7 @@ object LakeCrawler {
 
   /** Formats the crawler recognizes, by extension then magic bytes. */
   val ParquetMagic: Array[Byte] = "PAR1".getBytes("US-ASCII")
+  val OrcMagic: Array[Byte] = "ORC".getBytes("US-ASCII")
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -42,6 +43,7 @@ object LakeCrawler {
   def detectFormat(spark: SparkSession, file: Path): String = {
     val name = file.getName.toLowerCase
     if (name.endsWith(".parquet") || name.endsWith(".parq")) "parquet"
+    else if (name.endsWith(".orc")) "orc"
     else if (name.endsWith(".json") || name.endsWith(".jsonl")) "json"
     else if (name.endsWith(".csv") || name.endsWith(".tsv")) "csv"
     else {
@@ -50,6 +52,7 @@ object LakeCrawler {
         val head = new Array[Byte](4)
         val n = in.read(head)
         if (n >= 4 && head.sameElements(ParquetMagic)) "parquet"
+        else if (n >= 3 && head.take(3).sameElements(OrcMagic)) "orc"
         else if (n >= 1 && (head(0) == '{' || head(0) == '[')) "json"
         else "csv"
       } finally in.close()
@@ -122,6 +125,7 @@ object LakeCrawler {
         df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
       }
+    case "orc" => spark.read.orc(info.path)
     case "json" => spark.read.json(info.path)
     case "csv" => spark.read
       .option("header", "true").option("inferSchema", "true").csv(info.path)

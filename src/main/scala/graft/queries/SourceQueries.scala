@@ -129,11 +129,34 @@ object SourceQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** S8: orders → 4-file ORC → crawler discovery (magic-byte detection —
+    * the files keep Spark's part-file names, so the extension path isn't
+    * what proves it; CrawlerSpec covers extensionless sniffing) →
+    * columnar re-read → aggregate. DuckDB can't read ORC, so the oracle
+    * computes from the ORIGINAL parquet table: the gate pins that the
+    * ORC round-trip (types, timestamps, nulls) is lossless.
+    */
+  def s8OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$gateRoot/orders_orc"
+    Lake.table(spark, dir, "orders")
+      .repartition(4)
+      .write.mode("overwrite").orc(out)
+    crawlOpen(spark, gateRoot, "orders_orc", "orc")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("c"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("s"),
+        min(col("o_orderdate")).as("mn_date"),
+        max(col("o_orderdate")).as("mx_date"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "s2_csv_inference"  -> (s2CsvInference _),
     "s3_json_inference" -> (s3JsonInference _),
     "s1_multifile_scan" -> (s1MultifileScan _),
-    "s7_bucketed_join"  -> (s7BucketedJoin _))
+    "s7_bucketed_join"  -> (s7BucketedJoin _),
+    "s8_orc_roundtrip"  -> (s8OrcRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     // Reads the SAME csv files the gate wrote — engine inference vs DuckDB
@@ -158,6 +181,13 @@ object SourceQueries {
         | sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS s
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // ORC round-trip must be lossless: same aggregate from the original
+    // parquet table (DuckDB has no ORC reader).
+    "s8_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS c,
+        | sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS s,
+        | min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // Same aggregation as q01 but against the ORIGINAL single-file table:
     // a 16-way split of the data must be result-identical.
     "s1_multifile_scan" ->

@@ -12,6 +12,23 @@ class CrawlerSpec extends SparkSpecBase {
     assert(infos.forall(_.sizeBytes > 0))
   }
 
+  test("C1: format sniffing identifies extensionless orc/parquet by magic bytes") {
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sniff")
+    val df = graft.core.Lake.table(spark, sf0001, "nation")
+    df.coalesce(1).write.mode("overwrite").orc(s"$tmp/o")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/p")
+    def strip(dir: String, ext: String): Path = {
+      val f = new java.io.File(dir).listFiles()
+        .find(_.getName.endsWith(ext)).get
+      val bare = new java.io.File(dir, "datafile")
+      assert(f.renameTo(bare))
+      new Path(bare.getAbsolutePath)
+    }
+    assert(LakeCrawler.detectFormat(spark, strip(s"$tmp/o", ".orc")) == "orc")
+    assert(LakeCrawler.detectFormat(spark, strip(s"$tmp/p", ".parquet")) == "parquet")
+  }
+
   test("C2: events schema normalizes ns timestamp to TimestampType") {
     val info = LakeCrawler.discover(spark, sf0001).find(_.name == "events").get
     val sch = LakeCrawler.extractSchema(spark, info)

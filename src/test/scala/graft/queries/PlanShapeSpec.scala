@@ -47,4 +47,24 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("cosinesimilarity") && p.contains("*("),
       "native cosine not in a codegen stage")
   }
+
+  test("j7 as-of join: one key shuffle, no range join in the plan") {
+    val p = plan("j7_asof_join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "as-of join degraded to a range-condition join")
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // exchanges in the final plan section only.
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val keyExchanges = "Exchange hashpartitioning\\(_k".r.findAllIn(finalPlan).length
+    assert(keyExchanges == 1,
+      s"expected exactly 1 key shuffle for the as-of window, got $keyExchanges")
+  }
+
+  test("j7 range join: candidates via equi-join, never nested-loop") {
+    val p = plan("j7_range_join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "proximity join degraded to nested-loop")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "bucket candidate generation should be a hash/merge equi-join")
+  }
 }
