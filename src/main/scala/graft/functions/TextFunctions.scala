@@ -123,4 +123,45 @@ object TextFunctions {
     val best = greatest(scored: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Token-level repetition ratio in [0,1): 1 − distinct/total tokens.
+    * Boilerplate and template spam repeat heavily; natural prose doesn't.
+    * Rounded to 6dp for engine comparability.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      round(lit(1.0) -
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Share of the single most frequent token — the other repetition
+    * signal (a 50%-one-word doc is spam even if the rest is diverse).
+    * aggregate() over the distinct-token array keeps it a pure Column
+    * expression (no explode/shuffle); O(tokens · distinct) per row is
+    * fine for the row sizes a filter stage sees.
+    */
+  def maxTokenShare(text: Column): Column = {
+    val toks = tokens(text)
+    val top = aggregate(
+      array_distinct(toks),
+      lit(0),
+      (acc, t) => greatest(acc, size(filter(toks, x => x === t))))
+    // split("", " ") yields [""], so guard on content, not token count.
+    when(length(trim(text)) > 0,
+      round(top.cast("double") / size(toks).cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** PII scrubbing for training-data curation: masks email addresses and
+    * URLs. Patterns are deliberately simple enough to mean the same thing
+    * in Java regex and RE2-family engines (no lookarounds, no \\b).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
 }

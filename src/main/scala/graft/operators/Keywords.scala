@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus keyword extraction: per-document top-k TF-IDF terms.
+  *
+  * Shuffle budget (the minimum the semantics admit):
+  *   1. (doc, term) partial-aggregated term frequencies — map-side
+  *      combine collapses each document's repeated terms before shuffle;
+  *   2. per-term document frequency — aggregation of the (already
+  *      reduced) tf table on term;
+  *   3. tf ⋈ df on term — fact-fact sort-merge at corpus scale (AQE
+  *      flips it to broadcast while the vocabulary is small);
+  *   4. per-doc top-k via rank window on doc_id.
+  * The corpus-size scalar joins in as a 1-row broadcast, never a shuffle.
+  * All state is O(vocabulary + docs·k); nothing driver-side.
+  */
+object Keywords {
+
+  /** Top-k TF-IDF terms per document: raw term count × ln(N/df), rounded
+    * to 6 decimals so both engines' libm ulp differences can't leak into
+    * the gate hash; ties broken by term for determinism.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tokens = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .join(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+  }
+
+  /** Corpus-wide term frequencies (Zipf head): one explode + one
+    * partial-aggregated shuffle on term; top-k is TakeOrderedAndProject.
+    */
+  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+}

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Lake
+import graft.functions.TextFunctions
+import graft.operators.Keywords
+
+/** Corpus-curation gates over the documents table (SURVEY.md §2.7 L4+):
+  * Zipf word frequencies, per-document TF-IDF keywords, repetition /
+  * boilerplate signals, and PII scrubbing. Every floating aggregate is
+  * either a ratio-of-integer-sums (one double division at the end — no
+  * cross-engine summation-order drift) or a per-row rounded value under
+  * max() (order-independent).
+  */
+object CorpusQueries {
+
+  /** L4f: corpus-wide term frequencies, Zipf head (top 20). One explode +
+    * one partial-aggregated shuffle; top-k plans as TakeOrderedAndProject.
+    */
+  def l4WordFreq(spark: SparkSession, dir: String): DataFrame =
+    Keywords.wordFrequencies(Lake.table(spark, dir, "documents"), "text")
+      .orderBy(col("c").desc, col("term"))
+      .limit(20)
+
+  /** L4g: top-5 TF-IDF keywords for the first five documents (scores
+    * computed against the FULL corpus df/N, then filtered).
+    */
+  def l4TfidfTop(spark: SparkSession, dir: String): DataFrame =
+    Keywords.tfidfTopK(Lake.table(spark, dir, "documents"), "doc_id", "text", 5)
+      .filter(col("doc_id") < 5)
+      .orderBy(col("doc_id"), col("rnk"))
+
+  /** L4h: repetition/boilerplate signals per language. The ratio is
+    * 1 − Σdistinct/Σtokens (integer sums, one final division); the max
+    * single-token share is a per-doc 6dp value under max().
+    */
+  def l4Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    val toks = TextFunctions.tokens(col("text"))
+    docs.select(col("lang"),
+        size(toks).cast("long").as("t"),
+        size(array_distinct(toks)).cast("long").as("d"),
+        TextFunctions.maxTokenShare(col("text")).as("mts"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("t")).as("st"),
+        sum(col("d")).as("sd"),
+        round(lit(1.0) - sum(col("d")).cast("double") / sum(col("t")), 6)
+          .as("rep"),
+        max(col("mts")).as("mts_max"))
+      .orderBy(col("lang"))
+  }
+
+  /** L4i: PII scrubbing accounting. The corpus has no PII, so each doc is
+    * deterministically augmented with an email and a URL derived from its
+    * id; both engines construct the SAME string, scrub with the SAME
+    * patterns (URL first, then email), and must agree on every length.
+    */
+  def l4ScrubPii(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), (col("doc_id") % 7).cast("string"),
+      lit("@mail"), (col("doc_id") % 3).cast("string"),
+      lit(".com via https://site"), (col("doc_id") % 5).cast("string"),
+      lit(".org/p"))
+    Lake.table(spark, dir, "documents")
+      .select(col("source"), aug.as("aug"),
+        TextFunctions.scrubPii(aug).as("clean"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("c"),
+        sum(length(col("aug"))).as("before_chars"),
+        sum(length(col("clean"))).as("after_chars"),
+        sum(when(col("clean") =!= col("aug"), 1L).otherwise(0L)).as("changed"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "l4_word_freq"  -> (l4WordFreq _),
+    "l4_tfidf_top"  -> (l4TfidfTop _),
+    "l4_repetition" -> (l4Repetition _),
+    "l4_scrub_pii"  -> (l4ScrubPii _))
+
+  val oracle: Map[String, String] = Map(
+    "l4_word_freq" ->
+      """SELECT term, count(*) AS c
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |WHERE length(term) > 0
+        |GROUP BY term ORDER BY c DESC, term LIMIT 20""".stripMargin,
+    "l4_tfidf_top" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 6) AS tfidf
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY tfidf DESC, term) AS rnk FROM s)
+        |SELECT doc_id, term, tfidf, rnk FROM r
+        |WHERE doc_id < 5 AND rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    "l4_repetition" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT doc_id, lang, term, count(*) AS cnt FROM t GROUP BY 1,2,3),
+        |d AS (SELECT doc_id, lang, sum(cnt) AS tot, count(*) AS dist,
+        |        max(cnt) AS mx FROM c GROUP BY 1, 2)
+        |SELECT lang, sum(tot) AS st, sum(dist) AS sd,
+        |  round(1 - CAST(sum(dist) AS DOUBLE) / sum(tot), 6) AS rep,
+        |  max(round(CAST(mx AS DOUBLE) / tot, 6)) AS mts_max
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "l4_scrub_pii" ->
+      """WITH a AS (SELECT source,
+        |    text || ' contact user' || (doc_id % 7) || '@mail' ||
+        |    (doc_id % 3) || '.com via https://site' || (doc_id % 5) ||
+        |    '.org/p' AS aug
+        |  FROM documents),
+        |s AS (SELECT source, aug,
+        |    regexp_replace(
+        |      regexp_replace(aug, 'https?://[^ ]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |      AS clean
+        |  FROM a)
+        |SELECT source, count(*) AS c, sum(length(aug)) AS before_chars,
+        |  sum(length(clean)) AS after_chars,
+        |  sum(CASE WHEN clean <> aug THEN 1 ELSE 0 END) AS changed
+        |FROM s GROUP BY source ORDER BY source""".stripMargin)
+}

@@ -81,4 +81,25 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(one(TextFunctions.stopwordRatio(col("t"), "es"), "el perro y la gata") == 0.6)
     assert(one(TextFunctions.stopwordRatio(col("t")), "") == 0.0)
   }
+
+  test("repetitionRatio: 1 - distinct/total; empty → 0") {
+    assert(one(TextFunctions.repetitionRatio(col("t")), "a a a b") == 0.5)
+    assert(one(TextFunctions.repetitionRatio(col("t")), "a b c d") == 0.0)
+    assert(one(TextFunctions.repetitionRatio(col("t")), "") == 0.0)
+  }
+
+  test("maxTokenShare: most frequent token's share of all tokens") {
+    assert(one(TextFunctions.maxTokenShare(col("t")), "a a a b") == 0.75)
+    assert(one(TextFunctions.maxTokenShare(col("t")), "a b c d") == 0.25)
+    assert(one(TextFunctions.maxTokenShare(col("t")), "") == 0.0)
+  }
+
+  test("scrubPii masks emails and URLs, leaves clean text alone") {
+    assert(one(TextFunctions.scrubPii(col("t")),
+      "mail bob.smith+x@ex-ample.co.uk now") == "mail <EMAIL> now")
+    assert(one(TextFunctions.scrubPii(col("t")),
+      "see https://a.b/c?d=1 and http://x.y") == "see <URL> and <URL>")
+    assert(one(TextFunctions.scrubPii(col("t")),
+      "plain words only") == "plain words only")
+  }
 }
