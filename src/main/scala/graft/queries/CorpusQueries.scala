@@ -76,11 +76,30 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  /** L3e: per-label embedding centroids (the IVF/clustering building
+    * block), first 8 dimensions. Each position's sum is computed over
+    * SCALED INTEGERS (round(v·10⁶) as long) so the cross-engine result is
+    * exact regardless of float summation order; the centroid is one
+    * double division at the end. posexplode → (label, pos) partial-agg —
+    * one shuffle, state O(labels·dims).
+    */
+  def l3Centroids(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(col("pos") < 8)
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v").cast("double") * 1000000).cast("long")).as("sv"))
+      .withColumn("centroid",
+        col("sv").cast("double") / 1000000.0 / col("n"))
+      .orderBy(col("label"), col("pos"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "l4_word_freq"  -> (l4WordFreq _),
     "l4_tfidf_top"  -> (l4TfidfTop _),
     "l4_repetition" -> (l4Repetition _),
-    "l4_scrub_pii"  -> (l4ScrubPii _))
+    "l4_scrub_pii"  -> (l4ScrubPii _),
+    "l3_centroids"  -> (l3Centroids _))
 
   val oracle: Map[String, String] = Map(
     "l4_word_freq" ->
@@ -128,5 +147,12 @@ object CorpusQueries {
         |SELECT source, count(*) AS c, sum(length(aug)) AS before_chars,
         |  sum(length(clean)) AS after_chars,
         |  sum(CASE WHEN clean <> aug THEN 1 ELSE 0 END) AS changed
-        |FROM s GROUP BY source ORDER BY source""".stripMargin)
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "l3_centroids" ->
+      """SELECT label, i AS pos, count(*) AS n,
+        |  sum(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)) AS sv,
+        |  CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 / count(*) AS centroid
+        |FROM embeddings, range(8) t(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -73,12 +73,26 @@ object StreamingQueries {
       .orderBy(col("h"), col("event_type"))
   }
 
+  /** ST6: watermarked stream-stream inner join (purchase ⋈ prior-6 h
+    * clicks per user) == the batch BETWEEN join. Inner joins emit on
+    * match, so append mode flushes everything on finite input; the
+    * watermarks exist to bound state, proven equivalent by the oracle.
+    */
+  def st6StreamJoin(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.runToMemoryForGate(spark,
+        EventStreams.purchaseClickJoin(
+          EventStreams.readEventsStream(spark, dir),
+          EventStreams.readEventsStream(spark, dir)),
+        "st6_mem", "append")
+      .orderBy(col("purchase_id"), col("click_id"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st1_tumbling"    -> (st1Tumbling _),
     "st2_sliding"     -> (st2Sliding _),
     "st3_session"     -> (st3Session _),
     "st4_dedup_count" -> (st4DedupCount _),
-    "st5_file_sink"   -> (st5FileSink _))
+    "st5_file_sink"   -> (st5FileSink _),
+    "st6_stream_join" -> (st6StreamJoin _))
 
   val oracle: Map[String, String] = Map(
     "st1_tumbling" ->
@@ -109,5 +123,14 @@ object StreamingQueries {
     "st5_file_sink" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c,
         | sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS s
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // Batch-equivalence truth for the stream-stream join.
+    "st6_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        | epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin)
 }

@@ -66,6 +66,32 @@ object EventStreams {
   /** ST4: stateful exact-once dedup on event_id. */
   def dedup(events: DataFrame): DataFrame = events.dropDuplicates("event_id")
 
+  /** ST6: stream-stream inner join — each purchase matched to the same
+    * user's clicks within the preceding 6 hours. BOTH sides carry
+    * watermarks and the join condition bounds event-time distance, which
+    * is what makes the join state finite: Spark evicts click state older
+    * than watermark − 6 h and purchase state at the watermark. Without
+    * the time-range condition a stream-stream join must buffer one side
+    * forever — the unbounded-state mistake this operator exists to avoid
+    * at 100 TB/day rates.
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 6 HOURS") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** GATE/TEST HARNESS ONLY — not a production pattern: drains a finite
     * streaming DataFrame through a memory sink and collects the whole sink
     * table to the driver (fine for the gates' few-thousand aggregated

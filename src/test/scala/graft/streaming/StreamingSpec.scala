@@ -62,6 +62,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream join matches across micro-batches, within the range") {
+    implicit val sc = spark.sqlContext
+    val pm = MemoryStream[Ev]
+    val cm = MemoryStream[Ev]
+    def typed(df: org.apache.spark.sql.DataFrame, tpe: String) =
+      df.withColumn("event_type", lit(tpe)).withColumn("props", lit("{}"))
+    val joined = EventStreams.purchaseClickJoin(
+      typed(pm.toDF(), "purchase"), typed(cm.toDF(), "click"))
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: one click at 0:10
+      cm.addData(Ev(100, t(10), 7, 1.0))
+      q.processAllAvailable()
+      // batch 2: purchase at 1:00 (same user) — must match the click
+      // BUFFERED from the earlier batch; a different-user purchase and an
+      // out-of-range purchase (7h later) must not match anything.
+      pm.addData(Ev(200, t(60), 7, 1.0), Ev(201, t(60), 8, 1.0),
+        Ev(202, t(60 * 7 + 20), 7, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("ssj_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((200L, 100L)))
+    } finally q.stop()
+  }
+
   test("sliding windows assign each event to window/slide windows") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
