@@ -120,6 +120,55 @@ object AnalyticQueries {
         sum(col("d")).cast("long").as("dsum"))
       .orderBy(col("p_brand"))
 
+  /** W4: explicit window frames — a ROWS 3-preceding moving sum/avg and a
+    * RANGE 1-hour-preceding time frame (numeric rangeBetween over epoch
+    * micros — the portable formulation of a time-range frame). Frame sums
+    * use integer cents so the moving averages are division-exact.
+    */
+  def w4Frames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows4 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    val hour = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Lake.table(spark, dir, "events")
+      .filter(col("user_id") < 3)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(col("event_id"), col("user_id"),
+        sum(col("cents")).over(rows4).as("mv_sum"),
+        count(lit(1)).over(rows4).as("mv_n"),
+        (sum(col("cents")).over(rows4) / 100.0 /
+          count(lit(1)).over(rows4)).as("mv_avg"),
+        sum(col("cents")).over(hour).as("hr_sum"),
+        count(lit(1)).over(hour).as("hr_n"))
+      .orderBy(col("event_id"))
+  }
+
+  /** W5: the ranking family — ntile, percent_rank, cume_dist,
+    * first/last/nth_value over a TOTAL order (value, event_id), so tie
+    * handling can't differ between engines. last_value needs the
+    * full-partition frame (default frame stops at CURRENT ROW).
+    */
+  def w5RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Lake.table(spark, dir, "events")
+      .filter(col("user_id") < 2)
+      .select(col("event_id"), col("event_type"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first(col("event_id")).over(full).as("first_id"),
+        last(col("event_id")).over(full).as("last_id"),
+        nth_value(col("event_id"), 2).over(full).as("second_id"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
@@ -127,7 +176,9 @@ object AnalyticQueries {
     "a10_stratified_sample" -> (a10StratifiedSample _),
     "f7_map_functions"     -> (f7MapFunctions _),
     "f8_quantiles"         -> (f8Quantiles _),
-    "f9_edit_distance"     -> (f9EditDistance _))
+    "f9_edit_distance"     -> (f9EditDistance _),
+    "w4_frames"            -> (w4Frames _),
+    "w5_rank_family"       -> (w5RankFamily _))
 
   val oracle: Map[String, String] = Map(
     "a7_pivot" ->
@@ -175,5 +226,36 @@ object AnalyticQueries {
         |  min(levenshtein(p_name, p_type)) AS dmin,
         |  max(levenshtein(p_name, p_type)) AS dmax,
         |  sum(levenshtein(p_name, p_type)) AS dsum
-        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w4_frames" ->
+      """WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 3)
+        |SELECT event_id, user_id,
+        |  sum(cents) OVER w4 AS mv_sum,
+        |  count(*) OVER w4 AS mv_n,
+        |  sum(cents) OVER w4 / 100.0 / count(*) OVER w4 AS mv_avg,
+        |  sum(cents) OVER hr AS hr_sum,
+        |  count(*) OVER hr AS hr_n
+        |FROM e
+        |WINDOW
+        |  w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |  hr AS (PARTITION BY user_id ORDER BY us
+        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "w5_rank_family" ->
+      """SELECT event_id, event_type,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  first_value(event_id) OVER f AS first_id,
+        |  last_value(event_id) OVER f AS last_id,
+        |  nth_value(event_id, 2) OVER f AS second_id
+        |FROM events WHERE user_id < 2
+        |WINDOW
+        |  w AS (PARTITION BY event_type ORDER BY value, event_id),
+        |  f AS (PARTITION BY event_type ORDER BY value, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin)
 }
