@@ -99,17 +99,48 @@ object Similarity {
       probeHamming: Int = 3,
       seed: Long = 42L,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val dim = query.length
-    val planes = hyperplanes(bits, dim, seed)
+      vecCol: String = "embedding"): DataFrame =
+    lshTopKIndexed(
+      withLshSignature(emb, query.length, bits, seed, vecCol),
+      query, k, bits, probeHamming, seed, idCol, vecCol)
+
+  /** WRITE-TIME half of the LSH index: attach the signature column. At
+    * 100 TB this runs once in the ingest pipeline (and the table is
+    * ideally partitioned/bucketed by a signature prefix); queries then
+    * pay only a bit_count filter plus the candidate rerank — computing
+    * signatures at query time costs bits× the brute-force dot product
+    * and is measurably SLOWER than brute (AnnBench).
+    */
+  def withLshSignature(
+      emb: DataFrame,
+      dim: Int,
+      bits: Int = 16,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      sigCol: String = "__sig"): DataFrame =
+    emb.withColumn(sigCol, lshSignature(col(vecCol), hyperplanes(bits, dim, seed)))
+
+  /** QUERY-TIME half: multi-probe over a precomputed signature column —
+    * map-side bit_count filter, exact cosine rerank of the candidates.
+    */
+  def lshTopKIndexed(
+      indexed: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      bits: Int = 16,
+      probeHamming: Int = 3,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      sigCol: String = "__sig"): DataFrame = {
+    val planes = hyperplanes(bits, query.length, seed)
     val qd = query.map(_.toDouble)
     val qSig = planes.zipWithIndex.map { case (p, i) =>
       val d = p.zip(qd).map { case (a, b) => a * b }.sum
       if (d >= 0) 1L << i else 0L
     }.sum
-    emb
-      .withColumn("__sig", lshSignature(col(vecCol), planes))
-      .filter(bit_count(col("__sig").bitwiseXOR(lit(qSig))) <= probeHamming)
+    indexed
+      .filter(bit_count(col(sigCol).bitwiseXOR(lit(qSig))) <= probeHamming)
       .select(col(idCol),
         round(cosineSimilarity(col(vecCol), typedlit(query)), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
@@ -195,26 +226,64 @@ object Similarity {
       seed: Long = 42L,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    // Deterministic centroids: hash-sample nlist rows (stable across runs).
-    val cents = emb.select(col(idCol), col(vecCol))
+    val cents = sampleCentroids(emb, nlist, seed, idCol, vecCol)
+    ivfTopKIndexed(withIvfList(emb, cents, vecCol), cents, query, k, nprobe,
+      idCol, vecCol)
+  }
+
+  /** Deterministic centroids: hash-sample nlist rows (stable across runs,
+    * O(nlist) to the driver).
+    */
+  def sampleCentroids(
+      emb: DataFrame,
+      nlist: Int,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Seq[Float]] =
+    emb.select(col(idCol), col(vecCol))
       .withColumn("__h", abs(xxhash64(col(idCol).cast("string"), lit(seed))))
       .orderBy(col("__h")).limit(nlist)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toSeq)
-    val qd = query.map(_.toDouble)
-    def dist2(c: Seq[Float]): Double =
-      c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum
-    val probeSet = cents.zipWithIndex.sortBy(p => dist2(p._1)).take(nprobe).map(_._2).toSet
-    val assignExpr = cents.zipWithIndex.map { case (c, i) =>
+
+  /** WRITE-TIME half of the IVF index: assign each vector to its nearest
+    * centroid. At 100 TB this becomes the table's partition key
+    * (`partitionBy(listCol)`), so a query READS only nprobe/nlist of the
+    * data — partition pruning does the probing. Assigning at query time
+    * costs nlist× the brute-force dot product (AnnBench measures it).
+    */
+  def withIvfList(
+      emb: DataFrame,
+      centroids: Array[Seq[Float]],
+      vecCol: String = "embedding",
+      listCol: String = "__list"): DataFrame = {
+    val assignExpr = centroids.zipWithIndex.map { case (c, i) =>
       struct(
         aggregate(zip_with(col(vecCol), typedlit(c),
           (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
           lit(0.0), (acc, v) => acc + v).as("d"),
         lit(i).as("i"))
     }
-    val nearest = least(assignExpr: _*).getField("i")
-    emb.withColumn("__list", nearest)
-      .filter(col("__list").isin(probeSet.toSeq: _*))
+    emb.withColumn(listCol, least(assignExpr.toSeq: _*).getField("i"))
+  }
+
+  /** QUERY-TIME half: probe the nprobe nearest lists, exact-rerank. */
+  def ivfTopKIndexed(
+      indexed: DataFrame,
+      centroids: Array[Seq[Float]],
+      query: Seq[Float],
+      k: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      listCol: String = "__list"): DataFrame = {
+    val qd = query.map(_.toDouble)
+    def dist2(c: Seq[Float]): Double =
+      c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probeSet = centroids.zipWithIndex.sortBy(p => dist2(p._1))
+      .take(nprobe).map(_._2).toSet
+    indexed
+      .filter(col(listCol).isin(probeSet.toSeq: _*))
       .select(col(idCol),
         round(cosineSimilarity(col(vecCol), typedlit(query)), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
