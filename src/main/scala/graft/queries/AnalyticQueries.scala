@@ -169,6 +169,37 @@ object AnalyticQueries {
       .orderBy(col("event_id"))
   }
 
+  /** F10: regexp extraction — capture groups and global match counts,
+    * with a pattern that means the same thing in Java regex and RE2.
+    */
+  def f10Regexp(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "part")
+      .select(
+        regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("noun"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("adj"),
+        length(regexp_replace(col("p_name"), "[aeiou]", "")).as("consonants"))
+      .groupBy(col("noun"))
+      .agg(count(lit(1)).as("c"),
+        countDistinct(col("adj")).as("adjs"),
+        sum(col("consonants")).cast("long").as("cons"))
+      .orderBy(col("noun"))
+
+  /** F11: array functions — split, sort, dedup, slice, join, contains —
+    * over the token array of p_name; array values compare exactly.
+    */
+  def f11Arrays(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("p_name"), " ")
+    Lake.table(spark, dir, "part")
+      .select(col("p_partkey"), toks.as("toks"))
+      .filter(col("p_partkey") < 50)
+      .select(col("p_partkey"),
+        size(col("toks")).as("n"),
+        array_join(array_sort(col("toks")), "-").as("sorted_joined"),
+        slice(array_sort(col("toks")), 1, 1).as("head1"),
+        array_contains(col("toks"), "widget").as("has_widget"))
+      .orderBy(col("p_partkey"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
@@ -178,7 +209,9 @@ object AnalyticQueries {
     "f8_quantiles"         -> (f8Quantiles _),
     "f9_edit_distance"     -> (f9EditDistance _),
     "w4_frames"            -> (w4Frames _),
-    "w5_rank_family"       -> (w5RankFamily _))
+    "w5_rank_family"       -> (w5RankFamily _),
+    "f10_regexp"           -> (f10Regexp _),
+    "f11_arrays"           -> (f11Arrays _))
 
   val oracle: Map[String, String] = Map(
     "a7_pivot" ->
@@ -257,5 +290,18 @@ object AnalyticQueries {
         |  w AS (PARTITION BY event_type ORDER BY value, event_id),
         |  f AS (PARTITION BY event_type ORDER BY value, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "f10_regexp" ->
+      """SELECT regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+        |  count(*) AS c,
+        |  count(DISTINCT regexp_extract(p_name, '([a-z]+)', 1)) AS adjs,
+        |  sum(length(regexp_replace(p_name, '[aeiou]', '', 'g'))) AS cons
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f11_arrays" ->
+      """SELECT p_partkey,
+        |  len(string_split(p_name, ' ')) AS n,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), '-') AS sorted_joined,
+        |  list_sort(string_split(p_name, ' '))[1:1] AS head1,
+        |  list_contains(string_split(p_name, ' '), 'widget') AS has_widget
+        |FROM part WHERE p_partkey < 50 ORDER BY p_partkey""".stripMargin)
 }
