@@ -200,6 +200,35 @@ object AnalyticQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** A11: statistical aggregates (corr, stddev) computed from EXACT
+    * integer power sums (Σx, Σy, Σxy, Σx², Σy² over cents/ids), with the
+    * float math confined to one final projection over those integers —
+    * the formulation that is bitwise-reproducible on any engine AND
+    * single-pass/mergeable at 100 TB (each partial is 6 longs). The
+    * built-in corr/stddev_pop are proven equal to this formula (1e-9) in
+    * AnalyticQueriesSpec.
+    */
+  def a11Stats(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("x"),
+        col("user_id").as("y"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 9)
+          .as("corr_xy"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+          col("n") / 100.0, 9).as("sd_value"))
+      .orderBy(col("event_type"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
@@ -211,7 +240,8 @@ object AnalyticQueries {
     "w4_frames"            -> (w4Frames _),
     "w5_rank_family"       -> (w5RankFamily _),
     "f10_regexp"           -> (f10Regexp _),
-    "f11_arrays"           -> (f11Arrays _))
+    "f11_arrays"           -> (f11Arrays _),
+    "a11_stats"            -> (a11Stats _))
 
   val oracle: Map[String, String] = Map(
     "a7_pivot" ->
@@ -303,5 +333,18 @@ object AnalyticQueries {
         |  array_to_string(list_sort(string_split(p_name, ' ')), '-') AS sorted_joined,
         |  list_sort(string_split(p_name, ' '))[1:1] AS head1,
         |  list_contains(string_split(p_name, ' '), 'widget') AS has_widget
-        |FROM part WHERE p_partkey < 50 ORDER BY p_partkey""".stripMargin)
+        |FROM part WHERE p_partkey < 50 ORDER BY p_partkey""".stripMargin,
+    "a11_stats" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value*100) AS BIGINT) AS x, user_id AS y FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 9) AS corr_xy,
+        |  round(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) / n / 100.0, 9) AS sd_value
+        |FROM s ORDER BY event_type""".stripMargin)
 }

@@ -34,6 +34,22 @@ class AnalyticQueriesSpec extends SparkSpecBase {
     assert(AnalyticQueries.a9Unpivot(spark, sf0001).count() === wide * 2)
   }
 
+  test("a11 integer-sum corr/stddev equal the built-in aggregates") {
+    val formula = AnalyticQueries.a11Stats(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val builtin = Lake.table(spark, sf0001, "events")
+      .select(col("event_type"),
+        (round(col("value") * 100) / 100.0).as("v"), col("user_id").as("y"))
+      .groupBy(col("event_type"))
+      .agg(corr(col("v"), col("y")).as("c"), stddev_pop(col("v")).as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(formula.keySet === builtin.keySet)
+    formula.foreach { case (k, (c, sd)) =>
+      assert(math.abs(c - builtin(k)._1) < 1e-9, s"$k corr")
+      assert(math.abs(sd - builtin(k)._2) < 1e-9, s"$k stddev")
+    }
+  }
+
   test("stratified sample hits every stratum near its fraction") {
     val out = AnalyticQueries.a10StratifiedSample(spark, sf0001).collect()
     assert(out.length === 5)
