@@ -229,6 +229,24 @@ object AnalyticQueries {
           col("n") / 100.0, 9).as("sd_value"))
       .orderBy(col("event_type"))
 
+  /** A12: arbitrary GROUPING SETS with grouping() null-vs-group markers,
+    * driven through the SQL surface (EP2) — the same text runs on both
+    * engines verbatim. Catalyst plans it as one Expand, same as rollup.
+    */
+  def a12GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Lake.table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(GroupingSetsSql)
+  }
+
+  private val GroupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+      |  count(*) AS c,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS rev
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
@@ -241,7 +259,8 @@ object AnalyticQueries {
     "w5_rank_family"       -> (w5RankFamily _),
     "f10_regexp"           -> (f10Regexp _),
     "f11_arrays"           -> (f11Arrays _),
-    "a11_stats"            -> (a11Stats _))
+    "a11_stats"            -> (a11Stats _),
+    "a12_grouping_sets"    -> (a12GroupingSets _))
 
   val oracle: Map[String, String] = Map(
     "a7_pivot" ->
@@ -346,5 +365,7 @@ object AnalyticQueries {
         |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
         |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 9) AS corr_xy,
         |  round(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) / n / 100.0, 9) AS sd_value
-        |FROM s ORDER BY event_type""".stripMargin)
+        |FROM s ORDER BY event_type""".stripMargin,
+    // Verbatim the same SQL text the Spark side runs (EP2 parity).
+    "a12_grouping_sets" -> GroupingSetsSql)
 }
