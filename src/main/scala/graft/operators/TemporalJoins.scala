@@ -93,6 +93,95 @@ object TemporalJoins {
     org.apache.spark.sql.types.StructType(
       cols.distinct.map(c => df.schema(c)))
 
+  /** Skew-resistant as-of join: identical semantics to [[asofJoin]]
+    * (backward, inclusive, max-(time, tie) match, left-outer) but windows
+    * partition by (key, time-chunk) instead of key alone, so a
+    * pathologically hot key no longer serializes into one task — each
+    * task sees at most one chunk's rows.
+    *
+    * Two-pass structure:
+    *   1. within-chunk pass — the usual union-tag running-last window,
+    *      partitioned by (key, chunk);
+    *   2. carry pass — per (key, chunk), the single best right row
+    *      (max (time, tie)) is aggregated (mergeable, O(1) state), a
+    *      running carry-in is computed over the CHUNK SPINE (one row per
+    *      occupied chunk — tiny relative to the data), and joined back;
+    *      left rows unmatched within their chunk take the carry-in.
+    *
+    * Cost: the big shuffle is on (key, chunk) — same volume as
+    * [[asofJoin]]'s but with bounded partitions; the carry table is one
+    * row per occupied (key, chunk). Pick `chunkSpan` so a hot key's
+    * densest chunk fits a task (e.g. an hour of a symbol's ticks).
+    */
+  def asofJoinChunked(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightTie: String,
+      rightPayload: Seq[String],
+      chunkSpan: Long): DataFrame = {
+    require(chunkSpan > 0, "chunkSpan must be positive")
+    val leftCols = left.columns.toSeq
+    val matchedCols = (rightTime +: rightTie +: rightPayload).distinct
+    def chunkOf(c: Column): Column =
+      ((c - ((c % chunkSpan + chunkSpan) % chunkSpan)).cast("long") / chunkSpan)
+        .cast("long")
+    // Timestamps must order at full precision: epoch micros, not the
+    // seconds a plain long cast would give. chunkSpan is then in µs.
+    def asLong(df: DataFrame, c: String): Column =
+      if (df.schema(c).dataType == org.apache.spark.sql.types.TimestampType)
+        unix_micros(col(c))
+      else col(c).cast("long")
+
+    val taggedLeft = left.select(
+      col(leftKey).as("_k"),
+      asLong(left, leftTime).as("_t"),
+      lit(1).as("_side"),
+      lit(null).cast("long").as("_tie"),
+      struct(leftCols.map(col): _*).as("_lrow"),
+      lit(null).cast(structType(right, matchedCols: _*)).as("_rrow"))
+    val taggedRight = right.select(
+      col(rightKey).as("_k"),
+      asLong(right, rightTime).as("_t"),
+      lit(0).as("_side"),
+      col(rightTie).cast("long").as("_tie"),
+      lit(null).cast(structType(left, leftCols: _*)).as("_lrow"),
+      struct(matchedCols.map(col): _*).as("_rrow"))
+    val union = taggedLeft.unionByName(taggedRight)
+      .withColumn("_c", chunkOf(col("_t")))
+
+    // Pass 1: within-chunk running last (bounded partitions).
+    val w = Window.partitionBy("_k", "_c")
+      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = union
+      .withColumn("_m", last(col("_rrow"), ignoreNulls = true).over(w))
+
+    // Pass 2: best right row per occupied (key, chunk) — max of
+    // (t, tie, rrow) struct, an O(1)-state mergeable aggregate — then the
+    // running carry-in over the chunk spine (previous chunks only).
+    val carries = union
+      .groupBy(col("_k"), col("_c"))
+      .agg(max(when(col("_rrow").isNotNull,
+        struct(col("_t"), col("_tie"), col("_rrow")))).as("_best"))
+    val spineW = Window.partitionBy("_k").orderBy(col("_c").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spine = carries
+      .withColumn("_carryin", last(col("_best"), ignoreNulls = true).over(spineW))
+      .select(col("_k").as("_sk"), col("_c").as("_sc"), col("_carryin._rrow").as("_carry"))
+
+    within
+      .filter(col("_lrow").isNotNull)
+      .join(spine, col("_k") === col("_sk") && col("_c") === col("_sc"), "left")
+      .withColumn("_m2", coalesce(col("_m"), col("_carry")))
+      .select(
+        leftCols.map(c => col(s"_lrow.$c").as(c)) ++
+          matchedCols.map(c => col(s"_m2.$c").as(c)): _*)
+  }
+
   /** Band join without an equi key: all (l, r) pairs with
     * |posL − posR| ≤ tolerance, where pos* are long-valued columns (epoch
     * micros, scaled numerics, …). Column names of the two inputs must be

@@ -84,6 +84,29 @@ object TemporalBench {
     }
     println(f"naive/operator at ${small / 1000}k rows: ${tNaive / tOp}%.1fx " +
       "(naive candidate set grows ~n^2/K; operator stays linear)")
+
+    // Hot-key skew: 50% of both sides on ONE key. Plain asofJoin
+    // serializes that key into a single window task; the chunked variant
+    // bounds every task to one (key, chunk).
+    def skewed(salt: Int, idName: String): DataFrame =
+      spark.range(n).select(
+        when(pmod(xxhash64(col("id"), lit(salt + 2)), lit(2)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id"), lit(salt)), lit(keys))).as("k" + salt),
+        (col("id") * 3 + pmod(xxhash64(col("id"), lit(salt + 1)), lit(1000)))
+          .as("t" + salt),
+        col("id").as(idName))
+    val skl = skewed(11, "lid")
+    val skr = skewed(23, "rid")
+    val tPlain = timed(s"asofJoin  ${n / 1000000}M skewed (1 hot key)") {
+      TemporalJoins.asofJoin(skl, skr, "k11", "k23", "t11", "t23",
+        "rid", Seq("rid")).agg(count(col("rid"))).collect()(0).getLong(0)
+    }
+    val tChunk = timed(s"asofJoinChunked same, span=n/64") {
+      TemporalJoins.asofJoinChunked(skl, skr, "k11", "k23", "t11", "t23",
+        "rid", Seq("rid"), chunkSpan = math.max(1L, n * 3 / 64))
+        .agg(count(col("rid"))).collect()(0).getLong(0)
+    }
+    println(f"chunked speedup on hot key: ${tPlain / tChunk}%.2fx")
     spark.stop()
   }
 }

@@ -85,6 +85,44 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("asofJoinChunked equals asofJoin for every chunk size") {
+    val rnd = new scala.util.Random(99)
+    // Dense keys + sparse keys + a key whose matches must carry across
+    // many empty chunks.
+    val ldata = (1 to 400).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rdata = (1 to 400).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, (5000 + i).toLong)) :+
+      ((9L, 3L, 9999L)) // lone right row: later left rows carry across chunks
+    val lx = ldata :+ ((9L, 950L, 500L))
+    val l = lx.toDF("k", "t", "lid")
+    val r = rdata.toDF("rk", "rt", "rid")
+    val want = TemporalJoins.asofJoin(l, r, "k", "rk", "t", "rt", "rid", Seq("rid"))
+      .select("lid", "rt", "rid").collect()
+      .map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2)))).toSet
+    for (span <- Seq(1L, 7L, 64L, 1000L, 100000L)) {
+      val got = TemporalJoins.asofJoinChunked(
+          l, r, "k", "rk", "t", "rt", "rid", Seq("rid"), chunkSpan = span)
+        .select("lid", "rt", "rid").collect()
+        .map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2)))).toSet
+      assert(got === want, s"chunkSpan=$span diverged from asofJoin")
+    }
+  }
+
+  test("asofJoinChunked handles timestamp time columns at full precision") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.000501"), 1L))
+      .toDF("k", "t", "lid")
+    val r = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.000500"), 10L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.000502"), 11L)
+    ).toDF("rk", "rt", "rid")
+    // A seconds-precision cast would see all three at t=0 and match rid=11.
+    val got = TemporalJoins.asofJoinChunked(
+        l, r, "k", "rk", "t", "rt", "rid", Seq("rid"), chunkSpan = 1000L)
+      .select("rid").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(10L))
+  }
+
   test("proximityJoin produces each pair exactly once") {
     val a = Seq((1L, 100L)).toDF("a_id", "a_pos")
     val b = Seq((2L, 100L), (3L, 137L), (4L, 63L), (5L, 138L)).toDF("b_id", "b_pos")
