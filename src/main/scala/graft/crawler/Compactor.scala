@@ -1,0 +1,55 @@
+package graft.crawler
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction (C6) — the lake-maintenance operation a crawler
+  * exists to flag. Streaming sinks and incremental ingests leave datasets
+  * as thousands of KB-sized files; each costs a task, a footer read and a
+  * namenode round-trip, so at 100 TB a 10⁶-file table is scan-bound on
+  * metadata, not bytes. Compaction rewrites a dataset into
+  * ceil(bytes / targetFileBytes) files and atomically swaps directories.
+  *
+  * The rewrite is one distributed job (read → repartition(n) → write to a
+  * temp sibling, then two renames); content is preserved exactly — gated
+  * by `s9_compaction`, whose oracle reads the ORIGINAL layout.
+  */
+object Compactor {
+
+  /** Number of output files a dataset should compact to. */
+  def targetFileCount(sizeBytes: Long, targetFileBytes: Long): Int =
+    math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
+
+  /** Compact `info`'s directory into ~targetFileBytes files. Returns the
+    * new file count. Only directory-backed parquet/orc datasets qualify
+    * (single files and text formats are left alone).
+    */
+  def compact(
+      spark: SparkSession,
+      info: DatasetInfo,
+      targetFileBytes: Long): Int = {
+    require(info.format == "parquet" || info.format == "orc",
+      s"compaction supports columnar datasets, not ${info.format}")
+    val n = targetFileCount(info.sizeBytes, targetFileBytes)
+    if (n >= info.numFiles) return info.numFiles // already compact enough
+
+    val src = new Path(info.path)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.getFileStatus(src).isDirectory,
+      s"compaction target must be a directory: ${info.path}")
+    val tmp = new Path(src.getParent, s".${src.getName}__compacting")
+    val old = new Path(src.getParent, s".${src.getName}__old")
+    fs.delete(tmp, true); fs.delete(old, true)
+
+    val df = spark.read.format(info.format).load(info.path)
+    df.repartition(n).write.format(info.format).save(tmp.toString)
+
+    // Swap: src -> old, tmp -> src, drop old. Readers see either the old
+    // or the new complete directory, never a partial one.
+    if (!fs.rename(src, old)) sys.error(s"compaction swap failed for $src")
+    if (!fs.rename(tmp, src)) { fs.rename(old, src); sys.error(s"swap-in failed for $src") }
+    fs.delete(old, true)
+    fs.listStatus(src).count(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+  }
+}

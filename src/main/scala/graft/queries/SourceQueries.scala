@@ -151,12 +151,42 @@ object SourceQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** S9: small-file compaction — events fragmented into 64 tiny files,
+    * re-discovered by the crawler, compacted to a handful with an atomic
+    * directory swap, then aggregated. The oracle reads the ORIGINAL
+    * single-file table, so the gate pins that fragmentation + compaction
+    * is lossless end-to-end; the in-run requires pin the file counts.
+    */
+  def s9Compaction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.crawler.Compactor
+    val out = s"$gateRoot/events_fragmented"
+    Lake.table(spark, dir, "events")
+      .repartition(64)
+      .write.mode("overwrite").parquet(out)
+    val before = LakeCrawler.discover(spark, gateRoot)
+      .find(_.name == "events_fragmented").get
+    require(before.numFiles == 64, s"expected 64 fragments, got ${before.numFiles}")
+    val targetBytes = math.max(1L, before.sizeBytes / 4)
+    val after = Compactor.compact(spark, before, targetBytes)
+    require(after <= 8 && after < before.numFiles,
+      s"compaction did not reduce files: $after")
+    LakeCrawler.open(spark,
+        LakeCrawler.discover(spark, gateRoot).find(_.name == "events_fragmented").get)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("c"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("s"),
+        countDistinct(col("event_id")).as("ids"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "s2_csv_inference"  -> (s2CsvInference _),
     "s3_json_inference" -> (s3JsonInference _),
     "s1_multifile_scan" -> (s1MultifileScan _),
     "s7_bucketed_join"  -> (s7BucketedJoin _),
-    "s8_orc_roundtrip"  -> (s8OrcRoundtrip _))
+    "s8_orc_roundtrip"  -> (s8OrcRoundtrip _),
+    "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
     // Reads the SAME csv files the gate wrote — engine inference vs DuckDB
@@ -181,6 +211,13 @@ object SourceQueries {
         | sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS s
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // Fragmentation + compaction must be lossless: same aggregate from
+    // the original table.
+    "s9_compaction" ->
+      """SELECT event_type, count(*) AS c,
+        | sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS s,
+        | count(DISTINCT event_id) AS ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // ORC round-trip must be lossless: same aggregate from the original
     // parquet table (DuckDB has no ORC reader).
     "s8_orc_roundtrip" ->

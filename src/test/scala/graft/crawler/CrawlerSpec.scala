@@ -29,6 +29,22 @@ class CrawlerSpec extends SparkSpecBase {
     assert(LakeCrawler.detectFormat(spark, strip(s"$tmp/p", ".parquet")) == "parquet")
   }
 
+  test("C6: compaction reduces file count, preserves rows, and is idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = graft.core.Lake.table(spark, sf0001, "nation")
+    df.repartition(10).write.mode("overwrite").parquet(s"$tmp/nation10")
+    def info = LakeCrawler.discover(spark, tmp).find(_.name == "nation10").get
+    assert(info.numFiles == 10)
+    val n = Compactor.compact(spark, info, targetFileBytes = info.sizeBytes)
+    assert(n == 1 || n == 2) // ceil(size/size)=1 file (+possible empty split)
+    assert(spark.read.parquet(s"$tmp/nation10").count() == 25)
+    // Idempotent: already at/below target → untouched.
+    val n2 = Compactor.compact(spark, info, targetFileBytes = info.sizeBytes)
+    assert(n2 == info.numFiles)
+    assert(Compactor.targetFileCount(1000, 300) == 4)
+    assert(Compactor.targetFileCount(0, 300) == 1)
+  }
+
   test("C2: events schema normalizes ns timestamp to TimestampType") {
     val info = LakeCrawler.discover(spark, sf0001).find(_.name == "events").get
     val sch = LakeCrawler.extractSchema(spark, info)
