@@ -247,6 +247,24 @@ object AnalyticQueries {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** F12: null-handling family — nullif/coalesce/nvl over synthesized
+    * nulls (the corpus itself is null-free), plus null-aware counts.
+    */
+  def f12NullFunctions(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        nullif(col("o_orderstatus"), lit("F")).as("st"),
+        when(col("o_totalprice") > 150000, col("o_totalprice")).as("big"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("st")).as("non_f"),
+        sum(when(col("st").isNull, 1L).otherwise(0L)).as("f_cnt"),
+        count(col("big")).as("bigs"),
+        (sum(round(coalesce(col("big"), lit(0.0)) * 100).cast("long")) / 100.0)
+          .as("big_sum"))
+      .orderBy(col("o_orderpriority"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
@@ -260,7 +278,8 @@ object AnalyticQueries {
     "f10_regexp"           -> (f10Regexp _),
     "f11_arrays"           -> (f11Arrays _),
     "a11_stats"            -> (a11Stats _),
-    "a12_grouping_sets"    -> (a12GroupingSets _))
+    "a12_grouping_sets"    -> (a12GroupingSets _),
+    "f12_null_functions"   -> (f12NullFunctions _))
 
   val oracle: Map[String, String] = Map(
     "a7_pivot" ->
@@ -367,5 +386,15 @@ object AnalyticQueries {
         |  round(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) / n / 100.0, 9) AS sd_value
         |FROM s ORDER BY event_type""".stripMargin,
     // Verbatim the same SQL text the Spark side runs (EP2 parity).
-    "a12_grouping_sets" -> GroupingSetsSql)
+    "a12_grouping_sets" -> GroupingSetsSql,
+    "f12_null_functions" ->
+      """WITH b AS (SELECT o_orderpriority,
+        |    nullif(o_orderstatus, 'F') AS st,
+        |    CASE WHEN o_totalprice > 150000 THEN o_totalprice END AS big
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n, count(st) AS non_f,
+        |  sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS f_cnt,
+        |  count(big) AS bigs,
+        |  sum(CAST(round(coalesce(big, 0.0)*100) AS BIGINT)) / 100.0 AS big_sum
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -62,6 +62,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark bounds state yet dedups in-window") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = out.writeStream.format("memory").queryName("ddw_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events + an in-batch duplicate — one survivor each.
+      mem.addData(Ev(1, t(0), 1, 1.0), Ev(1, t(0), 1, 1.0), Ev(2, t(5), 1, 1.0))
+      q.processAllAvailable()
+      // batch 2: duplicate of id 1 arriving within the watermark — dropped.
+      mem.addData(Ev(1, t(6), 1, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("ddw_test").count() == 2,
+        "in-window duplicate not dropped")
+      // batch 3: far-future event expires old state (watermark passes
+      // t(0)+10min); the operator guarantees dedup only WITHIN the
+      // watermark, so state for ids 1/2 may now be evicted — the point
+      // is bounded state, proven by the state-store metrics.
+      mem.addData(Ev(3, t(600), 1, 1.0))
+      q.processAllAvailable()
+      val rowsInState = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(rowsInState <= 2,
+        s"state not bounded by watermark: $rowsInState rows retained")
+    } finally q.stop()
+  }
+
   test("stream-stream join matches across micro-batches, within the range") {
     implicit val sc = spark.sqlContext
     val pm = MemoryStream[Ev]
