@@ -27,6 +27,36 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Upsert/merge: apply a change batch to a snapshot, keep-latest per
+    * key with optional delete markers — the incremental-maintenance
+    * primitive (catalog refresh, CDC apply, dataset versioning).
+    *
+    * Semantics: rows from `updates` supersede rows from `base` with the
+    * same key; among multiple updates for a key the greatest `versionCol`
+    * wins (ties impossible when version includes a batch sequence — the
+    * caller's contract); a winning row whose `deleteCol` is true removes
+    * the key entirely. One shuffle on the key (window row_number), no
+    * driver involvement — identical cost shape to [[exactDedup]], so a
+    * 100 TB snapshot merges a batch in one pass.
+    */
+  def applyUpserts(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      deleteCol: Option[String] = None): DataFrame = {
+    val cols = base.columns.toSeq
+    val tagged = base.select(cols.map(col): _*).withColumn("__upd", lit(0))
+      .unionByName(updates.select(cols.map(col): _*).withColumn("__upd", lit(1)))
+    // Updates beat base at equal version; newer version beats older.
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__upd").desc)
+    val kept = tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    deleteCol.fold(kept)(d => kept.filter(!coalesce(col(d), lit(false))))
+      .drop("__rn", "__upd")
+  }
+
   /** MinHash+LSH near-dup candidate pairs over word-shingle sets.
     *
     * Pipeline: shingle → hash to a sparse binary feature vector

@@ -308,7 +308,31 @@ object PipelineQueries {
       .select(col("user_id"), col("st"), col("en"), col("n"))
       .orderBy(col("user_id"), col("st"))
 
+  /** L1c: upsert/merge — apply a deterministic change batch (10% of
+    * orders re-priced, 1% deleted) to the snapshot with keep-latest
+    * semantics, then aggregate. One key shuffle (Dedup.applyUpserts);
+    * the oracle reconstructs the same merge as UNION ALL + row_number.
+    */
+  def l1Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Lake.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val base = orders
+      .withColumn("version", lit(0L)).withColumn("deleted", lit(false))
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .withColumn("version", lit(1L))
+      .withColumn("deleted", col("o_orderkey") % 100 === 0)
+    graft.operators.Dedup.applyUpserts(base, updates,
+        keyCols = Seq("o_orderkey"), versionCol = "version",
+        deleteCol = Some("deleted"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("s"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "l1_upsert"          -> (l1Upsert _),
     "l1_dedup_keepfirst" -> (l1DedupKeepfirst _),
     "l2_minhash_pairs"   -> (l2MinhashPairs _),
     "l2_simhash_pairs"   -> (l2SimhashPairs _),
@@ -506,6 +530,20 @@ object PipelineQueries {
     "l1_dedup_keepfirst" ->
       """SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(kept) AS BIGINT) AS sum_kept
         |FROM (SELECT min(doc_id) AS kept FROM documents GROUP BY md5(text)) t""".stripMargin,
+    // Independent reconstruction of the merge: UNION ALL + row_number.
+    "l1_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    0 AS version, false AS deleted FROM orders),
+        |upd AS (SELECT o_orderkey, o_orderpriority, o_totalprice + 1000,
+        |    1 AS version, (o_orderkey % 100 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |        ORDER BY version DESC) AS rn FROM u)
+        |SELECT o_orderpriority, count(*) AS c,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS s
+        |FROM r WHERE rn = 1 AND NOT deleted
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "l1_dup_groups" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),

@@ -76,6 +76,30 @@ class DedupSpec extends SparkSpecBase {
     assert(groups.size == 20)
   }
 
+  test("applyUpserts: latest version wins, updates beat base, deletes remove") {
+    val base = Seq(
+      (1L, "a", 0L, false), (2L, "b", 0L, false), (3L, "c", 0L, false)
+    ).toDF("k", "v", "version", "deleted")
+    val updates = Seq(
+      (1L, "a2", 1L, false),  // update
+      (1L, "a3", 2L, false),  // later update wins
+      (2L, "x", 1L, true),    // delete
+      (4L, "d", 1L, false)    // insert
+    ).toDF("k", "v", "version", "deleted")
+    val out = Dedup.applyUpserts(base, updates, Seq("k"), "version",
+        Some("deleted"))
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a3", 3L -> "c", 4L -> "d"))
+  }
+
+  test("applyUpserts: update supersedes base at equal version") {
+    val base = Seq((1L, "old", 5L)).toDF("k", "v", "version")
+    val updates = Seq((1L, "new", 5L)).toDF("k", "v", "version")
+    val out = Dedup.applyUpserts(base, updates, Seq("k"), "version")
+      .select("v").as[String].collect().toSeq
+    assert(out === Seq("new"))
+  }
+
   test("ngramJaccard: exact dup = 1.0, near-dup high, reflexive bound") {
     val cand = Seq((0L, 100L), (1L, 101L), (2L, 3L)).toDF("a_id", "b_id")
     val j = Dedup.ngramJaccard(docs, cand, "text", "doc_id", n = 3)
