@@ -19,6 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[graft.plans.RollingFingerprint].getName,
+        "rolling_fingerprint"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.RollingFingerprint(exprs.head)))
   }
 }
 

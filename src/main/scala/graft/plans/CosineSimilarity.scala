@@ -101,8 +101,13 @@ object GraftFunctions {
         org.apache.spark.sql.graftbridge.Bridge.expression(a),
         org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
-  /** Register `cosine_sim` for SQL texts in this session. */
-  def register(spark: SparkSession): Unit =
+  /** Register the engine's native functions for SQL texts in this
+    * session: `cosine_sim(vec, vec)` and `rolling_fingerprint(text)`.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_fingerprint", exprs => RollingFingerprint(exprs(0)), "scala_udf")
+  }
 }

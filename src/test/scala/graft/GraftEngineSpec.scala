@@ -27,6 +27,18 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
+  test("rolling_fingerprint is available in SQL and matches the Column API") {
+    val viaSql = eng.sql(
+      "SELECT rolling_fingerprint(text) f FROM documents WHERE doc_id = 3")
+      .head().getLong(0)
+    val viaCol = eng.table("documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 3)
+      .select(graft.functions.TextFunctions.fingerprint(
+        org.apache.spark.sql.functions.col("text")))
+      .head().getLong(0)
+    assert(viaSql === viaCol)
+  }
+
   test("table surface returns the normalized schema") {
     assert(eng.table("events").schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
