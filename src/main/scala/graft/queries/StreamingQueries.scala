@@ -86,13 +86,32 @@ object StreamingQueries {
         "st6_mem", "append")
       .orderBy(col("purchase_id"), col("click_id"))
 
+  /** ST7: streaming CDC apply — micro-batches merged into a keyed
+    * snapshot (latest event per user) via foreachBatch + applyUpserts,
+    * double-buffered parquet dirs. Final snapshot must equal the batch
+    * keep-latest oracle regardless of how the replay was batched.
+    */
+  def st7UpsertSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val staging = Files.createTempDirectory("graft_st7_in").toString
+    val work = Files.createTempDirectory("graft_st7_snap").toString
+    EventStreams.stageEventsWithSentinel(spark, dir, staging)
+    val snap = EventStreams.runUpsertSnapshot(spark, staging, work)
+    spark.read.parquet(snap)
+      .agg(
+        count(lit(1)).as("users"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("latest_sum"),
+        max(col("version")).as("max_version"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st1_tumbling"    -> (st1Tumbling _),
     "st2_sliding"     -> (st2Sliding _),
     "st3_session"     -> (st3Session _),
     "st4_dedup_count" -> (st4DedupCount _),
     "st5_file_sink"   -> (st5FileSink _),
-    "st6_stream_join" -> (st6StreamJoin _))
+    "st6_stream_join" -> (st6StreamJoin _),
+    "st7_upsert_snapshot" -> (st7UpsertSnapshot _))
 
   val oracle: Map[String, String] = Map(
     "st1_tumbling" ->
@@ -132,5 +151,15 @@ object StreamingQueries {
         |  ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND p.user_id = c.user_id
         | AND c.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
-        |ORDER BY purchase_id, click_id""".stripMargin)
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // Batch keep-latest truth: the streamed CDC merge must land on the
+    // same snapshot no matter how the replay was micro-batched.
+    "st7_upsert_snapshot" ->
+      """WITH r AS (SELECT user_id, value, epoch_us(ts) AS version,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |  FROM events)
+        |SELECT count(*) AS users,
+        |  sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS latest_sum,
+        |  max(version) AS max_version
+        |FROM r WHERE rn = 1""".stripMargin)
 }

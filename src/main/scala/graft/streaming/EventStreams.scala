@@ -117,6 +117,50 @@ object EventStreams {
       result.schema)
   }
 
+  /** ST7: streaming CDC apply / materialized-view maintenance. Each
+    * micro-batch of events is merged into a keyed parquet snapshot
+    * (latest row per user) with `Dedup.applyUpserts` inside
+    * `foreachBatch`, alternating between two snapshot directories so a
+    * reader always sees a complete snapshot. Because the merge is
+    * version-resolved (unix_micros(ts)), the final state is independent
+    * of batch boundaries and arrival order — which is what the batch
+    * oracle checks. At scale the snapshot write is the same one-pass
+    * keyed merge as any CDC sink; state lives in the table, not the
+    * stream, so there is no growing operator state at all.
+    */
+  def runUpsertSnapshot(
+      spark: SparkSession,
+      staging: String,
+      workDir: String,
+      maxFilesPerTrigger: Int = 2): String = {
+    val sch = spark.read.parquet(staging).schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(staging)
+      .filter(col("event_type") =!= SentinelType)
+    val dirs = Array(s"$workDir/snap_a", s"$workDir/snap_b")
+    var cur = -1 // index of the current snapshot dir, -1 = none yet
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val updates = batch
+          .select(col("user_id"), col("ts"), col("value"))
+          .withColumn("version", unix_micros(col("ts")))
+        val base =
+          if (cur < 0) updates.limit(0)
+          else batch.sparkSession.read.parquet(dirs(cur))
+        val next = (cur + 1 + dirs.length) % dirs.length
+        graft.operators.Dedup.applyUpserts(
+            base, updates, Seq("user_id"), "version")
+          .write.mode("overwrite").parquet(dirs(next))
+        cur = next
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    require(cur >= 0, "stream produced no batches")
+    dirs(cur)
+  }
+
   /** Sentinel event_type used to push the watermark past the last real
     * window so APPEND-mode sinks flush everything on finite input.
     */
