@@ -265,6 +265,26 @@ object AnalyticQueries {
           .as("big_sum"))
       .orderBy(col("o_orderpriority"))
 
+  /** F13: date/time component extraction + day arithmetic + interval
+    * shift — the portable subset (year..second, datediff, fixed-width
+    * intervals). Month arithmetic (add_months) is deliberately NOT gated:
+    * end-of-month clamping differs across engines.
+    */
+  def f13Datetime(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "events")
+      .filter(col("user_id") < 2)
+      .select(col("event_id"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("mo"),
+        dayofmonth(col("ts")).cast("long").as("d"),
+        hour(col("ts")).cast("long").as("h"),
+        minute(col("ts")).cast("long").as("mi"),
+        second(col("ts")).cast("long").as("s"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("days_in"),
+        (col("ts") + expr("INTERVAL 90 MINUTES")).as("shifted"))
+      .orderBy(col("event_id"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
@@ -279,7 +299,8 @@ object AnalyticQueries {
     "f11_arrays"           -> (f11Arrays _),
     "a11_stats"            -> (a11Stats _),
     "a12_grouping_sets"    -> (a12GroupingSets _),
-    "f12_null_functions"   -> (f12NullFunctions _))
+    "f12_null_functions"   -> (f12NullFunctions _),
+    "f13_datetime"         -> (f13Datetime _))
 
   val oracle: Map[String, String] = Map(
     "a7_pivot" ->
@@ -396,5 +417,13 @@ object AnalyticQueries {
         |  sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS f_cnt,
         |  count(big) AS bigs,
         |  sum(CAST(round(coalesce(big, 0.0)*100) AS BIGINT)) / 100.0 AS big_sum
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f13_datetime" ->
+      """SELECT event_id,
+        |  date_part('year', ts) AS y, date_part('month', ts) AS mo,
+        |  date_part('day', ts) AS d, date_part('hour', ts) AS h,
+        |  date_part('minute', ts) AS mi, date_part('second', ts) AS s,
+        |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_in,
+        |  ts + INTERVAL 90 MINUTE AS shifted
+        |FROM events WHERE user_id < 2 ORDER BY event_id""".stripMargin)
 }
