@@ -94,7 +94,28 @@ object CorpusQueries {
         col("sv").cast("double") / 1000000.0 / col("n"))
       .orderBy(col("label"), col("pos"))
 
+  /** L4j: heavy hitters via the SpaceSaving mergeable sketch
+    * (plans.SpaceSaving — O(capacity) state, map-side partials). With
+    * capacity ≥ the corpus vocabulary the sketch is provably exact with
+    * zero error, which is what makes this gate deterministic; the
+    * approximate regime's guarantees (overcount bound, n/capacity
+    * presence) are property-tested in SpaceSavingSpec.
+    */
+  def l4HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val words = Lake.table(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    words
+      .agg(graft.plans.SpaceSaving.space_saving(col("term"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").as("c"),
+        col("e.error").as("err"))
+      .orderBy(col("c").desc, col("term"))
+      .limit(10)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "l4_heavy_hitters" -> (l4HeavyHitters _),
     "l4_word_freq"  -> (l4WordFreq _),
     "l4_tfidf_top"  -> (l4TfidfTop _),
     "l4_repetition" -> (l4Repetition _),
@@ -107,6 +128,13 @@ object CorpusQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |WHERE length(term) > 0
         |GROUP BY term ORDER BY c DESC, term LIMIT 20""".stripMargin,
+    // capacity >= vocabulary -> the sketch is exact with zero error, so
+    // the oracle is the plain exact top-10.
+    "l4_heavy_hitters" ->
+      """SELECT term, count(*) AS c, 0 AS err
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |WHERE length(term) > 0
+        |GROUP BY term ORDER BY c DESC, term LIMIT 10""".stripMargin,
     "l4_tfidf_top" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |             FROM documents),
