@@ -193,9 +193,11 @@ object AnalyticQueries {
       .select(col("p_partkey"), toks.as("toks"))
       .filter(col("p_partkey") < 50)
       .select(col("p_partkey"),
-        size(col("toks")).as("n"),
+        size(col("toks")).cast("long").as("n"),
         array_join(array_sort(col("toks")), "-").as("sorted_joined"),
-        slice(array_sort(col("toks")), 1, 1).as("head1"),
+        // Scalar, not a raw array: the verify harness canonicalizes row
+        // order via a pandas sort, which cannot hash array cells.
+        element_at(array_sort(col("toks")), 1).as("head1"),
         array_contains(col("toks"), "widget").as("has_widget"))
       .orderBy(col("p_partkey"))
   }
@@ -330,7 +332,7 @@ object AnalyticQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "f7_map_functions" ->
       """SELECT event_type, key, count(*) AS c,
-        |  sum(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS s,
+        |  CAST(sum(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS BIGINT) AS s,
         |  min(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS mn,
         |  max(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS mx
         |FROM (SELECT event_type, unnest(json_keys(props)) AS key, props
@@ -345,19 +347,19 @@ object AnalyticQueries {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "f9_edit_distance" ->
       """SELECT p_brand, count(*) AS c,
-        |  min(levenshtein(p_name, p_type)) AS dmin,
-        |  max(levenshtein(p_name, p_type)) AS dmax,
-        |  sum(levenshtein(p_name, p_type)) AS dsum
+        |  CAST(min(levenshtein(p_name, p_type)) AS BIGINT) AS dmin,
+        |  CAST(max(levenshtein(p_name, p_type)) AS BIGINT) AS dmax,
+        |  CAST(sum(levenshtein(p_name, p_type)) AS BIGINT) AS dsum
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
     "w4_frames" ->
       """WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
         |    CAST(round(value*100) AS BIGINT) AS cents
         |  FROM events WHERE user_id < 3)
         |SELECT event_id, user_id,
-        |  sum(cents) OVER w4 AS mv_sum,
+        |  CAST(sum(cents) OVER w4 AS BIGINT) AS mv_sum,
         |  count(*) OVER w4 AS mv_n,
-        |  sum(cents) OVER w4 / 100.0 / count(*) OVER w4 AS mv_avg,
-        |  sum(cents) OVER hr AS hr_sum,
+        |  CAST(sum(cents) OVER w4 AS BIGINT) / 100.0 / count(*) OVER w4 AS mv_avg,
+        |  CAST(sum(cents) OVER hr AS BIGINT) AS hr_sum,
         |  count(*) OVER hr AS hr_n
         |FROM e
         |WINDOW
@@ -384,13 +386,13 @@ object AnalyticQueries {
       """SELECT regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
         |  count(*) AS c,
         |  count(DISTINCT regexp_extract(p_name, '([a-z]+)', 1)) AS adjs,
-        |  sum(length(regexp_replace(p_name, '[aeiou]', '', 'g'))) AS cons
+        |  CAST(sum(length(regexp_replace(p_name, '[aeiou]', '', 'g'))) AS BIGINT) AS cons
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
     "f11_arrays" ->
       """SELECT p_partkey,
-        |  len(string_split(p_name, ' ')) AS n,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n,
         |  array_to_string(list_sort(string_split(p_name, ' ')), '-') AS sorted_joined,
-        |  list_sort(string_split(p_name, ' '))[1:1] AS head1,
+        |  list_sort(string_split(p_name, ' '))[1] AS head1,
         |  list_contains(string_split(p_name, ' '), 'widget') AS has_widget
         |FROM part WHERE p_partkey < 50 ORDER BY p_partkey""".stripMargin,
     "a11_stats" ->
@@ -414,7 +416,7 @@ object AnalyticQueries {
         |    CASE WHEN o_totalprice > 150000 THEN o_totalprice END AS big
         |  FROM orders)
         |SELECT o_orderpriority, count(*) AS n, count(st) AS non_f,
-        |  sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS f_cnt,
+        |  CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
         |  count(big) AS bigs,
         |  sum(CAST(round(coalesce(big, 0.0)*100) AS BIGINT)) / 100.0 AS big_sum
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,

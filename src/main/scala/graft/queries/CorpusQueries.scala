@@ -85,8 +85,10 @@ object CorpusQueries {
     */
   def l3Centroids(spark: SparkSession, dir: String): DataFrame =
     Lake.table(spark, dir, "embeddings")
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .filter(col("pos") < 8)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .filter(col("p") < 8)
+      // posexplode yields int32; the oracle's range(8) is int64 — align.
+      .withColumn("pos", col("p").cast("long")).drop("p")
       .groupBy(col("label"), col("pos"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("v").cast("double") * 1000000).cast("long")).as("sv"))
@@ -156,7 +158,8 @@ object CorpusQueries {
         |c AS (SELECT doc_id, lang, term, count(*) AS cnt FROM t GROUP BY 1,2,3),
         |d AS (SELECT doc_id, lang, sum(cnt) AS tot, count(*) AS dist,
         |        max(cnt) AS mx FROM c GROUP BY 1, 2)
-        |SELECT lang, sum(tot) AS st, sum(dist) AS sd,
+        |SELECT lang, CAST(sum(tot) AS BIGINT) AS st,
+        |  CAST(sum(dist) AS BIGINT) AS sd,
         |  round(1 - CAST(sum(dist) AS DOUBLE) / sum(tot), 6) AS rep,
         |  max(round(CAST(mx AS DOUBLE) / tot, 6)) AS mts_max
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
@@ -172,13 +175,14 @@ object CorpusQueries {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
         |      AS clean
         |  FROM a)
-        |SELECT source, count(*) AS c, sum(length(aug)) AS before_chars,
-        |  sum(length(clean)) AS after_chars,
-        |  sum(CASE WHEN clean <> aug THEN 1 ELSE 0 END) AS changed
+        |SELECT source, count(*) AS c,
+        |  CAST(sum(length(aug)) AS BIGINT) AS before_chars,
+        |  CAST(sum(length(clean)) AS BIGINT) AS after_chars,
+        |  CAST(sum(CASE WHEN clean <> aug THEN 1 ELSE 0 END) AS BIGINT) AS changed
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
     "l3_centroids" ->
       """SELECT label, i AS pos, count(*) AS n,
-        |  sum(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)) AS sv,
+        |  CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sv,
         |  CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
         |    / 1000000.0 / count(*) AS centroid
         |FROM embeddings, range(8) t(i)
