@@ -22,18 +22,83 @@ case class DecodedImage(media_id: Long, width: Int, height: Int,
 /** Per-media feature vector (e.g. for the similarity ops downstream). */
 case class MediaFeatures(media_id: Long, features: Array[Float])
 
+/** The codec seam: payload bytes + declared metadata → decoded pixel
+  * buffer of `height·width·channels` bytes. Implementations must be
+  * Serializable (they ship to executors inside the decode closure).
+  */
+trait MediaCodec extends Serializable {
+  def decode(payload: Array[Byte], meta: MediaMeta): Array[Byte]
+}
+
+/** Deterministic md5-expansion codec — the ORACLE-REPRODUCIBLE stand-in
+  * for formats this container has no native library for (audio/video).
+  * Pixel block `i` is the digest of `payload ++ ":" ++ i`, so output is
+  * reproducible, shape-correct, content-dependent AND replayable in plain
+  * SQL (the l6 gate's DuckDB oracle recomputes the same md5 blocks) —
+  * the same trick that made the MinHash and sign-LSH gates hash-exact.
+  */
+object Md5Codec extends MediaCodec {
+  def decode(payload: Array[Byte], meta: MediaMeta): Array[Byte] = {
+    val n = meta.width * meta.height * meta.channels
+    val out = new Array[Byte](n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    var block = 0
+    while (i < n) {
+      md.reset()
+      md.update(payload)
+      md.update((":" + block).getBytes("UTF-8"))
+      val d = md.digest()
+      var j = 0
+      while (j < 16 && i < n) { out(i) = d(j); j += 1; i += 1 }
+      block += 1
+    }
+    out
+  }
+}
+
+/** REAL image decode via the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG —
+  * no external dependency). Emits row-major RGB triples; declared
+  * metadata is validated against the actual decoded dimensions so bad
+  * catalog entries fail loudly instead of mis-shaping buffers.
+  */
+object ImageIoCodec extends MediaCodec {
+  def decode(payload: Array[Byte], meta: MediaMeta): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"payload for ${meta.format} is not a decodable image")
+    require(img.getWidth == meta.width && img.getHeight == meta.height,
+      s"decoded ${img.getWidth}x${img.getHeight} != declared ${meta.width}x${meta.height}")
+    val out = new Array[Byte](meta.width * meta.height * 3)
+    var y = 0
+    var i = 0
+    while (y < meta.height) {
+      var x = 0
+      while (x < meta.width) {
+        val rgb = img.getRGB(x, y)
+        out(i) = ((rgb >> 16) & 0xff).toByte
+        out(i + 1) = ((rgb >> 8) & 0xff).toByte
+        out(i + 2) = (rgb & 0xff).toByte
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}
+
 /** Multimodal column handling (SURVEY.md §2.7 L6 + builder mandate):
   * image/audio/video as opaque `binary` columns with typed metadata.
   *
-  * The Spark-side plumbing here is REAL and tested — schema (binary +
-  * struct metadata), partition-parallel batched decode via
+  * The Spark-side plumbing is REAL and tested — schema (binary + struct
+  * metadata), partition-parallel batched decode via
   * `Dataset.mapPartitions` (the Scala-native equivalent of mapInPandas:
   * one iterator per partition, amortized per-batch setup), resize /
   * feature-extraction / frame-sampling math that operates on any pixel
-  * buffer. The CODEC itself is stubbed (this container has no image/audio
-  * libraries): `decodePayload` expands bytes deterministically instead of
-  * invoking a real decoder, and is the single function to swap for a real
-  * codec (marked STUB below).
+  * buffer. The codec is pluggable ([[MediaCodec]]): [[ImageIoCodec]] is a
+  * real JDK image decoder (spec-tested against generated PNGs);
+  * [[Md5Codec]] is the deterministic oracle-reproducible stand-in used by
+  * the l6 gate and for formats with no in-container library.
   *
   * Scale design: decode is embarrassingly parallel — co-partition by
   * media_id, never collect payloads; features (small) flow to joins/ANN,
@@ -41,26 +106,9 @@ case class MediaFeatures(media_id: Long, features: Array[Float])
   */
 object Multimodal {
 
-  /** STUB — deterministic fake codec. A real deployment replaces ONLY
-    * this: payload bytes → decoded pixel buffer of meta's declared shape.
-    * The fake expands the payload with a SplitMix64-style generator so
-    * output is reproducible, shape-correct, and content-dependent.
-    */
-  private[operators] def decodePayload(payload: Array[Byte], meta: MediaMeta): Array[Byte] = {
-    val n = meta.width * meta.height * meta.channels
-    val out = new Array[Byte](n)
-    var state = payload.foldLeft(0x9e3779b97f4a7c15L)((acc, b) => (acc * 31) + b)
-    var i = 0
-    while (i < n) {
-      state += 0x9e3779b97f4a7c15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      out(i) = ((z ^ (z >>> 31)) & 0xff).toByte
-      i += 1
-    }
-    out
-  }
+  /** Default codec for fixture/gate paths (see [[Md5Codec]]). */
+  private[operators] def decodePayload(payload: Array[Byte], meta: MediaMeta): Array[Byte] =
+    Md5Codec.decode(payload, meta)
 
   /** Build a media table from the documents corpus: payload = utf-8 text
     * bytes (a stand-in for real files), metadata derived from doc_id so
@@ -83,16 +131,17 @@ object Multimodal {
 
   /** Partition-parallel batched decode (mapPartitions = one setup per
     * partition, streaming through records — the batch shape a real codec
-    * wants).
+    * wants). Pass [[ImageIoCodec]] for real image payloads.
     */
-  def decodeImages(media: Dataset[MediaRecord]): Dataset[DecodedImage] = {
+  def decodeImages(media: Dataset[MediaRecord],
+      codec: MediaCodec = Md5Codec): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition setup for a real codec would go here (open context,
-      // pin buffers); the stub needs none.
+      // per-partition setup for a heavier codec would go here (open
+      // context, pin buffers); these codecs need none.
       it.map { r =>
         DecodedImage(r.media_id, r.meta.width, r.meta.height, r.meta.channels,
-          decodePayload(r.payload, r.meta))
+          codec.decode(r.payload, r.meta))
       }
     }
   }

@@ -233,21 +233,31 @@ object PipelineQueries {
   }
 
   /** L6: multimodal pipeline surface — binary payload + typed metadata →
-    * partition-parallel decode (stubbed codec, real plumbing) → 16-d
-    * histogram features → per-source aggregate. Deterministic; rows-only
-    * gate (the fake codec is not SQL-expressible); shapes and math are
-    * pinned in MultimodalSpec.
+    * partition-parallel decode (Md5Codec: oracle-reproducible) → 16-d
+    * histogram features → per-source aggregate. The histogram's bin-0
+    * share is recovered as an exact integer count (round(f·n) is exact
+    * because float32's 2⁻²⁴ relative error times n ≤ 3840 is ≪ 0.5), so
+    * the per-source rollup is a ratio of integer sums — the DuckDB oracle
+    * replays the md5 block expansion and counts '0' high-nibbles in SQL.
+    * Real-image decode (ImageIoCodec) is spec-tested with generated PNGs.
     */
   def l6MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val docs = Lake.table(spark, dir, "documents")
     val media = graft.operators.Multimodal.mediaFromDocuments(spark, docs)
     val feats = graft.operators.Multimodal.extractFeatures(
       graft.operators.Multimodal.decodeImages(media))
+    val meta = docs.select(col("doc_id").as("media_id"), col("source"),
+      ((col("doc_id") % 4 * 8 + 16) * (col("doc_id") % 3 * 8 + 16) * 3).as("n"))
     feats.toDF()
-      .join(docs.select(col("doc_id").as("media_id"), col("source")), "media_id")
+      .join(meta, "media_id")
+      .select(col("source"), col("n"),
+        round(element_at(col("features"), 1).cast("double") * col("n"))
+          .cast("long").as("cnt0"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("c"),
-        round(avg(element_at(col("features"), 1)), 6).as("avg_bin1"))
+        sum(col("n")).as("total_px"),
+        sum(col("cnt0")).as("bin0_px"),
+        round(sum(col("cnt0")).cast("double") / sum(col("n")), 6).as("bin0_share"))
       .orderBy(col("source"))
   }
 
@@ -424,6 +434,29 @@ object PipelineQueries {
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
     "p1_curation_pipeline" -> curationOracleSql,
+    // Replays Md5Codec + histogram16's bin 0 in SQL: block b of the pixel
+    // buffer is md5(text||':'||b); a byte's high nibble is the hex digit
+    // at odd (1-based) position 2j+1; bin-0 counts nibble '0'. n is a
+    // multiple of 16 by construction (w,h are multiples of 8), so every
+    // block is fully used and blocks = n/16 (max 240 at w=40,h=32).
+    "l6_media_features" ->
+      """WITH m AS (SELECT doc_id, source, text,
+        |    (doc_id % 4 * 8 + 16) * (doc_id % 3 * 8 + 16) * 3 AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, n,
+        |    md5(text || ':' || CAST(blk AS VARCHAR)) AS h
+        |  FROM m CROSS JOIN range(240) t(blk) WHERE blk < n // 16),
+        |z AS (SELECT doc_id, source, n,
+        |    len(list_filter(range(16),
+        |      j -> substring(h, CAST(2*j+1 AS INT), 1) = '0')) AS c0
+        |  FROM b),
+        |d AS (SELECT doc_id, source, n, CAST(sum(c0) AS BIGINT) AS cnt0
+        |  FROM z GROUP BY 1, 2, 3)
+        |SELECT source, count(*) AS c,
+        |  CAST(sum(n) AS BIGINT) AS total_px,
+        |  CAST(sum(cnt0) AS BIGINT) AS bin0_px,
+        |  round(CAST(sum(cnt0) AS DOUBLE) / sum(n), 6) AS bin0_share
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "l2_minhash_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id, list_transform(range(1, len(w)-1),

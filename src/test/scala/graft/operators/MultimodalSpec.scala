@@ -47,6 +47,57 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f.forall(_.features.length == 16))
   }
 
+  test("Md5Codec block expansion matches an independent md5 computation") {
+    val meta = MediaMeta("image", 4, 4, 1, 1, "fake") // 16 bytes = one block
+    val px = Md5Codec.decode("abc".getBytes("UTF-8"), meta)
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("abc:0".getBytes("UTF-8"))
+    assert(px.sameElements(expect))
+    val meta2 = meta.copy(width = 5) // 20 bytes: block 0 + 4 bytes of block 1
+    val px2 = Md5Codec.decode("abc".getBytes("UTF-8"), meta2)
+    val b1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("abc:1".getBytes("UTF-8"))
+    assert(px2.take(16).sameElements(expect) && px2.drop(16).sameElements(b1.take(4)))
+  }
+
+  test("ImageIoCodec decodes a real PNG through the distributed decode path") {
+    import spark.implicits._
+    val (w, h) = (8, 6)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 30 << 16) | (y * 40 << 8) | (x + y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val rec = MediaRecord(1L, baos.toByteArray, MediaMeta("image", w, h, 3, 1, "png"))
+    val out = Multimodal.decodeImages(Seq(rec).toDS(), ImageIoCodec).collect()(0)
+    assert(out.pixels.length == w * h * 3)
+    // PNG is lossless: the decoded buffer is the painted gradient, exactly.
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      assert((out.pixels(i) & 0xff) == x * 30)
+      assert((out.pixels(i + 1) & 0xff) == y * 40)
+      assert((out.pixels(i + 2) & 0xff) == x + y)
+    }
+    // and its features flow through the same extractor as any other codec
+    val f = Multimodal.extractFeatures(
+      Multimodal.decodeImages(Seq(rec).toDS(), ImageIoCodec)).head()
+    assert(f.features.length == 16 && math.abs(f.features.sum - 1.0f) < 1e-5)
+  }
+
+  test("ImageIoCodec rejects junk payloads and mismatched declared shape") {
+    intercept[IllegalArgumentException] {
+      ImageIoCodec.decode("not an image".getBytes, MediaMeta("image", 4, 4, 3, 1, "png"))
+    }
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    intercept[IllegalArgumentException] {
+      ImageIoCodec.decode(baos.toByteArray, MediaMeta("image", 4, 4, 3, 1, "png"))
+    }
+  }
+
   test("sampleFrames keeps ceil(frameCount/n) frames of the right size") {
     import spark.implicits._
     val vid = Seq(MediaRecord(7L, "somepayload".getBytes,
