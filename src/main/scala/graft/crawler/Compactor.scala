@@ -35,17 +35,27 @@ object Compactor {
 
     val src = new Path(info.path)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.getFileStatus(src).isDirectory,
-      s"compaction target must be a directory: ${info.path}")
     val tmp = new Path(src.getParent, s".${src.getName}__compacting")
     val old = new Path(src.getParent, s".${src.getName}__old")
+    // Crash recovery, not cleanup: if a previous run died between the two
+    // swap renames, __old holds the ONLY copy — restore it, never delete
+    // it blindly. A leftover __old alongside a live src is a completed
+    // swap's debris and safe to drop; a leftover tmp is always partial.
+    if (fs.exists(old) && !fs.exists(src)) {
+      if (!fs.rename(old, src)) sys.error(s"recovery of $src from $old failed")
+    }
     fs.delete(tmp, true); fs.delete(old, true)
+    require(fs.getFileStatus(src).isDirectory,
+      s"compaction target must be a directory: ${info.path}")
 
     val df = spark.read.format(info.format).load(info.path)
     df.repartition(n).write.format(info.format).save(tmp.toString)
 
-    // Swap: src -> old, tmp -> src, drop old. Readers see either the old
-    // or the new complete directory, never a partial one.
+    // Swap: src -> old, tmp -> src, drop old. Readers holding an open
+    // dataset see a complete directory either way; a NEW reader in the
+    // instant between the two renames sees a missing path (HDFS-style
+    // filesystems have no atomic directory exchange) — the crash-recovery
+    // above makes that window safe, not invisible.
     if (!fs.rename(src, old)) sys.error(s"compaction swap failed for $src")
     if (!fs.rename(tmp, src)) { fs.rename(old, src); sys.error(s"swap-in failed for $src") }
     fs.delete(old, true)

@@ -175,16 +175,20 @@ object Similarity {
           shiftright(col("sig"), bnd * width)
             .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("v"), col("bk.band"), col("bk.key"))
+    // Score INSIDE the join projection and drop the vectors immediately:
+    // a pair matching in m bands computes the (codegen'd, map-side)
+    // cosine m times, but the distinct that collapses those duplicates
+    // shuffles only (a_id, b_id, sim) — three scalars — instead of two
+    // embedding payloads per candidate. The sim filter runs before the
+    // distinct, shrinking its input to actual near-dups.
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .distinct()
-      .select(col("a_id"), col("b_id"),
-        round(cosineSimilarity(col("va"), col("vb")), 6).as("sim"))
+        round(cosineSimilarity(col("a.v"), col("b.v")), 6).as("sim"))
       .filter(col("sim") >= minSim)
+      .distinct()
   }
 
   /** k-NN JOIN: for EVERY query vector, its top-k nearest corpus vectors.

@@ -196,11 +196,14 @@ object TemporalJoins {
       rightPos: String,
       tolerance: Long): DataFrame = {
     require(tolerance > 0, "tolerance must be positive")
-    // Exact long floor-division: double division would round near bucket
-    // boundaries at epoch-micros magnitudes (~1e15) and could shift a
-    // position across a bucket edge, silently dropping a matching pair.
+    // Exact long floor-division: `Column./` is DOUBLE division in Spark
+    // SQL, exact only below 2^53 — near Long.MaxValue it could shift a
+    // position across a bucket edge and silently drop a matching pair.
+    // `div` is the registered IntegralDivide, exact over the full range.
     def floorDiv(c: Column): Column =
-      (c - ((c % tolerance + tolerance) % tolerance)).cast("long") / tolerance
+      call_function("div",
+        (c - ((c % tolerance + tolerance) % tolerance)).cast("long"),
+        lit(tolerance))
     val l = left.withColumn("_b", floorDiv(col(leftPos)).cast("long"))
     val rb = floorDiv(col(rightPos)).cast("long")
     val r = right.withColumn("_rb", explode(array(rb - 1, rb, rb + 1)))

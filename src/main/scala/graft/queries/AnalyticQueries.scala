@@ -287,6 +287,40 @@ object AnalyticQueries {
         (col("ts") + expr("INTERVAL 90 MINUTES")).as("shifted"))
       .orderBy(col("event_id"))
 
+  /** F8b: approx_percentile — the 100 TB quantile path (mergeable KLL-ish
+    * sketch, O(accuracy) state vs the exact path's full sort). Sketches
+    * differ across engines, so the gate checks the PROPERTY (a3 pattern):
+    * the approximate median must land between the exact p45 and p55 —
+    * at accuracy 10000 the rank error is ≤ n/10000, orders of magnitude
+    * inside that band. The band endpoints themselves are exact
+    * percentile_cont values both engines agree on bitwise.
+    */
+  def f8bApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+        percentile(col("l_extendedprice"), lit(0.45)).as("p45"),
+        percentile(col("l_extendedprice"), lit(0.55)).as("p55"))
+      .select(col("l_returnflag"), col("n"), col("p45"), col("p55"),
+        (col("ap50") >= col("p45") && col("ap50") <= col("p55")).as("ok"))
+      .orderBy(col("l_returnflag"))
+
+  /** F13b: month-interval arithmetic, gated on CLAMP-FREE dates (day ≤
+    * 28) where every engine agrees — the common `+ INTERVAL n MONTH` case
+    * users actually hit. End-of-month clamping divergence is why f13
+    * excludes months; this covers the portable subset explicitly.
+    */
+  def f13bMonthArith(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "events")
+      .filter(col("user_id") < 2 && dayofmonth(col("ts")) <= 28)
+      .select(col("event_id"),
+        add_months(col("ts").cast("date"), 1).cast("timestamp").as("m1"),
+        add_months(col("ts").cast("date"), 13).cast("timestamp").as("m13"),
+        (col("ts") + expr("INTERVAL 2 MONTHS")).as("m2_ts"))
+      .orderBy(col("event_id"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
@@ -302,7 +336,9 @@ object AnalyticQueries {
     "a11_stats"            -> (a11Stats _),
     "a12_grouping_sets"    -> (a12GroupingSets _),
     "f12_null_functions"   -> (f12NullFunctions _),
-    "f13_datetime"         -> (f13Datetime _))
+    "f13_datetime"         -> (f13Datetime _),
+    "f8b_approx_quantiles" -> (f8bApproxQuantiles _),
+    "f13b_month_arith"     -> (f13bMonthArith _))
 
   val oracle: Map[String, String] = Map(
     "a7_pivot" ->
@@ -420,6 +456,19 @@ object AnalyticQueries {
         |  count(big) AS bigs,
         |  sum(CAST(round(coalesce(big, 0.0)*100) AS BIGINT)) / 100.0 AS big_sum
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f8b_approx_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  quantile_cont(l_extendedprice, 0.45) AS p45,
+        |  quantile_cont(l_extendedprice, 0.55) AS p55,
+        |  true AS ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f13b_month_arith" ->
+      """SELECT event_id,
+        |  CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP) AS m1,
+        |  CAST(CAST(ts AS DATE) + INTERVAL 13 MONTH AS TIMESTAMP) AS m13,
+        |  ts + INTERVAL 2 MONTH AS m2_ts
+        |FROM events WHERE user_id < 2 AND date_part('day', ts) <= 28
+        |ORDER BY event_id""".stripMargin,
     "f13_datetime" ->
       """SELECT event_id,
         |  date_part('year', ts) AS y, date_part('month', ts) AS mo,

@@ -45,6 +45,20 @@ class CrawlerSpec extends SparkSpecBase {
     assert(Compactor.targetFileCount(0, 300) == 1)
   }
 
+  test("C6: compaction recovers a dataset stranded under __old by a crash") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val df = graft.core.Lake.table(spark, sf0001, "nation")
+    df.repartition(10).write.mode("overwrite").parquet(s"$tmp/t")
+    // Simulate a crash between the two swap renames: only __old exists.
+    assert(new java.io.File(s"$tmp/t").renameTo(new java.io.File(s"$tmp/.t__old")))
+    val info = DatasetInfo(name = "t", path = s"$tmp/t", format = "parquet",
+      numFiles = 10, sizeBytes = 10000, modifiedMs = 0L)
+    Compactor.compact(spark, info, targetFileBytes = Long.MaxValue)
+    assert(spark.read.parquet(s"$tmp/t").count() == 25,
+      "the __old copy must be restored, not deleted")
+    assert(!new java.io.File(s"$tmp/.t__old").exists())
+  }
+
   test("C2: events schema normalizes ns timestamp to TimestampType") {
     val info = LakeCrawler.discover(spark, sf0001).find(_.name == "events").get
     val sch = LakeCrawler.extractSchema(spark, info)

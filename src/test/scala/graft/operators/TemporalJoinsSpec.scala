@@ -130,4 +130,16 @@ class TemporalJoinsSpec extends SparkSpecBase {
       .select("b_id").collect().map(_.getLong(0)).toSeq.sorted
     assert(rows === Seq(2L, 3L, 4L)) // 138 is outside |Δ|<=37
   }
+
+  test("proximityJoin is exact at the top of the long range (no 2^53 loss)") {
+    // Above 2^53 a double division computes wrong bucket ids; integral
+    // `div` must keep adjacent positions joinable and far ones excluded.
+    val top = Long.MaxValue - 100L
+    val a = Seq((1L, top)).toDF("a_id", "a_pos")
+    val b = Seq((2L, top - 7L), (3L, top + 9L), (4L, top - 50L))
+      .toDF("b_id", "b_pos")
+    val rows = TemporalJoins.proximityJoin(a, b, "a_pos", "b_pos", 10L)
+      .select("b_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(rows === Seq(2L, 3L))
+  }
 }
