@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond per-document scoring (SURVEY §2.7
+  * widening): domain quotas, sub-document (chunk-level) dedup, and
+  * benchmark decontamination — the three standard passes a training-data
+  * pipeline runs between raw crawl and tokenizer.
+  *
+  * Scale notes: every operator here is one (or two) hash shuffles on a
+  * data-derived key — no driver state, no all-pairs products. Quota is a
+  * single window per group key; chunk dedup shuffles (chunk → first
+  * occurrence) then regroups by doc; contamination is a semi-join on the
+  * shingle key, so the benchmark side (small by construction) never
+  * multiplies corpus rows.
+  */
+object Curation {
+
+  /** Per-domain quota: keep at most `quota` rows per `group`, ranked by
+    * `priority` DESC with `tieBreak` ASC pinning a total order. The
+    * standard cap against a single domain dominating the corpus. One hash
+    * shuffle + one window; at 100 TB a pre-aggregated per-domain count
+    * can skip the window for domains already under quota, but the plain
+    * form is already linear.
+    */
+  def domainQuota(
+      docs: DataFrame,
+      group: Column,
+      priority: Column,
+      tieBreak: Column,
+      quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    docs
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(group).orderBy(priority.desc, tieBreak)))
+      .filter(col("_rn") <= quota)
+      .drop("_rn")
+  }
+
+  /** Token-window chunks of `textCol`: chunk i = tokens [i·w, (i+1)·w).
+    * The fixed-window formulation is the structure-free fallback every
+    * pipeline uses when documents carry no paragraph markers.
+    */
+  private def chunkArray(toks: Column, w: Int): Column = {
+    // Integral div: Column./ is double division, and sequence() needs an
+    // exact integral bound.
+    val nChunks =
+      call_function("div", (size(toks) + lit(w - 1)).cast("long"), lit(w.toLong))
+    transform(
+      sequence(lit(0L), nChunks - lit(1L)),
+      i => array_join(slice(toks, (i * w + 1).cast("int"), lit(w)), " "))
+  }
+
+  /** Sub-document dedup: chunk every doc into `chunkTokens`-token
+    * windows, keep each distinct chunk's FIRST occurrence corpus-wide
+    * (ordered by (id, chunk index) — deterministic), and reassemble docs
+    * from their surviving chunks in original order. Docs whose chunks all
+    * duplicate earlier ones come back with empty text (caller filters).
+    * Output: (id, kept_text, chunks_total, chunks_kept).
+    *
+    * Two shuffles: chunk-key (keep-first window) and doc-key (regroup).
+    * State per chunk key is one row — no collect, no skew beyond what the
+    * chunk distribution itself carries (a boilerplate chunk repeated 10⁹
+    * times is exactly what this op exists to delete; the window only ever
+    * keeps rank 1, and Spark's window sort spills).
+    */
+  def chunkDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val chunks = docs
+      .select(col(idCol).as("_id"),
+        posexplode(chunkArray(split(col(textCol), " "), chunkTokens))
+          .as(Seq("_idx", "_chunk")))
+    val kept = chunks
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_chunk")).orderBy(col("_id"), col("_idx"))))
+      .withColumn("_keep", col("_rn") === 1)
+      .drop("_rn")
+    kept.groupBy(col("_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_keep"),
+              struct(col("_idx"), col("_chunk"))))),
+            s => s.getField("_chunk")),
+          " ").as("kept_text"),
+        count(lit(1)).as("chunks_total"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("chunks_kept"))
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Benchmark decontamination: flag every corpus doc sharing at least
+    * one `n`-token shingle with the benchmark set (`benchPred` selects
+    * benchmark rows; they are excluded from the corpus side). This is the
+    * n-gram-overlap contamination check evaluation suites require before
+    * training. The join is LEFT SEMI on the shingle string — candidate
+    * generation linear in total shingles, and the flag is attached back
+    * with a second semi/anti pair (no row multiplication anywhere).
+    */
+  def contaminationFlags(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchPred: Column,
+      n: Int): DataFrame = {
+    require(n > 0, "shingle width must be positive")
+    def shingleSet(df: DataFrame): DataFrame = {
+      val toks = split(col(textCol), " ")
+      val cnt = size(toks) - lit(n - 1)
+      // sequence(1, 0) DESCENDS in Spark — guard short docs to an empty
+      // array (explode then drops the row, which is the right semantics).
+      df.select(col(idCol).as("_id"),
+          explode(when(cnt >= 1,
+            transform(sequence(lit(1), cnt),
+              i => array_join(slice(toks, i, lit(n)), " ")))
+            .otherwise(array())).as("_sh"))
+    }
+    val bench = shingleSet(docs.filter(benchPred)).select(col("_sh")).distinct()
+    val corpus = docs.filter(!benchPred)
+    val contaminatedIds = shingleSet(corpus)
+      .join(bench, Seq("_sh"), "left_semi")
+      .select(col("_id")).distinct()
+    corpus.join(contaminatedIds.withColumn("_contaminated", lit(true)),
+        corpus(idCol) === contaminatedIds("_id"), "left_outer")
+      .drop("_id")
+      .withColumn("contaminated", coalesce(col("_contaminated"), lit(false)))
+      .drop("_contaminated")
+  }
+}

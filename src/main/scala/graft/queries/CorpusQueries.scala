@@ -116,13 +116,61 @@ object CorpusQueries {
       .limit(10)
   }
 
+  /** L4m: per-domain quota — keep the 10 highest-priority docs per source
+    * (priority = n_chars desc, doc_id tiebreak), the cap that stops one
+    * domain from dominating a corpus. Gate aggregates the kept set.
+    */
+  def l4mDomainQuota(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.domainQuota(
+        Lake.table(spark, dir, "documents"),
+        col("source"), col("n_chars"), col("doc_id"), quota = 10)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("n_chars")).as("kept_chars"),
+        min(col("n_chars")).as("min_kept"))
+      .orderBy(col("source"))
+
+  /** L2e: sub-document dedup — 10-token chunk windows deduped corpus-wide
+    * keep-first, docs reassembled from surviving chunks in order. The
+    * per-source distinct count of md5(reassembled text) pins content AND
+    * chunk order of every reconstructed doc, not just counts.
+    */
+  def l2eChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    graft.operators.Curation.chunkDedup(docs, "doc_id", "text", chunkTokens = 10)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("chunks_total")).as("ct"),
+        sum(col("chunks_kept")).as("ck"),
+        countDistinct(md5(col("kept_text"))).as("distinct_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** L7: benchmark decontamination — corpus docs sharing any 5-token
+    * shingle with the benchmark subset (doc_id % 97 == 0 stands in for an
+    * eval set) are flagged; gate counts flags per source. Semi-join on
+    * the shingle key — linear, no row multiplication.
+    */
+  def l7Contamination(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.contaminationFlags(
+        Lake.table(spark, dir, "documents"),
+        "doc_id", "text", col("doc_id") % 97 === 0, n = 5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("flagged"))
+      .orderBy(col("source"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "l4_heavy_hitters" -> (l4HeavyHitters _),
     "l4_word_freq"  -> (l4WordFreq _),
     "l4_tfidf_top"  -> (l4TfidfTop _),
     "l4_repetition" -> (l4Repetition _),
     "l4_scrub_pii"  -> (l4ScrubPii _),
-    "l3_centroids"  -> (l3Centroids _))
+    "l3_centroids"  -> (l3Centroids _),
+    "l4m_domain_quota" -> (l4mDomainQuota _),
+    "l2e_chunk_dedup"  -> (l2eChunkDedup _),
+    "l7_contamination" -> (l7Contamination _))
 
   val oracle: Map[String, String] = Map(
     "l4_word_freq" ->
@@ -180,6 +228,51 @@ object CorpusQueries {
         |  CAST(sum(length(clean)) AS BIGINT) AS after_chars,
         |  CAST(sum(CASE WHEN clean <> aug THEN 1 ELSE 0 END) AS BIGINT) AS changed
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "l4m_domain_quota" ->
+      """WITH r AS (SELECT source, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS c,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_kept
+        |FROM r WHERE rn <= 10 GROUP BY source ORDER BY source""".stripMargin,
+    "l2e_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, i AS idx,
+        |    array_to_string(list_slice(w, CAST(i*10+1 AS INT),
+        |                                  CAST(i*10+10 AS INT)), ' ') AS chunk
+        |  FROM t CROSS JOIN range(1000) r(i) WHERE i < (len(w)+9)//10),
+        |k AS (SELECT doc_id, source, idx, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1
+        |      AS keep FROM c),
+        |d AS (SELECT doc_id, source,
+        |    coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (keep), '')
+        |      AS kept_text,
+        |    count(*) AS chunks_total,
+        |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS chunks_kept
+        |  FROM k GROUP BY 1, 2)
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(chunks_total) AS BIGINT) AS ct,
+        |  CAST(sum(chunks_kept) AS BIGINT) AS ck,
+        |  count(DISTINCT md5(kept_text)) AS distinct_kept
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "l7_contamination" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |    list_transform(range(1, len(w) - 3),
+        |      i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]) AS shs
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0),
+        |bad AS (SELECT DISTINCT doc_id FROM corp WHERE s IN (SELECT s FROM bench))
+        |SELECT source, count(*) AS c,
+        |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS flagged
+        |FROM documents WHERE doc_id % 97 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
     "l3_centroids" ->
       """SELECT label, i AS pos, count(*) AS n,
         |  CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sv,

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("domainQuota keeps exactly quota rows per group, highest priority first") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 5L)).toDF("id", "dom", "pri")
+    val kept = Curation.domainQuota(docs, col("dom"), col("pri"), col("id"), 2)
+      .select("id").as[Long].collect().toSet
+    // dom a: pri 30 (ids 2,4 — tie broken by id asc) beat 20/10; dom b under quota
+    assert(kept == Set(2L, 4L, 5L))
+  }
+
+  test("chunkDedup keeps first occurrence and reassembles in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // chunks (w=3): "a b c", "d e f"
+      (2L, "a b c x y z"),       // "a b c" duplicates doc 1's first chunk
+      (3L, "d e f a b c")        // both chunks duplicate doc 1's
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDedup(docs, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .select("doc_id", "kept_text", "chunks_total", "chunks_kept")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a b c d e f", 2L, 2L),
+      (2L, "x y z", 2L, 1L),
+      (3L, "", 2L, 0L)))
+  }
+
+  test("chunkDedup handles a tail chunk shorter than the window") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = Curation.chunkDedup(docs, "doc_id", "text", 3)
+      .select("kept_text", "chunks_total").as[(String, Long)].head()
+    assert(out == (("a b c d", 2L)))
+  }
+
+  test("contaminationFlags marks exactly the docs sharing a shingle with bench") {
+    val docs = Seq(
+      (0L, "p q r s t u"),        // bench (id % 3 == 0)
+      (1L, "x p q r s y"),        // shares 4-shingle "p q r s"
+      (2L, "totally different words here"),
+      (4L, "p q r x s t")         // shares no full 4-shingle
+    ).toDF("doc_id", "text")
+    val out = Curation.contaminationFlags(
+        docs, "doc_id", "text", col("doc_id") % 3 === 0, 4)
+      .select("doc_id", "contaminated").as[(Long, Boolean)]
+      .collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 4L -> false))
+  }
+
+  test("contaminationFlags drops docs shorter than the shingle width") {
+    val docs = Seq((0L, "a b c d e"), (1L, "a b")).toDF("doc_id", "text")
+    val out = Curation.contaminationFlags(
+        docs, "doc_id", "text", col("doc_id") === 0, 4)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false))
+  }
+}
