@@ -60,10 +60,80 @@ object ExtraQueries {
           col("exact_du") <= 0.05).as("within5"))
       .orderBy(col("event_type"))
 
+  /** J8: FULL OUTER join — both sides constructed to have unmatched rows
+    * (high-balance customers vs F-status order counts), null-safe
+    * accounting of matched / left-only / right-only. Plans as a standard
+    * shuffled join; at dimension scale Spark picks broadcast-full-outer.
+    */
+  def j8FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Lake.table(spark, dir, "customer")
+      .filter(col("c_acctbal") > 7000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val ords = Lake.table(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    cust.join(ords, cust("c_custkey") === ords("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+          .when(col("c_custkey").isNotNull, "left_only")
+          .otherwise("right_only").as("side"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        round(coalesce(col("c_acctbal"), lit(0.0)) * 100).cast("long").as("bal_cents"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("n_orders")).as("orders_sum"),
+        (sum(col("bal_cents")) / 100.0).as("bal_sum"))
+      .orderBy(col("side"))
+  }
+
+  /** E3: INTERSECT ALL / EXCEPT ALL — multiset semantics (each duplicate
+    * occurrence counts). Catalyst plans both as aggregate+generate over
+    * per-key counts — no join blow-up.
+    */
+  def e3MultisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val li = Lake.table(spark, dir, "lineitem")
+    val a = li.filter(col("l_discount") >= 0.05).select(col("l_quantity").as("q"))
+    val b = li.filter(col("l_tax") >= 0.05).select(col("l_quantity").as("q"))
+    // coalesce: an empty multiset must sum to 0, not NULL, on both
+    // engines (pandas would read a NULL sum as float64 NaN).
+    a.intersectAll(b).groupBy().agg(
+        count(lit(1)).as("inter_all_n"),
+        coalesce(sum(round(col("q") * 100).cast("long")), lit(0L))
+          .as("inter_all_cents"))
+      .crossJoin(
+        a.exceptAll(b).groupBy().agg(
+          count(lit(1)).as("except_all_n"),
+          coalesce(sum(round(col("q") * 100).cast("long")), lit(0L))
+            .as("except_all_cents")))
+  }
+
+  /** W6: row_number / rank / dense_rank side-by-side over a NON-unique
+    * order (value ties exist), where the three functions provably differ;
+    * the tie-broken secondary sort pins output order only, not rank
+    * values.
+    */
+  def w6RankVariants(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("user_id"))
+    Lake.table(spark, dir, "events")
+      .filter(col("user_id") < 4)
+      .select(col("event_id"), col("event_type"),
+        row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("user_id"), col("event_id"))).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "e2_union_except"     -> (e2UnionExcept _),
     "s6_partitioned_sink" -> (s6PartitionedSink _),
-    "a3_approx_distinct"  -> (a3ApproxDistinct _))
+    "a3_approx_distinct"  -> (a3ApproxDistinct _),
+    "j8_full_outer"       -> (j8FullOuter _),
+    "e3_multiset_ops"     -> (e3MultisetOps _),
+    "w6_rank_variants"    -> (w6RankVariants _))
 
   val oracle: Map[String, String] = Map(
     "e2_union_except" ->
@@ -78,5 +148,43 @@ object ExtraQueries {
         |FROM events WHERE event_type = 'click'""".stripMargin,
     "a3_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_du, true AS within5
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "j8_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal FROM customer
+        |           WHERE c_acctbal > 7000),
+        |o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |      WHERE o_orderstatus = 'F' GROUP BY 1),
+        |j AS (SELECT
+        |    CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL
+        |           THEN 'both'
+        |         WHEN c.c_custkey IS NOT NULL THEN 'left_only'
+        |         ELSE 'right_only' END AS side,
+        |    coalesce(o.n_orders, 0) AS n_orders,
+        |    CAST(round(coalesce(c.c_acctbal, 0.0) * 100) AS BIGINT) AS bal_cents
+        |  FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey)
+        |SELECT side, count(*) AS c,
+        |  CAST(sum(n_orders) AS BIGINT) AS orders_sum,
+        |  CAST(sum(bal_cents) AS BIGINT) / 100.0 AS bal_sum
+        |FROM j GROUP BY side ORDER BY side""".stripMargin,
+    "e3_multiset_ops" ->
+      """WITH a AS (SELECT l_quantity AS q FROM lineitem WHERE l_discount >= 0.05),
+        |b AS (SELECT l_quantity AS q FROM lineitem WHERE l_tax >= 0.05),
+        |ia AS (SELECT q FROM a INTERSECT ALL SELECT q FROM b),
+        |ea AS (SELECT q FROM a EXCEPT ALL SELECT q FROM b),
+        |s1 AS (SELECT count(*) AS inter_all_n,
+        |  CAST(coalesce(sum(CAST(round(q*100) AS BIGINT)), 0) AS BIGINT)
+        |    AS inter_all_cents FROM ia),
+        |s2 AS (SELECT count(*) AS except_all_n,
+        |  CAST(coalesce(sum(CAST(round(q*100) AS BIGINT)), 0) AS BIGINT)
+        |    AS except_all_cents FROM ea)
+        |SELECT * FROM s1 CROSS JOIN s2""".stripMargin,
+    "w6_rank_variants" ->
+      """SELECT event_id, event_type,
+        |  row_number() OVER (PARTITION BY event_type
+        |                     ORDER BY user_id, event_id) AS rn,
+        |  rank() OVER w AS rk,
+        |  dense_rank() OVER w AS drk
+        |FROM events WHERE user_id < 4
+        |WINDOW w AS (PARTITION BY event_type ORDER BY user_id)
+        |ORDER BY event_id""".stripMargin)
 }
