@@ -127,7 +127,57 @@ object ExtraQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Q18: correlated subqueries through the SQL surface — EXISTS, NOT
+    * EXISTS, and IN, the VERBATIM text run on both engines. Catalyst
+    * rewrites them to semi/anti joins (never a per-row subquery loop),
+    * which is exactly the 100 TB-safe plan; the scalar subquery uses max
+    * (exact) rather than a float avg. EP2 parity by construction.
+    */
+  def q18Subqueries(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(t =>
+      Lake.table(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(SubqueriesSql)
+  }
+
+  private val SubqueriesSql =
+    """SELECT c_mktsegment, count(*) AS c,
+      |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o
+      |      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS has_f,
+      |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+      |      WHERE o.o_custkey = c.c_custkey)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS no_orders,
+      |  CAST(sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+      |      WHERE o_orderstatus = 'P') THEN 1 ELSE 0 END) AS BIGINT) AS has_p,
+      |  CAST(sum(CASE WHEN c_acctbal * 100 >
+      |      (SELECT max(o_totalprice) FROM orders)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS rich
+      |FROM customer c
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** F14: the portable string-function family — lpad/rpad, translate,
+    * substring_index≡split_part, instr≡strpos, left/right, repeat,
+    * reverse, concat_ws — pinned by value under min/max (binary UTF8
+    * ordering on both engines) and integer sums.
+    */
+  def f14StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("c"),
+        min(lpad(col("p_name"), 30, ".")).as("min_lpad"),
+        max(rpad(col("p_type"), 12, "_")).as("max_rpad"),
+        max(translate(col("p_name"), "aeiou", "AEIOU")).as("max_trans"),
+        min(substring_index(col("p_name"), " ", 1)).as("min_first_word"),
+        sum(instr(col("p_name"), "a")).cast("long").as("a_pos_sum"),
+        max(reverse(substring(col("p_name"), 1, 5))).as("max_rev5"),
+        min(concat_ws("|", col("p_name").substr(lit(1), lit(3)),
+          repeat(lit("x"), 2))).as("min_cw"))
+      .orderBy(col("p_brand"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q18_subqueries"      -> (q18Subqueries _),
+    "f14_string_funcs"    -> (f14StringFuncs _),
     "e2_union_except"     -> (e2UnionExcept _),
     "s6_partitioned_sink" -> (s6PartitionedSink _),
     "a3_approx_distinct"  -> (a3ApproxDistinct _),
@@ -178,6 +228,18 @@ object ExtraQueries {
         |  CAST(coalesce(sum(CAST(round(q*100) AS BIGINT)), 0) AS BIGINT)
         |    AS except_all_cents FROM ea)
         |SELECT * FROM s1 CROSS JOIN s2""".stripMargin,
+    // Verbatim the same SQL text the Spark side runs (EP2 parity).
+    "q18_subqueries" -> SubqueriesSql,
+    "f14_string_funcs" ->
+      """SELECT p_brand, count(*) AS c,
+        |  min(lpad(p_name, 30, '.')) AS min_lpad,
+        |  max(rpad(p_type, 12, '_')) AS max_rpad,
+        |  max(translate(p_name, 'aeiou', 'AEIOU')) AS max_trans,
+        |  min(split_part(p_name, ' ', 1)) AS min_first_word,
+        |  CAST(sum(strpos(p_name, 'a')) AS BIGINT) AS a_pos_sum,
+        |  max(reverse(substring(p_name, 1, 5))) AS max_rev5,
+        |  min(concat_ws('|', substring(p_name, 1, 3), repeat('x', 2))) AS min_cw
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "w6_rank_variants" ->
       """SELECT event_id, event_type,
         |  row_number() OVER (PARTITION BY event_type
