@@ -68,6 +68,18 @@ class PlanShapeSpec extends SparkSpecBase {
       "bucket candidate generation should be a hash/merge equi-join")
   }
 
+  test("wordShingles: token split runs once per row, not once per shingle") {
+    // The let-binding via transform(array(split(..)), toks -> ..) pins the
+    // split to a single evaluation; inlining it into the shingle lambda
+    // re-splits per shingle (O(tokens²) per doc — measured 4.5× slower).
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(optimized).length
+    assert(splits == 1, s"expected 1 split() in the optimized plan, got $splits")
+  }
+
   test("l3 lsh near-dup: pair dedup shuffles scalars, not vector payloads") {
     val p = plan("l3_lsh_neardup")
     // The distinct that collapses multi-band candidate duplicates must
