@@ -25,18 +25,18 @@ object TextFunctions {
   /** Word n-gram shingles ("a b c", n=2 → ["a b", "b c"]); empty when the
     * document has fewer than n tokens (sequence() would run backwards).
     *
-    * The single-element-array transform is a LET binding: referencing
-    * `tokens(text)` directly inside the inner lambda would re-run the
-    * split for EVERY shingle (Catalyst does not CSE across lambda
-    * boundaries) — measured 4.5× slower on shingle-heavy plans. Binding
-    * it to a lambda variable materializes the token array once per row.
+    * letTokens is load-bearing: referencing `tokens(text)` directly inside
+    * the inner lambda would re-run the split for EVERY shingle (Catalyst
+    * does not CSE across lambda boundaries) — measured 4.5× slower on
+    * shingle-heavy plans.
     */
   def wordShingles(text: Column, n: Int): Column =
-    flatten(transform(array(tokens(text)), toks =>
+    letTokens(tokens(text)) { toks =>
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array())))
+        .otherwise(array())
+    }
 
   /** Character n-gram shingles over the raw string. */
   def charShingles(text: Column, n: Int): Column =
@@ -91,17 +91,28 @@ object TextFunctions {
         length(text).cast("double"))
       .otherwise(lit(0.0))
 
+  /** LET binding for token arrays: materializes `tokens` once per row and
+    * hands it to `body` as a lambda variable. Higher-order functions are
+    * not whole-stage-codegen'd, so sibling references to the same split()
+    * re-evaluate it per reference (and per element when captured inside a
+    * lambda — the O(tokens²) trap wordShingles hit); routing every use
+    * through one lambda variable pins the tokenizer to one run per row.
+    */
+  private def letTokens(toks0: Column)(body: Column => Column): Column =
+    element_at(transform(array(toks0), body), 1)
+
   /** Stopword ratio against one language's function-word list — natural
     * prose sits near the language's typical density; keyword spam and
     * non-prose sit near zero.
     */
   def stopwordRatio(text: Column, lang: String = "en"): Column = {
     val sw = stopwords(lang)
-    val toks = tokens(lower(text))
-    when(size(toks) > 0,
-      size(filter(toks, t => array_contains(typedlit(sw), t))).cast("double") /
-        size(toks).cast("double"))
-      .otherwise(lit(0.0))
+    letTokens(tokens(lower(text))) { toks =>
+      when(size(toks) > 0,
+        size(filter(toks, t => array_contains(typedlit(sw), t))).cast("double") /
+          size(toks).cast("double"))
+        .otherwise(lit(0.0))
+    }
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword-vote
@@ -118,28 +129,28 @@ object TextFunctions {
     * stopwords among the tokens, pick the argmax (ties broken by language
     * code, deterministic). Returns "und" when no stopword matches.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
-      struct(
-        size(filter(toks, t => array_contains(typedlit(sw), t))).as("score"),
-        lit(lang).as("lang"))
+  def langId(text: Column): Column =
+    letTokens(tokens(lower(text))) { toks =>
+      val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+        struct(
+          size(filter(toks, t => array_contains(typedlit(sw), t))).as("score"),
+          lit(lang).as("lang"))
+      }
+      val best = greatest(scored: _*)
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
     }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
 
   /** Token-level repetition ratio in [0,1): 1 − distinct/total tokens.
     * Boilerplate and template spam repeat heavily; natural prose doesn't.
     * Rounded to 6dp for engine comparability.
     */
-  def repetitionRatio(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) > 0,
-      round(lit(1.0) -
-        size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6))
-      .otherwise(lit(0.0))
-  }
+  def repetitionRatio(text: Column): Column =
+    letTokens(tokens(text)) { toks =>
+      when(size(toks) > 0,
+        round(lit(1.0) -
+          size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6))
+        .otherwise(lit(0.0))
+    }
 
   /** Share of the single most frequent token — the other repetition
     * signal (a 50%-one-word doc is spam even if the rest is diverse).
@@ -147,17 +158,20 @@ object TextFunctions {
     * expression (no explode/shuffle); O(tokens · distinct) per row is
     * fine for the row sizes a filter stage sees.
     */
-  def maxTokenShare(text: Column): Column = {
-    val toks = tokens(text)
-    val top = aggregate(
-      array_distinct(toks),
-      lit(0),
-      (acc, t) => greatest(acc, size(filter(toks, x => x === t))))
-    // split("", " ") yields [""], so guard on content, not token count.
-    when(length(trim(text)) > 0,
-      round(top.cast("double") / size(toks).cast("double"), 6))
-      .otherwise(lit(0.0))
-  }
+  def maxTokenShare(text: Column): Column =
+    letTokens(tokens(text)) { toks =>
+      // toks is a lambda variable here, so the nested filter() per
+      // distinct token counts over the SAME materialized array — inlining
+      // the split would re-tokenize once per distinct token (O(tokens²)).
+      val top = aggregate(
+        array_distinct(toks),
+        lit(0),
+        (acc, t) => greatest(acc, size(filter(toks, x => x === t))))
+      // split("", " ") yields [""], so guard on content, not token count.
+      when(length(trim(text)) > 0,
+        round(top.cast("double") / size(toks).cast("double"), 6))
+        .otherwise(lit(0.0))
+    }
 
   /** PII scrubbing for training-data curation: masks email addresses and
     * URLs. Patterns are deliberately simple enough to mean the same thing

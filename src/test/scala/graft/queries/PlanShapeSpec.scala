@@ -68,16 +68,24 @@ class PlanShapeSpec extends SparkSpecBase {
       "bucket candidate generation should be a hash/merge equi-join")
   }
 
-  test("wordShingles: token split runs once per row, not once per shingle") {
-    // The let-binding via transform(array(split(..)), toks -> ..) pins the
-    // split to a single evaluation; inlining it into the shingle lambda
-    // re-splits per shingle (O(tokens²) per doc — measured 4.5× slower).
+  test("text functions: token split runs once per row, not per token/lang") {
+    // letTokens pins the tokenizer to a single evaluation; inlining it
+    // into a lambda re-splits per element (O(tokens²) in maxTokenShare —
+    // measured 4.5× slower on the shingle path) and sibling references
+    // re-split per reference (5× in langId) because HOFs are outside
+    // whole-stage codegen's subexpression elimination.
     import org.apache.spark.sql.functions.col
-    val df = spark.read.parquet(s"$sf0001/documents.parquet")
-      .select(graft.functions.TextFunctions.wordShingles(col("text"), 3).as("sh"))
-    val optimized = df.queryExecution.optimizedPlan.toString
-    val splits = "split\\(".r.findAllIn(optimized).length
-    assert(splits == 1, s"expected 1 split() in the optimized plan, got $splits")
+    import graft.functions.TextFunctions._
+    for ((name, c) <- Seq[(String, org.apache.spark.sql.Column)](
+        "wordShingles" -> wordShingles(col("text"), 3),
+        "maxTokenShare" -> maxTokenShare(col("text")),
+        "langId" -> langId(col("text")),
+        "repetitionRatio" -> repetitionRatio(col("text")),
+        "stopwordRatio" -> stopwordRatio(col("text")))) {
+      val df = spark.read.parquet(s"$sf0001/documents.parquet").select(c.as("v"))
+      val splits = "split\\(".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
+      assert(splits == 1, s"$name: expected 1 split() in the optimized plan, got $splits")
+    }
   }
 
   test("l3 lsh near-dup: pair dedup shuffles scalars, not vector payloads") {
