@@ -183,4 +183,15 @@ object TextFunctions {
   def scrubPii(text: Column): Column =
     regexp_replace(regexp_replace(text, UrlPattern, "<URL>"),
       EmailPattern, "<EMAIL>")
+
+  /** URL structure extraction via Spark's native parse_url (java.net.URI
+    * semantics) — host/path/single-query-param, the fields a crawl
+    * pipeline groups and quota-cuts on.
+    */
+  def urlHost(url: Column): Column = parse_url(url, lit("HOST"))
+
+  def urlPath(url: Column): Column = parse_url(url, lit("PATH"))
+
+  def urlParam(url: Column, key: String): Column =
+    parse_url(url, lit("QUERY"), lit(key))
 }

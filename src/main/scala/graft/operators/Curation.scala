@@ -137,4 +137,23 @@ object Curation {
       .withColumn("contaminated", coalesce(col("_contaminated"), lit(false)))
       .drop("_contaminated")
   }
+
+  /** Fixed-width histogram of a nonnegative integral column — the
+    * doc-length distribution behind min/max-length curation cuts. One
+    * partial-aggregated shuffle over O(buckets) groups; map-side combine
+    * collapses each partition to the bucket count before shuffling.
+    * Integral `div` (not floor of a double division) keeps bucket ids
+    * exact over the full long range; values must be ≥ 0 (div truncates
+    * toward zero, which equals floor only for nonnegatives).
+    */
+  def lengthHistogram(df: DataFrame, value: Column, width: Long): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    df.groupBy(
+        call_function("div", value.cast("long"), lit(width)).as("bucket"))
+      .agg(
+        count(lit(1)).as("c"),
+        min(value.cast("long")).as("lo"),
+        max(value.cast("long")).as("hi"),
+        sum(value.cast("long")).as("total"))
+  }
 }

@@ -51,4 +51,31 @@ object Keywords {
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
+
+  /** Flat postings table (term, doc_id, tf) — the 100 TB shape of an
+    * inverted index: written sorted/bucketed by term, lookups are
+    * partition-pruned scans and term joins co-locate without a shuffle.
+    * One explode + one partial-aggregated shuffle on (term, doc_id).
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Grouped inverted index: per-term document frequency, total term
+    * frequency, and the postings list sorted by doc_id. The array form
+    * suits moderate-df vocabularies (a term's postings must fit one row);
+    * web-scale hot terms should stay in the flat [[postings]] shape —
+    * that boundary is exactly the classic postings-list-vs-block split.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    postings(docs, idCol, textCol)
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("tf_total"),
+        array_sort(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"))
 }

@@ -321,6 +321,32 @@ object AnalyticQueries {
         (col("ts") + expr("INTERVAL 2 MONTHS")).as("m2_ts"))
       .orderBy(col("event_id"))
 
+  /** F15: URL structure extraction (host/path/query-param) via native
+    * parse_url. The corpus carries no URL column, so each doc contributes
+    * a deterministic id-derived URL (l4_scrub_pii's augmentation trick);
+    * the oracle re-extracts the same fields with Java≡RE2-safe regexes.
+    */
+  def f15Url(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val url = concat(lit("https://sub"), (col("doc_id") % 5).cast("string"),
+      lit(".example.com/p/"), (col("doc_id") % 7).cast("string"),
+      lit("/page?q="), (col("doc_id") % 11).cast("string"),
+      lit("&ref=r"), (col("doc_id") % 3).cast("string"))
+    Lake.table(spark, dir, "documents")
+      .select(url.as("url"))
+      .select(
+        TextFunctions.urlHost(col("url")).as("host"),
+        TextFunctions.urlPath(col("url")).as("path"),
+        TextFunctions.urlParam(col("url"), "q").cast("long").as("q"),
+        TextFunctions.urlParam(col("url"), "ref").as("ref"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("c"),
+        countDistinct(col("path")).as("paths"),
+        sum(col("q")).as("sq"),
+        countDistinct(col("ref")).as("refs"))
+      .orderBy(col("host"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
@@ -338,9 +364,24 @@ object AnalyticQueries {
     "f12_null_functions"   -> (f12NullFunctions _),
     "f13_datetime"         -> (f13Datetime _),
     "f8b_approx_quantiles" -> (f8bApproxQuantiles _),
-    "f13b_month_arith"     -> (f13bMonthArith _))
+    "f13b_month_arith"     -> (f13bMonthArith _),
+    "f15_url"              -> (f15Url _))
 
   val oracle: Map[String, String] = Map(
+    "f15_url" ->
+      """WITH u AS (SELECT 'https://sub' || (doc_id % 5) ||
+        |    '.example.com/p/' || (doc_id % 7) || '/page?q=' ||
+        |    (doc_id % 11) || '&ref=r' || (doc_id % 3) AS url
+        |  FROM documents),
+        |p AS (SELECT
+        |    regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+        |    regexp_extract(url, 'https?://[^/]+([^?]*)', 1) AS path,
+        |    CAST(regexp_extract(url, '[?&]q=([0-9]+)', 1) AS BIGINT) AS q,
+        |    regexp_extract(url, '[?&]ref=([A-Za-z0-9]+)', 1) AS ref
+        |  FROM u)
+        |SELECT host, count(*) AS c, count(DISTINCT path) AS paths,
+        |  CAST(sum(q) AS BIGINT) AS sq, count(DISTINCT ref) AS refs
+        |FROM p GROUP BY host ORDER BY host""".stripMargin,
     "a7_pivot" ->
       """SELECT user_id % 10 AS bucket,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -161,6 +161,42 @@ object CorpusQueries {
         sum(when(col("contaminated"), 1L).otherwise(0L)).as("flagged"))
       .orderBy(col("source"))
 
+  /** L8: deterministic weighted sampling (Efraimidis–Spirakis, weight =
+    * n_chars, uniforms md5-seeded by doc_id) — top 25 draws. The key is
+    * emitted rounded to 9dp (transcendental pow; same discipline as
+    * TF-IDF's 6dp ln); selection order is pinned by the raw key with a
+    * doc_id tie-break on both engines.
+    */
+  def l8WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+        Lake.table(spark, dir, "documents"),
+        col("n_chars"), col("doc_id"), k = 25)
+      .select(col("doc_id"), col("n_chars"),
+        round(col("_es_key"), 9).as("key9"))
+
+  /** L9: doc-length histogram, width-50 buckets — the distribution every
+    * min/max-length curation cut is calibrated against. All-integer.
+    */
+  def l9LengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.lengthHistogram(
+        Lake.table(spark, dir, "documents"), col("n_chars"), width = 50)
+      .orderBy(col("bucket"))
+
+  /** L10: inverted index, 25 highest-df terms. postings_md5 pins the FULL
+    * postings list (doc_id:tf pairs in doc order) of every emitted term,
+    * not just its aggregate counts.
+    */
+  def l10InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Keywords.invertedIndex(
+        Lake.table(spark, dir, "documents"), "doc_id", "text")
+      .select(col("term"), col("df"), col("tf_total"),
+        md5(concat_ws(",",
+          transform(col("postings"), p =>
+            concat(p.getField("doc_id").cast("string"), lit(":"),
+              p.getField("tf").cast("string"))))).as("postings_md5"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(25)
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "l4_heavy_hitters" -> (l4HeavyHitters _),
     "l4_word_freq"  -> (l4WordFreq _),
@@ -170,7 +206,10 @@ object CorpusQueries {
     "l3_centroids"  -> (l3Centroids _),
     "l4m_domain_quota" -> (l4mDomainQuota _),
     "l2e_chunk_dedup"  -> (l2eChunkDedup _),
-    "l7_contamination" -> (l7Contamination _))
+    "l7_contamination" -> (l7Contamination _),
+    "l8_weighted_sample"  -> (l8WeightedSample _),
+    "l9_length_histogram" -> (l9LengthHistogram _),
+    "l10_inverted_index"  -> (l10InvertedIndex _))
 
   val oracle: Map[String, String] = Map(
     "l4_word_freq" ->
@@ -273,6 +312,35 @@ object CorpusQueries {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS flagged
         |FROM documents WHERE doc_id % 97 <> 0
         |GROUP BY source ORDER BY source""".stripMargin,
+    // Same md5 hex→int fold as l2_minhash; (v+0.5)/2^60 and the final
+    // pow/round replay the Spark expression step for step.
+    "l8_weighted_sample" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(string_split_regex(substr(md5('ws:'||doc_id),1,15), ''),
+        |         c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |       (a, b) -> a*16 + b) AS DOUBLE) + 0.5)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  round(pow(u, 1.0 / CAST(n_chars AS DOUBLE)), 9) AS key9
+        |FROM u
+        |ORDER BY pow(u, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id
+        |LIMIT 25""".stripMargin,
+    "l9_length_histogram" ->
+      """SELECT n_chars // 50 AS bucket, count(*) AS c,
+        |  min(n_chars) AS lo, max(n_chars) AS hi,
+        |  CAST(sum(n_chars) AS BIGINT) AS total
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l10_inverted_index" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+        |       WHERE length(term) > 0 GROUP BY 1, 2)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+        |  md5(string_agg(doc_id||':'||tf, ',' ORDER BY doc_id)) AS postings_md5
+        |FROM tf GROUP BY term
+        |ORDER BY df DESC, term LIMIT 25""".stripMargin,
     "l3_centroids" ->
       """SELECT label, i AS pos, count(*) AS n,
         |  CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sv,

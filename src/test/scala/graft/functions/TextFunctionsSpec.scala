@@ -102,4 +102,13 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(one(TextFunctions.scrubPii(col("t")),
       "plain words only") == "plain words only")
   }
+
+  test("url host/path/param extraction") {
+    val u = "https://sub1.example.com/p/3/page?q=42&ref=r2"
+    assert(one(TextFunctions.urlHost(col("t")), u) == "sub1.example.com")
+    assert(one(TextFunctions.urlPath(col("t")), u) == "/p/3/page")
+    assert(one(TextFunctions.urlParam(col("t"), "q"), u) == "42")
+    assert(one(TextFunctions.urlParam(col("t"), "ref"), u) == "r2")
+    assert(one(TextFunctions.urlParam(col("t"), "missing"), u) == null)
+  }
 }

@@ -61,4 +61,18 @@ class CurationSpec extends SparkSpecBase {
       .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
     assert(out == Map(1L -> false))
   }
+
+  test("lengthHistogram buckets by width and partitions the row count") {
+    val df = Seq(0L, 49L, 50L, 99L, 100L, 250L).toDF("v")
+    val h = Curation.lengthHistogram(df, col("v"), 50)
+      .orderBy("bucket")
+      .select("bucket", "c", "lo", "hi", "total")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(h == Seq(
+      (0L, 2L, 0L, 49L, 49L),
+      (1L, 2L, 50L, 99L, 149L),
+      (2L, 1L, 100L, 100L, 100L),
+      (5L, 1L, 250L, 250L, 250L)))
+    assert(h.map(_._2).sum == 6L, "buckets partition the rows")
+  }
 }

@@ -33,4 +33,26 @@ class KeywordsSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m === Map("cat" -> 3L, "dog" -> 2L, "fish" -> 4L))
   }
+
+  test("postings: one row per (term, doc) with its tf") {
+    val p = Keywords.postings(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(p === Map(
+      ("cat", 0L) -> 1L, ("cat", 1L) -> 1L, ("cat", 2L) -> 1L,
+      ("dog", 0L) -> 2L,
+      ("fish", 1L) -> 1L, ("fish", 2L) -> 3L))
+  }
+
+  test("invertedIndex: df/tf_total and doc-ordered postings lists") {
+    val ii = Keywords.invertedIndex(docs, "doc_id", "text").collect()
+      .map { r =>
+        val posts = r.getSeq[org.apache.spark.sql.Row](3)
+          .map(p => (p.getLong(0), p.getLong(1)))
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), posts))
+      }.toMap
+    assert(ii === Map(
+      "cat"  -> ((3L, 3L, Seq((0L, 1L), (1L, 1L), (2L, 1L)))),
+      "dog"  -> ((1L, 2L, Seq((0L, 2L)))),
+      "fish" -> ((2L, 4L, Seq((1L, 1L), (2L, 3L))))))
+  }
 }
