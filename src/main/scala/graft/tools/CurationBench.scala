@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Multimodal}
+import graft.operators.{Curation, Keywords, Multimodal, Sampling}
 
 /** Measures the round-3 curation operators at corpus scale (default
   * sf0.1 documents) plus a synthetic 20× blow-up, to show cost growth is
@@ -63,6 +63,18 @@ object CurationBench {
         Multimodal.extractFeatures(Multimodal.decodeImages(
             Multimodal.mediaFromDocuments(spark, d)))
           .toDF().agg(count(lit(1))).head().getLong(0)
+      }
+      time(s"weightedSample $label", n) {
+        Sampling.weightedSample(d, col("n_chars"), col("doc_id"), 100)
+          .agg(sum(col("doc_id"))).head().getLong(0)
+      }
+      time(s"lengthHistogram $label", n) {
+        Curation.lengthHistogram(d, col("n_chars"), 50)
+          .agg(sum(col("c"))).head().getLong(0)
+      }
+      time(s"invertedIndex $label", n) {
+        Keywords.invertedIndex(d, "doc_id", "text")
+          .agg(sum(col("tf_total"))).head().getLong(0)
       }
     }
     spark.stop()

@@ -48,6 +48,15 @@ class PlanShapeSpec extends SparkSpecBase {
       "native cosine not in a codegen stage")
   }
 
+  test("l8 weighted sample: global top-k is a heap, not a total sort") {
+    // E-S keys are computed map-side; the k-largest selection must plan
+    // as TakeOrderedAndProject (per-partition heaps) — a global Sort
+    // would shuffle the full corpus at 100 TB to keep 25 rows.
+    val p = plan("l8_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "weighted sample top-k degraded to a total sort")
+  }
+
   test("j7 as-of join: one key shuffle, no range join in the plan") {
     val p = plan("j7_asof_join")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
