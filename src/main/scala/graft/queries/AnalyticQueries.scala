@@ -347,6 +347,55 @@ object AnalyticQueries {
       .orderBy(col("host"))
   }
 
+  /** A13: cohort retention — users grouped by first-seen day, distinct
+    * active users per (cohort, day offset ≤ 7). The first-seen table is
+    * a per-user aggregate joined back on user_id (AQE broadcasts it
+    * while small; at scale it's one key shuffle) — all-integer output
+    * plus date keys.
+    */
+  def a13Cohort(spark: SparkSession, dir: String): DataFrame = {
+    val e = Lake.table(spark, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+    val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    e.join(first, "user_id")
+      .select(col("user_id"), col("cohort"),
+        datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+      .filter(col("day_offset") <= 7)
+      .groupBy(
+        // As timestamp, not date: the driver reads Spark's parquet DATE
+        // as pandas object but DuckDB dates as datetime64 — dtype skew.
+        col("cohort").cast("timestamp").as("cohort"),
+        col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  /** A14: ordered funnel view → click → purchase: stage n counts users
+    * whose earliest qualifying event strictly follows their stage-(n−1)
+    * time. Timestamps compare as epoch micros (the portable ns→µs
+    * convention). Each stage is one aggregate + one key join — no
+    * windows over the full event stream.
+    */
+  def a14Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Lake.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    def stage(base: DataFrame, evt: String): DataFrame =
+      e.filter(col("event_type") === evt)
+        .join(base.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .filter(col("us") > col("t_prev"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+    val c = stage(v, "click")
+    val p = stage(c, "purchase")
+    Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+      }
+      .reduce(_ unionAll _)
+      .orderBy(col("stage"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
@@ -365,9 +414,35 @@ object AnalyticQueries {
     "f13_datetime"         -> (f13Datetime _),
     "f8b_approx_quantiles" -> (f8bApproxQuantiles _),
     "f13b_month_arith"     -> (f13bMonthArith _),
-    "f15_url"              -> (f15Url _))
+    "f15_url"              -> (f15Url _),
+    "a13_cohort"           -> (a13Cohort _),
+    "a14_funnel"           -> (a14Funnel _))
 
   val oracle: Map[String, String] = Map(
+    "a13_cohort" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+        |  date_diff('day', cohort, d) AS day_offset,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM e JOIN f USING (user_id)
+        |WHERE date_diff('day', cohort, d) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a14_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |v AS (SELECT user_id, min(us) AS t FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT ev.user_id, min(ev.us) AS t FROM ev
+        |      JOIN v ON ev.user_id = v.user_id
+        |      WHERE ev.event_type = 'click' AND ev.us > v.t GROUP BY 1),
+        |p AS (SELECT ev.user_id, min(ev.us) AS t FROM ev
+        |      JOIN c ON ev.user_id = c.user_id
+        |      WHERE ev.event_type = 'purchase' AND ev.us > c.t GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
     "f15_url" ->
       """WITH u AS (SELECT 'https://sub' || (doc_id % 5) ||
         |    '.example.com/p/' || (doc_id % 7) || '/page?q=' ||

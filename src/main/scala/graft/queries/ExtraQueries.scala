@@ -175,8 +175,26 @@ object ExtraQueries {
           repeat(lit("x"), 2))).as("min_cw"))
       .orderBy(col("p_brand"))
 
+  /** J10: fuzzy (similarity) self-join — all supplier-name pairs within
+    * Levenshtein distance 1, via q-gram blocked candidates + exact
+    * rerank (operators.FuzzyJoin), NOT an all-pairs product. The oracle
+    * is the brute-force formulation, so the gate proves the blocking
+    * scheme loses no pairs on real data; grouped by distance.
+    */
+  def j10FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = Lake.table(spark, dir, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+    graft.operators.FuzzyJoin.join(s, "id", "nm", s, "id", "nm", maxDist = 1)
+      .filter(col("id_l") < col("id_r"))
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("id_l") + col("id_r")).as("id_checksum"))
+      .orderBy(col("dist"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q18_subqueries"      -> (q18Subqueries _),
+    "j10_fuzzy_join"       -> (j10FuzzyJoin _),
     "f14_string_funcs"    -> (f14StringFuncs _),
     "e2_union_except"     -> (e2UnionExcept _),
     "s6_partitioned_sink" -> (s6PartitionedSink _),
@@ -186,6 +204,13 @@ object ExtraQueries {
     "w6_rank_variants"    -> (w6RankVariants _))
 
   val oracle: Map[String, String] = Map(
+    "j10_fuzzy_join" ->
+      """SELECT CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist,
+        |  count(*) AS pairs,
+        |  CAST(sum(a.s_suppkey + b.s_suppkey) AS BIGINT) AS id_checksum
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "e2_union_except" ->
       """SELECT k FROM (
         |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 8000

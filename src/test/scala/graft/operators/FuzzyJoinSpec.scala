@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class FuzzyJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Brute-force truth: all cross pairs within maxDist. */
+  private def brute(
+      l: Seq[(Long, String)], r: Seq[(Long, String)], d: Int): Set[(Long, Long, Long)] =
+    (for {
+      (il, sl) <- l
+      (ir, sr) <- r
+      dist = levDist(sl, sr) if dist <= d
+    } yield (il, ir, dist.toLong)).toSet
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  private def run(
+      l: Seq[(Long, String)], r: Seq[(Long, String)], d: Int): Set[(Long, Long, Long)] =
+    FuzzyJoin.join(l.toDF("id", "s"), "id", "s", r.toDF("id", "s"), "id", "s", d)
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("matches brute force on mixed short/boundary/long strings") {
+    // maxDist=2, q=3 → minLen=9, boundary zone [9, 11): include lengths
+    // straddling every regime, incl. short-vs-boundary pairs the q-gram
+    // bound alone would miss.
+    val rows = Seq(
+      1L -> "ab",              // short
+      2L -> "abc",             // short
+      3L -> "abcdefg",         // short (7)
+      4L -> "abcdefghi",       // boundary (9)
+      5L -> "abcdefghij",      // boundary (10)
+      6L -> "abcdefghijk",     // long (11)
+      7L -> "abcdefghijklmno", // long (15)
+      8L -> "xbcdefghijklmno", // 1 sub from 7
+      9L -> "zzzzzzzzzzzzzzz", // unrelated long
+      10L -> "")               // empty
+    val got = run(rows, rows, 2)
+    assert(got == brute(rows, rows, 2))
+  }
+
+  test("asymmetric join, maxDist=1") {
+    val l = Seq(1L -> "Supplier#0001", 2L -> "Supplier#0010", 3L -> "other")
+    val r = Seq(10L -> "Supplier#0002", 11L -> "Suplier#0001", 12L -> "word")
+    val got = run(l, r, 1)
+    assert(got == brute(l, r, 1))
+  }
+
+  test("maxDist=0 degenerates to exact string equality") {
+    val l = Seq(1L -> "same-string", 2L -> "ab", 3L -> "x")
+    val r = Seq(4L -> "same-string", 5L -> "ab", 6L -> "y")
+    val got = run(l, r, 0)
+    assert(got == Set((1L, 4L, 0L), (2L, 5L, 0L)))
+  }
+
+  test("finds corpus near-dup supplier names (self-join, diagonal dropped)") {
+    val names = (1 to 30).map(i => (i.toLong, f"Supplier#$i%09d"))
+    val pairs = FuzzyJoin.join(
+        names.toDF("id", "s"), "id", "s", names.toDF("id", "s"), "id", "s", 1)
+      .filter(col("id_l") < col("id_r"))
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = brute(names, names, 1).filter(t => t._1 < t._2)
+    assert(pairs == expected)
+    assert(pairs.nonEmpty, "single-digit-diff names must pair at dist 1")
+  }
+}
