@@ -25,4 +25,26 @@ object VectorFunctions {
   /** cosine(a, b) = dot / (||a|| * ||b||). */
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** max |x_i| — the symmetric int8 quantization scale numerator. */
+  def maxAbs(a: Column): Column =
+    array_max(transform(a, x => abs(x.cast("double"))))
+
+  /** Symmetric per-vector int8 quantization: q_i = round(x_i·127/m) with
+    * m = max|x| — the 4×-smaller storage form for 100 TB vector stores
+    * (together with the scale `m`, stored alongside, reconstruction error
+    * is ≤ m/254 per element). m is let-bound through a single-element
+    * transform so it's computed once per vector, not once per element
+    * (no CSE across lambda boundaries — the letTokens lesson).
+    * All-zero vectors quantize to all zeros.
+    */
+  def quantizeInt8(a: Column): Column =
+    element_at(transform(array(maxAbs(a)), m =>
+      when(m > 0.0,
+        transform(a, x => round(x.cast("double") * 127.0 / m).cast("int")))
+        .otherwise(transform(a, _ => lit(0)))), 1)
+
+  /** Reconstruct doubles from an int8-quantized vector and its scale. */
+  def dequantizeInt8(q: Column, m: Column): Column =
+    transform(q, v => v.cast("double") * m.cast("double") / 127.0)
 }

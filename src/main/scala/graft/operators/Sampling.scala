@@ -53,6 +53,37 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic hash-based dataset split (train/val/test): each row's
+    * md5-derived uniform lands it in the first label whose cumulative
+    * fraction exceeds it. Pure map-side — no shuffle, no sampling state;
+    * the assignment is a function of the row's seed alone, so it is
+    * stable under reruns, repartitioning, engine swaps, and incremental
+    * appends (a row added tomorrow cannot flip today's rows between
+    * splits — the property a reproducible training pipeline needs).
+    */
+  def hashSplit(
+      df: DataFrame,
+      seed: Column,
+      fractions: Seq[(String, Double)],
+      tag: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(fractions.forall(_._2 > 0), "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    // The when-chain references the uniform once per branch — let-bind it
+    // so the md5 fold runs once per row.
+    val split = element_at(
+      transform(array(seededUniform(seed, tag)), u => {
+        val chain = fractions.zip(cum).init.foldLeft(Option.empty[Column]) {
+          case (acc, ((label, _), c)) =>
+            Some(acc.fold(when(u < c, label))(_.when(u < c, label)))
+        }
+        chain.fold(lit(fractions.last._1): Column)(_.otherwise(fractions.last._1))
+      }), 1)
+    df.withColumn("split", split)
+  }
+
   /** Per-group weighted sample: `k` rows per `group` value — the
     * stratified form (e.g. a per-language or per-source budget). One hash
     * shuffle on the group key; window keeps rank ≤ k, sort spills.

@@ -197,6 +197,35 @@ object CorpusQueries {
       .orderBy(col("df").desc, col("term"))
       .limit(25)
 
+  /** L11: hash-based train/val/test split (80/10/10, seeded by doc_id) —
+    * per-split counts plus id/char checksums pin the exact membership of
+    * every split, not just its size.
+    */
+  def l11HashSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSplit(
+        Lake.table(spark, dir, "documents"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("chars_sum"))
+      .orderBy(col("split"))
+
+  /** L12: symmetric int8 embedding quantization — per (label, pos < 8)
+    * integer sums of the quantized values. The oracle replays scale and
+    * rounding element-by-element, so the gate pins every emitted int8.
+    */
+  def l12Quantize(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "embeddings")
+      .select(col("label"),
+        posexplode(graft.functions.VectorFunctions.quantizeInt8(col("embedding")))
+          .as(Seq("p", "q")))
+      .filter(col("p") < 8)
+      .withColumn("pos", col("p").cast("long")).drop("p")
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).cast("long").as("sq"))
+      .orderBy(col("label"), col("pos"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "l4_heavy_hitters" -> (l4HeavyHitters _),
     "l4_word_freq"  -> (l4WordFreq _),
@@ -209,7 +238,9 @@ object CorpusQueries {
     "l7_contamination" -> (l7Contamination _),
     "l8_weighted_sample"  -> (l8WeightedSample _),
     "l9_length_histogram" -> (l9LengthHistogram _),
-    "l10_inverted_index"  -> (l10InvertedIndex _))
+    "l10_inverted_index"  -> (l10InvertedIndex _),
+    "l11_hash_split"      -> (l11HashSplit _),
+    "l12_quantize"        -> (l12Quantize _))
 
   val oracle: Map[String, String] = Map(
     "l4_word_freq" ->
@@ -312,6 +343,37 @@ object CorpusQueries {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS flagged
         |FROM documents WHERE doc_id % 97 <> 0
         |GROUP BY source ORDER BY source""".stripMargin,
+    "l11_hash_split" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(string_split_regex(substr(md5('split:'||doc_id),1,15), ''),
+        |         c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |       (a, b) -> a*16 + b) AS DOUBLE) + 0.5)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_chars,
+        |    -- thresholds as DOUBLE sums, replaying Spark's scanLeft:
+        |    -- 0.8+0.1 is 0.9000000000000001 in IEEE, NOT decimal 0.9
+        |    CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+        |         WHEN u < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE)
+        |           THEN 'val' ELSE 'test' END AS split
+        |  FROM u)
+        |SELECT split, count(*) AS c,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "l12_quantize" ->
+      """WITH m AS (SELECT label, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings)
+        |SELECT label, i AS pos, count(*) AS n,
+        |  CAST(sum(CASE WHEN mx > 0
+        |    THEN CAST(round(CAST(embedding[i+1] AS DOUBLE) * 127.0 / mx)
+        |         AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS sq
+        |FROM m, range(8) t(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Same md5 hex→int fold as l2_minhash; (v+0.5)/2^60 and the final
     // pow/round replay the Spark expression step for step.
     "l8_weighted_sample" ->

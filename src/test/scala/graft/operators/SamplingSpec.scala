@@ -56,6 +56,30 @@ class SamplingSpec extends SparkSpecBase {
     assert(out == Seq(10L, 10L, 10L))
   }
 
+  test("hashSplit partitions every row, near the requested fractions") {
+    val df = spark.range(2000).toDF("id")
+    val out = Sampling.hashSplit(df, col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 2000L, "splits must partition the rows")
+    assert(out("train") > 1500 && out("train") < 1700,
+      s"train=${out("train")} should be near 1600 (binomial, ±5σ≈90)")
+    assert(out.keySet == Set("train", "val", "test"))
+  }
+
+  test("hashSplit assignment is stable under appends and repartitioning") {
+    val base = spark.range(500).toDF("id")
+    val frac = Seq("a" -> 0.5, "b" -> 0.5)
+    val before = Sampling.hashSplit(base, col("id"), frac)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = Sampling.hashSplit(spark.range(1000).toDF("id").repartition(7), col("id"), frac)
+      .filter(col("id") < 500)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before == after,
+      "new rows and layout changes must not flip existing assignments")
+  }
+
   test("seededUniform is tag-sensitive (independent sample draws)") {
     val df = spark.range(100).toDF("id")
     val u1 = df.select(Sampling.seededUniform(col("id"), "a").as("u"))
