@@ -138,6 +138,35 @@ object Curation {
       .drop("_contaminated")
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget bins (the
+    * training-data step that packs documents into context windows) via
+    * prefix sums — bin = (running token count before this doc) div
+    * capacity, over a deterministic per-shard order. One window per
+    * shard key; NO sequential state, so it parallelizes across shards
+    * where true next-fit packing cannot. The trade: a document whose
+    * prefix straddles a boundary stays in the earlier bin, so a bin's
+    * fill is < capacity + its largest document (exact next-fit would cap
+    * at capacity by pushing the straddler — at the cost of a sequential
+    * scan per shard). Output adds `bin` and `offset` (token position of
+    * the doc within its shard's stream).
+    */
+  def packBins(
+      docs: DataFrame,
+      shard: Column,
+      tokensCount: Column,
+      order: Column,
+      capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(shard).orderBy(order)
+    val before =
+      coalesce(sum(tokensCount).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L))
+    docs
+      .withColumn("offset", before.cast("long"))
+      .withColumn("bin",
+        call_function("div", col("offset"), lit(capacity)))
+  }
+
   /** Fixed-width histogram of a nonnegative integral column — the
     * doc-length distribution behind min/max-length curation cuts. One
     * partial-aggregated shuffle over O(buckets) groups; map-side combine

@@ -226,6 +226,26 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n"), sum(col("q")).cast("long").as("sq"))
       .orderBy(col("label"), col("pos"))
 
+  /** L13: sequence packing — per-source prefix-sum binning into 500-token
+    * budgets; the per-source roll-up pins every bin boundary (bin count,
+    * max fill, totals) without emitting one row per document.
+    */
+  def l13Packing(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val perBin = graft.operators.Curation
+      .packBins(docs, col("source"), col("toks"), col("doc_id"), capacity = 500L)
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("fill"))
+    perBin.groupBy(col("source"))
+      .agg(count(lit(1)).as("bins"),
+        sum(col("docs")).as("docs"),
+        max(col("fill")).as("max_fill"),
+        sum(col("fill")).as("total_toks"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "l4_heavy_hitters" -> (l4HeavyHitters _),
     "l4_word_freq"  -> (l4WordFreq _),
@@ -240,7 +260,8 @@ object CorpusQueries {
     "l9_length_histogram" -> (l9LengthHistogram _),
     "l10_inverted_index"  -> (l10InvertedIndex _),
     "l11_hash_split"      -> (l11HashSplit _),
-    "l12_quantize"        -> (l12Quantize _))
+    "l12_quantize"        -> (l12Quantize _),
+    "l13_packing"         -> (l13Packing _))
 
   val oracle: Map[String, String] = Map(
     "l4_word_freq" ->
@@ -343,6 +364,21 @@ object CorpusQueries {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS flagged
         |FROM documents WHERE doc_id % 97 <> 0
         |GROUP BY source ORDER BY source""".stripMargin,
+    "l13_packing" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT source, toks,
+        |    (COALESCE(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) // 500
+        |      AS bin
+        |  FROM d),
+        |b AS (SELECT source, bin, count(*) AS docs, sum(toks) AS fill
+        |      FROM p GROUP BY 1, 2)
+        |SELECT source, count(*) AS bins,
+        |  CAST(sum(docs) AS BIGINT) AS docs,
+        |  CAST(max(fill) AS BIGINT) AS max_fill,
+        |  CAST(sum(fill) AS BIGINT) AS total_toks
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
     "l11_hash_split" ->
       """WITH u AS (SELECT doc_id, n_chars,
         |    (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),

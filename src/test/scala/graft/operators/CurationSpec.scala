@@ -62,6 +62,30 @@ class CurationSpec extends SparkSpecBase {
     assert(out == Map(1L -> false))
   }
 
+  test("packBins: prefix-sum bins, straddlers stay in the earlier bin") {
+    val docs = Seq(
+      (1L, "s1", 6L), (2L, "s1", 6L), (3L, "s1", 6L), (4L, "s1", 1L),
+      (5L, "s2", 25L)).toDF("id", "shard", "toks")
+    val out = Curation.packBins(docs, col("shard"), col("toks"), col("id"), 10L)
+      .select("id", "offset", "bin")
+      .as[(Long, Long, Long)].collect().toSet
+    // s1 offsets 0,6,12,18 → bins 0,0,1,1 (doc 2 straddles, stays in 0);
+    // s2 is independent (per-shard stream restarts at offset 0).
+    assert(out == Set((1L, 0L, 0L), (2L, 6L, 0L), (3L, 12L, 1L),
+      (4L, 18L, 1L), (5L, 0L, 0L)))
+  }
+
+  test("packBins fill bound: every bin < capacity + its largest doc") {
+    val docs = (1 to 200).map(i => (i.toLong, s"s${i % 3}", (i % 17 + 1).toLong))
+      .toDF("id", "shard", "toks")
+    val fills = Curation.packBins(docs, col("shard"), col("toks"), col("id"), 20L)
+      .groupBy("shard", "bin")
+      .agg(sum(col("toks")).as("fill"), max(col("toks")).as("mx"))
+      .filter(col("fill") >= lit(20L) + col("mx"))
+      .count()
+    assert(fills == 0L)
+  }
+
   test("lengthHistogram buckets by width and partitions the row count") {
     val df = Seq(0L, 49L, 50L, 99L, 100L, 250L).toDF("v")
     val h = Curation.lengthHistogram(df, col("v"), 50)

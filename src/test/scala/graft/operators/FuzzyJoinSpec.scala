@@ -64,6 +64,21 @@ class FuzzyJoinSpec extends SparkSpecBase {
     assert(got == Set((1L, 4L, 0L), (2L, 5L, 0L)))
   }
 
+  test("randomized brute-force equivalence (seeded, 3 rounds, d=1..2)") {
+    // Small alphabet forces dense near-matches; lengths 0..14 straddle
+    // the short/boundary/long key regimes for both d values.
+    val rnd = new scala.util.Random(20260812L)
+    for (round <- 0 until 3; d <- 1 to 2) {
+      val rows = (0 until 60).map { i =>
+        val len = rnd.nextInt(15)
+        (i.toLong, Seq.fill(len)("abc" (rnd.nextInt(3))).mkString)
+      }
+      val got = run(rows, rows, d)
+      assert(got == brute(rows, rows, d),
+        s"round $round d=$d: blocked join diverged from brute force")
+    }
+  }
+
   test("finds corpus near-dup supplier names (self-join, diagonal dropped)") {
     val names = (1 to 30).map(i => (i.toLong, f"Supplier#$i%09d"))
     val pairs = FuzzyJoin.join(
