@@ -66,12 +66,67 @@ object CrawlerQueries {
       .toDF("unchanged", "changed", "added", "removed")
   }
 
+  /** C6: declarative data-quality validation — every single-table rule
+    * family in one aggregation pass per table, plus cross-table
+    * referential integrity, cross-engine checked count-for-count. Two
+    * rules are deliberately violated by the corpus (acctbal range,
+    * quantity cap) so the failing path is driver-visible too.
+    */
+  def c6QualityChecks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.crawler.QualityChecks._
+    val customer = graft.core.Lake.table(spark, dir, "customer")
+    val orders = graft.core.Lake.table(spark, dir, "orders")
+    val lineitem = graft.core.Lake.table(spark, dir, "lineitem")
+    val perTable =
+      validate(customer, Seq(
+        InRange("customer_acctbal_range", "c_acctbal", 0.0, 10000.0),
+        Unique("customer_key_unique", "c_custkey"))) unionAll
+      validate(lineitem, Seq(
+        InRange("lineitem_discount_range", "l_discount", 0.0, 0.1),
+        InRange("lineitem_quantity_cap", "l_quantity", 1.0, 49.0))) unionAll
+      validate(orders, Seq(
+        NotNull("orders_custkey_not_null", "o_custkey"),
+        AcceptedValues("orders_status_accepted", "o_orderstatus", Seq("O", "F", "P")),
+        Predicate("orders_price_positive", col("o_totalprice") > 0)))
+    val ref = referential("orders_custkey_in_customer",
+      orders, "o_custkey", broadcast(customer), "c_custkey")
+    perTable.unionAll(ref).orderBy(col("check"))
+  }
+
+  /** C7: schema-drift detection — crawl the lake, write a deterministically
+    * mutated `customer` (drop a column, add one, retype one, reorder one)
+    * to a temp lake, crawl THAT, and diff the two real crawls. The corpus
+    * is fixed, so the drift report is a constant oracle.
+    */
+  def c7SchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.crawler.SchemaDrift
+    val oldSchema = SchemaDrift.schemaTable(spark, dir)
+      .filter(col("dataset") === "customer")
+    val tmp = Files.createTempDirectory("graft_drift").toString
+    graft.core.Lake.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("bigint").as("c_nationkey"),
+        col("c_mktsegment"),
+        (col("c_custkey") % 3).cast("int").as("c_tier"))
+      .write.mode("overwrite").parquet(s"$tmp/customer")
+    val newSchema = SchemaDrift.schemaTable(spark, tmp)
+    SchemaDrift.diff(oldSchema, newSchema)
+      .select(col("dataset"), col("col_name"), col("change"),
+        coalesce(col("old_type"), lit("")).as("old_type"),
+        coalesce(col("new_type"), lit("")).as("new_type"),
+        coalesce(col("old_pos"), lit(-1)).as("old_pos"),
+        coalesce(col("new_pos"), lit(-1)).as("new_pos"))
+      .orderBy(col("col_name"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "c1_discover"         -> (c1Discover _),
     "c2_schemas"          -> (c2Schemas _),
     "c3_profile_customer" -> (c3ProfileCustomer _),
     "c3_topk_mktsegment"  -> (c3TopkMktsegment _),
-    "c5_incremental"      -> (c5Incremental _))
+    "c5_incremental"      -> (c5Incremental _),
+    "c6_quality_checks"   -> (c6QualityChecks _),
+    "c7_schema_drift"     -> (c7SchemaDrift _))
 
   private val expectedSchemas: Seq[(String, Seq[(String, String)])] = Seq(
     "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
@@ -129,5 +184,51 @@ object CrawlerQueries {
         |FROM customer GROUP BY 1 ORDER BY freq DESC, value LIMIT 3""".stripMargin,
     "c5_incremental" ->
       """SELECT CAST(10 AS BIGINT) AS unchanged, CAST(0 AS BIGINT) AS changed,
-        | CAST(0 AS BIGINT) AS added, CAST(0 AS BIGINT) AS removed""".stripMargin)
+        | CAST(0 AS BIGINT) AS added, CAST(0 AS BIGINT) AS removed""".stripMargin,
+    "c6_quality_checks" ->
+      """SELECT "check", violations, total, violations = 0 AS ok FROM (
+        |  SELECT 'customer_acctbal_range' AS "check",
+        |    CAST(sum(CASE WHEN c_acctbal IS NOT NULL
+        |      AND (c_acctbal < 0 OR c_acctbal > 10000) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS violations, count(*) AS total FROM customer
+        |  UNION ALL
+        |  SELECT 'customer_key_unique',
+        |    count(c_custkey) - count(DISTINCT c_custkey), count(*) FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range',
+        |    CAST(sum(CASE WHEN l_discount IS NOT NULL
+        |      AND (l_discount < 0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_quantity_cap',
+        |    CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |      AND (l_quantity < 1 OR l_quantity > 49) THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_custkey_not_null',
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_status_accepted',
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_price_positive',
+        |    CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, false)
+        |      THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_custkey_in_customer',
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |    count(*) FROM orders
+        |) ORDER BY "check"""".stripMargin,
+    "c7_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('customer', 'c_acctbal',    'removed', 'double', '',       3, -1),
+        |  ('customer', 'c_mktsegment', 'moved',   'string', 'string', 4,  3),
+        |  ('customer', 'c_nationkey',  'retyped', 'int',    'bigint', 2,  2),
+        |  ('customer', 'c_tier',       'added',   '',       'int',   -1,  4))
+        | t(dataset, col_name, change, old_type, new_type, old_pos, new_pos)
+        |ORDER BY col_name""".stripMargin)
 }

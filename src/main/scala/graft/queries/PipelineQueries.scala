@@ -341,7 +341,29 @@ object PipelineQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** L14: keyed snapshot diff (CDC extraction) — mutate `orders`
+    * deterministically (drop keys %97, bump price on keys %13, re-key
+    * %89==1 rows past the keyspace as inserts), diff new-vs-old, and emit
+    * every change row. The inverse of l1_upsert's applyUpserts; the
+    * round-trip equality is SnapshotDiffSpec's property.
+    */
+  def l14SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = Lake.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val mutated = old.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 5)
+          .otherwise(col("o_totalprice")))
+      .unionAll(old.filter(col("o_orderkey") % 89 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    graft.operators.SnapshotDiff.diff(old, mutated, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("op"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .orderBy(col("o_orderkey"), col("op"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "l14_snapshot_diff"  -> (l14SnapshotDiff _),
     "l1_upsert"          -> (l1Upsert _),
     "l1_dedup_keepfirst" -> (l1DedupKeepfirst _),
     "l2_minhash_pairs"   -> (l2MinhashPairs _),
@@ -564,6 +586,27 @@ object PipelineQueries {
       """SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(kept) AS BIGINT) AS sum_kept
         |FROM (SELECT min(doc_id) AS kept FROM documents GROUP BY md5(text)) t""".stripMargin,
     // Independent reconstruction of the merge: UNION ALL + row_number.
+    "l14_snapshot_diff" ->
+      """WITH oldt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |    FROM orders),
+        |newt AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 5
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 = 1)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |       WHEN n.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  CAST(round(n.o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_orderstatus <> n.o_orderstatus
+        |   OR o.o_totalprice <> n.o_totalprice
+        |ORDER BY 1, 2""".stripMargin,
     "l1_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
         |    0 AS version, false AS deleted FROM orders),
