@@ -47,4 +47,41 @@ object VectorFunctions {
   /** Reconstruct doubles from an int8-quantized vector and its scale. */
   def dequantizeInt8(q: Column, m: Column): Column =
     transform(q, v => v.cast("double") * m.cast("double") / 127.0)
+
+  /** md5-derived ±1 sign matrix for random projection: sign(k, j) = +1
+    * iff the last hex digit of md5("k:j") is even. Row-independent, so it
+    * is computed ONCE here and embedded as a literal — zero per-row hash
+    * work — while staying engine-reproducible (the DuckDB oracle rebuilds
+    * the same matrix from the same md5 strings).
+    */
+  def signMatrix(outDim: Int, inDim: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, inDim) { (k, j) =>
+      val hex = md.digest(s"$k:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("02468ace".contains(hex.last)) 1L else -1L
+    }
+  }
+
+  /** Sparse-free Achlioptas-style random projection in the INTEGER domain:
+    * quantize the vector to int8 first, then project with the ±1 md5 sign
+    * matrix — all-integer arithmetic, so the result is exact and
+    * order-independent (no float-fold drift between engines or between
+    * shuffle orders), and the projection of a quantized store costs no
+    * extra precision. Output: array<long> of length `outDim`. JL lemma:
+    * outDim ≈ O(ln n / ε²) preserves pairwise distances to (1±ε).
+    */
+  def randomProjectInt(a: Column, inDim: Int, outDim: Int): Column = {
+    val m = signMatrix(outDim, inDim)
+    val matrixLit = array(m.map(row => array(row.map(lit): _*)): _*)
+    // Let-bind the quantized vector through a 1-element transform so it
+    // is computed once per row, not once per output dim (no CSE across
+    // lambda boundaries — the letTokens lesson).
+    element_at(transform(array(quantizeInt8(a)), q =>
+      transform(matrixLit, row =>
+        aggregate(
+          zip_with(row, q, (s, x) => s * x.cast("long")),
+          lit(0L),
+          (acc, v) => acc + v))), 1)
+  }
 }

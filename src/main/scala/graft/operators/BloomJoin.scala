@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.{BloomMightContain, BloomUtil}
+
+/** Bloom-prefiltered semi-join: when the build side is too big to
+  * broadcast as ROWS but its KEY SET fits a bloom filter (10 bits/key:
+  * 10⁸ keys ≈ 125 MB — at the broadcast ceiling; 10⁷ ≈ 12 MB — trivial),
+  * build a mergeable bloom over the build keys, probe it MAP-SIDE on the
+  * probe side before the join shuffle, then run the exact join on the
+  * survivors. At 1% fpp a 1%-selective semi-join shuffles ~2% of the
+  * fact instead of 100% — the shuffle, not the scan, is what dies first
+  * at 100 TB.
+  *
+  * This is the user-steerable form of Spark's AQE runtime row-level
+  * filtering, available where AQE can't see the opportunity (pre-built
+  * dim key sets, persisted per-dataset key indexes from the crawler).
+  */
+object BloomJoin {
+
+  /** Build the bloom bitset for `key` (any type — hashed to long with
+    * xxhash64) as ONE aggregated row collected to the driver. The collect
+    * is bounded by the filter size — the same cost class as broadcasting
+    * a dim, never O(rows).
+    */
+  def buildBloom(build: DataFrame, key: Column, expectedKeys: Long,
+      bitsPerKey: Int = 10): Array[Byte] = {
+    val (numBytes, _) = BloomUtil.sizing(expectedKeys, bitsPerKey)
+    // xxhash64(null) is the SEED (42), not null — filter nulls explicitly
+    // or a null build key would poison the filter with a phantom entry.
+    build
+      .filter(key.isNotNull)
+      .select(BloomMightContain.bloom_agg(xxhash64(key), numBytes).as("b"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Map-side membership prefilter of `probeKey` against a built bloom.
+    * Keeps every true match (no false negatives) plus ~fpp of the rest.
+    */
+  def prefilter(probe: DataFrame, probeKey: Column, bloom: Array[Byte]): DataFrame =
+    // Null probe keys can never equi-match; drop them here (xxhash64(null)
+    // is the seed, which would otherwise probe a phantom bit pattern).
+    probe.filter(probeKey.isNotNull &&
+      BloomMightContain.bloom_might_contain(lit(bloom), xxhash64(probeKey)))
+
+  /** Exact semi-join with a bloom prefilter in front: identical result to
+    * `probe.join(build, …, "left_semi")`, with the fact-side shuffle fed
+    * only prefilter survivors. `expectedKeys` sizes the filter (estimate
+    * high; an undersized filter only costs fpp, never correctness).
+    */
+  def semiJoin(probe: DataFrame, probeKey: String, build: DataFrame,
+      buildKey: String, expectedKeys: Long, bitsPerKey: Int = 10): DataFrame = {
+    val bloom = buildBloom(build, col(buildKey), expectedKeys, bitsPerKey)
+    prefilter(probe, col(probeKey), bloom)
+      .join(build.select(col(buildKey)).distinct(),
+        col(probeKey) === col(buildKey), "left_semi")
+  }
+}

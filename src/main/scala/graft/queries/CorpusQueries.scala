@@ -246,7 +246,25 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  /** L15: integer random projection (64-d → 8-d) over int8-quantized
+    * embeddings with the md5-derived ±1 sign matrix — all-integer, so the
+    * cross-engine check is exact (no float-fold drift). The oracle
+    * rebuilds the same matrix from the same md5 strings; the gate pins
+    * the summed projection per (label, output dim).
+    */
+  def l15RandomProjection(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "embeddings")
+      .select(col("label"),
+        posexplode(graft.functions.VectorFunctions
+          .randomProjectInt(col("embedding"), inDim = 64, outDim = 8))
+          .as(Seq("k", "pv")))
+      .withColumn("k", col("k").cast("long"))
+      .groupBy(col("label"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("pv")).as("sp"))
+      .orderBy(col("label"), col("k"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "l15_random_projection" -> (l15RandomProjection _),
     "l4_heavy_hitters" -> (l4HeavyHitters _),
     "l4_word_freq"  -> (l4WordFreq _),
     "l4_tfidf_top"  -> (l4TfidfTop _),
@@ -264,6 +282,24 @@ object CorpusQueries {
     "l13_packing"         -> (l13Packing _))
 
   val oracle: Map[String, String] = Map(
+    "l15_random_projection" ->
+      """WITH m AS (SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CASE WHEN mx > 0
+        |      THEN CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT)
+        |      ELSE 0 END) AS qv
+        |  FROM m),
+        |s AS (SELECT k, j,
+        |    CASE WHEN strpos('02468ace', substr(md5(k || ':' || j), 32, 1)) > 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM range(8) t(k), range(64) u(j))
+        |SELECT label, k, count(DISTINCT vec_id) AS n,
+        |  CAST(sum(sgn * qv[j + 1]) AS BIGINT) AS sp
+        |FROM q, s
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "l4_word_freq" ->
       """SELECT term, count(*) AS c
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)

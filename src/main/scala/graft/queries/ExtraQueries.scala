@@ -192,9 +192,29 @@ object ExtraQueries {
       .orderBy(col("dist"))
   }
 
+  /** J11: bloom-prefiltered semi-join — lineitem against the small-size
+    * part subset. The bloom prefilter drops non-matching fact rows
+    * MAP-SIDE before the join shuffle (the 100 TB lever); the exact join
+    * on survivors makes the result identical to a plain semi-join, which
+    * is exactly what the oracle checks. Prefilter effectiveness and
+    * false-positive bounds are BloomJoinSpec's job.
+    */
+  def j11BloomSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val small = Lake.table(spark, dir, "part").filter(col("p_size") <= 5)
+    graft.operators.BloomJoin.semiJoin(
+        Lake.table(spark, dir, "lineitem"), "l_partkey",
+        small, "p_partkey", expectedKeys = 20000L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        sum(col("l_partkey")).as("key_checksum"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q18_subqueries"      -> (q18Subqueries _),
     "j10_fuzzy_join"       -> (j10FuzzyJoin _),
+    "j11_bloom_semijoin"   -> (j11BloomSemijoin _),
     "f14_string_funcs"    -> (f14StringFuncs _),
     "e2_union_except"     -> (e2UnionExcept _),
     "s6_partitioned_sink" -> (s6PartitionedSink _),
@@ -204,6 +224,13 @@ object ExtraQueries {
     "w6_rank_variants"    -> (w6RankVariants _))
 
   val oracle: Map[String, String] = Map(
+    "j11_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS c,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(sum(l_partkey) AS BIGINT) AS key_checksum
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j10_fuzzy_join" ->
       """SELECT CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist,
         |  count(*) AS pairs,
