@@ -185,4 +185,25 @@ object Curation {
         max(value.cast("long")).as("hi"),
         sum(value.cast("long")).as("total"))
   }
+
+  /** Winsorize: clamp `valueCol` to its per-group [loQ, hiQ] exact
+    * quantiles — the standard outlier-taming pass before numeric features
+    * feed normalization or loss weighting. Two passes: a per-group
+    * quantile aggregate (2 doubles per group) joined back broadcast —
+    * cheaper at scale than a percentile WINDOW, which would re-sort every
+    * full partition. Appends `<valueCol>_w`; group count is assumed
+    * dim-sized (drop the broadcast hint for high-cardinality groups).
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      loQ: Double, hiQ: Double): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "0 <= loQ < hiQ <= 1")
+    require(groupCols.nonEmpty, "at least one group column")
+    val v = col(valueCol)
+    val q = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(v, lit(loQ)).as("__lo"), percentile(v, lit(hiQ)).as("__hi"))
+    df.join(broadcast(q), groupCols)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(v, col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

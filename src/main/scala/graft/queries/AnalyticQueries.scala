@@ -396,7 +396,24 @@ object AnalyticQueries {
       .orderBy(col("stage"))
   }
 
+  /** A15: winsorized aggregation — clamp prices to per-group exact
+    * [p5, p95] (Curation.winsorize: quantile agg + broadcast join-back,
+    * not a percentile window), then roll up. Spark percentile ≡ DuckDB
+    * quantile_cont interpolation is already pinned by f8.
+    */
+  def a15Winsorize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.winsorize(
+        Lake.table(spark, dir, "lineitem"),
+        "l_extendedprice", Seq("l_returnflag"), 0.05, 0.95)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("c"),
+        (sum(round(col("l_extendedprice_w") * 100).cast("long")) / 100.0).as("s"),
+        round(min(col("l_extendedprice_w")) * 100).cast("long").as("mn_c"),
+        round(max(col("l_extendedprice_w")) * 100).cast("long").as("mx_c"))
+      .orderBy(col("l_returnflag"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "a15_winsorize"        -> (a15Winsorize _),
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
     "a9_unpivot"           -> (a9Unpivot _),
@@ -419,6 +436,20 @@ object AnalyticQueries {
     "a14_funnel"           -> (a14Funnel _))
 
   val oracle: Map[String, String] = Map(
+    "a15_winsorize" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, count(*) AS c,
+        |  sum(CAST(round(least(greatest(l_extendedprice, lo), hi) * 100)
+        |    AS BIGINT)) / 100.0 AS s,
+        |  CAST(round(min(least(greatest(l_extendedprice, lo), hi)) * 100)
+        |    AS BIGINT) AS mn_c,
+        |  CAST(round(max(least(greatest(l_extendedprice, lo), hi)) * 100)
+        |    AS BIGINT) AS mx_c
+        |FROM lineitem JOIN q USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a13_cohort" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
         |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)

@@ -180,7 +180,23 @@ object SourceQueries {
       .orderBy(col("event_type"))
   }
 
+  /** S10: z-order (Morton) clustering key — the codegen interleave
+    * expression cross-checked bit-for-bit against DuckDB rebuilding each
+    * z-value from shift/mask arithmetic. The layout half (range-partition
+    * by z, per-file min/max tightness, box-query pruning) is ZOrderSpec's
+    * property; this gate pins the curve itself.
+    */
+  def s10ZorderValues(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Lake.table(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 40)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.plans.ZOrderInterleave.zorder(col("l_partkey"), col("l_suppkey"))
+          .as("z"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s10_zorder_values" -> (s10ZorderValues _),
     "s2_csv_inference"  -> (s2CsvInference _),
     "s3_json_inference" -> (s3JsonInference _),
     "s1_multifile_scan" -> (s1MultifileScan _),
@@ -189,6 +205,14 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    "s10_zorder_values" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(sum(((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))
+        |         + ((l_suppkey >> i) & 1) * (CAST(1 AS BIGINT) << (2*i)))
+        |    AS BIGINT) AS z
+        |FROM lineitem, range(31) t(i)
+        |WHERE l_orderkey < 40
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
     // Reads the SAME csv files the gate wrote — engine inference vs DuckDB
     // inference must agree on values, not just on the happy parquet path.
     "s2_csv_inference" ->
