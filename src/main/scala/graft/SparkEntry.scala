@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticQueries, ContractQueries, CorpusQueries, CrawlerQueries, ExtraQueries, PipelineQueries, SourceQueries, StreamingQueries, TemporalQueries}
+import graft.queries.{AnalyticQueries, ContractQueries, CorpusQueries, CrawlerQueries, ExtraQueries, GraphQueries, PipelineQueries, SourceQueries, StreamingQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,12 +14,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (ContractQueries.all ++ PipelineQueries.all ++ CrawlerQueries.all ++
       StreamingQueries.all ++ ExtraQueries.all ++ SourceQueries.all ++
-      TemporalQueries.all ++ AnalyticQueries.all ++ CorpusQueries.all).toMap
+      TemporalQueries.all ++ AnalyticQueries.all ++ CorpusQueries.all ++
+      GraphQueries.all).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ContractQueries.oracle ++ PipelineQueries.oracle ++ CrawlerQueries.oracle ++
       StreamingQueries.oracle ++ ExtraQueries.oracle ++ SourceQueries.oracle ++
-      TemporalQueries.oracle ++ AnalyticQueries.oracle ++ CorpusQueries.oracle
+      TemporalQueries.oracle ++ AnalyticQueries.oracle ++ CorpusQueries.oracle ++
+      GraphQueries.oracle
 }

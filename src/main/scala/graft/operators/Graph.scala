@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics as iterative joins — no driver-side graph,
+  * no vertex collection (the pattern `Dedup.resolveDupGroups` already
+  * uses for connected components). Ranks live in FIXED-POINT integer
+  * micro-units so every engine (and every shuffle order) computes
+  * bit-identical results: integer `div` has no float-fold drift, which is
+  * what makes PageRank DuckDB-oracle-able at all.
+  *
+  * Scale notes: each iteration is one join edges⋈ranks (shuffle on src —
+  * reusable partitioning across iterations) + one groupBy dst (partial
+  * aggregation map-side). State is O(nodes) rows, never on the driver.
+  * At 100 TB you checkpoint every few iterations to truncate lineage;
+  * locally the plan tree for 3 iterations is fine.
+  */
+object Graph {
+
+  /** Fixed-point PageRank: rank in `scale`-units (default micro),
+    * damping in the same units. new = (scale−d) + d·Σ contrib / scale,
+    * contrib = rank div out-degree. Nodes are every distinct src/dst;
+    * dangling nodes contribute nothing (their mass leaks — the classic
+    * simplified variant; both engines implement exactly this).
+    * Input `edges`: (src, dst) bigint columns. Output: (node, rank).
+    */
+  def pageRankInt(
+      spark: SparkSession,
+      edges: DataFrame,
+      iterations: Int,
+      dampingScaled: Long = 850000L,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val base = lit(scale - dampingScaled)
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          call_function("div", col("rank"), col("__deg")).as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contribs, Seq("node"), "left_outer")
+        .select(col("node"),
+          (base + call_function("div",
+            lit(dampingScaled) * coalesce(col("contrib"), lit(0L)),
+            lit(scale))).as("rank"))
+    }
+    ranks
+  }
+
+  /** Degree table of an edge list: per node, out/in/total degree —
+    * the first profiling query over any graph-shaped dataset.
+    */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("total_deg", col("out_deg") + col("in_deg"))
+  }
+}

@@ -263,7 +263,36 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n"), sum(col("pv")).as("sp"))
       .orderBy(col("label"), col("k"))
 
+  /** L16: count-min sketch — one-pass token-frequency table (the
+    * "how often is X" companion to SpaceSaving's "who is heavy"). The
+    * gate checks the CM guarantee per top-20 token against the exact
+    * counts: exact ≤ estimate ≤ exact + 3N/width. The flags are
+    * deterministic given the corpus; the oracle pins the exact counts
+    * and expects both flags true (the f8b bounded-error pattern).
+    */
+  def l16Countmin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CountMinAgg.{cm_estimate, count_min_agg}
+    val (width, depth) = (4096, 4)
+    val toks = Lake.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("t"), xxhash64(col("t")).as("h"))
+    val sk = toks.agg(count_min_agg(col("h"), width, depth).as("sk"),
+      count(lit(1)).as("n"))
+    val top = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(20)
+    top.crossJoin(broadcast(sk))
+      .select(col("t"), col("c"),
+        (cm_estimate(col("sk"), xxhash64(col("t")), width, depth) >= col("c"))
+          .as("lower_ok"),
+        (cm_estimate(col("sk"), xxhash64(col("t")), width, depth) <=
+          col("c") + call_function("div", col("n") * 3L, lit(width.toLong)))
+          .as("upper_ok"))
+      .orderBy(col("c").desc, col("t"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "l16_countmin" -> (l16Countmin _),
     "l15_random_projection" -> (l15RandomProjection _),
     "l4_heavy_hitters" -> (l4HeavyHitters _),
     "l4_word_freq"  -> (l4WordFreq _),
@@ -282,6 +311,11 @@ object CorpusQueries {
     "l13_packing"         -> (l13Packing _))
 
   val oracle: Map[String, String] = Map(
+    "l16_countmin" ->
+      """SELECT t, count(*) AS c, true AS lower_ok, true AS upper_ok
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |WHERE length(t) > 0
+        |GROUP BY 1 ORDER BY c DESC, t LIMIT 20""".stripMargin,
     "l15_random_projection" ->
       """WITH m AS (SELECT vec_id, label, embedding,
         |    list_max(list_transform(embedding,

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Lake
+import graft.operators.Graph
+
+/** Graph-analytics gates over the part–supplier co-supply graph derived
+  * from lineitem (nodes: suppliers, parts offset by 10^6; edges both
+  * directions, so the graph is symmetric and dangling-free). Fixed-point
+  * integer arithmetic makes every iteration DuckDB-reproducible.
+  */
+object GraphQueries {
+
+  private def coSupplyEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Lake.table(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
+      .distinct()
+    pairs.select(col("s").as("src"), col("p").as("dst"))
+      .unionAll(pairs.select(col("p").as("src"), col("s").as("dst")))
+  }
+
+  /** G1: 3 iterations of fixed-point PageRank, top-15 nodes. */
+  def g1Pagerank(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRankInt(spark, coSupplyEdges(spark, dir), iterations = 3)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(15)
+
+  /** G2: degree profile — heaviest 20 nodes by total degree. */
+  def g2Degrees(spark: SparkSession, dir: String): DataFrame =
+    Graph.degrees(coSupplyEdges(spark, dir))
+      .orderBy(col("total_deg").desc, col("node"))
+      .limit(20)
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "g1_pagerank" -> (g1Pagerank _),
+    "g2_degrees"  -> (g2Degrees _))
+
+  private val edgesCte =
+    """e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p
+      |    FROM lineitem),
+      |edges AS (SELECT s AS src, p AS dst FROM e0
+      |          UNION ALL SELECT p, s FROM e0)""".stripMargin
+
+  // CAST(sum(...) AS BIGINT): DuckDB sums BIGINT into HUGEINT, which
+  // pandas would materialize as float64 and fail the dtype-aware hash.
+  private def iterCte(prev: String, cur: String): String =
+    s"""c$cur AS (SELECT e.dst AS node,
+       |    CAST(sum(r.rank // d.d) AS BIGINT) AS contrib
+       |  FROM edges e JOIN r$prev r ON e.src = r.node
+       |  JOIN deg d ON e.src = d.src GROUP BY 1),
+       |r$cur AS (SELECT n.node,
+       |    CAST(150000 + (850000 * coalesce(c.contrib, 0)) // 1000000
+       |      AS BIGINT) AS rank
+       |  FROM nodes n LEFT JOIN c$cur c USING (node))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "g1_pagerank" ->
+      s"""WITH $edgesCte,
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         |${iterCte("0", "1")},
+         |${iterCte("1", "2")},
+         |${iterCte("2", "3")}
+         |SELECT node, rank FROM r3
+         |ORDER BY rank DESC, node LIMIT 15""".stripMargin,
+    "g2_degrees" ->
+      s"""WITH $edgesCte,
+         |o AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY 1),
+         |i AS (SELECT dst AS node, count(*) AS in_deg FROM edges GROUP BY 1)
+         |SELECT coalesce(o.node, i.node) AS node,
+         |  coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg,
+         |  coalesce(out_deg, 0) + coalesce(in_deg, 0) AS total_deg
+         |FROM o FULL OUTER JOIN i ON o.node = i.node
+         |ORDER BY total_deg DESC, node LIMIT 20""".stripMargin)
+}
