@@ -412,8 +412,52 @@ object AnalyticQueries {
         round(max(col("l_extendedprice_w")) * 100).cast("long").as("mx_c"))
       .orderBy(col("l_returnflag"))
 
+  /** A16: event-transition (Markov) counts — per-user lag over
+    * (ts, event_id)-pinned order, then a grouped count per
+    * (prev, next) edge. One window shuffle on user_id + one agg.
+    */
+  def a16Transitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Lake.table(spark, dir, "events")
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("user_id")).as("users"))
+      .orderBy(col("prev"), col("event_type"))
+  }
+
+  /** A17: skyline (Pareto frontier) of part on (min price, max size) —
+    * the linear window formulation: per-price max size, running max over
+    * strictly-lower prices, keep rows dominated by neither. The oracle is
+    * the O(n²) NOT EXISTS dominance definition, so the gate proves the
+    * linear plan computes exactly the textbook skyline. The global
+    * orderBy window runs over DISTINCT PRICES (already aggregated), not
+    * rows — at scale that's the price-dimension cardinality; a
+    * range-partitioned prefix-scan (the packBins pattern) removes even
+    * that if needed.
+    */
+  def a17Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Lake.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice").as("price"),
+        col("p_size").cast("long").as("sz"))
+    val perPrice = p.groupBy(col("price")).agg(max(col("sz")).as("mx"))
+      .withColumn("mx_below",
+        max(col("mx")).over(Window.orderBy(col("price"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    p.join(perPrice, "price")
+      .filter(col("sz") === col("mx") &&
+        (col("mx_below").isNull || col("mx_below") < col("sz")))
+      .select(col("p_partkey"),
+        round(col("price") * 100).cast("long").as("price_cents"), col("sz"))
+      .orderBy(col("p_partkey"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "a15_winsorize"        -> (a15Winsorize _),
+    "a16_transitions"      -> (a16Transitions _),
+    "a17_skyline"          -> (a17Skyline _),
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
     "a9_unpivot"           -> (a9Unpivot _),
@@ -450,6 +494,24 @@ object AnalyticQueries {
         |    AS BIGINT) AS mx_c
         |FROM lineitem JOIN q USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a16_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type, count(*) AS c,
+        |  count(DISTINCT user_id) AS users
+        |FROM t WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a17_skyline" ->
+      """SELECT p_partkey,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(p_size AS BIGINT) AS sz
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+        |     OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
     "a13_cohort" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
         |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)

@@ -291,8 +291,30 @@ object CorpusQueries {
       .orderBy(col("c").desc, col("t"))
   }
 
+  /** L17: out-of-vocabulary rate — fix a vocabulary (top-50 corpus
+    * tokens, tie-pinned), then per source count tokens outside it. The
+    * tokenizer-coverage question every pipeline asks before committing a
+    * vocab. Broadcast vocab join; one agg per source.
+    */
+  def l17OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Lake.table(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(50)
+      .select(col("t"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("t"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov"))
+      .withColumn("oov_rate",
+        round(col("oov").cast("double") / col("n").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "l16_countmin" -> (l16Countmin _),
+    "l17_oov_rate" -> (l17OovRate _),
     "l15_random_projection" -> (l15RandomProjection _),
     "l4_heavy_hitters" -> (l4HeavyHitters _),
     "l4_word_freq"  -> (l4WordFreq _),
@@ -311,6 +333,18 @@ object CorpusQueries {
     "l13_packing"         -> (l13Packing _))
 
   val oracle: Map[String, String] = Map(
+    "l17_oov_rate" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |    FROM documents),
+        |tk AS (SELECT * FROM toks WHERE length(t) > 0),
+        |vocab AS (SELECT t FROM tk GROUP BY t
+        |  ORDER BY count(*) DESC, t LIMIT 50)
+        |SELECT source, count(*) AS n,
+        |  CAST(sum(CASE WHEN t NOT IN (SELECT t FROM vocab)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+        |  round(CAST(sum(CASE WHEN t NOT IN (SELECT t FROM vocab)
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin,
     "l16_countmin" ->
       """SELECT t, count(*) AS c, true AS lower_ok, true AS upper_ok
         |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
