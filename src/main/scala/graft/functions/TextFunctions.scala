@@ -194,4 +194,20 @@ object TextFunctions {
 
   def urlParam(url: Column, key: String): Column =
     parse_url(url, lit("QUERY"), lit(key))
+
+  /** HTML → plain text: drop tags, THEN unescape entities (so literal
+    * `&lt;tag&gt;` text survives instead of being eaten as markup —
+    * entities are content, not structure), then collapse whitespace.
+    * `&amp;` is unescaped LAST, the standard order that keeps
+    * `&amp;lt;` meaning the literal text "&lt;". Pure codegen'd string
+    * expressions — the web-crawl normalization pass at scan speed.
+    */
+  def stripHtml(html: Column): Column = {
+    val noTags = regexp_replace(html, "<[^>]*>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
 }

@@ -211,4 +211,43 @@ object TemporalJoins {
       .filter(abs(col(leftPos) - col(rightPos)) <= tolerance)
       .drop("_b", "_rb")
   }
+
+  /** Interval-overlap join: all (l, r) pairs whose [start, end] ranges
+    * intersect, optionally equi-keyed. Candidate generation explodes each
+    * interval to its covered `chunk`-width buckets and equi-joins on the
+    * bucket — linear in rows × (interval span / chunk), never nested-loop.
+    * A pair overlapping several buckets is emitted ONCE without a dedup
+    * shuffle: only the CANONICAL bucket — the one containing the overlap
+    * start, max(l.start, r.start) — produces it (the standard interval-
+    * join trick; every overlapping pair has exactly one such bucket).
+    * Pick `chunk` near the typical interval span: much smaller explodes
+    * long intervals, much larger degrades bucket selectivity.
+    * Columns must be long (epoch micros); ends inclusive.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      chunk: Long,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    require(chunk > 0, "chunk must be positive")
+    def floorDiv(c: Column): Column =
+      call_function("div",
+        (c - ((c % chunk + chunk) % chunk)).cast("long"), lit(chunk))
+    def exploded(df: DataFrame, s: String, e: String, out: String): DataFrame = {
+      df.withColumn(out,
+        explode(sequence(floorDiv(col(s)), floorDiv(col(e)))))
+    }
+    val l = exploded(left, leftStart, leftEnd, "_lb")
+    val r = keyCols.foldLeft(exploded(right, rightStart, rightEnd, "_rb"))(
+      (d, k) => d.withColumnRenamed(k, s"__r_$k"))
+    l.join(r,
+        keyCols.map(k => l(k) === r(s"__r_$k"))
+          .foldLeft(l("_lb") === r("_rb"))(_ && _))
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .filter(col("_lb") === floorDiv(greatest(col(leftStart), col(rightStart))))
+      .drop("_lb", "_rb")
+      .drop(keyCols.map(k => s"__r_$k"): _*)
+  }
 }

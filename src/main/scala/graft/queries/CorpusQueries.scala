@@ -312,9 +312,27 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  /** L18: HTML normalization — wrap every doc in deterministic markup
+    * (tags + escaped entities), strip it back with stripHtml, and prove
+    * byte-exact recovery of `text || ' & <end>'` via md5 + length per
+    * doc. Exercises tag removal, entity unescape order, and whitespace
+    * collapse against an oracle that never runs the stripper.
+    */
+  def l18HtmlStrip(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        concat(lit("<div id=\""), col("doc_id"), lit("\"><p>"), col("text"),
+          lit("</p>&amp; &lt;end&gt;<br/></div>")).as("html"))
+      .select(col("doc_id"),
+        md5(TextFunctions.stripHtml(col("html"))).as("h"),
+        length(TextFunctions.stripHtml(col("html"))).cast("long").as("n"))
+      .orderBy(col("doc_id"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "l16_countmin" -> (l16Countmin _),
     "l17_oov_rate" -> (l17OovRate _),
+    "l18_html_strip" -> (l18HtmlStrip _),
     "l15_random_projection" -> (l15RandomProjection _),
     "l4_heavy_hitters" -> (l4HeavyHitters _),
     "l4_word_freq"  -> (l4WordFreq _),
@@ -333,6 +351,10 @@ object CorpusQueries {
     "l13_packing"         -> (l13Packing _))
 
   val oracle: Map[String, String] = Map(
+    "l18_html_strip" ->
+      """SELECT doc_id, md5(text || ' & <end>') AS h,
+        |  CAST(length(text || ' & <end>') AS BIGINT) AS n
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
     "l17_oov_rate" ->
       """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS t
         |    FROM documents),

@@ -55,9 +55,33 @@ object TemporalQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** J12: keyed interval-overlap join — per-(user, day) activity spans
+    * [first event, last event], pairs of users whose same-day spans
+    * intersect. Candidates come from hour-bucket explosion with the
+    * canonical-bucket trick (each overlapping pair emitted exactly once,
+    * no dedup shuffle); the oracle is the brute-force inequality join.
+    */
+  def j12IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Lake.table(spark, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(unix_micros(min(col("ts"))).as("s"), unix_micros(max(col("ts"))).as("e"))
+    val a = iv.select(col("d"), col("user_id").as("u_a"),
+      col("s").as("s_a"), col("e").as("e_a"))
+    val b = iv.select(col("d"), col("user_id").as("u_b"),
+      col("s").as("s_b"), col("e").as("e_b"))
+    TemporalJoins.intervalOverlapJoin(a, b, "s_a", "e_a", "s_b", "e_b",
+        chunk = 3600L * 1000000L, keyCols = Seq("d"))
+      .filter(col("u_a") < col("u_b"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("pairs"), sum(col("u_a") + col("u_b")).as("cks"))
+      .select(col("d").cast("timestamp").as("d"), col("pairs"), col("cks"))
+      .orderBy(col("d"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "j7_asof_join"  -> (j7AsofJoin _),
-    "j7_range_join" -> (j7RangeJoin _))
+    "j7_range_join" -> (j7RangeJoin _),
+    "j12_interval_join" -> (j12IntervalJoin _))
 
   val oracle: Map[String, String] = Map(
     // Independent formulation: correlated max-ts subquery + tie-break max
@@ -81,5 +105,14 @@ object TemporalQueries {
         |FROM events a JOIN events b
         |  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 SECOND
         |     AND a.user_id <> b.user_id
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin,
+    "j12_interval_join" ->
+      """WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(a.d AS TIMESTAMP) AS d, count(*) AS pairs,
+        |  CAST(sum(a.user_id + b.user_id) AS BIGINT) AS cks
+        |FROM iv a JOIN iv b ON a.d = b.d AND a.user_id < b.user_id
+        |  AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

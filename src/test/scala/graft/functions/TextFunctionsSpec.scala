@@ -111,4 +111,17 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(one(TextFunctions.urlParam(col("t"), "ref"), u) == "r2")
     assert(one(TextFunctions.urlParam(col("t"), "missing"), u) == null)
   }
+
+  test("stripHtml: tags out, entities unescaped after, whitespace collapsed") {
+    def strip(s: String): String =
+      one(TextFunctions.stripHtml(col("t")), s).asInstanceOf[String]
+    assert(strip("<p>hello <b>world</b></p>") == "hello world")
+    // literal escaped markup survives as TEXT, not eaten as a tag
+    assert(strip("a &lt;tag&gt; b") == "a <tag> b")
+    // &amp; last: "&amp;lt;" means the literal text "&lt;"
+    assert(strip("x &amp;lt; y") == "x &lt; y")
+    assert(strip("<div>a</div><div>b</div>") == "a b")
+    assert(strip("  <br/> spaced\t\tout  ") == "spaced out")
+    assert(strip("&quot;q&quot; &#39;s&#39; &amp;") == "\"q\" 's' &")
+  }
 }

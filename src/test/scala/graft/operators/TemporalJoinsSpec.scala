@@ -142,4 +142,42 @@ class TemporalJoinsSpec extends SparkSpecBase {
       .select("b_id").collect().map(_.getLong(0)).toSeq.sorted
     assert(rows === Seq(2L, 3L))
   }
+
+  test("intervalOverlapJoin matches brute force and emits each pair once") {
+    val a = Seq((1L, 0L, 100L), (2L, 50L, 250L), (3L, 300L, 310L))
+      .toDF("a_id", "s_a", "e_a")
+    val b = Seq((10L, 90L, 160L), (11L, 240L, 400L), (12L, 500L, 600L))
+      .toDF("b_id", "s_b", "e_b")
+    // chunk far smaller than spans: pairs overlap MANY buckets — the
+    // canonical-bucket rule must still emit each exactly once
+    val got = TemporalJoins
+      .intervalOverlapJoin(a, b, "s_a", "e_a", "s_b", "e_b", chunk = 7L)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val brute = a.crossJoin(b)
+      .filter(col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === brute)
+    assert(got === Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)))
+  }
+
+  test("intervalOverlapJoin boundary semantics: touching endpoints overlap, gaps do not") {
+    val a = Seq((1L, 0L, 10L)).toDF("a_id", "s_a", "e_a")
+    val b = Seq((2L, 10L, 20L), (3L, 11L, 20L)).toDF("b_id", "s_b", "e_b")
+    val got = TemporalJoins
+      .intervalOverlapJoin(a, b, "s_a", "e_a", "s_b", "e_b", chunk = 100L)
+      .select("b_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L)) // [0,10] touches [10,20]; [11,20] is disjoint
+  }
+
+  test("keyed intervalOverlapJoin never crosses keys") {
+    val a = Seq(("x", 1L, 0L, 100L), ("y", 2L, 0L, 100L))
+      .toDF("k", "a_id", "s_a", "e_a")
+    val b = Seq(("x", 10L, 50L, 60L)).toDF("k", "b_id", "s_b", "e_b")
+    val got = TemporalJoins.intervalOverlapJoin(
+        a, b, "s_a", "e_a", "s_b", "e_b", chunk = 10L, keyCols = Seq("k"))
+      .select("a_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L))
+  }
 }
