@@ -55,6 +55,31 @@ object Graph {
     ranks
   }
 
+  /** Multi-source BFS: minimum hop count from any seed node, up to
+    * `maxHops`. Iteration k joins the current frontier to edges and
+    * keeps newly-reached nodes — frontier-sized state, one shuffle per
+    * hop (the iterative-join BFS every distributed graph engine runs;
+    * at 100 TB you persist the visited set between hops). Unreached
+    * nodes are absent from the output.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 30)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    var visited = seeds.select(col("node").cast("long")).distinct()
+      .withColumn("hops", lit(0L))
+    var frontier = visited
+    for (k <- 1 to maxHops) {
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node").as("__v")), col("node") === col("__v"),
+          "left_anti")
+        .withColumn("hops", lit(k.toLong))
+      frontier = next
+      visited = visited.unionAll(next)
+    }
+    visited
+  }
+
   /** Degree table of an edge list: per node, out/in/total degree —
     * the first profiling query over any graph-shaped dataset.
     */

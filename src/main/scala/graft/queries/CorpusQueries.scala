@@ -329,10 +329,39 @@ object CorpusQueries {
         length(TextFunctions.stripHtml(col("html"))).cast("long").as("n"))
       .orderBy(col("doc_id"))
 
+  /** L19: sparse (token-space) cosine similarity join — tf vectors meet
+    * on shared terms only (postings self-join), dot products and squared
+    * norms stay in EXACT integer arithmetic, and the cosine is one
+    * deterministic double op at the end. The term-frequency analogue of
+    * the dense-embedding l3 family; at scale the standard df-threshold
+    * cut bounds the per-term postings-squared blowup (stop terms are
+    * exactly the ones that dominate cost and carry no signal).
+    */
+  def l19SparseCosine(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Lake.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
+    val b = tf.select(col("doc_id").as("db"), col("t"), col("tf").as("tfb"))
+    val pairs = tf.join(b, tf("t") === b("t") && tf("doc_id") < b("db"))
+      .groupBy(col("doc_id").as("da"), col("db"))
+      .agg(sum(col("tf") * col("tfb")).as("dot"))
+    pairs
+      .join(norms.select(col("doc_id").as("da"), col("n2").as("na2")), "da")
+      .join(norms.select(col("doc_id").as("db"), col("n2").as("nb2")), "db")
+      .select(col("da"), col("db"), col("dot"), col("na2"), col("nb2"),
+        round(col("dot") / sqrt((col("na2") * col("nb2")).cast("double")), 6)
+          .as("cos"))
+      .orderBy(col("dot").desc, col("da"), col("db"))
+      .limit(15)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "l16_countmin" -> (l16Countmin _),
     "l17_oov_rate" -> (l17OovRate _),
     "l18_html_strip" -> (l18HtmlStrip _),
+    "l19_sparse_cosine" -> (l19SparseCosine _),
     "l15_random_projection" -> (l15RandomProjection _),
     "l4_heavy_hitters" -> (l4HeavyHitters _),
     "l4_word_freq"  -> (l4WordFreq _),
@@ -351,6 +380,21 @@ object CorpusQueries {
     "l13_packing"         -> (l13Packing _))
 
   val oracle: Map[String, String] = Map(
+    "l19_sparse_cosine" ->
+      """WITH tf AS (SELECT doc_id, t, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |n AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2
+        |  FROM tf GROUP BY 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM tf a JOIN tf b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, dot, na.n2 AS na2, nb.n2 AS nb2,
+        |  round(dot / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) AS cos
+        |FROM p JOIN n na ON p.da = na.doc_id JOIN n nb ON p.db = nb.doc_id
+        |ORDER BY dot DESC, da, db LIMIT 15""".stripMargin,
     "l18_html_strip" ->
       """SELECT doc_id, md5(text || ' & <end>') AS h,
         |  CAST(length(text || ' & <end>') AS BIGINT) AS n

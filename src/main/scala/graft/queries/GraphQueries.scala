@@ -33,9 +33,23 @@ object GraphQueries {
       .orderBy(col("total_deg").desc, col("node"))
       .limit(20)
 
+  /** G3: multi-source BFS — hop distance from suppliers {0,1,2} over the
+    * co-supply graph, 3 hops, rolled up per level. The oracle unrolls
+    * the same frontier recurrence in SQL.
+    */
+  def g3Bfs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = Seq(0L, 1L, 2L).toDF("node")
+    Graph.bfsHops(coSupplyEdges(spark, dir), seeds, maxHops = 3)
+      .groupBy(col("hops"))
+      .agg(count(lit(1)).as("n"), sum(col("node")).as("cks"))
+      .orderBy(col("hops"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "g1_pagerank" -> (g1Pagerank _),
-    "g2_degrees"  -> (g2Degrees _))
+    "g2_degrees"  -> (g2Degrees _),
+    "g3_bfs"      -> (g3Bfs _))
 
   private val edgesCte =
     """e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p
@@ -66,6 +80,27 @@ object GraphQueries {
          |${iterCte("2", "3")}
          |SELECT node, rank FROM r3
          |ORDER BY rank DESC, node LIMIT 15""".stripMargin,
+    "g3_bfs" ->
+      s"""WITH $edgesCte,
+         |v0 AS (SELECT CAST(v AS BIGINT) AS node FROM (VALUES (0),(1),(2)) t(v)),
+         |h1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+         |  JOIN v0 ON e.src = v0.node
+         |  WHERE e.dst NOT IN (SELECT node FROM v0)),
+         |h2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+         |  JOIN h1 ON e.src = h1.node
+         |  WHERE e.dst NOT IN (SELECT node FROM v0)
+         |    AND e.dst NOT IN (SELECT node FROM h1)),
+         |h3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+         |  JOIN h2 ON e.src = h2.node
+         |  WHERE e.dst NOT IN (SELECT node FROM v0)
+         |    AND e.dst NOT IN (SELECT node FROM h1)
+         |    AND e.dst NOT IN (SELECT node FROM h2))
+         |SELECT hops, count(*) AS n, CAST(sum(node) AS BIGINT) AS cks FROM (
+         |  SELECT CAST(0 AS BIGINT) AS hops, node FROM v0
+         |  UNION ALL SELECT 1, node FROM h1
+         |  UNION ALL SELECT 2, node FROM h2
+         |  UNION ALL SELECT 3, node FROM h3)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "g2_degrees" ->
       s"""WITH $edgesCte,
          |o AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY 1),

@@ -43,6 +43,22 @@ class GraphSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("bfsHops: line graph distances, unreachable nodes absent, min-hop wins") {
+    // 1->2->3->4 and a shortcut 1->3; 9->10 disconnected
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 10L))
+      .toDF("src", "dst")
+    val got = Graph.bfsHops(edges, Seq(1L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L)) // 3 via shortcut, not hop 2
+  }
+
+  test("bfsHops: maxHops bounds the frontier, seeds are deduped") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.bfsHops(edges, Seq(1L, 1L).toDF("node"), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L)) // 3 is 2 hops away: absent
+  }
+
   test("degrees counts both directions and zero-fills") {
     val d = Graph.degrees(Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
