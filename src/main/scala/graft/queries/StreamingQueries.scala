@@ -104,7 +104,26 @@ object StreamingQueries {
         max(col("version")).as("max_version"))
   }
 
+  /** ST8: trending top-3 event types per day — streaming daily counts
+    * (watermarked tumbling windows, bounded state) with the rank-and-cut
+    * applied to the materialized sink, the standard stream/dashboard
+    * split. Checked against the batch date_trunc + row_number oracle.
+    */
+  def st8Trending(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = EventStreams.runToMemoryForGate(spark,
+      EventStreams.dailyTypeCounts(EventStreams.readEventsStream(spark, dir)),
+      "st8_mem", "complete")
+    counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("d")).orderBy(col("c").desc, col("event_type"))))
+      .filter(col("rn") <= 3)
+      .select(col("d"), col("event_type"), col("c"), col("rn").cast("long").as("rn"))
+      .orderBy(col("d"), col("rn"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st8_trending"    -> (st8Trending _),
     "st1_tumbling"    -> (st1Tumbling _),
     "st2_sliding"     -> (st2Sliding _),
     "st3_session"     -> (st3Session _),
@@ -114,6 +133,14 @@ object StreamingQueries {
     "st7_upsert_snapshot" -> (st7UpsertSnapshot _))
 
   val oracle: Map[String, String] = Map(
+    "st8_trending" ->
+      """WITH t AS (SELECT date_trunc('day', ts) AS d, event_type,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY d
+        |    ORDER BY c DESC, event_type) AS rn FROM t)
+        |SELECT CAST(d AS TIMESTAMP) AS d, event_type, c, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY d, rn""".stripMargin,
     "st1_tumbling" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c,
         | sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS s

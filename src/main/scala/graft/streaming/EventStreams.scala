@@ -66,6 +66,18 @@ object EventStreams {
   /** ST4: stateful exact-once dedup on event_id. */
   def dedup(events: DataFrame): DataFrame = events.dropDuplicates("event_id")
 
+  /** ST8 (trending feed): daily tumbling counts per event_type — the
+    * streaming half of a trending top-k; the rank-and-cut runs on the
+    * sink output (dashboard side), keeping stream state to O(windows ×
+    * types) counters.
+    */
+  def dailyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("d"), col("event_type"), col("c"))
+
   /** ST6: stream-stream inner join — each purchase matched to the same
     * user's clicks within the preceding 6 hours. BOTH sides carry
     * watermarks and the join condition bounds event-time distance, which
