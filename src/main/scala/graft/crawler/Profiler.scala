@@ -91,4 +91,27 @@ object Profiler {
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("value"))
       .limit(k)
+
+  /** Equi-depth histogram of a numeric column: boundaries at exact
+    * i/buckets quantiles (one aggregate — O(buckets) values), bucket id =
+    * number of boundaries strictly below the value (a broadcast of one
+    * row + a map-side expression), per-bucket count/min/max. The
+    * ANALYZE-style statistic a catalog stores for selectivity
+    * estimation; swap `percentile` for `approx_percentile` at 100 TB.
+    */
+  def equiDepthHistogram(df: DataFrame, column: String, buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000)
+    val v = col(s"`$column`").cast("double")
+    val qAggs = (1 until buckets).map(i =>
+      percentile(v, lit(i.toDouble / buckets)).as(s"__q$i"))
+    val qs = df.agg(qAggs.head, qAggs.tail: _*)
+    val bucketId = (1 until buckets)
+      .map(i => (v > col(s"__q$i")).cast("long"))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(qs))
+      .withColumn("bucket", bucketId)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c"), min(v).as("lo"), max(v).as("hi"))
+      .orderBy(col("bucket"))
+  }
 }

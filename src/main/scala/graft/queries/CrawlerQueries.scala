@@ -119,7 +119,19 @@ object CrawlerQueries {
       .orderBy(col("col_name"))
   }
 
+  /** C8: equi-depth histogram of l_extendedprice (4 buckets) — exact
+    * quantile boundaries, per-bucket count/min/max in cents, cross-engine
+    * checked (Spark percentile ≡ DuckDB quantile_cont is pinned by f8).
+    */
+  def c8EquidepthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Profiler.equiDepthHistogram(
+        graft.core.Lake.table(spark, dir, "lineitem"), "l_extendedprice", 4)
+      .select(col("bucket"), col("c"),
+        round(col("lo") * 100).cast("long").as("lo_c"),
+        round(col("hi") * 100).cast("long").as("hi_c"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "c8_equidepth"        -> (c8EquidepthHistogram _),
     "c1_discover"         -> (c1Discover _),
     "c2_schemas"          -> (c2Schemas _),
     "c3_profile_customer" -> (c3ProfileCustomer _),
@@ -185,6 +197,20 @@ object CrawlerQueries {
     "c5_incremental" ->
       """SELECT CAST(10 AS BIGINT) AS unchanged, CAST(0 AS BIGINT) AS changed,
         | CAST(0 AS BIGINT) AS added, CAST(0 AS BIGINT) AS removed""".stripMargin,
+    "c8_equidepth" ->
+      """WITH q AS (SELECT
+        |    quantile_cont(l_extendedprice, 0.25) AS q1,
+        |    quantile_cont(l_extendedprice, 0.50) AS q2,
+        |    quantile_cont(l_extendedprice, 0.75) AS q3
+        |  FROM lineitem)
+        |SELECT CAST((CASE WHEN l_extendedprice > q1 THEN 1 ELSE 0 END
+        |     + CASE WHEN l_extendedprice > q2 THEN 1 ELSE 0 END
+        |     + CASE WHEN l_extendedprice > q3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bucket,
+        |  count(*) AS c,
+        |  CAST(round(min(l_extendedprice) * 100) AS BIGINT) AS lo_c,
+        |  CAST(round(max(l_extendedprice) * 100) AS BIGINT) AS hi_c
+        |FROM lineitem, q GROUP BY 1 ORDER BY 1""".stripMargin,
     "c6_quality_checks" ->
       """SELECT "check", violations, total, violations = 0 AS ok FROM (
         |  SELECT 'customer_acctbal_range' AS "check",
