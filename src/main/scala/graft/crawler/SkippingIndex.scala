@@ -1,0 +1,69 @@
+package graft.crawler
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.format.converter.ParquetMetadataConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level data-skipping index from parquet footers (the crawler's
+  * contribution to scan planning): per file, row count and per-column
+  * min/max from row-group statistics — read from FOOTERS ONLY, no data
+  * scan. A z-ordered or sorted layout makes these ranges tight, and a
+  * box predicate then selects the few files whose ranges intersect; the
+  * scan reads only those.
+  *
+  * Scale notes: footer reads are O(files) metadata operations — at a
+  * million files, parallelize the listing with a Spark job over path
+  * ranges (same shape as LakeCrawler.discover's note); the index itself
+  * is a tiny table persisted next to the catalog and consulted before
+  * `spark.read.parquet(selectedFiles: _*)`.
+  */
+object SkippingIndex {
+
+  /** Long-typed min/max stats per file for `columns` + row count.
+    * Columns must be INT64 in the files (the id/key columns a layout
+    * clusters on). Missing stats → null bounds (file never skipped).
+    */
+  def build(spark: SparkSession, dir: String, columns: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val files = fs.listStatus(new Path(dir)).filter(_.isFile)
+      .map(_.getPath).filterNot(p => p.getName.startsWith("_"))
+      .filter(_.getName.endsWith(".parquet"))
+    val rows = files.toSeq.map { p =>
+      val footer = ParquetFileReader.readFooter(conf, p,
+        ParquetMetadataConverter.NO_FILTER)
+      val blocks = footer.getBlocks.asScala
+      val rowCount = blocks.map(_.getRowCount).sum
+      val bounds = columns.map { c =>
+        val stats = blocks.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == c)
+            .map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+        }
+        if (stats.isEmpty) (Option.empty[Long], Option.empty[Long])
+        else (Some(stats.map(_.genericGetMin.asInstanceOf[Long]).min),
+          Some(stats.map(_.genericGetMax.asInstanceOf[Long]).max))
+      }
+      (p.toString, rowCount, bounds)
+    }
+    rows.map { case (f, n, b) =>
+      (f, n, b.map(_._1), b.map(_._2))
+    }.toDF("file", "row_count", "mins", "maxs")
+  }
+
+  /** Files whose [min, max] range on indexed column `i` intersects
+    * [lo, hi] (files without stats are kept — skipping must never drop
+    * data).
+    */
+  def selectFiles(index: DataFrame, i: Int, lo: Long, hi: Long): Seq[String] =
+    index.filter(
+        col("mins").getItem(i).isNull ||
+        (col("mins").getItem(i) <= hi && col("maxs").getItem(i) >= lo))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+}

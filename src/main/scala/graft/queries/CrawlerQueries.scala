@@ -130,8 +130,19 @@ object CrawlerQueries {
         round(col("lo") * 100).cast("long").as("lo_c"),
         round(col("hi") * 100).cast("long").as("hi_c"))
 
+  /** C9: metadata-only row counts — every table's cardinality from
+    * parquet FOOTERS (zero data scanned), vs DuckDB actually counting.
+    * The catalog answer to `SELECT count(*)` at 100 TB.
+    */
+  def c9FooterCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.crawler.SkippingIndex.build(spark, dir, Seq.empty)
+      .select(regexp_extract(col("file"), "([a-z]+)\\.parquet$", 1).as("name"),
+        col("row_count"))
+      .orderBy(col("name"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "c8_equidepth"        -> (c8EquidepthHistogram _),
+    "c9_footer_counts"    -> (c9FooterCounts _),
     "c1_discover"         -> (c1Discover _),
     "c2_schemas"          -> (c2Schemas _),
     "c3_profile_customer" -> (c3ProfileCustomer _),
@@ -197,6 +208,11 @@ object CrawlerQueries {
     "c5_incremental" ->
       """SELECT CAST(10 AS BIGINT) AS unchanged, CAST(0 AS BIGINT) AS changed,
         | CAST(0 AS BIGINT) AS added, CAST(0 AS BIGINT) AS removed""".stripMargin,
+    "c9_footer_counts" ->
+      Seq("customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier")
+        .map(t => s"SELECT '$t' AS name, count(*) AS row_count FROM $t")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY name"),
     "c8_equidepth" ->
       """WITH q AS (SELECT
         |    quantile_cont(l_extendedprice, 0.25) AS q1,

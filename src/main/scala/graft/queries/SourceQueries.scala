@@ -195,8 +195,34 @@ object SourceQueries {
           .as("z"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** S11: end-to-end data skipping — z-order-cluster lineitem into 16
+    * files, build the footer min/max index WITHOUT scanning data, select
+    * only files whose l_partkey range intersects the box, read just
+    * those, and still produce the exact filtered aggregate (the oracle
+    * scans everything). Pruning effectiveness (selected << total) is
+    * SkippingIndexSpec's assertion; this gate pins losslessness.
+    */
+  def s11SkippingScan(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.core.Lake.table(spark, dir, "lineitem")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skip").toString
+    graft.operators.Layout
+      .zorderPartitions(li, col("l_partkey"), col("l_suppkey"), 16)
+      .write.mode("overwrite").parquet(tmp)
+    val idx = graft.crawler.SkippingIndex.build(spark, tmp,
+      Seq("l_partkey", "l_suppkey"))
+    val files = graft.crawler.SkippingIndex.selectFiles(idx, 0, 100L, 300L)
+    spark.read.parquet(files: _*)
+      .filter(col("l_partkey").between(100, 300))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("l_quantity").cast("long")).as("q"),
+        sum(col("l_partkey")).as("pk_sum"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "s10_zorder_values" -> (s10ZorderValues _),
+    "s11_skipping_scan" -> (s11SkippingScan _),
     "s2_csv_inference"  -> (s2CsvInference _),
     "s3_json_inference" -> (s3JsonInference _),
     "s1_multifile_scan" -> (s1MultifileScan _),
@@ -205,6 +231,12 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    "s11_skipping_scan" ->
+      """SELECT l_returnflag, count(*) AS c,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+        |  CAST(sum(l_partkey) AS BIGINT) AS pk_sum
+        |FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s10_zorder_values" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |  CAST(sum(((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))
