@@ -211,10 +211,30 @@ object ExtraQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** J13: salted skew join — the explicit hot-key spreading path
+    * (row-hash salt on the large side × salt-exploded small side),
+    * checked value-exact against the plain-join oracle. The when-to-salt
+    * economics are measured in SkewBench (BASELINE.md); this gate makes
+    * the path itself driver-visible.
+    */
+  def j13SaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewJoin.saltedInnerJoin(
+        Lake.table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+        Lake.table(spark, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        keys = Seq("l_partkey"), salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("l_quantity").cast("long")).as("q"),
+        sum(col("l_orderkey")).as("ok_sum"))
+      .orderBy(col("p_brand"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q18_subqueries"      -> (q18Subqueries _),
     "j10_fuzzy_join"       -> (j10FuzzyJoin _),
     "j11_bloom_semijoin"   -> (j11BloomSemijoin _),
+    "j13_salted_join"      -> (j13SaltedJoin _),
     "f14_string_funcs"    -> (f14StringFuncs _),
     "e2_union_except"     -> (e2UnionExcept _),
     "s6_partitioned_sink" -> (s6PartitionedSink _),
@@ -224,6 +244,12 @@ object ExtraQueries {
     "w6_rank_variants"    -> (w6RankVariants _))
 
   val oracle: Map[String, String] = Map(
+    "j13_salted_join" ->
+      """SELECT p_brand, count(*) AS c,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS ok_sum
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j11_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS c,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,

@@ -78,27 +78,59 @@ object TemporalQueries {
       .orderBy(col("d"))
   }
 
+  /** J7c: the SKEW-RESISTANT as-of join (time-chunked windows + carry
+    * spine, bounded tasks under hot keys) on the same query and the same
+    * correlated-subquery oracle as j7_asof_join — the driver-visible
+    * proof that the skew path is value-identical to the plain path.
+    */
+  def j7cAsofChunked(spark: SparkSession, dir: String): DataFrame = {
+    val events = Lake.table(spark, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    TemporalJoins.asofJoinChunked(
+        purchases, clicks,
+        leftKey = "user_id", rightKey = "c_user",
+        leftTime = "p_ts", rightTime = "click_ts",
+        rightTie = "click_id", rightPayload = Seq("click_id"),
+        chunkSpan = 6L * 3600L * 1000000L)
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("click_ts"),
+        (unix_micros(col("p_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "j7_asof_join"  -> (j7AsofJoin _),
     "j7_range_join" -> (j7RangeJoin _),
+    "j7c_asof_chunked" -> (j7cAsofChunked _),
     "j12_interval_join" -> (j12IntervalJoin _))
 
+  private val AsofOracle: String =
+    """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type='click'),
+      |     p AS (SELECT user_id, ts, event_id FROM events WHERE event_type='purchase'),
+      |     m AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+      |             (SELECT max(c.ts) FROM c
+      |               WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts
+      |           FROM p)
+      |SELECT m.purchase_id, m.user_id, m.p_ts,
+      |       (SELECT max(c.event_id) FROM c
+      |         WHERE c.user_id = m.user_id AND c.ts = m.click_ts) AS click_id,
+      |       m.click_ts,
+      |       epoch_us(m.p_ts) - epoch_us(m.click_ts) AS gap_us
+      |FROM m ORDER BY purchase_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // Same oracle for the plain and chunked algorithms — both must equal
+    // the correlated-subquery formulation.
+    "j7c_asof_chunked" -> AsofOracle,
     // Independent formulation: correlated max-ts subquery + tie-break max
     // event_id — NOT the union-window algorithm the Spark side uses.
-    "j7_asof_join" ->
-      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type='click'),
-        |     p AS (SELECT user_id, ts, event_id FROM events WHERE event_type='purchase'),
-        |     m AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
-        |             (SELECT max(c.ts) FROM c
-        |               WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts
-        |           FROM p)
-        |SELECT m.purchase_id, m.user_id, m.p_ts,
-        |       (SELECT max(c.event_id) FROM c
-        |         WHERE c.user_id = m.user_id AND c.ts = m.click_ts) AS click_id,
-        |       m.click_ts,
-        |       epoch_us(m.p_ts) - epoch_us(m.click_ts) AS gap_us
-        |FROM m ORDER BY purchase_id""".stripMargin,
+    "j7_asof_join" -> AsofOracle,
     "j7_range_join" ->
       """SELECT a.event_id AS a_id, b.event_id AS b_id,
         |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
