@@ -25,6 +25,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "rolling_fingerprint"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.plans.RollingFingerprint(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("zorder"),
+      new ExpressionInfo(classOf[graft.plans.ZOrderInterleave].getName, "zorder"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.ZOrderInterleave(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[graft.plans.BloomMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.BloomMightContain(exprs.head, exprs(1))))
   }
 }
 

@@ -27,6 +27,21 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
+  test("zorder and bloom_might_contain are available in SQL via GraftExtensions") {
+    val z = eng.sql("SELECT zorder(3L, 5L) z").head().getLong(0)
+    assert(z === graft.plans.ZOrderInterleave.interleave(3L, 5L))
+    // tiny bloom over {42}: the inserted key probes true from SQL
+    val bloom = new Array[Byte](64)
+    graft.plans.BloomUtil.setBits(bloom, 42L, 7)
+    val hex = bloom.map("%02x".format(_)).mkString
+    val Seq(hit, miss) = Seq("42", "9999").map { v =>
+      eng.sql(s"SELECT bloom_might_contain(X'$hex', CAST($v AS BIGINT)) b")
+        .head().getBoolean(0)
+    }
+    assert(hit)
+    assert(miss === graft.plans.BloomUtil.mightContain(bloom, 9999L, 7))
+  }
+
   test("rolling_fingerprint is available in SQL and matches the Column API") {
     val viaSql = eng.sql(
       "SELECT rolling_fingerprint(text) f FROM documents WHERE doc_id = 3")
