@@ -102,12 +102,19 @@ object GraftFunctions {
         org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
   /** Register the engine's native functions for SQL texts in this
-    * session: `cosine_sim(vec, vec)` and `rolling_fingerprint(text)`.
+    * session — must list every function GraftExtensions injects, since
+    * this is the path that covers sessions created WITHOUT the
+    * extensions (getOrCreate reuse).
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_fingerprint", exprs => RollingFingerprint(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder", exprs => ZOrderInterleave(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
   }
 }
