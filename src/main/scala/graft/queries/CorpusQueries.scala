@@ -338,21 +338,12 @@ object CorpusQueries {
     * exactly the ones that dominate cost and carry no signal).
     */
   def l19SparseCosine(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Lake.table(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .filter(length(col("t")) > 0)
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-    val norms = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
-    val b = tf.select(col("doc_id").as("db"), col("t"), col("tf").as("tfb"))
-    val pairs = tf.join(b, tf("t") === b("t") && tf("doc_id") < b("db"))
-      .groupBy(col("doc_id").as("da"), col("db"))
-      .agg(sum(col("tf") * col("tfb")).as("dot"))
-    pairs
-      .join(norms.select(col("doc_id").as("da"), col("n2").as("na2")), "da")
-      .join(norms.select(col("doc_id").as("db"), col("n2").as("nb2")), "db")
+    val docs = Lake.table(spark, dir, "documents")
+    val tf = graft.operators.SparseSimilarity
+      .termFreqs(docs, col("doc_id"), col("text"))
+    graft.operators.SparseSimilarity.cosinePairs(tf, maxDf = None)
       .select(col("da"), col("db"), col("dot"), col("na2"), col("nb2"),
-        round(col("dot") / sqrt((col("na2") * col("nb2")).cast("double")), 6)
-          .as("cos"))
+        col("cos"))
       .orderBy(col("dot").desc, col("da"), col("db"))
       .limit(15)
   }

@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Lake
+import graft.operators._
+
+/** Scale probe for the round-3 second-wave operators: min-of-3 warm
+  * timings at a given sf dir (default sf0.1 — 10× the gate scale).
+  * Usage: runMain graft.tools.NewOpsBench [sfDir]
+  */
+object NewOpsBench {
+  private def timeIt(f: => Long): (Double, Long) = {
+    var best = Double.MaxValue
+    var rows = 0L
+    (1 to 3).foreach { _ =>
+      val t0 = System.nanoTime()
+      rows = f
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    (best, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val lineitem = Lake.table(spark, sfDir, "lineitem").cache()
+    val part = Lake.table(spark, sfDir, "part").cache()
+    val orders = Lake.table(spark, sfDir, "orders").cache()
+    val events = Lake.table(spark, sfDir, "events").cache()
+    val docs = Lake.table(spark, sfDir, "documents").cache()
+    Seq(lineitem, part, orders, events, docs).foreach(_.count())
+
+    def report(name: String)(f: => Long): Unit = {
+      val (sec, rows) = timeIt(f)
+      println(f"[newops] $name%-28s ${sec}%8.3f s  rows=$rows")
+    }
+
+    report("bloom_semijoin") {
+      BloomJoin.semiJoin(lineitem, "l_partkey",
+        part.filter(col("p_size") <= 5), "p_partkey", 200000L).count()
+    }
+    report("plain_semijoin") {
+      lineitem.join(part.filter(col("p_size") <= 5),
+        col("l_partkey") === col("p_partkey"), "left_semi").count()
+    }
+    report("interval_join_daily") {
+      val iv = events.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(unix_micros(min(col("ts"))).as("s"), unix_micros(max(col("ts"))).as("e"))
+      val a = iv.select(col("d"), col("user_id").as("u_a"), col("s").as("s_a"), col("e").as("e_a"))
+      val b = iv.select(col("d"), col("user_id").as("u_b"), col("s").as("s_b"), col("e").as("e_b"))
+      TemporalJoins.intervalOverlapJoin(a, b, "s_a", "e_a", "s_b", "e_b",
+        chunk = 3600L * 1000000L, keyCols = Seq("d"))
+        .filter(col("u_a") < col("u_b")).count()
+    }
+    report("pagerank_3iter") {
+      val pairs = lineitem
+        .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("p").as("dst"))
+        .unionAll(pairs.select(col("p").as("src"), col("s").as("dst")))
+      Graph.pageRankInt(spark, edges, 3).count()
+    }
+    report("snapshot_diff") {
+      val mutated = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 5)
+            .otherwise(col("o_totalprice")))
+      SnapshotDiff.diff(orders, mutated, Seq("o_orderkey")).count()
+    }
+    report("zorder_layout_write") {
+      val out = "/tmp/graft_newops_z"
+      Layout.zorderPartitions(lineitem, col("l_partkey"), col("l_suppkey"), 16)
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).count()
+    }
+    val tf = SparseSimilarity.termFreqs(docs, col("doc_id"), col("text")).cache()
+    tf.count()
+    report("sparse_cosine_maxdf_500") {
+      SparseSimilarity.cosinePairs(tf, maxDf = Some(500L)).count()
+    }
+    report("sparse_cosine_uncut") {
+      SparseSimilarity.cosinePairs(tf, maxDf = None).count()
+    }
+    spark.stop()
+  }
+}
