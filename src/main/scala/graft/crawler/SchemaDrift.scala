@@ -47,4 +47,30 @@ object SchemaDrift {
       .select("dataset", "col_name", "change", "old_type", "new_type",
         "old_pos", "new_pos")
   }
+
+  /** DATA drift (the companion to schema drift): per-bucket row-count
+    * comparison of a numeric column between two snapshots over a FIXED
+    * equi-width grid, plus the per-bucket absolute difference (the L1
+    * drift mass — integer-exact, unlike PSI/KL whose logs invite
+    * cross-engine float noise). One aggregation per side over O(buckets)
+    * groups; alert when `sum(l1)/rows` exceeds a threshold.
+    */
+  def dataDrift(oldDf: DataFrame, newDf: DataFrame, column: String,
+      lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(buckets > 0 && hi > lo)
+    def bucketed(df: DataFrame, out: String): DataFrame = {
+      val v = col(column).cast("double")
+      val b = least(greatest(
+        floor((v - lo) * buckets / (hi - lo)).cast("long"), lit(0L)),
+        lit(buckets - 1L))
+      df.filter(v.isNotNull).groupBy(b.as("bucket"))
+        .agg(count(lit(1)).as(out))
+    }
+    bucketed(oldDf, "old_n")
+      .join(bucketed(newDf, "new_n"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"))
+      .withColumn("l1", abs(col("old_n") - col("new_n")))
+  }
 }

@@ -140,9 +140,23 @@ object CrawlerQueries {
         col("row_count"))
       .orderBy(col("name"))
 
+  /** C10: data-drift report — order-price distribution of even-key vs
+    * odd-key orders over a fixed 8-bucket grid, integer-exact L1 per
+    * bucket. The monitoring query a crawler schedules between crawls.
+    */
+  def c10DataDrift(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.core.Lake.table(spark, dir, "orders")
+    graft.crawler.SchemaDrift.dataDrift(
+        orders.filter(col("o_orderkey") % 2 === 0),
+        orders.filter(col("o_orderkey") % 2 === 1),
+        "o_totalprice", lo = 0.0, hi = 600000.0, buckets = 8)
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "c8_equidepth"        -> (c8EquidepthHistogram _),
     "c9_footer_counts"    -> (c9FooterCounts _),
+    "c10_data_drift"      -> (c10DataDrift _),
     "c1_discover"         -> (c1Discover _),
     "c2_schemas"          -> (c2Schemas _),
     "c3_profile_customer" -> (c3ProfileCustomer _),
@@ -208,6 +222,20 @@ object CrawlerQueries {
     "c5_incremental" ->
       """SELECT CAST(10 AS BIGINT) AS unchanged, CAST(0 AS BIGINT) AS changed,
         | CAST(0 AS BIGINT) AS added, CAST(0 AS BIGINT) AS removed""".stripMargin,
+    "c10_data_drift" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    CAST(least(greatest(floor(o_totalprice * 8 / 600000.0), 0), 7)
+        |      AS BIGINT) AS bucket
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |o AS (SELECT bucket, count(*) AS old_n FROM b
+        |  WHERE o_orderkey % 2 = 0 GROUP BY 1),
+        |n AS (SELECT bucket, count(*) AS new_n FROM b
+        |  WHERE o_orderkey % 2 = 1 GROUP BY 1)
+        |SELECT coalesce(o.bucket, n.bucket) AS bucket,
+        |  coalesce(old_n, 0) AS old_n, coalesce(new_n, 0) AS new_n,
+        |  abs(coalesce(old_n, 0) - coalesce(new_n, 0)) AS l1
+        |FROM o FULL OUTER JOIN n ON o.bucket = n.bucket
+        |ORDER BY 1""".stripMargin,
     "c9_footer_counts" ->
       Seq("customer", "documents", "embeddings", "events", "lineitem",
         "nation", "orders", "part", "region", "supplier")
