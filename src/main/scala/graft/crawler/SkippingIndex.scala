@@ -46,9 +46,18 @@ object SkippingIndex {
             .map(_.getStatistics)
             .filter(s => s != null && s.hasNonNullValue)
         }
-        if (stats.isEmpty) (Option.empty[Long], Option.empty[Long])
-        else (Some(stats.map(_.genericGetMin.asInstanceOf[Long]).min),
-          Some(stats.map(_.genericGetMax.asInstanceOf[Long]).max))
+        // Non-INT64 stats (or a re-typed column) degrade to no-bounds —
+        // the file is conservatively kept, never wrongly skipped.
+        val longs = stats.flatMap { s =>
+          (s.genericGetMin, s.genericGetMax) match {
+            case (mn: java.lang.Long, mx: java.lang.Long) =>
+              Some((mn.longValue, mx.longValue))
+            case _ => None
+          }
+        }
+        if (longs.isEmpty || longs.size != stats.size)
+          (Option.empty[Long], Option.empty[Long])
+        else (Some(longs.map(_._1).min), Some(longs.map(_._2).max))
       }
       (p.toString, rowCount, bounds)
     }
