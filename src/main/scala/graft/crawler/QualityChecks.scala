@@ -57,9 +57,10 @@ object QualityChecks {
   def validate(table: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     require(rules.map(_.name).distinct.size == rules.size, "rule names must be unique")
-    // names are spliced into a stack() SQL string below
-    require(rules.forall(r => !r.name.exists(c => c == '\'' || c == '\\')),
-      "rule names must not contain quotes or backslashes")
+    // names are spliced into a stack() SQL string and used as column
+    // identifiers below — restrict to identifier-safe characters
+    require(rules.forall(_.name.matches("[A-Za-z0-9_]+")),
+      "rule names must match [A-Za-z0-9_]+")
     val aggs: Seq[Column] = count(lit(1)).as("_total") +: rules.map {
       case Unique(n, c) =>
         (count(col(c)) - count_distinct(col(c))).as(s"_v_$n")

@@ -7,7 +7,7 @@ import graft.core.Lake
 import graft.operators.Graph
 
 /** Graph-analytics gates over the part–supplier co-supply graph derived
-  * from lineitem (nodes: suppliers, parts offset by 10^6; edges both
+  * from lineitem (nodes: suppliers, parts offset by 10^9 (clear of any plausible suppkey range); edges both
   * directions, so the graph is symmetric and dangling-free). Fixed-point
   * integer arithmetic makes every iteration DuckDB-reproducible.
   */
@@ -15,7 +15,7 @@ object GraphQueries {
 
   private def coSupplyEdges(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Lake.table(spark, dir, "lineitem")
-      .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
+      .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000000L).as("p"))
       .distinct()
     pairs.select(col("s").as("src"), col("p").as("dst"))
       .unionAll(pairs.select(col("p").as("src"), col("s").as("dst")))
@@ -52,7 +52,7 @@ object GraphQueries {
     "g3_bfs"      -> (g3Bfs _))
 
   private val edgesCte =
-    """e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p
+    """e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000000 AS p
       |    FROM lineitem),
       |edges AS (SELECT s AS src, p AS dst FROM e0
       |          UNION ALL SELECT p, s FROM e0)""".stripMargin
