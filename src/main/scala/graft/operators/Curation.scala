@@ -186,6 +186,40 @@ object Curation {
         sum(value.cast("long")).as("total"))
   }
 
+  /** Mixture sampling: downsample to TARGET domain proportions — the
+    * rebalancing pass that turns a crawl's accidental mixture into the
+    * training recipe's intended one. The largest feasible corpus keeping
+    * exact proportions is T = min_s(n_s / w_s) rows; each domain keeps
+    * its first floor(w_s·T) rows in deterministic md5-of-id order (an
+    * engine-reproducible pseudo-random draw). Domains absent from
+    * `weights` are dropped. One count aggregate + one window shuffle on
+    * the domain key; targets ride a broadcast.
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(w => w > 0 && w <= 1))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.toDF("__g", "__w")
+    val counts = docs.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .join(wDf, "__g")
+      .withColumn("__cap", col("__n").cast("double") / col("__w"))
+    val feasible = counts.agg(min(col("__cap")).as("__t"))
+    val targets = counts.crossJoin(feasible)
+      .select(col("__g"), floor(col("__w") * col("__t")).cast("long").as("__target"))
+    val rn = row_number().over(
+      Window.partitionBy(col(groupCol))
+        .orderBy(md5(col(idCol).cast("string")), col(idCol)))
+    docs.withColumn("__rn", rn)
+      .join(broadcast(targets), docs(groupCol) === col("__g"))
+      .filter(col("__rn") <= col("__target"))
+      .drop("__rn", "__g", "__target")
+  }
+
   /** Winsorize: clamp `valueCol` to its per-group [loQ, hiQ] exact
     * quantiles — the standard outlier-taming pass before numeric features
     * feed normalization or loss weighting. Two passes: a per-group

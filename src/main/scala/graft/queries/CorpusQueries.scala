@@ -348,11 +348,24 @@ object CorpusQueries {
       .limit(15)
   }
 
+  /** L20: mixture sampling — rebalance three sources to 50/30/20
+    * proportions at the largest feasible size, deterministic md5-order
+    * draw; the oracle replays counts, targets, and the same draw.
+    */
+  def l20Mixture(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.mixtureSample(
+        Lake.table(spark, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("cks"))
+      .orderBy(col("source"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "l16_countmin" -> (l16Countmin _),
     "l17_oov_rate" -> (l17OovRate _),
     "l18_html_strip" -> (l18HtmlStrip _),
     "l19_sparse_cosine" -> (l19SparseCosine _),
+    "l20_mixture" -> (l20Mixture _),
     "l15_random_projection" -> (l15RandomProjection _),
     "l4_heavy_hitters" -> (l4HeavyHitters _),
     "l4_word_freq"  -> (l4WordFreq _),
@@ -371,6 +384,21 @@ object CorpusQueries {
     "l13_packing"         -> (l13Packing _))
 
   val oracle: Map[String, String] = Map(
+    "l20_mixture" ->
+      """WITH w(g, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        |c AS (SELECT source AS g, count(*) AS n FROM documents GROUP BY 1),
+        |j AS (SELECT c.g, w.w, CAST(n AS DOUBLE) / w.w AS cap
+        |  FROM c JOIN w ON c.g = w.g),
+        |t AS (SELECT min(cap) AS tt FROM j),
+        |tgt AS (SELECT g, CAST(floor(w * tt) AS BIGINT) AS target FROM j, t),
+        |r AS (SELECT source AS g, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT g AS source, count(*) AS kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS cks
+        |FROM r JOIN tgt USING (g) WHERE rn <= target
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "l19_sparse_cosine" ->
       """WITH tf AS (SELECT doc_id, t, count(*) AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t

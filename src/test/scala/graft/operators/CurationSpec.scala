@@ -99,4 +99,24 @@ class CurationSpec extends SparkSpecBase {
       (5L, 1L, 250L, 250L, 250L)))
     assert(h.map(_._2).sum == 6L, "buckets partition the rows")
   }
+
+  test("mixtureSample hits exact target proportions at the feasible maximum") {
+    val docs = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    // 25 rows per source; weights 0.5/0.3/0.2 -> T = min(25/0.5, 25/0.3,
+    // 25/0.2) = 50 -> targets 25/15/10; src3 dropped entirely.
+    val kept = Curation.mixtureSample(docs, "src", "id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept === Map("src0" -> 25L, "src1" -> 15L, "src2" -> 10L))
+  }
+
+  test("mixtureSample is deterministic and partitioning-independent") {
+    val docs = (0L until 90L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val w = Map("s0" -> 0.4, "s1" -> 0.4, "s2" -> 0.2)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Curation.mixtureSample(d, "src", "id", w)
+        .select("id").as[Long].collect().toSeq.sorted
+    assert(ids(docs.coalesce(1)) === ids(docs.repartition(7)))
+  }
 }
