@@ -220,6 +220,22 @@ object Curation {
       .drop("__rn", "__g", "__target")
   }
 
+  /** Retention delete — the compliance pass: drop every row whose key is
+    * on a deletion list (anti-join; broadcastable when the list is
+    * request-sized) OR whose timestamp is past retention. At 100 TB this
+    * runs as a partition-overwrite rewrite; the dataframe half here is
+    * exactly that rewrite's SELECT.
+    */
+  def retentionDelete(
+      df: DataFrame,
+      keyCol: String,
+      deleteKeys: DataFrame,
+      tsCol: String,
+      keepAtOrAfter: Column): DataFrame =
+    df.filter(col(tsCol) >= keepAtOrAfter)
+      .join(broadcast(deleteKeys.select(col(keyCol)).distinct()),
+        Seq(keyCol), "left_anti")
+
   /** Winsorize: clamp `valueCol` to its per-group [loQ, hiQ] exact
     * quantiles — the standard outlier-taming pass before numeric features
     * feed normalization or loss weighting. Two passes: a per-group

@@ -360,12 +360,31 @@ object CorpusQueries {
       .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("cks"))
       .orderBy(col("source"))
 
+  /** L21: retention delete — drop users 1,3,5 (deletion requests) and
+    * everything before the retention horizon, then account for every
+    * surviving row. The compliance rewrite's SELECT, cross-checked.
+    */
+  def l21RetentionDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Curation.retentionDelete(
+        Lake.table(spark, dir, "events"),
+        keyCol = "user_id",
+        deleteKeys = Seq(1L, 3L, 5L).toDF("user_id"),
+        tsCol = "ts",
+        keepAtOrAfter = to_timestamp(lit("2024-01-10 00:00:00")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("user_id")).as("users"),
+        sum(col("event_id")).as("cks"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "l16_countmin" -> (l16Countmin _),
     "l17_oov_rate" -> (l17OovRate _),
     "l18_html_strip" -> (l18HtmlStrip _),
     "l19_sparse_cosine" -> (l19SparseCosine _),
     "l20_mixture" -> (l20Mixture _),
+    "l21_retention_delete" -> (l21RetentionDelete _),
     "l15_random_projection" -> (l15RandomProjection _),
     "l4_heavy_hitters" -> (l4HeavyHitters _),
     "l4_word_freq"  -> (l4WordFreq _),
@@ -384,6 +403,14 @@ object CorpusQueries {
     "l13_packing"         -> (l13Packing _))
 
   val oracle: Map[String, String] = Map(
+    "l21_retention_delete" ->
+      """SELECT event_type, count(*) AS c,
+        |  count(DISTINCT user_id) AS users,
+        |  CAST(sum(event_id) AS BIGINT) AS cks
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND user_id NOT IN (1, 3, 5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "l20_mixture" ->
       """WITH w(g, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
         |c AS (SELECT source AS g, count(*) AS n FROM documents GROUP BY 1),
