@@ -108,7 +108,9 @@ object Profiler {
     val bucketId = (1 until buckets)
       .map(i => (v > col(s"__q$i")).cast("long"))
       .reduce(_ + _)
-    df.crossJoin(broadcast(qs))
+    // null values have no bucket (quantiles ignore them too) — exclude
+    // them rather than emitting a meaningless bucket=null group
+    df.filter(v.isNotNull).crossJoin(broadcast(qs))
       .withColumn("bucket", bucketId)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("c"), min(v).as("lo"), max(v).as("hi"))

@@ -53,8 +53,10 @@ object BloomJoin {
   def semiJoin(probe: DataFrame, probeKey: String, build: DataFrame,
       buildKey: String, expectedKeys: Long, bitsPerKey: Int = 10): DataFrame = {
     val bloom = buildBloom(build, col(buildKey), expectedKeys, bitsPerKey)
+    // Rename the build key so same-named probe/build keys can't hit an
+    // ambiguous-reference error in the join condition.
+    val keys = build.select(col(buildKey).as("__bloom_k")).distinct()
     prefilter(probe, col(probeKey), bloom)
-      .join(build.select(col(buildKey)).distinct(),
-        col(probeKey) === col(buildKey), "left_semi")
+      .join(keys, col(probeKey) === col("__bloom_k"), "left_semi")
   }
 }

@@ -40,11 +40,16 @@ object Layout {
       normalizeToBits(a, bounds._1, bounds._2, bits),
       normalizeToBits(b, bounds._3, bounds._4, bits))
 
-  /** One aggregate job for the normalization bounds (4 doubles). */
+  /** One aggregate job for the normalization bounds (4 doubles). An
+    * empty frame / all-null column yields degenerate (0,0) bounds, which
+    * normalize everything to 0 — the layout is then a no-op instead of a
+    * driver NPE (the empty-input contract the other operators keep).
+    */
   def boundsOf(df: DataFrame, a: Column, b: Column): (Double, Double, Double, Double) = {
     val r = df.agg(min(a.cast("double")), max(a.cast("double")),
       min(b.cast("double")), max(b.cast("double"))).head()
-    (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    def get(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    (get(0), get(1), get(2), get(3))
   }
 
   /** Cluster `df` into `numPartitions` z-ordered partitions on (a, b):

@@ -52,15 +52,17 @@ object BloomUtil {
     true
   }
 
-  /** Standard sizing: m = n·bitsPerKey bits, k = round(ln2·bitsPerKey)
-    * hashes → fpp ≈ 0.6185^bitsPerKey (10 bits/key ≈ 0.8%).
+  /** Bitset sizing: m = n·bitsPerKey bits. The hash count is NOT derived
+    * here — the engine pins k = BloomMightContain.DefaultHashes (7, the
+    * ln2·10 optimum) on build AND probe so they can never disagree; fpp
+    * is therefore ≈0.8% at 10 bits/key and off-optimal (but still
+    * false-negative-free) at other densities.
     */
   def sizing(expectedKeys: Long, bitsPerKey: Int): (Int, Int) = {
     require(expectedKeys > 0 && bitsPerKey > 0)
     val bytes = math.max(8L, (expectedKeys * bitsPerKey + 7) / 8)
     require(bytes <= Int.MaxValue - 16, s"bloom of $bytes bytes exceeds array limit")
-    val k = math.max(1, math.round(0.6931 * bitsPerKey).toInt)
-    (bytes.toInt, k)
+    (bytes.toInt, BloomMightContain.DefaultHashes)
   }
 }
 

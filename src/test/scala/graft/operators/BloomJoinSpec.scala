@@ -65,6 +65,16 @@ class BloomJoinSpec extends SparkSpecBase {
     assert(probe.count() >= 100)
   }
 
+  test("semiJoin works when probe and build share the key NAME") {
+    import org.apache.spark.sql.functions.col
+    val probe = spark.range(0, 1000).toDF("id")
+    val build = spark.range(0, 50).toDF("id")
+    val got = BloomJoin.semiJoin(probe, "id", build, "id", 50)
+    assert(got.count() === 50)
+    assert(got.columns.toSeq === Seq("id"))
+    assert(got.filter(col("id") >= 50).count() === 0)
+  }
+
   test("null keys neither break the build nor probe true") {
     val dim = Seq(Option(1L), Option(2L), Option.empty[Long]).toDF("k")
     val bloom = BloomJoin.buildBloom(dim, col("k"), 10)

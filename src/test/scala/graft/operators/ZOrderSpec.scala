@@ -67,6 +67,12 @@ class ZOrderSpec extends SparkSpecBase {
     assert(zHit <= 4, s"z-order should isolate the corner box, got $zHit")
   }
 
+  test("zorderPartitions on an empty frame returns empty, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(Layout.zorderPartitions(empty, col("x"), col("y"), 4).count() === 0)
+  }
+
   test("zorderPartitions preserves the exact row multiset") {
     val li = graft.core.Lake.table(spark, sf0001, "lineitem")
     val laid = Layout.zorderPartitions(li, col("l_partkey"), col("l_suppkey"), 8)
