@@ -454,10 +454,31 @@ object AnalyticQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** A18: time-series gap filling — daily activity per user densified
+    * over a generated calendar spine (sequence + explode ⋈ per-user
+    * counts, zeros for silent days). The spine is dims × days — generated,
+    * never scanned; the fact side is one grouped aggregate.
+    */
+  def a18Gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Lake.table(spark, dir, "events")
+      .filter(col("user_id") < 5)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val spine = Lake.table(spark, dir, "events")
+      .select(col("user_id")).filter(col("user_id") < 5).distinct()
+      .crossJoin(spark.range(1).select(explode(sequence(
+        to_date(lit("2024-01-01")), to_date(lit("2024-01-30")))).as("d")))
+    spine.join(daily, Seq("user_id", "d"), "left_outer")
+      .select(col("user_id"), col("d").cast("timestamp").as("d"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "a15_winsorize"        -> (a15Winsorize _),
     "a16_transitions"      -> (a16Transitions _),
     "a17_skyline"          -> (a17Skyline _),
+    "a18_gapfill"          -> (a18Gapfill _),
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
     "a9_unpivot"           -> (a9Unpivot _),
@@ -494,6 +515,17 @@ object AnalyticQueries {
         |    AS BIGINT) AS mx_c
         |FROM lineitem JOIN q USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a18_gapfill" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
+        |days AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+        |    DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS d),
+        |daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events WHERE user_id < 5 GROUP BY 1, 2)
+        |SELECT u.user_id, CAST(days.d AS TIMESTAMP) AS d,
+        |  coalesce(daily.c, 0) AS c
+        |FROM u CROSS JOIN days
+        |LEFT JOIN daily ON daily.user_id = u.user_id AND daily.d = days.d
+        |ORDER BY 1, 2""".stripMargin,
     "a16_transitions" ->
       """WITH t AS (SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id
