@@ -153,10 +153,37 @@ object CrawlerQueries {
       .orderBy(col("bucket"))
   }
 
+  /** C11: mergeable profiles — profile two disjoint halves of customer
+    * independently (count/nulls/min/max + a DataSketches HLL sketch of
+    * the key), MERGE the two profiles (sums, least/greatest, hll_union),
+    * and require the merge to equal a whole-table profile: exact fields
+    * exactly, the distinct estimate within 5% of the true count. This is
+    * the incremental-crawl property — per-partition profiles combined
+    * without rescanning — stated as a driver-visible gate.
+    */
+  def c11ProfileMerge(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.core.Lake.table(spark, dir, "customer")
+    def half(p: Int) = c.filter(col("c_custkey") % 2 === p)
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").isNull.cast("long")).as("nulls"),
+        min(col("c_acctbal")).as("mn"), max(col("c_acctbal")).as("mx"),
+        hll_sketch_agg(col("c_custkey")).as("sk"))
+    val merged = half(0).unionAll(half(1))
+      .agg(sum(col("n")).as("n_rows"), sum(col("nulls")).as("n_nulls"),
+        round(min(col("mn")) * 100).cast("long").as("mn_c"),
+        round(max(col("mx")) * 100).cast("long").as("mx_c"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = c.agg(countDistinct(col("c_custkey")).as("d"))
+    merged.crossJoin(exact)
+      .select(col("n_rows"), col("n_nulls"), col("mn_c"), col("mx_c"),
+        (abs(col("est") - col("d")) <= col("d") * 0.05).as("distinct_ok"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "c8_equidepth"        -> (c8EquidepthHistogram _),
     "c9_footer_counts"    -> (c9FooterCounts _),
     "c10_data_drift"      -> (c10DataDrift _),
+    "c11_profile_merge"   -> (c11ProfileMerge _),
     "c1_discover"         -> (c1Discover _),
     "c2_schemas"          -> (c2Schemas _),
     "c3_profile_customer" -> (c3ProfileCustomer _),
@@ -222,6 +249,14 @@ object CrawlerQueries {
     "c5_incremental" ->
       """SELECT CAST(10 AS BIGINT) AS unchanged, CAST(0 AS BIGINT) AS changed,
         | CAST(0 AS BIGINT) AS added, CAST(0 AS BIGINT) AS removed""".stripMargin,
+    "c11_profile_merge" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  CAST(round(min(c_acctbal) * 100) AS BIGINT) AS mn_c,
+        |  CAST(round(max(c_acctbal) * 100) AS BIGINT) AS mx_c,
+        |  true AS distinct_ok
+        |FROM customer""".stripMargin,
     "c10_data_drift" ->
       """WITH b AS (SELECT o_orderkey,
         |    CAST(least(greatest(floor(o_totalprice * 8 / 600000.0), 0), 7)
