@@ -89,6 +89,58 @@ object TemporalJoins {
           matchedCols.map(c => col(s"_m.$c").as(c)): _*)
   }
 
+  /** FORWARD as-of join: for each left row, the EARLIEST right row with
+    * the same key at-or-after (inclusive) / strictly-after (exclusive)
+    * the left time; ties on time broken by MIN `rightTie`. The mirror of
+    * [[asofJoin]]: `first(ignoreNulls)` over the FOLLOWING frame, with
+    * the side order flipped so equal-time right rows land inside (or
+    * outside) the window. Same single key shuffle, left-outer.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightTie: String,
+      rightPayload: Seq[String],
+      inclusive: Boolean = true): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // Right rows at EQUAL time must sort AFTER left rows for inclusive
+    // (the following-frame window still sees them), BEFORE for exclusive.
+    val (rightSide, leftSide) = if (inclusive) (1, 0) else (0, 1)
+
+    val taggedLeft = left.select(
+      col(leftKey).as("_k"),
+      col(leftTime).as("_t"),
+      lit(leftSide).as("_side"),
+      lit(null).cast("long").as("_tie"),
+      struct(leftCols.map(col): _*).as("_lrow"),
+      lit(null).cast(structType(right,
+        (rightTime +: rightTie +: rightPayload).distinct: _*)).as("_rrow"))
+    val taggedRight = right.select(
+      col(rightKey).as("_k"),
+      col(rightTime).as("_t"),
+      lit(rightSide).as("_side"),
+      col(rightTie).cast("long").as("_tie"),
+      lit(null).cast(structType(left, leftCols: _*)).as("_lrow"),
+      struct((rightTime +: rightTie +: rightPayload).distinct.map(col): _*)
+        .as("_rrow"))
+
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val matchedCols = (rightTime +: rightTie +: rightPayload).distinct
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("_m", first(col("_rrow"), ignoreNulls = true).over(w))
+      .filter(col("_lrow").isNotNull)
+      .select(
+        leftCols.map(c => col(s"_lrow.$c").as(c)) ++
+          matchedCols.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
   private def structType(df: DataFrame, cols: String*) =
     org.apache.spark.sql.types.StructType(
       cols.distinct.map(c => df.schema(c)))

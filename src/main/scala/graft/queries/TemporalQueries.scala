@@ -104,10 +104,34 @@ object TemporalQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** J7d: FORWARD as-of join — for every click, the next purchase by the
+    * same user at or after it (earliest time, min event_id tie; left
+    * outer). Oracle: correlated min-subquery — the mirror of j7's.
+    */
+  def j7dAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val events = Lake.table(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    TemporalJoins.asofJoinForward(
+        clicks, purchases,
+        leftKey = "user_id", rightKey = "p_user",
+        leftTime = "c_ts", rightTime = "p_ts",
+        rightTie = "purchase_id", rightPayload = Seq("purchase_id"))
+      .select(col("click_id"), col("user_id"), col("c_ts"),
+        col("purchase_id"), col("p_ts"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy(col("click_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "j7_asof_join"  -> (j7AsofJoin _),
     "j7_range_join" -> (j7RangeJoin _),
     "j7c_asof_chunked" -> (j7cAsofChunked _),
+    "j7d_asof_forward" -> (j7dAsofForward _),
     "j12_interval_join" -> (j12IntervalJoin _))
 
   private val AsofOracle: String =
@@ -128,6 +152,19 @@ object TemporalQueries {
     // Same oracle for the plain and chunked algorithms — both must equal
     // the correlated-subquery formulation.
     "j7c_asof_chunked" -> AsofOracle,
+    "j7d_asof_forward" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type='click'),
+        |     p AS (SELECT user_id, ts, event_id FROM events WHERE event_type='purchase'),
+        |     m AS (SELECT c.event_id AS click_id, c.user_id, c.ts AS c_ts,
+        |             (SELECT min(p.ts) FROM p
+        |               WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS p_ts
+        |           FROM c)
+        |SELECT m.click_id, m.user_id, m.c_ts,
+        |       (SELECT min(p.event_id) FROM p
+        |         WHERE p.user_id = m.user_id AND p.ts = m.p_ts) AS purchase_id,
+        |       m.p_ts,
+        |       epoch_us(m.p_ts) - epoch_us(m.c_ts) AS gap_us
+        |FROM m ORDER BY click_id""".stripMargin,
     // Independent formulation: correlated max-ts subquery + tie-break max
     // event_id — NOT the union-window algorithm the Spark side uses.
     "j7_asof_join" -> AsofOracle,

@@ -143,6 +143,48 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(rows === Seq(2L, 3L))
   }
 
+  test("asofJoinForward inclusive: min (time, tie) at-or-after, left outer") {
+    val l = Seq((1L, 100L, 10L), (1L, 250L, 11L), (2L, 50L, 12L))
+      .toDF("k", "t", "lid")
+    val r = Seq(
+      (1L, 100L, 20L), (1L, 100L, 21L), // equal time, two ties -> min rid 20
+      (1L, 300L, 22L), (9L, 1L, 23L))
+      .toDF("rk", "rt", "rid")
+    val got = TemporalJoins.asofJoinForward(
+        l, r, "k", "rk", "t", "rt", "rid", Seq("rid"))
+      .orderBy("lid").collect()
+      .map(x => (x.getLong(2), if (x.isNullAt(4)) -1L else x.getLong(4))).toSeq
+    assert(got === Seq((10L, 20L), (11L, 22L), (12L, -1L)))
+  }
+
+  test("asofJoinForward exclusive drops the equal-time boundary row") {
+    val l = Seq((1L, 100L, 10L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 100L, 20L), (1L, 150L, 21L)).toDF("rk", "rt", "rid")
+    val got = TemporalJoins.asofJoinForward(
+        l, r, "k", "rk", "t", "rt", "rid", Seq("rid"), inclusive = false)
+      .head().getLong(4)
+    assert(got === 21L)
+  }
+
+  test("asofJoinForward equals naive per-row computation on random data") {
+    val n = 500
+    val l = (0 until n).map(i => ((i * 13) % 7L, ((i * 37) % 97).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val r = (0 until n).map(i => ((i * 11) % 7L, ((i * 29) % 97).toLong, (1000 + i).toLong))
+      .toDF("rk", "rt", "rid")
+    val got = TemporalJoins.asofJoinForward(
+        l, r, "k", "rk", "t", "rt", "rid", Seq("rid"))
+      .collect().map(x => x.getLong(2) -> (if (x.isNullAt(4)) -1L else x.getLong(4))).toMap
+    val rRows = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    l.collect().foreach { row =>
+      val (k, t, lid) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      val cand = rRows.filter(c => c._1 == k && c._2 >= t)
+      val want = if (cand.isEmpty) -1L
+        else { val mt = cand.map(_._2).min; cand.filter(_._2 == mt).map(_._3).min }
+      assert(got(lid) === want, s"lid=$lid")
+    }
+  }
+
   test("intervalOverlapJoin matches brute force and emits each pair once") {
     val a = Seq((1L, 0L, 100L), (2L, 50L, 250L), (3L, 300L, 310L))
       .toDF("a_id", "s_a", "e_a")
