@@ -474,11 +474,53 @@ object AnalyticQueries {
       .orderBy(col("user_id"), col("d"))
   }
 
+  /** A19: grouped top-k via the mergeable TopKByScore heap aggregate —
+    * O(k) state per group to the shuffle instead of a per-group sort;
+    * the custom aggregate itself checked against the row_number oracle
+    * (score desc, id asc tie-break — the aggregate's documented order).
+    */
+  def a19TopkGroup(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.plans.TopKByScore
+        .top_k_by_score(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("r", "e")))
+      .select(col("o_orderpriority"), (col("r") + 1).cast("long").as("rnk"),
+        col("e.id").as("o_orderkey"),
+        round(col("e.score") * 100).cast("long").as("price_cents"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+
+  /** F16: schema-enforced JSON parsing with malformed-record accounting —
+    * from_json(struct) returns null for rows whose props were
+    * deterministically corrupted, and the gate counts corrupt vs parsed
+    * per type (the ingestion-boundary behavior q09's path never sees).
+    */
+  def f16FromJson(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    Lake.table(spark, dir, "events")
+      // corruption PREPENDED: Spark's Jackson parser ignores trailing
+      // garbage after a complete JSON value, so suffix corruption would
+      // not make the parse fail
+      .withColumn("raw",
+        when(col("event_id") % 13 === 0, concat(lit("#"), col("props")))
+          .otherwise(col("props")))
+      .withColumn("p",
+        from_json(col("raw"), StructType(Seq(StructField("k", IntegerType)))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("p").isNull || col("p.k").isNull, 1L).otherwise(0L))
+          .as("corrupt"),
+        sum(coalesce(col("p.k"), lit(0)).cast("long")).as("k_sum"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "a15_winsorize"        -> (a15Winsorize _),
     "a16_transitions"      -> (a16Transitions _),
     "a17_skyline"          -> (a17Skyline _),
     "a18_gapfill"          -> (a18Gapfill _),
+    "a19_topk_group"       -> (a19TopkGroup _),
+    "f16_from_json"        -> (f16FromJson _),
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
     "a9_unpivot"           -> (a9Unpivot _),
@@ -515,6 +557,26 @@ object AnalyticQueries {
         |    AS BIGINT) AS mx_c
         |FROM lineitem JOIN q USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a19_topk_group" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM r WHERE rnk <= 3 ORDER BY 1, 2""".stripMargin,
+    "f16_from_json" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN event_id % 13 = 0 THEN '#' || props
+        |         ELSE props END AS raw
+        |  FROM events)
+        |SELECT event_type, count(*) AS c,
+        |  CAST(sum(CASE WHEN NOT json_valid(raw) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS corrupt,
+        |  CAST(sum(CASE WHEN json_valid(raw)
+        |    THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS k_sum
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "a18_gapfill" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
         |days AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
