@@ -52,11 +52,35 @@ object TemporalJoins {
       rightTime: String,
       rightTie: String,
       rightPayload: Seq[String],
-      inclusive: Boolean = true): DataFrame = {
+      inclusive: Boolean = true): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime, rightTie,
+      rightPayload, inclusive, forward = false)
+
+  /** Shared machinery for both directions. BOTH run the streaming
+    * running-`last` over (unboundedPreceding, currentRow) — the frame
+    * Spark evaluates in one O(n) pass per partition; ONLY the sort
+    * direction differs. (The naive forward formulation — `first` over
+    * (currentRow, unboundedFollowing) — plans as an
+    * UnboundedFollowingWindowFunctionFrame that re-aggregates suffix
+    * rows per row: O(n²) on a hot key, precisely the regime an as-of
+    * join exists for.)
+    */
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightTie: String,
+      rightPayload: Seq[String],
+      inclusive: Boolean,
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
-    // Side ordering at equal timestamps decides the <= vs < boundary:
-    // right rows must sort BEFORE left rows for inclusive (so the window
-    // still sees them), AFTER for exclusive.
+    // Side ordering at equal timestamps decides the boundary semantics:
+    // right rows must sort BEFORE left rows for inclusive (the running
+    // window still sees them), AFTER for exclusive — in EITHER direction,
+    // because the time sort flips but the side sort does not.
     val (rightSide, leftSide) = if (inclusive) (0, 1) else (1, 0)
 
     val taggedLeft = left.select(
@@ -76,8 +100,14 @@ object TemporalJoins {
       struct((rightTime +: rightTie +: rightPayload).distinct.map(col): _*)
         .as("_rrow"))
 
+    // backward: time asc, ties asc (running last = max (time, tie) at or
+    // before). forward: time DESC, ties DESC (running last = min (time,
+    // tie) at or after).
+    val ordering =
+      if (forward) Seq(col("_t").desc, col("_side").asc, col("_tie").desc_nulls_last)
+      else Seq(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_last)
     val w = Window.partitionBy("_k")
-      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_last)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matchedCols = (rightTime +: rightTie +: rightPayload).distinct
@@ -91,10 +121,9 @@ object TemporalJoins {
 
   /** FORWARD as-of join: for each left row, the EARLIEST right row with
     * the same key at-or-after (inclusive) / strictly-after (exclusive)
-    * the left time; ties on time broken by MIN `rightTie`. The mirror of
-    * [[asofJoin]]: `first(ignoreNulls)` over the FOLLOWING frame, with
-    * the side order flipped so equal-time right rows land inside (or
-    * outside) the window. Same single key shuffle, left-outer.
+    * the left time; ties on time broken by MIN `rightTie`. Same single
+    * key shuffle and the same O(n) streaming window as [[asofJoin]] —
+    * just over the descending time sort (see [[asofImpl]]).
     */
   def asofJoinForward(
       left: DataFrame,
@@ -105,41 +134,9 @@ object TemporalJoins {
       rightTime: String,
       rightTie: String,
       rightPayload: Seq[String],
-      inclusive: Boolean = true): DataFrame = {
-    val leftCols = left.columns.toSeq
-    // Right rows at EQUAL time must sort AFTER left rows for inclusive
-    // (the following-frame window still sees them), BEFORE for exclusive.
-    val (rightSide, leftSide) = if (inclusive) (1, 0) else (0, 1)
-
-    val taggedLeft = left.select(
-      col(leftKey).as("_k"),
-      col(leftTime).as("_t"),
-      lit(leftSide).as("_side"),
-      lit(null).cast("long").as("_tie"),
-      struct(leftCols.map(col): _*).as("_lrow"),
-      lit(null).cast(structType(right,
-        (rightTime +: rightTie +: rightPayload).distinct: _*)).as("_rrow"))
-    val taggedRight = right.select(
-      col(rightKey).as("_k"),
-      col(rightTime).as("_t"),
-      lit(rightSide).as("_side"),
-      col(rightTie).cast("long").as("_tie"),
-      lit(null).cast(structType(left, leftCols: _*)).as("_lrow"),
-      struct((rightTime +: rightTie +: rightPayload).distinct.map(col): _*)
-        .as("_rrow"))
-
-    val w = Window.partitionBy("_k")
-      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_first)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-
-    val matchedCols = (rightTime +: rightTie +: rightPayload).distinct
-    taggedLeft.unionByName(taggedRight)
-      .withColumn("_m", first(col("_rrow"), ignoreNulls = true).over(w))
-      .filter(col("_lrow").isNotNull)
-      .select(
-        leftCols.map(c => col(s"_lrow.$c").as(c)) ++
-          matchedCols.map(c => col(s"_m.$c").as(c)): _*)
-  }
+      inclusive: Boolean = true): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime, rightTie,
+      rightPayload, inclusive, forward = true)
 
   private def structType(df: DataFrame, cols: String*) =
     org.apache.spark.sql.types.StructType(

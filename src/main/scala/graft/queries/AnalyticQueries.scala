@@ -464,8 +464,9 @@ object AnalyticQueries {
       .filter(col("user_id") < 5)
       .groupBy(col("user_id"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("c"))
-    val spine = Lake.table(spark, dir, "events")
-      .select(col("user_id")).filter(col("user_id") < 5).distinct()
+    // derive the user set from the aggregate already in hand — one scan
+    // of events, not two
+    val spine = daily.select(col("user_id")).distinct()
       .crossJoin(spark.range(1).select(explode(sequence(
         to_date(lit("2024-01-01")), to_date(lit("2024-01-30")))).as("d")))
     spine.join(daily, Seq("user_id", "d"), "left_outer")
@@ -571,9 +572,11 @@ object AnalyticQueries {
         |         ELSE props END AS raw
         |  FROM events)
         |SELECT event_type, count(*) AS c,
-        |  CAST(sum(CASE WHEN NOT json_valid(raw) THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS corrupt,
+        |  CAST(sum(CASE WHEN NOT json_valid(raw)
+        |      OR json_extract_string(raw, '$.k') IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS corrupt,
         |  CAST(sum(CASE WHEN json_valid(raw)
+        |      AND json_extract_string(raw, '$.k') IS NOT NULL
         |    THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
         |    ELSE 0 END) AS BIGINT) AS k_sum
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
