@@ -515,6 +515,22 @@ object AnalyticQueries {
       .orderBy(col("event_type"))
   }
 
+  /** F17: the bitwise function family — and/or/xor, shifts, bit_count,
+    * negation — integer-exact on both engines, summed per group.
+    */
+  def f17Bitwise(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 2000)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("l_partkey").bitwiseAND(col("l_suppkey"))).as("s_and"),
+        sum(col("l_partkey").bitwiseOR(col("l_suppkey"))).as("s_or"),
+        sum(col("l_partkey").bitwiseXOR(col("l_suppkey"))).as("s_xor"),
+        sum(shiftleft(col("l_linenumber"), 3).cast("long")).as("s_shl"),
+        sum(shiftright(col("l_partkey"), 2)).as("s_shr"),
+        sum(bit_count(col("l_partkey")).cast("long")).as("s_pop"))
+      .orderBy(col("l_returnflag"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "a15_winsorize"        -> (a15Winsorize _),
     "a16_transitions"      -> (a16Transitions _),
@@ -522,6 +538,7 @@ object AnalyticQueries {
     "a18_gapfill"          -> (a18Gapfill _),
     "a19_topk_group"       -> (a19TopkGroup _),
     "f16_from_json"        -> (f16FromJson _),
+    "f17_bitwise"          -> (f17Bitwise _),
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
     "a9_unpivot"           -> (a9Unpivot _),
@@ -557,6 +574,16 @@ object AnalyticQueries {
         |  CAST(round(max(least(greatest(l_extendedprice, lo), hi)) * 100)
         |    AS BIGINT) AS mx_c
         |FROM lineitem JOIN q USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f17_bitwise" ->
+      """SELECT l_returnflag, count(*) AS c,
+        |  CAST(sum(l_partkey & l_suppkey) AS BIGINT) AS s_and,
+        |  CAST(sum(l_partkey | l_suppkey) AS BIGINT) AS s_or,
+        |  CAST(sum(xor(l_partkey, l_suppkey)) AS BIGINT) AS s_xor,
+        |  CAST(sum(l_linenumber << 3) AS BIGINT) AS s_shl,
+        |  CAST(sum(l_partkey >> 2) AS BIGINT) AS s_shr,
+        |  CAST(sum(bit_count(l_partkey)) AS BIGINT) AS s_pop
+        |FROM lineitem WHERE l_orderkey < 2000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a19_topk_group" ->
       """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
