@@ -515,6 +515,32 @@ object AnalyticQueries {
       .orderBy(col("event_type"))
   }
 
+  /** W7: running DISTINCT count over a window — Spark windows don't
+    * support count(DISTINCT) directly; the standard rewrite is
+    * size(collect_set(...)), proven here equal to DuckDB's native
+    * windowed count(DISTINCT). State is the distinct set per frame —
+    * fine for bounded-cardinality columns (suppliers here); at high
+    * cardinality the HLL sketch union is the scale path.
+    */
+  def w7WindowedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // RANGE frame over one derived ordering key: (orderkey, linenumber)
+    // pairs DUPLICATE in this corpus, so a ROWS frame would depend on
+    // the arbitrary order among peers (3 rows diverged cross-engine
+    // before the switch); RANGE includes all peers in every peer's
+    // frame, making the running value order-independent.
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("ok"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Lake.table(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 300)
+      .withColumn("ok", col("l_orderkey") * 10 + col("l_linenumber"))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        size(collect_set(col("l_suppkey")).over(w)).cast("long")
+          .as("run_distinct_supp"))
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("run_distinct_supp"))
+  }
+
   /** F17: the bitwise function family — and/or/xor, shifts, bit_count,
     * negation — integer-exact on both engines, summed per group.
     */
@@ -539,6 +565,7 @@ object AnalyticQueries {
     "a19_topk_group"       -> (a19TopkGroup _),
     "f16_from_json"        -> (f16FromJson _),
     "f17_bitwise"          -> (f17Bitwise _),
+    "w7_windowed_distinct" -> (w7WindowedDistinct _),
     "a7_pivot"             -> (a7Pivot _),
     "a8_cube"              -> (a8Cube _),
     "a9_unpivot"           -> (a9Unpivot _),
@@ -575,6 +602,15 @@ object AnalyticQueries {
         |    AS BIGINT) AS mx_c
         |FROM lineitem JOIN q USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w7_windowed_distinct" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  CAST(count(DISTINCT l_suppkey) OVER (
+        |    PARTITION BY l_returnflag
+        |    ORDER BY l_orderkey * 10 + l_linenumber
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS run_distinct_supp
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
     "f17_bitwise" ->
       """SELECT l_returnflag, count(*) AS c,
         |  CAST(sum(l_partkey & l_suppkey) AS BIGINT) AS s_and,
