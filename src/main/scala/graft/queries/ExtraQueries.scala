@@ -230,7 +230,29 @@ object ExtraQueries {
         sum(col("l_orderkey")).as("ok_sum"))
       .orderBy(col("p_brand"))
 
+  /** Q19: LATERAL correlated derived table — top-2 lineitems per order
+    * via a correlated ORDER BY/LIMIT subquery in FROM. The SAME SQL text
+    * runs on both engines (EP2 parity); Catalyst plans the lateral as a
+    * correlated join.
+    */
+  private val LateralSql =
+    """SELECT o.o_orderkey, l.l_linenumber,
+      |  CAST(round(l.l_quantity) AS BIGINT) AS qty
+      |FROM orders o, LATERAL (
+      |  SELECT l_linenumber, l_quantity FROM lineitem
+      |  WHERE l_orderkey = o.o_orderkey
+      |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
+      |WHERE o.o_orderkey < 60
+      |ORDER BY 1, 2""".stripMargin
+
+  def q19Lateral(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(t =>
+      Lake.table(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(LateralSql)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q19_lateral"         -> (q19Lateral _),
     "q18_subqueries"      -> (q18Subqueries _),
     "j10_fuzzy_join"       -> (j10FuzzyJoin _),
     "j11_bloom_semijoin"   -> (j11BloomSemijoin _),
@@ -308,6 +330,7 @@ object ExtraQueries {
         |SELECT * FROM s1 CROSS JOIN s2""".stripMargin,
     // Verbatim the same SQL text the Spark side runs (EP2 parity).
     "q18_subqueries" -> SubqueriesSql,
+    "q19_lateral" -> LateralSql,
     "f14_string_funcs" ->
       """SELECT p_brand, count(*) AS c,
         |  min(lpad(p_name, 30, '.')) AS min_lpad,
