@@ -243,7 +243,7 @@ object ExtraQueries {
       |  WHERE l_orderkey = o.o_orderkey
       |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
       |WHERE o.o_orderkey < 60
-      |ORDER BY 1, 2""".stripMargin
+      |ORDER BY 1, 2, 3""".stripMargin
 
   def q19Lateral(spark: SparkSession, dir: String): DataFrame = {
     Seq("orders", "lineitem").foreach(t =>
