@@ -431,21 +431,40 @@ object AnalyticQueries {
     * the linear window formulation: per-price max size, running max over
     * strictly-lower prices, keep rows dominated by neither. The oracle is
     * the O(n²) NOT EXISTS dominance definition, so the gate proves the
-    * linear plan computes exactly the textbook skyline. The global
-    * orderBy window runs over DISTINCT PRICES (already aggregated), not
-    * rows — at scale that's the price-dimension cardinality; a
-    * range-partitioned prefix-scan (the packBins pattern) removes even
-    * that if needed.
+    * linear plan computes exactly the textbook skyline.
+    *
+    * The prefix-max is two-phase so no single task ever scans the whole
+    * price domain: range-partition the distinct prices, run the running
+    * max per partition in parallel, then lift each row's prefix to global
+    * with the broadcast per-partition boundary maxima (N_partitions rows
+    * — the only cross-partition state). Range partitions are ordered by
+    * key, so every earlier partition holds strictly lower prices and
+    * `greatest(local prefix, max of earlier partitions)` is exactly the
+    * global strict-prefix max.
     */
   def a17Skyline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = Lake.table(spark, dir, "part")
       .select(col("p_partkey"), col("p_retailprice").as("price"),
         col("p_size").cast("long").as("sz"))
-    val perPrice = p.groupBy(col("price")).agg(max(col("sz")).as("mx"))
-      .withColumn("mx_below",
-        max(col("mx")).over(Window.orderBy(col("price"))
-          .rowsBetween(Window.unboundedPreceding, -1)))
+    val nPart = spark.sparkContext.defaultParallelism
+    val ranged = p.groupBy(col("price")).agg(max(col("sz")).as("mx"))
+      .repartitionByRange(nPart, col("price"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("local_below", max(col("mx")).over(wLocal))
+    // Per-partition boundary maxima: N_partitions rows. The strict-prior
+    // max per pid is a broadcast self-join on pid inequality (N² over
+    // metadata-sized N — never a data-sized nested loop).
+    val bounds = local.groupBy(col("pid")).agg(max(col("mx")).as("pmax"))
+    val prior = bounds.select(col("pid"))
+      .join(broadcast(bounds.select(col("pid").as("ppid"), col("pmax"))),
+        col("ppid") < col("pid"), "left")
+      .groupBy(col("pid")).agg(max(col("pmax")).as("prior_max"))
+    val perPrice = local.join(broadcast(prior), Seq("pid"))
+      // greatest() skips nulls: null only when both are (global first row)
+      .withColumn("mx_below", greatest(col("local_below"), col("prior_max")))
     p.join(perPrice, "price")
       .filter(col("sz") === col("mx") &&
         (col("mx_below").isNull || col("mx_below") < col("sz")))

@@ -97,6 +97,17 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("a17 skyline: prefix-max is range-partitioned, never single-task") {
+    // The running max over the price domain must run per range partition
+    // with only the N_partitions boundary maxima crossing partitions — a
+    // global-order window plans as `Exchange SinglePartition` feeding the
+    // Window, serializing the whole price domain through one task.
+    val p = plan("a17_skyline")
+    assert(p.contains("Window"), "skyline lost its windowed prefix-max")
+    assert(!p.contains("Exchange SinglePartition"),
+      "skyline prefix-max degraded to a single-partition window")
+  }
+
   test("l3 lsh near-dup: pair dedup shuffles scalars, not vector payloads") {
     val p = plan("l3_lsh_neardup")
     // The distinct that collapses multi-band candidate duplicates must
