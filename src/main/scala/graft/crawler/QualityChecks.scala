@@ -63,7 +63,10 @@ object QualityChecks {
       "rule names must match [A-Za-z0-9_]+")
     val aggs: Seq[Column] = count(lit(1)).as("_total") +: rules.map {
       case Unique(n, c) =>
-        (count(col(c)) - count_distinct(col(c))).as(s"_v_$n")
+        // count over ALL rows minus distinct non-null values: nulls are
+        // rows that contribute no distinct value, so any null makes the
+        // rule fail — exactly the documented key-column contract.
+        (count(lit(1)) - count_distinct(col(c))).as(s"_v_$n")
       case r =>
         sum(when(violationExpr(r), 1L).otherwise(0L)).as(s"_v_${r.name}")
     }

@@ -45,18 +45,45 @@ object BloomJoin {
     probe.filter(probeKey.isNotNull &&
       BloomMightContain.bloom_might_contain(lit(bloom), xxhash64(probeKey)))
 
+  /** Widen a key type to the representative its equi-join equality class
+    * hashes under: every integral width → long, float → double. Without
+    * this, an int probe key against a bigint build key equi-matches via
+    * Catalyst's implicit cast while `xxhash64(int)` ≠ `xxhash64(bigint)`
+    * for the same value — the prefilter would silently drop true matches.
+    */
+  private def hashNormType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => LongType
+      case FloatType | DoubleType                        => DoubleType
+      case other                                         => other
+    }
+  }
+
   /** Exact semi-join with a bloom prefilter in front: identical result to
     * `probe.join(build, …, "left_semi")`, with the fact-side shuffle fed
     * only prefilter survivors. `expectedKeys` sizes the filter (estimate
     * high; an undersized filter only costs fpp, never correctness).
+    *
+    * Both keys are widened to a common hash type (int→long, float→double)
+    * before hashing so mixed-width numeric keys prefilter exactly; key
+    * types outside one widening class (e.g. string vs int) are rejected
+    * up front rather than risking hash-mismatch false negatives.
     */
   def semiJoin(probe: DataFrame, probeKey: String, build: DataFrame,
       buildKey: String, expectedKeys: Long, bitsPerKey: Int = 10): DataFrame = {
-    val bloom = buildBloom(build, col(buildKey), expectedKeys, bitsPerKey)
+    val pt = hashNormType(probe.schema(probeKey).dataType)
+    val bt = hashNormType(build.schema(buildKey).dataType)
+    require(pt == bt,
+      s"bloom semi-join keys must hash in the same type class: " +
+        s"$probeKey is ${probe.schema(probeKey).dataType}, " +
+        s"$buildKey is ${build.schema(buildKey).dataType}")
+    val bloom = buildBloom(build, col(buildKey).cast(bt), expectedKeys, bitsPerKey)
     // Rename the build key so same-named probe/build keys can't hit an
     // ambiguous-reference error in the join condition.
     val keys = build.select(col(buildKey).as("__bloom_k")).distinct()
-    prefilter(probe, col(probeKey), bloom)
+    prefilter(probe, col(probeKey).cast(pt), bloom)
       .join(keys, col(probeKey) === col("__bloom_k"), "left_semi")
   }
 }

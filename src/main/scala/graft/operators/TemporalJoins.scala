@@ -271,7 +271,11 @@ object TemporalJoins {
     * join trick; every overlapping pair has exactly one such bucket).
     * Pick `chunk` near the typical interval span: much smaller explodes
     * long intervals, much larger degrades bucket selectivity.
-    * Columns must be long (epoch micros); ends inclusive.
+    * Columns must be long (epoch micros); ends inclusive. Rows with
+    * `end < start` are DROPPED up front: `sequence(hi, lo)` silently
+    * auto-steps -1, so an inverted interval would otherwise still
+    * generate candidate buckets and could emit pairs instead of being
+    * excluded as malformed.
     */
   def intervalOverlapJoin(
       left: DataFrame,
@@ -288,8 +292,11 @@ object TemporalJoins {
       df.withColumn(out,
         explode(sequence(floorDiv(col(s)), floorDiv(col(e)))))
     }
-    val l = exploded(left, leftStart, leftEnd, "_lb")
-    val r = keyCols.foldLeft(exploded(right, rightStart, rightEnd, "_rb"))(
+    val l = exploded(left.filter(col(leftStart) <= col(leftEnd)),
+      leftStart, leftEnd, "_lb")
+    val r = keyCols.foldLeft(
+        exploded(right.filter(col(rightStart) <= col(rightEnd)),
+          rightStart, rightEnd, "_rb"))(
       (d, k) => d.withColumnRenamed(k, s"__r_$k"))
     l.join(r,
         keyCols.map(k => l(k) === r(s"__r_$k"))

@@ -298,7 +298,7 @@ object CrawlerQueries {
         |      AS violations, count(*) AS total FROM customer
         |  UNION ALL
         |  SELECT 'customer_key_unique',
-        |    count(c_custkey) - count(DISTINCT c_custkey), count(*) FROM customer
+        |    count(*) - count(DISTINCT c_custkey), count(*) FROM customer
         |  UNION ALL
         |  SELECT 'lineitem_discount_range',
         |    CAST(sum(CASE WHEN l_discount IS NOT NULL

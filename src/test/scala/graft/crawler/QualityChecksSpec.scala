@@ -28,7 +28,9 @@ class QualityChecksSpec extends SparkSpecBase {
     assert(r("st_ok") === ((1L, 4L, false))) // null status is NOT an accepted-values violation
     assert(r("v_range") === ((2L, 4L, false)))
     assert(r("v_pos") === ((1L, 4L, false))) // null predicate would also violate; here all non-null
-    assert(r("k_unique") === ((1L, 4L, false))) // 3 non-null keys, 2 distinct
+    // 4 rows, 2 distinct non-null keys: the dup AND the null both violate
+    // (nulls count as rows but contribute no distinct value)
+    assert(r("k_unique") === ((2L, 4L, false)))
   }
 
   test("clean table passes every rule") {

@@ -75,6 +75,28 @@ class BloomJoinSpec extends SparkSpecBase {
     assert(got.filter(col("id") >= 50).count() === 0)
   }
 
+  test("semiJoin is exact across mixed integer key widths (int vs bigint)") {
+    // The equi-join matches int-vs-bigint via implicit cast, but
+    // xxhash64(int) != xxhash64(bigint) for the same value — without the
+    // common-type widening the prefilter would silently drop every match.
+    val probe = spark.range(0, 1000).select(col("id").cast("int").as("k"))
+    val build = spark.range(0, 1000, 3).select(col("id").as("bk")) // bigint
+    val viaBloom = BloomJoin.semiJoin(probe, "k", build, "bk", 400)
+    val plain = probe.join(build, col("k") === col("bk"), "left_semi")
+    assert(viaBloom.count() === plain.count())
+    assert(plain.count() === 334)
+    assert(viaBloom.exceptAll(plain).count() === 0)
+  }
+
+  test("semiJoin rejects keys outside one hash-type class") {
+    val probe = Seq("1", "2").toDF("k")
+    val build = Seq(1L, 2L).toDF("bk")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(probe, "k", build, "bk", 10)
+    }
+    assert(e.getMessage.contains("same type class"))
+  }
+
   test("null keys neither break the build nor probe true") {
     val dim = Seq(Option(1L), Option(2L), Option.empty[Long]).toDF("k")
     val bloom = BloomJoin.buildBloom(dim, col("k"), 10)

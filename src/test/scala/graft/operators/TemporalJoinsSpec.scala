@@ -213,6 +213,19 @@ class TemporalJoinsSpec extends SparkSpecBase {
     assert(got === Seq(2L)) // [0,10] touches [10,20]; [11,20] is disjoint
   }
 
+  test("intervalOverlapJoin drops inverted (end < start) intervals") {
+    // sequence(hi, lo) silently steps -1, so without the guard an
+    // inverted row still generates candidate buckets: [10,5] vs [3,12]
+    // would pass both the overlap filter and the canonical-bucket rule.
+    val a = Seq((1L, 10L, 5L), (2L, 0L, 20L)).toDF("a_id", "s_a", "e_a")
+    val b = Seq((10L, 3L, 12L), (11L, 30L, 25L)).toDF("b_id", "s_b", "e_b")
+    val got = TemporalJoins
+      .intervalOverlapJoin(a, b, "s_a", "e_a", "s_b", "e_b", chunk = 7L)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((2L, 10L))) // only the two well-formed rows pair
+  }
+
   test("keyed intervalOverlapJoin never crosses keys") {
     val a = Seq(("x", 1L, 0L, 100L), ("y", 2L, 0L, 100L))
       .toDF("k", "a_id", "s_a", "e_a")
