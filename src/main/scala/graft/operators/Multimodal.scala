@@ -129,6 +129,57 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Deterministic RGB value of pixel (x, y) for fixture id — pure
+    * integer math so an external oracle can recompute the decoded buffer
+    * without any image library. Kept package-visible for the spec.
+    */
+  private[operators] def fixturePixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 31 + x * 7 + y * 13) % 256).toInt,
+    ((id * 17 + x * 11 + y * 3) % 256).toInt,
+    ((id * 5 + x * 13 + y * 29) % 256).toInt)
+
+  /** Encode the deterministic fixture image for `id` as real PNG bytes
+    * via the JDK encoder. Shapes follow [[mediaFromDocuments]]'s id→dims
+    * rule. PNG is lossless, so `ImageIoCodec.decode` returns exactly the
+    * generated RGB triples — which is what makes a constant-pinned oracle
+    * over the decoded pixels valid on any host.
+    */
+  private[operators] def pngFixture(id: Long): Array[Byte] = {
+    val w = (id % 4 * 8 + 16).toInt
+    val h = (id % 3 * 8 + 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = fixturePixel(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A media table of REAL PNG payloads — encoded on the executors, one
+    * per doc_id below `limit` — for driving [[ImageIoCodec]] through the
+    * full distributed decode path with an externally checkable result.
+    */
+  def syntheticPngMedia(spark: SparkSession, docs: DataFrame,
+      limit: Int = 8): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") < limit).distinct()
+      .as[Long]
+      .map { id =>
+        MediaRecord(id, pngFixture(id),
+          MediaMeta("image", (id % 4 * 8 + 16).toInt, (id % 3 * 8 + 16).toInt,
+            3, 1, "png"))
+      }
+  }
+
   /** Partition-parallel batched decode (mapPartitions = one setup per
     * partition, streaming through records — the batch shape a real codec
     * wants). Pass [[ImageIoCodec]] for real image payloads.

@@ -261,6 +261,31 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** L6b: REAL image decode, driver-visible — PNG payloads are encoded
+    * on the executors (JDK ImageIO, one per doc_id < 8), then decoded
+    * through the same distributed `decodeImages` path with
+    * [[graft.operators.ImageIoCodec]]. PNG is lossless and the fixture
+    * pixels are pure integer math, so the decoded buffer equals the
+    * generated one exactly; the oracle pins md5-of-decoded-pixels as
+    * constants (recomputable outside the JVM from the pixel formula) and
+    * joins them against `documents` so the row set still tracks the
+    * corpus. This promotes the real-image claim from spec-only to a
+    * driver-checked gate.
+    */
+  def l6bImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    val media = graft.operators.Multimodal.syntheticPngMedia(spark, docs)
+    val dec = graft.operators.Multimodal
+      .decodeImages(media, graft.operators.ImageIoCodec)
+    dec.toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("w"),
+        col("height").cast("long").as("h"),
+        md5(col("pixels")).as("px_md5"),
+        length(col("pixels")).cast("long").as("n_px"))
+      .orderBy(col("media_id"))
+  }
+
   /** P1: the END-TO-END curation pipeline a training-data user actually
     * runs, composed from the library's own stages: language filter
     * (stopword-vote langid = 'en') → quality filter (score ≥ 0.6) →
@@ -382,6 +407,7 @@ object PipelineQueries {
     "l4_langid"          -> (l4LangId _),
     "l5_bottomk_sketch"  -> (l5BottomkSketch _),
     "l6_media_features"  -> (l6MediaFeatures _),
+    "l6b_image_decode"   -> (l6bImageDecode _),
     "p1_curation_pipeline" -> (p1CurationPipeline _),
     "q17_session_window" -> (q17SessionWindow _))
 
@@ -479,6 +505,29 @@ object PipelineQueries {
         |  CAST(sum(cnt0) AS BIGINT) AS bin0_px,
         |  round(CAST(sum(cnt0) AS DOUBLE) / sum(n), 6) AS bin0_share
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // Constant-pinned md5 of the decoded pixel buffer per fixture id:
+    // PNG decode is lossless, the fixture pixels are pure integer math
+    // (r,g,b = (id*31+x*7+y*13, id*17+x*11+y*3, id*5+x*13+y*29) mod 256,
+    // row-major), so these digests are recomputable without any image
+    // library. The join against documents keeps the row set tied to the
+    // corpus' actual doc_ids.
+    "l6b_image_decode" ->
+      """SELECT CAST(v.media_id AS BIGINT) AS media_id,
+        |  CAST(v.w AS BIGINT) AS w, CAST(v.h AS BIGINT) AS h,
+        |  v.px_md5, CAST(v.n_px AS BIGINT) AS n_px
+        |FROM (VALUES
+        |  (0, 16, 16, 'dd175a03b9ac1e04aaf01209977c53ad', 768),
+        |  (1, 24, 24, '6a84a89128a8a48e6a9837f46c1cd325', 1728),
+        |  (2, 32, 32, '1e90f187887ea49ef3a40bd8cb5b2fbf', 3072),
+        |  (3, 40, 16, '6b2c396b767649aabf9d6af579fa5894', 1920),
+        |  (4, 16, 24, '2c047d3722dadad3cc1edc80ad518e2a', 1152),
+        |  (5, 24, 32, 'cbf1e519bb9124f7dd7bebb5ea309007', 2304),
+        |  (6, 32, 16, '4b7f42f02217b60bd93e08db7a3acd15', 1536),
+        |  (7, 40, 24, '18ec0a7d7fc864cdc97358142869ddb9', 2880))
+        |  AS v(media_id, w, h, px_md5, n_px)
+        |JOIN (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 8) d
+        |  ON d.doc_id = v.media_id
+        |ORDER BY v.media_id""".stripMargin,
     "l2_minhash_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id, list_transform(range(1, len(w)-1),

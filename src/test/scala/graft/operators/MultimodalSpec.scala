@@ -85,6 +85,23 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f.features.length == 16 && math.abs(f.features.sum - 1.0f) < 1e-5)
   }
 
+  test("pngFixture round-trips to exactly the fixturePixel buffer") {
+    // The l6b gate's pinned oracle digests are only valid if PNG encode →
+    // decode reproduces the integer-math pixels bit-for-bit on this JVM.
+    for (id <- Seq(0L, 3L, 7L)) {
+      val meta = MediaMeta("image", (id % 4 * 8 + 16).toInt,
+        (id % 3 * 8 + 16).toInt, 3, 1, "png")
+      val px = ImageIoCodec.decode(Multimodal.pngFixture(id), meta)
+      assert(px.length == meta.width * meta.height * 3)
+      for (y <- 0 until meta.height; x <- 0 until meta.width) {
+        val (r, g, b) = Multimodal.fixturePixel(id, x, y)
+        val i = (y * meta.width + x) * 3
+        assert((px(i) & 0xff) == r && (px(i + 1) & 0xff) == g &&
+          (px(i + 2) & 0xff) == b, s"mismatch at id=$id ($x,$y)")
+      }
+    }
+  }
+
   test("ImageIoCodec rejects junk payloads and mismatched declared shape") {
     intercept[IllegalArgumentException] {
       ImageIoCodec.decode("not an image".getBytes, MediaMeta("image", 4, 4, 3, 1, "png"))
