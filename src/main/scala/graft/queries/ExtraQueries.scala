@@ -179,12 +179,17 @@ object ExtraQueries {
     * Levenshtein distance 1, via q-gram blocked candidates + exact
     * rerank (operators.FuzzyJoin), NOT an all-pairs product. The oracle
     * is the brute-force formulation, so the gate proves the blocking
-    * scheme loses no pairs on real data; grouped by distance.
+    * scheme loses no pairs on real data; grouped by distance. The
+    * hot-gram guard is ON: every supplier name shares the "Supplier#"
+    * template prefix, exactly the corpus-frequent-gram profile the guard
+    * reroutes through length bands — so the driver checks the guarded
+    * path end-to-end.
     */
   def j10FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     val s = Lake.table(spark, dir, "supplier")
       .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
-    graft.operators.FuzzyJoin.join(s, "id", "nm", s, "id", "nm", maxDist = 1)
+    graft.operators.FuzzyJoin.join(s, "id", "nm", s, "id", "nm", maxDist = 1,
+        hotGramDf = 50L)
       .filter(col("id_l") < col("id_r"))
       .groupBy(col("dist"))
       .agg(count(lit(1)).as("pairs"),

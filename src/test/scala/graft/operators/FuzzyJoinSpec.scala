@@ -79,6 +79,50 @@ class FuzzyJoinSpec extends SparkSpecBase {
     }
   }
 
+  /** Block-join volume = Σ over keys of |left block| × |right block| —
+    * the row count the candidate join materializes before any filter.
+    */
+  private def blockVolume(
+      l: Seq[(Long, String)], r: Seq[(Long, String)], d: Int, hotDf: Long): Long = {
+    val (lk, rk) = FuzzyJoin.keyedSides(
+      l.toDF("id", "s"), "id", "s", r.toDF("id", "s"), "id", "s", d, 3, hotDf)
+    lk.groupBy("_key").count().withColumnRenamed("count", "nl")
+      .join(rk.groupBy("_key").count().withColumnRenamed("count", "nr"), "_key")
+      .agg(sum(col("nl") * col("nr"))).as[Long].head()
+  }
+
+  test("hot-gram guard: planted hot gram stays exact with bounded block volume") {
+    // Every string shares the template prefix "COMMONHDR-" (8 hot 3-grams
+    // over 60 rows) but tails vary in length — the profile where one
+    // corpus-frequent gram makes a single blocking key quadratic.
+    val rows = (0 until 60).map { i =>
+      (i.toLong, "COMMONHDR-" + ("x" * (i % 20)) + f"$i%02d")
+    }
+    for (d <- 1 to 2) {
+      val guarded = FuzzyJoin.join(rows.toDF("id", "s"), "id", "s",
+          rows.toDF("id", "s"), "id", "s", d, 3, hotGramDf = 10)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(guarded == brute(rows, rows, d),
+        s"d=$d: hot-gram guard changed the result")
+      val vGuard = blockVolume(rows, rows, d, hotDf = 10)
+      val vPlain = blockVolume(rows, rows, d, hotDf = 0)
+      // Unguarded: every hot prefix gram contributes a 60×60 block.
+      // Guarded: hot-gram rows reroute to length bands (≤ ~2·(d+1) rows
+      // per band here), so the volume collapses by an order of magnitude.
+      assert(vGuard * 5 < vPlain,
+        s"d=$d: guard left block volume $vGuard vs unguarded $vPlain")
+    }
+  }
+
+  test("hot-gram guard is a no-op on a corpus with no hot grams") {
+    val l = Seq(1L -> "Supplier#0001", 2L -> "Supplier#0010", 3L -> "other")
+    val r = Seq(10L -> "Supplier#0002", 11L -> "Suplier#0001", 12L -> "word")
+    val got = FuzzyJoin.join(l.toDF("id", "s"), "id", "s",
+        r.toDF("id", "s"), "id", "s", 1, 3, hotGramDf = 50)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute(l, r, 1))
+  }
+
   test("finds corpus near-dup supplier names (self-join, diagonal dropped)") {
     val names = (1 to 30).map(i => (i.toLong, f"Supplier#$i%09d"))
     val pairs = FuzzyJoin.join(
