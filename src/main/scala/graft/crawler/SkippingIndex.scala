@@ -69,10 +69,22 @@ object SkippingIndex {
   /** Files whose [min, max] range on indexed column `i` intersects
     * [lo, hi] (files without stats are kept — skipping must never drop
     * data).
+    *
+    * The kept list is collected to the driver because it becomes the
+    * read's file set — the same metadata-scale driver state Spark's own
+    * InMemoryFileIndex holds for any scan. Bound: ~100 bytes/path means
+    * 10⁶ kept files ≈ 100 MB of driver heap; beyond that, partition- or
+    * manifest-level pruning must cut the list first (the kept/total log
+    * line below is the signal to watch).
     */
-  def selectFiles(index: DataFrame, i: Int, lo: Long, hi: Long): Seq[String] =
-    index.filter(
+  def selectFiles(index: DataFrame, i: Int, lo: Long, hi: Long): Seq[String] = {
+    val total = index.count()
+    val kept = index.filter(
         col("mins").getItem(i).isNull ||
         (col("mins").getItem(i) <= hi && col("maxs").getItem(i) >= lo))
       .select(col("file")).collect().map(_.getString(0)).toSeq
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"skipping-index: kept ${kept.size}/$total files for col#$i in [$lo, $hi]")
+    kept
+  }
 }

@@ -76,6 +76,21 @@ object CurationBench {
         Keywords.invertedIndex(d, "doc_id", "text")
           .agg(sum(col("tf_total"))).head().getLong(0)
       }
+      time(s"packBins $label", n) {
+        Curation.packBins(d.withColumn("tok",
+              (col("n_chars") / 5 + 1).cast("long")),
+            col("source"), col("tok"), col("doc_id"), 2048L)
+          .agg(sum(col("bin"))).head().getLong(0)
+      }
+      time(s"mixtureSample $label", n) {
+        val srcs = d.select(col("source")).distinct()
+          .orderBy(col("source")).collect().map(_.getString(0))
+        val weights = srcs.zipWithIndex.map { case (s, i) =>
+          s -> (if (i == 0) 0.4 else 0.6 / (srcs.length - 1))
+        }.toMap
+        Curation.mixtureSample(d, "source", "doc_id", weights)
+          .agg(count(lit(1))).head().getLong(0)
+      }
     }
     spark.stop()
   }
