@@ -24,21 +24,31 @@ object Graph {
     * dangling nodes contribute nothing (their mass leaks — the classic
     * simplified variant; both engines implement exactly this).
     * Input `edges`: (src, dst) bigint columns. Output: (node, rank).
+    *
+    * Every `checkpointEvery` iterations the rank frame is
+    * `localCheckpoint`ed (eager, replicated to executor storage): the
+    * logical plan would otherwise deepen by one join+agg per iteration,
+    * and past ~10 iterations analysis/codegen time grows superlinearly
+    * while a lost-executor recompute replays the whole chain. Truncating
+    * lineage bounds both. Values are unchanged — the checkpoint is a
+    * materialization point, not a semantic one.
     */
   def pageRankInt(
       spark: SparkSession,
       edges: DataFrame,
       iterations: Int,
       dampingScaled: Long = 850000L,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 1 && iterations <= 50)
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     val base = lit(scale - dampingScaled)
     var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = e
         .join(ranks, e("src") === ranks("node"))
         .join(deg, "src")
@@ -51,6 +61,8 @@ object Graph {
           (base + call_function("div",
             lit(dampingScaled) * coalesce(col("contrib"), lit(0L)),
             lit(scale))).as("rank"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -43,6 +43,26 @@ class GraphSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("20+ iterations: checkpoint bounds plan depth, values unchanged") {
+    val edges = (0L until 200L).map(i => (i % 40, (i * 13 + 7) % 40)).toDF("src", "dst")
+    val deep = Graph.pageRankInt(spark, edges, 24, checkpointEvery = 5)
+    val depth = {
+      def d(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+        if (p.children.isEmpty) 1 else 1 + p.children.map(d).max
+      d(deep.queryExecution.optimizedPlan)
+    }
+    // Un-checkpointed, 24 iterations stack 24 join+agg blocks (>100 plan
+    // levels); each checkpoint restarts the plan from a leaf, so only the
+    // last ≤5 iterations of lineage remain.
+    assert(depth < 40, s"plan depth $depth — lineage not truncated")
+    // Checkpointing is only a materialization point: values must equal a
+    // run that checkpoints at a different cadence.
+    val a = deep.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graph.pageRankInt(spark, edges, 24, checkpointEvery = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
   test("bfsHops: line graph distances, unreachable nodes absent, min-hop wins") {
     // 1->2->3->4 and a shortcut 1->3; 9->10 disconnected
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 10L))
