@@ -73,10 +73,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // Min of 3 timed runs per query; every run is a full fresh
+    // Min of 5 timed runs per query; every run is a full fresh
     // plan-build + execution + collect (no plan or shuffle reuse).
+    // 5, not 3: the per-round driver run lands on an uncontrolled host,
+    // and the r3→r4 adjudication showed ±30% single-run noise — more
+    // draws make the min a sturdier estimator of the quiet-host time.
     val results = suite.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, benchDir).collect() }
         catch { case _: Throwable => () }
