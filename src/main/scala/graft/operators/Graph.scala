@@ -73,9 +73,16 @@ object Graph {
     * hop (the iterative-join BFS every distributed graph engine runs;
     * at 100 TB you persist the visited set between hops). Unreached
     * nodes are absent from the output.
+    *
+    * Like [[pageRankInt]], lineage is truncated every `checkpointEvery`
+    * hops: the visited set is a union chain one join deeper per hop, so
+    * an unbounded plan at 30 hops costs superlinear analysis time and a
+    * full-replay recompute on executor loss. Values are unchanged.
     */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      checkpointEvery: Int = 5): DataFrame = {
     require(maxHops >= 0 && maxHops <= 30)
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     var visited = seeds.select(col("node").cast("long")).distinct()
       .withColumn("hops", lit(0L))
@@ -88,6 +95,10 @@ object Graph {
         .withColumn("hops", lit(k.toLong))
       frontier = next
       visited = visited.unionAll(next)
+      if (k % checkpointEvery == 0 && k < maxHops) {
+        visited = visited.localCheckpoint()
+        frontier = frontier.localCheckpoint()
+      }
     }
     visited
   }

@@ -72,6 +72,20 @@ class GraphSpec extends SparkSpecBase {
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L)) // 3 via shortcut, not hop 2
   }
 
+  test("bfsHops at 20+ hops: checkpoint bounds plan depth, hops unchanged") {
+    // A 25-node ring walked from one seed: the frontier advances one node
+    // per hop, so 24 hops exercise the full union chain.
+    val ring = (0L until 25L).map(i => (i, (i + 1) % 25)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val deep = Graph.bfsHops(ring, seeds, 24, checkpointEvery = 5)
+    def d(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      if (p.children.isEmpty) 1 else 1 + p.children.map(d).max
+    val depth = d(deep.queryExecution.optimizedPlan)
+    assert(depth < 40, s"plan depth $depth — lineage not truncated")
+    val got = deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L until 25L).map(i => i -> i).toMap)
+  }
+
   test("bfsHops: maxHops bounds the frontier, seeds are deduped") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.bfsHops(edges, Seq(1L, 1L).toDF("node"), 1)
