@@ -385,7 +385,59 @@ object CorpusQueries {
       .orderBy(col("event_type"))
   }
 
+  /** L22: per-dimension embedding profile — the QA pass before any
+    * vector op: for each of the 64 dims, count/sum/sum-of-squares over
+    * micro-unit-quantized components (round(x·10⁶) — exact integers, so
+    * the cross-engine compare is bit-stable), with mean and std derived
+    * from those integers as the final scalar ops. Finds dead dims
+    * (std≈0), scale outliers, and NaN poisoning (count < rows) in one
+    * posexplode + 64-group aggregate; at 100 TB this is a map-side
+    * partial agg over a fixed 64-key space — no shuffle pressure at all.
+    */
+  def l22DimStats(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .select(col("j").cast("long").as("j"),
+        round(col("x").cast("double") * 1000000L).cast("long").as("q"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("ss"))
+      .withColumn("mean_micro",
+        round(col("s").cast("double") / col("n"), 6))
+      .withColumn("std_micro",
+        // explicit product, not pow(x, 2): Math.pow is 1-ulp, the
+        // multiply is exact — the oracle multiplies too
+        round(sqrt(col("ss").cast("double") / col("n") -
+          (col("s").cast("double") / col("n")) *
+          (col("s").cast("double") / col("n"))), 6))
+      .orderBy(col("j"))
+
+  /** L23: bigram novelty — per source, how much of each doc's bigram
+    * vocabulary exists NOWHERE else in the corpus (document frequency
+    * 1). The burstiness/novelty signal that separates template spam
+    * (novelty ≈ 0) from genuinely fresh text; integer counts only, one
+    * distinct-(doc, bigram) shuffle + one df aggregate — both keyed, both
+    * linear in bigram volume.
+    */
+  def l23BigramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val db = Lake.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.TextFunctions.wordShingles(col("text"), 2))
+          .as("bg"))
+      .distinct()
+    val df1 = db.groupBy(col("bg")).agg(countDistinct(col("doc_id")).as("df"))
+    db.join(df1, "bg")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("bigrams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("unique_bigrams"))
+      .withColumn("novelty",
+        round(col("unique_bigrams").cast("double") / col("bigrams"), 6))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "l22_dim_stats" -> (l22DimStats _),
+    "l23_bigram_novelty" -> (l23BigramNovelty _),
     "l16_countmin" -> (l16Countmin _),
     "l17_oov_rate" -> (l17OovRate _),
     "l18_html_strip" -> (l18HtmlStrip _),
@@ -410,6 +462,36 @@ object CorpusQueries {
     "l13_packing"         -> (l13Packing _))
 
   val oracle: Map[String, String] = Map(
+    // Micro-unit quantization makes every aggregate an exact integer;
+    // mean/std are the only doubles and both engines derive them from
+    // those integers with the identical IEEE op sequence
+    // (div, div, mul, sub, sqrt, round).
+    "l22_dim_stats" ->
+      """WITH u AS (SELECT CAST(j AS BIGINT) AS j,
+        |    CAST(round(CAST(embedding[j+1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, range(64) t(j)),
+        |a AS (SELECT j, count(*) AS n, CAST(sum(q) AS BIGINT) AS s,
+        |    CAST(sum(q*q) AS BIGINT) AS ss FROM u GROUP BY j)
+        |SELECT j, n, s, ss,
+        |  round(CAST(s AS DOUBLE)/n, 6) AS mean_micro,
+        |  round(sqrt(CAST(ss AS DOUBLE)/n -
+        |    (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n)), 6) AS std_micro
+        |FROM a ORDER BY j""".stripMargin,
+    "l23_bigram_novelty" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |    FROM documents),
+        |b AS (SELECT DISTINCT doc_id, source, bg FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1])) AS bg
+        |    FROM w WHERE len(w) >= 2)),
+        |d AS (SELECT bg, count(DISTINCT doc_id) AS df FROM b GROUP BY bg)
+        |SELECT source, count(*) AS bigrams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS unique_bigrams,
+        |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM b JOIN d USING (bg)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "l21_retention_delete" ->
       """SELECT event_type, count(*) AS c,
         |  count(DISTINCT user_id) AS users,

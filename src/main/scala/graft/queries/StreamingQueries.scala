@@ -122,7 +122,23 @@ object StreamingQueries {
       .orderBy(col("d"), col("rn"))
   }
 
+  /** ST9: stream-static enrichment — streaming events inner-joined to
+    * the static customer dimension (user_id = c_custkey), aggregated per
+    * (segment, event_type). The static side holds no state and needs no
+    * watermark; checked against the plain batch join oracle.
+    */
+  def st9StreamStatic(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.core.Lake.table(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    EventStreams.runToMemoryForGate(spark,
+        EventStreams.enrichWithDim(
+          EventStreams.readEventsStream(spark, dir), dim),
+        "st9_mem", "complete")
+      .orderBy(col("segment"), col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st9_stream_static" -> (st9StreamStatic _),
     "st8_trending"    -> (st8Trending _),
     "st1_tumbling"    -> (st1Tumbling _),
     "st2_sliding"     -> (st2Sliding _),
@@ -133,6 +149,11 @@ object StreamingQueries {
     "st7_upsert_snapshot" -> (st7UpsertSnapshot _))
 
   val oracle: Map[String, String] = Map(
+    "st9_stream_static" ->
+      """SELECT c_mktsegment AS segment, event_type, count(*) AS c,
+        |  sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS s
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "st8_trending" ->
       """WITH t AS (SELECT date_trunc('day', ts) AS d, event_type,
         |    count(*) AS c

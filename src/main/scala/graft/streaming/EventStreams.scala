@@ -104,6 +104,21 @@ object EventStreams {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** ST9: stream-static enrichment join — the other join shape a pipeline
+    * needs besides stream-stream: each event enriched with a BATCH
+    * dimension row. The static side needs no watermark and no state (it
+    * is re-resolved per micro-batch, broadcast when small — exactly how a
+    * slowly-changing dim behaves under Structured Streaming); only the
+    * downstream aggregate is stateful. Inner join: un-enrichable events
+    * drop, the standard dimension-conformance semantics.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("c"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("s"))
+
   /** GATE/TEST HARNESS ONLY — not a production pattern: drains a finite
     * streaming DataFrame through a memory sink and collects the whole sink
     * table to the driver (fine for the gates' few-thousand aggregated
