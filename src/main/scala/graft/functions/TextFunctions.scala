@@ -45,6 +45,35 @@ object TextFunctions {
         i => text.substr(i + 1, lit(n))))
       .otherwise(array())
 
+  /** Winnowed k-gram fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: local algorithms for document fingerprinting", SIGMOD
+    * 2003): hash every character k-gram, slide a w-hash window, keep
+    * each window's minimum, dedup. Guarantee: any shared substring of
+    * length ≥ w + k − 1 between two documents yields at least one shared
+    * fingerprint, at an expected density of 2/(w+1) — the fingerprint
+    * set is ~w/2× smaller than the gram stream yet still catches every
+    * long-enough clone. Hashes are md5-derived (first 15 hex chars →
+    * bigint) so an external engine replays them bit-exactly. Documents
+    * shorter than k fingerprint to an empty array.
+    *
+    * Scale note: pair generation over these fingerprints is an equi-join
+    * on the fingerprint value — a corpus-hot fingerprint (shared
+    * boilerplate) concentrates a block exactly like a hot q-gram; cap
+    * fingerprint document-frequency the way SparseSimilarity's maxDf
+    * does before joining at 100 TB.
+    */
+  def winnowedFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k > 0 && w > 0, "k-gram and window widths must be positive")
+    letTokens(transform(charShingles(text, k),
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))) { hs =>
+      when(size(hs) >= w,
+        array_distinct(transform(sequence(lit(0), size(hs) - w),
+          i => array_min(slice(hs, i + 1, lit(w))))))
+        .otherwise(when(size(hs) >= 1, array(array_min(hs)))
+          .otherwise(array().cast("array<long>")))
+    }
+  }
+
   /** Rolling polynomial hash fingerprint of the full document:
     * fold(acc = acc*31 + ord(char) mod 1e9+7). The modulus keeps every
     * intermediate below 2^35, safe under ANSI overflow checking, and the

@@ -435,7 +435,32 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  /** L24: winnowing near-dup pairs — document pairs sharing ≥ 10
+    * winnowed fingerprints (k=8 char-grams, window w=16: every shared
+    * run of ≥ 23 chars leaves a shared fingerprint). The MOSS-style
+    * clone detector, complementary to MinHash (which estimates global
+    * Jaccard; winnowing catches LOCAL verbatim reuse inside otherwise
+    * different docs). Fingerprint sets are ~8× smaller than the gram
+    * stream; the pair join is an equi-join on fingerprint value.
+    */
+  def l24Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Lake.table(spark, dir, "documents")
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions
+          .winnowedFingerprints(col("text"), 8, 16)).as("fp"))
+      .distinct()
+    fps.select(col("doc_id").as("a_id"), col("fp"))
+      .join(fps.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 10)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "l24_winnowing" -> (l24Winnowing _),
     "l22_dim_stats" -> (l22DimStats _),
     "l23_bigram_novelty" -> (l23BigramNovelty _),
     "l16_countmin" -> (l16Countmin _),
@@ -462,6 +487,28 @@ object CorpusQueries {
     "l13_packing"         -> (l13Packing _))
 
   val oracle: Map[String, String] = Map(
+    // Replays the winnowing pipeline: md5-derived gram hashes (the l2
+    // list_reduce hex trick), per-position window minima, distinct, then
+    // the same >= 10 shared-fingerprint pair cut.
+    "l24_winnowing" ->
+      """WITH g AS (SELECT doc_id, list_transform(range(1, length(text)-8+2),
+        |      i -> substring(text, CAST(i AS INT), 8)) AS gr
+        |  FROM documents WHERE length(text) >= 8),
+        |h AS (SELECT doc_id, list_transform(gr, s ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(substr(md5(s),1,15), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, b) -> a*16 + b)) AS hs
+        |  FROM g),
+        |f AS (SELECT DISTINCT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(hs) >= 16
+        |      THEN list_transform(range(1, len(hs)-16+2),
+        |        i -> list_min(hs[i:i+15]))
+        |      ELSE [list_min(hs)] END)) AS fp
+        |  FROM h)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY 1, 2""".stripMargin,
     // Micro-unit quantization makes every aggregate an exact integer;
     // mean/std are the only doubles and both engines derive them from
     // those integers with the identical IEEE op sequence

@@ -124,4 +124,33 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(strip("  <br/> spaced\t\tout  ") == "spaced out")
     assert(strip("&quot;q&quot; &#39;s&#39; &amp;") == "\"q\" 's' &")
   }
+
+  test("winnowing: shared substring of length >= w+k-1 shares a fingerprint") {
+    // k=4, w=5: guarantee threshold is 8 shared chars. Two otherwise
+    // unrelated docs embed the same 12-char run; a third does not.
+    def fps(s: String): Set[Long] =
+      one(TextFunctions.winnowedFingerprints(col("t"), 4, 5), s)
+        .asInstanceOf[scala.collection.Seq[Long]].toSet
+    val shared = "CLONED-RUN-X"
+    val a = fps(s"alpha beta $shared gamma delta epsilon")
+    val b = fps(s"one two three four $shared five six")
+    val c = fps("totally different content with no overlap at all")
+    assert((a intersect b).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((a intersect c).isEmpty && (b intersect c).isEmpty)
+  }
+
+  test("winnowing: density ~2/(w+1), degenerate lengths well-defined") {
+    def fps(s: String): Seq[Long] =
+      one(TextFunctions.winnowedFingerprints(col("t"), 4, 5), s)
+        .asInstanceOf[scala.collection.Seq[Long]].toSeq
+    val longDoc = (1 to 100).map(i => f"tok$i%03d").mkString(" ")
+    val n = fps(longDoc).size
+    val grams = longDoc.length - 4 + 1
+    // expected 2/(w+1) = 1/3 of gram count; allow a wide band
+    assert(n > grams / 6 && n < grams / 2, s"density off: $n of $grams")
+    assert(fps("").isEmpty)            // shorter than k
+    assert(fps("abc").isEmpty)         // shorter than k
+    assert(fps("abcd").size == 1)      // exactly one gram, fewer than w
+    assert(fps("abcdef").nonEmpty)     // < w hashes -> global min only
+  }
 }
