@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding clustering + cluster-bucketed semantic dedup (SURVEY.md §2.7
+  * L3/L2 family): an exact-arithmetic Lloyd (k-means) step and a
+  * SemDeDup-style near-duplicate pruner that only compares vectors INSIDE
+  * a cluster — the bucketing idea that turns O(n²) embedding dedup into
+  * O(Σ cluster²) with bounded cluster sizes.
+  *
+  * Determinism discipline (what makes these gates DuckDB-oracle-able):
+  * distances are computed over SCALED INTEGERS — round(v·10⁶) as long —
+  * so the argmin assignment is exact 64-bit integer arithmetic with a
+  * fixed (distance, centroid-index) tie-break, identical on any engine.
+  * Centroid updates are exact integer sums with ONE double division at
+  * the end (the l3_centroids discipline). Magnitudes: |v| ≤ ~2 → scaled
+  * |e| ≤ 2·10⁶ → per-dim diff² ≤ 1.6·10¹³, ×64 dims ≤ ~10¹⁵ — far inside
+  * int64.
+  *
+  * Scale shape: assignment is a map-side broadcast of k·dim longs (no
+  * join, no shuffle); the centroid update is one posexplode +
+  * partial-aggregated shuffle with O(k·dim) state; semDedup's pair join
+  * shuffles on the cluster key only. At 100 TB the cluster id becomes a
+  * write-time partition key (same play as Similarity.withIvfList) and
+  * each Lloyd step / dedup pass reads co-partitioned data.
+  */
+object Clustering {
+
+  /** round(v·10⁶) as long, element-wise — the exact-integer embedding. */
+  def scaledInt(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000000).cast("long"))
+
+  /** Exact squared L2 distance between a scaled-int vector column and a
+    * scaled-int literal centroid (sequential long fold — deterministic).
+    */
+  private def dist2(scaled: Column, cent: Seq[Long]): Column =
+    aggregate(
+      zip_with(scaled, typedlit(cent), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Assign every row to its nearest centroid (exact-int distances,
+    * ties → lowest centroid index). Pure map-side: centroids ride along
+    * as literals, so the plan is scan → project, no join.
+    */
+  def assignNearest(
+      emb: DataFrame,
+      centroids: Seq[Seq[Long]],
+      vecCol: String = "embedding",
+      outCol: String = "cluster"): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scaled = scaledInt(col(vecCol))
+    val best = least(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(scaled, c).as("d"), lit(i).as("i"))
+    }: _*)
+    emb.withColumn(outCol, best.getField("i"))
+  }
+
+  /** Deterministic seed centroids: the scaled-int embeddings of the k
+    * lowest ids (O(k·dim) to the driver — index-metadata scale, the same
+    * bound as Similarity.sampleCentroids).
+    */
+  def seedCentroids(
+      emb: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Long]] =
+    emb.orderBy(col(idCol)).limit(k)
+      .select(scaledInt(col(vecCol))).collect()
+      .map(_.getSeq[Long](0).toSeq).toSeq
+
+  /** One Lloyd step: assign to nearest centroid, then per (cluster, dim)
+    * emit the member count, the EXACT scaled-int coordinate sum, and the
+    * new centroid (one double division). posexplode → one shuffle with
+    * O(k·dim) aggregate state.
+    */
+  def lloydStep(
+      emb: DataFrame,
+      centroids: Seq[Seq[Long]],
+      vecCol: String = "embedding"): DataFrame =
+    assignNearest(emb, centroids, vecCol)
+      .select(col("cluster"), posexplode(scaledInt(col(vecCol))).as(Seq("p", "e")))
+      .withColumn("pos", col("p").cast("long")).drop("p")
+      .groupBy(col("cluster"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("sv"))
+      .withColumn("centroid", col("sv").cast("double") / 1000000.0 / col("n"))
+
+  /** Full k-means: iterate Lloyd steps from the deterministic seeds. Each
+    * iteration collects the k·dim centroid matrix to the driver (metadata
+    * scale) and re-broadcasts it as literals — the embeddings themselves
+    * never leave the executors. New centroids are re-quantized to scaled
+    * ints, so every iteration stays exact-integer and reproducible.
+    * Empty clusters keep their previous centroid.
+    */
+  def kmeans(
+      emb: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Long]] = {
+    var cents = seedCentroids(emb, k, idCol, vecCol)
+    for (_ <- 0 until iters) {
+      val updated = lloydStep(emb, cents, vecCol)
+        .select(col("cluster"), col("pos"),
+          round(col("centroid") * 1000000).cast("long").as("e"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+        }
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** SemDeDup-style pruning: bucket by nearest centroid, then inside each
+    * cluster flag every vector whose cosine to a LOWER-id cluster member
+    * is ≥ tau (keep-lowest-id rule — no sequential chaining, so the flag
+    * set is order-independent and SQL-expressible). Returns
+    * (id, cluster, dup). The pair join shuffles on the cluster key; work
+    * is Σ cluster² — bounded by k, never all-pairs across the corpus.
+    */
+  def semDedupFlags(
+      emb: DataFrame,
+      centroids: Seq[Seq[Long]],
+      tau: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignNearest(emb, centroids, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cluster"))
+    val dupIds = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(round(Similarity.cosineSimilarity(col("a.v"), col("b.v")), 6) >= tau)
+      .select(col("b.id").as("id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.select(col("id"), col("cluster"))
+      .join(dupIds, Seq("id"), "left")
+      .withColumn("dup", coalesce(col("dup"), lit(false)))
+  }
+}

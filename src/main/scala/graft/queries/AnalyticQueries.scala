@@ -576,7 +576,32 @@ object AnalyticQueries {
         sum(bit_count(col("l_partkey")).cast("long")).as("s_pop"))
       .orderBy(col("l_returnflag"))
 
+  /** F18: transcendental/math scalar family — ln, exp, sqrt, sin, cos,
+    * log10, atan. Every per-row value is rounded to 6dp and summed as
+    * exact DECIMAL (the l4_quality discipline): libm differences live at
+    * ~1 ulp (≈1e-16), far below the 6dp gate, and the DECIMAL sum makes
+    * aggregation order irrelevant. sqrt is IEEE-correctly-rounded on any
+    * engine; the rest are pinned by the rounding.
+    */
+  def f18Math(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) =>
+      sum(round(c, 6).cast("decimal(24,6)")).cast("double")
+    Lake.table(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 2000)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("c"),
+        dec(log(lit(1.0) + col("l_quantity"))).as("s_ln"),
+        dec(exp(-col("l_discount"))).as("s_exp"),
+        dec(sqrt(col("l_extendedprice"))).as("s_sqrt"),
+        dec(sin(col("l_linenumber").cast("double"))).as("s_sin"),
+        dec(cos(col("l_quantity"))).as("s_cos"),
+        dec(log10(col("l_extendedprice"))).as("s_log10"),
+        dec(atan(col("l_tax"))).as("s_atan"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "f18_math"             -> (f18Math _),
     "a15_winsorize"        -> (a15Winsorize _),
     "a16_transitions"      -> (a16Transitions _),
     "a17_skyline"          -> (a17Skyline _),
@@ -630,6 +655,17 @@ object AnalyticQueries {
         |    AS BIGINT) AS run_distinct_supp
         |FROM lineitem WHERE l_orderkey < 300
         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "f18_math" ->
+      """SELECT l_returnflag, count(*) AS c,
+        |  CAST(sum(CAST(round(ln(1.0 + l_quantity), 6) AS DECIMAL(24,6))) AS DOUBLE) AS s_ln,
+        |  CAST(sum(CAST(round(exp(-l_discount), 6) AS DECIMAL(24,6))) AS DOUBLE) AS s_exp,
+        |  CAST(sum(CAST(round(sqrt(l_extendedprice), 6) AS DECIMAL(24,6))) AS DOUBLE) AS s_sqrt,
+        |  CAST(sum(CAST(round(sin(CAST(l_linenumber AS DOUBLE)), 6) AS DECIMAL(24,6))) AS DOUBLE) AS s_sin,
+        |  CAST(sum(CAST(round(cos(l_quantity), 6) AS DECIMAL(24,6))) AS DOUBLE) AS s_cos,
+        |  CAST(sum(CAST(round(log10(l_extendedprice), 6) AS DECIMAL(24,6))) AS DOUBLE) AS s_log10,
+        |  CAST(sum(CAST(round(atan(l_tax), 6) AS DECIMAL(24,6))) AS DOUBLE) AS s_atan
+        |FROM lineitem WHERE l_orderkey < 2000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "f17_bitwise" ->
       """SELECT l_returnflag, count(*) AS c,
         |  CAST(sum(l_partkey & l_suppkey) AS BIGINT) AS s_and,

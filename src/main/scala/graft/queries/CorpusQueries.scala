@@ -459,7 +459,93 @@ object CorpusQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** L25: SemDeDup-style semantic dedup — bucket every embedding by its
+    * nearest seed centroid (exact scaled-int distances, Clustering
+    * discipline), flag within-cluster vectors whose cosine to a lower-id
+    * member ≥ 0.3, report per-cluster totals. The pairwise work is
+    * Σ cluster² (clusters are 48–70 members here), never corpus².
+    */
+  def l25SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Lake.table(spark, dir, "embeddings")
+    val cents = graft.operators.Clustering.seedCentroids(emb, 8)
+    graft.operators.Clustering.semDedupFlags(emb, cents, tau = 0.3)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dup").cast("long")).as("dups"),
+        sum((!col("dup")).cast("long")).as("kept"),
+        sum(when(col("dup"), col("id")).otherwise(0L)).as("dup_id_sum"))
+      .orderBy(col("cluster"))
+  }
+
+  /** L26: one exact-integer Lloyd (k-means) step from the 8 deterministic
+    * seed centroids: assignment is map-side broadcast arithmetic, the
+    * update one posexplode shuffle with O(k·dim) state. First 8
+    * dimensions reported; sums are exact scaled-int longs (the
+    * l3_centroids discipline), so the gate is bit-exact cross-engine.
+    */
+  def l26Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Lake.table(spark, dir, "embeddings")
+    val cents = graft.operators.Clustering.seedCentroids(emb, 8)
+    graft.operators.Clustering.lloydStep(emb, cents)
+      .filter(col("pos") < 8)
+      .select(col("cluster").cast("long").as("cluster"), col("pos"),
+        col("n"), col("sv"), col("centroid"))
+      .orderBy(col("cluster"), col("pos"))
+  }
+
+  /** L27: near-exact dedup after text NORMALIZATION (lowercase, strip
+    * non-alphanumerics, collapse whitespace) — the Common-Crawl-style
+    * middle ground between exact-hash dedup (l1) and MinHash (l2):
+    * catches case/punctuation/spacing variants of the same document.
+    * One shuffle on the normalized-hash key; per-source accounting.
+    */
+  def l27NormDedup(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]+", ""), " +", " "))
+    Lake.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(norm).as("k"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(col("k")).as("groups"),
+        (count(lit(1)) - countDistinct(col("k"))).as("dups"))
+      .orderBy(col("source"))
+  }
+
+  /** L28: per-document token Shannon entropy (nats) — the information-
+    * density quality signal (low entropy = repetitive/boilerplate).
+    * H = ln T − (Σ c·ln c)/T from per-term integer counts; each c·ln c
+    * is rounded to 6dp and summed as exact DECIMAL (order-independent),
+    * the per-doc H rounded to 6dp, and per-language sums again exact
+    * DECIMAL — the l4_quality float discipline. Two keyed shuffles
+    * ((doc,term) then doc), both partial-aggregated.
+    */
+  def l28TokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    val cnt = docs
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("t"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 6)
+          .cast("decimal(18,6)")).as("clc"))
+      .select(col("lang"),
+        round(log(col("t").cast("double")) -
+          col("clc").cast("double") / col("t").cast("double"), 6).as("h"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("h").cast("decimal(18,6)")).cast("double").as("h_sum"),
+        max(col("h")).as("h_max"), min(col("h")).as("h_min"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "l25_semdedup" -> (l25SemDedup _),
+    "l26_kmeans" -> (l26Kmeans _),
+    "l27_norm_dedup" -> (l27NormDedup _),
+    "l28_token_entropy" -> (l28TokenEntropy _),
     "l24_winnowing" -> (l24Winnowing _),
     "l22_dim_stats" -> (l22DimStats _),
     "l23_bigram_novelty" -> (l23BigramNovelty _),
@@ -487,6 +573,87 @@ object CorpusQueries {
     "l13_packing"         -> (l13Packing _))
 
   val oracle: Map[String, String] = Map(
+    // Replays the full SemDeDup pipeline: scaled-int embeddings, exact
+    // integer distances to the 8 lowest-id seeds (ties -> lowest seed),
+    // then the within-cluster rounded-cosine >= tau keep-lowest-id rule.
+    "l25_semdedup" ->
+      """WITH s AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid,
+        |    e AS se FROM s ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT s.vec_id, seeds.sid, list_sum(list_transform(range(1,65),
+        |    i -> (s.e[i]-seeds.se[i])*(s.e[i]-seeds.se[i]))) AS d2
+        |  FROM s, seeds),
+        |a AS (SELECT vec_id, sid AS cluster FROM (
+        |    SELECT vec_id, sid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) rn
+        |    FROM d) WHERE rn = 1),
+        |n AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)) e,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nrm FROM embeddings),
+        |dup AS (SELECT DISTINCT ab.vec_id AS id
+        |  FROM a aa JOIN a ab
+        |    ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+        |  JOIN n x ON x.vec_id = aa.vec_id JOIN n y ON y.vec_id = ab.vec_id
+        |  WHERE round(list_sum(list_transform(range(1,65),
+        |    i -> x.e[i]*y.e[i]))/(x.nrm*y.nrm), 6) >= 0.3)
+        |SELECT a.cluster, count(*) AS n,
+        |  CAST(sum(CASE WHEN dup.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dups,
+        |  CAST(sum(CASE WHEN dup.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(sum(CASE WHEN dup.id IS NOT NULL THEN a.vec_id ELSE 0 END) AS BIGINT) AS dup_id_sum
+        |FROM a LEFT JOIN dup ON a.vec_id = dup.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Identical normalize -> md5 -> per-source distinct accounting
+    // (DuckDB regexp_replace needs the explicit 'g' flag Spark implies).
+    "l27_norm_dedup" ->
+      """WITH n AS (SELECT doc_id, source,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g'))) AS k
+        |FROM documents)
+        |SELECT source, count(*) AS docs, count(DISTINCT k) AS groups,
+        |  count(*) - count(DISTINCT k) AS dups
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Entropy from integer term counts; every float leaves the exact
+    // domain only through the shared round-to-6dp + DECIMAL-sum gate
+    // (the l4_quality discipline), so summation order cannot drift.
+    "l28_token_entropy" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT doc_id, lang, term, count(*) AS c FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1, 2, 3),
+        |d AS (SELECT doc_id, lang, sum(c) AS t,
+        |    sum(CAST(round(CAST(c AS DOUBLE)*ln(CAST(c AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6))) AS clc
+        |  FROM c GROUP BY 1, 2),
+        |h AS (SELECT lang, round(ln(CAST(t AS DOUBLE))
+        |    - CAST(clc AS DOUBLE)/CAST(t AS DOUBLE), 6) AS h FROM d)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(CAST(h AS DECIMAL(18,6))) AS DOUBLE) AS h_sum,
+        |  max(h) AS h_max, min(h) AS h_min
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    // One Lloyd step: the same exact-int assignment, then per
+    // (cluster, dim<8) exact scaled-int sums and the single final
+    // double division (div, div — identical op order both engines).
+    "l26_kmeans" ->
+      """WITH s AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid,
+        |    e AS se FROM s ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT s.vec_id, seeds.sid, list_sum(list_transform(range(1,65),
+        |    i -> (s.e[i]-seeds.se[i])*(s.e[i]-seeds.se[i]))) AS d2
+        |  FROM s, seeds),
+        |a AS (SELECT vec_id, sid AS cluster FROM (
+        |    SELECT vec_id, sid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) rn
+        |    FROM d) WHERE rn = 1),
+        |u AS (SELECT a.cluster, CAST(i AS BIGINT) AS pos, s.e[i+1] AS q
+        |  FROM a JOIN s USING (vec_id), range(8) t(i))
+        |SELECT cluster, pos, count(*) AS n, CAST(sum(q) AS BIGINT) AS sv,
+        |  CAST(sum(q) AS DOUBLE)/1000000.0/count(*) AS centroid
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Replays the winnowing pipeline: md5-derived gram hashes (the l2
     // list_reduce hex trick), per-position window minima, distinct, then
     // the same >= 10 shared-fingerprint pair cut.

@@ -179,7 +179,36 @@ object CrawlerQueries {
         (abs(col("est") - col("d")) <= col("d") * 0.05).as("distinct_ok"))
   }
 
+  /** C12: per-segment 2σ outlier counts with NO float knife-edge — the
+    * z-score test |x−μ| > 2σ is algebraically rewritten over integer
+    * cents as (n·x−S)² > 4(n·S2−S²), evaluated in DECIMAL(38,0)
+    * (HUGEINT on the oracle side), so the boundary decision is exact
+    * integer arithmetic on both engines. Two passes over the column:
+    * one partial-agg shuffle for (n,S,S2), then a broadcast of the
+    * 5-row stats against the map-side test — the profile-then-flag
+    * shape a 100 TB anomaly scan needs (stats are O(groups)).
+    */
+  def c12Outliers(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.core.Lake.table(spark, dir, "customer")
+      .select(col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("x"))
+    val stats = c.groupBy(col("seg")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("s2"))
+    val dec = (e: org.apache.spark.sql.Column) => e.cast("decimal(38,0)")
+    c.join(broadcast(stats), Seq("seg"))
+      .withColumn("lhs", dec(col("n") * col("x") - col("s")) *
+        dec(col("n") * col("x") - col("s")))
+      .withColumn("rhs", (dec(col("n")) * dec(col("s2")) -
+        dec(col("s")) * dec(col("s"))) * 4)
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("rows_n"),
+        sum((col("lhs") > col("rhs")).cast("long")).as("outliers"))
+      .orderBy(col("seg"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "c12_outliers"        -> (c12Outliers _),
     "c8_equidepth"        -> (c8EquidepthHistogram _),
     "c9_footer_counts"    -> (c9FooterCounts _),
     "c10_data_drift"      -> (c10DataDrift _),
@@ -230,6 +259,21 @@ object CrawlerQueries {
        |FROM customer""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same integer-cents rewrite; HUGEINT is DuckDB's DECIMAL(38) stand-in,
+    // so the boundary comparison is exact on both engines.
+    "c12_outliers" ->
+      """WITH cc AS (SELECT c_mktsegment AS seg,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS x FROM customer),
+        |st AS (SELECT seg, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(sum(x*x) AS BIGINT) AS s2 FROM cc GROUP BY 1)
+        |SELECT cc.seg, count(*) AS rows_n,
+        |  CAST(sum(CASE WHEN
+        |      CAST(st.n*cc.x - st.s AS HUGEINT)*CAST(st.n*cc.x - st.s AS HUGEINT)
+        |      > 4*(CAST(st.n AS HUGEINT)*CAST(st.s2 AS HUGEINT)
+        |           - CAST(st.s AS HUGEINT)*CAST(st.s AS HUGEINT))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS outliers
+        |FROM cc JOIN st ON cc.seg = st.seg
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c1_discover" ->
       ("""SELECT * FROM (VALUES """ +
         Seq("customer", "documents", "embeddings", "events", "lineitem",

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.core.Lake
+
+/** Clustering: exact-int assignment vs a naive recomputation, Lloyd's
+  * monotone objective decrease, empty-cluster carry, and semDedup vs a
+  * brute-force within-cluster check.
+  */
+class ClusteringSpec extends SparkSpecBase {
+
+  private lazy val emb = Lake.table(spark, sf0001, "embeddings").cache()
+
+  private def scaled: Map[Long, Seq[Long]] =
+    emb.select(col("vec_id"), Clustering.scaledInt(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+
+  private def d2(a: Seq[Long], b: Seq[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("assignNearest matches the naive argmin with lowest-index ties") {
+    val cents = Clustering.seedCentroids(emb, 8)
+    val got = Clustering.assignNearest(emb, cents)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = scaled
+    got.foreach { case (id, c) =>
+      val dists = cents.map(d2(vecs(id), _))
+      assert(c === dists.indexOf(dists.min), s"vec $id")
+    }
+  }
+
+  test("each Lloyd iteration does not increase the k-means objective") {
+    val vecs = scaled.values.toSeq
+    def objective(cents: Seq[Seq[Long]]): Double =
+      vecs.map(v => cents.map(d2(v, _)).min.toDouble).sum
+    val c0 = Clustering.seedCentroids(emb, 8)
+    val c1 = Clustering.kmeans(emb, 8, 1)
+    val c2 = Clustering.kmeans(emb, 8, 2)
+    // Quantizing centroids to scaled ints perturbs the classical proof by
+    // at most half a unit per dim — allow that slack rather than exactness.
+    val eps = 1e-6 * vecs.size * 64
+    assert(objective(c1) <= objective(c0) + eps)
+    assert(objective(c2) <= objective(c1) + eps)
+  }
+
+  test("kmeans keeps the previous centroid for an empty cluster") {
+    // Two far-apart points, k=3: seed centroids are (p0, p1, p0-dup); the
+    // duplicate seed's cluster goes empty (ties assign to the lower index)
+    // and must survive the update unchanged.
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Seq(0f, 0f), 0), (1L, Seq(10f, 10f), 0), (2L, Seq(0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Clustering.kmeans(tiny, 3, 2)
+    assert(cents(2) === Seq(0L, 0L)) // seed #2 (the dup of p0) unchanged
+    assert(cents(0) === Seq(0L, 0L) && cents(1) === Seq(10000000L, 10000000L))
+  }
+
+  test("semDedupFlags equals the brute-force within-cluster rule") {
+    val cents = Clustering.seedCentroids(emb, 8)
+    val got = Clustering.semDedupFlags(emb, cents, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+
+    val assigned = Clustering.assignNearest(emb, cents)
+      .select(col("vec_id"), col("cluster"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expectDup = (for {
+      (bi, bc, bv) <- assigned
+      if assigned.exists { case (ai, ac, av) =>
+        ac == bc && ai < bi && cos(av, bv) >= 0.3 }
+    } yield bi).toSet
+    assert(got.size === assigned.length)
+    assigned.foreach { case (id, _, _) =>
+      assert(got(id) === expectDup.contains(id), s"vec $id")
+    }
+  }
+}
