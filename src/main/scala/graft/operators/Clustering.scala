@@ -32,12 +32,13 @@ object Clustering {
     transform(vec, x => round(x.cast("double") * 1000000).cast("long"))
 
   /** Exact squared L2 distance between a scaled-int vector column and a
-    * scaled-int literal centroid (sequential long fold — deterministic).
+    * scaled-int literal centroid. Codegen Expression, not the
+    * zip_with+aggregate HOF: integer sums are order-independent so the
+    * two agree bit-for-bit, but the HOF's interpreted lambda folds
+    * dominated the assignment in ClusteringBench (k evaluations/row).
     */
   private def dist2(scaled: Column, cent: Seq[Long]): Column =
-    aggregate(
-      zip_with(scaled, typedlit(cent), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
+    graft.plans.SquaredDistanceInt.dist2_int(scaled, typedlit(cent))
 
   /** Assign every row to its nearest centroid (exact-int distances,
     * ties → lowest centroid index). Pure map-side: centroids ride along
@@ -54,6 +55,34 @@ object Clustering {
       struct(dist2(scaled, c).as("d"), lit(i).as("i"))
     }: _*)
     emb.withColumn(outCol, best.getField("i"))
+  }
+
+  /** Large-k assignment: the same exact-int argmin, but centroids arrive
+    * as a broadcast DataFrame instead of inlined literals. The literal
+    * form (`assignNearest`) codegens a k-way `least` — ideal to k ≈ 64;
+    * past that the expression tree itself becomes the bottleneck. Here
+    * the plan is scan → broadcast nested-loop against k rows → n·k
+    * distance rows → one partial-aggregated shuffle on the id for the
+    * argmin — every stage linear in n·k with no giant expression. Ties
+    * break to the lowest centroid index via the (d2, sid) struct-min.
+    * Returns (idCol, cluster).
+    */
+  def assignNearestJoin(
+      emb: DataFrame,
+      centroids: Seq[Seq[Long]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("sid", "ce")
+    val d2 = graft.plans.SquaredDistanceInt.dist2_int(col("sc"), col("ce"))
+    emb.select(col(idCol), scaledInt(col(vecCol)).as("sc"))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), struct(d2.as("d"), col("sid")).as("ds"))
+      .groupBy(col(idCol))
+      .agg(min(col("ds")).getField("sid").as("cluster"))
   }
 
   /** Deterministic seed centroids: the scaled-int embeddings of the k
@@ -126,8 +155,24 @@ object Clustering {
       tau: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val assigned = assignNearest(emb, centroids, vecCol)
-      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cluster"))
+    // Literal-least assignment to k ≈ 64; past that the join path (and
+    // one id-keyed join to re-attach the vector) avoids the k-way
+    // expression wall.
+    val assigned =
+      if (centroids.size <= 64)
+        assignNearest(emb, centroids, vecCol)
+          .select(col(idCol).as("id"), col(vecCol).as("v"), col("cluster"))
+      else {
+        // The self-join below references the assignment three times;
+        // without truncation each reference recomputes the n·k distance
+        // join (measured ~3× the assignment cost in ClusteringBench).
+        // localCheckpoint materializes just (id, cluster) — two longs per
+        // row, tiny next to the vectors — the pageRankInt precedent.
+        val asg = assignNearestJoin(emb, centroids, idCol, vecCol)
+          .withColumnRenamed(idCol, "id").localCheckpoint()
+        emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+          .join(asg, Seq("id"))
+      }
     val dupIds = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))

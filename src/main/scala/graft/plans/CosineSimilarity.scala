@@ -116,5 +116,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain",
       exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dist2_int", exprs => SquaredDistanceInt(exprs(0), exprs(1)), "scala_udf")
   }
 }

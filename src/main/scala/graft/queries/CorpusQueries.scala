@@ -541,7 +541,48 @@ object CorpusQueries {
       .orderBy(col("lang"))
   }
 
+  /** L29: CCNet-style unigram-LM quality score — per-document average
+    * token log-probability under an add-one-smoothed unigram model
+    * trained on the corpus itself (low score = out-of-distribution /
+    * junk text; the classic perplexity-bucketing signal). ln p(t) =
+    * ln(c(t)+1) − ln(T+V). Float discipline: each per-(doc,term)
+    * contribution c·ln p is rounded to 6dp and summed as exact DECIMAL,
+    * the per-doc average re-rounded, per-language sums again DECIMAL.
+    * Shape: one term-keyed shuffle to train (partial-aggregated), one
+    * term-keyed join to score (the model is a term table, NOT driver
+    * state), a 1-row broadcast for (T,V), then the doc-keyed aggregate —
+    * every stage keyed and linear, nothing driver-side.
+    */
+  def l29UnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    val dc = docs
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val tf = dc.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+    val tot = tf.agg(sum(col("ct")).as("bigt"), count(lit(1)).as("v"))
+    dc.join(tf, "term")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"), col("c"),
+        round(col("c").cast("double") *
+          (log(col("ct").cast("double") + 1.0) -
+            log(col("bigt").cast("double") + col("v").cast("double"))), 6)
+          .cast("decimal(18,6)").as("contrib"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("t"), sum(col("contrib")).as("clp"))
+      .select(col("lang"),
+        round(col("clp").cast("double") / col("t").cast("double"), 6).as("lp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("lp").cast("decimal(18,6)")).cast("double").as("lp_sum"),
+        max(col("lp")).as("lp_max"), min(col("lp")).as("lp_min"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "l29_unigram_lm" -> (l29UnigramLm _),
     "l25_semdedup" -> (l25SemDedup _),
     "l26_kmeans" -> (l26Kmeans _),
     "l27_norm_dedup" -> (l27NormDedup _),
@@ -573,6 +614,29 @@ object CorpusQueries {
     "l13_packing"         -> (l13Packing _))
 
   val oracle: Map[String, String] = Map(
+    // Same add-one unigram model trained in SQL; every float leaves the
+    // exact-integer domain only through the shared round-6dp+DECIMAL gate.
+    "l29_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT doc_id, lang, term, count(*) AS c FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1, 2, 3),
+        |tf AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS bigt, count(*) AS v FROM tf),
+        |sc AS (SELECT c.doc_id, c.lang, c.c,
+        |    CAST(round(CAST(c.c AS DOUBLE) *
+        |      (ln(CAST(tf.ct AS DOUBLE) + 1.0)
+        |       - ln(CAST(tot.bigt AS DOUBLE) + CAST(tot.v AS DOUBLE))), 6)
+        |      AS DECIMAL(18,6)) AS contrib
+        |  FROM c JOIN tf USING (term), tot),
+        |d AS (SELECT doc_id, lang, sum(c) AS t, sum(contrib) AS clp
+        |  FROM sc GROUP BY 1, 2),
+        |h AS (SELECT lang, round(CAST(clp AS DOUBLE)/CAST(t AS DOUBLE), 6) AS lp
+        |  FROM d)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) AS lp_sum,
+        |  max(lp) AS lp_max, min(lp) AS lp_min
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     // Replays the full SemDeDup pipeline: scaled-int embeddings, exact
     // integer distances to the 8 lowest-id seeds (ties -> lowest seed),
     // then the within-cluster rounded-cosine >= tau keep-lowest-id rule.

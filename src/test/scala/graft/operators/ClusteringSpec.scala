@@ -32,6 +32,45 @@ class ClusteringSpec extends SparkSpecBase {
     }
   }
 
+  test("codegen dist2_int equals the zip_with+aggregate HOF fold") {
+    val hof = emb.select(
+      aggregate(
+        zip_with(Clustering.scaledInt(col("embedding")),
+          reverse(Clustering.scaledInt(col("embedding"))),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
+      .collect().map(_.getLong(0))
+    val native = emb.select(
+      graft.plans.SquaredDistanceInt.dist2_int(
+        Clustering.scaledInt(col("embedding")),
+        reverse(Clustering.scaledInt(col("embedding")))))
+      .collect().map(_.getLong(0))
+    assert(native.toSeq === hof.toSeq)
+    // Interpreted eval path (no codegen) agrees too.
+    val row = emb.select(Clustering.scaledInt(col("embedding"))).head()
+    val v = row.getSeq[Long](0)
+    val expr = graft.plans.SquaredDistanceInt(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        v, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        v.reverse, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    val manual = v.zip(v.reverse).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(expr.eval(null) === manual)
+  }
+
+  test("assignNearestJoin (large-k path) equals assignNearest exactly") {
+    val cents = Clustering.seedCentroids(emb, 8)
+    val viaLiteral = Clustering.assignNearest(emb, cents)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaJoin = Clustering.assignNearestJoin(emb, cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaJoin.size === viaLiteral.size)
+    viaLiteral.foreach { case (id, c) => assert(viaJoin(id) === c, s"vec $id") }
+  }
+
   test("each Lloyd iteration does not increase the k-means objective") {
     val vecs = scaled.values.toSeq
     def objective(cents: Seq[Seq[Long]]): Double =
