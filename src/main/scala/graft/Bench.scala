@@ -67,6 +67,13 @@ object Bench {
 
     val suite = ContractQueries.all
 
+    // Deliberately NOT cached: pinning all tables via .cache() was
+    // measured SLOWER (suite 3.33–3.40 s vs 3.21 s uncached, q16
+    // 0.43 vs 0.34) — InMemoryTableScan loses scan-fused whole-stage
+    // codegen and pays batch decompression, while the parquet files sit
+    // in the OS page cache and the vectorized reader is already the
+    // fastest path. See BASELINE.md "negative results".
+
     // Warm-up: run everything once, untimed.
     suite.foreach { case (_, fn) =>
       try fn(spark, benchDir).collect()
