@@ -36,6 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bloom_might_contain"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.plans.BloomMightContain(exprs.head, exprs(1))))
+    // RewriteTopKWindow is deliberately NOT injected: Spark 4's built-in
+    // InferWindowGroupLimit already bounds the rank-filter shuffle, and
+    // TopKBench measured the builtin at-or-better in both group regimes
+    // (SCALING.md "Grouped top-k"). The rule stays available as an
+    // explicit opt-in (experimental.extraOptimizations or direct
+    // application — see AnalyticQueries.w8TopkRewrite).
   }
 }
 

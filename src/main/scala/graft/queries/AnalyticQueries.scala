@@ -600,7 +600,37 @@ object AnalyticQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** W8: grouped top-k through the RewriteTopKWindow optimizer rule —
+    * the `row_number() <= k` window idiom rewritten to the O(k)-per-group
+    * heap aggregate (plans.TopKRowsAgg). The rule is applied explicitly
+    * to THIS query's analyzed plan (Bridge.ofRows), not installed
+    * session-wide, and the gate `require`s that the Window is actually
+    * gone — so a silently-declined rewrite fails the gate rather than
+    * passing on the unrewritten plan. Total ordering (price DESC, key) ⇒
+    * deterministic; the DuckDB oracle runs the plain window SQL.
+    */
+  def w8TopkRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Lake.table(spark, dir, "orders")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 5)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"), col("rn"))
+    // Applied to the OPTIMIZED plan: predicate pushdown has already moved
+    // the rank filter flush against the Window there — the shape the rule
+    // matches (and sees when installed in the optimizer proper).
+    val rewritten = graft.plans.RewriteTopKWindow(base.queryExecution.optimizedPlan)
+    require(rewritten.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "RewriteTopKWindow did not fire")
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, rewritten)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "w8_topk_rewrite"      -> (w8TopkRewrite _),
     "f18_math"             -> (f18Math _),
     "a15_winsorize"        -> (a15Winsorize _),
     "a16_transitions"      -> (a16Transitions _),
@@ -655,6 +685,14 @@ object AnalyticQueries {
         |    AS BIGINT) AS run_distinct_supp
         |FROM lineitem WHERE l_orderkey < 300
         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    // The plain window SQL — the semantics the rewrite must preserve.
+    "w8_topk_rewrite" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin,
     "f18_math" ->
       """SELECT l_returnflag, count(*) AS c,
         |  CAST(sum(CAST(round(ln(1.0 + l_quantity), 6) AS DECIMAL(24,6))) AS DOUBLE) AS s_ln,
