@@ -215,6 +215,40 @@ object Similarity {
         round(col("hit.score"), 6).as("sim"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** k-NN join CARRYING NEIGHBOR PAYLOAD COLUMNS: same shape as knnJoin
+    * (broadcast queries, map-side scoring, mergeable O(k)/query reduce)
+    * but the heap rows are full payload structs (plans.TopKRowsAgg), so
+    * the caller gets neighbor attributes without a second corpus join —
+    * at 100 TB that re-join is another full shuffle of the corpus, which
+    * this erases. Output: (q_id, n_id, payloadCols..., sim, rnk).
+    */
+  def knnJoinRows(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      payloadCols: Seq[String],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val scored = corpus
+      .select(col(idCol).as("n_id") +: col(vecCol).as("nv") +:
+        payloadCols.map(col): _*)
+      .crossJoin(broadcast(q))
+      .select(col("q_id") :: col("n_id") ::
+        cosineSimilarity(col("nv"), col("qv")).as("sim") ::
+        payloadCols.map(col).toList: _*)
+    val payload = struct(
+      col("n_id") +: payloadCols.map(col) :+ col("sim"): _*)
+    scored.groupBy(col("q_id"))
+      .agg(graft.plans.TopKRowsAgg.top_k_rows(
+        k, payload, col("sim").desc, col("n_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("q_id") :: col("hit.n_id").as("n_id") ::
+        payloadCols.map(c => col(s"hit.$c").as(c)).toList :::
+        round(col("hit.sim"), 6).as("sim") ::
+        (col("pos") + 1).cast("long").as("rnk") :: Nil: _*)
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `nlist` deterministic centroids (sampled rows), search only the
     * `nprobe` centroid partitions nearest the query, exact-rerank inside.

@@ -139,3 +139,27 @@ case class TopKRowsAgg(
         .map { case (so, c) => so.copy(child = c) },
       payload = newChildren.last)
 }
+
+object TopKRowsAgg {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.catalyst.expressions.Ascending
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** Column-level accessor. `order` columns may carry sort modifiers
+    * (`col.desc`, `col.asc_nulls_last`, …); a bare column sorts
+    * ascending, matching DataFrame `orderBy` semantics.
+    */
+  def top_k_rows(k: Int, payload: Column, order: Column*): Column = {
+    // eagerExpression, not expression: the lazy ColumnNodeExpression
+    // wrapper would hide the SortOrder behind `col.desc` and get
+    // double-wrapped here (unevaluable SortOrder inside the heap's
+    // projection — executor crash).
+    val sortOrders = order.map(c => Bridge.eagerExpression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    Bridge.column(
+      TopKRowsAgg(sortOrders, Bridge.expression(payload), k)
+        .toAggregateExpression())
+  }
+}

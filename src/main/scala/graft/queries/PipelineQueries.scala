@@ -142,6 +142,18 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** L3b: kNN join carrying the neighbor's label column through the
+    * payload-generic heap (TopKRowsAgg) — no corpus re-join. Same query
+    * split and determinism regime as l3_knn_join.
+    */
+  def l3bKnnPayload(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Lake.table(spark, dir, "embeddings")
+    Similarity.knnJoinRows(
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5), 10,
+        payloadCols = Seq("label"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** L4: whitespace-token statistics per source. */
   def l4TokenStats(spark: SparkSession, dir: String): DataFrame =
     Lake.table(spark, dir, "documents")
@@ -399,6 +411,7 @@ object PipelineQueries {
     "l3_lsh_topk"        -> (l3LshTopK _),
     "l3_lsh_neardup"     -> (l3LshNearDup _),
     "l3_knn_join"        -> (l3KnnJoin _),
+    "l3b_knn_payload"    -> (l3bKnnPayload _),
     "l4_token_stats"     -> (l4TokenStats _),
     "l4_token_estimate"  -> (l4TokenEstimate _),
     "l4_quality"         -> (l4Quality _),
@@ -710,6 +723,19 @@ object PipelineQueries {
         |  round(list_sum(list_transform(range(1,65), i -> a.e[i]*b.e[i]))/(a.nrm*b.nrm), 6) AS sim
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |ORDER BY sim DESC, a_id, b_id LIMIT 20""".stripMargin,
+    // l3_knn_join plus the neighbor's label pulled through the heap row.
+    "l3b_knn_payload" ->
+      """WITH n AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nrm
+        |  FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 5), c AS (SELECT * FROM n WHERE vec_id >= 5),
+        |p AS (SELECT q.vec_id q_id, c.vec_id n_id, c.label,
+        |  list_sum(list_transform(range(1,65), i -> q.e[i]*c.e[i]))/(q.nrm*c.nrm) sim
+        |  FROM q, c),
+        |r AS (SELECT q_id, n_id, label, sim,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) rnk FROM p)
+        |SELECT q_id, n_id, label, round(sim, 6) AS sim, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "l3_knn_join" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
         |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) nrm

@@ -13,6 +13,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eager ColumnNode → catalyst conversion. `expression` returns a lazy
+    * ColumnNodeExpression wrapper the analyzer unwraps later; use THIS
+    * when the caller needs to pattern-match the catalyst node right away
+    * (e.g. detecting a SortOrder behind `col.desc`).
+    */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Wrap a logical plan back into a DataFrame (classic runtime only) —
     * lets an operator apply a Rule[LogicalPlan] explicitly to one query
     * without installing it session-wide.

@@ -69,6 +69,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(joined == perQuery)
   }
 
+  test("knnJoinRows equals knnJoin plus a corpus re-join for the payload") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val got = Similarity.knnJoinRows(queries, corpus, 5, Seq("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    val expected = Similarity.knnJoin(queries, corpus, 5)
+      .join(corpus.select(col("vec_id").as("n_id"), col("label")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("label"), col("sim"), col("rnk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(got === expected)
+  }
+
   test("lshNearDupPairs only returns pairs above threshold, deterministic") {
     val p1 = Similarity.lshNearDupPairs(emb, minSim = 0.3).collect().toSet
     val p2 = Similarity.lshNearDupPairs(emb, minSim = 0.3).collect().toSet
