@@ -41,11 +41,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // AQE defaults ON (the 100 TB-correct setting: runtime coalescing,
+    // skew splits). SPARK_GRAFT_AQE=false exists to MEASURE what the
+    // adaptive re-planning costs at sub-second scale — see BASELINE.md.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
       // Coalesce tiny post-shuffle partitions all the way down to the
       // advisory size instead of stopping at defaultParallelism — at bench
       // scale every shuffle output is KB-sized and task-scheduling
