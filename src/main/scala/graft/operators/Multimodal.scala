@@ -241,6 +241,36 @@ object Multimodal {
     decoded.mapPartitions(_.map(d => MediaFeatures(d.media_id, histogram16(d.pixels))))
   }
 
+  /** A "video" media table over documents: fixed 8×6×3 frames, frameCount
+    * varying 2–6 by id — small shapes so the frame-sample gate's SQL
+    * oracle can replay every byte.
+    */
+  def videoFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        struct(
+          lit("video").as("kind"),
+          lit(8).as("width"),
+          lit(6).as("height"),
+          lit(3).as("channels"),
+          (col("doc_id") % 5 + 2).cast("int").as("frameCount"),
+          lit("fake").as("format")).as("meta"))
+      .as[MediaRecord]
+  }
+
+  /** Order-dependent polynomial fingerprint of a pixel buffer —
+    * (a·31 + byte) mod 1e9+7, the l4_fingerprint recurrence — exact
+    * integer math, replayable in SQL via list_reduce.
+    */
+  private[graft] def polyFingerprint(bytes: Array[Byte]): Long = {
+    var a = 0L
+    var i = 0
+    while (i < bytes.length) { a = (a * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    a
+  }
+
   /** Frame sampling for "video" payloads: treat the decoded buffer as
     * frameCount frames of w×h×c and keep every nth — real chunking logic.
     */

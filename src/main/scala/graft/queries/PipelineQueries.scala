@@ -142,6 +142,49 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** L6c: nearest-neighbour RESIZE through the distributed decode path —
+    * every media decoded (Md5Codec), resized to 8×6×3, and the resized
+    * buffer fingerprinted with the exact polynomial recurrence. The
+    * DuckDB oracle replays every byte: md5-block expansion, the
+    * source-index map s = (min(h−1,⌊y·h/6⌋)·w + min(w−1,⌊x·w/8⌋))·3+ch,
+    * hex-pair → byte, then the same fold — so a one-pixel error anywhere
+    * flips the gate.
+    */
+  def l6cResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Lake.table(spark, dir, "documents")
+    val media = graft.operators.Multimodal.mediaFromDocuments(spark, docs)
+    val resized = graft.operators.Multimodal.resize(
+      graft.operators.Multimodal.decodeImages(media), 8, 6)
+    val fps = resized
+      .map(d => (d.media_id, graft.operators.Multimodal.polyFingerprint(d.pixels)))
+      .toDF("media_id", "fp")
+    fps.join(docs.select(col("doc_id").as("media_id"), col("source")), "media_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("c"), sum(col("fp")).as("fp_sum"))
+      .orderBy(col("source"))
+  }
+
+  /** L6d: FRAME SAMPLING through the distributed path — "video" payloads
+    * (8×6×3 frames, frameCount 2–6 by id) decoded as one buffer, every
+    * 2nd frame sliced out and fingerprinted. Oracle replays the frame
+    * slicing byte-for-byte from the md5 expansion.
+    */
+  def l6dFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Lake.table(spark, dir, "documents")
+    val media = graft.operators.Multimodal.videoFromDocuments(spark, docs)
+    val frames = graft.operators.Multimodal.sampleFrames(media, everyNth = 2)
+    val fps = frames
+      .map(d => (d.media_id / 1000,
+        graft.operators.Multimodal.polyFingerprint(d.pixels)))
+      .toDF("media_id", "fp")
+    fps.join(docs.select(col("doc_id").as("media_id"), col("source")), "media_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("frames"), sum(col("fp")).as("fp_sum"))
+      .orderBy(col("source"))
+  }
+
   /** L3b: kNN join carrying the neighbor's label column through the
     * payload-generic heap (TopKRowsAgg) — no corpus re-join. Same query
     * split and determinism regime as l3_knn_join.
@@ -412,6 +455,8 @@ object PipelineQueries {
     "l3_lsh_neardup"     -> (l3LshNearDup _),
     "l3_knn_join"        -> (l3KnnJoin _),
     "l3b_knn_payload"    -> (l3bKnnPayload _),
+    "l6c_resize"         -> (l6cResize _),
+    "l6d_frame_sample"   -> (l6dFrameSample _),
     "l4_token_stats"     -> (l4TokenStats _),
     "l4_token_estimate"  -> (l4TokenEstimate _),
     "l4_quality"         -> (l4Quality _),
@@ -723,6 +768,56 @@ object PipelineQueries {
         |  round(list_sum(list_transform(range(1,65), i -> a.e[i]*b.e[i]))/(a.nrm*b.nrm), 6) AS sim
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |ORDER BY sim DESC, a_id, b_id LIMIT 20""".stripMargin,
+    // Byte-for-byte replay of decode→resize: md5-block expansion (the l6
+    // trick), the nearest-neighbour source-index map, hex-pair → byte,
+    // then the polynomial fold. md5 is computed once per needed block.
+    "l6c_resize" ->
+      """WITH m AS (SELECT doc_id, source, text,
+        |    doc_id % 4 * 8 + 16 AS w, doc_id % 3 * 8 + 16 AS h FROM documents),
+        |px AS (SELECT doc_id, source, text, o,
+        |    CAST((least(h-1, (o // 24) * h // 6) * w
+        |        + least(w-1, ((o % 24) // 3) * w // 8)) * 3 + o % 3 AS BIGINT) AS s
+        |  FROM m CROSS JOIN range(144) t(o)),
+        |blks AS (SELECT DISTINCT doc_id, text, s // 16 AS blk FROM px),
+        |hh AS (SELECT doc_id, blk,
+        |    md5(text || ':' || CAST(blk AS VARCHAR)) AS hex FROM blks),
+        |bv AS (SELECT px.doc_id, px.source, px.o,
+        |    CAST((strpos('0123456789abcdef',
+        |        substring(hh.hex, CAST(2*(px.s % 16)+1 AS INT), 1))-1)*16
+        |      + (strpos('0123456789abcdef',
+        |        substring(hh.hex, CAST(2*(px.s % 16)+2 AS INT), 1))-1) AS BIGINT) AS b
+        |  FROM px JOIN hh ON px.doc_id = hh.doc_id AND px.s // 16 = hh.blk),
+        |f AS (SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(b ORDER BY o)),
+        |      (a, x) -> (a*31+x) % 1000000007) AS fp
+        |  FROM bv GROUP BY 1, 2)
+        |SELECT source, count(*) AS c, CAST(sum(fp) AS BIGINT) AS fp_sum
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Frame slicing replay: the decode buffer is (8·fc)×6×3 bytes; frame
+    // f's byte i sits at s = f·144 + i. Every 2nd frame, same fold.
+    "l6d_frame_sample" ->
+      """WITH m AS (SELECT doc_id, source, text, doc_id % 5 + 2 AS fc
+        |  FROM documents),
+        |fr AS (SELECT doc_id, source, text, f
+        |  FROM m CROSS JOIN range(8) t(f) WHERE f < fc AND f % 2 = 0),
+        |px AS (SELECT doc_id, source, text, f, i,
+        |    CAST(f*144 + i AS BIGINT) AS s
+        |  FROM fr CROSS JOIN range(144) u(i)),
+        |blks AS (SELECT DISTINCT doc_id, text, s // 16 AS blk FROM px),
+        |hh AS (SELECT doc_id, blk,
+        |    md5(text || ':' || CAST(blk AS VARCHAR)) AS hex FROM blks),
+        |bv AS (SELECT px.doc_id, px.source, px.f, px.i,
+        |    CAST((strpos('0123456789abcdef',
+        |        substring(hh.hex, CAST(2*(px.s % 16)+1 AS INT), 1))-1)*16
+        |      + (strpos('0123456789abcdef',
+        |        substring(hh.hex, CAST(2*(px.s % 16)+2 AS INT), 1))-1) AS BIGINT) AS b
+        |  FROM px JOIN hh ON px.doc_id = hh.doc_id AND px.s // 16 = hh.blk),
+        |g AS (SELECT doc_id, source, f,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(b ORDER BY i)),
+        |      (a, x) -> (a*31+x) % 1000000007) AS fp
+        |  FROM bv GROUP BY 1, 2, 3)
+        |SELECT source, count(*) AS frames, CAST(sum(fp) AS BIGINT) AS fp_sum
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     // l3_knn_join plus the neighbor's label pulled through the heap row.
     "l3b_knn_payload" ->
       """WITH n AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) e,
