@@ -108,6 +108,42 @@ class PlanShapeSpec extends SparkSpecBase {
       "skyline prefix-max degraded to a single-partition window")
   }
 
+  test("l26 k-means step: codegen distance, map-side assignment, no joins") {
+    val p = plan("l26_kmeans")
+    assert(p.toLowerCase.contains("squareddistanceint"),
+      "assignment distance not the codegen expression")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "literal-centroid assignment must not plan a join")
+  }
+
+  test("l25 semDedup: cluster-key equi joins only, no cartesian pair blowup") {
+    val p = plan("l25_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "within-cluster pairing degraded to a non-equi join")
+  }
+
+  test("l29 unigram LM: hash-join scoring, 1-row stats on a broadcast") {
+    val p = plan("l29_unigram_lm")
+    assert(!p.contains("CartesianProduct"))
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    // the (T, V) totals are a single row — the ONLY nested-loop allowed
+    assert(finalPlan.contains("BroadcastNestedLoopJoin"),
+      "1-row totals should ride a broadcast nested loop")
+  }
+
+  test("l3b kNN payload join: heap aggregate, no window sort") {
+    val p = plan("l3b_knn_payload")
+    assert(p.toLowerCase.contains("topkrowsagg"), "heap aggregate missing")
+    assert(!p.contains("Window ["), "kNN join must not fall back to a window")
+  }
+
+  test("w8 top-k rewrite: the Window is gone, the heap aggregate plans") {
+    val p = plan("w8_topk_rewrite")
+    assert(!p.contains("Window ["), "rewrite left a Window in the plan")
+    assert(p.contains("ObjectHashAggregate"),
+      "TopKRowsAgg should plan as ObjectHashAggregate")
+  }
+
   test("l3 lsh near-dup: pair dedup shuffles scalars, not vector payloads") {
     val p = plan("l3_lsh_neardup")
     // The distinct that collapses multi-band candidate duplicates must
