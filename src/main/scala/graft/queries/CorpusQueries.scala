@@ -581,7 +581,41 @@ object CorpusQueries {
       .orderBy(col("lang"))
   }
 
+  /** L30: PMI phrase mining — top-20 bigrams by pointwise mutual
+    * information, the classic collocation signal (high PMI = tokens that
+    * co-occur far above chance → likely a phrase). PMI(ab) = ln c(ab) −
+    * ln B − ln c(a) − ln c(b) + 2·ln T over exact integer counts, rounded
+    * 6dp; ordering is (rounded PMI desc, bigram asc) — total, so the
+    * top-20 cut is engine-independent. Shape: two token-keyed count
+    * shuffles (unigrams, bigrams), two hash joins on the split tokens,
+    * 1-row totals broadcast, TakeOrderedAndProject finish.
+    */
+  def l30PmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    val uni = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val bg = docs
+      .select(explode(TextFunctions.wordShingles(col("text"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+    val tot = uni.agg(sum(col("c")).as("t_tot"))
+      .crossJoin(bg.agg(sum(col("cab")).as("b_tot")))
+    bg.filter(col("cab") >= 5)
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .withColumn("b", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("t").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("bg"), col("cab"),
+        round(log(col("cab").cast("double")) - log(col("b_tot").cast("double"))
+          - log(col("ca").cast("double")) - log(col("cb").cast("double"))
+          + lit(2.0) * log(col("t_tot").cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bg"))
+      .limit(20)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "l30_pmi_bigrams" -> (l30PmiBigrams _),
     "l29_unigram_lm" -> (l29UnigramLm _),
     "l25_semdedup" -> (l25SemDedup _),
     "l26_kmeans" -> (l26Kmeans _),
@@ -614,6 +648,28 @@ object CorpusQueries {
     "l13_packing"         -> (l13Packing _))
 
   val oracle: Map[String, String] = Map(
+    // Identical PMI arithmetic over the same integer counts; the only
+    // floats are the final lns, pinned by the shared 6dp rounding, and
+    // the ordering ties break on the bigram text.
+    "l30_pmi_bigrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS t FROM w),
+        |u AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS tv FROM u),
+        |bgs AS (SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i]||' '||w[i+1])) AS bg FROM w WHERE len(w) >= 2),
+        |b AS (SELECT bg, count(*) AS cab FROM bgs GROUP BY 1),
+        |bt AS (SELECT CAST(sum(cab) AS BIGINT) AS bv FROM b),
+        |j AS (SELECT b.bg, b.cab, ua.c AS ca, ub.c AS cb
+        |  FROM b
+        |  JOIN u ua ON ua.t = string_split(b.bg, ' ')[1]
+        |  JOIN u ub ON ub.t = string_split(b.bg, ' ')[2]
+        |  WHERE b.cab >= 5)
+        |SELECT bg, cab,
+        |  round(ln(CAST(cab AS DOUBLE)) - ln(CAST((SELECT bv FROM bt) AS DOUBLE))
+        |    - ln(CAST(ca AS DOUBLE)) - ln(CAST(cb AS DOUBLE))
+        |    + 2*ln(CAST((SELECT tv FROM tt) AS DOUBLE)), 6) AS pmi
+        |FROM j ORDER BY pmi DESC, bg LIMIT 20""".stripMargin,
     // Same add-one unigram model trained in SQL; every float leaves the
     // exact-integer domain only through the shared round-6dp+DECIMAL gate.
     "l29_unigram_lm" ->
