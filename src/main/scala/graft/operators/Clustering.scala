@@ -168,8 +168,15 @@ object Clustering {
         // join (measured ~3× the assignment cost in ClusteringBench).
         // localCheckpoint materializes just (id, cluster) — two longs per
         // row, tiny next to the vectors — the pageRankInt precedent.
+        // eager=false: the job runs only when the result is acted on, so
+        // building the DataFrame stays lazy. Caveat for the at-scale
+        // path: localCheckpoint blocks are NOT fault-tolerant (an
+        // executor loss loses them); a 1000-executor deployment should
+        // swap in reliable checkpointing (sc.setCheckpointDir +
+        // checkpoint()) at the cost of one distributed write of the tiny
+        // (id, cluster) pairs.
         val asg = assignNearestJoin(emb, centroids, idCol, vecCol)
-          .withColumnRenamed(idCol, "id").localCheckpoint()
+          .withColumnRenamed(idCol, "id").localCheckpoint(eager = false)
         emb.select(col(idCol).as("id"), col(vecCol).as("v"))
           .join(asg, Seq("id"))
       }

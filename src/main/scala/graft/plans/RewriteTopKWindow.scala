@@ -25,6 +25,17 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   * arbitrarily — exactly row_number's own tie nondeterminism), exprIds
   * preserved so parent plans are untouched.
   *
+  * TIE CAVEAT — stronger than rank nondeterminism: under a NON-total
+  * ORDER BY, not just the rank assignment but the selected row SET can
+  * differ between the window form and the heap form (TopKRowsAgg rejects
+  * rows comparing equal to the current worst, while the window form keeps
+  * whichever k the sort happened to place first). Callers that need
+  * set-equivalence with the window form — every DuckDB-gated use in this
+  * repo (w8, a19, l3) — must order by a TOTAL key, e.g. append a unique
+  * tiebreak column (`.orderBy(score.desc, id)`). The guards below can't
+  * check totality (it's a data property), so this is a documented
+  * precondition, not an enforced one.
+  *
   * Guards (rewrite declined unless ALL hold):
   *  - single window expression, plain `row_number()` with the standard
   *    (UnboundedPreceding, CurrentRow) row frame;

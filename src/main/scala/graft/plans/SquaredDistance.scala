@@ -18,8 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * k-means assignment (k evaluations per row). This compiles to one fused
   * loop inside whole-stage codegen. Integer addition is associative, so
   * the result is bit-identical to the HOF fold and the DuckDB
-  * `list_sum(list_transform(...))` oracle replay. Null elements count as
-  * 0 (the corpus has none). Overflow bound: scaled |e| ≤ 2·10⁶ → per-dim
+  * `list_sum(list_transform(...))` oracle replay. Length mismatch yields
+  * NULL — the same answer the HOF form gives (`zip_with` null-pads the
+  * shorter array and a null element nulls the sum) — never a silently
+  * truncated distance; this matters because the expression is also
+  * SQL-registered (`dist2_int`) where arbitrary inputs can reach it.
+  * Null elements count as 0 (the corpus has none). Overflow bound:
+  * scaled |e| ≤ 2·10⁶ → per-dim
   * diff² ≤ 1.6·10¹³, ×64 dims ≈ 10¹⁵ — far inside int64, same analysis
   * as Clustering's scaladoc.
   */
@@ -37,10 +42,14 @@ case class SquaredDistanceInt(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // Nullable even over non-null inputs: a length mismatch produces NULL.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -60,14 +69,18 @@ case class SquaredDistanceInt(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = ($a.isNullAt($i) ? 0L : $a.getLong($i))
-         |          - ($b.isNullAt($i) ? 0L : $b.getLong($i));
-         |  $acc += $d * $d;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = ($a.isNullAt($i) ? 0L : $a.getLong($i))
+         |            - ($b.isNullAt($i) ? 0L : $b.getLong($i));
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

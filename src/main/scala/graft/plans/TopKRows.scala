@@ -67,6 +67,10 @@ case class TopKRowsAgg(
   override def createAggregationBuffer(): java.util.PriorityQueue[UnsafeRow] =
     new java.util.PriorityQueue[UnsafeRow](math.max(k, 1), worstFirst)
 
+  // A full heap rejects rows comparing EQUAL to the current worst, so
+  // under a non-total ordering the kept SET (not just the ranks) depends
+  // on arrival order. Gated callers must use a total ORDER BY (unique
+  // tiebreak column) — see the tie caveat in RewriteTopKWindow's scaladoc.
   private def offer(buf: java.util.PriorityQueue[UnsafeRow], row: UnsafeRow): Unit =
     if (buf.size < k) buf.add(row.copy())
     else if (bestFirst.compare(row, buf.peek) < 0) {

@@ -59,18 +59,23 @@ object TopKBench {
       })
 
     def time(name: String)(df: => DataFrame): Long = {
-      var best = Double.MaxValue
+      // Per-repetition (time, bytes) pairs; the reported bytes are the
+      // ones measured in the SAME repetition as the min time, so the two
+      // numbers describe one run. The listener still sees all task
+      // activity in the window (AQE retries, stray cache work), so each
+      // rep's bytes are drained/reset around exactly that rep.
       var rows = 0L
-      var bytes = 0L
-      (1 to 3).foreach { _ =>
+      val reps = (1 to 3).map { _ =>
         shuffleBytes.set(0L)
         val t0 = System.nanoTime()
         rows = df.count()
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val secs = (System.nanoTime() - t0) / 1e9
         Thread.sleep(300) // listener bus drain
-        bytes = shuffleBytes.get()
+        (secs, shuffleBytes.get())
       }
-      println(f"[topkbench] $name%-30s rows_out=$rows%8d min=$best%7.3f s shuffle=${bytes / 1024}%9d KiB")
+      val (best, bytes) = reps.minBy(_._1)
+      val repStr = reps.map { case (s, b) => f"$s%.3fs/${b / 1024}KiB" }.mkString(" ")
+      println(f"[topkbench] $name%-30s rows_out=$rows%8d min=$best%7.3f s shuffle=${bytes / 1024}%9d KiB  reps=[$repStr]")
       rows
     }
 

@@ -60,6 +60,26 @@ class ClusteringSpec extends SparkSpecBase {
     assert(expr.eval(null) === manual)
   }
 
+  test("dist2_int is NULL on length mismatch, matching the HOF") {
+    // zip_with null-pads the shorter array; a null element nulls the sum.
+    // The native expression must agree (null), never silently truncate.
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    val both = df.select(
+      graft.plans.SquaredDistanceInt.dist2_int(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v).as("hof")).head()
+    assert(both.isNullAt(0), "native must be null on length mismatch")
+    assert(both.isNullAt(1), "HOF reference is null on length mismatch")
+    // Interpreted path agrees.
+    val tpe = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType)
+    val expr = graft.plans.SquaredDistanceInt(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1L, 2L, 3L), tpe),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1L, 2L), tpe))
+    assert(expr.eval(null) == null)
+  }
+
   test("assignNearestJoin (large-k path) equals assignNearest exactly") {
     val cents = Clustering.seedCentroids(emb, 8)
     val viaLiteral = Clustering.assignNearest(emb, cents)
