@@ -13,6 +13,19 @@ import graft.queries.ContractQueries
   * times with fetchall(). collect() is used instead of count() so Catalyst
   * cannot prune the aggregates being measured; every contract query ends
   * in a small result (top-k/grouped), so collect is O(result), not O(data).
+  *
+  * CONTAMINATION EVIDENCE (added after rounds 3 and 4 each burned
+  * adjudication on host noise): the JSON is self-adjudicating.
+  *  - Draws are interleaved ROUND-ROBIN across queries (draw i runs
+  *    q01..q16 in order, 5 rounds total) instead of 5 back-to-back draws
+  *    per query, so a localized contention window costs every query at
+  *    most one draw — it can no longer sink a single query's min-of-5.
+  *  - "draws" records every per-draw time (seconds, draw-major order);
+  *    a reader sees WHICH draws blew up and whether the blow-up is
+  *    suite-wide (contention) or query-local (plan change).
+  *  - "loadavg" records /proc/loadavg (1/5/15-min) before the suite,
+  *    after each timed round, and after the suite. A 1-min load far above
+  *    the worker count during a slow round is the contention signature.
   */
 object Bench {
 
@@ -89,19 +102,36 @@ object Bench {
     // 5, not 3: the per-round driver run lands on an uncontrolled host,
     // and the r3→r4 adjudication showed ±30% single-run noise — more
     // draws make the min a sturdier estimator of the quiet-host time.
-    val results = suite.map { case (name, fn) =>
-      val times = (1 to 5).map { _ =>
+    def loadavg(): String =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.trim.split("\\s+").take(3).mkString(",")
+        finally src.close()
+      } catch { case _: Throwable => "" }
+
+    val names = suite.map(_._1)
+    val drawTimes = scala.collection.mutable.LinkedHashMap(
+      names.map(_ -> Vector.empty[Double]): _*)
+    val loadBefore = loadavg()
+    val loadRounds = (1 to 5).map { _ =>
+      suite.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, benchDir).collect() }
         catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        drawTimes(name) = drawTimes(name) :+ (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      loadavg()
     }
+    val results = names.map(n => n -> drawTimes(n).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val draws = names.map(n =>
+        "\"" + n + "\":" + drawTimes(n).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val loads = (loadBefore +: loadRounds)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"suite_total_warm","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"suite_total_warm","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","draws":$draws,"loadavg":$loads}""")
     spark.stop()
   }
 }
