@@ -207,7 +207,65 @@ object CrawlerQueries {
       .orderBy(col("seg"))
   }
 
+  /** C13: crawled statistics wired into the cost-based optimizer. The
+    * same customer parquet is registered twice as an external catalog
+    * table — once bare, once with the crawler's output (rowCount,
+    * sizeBytes, per-column ndv/nulls/min/max) injected as
+    * CatalogStatistics — and the same filtered dim⋈orders query is
+    * planned against both under CBO with the broadcast threshold at
+    * half the dim's file size. Without stats the filter cannot shrink
+    * the size-only estimate (raw file bytes) → SortMergeJoin; with
+    * crawled ndv + min/max the estimate drops ~50× under the threshold
+    * → BroadcastHashJoin, by statistics, not by hint. Both the chosen
+    * join operators AND the query's data results are oracle-checked;
+    * even the filter cap is derived from the crawled max(c_custkey),
+    * so the whole gate is crawl-output-driven. Session conf and
+    * catalog mutations are scoped: confs restored in a finally,
+    * tables re-registered idempotently.
+    */
+  def c13CboBhj(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.crawler.CboStats
+    val cust = LakeCrawler.discover(spark, dir).find(_.name == "customer").get
+    val profiles = Profiler.profile(spark, LakeCrawler.open(spark, cust), "customer")
+    CboStats.registerTable(spark, "customer_nostats", cust.path)
+    CboStats.registerTable(spark, "customer_stats", cust.path)
+    CboStats.applyStats(spark, "customer_stats", cust, profiles)
+    val cap = profiles.find(_.column == "c_custkey").get.max_s.get.toLong / 10
+    val orders = graft.core.Lake.table(spark, dir, "orders")
+    def q(table: String) = spark.table(table)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") <= cap)
+      .join(orders, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_c"))
+    val conf = spark.conf
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    val (noStatsNode, statsNode, result) =
+      try {
+        conf.set("spark.sql.cbo.enabled", "true")
+        // /16, not /2: even without stats, logical Project scaling
+        // credits the 2-of-5 column pruning (~fileSize/4 estimate);
+        // only crawled ndv+min/max can get below fileSize/16 (~2%
+        // selectivity → ~fileSize/70). Both margins are ~4× and scale
+        // with the table, so the flip holds at every scale factor.
+        conf.set("spark.sql.autoBroadcastJoinThreshold", (cust.sizeBytes / 16).toString)
+        (CboStats.staticJoinNode(q("customer_nostats")),
+          CboStats.staticJoinNode(q("customer_stats")),
+          q("customer_stats").collect().head)
+      } finally saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
+      }
+    val n = result.getLong(result.fieldIndex("n_rows"))
+    val cents = result.getLong(result.fieldIndex("revenue_c"))
+    Seq(("no_stats", noStatsNode, n, cents),
+        ("with_stats", statsNode, n, cents))
+      .toDF("variant", "join_node", "n_rows", "revenue_c")
+      .orderBy(col("variant"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "c13_cbo_bhj"         -> (c13CboBhj _),
     "c12_outliers"        -> (c12Outliers _),
     "c8_equidepth"        -> (c8EquidepthHistogram _),
     "c9_footer_counts"    -> (c9FooterCounts _),
@@ -259,6 +317,21 @@ object CrawlerQueries {
        |FROM customer""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The data columns are a genuine cross-engine check; the join_node
+    // column pins the PLAN flip (static planner choice with vs without
+    // crawled stats) as part of the executable contract.
+    "c13_cbo_bhj" ->
+      """WITH cap AS (SELECT CAST(max(c_custkey)/10 AS BIGINT) AS v FROM customer),
+        |r AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS revenue_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey, cap
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey <= cap.v)
+        |SELECT v.variant, v.join_node, r.n_rows, r.revenue_c
+        |FROM (VALUES ('no_stats','SortMergeJoin'),
+        |             ('with_stats','BroadcastHashJoin'))
+        |  v(variant, join_node), r
+        |ORDER BY variant""".stripMargin,
     // Same integer-cents rewrite; HUGEINT is DuckDB's DECIMAL(38) stand-in,
     // so the boundary comparison is exact on both engines.
     "c12_outliers" ->

@@ -144,6 +144,20 @@ class PlanShapeSpec extends SparkSpecBase {
       "TopKRowsAgg should plan as ObjectHashAggregate")
   }
 
+  test("c13: crawled stats flip the dim join SMJ→BHJ by statistics, not hint") {
+    // The same external parquet table, planned with and without the
+    // crawler's CatalogStatistics under CBO: the stats-less plan can't
+    // see past raw file bytes and sort-merges; the crawled ndv+min/max
+    // shrink the filtered-dim estimate ~50× and the static planner
+    // broadcasts. The gate row carries the actual chosen join node.
+    val rows = graft.SparkEntry.queries("c13_cbo_bhj")(spark, sf0001).collect()
+    val byVariant = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byVariant("no_stats") == "SortMergeJoin",
+      s"stats-less baseline should sort-merge, got ${byVariant("no_stats")}")
+    assert(byVariant("with_stats") == "BroadcastHashJoin",
+      s"crawled stats should flip to broadcast, got ${byVariant("with_stats")}")
+  }
+
   test("l3 lsh near-dup: pair dedup shuffles scalars, not vector payloads") {
     val p = plan("l3_lsh_neardup")
     // The distinct that collapses multi-band candidate duplicates must
