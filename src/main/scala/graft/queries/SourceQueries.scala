@@ -220,7 +220,43 @@ object SourceQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** S12: nested columnar data end-to-end — the Dremel shape the flat
+    * corpus never exercises. Orders are materialized as one row per
+    * order with a `cust` STRUCT and an `items` ARRAY<STRUCT> (sorted
+    * for determinism), round-tripped through parquet, then a query
+    * touching ONLY `cust.c_mktsegment` and `items[*].l_quantity`
+    * explodes and aggregates. The DuckDB oracle computes the same
+    * numbers from the flat join, so shredding + reassembly must be
+    * lossless; PlanShapeSpec asserts the nested ReadSchema is pruned
+    * to exactly the two leaf fields (at 100 TB, reading
+    * `items.l_extendedprice` bytes for a query that never uses them
+    * is the hidden full-scan).
+    */
+  def s12Nested(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"$gateRoot/orders_nested"
+    val items = Lake.table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))))
+        .as("items"))
+    Lake.table(spark, dir, "orders")
+      .join(broadcast(Lake.table(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(items, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        struct(col("c_custkey"), col("c_mktsegment")).as("cust"),
+        col("items"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .select(col("cust.c_mktsegment").as("seg"), explode(col("items")).as("it"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("it.l_quantity") * 100).cast("long")).as("qty_c"))
+      .orderBy(col("seg"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s12_nested"        -> (s12Nested _),
     "s10_zorder_values" -> (s10ZorderValues _),
     "s11_skipping_scan" -> (s11SkippingScan _),
     "s2_csv_inference"  -> (s2CsvInference _),
@@ -231,6 +267,15 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // Nested shredding + reassembly must be lossless: same numbers from
+    // the flat three-table join (orders with no lineitems drop on both
+    // sides — the gate's nested build inner-joins too).
+    "s12_nested" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s11_skipping_scan" ->
       """SELECT l_returnflag, count(*) AS c,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,

@@ -158,6 +158,21 @@ class PlanShapeSpec extends SparkSpecBase {
       s"crawled stats should flip to broadcast, got ${byVariant("with_stats")}")
   }
 
+  test("s12: nested scan prunes to the two referenced leaf fields") {
+    // The nested read touches only cust.c_mktsegment and
+    // items[*].l_quantity; Spark's nested-schema pruning must push that
+    // into the parquet ReadSchema — sibling leaves (c_custkey,
+    // l_extendedprice, l_linenumber, o_totalprice) must not be read.
+    val p = plan("s12_nested")
+    val read = p.split("ReadSchema: ")(1).split("\n")(0)
+    assert(read.contains("c_mktsegment") && read.contains("l_quantity"),
+      s"referenced nested leaves missing from ReadSchema: $read")
+    for (dropped <- Seq("c_custkey", "l_extendedprice", "l_linenumber",
+        "o_totalprice"))
+      assert(!read.contains(dropped),
+        s"nested pruning failed to drop $dropped: $read")
+  }
+
   test("l3 lsh near-dup: pair dedup shuffles scalars, not vector payloads") {
     val p = plan("l3_lsh_neardup")
     // The distinct that collapses multi-band candidate duplicates must
