@@ -284,6 +284,37 @@ object Similarity {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toSeq)
 
+  /** Engine-portable centroid sampling: nlist rows ordered by the md5
+    * hex of the id (md5 is identical in every engine, so an external
+    * oracle can reproduce the exact centroid set — the same discipline
+    * as the md5-Rademacher LSH planes). Tie-broken on the id itself.
+    */
+  def md5Centroids(
+      emb: DataFrame,
+      nlist: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Seq[Float]] =
+    emb.select(col(idCol), col(vecCol))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toSeq)
+
+  /** The nprobe list ids nearest the query (driver-side, O(nlist·dim)).
+    * Distances fold left in index order and ties keep centroid order
+    * (stable sort) — reproducible by an ORDER BY d, i elsewhere.
+    */
+  def probeLists(
+      centroids: Array[Seq[Float]],
+      query: Seq[Float],
+      nprobe: Int): Seq[Int] = {
+    val qd = query.map(_.toDouble)
+    def dist2(c: Seq[Float]): Double =
+      c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum
+    centroids.zipWithIndex.sortBy(p => dist2(p._1))
+      .take(nprobe).map(_._2).toSeq
+  }
+
   /** WRITE-TIME half of the IVF index: assign each vector to its nearest
     * centroid. At 100 TB this becomes the table's partition key
     * (`partitionBy(listCol)`), so a query READS only nprobe/nlist of the
@@ -315,11 +346,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       listCol: String = "__list"): DataFrame = {
-    val qd = query.map(_.toDouble)
-    def dist2(c: Seq[Float]): Double =
-      c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum
-    val probeSet = centroids.zipWithIndex.sortBy(p => dist2(p._1))
-      .take(nprobe).map(_._2).toSet
+    val probeSet = probeLists(centroids, query, nprobe).toSet
     indexed
       .filter(col(listCol).isin(probeSet.toSeq: _*))
       .select(col(idCol),

@@ -185,6 +185,56 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** L3c: the IVF index ON DISK — the 100 TB claim, demonstrated. The
+    * write-time half assigns every vector (vec_id ≠ 0) to its nearest
+    * of 8 md5-sampled centroids and writes `partitionBy(__list)`; the
+    * query-time half probes the 3 lists nearest the vec_id=0 query and
+    * partition PRUNING does the probing: the gate executes the top-k,
+    * then requires the parquet scan's numPartitions metric to equal the
+    * probed-list count (3 of 8 directories read — a hard in-run
+    * assertion, not a doc claim). The DuckDB oracle replays the whole
+    * pipeline — md5 centroid sampling, left-fold squared distances,
+    * (d, i) tie-broken assignment, probe selection, rounded-cosine
+    * rerank — so the returned top-k is cross-engine exact too.
+    */
+  def l3cIvfDisk(spark: SparkSession, dir: String): DataFrame = {
+    val nlist = 8; val nprobe = 3; val k = 10
+    val emb = Lake.table(spark, dir, "embeddings")
+    val cents = Similarity.md5Centroids(emb, nlist)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.withIvfList(emb.filter(col("vec_id") =!= 0), cents)
+      .write.mode("overwrite").partitionBy("__list").parquet(tmp)
+    val listDirs = new java.io.File(tmp).list().toSeq
+      .filter(_.startsWith("__list="))
+      .map(_.stripPrefix("__list=").toInt).toSet
+    val expectedReads = Similarity.probeLists(cents, q, nprobe)
+      .count(listDirs.contains)
+    val topk = Similarity.ivfTopKIndexed(
+      spark.read.parquet(tmp), cents, q, k, nprobe)
+    val rows = topk.collect()
+    def gather(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case _ => Nil
+      })).flatMap(gather)
+    val partsRead = gather(topk.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numPartitions").value
+    }.sum
+    require(partsRead == expectedReads && listDirs.size > nprobe,
+      s"IVF partition pruning: read $partsRead of ${listDirs.size} list " +
+        s"partitions, expected $expectedReads")
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .toDF("vec_id", "sim")
+  }
+
   /** L3b: kNN join carrying the neighbor's label column through the
     * payload-generic heap (TopKRowsAgg) — no corpus re-join. Same query
     * split and determinism regime as l3_knn_join.
@@ -455,6 +505,7 @@ object PipelineQueries {
     "l3_lsh_neardup"     -> (l3LshNearDup _),
     "l3_knn_join"        -> (l3KnnJoin _),
     "l3b_knn_payload"    -> (l3bKnnPayload _),
+    "l3c_ivf_disk"       -> (l3cIvfDisk _),
     "l6c_resize"         -> (l6cResize _),
     "l6d_frame_sample"   -> (l6dFrameSample _),
     "l4_token_stats"     -> (l4TokenStats _),
@@ -663,6 +714,56 @@ object PipelineQueries {
         |SELECT a_id, b_id, sim FROM sims WHERE sim >= 0.2 ORDER BY a_id, b_id""".stripMargin,
     // (sequential double fold, same order as the engine's HOF fold),
     // hamming-probe candidate filter and rounded-cosine rerank.
+    // Full IVF replay: md5-ordered centroid sampling, left-fold squared
+    // distances (list_reduce ≡ Spark's aggregate fold order), (d, i)
+    // tie-broken assignment, probe = 3 nearest lists, rounded-cosine
+    // rerank restricted to probed lists. The partition-pruning half of
+    // the gate (3 of 8 directories read) is asserted in-run on the
+    // Spark side; this pins the VALUES the pruned scan must produce.
+    "l3c_ivf_disk" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |      - 1 AS i,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |dist AS (
+        |  SELECT e.vec_id, ct.i,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1,65), j ->
+        |        (CAST(e.embedding[j] AS DOUBLE) - ct.c[j])
+        |        * (CAST(e.embedding[j] AS DOUBLE) - ct.c[j]))),
+        |      (a,b) -> a+b) AS d
+        |  FROM embeddings e, cents ct WHERE e.vec_id <> 0),
+        |assign AS (
+        |  SELECT vec_id, i AS list FROM (
+        |    SELECT vec_id, i,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE vec_id = 0),
+        |qdist AS (
+        |  SELECT ct.i,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1,65), j ->
+        |        (ct.c[j] - qv.e[j]) * (ct.c[j] - qv.e[j]))),
+        |      (a,b) -> a+b) AS d
+        |  FROM cents ct, qv),
+        |probe AS (SELECT i FROM (
+        |  SELECT i, row_number() OVER (ORDER BY d, i) AS rn FROM qdist)
+        |  WHERE rn <= 3)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_sum(list_transform(range(1,65),
+        |    j -> CAST(e.embedding[j] AS DOUBLE) * qv.e[j])) /
+        |    (sqrt(list_sum(list_transform(e.embedding,
+        |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * qv.nrm),
+        |    6) AS sim
+        |FROM embeddings e, qv, assign a
+        |WHERE e.vec_id = a.vec_id
+        |  AND a.list IN (SELECT i FROM probe)
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "l3_lsh_topk" ->
       """WITH planes AS (
         |  SELECT i, list(CASE WHEN (strpos('0123456789abcdef',
