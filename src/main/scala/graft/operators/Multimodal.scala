@@ -87,6 +87,32 @@ object ImageIoCodec extends MediaCodec {
   }
 }
 
+/** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/RIFF —
+  * no external dependency). Parses the container, strips the header and
+  * returns the raw PCM frame bytes; declared metadata (channel count,
+  * frame count, 16-bit depth) is validated against the actual decoded
+  * format so bad catalog entries fail loudly instead of mis-shaping
+  * buffers — the audio twin of [[ImageIoCodec]].
+  */
+object WavCodec extends MediaCodec {
+  def decode(payload: Array[Byte], meta: MediaMeta): Array[Byte] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getChannels == meta.channels,
+        s"decoded ${fmt.getChannels}ch != declared ${meta.channels}ch")
+      require(fmt.getSampleSizeInBits == 16,
+        s"expected 16-bit PCM, got ${fmt.getSampleSizeInBits}")
+      val pcm = in.readAllBytes()
+      require(pcm.length == meta.frameCount * meta.channels * 2,
+        s"decoded ${pcm.length} bytes != declared " +
+          s"${meta.frameCount}×${meta.channels}×2")
+      pcm
+    } finally in.close()
+  }
+}
+
 /** Multimodal column handling (SURVEY.md §2.7 L6 + builder mandate):
   * image/audio/video as opaque `binary` columns with typed metadata.
   *
@@ -197,6 +223,13 @@ object Multimodal {
     }
   }
 
+  /** Audio rides the same partition-parallel decode seam; the decoded
+    * buffer is the raw PCM frames (width = frames, height = 1).
+    */
+  def decodeAudio(media: Dataset[MediaRecord],
+      codec: MediaCodec = WavCodec): Dataset[DecodedImage] =
+    decodeImages(media, codec)
+
   /** Nearest-neighbour resize — real pixel math, codec-independent. */
   private[operators] def resizeBuffer(
       px: Array[Byte], w: Int, h: Int, c: Int, w2: Int, h2: Int): Array[Byte] = {
@@ -239,6 +272,64 @@ object Multimodal {
   def extractFeatures(decoded: Dataset[DecodedImage]): Dataset[MediaFeatures] = {
     import decoded.sparkSession.implicits._
     decoded.mapPartitions(_.map(d => MediaFeatures(d.media_id, histogram16(d.pixels))))
+  }
+
+  /** Deterministic signed 16-bit PCM sample for fixture id at frame `i`,
+    * channel `ch` — pure integer math so an external oracle can
+    * recompute the decoded buffer without any audio library (the audio
+    * twin of [[fixturePixel]]).
+    */
+  private[operators] def fixtureSample(id: Long, i: Int, ch: Int): Short =
+    (((id * 37 + i.toLong * 17 + ch.toLong * 101) % 65536) - 32768).toShort
+
+  /** Audio fixture shapes by id: (frames, channels). */
+  private[operators] def wavShape(id: Long): (Int, Int) =
+    ((id % 5 * 128 + 256).toInt, (id % 2 + 1).toInt)
+
+  /** Encode the deterministic fixture samples for `id` as real RIFF/WAV
+    * bytes via the JDK encoder (16-bit little-endian PCM, 8 kHz). WAV is
+    * lossless, so [[WavCodec.decode]] returns exactly the generated PCM
+    * frames — which is what makes a constant-pinned oracle over the
+    * decoded bytes valid on any host (the l6e twin of [[pngFixture]]).
+    */
+  private[operators] def wavFixture(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val (frames, ch) = wavShape(id)
+    val pcm = new Array[Byte](frames * ch * 2)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < ch) {
+        val s = fixtureSample(id, i, c)
+        val k = (i * ch + c) * 2
+        pcm(k) = (s & 0xff).toByte
+        pcm(k + 1) = ((s >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, ch, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** A media table of REAL WAV payloads — encoded on the executors, one
+    * per doc_id below `limit` — for driving [[WavCodec]] through the
+    * full distributed decode path with an externally checkable result.
+    */
+  def syntheticWavMedia(spark: SparkSession, docs: DataFrame,
+      limit: Int = 8): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") < limit).distinct()
+      .as[Long]
+      .map { id =>
+        val (frames, ch) = wavShape(id)
+        MediaRecord(id, wavFixture(id),
+          MediaMeta("audio", frames, 1, ch, frames, "wav"))
+      }
   }
 
   /** A "video" media table over documents: fixed 8×6×3 frames, frameCount

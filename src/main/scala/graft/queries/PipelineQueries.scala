@@ -235,6 +235,29 @@ object PipelineQueries {
       .toDF("vec_id", "sim")
   }
 
+  /** L6e: REAL audio decode through the distributed path — real
+    * RIFF/WAV payloads (JDK-encoded on the executors, deterministic
+    * 16-bit PCM fixtures), decoded by [[graft.operators.WavCodec]]
+    * (javax.sound.sampled — container parsed, header stripped,
+    * channel/frame metadata validated), digest over the raw PCM bytes.
+    * WAV is lossless and the fixture is pure integer math, so the
+    * oracle pins the exact decoded buffers without any audio library —
+    * the audio twin of l6b_image_decode.
+    */
+  def l6eAudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    val media = graft.operators.Multimodal.syntheticWavMedia(spark, docs)
+    val dec = graft.operators.Multimodal
+      .decodeAudio(media, graft.operators.WavCodec)
+    dec.toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("frames"),
+        col("channels").cast("long").as("ch"),
+        md5(col("pixels")).as("pcm_md5"),
+        length(col("pixels")).cast("long").as("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
   /** L3b: kNN join carrying the neighbor's label column through the
     * payload-generic heap (TopKRowsAgg) — no corpus re-join. Same query
     * split and determinism regime as l3_knn_join.
@@ -517,6 +540,7 @@ object PipelineQueries {
     "l5_bottomk_sketch"  -> (l5BottomkSketch _),
     "l6_media_features"  -> (l6MediaFeatures _),
     "l6b_image_decode"   -> (l6bImageDecode _),
+    "l6e_audio_decode"   -> (l6eAudioDecode _),
     "p1_curation_pipeline" -> (p1CurationPipeline _),
     "q17_session_window" -> (q17SessionWindow _))
 
@@ -620,6 +644,28 @@ object PipelineQueries {
     // row-major), so these digests are recomputable without any image
     // library. The join against documents keeps the row set tied to the
     // corpus' actual doc_ids.
+    // PCM digests recomputable from the fixture recurrence alone:
+    // sample(id,i,ch) = ((id·37 + i·17 + ch·101) mod 65536) − 32768,
+    // little-endian int16, frames = id%5·128+256, channels = id%2+1.
+    // WavCodec must strip the RIFF container and return exactly these
+    // bytes on any host.
+    "l6e_audio_decode" ->
+      """SELECT CAST(v.media_id AS BIGINT) AS media_id,
+        |  CAST(v.frames AS BIGINT) AS frames, CAST(v.ch AS BIGINT) AS ch,
+        |  v.pcm_md5, CAST(v.n_bytes AS BIGINT) AS n_bytes
+        |FROM (VALUES
+        |  (0, 256, 1, '9f2b014a9ebcfb77b7501a102e2dee29', 512),
+        |  (1, 384, 2, '3f18fe6d9105fcadef7c18995888b04e', 1536),
+        |  (2, 512, 1, '326455fb5ad36698814120630c77fa4d', 1024),
+        |  (3, 640, 2, '267d825b114e214f4c2dcf0db14bd450', 2560),
+        |  (4, 768, 1, 'de22bbd49691914e9e526fcdc07a019f', 1536),
+        |  (5, 256, 2, '55acfde34ec229017161c2a9ba01a2fc', 1024),
+        |  (6, 384, 1, 'c02ee4cfcdaad5fda35ed22d247be042', 768),
+        |  (7, 512, 2, 'a089847305e7ae6c5e1270ae63058483', 2048))
+        |  AS v(media_id, frames, ch, pcm_md5, n_bytes)
+        |JOIN (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 8) d
+        |  ON d.doc_id = v.media_id
+        |ORDER BY v.media_id""".stripMargin,
     "l6b_image_decode" ->
       """SELECT CAST(v.media_id AS BIGINT) AS media_id,
         |  CAST(v.w AS BIGINT) AS w, CAST(v.h AS BIGINT) AS h,

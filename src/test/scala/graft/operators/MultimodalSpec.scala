@@ -115,6 +115,32 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("WavCodec round-trips the fixture PCM through a real RIFF container") {
+    for (id <- 0L to 7L) {
+      val (frames, ch) = Multimodal.wavShape(id)
+      val decoded = WavCodec.decode(Multimodal.wavFixture(id),
+        MediaMeta("audio", frames, 1, ch, frames, "wav"))
+      assert(decoded.length == frames * ch * 2)
+      // spot-check the little-endian int16 encoding of the recurrence
+      for (i <- Seq(0, frames / 2, frames - 1); c <- 0 until ch) {
+        val k = (i * ch + c) * 2
+        val s = ((decoded(k + 1) << 8) | (decoded(k) & 0xff)).toShort
+        assert(s == Multimodal.fixtureSample(id, i, c),
+          s"id=$id frame=$i ch=$c")
+      }
+    }
+  }
+
+  test("WavCodec rejects junk payloads and mismatched declared channels") {
+    intercept[Exception] {
+      WavCodec.decode("not a wav".getBytes, MediaMeta("audio", 4, 1, 1, 4, "wav"))
+    }
+    intercept[IllegalArgumentException] {
+      WavCodec.decode(Multimodal.wavFixture(1L), // stereo fixture
+        MediaMeta("audio", 384, 1, 1, 384, "wav")) // declared mono
+    }
+  }
+
   test("sampleFrames keeps ceil(frameCount/n) frames of the right size") {
     import spark.implicits._
     val vid = Seq(MediaRecord(7L, "somepayload".getBytes,
