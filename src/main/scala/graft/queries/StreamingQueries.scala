@@ -137,7 +137,70 @@ object StreamingQueries {
       .orderBy(col("segment"), col("event_type"))
   }
 
+  /** ST10: incremental crawl × streaming — the two continuously-running
+    * halves of the engine composed. A temp lake holds two quiet static
+    * tables plus a streaming parquet sink; the stream commits the first
+    * tranche of micro-batches, snapshot 1 is crawled, the stream then
+    * commits a second tranche (same checkpoint — a real restart), and
+    * the incremental re-crawl must report EXACTLY the streamed-to
+    * dataset as changed with zero false drift on the quiet tables; a
+    * second re-crawl with the stream idle must report everything
+    * unchanged. This is the daily life of a crawler over a live lake:
+    * O(changed data) work, no spurious re-profiling.
+    */
+  def st10CrawlStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.core.Lake
+    import graft.crawler.CatalogStore
+    val lake = Files.createTempDirectory("graft_st10_lake").toString
+    val staging = Files.createTempDirectory("graft_st10_in").toString
+    val ckpt = Files.createTempDirectory("graft_st10_ck").toString
+    val Seq(snap1, snap2, snap3) = Seq("s1", "s2", "s3")
+      .map(s => Files.createTempDirectory(s"graft_st10_$s").toString)
+    Lake.table(spark, dir, "nation").coalesce(1).write.parquet(s"$lake/nation")
+    Lake.table(spark, dir, "region").coalesce(1).write.parquet(s"$lake/region")
+    val ev = Lake.table(spark, dir, "events")
+    val mm = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+    val (minMs, maxMs) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    def stage(loMs: Long, hiMs: Long, nFiles: Int): Unit = {
+      val step = math.max(1L, (hiMs - loMs) / nFiles + 1)
+      (0 until nFiles).foreach { i =>
+        ev.filter(col("ts") >= lit(new java.sql.Timestamp(loMs + i * step)) &&
+            col("ts") < lit(new java.sql.Timestamp(loMs + (i + 1) * step)))
+          .coalesce(1).write.mode("append").parquet(staging)
+      }
+    }
+    def runStream(): Unit = {
+      val q = EventStreams.startTumblingFileSink(
+        spark, staging, s"$lake/hourly", ckpt, maxFilesPerTrigger = 1)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val midMs = minMs + (maxMs - minMs) / 2
+    stage(minMs, midMs, 3)
+    runStream()
+    CatalogStore.crawl(spark, lake, snap1)
+    stage(midMs, maxMs + 1, 2)
+    ev.limit(1).select(
+        lit(-1L).as("event_id"),
+        lit(new java.sql.Timestamp(maxMs + 2 * 3600 * 1000L)).as("ts"),
+        lit(-1L).as("user_id"),
+        lit(EventStreams.SentinelType).as("event_type"),
+        lit(0.0).as("value"),
+        lit("{}").as("props"))
+      .write.mode("append").parquet(staging)
+    runStream()
+    val afterStream = CatalogStore.incrementalCrawl(spark, lake, snap1, snap2)
+    val quiet = CatalogStore.incrementalCrawl(spark, lake, snap2, snap3)
+    import spark.implicits._
+    Seq(afterStream, quiet).zip(Seq("after_stream", "quiet")).map {
+      case (d, phase) => (phase, d.unchanged.mkString(","),
+        d.changed.mkString(","), d.added.size.toLong, d.removed.size.toLong)
+    }.toDF("phase", "unchanged", "changed", "added", "removed")
+      .orderBy(col("phase"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st10_crawl_stream" -> (st10CrawlStream _),
     "st9_stream_static" -> (st9StreamStatic _),
     "st8_trending"    -> (st8Trending _),
     "st1_tumbling"    -> (st1Tumbling _),
@@ -149,6 +212,17 @@ object StreamingQueries {
     "st7_upsert_snapshot" -> (st7UpsertSnapshot _))
 
   val oracle: Map[String, String] = Map(
+    // The invariant IS the oracle: after the second stream tranche, the
+    // re-crawl sees exactly the sink changed and both static tables
+    // unchanged; with the stream idle, nothing changes at all.
+    "st10_crawl_stream" ->
+      """SELECT * FROM (VALUES
+        |  ('after_stream', 'nation,region', 'hourly',
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('quiet', 'hourly,nation,region', '',
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+        | t(phase, unchanged, changed, added, removed)
+        |ORDER BY phase""".stripMargin,
     "st9_stream_static" ->
       """SELECT c_mktsegment AS segment, event_type, count(*) AS c,
         |  sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS s
