@@ -1,0 +1,265 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path => JPath, Paths, FileAlreadyExistsException}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One data file added by a commit. */
+case class TxnAdd(path: String, rows: Long, bytes: Long)
+
+/** One committed version: the actions that produced it. */
+case class TxnCommit(
+    version: Long,
+    op: String,
+    adds: Seq[TxnAdd],
+    removes: Seq[String])
+
+/** A minimal transactional table format: snapshot-versioned parquet with
+  * an append-only JSON commit log — the ACID layer the plain-directory
+  * lake lacks (SURVEY.md residual gap; Compactor's swap and SnapshotDiff
+  * were the seeds).
+  *
+  * Layout:
+  * {{{
+  *   table/data/part-<uuid>.parquet      immutable data files
+  *   table/_graft_log/v0000000042.json   one commit per version
+  * }}}
+  *
+  * Properties, each pinned by TxnTableSpec or the s13 gate:
+  *  - **Atomic commit / optimistic concurrency**: a commit is staged to
+  *    a temp file and published with `Files.createLink` — POSIX link(2)
+  *    is create-exclusive, so exactly ONE writer wins a version; losers
+  *    see [[TxnConflictException]] and retry against the new snapshot.
+  *    (On an object store this primitive becomes a conditional PUT /
+  *    putIfAbsent; the protocol is unchanged.)
+  *  - **Snapshot isolation**: data files are immutable and never deleted
+  *    by commits (remove = logical). A reader of version N resolves its
+  *    file list from the log prefix ≤ N and is unaffected by concurrent
+  *    appends, deletes, or compaction.
+  *  - **Time travel**: `read(spark, path, asOf = N)`.
+  *  - **Delete/compact as rewrites**: `deleteWhere` rewrites only the
+  *    files that contain matching rows (file-level pruning via one
+  *    `input_file_name()` pass); `compact` folds the current snapshot
+  *    into fewer files; both are ordinary commits.
+  *
+  * Scale notes: the log is metadata — O(1) JSON per commit, replayed
+  * driver-side in O(versions). At 10⁵+ commits the standard fix is a
+  * periodic checkpoint file holding the resolved file list (replay =
+  * last checkpoint + suffix); the read path below isolates resolution
+  * in `snapshotFiles`, which is where that checkpoint would slot in.
+  * Data-file work (rewrite, compaction) is Spark jobs over only the
+  * affected files.
+  */
+object TxnTable {
+
+  class TxnConflictException(version: Long)
+    extends RuntimeException(s"version $version was committed concurrently")
+
+  private def logDir(path: String): JPath = Paths.get(path, "_graft_log")
+  private def dataDir(path: String): JPath = Paths.get(path, "data")
+  private def versionFile(path: String, v: Long): JPath =
+    logDir(path).resolve(f"v$v%010d.json")
+
+  // -- commit (de)serialization: the log schema is a stable, tiny JSON --
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def render(c: TxnCommit): String = {
+    val adds = c.adds.map(a =>
+      s"""{"path":"${esc(a.path)}","rows":${a.rows},"bytes":${a.bytes}}""")
+      .mkString("[", ",", "]")
+    val removes = c.removes.map(r => s""""${esc(r)}"""").mkString("[", ",", "]")
+    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":$adds,"removes":$removes}"""
+  }
+
+  private def parse(json: String): TxnCommit = {
+    // parsed with the JSON parser already on Spark's classpath
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(json)
+    val adds = (j \ "adds") match {
+      case JArray(arr) => arr.map(a => TxnAdd(
+        (a \ "path").extract[String],
+        (a \ "rows").extract[Long],
+        (a \ "bytes").extract[Long]))
+      case _ => Nil
+    }
+    val removes = (j \ "removes") match {
+      case JArray(arr) => arr.map(_.extract[String])
+      case _ => Nil
+    }
+    TxnCommit((j \ "version").extract[Long], (j \ "op").extract[String],
+      adds, removes)
+  }
+
+  /** Latest committed version, or -1 for a nonexistent/empty table. */
+  def currentVersion(path: String): Long = {
+    val ld = logDir(path)
+    if (!Files.isDirectory(ld)) return -1L
+    val it = Files.list(ld)
+    try {
+      it.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.substring(1, n.length - 5).toLong)
+        .foldLeft(-1L)(math.max)
+    } finally it.close()
+  }
+
+  private implicit class JIter[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+
+  /** Publish `commit` as exactly version `commit.version`.
+    * @throws TxnConflictException if that version already exists. */
+  def tryCommit(path: String, commit: TxnCommit): Unit = {
+    Files.createDirectories(logDir(path))
+    val tmp = logDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, render(commit).getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(versionFile(path, commit.version), tmp)
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new TxnConflictException(commit.version)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** All commits with version ≤ asOf (or all, if asOf < 0), in order. */
+  def commits(path: String, asOf: Long = -1L): Seq[TxnCommit] = {
+    val top = currentVersion(path)
+    require(top >= 0, s"not a TxnTable: $path")
+    val upTo = if (asOf < 0) top else asOf
+    require(upTo <= top, s"version $upTo does not exist (latest $top)")
+    (0L to upTo).map { v =>
+      parse(new String(Files.readAllBytes(versionFile(path, v)),
+        StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Resolve the data-file list of a snapshot by log replay. */
+  def snapshotFiles(path: String, asOf: Long = -1L): Seq[String] = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    commits(path, asOf).foreach { c =>
+      c.removes.foreach(live -= _)
+      c.adds.foreach(a => live += a.path)
+    }
+    live.toSeq
+  }
+
+  /** Write df's rows as fresh immutable part files; returns their adds.
+    * Rows per file are counted from the parquet footers the write
+    * produced (no second scan).
+    */
+  private def writeData(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      partitions: Int): Seq[TxnAdd] = {
+    val staging = Files.createTempDirectory("graft_txn_stage").toString
+    df.repartition(partitions).write.mode("overwrite").parquet(staging)
+    Files.createDirectories(dataDir(path))
+    val footers = graft.crawler.SkippingIndex.build(spark, staging, Seq.empty)
+      .select(col("file"), col("row_count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Files.list(Paths.get(staging)).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { src =>
+        val name = s"part-${java.util.UUID.randomUUID()}.parquet"
+        val dst = dataDir(path).resolve(name)
+        Files.move(src, dst)
+        val rows = footers.collectFirst {
+          case (f, n) if f.endsWith(src.getFileName.toString) => n
+        }.getOrElse(0L)
+        TxnAdd(s"data/$name", rows, Files.size(dst))
+      }
+  }
+
+  /** Create version 0 from `df`. Fails if the table already exists. */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+      partitions: Int = 1): Long = {
+    val adds = writeData(spark, path, df, partitions)
+    tryCommit(path, TxnCommit(0L, "create", adds, Nil))
+    0L
+  }
+
+  /** Append `df` as a new version; retries the version race, because an
+    * append conflicts with nothing logically.
+    */
+  def append(spark: SparkSession, path: String, df: DataFrame,
+      partitions: Int = 1, maxAttempts: Int = 20): Long = {
+    val adds = writeData(spark, path, df, partitions)
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(path) + 1
+      try {
+        tryCommit(path, TxnCommit(v, "append", adds, Nil))
+        return v
+      } catch {
+        case _: TxnConflictException if attempt < maxAttempts => attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Delete matching rows by rewriting ONLY the files that contain them
+    * (one input_file_name() pass finds those files; untouched files are
+    * carried by reference). The snapshot it read is re-validated at
+    * commit: a concurrent commit aborts the delete (no lost updates).
+    */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column): Long = {
+    val base = currentVersion(path)
+    val files = snapshotFiles(path, base)
+    val abs = files.map(f => Paths.get(path).resolve(f).toString)
+    val withFile = spark.read.parquet(abs: _*)
+      .withColumn("__file", input_file_name())
+    val hitFiles = withFile.filter(predicate)
+      .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+    if (hitFiles.isEmpty) return base
+    val survivors = withFile
+      .filter(col("__file").isin(hitFiles.toSeq: _*))
+      .filter(!coalesce(predicate, lit(false)))
+      .drop("__file")
+    val adds =
+      if (survivors.isEmpty) Nil
+      else writeData(spark, path, survivors, 1)
+    val removes = files.filter(f =>
+      hitFiles.exists(h => h.endsWith(f.stripPrefix("data/"))))
+    tryCommit(path, TxnCommit(base + 1, "delete", adds, removes))
+    base + 1
+  }
+
+  /** Fold the current snapshot into `targetFiles` files. Purely physical:
+    * the logical content is unchanged, old versions stay readable (their
+    * files are never deleted).
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Long = {
+    val base = currentVersion(path)
+    val files = snapshotFiles(path, base)
+    val abs = files.map(f => Paths.get(path).resolve(f).toString)
+    val adds = writeData(spark, path, spark.read.parquet(abs: _*), targetFiles)
+    tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
+    base + 1
+  }
+
+  /** Read a snapshot (latest, or time-travel to `asOf`). */
+  def read(spark: SparkSession, path: String, asOf: Long = -1L): DataFrame = {
+    val files = snapshotFiles(path, asOf)
+    require(files.nonEmpty, s"empty snapshot of $path at $asOf")
+    spark.read.parquet(files.map(f => Paths.get(path).resolve(f).toString): _*)
+  }
+
+  /** Commit history as a DataFrame (driver-side metadata). */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    commits(path).map(c =>
+      (c.version, c.op, c.adds.size.toLong, c.removes.size.toLong,
+        c.adds.map(_.rows).sum))
+      .toDF("version", "op", "n_adds", "n_removes", "rows_added")
+  }
+}

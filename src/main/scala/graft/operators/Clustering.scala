@@ -180,6 +180,17 @@ object Clustering {
         emb.select(col(idCol).as("id"), col(vecCol).as("v"))
           .join(asg, Seq("id"))
       }
+    semDedupOnAssigned(assigned, tau)
+  }
+
+  /** The PAIR stage of SemDeDup over a precomputed assignment
+    * `(id, v, cluster)` — the Σ cluster² half, decoupled from how the
+    * assignment was produced. At 100 TB the assignment is a write-time
+    * partition key (or a hierarchical/coarse-to-fine pass), and this is
+    * the stage that actually runs per batch; ClusteringBench probes its
+    * rows-vs-time law at constant cluster size up to 1M vectors.
+    */
+  def semDedupOnAssigned(assigned: DataFrame, tau: Double): DataFrame = {
     val dupIds = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))

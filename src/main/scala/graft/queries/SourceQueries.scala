@@ -255,7 +255,35 @@ object SourceQueries {
       .orderBy(col("seg"))
   }
 
+  /** S13: the transactional table format end-to-end — create, two
+    * appends, a predicate delete (file-level rewrite), and a compaction,
+    * then EVERY version re-read via time travel. The oracle recomputes
+    * each snapshot from the raw table with the same tranche definitions,
+    * so the gate pins: commit atomicity produced exactly the declared
+    * versions, logical content is stable across physical rewrites
+    * (v4 == v3 through a full compaction), and log replay reconstructs
+    * every historical snapshot. ACID/concurrency corners (contended
+    * commits, snapshot isolation under concurrent writers) are pinned
+    * in TxnTableSpec.
+    */
+  def s13TxnTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val t = java.nio.file.Files.createTempDirectory("graft_s13").toString + "/orders_txn"
+    val orders = Lake.table(spark, dir, "orders")
+    TxnTable.create(spark, t, orders.filter(col("o_orderkey") % 3 === 0))
+    TxnTable.append(spark, t, orders.filter(col("o_orderkey") % 3 === 1))
+    TxnTable.append(spark, t, orders.filter(col("o_orderkey") % 3 === 2))
+    TxnTable.deleteWhere(spark, t, col("o_orderstatus") === "P")
+    TxnTable.compact(spark, t)
+    (0L to 4L).map { v =>
+      TxnTable.read(spark, t, asOf = v)
+        .agg(lit(v).as("version"), count(lit(1)).as("c"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("price_c"))
+    }.reduce(_ unionAll _).orderBy(col("version"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s13_txn_table"     -> (s13TxnTable _),
     "s12_nested"        -> (s12Nested _),
     "s10_zorder_values" -> (s10ZorderValues _),
     "s11_skipping_scan" -> (s11SkippingScan _),
@@ -267,6 +295,20 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // Each snapshot recomputed from the raw table with the same tranche
+    // definitions; v4 must equal v3 (compaction is purely physical).
+    "s13_txn_table" ->
+      """WITH t AS (SELECT o_orderkey % 3 AS tr, o_orderstatus,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS pc FROM orders)
+        |SELECT v.version, count(*) AS c, CAST(sum(pc) AS BIGINT) AS price_c
+        |FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+        |             (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT)),
+        |             (CAST(4 AS BIGINT))) v(version), t
+        |WHERE (v.version = 0 AND t.tr = 0)
+        |   OR (v.version = 1 AND t.tr <= 1)
+        |   OR (v.version = 2)
+        |   OR (v.version >= 3 AND t.o_orderstatus <> 'P')
+        |GROUP BY v.version ORDER BY v.version""".stripMargin,
     // Nested shredding + reassembly must be lossless: same numbers from
     // the flat three-table join (orders with no lineitems drop on both
     // sides — the gate's nested build inner-joins too).

@@ -22,6 +22,9 @@ import graft.operators.Clustering
 object ClusteringBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    // "classic" = the ×1/×32 crossover probes; "series" = the
+    // 64k/256k/1M rows-vs-time series; "all" (default) = both.
+    val mode = if (args.length > 1) args(1) else "all"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -69,7 +72,8 @@ object ClusteringBench {
       .select(Clustering.scaledInt(col("embedding")))
       .collect().map(_.getSeq[Long](0).toSeq).toSeq
 
-    for ((label, d, rows) <- Seq(("sf0.1", emb, n), ("sf0.1 x32", big, nBig))) {
+    for ((label, d, rows) <- Seq(("sf0.1", emb, n), ("sf0.1 x32", big, nBig))
+        if mode != "series") {
       time(s"assign_literal k=16 $label", rows) {
         Clustering.assignNearest(d, k16)
           .agg(sum(col("cluster").cast("long"))).head().getLong(0)
@@ -93,13 +97,59 @@ object ClusteringBench {
     // roughly constant per row. Literal assignment is deliberately NOT
     // run at k=512 — a 512-way least() is the expression-size wall the
     // join path exists for.
-    time("assign_join k=512 sf0.1 x32", nBig) {
-      Clustering.assignNearestJoin(big, k512)
-        .agg(sum(col("cluster").cast("long"))).head().getLong(0)
+    if (mode != "series") {
+      time("assign_join k=512 sf0.1 x32", nBig) {
+        Clustering.assignNearestJoin(big, k512)
+          .agg(sum(col("cluster").cast("long"))).head().getLong(0)
+      }
+      time("semdedup k=512 sf0.1 x32", nBig) {
+        Clustering.semDedupFlags(big, k512, tau = 0.3)
+          .agg(sum(col("dup").cast("long"))).head().getLong(0)
+      }
     }
-    time("semdedup k=512 sf0.1 x32", nBig) {
-      Clustering.semDedupFlags(big, k512, tau = 0.3)
-        .agg(sum(col("dup").cast("long"))).head().getLong(0)
+    big.unpersist()
+
+    // ---- rows-vs-time series: 64k / 256k / 1M ----------------------
+    // Each operator probed on the axis it must be linear on:
+    //  - assignment (literal k=16 and join k=512): cost ∝ n·k, k fixed
+    //    → expect linear in n;
+    //  - one Lloyd step (k=16): scan + O(k·dim) agg state → linear;
+    //  - semDedup PAIR stage at constant cluster size 128 (synthetic
+    //    id%m assignment — the Σ cluster² law doesn't care where the
+    //    assignment came from): pair work per row constant → linear.
+    // Single rep per point (the big points run minutes-scale; the
+    // series' slope, not its noise floor, is the measurement).
+    for (scale <- Seq(32, 128, 512) if mode != "classic") {
+      val d = emb
+        .crossJoin(spark.range(scale).select(col("id").as("rep")))
+        .select((col("vec_id") * scale + col("rep")).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + when(i === col("rep") % 64,
+              (col("rep").cast("float") - scale / 2.0f) * (0.8f / scale))
+              .otherwise(0.0f))
+            .as("embedding"))
+        .cache()
+      val rows = d.count()
+      timeN(1)(s"assign_literal k=16 x$scale", rows) {
+        Clustering.assignNearest(d, k16)
+          .agg(sum(col("cluster").cast("long"))).head().getLong(0)
+      }
+      timeN(1)(s"assign_join k=512 x$scale", rows) {
+        Clustering.assignNearestJoin(d, k512)
+          .agg(sum(col("cluster").cast("long"))).head().getLong(0)
+      }
+      timeN(1)(s"lloyd_step k=16 x$scale", rows) {
+        Clustering.lloydStep(d, k16)
+          .agg(sum(col("sv"))).head().getLong(0)
+      }
+      timeN(1)(s"semdedup_pairs csize=128 x$scale", rows) {
+        Clustering.semDedupOnAssigned(
+            d.select(col("vec_id").as("id"), col("embedding").as("v"),
+              (col("vec_id") % (rows / 128)).cast("int").as("cluster")),
+            tau = 0.3)
+          .agg(sum(col("dup").cast("long"))).head().getLong(0)
+      }
+      d.unpersist()
     }
     spark.stop()
   }

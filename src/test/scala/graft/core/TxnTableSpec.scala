@@ -1,0 +1,105 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** The ACID properties of TxnTable, pinned:
+  *  - optimistic concurrency: exactly one writer wins a version
+  *    (createLink is create-exclusive), appends retry and never lose rows;
+  *  - snapshot isolation: a version's content is immutable across later
+  *    deletes/compaction (files are never physically deleted);
+  *  - time travel replays any prefix of the log;
+  *  - deleteWhere rewrites only the files containing matches.
+  */
+class TxnTableSpec extends SparkSpecBase {
+  import TxnTable._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_txn").toString + "/t"
+
+  private def rangeDf(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+  }
+
+  test("create + append + read round-trip, history versions in order") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 100))
+    append(spark, t, rangeDf(100, 150))
+    assert(currentVersion(t) == 1L)
+    assert(read(spark, t).count() == 150)
+    val hist = history(spark, t).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.toSeq == Seq((0L, "create"), (1L, "append")))
+  }
+
+  test("exactly one writer wins a contended version") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10))
+    val commit = TxnCommit(1L, "append", Nil, Nil)
+    tryCommit(t, commit)
+    intercept[TxnConflictException] { tryCommit(t, commit) }
+  }
+
+  test("concurrent appends all land, no lost updates, distinct versions") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10))
+    val threads = (0 until 4).map { k =>
+      new Thread(() => {
+        append(spark, t, rangeDf(100 + k * 10, 110 + k * 10))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(currentVersion(t) == 4L) // v0 create + v1..v4 appends
+    assert(read(spark, t).count() == 50)
+    assert(read(spark, t).agg(countDistinct(col("id"))).head().getLong(0) == 50)
+  }
+
+  test("time travel: every version replays its exact prefix") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 20))
+    append(spark, t, rangeDf(20, 50))
+    deleteWhere(spark, t, col("id") % 2 === 0)
+    assert(read(spark, t, asOf = 0).count() == 20)
+    assert(read(spark, t, asOf = 1).count() == 50)
+    assert(read(spark, t, asOf = 2).count() == 25)
+    assert(read(spark, t).count() == 25)
+  }
+
+  test("snapshot isolation: old versions survive delete + compaction") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 30))
+    append(spark, t, rangeDf(30, 60))
+    val before = read(spark, t, asOf = 1).orderBy(col("id"))
+      .collect().map(_.toString).toSeq
+    deleteWhere(spark, t, col("id") < 10)
+    compact(spark, t)
+    val after = read(spark, t, asOf = 1).orderBy(col("id"))
+      .collect().map(_.toString).toSeq
+    assert(after == before, "compaction/delete mutated an old snapshot")
+    assert(read(spark, t).count() == 50)
+    assert(snapshotFiles(t).size == 1, "compaction should fold to one file")
+  }
+
+  test("deleteWhere rewrites only files containing matches") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 50)) // file A: ids 0-49
+    append(spark, t, rangeDf(50, 100)) // file B: ids 50-99
+    val filesBefore = snapshotFiles(t)
+    deleteWhere(spark, t, col("id") >= 90)
+    val filesAfter = snapshotFiles(t)
+    assert(filesAfter.contains(filesBefore.head),
+      "untouched file A must be carried by reference, not rewritten")
+    assert(!filesAfter.contains(filesBefore(1)), "file B must be rewritten")
+    assert(read(spark, t).count() == 90)
+  }
+
+  test("delete with no matches is a no-op version-wise") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10))
+    val v = deleteWhere(spark, t, col("id") > 1000)
+    assert(v == 0L && currentVersion(t) == 0L)
+  }
+}
