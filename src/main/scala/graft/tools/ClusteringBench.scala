@@ -40,6 +40,12 @@ object ClusteringBench {
 
     // 32× blow-up; each replica nudges one rep-dependent dimension so the
     // copies spread across clusters instead of collapsing onto the seeds.
+    // repartition BEFORE cache: the blow-up crossJoin broadcasts one side
+    // and would otherwise leave the whole cached dataset in the single
+    // partition of the streamed side — every downstream probe then ran
+    // ONE task (caught by jstack: one RUNNABLE worker in interpreted
+    // ArrayTransform.eval). The probes exist to measure operator scaling,
+    // not a degenerate input layout.
     val big = emb
       .crossJoin(spark.range(32).select(col("id").as("rep")))
       .select((col("vec_id") * 32 + col("rep")).as("vec_id"),
@@ -47,6 +53,7 @@ object ClusteringBench {
           (x, i) => x + when(i === col("rep") % 64,
             (col("rep").cast("float") - 16.0f) * 0.05f).otherwise(0.0f))
           .as("embedding"))
+      .repartition(cpus.toInt)
       .cache()
     val nBig = big.count()
 
@@ -111,14 +118,35 @@ object ClusteringBench {
 
     // ---- rows-vs-time series: 64k / 256k / 1M ----------------------
     // Each operator probed on the axis it must be linear on:
-    //  - assignment (literal k=16 and join k=512): cost ∝ n·k, k fixed
-    //    → expect linear in n;
+    //  - assignment (literal k=16 and join k=128): cost ∝ n·k, k fixed
+    //    → expect linear in n. k=128, not 512: the brute n·k join at
+    //    1M×512 (512M distance rows in one JVM) GC-thrashed the local
+    //    heap until the executor heartbeat died — measured, and the
+    //    honest wall the hierarchical/write-time assignment paths exist
+    //    for (SCALING.md records it);
     //  - one Lloyd step (k=16): scan + O(k·dim) agg state → linear;
     //  - semDedup PAIR stage at constant cluster size 128 (synthetic
     //    id%m assignment — the Σ cluster² law doesn't care where the
     //    assignment came from): pair work per row constant → linear.
     // Single rep per point (the big points run minutes-scale; the
-    // series' slope, not its noise floor, is the measurement).
+    // series' slope, not its noise floor, is the measurement). Run this
+    // mode ALONE on a quiet host — a concurrent sbt compile was measured
+    // inflating points 3-8×.
+    val k128 = k512.take(128)
+    if (mode != "classic") {
+      // Unreported warmup at 2k rows: first execution of each pipeline
+      // pays JIT + codegen compilation (measured inflating the first
+      // series point 2-8×); the series should measure steady-state.
+      Clustering.assignNearest(emb, k16)
+        .agg(sum(col("cluster").cast("long"))).head()
+      Clustering.assignNearestJoin(emb, k128)
+        .agg(sum(col("cluster").cast("long"))).head()
+      Clustering.lloydStep(emb, k16).agg(sum(col("sv"))).head()
+      Clustering.semDedupOnAssigned(
+          emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+            (col("vec_id") % 16).cast("int").as("cluster")), tau = 0.3)
+        .agg(sum(col("dup").cast("long"))).head()
+    }
     for (scale <- Seq(32, 128, 512) if mode != "classic") {
       val d = emb
         .crossJoin(spark.range(scale).select(col("id").as("rep")))
@@ -128,14 +156,15 @@ object ClusteringBench {
               (col("rep").cast("float") - scale / 2.0f) * (0.8f / scale))
               .otherwise(0.0f))
             .as("embedding"))
+        .repartition(cpus.toInt)
         .cache()
       val rows = d.count()
       timeN(1)(s"assign_literal k=16 x$scale", rows) {
         Clustering.assignNearest(d, k16)
           .agg(sum(col("cluster").cast("long"))).head().getLong(0)
       }
-      timeN(1)(s"assign_join k=512 x$scale", rows) {
-        Clustering.assignNearestJoin(d, k512)
+      timeN(1)(s"assign_join k=128 x$scale", rows) {
+        Clustering.assignNearestJoin(d, k128)
           .agg(sum(col("cluster").cast("long"))).head().getLong(0)
       }
       timeN(1)(s"lloyd_step k=16 x$scale", rows) {
