@@ -16,16 +16,23 @@ import graft.queries.ContractQueries
   *
   * CONTAMINATION EVIDENCE (added after rounds 3 and 4 each burned
   * adjudication on host noise): the JSON is self-adjudicating.
-  *  - Draws are interleaved ROUND-ROBIN across queries (draw i runs
-  *    q01..q16 in order, 5 rounds total) instead of 5 back-to-back draws
-  *    per query, so a localized contention window costs every query at
-  *    most one draw — it can no longer sink a single query's min-of-5.
-  *  - "draws" records every per-draw time (seconds, draw-major order);
-  *    a reader sees WHICH draws blew up and whether the blow-up is
-  *    suite-wide (contention) or query-local (plan change).
+  *  - "draws" records every per-draw time; a reader sees WHICH draws
+  *    blew up and whether the blow-up is suite-wide (contention) or
+  *    query-local (plan change).
   *  - "loadavg" records /proc/loadavg (1/5/15-min) before the suite,
-  *    after each timed round, and after the suite. A 1-min load far above
-  *    the worker count during a slow round is the contention signature.
+  *    after each query's draws, and after the sweep. A 1-min load far
+  *    above zero beside one query's inflated draws is the contention
+  *    signature.
+  *  - Draw order stays 5 CONSECUTIVE draws per query — fully
+  *    interleaving all draws round-robin was tried and REJECTED:
+  *    measured ~2× on every query's min-of-5 on an idle host (suite
+  *    4.0 s consecutive vs 7.3–8.8 s interleaved; per-query JVM/heap
+  *    locality is part of the steady-state being measured, and a
+  *    methodology change must not move the metric). Instead a final
+  *    SWEEP round re-runs every query once after all other queries —
+  *    if a localized contention window sank one query's 5 consecutive
+  *    draws, the sweep draw (minutes later) catches the quiet time and
+  *    the min rescues it; sweep draws are recorded as draw 6.
   */
 object Bench {
 
@@ -112,23 +119,29 @@ object Bench {
     val names = suite.map(_._1)
     val drawTimes = scala.collection.mutable.LinkedHashMap(
       names.map(_ -> Vector.empty[Double]): _*)
+    def draw(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      try { fn(spark, benchDir).collect() }
+      catch { case _: Throwable => () }
+      drawTimes(name) = drawTimes(name) :+ (System.nanoTime() - t0) / 1e9
+    }
     val loadBefore = loadavg()
-    val loadRounds = (1 to 5).map { _ =>
-      suite.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, benchDir).collect() }
-        catch { case _: Throwable => () }
-        drawTimes(name) = drawTimes(name) :+ (System.nanoTime() - t0) / 1e9
-      }
+    val loadPoints = suite.map { case (name, fn) =>
+      (1 to 5).foreach(_ => draw(name, fn))
       loadavg()
     }
+    // Final sweep: one more draw of every query, long after its
+    // consecutive block — the cross-check that rescues a query whose
+    // block landed inside a localized contention window.
+    suite.foreach { case (name, fn) => draw(name, fn) }
+    val loadAfterSweep = loadavg()
     val results = names.map(n => n -> drawTimes(n).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val draws = names.map(n =>
         "\"" + n + "\":" + drawTimes(n).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    val loads = (loadBefore +: loadRounds)
+    val loads = ((loadBefore +: loadPoints) :+ loadAfterSweep)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"suite_total_warm","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","draws":$draws,"loadavg":$loads}""")
