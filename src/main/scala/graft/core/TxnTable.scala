@@ -44,13 +44,15 @@ case class TxnCommit(
   *    `input_file_name()` pass); `compact` folds the current snapshot
   *    into fewer files; both are ordinary commits.
   *
-  * Scale notes: the log is metadata — O(1) JSON per commit, replayed
-  * driver-side in O(versions). At 10⁵+ commits the standard fix is a
-  * periodic checkpoint file holding the resolved file list (replay =
-  * last checkpoint + suffix); the read path below isolates resolution
-  * in `snapshotFiles`, which is where that checkpoint would slot in.
-  * Data-file work (rewrite, compaction) is Spark jobs over only the
-  * affected files.
+  * Scale notes: the log is metadata — O(1) JSON per commit. Every
+  * `CheckpointInterval`-th commit also writes a checkpoint holding the
+  * RESOLVED live-file list at that version, so snapshot resolution
+  * replays at most `CheckpointInterval` commits past the nearest
+  * checkpoint — O(1) amortized reads per lookup instead of
+  * O(versions). Checkpoints are derived data: written best-effort by
+  * the commit winner, idempotent by content, and a missing one only
+  * costs a longer replay. Data-file work (rewrite, compaction) is
+  * Spark jobs over only the affected files.
   */
 object TxnTable {
 
@@ -117,6 +119,12 @@ object TxnTable {
     }
   }
 
+  /** Write a checkpoint every this-many versions (v10, v20, …). */
+  val CheckpointInterval = 10
+
+  private def checkpointFile(path: String, v: Long): JPath =
+    logDir(path).resolve(f"ckpt-v$v%010d.json")
+
   /** Publish `commit` as exactly version `commit.version`.
     * @throws TxnConflictException if that version already exists. */
   def tryCommit(path: String, commit: TxnCommit): Unit = {
@@ -128,6 +136,50 @@ object TxnTable {
       case _: FileAlreadyExistsException =>
         throw new TxnConflictException(commit.version)
     } finally Files.deleteIfExists(tmp)
+    // Checkpoint: only the winner of version V reaches here, so there
+    // is exactly one writer; the content is deterministic from the log
+    // prefix, so a torn/failed write is safe (readers fall back to a
+    // longer replay). Never let checkpoint failure fail the commit.
+    if (commit.version > 0 && commit.version % CheckpointInterval == 0) {
+      try {
+        val files = snapshotFiles(path, commit.version)
+        val json = s"""{"version":${commit.version},"files":""" +
+          files.map(f => s""""${esc(f)}"""").mkString("[", ",", "]") + "}"
+        val ctmp = logDir(path).resolve(s".ckpt-tmp-${java.util.UUID.randomUUID()}")
+        Files.write(ctmp, json.getBytes(StandardCharsets.UTF_8))
+        Files.move(ctmp, checkpointFile(path, commit.version),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Latest checkpoint at or below `v`: (version, live files). */
+  private def latestCheckpoint(path: String, v: Long): Option[(Long, Seq[String])] = {
+    val ld = logDir(path)
+    if (!Files.isDirectory(ld)) return None
+    val it = Files.list(ld)
+    val best =
+      try it.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("ckpt-v") && n.endsWith(".json"))
+        .map(n => n.substring(6, n.length - 5).toLong)
+        .filter(_ <= v)
+        .foldLeft(-1L)(math.max)
+      finally it.close()
+    if (best < 0) return None
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    try {
+      val j = JsonMethods.parse(new String(
+        Files.readAllBytes(checkpointFile(path, best)), StandardCharsets.UTF_8))
+      val files = (j \ "files") match {
+        case JArray(arr) => arr.map(_.extract[String])
+        case _ => Nil
+      }
+      Some((best, files))
+    } catch { case _: Throwable => None } // corrupt checkpoint → full replay
   }
 
   /** All commits with version ≤ asOf (or all, if asOf < 0), in order. */
@@ -142,10 +194,21 @@ object TxnTable {
     }
   }
 
-  /** Resolve the data-file list of a snapshot by log replay. */
+  /** Resolve the data-file list of a snapshot: nearest checkpoint ≤
+    * target, then replay only the commit suffix (≤ CheckpointInterval
+    * commits amortized).
+    */
   def snapshotFiles(path: String, asOf: Long = -1L): Seq[String] = {
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    commits(path, asOf).foreach { c =>
+    val top = currentVersion(path)
+    require(top >= 0, s"not a TxnTable: $path")
+    val upTo = if (asOf < 0) top else asOf
+    require(upTo <= top, s"version $upTo does not exist (latest $top)")
+    val (from, initial) = latestCheckpoint(path, upTo)
+      .getOrElse((-1L, Seq.empty[String]))
+    val live = scala.collection.mutable.LinkedHashSet(initial: _*)
+    ((from + 1) to upTo).foreach { v =>
+      val c = parse(new String(Files.readAllBytes(versionFile(path, v)),
+        StandardCharsets.UTF_8))
       c.removes.foreach(live -= _)
       c.adds.foreach(a => live += a.path)
     }

@@ -96,6 +96,32 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).count() == 90)
   }
 
+  test("checkpoints: written every interval, resolution matches full replay") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10))
+    (1 to 24).foreach(k => append(spark, t, rangeDf(k * 10, k * 10 + 10)))
+    assert(currentVersion(t) == 24L)
+    val ld = java.nio.file.Paths.get(t, "_graft_log")
+    for (v <- Seq(10, 20))
+      assert(java.nio.file.Files.exists(ld.resolve(f"ckpt-v$v%010d.json")),
+        s"missing checkpoint at v$v")
+    // resolution through a checkpoint (v15 → ckpt10 + 5 commits) and
+    // at/before checkpoints must all equal the logical prefix
+    for ((v, expect) <- Seq(9 -> 100, 10 -> 110, 15 -> 160, 24 -> 250))
+      assert(read(spark, t, asOf = v).count() == expect, s"asOf=$v")
+  }
+
+  test("corrupt checkpoint falls back to full replay") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10))
+    (1 to 12).foreach(k => append(spark, t, rangeDf(k * 10, k * 10 + 10)))
+    val ck = java.nio.file.Paths.get(t, "_graft_log")
+      .resolve(f"ckpt-v${10}%010d.json")
+    java.nio.file.Files.write(ck, "{not json".getBytes)
+    assert(read(spark, t, asOf = 12).count() == 130)
+    assert(read(spark, t, asOf = 10).count() == 110)
+  }
+
   test("delete with no matches is a no-op version-wise") {
     val t = freshTable()
     create(spark, t, rangeDf(0, 10))
