@@ -85,6 +85,87 @@ object Clustering {
       .agg(min(col("ds")).getField("sid").as("cluster"))
   }
 
+  /** Two-level (IVF-style) nearest-centroid assignment for large k —
+    * the answer to the measured n·k wall (ClusteringBench: brute
+    * broadcast-join assignment at 1M rows × k=512 GC-died; SCALING.md).
+    *
+    * Level 1: the k centroids are themselves clustered into ~√k coarse
+    * cells DRIVER-side (k-means over k points — metadata scale, exact
+    * same integer arithmetic). Level 2: each row scores only the
+    * centroids belonging to its `probe` nearest coarse cells. Cost per
+    * row: kCoarse + probe·(k/kCoarse) distances ≈ (1+probe)·√k vs k
+    * brute — ~4.5× fewer at k=512/probe=4, widening with k — and the
+    * coarse argmax stays under the literal-`least` expression wall.
+    *
+    * Approximate by construction: exact iff the true nearest centroid
+    * lies in one of the row's probed cells. probe = kCoarse degenerates
+    * to EXACT brute assignment (spec-pinned equal to assignNearest);
+    * recall at probe=4 is measured in ClusteringSpec on the real
+    * corpus. Plan shape: one codegen projection (coarse scoring) + one
+    * explode to n·probe rows + one broadcast equi-join on the cell id +
+    * the same argmin partial-agg as assignNearestJoin — no all-pairs,
+    * no shuffle of vectors beyond the id-keyed argmin.
+    */
+  def assignNearestHierarchical(
+      emb: DataFrame,
+      centroids: Seq[Seq[Long]],
+      probe: Int = 4,
+      kCoarseOpt: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty)
+    val k = centroids.size
+    val kCoarse = if (kCoarseOpt > 0) kCoarseOpt
+      else math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    val p = math.min(probe, kCoarse)
+
+    // ---- driver-side k-means over the k centroids (metadata scale) --
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+    var coarse: IndexedSeq[Seq[Long]] =
+      (0 until kCoarse).map(i => centroids(i * k / kCoarse))
+    var assign = Array.fill(k)(0)
+    for (_ <- 0 until 8) {
+      assign = centroids.toArray.map { c =>
+        coarse.indices.minBy(j => (d2(c, coarse(j)), j))
+      }
+      coarse = coarse.indices.map { j =>
+        val members = centroids.indices.filter(assign(_) == j)
+        if (members.isEmpty) coarse(j)
+        else {
+          val dim = centroids.head.size
+          (0 until dim).map { d =>
+            math.round(members.map(m => centroids(m)(d)).sum
+              .toDouble / members.size)
+          }
+        }
+      }
+    }
+
+    // ---- level 1: per-row top-`p` coarse cells (codegen projection) --
+    val scaled = scaledInt(col(vecCol))
+    val cellScores = array(coarse.zipWithIndex.map { case (c, j) =>
+      struct(dist2(scaled, c).as("d"), lit(j).as("j"))
+    }: _*)
+    val probed = emb
+      .select(col(idCol), scaled.as("sc"),
+        slice(sort_array(cellScores), 1, p).as("cells"))
+      .select(col(idCol), col("sc"),
+        explode(col("cells")).as("cell"))
+      .select(col(idCol), col("sc"), col("cell.j").as("cellId"))
+
+    // ---- level 2: exact argmin among the probed cells' members ------
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val members = centroids.zipWithIndex
+      .map { case (c, i) => (assign(i), i, c) }.toDF("cellId", "sid", "ce")
+    val d2c = graft.plans.SquaredDistanceInt.dist2_int(col("sc"), col("ce"))
+    probed.join(broadcast(members), Seq("cellId"))
+      .select(col(idCol), struct(d2c.as("d"), col("sid")).as("ds"))
+      .groupBy(col(idCol))
+      .agg(min(col("ds")).getField("sid").as("cluster"))
+  }
+
   /** Deterministic seed centroids: the scaled-int embeddings of the k
     * lowest ids (O(k·dim) to the driver — index-metadata scale, the same
     * bound as Similarity.sampleCentroids).

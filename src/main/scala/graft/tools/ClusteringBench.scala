@@ -141,6 +141,8 @@ object ClusteringBench {
         .agg(sum(col("cluster").cast("long"))).head()
       Clustering.assignNearestJoin(emb, k128)
         .agg(sum(col("cluster").cast("long"))).head()
+      Clustering.assignNearestHierarchical(emb, k512, probe = 4)
+        .agg(sum(col("cluster").cast("long"))).head()
       Clustering.lloydStep(emb, k16).agg(sum(col("sv"))).head()
       Clustering.semDedupOnAssigned(
           emb.select(col("vec_id").as("id"), col("embedding").as("v"),
@@ -165,6 +167,12 @@ object ClusteringBench {
       }
       timeN(1)(s"assign_join k=128 x$scale", rows) {
         Clustering.assignNearestJoin(d, k128)
+          .agg(sum(col("cluster").cast("long"))).head().getLong(0)
+      }
+      // The large-k path that SURVIVES where brute k=512 died: two-level
+      // probing scores ~(1+probe)·√k ≈ 111 centroids/row instead of 512.
+      timeN(1)(s"assign_hier k=512 x$scale", rows) {
+        Clustering.assignNearestHierarchical(d, k512, probe = 4)
           .agg(sum(col("cluster").cast("long"))).head().getLong(0)
       }
       timeN(1)(s"lloyd_step k=16 x$scale", rows) {
