@@ -52,8 +52,15 @@ object CboStats {
       case StringType | BinaryType | _: ArrayType | _: MapType | _: StructType =>
         None
       case _ => s.flatMap { str =>
-        Option(Cast(Literal(str), dt, Some("UTC")).eval(null))
+        // Defensive: the crawler profiles the NORMALIZED view of a
+        // dataset (e.g. ns-timestamps read as µs TimestampType) while
+        // the catalog table may expose the raw physical type (ns column
+        // as BIGINT) — an ANSI cast across that mismatch throws. A
+        // column stat is an optimization, never worth failing a
+        // registration over: drop min/max and keep ndv/nulls instead.
+        try Option(Cast(Literal(str), dt, Some("UTC")).eval(null))
           .map(v => CatalogColumnStat.toExternalString(v, p.column, dt))
+        catch { case _: Throwable => None }
       }
     }
     CatalogColumnStat(

@@ -158,6 +158,41 @@ class PlanShapeSpec extends SparkSpecBase {
       s"crawled stats should flip to broadcast, got ${byVariant("with_stats")}")
   }
 
+  test("c13b: crawled stats drive cost-based join REORDER, dims first") {
+    // The same crawl output that flips SMJ→BHJ (c13) must also reorder
+    // a badly-written multi-join: syntactically the query joins
+    // fact⋈fact first (lineitem⋈orders) with the selective dims last.
+    // Without stats the syntactic order stands; with crawled rowCounts
+    // + ndv/min-max, CostBasedJoinReorder starts from the filtered
+    // dims and leaves the big fact for last.
+    import graft.crawler.CboStats
+    CboStats.registerLake(spark, sf0001, "cbo5_")
+    val sql = """SELECT n_name, count(*) AS c FROM cbo5_lineitem
+      JOIN cbo5_orders ON l_orderkey = o_orderkey
+      JOIN cbo5_customer ON o_custkey = c_custkey
+      JOIN cbo5_nation ON c_nationkey = n_nationkey
+      WHERE n_name IN ('FRANCE','GERMANY') AND c_mktsegment = 'BUILDING'
+      GROUP BY n_name"""
+    def leafOrder(cbo: Boolean): Seq[String] = {
+      val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      val saved = keys.map(k => k -> spark.conf.getOption(k))
+      try {
+        keys.foreach(k => spark.conf.set(k, cbo.toString))
+        spark.sql(sql).queryExecution.optimizedPlan.collectLeaves()
+          .map(_.toString.toLowerCase)
+          .map(s => Seq("lineitem", "orders", "customer", "nation")
+            .find(s.contains).getOrElse("?"))
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    }
+    assert(leafOrder(cbo = false).head == "lineitem",
+      "without stats the syntactic fact-first order should stand")
+    val reordered = leafOrder(cbo = true)
+    assert(reordered.head == "customer" && reordered.last == "lineitem",
+      s"stats-driven reorder should put dims first, fact last: $reordered")
+  }
+
   test("s12: nested scan prunes to the two referenced leaf fields") {
     // The nested read touches only cust.c_mktsegment and
     // items[*].l_quantity; Spark's nested-schema pruning must push that
