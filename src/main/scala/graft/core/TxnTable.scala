@@ -310,6 +310,47 @@ object TxnTable {
     base + 1
   }
 
+  /** Exactly-once streaming append (the foreachBatch sink): commit the
+    * micro-batch under op `stream:<streamId>:<batchId>` and SKIP any
+    * batch id already in the log — checkpoint recovery re-delivers the
+    * last un-acknowledged batch, and this makes the redelivery a no-op
+    * (the idempotent-writer pattern a transactional log enables; the
+    * same role Delta's txn action plays). Version races re-check
+    * idempotence before retrying, so a duplicate can't slip in between
+    * the check and the commit. Returns the committed version, or None
+    * if the batch was already applied.
+    *
+    * Single-writer-per-streamId is assumed (Structured Streaming's
+    * checkpoint lock provides it); concurrent DIFFERENT streams and
+    * batch writers compose through the normal version protocol.
+    */
+  def appendStreamBatch(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      streamId: String,
+      batchId: Long,
+      partitions: Int = 1,
+      maxAttempts: Int = 20): Option[Long] = {
+    val op = s"stream:$streamId:$batchId"
+    def alreadyApplied(): Boolean =
+      currentVersion(path) >= 0 && commits(path).exists(_.op == op)
+    if (alreadyApplied()) return None
+    val adds = writeData(spark, path, df, partitions)
+    var attempt = 0
+    while (attempt <= maxAttempts) {
+      if (alreadyApplied()) return None
+      val v = currentVersion(path) + 1
+      try {
+        tryCommit(path, TxnCommit(v, op, adds, Nil))
+        return Some(v)
+      } catch {
+        case _: TxnConflictException => attempt += 1
+      }
+    }
+    sys.error(s"appendStreamBatch: lost $maxAttempts version races for $op")
+  }
+
   /** Read a snapshot (latest, or time-travel to `asOf`). */
   def read(spark: SparkSession, path: String, asOf: Long = -1L): DataFrame = {
     val files = snapshotFiles(path, asOf)

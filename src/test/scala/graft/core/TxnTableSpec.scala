@@ -122,6 +122,39 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t, asOf = 10).count() == 110)
   }
 
+  test("streaming sink: a real stream lands exactly-once, replays are no-ops") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10).withColumn("part", lit(-1)))
+    // a real Structured Streaming query committing via foreachBatch
+    val staging = Files.createTempDirectory("graft_txn_stage_in").toString
+    val ckpt = Files.createTempDirectory("graft_txn_ck").toString
+    (0 until 3).foreach { i =>
+      rangeDf(100 + i * 10, 110 + i * 10).withColumn("part", lit(i))
+        .coalesce(1).write.mode("append").parquet(staging)
+    }
+    val sch = spark.read.parquet(staging).schema
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(staging)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        TxnTable.appendStreamBatch(spark, t, batch, "s1", id); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(read(spark, t).count() == 40)
+    // redelivery of an already-committed batch must be a no-op
+    val vBefore = currentVersion(t)
+    val res = appendStreamBatch(spark, t, rangeDf(100, 110), "s1", 0L)
+    assert(res.isEmpty && currentVersion(t) == vBefore)
+    assert(read(spark, t).count() == 40)
+    // a NEW batch id still commits
+    assert(appendStreamBatch(spark, t, rangeDf(200, 205), "s1", 99L).nonEmpty)
+    assert(read(spark, t).count() == 45)
+    assert(read(spark, t).agg(count(lit(1)), sum(col("id"))).head().getLong(0) == 45)
+  }
+
   test("delete with no matches is a no-op version-wise") {
     val t = freshTable()
     create(spark, t, rangeDf(0, 10))
