@@ -59,8 +59,15 @@ object TxnTable {
   class TxnConflictException(version: Long)
     extends RuntimeException(s"version $version was committed concurrently")
 
-  private def logDir(path: String): JPath = Paths.get(path, "_graft_log")
-  private def dataDir(path: String): JPath = Paths.get(path, "data")
+  /** Accept both plain local paths and `file:` URIs (the crawler hands
+    * over Hadoop-style URI strings). */
+  private def localRoot(path: String): JPath =
+    if (path.startsWith("file:"))
+      Paths.get(java.net.URI.create(path).getPath)
+    else Paths.get(path)
+
+  private def logDir(path: String): JPath = localRoot(path).resolve("_graft_log")
+  private def dataDir(path: String): JPath = localRoot(path).resolve("data")
   private def versionFile(path: String, v: Long): JPath =
     logDir(path).resolve(f"v$v%010d.json")
 
@@ -278,7 +285,7 @@ object TxnTable {
   def deleteWhere(spark: SparkSession, path: String, predicate: Column): Long = {
     val base = currentVersion(path)
     val files = snapshotFiles(path, base)
-    val abs = files.map(f => Paths.get(path).resolve(f).toString)
+    val abs = files.map(f => localRoot(path).resolve(f).toString)
     val withFile = spark.read.parquet(abs: _*)
       .withColumn("__file", input_file_name())
     val hitFiles = withFile.filter(predicate)
@@ -304,7 +311,7 @@ object TxnTable {
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Long = {
     val base = currentVersion(path)
     val files = snapshotFiles(path, base)
-    val abs = files.map(f => Paths.get(path).resolve(f).toString)
+    val abs = files.map(f => localRoot(path).resolve(f).toString)
     val adds = writeData(spark, path, spark.read.parquet(abs: _*), targetFiles)
     tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
     base + 1
@@ -355,7 +362,7 @@ object TxnTable {
   def read(spark: SparkSession, path: String, asOf: Long = -1L): DataFrame = {
     val files = snapshotFiles(path, asOf)
     require(files.nonEmpty, s"empty snapshot of $path at $asOf")
-    spark.read.parquet(files.map(f => Paths.get(path).resolve(f).toString): _*)
+    spark.read.parquet(files.map(f => localRoot(path).resolve(f).toString): _*)
   }
 
   /** Commit history as a DataFrame (driver-side metadata). */

@@ -77,6 +77,27 @@ object LakeCrawler {
         val fmt = detectFormat(spark, st.getPath)
         Some(DatasetInfo(stripExt(st.getPath.getName), st.getPath.toString,
           fmt, 1, st.getLen, st.getModificationTime))
+      } else if (filesystem.exists(new Path(st.getPath, "_graft_log"))) {
+        // Transactional table: the dataset is the LOGICAL snapshot, not
+        // the directory listing — a raw file walk would double-count
+        // dead (compacted/deleted-from) files and could read a
+        // half-committed writer's staging output. Size/count come from
+        // the commit log's live adds; modifiedMs is the latest commit
+        // file, so an incremental re-crawl sees change exactly when a
+        // commit lands and never drifts on physical-only noise.
+        val t = st.getPath.toString
+        val v = graft.core.TxnTable.currentVersion(t)
+        if (v < 0) None
+        else {
+          val cs = graft.core.TxnTable.commits(t)
+          val live = graft.core.TxnTable.snapshotFiles(t).toSet
+          val liveAdds = cs.flatMap(_.adds).filter(a => live.contains(a.path))
+            .groupBy(_.path).map(_._2.head)
+          val logFiles = filesystem.listStatus(new Path(st.getPath, "_graft_log"))
+          Some(DatasetInfo(st.getPath.getName, t, "graft-txn",
+            liveAdds.size, liveAdds.map(_.bytes).sum,
+            logFiles.map(_.getModificationTime).max))
+        }
       } else {
         val files = filesystem.listStatus(st.getPath).filter(_.isFile).filter(visible)
         if (files.isEmpty) None
@@ -125,6 +146,7 @@ object LakeCrawler {
         df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
       }
+    case "graft-txn" => graft.core.TxnTable.read(spark, info.path)
     case "orc" => spark.read.orc(info.path)
     case "json" => spark.read.json(info.path)
     case "csv" => spark.read

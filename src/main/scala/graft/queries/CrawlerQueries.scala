@@ -264,7 +264,43 @@ object CrawlerQueries {
       .orderBy(col("variant"))
   }
 
+  /** C14: the crawler is transactional-table-aware. A lake holds a
+    * plain parquet table and a TxnTable (full orders, then a predicate
+    * delete); discovery must classify the txn dir as `graft-txn` and
+    * size it from the commit log's LIVE files (a raw file walk would
+    * double-count the pre-delete files), profiling must read the
+    * LOGICAL snapshot (deleted rows gone — the aggregate is
+    * oracle-checked against the same predicate on raw orders), and an
+    * incremental re-crawl after one more commit must flag exactly the
+    * txn table as changed. Crawler ∘ ACID, end-to-end.
+    */
+  def c14TxnCrawl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.TxnTable
+    val lake = Files.createTempDirectory("graft_c14").toString
+    graft.core.Lake.table(spark, dir, "nation")
+      .coalesce(1).write.parquet(s"$lake/nation")
+    val t = s"$lake/orders_txn"
+    val orders = graft.core.Lake.table(spark, dir, "orders")
+    TxnTable.create(spark, t, orders)
+    TxnTable.deleteWhere(spark, t, col("o_orderstatus") === "P")
+    val snap1 = Files.createTempDirectory("graft_c14s1").toString
+    val infos = CatalogStore.crawl(spark, lake, snap1)
+    val txnInfo = infos.find(_.name == "orders_txn").get
+    val agg = LakeCrawler.open(spark, txnInfo)
+      .agg(count(lit(1)).as("c"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("pc")).head()
+    TxnTable.append(spark, t, orders.filter(col("o_orderkey") % 3 === 0))
+    val snap2 = Files.createTempDirectory("graft_c14s2").toString
+    val d = CatalogStore.incrementalCrawl(spark, lake, snap1, snap2)
+    Seq((txnInfo.format, agg.getLong(0), agg.getLong(1), infos.size.toLong,
+        d.changed.mkString(","), d.unchanged.mkString(",")))
+      .toDF("txn_format", "txn_rows", "txn_price_c", "datasets",
+        "changed", "unchanged")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "c14_txn_crawl"       -> (c14TxnCrawl _),
     "c13_cbo_bhj"         -> (c13CboBhj _),
     "c12_outliers"        -> (c12Outliers _),
     "c8_equidepth"        -> (c8EquidepthHistogram _),
@@ -317,6 +353,17 @@ object CrawlerQueries {
        |FROM customer""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The snapshot aggregate is the cross-engine check (DuckDB applies
+    // the same delete predicate to raw orders); format/diff columns pin
+    // the discovery classification and the exactly-one-changed-dataset
+    // invariant.
+    "c14_txn_crawl" ->
+      """SELECT 'graft-txn' AS txn_format, count(*) AS txn_rows,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS txn_price_c,
+        |  CAST(2 AS BIGINT) AS datasets,
+        |  'orders_txn' AS changed, 'nation' AS unchanged
+        |FROM orders WHERE o_orderstatus <> 'P'""".stripMargin,
     // The data columns are a genuine cross-engine check; the join_node
     // column pins the PLAN flip (static planner choice with vs without
     // crawled stats) as part of the executable contract.
