@@ -150,7 +150,8 @@ object TxnTable {
     if (commit.version > 0 && commit.version % CheckpointInterval == 0) {
       try {
         val files = snapshotFiles(path, commit.version)
-        val json = s"""{"version":${commit.version},"files":""" +
+        val json = s"""{"version":${commit.version},""" +
+          s""""horizon":${earliestVersion(path)},"files":""" +
           files.map(f => s""""${esc(f)}"""").mkString("[", ",", "]") + "}"
         val ctmp = logDir(path).resolve(s".ckpt-tmp-${java.util.UUID.randomUUID()}")
         Files.write(ctmp, json.getBytes(StandardCharsets.UTF_8))
@@ -161,8 +162,10 @@ object TxnTable {
     }
   }
 
-  /** Latest checkpoint at or below `v`: (version, live files). */
-  private def latestCheckpoint(path: String, v: Long): Option[(Long, Seq[String])] = {
+  /** Latest checkpoint at or below `v`: (version, live files, vacuum
+    * horizon at checkpoint time). */
+  private def latestCheckpoint(path: String, v: Long)
+      : Option[(Long, Seq[String], Long)] = {
     val ld = logDir(path)
     if (!Files.isDirectory(ld)) return None
     val it = Files.list(ld)
@@ -185,7 +188,11 @@ object TxnTable {
         case JArray(arr) => arr.map(_.extract[String])
         case _ => Nil
       }
-      Some((best, files))
+      val horizon = (j \ "horizon") match {
+        case JInt(h) => h.toLong
+        case _ => 0L // pre-horizon checkpoint format
+      }
+      Some((best, files, horizon))
     } catch { case _: Throwable => None } // corrupt checkpoint → full replay
   }
 
@@ -210,8 +217,8 @@ object TxnTable {
     require(top >= 0, s"not a TxnTable: $path")
     val upTo = if (asOf < 0) top else asOf
     require(upTo <= top, s"version $upTo does not exist (latest $top)")
-    val (from, initial) = latestCheckpoint(path, upTo)
-      .getOrElse((-1L, Seq.empty[String]))
+    val (from, initial, _) = latestCheckpoint(path, upTo)
+      .getOrElse((-1L, Seq.empty[String], 0L))
     val live = scala.collection.mutable.LinkedHashSet(initial: _*)
     ((from + 1) to upTo).foreach { v =>
       val c = parse(new String(Files.readAllBytes(versionFile(path, v)),
@@ -358,8 +365,77 @@ object TxnTable {
     sys.error(s"appendStreamBatch: lost $maxAttempts version races for $op")
   }
 
+  /** Oldest version still readable: 0, or the horizon of the most
+    * aggressive vacuum so far. Checkpoint-amortized like
+    * `snapshotFiles`: the checkpoint carries the horizon at its
+    * version, so only the commit suffix is scanned.
+    */
+  def earliestVersion(path: String): Long = {
+    val top = currentVersion(path)
+    if (top < 0) return 0L
+    val (from, _, ckHorizon) = latestCheckpoint(path, top)
+      .getOrElse((-1L, Seq.empty[String], 0L))
+    ((from + 1) to top).map { v =>
+      val c = parse(new String(Files.readAllBytes(versionFile(path, v)),
+        StandardCharsets.UTF_8))
+      if (c.op.startsWith("vacuum:")) c.op.stripPrefix("vacuum:").toLong
+      else 0L
+    }.foldLeft(ckHorizon)(math.max)
+  }
+
+  /** Physical cleanup: delete data files referenced ONLY by snapshots
+    * older than the time-travel horizon (the last `retainVersions`
+    * versions stay fully readable). The horizon is recorded as a
+    * `vacuum:<horizon>` commit, so pre-horizon time travel fails with a
+    * clear error instead of missing files, and the vacuum itself is an
+    * ordinary serialized commit (no file can be both vacuumed and
+    * resurrected by a racing writer: the file set is resolved from the
+    * log prefix the commit wins against). Logical content is unchanged
+    * — the commit carries no adds/removes. Returns (new version,
+    * number of files deleted).
+    *
+    * Scale: resolves `retainVersions` snapshots (checkpoint-amortized)
+    * and lists the data dir — both metadata-scale; deletion is
+    * O(dead files).
+    */
+  def vacuum(spark: SparkSession, path: String,
+      retainVersions: Int = 2): (Long, Int) = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(path)
+      val horizon = math.max(earliestVersion(path),
+        math.max(0L, cur - retainVersions + 1))
+      val keep = (horizon to cur).flatMap(v => snapshotFiles(path, v)).toSet
+      // Known-dead only: files REFERENCED by a pre-horizon commit and
+      // absent from every retained snapshot. Never "everything not in
+      // keep" — a concurrent appender stages its data files BEFORE its
+      // commit, and an unreferenced file may be exactly that.
+      val dead = commits(path).filter(_.version < horizon)
+        .flatMap(_.adds.map(_.path)).toSet -- keep
+      try {
+        tryCommit(path, TxnCommit(cur + 1, s"vacuum:$horizon", Nil, Nil))
+        // the commit won: the dead-set is authoritative (later writers
+        // build on a log that already contains this vacuum)
+        var deleted = 0
+        dead.foreach { f =>
+          if (Files.deleteIfExists(localRoot(path).resolve(f))) deleted += 1
+        }
+        return (cur + 1, deleted)
+      } catch {
+        case _: TxnConflictException if attempt < 20 => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Read a snapshot (latest, or time-travel to `asOf`). */
   def read(spark: SparkSession, path: String, asOf: Long = -1L): DataFrame = {
+    if (asOf >= 0) {
+      val earliest = earliestVersion(path)
+      require(asOf >= earliest,
+        s"version $asOf was vacuumed away (earliest readable: $earliest)")
+    }
     val files = snapshotFiles(path, asOf)
     require(files.nonEmpty, s"empty snapshot of $path at $asOf")
     spark.read.parquet(files.map(f => localRoot(path).resolve(f).toString): _*)

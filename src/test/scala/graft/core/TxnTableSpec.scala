@@ -155,6 +155,47 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).agg(count(lit(1)), sum(col("id"))).head().getLong(0) == 45)
   }
 
+  test("vacuum deletes only log-dead files and fences time travel") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 30)) // v0
+    append(spark, t, rangeDf(30, 60)) // v1
+    deleteWhere(spark, t, col("id") < 10) // v2: v0's file rewritten
+    compact(spark, t) // v3: everything rewritten
+    def dataFiles(): Set[String] = {
+      val dd = java.nio.file.Paths.get(t, "data")
+      val s = java.nio.file.Files.list(dd)
+      try {
+        val it = s.iterator(); val b = Set.newBuilder[String]
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.result()
+      } finally s.close()
+    }
+    val before = dataFiles().size
+    val (v, deleted) = vacuum(spark, t, retainVersions = 2)
+    assert(v == 4L)
+    assert(deleted > 0 && dataFiles().size == before - deleted)
+    // retained versions fully readable
+    assert(read(spark, t).count() == 50)
+    assert(read(spark, t, asOf = 3).count() == 50)
+    assert(read(spark, t, asOf = 2).count() == 50)
+    // pre-horizon time travel fails with the fence, not missing files
+    val e = intercept[IllegalArgumentException] { read(spark, t, asOf = 1) }
+    assert(e.getMessage.contains("vacuumed"))
+    assert(earliestVersion(t) == 2L)
+    // idempotent: nothing left to delete at the same horizon
+    val (_, deleted2) = vacuum(spark, t, retainVersions = 3)
+    assert(deleted2 == 0)
+    // the table remains writable and consistent after vacuum
+    append(spark, t, rangeDf(100, 110))
+    assert(read(spark, t).count() == 60)
+    // horizon survives across a checkpoint boundary (v10+): the fence
+    // must come from the checkpoint's recorded horizon, not a full scan
+    (0 until 8).foreach(k => append(spark, t, rangeDf(200 + k, 201 + k)))
+    assert(currentVersion(t) >= 11L)
+    assert(earliestVersion(t) == 2L)
+    intercept[IllegalArgumentException] { read(spark, t, asOf = 1) }
+  }
+
   test("delete with no matches is a no-op version-wise") {
     val t = freshTable()
     create(spark, t, rangeDf(0, 10))
