@@ -96,6 +96,23 @@ object GraftEngine {
     /** The crawler surface (EP1): crawl a lake root into a catalog. */
     def crawl(lakeRoot: String, catalogDir: String): Seq[DatasetInfo] =
       CatalogStore.crawl(spark, lakeRoot, catalogDir)
+
+    /** The transactional surface (round 5): read a TxnTable snapshot
+      * (latest or time travel). Writes go through `graft.core.TxnTable`
+      * directly (create/append/deleteWhere/compact/vacuum/
+      * appendStreamBatch).
+      */
+    def txnRead(path: String, asOf: Long = -1L): DataFrame =
+      graft.core.TxnTable.read(spark, path, asOf)
+
+    /** Register crawled statistics with the cost-based optimizer
+      * (round 5): every discovered dataset becomes a catalog table with
+      * its profile injected as CatalogStatistics — join strategy and
+      * join order then come from crawl output (enable
+      * `spark.sql.cbo.enabled` / `spark.sql.cbo.joinReorder.enabled`).
+      */
+    def registerStats(lakeRoot: String, prefix: String = ""): Seq[String] =
+      graft.crawler.CboStats.registerLake(spark, lakeRoot, prefix)
   }
 
   def open(dir: String, spark: SparkSession = session()): Engine =

@@ -65,4 +65,24 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(infos.size == 10)
     assert(spark.read.parquet(s"$out/profiles").count() > 0)
   }
+
+  test("txn surface: write via TxnTable, read + time travel via the engine") {
+    val t = java.nio.file.Files.createTempDirectory("graft_eng_txn").toString + "/t"
+    graft.core.TxnTable.create(spark, t, eng.table("nation"))
+    graft.core.TxnTable.deleteWhere(spark, t,
+      org.apache.spark.sql.functions.col("n_regionkey") === 0)
+    assert(eng.txnRead(t).count() < 25)
+    assert(eng.txnRead(t, asOf = 0).count() == 25)
+  }
+
+  test("registerStats surface: catalog tables carry crawled rowCounts") {
+    eng.registerStats("/root/testdata/sf0.001", "engstats_")
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      assert(spark.table("engstats_nation").queryExecution.optimizedPlan
+        .stats.rowCount.contains(BigInt(25)))
+    } finally saved.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+      spark.conf.set("spark.sql.cbo.enabled", _))
+  }
 }
