@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
 /** One data file added by a commit. */
 case class TxnAdd(path: String, rows: Long, bytes: Long)
 
-/** One committed version: the actions that produced it. */
+/** One committed version: the actions that produced it. `schema` is the
+  * table schema as of this commit (JSON), recorded on create and on
+  * explicit evolution; absent otherwise. */
 case class TxnCommit(
     version: Long,
     op: String,
     adds: Seq[TxnAdd],
-    removes: Seq[String])
+    removes: Seq[String],
+    schema: Option[String] = None)
 
 /** A minimal transactional table format: snapshot-versioned parquet with
   * an append-only JSON commit log — the ACID layer the plain-directory
@@ -81,7 +84,8 @@ object TxnTable {
       s"""{"path":"${esc(a.path)}","rows":${a.rows},"bytes":${a.bytes}}""")
       .mkString("[", ",", "]")
     val removes = c.removes.map(r => s""""${esc(r)}"""").mkString("[", ",", "]")
-    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":$adds,"removes":$removes}"""
+    val schema = c.schema.map(s => s""","schema":"${esc(s)}"""").getOrElse("")
+    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":$adds,"removes":$removes$schema}"""
   }
 
   private def parse(json: String): TxnCommit = {
@@ -101,8 +105,12 @@ object TxnTable {
       case JArray(arr) => arr.map(_.extract[String])
       case _ => Nil
     }
+    val schema = (j \ "schema") match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
     TxnCommit((j \ "version").extract[Long], (j \ "op").extract[String],
-      adds, removes)
+      adds, removes, schema)
   }
 
   /** Latest committed version, or -1 for a nonexistent/empty table. */
@@ -257,25 +265,67 @@ object TxnTable {
       }
   }
 
-  /** Create version 0 from `df`. Fails if the table already exists. */
+  class SchemaMismatchException(msg: String) extends RuntimeException(msg)
+
+  /** The table schema as of the latest commit that recorded one
+    * (create + explicit evolutions) — scanned top-down, so the cost is
+    * O(commits since the last evolution), typically 1.
+    */
+  def currentSchema(path: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val top = currentVersion(path)
+    (top to 0L by -1L).iterator.map { v =>
+      parse(new String(Files.readAllBytes(versionFile(path, v)),
+        StandardCharsets.UTF_8)).schema
+    }.collectFirst { case Some(json) =>
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+  }
+
+  /** Validate an incoming write's schema; returns the schema to record
+    * in the commit (on create/evolution) or None (unchanged).
+    * @throws SchemaMismatchException on drift without evolveSchema. */
+  private def checkSchema(path: String, df: DataFrame,
+      evolveSchema: Boolean): Option[String] = {
+    def sig(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    currentSchema(path) match {
+      case Some(cur) if sig(cur) == sig(df.schema) => None
+      case Some(cur) if !evolveSchema =>
+        throw new SchemaMismatchException(
+          s"append schema ${df.schema.simpleString} does not match table " +
+            s"schema ${cur.simpleString}; pass evolveSchema=true to evolve")
+      case _ => Some(df.schema.json)
+    }
+  }
+
+  /** Create version 0 from `df`, recording its schema. Fails if the
+    * table already exists. */
   def create(spark: SparkSession, path: String, df: DataFrame,
       partitions: Int = 1): Long = {
     val adds = writeData(spark, path, df, partitions)
-    tryCommit(path, TxnCommit(0L, "create", adds, Nil))
+    tryCommit(path, TxnCommit(0L, "create", adds, Nil, Some(df.schema.json)))
     0L
   }
 
   /** Append `df` as a new version; retries the version race, because an
-    * append conflicts with nothing logically.
+    * append conflicts with nothing logically. The schema is enforced
+    * against the table's recorded schema — a drifted writer fails loudly
+    * instead of corrupting reads — unless `evolveSchema` explicitly
+    * records the new shape (reads then mergeSchema across the log's
+    * schema generations).
     */
   def append(spark: SparkSession, path: String, df: DataFrame,
-      partitions: Int = 1, maxAttempts: Int = 20): Long = {
+      partitions: Int = 1, maxAttempts: Int = 20,
+      evolveSchema: Boolean = false): Long = {
+    val newSchema = checkSchema(path, df, evolveSchema)
     val adds = writeData(spark, path, df, partitions)
     var attempt = 0
     while (true) {
       val v = currentVersion(path) + 1
       try {
-        tryCommit(path, TxnCommit(v, "append", adds, Nil))
+        tryCommit(path, TxnCommit(v, "append", adds, Nil, newSchema))
         return v
       } catch {
         case _: TxnConflictException if attempt < maxAttempts => attempt += 1
@@ -350,6 +400,7 @@ object TxnTable {
     def alreadyApplied(): Boolean =
       currentVersion(path) >= 0 && commits(path).exists(_.op == op)
     if (alreadyApplied()) return None
+    checkSchema(path, df, evolveSchema = false)
     val adds = writeData(spark, path, df, partitions)
     var attempt = 0
     while (attempt <= maxAttempts) {
@@ -429,16 +480,31 @@ object TxnTable {
     sys.error("unreachable")
   }
 
-  /** Read a snapshot (latest, or time-travel to `asOf`). */
+  /** Read a snapshot (latest, or time-travel to `asOf`). mergeSchema is
+    * enabled only when the log prefix actually recorded more than one
+    * schema generation — homogeneous tables keep the cheap single-footer
+    * path.
+    */
   def read(spark: SparkSession, path: String, asOf: Long = -1L): DataFrame = {
     if (asOf >= 0) {
       val earliest = earliestVersion(path)
       require(asOf >= earliest,
         s"version $asOf was vacuumed away (earliest readable: $earliest)")
     }
+    val upTo = if (asOf < 0) currentVersion(path) else asOf
+    var generations = 0
+    var v = upTo
+    while (v >= 0 && generations < 2) {
+      if (parse(new String(Files.readAllBytes(versionFile(path, v)),
+          StandardCharsets.UTF_8)).schema.isDefined) generations += 1
+      v -= 1
+    }
     val files = snapshotFiles(path, asOf)
     require(files.nonEmpty, s"empty snapshot of $path at $asOf")
-    spark.read.parquet(files.map(f => localRoot(path).resolve(f).toString): _*)
+    val reader =
+      if (generations > 1) spark.read.option("mergeSchema", "true")
+      else spark.read
+    reader.parquet(files.map(f => localRoot(path).resolve(f).toString): _*)
   }
 
   /** Commit history as a DataFrame (driver-side metadata). */

@@ -146,11 +146,13 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).count() == 40)
     // redelivery of an already-committed batch must be a no-op
     val vBefore = currentVersion(t)
-    val res = appendStreamBatch(spark, t, rangeDf(100, 110), "s1", 0L)
+    val res = appendStreamBatch(spark, t,
+      rangeDf(100, 110).withColumn("part", lit(0)), "s1", 0L)
     assert(res.isEmpty && currentVersion(t) == vBefore)
     assert(read(spark, t).count() == 40)
     // a NEW batch id still commits
-    assert(appendStreamBatch(spark, t, rangeDf(200, 205), "s1", 99L).nonEmpty)
+    assert(appendStreamBatch(spark, t,
+      rangeDf(200, 205).withColumn("part", lit(9)), "s1", 99L).nonEmpty)
     assert(read(spark, t).count() == 45)
     assert(read(spark, t).agg(count(lit(1)), sum(col("id"))).head().getLong(0) == 45)
   }
@@ -194,6 +196,34 @@ class TxnTableSpec extends SparkSpecBase {
     assert(currentVersion(t) >= 11L)
     assert(earliestVersion(t) == 2L)
     intercept[IllegalArgumentException] { read(spark, t, asOf = 1) }
+  }
+
+  test("schema enforcement: drifted append fails loudly, evolution is explicit") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10))
+    // silent drift rejected
+    intercept[SchemaMismatchException] {
+      append(spark, t, rangeDf(10, 20).withColumn("extra", lit(1)))
+    }
+    intercept[SchemaMismatchException] {
+      append(spark, t, rangeDf(10, 20)
+        .withColumn("id", col("id").cast("int")))
+    }
+    assert(currentVersion(t) == 0L, "rejected appends must not commit")
+    // explicit evolution records the new schema; reads merge generations
+    append(spark, t, rangeDf(10, 20).withColumn("extra", lit(7)),
+      evolveSchema = true)
+    val merged = read(spark, t)
+    assert(merged.columns.toSet == Set("id", "s", "extra"))
+    assert(merged.count() == 20)
+    assert(merged.filter(col("extra").isNull).count() == 10)
+    // post-evolution appends are held to the NEW schema
+    intercept[SchemaMismatchException] { append(spark, t, rangeDf(20, 30)) }
+    append(spark, t, rangeDf(20, 30).withColumn("extra", lit(9)))
+    assert(read(spark, t).count() == 30)
+    // pre-evolution snapshots read with the old shape
+    assert(read(spark, t, asOf = 0).columns.toSet == Set("id", "s"))
   }
 
   test("delete with no matches is a no-op version-wise") {
