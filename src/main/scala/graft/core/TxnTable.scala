@@ -416,6 +416,46 @@ object TxnTable {
     sys.error(s"appendStreamBatch: lost $maxAttempts version races for $op")
   }
 
+  /** Roll the table back to the logical content of `toVersion` — as a
+    * NEW commit (history is never rewritten): removes the current live
+    * set and re-adds the target snapshot's files by reference. Requires
+    * the target to still be readable (not vacuumed). Restore-of-restore
+    * and restore-then-append compose like any other commits.
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Long,
+      maxAttempts: Int = 20): Long = {
+    val earliest = earliestVersion(path)
+    require(toVersion >= earliest,
+      s"cannot restore to $toVersion: vacuumed (earliest readable $earliest)")
+    val target = snapshotFiles(path, toVersion)
+    val targetAdds = commits(path).flatMap(_.adds)
+      .filter(a => target.contains(a.path))
+      .groupBy(_.path).map(_._2.head).toSeq
+    def schemaAt(v: Long): Option[String] =
+      (v to 0L by -1L).iterator.map { vv =>
+        parse(new String(Files.readAllBytes(versionFile(path, vv)),
+          StandardCharsets.UTF_8)).schema
+      }.collectFirst { case Some(j) => j }
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(path)
+      val live = snapshotFiles(path, cur)
+      // roll the recorded schema back too, if evolution happened since
+      val schemaRollback = {
+        val at = schemaAt(toVersion)
+        if (at != schemaAt(cur)) at else None
+      }
+      try {
+        tryCommit(path, TxnCommit(cur + 1, s"restore:$toVersion",
+          targetAdds, live.filterNot(target.contains), schemaRollback))
+        return cur + 1
+      } catch {
+        case _: TxnConflictException if attempt < maxAttempts => attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Oldest version still readable: 0, or the horizon of the most
     * aggressive vacuum so far. Checkpoint-amortized like
     * `snapshotFiles`: the checkpoint carries the horizon at its

@@ -226,6 +226,43 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t, asOf = 0).columns.toSet == Set("id", "s"))
   }
 
+  test("restore rolls content AND schema back as a new commit") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 20)) // v0
+    deleteWhere(spark, t, col("id") < 5) // v1: 15 rows
+    append(spark, t, rangeDf(20, 30).withColumn("extra", lit(1)),
+      evolveSchema = true) // v2: 25 rows, evolved
+    val v = restore(spark, t, 0L) // v3
+    assert(v == 3L)
+    assert(read(spark, t).count() == 20)
+    assert(read(spark, t).columns.toSet == Set("id", "s"),
+      "restore must roll the schema back with the content")
+    // history intact: the evolved version still reads as it was
+    assert(read(spark, t, asOf = 2).count() == 25)
+    // post-restore appends are held to the ROLLED-BACK schema
+    append(spark, t, rangeDf(50, 55))
+    assert(read(spark, t).count() == 25)
+    intercept[SchemaMismatchException] {
+      append(spark, t, rangeDf(60, 65).withColumn("extra", lit(2)))
+    }
+    // restoring to a vacuumed version is refused
+    (0 until 3).foreach(k => append(spark, t, rangeDf(70 + k, 71 + k)))
+    vacuum(spark, t, retainVersions = 2)
+    val e = intercept[IllegalArgumentException] { restore(spark, t, 0L) }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("empty create round-trips schema-only") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 5).filter(org.apache.spark.sql.functions
+      .col("id") > 100))
+    assert(read(spark, t).count() == 0)
+    assert(read(spark, t).columns.toSeq == Seq("id", "s"))
+    append(spark, t, rangeDf(0, 3))
+    assert(read(spark, t).count() == 3)
+  }
+
   test("delete with no matches is a no-op version-wise") {
     val t = freshTable()
     create(spark, t, rangeDf(0, 10))
