@@ -140,6 +140,80 @@ object TxnTable {
   private def checkpointFile(path: String, v: Long): JPath =
     logDir(path).resolve(f"ckpt-v$v%010d.json")
 
+  /** Parsed checkpoint content. Besides the resolved live-file list and
+    * the vacuum horizon, a checkpoint carries every piece of log-derived
+    * state a hot-path reader needs, so NO read replays more than the
+    * commit suffix past the nearest checkpoint:
+    *  - `schemaGens`/`schema`: how many schema generations the prefix
+    *    recorded, and the latest one — `read`'s mergeSchema decision and
+    *    `currentSchema` (hence every append's validation) stop at the
+    *    checkpoint instead of walking to v0;
+    *  - `streams`: per-streamId highest applied batch id — the role of
+    *    Delta's `txn` action — so `appendStreamBatch`'s idempotence
+    *    check is O(suffix), not O(versions) per micro-batch.
+    * The Option fields are None for checkpoints written by older code;
+    * readers then fall back to a full replay (correct, just slower).
+    */
+  private case class Ckpt(
+      version: Long,
+      files: Seq[String],
+      horizon: Long,
+      schemaGens: Option[Long],
+      schema: Option[String],
+      streams: Option[Map[String, Long]])
+
+  /** `stream:<id>:<batch>` op → (id, batch); None for other ops. */
+  private def parseStreamOp(op: String): Option[(String, Long)] =
+    if (!op.startsWith("stream:")) None
+    else {
+      val rest = op.stripPrefix("stream:")
+      val i = rest.lastIndexOf(':')
+      if (i <= 0) None
+      else scala.util.Try((rest.take(i), rest.drop(i + 1).toLong)).toOption
+    }
+
+  /** (schema generations, latest recorded schema) of the log prefix ≤
+    * `upTo` — checkpoint-amortized: state is read from the nearest
+    * checkpoint and only the suffix is replayed. */
+  private def schemaInfo(path: String, upTo: Long): (Long, Option[String]) = {
+    val (from, gens0, s0) = latestCheckpoint(path, upTo) match {
+      case Some(ck) if ck.schemaGens.isDefined =>
+        (ck.version + 1, ck.schemaGens.get, ck.schema)
+      case _ => (0L, 0L, None) // no/old-format checkpoint: full replay
+    }
+    var gens = gens0
+    var s = s0
+    (from to upTo).foreach { v =>
+      parse(new String(Files.readAllBytes(versionFile(path, v)),
+        StandardCharsets.UTF_8)).schema.foreach { js => gens += 1; s = Some(js) }
+    }
+    (gens, s)
+  }
+
+  /** Highest applied batch id per streamId in the prefix ≤ `upTo` —
+    * checkpoint-amortized like `schemaInfo`. */
+  private def streamBatches(path: String, upTo: Long): Map[String, Long] = {
+    val (from, init) = latestCheckpoint(path, upTo) match {
+      case Some(ck) if ck.streams.isDefined => (ck.version + 1, ck.streams.get)
+      case _ => (0L, Map.empty[String, Long])
+    }
+    var m = init
+    (from to upTo).foreach { v =>
+      val op = parse(new String(Files.readAllBytes(versionFile(path, v)),
+        StandardCharsets.UTF_8)).op
+      parseStreamOp(op).foreach { case (id, b) =>
+        m = m.updated(id, math.max(b, m.getOrElse(id, Long.MinValue)))
+      }
+    }
+    m
+  }
+
+  /** Test seam: invoked between the version read and the tryCommit of
+    * every retrying writer (append / restore / appendStreamBatch /
+    * vacuum), letting specs deterministically interleave a concurrent
+    * commit into the race window. No-op in production. */
+  private[graft] var preCommitHook: () => Unit = () => ()
+
   /** Publish `commit` as exactly version `commit.version`.
     * @throws TxnConflictException if that version already exists. */
   def tryCommit(path: String, commit: TxnCommit): Unit = {
@@ -158,8 +232,19 @@ object TxnTable {
     if (commit.version > 0 && commit.version % CheckpointInterval == 0) {
       try {
         val files = snapshotFiles(path, commit.version)
+        // Derived-state fields are themselves amortized against the
+        // PREVIOUS checkpoint, so writing one costs O(interval) reads.
+        val (gens, schema) = schemaInfo(path, commit.version)
+        val streams = streamBatches(path, commit.version)
         val json = s"""{"version":${commit.version},""" +
-          s""""horizon":${earliestVersion(path)},"files":""" +
+          s""""horizon":${earliestVersion(path)},""" +
+          s""""schemaGens":$gens,""" +
+          schema.map(s => s""""schema":"${esc(s)}",""").getOrElse("") +
+          s""""streams":""" +
+          streams.toSeq.sortBy(_._1)
+            .map { case (k, b) => s""""${esc(k)}":$b""" }
+            .mkString("{", ",", "}") +
+          s""","files":""" +
           files.map(f => s""""${esc(f)}"""").mkString("[", ",", "]") + "}"
         val ctmp = logDir(path).resolve(s".ckpt-tmp-${java.util.UUID.randomUUID()}")
         Files.write(ctmp, json.getBytes(StandardCharsets.UTF_8))
