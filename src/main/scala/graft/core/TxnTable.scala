@@ -255,10 +255,10 @@ object TxnTable {
     }
   }
 
-  /** Latest checkpoint at or below `v`: (version, live files, vacuum
-    * horizon at checkpoint time). */
-  private def latestCheckpoint(path: String, v: Long)
-      : Option[(Long, Seq[String], Long)] = {
+  /** Latest checkpoint at or below `v`, fully parsed. The derived-state
+    * fields (`schemaGens`/`schema`/`streams`) are None for checkpoints
+    * written by older code — consumers then fall back to a full replay. */
+  private def latestCheckpoint(path: String, v: Long): Option[Ckpt] = {
     val ld = logDir(path)
     if (!Files.isDirectory(ld)) return None
     val it = Files.list(ld)
@@ -285,7 +285,20 @@ object TxnTable {
         case JInt(h) => h.toLong
         case _ => 0L // pre-horizon checkpoint format
       }
-      Some((best, files, horizon))
+      val schemaGens = (j \ "schemaGens") match {
+        case JInt(g) => Some(g.toLong)
+        case _ => None
+      }
+      val schema = (j \ "schema") match {
+        case JString(s) => Some(s)
+        case _ => None
+      }
+      val streams = (j \ "streams") match {
+        case JObject(fields) =>
+          Some(fields.map { case (k, jv) => k -> jv.extract[Long] }.toMap)
+        case _ => None
+      }
+      Some(Ckpt(best, files, horizon, schemaGens, schema, streams))
     } catch { case _: Throwable => None } // corrupt checkpoint → full replay
   }
 
@@ -310,8 +323,8 @@ object TxnTable {
     require(top >= 0, s"not a TxnTable: $path")
     val upTo = if (asOf < 0) top else asOf
     require(upTo <= top, s"version $upTo does not exist (latest $top)")
-    val (from, initial, _) = latestCheckpoint(path, upTo)
-      .getOrElse((-1L, Seq.empty[String], 0L))
+    val (from, initial) = latestCheckpoint(path, upTo)
+      .map(ck => (ck.version, ck.files)).getOrElse((-1L, Seq.empty[String]))
     val live = scala.collection.mutable.LinkedHashSet(initial: _*)
     ((from + 1) to upTo).foreach { v =>
       val c = parse(new String(Files.readAllBytes(versionFile(path, v)),
@@ -549,8 +562,8 @@ object TxnTable {
   def earliestVersion(path: String): Long = {
     val top = currentVersion(path)
     if (top < 0) return 0L
-    val (from, _, ckHorizon) = latestCheckpoint(path, top)
-      .getOrElse((-1L, Seq.empty[String], 0L))
+    val (from, ckHorizon) = latestCheckpoint(path, top)
+      .map(ck => (ck.version, ck.horizon)).getOrElse((-1L, 0L))
     ((from + 1) to top).map { v =>
       val c = parse(new String(Files.readAllBytes(versionFile(path, v)),
         StandardCharsets.UTF_8))
