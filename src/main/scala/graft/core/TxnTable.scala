@@ -137,6 +137,18 @@ object TxnTable {
   /** Write a checkpoint every this-many versions (v10, v20, …). */
   val CheckpointInterval = 10
 
+  /** Test seam: counts physical version-file reads, so specs can assert
+    * the checkpoint-amortized paths replay O(CheckpointInterval) commits
+    * per call instead of O(versions). Monotone; specs diff around a call. */
+  private[graft] val versionFileReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** The single physical read path for version files. */
+  private def readCommit(path: String, v: Long): TxnCommit = {
+    versionFileReads.incrementAndGet()
+    parse(new String(Files.readAllBytes(versionFile(path, v)),
+      StandardCharsets.UTF_8))
+  }
+
   private def checkpointFile(path: String, v: Long): JPath =
     logDir(path).resolve(f"ckpt-v$v%010d.json")
 
@@ -184,8 +196,7 @@ object TxnTable {
     var gens = gens0
     var s = s0
     (from to upTo).foreach { v =>
-      parse(new String(Files.readAllBytes(versionFile(path, v)),
-        StandardCharsets.UTF_8)).schema.foreach { js => gens += 1; s = Some(js) }
+      readCommit(path, v).schema.foreach { js => gens += 1; s = Some(js) }
     }
     (gens, s)
   }
@@ -199,9 +210,7 @@ object TxnTable {
     }
     var m = init
     (from to upTo).foreach { v =>
-      val op = parse(new String(Files.readAllBytes(versionFile(path, v)),
-        StandardCharsets.UTF_8)).op
-      parseStreamOp(op).foreach { case (id, b) =>
+      parseStreamOp(readCommit(path, v).op).foreach { case (id, b) =>
         m = m.updated(id, math.max(b, m.getOrElse(id, Long.MinValue)))
       }
     }
@@ -308,10 +317,7 @@ object TxnTable {
     require(top >= 0, s"not a TxnTable: $path")
     val upTo = if (asOf < 0) top else asOf
     require(upTo <= top, s"version $upTo does not exist (latest $top)")
-    (0L to upTo).map { v =>
-      parse(new String(Files.readAllBytes(versionFile(path, v)),
-        StandardCharsets.UTF_8))
-    }
+    (0L to upTo).map(readCommit(path, _))
   }
 
   /** Resolve the data-file list of a snapshot: nearest checkpoint ≤
@@ -327,8 +333,7 @@ object TxnTable {
       .map(ck => (ck.version, ck.files)).getOrElse((-1L, Seq.empty[String]))
     val live = scala.collection.mutable.LinkedHashSet(initial: _*)
     ((from + 1) to upTo).foreach { v =>
-      val c = parse(new String(Files.readAllBytes(versionFile(path, v)),
-        StandardCharsets.UTF_8))
+      val c = readCommit(path, v)
       c.removes.foreach(live -= _)
       c.adds.foreach(a => live += a.path)
     }
@@ -366,16 +371,15 @@ object TxnTable {
   class SchemaMismatchException(msg: String) extends RuntimeException(msg)
 
   /** The table schema as of the latest commit that recorded one
-    * (create + explicit evolutions) — scanned top-down, so the cost is
-    * O(commits since the last evolution), typically 1.
+    * (create + explicit evolutions) — checkpoint-amortized via
+    * [[schemaInfo]]: the nearest checkpoint carries the latest recorded
+    * schema, so the cost is O(CheckpointInterval) reads, not O(versions).
     */
   def currentSchema(path: String)
       : Option[org.apache.spark.sql.types.StructType] = {
     val top = currentVersion(path)
-    (top to 0L by -1L).iterator.map { v =>
-      parse(new String(Files.readAllBytes(versionFile(path, v)),
-        StandardCharsets.UTF_8)).schema
-    }.collectFirst { case Some(json) =>
+    if (top < 0) return None
+    schemaInfo(path, top)._2.map { json =>
       org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
@@ -417,16 +421,22 @@ object TxnTable {
   def append(spark: SparkSession, path: String, df: DataFrame,
       partitions: Int = 1, maxAttempts: Int = 20,
       evolveSchema: Boolean = false): Long = {
-    val newSchema = checkSchema(path, df, evolveSchema)
+    var newSchema = checkSchema(path, df, evolveSchema)
     val adds = writeData(spark, path, df, partitions)
     var attempt = 0
     while (true) {
       val v = currentVersion(path) + 1
+      preCommitHook()
       try {
         tryCommit(path, TxnCommit(v, "append", adds, Nil, newSchema))
         return v
       } catch {
-        case _: TxnConflictException if attempt < maxAttempts => attempt += 1
+        case _: TxnConflictException if attempt < maxAttempts =>
+          attempt += 1
+          // The lost race may have been a concurrent evolveSchema:
+          // re-validate against the FRESH snapshot so a drifted append
+          // fails loudly instead of committing stale-schema data.
+          newSchema = checkSchema(path, df, evolveSchema)
       }
     }
     -1L // unreachable
@@ -495,8 +505,14 @@ object TxnTable {
       partitions: Int = 1,
       maxAttempts: Int = 20): Option[Long] = {
     val op = s"stream:$streamId:$batchId"
-    def alreadyApplied(): Boolean =
-      currentVersion(path) >= 0 && commits(path).exists(_.op == op)
+    // Checkpoint-amortized idempotence: per-stream high-water marks come
+    // from the nearest checkpoint plus the commit suffix. `>=` (not ==)
+    // is safe because Structured Streaming delivers batch ids
+    // monotonically per stream (single writer per streamId).
+    def alreadyApplied(): Boolean = {
+      val top = currentVersion(path)
+      top >= 0 && streamBatches(path, top).get(streamId).exists(_ >= batchId)
+    }
     if (alreadyApplied()) return None
     checkSchema(path, df, evolveSchema = false)
     val adds = writeData(spark, path, df, partitions)
@@ -504,6 +520,7 @@ object TxnTable {
     while (attempt <= maxAttempts) {
       if (alreadyApplied()) return None
       val v = currentVersion(path) + 1
+      preCommitHook()
       try {
         tryCommit(path, TxnCommit(v, op, adds, Nil))
         return Some(v)
@@ -522,27 +539,33 @@ object TxnTable {
     */
   def restore(spark: SparkSession, path: String, toVersion: Long,
       maxAttempts: Int = 20): Long = {
-    val earliest = earliestVersion(path)
-    require(toVersion >= earliest,
-      s"cannot restore to $toVersion: vacuumed (earliest readable $earliest)")
+    def requireReadable(): Unit = {
+      val earliest = earliestVersion(path)
+      require(toVersion >= earliest,
+        s"cannot restore to $toVersion: vacuumed (earliest readable $earliest)")
+    }
+    requireReadable()
     val target = snapshotFiles(path, toVersion)
     val targetAdds = commits(path).flatMap(_.adds)
       .filter(a => target.contains(a.path))
       .groupBy(_.path).map(_._2.head).toSeq
-    def schemaAt(v: Long): Option[String] =
-      (v to 0L by -1L).iterator.map { vv =>
-        parse(new String(Files.readAllBytes(versionFile(path, vv)),
-          StandardCharsets.UTF_8)).schema
-      }.collectFirst { case Some(j) => j }
     var attempt = 0
     while (true) {
       val cur = currentVersion(path)
       val live = snapshotFiles(path, cur)
       // roll the recorded schema back too, if evolution happened since
+      // (schemaInfo = checkpoint-amortized "schema as of version v")
       val schemaRollback = {
-        val at = schemaAt(toVersion)
-        if (at != schemaAt(cur)) at else None
+        val at = schemaInfo(path, toVersion)._2
+        if (at != schemaInfo(path, cur)._2) at else None
       }
+      preCommitHook()
+      // Re-check INSIDE the race window: a vacuum may have raised the
+      // horizon (and physically deleted the target's files) since the
+      // entry check — committing would resurrect dangling paths. A
+      // vacuum that lands after this check instead wins the version
+      // race below, and the retry re-enters through this check.
+      requireReadable()
       try {
         tryCommit(path, TxnCommit(cur + 1, s"restore:$toVersion",
           targetAdds, live.filterNot(target.contains), schemaRollback))
@@ -565,8 +588,7 @@ object TxnTable {
     val (from, ckHorizon) = latestCheckpoint(path, top)
       .map(ck => (ck.version, ck.horizon)).getOrElse((-1L, 0L))
     ((from + 1) to top).map { v =>
-      val c = parse(new String(Files.readAllBytes(versionFile(path, v)),
-        StandardCharsets.UTF_8))
+      val c = readCommit(path, v)
       if (c.op.startsWith("vacuum:")) c.op.stripPrefix("vacuum:").toLong
       else 0L
     }.foldLeft(ckHorizon)(math.max)
@@ -602,6 +624,7 @@ object TxnTable {
       // commit, and an unreferenced file may be exactly that.
       val dead = commits(path).filter(_.version < horizon)
         .flatMap(_.adds.map(_.path)).toSet -- keep
+      preCommitHook()
       try {
         tryCommit(path, TxnCommit(cur + 1, s"vacuum:$horizon", Nil, Nil))
         // the commit won: the dead-set is authoritative (later writers
@@ -630,13 +653,9 @@ object TxnTable {
         s"version $asOf was vacuumed away (earliest readable: $earliest)")
     }
     val upTo = if (asOf < 0) currentVersion(path) else asOf
-    var generations = 0
-    var v = upTo
-    while (v >= 0 && generations < 2) {
-      if (parse(new String(Files.readAllBytes(versionFile(path, v)),
-          StandardCharsets.UTF_8)).schema.isDefined) generations += 1
-      v -= 1
-    }
+    // checkpoint-amortized: the generation count comes from the nearest
+    // checkpoint plus the commit suffix, not a walk to v0
+    val generations = schemaInfo(path, upTo)._1
     val files = snapshotFiles(path, asOf)
     require(files.nonEmpty, s"empty snapshot of $path at $asOf")
     val reader =

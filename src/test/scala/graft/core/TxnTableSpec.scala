@@ -269,4 +269,85 @@ class TxnTableSpec extends SparkSpecBase {
     val v = deleteWhere(spark, t, col("id") > 1000)
     assert(v == 0L && currentVersion(t) == 0L)
   }
+
+  /** Version-file reads consumed by `body` (suites run sequentially in
+    * the forked test JVM, so the global counter is race-free here). */
+  private def logReads(body: => Unit): Long = {
+    val before = TxnTable.versionFileReads.get()
+    body
+    TxnTable.versionFileReads.get() - before
+  }
+
+  test("hot paths replay O(CheckpointInterval), not O(versions)") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10)) // v0, schema generation 1
+    (1 to 24).foreach(k => appendStreamBatch(spark, t,
+      rangeDf(k * 10, k * 10 + 10), "s1", k.toLong)) // v1..v24, ckpts v10/v20
+    assert(currentVersion(t) == 24L)
+    // With 24 commits past v0 and a checkpoint at v20, each call may
+    // replay the ≤4-commit suffix (plus the top-version listing); a
+    // regression to full replay costs ≥25 reads per call.
+    val budget = CheckpointInterval + 2L
+    assert(logReads(assert(read(spark, t).count() == 250)) <= budget,
+      "read() must not replay the whole log for its mergeSchema probe")
+    assert(logReads(assert(currentSchema(t).get.fieldNames.sameElements(
+      Array("id", "s")))) <= budget,
+      "currentSchema must come from the checkpoint, not a walk to v0")
+    // idempotence check of a redelivered batch: high-water mark from the
+    // checkpoint's streams field + suffix — and batches BEFORE the
+    // checkpoint are still recognized through the high-water semantics
+    assert(logReads {
+      assert(appendStreamBatch(spark, t, rangeDf(30, 40), "s1", 3L).isEmpty)
+    } <= budget, "stream idempotence check must be checkpoint-amortized")
+    // a genuinely new batch still lands
+    assert(appendStreamBatch(spark, t, rangeDf(300, 305), "s1", 99L).nonEmpty)
+    assert(read(spark, t).count() == 255)
+  }
+
+  test("restore aborts when a concurrent vacuum fences the target mid-race") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 20)) // v0: file A
+    compact(spark, t) // v1: file B, A logically removed
+    val fileA = snapshotFiles(t, 0L).head
+    // interleave the vacuum INSIDE restore's race window (between its
+    // version read and tryCommit); the one-shot guard keeps the hook
+    // from recursing when the vacuum itself reaches its own hook site
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      vacuum(spark, t, retainVersions = 1) // v2: horizon 1, deletes A
+    }
+    try {
+      val e = intercept[IllegalArgumentException] { restore(spark, t, 0L) }
+      assert(e.getMessage.contains("vacuumed"))
+    } finally TxnTable.preCommitHook = () => ()
+    assert(fired, "hook must have interleaved the vacuum")
+    // the aborted restore resurrected nothing: A stays deleted and
+    // unreferenced, the table reads clean at its vacuumed state
+    assert(!Files.exists(java.nio.file.Paths.get(t).resolve(fileA)))
+    assert(!snapshotFiles(t).contains(fileA))
+    assert(read(spark, t).count() == 20)
+  }
+
+  test("append re-validates schema after losing the race to an evolution") {
+    import org.apache.spark.sql.functions.lit
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10)) // v0: (id, s)
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true // steal the version with an evolved-schema append
+      append(spark, t, rangeDf(50, 60).withColumn("extra", lit(1)),
+        evolveSchema = true)
+    }
+    try {
+      // entry checkSchema passes (schema still (id, s)); the hook then
+      // evolves the table, the stale append loses the version race, and
+      // the per-retry re-validation must fail it loudly
+      intercept[SchemaMismatchException] { append(spark, t, rangeDf(10, 20)) }
+    } finally TxnTable.preCommitHook = () => ()
+    assert(fired)
+    assert(currentVersion(t) == 1L, "only the evolution may have committed")
+    assert(read(spark, t).columns.toSet == Set("id", "s", "extra"))
+    assert(read(spark, t).count() == 20)
+  }
 }
