@@ -117,7 +117,6 @@ object Clustering {
     val k = centroids.size
     val kCoarse = if (kCoarseOpt > 0) kCoarseOpt
       else math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
-    val p = math.min(probe, kCoarse)
 
     // ---- driver-side k-means over the k centroids (metadata scale) --
     def d2(a: Seq[Long], b: Seq[Long]): Long =
@@ -143,8 +142,15 @@ object Clustering {
     }
 
     // ---- level 1: per-row top-`p` coarse cells (codegen projection) --
+    // Score only cells that OWN at least one centroid: an empty cell
+    // (one that kept its stale seed above) has no members to join
+    // against in level 2, and a row whose probed cells were all empty
+    // would silently vanish through the inner join.
+    val occupied = assign.toSet
+    val liveCells = coarse.zipWithIndex.filter { case (_, j) => occupied(j) }
+    val p = math.min(probe, liveCells.size)
     val scaled = scaledInt(col(vecCol))
-    val cellScores = array(coarse.zipWithIndex.map { case (c, j) =>
+    val cellScores = array(liveCells.map { case (c, j) =>
       struct(dist2(scaled, c).as("d"), lit(j).as("j"))
     }: _*)
     val probed = emb

@@ -132,6 +132,30 @@ class ClusteringSpec extends SparkSpecBase {
     }
   }
 
+  test("hierarchical assignment never drops rows probing an emptied cell") {
+    // Config searched offline so the driver-side coarse k-means leaves
+    // cell 2 EMPTY (occupied in iteration 1, drained in later sweeps)
+    // with a stale centroid (6,8) that is strictly nearest to vec 0:
+    // at probe=1, scoring empty cells meant vec 0 joined against zero
+    // members and silently vanished from the output.
+    import spark.implicits._
+    val cents = Seq(Seq(0L, 1L), Seq(4L, 12L), Seq(10L, 1L),
+      Seq(3L, 11L), Seq(9L, 4L))
+    val rows = Seq(
+      (0L, Seq(-2e-6f, 6e-6f)), // nearest coarse cell is the empty one
+      (1L, Seq(0f, 1e-6f)),
+      (2L, Seq(10e-6f, 1e-6f)),
+      (3L, Seq(4e-6f, 12e-6f)))
+    val out = Clustering.assignNearestHierarchical(
+        rows.toDF("vec_id", "embedding"), cents, probe = 1, kCoarseOpt = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.keySet === rows.map(_._1).toSet,
+      s"hierarchical assignment dropped rows: kept ${out.keySet}")
+    // vec 0 falls back to the nearest OCCUPIED cell's best member (3,11);
+    // the others resolve in their home cells
+    assert(out === Map(0L -> 3, 1L -> 0, 2L -> 2, 3L -> 1))
+  }
+
   test("each Lloyd iteration does not increase the k-means objective") {
     val vecs = scaled.values.toSeq
     def objective(cents: Seq[Seq[Long]]): Double =
