@@ -202,6 +202,46 @@ object TextFunctions {
         .otherwise(lit(0.0))
     }
 
+  /** Character share of the single most frequent word n-gram — the
+    * Gopher repetition filter family (Rae et al. 2021 §A1.1: docs whose
+    * top 2-gram covers >20% of characters are template spam). The share
+    * is count·length(ngram)/length(text), ties broken to the
+    * lexicographically smallest n-gram, 6dp. Pure Column expression
+    * (shingle + aggregate HOFs): map-side, no shuffle, O(distinct·total)
+    * per row like [[maxTokenShare]].
+    */
+  def topNgramCharFrac(text: Column, n: Int): Column =
+    letTokens(wordShingles(text, n)) { ngrams =>
+      val best = aggregate(
+        array_distinct(ngrams),
+        struct(lit(0L).as("c"), lit("").as("g")),
+        (acc, g) => {
+          // ngrams is a lambda variable: the nested filter counts over
+          // the one materialized array (see letTokens)
+          val c = size(filter(ngrams, x => x === g)).cast("long")
+          when(c > acc.getField("c") ||
+              (c === acc.getField("c") && g < acc.getField("g")),
+            struct(c.as("c"), g.as("g"))).otherwise(acc)
+        })
+      when(size(ngrams) > 0,
+        round((best.getField("c") * length(best.getField("g"))).cast("double")
+          / length(text), 6))
+        .otherwise(lit(0.0))
+    }
+
+  /** Fraction of word n-grams that are repeats of an earlier one —
+    * 1 − distinct/total, the n-gram generalization of
+    * [[repetitionRatio]] (Gopher's duplicate-n-gram filters use n=5..10).
+    * 0.0 for docs shorter than n tokens. Map-side, 6dp.
+    */
+  def dupNgramFrac(text: Column, n: Int): Column =
+    letTokens(wordShingles(text, n)) { ngrams =>
+      when(size(ngrams) > 0,
+        round(lit(1.0) - size(array_distinct(ngrams)).cast("double")
+          / size(ngrams).cast("double"), 6))
+        .otherwise(lit(0.0))
+    }
+
   /** PII scrubbing for training-data curation: masks email addresses and
     * URLs. Patterns are deliberately simple enough to mean the same thing
     * in Java regex and RE2-family engines (no lookarounds, no \\b).

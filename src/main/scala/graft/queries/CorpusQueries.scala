@@ -53,6 +53,21 @@ object CorpusQueries {
       .orderBy(col("lang"))
   }
 
+  /** L31: Gopher repetition signals (Rae et al. 2021 §A1.1) per doc —
+    * char share of the top 2-/3-gram and the duplicate-5-gram fraction.
+    * Everything is a pure Column expression over the token array: the
+    * whole gate is one scan + projection + sort, zero shuffles before
+    * the output ordering — at 100 TB this is the shape of a filter
+    * stage, not an analytics query.
+    */
+  def l31GopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    Lake.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.topNgramCharFrac(col("text"), 2).as("top2_frac"),
+        TextFunctions.topNgramCharFrac(col("text"), 3).as("top3_frac"),
+        TextFunctions.dupNgramFrac(col("text"), 5).as("dup5_frac"))
+      .orderBy(col("doc_id"))
+
   /** L4i: PII scrubbing accounting. The corpus has no PII, so each doc is
     * deterministically augmented with an email and a URL derived from its
     * id; both engines construct the SAME string, scrub with the SAME
@@ -635,6 +650,7 @@ object CorpusQueries {
     "l4_word_freq"  -> (l4WordFreq _),
     "l4_tfidf_top"  -> (l4TfidfTop _),
     "l4_repetition" -> (l4Repetition _),
+    "l31_gopher_repetition" -> (l31GopherRepetition _),
     "l4_scrub_pii"  -> (l4ScrubPii _),
     "l3_centroids"  -> (l3Centroids _),
     "l4m_domain_quota" -> (l4mDomainQuota _),
@@ -941,6 +957,47 @@ object CorpusQueries {
         |  round(1 - CAST(sum(dist) AS DOUBLE) / sum(tot), 6) AS rep,
         |  max(round(CAST(mx AS DOUBLE) / tot, 6)) AS mts_max
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "l31_gopher_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, length(text) AS tl, string_split(text, ' ') AS t
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, tl,
+        |         unnest(list_transform(generate_series(1, len(t) - 1),
+        |           i -> list_extract(t, i) || ' ' || list_extract(t, i + 1))) AS ng
+        |       FROM toks),
+        |c2 AS (SELECT doc_id, tl, ng, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+        |b2 AS (SELECT doc_id,
+        |         round(CAST(c * length(ng) AS DOUBLE) / tl, 6) AS f,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, ng) AS rn
+        |       FROM c2),
+        |g3 AS (SELECT doc_id, tl,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |           i -> list_extract(t, i) || ' ' || list_extract(t, i + 1) || ' ' ||
+        |                list_extract(t, i + 2))) AS ng
+        |       FROM toks),
+        |c3 AS (SELECT doc_id, tl, ng, count(*) AS c FROM g3 GROUP BY 1, 2, 3),
+        |b3 AS (SELECT doc_id,
+        |         round(CAST(c * length(ng) AS DOUBLE) / tl, 6) AS f,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, ng) AS rn
+        |       FROM c3),
+        |d5 AS (SELECT doc_id,
+        |         CASE WHEN len(t) >= 5 THEN round(
+        |           1 - CAST(len(list_distinct(list_transform(
+        |                 generate_series(1, len(t) - 4),
+        |                 i -> list_extract(t, i) || ' ' || list_extract(t, i + 1) || ' ' ||
+        |                      list_extract(t, i + 2) || ' ' || list_extract(t, i + 3) || ' ' ||
+        |                      list_extract(t, i + 4)))) AS DOUBLE) / (len(t) - 4), 6)
+        |         ELSE 0.0 END AS dup5_frac
+        |       FROM toks)
+        |SELECT toks.doc_id,
+        |  coalesce(b2f.f, 0.0) AS top2_frac,
+        |  coalesce(b3f.f, 0.0) AS top3_frac,
+        |  d5.dup5_frac
+        |FROM toks
+        |LEFT JOIN (SELECT doc_id, f FROM b2 WHERE rn = 1) b2f USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, f FROM b3 WHERE rn = 1) b3f USING (doc_id)
+        |JOIN d5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "l4_scrub_pii" ->
       """WITH a AS (SELECT source,
         |    text || ' contact user' || (doc_id % 7) || '@mail' ||

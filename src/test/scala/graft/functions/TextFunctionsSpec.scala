@@ -94,6 +94,27 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(one(TextFunctions.maxTokenShare(col("t")), "") == 0.0)
   }
 
+  test("topNgramCharFrac: top n-gram's char share, smallest-gram ties") {
+    // "a b" occurs twice (6 of 9 chars incl. the inner space)
+    assert(one(TextFunctions.topNgramCharFrac(col("t"), 2), "a b a b c")
+      == 0.666667)
+    // tie at count 2 between "b c" and "a d" → lexicographically smaller
+    assert(one(TextFunctions.topNgramCharFrac(col("t"), 2),
+      "b c b c a d a d") == 0.4) // "a d": 2·3/15
+    assert(one(TextFunctions.topNgramCharFrac(col("t"), 3),
+      "x y z x y z q") == 0.769231) // "x y z": 2·5/13
+    assert(one(TextFunctions.topNgramCharFrac(col("t"), 2), "solo") == 0.0)
+    assert(one(TextFunctions.topNgramCharFrac(col("t"), 2), "") == 0.0)
+  }
+
+  test("dupNgramFrac: repeated n-gram fraction; short docs → 0") {
+    // 7 5-grams, 5 distinct ("a b c d e" and "b c d e a" repeat)
+    assert(one(TextFunctions.dupNgramFrac(col("t"), 5),
+      "a b c d e a b c d e a") == 0.285714)
+    assert(one(TextFunctions.dupNgramFrac(col("t"), 5), "a b c d") == 0.0)
+    assert(one(TextFunctions.dupNgramFrac(col("t"), 2), "a a a") == 0.5)
+  }
+
   test("scrubPii masks emails and URLs, leaves clean text alone") {
     assert(one(TextFunctions.scrubPii(col("t")),
       "mail bob.smith+x@ex-ample.co.uk now") == "mail <EMAIL> now")
