@@ -64,6 +64,54 @@ object Keywords {
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
+  /** BM25 top-k retrieval (Robertson/Spärck Jones; Lucene's
+    * +1-inside-the-log idf variant so scores stay positive) for a fixed
+    * query-term set.
+    *
+    * Scale shape: the token filter runs INSIDE the scan projection, so
+    * the explode + (doc, term) shuffle carries only query-term
+    * occurrences — at 100 TB the shuffle is proportional to matches,
+    * not corpus size. Per-term df (≤ |query| rows) and the corpus
+    * stats (1 row) broadcast; the final top-k is TakeOrderedAndProject
+    * (O(k) to the driver). Per-(doc,term) contributions are rounded to
+    * 6dp and summed as DECIMAL(18,6) — exact and order-independent
+    * (the l4_quality float discipline), so an engine's partial-agg
+    * order can't drift the score.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withDl = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = withDl.agg(count(lit(1)).as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"),
+          t => t.isInCollection(queryTerms.distinct))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfq), "term")
+      .join(broadcast(stats))
+      .withColumn("idf",
+        log((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5)
+          + 1.0))
+      // literal-for-literal the same arithmetic as the oracle SQL: both
+      // engines parse/fold the identical double expressions
+      .withColumn("contrib", round(
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 6))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib").cast("decimal(18,6)")).cast("double")
+        .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Grouped inverted index: per-term document frequency, total term
     * frequency, and the postings list sorted by doc_id. The array form
     * suits moderate-df vocabularies (a term's postings must fit one row);

@@ -68,6 +68,16 @@ object CorpusQueries {
         TextFunctions.dupNgramFrac(col("text"), 5).as("dup5_frac"))
       .orderBy(col("doc_id"))
 
+  /** L32: BM25 top-k retrieval for a fixed query over the corpus —
+    * Lucene-variant idf, k1=1.2, b=0.75, per-(doc,term) contributions
+    * rounded to 6dp and DECIMAL-summed so both engines agree bit-exactly.
+    * "dup" is the corpus's one rare term (df ≈ 5% of docs), so the gate
+    * exercises a real idf spread, not four near-equal weights.
+    */
+  def l32Bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    Keywords.bm25TopK(Lake.table(spark, dir, "documents"), "doc_id", "text",
+      Seq("dup", "join", "vector", "window"), 25)
+
   /** L4i: PII scrubbing accounting. The corpus has no PII, so each doc is
     * deterministically augmented with an email and a URL derived from its
     * id; both engines construct the SAME string, scrub with the SAME
@@ -651,6 +661,7 @@ object CorpusQueries {
     "l4_tfidf_top"  -> (l4TfidfTop _),
     "l4_repetition" -> (l4Repetition _),
     "l31_gopher_repetition" -> (l31GopherRepetition _),
+    "l32_bm25_topk" -> (l32Bm25TopK _),
     "l4_scrub_pii"  -> (l4ScrubPii _),
     "l3_centroids"  -> (l3Centroids _),
     "l4m_domain_quota" -> (l4mDomainQuota _),
@@ -998,6 +1009,27 @@ object CorpusQueries {
         |LEFT JOIN (SELECT doc_id, f FROM b3 WHERE rn = 1) b3f USING (doc_id)
         |JOIN d5 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // BM25: identical literal arithmetic to Keywords.bm25TopK (same
+    // expression shapes, same 1.2/0.75/(1.2 + 1.0) literals) so the
+    // doubles match bit-for-bit before the shared 6dp+DECIMAL gate.
+    "l32_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |             string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+        |  WHERE term IN ('dup', 'join', 'vector', 'window')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT tf.doc_id,
+        |    round(ln((CAST(s.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * tf.tf * (1.2 + 1.0)
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)), 6)
+        |      AS contrib
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN s)
+        |SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)
+        |  AS score
+        |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "l4_scrub_pii" ->
       """WITH a AS (SELECT source,
         |    text || ' contact user' || (doc_id % 7) || '@mail' ||

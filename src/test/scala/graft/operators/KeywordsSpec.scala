@@ -43,6 +43,27 @@ class KeywordsSpec extends SparkSpecBase {
       ("fish", 1L) -> 1L, ("fish", 2L) -> 3L))
   }
 
+  test("bm25TopK matches the hand-computed scores, rare terms score higher") {
+    // N=3, avgdl=3; df(a)=df(c)=2 → idf=ln(1.6); contributions rounded
+    // 6dp then DECIMAL-summed (values recomputed by hand/NumPy):
+    //   d0 "a b a": a(tf2,dl3) → 0.646255
+    //   d1 "a c":   a+c(tf1,dl2) → 0.544215·2 = 1.088430
+    //   d2 "c c c c": c(tf4,dl4) → 0.752006
+    import spark.implicits._
+    val tiny = Seq((0L, "a b a"), (1L, "a c"), (2L, "c c c c"))
+      .toDF("doc_id", "text")
+    val got = Keywords.bm25TopK(tiny, "doc_id", "text", Seq("a", "c"), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === Seq((1L, 1.08843), (2L, 0.752006), (0L, 0.646255)))
+    // k cuts the tail, order is (score desc, doc_id)
+    val top1 = Keywords.bm25TopK(tiny, "doc_id", "text", Seq("a", "c"), 1)
+      .collect().map(_.getLong(0))
+    assert(top1.toSeq === Seq(1L))
+    // docs without any query term never appear
+    val none = Keywords.bm25TopK(tiny, "doc_id", "text", Seq("zzz"), 3)
+    assert(none.count() === 0)
+  }
+
   test("invertedIndex: df/tf_total and doc-ordered postings lists") {
     val ii = Keywords.invertedIndex(docs, "doc_id", "text").collect()
       .map { r =>
