@@ -90,6 +90,37 @@ object NewOpsBench {
     report("sparse_cosine_uncut") {
       SparseSimilarity.cosinePairs(tf, maxDf = None).count()
     }
+    // Round-7 text ops. The ×20 blow-up perturbs doc ids so the BM25
+    // grouping and the per-doc HOFs see distinct rows, not cached dups.
+    val docs20 = docs.crossJoin(
+        spark.range(20).select(col("id").as("rep")))
+      .select((col("doc_id") * 20 + col("rep")).as("doc_id"),
+        col("text"), col("lang"), col("source")).cache()
+    docs20.count()
+    // the filter DEPENDS on both signals, so column pruning can't skip
+    // the HOF work (a bare count() would measure the scan only)
+    report("gopher_signals_x1") {
+      docs.select(
+        graft.functions.TextFunctions.topNgramCharFrac(col("text"), 2)
+          .as("a"),
+        graft.functions.TextFunctions.dupNgramFrac(col("text"), 5).as("b"))
+        .filter(col("a") + col("b") >= 0).count()
+    }
+    report("gopher_signals_x20") {
+      docs20.select(
+        graft.functions.TextFunctions.topNgramCharFrac(col("text"), 2)
+          .as("a"),
+        graft.functions.TextFunctions.dupNgramFrac(col("text"), 5).as("b"))
+        .filter(col("a") + col("b") >= 0).count()
+    }
+    report("bm25_topk_x1") {
+      Keywords.bm25TopK(docs, "doc_id", "text",
+        Seq("dup", "join", "vector", "window"), 25).count()
+    }
+    report("bm25_topk_x20") {
+      Keywords.bm25TopK(docs20, "doc_id", "text",
+        Seq("dup", "join", "vector", "window"), 25).count()
+    }
     spark.stop()
   }
 }
