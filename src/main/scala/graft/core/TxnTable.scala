@@ -348,9 +348,18 @@ object TxnTable {
       spark: SparkSession,
       path: String,
       df: DataFrame,
-      partitions: Int): Seq[TxnAdd] = {
+      partitions: Int): Seq[TxnAdd] =
+    writeDataPrepared(spark, path, df.repartition(partitions))
+
+  /** Like writeData but trusts the frame's existing partitioning/sort —
+    * the seam clustered layouts (compactClustered) come through, where a
+    * blind repartition would destroy the ordering being written. */
+  private def writeDataPrepared(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame): Seq[TxnAdd] = {
     val staging = Files.createTempDirectory("graft_txn_stage").toString
-    df.repartition(partitions).write.mode("overwrite").parquet(staging)
+    df.write.mode("overwrite").parquet(staging)
     Files.createDirectories(dataDir(path))
     val footers = graft.crawler.SkippingIndex.build(spark, staging, Seq.empty)
       .select(col("file"), col("row_count")).collect()
@@ -478,6 +487,27 @@ object TxnTable {
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
     val adds = writeData(spark, path, spark.read.parquet(abs: _*), targetFiles)
+    tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
+    base + 1
+  }
+
+  /** Fold the current snapshot into `targetFiles` Z-ORDERED files on
+    * (a, b) — the OPTIMIZE-with-clustering role: each rewritten file
+    * owns a compact z-range, so its (a, b) parquet footer min/max
+    * become box-prunable (SkippingIndex or engine row-group pruning) —
+    * data skipping inside the ACID table. Logical content is unchanged
+    * and history stays readable; it is an ordinary compact commit.
+    * At scale the rewrite is the same range-partition + local-sort
+    * shuffle any global sort costs, amortized over every pruned read.
+    */
+  def compactClustered(spark: SparkSession, path: String,
+      a: Column, b: Column, targetFiles: Int = 16): Long = {
+    val base = currentVersion(path)
+    val files = snapshotFiles(path, base)
+    val abs = files.map(f => localRoot(path).resolve(f).toString)
+    val clustered = graft.operators.Layout.zorderPartitions(
+      spark.read.parquet(abs: _*), a, b, targetFiles)
+    val adds = writeDataPrepared(spark, path, clustered)
     tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
     base + 1
   }

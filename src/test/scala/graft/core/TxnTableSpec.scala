@@ -270,6 +270,39 @@ class TxnTableSpec extends SparkSpecBase {
     assert(v == 0L && currentVersion(t) == 0L)
   }
 
+  test("compactClustered: z-ordered rewrite is prunable, content-preserving") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0 until 4096)
+      .map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
+      .toDF("id", "a", "b")
+    create(spark, t, df, partitions = 4)
+    val vBefore = currentVersion(t)
+    val v = compactClustered(spark, t, col("a"), col("b"), targetFiles = 16)
+    assert(v == vBefore + 1)
+    assert(snapshotFiles(t).size == 16)
+    // logical content unchanged; pre-compact snapshot stays readable
+    val agg = read(spark, t).agg(count(lit(1)), sum(col("id"))).head()
+    assert(agg.getLong(0) == 4096L && agg.getLong(1) == 4096L * 4095 / 2)
+    assert(read(spark, t, asOf = vBefore).count() == 4096)
+    // the clustered footers prune: a 16×16 box of the 64×64 (a, b) grid
+    // intersects FEW of the 16 z-range files, where the pre-compact
+    // row-order layout intersects all of them on dimension a
+    val liveNames = snapshotFiles(t).map(_.stripPrefix("data/"))
+    val idx = graft.crawler.SkippingIndex.build(spark,
+      java.nio.file.Paths.get(t, "data").toString, Seq("a", "b"))
+      .filter(element_at(split(col("file"), "/"), -1).isin(liveNames: _*))
+    val keptA = graft.crawler.SkippingIndex.selectFiles(idx, 0, 0L, 15L)
+    val keptB = graft.crawler.SkippingIndex.selectFiles(idx, 1, 0L, 15L)
+    assert(keptA.size <= 8, s"a-pruning kept ${keptA.size}/16 files")
+    assert(keptB.size <= 8, s"b-pruning kept ${keptB.size}/16 files")
+    // pruned read is still correct: the kept files contain every row
+    // of the box
+    val boxRows = spark.read.parquet(keptA: _*)
+      .filter(col("a") <= 15).count()
+    assert(boxRows == 4096L / 4, s"box scan saw $boxRows rows")
+  }
+
   /** Version-file reads consumed by `body` (suites run sequentially in
     * the forked test JVM, so the global counter is race-free here). */
   private def logReads(body: => Unit): Long = {
