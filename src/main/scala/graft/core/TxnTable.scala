@@ -219,8 +219,10 @@ object TxnTable {
 
   /** Test seam: invoked between the version read and the tryCommit of
     * every retrying writer (append / restore / appendStreamBatch /
-    * vacuum), letting specs deterministically interleave a concurrent
-    * commit into the race window. No-op in production. */
+    * vacuum) and of the single-shot writers (deleteWhere / compact,
+    * which abort to the caller on conflict instead of retrying),
+    * letting specs deterministically interleave a concurrent commit
+    * into the race window. No-op in production. */
   private[graft] var preCommitHook: () => Unit = () => ()
 
   /** Publish `commit` as exactly version `commit.version`.
@@ -474,6 +476,7 @@ object TxnTable {
       else writeData(spark, path, survivors, 1)
     val removes = files.filter(f =>
       hitFiles.exists(h => h.endsWith(f.stripPrefix("data/"))))
+    preCommitHook()
     tryCommit(path, TxnCommit(base + 1, "delete", adds, removes))
     base + 1
   }
@@ -487,6 +490,7 @@ object TxnTable {
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
     val adds = writeData(spark, path, spark.read.parquet(abs: _*), targetFiles)
+    preCommitHook()
     tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
     base + 1
   }

@@ -362,6 +362,31 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).count() == 20)
   }
 
+  test("deleteWhere aborts cleanly when a commit lands in its race window") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 50))
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true // steal the version the delete computed against
+      append(spark, t, rangeDf(50, 60))
+    }
+    try {
+      // a delete validates its base snapshot at commit: losing the race
+      // must surface as a conflict to the caller, never a lost update
+      intercept[TxnConflictException] {
+        deleteWhere(spark, t, col("id") < 10)
+      }
+    } finally TxnTable.preCommitHook = () => ()
+    assert(fired)
+    // the aborted delete left no trace: only the interleaved append
+    // committed, and every row it saw is still live
+    assert(currentVersion(t) == 1L)
+    assert(read(spark, t).count() == 60)
+    // the delete still works once the log is quiet
+    deleteWhere(spark, t, col("id") < 10)
+    assert(read(spark, t).count() == 50)
+  }
+
   test("append re-validates schema after losing the race to an evolution") {
     import org.apache.spark.sql.functions.lit
     val t = freshTable()
