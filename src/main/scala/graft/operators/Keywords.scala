@@ -112,6 +112,39 @@ object Keywords {
       .limit(k)
   }
 
+  /** Per-document mean token log-probability under the corpus's own
+    * unigram distribution — the cheap LM-perplexity proxy quality
+    * filters bucket on (CCNet-style): repetitive template text scores
+    * high, rare-token gibberish scores low. Here the corpus is its own
+    * model; in production the unigram table comes from a reference
+    * corpus and joins the same way.
+    *
+    * Scale shape: corpus stats are one partial-agg shuffle (vocabulary-
+    * sized result); the per-term join broadcasts while the vocabulary
+    * is small and degrades to a term-keyed sort-merge at web scale; the
+    * total is a 1-row broadcast. Per-(doc,term) contributions are 6dp +
+    * DECIMAL-summed, so scores are independent of partial-agg order.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val uni = wordFrequencies(docs, textCol)
+    val tot = uni.agg(sum(col("c")).as("total"))
+    tf.join(broadcast(uni), "term")
+      .join(broadcast(tot))
+      .withColumn("contrib", round(
+        col("tf") * log(col("c").cast("double") / col("total")), 6))
+      .groupBy(col("doc_id"))
+      // Σtf = doc length: the corpus-as-model join keeps every token
+      .agg(round(sum(col("contrib").cast("decimal(18,6)")).cast("double")
+        / sum(col("tf")), 6).as("lp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Grouped inverted index: per-term document frequency, total term
     * frequency, and the postings list sorted by doc_id. The array form
     * suits moderate-df vocabularies (a term's postings must fit one row);

@@ -78,6 +78,13 @@ object CorpusQueries {
     Keywords.bm25TopK(Lake.table(spark, dir, "documents"), "doc_id", "text",
       Seq("dup", "join", "vector", "window"), 25)
 
+  /** L33: unigram log-probability quality proxy — every doc scored
+    * against the corpus's own unigram LM (see Keywords.unigramLogProb).
+    */
+  def l33UnigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    Keywords.unigramLogProb(Lake.table(spark, dir, "documents"),
+      "doc_id", "text")
+
   /** L4i: PII scrubbing accounting. The corpus has no PII, so each doc is
     * deterministically augmented with an email and a URL derived from its
     * id; both engines construct the SAME string, scrub with the SAME
@@ -662,6 +669,7 @@ object CorpusQueries {
     "l4_repetition" -> (l4Repetition _),
     "l31_gopher_repetition" -> (l31GopherRepetition _),
     "l32_bm25_topk" -> (l32Bm25TopK _),
+    "l33_unigram_logprob" -> (l33UnigramLogprob _),
     "l4_scrub_pii"  -> (l4ScrubPii _),
     "l3_centroids"  -> (l3Centroids _),
     "l4m_domain_quota" -> (l4mDomainQuota _),
@@ -1030,6 +1038,21 @@ object CorpusQueries {
         |SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)
         |  AS score
         |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "l33_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM tok WHERE length(term) > 0 GROUP BY 1, 2),
+        |uni AS (SELECT term, count(*) AS c FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1),
+        |tot AS (SELECT sum(c) AS total FROM uni),
+        |c AS (SELECT tf.doc_id, tf.tf,
+        |    round(tf.tf * ln(CAST(uni.c AS DOUBLE) / tot.total), 6) AS contrib
+        |  FROM tf JOIN uni USING (term) CROSS JOIN tot)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)
+        |    / sum(tf), 6) AS lp
+        |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "l4_scrub_pii" ->
       """WITH a AS (SELECT source,
         |    text || ' contact user' || (doc_id % 7) || '@mail' ||

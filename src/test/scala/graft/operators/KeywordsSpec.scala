@@ -64,6 +64,20 @@ class KeywordsSpec extends SparkSpecBase {
     assert(none.count() === 0)
   }
 
+  test("unigramLogProb: mean token log-prob under the corpus unigram LM") {
+    // corpus: a×3, b×2, total 5 → ln p(a)=ln .6, ln p(b)=ln .4
+    //   d0 "a a a b": (round(3·ln.6,6) + round(ln.4,6)) / 4 = -0.612192
+    //   d1 "b":       round(ln.4,6) / 1                    = -0.916291
+    import spark.implicits._
+    val tiny = Seq((0L, "a a a b"), (1L, "b")).toDF("doc_id", "text")
+    val got = Keywords.unigramLogProb(tiny, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === Seq((0L, -0.612192), (1L, -0.916291)))
+    // the common-token doc scores higher (less surprising) than the
+    // rare-token doc — the bucketing property the filter relies on
+    assert(got(0)._2 > got(1)._2)
+  }
+
   test("invertedIndex: df/tf_total and doc-ordered postings lists") {
     val ii = Keywords.invertedIndex(docs, "doc_id", "text").collect()
       .map { r =>
