@@ -112,36 +112,41 @@ object Keywords {
       .limit(k)
   }
 
-  /** Per-document mean token log-probability under the corpus's own
-    * unigram distribution — the cheap LM-perplexity proxy quality
-    * filters bucket on (CCNet-style): repetitive template text scores
-    * high, rare-token gibberish scores low. Here the corpus is its own
-    * model; in production the unigram table comes from a reference
-    * corpus and joins the same way.
+  /** Per-document mean BIGRAM log-probability — the sequential-
+    * coherence quality signal the unigram LM (l29's CCNet-style score)
+    * cannot see: shuffled word salad keeps its unigram distribution
+    * but its bigrams collapse to near-unseen. Add-one smoothing over
+    * the unigram vocabulary: ln p(t₂|t₁) = ln(c(t₁t₂)+1) −
+    * ln(c(t₁)+V). Corpus-as-model here; a reference corpus's bigram
+    * table joins the same way.
     *
-    * Scale shape: corpus stats are one partial-agg shuffle (vocabulary-
-    * sized result); the per-term join broadcasts while the vocabulary
-    * is small and degrades to a term-keyed sort-merge at web scale; the
-    * total is a 1-row broadcast. Per-(doc,term) contributions are 6dp +
-    * DECIMAL-summed, so scores are independent of partial-agg order.
+    * Scale shape: bigram and unigram models are partial-agg shuffles
+    * (model-vocabulary-sized results, NOT driver state); the per-bigram
+    * scoring join broadcasts while the model fits and degrades to a
+    * bigram-keyed sort-merge at web scale; V is a 1-row broadcast.
+    * Per-(doc, bigram) contributions are 6dp + DECIMAL-summed, so
+    * scores are independent of partial-agg order.
     */
-  def unigramLogProb(docs: DataFrame, idCol: String,
+  def bigramLogProb(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val tf = docs.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    val db = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordShingles(col(textCol), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).cast("double").as("cd"))
+    val bi = db.groupBy(col("bg")).agg(sum(col("cd")).as("cb"))
     val uni = wordFrequencies(docs, textCol)
-    val tot = uni.agg(sum(col("c")).as("total"))
-    tf.join(broadcast(uni), "term")
-      .join(broadcast(tot))
-      .withColumn("contrib", round(
-        col("tf") * log(col("c").cast("double") / col("total")), 6))
+    val v = uni.agg(count(lit(1)).as("v"))
+    db.join(broadcast(bi), "bg")
+      .withColumn("prefix", substring_index(col("bg"), " ", 1))
+      .join(broadcast(uni.withColumnRenamed("term", "prefix")), "prefix")
+      .join(broadcast(v))
+      .withColumn("contrib", round(col("cd") *
+        (log(col("cb").cast("double") + 1.0)
+          - log(col("c").cast("double") + col("v").cast("double"))), 6))
       .groupBy(col("doc_id"))
-      // Σtf = doc length: the corpus-as-model join keeps every token
+      // Σcd = the doc's bigram positions (every bigram is in the model)
       .agg(round(sum(col("contrib").cast("decimal(18,6)")).cast("double")
-        / sum(col("tf")), 6).as("lp"))
+        / sum(col("cd")), 6).as("bilp"))
       .orderBy(col("doc_id"))
   }
 

@@ -78,11 +78,14 @@ object CorpusQueries {
     Keywords.bm25TopK(Lake.table(spark, dir, "documents"), "doc_id", "text",
       Seq("dup", "join", "vector", "window"), 25)
 
-  /** L33: unigram log-probability quality proxy — every doc scored
-    * against the corpus's own unigram LM (see Keywords.unigramLogProb).
+  /** L33: bigram coherence score — per-doc mean bigram log-prob, the
+    * sequential signal l29's unigram LM can't see (word salad keeps
+    * its unigram distribution; its bigrams collapse to near-unseen).
+    * Docs shorter than 2 tokens have no bigrams and drop out (both
+    * engines; inner semantics).
     */
-  def l33UnigramLogprob(spark: SparkSession, dir: String): DataFrame =
-    Keywords.unigramLogProb(Lake.table(spark, dir, "documents"),
+  def l33BigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    Keywords.bigramLogProb(Lake.table(spark, dir, "documents"),
       "doc_id", "text")
 
   /** L4i: PII scrubbing accounting. The corpus has no PII, so each doc is
@@ -669,7 +672,7 @@ object CorpusQueries {
     "l4_repetition" -> (l4Repetition _),
     "l31_gopher_repetition" -> (l31GopherRepetition _),
     "l32_bm25_topk" -> (l32Bm25TopK _),
-    "l33_unigram_logprob" -> (l33UnigramLogprob _),
+    "l33_bigram_logprob" -> (l33BigramLogprob _),
     "l4_scrub_pii"  -> (l4ScrubPii _),
     "l3_centroids"  -> (l3Centroids _),
     "l4m_domain_quota" -> (l4mDomainQuota _),
@@ -1038,21 +1041,28 @@ object CorpusQueries {
         |SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)
         |  AS score
         |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
-    "l33_unigram_logprob" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    "l33_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
         |  FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-        |  FROM tok WHERE length(term) > 0 GROUP BY 1, 2),
-        |uni AS (SELECT term, count(*) AS c FROM tok
+        |dbg AS (SELECT doc_id, bg, CAST(count(*) AS DOUBLE) AS cd FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |      i -> list_extract(tk, i) || ' ' || list_extract(tk, i + 1))) AS bg
+        |    FROM t) GROUP BY 1, 2),
+        |bi AS (SELECT bg, sum(cd) AS cb FROM dbg GROUP BY 1),
+        |uni AS (SELECT term, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |  WHERE length(term) > 0 GROUP BY 1),
-        |tot AS (SELECT sum(c) AS total FROM uni),
-        |c AS (SELECT tf.doc_id, tf.tf,
-        |    round(tf.tf * ln(CAST(uni.c AS DOUBLE) / tot.total), 6) AS contrib
-        |  FROM tf JOIN uni USING (term) CROSS JOIN tot)
+        |vv AS (SELECT count(*) AS v FROM uni),
+        |sc AS (SELECT dbg.doc_id, dbg.cd,
+        |    round(dbg.cd * (ln(CAST(bi.cb AS DOUBLE) + 1.0)
+        |      - ln(CAST(uni.c AS DOUBLE) + CAST(vv.v AS DOUBLE))), 6) AS contrib
+        |  FROM dbg JOIN bi USING (bg)
+        |  JOIN uni ON uni.term = split_part(dbg.bg, ' ', 1)
+        |  CROSS JOIN vv)
         |SELECT doc_id,
         |  round(CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)
-        |    / sum(tf), 6) AS lp
-        |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
+        |    / sum(cd), 6) AS bilp
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "l4_scrub_pii" ->
       """WITH a AS (SELECT source,
         |    text || ' contact user' || (doc_id % 7) || '@mail' ||

@@ -64,17 +64,21 @@ class KeywordsSpec extends SparkSpecBase {
     assert(none.count() === 0)
   }
 
-  test("unigramLogProb: mean token log-prob under the corpus unigram LM") {
-    // corpus: a×3, b×2, total 5 → ln p(a)=ln .6, ln p(b)=ln .4
-    //   d0 "a a a b": (round(3·ln.6,6) + round(ln.4,6)) / 4 = -0.612192
-    //   d1 "b":       round(ln.4,6) / 1                    = -0.916291
+  test("bigramLogProb: mean bigram log-prob, coherent beats incoherent") {
+    // corpus: "a b a b", "b b", "x" → unigrams a=2 b=4 x=1 (V=3);
+    // bigrams "a b"×2, "b a"×1, "b b"×1. ln p(t₂|t₁)=ln(c+1)−ln(c₁+V):
+    //   lp(a b)=ln(3/5), lp(b a)=lp(b b)=ln(2/7)
+    //   d0: (round(2·ln(3/5),6) + round(ln(2/7),6)) / 3 = -0.758138
+    //   d1: round(ln(2/7),6) / 1                        = -1.252763
     import spark.implicits._
-    val tiny = Seq((0L, "a a a b"), (1L, "b")).toDF("doc_id", "text")
-    val got = Keywords.unigramLogProb(tiny, "doc_id", "text")
+    val tiny = Seq((0L, "a b a b"), (1L, "b b"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val got = Keywords.bigramLogProb(tiny, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    assert(got.toSeq === Seq((0L, -0.612192), (1L, -0.916291)))
-    // the common-token doc scores higher (less surprising) than the
-    // rare-token doc — the bucketing property the filter relies on
+    // the 1-token doc has no bigrams and drops out (inner semantics)
+    assert(got.toSeq === Seq((0L, -0.758138), (1L, -1.252763)))
+    // the doc made of the corpus's dominant bigram scores higher than
+    // the rare-transition doc — the coherence property the filter uses
     assert(got(0)._2 > got(1)._2)
   }
 
