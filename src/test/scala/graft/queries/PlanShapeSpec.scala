@@ -208,6 +208,30 @@ class PlanShapeSpec extends SparkSpecBase {
         s"nested pruning failed to drop $dropped: $read")
   }
 
+  test("l31 gopher signals: one scan, no joins, no key shuffle") {
+    // the whole gate is scan → project (HOFs) → output sort; a join or
+    // a hash shuffle means the per-doc signals stopped being map-side
+    val p = plan("l31_gopher_repetition")
+    assert(!p.contains("Join"), "gopher signals must not plan a join")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Exchange hashpartitioning"),
+      "per-doc signals picked up a key shuffle")
+  }
+
+  test("l32 bm25: broadcast scoring joins, heap top-k, no cartesian") {
+    val p = plan("l32_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "bm25 top-k degraded to a total sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "df/stats joins must broadcast at this scale")
+  }
+
+  test("l33 bigram LM: broadcast model joins, no cartesian") {
+    val p = plan("l33_bigram_logprob")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "bigram/prefix model joins must broadcast while the model fits")
+  }
+
   test("l3 lsh near-dup: pair dedup shuffles scalars, not vector payloads") {
     val p = plan("l3_lsh_neardup")
     // The distinct that collapses multi-band candidate duplicates must
