@@ -112,6 +112,56 @@ object Keywords {
       .limit(k)
   }
 
+  /** Batch BM25: score EVERY query of a (query_id, term) table in one
+    * pass — the retrieval-serving shape, where queries arrive in
+    * batches, not one at a time. Same scoring math and float discipline
+    * as [[bm25TopK]] (shared df over the union of query terms), but the
+    * corpus is exploded ONCE for all queries: tokens semi-filter
+    * against the broadcast term union, weights fan out to queries by a
+    * broadcast term join, and each query's top-k is the mergeable
+    * TopKByScore heap — O(n log k) map-side + O(k)-per-query shuffle,
+    * never a per-query corpus sort or rank window.
+    * Output: (query_id, doc_id, score, rnk).
+    */
+  def bm25PerQuery(docs: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queries.select(col("term")).distinct()
+    val withDl = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = withDl.agg(count(lit(1)).as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val weights = tf.join(broadcast(dfq), "term")
+      .join(broadcast(stats))
+      .withColumn("idf",
+        log((col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5)
+          + 1.0))
+      .withColumn("w", round(
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    weights
+      .join(broadcast(queries.select(col("query_id"), col("term"))), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w").cast("decimal(18,6)")).cast("double").as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.plans.TopKByScore
+        .top_k_by_score(col("score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("query_id"), col("hit.id").as("doc_id"),
+        round(col("hit.score"), 6).as("score"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Per-document mean BIGRAM log-probability — the sequential-
     * coherence quality signal the unigram LM (l29's CCNet-style score)
     * cannot see: shuffled word salad keeps its unigram distribution

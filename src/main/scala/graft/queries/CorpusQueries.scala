@@ -88,6 +88,19 @@ object CorpusQueries {
     Keywords.bigramLogProb(Lake.table(spark, dir, "documents"),
       "doc_id", "text")
 
+  /** L34: batch BM25 — three queries (overlapping terms, different
+    * lengths) scored in one corpus pass, per-query top-5 via the
+    * mergeable heap (window-free; plan pinned in PlanShapeSpec).
+    */
+  def l34Bm25Multi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq((0L, "dup"), (0L, "join"), (1L, "vector"),
+      (2L, "window"), (2L, "join"), (2L, "batch"))
+      .toDF("query_id", "term")
+    Keywords.bm25PerQuery(Lake.table(spark, dir, "documents"), queries,
+      "doc_id", "text", 5)
+  }
+
   /** L4i: PII scrubbing accounting. The corpus has no PII, so each doc is
     * deterministically augmented with an email and a URL derived from its
     * id; both engines construct the SAME string, scrub with the SAME
@@ -673,6 +686,7 @@ object CorpusQueries {
     "l31_gopher_repetition" -> (l31GopherRepetition _),
     "l32_bm25_topk" -> (l32Bm25TopK _),
     "l33_bigram_logprob" -> (l33BigramLogprob _),
+    "l34_bm25_multi" -> (l34Bm25Multi _),
     "l4_scrub_pii"  -> (l4ScrubPii _),
     "l3_centroids"  -> (l3Centroids _),
     "l4m_domain_quota" -> (l4mDomainQuota _),
@@ -1063,6 +1077,34 @@ object CorpusQueries {
         |  round(CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)
         |    / sum(cd), 6) AS bilp
         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Batch BM25: same literal arithmetic as l32; per-query rank via
+    // row_number mirrors the heap's (score desc, doc_id) order.
+    "l34_bm25_multi" ->
+      """WITH q(query_id, term) AS (VALUES (0, 'dup'), (0, 'join'),
+        |    (1, 'vector'), (2, 'window'), (2, 'join'), (2, 'batch')),
+        |d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |        string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+        |terms AS (SELECT DISTINCT term FROM q),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+        |  JOIN terms USING (term) GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |    round(ln((CAST(s.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * tf.tf * (1.2 + 1.0)
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)), 6) AS w
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN s),
+        |sc AS (SELECT q.query_id, w.doc_id,
+        |    CAST(sum(CAST(w.w AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |  FROM w JOIN q USING (term) GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, round(score, 6) AS score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS rnk
+        |  FROM sc)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "l4_scrub_pii" ->
       """WITH a AS (SELECT source,
         |    text || ' contact user' || (doc_id % 7) || '@mail' ||

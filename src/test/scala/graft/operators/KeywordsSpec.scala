@@ -64,6 +64,25 @@ class KeywordsSpec extends SparkSpecBase {
     assert(none.count() === 0)
   }
 
+  test("bm25PerQuery: each query's block equals the single-query ranking") {
+    import spark.implicits._
+    val tiny = Seq((0L, "a b a"), (1L, "a c"), (2L, "c c c c"))
+      .toDF("doc_id", "text")
+    val queries = Seq((7L, "a"), (7L, "c"), (9L, "c"))
+      .toDF("query_id", "term")
+    val got = Keywords.bm25PerQuery(tiny, queries, "doc_id", "text", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // query 7 = the {a, c} query of the bm25TopK spec — same scores, but
+    // df is shared over the term UNION {a, c} for both queries here
+    val q7 = got.filter(_._1 == 7L).map(t => (t._2, t._3, t._4))
+    assert(q7.toSeq === Seq((1L, 1.08843, 1L), (2L, 0.752006, 2L),
+      (0L, 0.646255, 3L)))
+    // query 9 only matches the c-docs, ranked by their c weight
+    val q9 = got.filter(_._1 == 9L).map(t => (t._2, t._4))
+    assert(q9.toSeq === Seq((2L, 1L), (1L, 2L)))
+  }
+
   test("bigramLogProb: mean bigram log-prob, coherent beats incoherent") {
     // corpus: "a b a b", "b b", "x" → unigrams a=2 b=4 x=1 (V=3);
     // bigrams "a b"×2, "b a"×1, "b b"×1. ln p(t₂|t₁)=ln(c+1)−ln(c₁+V):

@@ -232,6 +232,15 @@ class PlanShapeSpec extends SparkSpecBase {
       "bigram/prefix model joins must broadcast while the model fits")
   }
 
+  test("l34 batch bm25: per-query top-k is the heap, never a rank window") {
+    val p = plan("l34_bm25_multi")
+    assert(p.toLowerCase.contains("topkbyscore"),
+      "per-query top-k lost the mergeable heap aggregate")
+    assert(!p.contains("Window ["),
+      "batch retrieval fell back to a per-query rank window")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("l3 lsh near-dup: pair dedup shuffles scalars, not vector payloads") {
     val p = plan("l3_lsh_neardup")
     // The distinct that collapses multi-band candidate duplicates must
