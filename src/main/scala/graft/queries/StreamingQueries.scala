@@ -199,7 +199,29 @@ object StreamingQueries {
       .orderBy(col("phase"))
   }
 
+  /** ST11: streaming ingest through the Gopher repetition gate — the
+    * round-7 quality signals (top-2-gram char share, duplicate-5-gram
+    * fraction) applied as a STREAMING filter, aggregated per language.
+    * The signals are pure map-side Column expressions, so the streaming
+    * plan is scan→filter→aggregate with only lang-keyed state — the
+    * curation-at-ingest shape: at production scale the same filter
+    * rides the micro-batch, and only accepted docs reach the sink.
+    */
+  def st11QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = EventStreams.readDocsStream(spark, dir)
+    val kept = docs.filter(
+      TextFunctions.topNgramCharFrac(col("text"), 2) < 0.2 &&
+        TextFunctions.dupNgramFrac(col("text"), 5) < 0.2)
+    EventStreams.runToMemoryForGate(spark,
+        kept.groupBy(col("lang"))
+          .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("chars_kept")),
+        "st11_mem", "complete")
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st11_quality_filter" -> (st11QualityFilter _),
     "st10_crawl_stream" -> (st10CrawlStream _),
     "st9_stream_static" -> (st9StreamStatic _),
     "st8_trending"    -> (st8Trending _),
@@ -212,6 +234,37 @@ object StreamingQueries {
     "st7_upsert_snapshot" -> (st7UpsertSnapshot _))
 
   val oracle: Map[String, String] = Map(
+    // Same per-doc signal SQL as l31_gopher_repetition, thresholded and
+    // rolled up per language — the batch equivalent of the stream.
+    "st11_quality_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars, length(text) AS tl,
+        |    string_split(text, ' ') AS t FROM documents),
+        |g2 AS (SELECT doc_id, tl,
+        |         unnest(list_transform(generate_series(1, len(t) - 1),
+        |           i -> list_extract(t, i) || ' ' || list_extract(t, i + 1))) AS ng
+        |       FROM toks),
+        |c2 AS (SELECT doc_id, tl, ng, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+        |b2 AS (SELECT doc_id,
+        |         round(CAST(c * length(ng) AS DOUBLE) / tl, 6) AS f,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, ng) AS rn
+        |       FROM c2),
+        |d5 AS (SELECT doc_id,
+        |         CASE WHEN len(t) >= 5 THEN round(
+        |           1 - CAST(len(list_distinct(list_transform(
+        |                 generate_series(1, len(t) - 4),
+        |                 i -> list_extract(t, i) || ' ' || list_extract(t, i + 1) || ' ' ||
+        |                      list_extract(t, i + 2) || ' ' || list_extract(t, i + 3) || ' ' ||
+        |                      list_extract(t, i + 4)))) AS DOUBLE) / (len(t) - 4), 6)
+        |         ELSE 0.0 END AS dup5_frac
+        |       FROM toks)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM toks
+        |LEFT JOIN (SELECT doc_id, f FROM b2 WHERE rn = 1) b2f USING (doc_id)
+        |JOIN d5 USING (doc_id)
+        |WHERE coalesce(b2f.f, 0.0) < 0.2 AND d5.dup5_frac < 0.2
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // The invariant IS the oracle: after the second stream tranche, the
     // re-crawl sees exactly the sink changed and both static tables
     // unchanged; with the stream idle, nothing changes at all.

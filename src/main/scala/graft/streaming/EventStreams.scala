@@ -38,6 +38,15 @@ object EventStreams {
     else raw
   }
 
+  /** Open `documents` as a streaming DataFrame (file source) — the
+    * ingest side of a streaming curation pipeline. */
+  def readDocsStream(spark: SparkSession, dir: String): DataFrame = {
+    val sch = spark.read
+      .option("pathGlobFilter", "documents.parquet").parquet(dir).schema
+    spark.readStream.schema(sch)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
   /** ST1: tumbling 1-hour window counts/sums per event_type, watermarked. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
