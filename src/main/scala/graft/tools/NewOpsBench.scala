@@ -121,6 +121,24 @@ object NewOpsBench {
       Keywords.bm25TopK(docs20, "doc_id", "text",
         Seq("dup", "join", "vector", "window"), 25).count()
     }
+    // batch retrieval: 8 two-term queries in ONE corpus pass vs eight
+    // separate single-query scans — the serving-shape advantage
+    val vocab = Seq("dup", "key", "fast", "line", "the", "vector", "join",
+      "data", "agg", "scan", "small", "batch", "window", "merge", "sort",
+      "query")
+    import spark.implicits._
+    val q8 = (0 until 8).flatMap(i =>
+      Seq((i.toLong, vocab(2 * i)), (i.toLong, vocab(2 * i + 1))))
+      .toDF("query_id", "term")
+    report("bm25_batch_8q_x20") {
+      Keywords.bm25PerQuery(docs20, q8, "doc_id", "text", 25).count()
+    }
+    report("bm25_seq_8q_x20") {
+      (0 until 8).map { i =>
+        Keywords.bm25TopK(docs20, "doc_id", "text",
+          Seq(vocab(2 * i), vocab(2 * i + 1)), 25).count()
+      }.sum
+    }
     spark.stop()
   }
 }
