@@ -698,6 +698,31 @@ object TxnTable {
     reader.parquet(files.map(f => localRoot(path).resolve(f).toString): _*)
   }
 
+  /** Snapshot read with FILE-level stats pruning: rows of the snapshot
+    * whose `column` lies in [lo, hi], scanning ONLY live files whose
+    * parquet footer [min, max] intersects the range. Row-group pushdown
+    * inside kept files still applies afterwards — this prunes BEFORE
+    * the scan is planned, so skipped files are never opened (on an
+    * object store: never even GET) and task count is proportional to
+    * matching files. Pair with [[compactClustered]], which is what
+    * makes the per-file ranges tight. Files without long-typed stats
+    * for `column` are conservatively kept; an empty kept set returns an
+    * empty frame with the snapshot's schema.
+    */
+  def readPruned(spark: SparkSession, path: String, column: String,
+      lo: Long, hi: Long, asOf: Long = -1L): DataFrame = {
+    val full = read(spark, path, asOf) // fence checks + mergeSchema logic
+    val pred = col(column).between(lo, hi)
+    val liveNames = snapshotFiles(path, asOf).map(_.stripPrefix("data/")).toSet
+    val idx = graft.crawler.SkippingIndex
+      .build(spark, dataDir(path).toString, Seq(column))
+      .filter(element_at(split(col("file"), "/"), -1)
+        .isin(liveNames.toSeq: _*))
+    val kept = graft.crawler.SkippingIndex.selectFiles(idx, 0, lo, hi)
+    if (kept.isEmpty) full.filter(lit(false))
+    else spark.read.schema(full.schema).parquet(kept: _*).filter(pred)
+  }
+
   /** Commit history as a DataFrame (driver-side metadata). */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

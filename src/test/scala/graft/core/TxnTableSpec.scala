@@ -301,6 +301,17 @@ class TxnTableSpec extends SparkSpecBase {
     val boxRows = spark.read.parquet(keptA: _*)
       .filter(col("a") <= 15).count()
     assert(boxRows == 4096L / 4, s"box scan saw $boxRows rows")
+    // readPruned = the same result as the full read + filter, from a
+    // strict subset of the files
+    val pruned = readPruned(spark, t, "a", 0L, 15L)
+    assert(pruned.inputFiles.length <= 8,
+      s"readPruned scanned ${pruned.inputFiles.length}/16 files")
+    val full = read(spark, t).filter(col("a").between(0, 15))
+    assert(pruned.orderBy(col("id")).collect().toSeq ===
+      full.orderBy(col("id")).collect().toSeq)
+    // out-of-range → empty frame, schema intact
+    val none = readPruned(spark, t, "a", 1000L, 2000L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "a", "b"))
   }
 
   /** Version-file reads consumed by `body` (suites run sequentially in
