@@ -200,6 +200,47 @@ object Keywords {
       .orderBy(col("doc_id"))
   }
 
+  /** Positional postings: (term, doc_id, sorted token positions) — the
+    * search-engine index shape that makes PHRASE queries a postings
+    * intersection instead of a text rescan. Same 100 TB layout story as
+    * [[postings]]: term-bucketed on disk, per-term lookups are
+    * partition-pruned reads.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Exact phrase match: documents containing `phrase` as consecutive
+    * tokens. The first term's positions are the candidates; each later
+    * term's postings join on doc_id and keep candidates x with x+i in
+    * that term's position set (an array_contains HOF over the joined
+    * postings — no re-tokenization, no regex rescan of text). Each join
+    * is doc-keyed and only over docs containing BOTH terms, so the work
+    * is bounded by the rarest term's postings, the classic
+    * intersect-by-rarity property. Output: (doc_id, n_occurrences).
+    */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val posts = positionalPostings(docs, idCol, textCol)
+    def of(t: String, i: Int) = posts.filter(col("term") === t)
+      .select(col("doc_id"), col("positions").as(s"p$i"))
+    val anchored = phrase.zipWithIndex.tail
+      .foldLeft(of(phrase.head, 0).withColumnRenamed("p0", "cand")) {
+        case (acc, (t, i)) =>
+          acc.join(of(t, i), "doc_id")
+            .withColumn("cand",
+              filter(col("cand"), x => array_contains(col(s"p$i"), x + i)))
+            .drop(s"p$i")
+      }
+    anchored.filter(size(col("cand")) > 0)
+      .select(col("doc_id"), size(col("cand")).cast("long").as("n_occ"))
+  }
+
   /** Grouped inverted index: per-term document frequency, total term
     * frequency, and the postings list sorted by doc_id. The array form
     * suits moderate-df vocabularies (a term's postings must fit one row);

@@ -101,6 +101,24 @@ object CorpusQueries {
       "doc_id", "text", 5)
   }
 
+  /** L35: phrase search via positional postings — three phrases (a
+    * repeated-term bigram, an ordinary bigram, a zero-match trigram)
+    * resolved by postings intersection. The oracle is algorithm-
+    * independent: substring containment on the space-padded text, which
+    * is equivalent under the corpus's single-space tokenization — two
+    * different algorithms must agree on every count.
+    */
+  def l35PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Lake.table(spark, dir, "documents")
+    Seq("merge part", "scan join order", "window window").map { ph =>
+      Keywords.phraseMatches(docs, "doc_id", "text", ph.split(" ").toSeq)
+        .agg(count(lit(1)).as("matches"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_checksum"))
+        .select(lit(ph).as("ph"), col("matches"), col("id_checksum"))
+    }.reduce(_.unionAll(_)).orderBy(col("ph"))
+  }
+
   /** L4i: PII scrubbing accounting. The corpus has no PII, so each doc is
     * deterministically augmented with an email and a URL derived from its
     * id; both engines construct the SAME string, scrub with the SAME
@@ -687,6 +705,7 @@ object CorpusQueries {
     "l32_bm25_topk" -> (l32Bm25TopK _),
     "l33_bigram_logprob" -> (l33BigramLogprob _),
     "l34_bm25_multi" -> (l34Bm25Multi _),
+    "l35_phrase_search" -> (l35PhraseSearch _),
     "l4_scrub_pii"  -> (l4ScrubPii _),
     "l3_centroids"  -> (l3Centroids _),
     "l4m_domain_quota" -> (l4mDomainQuota _),
@@ -1105,6 +1124,21 @@ object CorpusQueries {
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
         |  CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // Phrase search oracle: substring containment on space-padded text —
+    // a DIFFERENT algorithm from the engine's postings intersection,
+    // equivalent under single-space tokenization.
+    "l35_phrase_search" ->
+      """WITH m AS (SELECT doc_id, ' ' || text || ' ' AS padded
+        |  FROM documents),
+        |p(ph) AS (VALUES ('merge part'), ('scan join order'),
+        |  ('window window'))
+        |SELECT p.ph,
+        |  CAST(count(CASE WHEN contains(m.padded, ' ' || p.ph || ' ')
+        |    THEN 1 END) AS BIGINT) AS matches,
+        |  coalesce(CAST(sum(CASE WHEN contains(m.padded, ' ' || p.ph || ' ')
+        |    THEN doc_id END) AS BIGINT), 0) AS id_checksum
+        |FROM m CROSS JOIN p
+        |GROUP BY p.ph ORDER BY p.ph""".stripMargin,
     "l4_scrub_pii" ->
       """WITH a AS (SELECT source,
         |    text || ' contact user' || (doc_id % 7) || '@mail' ||

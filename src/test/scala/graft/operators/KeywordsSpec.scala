@@ -83,6 +83,25 @@ class KeywordsSpec extends SparkSpecBase {
     assert(q9.toSeq === Seq((2L, 1L), (1L, 2L)))
   }
 
+  test("phraseMatches: postings intersection, overlaps, repeated terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a"), // "a b"×2, "b a"×2, "a b a"×2 (overlapping)
+      (1L, "b a"),
+      (2L, "a a a"), // repeated-term self-join, overlapping pairs
+      (3L, "x y z"))
+      .toDF("doc_id", "text")
+    def m(ph: String) =
+      Keywords.phraseMatches(docs, "doc_id", "text", ph.split(" ").toSeq)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m("a b") === Map(0L -> 2L))
+    assert(m("b a") === Map(0L -> 2L, 1L -> 1L))
+    assert(m("a b a") === Map(0L -> 2L))
+    assert(m("a a") === Map(2L -> 2L))
+    assert(m("x z") === Map.empty[Long, Long]) // present but not adjacent
+    assert(m("z") === Map(3L -> 1L))
+  }
+
   test("bigramLogProb: mean bigram log-prob, coherent beats incoherent") {
     // corpus: "a b a b", "b b", "x" → unigrams a=2 b=4 x=1 (V=3);
     // bigrams "a b"×2, "b a"×1, "b b"×1. ln p(t₂|t₁)=ln(c+1)−ln(c₁+V):
