@@ -510,6 +510,31 @@ object AnalyticQueries {
         round(col("e.score") * 100).cast("long").as("price_cents"))
       .orderBy(col("o_orderpriority"), col("rnk"))
 
+  /** A20: forward-fill (LOCF) interpolation — the gap-fill variant for
+    * STATE-like series: a held value (price, sensor reading) carries
+    * through silent days, where a18's zero-fill is for count-like
+    * series. One ignore-nulls `last` window over the spine-joined frame
+    * — no self-join, no per-gap scan; days before a user's first
+    * observation stay null (both engines). Money canonicalized as
+    * integer cents before the single final division.
+    */
+  def a20Locf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Lake.table(spark, dir, "events")
+      .filter(col("user_id") < 5)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("v"))
+    val spine = daily.select(col("user_id")).distinct()
+      .crossJoin(spark.range(1).select(explode(sequence(
+        to_date(lit("2024-01-01")), to_date(lit("2024-01-30")))).as("d")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "d"), "left_outer")
+      .select(col("user_id"), col("d").cast("timestamp").as("d"),
+        last(col("v"), ignoreNulls = true).over(w).as("v"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
   /** F16: schema-enforced JSON parsing with malformed-record accounting —
     * from_json(struct) returns null for rows whose props were
     * deterministically corrupted, and the gate counts corrupt vs parsed
@@ -637,6 +662,7 @@ object AnalyticQueries {
     "a17_skyline"          -> (a17Skyline _),
     "a18_gapfill"          -> (a18Gapfill _),
     "a19_topk_group"       -> (a19TopkGroup _),
+    "a20_locf"             -> (a20Locf _),
     "f16_from_json"        -> (f16FromJson _),
     "f17_bitwise"          -> (f17Bitwise _),
     "w7_windowed_distinct" -> (w7WindowedDistinct _),
@@ -747,6 +773,20 @@ object AnalyticQueries {
         |FROM u CROSS JOIN days
         |LEFT JOIN daily ON daily.user_id = u.user_id AND daily.d = days.d
         |ORDER BY 1, 2""".stripMargin,
+    "a20_locf" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS v
+        |  FROM events WHERE user_id < 5 GROUP BY 1, 2),
+        |u AS (SELECT DISTINCT user_id FROM daily),
+        |days AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+        |    DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS d),
+        |j AS (SELECT u.user_id, days.d, daily.v
+        |  FROM u CROSS JOIN days
+        |  LEFT JOIN daily ON daily.user_id = u.user_id AND daily.d = days.d)
+        |SELECT user_id, CAST(d AS TIMESTAMP) AS d,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |FROM j ORDER BY user_id, d""".stripMargin,
     "a16_transitions" ->
       """WITH t AS (SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id
