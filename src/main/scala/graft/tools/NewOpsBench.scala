@@ -139,6 +139,13 @@ object NewOpsBench {
           Seq(vocab(2 * i), vocab(2 * i + 1)), 25).count()
       }.sum
     }
+    report("bigram_lm_x20") {
+      Keywords.bigramLogProb(docs20, "doc_id", "text").count()
+    }
+    report("phrase_search_x20") {
+      Keywords.phraseMatches(docs20, "doc_id", "text",
+        Seq("merge", "part")).count()
+    }
     spark.stop()
   }
 }

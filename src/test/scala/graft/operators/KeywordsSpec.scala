@@ -102,6 +102,27 @@ class KeywordsSpec extends SparkSpecBase {
     assert(m("z") === Map(3L -> 1L))
   }
 
+  test("phraseMatches equals a naive sliding-window count (seeded random)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alpha = Seq("a", "b", "c", "d")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(12)))
+        .map(_ => alpha(rnd.nextInt(4))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    (0 until 10).foreach { _ =>
+      val ph = (0 until (1 + rnd.nextInt(3))).map(_ => alpha(rnd.nextInt(4)))
+      val got = Keywords.phraseMatches(df, "doc_id", "text", ph)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = docs.flatMap { case (id, text) =>
+        val n = text.split(" ").toSeq.sliding(ph.size).count(_ == ph)
+        if (n > 0) Some(id -> n.toLong) else None
+      }.toMap
+      assert(got === want, s"phrase '${ph.mkString(" ")}'")
+    }
+  }
+
   test("bigramLogProb: mean bigram log-prob, coherent beats incoherent") {
     // corpus: "a b a b", "b b", "x" → unigrams a=2 b=4 x=1 (V=3);
     // bigrams "a b"×2, "b a"×1, "b b"×1. ln p(t₂|t₁)=ln(c+1)−ln(c₁+V):
