@@ -40,6 +40,26 @@ class EmptyInputSpec extends SparkSpecBase {
     assert(one === 5.0) // p5 == p95 == the single value
   }
 
+  test("round-7 text operators are total on empty corpora and queries") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
+    // empty corpus: every operator yields an empty frame, never throws
+    assert(Keywords.bm25TopK(emptyDocs, "doc_id", "text", Seq("a"), 5)
+      .count() === 0)
+    assert(Keywords.bigramLogProb(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Keywords.phraseMatches(emptyDocs, "doc_id", "text", Seq("a", "b"))
+      .count() === 0)
+    assert(Keywords.positionalPostings(emptyDocs, "doc_id", "text")
+      .count() === 0)
+    // empty query set against a real corpus: no matches, no throw
+    val emptyQ = Seq.empty[(Long, String)].toDF("query_id", "term")
+    assert(Keywords.bm25PerQuery(someDocs, emptyQ, "doc_id", "text", 5)
+      .count() === 0)
+    // phrase absent from the vocabulary: empty, not an error
+    assert(Keywords.phraseMatches(someDocs, "doc_id", "text", Seq("zzz"))
+      .count() === 0)
+  }
+
   test("Graph.pageRankInt on empty edges yields no nodes; bfs keeps seeds") {
     val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graph.pageRankInt(spark, emptyEdges, 2).count() === 0)
