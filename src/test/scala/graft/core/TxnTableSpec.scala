@@ -348,6 +348,33 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).count() == 255)
   }
 
+  test("concurrent DIFFERENT streams compose through the version protocol") {
+    // the appendStreamBatch doc promises single-writer-per-streamId but
+    // free composition ACROSS streams — three streams of three batches
+    // each, racing: every batch lands exactly once, no version is lost
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10))
+    val threads = (0 until 3).map { k =>
+      new Thread(() => {
+        (0 until 3).foreach { b =>
+          appendStreamBatch(spark, t,
+            rangeDf(100 + k * 30 + b * 10, 110 + k * 30 + b * 10),
+            s"s$k", b.toLong)
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(currentVersion(t) == 9L, "9 stream commits must all land")
+    assert(read(spark, t).count() == 100)
+    assert(read(spark, t).agg(countDistinct(col("id"))).head().getLong(0)
+      == 100)
+    // per-stream high-water marks survived the interleaving
+    (0 until 3).foreach { k =>
+      assert(appendStreamBatch(spark, t, rangeDf(0, 5), s"s$k", 2L).isEmpty,
+        s"stream s$k must treat batch 2 as already applied")
+    }
+  }
+
   test("restore aborts when a concurrent vacuum fences the target mid-race") {
     val t = freshTable()
     create(spark, t, rangeDf(0, 20)) // v0: file A
