@@ -219,8 +219,9 @@ object TxnTable {
 
   /** Test seam: invoked between the version read and the tryCommit of
     * every retrying writer (append / restore / appendStreamBatch /
-    * vacuum) and of the single-shot writers (deleteWhere / compact,
-    * which abort to the caller on conflict instead of retrying),
+    * vacuum) and of the single-shot writers (deleteWhere / compact /
+    * compactClustered, which abort to the caller on conflict instead
+    * of retrying),
     * letting specs deterministically interleave a concurrent commit
     * into the race window. No-op in production. */
   private[graft] var preCommitHook: () => Unit = () => ()
@@ -381,6 +382,19 @@ object TxnTable {
 
   class SchemaMismatchException(msg: String) extends RuntimeException(msg)
 
+  /** Delete the staged-but-never-committed data files of an aborted
+    * write. writeData moves fresh files into data/ BEFORE the commit
+    * loop, and vacuum only ever deletes files some commit referenced —
+    * so an abort (schema mismatch discovered on retry, a single-shot
+    * writer losing its race, an exhausted retry budget) must clean up
+    * its own staging or the files leak forever. Only called with adds
+    * this writer created itself; restore/vacuum re-reference existing
+    * files and never come through here. */
+  private def cleanupStaged(path: String, adds: Seq[TxnAdd]): Unit =
+    adds.foreach(a =>
+      try Files.deleteIfExists(localRoot(path).resolve(a.path))
+      catch { case _: Throwable => () })
+
   /** The table schema as of the latest commit that recorded one
     * (create + explicit evolutions) — checkpoint-amortized via
     * [[schemaInfo]]: the nearest checkpoint carries the latest recorded
@@ -418,7 +432,8 @@ object TxnTable {
   def create(spark: SparkSession, path: String, df: DataFrame,
       partitions: Int = 1): Long = {
     val adds = writeData(spark, path, df, partitions)
-    tryCommit(path, TxnCommit(0L, "create", adds, Nil, Some(df.schema.json)))
+    try tryCommit(path, TxnCommit(0L, "create", adds, Nil, Some(df.schema.json)))
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
     0L
   }
 
@@ -435,21 +450,26 @@ object TxnTable {
     var newSchema = checkSchema(path, df, evolveSchema)
     val adds = writeData(spark, path, df, partitions)
     var attempt = 0
-    while (true) {
-      val v = currentVersion(path) + 1
-      preCommitHook()
-      try {
-        tryCommit(path, TxnCommit(v, "append", adds, Nil, newSchema))
-        return v
-      } catch {
-        case _: TxnConflictException if attempt < maxAttempts =>
-          attempt += 1
-          // The lost race may have been a concurrent evolveSchema:
-          // re-validate against the FRESH snapshot so a drifted append
-          // fails loudly instead of committing stale-schema data.
-          newSchema = checkSchema(path, df, evolveSchema)
+    // Any abort past this point (schema mismatch discovered on retry,
+    // retry budget exhausted) must delete the staged files it can no
+    // longer commit — see cleanupStaged.
+    try {
+      while (true) {
+        val v = currentVersion(path) + 1
+        preCommitHook()
+        try {
+          tryCommit(path, TxnCommit(v, "append", adds, Nil, newSchema))
+          return v
+        } catch {
+          case _: TxnConflictException if attempt < maxAttempts =>
+            attempt += 1
+            // The lost race may have been a concurrent evolveSchema:
+            // re-validate against the FRESH snapshot so a drifted append
+            // fails loudly instead of committing stale-schema data.
+            newSchema = checkSchema(path, df, evolveSchema)
+        }
       }
-    }
+    } catch { case e: Throwable => cleanupStaged(path, adds); throw e }
     -1L // unreachable
   }
 
@@ -462,22 +482,32 @@ object TxnTable {
     val base = currentVersion(path)
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
-    val withFile = spark.read.parquet(abs: _*)
-      .withColumn("__file", input_file_name())
-    val hitFiles = withFile.filter(predicate)
-      .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
-    if (hitFiles.isEmpty) return base
-    val survivors = withFile
-      .filter(col("__file").isin(hitFiles.toSeq: _*))
+    // Normalize input_file_name() to the bare file name ONCE — data
+    // files live flat under data/ with UUID names, so the name is a
+    // complete key. The hit set is metadata-scale driver state (same
+    // order as the snapshot file list itself); membership checks below
+    // are O(1) hash lookups, and the survivors filter is a broadcast
+    // semi-join on the name — no O(hits) literal list in the plan and
+    // no O(files × hits) driver loop, so a million-file table pays
+    // O(files + hits), not quadratic.
+    val withName = spark.read.parquet(abs: _*)
+      .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
+    val hitNames = withName.filter(predicate)
+      .select(col("__fname")).distinct().collect().map(_.getString(0)).toSet
+    if (hitNames.isEmpty) return base
+    import spark.implicits._
+    val hitDf = hitNames.toSeq.toDF("__fname")
+    val survivors = withName
+      .join(broadcast(hitDf), "__fname")
       .filter(!coalesce(predicate, lit(false)))
-      .drop("__file")
+      .drop("__fname")
     val adds =
       if (survivors.isEmpty) Nil
       else writeData(spark, path, survivors, 1)
-    val removes = files.filter(f =>
-      hitFiles.exists(h => h.endsWith(f.stripPrefix("data/"))))
+    val removes = files.filter(f => hitNames.contains(f.stripPrefix("data/")))
     preCommitHook()
-    tryCommit(path, TxnCommit(base + 1, "delete", adds, removes))
+    try tryCommit(path, TxnCommit(base + 1, "delete", adds, removes))
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
     base + 1
   }
 
@@ -491,7 +521,8 @@ object TxnTable {
     val abs = files.map(f => localRoot(path).resolve(f).toString)
     val adds = writeData(spark, path, spark.read.parquet(abs: _*), targetFiles)
     preCommitHook()
-    tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
+    try tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
     base + 1
   }
 
@@ -503,6 +534,15 @@ object TxnTable {
     * and history stays readable; it is an ordinary compact commit.
     * At scale the rewrite is the same range-partition + local-sort
     * shuffle any global sort costs, amortized over every pruned read.
+    *
+    * Conflict contract — abort-on-conflict, like [[compact]] and
+    * [[deleteWhere]]: the snapshot it read is re-validated at commit,
+    * and a concurrent commit surfaces as [[TxnConflictException]] to
+    * the caller (who re-runs against the fresh snapshot if still
+    * wanted). Retrying internally would be WRONG here: the rewrite was
+    * computed from the old snapshot, so blindly committing it after a
+    * lost race would silently undo the interleaved writer's rows. An
+    * aborted run deletes its staged files — nothing is orphaned.
     */
   def compactClustered(spark: SparkSession, path: String,
       a: Column, b: Column, targetFiles: Int = 16): Long = {
@@ -512,7 +552,9 @@ object TxnTable {
     val clustered = graft.operators.Layout.zorderPartitions(
       spark.read.parquet(abs: _*), a, b, targetFiles)
     val adds = writeDataPrepared(spark, path, clustered)
-    tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
+    preCommitHook()
+    try tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
     base + 1
   }
 
@@ -552,7 +594,13 @@ object TxnTable {
     val adds = writeData(spark, path, df, partitions)
     var attempt = 0
     while (attempt <= maxAttempts) {
-      if (alreadyApplied()) return None
+      if (alreadyApplied()) {
+        // duplicate detected only AFTER staging (the redelivered batch
+        // lost a race to its own first delivery): the staged files will
+        // never be committed — drop them, don't orphan them
+        cleanupStaged(path, adds)
+        return None
+      }
       val v = currentVersion(path) + 1
       preCommitHook()
       try {
@@ -562,6 +610,7 @@ object TxnTable {
         case _: TxnConflictException => attempt += 1
       }
     }
+    cleanupStaged(path, adds)
     sys.error(s"appendStreamBatch: lost $maxAttempts version races for $op")
   }
 
@@ -713,11 +762,14 @@ object TxnTable {
       lo: Long, hi: Long, asOf: Long = -1L): DataFrame = {
     val full = read(spark, path, asOf) // fence checks + mergeSchema logic
     val pred = col(column).between(lo, hi)
-    val liveNames = snapshotFiles(path, asOf).map(_.stripPrefix("data/")).toSet
+    // Index ONLY the resolved live snapshot files: dead/orphaned
+    // siblings under data/ are never footer-read (a concurrent vacuum
+    // reaping one can't fail this read), and the index cost is
+    // O(snapshot), not O(everything ever written).
+    val liveAbs = snapshotFiles(path, asOf)
+      .map(f => localRoot(path).resolve(f).toString)
     val idx = graft.crawler.SkippingIndex
-      .build(spark, dataDir(path).toString, Seq(column))
-      .filter(element_at(split(col("file"), "/"), -1)
-        .isin(liveNames.toSeq: _*))
+      .buildForFiles(spark, liveAbs, Seq(column))
     val kept = graft.crawler.SkippingIndex.selectFiles(idx, 0, lo, hi)
     if (kept.isEmpty) full.filter(lit(false))
     else spark.read.schema(full.schema).parquet(kept: _*).filter(pred)

@@ -28,15 +28,32 @@ object SkippingIndex {
     * clusters on). Missing stats → null bounds (file never skipped).
     */
   def build(spark: SparkSession, dir: String, columns: Seq[String]): DataFrame = {
-    import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
     val files = fs.listStatus(new Path(dir)).filter(_.isFile)
       .map(_.getPath).filterNot(p => p.getName.startsWith("_"))
       .filter(_.getName.endsWith(".parquet"))
-    val rows = files.toSeq.map { p =>
-      val footer = ParquetFileReader.readFooter(conf, p,
-        ParquetMetadataConverter.NO_FILTER)
+    buildForFiles(spark, files.toSeq.map(_.toString), columns)
+  }
+
+  /** Index an EXPLICIT file list — the entry point for snapshot-scoped
+    * callers (TxnTable.readPruned indexes only the resolved live files,
+    * never dead/orphaned siblings in the same directory). A file that
+    * disappears between listing and footer read (a concurrent vacuum
+    * reaping a dead file) is skipped, not fatal: it cannot be part of
+    * the caller's snapshot, so skipping preserves correctness.
+    */
+  def buildForFiles(spark: SparkSession, paths: Seq[String],
+      columns: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = paths.map(new Path(_)).flatMap { p =>
+      val footerOpt =
+        try Some(ParquetFileReader.readFooter(conf, p,
+          ParquetMetadataConverter.NO_FILTER))
+        catch { case _: java.io.FileNotFoundException => None }
+      footerOpt.map(p -> _)
+    }.map { case (p, footer) =>
       val blocks = footer.getBlocks.asScala
       val rowCount = blocks.map(_.getRowCount).sum
       val bounds = columns.map { c =>

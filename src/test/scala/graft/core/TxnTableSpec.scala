@@ -446,4 +446,117 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).columns.toSet == Set("id", "s", "extra"))
     assert(read(spark, t).count() == 20)
   }
+
+  /** Bare names of the data files physically on disk. */
+  private def onDisk(t: String): Set[String] = {
+    val dd = java.nio.file.Paths.get(t, "data")
+    val s = java.nio.file.Files.list(dd)
+    try {
+      val it = s.iterator(); val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().getFileName.toString
+      b.result()
+    } finally s.close()
+  }
+
+  /** Bare names of every data file any commit ever referenced. */
+  private def referenced(t: String): Set[String] =
+    commits(t).flatMap(_.adds).map(_.path.stripPrefix("data/")).toSet
+
+  test("compactClustered aborts on conflict and deletes its staged files") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0 until 1024).map(i => (i.toLong, (i % 32).toLong)).toDF("id", "a")
+    create(spark, t, df, partitions = 4)
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true // steal the version the clustering computed against
+      append(spark, t, (5000 until 5010).map(i => (i.toLong, 0L)).toDF("id", "a"))
+    }
+    try {
+      // abort-on-conflict is the CONTRACT (retrying would commit a
+      // rewrite computed from the stale snapshot, silently undoing the
+      // interleaved append) — and the loser must clean its staging
+      intercept[TxnConflictException] {
+        compactClustered(spark, t, col("id"), col("a"), targetFiles = 8)
+      }
+    } finally TxnTable.preCommitHook = () => ()
+    assert(fired)
+    assert(onDisk(t) == referenced(t),
+      "aborted compactClustered orphaned staged files")
+    // nothing was lost, and the rewrite succeeds once the log is quiet
+    assert(read(spark, t).count() == 1034)
+    compactClustered(spark, t, col("id"), col("a"), targetFiles = 8)
+    assert(read(spark, t).count() == 1034)
+    assert(onDisk(t) == referenced(t))
+  }
+
+  test("aborted append and duplicate stream batch clean their staging") {
+    import org.apache.spark.sql.functions.lit
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10))
+    // schema-race abort: entry validation passes, the hook evolves the
+    // table, the retry re-validation throws — staged files must go
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      append(spark, t, rangeDf(50, 60).withColumn("extra", lit(1)),
+        evolveSchema = true)
+    }
+    try intercept[SchemaMismatchException] { append(spark, t, rangeDf(10, 20)) }
+    finally TxnTable.preCommitHook = () => ()
+    assert(onDisk(t) == referenced(t), "aborted append orphaned staged files")
+    // duplicate stream batch discovered only AFTER staging: the batch
+    // loses the race to its own first delivery and must unstage
+    val evolved = rangeDf(100, 110).withColumn("extra", lit(1))
+    fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      appendStreamBatch(spark, t, evolved, "s1", 7L)
+    }
+    val res = try appendStreamBatch(spark, t, evolved, "s1", 7L)
+      finally TxnTable.preCommitHook = () => ()
+    assert(res.isEmpty, "redelivered batch must be a no-op")
+    assert(onDisk(t) == referenced(t), "duplicate batch orphaned staged files")
+    assert(read(spark, t).filter(col("id") >= 100).count() == 10,
+      "the batch landed exactly once")
+  }
+
+  test("deleteWhere on a multi-hundred-file snapshot rewrites only hits") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 600), partitions = 300)
+    assert(snapshotFiles(t).size >= 200, "layout must be many-file")
+    val v = deleteWhere(spark, t, col("id") < 4)
+    assert(v == 1L)
+    assert(read(spark, t).count() == 596)
+    assert(read(spark, t).agg(min(col("id"))).head().getLong(0) == 4L)
+    // set-membership matching: only the few files containing hits were
+    // removed, the other hundreds are carried by reference
+    val del = commits(t).find(_.op == "delete").get
+    assert(del.removes.nonEmpty && del.removes.size <= 4,
+      s"expected <=4 rewritten files, got ${del.removes.size}")
+    assert(read(spark, t, asOf = 0).count() == 600)
+  }
+
+  test("readPruned indexes only live snapshot files; orphans are ignored") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0 until 256).map(i => (i.toLong, (i / 64).toLong)).toDF("id", "a")
+    create(spark, t, df, partitions = 4)
+    // an unreadable orphan next to the data files (a crashed writer's
+    // leftover): a whole-directory footer sweep would throw on it; the
+    // snapshot-scoped index must never open it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "data", "part-orphan.parquet"),
+      "not a parquet file".getBytes)
+    val pruned = readPruned(spark, t, "a", 1L, 2L)
+    assert(pruned.count() == 128)
+    assert(pruned.agg(min(col("id")), max(col("id"))).head() match {
+      case r => r.getLong(0) == 64L && r.getLong(1) == 191L
+    })
+    // a file vanishing between listing and footer read (concurrent
+    // vacuum) degrades to "skipped", not an exception
+    val idx = graft.crawler.SkippingIndex.buildForFiles(spark,
+      Seq(t + "/data/does-not-exist.parquet"), Seq("a"))
+    assert(idx.count() == 0)
+  }
 }
