@@ -149,7 +149,11 @@ object Keywords {
           (col("tf") + lit(k1) *
             (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 6))
     weights
-      .join(broadcast(queries.select(col("query_id"), col("term"))), "term")
+      // distinct: a term listed twice under one query_id must not fan
+      // out twice (the score sum would silently double that term's
+      // weight) — dedup here instead of documenting it away
+      .join(broadcast(queries.select(col("query_id"), col("term")).distinct()),
+        "term")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w").cast("decimal(18,6)")).cast("double").as("score"))
       .groupBy(col("query_id"))
@@ -170,12 +174,18 @@ object Keywords {
     * ln(c(t₁)+V). Corpus-as-model here; a reference corpus's bigram
     * table joins the same way.
     *
-    * Scale shape: bigram and unigram models are partial-agg shuffles
-    * (model-vocabulary-sized results, NOT driver state); the per-bigram
-    * scoring join broadcasts while the model fits and degrades to a
-    * bigram-keyed sort-merge at web scale; V is a 1-row broadcast.
-    * Per-(doc, bigram) contributions are 6dp + DECIMAL-summed, so
-    * scores are independent of partial-agg order.
+    * Scale shape: ONE corpus explode. The bigram model is a partial-agg
+    * shuffle of the already-reduced per-doc counts, and the unigram
+    * model is DERIVED from the same shingle scan instead of a second
+    * corpus pass: every token is the prefix of exactly one bigram
+    * unless it ends its document, so unigram counts = bigram-prefix
+    * weights + one per document's last token (a projection, no
+    * explode). Both models are vocabulary-sized partial-agg results,
+    * NOT driver state; the scoring joins carry no broadcast hints —
+    * AQE broadcasts while the model fits and degrades to a keyed
+    * sort-merge at web scale (a forced broadcast would OOM instead).
+    * V is a 1-row broadcast. Per-(doc, bigram) contributions are 6dp +
+    * DECIMAL-summed, so scores are independent of partial-agg order.
     */
   def bigramLogProb(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -184,11 +194,21 @@ object Keywords {
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).cast("double").as("cd"))
     val bi = db.groupBy(col("bg")).agg(sum(col("cd")).as("cb"))
-    val uni = wordFrequencies(docs, textCol)
+    // unigram counts without re-exploding the corpus: prefix weights
+    // from db + each document's last token (single-token docs have no
+    // bigrams and still land here; empty tokens are filtered exactly
+    // like wordFrequencies does)
+    val uni = db.select(substring_index(col("bg"), " ", 1).as("term"),
+        col("cd").as("w"))
+      .unionAll(docs
+        .select(element_at(TextFunctions.tokens(col(textCol)), -1).as("term"))
+        .withColumn("w", lit(1.0)))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(sum(col("w")).as("c"))
     val v = uni.agg(count(lit(1)).as("v"))
-    db.join(broadcast(bi), "bg")
+    db.join(bi, "bg")
       .withColumn("prefix", substring_index(col("bg"), " ", 1))
-      .join(broadcast(uni.withColumnRenamed("term", "prefix")), "prefix")
+      .join(uni.withColumnRenamed("term", "prefix"), "prefix")
       .join(broadcast(v))
       .withColumn("contrib", round(col("cd") *
         (log(col("cb").cast("double") + 1.0)
