@@ -38,6 +38,39 @@ object TextFunctions {
         .otherwise(array())
     }
 
+  /** Per-distinct-value counts of a string array, as
+    * array<struct<v: string, c: bigint>> in ascending value order —
+    * sort + run boundaries, one O(t log t) map-side pass. The building
+    * block that turns a corpus-wide (row, value) explode + shuffle
+    * aggregation into an explode of ALREADY-COUNTED pairs: the
+    * per-row counting happens inside the scan projection, so the
+    * downstream shuffle carries one row per distinct value per row
+    * instead of one per occurrence — and any per-row grouping that
+    * follows needs no shuffle at all (the pairs of one row never leave
+    * their partition).
+    */
+  def valueCounts(arr: Column): Column =
+    letTokens(array_sort(arr)) { sorted =>
+      when(size(sorted) > 0,
+        letTokens(concat(
+          filter(sequence(lit(0), size(sorted) - 1), i =>
+            // CaseWhen, not ||: ANSI element_at(_, 0) would throw on
+            // the i=0 probe if the disjunction evaluated eagerly
+            when(i === 0, lit(true))
+              .otherwise(element_at(sorted, i + 1) =!=
+                element_at(sorted, i))),
+          array(size(sorted)))) { bounds =>
+          // bounds = run starts ++ [t]; run j spans
+          // [bounds[j], bounds[j+1]) of the sorted array
+          transform(sequence(lit(0), size(bounds) - 2), j =>
+            struct(
+              element_at(sorted, element_at(bounds, j + 1) + 1).as("v"),
+              (element_at(bounds, j + 2) - element_at(bounds, j + 1))
+                .cast("long").as("c")))
+        })
+        .otherwise(array().cast("array<struct<v:string,c:bigint>>"))
+    }
+
   /** Character n-gram shingles over the raw string. */
   def charShingles(text: Column, n: Int): Column =
     when(length(text) >= n,

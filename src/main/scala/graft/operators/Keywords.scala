@@ -92,6 +92,14 @@ object Keywords {
           t => t.isInCollection(queryTerms.distinct))).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+    bm25ScoreTopK(tf, stats, k, k1, b)
+  }
+
+  /** Shared BM25 scoring tail over a (doc_id, dl, term, tf) frame — the
+    * raw-corpus path and the persisted-index path MUST score through
+    * the same expressions or their results could drift apart. */
+  private def bm25ScoreTopK(tf: DataFrame, stats: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
     val dfq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfq), "term")
@@ -137,6 +145,13 @@ object Keywords {
       .join(broadcast(terms), "term")
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+    bm25PerQueryFrom(tf, stats, queries, k, k1, b)
+  }
+
+  /** Shared batch-BM25 tail over a (doc_id, dl, term, tf) frame —
+    * see [[bm25ScoreTopK]] for why the raw and indexed paths share it. */
+  private def bm25PerQueryFrom(tf: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     val dfq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val weights = tf.join(broadcast(dfq), "term")
@@ -189,27 +204,40 @@ object Keywords {
     */
   def bigramLogProb(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // per-doc bigram counts are computed INSIDE the scan projection
+    // (valueCounts: sort + run boundaries, map-side) — the explode
+    // emits already-counted (doc, bg, cd) rows, so there is NO
+    // occurrence-level shuffle anywhere in the plan: the model shuffle
+    // carries vocabulary-sized partials and the final per-doc shuffle
+    // one row per document
     val db = docs.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.wordShingles(col(textCol), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).cast("double").as("cd"))
+        explode(TextFunctions.valueCounts(
+          TextFunctions.wordShingles(col(textCol), 2))).as("vc"))
+      .select(col("doc_id"), col("vc.v").as("bg"),
+        col("vc.c").cast("double").as("cd"))
     val bi = db.groupBy(col("bg")).agg(sum(col("cd")).as("cb"))
-    // unigram counts without re-exploding the corpus: prefix weights
-    // from db + each document's last token (single-token docs have no
-    // bigrams and still land here; empty tokens are filtered exactly
-    // like wordFrequencies does)
-    val uni = db.select(substring_index(col("bg"), " ", 1).as("term"),
-        col("cd").as("w"))
+    // unigram counts WITHOUT a second corpus explode: a token is the
+    // prefix of exactly one bigram unless it ends its document, so its
+    // count folds from the VOCAB-SIZED bigram model (Σ cb per prefix)
+    // plus one per document's last token — a plain projection of docs,
+    // no explode (single-token docs land there too; empty tokens are
+    // filtered exactly like wordFrequencies does)
+    val uni = bi.select(substring_index(col("bg"), " ", 1).as("term"),
+        col("cb").as("w"))
       .unionAll(docs
         .select(element_at(TextFunctions.tokens(col(textCol)), -1).as("term"))
         .withColumn("w", lit(1.0)))
       .filter(length(col("term")) > 0)
       .groupBy(col("term")).agg(sum(col("w")).as("c"))
     val v = uni.agg(count(lit(1)).as("v"))
-    db.join(bi, "bg")
+    // assemble the (bg, cb, c, v) model FIRST — vocab-sized joins among
+    // themselves — so the corpus-sized db is joined exactly once
+    val model = bi
       .withColumn("prefix", substring_index(col("bg"), " ", 1))
       .join(uni.withColumnRenamed("term", "prefix"), "prefix")
       .join(broadcast(v))
+      .select(col("bg"), col("cb"), col("c"), col("v"))
+    db.join(model, "bg")
       .withColumn("contrib", round(col("cd") *
         (log(col("cb").cast("double") + 1.0)
           - log(col("c").cast("double") + col("v").cast("double"))), 6))
@@ -244,9 +272,15 @@ object Keywords {
     * intersect-by-rarity property. Output: (doc_id, n_occurrences).
     */
   def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame =
+    phraseFromPostings(positionalPostings(docs, idCol, textCol), phrase)
+
+  /** The postings-intersection fold over an existing (term, doc_id,
+    * positions) frame — shared by the rescan path ([[phraseMatches]])
+    * and the persisted-index path ([[phraseMatchesIndexed]]). */
+  private def phraseFromPostings(posts: DataFrame,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
-    val posts = positionalPostings(docs, idCol, textCol)
     def of(t: String, i: Int) = posts.filter(col("term") === t)
       .select(col("doc_id"), col("positions").as(s"p$i"))
     val anchored = phrase.zipWithIndex.tail
@@ -275,4 +309,130 @@ object Keywords {
         sum(col("tf")).as("tf_total"),
         array_sort(collect_list(struct(col("doc_id"), col("tf"))))
           .as("postings"))
+
+  // ------------------------------------------------------------------
+  // Persisted text index: build ONCE, query MANY — the serving split.
+  // The per-call operators above recompute tokenization, df, corpus
+  // stats, and postings from raw text on every query; at serving time
+  // that's a full corpus explode per query. The on-disk layout below is
+  // the same write-time/query-time split the IVF vector index proved:
+  //
+  //   path/postings/bucket=<b>/*.parquet
+  //     (term, doc_id, dl, tf, positions), partitioned by
+  //     bucket = pmod(xxhash64(term), nBuckets) and sorted by term
+  //     inside each file — a term lookup PRUNES to one directory of
+  //     nBuckets at plan time, and the within-file term sort keeps
+  //     parquet row-group stats tight so the term predicate skips most
+  //     row groups of whatever else shares the bucket.
+  //   path/stats/*.parquet
+  //     one row: (n, avgdl, n_buckets) — the BM25 corpus constants and
+  //     the bucket count the readers need to reproduce the term hash.
+  //
+  // dl rides on every postings row (the doc-norm denormalization every
+  // search engine does) so scoring never rejoins the corpus. At 100 TB
+  // nBuckets scales to thousands; the query-time read stays
+  // "buckets-of-the-query-terms", independent of corpus size — this is
+  // what makes "bounded by the rarest term's postings" true end-to-end
+  // rather than only after a per-call rebuild.
+  // ------------------------------------------------------------------
+
+  /** Build the persisted index for `docs` at `path` (see layout above).
+    * One corpus explode + one (term, doc_id) shuffle — the same cost as
+    * a single [[positionalPostings]] call, paid once. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val withDl = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    // positions index the FULL token array (dl counts empty tokens too)
+    // so phrase adjacency and BM25 doc length match the rescan path
+    val posts = withDl
+      .select(col("doc_id"), col("dl"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("tf", size(col("positions")).cast("double"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+    posts
+      .repartition(nBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    withDl
+      .agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** The buckets `terms` hash into — computed with the SAME Catalyst
+    * expression the build used (a driver-local microjob; re-implementing
+    * xxhash64 here would risk a silent divergence). */
+  private[graft] def termBuckets(spark: org.apache.spark.sql.SparkSession,
+      terms: Seq[String], nBuckets: Int): Seq[Int] = {
+    import spark.implicits._
+    terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .collect().map(_.getInt(0)).toSeq.distinct
+  }
+
+  /** The (n, avgdl, n_buckets) row of a persisted index. */
+  private def indexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Int) = {
+    val st = spark.read.parquet(s"$path/stats")
+    val nb = st.select(col("n_buckets")).head().getInt(0)
+    (st.select(col("n"), col("avgdl")), nb)
+  }
+
+  /** Postings of exactly `terms` from a persisted index: the bucket
+    * filter prunes partitions at PLAN time (only the query terms'
+    * directories are listed/read), the term filter pushes into the
+    * parquet scan and skips row groups via the within-file term sort.
+    */
+  def readPostings(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    val (_, nb) = indexStats(spark, path)
+    val buckets = termBuckets(spark, terms, nb)
+    spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isInCollection(buckets))
+      .filter(col("term").isInCollection(terms))
+  }
+
+  /** [[bm25TopK]] served from a persisted index: no corpus scan, no
+    * tokenization — the read is proportional to the query terms'
+    * postings, and the scoring tail is literally the same function, so
+    * the result is bit-identical to the rescan path. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (stats, _) = indexStats(spark, path)
+    val tf = readPostings(spark, path, queryTerms.distinct)
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    bm25ScoreTopK(tf, stats, k, k1, b)
+  }
+
+  /** [[bm25PerQuery]] served from a persisted index — one pruned
+    * postings read for the UNION of all queries' terms. */
+  def bm25PerQueryIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queries.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val (stats, _) = indexStats(spark, path)
+    val tf = readPostings(spark, path, terms)
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    bm25PerQueryFrom(tf, stats, queries, k, k1, b)
+  }
+
+  /** [[phraseMatches]] served from a persisted index: reads ONLY the
+    * phrase terms' buckets — the intersect-by-rarity bound now holds
+    * end-to-end, with no per-call corpus rebuild. */
+  def phraseMatchesIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, phrase: Seq[String]): DataFrame =
+    phraseFromPostings(
+      readPostings(spark, path, phrase.distinct)
+        .select(col("term"), col("doc_id"), col("positions")),
+      phrase)
 }

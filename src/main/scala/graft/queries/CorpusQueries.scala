@@ -119,6 +119,87 @@ object CorpusQueries {
     }.reduce(_.unionAll(_)).orderBy(col("ph"))
   }
 
+  /** Every FileSourceScanExec in an executed plan (through AQE nodes). */
+  private def scanNodes(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    def gather(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case _ => Nil
+      })).flatMap(gather)
+    gather(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+  }
+
+  /** Collect `df`, then require that every scan of the index's postings
+    * directory read EXACTLY the query terms' bucket partitions — the
+    * l3c-style hard in-run pruning assertion, not a doc claim. */
+  private def collectPrunedIndexRead(spark: SparkSession, idxPath: String,
+      terms: Seq[String], nBuckets: Int, df: DataFrame)
+      : Array[org.apache.spark.sql.Row] = {
+    val rows = df.collect()
+    val expected = graft.operators.Keywords
+      .termBuckets(spark, terms.distinct, nBuckets).size
+    val dirs = new java.io.File(s"$idxPath/postings").list().toSeq
+      .count(_.startsWith("bucket="))
+    val postingScans = scanNodes(df).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    require(postingScans.nonEmpty, "indexed query never read the index")
+    postingScans.foreach { s =>
+      val read = s.metrics("numPartitions").value
+      require(read == expected && dirs > expected,
+        s"index pruning: read $read of $dirs bucket partitions, " +
+          s"expected $expected")
+    }
+    rows
+  }
+
+  /** L36: BM25 served from the PERSISTED text index — build once
+    * (term-bucketed positional postings + corpus stats), query many.
+    * The gate hard-asserts partition pruning (only the 4 query terms'
+    * bucket directories are read) and the result must hash-match the
+    * l32 rescan path's oracle — same scoring tail, zero corpus scan at
+    * query time.
+    */
+  def l36IndexedBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nBuckets = 16
+    val terms = Seq("dup", "join", "vector", "window")
+    val idx = java.nio.file.Files.createTempDirectory("graft_textidx").toString
+    Keywords.buildIndex(Lake.table(spark, dir, "documents"),
+      "doc_id", "text", idx, nBuckets)
+    val topk = Keywords.bm25TopKIndexed(spark, idx, terms, 25)
+    val rows = collectPrunedIndexRead(spark, idx, terms, nBuckets, topk)
+    rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .toDF("doc_id", "score")
+  }
+
+  /** L36b: phrase search served from the persisted index — the l35
+    * phrases resolved by postings intersection over ONLY the phrase
+    * terms' bucket directories (pruning hard-asserted on the first
+    * phrase), matching l35's algorithm-independent substring oracle.
+    */
+  def l36bIndexedPhrase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nBuckets = 16
+    val idx = java.nio.file.Files.createTempDirectory("graft_textidx").toString
+    Keywords.buildIndex(Lake.table(spark, dir, "documents"),
+      "doc_id", "text", idx, nBuckets)
+    val probe = Keywords.phraseMatchesIndexed(spark, idx, Seq("merge", "part"))
+    collectPrunedIndexRead(spark, idx, Seq("merge", "part"), nBuckets, probe)
+    Seq("merge part", "scan join order", "window window").map { ph =>
+      Keywords.phraseMatchesIndexed(spark, idx, ph.split(" ").toSeq)
+        .agg(count(lit(1)).as("matches"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_checksum"))
+        .select(lit(ph).as("ph"), col("matches"), col("id_checksum"))
+    }.reduce(_.unionAll(_)).orderBy(col("ph"))
+  }
+
   /** L4i: PII scrubbing accounting. The corpus has no PII, so each doc is
     * deterministically augmented with an email and a URL derived from its
     * id; both engines construct the SAME string, scrub with the SAME
@@ -706,6 +787,8 @@ object CorpusQueries {
     "l33_bigram_logprob" -> (l33BigramLogprob _),
     "l34_bm25_multi" -> (l34Bm25Multi _),
     "l35_phrase_search" -> (l35PhraseSearch _),
+    "l36_indexed_bm25" -> (l36IndexedBm25 _),
+    "l36b_indexed_phrase" -> (l36bIndexedPhrase _),
     "l4_scrub_pii"  -> (l4ScrubPii _),
     "l3_centroids"  -> (l3Centroids _),
     "l4m_domain_quota" -> (l4mDomainQuota _),
@@ -717,6 +800,44 @@ object CorpusQueries {
     "l11_hash_split"      -> (l11HashSplit _),
     "l12_quantize"        -> (l12Quantize _),
     "l13_packing"         -> (l13Packing _))
+
+  /** Shared by l32 (rescan) and l36 (persisted index): the two engine
+    * paths must agree with the SAME oracle bit-for-bit. */
+  private val bm25TopkSql =
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |             string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+      |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+      |  WHERE term IN ('dup', 'join', 'vector', 'window')
+      |  GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |c AS (SELECT tf.doc_id,
+      |    round(ln((CAST(s.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+      |      * tf.tf * (1.2 + 1.0)
+      |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)), 6)
+      |      AS contrib
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN s)
+      |SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)
+      |  AS score
+      |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+
+  /** Phrase search oracle, shared by l35 (rescan) and l36b (persisted
+    * index): substring containment on space-padded text — a DIFFERENT
+    * algorithm from the engine's postings intersection, equivalent
+    * under single-space tokenization. */
+  private val phraseSearchSql =
+    """WITH m AS (SELECT doc_id, ' ' || text || ' ' AS padded
+      |  FROM documents),
+      |p(ph) AS (VALUES ('merge part'), ('scan join order'),
+      |  ('window window'))
+      |SELECT p.ph,
+      |  CAST(count(CASE WHEN contains(m.padded, ' ' || p.ph || ' ')
+      |    THEN 1 END) AS BIGINT) AS matches,
+      |  coalesce(CAST(sum(CASE WHEN contains(m.padded, ' ' || p.ph || ' ')
+      |    THEN doc_id END) AS BIGINT), 0) AS id_checksum
+      |FROM m CROSS JOIN p
+      |GROUP BY p.ph ORDER BY p.ph""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Identical PMI arithmetic over the same integer counts; the only
@@ -1056,24 +1177,11 @@ object CorpusQueries {
     // BM25: identical literal arithmetic to Keywords.bm25TopK (same
     // expression shapes, same 1.2/0.75/(1.2 + 1.0) literals) so the
     // doubles match bit-for-bit before the shared 6dp+DECIMAL gate.
-    "l32_bm25_topk" ->
-      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-        |             string_split(text, ' ') AS t FROM documents),
-        |s AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
-        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
-        |  WHERE term IN ('dup', 'join', 'vector', 'window')
-        |  GROUP BY 1, 2, 3),
-        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-        |c AS (SELECT tf.doc_id,
-        |    round(ln((CAST(s.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
-        |      * tf.tf * (1.2 + 1.0)
-        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)), 6)
-        |      AS contrib
-        |  FROM tf JOIN dfq USING (term) CROSS JOIN s)
-        |SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)
-        |  AS score
-        |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "l32_bm25_topk" -> bm25TopkSql,
+    // The indexed path must agree with the rescan path EXACTLY — same
+    // oracle, different engine plan (pruned index read vs corpus scan).
+    "l36_indexed_bm25" -> bm25TopkSql,
+    "l36b_indexed_phrase" -> phraseSearchSql,
     "l33_bigram_logprob" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
         |  FROM documents),
@@ -1127,18 +1235,7 @@ object CorpusQueries {
     // Phrase search oracle: substring containment on space-padded text —
     // a DIFFERENT algorithm from the engine's postings intersection,
     // equivalent under single-space tokenization.
-    "l35_phrase_search" ->
-      """WITH m AS (SELECT doc_id, ' ' || text || ' ' AS padded
-        |  FROM documents),
-        |p(ph) AS (VALUES ('merge part'), ('scan join order'),
-        |  ('window window'))
-        |SELECT p.ph,
-        |  CAST(count(CASE WHEN contains(m.padded, ' ' || p.ph || ' ')
-        |    THEN 1 END) AS BIGINT) AS matches,
-        |  coalesce(CAST(sum(CASE WHEN contains(m.padded, ' ' || p.ph || ' ')
-        |    THEN doc_id END) AS BIGINT), 0) AS id_checksum
-        |FROM m CROSS JOIN p
-        |GROUP BY p.ph ORDER BY p.ph""".stripMargin,
+    "l35_phrase_search" -> phraseSearchSql,
     "l4_scrub_pii" ->
       """WITH a AS (SELECT source,
         |    text || ' contact user' || (doc_id % 7) || '@mail' ||

@@ -146,6 +146,25 @@ object NewOpsBench {
       Keywords.phraseMatches(docs20, "doc_id", "text",
         Seq("merge", "part")).count()
     }
+    // Persisted text index: the corpus explode paid ONCE at build, then
+    // every query is a pruned bucket read — the serving numbers to set
+    // against the per-call rescan ops directly above.
+    val idxPath = "/tmp/graft_newops_textidx"
+    report("text_index_build_x20") {
+      Keywords.buildIndex(docs20, "doc_id", "text", idxPath, nBuckets = 64)
+      spark.read.parquet(idxPath + "/stats").count()
+    }
+    report("bm25_topk_idx_x20") {
+      Keywords.bm25TopKIndexed(spark, idxPath,
+        Seq("dup", "join", "vector", "window"), 25).count()
+    }
+    report("bm25_batch_8q_idx_x20") {
+      Keywords.bm25PerQueryIndexed(spark, idxPath, q8, 25).count()
+    }
+    report("phrase_search_idx_x20") {
+      Keywords.phraseMatchesIndexed(spark, idxPath,
+        Seq("merge", "part")).count()
+    }
     spark.stop()
   }
 }

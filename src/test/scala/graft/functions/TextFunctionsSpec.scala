@@ -174,4 +174,23 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(fps("abcd").size == 1)      // exactly one gram, fewer than w
     assert(fps("abcdef").nonEmpty)     // < w hashes -> global min only
   }
+
+  test("valueCounts: run-length counts over the sorted array") {
+    import spark.implicits._
+    def vc(arr: Seq[String]): Seq[(String, Long)] =
+      Seq(Tuple1(arr)).toDF("a")
+        .select(explode(TextFunctions.valueCounts(col("a"))).as("p"))
+        .select(col("p.v"), col("p.c")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(vc(Seq("b", "a", "b", "a", "b")) === Seq(("a", 2L), ("b", 3L)))
+    assert(vc(Seq("x")) === Seq(("x", 1L)))
+    assert(vc(Seq("x", "x", "x")) === Seq(("x", 3L)))
+    assert(vc(Nil) === Nil)
+    // equals the explode + groupBy formulation on random input
+    val rnd = new scala.util.Random(3)
+    val arr = (0 until 500).map(_ => rnd.nextInt(17).toString)
+    val expected = arr.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    assert(vc(arr) === expected)
+  }
 }

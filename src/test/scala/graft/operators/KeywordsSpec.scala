@@ -153,4 +153,60 @@ class KeywordsSpec extends SparkSpecBase {
       "dog"  -> ((1L, 2L, Seq((0L, 2L)))),
       "fish" -> ((2L, 4L, Seq((1L, 1L), (2L, 3L))))))
   }
+
+  test("persisted index serves bit-identical results to the rescan path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "rare")
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, (0 until (2 + rnd.nextInt(20)))
+        .map(_ => vocab(rnd.nextInt(if (i % 37 == 0) 8 else 7)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_kwidx").toString
+    Keywords.buildIndex(corpus, "doc_id", "text", idx, nBuckets = 8)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    // single-query BM25: indexed == rescan, row for row
+    val terms = Seq("rare", "b", "e")
+    assert(rows(Keywords.bm25TopKIndexed(spark, idx, terms, 15)) ===
+      rows(Keywords.bm25TopK(corpus, "doc_id", "text", terms, 15)))
+    // batch BM25 (the path no gate covers): indexed == rescan
+    val qs = Seq((0L, "rare"), (0L, "a"), (1L, "b"), (1L, "c"), (2L, "e"))
+      .toDF("query_id", "term")
+    assert(rows(Keywords.bm25PerQueryIndexed(spark, idx, qs, 5)) ===
+      rows(Keywords.bm25PerQuery(corpus, qs, "doc_id", "text", 5)))
+    // phrase search: indexed == rescan across phrase shapes
+    Seq(Seq("a", "b"), Seq("rare"), Seq("c", "c"), Seq("e", "f", "g"))
+      .foreach { ph =>
+        assert(
+          rows(Keywords.phraseMatchesIndexed(spark, idx, ph)
+            .orderBy(col("doc_id"))) ===
+          rows(Keywords.phraseMatches(corpus, "doc_id", "text", ph)
+            .orderBy(col("doc_id"))),
+          s"phrase ${ph.mkString(" ")}")
+      }
+    // the pruned read really prunes: only the query term's bucket
+    // partition is scanned (inputFiles ignores partition pruning — the
+    // executed scan's numPartitions metric is the truth)
+    val probe = Keywords.readPostings(spark, idx, Seq("rare"))
+    assert(probe.collect().nonEmpty) // executes probe's own plan → metrics
+    def gather(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case _ => Nil
+      })).flatMap(gather)
+    val partsRead = gather(probe.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numPartitions").value
+    }.sum
+    val expected = Keywords.termBuckets(spark, Seq("rare"), 8).size
+    assert(partsRead == expected,
+      s"scanned $partsRead bucket partitions, expected $expected of 8")
+  }
 }
