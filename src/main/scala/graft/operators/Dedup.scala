@@ -118,7 +118,15 @@ object Dedup {
     * gate DuckDB-oracle-exact (l2_minhash_pairs). Returns one row per
     * banded candidate pair with the signature-overlap Jaccard estimate.
     */
-  def minHashBandedPairs(
+  /** (id, sig, band, key) rows of every document's LSH bands — the
+    * shared candidate-generation front half of [[minHashBandedPairs]],
+    * also usable as an INCREMENTAL signature store: committing these
+    * rows per ingest batch lets later batches near-dup-check against
+    * history with one (band, key) equi-join, never a corpus rescan.
+    * Documents with fewer than `shingleLen` tokens have no shingles,
+    * hence no bands, and can never collide.
+    */
+  def minHashBandKeys(
       docs: DataFrame,
       textCol: String,
       idCol: String,
@@ -131,12 +139,23 @@ object Dedup {
         TextFunctions.wordShingles(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
     val sigs = sh.select(col("id"), minHashSignature(col("sh"), numHashes).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    sigs.select(col("id"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           concat_ws(",", (0 until r).map(j =>
             element_at(col("sig"), b * r + j + 1).cast("string")): _*).as("key"))): _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+  }
+
+  def minHashBandedPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val banded = minHashBandKeys(docs, textCol, idCol, shingleLen,
+      numHashes, bands)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

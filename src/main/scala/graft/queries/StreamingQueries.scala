@@ -220,7 +220,51 @@ object StreamingQueries {
       .orderBy(col("lang"))
   }
 
+  /** ST12: streaming NEAR-DUP suppression at ingest — L2's MinHash
+    * banding run incrementally, with TxnTable as the committed
+    * signature store (StreamDedup). The corpus arrives as three
+    * id-ordered micro-batches (maxFilesPerTrigger=1 over mtime-ordered
+    * staged files — monotonic-id arrival, the real ingest shape); each
+    * batch dedups against every earlier batch via one (band, key) join
+    * against the store, never a rescan. The oracle replays the
+    * md5-MinHash banding in SQL and applies the batch rule "drop d iff
+    * a lower-id document shares a band" — the stream must land exactly
+    * there, and StreamDedupSpec additionally pins that 1/3/5-batch
+    * splits give identical kept sets.
+    */
+  def st12StreamNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.core.{Lake, TxnTable}
+    val staging = Files.createTempDirectory("graft_st12_in").toString
+    val store = Files.createTempDirectory("graft_st12_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_st12_kept").toString + "/t"
+    val docs = Lake.table(spark, dir, "documents")
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val step = mx / 3 + 1
+    (0 until 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"graft_st12_t$i").toString
+      docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(staging, f"f$i%d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      // strictly increasing mtimes pin the file-source batch order
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val sch = spark.read.parquet(staging).schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+    graft.streaming.StreamDedup.runNearDupStream(
+      spark, stream, store, kept, "st12")
+    TxnTable.read(spark, kept)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st12_stream_neardup" -> (st12StreamNeardup _),
     "st11_quality_filter" -> (st11QualityFilter _),
     "st10_crawl_stream" -> (st10CrawlStream _),
     "st9_stream_static" -> (st9StreamStatic _),
@@ -234,6 +278,36 @@ object StreamingQueries {
     "st7_upsert_snapshot" -> (st7UpsertSnapshot _))
 
   val oracle: Map[String, String] = Map(
+    // The batch rule the stream must land on exactly: md5-MinHash
+    // (12 hashes, 4 bands, 3-token shingles — the l2_minhash_pairs
+    // replay) and "drop d iff a lower-id document shares a band".
+    "st12_stream_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_transform(range(1, len(w)-1),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS s
+        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |m AS (
+        |  SELECT doc_id, i,
+        |    list_min(list_transform(s, x ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split_regex(substr(md5(i||':'||x),1,15), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |        (a, b) -> a*16 + b))) AS mn
+        |  FROM sh, range(0,12) t(i)),
+        |sig AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM m GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b,
+        |    array_to_string(list_slice(sig, b*3+1, b*3+3), ',') AS key
+        |  FROM sig, range(0,4) t(b)),
+        |dup AS (
+        |  SELECT DISTINCT a.doc_id FROM banded a JOIN banded e
+        |  ON a.b = e.b AND a.key = e.key AND e.doc_id < a.doc_id)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS kept,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // Same per-doc signal SQL as l31_gopher_repetition, thresholded and
     // rolled up per language — the batch equivalent of the stream.
     "st11_quality_filter" ->

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.core.TxnTable
+import graft.operators.Dedup
+
+/** The incremental near-dup protocol, pinned:
+  *  - the kept set is IDENTICAL whether the corpus arrives as 1, 3, or
+  *    5 id-ordered micro-batches (batching independence — the property
+  *    that makes a streaming dedup trustworthy);
+  *  - it equals the batch rule "drop d iff a lower-id document shares
+  *    a MinHash band" computed by Dedup.minHashBandedPairs;
+  *  - a redelivered micro-batch (crash-recovery replay) changes
+  *    nothing in either table (exactly-once via the TxnTable log).
+  */
+class StreamDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 30 docs, ids 0..29: three planted exact-dup clusters (ids sharing
+  // text collide in every band), plus unique docs and <3-token docs
+  // that can never collide.
+  private lazy val corpus = {
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog tonight",
+      "colorless green ideas sleep furiously every single night",
+      "a b",
+      "pack my box with five dozen liquor jugs right now")
+    (0 until 30).map { i =>
+      val text = (i % 10) match {
+        case 0 => base(0)
+        case 1 => base(1)
+        case 2 => base(2)
+        case 3 => s"unique document number $i with plenty of words inside it"
+        case _ => s"filler text $i " + base(i % 4)
+      }
+      (i.toLong, text, if (i < 15) "a" else "b")
+    }.toDF("doc_id", "text", "source")
+  }
+
+  private def runSplit(nBatches: Int): (Set[Long], String) = {
+    val store = Files.createTempDirectory("graft_sdd_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_sdd_kept").toString + "/t"
+    val step = 30 / nBatches + (if (30 % nBatches == 0) 0 else 1)
+    (0 until nBatches).foreach { b =>
+      val batch = corpus.filter(
+        col("doc_id") >= b * step && col("doc_id") < (b + 1) * step)
+      StreamDedup.processBatch(spark, batch, b.toLong, store, kept, "spec")
+    }
+    val ids = TxnTable.read(spark, kept)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    (ids, kept)
+  }
+
+  test("kept set is independent of how the stream was batched") {
+    val (one, _) = runSplit(1)
+    val (three, _) = runSplit(3)
+    val (five, _) = runSplit(5)
+    assert(one == three && three == five)
+    assert(one.nonEmpty && one.size < 30, "dedup must actually drop docs")
+  }
+
+  test("stream equals the batch lower-id-wins banding rule") {
+    val (streamKept, _) = runSplit(3)
+    val dropped = Dedup.minHashBandedPairs(corpus, "text", "doc_id")
+      .select(col("b_id")).collect().map(_.getLong(0)).toSet
+    val batchKept = (0L until 30L).toSet -- dropped
+    assert(streamKept == batchKept)
+    // the <3-token docs (ids 2, 12, 22 share "a b") have no shingles,
+    // no signatures, and must all survive
+    assert(Set(2L, 12L, 22L).subsetOf(streamKept))
+  }
+
+  test("redelivered micro-batch is a no-op on both tables") {
+    val store = Files.createTempDirectory("graft_sdd_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_sdd_kept").toString + "/t"
+    val b0 = corpus.filter(col("doc_id") < 15)
+    val b1 = corpus.filter(col("doc_id") >= 15)
+    StreamDedup.processBatch(spark, b0, 0L, store, kept, "spec")
+    StreamDedup.processBatch(spark, b1, 1L, store, kept, "spec")
+    val keptBefore = TxnTable.read(spark, kept).count()
+    val storeBefore = TxnTable.read(spark, store).count()
+    val vKept = TxnTable.currentVersion(kept)
+    // crash recovery redelivers the last batch
+    StreamDedup.processBatch(spark, b1, 1L, store, kept, "spec")
+    assert(TxnTable.read(spark, kept).count() == keptBefore)
+    assert(TxnTable.read(spark, store).count() == storeBefore)
+    assert(TxnTable.currentVersion(kept) == vKept)
+  }
+}
