@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through UNTOUCHED — the default
+// LoggedOutput prefixes every line with "[info] " and can interleave
+// with sbt's own logging, which is what broke the driver's parse of
+// Bench's single JSON summary line (BENCH_r07 "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -144,7 +144,17 @@ object Bench {
     val loads = ((loadBefore +: loadPoints) :+ loadAfterSweep)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"suite_total_warm","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","draws":$draws,"loadavg":$loads}""")
+    val line = s"""{"metric":"suite_total_warm","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","draws":$draws,"loadavg":$loads}"""
+    // Stop Spark BEFORE emitting the summary so no executor/shutdown
+    // logging can land after (or interleave with) the JSON line the
+    // driver parses; also persist it as a file artifact so a mangled
+    // stdout can never lose the measurement again (BENCH_r07 lesson).
     spark.stop()
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(line)
+    System.out.flush()
   }
 }
