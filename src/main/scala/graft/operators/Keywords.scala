@@ -340,8 +340,33 @@ object Keywords {
     * One corpus explode + one (term, doc_id) shuffle — the same cost as
     * a single [[positionalPostings]] call, paid once. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Unit = {
-    val spark = docs.sparkSession
+      path: String, nBuckets: Int = 64): Unit =
+    writeIndexTranche(docs, idCol, textCol, path, nBuckets, "overwrite")
+
+  /** Append NEW documents' postings to an existing index — the ingest
+    * path: real corpora grow, and a full rebuild per tranche would pay
+    * the whole corpus again. Appends postings files into the same
+    * bucket directories (same term hash, read from the stored
+    * n_buckets) and adds one stats row; per-term df and corpus stats
+    * fold across builds at query time, so the served results stay
+    * bit-identical to a from-scratch rebuild (spec-pinned and gated:
+    * l36c).
+    *
+    * Requires appended doc ids to be NEW — re-ingesting an existing
+    * doc would split its tf across two postings rows and double-count
+    * df. (Near-term shape for mutable corpora: route each bucket
+    * through a TxnTable so appends are commits and readers get
+    * snapshot isolation; the layout is already per-bucket.)
+    */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val (_, nBuckets) = indexStats(docs.sparkSession, path)
+    writeIndexTranche(docs, idCol, textCol, path, nBuckets, "append")
+  }
+
+  /** One tranche of index construction (shared by build and append). */
+  private def writeIndexTranche(docs: DataFrame, idCol: String,
+      textCol: String, path: String, nBuckets: Int, mode: String): Unit = {
     val withDl = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -359,12 +384,16 @@ object Keywords {
     posts
       .repartition(nBuckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode(mode).partitionBy("bucket")
       .parquet(s"$path/postings")
+    // Stats are stored ADDITIVELY — one (n, Σdl) row per tranche —
+    // and readers fold the sum. Exactness: dl values are ints, so the
+    // sums are exact and Σdl/n is bit-identical to the rescan path's
+    // avg(dl) (same double operands, same division).
     withDl
-      .agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("sum_dl"))
       .withColumn("n_buckets", lit(nBuckets))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode(mode).parquet(s"$path/stats")
   }
 
   /** The buckets `terms` hash into — computed with the SAME Catalyst
@@ -378,12 +407,19 @@ object Keywords {
       .collect().map(_.getInt(0)).toSeq.distinct
   }
 
-  /** The (n, avgdl, n_buckets) row of a persisted index. */
+  /** The folded (n, avgdl) stats of a persisted index plus its bucket
+    * count. Stats rows are additive (one per build/append tranche);
+    * the fold reproduces the rescan path's (count, avg) doubles
+    * bit-for-bit because dl sums are exact integers. */
   private def indexStats(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, Int) = {
     val st = spark.read.parquet(s"$path/stats")
     val nb = st.select(col("n_buckets")).head().getInt(0)
-    (st.select(col("n"), col("avgdl")), nb)
+    val folded = st
+      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sdl"))
+      .select(col("n"),
+        (col("sdl").cast("double") / col("n").cast("double")).as("avgdl"))
+    (folded, nb)
   }
 
   /** Postings of exactly `terms` from a persisted index: the bucket

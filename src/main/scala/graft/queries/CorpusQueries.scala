@@ -200,6 +200,31 @@ object CorpusQueries {
     }.reduce(_.unionAll(_)).orderBy(col("ph"))
   }
 
+  /** L36c: INCREMENTAL index growth — the corpus arrives in two
+    * tranches (build on the lower half of doc ids, append the upper
+    * half); per-term df and the additive corpus stats fold across
+    * tranches at query time, and the served BM25 top-k must STILL
+    * hash-match the whole-corpus rescan oracle (same SQL as l32), with
+    * the same hard pruning assertion. This is the ingest path: growing
+    * the index costs one tranche, not a corpus rebuild.
+    */
+  def l36cIncrementalIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nBuckets = 16
+    val terms = Seq("dup", "join", "vector", "window")
+    val docs = Lake.table(spark, dir, "documents")
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = java.nio.file.Files.createTempDirectory("graft_textidx").toString
+    Keywords.buildIndex(docs.filter(col("doc_id") <= mid),
+      "doc_id", "text", idx, nBuckets)
+    Keywords.appendToIndex(docs.filter(col("doc_id") > mid),
+      "doc_id", "text", idx)
+    val topk = Keywords.bm25TopKIndexed(spark, idx, terms, 25)
+    val rows = collectPrunedIndexRead(spark, idx, terms, nBuckets, topk)
+    rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .toDF("doc_id", "score")
+  }
+
   /** L4i: PII scrubbing accounting. The corpus has no PII, so each doc is
     * deterministically augmented with an email and a URL derived from its
     * id; both engines construct the SAME string, scrub with the SAME
@@ -789,6 +814,7 @@ object CorpusQueries {
     "l35_phrase_search" -> (l35PhraseSearch _),
     "l36_indexed_bm25" -> (l36IndexedBm25 _),
     "l36b_indexed_phrase" -> (l36bIndexedPhrase _),
+    "l36c_incremental_index" -> (l36cIncrementalIndex _),
     "l4_scrub_pii"  -> (l4ScrubPii _),
     "l3_centroids"  -> (l3Centroids _),
     "l4m_domain_quota" -> (l4mDomainQuota _),
@@ -1182,6 +1208,7 @@ object CorpusQueries {
     // oracle, different engine plan (pruned index read vs corpus scan).
     "l36_indexed_bm25" -> bm25TopkSql,
     "l36b_indexed_phrase" -> phraseSearchSql,
+    "l36c_incremental_index" -> bm25TopkSql,
     "l33_bigram_logprob" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
         |  FROM documents),

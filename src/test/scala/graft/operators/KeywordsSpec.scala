@@ -208,5 +208,21 @@ class KeywordsSpec extends SparkSpecBase {
     val expected = Keywords.termBuckets(spark, Seq("rare"), 8).size
     assert(partsRead == expected,
       s"scanned $partsRead bucket partitions, expected $expected of 8")
+
+    // incremental growth: build-on-half + append-half must serve the
+    // SAME results as the one-shot index (df and the additive corpus
+    // stats fold across tranches)
+    val idx2 = java.nio.file.Files
+      .createTempDirectory("graft_kwidx2").toString
+    Keywords.buildIndex(corpus.filter(col("doc_id") < 100),
+      "doc_id", "text", idx2, nBuckets = 8)
+    Keywords.appendToIndex(corpus.filter(col("doc_id") >= 100),
+      "doc_id", "text", idx2)
+    assert(rows(Keywords.bm25TopKIndexed(spark, idx2, terms, 15)) ===
+      rows(Keywords.bm25TopKIndexed(spark, idx, terms, 15)))
+    assert(rows(Keywords.phraseMatchesIndexed(spark, idx2, Seq("a", "b"))
+        .orderBy(col("doc_id"))) ===
+      rows(Keywords.phraseMatchesIndexed(spark, idx, Seq("a", "b"))
+        .orderBy(col("doc_id"))))
   }
 }
