@@ -407,6 +407,48 @@ object Keywords {
       .collect().map(_.getInt(0)).toSeq.distinct
   }
 
+  /** Fold an index's accumulated tranche files: every bucket directory
+    * is rewritten as one term-sorted file and the additive stats rows
+    * collapse to one — the small-file compaction any append-driven
+    * layout eventually needs. Serving results are unchanged
+    * (spec-pinned); reads get fewer files with tighter per-row-group
+    * term ranges than interleaved tranche files can have. Like
+    * [[appendToIndex]], not safe to run concurrently with readers or
+    * appenders (the TxnTable-committed variant is the mutable-corpus
+    * shape).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val (_, nBuckets) = indexStats(spark, path)
+    val staged = Files.createTempDirectory("graft_idx_compact").toString
+    spark.read.parquet(s"$path/postings")
+      .repartition(nBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$staged/postings")
+    spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$staged/stats")
+    def swap(name: String): Unit = {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try {
+            val it = s.iterator()
+            while (it.hasNext) rm(it.next())
+          } finally s.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      rm(Paths.get(path, name))
+      Files.move(Paths.get(staged, name), Paths.get(path, name))
+    }
+    swap("postings")
+    swap("stats")
+  }
+
   /** The folded (n, avgdl) stats of a persisted index plus its bucket
     * count. Stats rows are additive (one per build/append tranche);
     * the fold reproduces the rescan path's (count, avg) doubles

@@ -224,5 +224,23 @@ class KeywordsSpec extends SparkSpecBase {
         .orderBy(col("doc_id"))) ===
       rows(Keywords.phraseMatchesIndexed(spark, idx, Seq("a", "b"))
         .orderBy(col("doc_id"))))
+
+    // compaction folds the tranche files (≤1 per bucket after) and
+    // changes nothing served
+    val before = rows(Keywords.bm25TopKIndexed(spark, idx2, terms, 15))
+    Keywords.compactIndex(spark, idx2)
+    def bucketFiles(b: Int): Int = {
+      val d = new java.io.File(s"$idx2/postings/bucket=$b")
+      if (!d.isDirectory) 0
+      else d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert((0 until 8).forall(bucketFiles(_) <= 1),
+      "compaction left multiple files in a bucket")
+    assert(spark.read.parquet(s"$idx2/stats").count() == 1)
+    assert(rows(Keywords.bm25TopKIndexed(spark, idx2, terms, 15)) === before)
+    assert(rows(Keywords.phraseMatchesIndexed(spark, idx2, Seq("a", "b"))
+        .orderBy(col("doc_id"))) ===
+      rows(Keywords.phraseMatchesIndexed(spark, idx, Seq("a", "b"))
+        .orderBy(col("doc_id"))))
   }
 }

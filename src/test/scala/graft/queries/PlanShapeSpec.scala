@@ -241,6 +241,27 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("l36 indexed serving: no corpus scan, bucket+term filters reach the index") {
+    val docs = graft.core.Lake.table(spark, sf0001, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft_psidx").toString
+    graft.operators.Keywords.buildIndex(docs, "doc_id", "text", idx, 16)
+    val df = graft.operators.Keywords.bm25TopKIndexed(spark, idx,
+      Seq("dup", "join"), 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // serving must read ONLY the index — a documents scan would mean
+    // the per-call rebuild snuck back in
+    assert(!p.contains("documents.parquet"), "serving plan rescanned the corpus")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the bucket predicate prunes partitions at plan time and the term
+    // predicate pushes into the parquet scan (row-group skipping inside
+    // whatever else shares the bucket)
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      "bucket partition filter missing from the postings scan")
+    assert(p.contains("PushedFilters") && p.contains("In(term"),
+      "term filter not pushed into the postings scan")
+  }
+
   test("l3 lsh near-dup: pair dedup shuffles scalars, not vector payloads") {
     val p = plan("l3_lsh_neardup")
     // The distinct that collapses multi-band candidate duplicates must
