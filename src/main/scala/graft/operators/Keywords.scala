@@ -367,7 +367,7 @@ object Keywords {
   /** One tranche of index construction (shared by build and append). */
   private def writeIndexTranche(docs: DataFrame, idCol: String,
       textCol: String, path: String, nBuckets: Int, mode: String): Unit = {
-    val withDl = docs.select(col(idCol).as("doc_id"),
+    val withDl = docs.select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
     // positions index the FULL token array (dl counts empty tokens too)
@@ -422,7 +422,7 @@ object Keywords {
     import java.nio.file.{Files, Paths}
     val (_, nBuckets) = indexStats(spark, path)
     val staged = Files.createTempDirectory("graft_idx_compact").toString
-    spark.read.parquet(s"$path/postings")
+    spark.read.schema(postingsSchema).parquet(s"$path/postings")
       .repartition(nBuckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("bucket")
@@ -469,11 +469,20 @@ object Keywords {
     * directories are listed/read), the term filter pushes into the
     * parquet scan and skips row groups via the within-file term sort.
     */
+  /** The fixed on-disk postings schema (doc_id is canonicalized to
+    * long at write time). Declared explicitly so reads never run
+    * schema inference — and so an index whose corpus was EMPTY (no
+    * partition directories at all) still reads as an empty frame
+    * instead of failing inference. */
+  private val postingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "term STRING, doc_id BIGINT, dl INT, " +
+      "positions ARRAY<INT>, tf DOUBLE, bucket INT")
+
   def readPostings(spark: org.apache.spark.sql.SparkSession, path: String,
       terms: Seq[String]): DataFrame = {
     val (_, nb) = indexStats(spark, path)
     val buckets = termBuckets(spark, terms, nb)
-    spark.read.parquet(s"$path/postings")
+    spark.read.schema(postingsSchema).parquet(s"$path/postings")
       .filter(col("bucket").isInCollection(buckets))
       .filter(col("term").isInCollection(terms))
   }

@@ -60,6 +60,34 @@ class EmptyInputSpec extends SparkSpecBase {
       .count() === 0)
   }
 
+  test("round-8 index and stream-dedup are total on empty inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((0L, "a b c"), (1L, "b c d")).toDF("doc_id", "text")
+    // an index built from an EMPTY corpus serves empty results (the
+    // n=0 stats row makes avgdl NaN, which no row ever meets)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ei_idx").toString
+    Keywords.buildIndex(emptyDocs, "doc_id", "text", idx, nBuckets = 4)
+    assert(Keywords.bm25TopKIndexed(spark, idx, Seq("a"), 5).count() === 0)
+    assert(Keywords.phraseMatchesIndexed(spark, idx, Seq("a", "b"))
+      .count() === 0)
+    // appending real docs to the empty index revives it
+    Keywords.appendToIndex(someDocs, "doc_id", "text", idx)
+    assert(Keywords.bm25TopKIndexed(spark, idx, Seq("a"), 5).count() === 1)
+    // a query term absent from the index: empty, not an error
+    assert(Keywords.bm25TopKIndexed(spark, idx, Seq("zzz"), 5).count() === 0)
+    // an EMPTY micro-batch flows through the near-dup protocol
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ei_store").toString + "/t"
+    val kept = java.nio.file.Files
+      .createTempDirectory("graft_ei_kept").toString + "/t"
+    val batch0 = someDocs.withColumn("source", lit("s"))
+    graft.streaming.StreamDedup.processBatch(
+      spark, batch0.limit(0), 0L, store, kept, "ei")
+    graft.streaming.StreamDedup.processBatch(
+      spark, batch0, 1L, store, kept, "ei")
+    assert(graft.core.TxnTable.read(spark, kept).count() === 2)
+  }
+
   test("Graph.pageRankInt on empty edges yields no nodes; bfs keeps seeds") {
     val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graph.pageRankInt(spark, emptyEdges, 2).count() === 0)
