@@ -437,6 +437,23 @@ object TxnTable {
     0L
   }
 
+  /** [[create]] with a clustered physical layout: range-partition the
+    * rows by `clusterBy` into `targetFiles` files, sorted within each —
+    * so every file owns a compact key range and its parquet footer
+    * min/max on the leading cluster column feeds [[readPruned]] /
+    * [[readPrunedIn]] from version 0, without waiting for a
+    * [[compactClustered]] pass. The same one range-shuffle any sorted
+    * write costs. */
+  def createClustered(spark: SparkSession, path: String, df: DataFrame,
+      clusterBy: Seq[Column], targetFiles: Int): Long = {
+    val prepared = df.repartitionByRange(targetFiles, clusterBy: _*)
+      .sortWithinPartitions(clusterBy: _*)
+    val adds = writeDataPrepared(spark, path, prepared)
+    try tryCommit(path, TxnCommit(0L, "create", adds, Nil, Some(df.schema.json)))
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+    0L
+  }
+
   /** Append `df` as a new version; retries the version race, because an
     * append conflicts with nothing logically. The schema is enforced
     * against the table's recorded schema — a drifted writer fails loudly
@@ -507,6 +524,104 @@ object TxnTable {
     val removes = files.filter(f => hitNames.contains(f.stripPrefix("data/")))
     preCommitHook()
     try tryCommit(path, TxnCommit(base + 1, "delete", adds, removes))
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+    base + 1
+  }
+
+  /** Keyed MERGE (the Delta MERGE whenMatched-delete + insert role):
+    * atomically replace every current row whose `keyCols` tuple appears
+    * in `df` with `df`'s rows — ONE commit, so no reader ever observes
+    * the intermediate "deleted but not yet re-inserted" state that a
+    * deleteWhere-then-append pair would expose. Rows with a NULL key in
+    * `df` never match anything (SQL equality) and are simply appended —
+    * which lets additive bookkeeping rows ride the same atomic commit
+    * as the keyed replacement (TxnIndex uses this for its stats fold).
+    *
+    * Only files CONTAINING matched rows are rewritten (found by one
+    * input_file_name() pass + a broadcast-or-keyed semi-join on the
+    * keys — no driver-side key list, so the key set may be data-sized);
+    * untouched files are carried by reference. Conflict contract:
+    * abort-on-conflict like [[deleteWhere]] — the snapshot it read is
+    * re-validated at commit, a concurrent commit surfaces as
+    * [[TxnConflictException]], and an aborted run deletes its staged
+    * files.
+    */
+  def merge(spark: SparkSession, path: String, df: DataFrame,
+      keyCols: Seq[String], partitions: Int = 1,
+      clusterBy: Seq[Column] = Nil, expectedBase: Long = -1L): Long =
+    rewriteByKeys(spark, path, df.select(keyCols.map(col): _*),
+      keyCols, Some(df), partitions, clusterBy, expectedBase)
+
+  /** Keyed anti-delete: atomically delete every current row whose
+    * `keyCols` tuple appears in `keys` — [[merge]] without the insert.
+    * Unlike [[deleteWhere]], the doomed set is a DataFrame joined
+    * distributively, not a driver-evaluated predicate — the shape a
+    * reconciliation pass needs when the keys to remove are themselves
+    * the output of a join (StreamDedup.reconcile). */
+  def deleteMatching(spark: SparkSession, path: String, keys: DataFrame,
+      keyCols: Seq[String]): Long =
+    rewriteByKeys(spark, path, keys.select(keyCols.map(col): _*),
+      keyCols, None, 1, Nil, -1L)
+
+  private def rewriteByKeys(spark: SparkSession, path: String,
+      keys: DataFrame, keyCols: Seq[String], insert: Option[DataFrame],
+      partitions: Int, clusterBy: Seq[Column], expectedBase: Long): Long = {
+    val base = currentVersion(path)
+    // CAS guard: a caller that computed its input FROM a snapshot (e.g.
+    // TxnIndex.upsert's replaced-doc stats) passes that snapshot's
+    // version; a commit that landed in between makes those inputs stale,
+    // so fail the merge up front instead of committing a wrong fold.
+    if (expectedBase >= 0 && base != expectedBase)
+      throw new TxnConflictException(base)
+    val files = snapshotFiles(path, base)
+    val abs = files.map(f => localRoot(path).resolve(f).toString)
+    val keyset = keys.distinct()
+    // Null-keyed rows match nothing under SQL equality; drop them from
+    // the match set so an all-null bookkeeping row doesn't plan a join
+    // that can never hit.
+    val matchable = keyset.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    insert.foreach(d => checkSchema(path, d, evolveSchema = false))
+    val current = spark.read.parquet(abs: _*)
+    val tableCols = current.columns.toSeq
+    val withName = current
+      .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
+    // File names under data/ are UUIDs, so the bare name is a complete
+    // key; the hit set is metadata-scale (bounded by the file count).
+    val hitNames = withName.join(matchable, keyCols, "left_semi")
+      .select(col("__fname")).distinct().collect().map(_.getString(0)).toSet
+    val survivorAdds =
+      if (hitNames.isEmpty) Nil
+      else {
+        import spark.implicits._
+        val hitDf = hitNames.toSeq.toDF("__fname")
+        // USING joins hoist the key columns to the front — restore the
+        // table's column order so rewritten files match the schema.
+        val survivors = withName
+          .join(broadcast(hitDf), "__fname")
+          .join(matchable, keyCols, "left_anti")
+          .select(tableCols.map(col): _*)
+        if (survivors.isEmpty) Nil
+        else if (clusterBy.nonEmpty)
+          // keep the rewritten files clustered too, one per hit file,
+          // so a merge does not erode the layout's pruning tightness
+          writeDataPrepared(spark, path,
+            survivors.repartitionByRange(hitNames.size, clusterBy: _*)
+              .sortWithinPartitions(clusterBy: _*))
+        else writeData(spark, path, survivors, 1)
+      }
+    val insertAdds = insert match {
+      case Some(d) if !d.isEmpty && clusterBy.nonEmpty =>
+        writeDataPrepared(spark, path,
+          d.repartitionByRange(partitions, clusterBy: _*)
+            .sortWithinPartitions(clusterBy: _*))
+      case Some(d) if !d.isEmpty => writeData(spark, path, d, partitions)
+      case _ => Nil
+    }
+    val adds = survivorAdds ++ insertAdds
+    if (adds.isEmpty && hitNames.isEmpty) return base // no-op merge
+    val removes = files.filter(f => hitNames.contains(f.stripPrefix("data/")))
+    preCommitHook()
+    try tryCommit(path, TxnCommit(base + 1, "merge", adds, removes))
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
     base + 1
   }
@@ -773,6 +888,32 @@ object TxnTable {
     val kept = graft.crawler.SkippingIndex.selectFiles(idx, 0, lo, hi)
     if (kept.isEmpty) full.filter(lit(false))
     else spark.read.schema(full.schema).parquet(kept: _*).filter(pred)
+  }
+
+  /** [[readPruned]] for a SET of point values instead of one range:
+    * rows of the snapshot with `column` ∈ `values`, scanning only live
+    * files whose footer [min, max] contains at least one of the values.
+    * The footer index is built ONCE for all values (not once per value)
+    * — this is the serving-read shape for bucket-hashed layouts, where
+    * a query's keys map to a scattered set of bucket ids rather than a
+    * contiguous range (TxnIndex). Files without long-typed stats for
+    * `column` are conservatively kept. */
+  def readPrunedIn(spark: SparkSession, path: String, column: String,
+      values: Seq[Long], asOf: Long = -1L): DataFrame = {
+    val full = read(spark, path, asOf)
+    val vs = values.distinct
+    if (vs.isEmpty) return full.filter(lit(false))
+    val liveAbs = snapshotFiles(path, asOf)
+      .map(f => localRoot(path).resolve(f).toString)
+    val idx = graft.crawler.SkippingIndex
+      .buildForFiles(spark, liveAbs, Seq(column)).cache()
+    val kept =
+      try vs.flatMap(v =>
+        graft.crawler.SkippingIndex.selectFiles(idx, 0, v, v)).distinct
+      finally idx.unpersist()
+    if (kept.isEmpty) full.filter(lit(false))
+    else spark.read.schema(full.schema).parquet(kept: _*)
+      .filter(col(column).isInCollection(vs))
   }
 
   /** Commit history as a DataFrame (driver-side metadata). */

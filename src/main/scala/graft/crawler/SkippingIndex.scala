@@ -63,11 +63,14 @@ object SkippingIndex {
             .map(_.getStatistics)
             .filter(s => s != null && s.hasNonNullValue)
         }
-        // Non-INT64 stats (or a re-typed column) degrade to no-bounds —
-        // the file is conservatively kept, never wrongly skipped.
+        // Non-integer stats (or a re-typed column) degrade to no-bounds —
+        // the file is conservatively kept, never wrongly skipped. INT32
+        // and INT64 both index (TxnIndex's bucket column is INT32).
         val longs = stats.flatMap { s =>
           (s.genericGetMin, s.genericGetMax) match {
             case (mn: java.lang.Long, mx: java.lang.Long) =>
+              Some((mn.longValue, mx.longValue))
+            case (mn: java.lang.Integer, mx: java.lang.Integer) =>
               Some((mn.longValue, mx.longValue))
             case _ => None
           }

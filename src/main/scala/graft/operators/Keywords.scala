@@ -98,7 +98,7 @@ object Keywords {
   /** Shared BM25 scoring tail over a (doc_id, dl, term, tf) frame — the
     * raw-corpus path and the persisted-index path MUST score through
     * the same expressions or their results could drift apart. */
-  private def bm25ScoreTopK(tf: DataFrame, stats: DataFrame, k: Int,
+  private[operators] def bm25ScoreTopK(tf: DataFrame, stats: DataFrame, k: Int,
       k1: Double, b: Double): DataFrame = {
     val dfq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
@@ -150,7 +150,7 @@ object Keywords {
 
   /** Shared batch-BM25 tail over a (doc_id, dl, term, tf) frame —
     * see [[bm25ScoreTopK]] for why the raw and indexed paths share it. */
-  private def bm25PerQueryFrom(tf: DataFrame, stats: DataFrame,
+  private[operators] def bm25PerQueryFrom(tf: DataFrame, stats: DataFrame,
       queries: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     val dfq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
@@ -278,7 +278,7 @@ object Keywords {
   /** The postings-intersection fold over an existing (term, doc_id,
     * positions) frame — shared by the rescan path ([[phraseMatches]])
     * and the persisted-index path ([[phraseMatchesIndexed]]). */
-  private def phraseFromPostings(posts: DataFrame,
+  private[operators] def phraseFromPostings(posts: DataFrame,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
     def of(t: String, i: Int) = posts.filter(col("term") === t)

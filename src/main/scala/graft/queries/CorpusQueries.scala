@@ -225,6 +225,75 @@ object CorpusQueries {
       .toDF("doc_id", "score")
   }
 
+  /** L37: the TRANSACTIONAL text index — TxnIndex commits the postings
+    * + doc registry + additive stats through TxnTable, so the index
+    * survives the mutable-corpus regime the plain l36 layout excludes:
+    * every 7th doc is RE-INGESTED with doubled text in ONE atomic merge
+    * commit (old postings replaced, stats corrected — df/tf/dl all
+    * change), and the served BM25 must hash-match the rescan oracle on
+    * the corpus's NEW logical state. In-run asserts: (a) time travel —
+    * the pre-upsert snapshot still serves the pre-upsert answer
+    * byte-identically; (b) the serving read is file-pruned (strict
+    * subset of the live snapshot's files).
+    */
+  def l37TxnIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nBuckets = 16
+    val terms = Seq("dup", "join", "vector", "window")
+    val docs = Lake.table(spark, dir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft_txnidx").toString
+    val v0 = graft.operators.TxnIndex.build(docs, "doc_id", "text", idx,
+      nBuckets)
+    val pre = graft.operators.TxnIndex
+      .bm25TopK(spark, idx, terms, 25).collect().toSeq
+    graft.operators.TxnIndex.upsert(
+      docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+      "doc_id", "text", idx)
+    val travel = graft.operators.TxnIndex
+      .bm25TopK(spark, idx, terms, 25, asOf = v0).collect().toSeq
+    require(travel == pre,
+      "time-travel read of the pre-upsert snapshot drifted after upsert")
+    val live = graft.core.TxnTable.snapshotFiles(idx).size
+    val topk = graft.operators.TxnIndex.bm25TopK(spark, idx, terms, 25)
+    val rows = topk.collect()
+    val idxScans = scanNodes(topk).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains(idx)))
+    require(idxScans.nonEmpty, "indexed query never read the index")
+    idxScans.foreach { s =>
+      val read = s.metrics("numFiles").value
+      require(read > 0 && read < live,
+        s"txn-index pruning: read $read of $live live files")
+    }
+    rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .toDF("doc_id", "score")
+  }
+
+  /** L37b: phrase search from the transactional index AFTER the same
+    * doubled-text upsert — positions must be fully replaced, not
+    * appended (a double-counted postings row would fabricate phrase
+    * matches). Oracle: the algorithm-independent substring check on the
+    * corpus's new logical state (which also sees seam-spanning matches
+    * the doubling creates — both engines must agree on those).
+    */
+  def l37bTxnPhrase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Lake.table(spark, dir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft_txnidx").toString
+    graft.operators.TxnIndex.build(docs, "doc_id", "text", idx, 16)
+    graft.operators.TxnIndex.upsert(
+      docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+      "doc_id", "text", idx)
+    Seq("merge part", "scan join order", "window window").map { ph =>
+      graft.operators.TxnIndex
+        .phraseMatches(spark, idx, ph.split(" ").toSeq)
+        .agg(count(lit(1)).as("matches"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_checksum"))
+        .select(lit(ph).as("ph"), col("matches"), col("id_checksum"))
+    }.reduce(_.unionAll(_)).orderBy(col("ph"))
+  }
+
   /** L4i: PII scrubbing accounting. The corpus has no PII, so each doc is
     * deterministically augmented with an email and a URL derived from its
     * id; both engines construct the SAME string, scrub with the SAME
@@ -815,6 +884,8 @@ object CorpusQueries {
     "l36_indexed_bm25" -> (l36IndexedBm25 _),
     "l36b_indexed_phrase" -> (l36bIndexedPhrase _),
     "l36c_incremental_index" -> (l36cIncrementalIndex _),
+    "l37_txn_index" -> (l37TxnIndex _),
+    "l37b_txn_phrase" -> (l37bTxnPhrase _),
     "l4_scrub_pii"  -> (l4ScrubPii _),
     "l3_centroids"  -> (l3Centroids _),
     "l4m_domain_quota" -> (l4mDomainQuota _),
@@ -1209,6 +1280,23 @@ object CorpusQueries {
     "l36_indexed_bm25" -> bm25TopkSql,
     "l36b_indexed_phrase" -> phraseSearchSql,
     "l36c_incremental_index" -> bm25TopkSql,
+    // The transactional index after the doubled-text upsert must match
+    // the SAME BM25 arithmetic over the corpus's NEW logical state —
+    // the oracle rewrites the corpus the way the upsert did.
+    "l37_txn_index" ->
+      ("""WITH upserted AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |""".stripMargin +
+        bm25TopkSql.stripPrefix("WITH ").replace("FROM documents", "FROM upserted")),
+    "l37b_txn_phrase" ->
+      ("""WITH upserted AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |""".stripMargin +
+        phraseSearchSql.stripPrefix("WITH ").replace("FROM documents", "FROM upserted")),
     "l33_bigram_logprob" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
         |  FROM documents),

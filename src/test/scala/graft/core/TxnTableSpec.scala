@@ -559,4 +559,100 @@ class TxnTableSpec extends SparkSpecBase {
       Seq(t + "/data/does-not-exist.parquet"), Seq("a"))
     assert(idx.count() == 0)
   }
+
+  test("merge replaces matched keys and inserts the rest in ONE commit") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 50))
+    val src = (40 until 60).map(i => (i.toLong, s"new$i")).toDF("id", "s")
+    val v = merge(spark, t, src, Seq("id"))
+    // atomicity: exactly one commit — no reader can ever observe the
+    // "deleted but not yet re-inserted" intermediate of a delete+append
+    assert(v == 1L && currentVersion(t) == 1L)
+    val now = read(spark, t).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now.size == 60)
+    assert(now(10L) == "row10", "unmatched rows untouched")
+    assert(now(45L) == "new45", "matched rows replaced")
+    assert(now(55L) == "new55", "unmatched source rows inserted")
+    // snapshot isolation: the pre-merge version is intact
+    assert(read(spark, t, asOf = 0).filter(col("s") === "row45").count() == 1)
+  }
+
+  test("merge appends null-keyed rows without matching anything") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10))
+    // a null-keyed bookkeeping row rides the same commit as the keyed
+    // replacement (the TxnIndex stats-delta shape)
+    val src = Seq((Some(5L), "new5"), (None, "ledger"))
+      .toDF("id", "s")
+    merge(spark, t, src, Seq("id"))
+    val rows = read(spark, t).collect()
+    assert(rows.length == 11)
+    assert(rows.count(_.isNullAt(0)) == 1)
+    assert(rows.exists(r => !r.isNullAt(0) && r.getLong(0) == 5L &&
+      r.getString(1) == "new5"))
+  }
+
+  test("merge rewrites only files containing matched keys") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 600), partitions = 300)
+    assert(snapshotFiles(t).size >= 200)
+    merge(spark, t, Seq((3L, "n3")).toDF("id", "s"), Seq("id"))
+    val m = commits(t).find(_.op == "merge").get
+    assert(m.removes.size <= 4,
+      s"expected <=4 rewritten files, got ${m.removes.size}")
+    assert(read(spark, t).count() == 600)
+  }
+
+  test("merge aborts on conflict in its race window and cleans staging") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 50))
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true // steal the version the merge computed against
+      append(spark, t, rangeDf(100, 110))
+    }
+    try intercept[TxnConflictException] {
+      merge(spark, t, Seq((5L, "n5")).toDF("id", "s"), Seq("id"))
+    } finally TxnTable.preCommitHook = () => ()
+    assert(fired)
+    assert(onDisk(t) == referenced(t), "aborted merge orphaned staged files")
+    assert(read(spark, t).count() == 60, "interleaved append intact")
+    // and succeeds once the log is quiet
+    merge(spark, t, Seq((5L, "n5")).toDF("id", "s"), Seq("id"))
+    assert(read(spark, t).filter(col("s") === "n5").count() == 1)
+  }
+
+  test("merge expectedBase CAS rejects a stale snapshot up front") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10))
+    append(spark, t, rangeDf(10, 20))
+    // a caller whose inputs were computed against version 0 must NOT
+    // commit over version 1 (TxnIndex.upsert's stats fold would be stale)
+    intercept[TxnConflictException] {
+      merge(spark, t, Seq((1L, "x")).toDF("id", "s"), Seq("id"),
+        expectedBase = 0L)
+    }
+    assert(currentVersion(t) == 1L)
+    assert(onDisk(t) == referenced(t))
+  }
+
+  test("deleteMatching removes by distributive key join") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 100), partitions = 4)
+    // the doomed set is a DataFrame — no driver-side key list, no
+    // predicate literal; the shape a reconciliation pass needs
+    val doomed = (0 until 100 by 7).map(_.toLong).toDF("id")
+    val v = deleteMatching(spark, t, doomed, Seq("id"))
+    assert(v == 1L)
+    val left = read(spark, t).select("id").collect().map(_.getLong(0)).toSet
+    assert(left.size == 100 - 15)
+    assert((0 until 100 by 7).forall(i => !left.contains(i.toLong)))
+    assert(read(spark, t, asOf = 0).count() == 100)
+  }
 }
