@@ -263,8 +263,48 @@ object StreamingQueries {
       .orderBy(col("source"))
   }
 
+  /** ST12b: near-dup suppression when the stream arrives OUT of id
+    * order (batches grouped by doc_id % 3, so lower ids land after
+    * higher ones), then [[graft.streaming.StreamDedup.reconcile]]
+    * repairs the kept table from the committed signature store. The
+    * result must STILL equal the batch lower-id-wins rule — the same
+    * oracle as st12 — proving the repair closes the one direction
+    * out-of-order arrival can err in (wrongly-kept docs).
+    */
+  def st12bStreamRepair(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.core.{Lake, TxnTable}
+    val staging = Files.createTempDirectory("graft_st12b_in").toString
+    val store = Files.createTempDirectory("graft_st12b_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_st12b_kept").toString + "/t"
+    val docs = Lake.table(spark, dir, "documents")
+    // residue classes arrive high-to-low: a doc's lower-id collider is
+    // in a LATER batch with probability ~2/3 — the adversarial order
+    (0 until 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"graft_st12b_t$i").toString
+      docs.filter(col("doc_id") % 3 === (2 - i))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(staging, f"f$i%d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val sch = spark.read.parquet(staging).schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+    graft.streaming.StreamDedup.runNearDupStream(
+      spark, stream, store, kept, "st12b")
+    graft.streaming.StreamDedup.reconcile(spark, store, kept)
+    TxnTable.read(spark, kept)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st12_stream_neardup" -> (st12StreamNeardup _),
+    "st12b_stream_repair" -> (st12bStreamRepair _),
     "st11_quality_filter" -> (st11QualityFilter _),
     "st10_crawl_stream" -> (st10CrawlStream _),
     "st9_stream_static" -> (st9StreamStatic _),
@@ -277,11 +317,12 @@ object StreamingQueries {
     "st6_stream_join" -> (st6StreamJoin _),
     "st7_upsert_snapshot" -> (st7UpsertSnapshot _))
 
-  val oracle: Map[String, String] = Map(
-    // The batch rule the stream must land on exactly: md5-MinHash
-    // (12 hashes, 4 bands, 3-token shingles — the l2_minhash_pairs
-    // replay) and "drop d iff a lower-id document shares a band".
-    "st12_stream_neardup" ->
+  // The batch rule the stream must land on exactly: md5-MinHash
+  // (12 hashes, 4 bands, 3-token shingles — the l2_minhash_pairs
+  // replay) and "drop d iff a lower-id document shares a band".
+  // Shared by st12 (in-order arrival) and st12b (out-of-order arrival
+  // + reconcile): arrival order must not change the answer.
+  private val streamNeardupSql =
       """WITH sh AS (
         |  SELECT doc_id, list_transform(range(1, len(w)-1),
         |    i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS s
@@ -307,7 +348,11 @@ object StreamingQueries {
         |  CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
-        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "st12_stream_neardup" -> streamNeardupSql,
+    "st12b_stream_repair" -> streamNeardupSql,
     // Same per-doc signal SQL as l31_gopher_repetition, thresholded and
     // rolled up per language — the batch equivalent of the stream.
     "st11_quality_filter" ->

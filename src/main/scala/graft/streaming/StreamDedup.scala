@@ -109,6 +109,35 @@ object StreamDedup {
     appendOrCreate(spark, storePath, sigs, s"$streamId-sigs", batchId)
   }
 
+  /** Reconciliation pass for OUT-OF-ORDER arrival — the compaction-style
+    * repair the monotonic-id contract otherwise requires. Ingest order
+    * can only err in one direction: every drop decision cites a
+    * genuinely lower-id collider (so nothing is ever wrongly dropped),
+    * but a document kept early can be invalidated by a LATER-arriving
+    * lower-id collider. The repair is therefore a pure kept-table
+    * delete: one self-join of the committed signature store finds every
+    * kept id that collides with any lower-id signature, and
+    * [[TxnTable.deleteMatching]] removes those docs in one commit —
+    * distributive end to end (the doomed set is a DataFrame, never a
+    * driver-side list). After reconcile, the kept table equals the
+    * batch rule regardless of arrival order (st12b gate + spec).
+    *
+    * Scale shape: the self-join is the SAME (band, key) equi-join every
+    * batch already pays, once, over the accumulated store; idempotent
+    * (a second run deletes nothing), so it can ride any maintenance
+    * schedule.
+    */
+  def reconcile(spark: SparkSession, storePath: String,
+      keptPath: String): Long = {
+    val store = TxnTable.read(spark, storePath)
+    val doomed = store.as("a")
+      .join(store.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("b.id") < col("a.id"), "left_semi")
+      .select(col("a.id").as("doc_id")).distinct()
+    TxnTable.deleteMatching(spark, keptPath, doomed, Seq("doc_id"))
+  }
+
   /** Exactly-once append that also creates the table on first sight.
     * The create commits the SCHEMA only (zero rows), so every data
     * batch — including the first — goes through appendStreamBatch and

@@ -74,6 +74,34 @@ class StreamDedupSpec extends SparkSpecBase {
     assert(Set(2L, 12L, 22L).subsetOf(streamKept))
   }
 
+  test("out-of-order arrival + reconcile equals the batch rule") {
+    val store = Files.createTempDirectory("graft_sdd_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_sdd_kept").toString + "/t"
+    // adversarial order: high ids first, so every cluster's winner
+    // (its LOWEST id) arrives last and the early keeps are wrong
+    (0 until 3).foreach { b =>
+      val batch = corpus.filter(col("doc_id") % 3 === (2 - b))
+      StreamDedup.processBatch(spark, batch, b.toLong, store, kept, "ooo")
+    }
+    val preRepair = TxnTable.read(spark, kept)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val dropped = Dedup.minHashBandedPairs(corpus, "text", "doc_id")
+      .select(col("b_id")).collect().map(_.getLong(0)).toSet
+    val batchKept = (0L until 30L).toSet -- dropped
+    assert(preRepair != batchKept,
+      "the adversarial order must actually create wrongly-kept docs")
+    // nothing is ever wrongly DROPPED — only wrongly kept
+    assert(batchKept.subsetOf(preRepair))
+    StreamDedup.reconcile(spark, store, kept)
+    val postRepair = TxnTable.read(spark, kept)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(postRepair == batchKept)
+    // idempotent: a second reconcile is a no-op version-wise
+    val v = TxnTable.currentVersion(kept)
+    StreamDedup.reconcile(spark, store, kept)
+    assert(TxnTable.currentVersion(kept) == v)
+  }
+
   test("redelivered micro-batch is a no-op on both tables") {
     val store = Files.createTempDirectory("graft_sdd_store").toString + "/t"
     val kept = Files.createTempDirectory("graft_sdd_kept").toString + "/t"
