@@ -169,6 +169,39 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_j"))
   }
 
+  /** END-TO-END near-duplicate DEDUP — the composition real curation
+    * pipelines run (the RefinedWeb/Dolma shape): MinHash-banded
+    * candidate pairs → connected components of the collision graph →
+    * keep each cluster's MINIMUM id, drop the rest. Returns the
+    * SURVIVING docs with their original columns.
+    *
+    * Cluster-resolved semantics differ from the simpler "drop d iff a
+    * lower-id doc shares a band" rule (st12): in a chain 1–5, 5–3 the
+    * neighbor rule keeps 3 (its only collider 5 is higher), while the
+    * component rule correctly folds {1, 3, 5} into one survivor — the
+    * transitive closure is what "one document per duplicate cluster"
+    * actually means.
+    *
+    * Scale shape: candidates come from the band-bucketed join (never
+    * all-pairs), components from iterative min-label propagation —
+    * O(cluster diameter) keyed joins, and near-dup clusters are
+    * shallow in practice; nothing driver-sided anywhere.
+    */
+  def minHashDedup(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val pairs = minHashBandedPairs(docs, textCol, idCol, shingleLen,
+      numHashes, bands).select(col("a_id"), col("b_id"))
+    val losers = resolveDupGroups(pairs)
+      .filter(col("id") =!= col("canonical"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   private val pow2: Seq[Long] = Seq.tabulate(60)(i => 1L << i)
 
   /** 60-bit SimHash over whitespace tokens: per bit, sum +1/−1 votes from

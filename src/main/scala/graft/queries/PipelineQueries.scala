@@ -38,6 +38,22 @@ object PipelineQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** L38: end-to-end near-dup DEDUP — MinHash band collisions resolved
+    * to connected components, one survivor (the min id) per cluster.
+    * The transitive-closure semantics the pair gates (l2) and the
+    * neighbor-rule stream gate (st12) don't cover: a collision CHAIN
+    * folds to one doc even when its ends never collide directly.
+    * Oracle: DuckDB replays the md5-MinHash banding and runs the
+    * recursive-CTE component fold over the same collision graph.
+    */
+  def l38NeardupDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    Dedup.minHashDedup(docs, "text", "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("source"))
+  }
+
   /** L2: SimHash near-dup pairs (hamming ≤ 3 over 60-bit signatures),
     * aggregated the same way. Fully deterministic (md5-derived hashes) —
     * oracle-exact: DuckDB recomputes the identical 60-bit signatures from
@@ -520,6 +536,7 @@ object PipelineQueries {
     "l1_upsert"          -> (l1Upsert _),
     "l1_dedup_keepfirst" -> (l1DedupKeepfirst _),
     "l2_minhash_pairs"   -> (l2MinhashPairs _),
+    "l38_neardup_dedup"  -> (l38NeardupDedup _),
     "l2_simhash_pairs"   -> (l2SimhashPairs _),
     "l2_jaccard_top_pairs" -> (l2JaccardTopPairs _),
     "l1_dup_groups"      -> (l1DupGroups _),
@@ -709,6 +726,44 @@ object PipelineQueries {
         |  len(list_filter(range(1,13), j -> sa.sig[j] = sb.sig[j])) / 12.0 AS est_j
         |FROM pr JOIN sig sa ON sa.doc_id = pr.a_id JOIN sig sb ON sb.doc_id = pr.b_id
         |ORDER BY a_id, b_id""".stripMargin,
+    // Same banding replay as l2_minhash_pairs, then the l1_dup_groups
+    // recursive component fold over the collision graph, keep-min.
+    "l38_neardup_dedup" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_transform(range(1, len(w)-1),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS s
+        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |m AS (
+        |  SELECT doc_id, i,
+        |    list_min(list_transform(s, x ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split_regex(substr(md5(i||':'||x),1,15), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |        (a, b) -> a*16 + b))) AS mn
+        |  FROM sh, range(0,12) t(i)),
+        |sig AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM m GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b,
+        |    array_to_string(list_slice(sig, b*3+1, b*3+3), ',') AS key
+        |  FROM sig, range(0,4) t(b)),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS a, e.doc_id AS b
+        |  FROM banded a JOIN banded e
+        |  ON a.b = e.b AND a.key = e.key AND a.doc_id < e.doc_id),
+        |e2 AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |v AS (SELECT DISTINCT src AS id FROM e2),
+        |r(id, l) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT e2.dst, r.l FROM r JOIN e2 ON e2.src = r.id),
+        |cc AS (SELECT id, min(l) AS canonical FROM r GROUP BY id),
+        |losers AS (SELECT id FROM cc WHERE id <> canonical)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS kept,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM losers)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "l2_simhash_pairs" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |h AS (SELECT doc_id,

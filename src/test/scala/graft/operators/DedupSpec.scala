@@ -109,4 +109,26 @@ class DedupSpec extends SparkSpecBase {
     assert(j((1L, 101L)) > 0.8 && j((1L, 101L)) < 1.0)
     assert(j((2L, 3L)) < j((1L, 101L)))
   }
+
+  test("minHashDedup keeps one survivor per collision COMPONENT") {
+    import spark.implicits._
+    // ids 10, 20, 30 share one text (a 3-cycle of collisions), 40 is
+    // unique, 5 shares another text with 50 — survivors must be each
+    // component's min: {10, 40, 5} and the transitive closure must fold
+    // entire clusters, not just direct neighbors
+    val t1 = "the quick brown fox jumps over the lazy dog tonight"
+    val t2 = "pack my box with five dozen liquor jugs right now"
+    val docs = Seq(
+      10L -> t1, 20L -> t1, 30L -> t1,
+      40L -> "a wholly unique document with plenty of words inside",
+      5L -> t2, 50L -> t2).toDF("doc_id", "text")
+    val kept = Dedup.minHashDedup(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 40L, 5L))
+    // idempotent: deduping the survivors changes nothing
+    val again = Dedup.minHashDedup(
+      docs.join(kept.toSeq.toDF("doc_id"), "doc_id"), "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
 }
