@@ -501,14 +501,22 @@ object Keywords {
   }
 
   /** [[bm25PerQuery]] served from a persisted index — one pruned
-    * postings read for the UNION of all queries' terms. */
+    * postings read for the UNION of all queries' terms. The partition
+    * set is folded DISTRIBUTIVELY from the query table (≤ nBuckets
+    * bucket ids reach the driver, never the term list itself — a
+    * million-term query batch still plans from a bounded list), and
+    * the term restriction is a semi-join against the query table
+    * instead of a driver-built IN list. */
   def bm25PerQueryIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val terms = queries.select(col("term")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val (stats, _) = indexStats(spark, path)
-    val tf = readPostings(spark, path, terms)
+    val (stats, nb) = indexStats(spark, path)
+    val buckets = queries
+      .select(pmod(xxhash64(col("term")), lit(nb)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val tf = spark.read.schema(postingsSchema).parquet(s"$path/postings")
+      .filter(col("bucket").isInCollection(buckets))
+      .join(queries.select(col("term")).distinct(), Seq("term"), "left_semi")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
     bm25PerQueryFrom(tf, stats, queries, k, k1, b)
   }
