@@ -461,6 +461,55 @@ object TxnTable {
     * records the new shape (reads then mergeSchema across the log's
     * schema generations).
     */
+  /** CAS append: commit `df` as `expectedBase + 1` or fail with
+    * [[TxnConflictException]] (no retry — the caller's rows were
+    * computed FROM the snapshot at `expectedBase`, so committing over
+    * anything newer could encode stale derivations; the caller
+    * recomputes and re-runs). `clusterBy` range-clusters the files so
+    * footer pruning stays tight. Staged files are cleaned on abort.
+    */
+  def appendCas(spark: SparkSession, path: String, df: DataFrame,
+      expectedBase: Long, clusterBy: Seq[Column] = Nil,
+      partitions: Int = 1): Long = {
+    val newSchema = checkSchema(path, df, evolveSchema = false)
+    val adds =
+      if (clusterBy.nonEmpty)
+        writeDataPrepared(spark, path,
+          df.repartitionByRange(partitions, clusterBy: _*)
+            .sortWithinPartitions(clusterBy: _*))
+      else writeData(spark, path, df, partitions)
+    val base = currentVersion(path)
+    if (base != expectedBase) {
+      cleanupStaged(path, adds)
+      throw new TxnConflictException(base)
+    }
+    preCommitHook()
+    try tryCommit(path, TxnCommit(base + 1, "append", adds, Nil, newSchema))
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+    base + 1
+  }
+
+  /** INSERT OVERWRITE: atomically replace the table's entire logical
+    * content with `df` — one commit removing every live file and adding
+    * the new clustered layout. History stays readable (old files are
+    * never deleted here); abort-on-conflict like [[compact]]. The
+    * compaction primitive for merge-on-read layouts (TxnIndex folds
+    * its tombstones through this).
+    */
+  def overwriteClustered(spark: SparkSession, path: String, df: DataFrame,
+      clusterBy: Seq[Column], targetFiles: Int): Long = {
+    val base = currentVersion(path)
+    val files = snapshotFiles(path, base)
+    checkSchema(path, df, evolveSchema = false)
+    val adds = writeDataPrepared(spark, path,
+      df.repartitionByRange(targetFiles, clusterBy: _*)
+        .sortWithinPartitions(clusterBy: _*))
+    preCommitHook()
+    try tryCommit(path, TxnCommit(base + 1, "overwrite", adds, files))
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+    base + 1
+  }
+
   def append(spark: SparkSession, path: String, df: DataFrame,
       partitions: Int = 1, maxAttempts: Int = 20,
       evolveSchema: Boolean = false): Long = {
@@ -905,12 +954,21 @@ object TxnTable {
     if (vs.isEmpty) return full.filter(lit(false))
     val liveAbs = snapshotFiles(path, asOf)
       .map(f => localRoot(path).resolve(f).toString)
-    val idx = graft.crawler.SkippingIndex
-      .buildForFiles(spark, liveAbs, Seq(column)).cache()
-    val kept =
-      try vs.flatMap(v =>
-        graft.crawler.SkippingIndex.selectFiles(idx, 0, v, v)).distinct
-      finally idx.unpersist()
+    // The footer index is metadata-scale and the kept list goes to the
+    // driver regardless (it becomes the scan's file set) — so intersect
+    // driver-side in ONE pass over the collected bounds instead of one
+    // selectFiles job per value (serving latency, measured in
+    // NewOpsBench). Null bounds keep the file, never skip it.
+    val kept = graft.crawler.SkippingIndex
+      .buildForFiles(spark, liveAbs, Seq(column))
+      .select(col("file"), col("mins").getItem(0).as("mn"),
+        col("maxs").getItem(0).as("mx"))
+      .collect()
+      .filter { r =>
+        r.isNullAt(1) || r.isNullAt(2) ||
+          vs.exists(v => r.getLong(1) <= v && r.getLong(2) >= v)
+      }
+      .map(_.getString(0)).toSeq
     if (kept.isEmpty) full.filter(lit(false))
     else spark.read.schema(full.schema).parquet(kept: _*)
       .filter(col(column).isInCollection(vs))

@@ -20,7 +20,7 @@ import graft.functions.TextFunctions
   *    df/tf (its documented, unchecked hazard);
   *  - **time travel / restore / vacuum** come for free from the log.
   *
-  * One TxnTable holds three row kinds, discriminated by `kind` and
+  * One TxnTable holds four row kinds, discriminated by `kind` and
   * separated physically by sentinel `bucket` values so every serving
   * read stays file-pruned ([[TxnTable.readPrunedIn]] on the footer
   * min/max of `bucket`):
@@ -34,20 +34,36 @@ import graft.functions.TextFunctions
   *    ADDITIVE rows (corrections may carry negative deltas); readers
   *    fold Σn, Σsum_dl, so avgdl = Σdl/Σn is bit-identical to the
   *    rescan path's (count, avg) doubles on the corpus's current
-  *    logical state.
+  *    logical state;
+  *  - `'t'` tombstones: (doc_id), bucket = −3 — written by the
+  *    MERGE-ON-READ upsert ([[upsertLazy]]); readers drop any p/d row
+  *    of that doc whose `seq` is below the tombstone's.
   *
-  * The atomicity trick: [[TxnTable.merge]] keyed on `doc_id` deletes
-  * every old row of the re-ingested docs (their 'p' and 'd' rows) and
-  * inserts the new postings + registry + one stats-delta row — whose
-  * doc_id is NULL, so it matches nothing and rides the same commit as
-  * a pure insert. One commit, no torn state.
+  * Two upsert shapes, composable on the same table:
+  *
+  *  - [[upsert]] (rewrite-on-write): a keyed [[TxnTable.merge]]
+  *    physically deletes the replaced docs' rows. Because a doc's
+  *    postings scatter across ALL term buckets, any tranche touches
+  *    nearly every file — measured at index-build cost in NewOpsBench.
+  *    Right when upserts are rare and reads must never pay overhead.
+  *  - [[upsertLazy]] (merge-on-read): ONE append-only CAS commit —
+  *    new rows + tombstones + a stats delta; nothing is rewritten
+  *    (O(tranche), not O(index)). Readers apply tombstones with a
+  *    doc-keyed anti-condition over only the rows they already read;
+  *    [[compact]] folds tombstones away physically. The Delta
+  *    deletion-vector trade, chosen per workload.
+  *
+  * `seq` orders tranches for tombstone resolution: a tranche stamps
+  * its rows with max(prior stats seq) + 1, and its tombstones kill
+  * same-doc rows with smaller seq. Compaction folds stats rows to one
+  * carrying the max seq, so ordering survives compaction.
   *
   * Scale shape: build/upsert cost one corpus-tranche explode + one
   * range shuffle (clustered write); a query reads only the files whose
-  * bucket range covers its terms (hard-asserted in the l37 gate), and
-  * scoring reuses [[Keywords]]' exact tails. The bucket count scales
-  * with the corpus; the read stays proportional to the query terms'
-  * postings.
+  * bucket range covers its terms plus the (compactable) tombstone
+  * bucket — hard-asserted in the l37 gate. Scoring reuses [[Keywords]]'
+  * exact tails; results are bit-identical to a rescan of the corpus's
+  * current logical state.
   */
 object TxnIndex {
 
@@ -57,7 +73,8 @@ object TxnIndex {
     * `statsDelta` lets upsert turn the tranche's raw (n, Σdl) into a
     * correction against the replaced docs' contribution. */
   private def trancheRows(docs: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int, statsDelta: Option[(Long, Long)]): DataFrame = {
+      nBuckets: Int, statsDelta: Option[(Long, Long)],
+      seq: Int): DataFrame = {
     val nulls = Seq(lit(null).cast("bigint").as("n"),
       lit(null).cast("bigint").as("sum_dl"),
       lit(null).cast("int").as("n_buckets"))
@@ -74,13 +91,13 @@ object TxnIndex {
         col("dl") +: col("positions") +:
         size(col("positions")).cast("double").as("tf") +:
         pmod(xxhash64(col("term")), lit(nBuckets)).cast("int").as("bucket") +:
-        nulls): _*)
+        nulls) :+ lit(seq).as("seq"): _*)
     val registry = withDl
       .select((lit("d").as("kind") +: lit(null).cast("string").as("term") +:
         col("doc_id") +: col("dl") +:
         lit(null).cast("array<int>").as("positions") +:
         lit(null).cast("double").as("tf") +: lit(-2).as("bucket") +:
-        nulls): _*)
+        nulls) :+ lit(seq).as("seq"): _*)
     val raw = withDl.agg(count(lit(1)).as("cnt"),
       coalesce(sum(col("dl")), lit(0L)).cast("long").as("sdl"))
     val stats = (statsDelta match {
@@ -92,8 +109,28 @@ object TxnIndex {
       lit(null).cast("bigint").as("doc_id"), lit(null).cast("int").as("dl"),
       lit(null).cast("array<int>").as("positions"),
       lit(null).cast("double").as("tf"), lit(-1).as("bucket"),
-      col("n"), col("sum_dl"), lit(nBuckets).as("n_buckets"))
+      col("n"), col("sum_dl"), lit(nBuckets).as("n_buckets"),
+      lit(seq).as("seq"))
     posts.unionAll(registry).unionAll(stats)
+  }
+
+  /** Tombstone rows (kind 't') for `ids` at tranche `seq`. */
+  private def tombstoneRows(ids: DataFrame, seq: Int): DataFrame =
+    ids.select(lit("t").as("kind"), lit(null).cast("string").as("term"),
+      col("doc_id"), lit(null).cast("int").as("dl"),
+      lit(null).cast("array<int>").as("positions"),
+      lit(null).cast("double").as("tf"), lit(-3).as("bucket"),
+      lit(null).cast("bigint").as("n"), lit(null).cast("bigint").as("sum_dl"),
+      lit(null).cast("int").as("n_buckets"), lit(seq).as("seq"))
+
+  /** Drop every row whose doc carries a LATER tombstone (merge-on-read
+    * resolution). Null-keyed rows (stats) pass through untouched. */
+  private def applyTombstones(rows: DataFrame, tombs: DataFrame): DataFrame = {
+    val order = rows.columns.toSeq
+    val kill = tombs.groupBy(col("doc_id")).agg(max(col("seq")).as("__kill"))
+    rows.join(kill, Seq("doc_id"), "left")
+      .filter(col("__kill").isNull || col("seq") >= col("__kill"))
+      .select(order.map(col): _*)
   }
 
   /** Create the index table at `path` from `docs` — version 0 is the
@@ -101,63 +138,169 @@ object TxnIndex {
   def build(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Long =
     TxnTable.createClustered(docs.sparkSession, path,
-      trancheRows(docs, idCol, textCol, nBuckets, None),
+      trancheRows(docs, idCol, textCol, nBuckets, None, seq = 0),
       clusterKeys, nBuckets + 2)
 
-  /** Upsert a tranche: NEW doc ids append; EXISTING doc ids are
-    * re-ingested — old postings and registry rows replaced, stats
-    * corrected by the replaced docs' (count, Σdl) — in ONE atomic merge
-    * commit. The replaced-stats fold is computed against the snapshot
-    * version the merge then CAS-checks (`expectedBase`), so a racing
-    * writer aborts this upsert loudly instead of letting it commit a
-    * stale correction; retry by re-running (the tranche frame is
-    * deterministic).
+  /** Upsert a tranche (REWRITE-ON-WRITE): NEW doc ids append; EXISTING
+    * doc ids are re-ingested — old postings, registry rows, and any
+    * tombstones of those docs physically replaced, stats corrected by
+    * the replaced docs' (count, Σdl) — in ONE atomic merge commit. The
+    * replaced-stats fold is computed against the snapshot version the
+    * merge then CAS-checks (`expectedBase`), so a racing writer can
+    * never turn a stale correction into a committed wrong fold. A lost
+    * race RECOMPUTES the fold against the fresh snapshot and retries
+    * (the tranche frame is deterministic); an exhausted retry budget
+    * surfaces the last conflict.
+    *
+    * Cost: a doc's postings scatter across all term buckets, so the
+    * keyed rewrite touches nearly every file — prefer [[upsertLazy]]
+    * for frequent tranches.
     */
   def upsert(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Long = {
+      path: String, maxAttempts: Int = 10): Long = {
     val spark = docs.sparkSession
-    val base = TxnTable.currentVersion(path)
-    val nb = nBucketsOf(spark, path, base)
-    val incoming = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val replaced = TxnTable.readPrunedIn(spark, path, "bucket", Seq(-2L), base)
-      .filter(col("kind") === "d")
-      .join(incoming, Seq("doc_id"), "left_semi")
-      .agg(count(lit(1)).as("c"), coalesce(sum(col("dl")), lit(0L)).as("s"))
-      .head()
-    val rows = trancheRows(docs, idCol, textCol, nb,
-      Some((replaced.getLong(0), replaced.getLong(1))))
-    TxnTable.merge(spark, path, rows, Seq("doc_id"),
-      partitions = math.max(1, nb / 8), clusterBy = clusterKeys,
-      expectedBase = base)
+    var attempt = 0
+    while (true) {
+      val base = TxnTable.currentVersion(path)
+      val st = rawStats(spark, path, base)
+      val incoming = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+      val replaced = liveRegistry(spark, path, base)
+        .join(incoming, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("c"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+        .head()
+      val rows = trancheRows(docs, idCol, textCol, st.nBuckets,
+        Some((replaced.getLong(0), replaced.getLong(1))), st.maxSeq + 1)
+      try {
+        return TxnTable.merge(spark, path, rows, Seq("doc_id"),
+          partitions = math.max(1, st.nBuckets / 8), clusterBy = clusterKeys,
+          expectedBase = base)
+      } catch {
+        case e: TxnTable.TxnConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
   }
 
-  private def nBucketsOf(spark: SparkSession, path: String,
-      asOf: Long): Int =
-    TxnTable.readPrunedIn(spark, path, "bucket", Seq(-1L), asOf)
-      .filter(col("kind") === "s")
-      .select(col("n_buckets")).head().getInt(0)
+  /** Upsert a tranche (MERGE-ON-READ): ONE append-only CAS commit —
+    * the tranche's postings + registry rows, a tombstone per replaced
+    * doc, and the stats delta. NOTHING is rewritten: commit cost is
+    * O(tranche) regardless of index size (the rewrite path is
+    * O(index), measured in NewOpsBench). Readers resolve tombstones
+    * with a doc-keyed filter over only the rows they already read;
+    * run [[compact]] periodically to fold them away. Same CAS-retry
+    * discipline as [[upsert]]; results are identical between the two
+    * paths (spec-pinned).
+    */
+  def upsertLazy(docs: DataFrame, idCol: String, textCol: String,
+      path: String, maxAttempts: Int = 10): Long = {
+    val spark = docs.sparkSession
+    var attempt = 0
+    while (true) {
+      val base = TxnTable.currentVersion(path)
+      val st = rawStats(spark, path, base)
+      val seq = st.maxSeq + 1
+      val incoming = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+      val replacedReg = liveRegistry(spark, path, base)
+        .join(incoming, Seq("doc_id"), "left_semi")
+      val replaced = replacedReg
+        .agg(count(lit(1)).as("c"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+        .head()
+      val rows = trancheRows(docs, idCol, textCol, st.nBuckets,
+          Some((replaced.getLong(0), replaced.getLong(1))), seq)
+        .unionAll(tombstoneRows(replacedReg.select(col("doc_id")), seq))
+      try {
+        return TxnTable.appendCas(spark, path, rows, expectedBase = base,
+          clusterBy = clusterKeys,
+          partitions = math.max(1, st.nBuckets / 8))
+      } catch {
+        case e: TxnTable.TxnConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
 
-  /** The folded (n, avgdl) stats at `asOf` — same doubles as a rescan
-    * of the corpus's current logical state (integer sums, one final
-    * division). */
-  private def statsAt(spark: SparkSession, path: String,
-      asOf: Long): DataFrame =
-    TxnTable.readPrunedIn(spark, path, "bucket", Seq(-1L), asOf)
+  /** Physically apply tombstones and fold the accumulated stats rows
+    * to one — an atomic INSERT OVERWRITE commit; the logical content
+    * (and every served answer) is unchanged, history stays readable.
+    * Restores both the pruning tightness repeated lazy tranches erode
+    * and the O(1) stats fold. */
+  def compact(spark: SparkSession, path: String): Long = {
+    val v = TxnTable.currentVersion(path)
+    val st = rawStats(spark, path, v)
+    val full = TxnTable.read(spark, path, v)
+    val kept = applyTombstones(
+      full.filter(col("kind") =!= "t"), full.filter(col("kind") === "t"))
+      .filter(col("kind") =!= "s")
+    val foldedStats = {
+      import spark.implicits._
+      Seq(1).toDS().select(lit("s").as("kind"),
+        lit(null).cast("string").as("term"),
+        lit(null).cast("bigint").as("doc_id"), lit(null).cast("int").as("dl"),
+        lit(null).cast("array<int>").as("positions"),
+        lit(null).cast("double").as("tf"), lit(-1).as("bucket"),
+        lit(st.n).as("n"), lit(st.sumDl).as("sum_dl"),
+        lit(st.nBuckets).as("n_buckets"), lit(st.maxSeq).as("seq"))
+    }
+    TxnTable.overwriteClustered(spark, path, kept.unionAll(foldedStats),
+      clusterKeys, st.nBuckets + 2)
+  }
+
+  private case class IndexStats(n: Long, sumDl: Long, nBuckets: Int,
+      maxSeq: Int)
+
+  /** ONE pruned read of the stats rows at `asOf` — the corpus fold,
+    * bucket count, and tranche high-water seq together (every writer
+    * and every serving call needs some of these; reading them in one
+    * pass keeps per-query footer-index builds at two). */
+  private def rawStats(spark: SparkSession, path: String,
+      asOf: Long): IndexStats = {
+    val s = TxnTable.readPrunedIn(spark, path, "bucket", Seq(-1L), asOf)
       .filter(col("kind") === "s")
-      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sdl"))
-      .select(col("n"),
-        (col("sdl").cast("double") / col("n").cast("double")).as("avgdl"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sdl"),
+        max(col("n_buckets")).as("nb"), max(col("seq")).as("mseq"))
+      .head()
+    IndexStats(s.getLong(0), s.getLong(1), s.getInt(2), s.getInt(3))
+  }
+
+  /** avgdl matches a rescan of the corpus's current logical state
+    * bit-for-bit: integer sums, one final double division. */
+  private def statsFrame(spark: SparkSession, st: IndexStats): DataFrame = {
+    import spark.implicits._
+    Seq((st.n, st.sumDl.toDouble / st.n.toDouble)).toDF("n", "avgdl")
+  }
+
+  /** The registry rows alive at `asOf` (tombstones applied). */
+  private def liveRegistry(spark: SparkSession, path: String,
+      asOf: Long): DataFrame = {
+    val raw = TxnTable.readPrunedIn(spark, path, "bucket",
+      Seq(-2L, -3L), asOf)
+    applyTombstones(raw.filter(col("kind") === "d"),
+      raw.filter(col("kind") === "t"))
+  }
 
   /** Postings of exactly `terms` at `asOf`: the footer index prunes to
-    * the terms' bucket files, the term filter pushes into the scan. */
+    * the terms' bucket files (plus the tombstone bucket), the term
+    * filter pushes into the scan, tombstones resolve on the spot. */
   def readPostings(spark: SparkSession, path: String, terms: Seq[String],
       asOf: Long = -1L): DataFrame = {
     val v = resolve(path, asOf)
-    val nb = nBucketsOf(spark, path, v)
+    readPostingsWithNb(spark, path, terms, v,
+      rawStats(spark, path, v).nBuckets)
+  }
+
+  private def readPostingsWithNb(spark: SparkSession, path: String,
+      terms: Seq[String], asOf: Long, nb: Int): DataFrame = {
     val buckets = Keywords.termBuckets(spark, terms.distinct, nb)
-    TxnTable.readPrunedIn(spark, path, "bucket", buckets.map(_.toLong), v)
-      .filter(col("kind") === "p")
-      .filter(col("term").isInCollection(terms.distinct))
+    val raw = TxnTable.readPrunedIn(spark, path, "bucket",
+      buckets.map(_.toLong) :+ -3L, asOf)
+    applyTombstones(
+      raw.filter(col("kind") === "p")
+        .filter(col("term").isInCollection(terms.distinct)),
+      raw.filter(col("kind") === "t"))
   }
 
   /** Pin every read of one serving call to a single committed version —
@@ -172,9 +315,10 @@ object TxnIndex {
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       asOf: Long = -1L): DataFrame = {
     val v = resolve(path, asOf)
-    val tf = readPostings(spark, path, queryTerms, v)
+    val st = rawStats(spark, path, v)
+    val tf = readPostingsWithNb(spark, path, queryTerms, v, st.nBuckets)
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    Keywords.bm25ScoreTopK(tf, statsAt(spark, path, v), k, k1, b)
+    Keywords.bm25ScoreTopK(tf, statsFrame(spark, st), k, k1, b)
   }
 
   /** Batch BM25 over a (query_id, term) table, served from the
@@ -183,17 +327,22 @@ object TxnIndex {
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       asOf: Long = -1L): DataFrame = {
     val v = resolve(path, asOf)
-    val nb = nBucketsOf(spark, path, v)
+    val st = rawStats(spark, path, v)
     // the bucket set is folded DISTRIBUTIVELY from the query table
     // (≤ nBuckets ints to the driver, never the term list itself)
     val buckets = queries
-      .select(pmod(xxhash64(col("term")), lit(nb)).cast("long").as("b"))
+      .select(pmod(xxhash64(col("term")), lit(st.nBuckets)).cast("long")
+        .as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val tf = TxnTable.readPrunedIn(spark, path, "bucket", buckets, v)
-      .filter(col("kind") === "p")
-      .join(queries.select(col("term")).distinct(), Seq("term"), "left_semi")
+    val raw = TxnTable.readPrunedIn(spark, path, "bucket",
+      buckets :+ -3L, v)
+    val tf = applyTombstones(
+      raw.filter(col("kind") === "p")
+        .join(queries.select(col("term")).distinct(), Seq("term"),
+          "left_semi"),
+      raw.filter(col("kind") === "t"))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    Keywords.bm25PerQueryFrom(tf, statsAt(spark, path, v), queries, k, k1, b)
+    Keywords.bm25PerQueryFrom(tf, statsFrame(spark, st), queries, k, k1, b)
   }
 
   /** Phrase search served from the committed index: postings

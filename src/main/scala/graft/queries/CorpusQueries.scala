@@ -294,6 +294,35 @@ object CorpusQueries {
     }.reduce(_.unionAll(_)).orderBy(col("ph"))
   }
 
+  /** L37c: the MERGE-ON-READ upsert — the same doubled-text re-ingest
+    * as l37, but committed APPEND-ONLY (tombstones + stats delta; the
+    * commit removes zero files, asserted in-run), and then COMPACTED
+    * (tombstones folded away physically). Both the pre-compact and
+    * post-compact serving answers must hash-match the same oracle as
+    * l37 — commit strategy must never leak into results.
+    */
+  def l37cLazyIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("dup", "join", "vector", "window")
+    val docs = Lake.table(spark, dir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft_txnidx").toString
+    graft.operators.TxnIndex.build(docs, "doc_id", "text", idx, 16)
+    graft.operators.TxnIndex.upsertLazy(
+      docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+      "doc_id", "text", idx)
+    require(graft.core.TxnTable.commits(idx).last.removes.isEmpty,
+      "upsertLazy must commit append-only (zero files rewritten)")
+    val pre = graft.operators.TxnIndex
+      .bm25TopK(spark, idx, terms, 25).collect().toSeq
+    graft.operators.TxnIndex.compact(spark, idx)
+    val post = graft.operators.TxnIndex
+      .bm25TopK(spark, idx, terms, 25).collect().toSeq
+    require(pre == post, "compaction changed a served answer")
+    post.map(r => (r.getLong(0), r.getDouble(1)))
+      .toDF("doc_id", "score")
+  }
+
   /** L4i: PII scrubbing accounting. The corpus has no PII, so each doc is
     * deterministically augmented with an email and a URL derived from its
     * id; both engines construct the SAME string, scrub with the SAME
@@ -886,6 +915,7 @@ object CorpusQueries {
     "l36c_incremental_index" -> (l36cIncrementalIndex _),
     "l37_txn_index" -> (l37TxnIndex _),
     "l37b_txn_phrase" -> (l37bTxnPhrase _),
+    "l37c_lazy_index" -> (l37cLazyIndex _),
     "l4_scrub_pii"  -> (l4ScrubPii _),
     "l3_centroids"  -> (l3Centroids _),
     "l4m_domain_quota" -> (l4mDomainQuota _),
@@ -1284,6 +1314,14 @@ object CorpusQueries {
     // the SAME BM25 arithmetic over the corpus's NEW logical state —
     // the oracle rewrites the corpus the way the upsert did.
     "l37_txn_index" ->
+      ("""WITH upserted AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |""".stripMargin +
+        bm25TopkSql.stripPrefix("WITH ").replace("FROM documents", "FROM upserted")),
+    // Merge-on-read commits, same logical corpus — same oracle as l37.
+    "l37c_lazy_index" ->
       ("""WITH upserted AS (SELECT doc_id,
          |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
          |         ELSE text END AS text

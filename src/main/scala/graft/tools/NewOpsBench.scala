@@ -165,6 +165,60 @@ object NewOpsBench {
       Keywords.phraseMatchesIndexed(spark, idxPath,
         Seq("merge", "part")).count()
     }
+    // Transactional text index: the same serving shape through the
+    // TxnTable log (snapshot-isolated), plus the atomic re-ingest
+    // upsert the plain index cannot do. Build ≈ plain build + commit;
+    // serve ≈ pruned read + log resolution; upsert = ONE tranche.
+    val txnIdx = "/tmp/graft_newops_txnidx/t"
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try { val it = s.iterator(); while (it.hasNext) rmrf(it.next()) }
+        finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    report("txn_index_build_x20") {
+      rmrf(java.nio.file.Paths.get(txnIdx).getParent)
+      TxnIndex.build(docs20, "doc_id", "text", txnIdx, nBuckets = 64)
+      1L
+    }
+    report("txn_index_upsert_rewrite") {
+      // re-ingest ~1/7 of the corpus with doubled text — idempotent
+      // across timing iterations (upsert REPLACES, never accumulates).
+      // Doc postings scatter across every bucket, so the keyed rewrite
+      // touches ~all files: expect ~index-build cost. That is the
+      // measured reason upsertLazy exists.
+      TxnIndex.upsert(
+        docs20.filter(col("doc_id") % 7 === 0)
+          .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+        "doc_id", "text", txnIdx)
+      1L
+    }
+    report("txn_index_upsert_lazy") {
+      // same tranche, merge-on-read: append-only commit, O(tranche)
+      TxnIndex.upsertLazy(
+        docs20.filter(col("doc_id") % 7 === 0)
+          .withColumn("text", concat(col("text"), lit(" "), col("text"))),
+        "doc_id", "text", txnIdx)
+      1L
+    }
+    report("txn_index_compact") {
+      TxnIndex.compact(spark, txnIdx)
+      1L
+    }
+    report("bm25_topk_txnidx_x20") {
+      TxnIndex.bm25TopK(spark, txnIdx,
+        Seq("dup", "join", "vector", "window"), 25).count()
+    }
+    report("phrase_search_txnidx_x20") {
+      TxnIndex.phraseMatches(spark, txnIdx, Seq("merge", "part")).count()
+    }
+    // end-to-end near-dup dedup: banded candidates -> components ->
+    // survivors (candidate-linear; the all-pairs rerank never runs)
+    report("minhash_dedup_x1") {
+      Dedup.minHashDedup(docs, "text", "doc_id").count()
+    }
     spark.stop()
   }
 }

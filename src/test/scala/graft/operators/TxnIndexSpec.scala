@@ -153,6 +153,116 @@ class TxnIndexSpec extends SparkSpecBase {
     }.sum
   }
 
+  test("upsert retries a lost race with a RECOMPUTED stats fold") {
+    val idx = fresh()
+    TxnIndex.build(docsDf(corpus), "doc_id", "text", idx, nBuckets = 8)
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true // steal the version the outer upsert computed against
+      TxnIndex.upsert(docsDf(Seq(
+        6L -> "an interleaved brand new document")), "doc_id", "text", idx)
+    }
+    try TxnIndex.upsert(docsDf(Seq(
+      1L -> "quick quick replacement text")), "doc_id", "text", idx)
+    finally TxnTable.preCommitHook = () => ()
+    assert(fired)
+    // the retry recomputed its fold against the fresh snapshot: the
+    // final index equals a rescan of BOTH writers' combined state
+    val newState = docsDf(corpus.filterNot(_._1 == 1L) ++ Seq(
+      1L -> "quick quick replacement text",
+      6L -> "an interleaved brand new document"))
+    assertSameTopK(
+      TxnIndex.bm25TopK(spark, idx, Seq("quick", "document"), 10),
+      Keywords.bm25TopK(newState, "doc_id", "text",
+        Seq("quick", "document"), 10))
+    // the lost attempt's staged files were cleaned, not orphaned
+    val onDisk = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(idx, "data"))
+      try {
+        val it = s.iterator(); val b = Set.newBuilder[String]
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.result()
+      } finally s.close()
+    }
+    val referenced = TxnTable.commits(idx)
+      .flatMap(_.adds).map(_.path.stripPrefix("data/")).toSet
+    assert(onDisk == referenced, "lost merge attempt orphaned staged files")
+  }
+
+  test("upsertLazy: append-only commit, same answers as the rewrite path") {
+    val docs = docsDf(corpus)
+    val tranche = docsDf(Seq(
+      1L -> "quick quick quick brown study",
+      6L -> "a wholly new document about the quick fox"))
+    val rw = fresh(); val mor = fresh()
+    TxnIndex.build(docs, "doc_id", "text", rw, nBuckets = 8)
+    TxnIndex.build(docs, "doc_id", "text", mor, nBuckets = 8)
+    TxnIndex.upsert(tranche, "doc_id", "text", rw)
+    TxnIndex.upsertLazy(tranche, "doc_id", "text", mor)
+    // the lazy commit rewrote NOTHING (O(tranche)); the rewrite commit
+    // removed files (O(index)) — that asymmetry is the point
+    assert(TxnTable.commits(mor).last.removes.isEmpty,
+      "upsertLazy must be append-only")
+    assert(TxnTable.commits(rw).last.removes.nonEmpty)
+    for (q <- Seq(Seq("quick", "fox"), Seq("document", "study")))
+      assertSameTopK(
+        TxnIndex.bm25TopK(spark, mor, q, 10),
+        TxnIndex.bm25TopK(spark, rw, q, 10))
+    assertSameTopK(
+      TxnIndex.phraseMatches(spark, mor, Seq("quick", "fox")),
+      TxnIndex.phraseMatches(spark, rw, Seq("quick", "fox")))
+  }
+
+  test("upsertLazy chains: the LAST tombstone wins, then compact folds") {
+    val idx = fresh()
+    TxnIndex.build(docsDf(corpus), "doc_id", "text", idx, nBuckets = 8)
+    TxnIndex.upsertLazy(docsDf(Seq(1L -> "first rewrite of doc one")),
+      "doc_id", "text", idx)
+    TxnIndex.upsertLazy(docsDf(Seq(1L -> "second rewrite quick quick")),
+      "doc_id", "text", idx)
+    val finalState = docsDf(corpus.filterNot(_._1 == 1L) :+
+      (1L -> "second rewrite quick quick"))
+    def serve() = TxnIndex.bm25TopK(spark, idx, Seq("quick", "rewrite"), 10)
+    assertSameTopK(serve(),
+      Keywords.bm25TopK(finalState, "doc_id", "text",
+        Seq("quick", "rewrite"), 10))
+    val before = serve().collect().toSeq
+    val vPre = TxnTable.currentVersion(idx)
+    TxnIndex.compact(spark, idx)
+    assert(TxnTable.currentVersion(idx) == vPre + 1, "compact is ONE commit")
+    // physically folded: no tombstones, one stats row — same answers
+    val full = TxnTable.read(spark, idx)
+    assert(full.filter(col("kind") === "t").count() == 0)
+    assert(full.filter(col("kind") === "s").count() == 1)
+    assert(serve().collect().toSeq == before)
+    // and a post-compaction lazy upsert still orders correctly (seq
+    // rides the folded stats row)
+    TxnIndex.upsertLazy(docsDf(Seq(1L -> "third rewrite appears")),
+      "doc_id", "text", idx)
+    assertSameTopK(
+      TxnIndex.bm25TopK(spark, idx, Seq("rewrite", "third"), 10),
+      Keywords.bm25TopK(docsDf(corpus.filterNot(_._1 == 1L) :+
+        (1L -> "third rewrite appears")), "doc_id", "text",
+        Seq("rewrite", "third"), 10))
+  }
+
+  test("rewrite upsert after lazy upserts clears that doc's tombstones") {
+    val idx = fresh()
+    TxnIndex.build(docsDf(corpus), "doc_id", "text", idx, nBuckets = 8)
+    TxnIndex.upsertLazy(docsDf(Seq(2L -> "lazy rewrite of doc two")),
+      "doc_id", "text", idx)
+    TxnIndex.upsert(docsDf(Seq(2L -> "final physical text for two")),
+      "doc_id", "text", idx)
+    // the keyed merge removed doc 2's postings AND its tombstones
+    assert(TxnTable.read(spark, idx)
+      .filter(col("kind") === "t" && col("doc_id") === 2L).count() == 0)
+    assertSameTopK(
+      TxnIndex.bm25TopK(spark, idx, Seq("final", "physical", "two"), 10),
+      Keywords.bm25TopK(docsDf(corpus.filterNot(_._1 == 2L) :+
+        (2L -> "final physical text for two")), "doc_id", "text",
+        Seq("final", "physical", "two"), 10))
+  }
+
   test("empty corpus builds, serves empty, and accepts its first upsert") {
     val idx = fresh()
     TxnIndex.build(docsDf(Seq.empty), "doc_id", "text", idx, nBuckets = 4)
