@@ -470,7 +470,7 @@ object TxnTable {
     */
   def appendCas(spark: SparkSession, path: String, df: DataFrame,
       expectedBase: Long, clusterBy: Seq[Column] = Nil,
-      partitions: Int = 1): Long = {
+      partitions: Int = 1, op: String = "append"): Long = {
     val newSchema = checkSchema(path, df, evolveSchema = false)
     val adds =
       if (clusterBy.nonEmpty)
@@ -484,9 +484,20 @@ object TxnTable {
       throw new TxnConflictException(base)
     }
     preCommitHook()
-    try tryCommit(path, TxnCommit(base + 1, "append", adds, Nil, newSchema))
+    try tryCommit(path, TxnCommit(base + 1, op, adds, Nil, newSchema))
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
     base + 1
+  }
+
+  /** The highest `stream:<streamId>:<batchId>` batch id committed to
+    * `path` — the exactly-once idempotence check, public so composed
+    * writers (e.g. a streaming index ingest that commits through
+    * [[appendCas]] with a stream op label) can skip redelivered
+    * batches the same way [[appendStreamBatch]] does. Checkpoint-
+    * amortized like every other log-derived hot path. */
+  def lastAppliedBatch(path: String, streamId: String): Option[Long] = {
+    val top = currentVersion(path)
+    if (top < 0) None else streamBatches(path, top).get(streamId)
   }
 
   /** INSERT OVERWRITE: atomically replace the table's entire logical

@@ -223,6 +223,54 @@ object TxnIndex {
     -1L // unreachable
   }
 
+  /** [[upsertLazy]] as an EXACTLY-ONCE streaming sink tranche — the
+    * "searchable stream" composition: documents arrive micro-batch by
+    * micro-batch (foreachBatch), each batch lands as one append-only
+    * index commit labeled `stream:<streamId>:<batchId>`, and a
+    * redelivered batch (checkpoint recovery) is a no-op — the same
+    * idempotence contract as [[TxnTable.appendStreamBatch]], re-checked
+    * inside the CAS retry loop so a duplicate can't slip through a
+    * version race. Queries serve from any committed snapshot while the
+    * stream keeps ingesting (snapshot isolation), and re-ingested doc
+    * ids get the full tombstone treatment — a stream UPDATING documents
+    * composes with one serving path.
+    * @return the committed version, or None if the batch was already
+    *         applied. */
+  def upsertLazyStreamBatch(docs: DataFrame, idCol: String, textCol: String,
+      path: String, streamId: String, batchId: Long,
+      maxAttempts: Int = 10): Option[Long] = {
+    val spark = docs.sparkSession
+    def alreadyApplied(): Boolean =
+      TxnTable.lastAppliedBatch(path, streamId).exists(_ >= batchId)
+    var attempt = 0
+    while (true) {
+      if (alreadyApplied()) return None
+      val base = TxnTable.currentVersion(path)
+      val st = rawStats(spark, path, base)
+      val seq = st.maxSeq + 1
+      val incoming = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+      val replacedReg = liveRegistry(spark, path, base)
+        .join(incoming, Seq("doc_id"), "left_semi")
+      val replaced = replacedReg
+        .agg(count(lit(1)).as("c"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+        .head()
+      val rows = trancheRows(docs, idCol, textCol, st.nBuckets,
+          Some((replaced.getLong(0), replaced.getLong(1))), seq)
+        .unionAll(tombstoneRows(replacedReg.select(col("doc_id")), seq))
+      try {
+        return Some(TxnTable.appendCas(spark, path, rows,
+          expectedBase = base, clusterBy = clusterKeys,
+          partitions = math.max(1, st.nBuckets / 8),
+          op = s"stream:$streamId:$batchId"))
+      } catch {
+        case e: TxnTable.TxnConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    None // unreachable
+  }
+
   /** Physically apply tombstones and fold the accumulated stats rows
     * to one — an atomic INSERT OVERWRITE commit; the logical content
     * (and every served answer) is unchanged, history stays readable.

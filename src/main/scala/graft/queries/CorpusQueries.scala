@@ -930,7 +930,7 @@ object CorpusQueries {
 
   /** Shared by l32 (rescan) and l36 (persisted index): the two engine
     * paths must agree with the SAME oracle bit-for-bit. */
-  private val bm25TopkSql =
+  private[queries] val bm25TopkSql =
     """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
       |             string_split(text, ' ') AS t FROM documents),
       |s AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),

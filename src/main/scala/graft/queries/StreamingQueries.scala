@@ -302,9 +302,73 @@ object StreamingQueries {
       .orderBy(col("source"))
   }
 
+  /** ST13: the SEARCHABLE STREAM — documents stream into the
+    * transactional text index micro-batch by micro-batch
+    * ([[graft.operators.TxnIndex.upsertLazyStreamBatch]]: each batch is
+    * ONE append-only commit labeled with its batch id), and after the
+    * drain the served BM25 top-k must hash-match the SAME rescan oracle
+    * as l32 — ingest mode must never leak into retrieval results.
+    * In-run asserts: every index commit was append-only (zero files
+    * rewritten), and a redelivered final batch (checkpoint recovery) is
+    * a no-op on the log.
+    */
+  def st13StreamIndex(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.core.{Lake, TxnTable}
+    import graft.operators.TxnIndex
+    val staging = Files.createTempDirectory("graft_st13_in").toString
+    val idx = Files.createTempDirectory("graft_st13_idx").toString + "/t"
+    val docs = Lake.table(spark, dir, "documents")
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val step = mx / 3 + 1
+    (0 until 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"graft_st13_t$i").toString
+      docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+        .select(col("doc_id"), col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(staging, f"f$i%d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    TxnIndex.build(docs.select(col("doc_id"), col("text")).limit(0),
+      "doc_id", "text", idx, 16)
+    val sch = spark.read.parquet(staging).schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+    var lastBatch = -1L
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          TxnIndex.upsertLazyStreamBatch(batch.toDF(), "doc_id", "text",
+            idx, "st13", batchId)
+          lastBatch = math.max(lastBatch, batchId)
+          ()
+      }.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    require(TxnTable.commits(idx).forall(_.removes.isEmpty),
+      "streaming index ingest must be append-only")
+    // checkpoint recovery redelivers the last batch: must be a no-op
+    val vBefore = TxnTable.currentVersion(idx)
+    val redo = TxnIndex.upsertLazyStreamBatch(
+      spark.read.parquet(s"$staging/f2.parquet"), "doc_id", "text",
+      idx, "st13", lastBatch)
+    require(redo.isEmpty && TxnTable.currentVersion(idx) == vBefore,
+      "redelivered batch must be a no-op")
+    TxnIndex.bm25TopK(spark, idx,
+      Seq("dup", "join", "vector", "window"), 25)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+      .toDF("doc_id", "score")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st12_stream_neardup" -> (st12StreamNeardup _),
     "st12b_stream_repair" -> (st12bStreamRepair _),
+    "st13_stream_index" -> (st13StreamIndex _),
     "st11_quality_filter" -> (st11QualityFilter _),
     "st10_crawl_stream" -> (st10CrawlStream _),
     "st9_stream_static" -> (st9StreamStatic _),
@@ -353,6 +417,9 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     "st12_stream_neardup" -> streamNeardupSql,
     "st12b_stream_repair" -> streamNeardupSql,
+    // The streamed-in index must serve the SAME answers as l32's
+    // rescan oracle — the batches union to the whole corpus.
+    "st13_stream_index" -> CorpusQueries.bm25TopkSql,
     // Same per-doc signal SQL as l31_gopher_repetition, thresholded and
     // rolled up per language — the batch equivalent of the stream.
     "st11_quality_filter" ->

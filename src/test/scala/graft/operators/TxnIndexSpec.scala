@@ -263,6 +263,44 @@ class TxnIndexSpec extends SparkSpecBase {
         Seq("final", "physical", "two"), 10))
   }
 
+  test("streaming tranche is exactly-once even when it loses a race") {
+    val idx = fresh()
+    TxnIndex.build(docsDf(Seq.empty), "doc_id", "text", idx, nBuckets = 8)
+    assert(TxnIndex.upsertLazyStreamBatch(docsDf(corpus.take(3)),
+      "doc_id", "text", idx, "s1", 0L).nonEmpty)
+    // plain redelivery is a no-op
+    assert(TxnIndex.upsertLazyStreamBatch(docsDf(corpus.take(3)),
+      "doc_id", "text", idx, "s1", 0L).isEmpty)
+    // redelivery that loses a version race to its OWN first delivery:
+    // the retry loop must re-check idempotence, not double-commit
+    val batch1 = docsDf(corpus.drop(3))
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      TxnIndex.upsertLazyStreamBatch(batch1, "doc_id", "text", idx, "s1", 1L)
+    }
+    val res = try TxnIndex.upsertLazyStreamBatch(batch1, "doc_id", "text",
+      idx, "s1", 1L)
+    finally TxnTable.preCommitHook = () => ()
+    assert(fired && res.isEmpty, "the losing delivery must be a no-op")
+    // exactly one copy of the corpus landed; answers equal a rescan
+    assertSameTopK(
+      TxnIndex.bm25TopK(spark, idx, Seq("quick", "fox"), 10),
+      Keywords.bm25TopK(docsDf(corpus), "doc_id", "text",
+        Seq("quick", "fox"), 10))
+    // nothing staged by the losing attempt leaked
+    val onDisk = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(idx, "data"))
+      try {
+        val it = s.iterator(); val b = Set.newBuilder[String]
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.result()
+      } finally s.close()
+    }
+    assert(onDisk == TxnTable.commits(idx)
+      .flatMap(_.adds).map(_.path.stripPrefix("data/")).toSet)
+  }
+
   test("empty corpus builds, serves empty, and accepts its first upsert") {
     val idx = fresh()
     TxnIndex.build(docsDf(Seq.empty), "doc_id", "text", idx, nBuckets = 4)
