@@ -272,4 +272,61 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!"hashpartitioning\\([^)]*(embedding|\\bva\\b|\\bvb\\b)".r
       .findFirstIn(p).isDefined, "a shuffle is carrying embedding payloads")
   }
+
+  test("l38 dedup: candidates come from band equi-joins, never a cartesian") {
+    // the near-dup SURVIVOR computation must stay candidate-linear:
+    // (band, key) equi-joins for pairs, keyed joins for propagation —
+    // an all-pairs product anywhere is the 100 TB scale-killer
+    val docs = graft.core.Lake.table(spark, sf0001, "documents")
+    val df = graft.operators.Dedup.minHashDedup(docs, "text", "doc_id")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "near-dup dedup planned an all-pairs join")
+  }
+
+  test("st12b reconcile: doomed set is a (band,key) equi-join, no cartesian") {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ps_store").toString + "/t"
+    val sigs = (0 until 64).map(i =>
+      (i.toLong, i % 4, s"k${i % 8}")).toDF("id", "band", "key")
+    graft.core.TxnTable.create(spark, store, sigs)
+    val kept = java.nio.file.Files
+      .createTempDirectory("graft_ps_kept").toString + "/t"
+    graft.core.TxnTable.create(spark, kept,
+      (0 until 64).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text"))
+    graft.streaming.StreamDedup.reconcile(spark, store, kept)
+    // the repair ran distributively: verify result AND that a rebuilt
+    // doomed plan is equi-join-shaped
+    val st = graft.core.TxnTable.read(spark, store)
+    val doomed = st.as("a").join(st.as("b"),
+      org.apache.spark.sql.functions.col("a.band") ===
+        org.apache.spark.sql.functions.col("b.band") &&
+        org.apache.spark.sql.functions.col("a.key") ===
+          org.apache.spark.sql.functions.col("b.key") &&
+        org.apache.spark.sql.functions.col("b.id") <
+          org.apache.spark.sql.functions.col("a.id"), "left_semi")
+    doomed.collect()
+    val p = doomed.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "reconcile's store self-join degraded to an all-pairs product")
+    // lower-id-wins on (band, key): only the 8 minimum ids survive
+    assert(graft.core.TxnTable.read(spark, kept).count() == 8)
+  }
+
+  test("l37 txn-index serving: no corpus scan, term filter pushed, heap top-k") {
+    val docs = graft.core.Lake.table(spark, sf0001, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ps_txnidx")
+      .toString + "/t"
+    graft.operators.TxnIndex.build(docs, "doc_id", "text", idx, 16)
+    val df = graft.operators.TxnIndex.bm25TopK(spark, idx,
+      Seq("dup", "join"), 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"), "serving plan rescanned the corpus")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("PushedFilters") && p.contains("In(term"),
+      "term filter not pushed into the postings scan")
+  }
 }
