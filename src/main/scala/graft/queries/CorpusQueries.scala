@@ -323,6 +323,22 @@ object CorpusQueries {
       .toDF("doc_id", "score")
   }
 
+  /** L37d: BATCH BM25 served from the transactional index — l34's
+    * query table scored in one pruned read of the query-term union's
+    * buckets (bucket set folded distributively from the query table),
+    * hash-matching l34's rescan oracle exactly.
+    */
+  def l37dTxnBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq((0L, "dup"), (0L, "join"), (1L, "vector"),
+      (2L, "window"), (2L, "join"), (2L, "batch"))
+      .toDF("query_id", "term")
+    val idx = java.nio.file.Files.createTempDirectory("graft_txnidx").toString
+    graft.operators.TxnIndex.build(Lake.table(spark, dir, "documents"),
+      "doc_id", "text", idx, 16)
+    graft.operators.TxnIndex.bm25PerQuery(spark, idx, queries, 5)
+  }
+
   /** L4i: PII scrubbing accounting. The corpus has no PII, so each doc is
     * deterministically augmented with an email and a URL derived from its
     * id; both engines construct the SAME string, scrub with the SAME
@@ -916,6 +932,7 @@ object CorpusQueries {
     "l37_txn_index" -> (l37TxnIndex _),
     "l37b_txn_phrase" -> (l37bTxnPhrase _),
     "l37c_lazy_index" -> (l37cLazyIndex _),
+    "l37d_txn_batch" -> (l37dTxnBatch _),
     "l4_scrub_pii"  -> (l4ScrubPii _),
     "l3_centroids"  -> (l3Centroids _),
     "l4m_domain_quota" -> (l4mDomainQuota _),
@@ -930,6 +947,37 @@ object CorpusQueries {
 
   /** Shared by l32 (rescan) and l36 (persisted index): the two engine
     * paths must agree with the SAME oracle bit-for-bit. */
+  /** Batch BM25 oracle (3 queries × top-5), shared by l34 (rescan
+    * batch path) and l37d (txn-index batch path) — same literal
+    * arithmetic as l32; per-query rank via row_number mirrors the
+    * heap's (score desc, doc_id) order. */
+  private[queries] val bm25MultiSql =
+    """WITH q(query_id, term) AS (VALUES (0, 'dup'), (0, 'join'),
+      |    (1, 'vector'), (2, 'window'), (2, 'join'), (2, 'batch')),
+      |d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |        string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
+      |terms AS (SELECT DISTINCT term FROM q),
+      |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+      |  JOIN terms USING (term) GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |w AS (SELECT tf.doc_id, tf.term,
+      |    round(ln((CAST(s.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+      |      * tf.tf * (1.2 + 1.0)
+      |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)), 6) AS w
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN s),
+      |sc AS (SELECT q.query_id, w.doc_id,
+      |    CAST(sum(CAST(w.w AS DECIMAL(18,6))) AS DOUBLE) AS score
+      |  FROM w JOIN q USING (term) GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, round(score, 6) AS score,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY score DESC, doc_id) AS rnk
+      |  FROM sc)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+      |  CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   private[queries] val bm25TopkSql =
     """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
       |             string_split(text, ' ') AS t FROM documents),
@@ -1359,32 +1407,9 @@ object CorpusQueries {
         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // Batch BM25: same literal arithmetic as l32; per-query rank via
     // row_number mirrors the heap's (score desc, doc_id) order.
-    "l34_bm25_multi" ->
-      """WITH q(query_id, term) AS (VALUES (0, 'dup'), (0, 'join'),
-        |    (1, 'vector'), (2, 'window'), (2, 'join'), (2, 'batch')),
-        |d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-        |        string_split(text, ' ') AS t FROM documents),
-        |s AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
-        |terms AS (SELECT DISTINCT term FROM q),
-        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
-        |  JOIN terms USING (term) GROUP BY 1, 2, 3),
-        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-        |w AS (SELECT tf.doc_id, tf.term,
-        |    round(ln((CAST(s.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
-        |      * tf.tf * (1.2 + 1.0)
-        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)), 6) AS w
-        |  FROM tf JOIN dfq USING (term) CROSS JOIN s),
-        |sc AS (SELECT q.query_id, w.doc_id,
-        |    CAST(sum(CAST(w.w AS DECIMAL(18,6))) AS DOUBLE) AS score
-        |  FROM w JOIN q USING (term) GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, round(score, 6) AS score,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY score DESC, doc_id) AS rnk
-        |  FROM sc)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
-        |  CAST(rnk AS BIGINT) AS rnk
-        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "l34_bm25_multi" -> bm25MultiSql,
+    // The txn-index batch path must serve the SAME answers.
+    "l37d_txn_batch" -> bm25MultiSql,
     // Phrase search oracle: substring containment on space-padded text —
     // a DIFFERENT algorithm from the engine's postings intersection,
     // equivalent under single-space tokenization.
