@@ -641,6 +641,43 @@ class TxnTableSpec extends SparkSpecBase {
     assert(onDisk(t) == referenced(t))
   }
 
+  test("appendCas commits at expectedBase+1 or rejects without staging leaks") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10))
+    assert(appendCas(spark, t, rangeDf(10, 20), expectedBase = 0L) == 1L)
+    // stale base: the caller's rows were derived from version 0 — reject
+    intercept[TxnConflictException] {
+      appendCas(spark, t, rangeDf(20, 30), expectedBase = 0L)
+    }
+    assert(currentVersion(t) == 1L)
+    assert(onDisk(t) == referenced(t), "rejected CAS append leaked staging")
+    // clustered CAS append: files carry tight ranges for readPruned
+    val wide = (1000 until 1512).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    appendCas(spark, t, wide, expectedBase = 1L,
+      clusterBy = Seq(col("id")), partitions = 8)
+    val pruned = readPruned(spark, t, "id", 1100L, 1150L)
+    assert(pruned.count() == 51)
+  }
+
+  test("overwriteClustered atomically replaces content, history readable") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 100), partitions = 4)
+    append(spark, t, rangeDf(100, 200))
+    val next = (0 until 64).map(i => (i.toLong * 10, s"n$i")).toDF("id", "s")
+    val v = overwriteClustered(spark, t, next, Seq(col("id")), targetFiles = 4)
+    assert(v == 2L && currentVersion(t) == 2L, "overwrite is ONE commit")
+    assert(read(spark, t).count() == 64)
+    // every pre-overwrite version still serves its own content
+    assert(read(spark, t, asOf = 0).count() == 100)
+    assert(read(spark, t, asOf = 1).count() == 200)
+    // the new layout is clustered: a narrow range prunes files
+    val o = commits(t).find(_.op == "overwrite").get
+    assert(o.removes.size >= 4 && o.adds.size == 4)
+    assert(readPruned(spark, t, "id", 0L, 90L).count() == 10)
+  }
+
   test("deleteMatching removes by distributive key join") {
     import spark.implicits._
     val t = freshTable()
