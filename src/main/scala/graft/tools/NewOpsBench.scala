@@ -203,6 +203,13 @@ object NewOpsBench {
         "doc_id", "text", txnIdx)
       1L
     }
+    report("bm25_topk_txnidx_tombs") {
+      // serving latency WITH tombstone tranches outstanding (the lazy
+      // probe above left 3 of them) — the merge-on-read read tax that
+      // compaction removes
+      TxnIndex.bm25TopK(spark, txnIdx,
+        Seq("dup", "join", "vector", "window"), 25).count()
+    }
     report("txn_index_compact") {
       TxnIndex.compact(spark, txnIdx)
       1L
