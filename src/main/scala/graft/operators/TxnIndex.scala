@@ -234,11 +234,19 @@ object TxnIndex {
     * stream keeps ingesting (snapshot isolation), and re-ingested doc
     * ids get the full tombstone treatment — a stream UPDATING documents
     * composes with one serving path.
+    *
+    * `compactEvery` > 0 wires the maintenance loop in: after a
+    * committed batch, [[maybeCompact]] folds the index once the
+    * tranche count reaches the threshold — an unattended ingest
+    * stream bounds its own tombstone read tax. Crash-safe: the
+    * compaction is an independent best-effort commit AFTER the
+    * batch's exactly-once commit; a crash between them just leaves
+    * tranches for the next trigger.
     * @return the committed version, or None if the batch was already
     *         applied. */
   def upsertLazyStreamBatch(docs: DataFrame, idCol: String, textCol: String,
       path: String, streamId: String, batchId: Long,
-      maxAttempts: Int = 10): Option[Long] = {
+      maxAttempts: Int = 10, compactEvery: Int = 0): Option[Long] = {
     val spark = docs.sparkSession
     def alreadyApplied(): Boolean =
       TxnTable.lastAppliedBatch(path, streamId).exists(_ >= batchId)
@@ -258,10 +266,12 @@ object TxnIndex {
           Some((replaced.getLong(0), replaced.getLong(1))), seq)
         .unionAll(tombstoneRows(replacedReg.select(col("doc_id")), seq))
       try {
-        return Some(TxnTable.appendCas(spark, path, rows,
+        val v = TxnTable.appendCas(spark, path, rows,
           expectedBase = base, clusterBy = clusterKeys,
           partitions = math.max(1, st.nBuckets / 8),
-          op = s"stream:$streamId:$batchId"))
+          op = s"stream:$streamId:$batchId")
+        if (compactEvery > 0) maybeCompact(spark, path, compactEvery)
+        return Some(v)
       } catch {
         case e: TxnTable.TxnConflictException =>
           if (attempt >= maxAttempts) throw e
@@ -269,6 +279,22 @@ object TxnIndex {
       }
     }
     None // unreachable
+  }
+
+  /** The tranche-count-triggered compaction policy: compact iff the
+    * accumulated stats rows reached `maxTranches`. Best-effort — a
+    * concurrent writer winning the race just defers compaction to the
+    * next call (served answers are correct either way; tombstones are
+    * a read tax, never a correctness issue). Returns whether a
+    * compaction committed. */
+  def maybeCompact(spark: SparkSession, path: String,
+      maxTranches: Int): Boolean = {
+    val v = TxnTable.currentVersion(path)
+    val tranches = TxnTable.readPrunedIn(spark, path, "bucket", Seq(-1L), v)
+      .filter(col("kind") === "s").count()
+    if (tranches < maxTranches) false
+    else try { compact(spark, path); true }
+    catch { case _: TxnTable.TxnConflictException => false }
   }
 
   /** Physically apply tombstones and fold the accumulated stats rows

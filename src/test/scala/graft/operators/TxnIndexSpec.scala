@@ -301,6 +301,29 @@ class TxnIndexSpec extends SparkSpecBase {
       .flatMap(_.adds).map(_.path.stripPrefix("data/")).toSet)
   }
 
+  test("compactEvery bounds tranche growth in an unattended stream") {
+    val idx = fresh()
+    TxnIndex.build(docsDf(Seq.empty), "doc_id", "text", idx, nBuckets = 8)
+    corpus.zipWithIndex.foreach { case (doc, i) =>
+      TxnIndex.upsertLazyStreamBatch(docsDf(Seq(doc)), "doc_id", "text",
+        idx, "s1", i.toLong, compactEvery = 2)
+      // the policy folds once the tranche count reaches 2, so it
+      // never exceeds 2 right after a batch
+      val tranches = TxnTable.read(spark, idx)
+        .filter(col("kind") === "s").count()
+      assert(tranches <= 2, s"tranche count grew to $tranches")
+    }
+    // compaction commits happened and did not break batch idempotence
+    assert(TxnTable.commits(idx).exists(_.op == "overwrite"))
+    assert(TxnIndex.upsertLazyStreamBatch(docsDf(Seq(corpus.head)),
+      "doc_id", "text", idx, "s1", 0L).isEmpty,
+      "an old batch must stay a no-op after compaction commits")
+    assertSameTopK(
+      TxnIndex.bm25TopK(spark, idx, Seq("quick", "box"), 10),
+      Keywords.bm25TopK(docsDf(corpus), "doc_id", "text",
+        Seq("quick", "box"), 10))
+  }
+
   test("empty corpus builds, serves empty, and accepts its first upsert") {
     val idx = fresh()
     TxnIndex.build(docsDf(Seq.empty), "doc_id", "text", idx, nBuckets = 4)
