@@ -382,6 +382,24 @@ object TxnTable {
 
   class SchemaMismatchException(msg: String) extends RuntimeException(msg)
 
+  /** Reader for the RAW snapshot-file reads the rewrite paths do
+    * (deleteWhere / merge / compact): pinned to the latest RECORDED
+    * schema, so a rewrite of a schema-evolved table reads old-generation
+    * files with the evolved shape (missing columns null-filled) instead
+    * of whatever single footer parquet inference happens to pick —
+    * survivor rows can never silently lose evolved columns. Tables
+    * created before schemas were recorded (none in practice: create
+    * always records one) fall back to plain inference.
+    */
+  private def snapshotReader(spark: SparkSession, path: String,
+      upTo: Long): org.apache.spark.sql.DataFrameReader =
+    schemaInfo(path, upTo)._2 match {
+      case Some(js) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => spark.read
+    }
+
   /** Delete the staged-but-never-committed data files of an aborted
     * write. writeData moves fresh files into data/ BEFORE the commit
     * loop, and vacuum only ever deletes files some commit referenced —
@@ -472,6 +490,13 @@ object TxnTable {
       expectedBase: Long, clusterBy: Seq[Column] = Nil,
       partitions: Int = 1, op: String = "append"): Long = {
     val newSchema = checkSchema(path, df, evolveSchema = false)
+    // Fail FAST before staging: a lost CAS race would otherwise pay a
+    // complete tranche write plus cleanup just to be told to retry
+    // (every retry of TxnIndex's upsert loops under contention).
+    // tryCommit below remains the authoritative conflict check — this
+    // is latency hygiene, not the correctness gate.
+    val early = currentVersion(path)
+    if (early != expectedBase) throw new TxnConflictException(early)
     val adds =
       if (clusterBy.nonEmpty)
         writeDataPrepared(spark, path,
@@ -507,6 +532,22 @@ object TxnTable {
     * compaction primitive for merge-on-read layouts (TxnIndex folds
     * its tombstones through this).
     */
+  /** [[overwriteClustered]] without a clustering requirement — INSERT
+    * OVERWRITE for small derived/bookkeeping tables (e.g. folding a
+    * bloom-sidecar's accumulated rows to one). Same conflict contract:
+    * abort-on-conflict, staged files cleaned, history stays readable. */
+  def overwrite(spark: SparkSession, path: String, df: DataFrame,
+      partitions: Int = 1): Long = {
+    val base = currentVersion(path)
+    val files = snapshotFiles(path, base)
+    checkSchema(path, df, evolveSchema = false)
+    val adds = writeData(spark, path, df, partitions)
+    preCommitHook()
+    try tryCommit(path, TxnCommit(base + 1, "overwrite", adds, files))
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+    base + 1
+  }
+
   def overwriteClustered(spark: SparkSession, path: String, df: DataFrame,
       clusterBy: Seq[Column], targetFiles: Int): Long = {
     val base = currentVersion(path)
@@ -561,19 +602,17 @@ object TxnTable {
     val abs = files.map(f => localRoot(path).resolve(f).toString)
     // Normalize input_file_name() to the bare file name ONCE — data
     // files live flat under data/ with UUID names, so the name is a
-    // complete key. The hit set is metadata-scale driver state (same
-    // order as the snapshot file list itself); membership checks below
-    // are O(1) hash lookups, and the survivors filter is a broadcast
-    // semi-join on the name — no O(hits) literal list in the plan and
-    // no O(files × hits) driver loop, so a million-file table pays
-    // O(files + hits), not quadratic.
-    val withName = spark.read.parquet(abs: _*)
+    // complete key. The hit-file set stays a DATAFRAME end-to-end
+    // (localCheckpoint materializes the one input_file_name() pass so
+    // the survivors join reuses it instead of recomputing); the only
+    // driver materialization is the collect at the bottom, which the
+    // commit's `removes` metadata needs regardless — bounded by the
+    // snapshot file count, the same order as the file list itself.
+    val withName = snapshotReader(spark, path, base).parquet(abs: _*)
       .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
-    val hitNames = withName.filter(predicate)
-      .select(col("__fname")).distinct().collect().map(_.getString(0)).toSet
-    if (hitNames.isEmpty) return base
-    import spark.implicits._
-    val hitDf = hitNames.toSeq.toDF("__fname")
+    val hitDf = withName.filter(predicate)
+      .select(col("__fname")).distinct().localCheckpoint()
+    if (hitDf.isEmpty) return base
     val survivors = withName
       .join(broadcast(hitDf), "__fname")
       .filter(!coalesce(predicate, lit(false)))
@@ -581,6 +620,7 @@ object TxnTable {
     val adds =
       if (survivors.isEmpty) Nil
       else writeData(spark, path, survivors, 1)
+    val hitNames = hitDf.collect().map(_.getString(0)).toSet
     val removes = files.filter(f => hitNames.contains(f.stripPrefix("data/")))
     preCommitHook()
     try tryCommit(path, TxnCommit(base + 1, "delete", adds, removes))
@@ -641,19 +681,26 @@ object TxnTable {
     // that can never hit.
     val matchable = keyset.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
     insert.foreach(d => checkSchema(path, d, evolveSchema = false))
-    val current = spark.read.parquet(abs: _*)
+    // Schema-pinned read (snapshotReader): on a schema-evolved table the
+    // survivor rewrite must see the evolved shape — parquet inference
+    // from an old-generation footer would silently drop evolved columns
+    // from the rewritten files (permanent data loss in the new commit).
+    val current = snapshotReader(spark, path, base).parquet(abs: _*)
     val tableCols = current.columns.toSeq
     val withName = current
       .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
     // File names under data/ are UUIDs, so the bare name is a complete
-    // key; the hit set is metadata-scale (bounded by the file count).
-    val hitNames = withName.join(matchable, keyCols, "left_semi")
-      .select(col("__fname")).distinct().collect().map(_.getString(0)).toSet
+    // key. The hit-file set is a DATAFRAME end-to-end (localCheckpoint
+    // materializes the one input_file_name() pass; the survivors join
+    // broadcasts it); the single driver materialization is the collect
+    // at the bottom, which the commit's `removes` metadata needs
+    // regardless — metadata-scale, bounded by the snapshot file count.
+    val hitDf = withName.join(matchable, keyCols, "left_semi")
+      .select(col("__fname")).distinct().localCheckpoint()
+    val nHitFiles = hitDf.count()
     val survivorAdds =
-      if (hitNames.isEmpty) Nil
+      if (nHitFiles == 0) Nil
       else {
-        import spark.implicits._
-        val hitDf = hitNames.toSeq.toDF("__fname")
         // USING joins hoist the key columns to the front — restore the
         // table's column order so rewritten files match the schema.
         val survivors = withName
@@ -665,7 +712,7 @@ object TxnTable {
           // keep the rewritten files clustered too, one per hit file,
           // so a merge does not erode the layout's pruning tightness
           writeDataPrepared(spark, path,
-            survivors.repartitionByRange(hitNames.size, clusterBy: _*)
+            survivors.repartitionByRange(nHitFiles.toInt, clusterBy: _*)
               .sortWithinPartitions(clusterBy: _*))
         else writeData(spark, path, survivors, 1)
       }
@@ -678,7 +725,8 @@ object TxnTable {
       case _ => Nil
     }
     val adds = survivorAdds ++ insertAdds
-    if (adds.isEmpty && hitNames.isEmpty) return base // no-op merge
+    if (adds.isEmpty && nHitFiles == 0) return base // no-op merge
+    val hitNames = hitDf.collect().map(_.getString(0)).toSet
     val removes = files.filter(f => hitNames.contains(f.stripPrefix("data/")))
     preCommitHook()
     try tryCommit(path, TxnCommit(base + 1, "merge", adds, removes))
@@ -694,7 +742,10 @@ object TxnTable {
     val base = currentVersion(path)
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
-    val adds = writeData(spark, path, spark.read.parquet(abs: _*), targetFiles)
+    // schema-pinned like every rewrite: compacting a schema-evolved
+    // table must not lose evolved columns to single-footer inference
+    val adds = writeData(spark, path,
+      snapshotReader(spark, path, base).parquet(abs: _*), targetFiles)
     preCommitHook()
     try tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
@@ -725,7 +776,7 @@ object TxnTable {
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
     val clustered = graft.operators.Layout.zorderPartitions(
-      spark.read.parquet(abs: _*), a, b, targetFiles)
+      snapshotReader(spark, path, base).parquet(abs: _*), a, b, targetFiles)
     val adds = writeDataPrepared(spark, path, clustered)
     preCommitHook()
     try tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
@@ -754,7 +805,8 @@ object TxnTable {
       streamId: String,
       batchId: Long,
       partitions: Int = 1,
-      maxAttempts: Int = 20): Option[Long] = {
+      maxAttempts: Int = 20,
+      clusterBy: Seq[Column] = Nil): Option[Long] = {
     val op = s"stream:$streamId:$batchId"
     // Checkpoint-amortized idempotence: per-stream high-water marks come
     // from the nearest checkpoint plus the commit suffix. `>=` (not ==)
@@ -766,7 +818,15 @@ object TxnTable {
     }
     if (alreadyApplied()) return None
     checkSchema(path, df, evolveSchema = false)
-    val adds = writeData(spark, path, df, partitions)
+    // clusterBy range-clusters the batch's files (each owning a compact
+    // key range) so footer pruning on the cluster column stays tight —
+    // the layout an incrementally-served store (StreamDedup) needs.
+    val adds =
+      if (clusterBy.nonEmpty)
+        writeDataPrepared(spark, path,
+          df.repartitionByRange(partitions, clusterBy: _*)
+            .sortWithinPartitions(clusterBy: _*))
+      else writeData(spark, path, df, partitions)
     var attempt = 0
     while (attempt <= maxAttempts) {
       if (alreadyApplied()) {

@@ -678,6 +678,108 @@ class TxnTableSpec extends SparkSpecBase {
     assert(readPruned(spark, t, "id", 0L, 90L).count() == 10)
   }
 
+  test("merge on a schema-evolved table preserves evolved columns") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 50), partitions = 2)
+    // evolve: add column `v`, append a second generation carrying it
+    append(spark, t,
+      (50 until 80).map(i => (i.toLong, s"row$i", i * 2)).toDF("id", "s", "v"),
+      evolveSchema = true)
+    // merge keyed into the EVOLVED-generation rows: the survivor rewrite
+    // must read those files with the evolved schema — single-footer
+    // inference from an old-generation file would drop `v` from every
+    // rewritten survivor (the silent-data-loss hazard, now pinned)
+    val upd = Seq((55L, "upd", 999)).toDF("id", "s", "v")
+    merge(spark, t, upd, Seq("id"))
+    val after = read(spark, t)
+    assert(after.columns.toSeq == Seq("id", "s", "v"))
+    val survivors = after.filter(col("id").between(50, 79) && col("id") =!= 55)
+      .select(col("id"), col("v")).collect()
+    assert(survivors.length == 29)
+    assert(survivors.forall(r => r.getInt(1) == r.getLong(0) * 2),
+      "survivor rows lost their evolved column values")
+    assert(after.filter(col("id") === 55).head().getInt(2) == 999)
+  }
+
+  test("compact on a schema-evolved table preserves evolved columns") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 20))
+    append(spark, t,
+      (20 until 30).map(i => (i.toLong, s"row$i", i * 3)).toDF("id", "s", "v"),
+      evolveSchema = true)
+    compact(spark, t, targetFiles = 1)
+    val after = read(spark, t)
+    assert(after.columns.toSeq == Seq("id", "s", "v"))
+    assert(after.filter(col("id") === 25).head().getInt(2) == 75)
+    assert(after.filter(col("id") === 5).head().isNullAt(2),
+      "pre-evolution rows null-fill the evolved column")
+  }
+
+  test("plain overwrite replaces content in one commit, history readable") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 40), partitions = 2)
+    val v = overwrite(spark, t, rangeDf(100, 110))
+    assert(v == 1L && read(spark, t).count() == 10)
+    assert(read(spark, t, asOf = 0).count() == 40)
+    assert(onDisk(t) == referenced(t))
+  }
+
+  test("appendCas fails FAST on a moved base — before staging any data") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10))
+    append(spark, t, rangeDf(10, 20)) // base is now 1
+    // poison frame: schema resolved eagerly, then the backing files are
+    // deleted — ANY job over it throws. The CAS reject must win the
+    // race to the exception, proving no staging write ever ran.
+    val tmp = Files.createTempDirectory("graft_cas_poison").toString
+    rangeDf(0, 5).write.mode("overwrite").parquet(tmp)
+    val poisoned = spark.read.parquet(tmp).select(col("id"), col("s"))
+    new java.io.File(tmp).listFiles().foreach(_.delete())
+    intercept[TxnConflictException] {
+      appendCas(spark, t, poisoned, expectedBase = 0L)
+    }
+    assert(currentVersion(t) == 1L)
+  }
+
+  test("merge on a multi-hundred-file snapshot rewrites only hit files") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 300), partitions = 300)
+    val nFiles = snapshotFiles(t).size
+    assert(nFiles > 150, s"want a multi-hundred-file snapshot, got $nFiles")
+    // 3 keys land in ≤3 files; the hit-file detection is a distributed
+    // join end-to-end (collect only feeds commit metadata)
+    val keys = Seq(7L, 130L, 288L)
+    val expectedHits = read(spark, t)
+      .withColumn("__f", input_file_name())
+      .filter(col("id").isInCollection(keys))
+      .select(col("__f")).distinct().count()
+    val upd = keys.map(k => (k, s"u$k")).toDF("id", "s")
+    merge(spark, t, upd, Seq("id"))
+    val m = commits(t).find(_.op == "merge").get
+    assert(m.removes.size == expectedHits,
+      s"expected $expectedHits hit files rewritten, got ${m.removes.size}")
+    assert(read(spark, t).count() == 300)
+    assert(read(spark, t).filter(col("s").startsWith("u")).count() == 3)
+  }
+
+  test("clustered stream append keeps footer pruning tight") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 1).limit(0))
+    val batch = (0 until 512).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    appendStreamBatch(spark, t, batch, "cstream", 0L,
+      partitions = 8, clusterBy = Seq(col("id")))
+    assert(readPruned(spark, t, "id", 100L, 120L).count() == 21)
+    // redelivery of the clustered batch is still a no-op
+    assert(appendStreamBatch(spark, t, batch, "cstream", 0L,
+      partitions = 8, clusterBy = Seq(col("id"))).isEmpty)
+  }
+
   test("deleteMatching removes by distributive key join") {
     import spark.implicits._
     val t = freshTable()
