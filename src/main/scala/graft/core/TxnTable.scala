@@ -1040,7 +1040,11 @@ object TxnTable {
           vs.exists(v => r.getLong(1) <= v && r.getLong(2) >= v)
       }
       .map(_.getString(0)).toSeq
-    if (kept.isEmpty) full.filter(lit(false))
+    // empty kept set → a ZERO-file frame (not full.filter(false)), so
+    // df.inputFiles honestly reports what a caller's scan would touch
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
     else spark.read.schema(full.schema).parquet(kept: _*)
       .filter(col(column).isInCollection(vs))
   }

@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.TxnTable
 import graft.operators.Dedup
+import graft.plans.BloomMightContain
 
 /** Streaming near-duplicate suppression at ingest — the incremental
   * form of L2's MinHash banding, with TxnTable as the signature store
@@ -15,18 +16,48 @@ import graft.operators.Dedup
   * Protocol per micro-batch:
   *  1. band the batch's documents (md5-derived MinHash, so signatures
   *     are engine-reproducible and stable across sessions/restarts);
-  *  2. one (band, key) equi-join against the COMMITTED signature store
-  *     drops any document colliding with a lower-id document from an
-  *     earlier batch; a same-batch self-join applies the identical
+  *     each (band, key) row also carries
+  *     `bucket = pmod(xxhash64(band, key), nStoreBuckets)` — the store's
+  *     physical clustering key;
+  *  2. the batch's keys are prefiltered against the store's BLOOM
+  *     SIDECAR (one mergeable filter per bucket — see below): keys the
+  *     bloom rejects CANNOT collide with any committed signature, so
+  *     only bloom-positive candidates probe the store, and the store
+  *     read is [[TxnTable.readPrunedIn]]-pruned to the candidates'
+  *     buckets. A batch of all-new documents reads ZERO store files;
+  *     a batch with duplicates reads O(candidate buckets), not
+  *     O(store) — per-batch cost tracks the batch, not corpus
+  *     lifetime (the scale property a full-store scan lacks);
+  *  3. one (band, key) equi-join against the pruned store slice drops
+  *     any document colliding with a lower-id document from an earlier
+  *     batch; a same-batch self-join applies the identical
   *     lower-id-wins rule inside the batch;
-  *  3. survivors land in the kept table, and the batch's signatures
-  *     (kept AND dropped — the drop rule is "collides with any earlier
-  *     document", which keeps the result independent of how the stream
-  *     was batched) land in the store — both via
-  *     [[TxnTable.appendStreamBatch]], so a redelivered batch is a
-  *     no-op on each table independently (the two commits are not
-  *     atomic together, but each is idempotent, so a crash between
-  *     them heals on redelivery).
+  *  4. survivors land in the kept table; the batch's bloom rows land
+  *     in the sidecar; the batch's signatures (kept AND dropped — the
+  *     drop rule is "collides with any earlier document", which keeps
+  *     the result independent of how the stream was batched) land in
+  *     the store, range-clustered by bucket so footer min/max prune
+  *     future reads. All three via [[TxnTable.appendStreamBatch]], so
+  *     a redelivered batch is a no-op on each table independently.
+  *     COMMIT ORDER MATTERS: the bloom commits BEFORE the signatures
+  *     it covers, so at every instant bloom ⊇ committed store keys —
+  *     a crash between the two leaves the bloom over-approximating
+  *     (extra candidates, never a missed collision), and redelivery
+  *     heals the store.
+  *
+  * Bloom sidecar (`<storePath>_bloom`, its own TxnTable): one
+  * (bucket, bloom) row per bucket per batch, built with the mergeable
+  * [[graft.plans.BloomFilterAgg]]; rows of one bucket OR together
+  * (bitwise — same sizing, so a distributed build equals a serial
+  * one), and [[foldBloom]] periodically rewrites the accumulated rows
+  * to one per bucket (an [[TxnTable.overwrite]] commit) so the
+  * per-batch sidecar read stays O(nStoreBuckets), not O(batches).
+  * False positives only cost extra bucket reads — the (band, key)
+  * equi-join against the store remains the decision procedure — and
+  * false negatives are impossible by construction. When a bucket's
+  * filter saturates (keys ≫ bits), its candidates degrade to "read
+  * that bucket", never past the bucket-pruned bound; at larger scale
+  * nStoreBuckets (and with it total bloom bits) is the knob.
   *
   * The result equals the batch rule "drop d iff some document with a
   * smaller id shares a band" — StreamDedupSpec pins that the kept set
@@ -37,16 +68,36 @@ import graft.operators.Dedup
   * compaction-style repair any late-data design needs).
   *
   * Scale shape: the store join is keyed on (band, key) — broadcast
-  * while the batch is small, shuffle-keyed at web scale; the store
-  * itself is an append-only TxnTable (metadata commits, immutable
-  * parquet), so "state" costs one pruned read per batch and zero
-  * executor memory between batches, unlike mapGroupsWithState whose
-  * state must fit the cluster.
+  * while the candidate set is small, shuffle-keyed at web scale; the
+  * store is an append-only TxnTable (metadata commits, immutable
+  * parquet) whose serving read is bloom-gated and bucket-pruned, so
+  * "state" costs zero executor memory between batches and the
+  * per-batch read is bounded by the batch's own collisions, unlike
+  * mapGroupsWithState whose state must fit the cluster.
   */
 object StreamDedup {
 
-  /** Start-to-drain a docs stream through the near-dup gate.
-    * @return the kept table path (== `keptPath`). */
+  /** One processed micro-batch's store-read accounting, recorded by
+    * [[processBatch]] — the in-run seam specs and gates assert pruning
+    * against (filesRead ≤ filesLive always; 0 when no candidates). */
+  private[graft] final case class StoreScan(streamId: String, batchId: Long,
+      filesRead: Int, filesLive: Int, candBuckets: Int)
+  private[graft] val scanLog =
+    new java.util.concurrent.CopyOnWriteArrayList[StoreScan]()
+
+  private def bloomPathOf(storePath: String): String =
+    storePath.stripSuffix("/") + "_bloom"
+
+  /** The batch-side signature frame: (id, band, key, hkey, bucket). */
+  private def sigFrame(batch: DataFrame, shingleLen: Int, numHashes: Int,
+      bands: Int, nStoreBuckets: Int): DataFrame =
+    Dedup.minHashBandKeys(batch, "text", "doc_id", shingleLen, numHashes,
+        bands)
+      .select(col("id"), col("band"), col("key"),
+        xxhash64(col("band"), col("key")).as("hkey"))
+      .withColumn("bucket", pmod(col("hkey"), lit(nStoreBuckets)).cast("int"))
+
+  /** Start-to-drain a docs stream through the near-dup gate. */
   def runNearDupStream(
       spark: SparkSession,
       streamDocs: DataFrame,
@@ -55,14 +106,19 @@ object StreamDedup {
       streamId: String,
       shingleLen: Int = 3,
       numHashes: Int = 12,
-      bands: Int = 4): Unit = {
+      bands: Int = 4,
+      nStoreBuckets: Int = 64,
+      bloomBytesPerBucket: Int = 1 << 13,
+      storeFilesPerBatch: Int = 4,
+      compactStoreAtFiles: Int = 256): Unit = {
     val q = streamDocs.writeStream
       .outputMode("append")
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             batchId: Long) =>
           processBatch(spark, batch.toDF(), batchId, storePath, keptPath,
-            streamId, shingleLen, numHashes, bands)
+            streamId, shingleLen, numHashes, bands, nStoreBuckets,
+            bloomBytesPerBucket, storeFilesPerBatch, compactStoreAtFiles)
       }
       .start()
     try q.processAllAvailable()
@@ -80,33 +136,146 @@ object StreamDedup {
       streamId: String,
       shingleLen: Int = 3,
       numHashes: Int = 12,
-      bands: Int = 4): Unit = {
+      bands: Int = 4,
+      nStoreBuckets: Int = 64,
+      bloomBytesPerBucket: Int = 1 << 13,
+      storeFilesPerBatch: Int = 4,
+      compactStoreAtFiles: Int = 256): Unit = {
     val idCol = "doc_id"
-    val sigs = Dedup.minHashBandKeys(batch, "text", idCol,
-      shingleLen, numHashes, bands)
-      .select(col("id"), col("band"), col("key"))
+    val sigs = sigFrame(batch, shingleLen, numHashes, bands, nStoreBuckets)
+      .localCheckpoint() // sigs feed 3 consumers; band once, not thrice
     // collides with a lower-id document of the SAME batch…
     val batchHits = sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("b.id") < col("a.id"), "left_semi")
       .select(col("a.id"))
-    // …or of an EARLIER batch (committed signature store)
+    // …or of an EARLIER batch: bloom-gate the batch's keys, then read
+    // only the candidates' buckets from the committed signature store
     val dropIds = (if (TxnTable.currentVersion(storePath) < 0) batchHits
-      else {
-        val store = TxnTable.read(spark, storePath)
-        batchHits.unionAll(
-          sigs.join(store
-              .select(col("band").as("s_band"), col("key").as("s_key"),
-                col("id").as("s_id")),
-            col("band") === col("s_band") && col("key") === col("s_key") &&
-              col("s_id") < col("id"), "left_semi")
-            .select(col("id")))
-      }).distinct()
+      else batchHits.unionAll(storeHits(spark, sigs, storePath, streamId,
+        batchId))).distinct()
     val kept = batch.join(dropIds.withColumnRenamed("id", idCol),
       Seq(idCol), "left_anti")
     appendOrCreate(spark, keptPath, kept, s"$streamId-kept", batchId)
-    appendOrCreate(spark, storePath, sigs, s"$streamId-sigs", batchId)
+    // bloom BEFORE sigs — the over-approximation invariant (see above)
+    appendOrCreate(spark, bloomPathOf(storePath),
+      bloomRows(sigs, bloomBytesPerBucket), s"$streamId-bloom", batchId)
+    appendOrCreate(spark, storePath,
+      sigs.select(col("id"), col("band"), col("key"), col("bucket")),
+      s"$streamId-sigs", batchId,
+      clusterBy = Seq(col("bucket"), col("key")),
+      partitions = storeFilesPerBatch)
+    foldBloom(spark, bloomPathOf(storePath), 4 * nStoreBuckets)
+    maybeCompactStore(spark, storePath, compactStoreAtFiles)
+  }
+
+  /** Per-batch tranches each cover their own bucket sub-ranges, so a
+    * candidate bucket matches ~one file of EVERY tranche — without
+    * maintenance the dup-case read grows with tranche count, not with
+    * the candidate set. Folding the store into one globally
+    * bucket-clustered layout (an atomic INSERT OVERWRITE; answers
+    * unchanged, history readable) restores "candidate buckets ≈ files
+    * read". Best-effort like [[TxnIndex.maybeCompact]]: the stream is
+    * the single writer, so the race arm only fires for external
+    * maintenance writers. */
+  private def maybeCompactStore(spark: SparkSession, storePath: String,
+      maxFiles: Int): Unit = {
+    if (maxFiles <= 0 || TxnTable.currentVersion(storePath) < 0) return
+    val files = TxnTable.snapshotFiles(storePath).size
+    if (files <= maxFiles) return
+    try TxnTable.overwriteClustered(spark, storePath,
+      TxnTable.read(spark, storePath),
+      Seq(col("bucket"), col("key")), targetFiles = maxFiles / 4)
+    catch { case _: TxnTable.TxnConflictException => () }
+    ()
+  }
+
+  /** ids of batch documents colliding with a LOWER-id committed
+    * signature — bloom-gated, bucket-pruned (the serving read). */
+  private def storeHits(spark: SparkSession, sigs: DataFrame,
+      storePath: String, streamId: String, batchId: Long): DataFrame = {
+    val live = TxnTable.snapshotFiles(storePath).size
+    val candidates = mergedBloom(spark, bloomPathOf(storePath)) match {
+      case Some(bloom) =>
+        // broadcast the ≤nStoreBuckets (bucket, bloom) rows; the probe
+        // is a codegen scalar — map-side, no shuffle. A key whose
+        // bucket has no bloom row has no committed sibling: inner join
+        // drops it (correct, not just fast).
+        sigs.join(broadcast(bloom), Seq("bucket"))
+          .filter(BloomMightContain.bloom_might_contain(col("bloom"),
+            col("hkey")))
+          .drop("bloom")
+      case None => sigs // legacy store without a sidecar: no gate
+    }
+    val candBuckets = candidates.select(col("bucket").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (candBuckets.isEmpty) {
+      scanLog.add(StoreScan(streamId, batchId, 0, live, 0))
+      sigs.select(col("id")).limit(0)
+    } else {
+      val pruned = TxnTable.readPrunedIn(spark, storePath, "bucket",
+        candBuckets)
+      val read = pruned.inputFiles.length
+      // in-run pruning invariant, checked on EVERY batch of every run
+      require(read <= live,
+        s"store read $read files of a $live-file snapshot")
+      scanLog.add(StoreScan(streamId, batchId, read, live,
+        candBuckets.size))
+      candidates.join(pruned
+          .select(col("band").as("s_band"), col("key").as("s_key"),
+            col("id").as("s_id")),
+        col("band") === col("s_band") && col("key") === col("s_key") &&
+          col("s_id") < col("id"), "left_semi")
+        .select(col("id"))
+    }
+  }
+
+  /** The batch's (bucket, bloom) sidecar rows — one mergeable filter
+    * per bucket over xxhash64(band, key). */
+  private def bloomRows(sigs: DataFrame, bloomBytes: Int): DataFrame =
+    sigs.groupBy(col("bucket"))
+      .agg(BloomMightContain.bloom_agg(col("hkey"), bloomBytes).as("bloom"))
+
+  /** All sidecar rows OR-folded to one filter per bucket, driver-side
+    * (the sidecar is metadata-scale: ≤ nStoreBuckets rows after a fold,
+    * + nStoreBuckets per unfolded batch). None if no sidecar exists. */
+  private def mergedBloom(spark: SparkSession,
+      bloomPath: String): Option[DataFrame] = {
+    if (TxnTable.currentVersion(bloomPath) < 0) return None
+    import spark.implicits._
+    Some(orFold(TxnTable.read(spark, bloomPath).collect()
+        .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))))
+      .toDF("bucket", "bloom"))
+  }
+
+  private def orFold(rows: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] =
+    rows.groupBy(_._1).map { case (b, rs) =>
+      val bufs = rs.map(_._2)
+      require(bufs.forall(_.length == bufs.head.length),
+        s"bloom sizing drift in bucket $b: OR-merge needs uniform bits")
+      val out = new Array[Byte](bufs.head.length)
+      bufs.foreach { bf =>
+        var i = 0
+        while (i < out.length) { out(i) = (out(i) | bf(i)).toByte; i += 1 }
+      }
+      (b, out)
+    }.toSeq.sortBy(_._1)
+
+  /** Fold the sidecar to one row per bucket once it accumulates past
+    * `maxRows` — best-effort maintenance (a lost overwrite race defers
+    * to the next batch; the fold changes no answers, only read cost). */
+  private def foldBloom(spark: SparkSession, bloomPath: String,
+      maxRows: Int): Unit = {
+    if (TxnTable.currentVersion(bloomPath) < 0) return
+    val rows = TxnTable.read(spark, bloomPath).collect()
+      .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))).toSeq
+    if (rows.size <= maxRows) return
+    import spark.implicits._
+    try TxnTable.overwrite(spark, bloomPath,
+      orFold(rows).toDF("bucket", "bloom"))
+    catch { case _: TxnTable.TxnConflictException => () }
+    ()
   }
 
   /** Reconciliation pass for OUT-OF-ORDER arrival — the compaction-style
@@ -122,10 +291,11 @@ object StreamDedup {
     * driver-side list). After reconcile, the kept table equals the
     * batch rule regardless of arrival order (st12b gate + spec).
     *
-    * Scale shape: the self-join is the SAME (band, key) equi-join every
-    * batch already pays, once, over the accumulated store; idempotent
-    * (a second run deletes nothing), so it can ride any maintenance
-    * schedule.
+    * Scale shape: a maintenance pass over the WHOLE store by design
+    * (both join sides are the store — there is nothing to prune
+    * against); the bucket-clustered layout keeps the self-join's
+    * shuffle keyed and skew-free, and idempotence (a second run
+    * deletes nothing) lets it ride any maintenance schedule.
     */
   def reconcile(spark: SparkSession, storePath: String,
       keptPath: String): Long = {
@@ -144,12 +314,14 @@ object StreamDedup {
     * is replay-protected by its recorded batch id; a lost create race
     * just falls through. */
   private def appendOrCreate(spark: SparkSession, path: String,
-      df: DataFrame, streamId: String, batchId: Long): Unit = {
+      df: DataFrame, streamId: String, batchId: Long,
+      clusterBy: Seq[Column] = Nil, partitions: Int = 1): Unit = {
     if (TxnTable.currentVersion(path) < 0) {
       try TxnTable.create(spark, path, df.limit(0))
       catch { case _: TxnTable.TxnConflictException => () }
     }
-    TxnTable.appendStreamBatch(spark, path, df, streamId, batchId)
+    TxnTable.appendStreamBatch(spark, path, df, streamId, batchId,
+      partitions = partitions, clusterBy = clusterBy)
     ()
   }
 }

@@ -204,9 +204,10 @@ object NewOpsBench {
       1L
     }
     report("bm25_topk_txnidx_tombs") {
-      // serving latency WITH tombstone tranches outstanding (the lazy
-      // probe above left 3 of them) — the merge-on-read read tax that
-      // compaction removes
+      // serving latency WITH tombstone tranches outstanding — the lazy
+      // probe's three timing iterations each committed one (timeIt runs
+      // its body 3×), plus the stats tranches build/rewrite/lazy
+      // accumulated — the merge-on-read read tax that compaction removes
       TxnIndex.bm25TopK(spark, txnIdx,
         Seq("dup", "join", "vector", "window"), 25).count()
     }
@@ -225,6 +226,42 @@ object NewOpsBench {
     // survivors (candidate-linear; the all-pairs rerank never runs)
     report("minhash_dedup_x1") {
       Dedup.minHashDedup(docs, "text", "doc_id").count()
+    }
+    // ST12 serving-read scale probe: grow the signature store across 12
+    // micro-batches and watch the PER-BATCH cost. The bloom gate +
+    // bucket-pruned readPrunedIn must keep the store read bounded by
+    // the batch's own collisions (read=0 files when a batch has none),
+    // so per-batch wall time stays flat while filesLive grows — the
+    // property the r8 full-store-scan lacked. Real corpus docs, so some
+    // batches DO carry near-dups: their reads show as small file
+    // subsets, not snapshot scans.
+    locally {
+      val sdRoot =
+        java.nio.file.Files.createTempDirectory("graft_newops_sd").toString
+      val store = s"$sdRoot/store"
+      val keptT = s"$sdRoot/kept"
+      graft.streaming.StreamDedup.scanLog.clear()
+      val nB = 12
+      val per = 500
+      val times = (0 until nB).map { b =>
+        val batch = docs.filter(
+          col("doc_id") >= b.toLong * per && col("doc_id") < (b + 1L) * per)
+        val t0 = System.nanoTime()
+        graft.streaming.StreamDedup.processBatch(spark, batch, b.toLong,
+          store, keptT, "bench")
+        (System.nanoTime() - t0) / 1e9
+      }
+      import scala.jdk.CollectionConverters._
+      val scans = graft.streaming.StreamDedup.scanLog.asScala
+        .filter(_.streamId == "bench").map(s => s.batchId -> s).toMap
+      (0 until nB).foreach { b =>
+        val tag = scans.get(b.toLong)
+          .map(s => s"read=${s.filesRead}/${s.filesLive} " +
+            s"cand_buckets=${s.candBuckets}")
+          .getOrElse("store empty")
+        println(f"[newops] stream_dedup_batch$b%02d        " +
+          f"${times(b)}%8.3f s  $tag")
+      }
     }
     spark.stop()
   }

@@ -102,6 +102,96 @@ class StreamDedupSpec extends SparkSpecBase {
     assert(TxnTable.currentVersion(kept) == v)
   }
 
+  test("all-new batches read ZERO store files (bloom gate + pruning)") {
+    val store = Files.createTempDirectory("graft_sdd_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_sdd_kept").toString + "/t"
+    // 6 batches of globally-unique docs: after batch 0, every batch
+    // still consults the accumulated store — but the bloom gate must
+    // reject every key, so the store read is skipped entirely and the
+    // per-batch cost stays FLAT no matter how much history exists
+    val uniq = (0 until 60).map(i =>
+      (i.toLong, s"totally unique document number $i carrying payload " +
+        s"alpha$i beta$i gamma$i delta$i", "u")).toDF("doc_id", "text", "source")
+    StreamDedup.scanLog.clear()
+    (0 until 6).foreach { b =>
+      StreamDedup.processBatch(spark,
+        uniq.filter(col("doc_id") >= b * 10 && col("doc_id") < (b + 1) * 10),
+        b.toLong, store, kept, "flat")
+    }
+    import scala.jdk.CollectionConverters._
+    val scans = StreamDedup.scanLog.asScala.filter(_.streamId == "flat")
+    assert(scans.size == 5, "batches 1..5 each consult the store")
+    assert(scans.forall(s => s.filesRead == 0 && s.candBuckets == 0),
+      s"expected zero store files read for all-new batches, got $scans")
+    // the store's live file count GREW the whole time — the flat read
+    // is pruning, not an empty store
+    assert(scans.last.filesLive > scans.head.filesLive)
+    assert(TxnTable.read(spark, kept).count() == 60)
+  }
+
+  test("duplicate batch reads a PRUNED store slice, not the snapshot") {
+    val store = Files.createTempDirectory("graft_sdd_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_sdd_kept").toString + "/t"
+    val uniq = (0 until 50).map(i =>
+      (i.toLong, s"base document $i with words epsilon$i zeta$i eta$i " +
+        s"theta$i iota$i", "u")).toDF("doc_id", "text", "source")
+    (0 until 5).foreach { b =>
+      StreamDedup.processBatch(spark,
+        uniq.filter(col("doc_id") >= b * 10 && col("doc_id") < (b + 1) * 10),
+        b.toLong, store, kept, "dup")
+    }
+    StreamDedup.scanLog.clear()
+    // one exact dup of doc 7 (same text → same bands → bloom-positive)
+    val dupBatch = Seq((100L,
+      "base document 7 with words epsilon7 zeta7 eta7 theta7 iota7", "u"))
+      .toDF("doc_id", "text", "source")
+    StreamDedup.processBatch(spark, dupBatch, 5L, store, kept, "dup")
+    import scala.jdk.CollectionConverters._
+    val s = StreamDedup.scanLog.asScala.find(_.streamId == "dup").get
+    assert(s.candBuckets > 0 && s.candBuckets <= 4,
+      s"dup doc has ≤bands candidate buckets, got ${s.candBuckets}")
+    assert(s.filesRead > 0 && s.filesRead < s.filesLive,
+      s"expected a strict subset of ${s.filesLive} files, read ${s.filesRead}")
+    // and the dup was actually dropped
+    assert(!TxnTable.read(spark, kept).select(col("doc_id"))
+      .collect().map(_.getLong(0)).contains(100L))
+  }
+
+  test("bloom sidecar folds; store compaction keeps dup reads tight") {
+    val store = Files.createTempDirectory("graft_sdd_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_sdd_kept").toString + "/t"
+    val uniq = (0 until 80).map(i =>
+      (i.toLong, s"corpus item $i holding kappa$i lambda$i mu$i nu$i xi$i",
+        "u")).toDF("doc_id", "text", "source")
+    // small buckets + tiny compaction trigger exercise both maintenance
+    // loops inside a spec-sized run
+    (0 until 8).foreach { b =>
+      StreamDedup.processBatch(spark,
+        uniq.filter(col("doc_id") >= b * 10 && col("doc_id") < (b + 1) * 10),
+        b.toLong, store, kept, "fold", nStoreBuckets = 8,
+        compactStoreAtFiles = 12)
+    }
+    // sidecar stayed bounded: folded to ≤ 4*nStoreBuckets rows
+    val bloomRows = TxnTable.read(spark, store + "_bloom").count()
+    assert(bloomRows <= 32, s"bloom sidecar must fold, has $bloomRows rows")
+    // store was compacted at least once and stayed under ~trigger size
+    assert(TxnTable.snapshotFiles(store).size <= 12 + 4,
+      "store compaction must bound the live file count")
+    // correctness through both maintenance loops: a dup is still caught
+    StreamDedup.scanLog.clear()
+    val dup = Seq((200L,
+      "corpus item 3 holding kappa3 lambda3 mu3 nu3 xi3", "u"))
+      .toDF("doc_id", "text", "source")
+    StreamDedup.processBatch(spark, dup, 8L, store, kept, "fold",
+      nStoreBuckets = 8, compactStoreAtFiles = 12)
+    assert(!TxnTable.read(spark, kept).select(col("doc_id"))
+      .collect().map(_.getLong(0)).contains(200L))
+    import scala.jdk.CollectionConverters._
+    val s = StreamDedup.scanLog.asScala.find(_.streamId == "fold").get
+    assert(s.filesRead < s.filesLive,
+      s"post-compaction dup read must stay pruned: $s")
+  }
+
   test("redelivered micro-batch is a no-op on both tables") {
     val store = Files.createTempDirectory("graft_sdd_store").toString + "/t"
     val kept = Files.createTempDirectory("graft_sdd_kept").toString + "/t"
