@@ -337,6 +337,10 @@ object TxnIndex {
       .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sdl"),
         max(col("n_buckets")).as("nb"), max(col("seq")).as("mseq"))
       .head()
+    // a TxnTable without stats rows is not a TxnIndex (foreign table,
+    // or a corrupted one) — say so instead of an opaque NPE on getInt
+    require(!s.isNullAt(2),
+      s"not a TxnIndex table (no 's' stats rows): $path")
     IndexStats(s.getLong(0), s.getLong(1), s.getInt(2), s.getInt(3))
   }
 
@@ -344,7 +348,11 @@ object TxnIndex {
     * bit-for-bit: integer sums, one final double division. */
   private def statsFrame(spark: SparkSession, st: IndexStats): DataFrame = {
     import spark.implicits._
-    Seq((st.n, st.sumDl.toDouble / st.n.toDouble)).toDF("n", "avgdl")
+    // n == 0 is a legitimate mid-lifecycle state (an index created from
+    // an empty frame before its first tranche); 0.0 instead of 0/0 NaN
+    // keeps the scoring tail well-defined (it has no postings to score)
+    val avgdl = if (st.n == 0) 0.0 else st.sumDl.toDouble / st.n.toDouble
+    Seq((st.n, avgdl)).toDF("n", "avgdl")
   }
 
   /** The registry rows alive at `asOf` (tombstones applied). */

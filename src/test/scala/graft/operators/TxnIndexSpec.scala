@@ -334,4 +334,98 @@ class TxnIndexSpec extends SparkSpecBase {
       Keywords.bm25TopK(docsDf(corpus.take(2)), "doc_id", "text",
         Seq("quick", "box"), 5))
   }
+
+  test("an index-shaped table WITHOUT stats rows is rejected clearly") {
+    // the corrupt/foreign case ADVICE flagged: schema-compatible rows
+    // but no 's' stats tranche — must be a descriptive require, not an
+    // NPE from getInt(null) deep in rawStats
+    val idx = fresh()
+    TxnIndex.build(docsDf(corpus), "doc_id", "text", idx, nBuckets = 8)
+    val t = Files.createTempDirectory("graft_txnidx_nostats").toString + "/t"
+    TxnTable.create(spark, t,
+      TxnTable.read(spark, idx).filter(col("kind") =!= "s"))
+    val e = intercept[IllegalArgumentException] {
+      TxnIndex.bm25TopK(spark, t, Seq("quick"), 5)
+    }
+    assert(e.getMessage.contains("not a TxnIndex"),
+      s"want a descriptive rejection, got: ${e.getMessage}")
+  }
+
+  test("TWO racing upsertLazy writers: final serve equals the serial oracle") {
+    val idx = fresh()
+    TxnIndex.build(docsDf(corpus), "doc_id", "text", idx, nBuckets = 8)
+    // real concurrency, not injected hooks: two threads each commit 3
+    // lazy tranches of DISJOINT doc ids into one index. Every CAS loses
+    // some races and must recompute its stats fold against the fresh
+    // snapshot; the final logical state is interleaving-independent.
+    val trancheA = (0 until 3).map(i => docsDf(Seq(
+      (10L + i) -> s"writer alpha tranche $i about the quick silver fox",
+      (20L + i) -> s"alpha extra document $i with boxing words")))
+    val trancheB = (0 until 3).map(i => docsDf(Seq(
+      (30L + i) -> s"writer beta tranche $i on lazy dozing dogs",
+      (40L + i) -> s"beta extra document $i with vexing zephyrs")))
+    val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    val ta = new Thread(() =>
+      try trancheA.foreach(TxnIndex.upsertLazy(_, "doc_id", "text", idx,
+        maxAttempts = 50))
+      catch { case t: Throwable => errs.add(t) })
+    val tb = new Thread(() =>
+      try trancheB.foreach(TxnIndex.upsertLazy(_, "doc_id", "text", idx,
+        maxAttempts = 50))
+      catch { case t: Throwable => errs.add(t) })
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert(errs.isEmpty, s"racing writers must converge: $errs")
+    // both writers' commits all landed (6 tranches + build)
+    assert(TxnTable.currentVersion(idx) == 6L)
+    val finalCorpus = docsDf(corpus ++
+      (0 until 3).flatMap(i => Seq(
+        (10L + i) -> s"writer alpha tranche $i about the quick silver fox",
+        (20L + i) -> s"alpha extra document $i with boxing words",
+        (30L + i) -> s"writer beta tranche $i on lazy dozing dogs",
+        (40L + i) -> s"beta extra document $i with vexing zephyrs")))
+    assertSameTopK(
+      TxnIndex.bm25TopK(spark, idx, Seq("quick", "lazy", "boxing"), 10),
+      Keywords.bm25TopK(finalCorpus, "doc_id", "text",
+        Seq("quick", "lazy", "boxing"), 10))
+    // and the index remains compactable/consistent after the race
+    TxnIndex.compact(spark, idx)
+    assertSameTopK(
+      TxnIndex.bm25TopK(spark, idx, Seq("quick", "lazy", "boxing"), 10),
+      Keywords.bm25TopK(finalCorpus, "doc_id", "text",
+        Seq("quick", "lazy", "boxing"), 10))
+  }
+
+  test("restore across a compaction revives folded stats; vacuum fences") {
+    val idx = fresh()
+    val q = Seq("quick", "fox", "dozen")
+    TxnIndex.build(docsDf(corpus), "doc_id", "text", idx, nBuckets = 8) // v0
+    TxnIndex.upsertLazy(docsDf(Seq(
+      1L -> "quick quick rewritten first document")),
+      "doc_id", "text", idx) // v1 (tombstone for doc 1)
+    TxnIndex.upsertLazy(docsDf(Seq(
+      7L -> "a seventh document around dozen quick jugs")),
+      "doc_id", "text", idx) // v2
+    val preCompact = TxnIndex.bm25TopK(spark, idx, q, 10, asOf = 2L)
+      .collect().toSeq
+    TxnIndex.compact(spark, idx) // v3: tombstones applied, stats folded
+    // restore to the PRE-compaction version: its multi-tranche stats
+    // rows and live tombstones must come back and serve identically
+    TxnTable.restore(spark, idx, 2L) // v4
+    val restored = TxnIndex.bm25TopK(spark, idx, q, 10).collect().toSeq
+    assert(restored == preCompact,
+      "restore across compaction must revive the exact served answers")
+    val statsTranches = TxnTable.readPrunedIn(spark, idx, "bucket", Seq(-1L))
+      .filter(col("kind") === "s").count()
+    assert(statsTranches == 3,
+      s"expected the 3 pre-compact stats tranches back, got $statsTranches")
+    // vacuum: keep the current restored snapshot + one back, fence the rest
+    TxnTable.vacuum(spark, idx, retainVersions = 2) // v5
+    val e = intercept[IllegalArgumentException] {
+      TxnIndex.bm25TopK(spark, idx, q, 10, asOf = 1L)
+    }
+    assert(e.getMessage.contains("vacuum"),
+      s"pre-horizon serving must fail clearly, got: ${e.getMessage}")
+    // current serving is untouched by the physical cleanup
+    assert(TxnIndex.bm25TopK(spark, idx, q, 10).collect().toSeq == preCompact)
+  }
 }
