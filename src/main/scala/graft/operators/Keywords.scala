@@ -407,6 +407,40 @@ object Keywords {
       .collect().map(_.getInt(0)).toSeq.distinct
   }
 
+  /** Test seam: invoked between the two renames of each directory swap
+    * in [[compactIndex]] — the crash window [[recoverIndex]] must heal.
+    * No-op in production. */
+  private[graft] var compactSwapHook: String => Unit = _ => ()
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) rmTree(it.next())
+      } finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** Heal a [[compactIndex]] run that crashed between its two swap
+    * renames: if `.{name}__old` holds the ONLY copy (live dir missing),
+    * restore it — never delete it blindly; `.{name}__old` alongside a
+    * live dir is a completed swap's debris and is dropped. Idempotent;
+    * called automatically on the next compactIndex, and public so a
+    * supervisor can heal without compacting. (The same recovery
+    * contract as [[graft.crawler.Compactor.compact]].) */
+  def recoverIndex(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    Seq("postings", "stats").foreach { name =>
+      val live = Paths.get(path, name)
+      val old = Paths.get(path, s".${name}__old")
+      if (Files.exists(old) && !Files.exists(live)) Files.move(old, live)
+      else if (Files.exists(old)) rmTree(old)
+    }
+  }
+
   /** Fold an index's accumulated tranche files: every bucket directory
     * is rewritten as one term-sorted file and the additive stats rows
     * collapse to one — the small-file compaction any append-driven
@@ -414,12 +448,20 @@ object Keywords {
     * (spec-pinned); reads get fewer files with tighter per-row-group
     * term ranges than interleaved tranche files can have. Like
     * [[appendToIndex]], not safe to run concurrently with readers or
-    * appenders (the TxnTable-committed variant is the mutable-corpus
-    * shape).
+    * appenders (the TxnTable-committed variant, [[TxnIndex.compact]],
+    * is the mutable-corpus shape).
+    *
+    * Crash safety: each directory is staged fully, then swapped with
+    * two renames (live → `.{name}__old`, staged → live). A crash
+    * between them leaves `.{name}__old` holding the only copy, and
+    * [[recoverIndex]] — run automatically at the next compact — puts
+    * it back; no window deletes the sole copy of anything
+    * (spec-pinned via [[compactSwapHook]]).
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import java.nio.file.{Files, Paths}
+    recoverIndex(path) // heal any previous crashed swap first
     val (_, nBuckets) = indexStats(spark, path)
     val staged = Files.createTempDirectory("graft_idx_compact").toString
     spark.read.schema(postingsSchema).parquet(s"$path/postings")
@@ -432,18 +474,12 @@ object Keywords {
       .withColumn("n_buckets", lit(nBuckets))
       .write.mode("overwrite").parquet(s"$staged/stats")
     def swap(name: String): Unit = {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val s = Files.list(p)
-          try {
-            val it = s.iterator()
-            while (it.hasNext) rm(it.next())
-          } finally s.close()
-        }
-        Files.deleteIfExists(p)
-      }
-      rm(Paths.get(path, name))
-      Files.move(Paths.get(staged, name), Paths.get(path, name))
+      val live = Paths.get(path, name)
+      val old = Paths.get(path, s".${name}__old")
+      Files.move(live, old)
+      compactSwapHook(name) // crash window: old holds the only copy
+      Files.move(Paths.get(staged, name), live)
+      rmTree(old)
     }
     swap("postings")
     swap("stats")

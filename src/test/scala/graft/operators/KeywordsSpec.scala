@@ -243,4 +243,40 @@ class KeywordsSpec extends SparkSpecBase {
       rows(Keywords.phraseMatchesIndexed(spark, idx, Seq("a", "b"))
         .orderBy(col("doc_id"))))
   }
+
+  test("compactIndex crash mid-swap never loses the index; recovery heals") {
+    import spark.implicits._
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, s"doc $i words alpha beta gamma tail$i")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_kwidx_crash").toString
+    Keywords.buildIndex(corpus, "doc_id", "text", idx, nBuckets = 4)
+    Keywords.appendToIndex(
+      (60 until 80).map(i => (i.toLong, s"doc $i alpha extra tail$i"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val terms = Seq("alpha", "tail7")
+    val before = Keywords.bm25TopKIndexed(spark, idx, terms, 10)
+      .collect().toSeq
+    // kill the compaction INSIDE the postings swap window: live dir has
+    // been renamed away, the staged copy not yet moved in
+    Keywords.compactSwapHook =
+      name => if (name == "postings") sys.error("crash in swap window")
+    try intercept[RuntimeException] { Keywords.compactIndex(spark, idx) }
+    finally Keywords.compactSwapHook = _ => ()
+    // the crash window is real (index headless)… but the only copy is
+    // preserved in .postings__old, never deleted
+    assert(!new java.io.File(s"$idx/postings").exists())
+    assert(new java.io.File(s"$idx/.postings__old").isDirectory)
+    // recovery restores the exact pre-compact serving state
+    Keywords.recoverIndex(idx)
+    assert(Keywords.bm25TopKIndexed(spark, idx, terms, 10)
+      .collect().toSeq == before)
+    // and the next compaction (which self-heals first) completes and
+    // still serves the same answers
+    Keywords.compactIndex(spark, idx)
+    assert(Keywords.bm25TopKIndexed(spark, idx, terms, 10)
+      .collect().toSeq == before)
+    assert(!new java.io.File(s"$idx/.postings__old").exists())
+    assert(!new java.io.File(s"$idx/.stats__old").exists())
+  }
 }
