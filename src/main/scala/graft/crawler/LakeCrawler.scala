@@ -59,16 +59,42 @@ object LakeCrawler {
     }
   }
 
+  private def visibleStatus(st: FileStatus): Boolean = {
+    val n = st.getPath.getName
+    !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  /** All visible data files under `p`, recursively — sizing for layouts
+    * whose files live in subdirectories (the text index's
+    * `postings/bucket=<b>/` tree). Metadata-scale like every listing
+    * here; at a huge lake the walk parallelizes as a Spark job over
+    * subdirectory ranges (same note as [[discover]]). */
+  private def deepFiles(filesystem: FileSystem, p: Path): Seq[FileStatus] =
+    filesystem.listStatus(p).filter(visibleStatus).toSeq.flatMap { st =>
+      if (st.isFile) Seq(st) else deepFiles(filesystem, st.getPath)
+    }
+
+  /** Is this directory a [[graft.operators.Keywords.buildIndex]] layout
+    * (`postings/bucket=<b>/` + `stats/`)? Classified as ONE logical
+    * `graft-index` dataset — without this, a catalog user would see the
+    * postings tree and the stats table profiled as two unrelated user
+    * datasets (or, for the bucket-partitioned tree, not at all). */
+  private def isTextIndex(filesystem: FileSystem, dir: Path): Boolean = {
+    val postings = new Path(dir, "postings")
+    val stats = new Path(dir, "stats")
+    filesystem.exists(postings) && filesystem.exists(stats) &&
+      filesystem.getFileStatus(postings).isDirectory &&
+      filesystem.listStatus(postings)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+  }
+
   /** C1: walk the lake root; each data file or uniform directory of data
     * files becomes a dataset. Hidden/underscore entries (_SUCCESS, …) are
     * skipped, as are empty directories.
     */
   def discover(spark: SparkSession, root: String): Seq[DatasetInfo] = {
     val filesystem = fs(spark, root)
-    def visible(st: FileStatus): Boolean = {
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
+    def visible(st: FileStatus): Boolean = visibleStatus(st)
     def stripExt(n: String): String =
       if (n.contains('.')) n.substring(0, n.lastIndexOf('.')) else n
 
@@ -98,6 +124,16 @@ object LakeCrawler {
             liveAdds.size, liveAdds.map(_.bytes).sum,
             logFiles.map(_.getModificationTime).max))
         }
+      } else if (isTextIndex(filesystem, st.getPath)) {
+        // C15: one LOGICAL dataset — sized from the whole layout's data
+        // files (postings tree + stats), opened as the postings frame,
+        // and flagged changed whenever an append or compaction rewrites
+        // any part (size/mtime/numFiles keying, like every dataset).
+        val files = deepFiles(filesystem, st.getPath)
+        if (files.isEmpty) None
+        else Some(DatasetInfo(st.getPath.getName, st.getPath.toString,
+          "graft-index", files.length, files.map(_.getLen).sum,
+          files.map(_.getModificationTime).max))
       } else {
         val files = filesystem.listStatus(st.getPath).filter(_.isFile).filter(visible)
         if (files.isEmpty) None
@@ -147,6 +183,10 @@ object LakeCrawler {
           org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
       }
     case "graft-txn" => graft.core.TxnTable.read(spark, info.path)
+    // the index's data-shaped face is its postings (term, doc_id, dl,
+    // tf, positions, bucket); the stats table is the layout's own
+    // metadata, folded by the serving paths, not user data
+    case "graft-index" => spark.read.parquet(s"${info.path}/postings")
     case "orc" => spark.read.orc(info.path)
     case "json" => spark.read.json(info.path)
     case "csv" => spark.read

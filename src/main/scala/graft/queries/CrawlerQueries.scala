@@ -299,7 +299,48 @@ object CrawlerQueries {
         "changed", "unchanged")
   }
 
+  /** C15: the crawler is text-index-aware. A lake holds a plain parquet
+    * dataset and a [[graft.operators.Keywords.buildIndex]] layout
+    * (`postings/bucket=<b>/` + `stats/`); discovery must classify the
+    * index dir as ONE `graft-index` dataset (not a bucket-partitioned
+    * tree plus an unrelated "stats" table), open it as the logical
+    * postings frame (aggregate oracle-checked against a DuckDB replay
+    * of the tokenize→postings derivation on raw documents), size it
+    * from the whole layout, and an incremental re-crawl after a
+    * compaction rewrite must flag exactly the index as changed.
+    * Crawler ∘ index layout, end-to-end — the C14 move for the plain
+    * index.
+    */
+  def c15IndexCrawl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = Files.createTempDirectory("graft_c15").toString
+    graft.core.Lake.table(spark, dir, "nation")
+      .coalesce(1).write.parquet(s"$lake/nation")
+    val docs = graft.core.Lake.table(spark, dir, "documents")
+    graft.operators.Keywords.buildIndex(docs, "doc_id", "text",
+      s"$lake/docs_index", nBuckets = 8)
+    val snap1 = Files.createTempDirectory("graft_c15s1").toString
+    val infos = CatalogStore.crawl(spark, lake, snap1)
+    val idxInfo = infos.find(_.name == "docs_index").get
+    val logical = LakeCrawler.open(spark, idxInfo)
+    val agg = logical.agg(count(lit(1)).as("p"),
+      countDistinct(col("term")).as("t"),
+      sum(col("tf").cast("long")).as("s")).head()
+    val statsDocs = spark.read.parquet(s"${idxInfo.path}/stats")
+      .agg(sum(col("n"))).head().getLong(0)
+    // a maintenance rewrite must surface as exactly-one-changed-dataset
+    graft.operators.Keywords.compactIndex(spark, s"$lake/docs_index")
+    val snap2 = Files.createTempDirectory("graft_c15s2").toString
+    val d = CatalogStore.incrementalCrawl(spark, lake, snap1, snap2)
+    Seq((idxInfo.format, agg.getLong(0), agg.getLong(1), agg.getLong(2),
+        statsDocs, infos.size.toLong, d.changed.mkString(","),
+        d.unchanged.mkString(",")))
+      .toDF("idx_format", "postings_rows", "n_terms", "tf_sum",
+        "stats_docs", "datasets", "changed", "unchanged")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "c15_index_crawl"     -> (c15IndexCrawl _),
     "c14_txn_crawl"       -> (c14TxnCrawl _),
     "c13_cbo_bhj"         -> (c13CboBhj _),
     "c12_outliers"        -> (c12Outliers _),
@@ -353,6 +394,24 @@ object CrawlerQueries {
        |FROM customer""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The postings aggregate is the cross-engine check (DuckDB replays
+    // tokenize→postings on raw documents); format/diff columns pin the
+    // index classification and the exactly-one-changed-dataset
+    // invariant after a compaction rewrite.
+    "c15_index_crawl" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM documents),
+        |p AS (SELECT doc_id, term, count(*) AS tf
+        |      FROM (SELECT doc_id, unnest(t) AS term FROM d)
+        |      WHERE len(term) > 0 GROUP BY 1, 2)
+        |SELECT 'graft-index' AS idx_format,
+        |  count(*) AS postings_rows,
+        |  count(DISTINCT term) AS n_terms,
+        |  CAST(sum(tf) AS BIGINT) AS tf_sum,
+        |  (SELECT count(*) FROM documents) AS stats_docs,
+        |  CAST(2 AS BIGINT) AS datasets,
+        |  'docs_index' AS changed, 'nation' AS unchanged
+        |FROM p""".stripMargin,
     // The snapshot aggregate is the cross-engine check (DuckDB applies
     // the same delete predicate to raw orders); format/diff columns pin
     // the discovery classification and the exactly-one-changed-dataset

@@ -120,4 +120,32 @@ class CrawlerSpec extends SparkSpecBase {
     assert(top.map(_.getString(0)).toSeq == Seq("a", "b"))
     assert(top.map(_.getLong(1)).toSeq == Seq(3L, 2L))
   }
+
+  test("C15: a text-index layout discovers as ONE graft-index dataset") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lake = java.nio.file.Files.createTempDirectory("graft_c15spec")
+      .toString
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"spec document $i alpha beta tail$i")).toDF("doc_id", "text")
+    docs.coalesce(1).write.parquet(s"$lake/plaindocs")
+    graft.operators.Keywords.buildIndex(docs, "doc_id", "text",
+      s"$lake/idx", nBuckets = 4)
+    graft.core.TxnTable.create(spark, s"$lake/txn",
+      Seq((1L, "x")).toDF("id", "s"))
+    val infos = LakeCrawler.discover(spark, lake)
+    assert(infos.map(i => i.name -> i.format).toMap ==
+      Map("plaindocs" -> "parquet", "idx" -> "graft-index",
+        "txn" -> "graft-txn"),
+      s"got $infos")
+    val idx = infos.find(_.name == "idx").get
+    // sized from the WHOLE layout (postings tree + stats), not one dir
+    assert(idx.numFiles >= 5 && idx.sizeBytes > 0)
+    // opened as the logical postings frame — tokenization round-trips
+    val opened = LakeCrawler.open(spark, idx)
+    assert(opened.columns.contains("term") && opened.columns.contains("bucket"))
+    assert(opened.filter(col("term") === "alpha").count() == 40)
+    // and the profiler can take it (array positions column included)
+    assert(Profiler.profile(spark, opened, "idx").nonEmpty)
+  }
 }
