@@ -21,13 +21,6 @@ object Lake {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Read one table. `events.ts` is physically TIMESTAMP(NANOS), which
-    * Spark 4 refuses to read as a timestamp; we read it as a long and
-    * truncate ns→µs ourselves (integer division — a double division would
-    * lose precision above 2^53). DuckDB applies the same ns→µs truncation
-    * on scan, so both engines agree (and the corpus has zero sub-µs parts;
-    * FIXTURES.md events).
-    */
   /** Per-session cache of table DataFrames: the file listing + footer
     * schema read costs ~100 ms per spark.read.parquet call, and every
     * query would otherwise pay it again (the DuckDB oracle likewise
@@ -50,19 +43,19 @@ object Lake {
         .getOrElseUpdate((dir, name), load(spark, dir, name))
     }
 
+  /** Read one table. `events.ts` is physically TIMESTAMP(NANOS), which
+    * Spark 4.1 reads natively as TimestampType (µs truncation on scan —
+    * PLANS.md r8 pinned the plan change; earlier Spark 4 releases needed
+    * a legacy long-read + manual ns→µs divide here). DuckDB applies the
+    * same ns→µs truncation, so both engines agree (and the corpus has
+    * zero sub-µs parts; FIXTURES.md events).
+    */
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Uniform TimestampType (LTZ) ingest; with the session pinned to UTC
     // this is value-identical to NTZ and keeps the catalog's type surface
     // consistent (SURVEY.md §1.2).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = spark.read.parquet(path(dir, name))
-    df.schema.fields.find(f => f.name == "ts") match {
-      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => df
-    }
+    spark.read.parquet(path(dir, name))
   }
 
   /** Register all tables as temp views named after the files, for spark.sql. */
