@@ -251,6 +251,58 @@ object PipelineQueries {
       .toDF("vec_id", "sim")
   }
 
+  /** L3d: the TRANSACTIONAL IVF index — l3c's layout through the
+    * TxnTable commit log ([[graft.operators.TxnVectorIndex]]): md5
+    * centroids persisted as rows (the frozen quantizer every writer
+    * assigns with), vectors range-clustered by list, merge-on-read
+    * tombstone upserts, compaction. The gate drives the full lifecycle
+    * and pins it to the SAME oracle as l3c: build → serve; re-ingest a
+    * fifth of the corpus with IDENTICAL vectors (physically a tombstone
+    * tranche, logically a no-op) → serve must not move; compact → serve
+    * must not move. In-run asserts: the upsert commit removes zero
+    * files (append-only), time travel to the pre-upsert version is
+    * byte-identical, and the serving read touches a strict subset of
+    * the snapshot's files (probed lists + tombstone list only).
+    */
+  def l3dTxnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    import graft.operators.TxnVectorIndex
+    val nlist = 8; val nprobe = 3; val k = 10
+    val emb = Lake.table(spark, dir, "embeddings")
+    val data = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq
+    val idx = java.nio.file.Files.createTempDirectory("graft_txnivf")
+      .toString + "/idx"
+    TxnVectorIndex.build(data, "vec_id", "embedding", idx, nlist)
+    val v0 = TxnTable.currentVersion(idx)
+    val pre = TxnVectorIndex.topK(spark, idx, q, k, nprobe)
+      .collect().toSeq
+    // same-value re-ingest: tombstones + re-adds, zero files rewritten
+    TxnVectorIndex.upsertLazy(data.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", idx)
+    require(TxnTable.commits(idx).last.removes.isEmpty,
+      "lazy vector upsert rewrote files")
+    val post = TxnVectorIndex.topK(spark, idx, q, k, nprobe)
+    require(post.collect().toSeq == pre,
+      "same-value re-ingest moved the served top-k")
+    // pruned serving: strict subset of the snapshot's files
+    val read = post.inputFiles.length
+    val live = TxnTable.snapshotFiles(idx).size
+    require(read > 0 && read < live,
+      s"IVF serve must prune: read $read of $live files")
+    // time travel to the pre-upsert version is byte-identical
+    require(TxnVectorIndex.topK(spark, idx, q, k, nprobe, asOf = v0)
+      .collect().toSeq == pre, "time travel drifted")
+    TxnVectorIndex.compact(spark, idx)
+    val fin = TxnVectorIndex.topK(spark, idx, q, k, nprobe).collect()
+    require(fin.toSeq == pre, "compaction moved the served top-k")
+    import spark.implicits._
+    fin.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .toDF("vec_id", "sim")
+  }
+
   /** L6e: REAL audio decode through the distributed path — real
     * RIFF/WAV payloads (JDK-encoded on the executors, deterministic
     * 16-bit PCM fixtures), decoded by [[graft.operators.WavCodec]]
@@ -546,6 +598,7 @@ object PipelineQueries {
     "l3_knn_join"        -> (l3KnnJoin _),
     "l3b_knn_payload"    -> (l3bKnnPayload _),
     "l3c_ivf_disk"       -> (l3cIvfDisk _),
+    "l3d_txn_ivf"        -> (l3dTxnIvf _),
     "l6c_resize"         -> (l6cResize _),
     "l6d_frame_sample"   -> (l6dFrameSample _),
     "l4_token_stats"     -> (l4TokenStats _),
@@ -628,6 +681,55 @@ object PipelineQueries {
        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]'))) AS BIGINT) AS est_tokens
        |FROM kept GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** The IVF-on-disk top-k oracle — shared by l3c (plain
+    * partitionBy layout) and l3d (the transactional index, whose
+    * build → same-value re-ingest → compact phases must all land on
+    * this same logical answer). */
+  private val ivfDiskTopkSql: String =
+    """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |      - 1 AS i,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |dist AS (
+        |  SELECT e.vec_id, ct.i,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1,65), j ->
+        |        (CAST(e.embedding[j] AS DOUBLE) - ct.c[j])
+        |        * (CAST(e.embedding[j] AS DOUBLE) - ct.c[j]))),
+        |      (a,b) -> a+b) AS d
+        |  FROM embeddings e, cents ct WHERE e.vec_id <> 0),
+        |assign AS (
+        |  SELECT vec_id, i AS list FROM (
+        |    SELECT vec_id, i,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE vec_id = 0),
+        |qdist AS (
+        |  SELECT ct.i,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1,65), j ->
+        |        (ct.c[j] - qv.e[j]) * (ct.c[j] - qv.e[j]))),
+        |      (a,b) -> a+b) AS d
+        |  FROM cents ct, qv),
+        |probe AS (SELECT i FROM (
+        |  SELECT i, row_number() OVER (ORDER BY d, i) AS rn FROM qdist)
+        |  WHERE rn <= 3)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_sum(list_transform(range(1,65),
+        |    j -> CAST(e.embedding[j] AS DOUBLE) * qv.e[j])) /
+        |    (sqrt(list_sum(list_transform(e.embedding,
+        |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * qv.nrm),
+        |    6) AS sim
+        |FROM embeddings e, qv, assign a
+        |WHERE e.vec_id = a.vec_id
+        |  AND a.list IN (SELECT i FROM probe)
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
 
   /** DuckDB oracles for the SQL-expressible subset. */
   val oracle: Map[String, String] = Map(
@@ -821,50 +923,8 @@ object PipelineQueries {
     // rerank restricted to probed lists. The partition-pruning half of
     // the gate (3 of 8 directories read) is asserted in-run on the
     // Spark side; this pins the VALUES the pruned scan must produce.
-    "l3c_ivf_disk" ->
-      """WITH cents AS (
-        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-        |      - 1 AS i,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-        |  FROM embeddings
-        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-        |dist AS (
-        |  SELECT e.vec_id, ct.i,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(range(1,65), j ->
-        |        (CAST(e.embedding[j] AS DOUBLE) - ct.c[j])
-        |        * (CAST(e.embedding[j] AS DOUBLE) - ct.c[j]))),
-        |      (a,b) -> a+b) AS d
-        |  FROM embeddings e, cents ct WHERE e.vec_id <> 0),
-        |assign AS (
-        |  SELECT vec_id, i AS list FROM (
-        |    SELECT vec_id, i,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
-        |    FROM dist) WHERE rn = 1),
-        |qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings WHERE vec_id = 0),
-        |qdist AS (
-        |  SELECT ct.i,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(range(1,65), j ->
-        |        (ct.c[j] - qv.e[j]) * (ct.c[j] - qv.e[j]))),
-        |      (a,b) -> a+b) AS d
-        |  FROM cents ct, qv),
-        |probe AS (SELECT i FROM (
-        |  SELECT i, row_number() OVER (ORDER BY d, i) AS rn FROM qdist)
-        |  WHERE rn <= 3)
-        |SELECT e.vec_id AS vec_id,
-        |  round(list_sum(list_transform(range(1,65),
-        |    j -> CAST(e.embedding[j] AS DOUBLE) * qv.e[j])) /
-        |    (sqrt(list_sum(list_transform(e.embedding,
-        |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * qv.nrm),
-        |    6) AS sim
-        |FROM embeddings e, qv, assign a
-        |WHERE e.vec_id = a.vec_id
-        |  AND a.list IN (SELECT i FROM probe)
-        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "l3c_ivf_disk" -> ivfDiskTopkSql,
+    "l3d_txn_ivf" -> ivfDiskTopkSql,
     "l3_lsh_topk" ->
       """WITH planes AS (
         |  SELECT i, list(CASE WHEN (strpos('0123456789abcdef',

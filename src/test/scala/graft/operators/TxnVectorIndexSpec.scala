@@ -1,0 +1,127 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.core.TxnTable
+
+/** The transactional vector index, pinned:
+  *  - served ANN top-k is bit-identical to the plain IVF path over the
+  *    same assignment (shared quantizer, shared rounded cosine);
+  *  - upsert is ONE append-only commit that assigns with the FROZEN
+  *    stored centroids; a replaced vector's old value disappears, the
+  *    pre-upsert version keeps serving it (snapshot isolation);
+  *  - delete is a tombstone-only commit; compact folds tombstones with
+  *    answers unchanged;
+  *  - a serve reads only the probed lists' files (pruned read).
+  */
+class TxnVectorIndexSpec extends SparkSpecBase {
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft_txnvec").toString + "/idx"
+
+  /** 40 deterministic 8-dim vectors in two clear clusters. */
+  private def vecs(ids: Range): DataFrame = {
+    import spark.implicits._
+    ids.map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, (0 until 8).map(d =>
+        base * (1.0f + 0.01f * ((i * 7 + d * 3) % 13))))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private val query: Seq[Float] = (0 until 8).map(_ => 1.0f)
+
+  private def served(idx: String, k: Int = 8, nprobe: Int = 2,
+      asOf: Long = -1L): Seq[(Long, Double)] =
+    TxnVectorIndex.topK(spark, idx, query, k, nprobe, asOf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("build serves bit-identical to the plain IVF path") {
+    val idx = fresh()
+    val data = vecs(0 until 40)
+    TxnVectorIndex.build(data, "vec_id", "embedding", idx, nlist = 4)
+    val cents = Similarity.md5Centroids(data, 4)
+    val plain = Similarity.ivfTopKIndexed(
+        Similarity.withIvfList(data, cents), cents, query, 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served(idx) == plain)
+  }
+
+  test("upsert replaces with the frozen quantizer; old version serves old") {
+    import spark.implicits._
+    val idx = fresh()
+    TxnVectorIndex.build(vecs(0 until 40), "vec_id", "embedding", idx,
+      nlist = 4)
+    val v0 = TxnTable.currentVersion(idx)
+    val pre = served(idx)
+    val victim = pre.head._1
+    // re-ingest the TOP hit FLIPPED to the far cluster: one append-only
+    // commit, assigned with the stored quantizer
+    val moved = Seq((victim, (0 until 8).map(_ => -1.0f)))
+      .toDF("vec_id", "embedding")
+    val v1 = TxnVectorIndex.upsertLazy(moved, "vec_id", "embedding", idx)
+    assert(v1 == v0 + 1, "upsert must be ONE commit")
+    assert(TxnTable.commits(idx).last.removes.isEmpty,
+      "lazy upsert must rewrite nothing")
+    val post = served(idx)
+    assert(!post.exists(_._1 == victim), "replaced vector still served")
+    // snapshot isolation: the pre-upsert version is untouched
+    assert(served(idx, asOf = v0) == pre)
+    // a NEW id lands as a plain add and is served
+    TxnVectorIndex.upsertLazy(
+      Seq((100L, (0 until 8).map(_ => 1.2f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx)
+    assert(served(idx).exists(_._1 == 100L))
+  }
+
+  test("delete tombstones, compact folds, answers pinned through both") {
+    import spark.implicits._
+    val idx = fresh()
+    TxnVectorIndex.build(vecs(0 until 40), "vec_id", "embedding", idx,
+      nlist = 4)
+    val pre = served(idx)
+    val victim = pre.head._1
+    TxnVectorIndex.delete(spark, idx,
+      Seq(victim).toDF("vec_id"))
+    val post = served(idx)
+    assert(!post.exists(_._1 == victim))
+    // the k-th slot refills from below; everything above is untouched
+    assert(post.take(7) == pre.filterNot(_._1 == victim),
+      "delete must only remove")
+    // compaction: physical fold, logical no-op, tombstones gone
+    TxnVectorIndex.compact(spark, idx)
+    assert(served(idx) == post, "compaction changed a served answer")
+    assert(TxnTable.read(spark, idx).filter(col("kind") === "t").count() == 0)
+    // and one folded tranche row carries the surviving count
+    val s = TxnTable.read(spark, idx).filter(col("kind") === "s").collect()
+    assert(s.length == 1 && s.head.getAs[Long]("n") == 39)
+  }
+
+  test("a serve reads only the probed lists' files (pruned read)") {
+    val idx = fresh()
+    TxnVectorIndex.build(vecs(0 until 40), "vec_id", "embedding", idx,
+      nlist = 4)
+    val df = TxnVectorIndex.topK(spark, idx, query, 8, nprobe = 1)
+    val read = df.inputFiles.length
+    val live = TxnTable.snapshotFiles(idx).size
+    assert(read > 0 && read < live,
+      s"probe must read a strict subset: $read of $live files")
+    df.collect()
+  }
+
+  test("a foreign TxnTable is rejected with a descriptive error") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_txnvec_foreign").toString + "/t"
+    TxnTable.create(spark, t, Seq((1L, "x")).toDF("id", "s"))
+    val e = intercept[Exception] {
+      TxnVectorIndex.topK(spark, t, query, 5)
+    }
+    assert(e.getMessage.contains("not a TxnVectorIndex") ||
+      e.getMessage.contains("list"),
+      s"want a descriptive rejection, got: ${e.getMessage}")
+  }
+}
