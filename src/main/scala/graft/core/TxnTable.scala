@@ -1029,16 +1029,24 @@ object TxnTable {
     // driver regardless (it becomes the scan's file set) — so intersect
     // driver-side in ONE pass over the collected bounds instead of one
     // selectFiles job per value (serving latency, measured in
-    // NewOpsBench). Null bounds keep the file, never skip it.
+    // NewOpsBench). Per file, the smallest value ≥ min is found by
+    // binary search — O(files·log values), so a large point set (a
+    // batch's candidate buckets, a query's term buckets) never turns
+    // the intersect into an O(files·values) driver loop. Null bounds
+    // keep the file, never skip it.
+    val sorted = vs.sorted.toArray
+    def anyValueIn(mn: Long, mx: Long): Boolean = {
+      var i = java.util.Arrays.binarySearch(sorted, mn)
+      if (i < 0) i = -i - 1
+      i < sorted.length && sorted(i) <= mx
+    }
     val kept = graft.crawler.SkippingIndex
       .buildForFiles(spark, liveAbs, Seq(column))
       .select(col("file"), col("mins").getItem(0).as("mn"),
         col("maxs").getItem(0).as("mx"))
       .collect()
-      .filter { r =>
-        r.isNullAt(1) || r.isNullAt(2) ||
-          vs.exists(v => r.getLong(1) <= v && r.getLong(2) >= v)
-      }
+      .filter(r => r.isNullAt(1) || r.isNullAt(2) ||
+        anyValueIn(r.getLong(1), r.getLong(2)))
       .map(_.getString(0)).toSeq
     // empty kept set → a ZERO-file frame (not full.filter(false)), so
     // df.inputFiles honestly reports what a caller's scan would touch

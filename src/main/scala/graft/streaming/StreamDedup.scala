@@ -85,6 +85,14 @@ object StreamDedup {
   private[graft] val scanLog =
     new java.util.concurrent.CopyOnWriteArrayList[StoreScan]()
 
+  /** The seam stays bounded on an always-on stream: keep the most
+    * recent entries only (a diagnostic window, not a history). */
+  private val ScanLogCap = 256
+  private def logScan(s: StoreScan): Unit = {
+    scanLog.add(s)
+    while (scanLog.size > ScanLogCap) scanLog.remove(0)
+  }
+
   private def bloomPathOf(storePath: String): String =
     storePath.stripSuffix("/") + "_bloom"
 
@@ -166,7 +174,7 @@ object StreamDedup {
       s"$streamId-sigs", batchId,
       clusterBy = Seq(col("bucket"), col("key")),
       partitions = storeFilesPerBatch)
-    foldBloom(spark, bloomPathOf(storePath), 4 * nStoreBuckets)
+    foldBloom(spark, bloomPathOf(storePath))
     maybeCompactStore(spark, storePath, compactStoreAtFiles)
   }
 
@@ -211,7 +219,7 @@ object StreamDedup {
     val candBuckets = candidates.select(col("bucket").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSeq
     if (candBuckets.isEmpty) {
-      scanLog.add(StoreScan(streamId, batchId, 0, live, 0))
+      logScan(StoreScan(streamId, batchId, 0, live, 0))
       sigs.select(col("id")).limit(0)
     } else {
       val pruned = TxnTable.readPrunedIn(spark, storePath, "bucket",
@@ -220,7 +228,7 @@ object StreamDedup {
       // in-run pruning invariant, checked on EVERY batch of every run
       require(read <= live,
         s"store read $read files of a $live-file snapshot")
-      scanLog.add(StoreScan(streamId, batchId, read, live,
+      logScan(StoreScan(streamId, batchId, read, live,
         candBuckets.size))
       candidates.join(pruned
           .select(col("band").as("s_band"), col("key").as("s_key"),
@@ -237,16 +245,35 @@ object StreamDedup {
     sigs.groupBy(col("bucket"))
       .agg(BloomMightContain.bloom_agg(col("hkey"), bloomBytes).as("bloom"))
 
+  /** Per-version cache of the OR-folded sidecar: the stream is the
+    * sidecar's only writer, so between its own commits the merged
+    * filter is immutable — keying the cache on (path, committed
+    * version) makes staleness impossible (any commit bumps the
+    * version) while cutting the per-batch sidecar cost from
+    * O(nStoreBuckets·bloomBytes) re-collects to O(1) lookups.
+    * Bounded: a handful of store paths per process. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Seq[(Int, Array[Byte])])]()
+
   /** All sidecar rows OR-folded to one filter per bucket, driver-side
     * (the sidecar is metadata-scale: ≤ nStoreBuckets rows after a fold,
     * + nStoreBuckets per unfolded batch). None if no sidecar exists. */
   private def mergedBloom(spark: SparkSession,
       bloomPath: String): Option[DataFrame] = {
-    if (TxnTable.currentVersion(bloomPath) < 0) return None
+    val v = TxnTable.currentVersion(bloomPath)
+    if (v < 0) return None
+    val cached = bloomCache.get(bloomPath)
+    val folded =
+      if (cached != null && cached._1 == v) cached._2
+      else {
+        if (bloomCache.size > 64) bloomCache.clear() // bound, not LRU
+        val f = orFold(TxnTable.read(spark, bloomPath).collect()
+          .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))))
+        bloomCache.put(bloomPath, (v, f))
+        f
+      }
     import spark.implicits._
-    Some(orFold(TxnTable.read(spark, bloomPath).collect()
-        .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))))
-      .toDF("bucket", "bloom"))
+    Some(folded.toDF("bucket", "bloom"))
   }
 
   private def orFold(rows: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] =
@@ -262,15 +289,20 @@ object StreamDedup {
       (b, out)
     }.toSeq.sortBy(_._1)
 
-  /** Fold the sidecar to one row per bucket once it accumulates past
-    * `maxRows` — best-effort maintenance (a lost overwrite race defers
-    * to the next batch; the fold changes no answers, only read cost). */
-  private def foldBloom(spark: SparkSession, bloomPath: String,
-      maxRows: Int): Unit = {
-    if (TxnTable.currentVersion(bloomPath) < 0) return
+  /** How many sidecar commits between folds. */
+  private val BloomFoldCadence = 16
+
+  /** Fold the sidecar to one row per bucket on a COMMIT-COUNT cadence
+    * (every ~16 versions) — the trigger costs one version lookup, not
+    * a table read, so quiet batches pay nothing; the unfolded row
+    * count stays ≤ cadence·nStoreBuckets + nStoreBuckets between
+    * folds. Best-effort maintenance (a lost overwrite race defers to
+    * the next trigger; the fold changes no answers, only read cost). */
+  private def foldBloom(spark: SparkSession, bloomPath: String): Unit = {
+    val v = TxnTable.currentVersion(bloomPath)
+    if (v <= 0 || v % BloomFoldCadence != 0) return
     val rows = TxnTable.read(spark, bloomPath).collect()
       .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))).toSeq
-    if (rows.size <= maxRows) return
     import spark.implicits._
     try TxnTable.overwrite(spark, bloomPath,
       orFold(rows).toDF("bucket", "bloom"))

@@ -160,20 +160,22 @@ class StreamDedupSpec extends SparkSpecBase {
   test("bloom sidecar folds; store compaction keeps dup reads tight") {
     val store = Files.createTempDirectory("graft_sdd_store").toString + "/t"
     val kept = Files.createTempDirectory("graft_sdd_kept").toString + "/t"
-    val uniq = (0 until 80).map(i =>
+    val uniq = (0 until 85).map(i =>
       (i.toLong, s"corpus item $i holding kappa$i lambda$i mu$i nu$i xi$i",
         "u")).toDF("doc_id", "text", "source")
     // small buckets + tiny compaction trigger exercise both maintenance
-    // loops inside a spec-sized run
-    (0 until 8).foreach { b =>
+    // loops inside a spec-sized run; 17 batches cross the sidecar's
+    // 16-commit fold cadence
+    (0 until 17).foreach { b =>
       StreamDedup.processBatch(spark,
-        uniq.filter(col("doc_id") >= b * 10 && col("doc_id") < (b + 1) * 10),
+        uniq.filter(col("doc_id") >= b * 5 && col("doc_id") < (b + 1) * 5),
         b.toLong, store, kept, "fold", nStoreBuckets = 8,
         compactStoreAtFiles = 12)
     }
-    // sidecar stayed bounded: folded to ≤ 4*nStoreBuckets rows
+    // sidecar stayed bounded: the cadence fold collapsed it to ≤ one
+    // row per bucket plus the post-fold batch's rows
     val bloomRows = TxnTable.read(spark, store + "_bloom").count()
-    assert(bloomRows <= 32, s"bloom sidecar must fold, has $bloomRows rows")
+    assert(bloomRows <= 16, s"bloom sidecar must fold, has $bloomRows rows")
     // store was compacted at least once and stayed under ~trigger size
     assert(TxnTable.snapshotFiles(store).size <= 12 + 4,
       "store compaction must bound the live file count")
@@ -182,7 +184,7 @@ class StreamDedupSpec extends SparkSpecBase {
     val dup = Seq((200L,
       "corpus item 3 holding kappa3 lambda3 mu3 nu3 xi3", "u"))
       .toDF("doc_id", "text", "source")
-    StreamDedup.processBatch(spark, dup, 8L, store, kept, "fold",
+    StreamDedup.processBatch(spark, dup, 17L, store, kept, "fold",
       nStoreBuckets = 8, compactStoreAtFiles = 12)
     assert(!TxnTable.read(spark, kept).select(col("doc_id"))
       .collect().map(_.getLong(0)).contains(200L))
