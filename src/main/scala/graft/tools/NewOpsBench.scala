@@ -227,6 +227,40 @@ object NewOpsBench {
     report("minhash_dedup_x1") {
       Dedup.minHashDedup(docs, "text", "doc_id").count()
     }
+    // Transactional vector index: the IVF layout through the commit
+    // log. Build = assignment + clustered create; serve = pruned
+    // probed-list read + cosine rerank; lazy upsert = ONE append-only
+    // tranche (tombstones, no registry read); compact pays the
+    // tombstone read tax back.
+    val emb = Lake.table(spark, sfDir, "embeddings").cache()
+    emb.count()
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq
+    val vecIdx = "/tmp/graft_newops_txnvec/idx"
+    report("txn_vec_build") {
+      rmrf(java.nio.file.Paths.get(vecIdx).getParent)
+      TxnVectorIndex.build(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", vecIdx, nlist = 64)
+      1L
+    }
+    report("txn_vec_serve") {
+      TxnVectorIndex.topK(spark, vecIdx, qv, 10, nprobe = 8).count()
+    }
+    report("txn_vec_upsert_lazy") {
+      TxnVectorIndex.upsertLazy(emb.filter(col("vec_id") % 7 === 0),
+        "vec_id", "embedding", vecIdx)
+      1L
+    }
+    report("txn_vec_serve_tombs") {
+      TxnVectorIndex.topK(spark, vecIdx, qv, 10, nprobe = 8).count()
+    }
+    report("txn_vec_compact") {
+      TxnVectorIndex.compact(spark, vecIdx)
+      1L
+    }
+    report("txn_vec_serve_compacted") {
+      TxnVectorIndex.topK(spark, vecIdx, qv, 10, nprobe = 8).count()
+    }
     // ST12 serving-read scale probe: grow the signature store across 12
     // micro-batches and watch the PER-BATCH cost. The bloom gate +
     // bucket-pruned readPrunedIn must keep the store read bounded by

@@ -113,6 +113,47 @@ class TxnVectorIndexSpec extends SparkSpecBase {
     df.collect()
   }
 
+  test("TWO racing upsertLazy writers: final serve equals the serial oracle") {
+    import spark.implicits._
+    val idx = fresh()
+    val base = vecs(0 until 40)
+    TxnVectorIndex.build(base, "vec_id", "embedding", idx, nlist = 4)
+    // real threads, DISJOINT new ids: the final logical state is
+    // interleaving-independent; every lost CAS recomputes its seq and
+    // assignment against the fresh snapshot
+    def mk(ids: Range, scale: Float): DataFrame =
+      ids.map(i => (i.toLong, (0 until 8).map(d =>
+        scale * (1.0f + 0.01f * ((i + d) % 7))))).toDF("vec_id", "embedding")
+    val errs = new java.util.concurrent.CopyOnWriteArrayList[Throwable]()
+    val ta = new Thread(() =>
+      try (0 until 3).foreach(t => TxnVectorIndex.upsertLazy(
+        mk(100 + t * 10 until 105 + t * 10, 1.1f),
+        "vec_id", "embedding", idx, maxAttempts = 50))
+      catch { case t: Throwable => errs.add(t) })
+    val tb = new Thread(() =>
+      try (0 until 3).foreach(t => TxnVectorIndex.upsertLazy(
+        mk(200 + t * 10 until 205 + t * 10, -1.1f),
+        "vec_id", "embedding", idx, maxAttempts = 50))
+      catch { case t: Throwable => errs.add(t) })
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert(errs.isEmpty, s"racing writers must converge: $errs")
+    assert(TxnTable.currentVersion(idx) == 6L, "all 6 tranches landed")
+    // serial oracle: one index built from the union must serve the same
+    val union = base
+      .unionByName(mk(100 until 105, 1.1f)).unionByName(mk(110 until 115, 1.1f))
+      .unionByName(mk(120 until 125, 1.1f)).unionByName(mk(200 until 205, -1.1f))
+      .unionByName(mk(210 until 215, -1.1f)).unionByName(mk(220 until 225, -1.1f))
+    // same frozen quantizer: the serial index is the RACED index's own
+    // centroid set applied to the union (what incremental ingest means)
+    val cents = TxnVectorIndex.centroids(spark, idx)
+    val serial = Similarity.ivfTopKIndexed(
+        Similarity.withIvfList(union, cents), cents, query, 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served(idx) == serial)
+    TxnVectorIndex.compact(spark, idx)
+    assert(served(idx) == serial, "compaction after the race drifted")
+  }
+
   test("a foreign TxnTable is rejected with a descriptive error") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_txnvec_foreign").toString + "/t"
