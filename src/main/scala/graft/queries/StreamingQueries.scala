@@ -365,7 +365,40 @@ object StreamingQueries {
       .toDF("doc_id", "score")
   }
 
+  /** ST14: streaming EMBEDDING near-dup at ingest — the st12 protocol
+    * (committed signature store, bloom gate, bucket-pruned probe,
+    * lower-id-wins, exactly-once commits) over sign-LSH band keys
+    * instead of MinHash shingle bands: the md5-Rademacher 16-bit
+    * signature ([[graft.operators.Similarity.withLshSignature]], the
+    * l3_lsh discipline) split into four 4-bit bands; vectors whose
+    * cosine is high collide on a band. The corpus arrives as three
+    * id-ordered micro-batches; the oracle replays signature → banding
+    * → the batch rule in SQL, so the stream must land exactly there.
+    */
+  def st14StreamEmbDedup(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.core.{Lake, TxnTable}
+    val store = Files.createTempDirectory("graft_st14_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_st14_kept").toString + "/t"
+    val emb = Lake.table(spark, dir, "embeddings")
+    val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val step = mx / 3 + 1
+    // driven batch-by-batch (the deterministic form the specs use; the
+    // real-stream plumbing is identical to st12's and gate-covered there)
+    (0 until 3).foreach { i =>
+      val batch = emb.filter(
+        col("vec_id") >= i * step && col("vec_id") < (i + 1) * step)
+      graft.streaming.StreamDedup.processEmbeddingBatch(
+        spark, batch, i.toLong, store, kept, "st14", dim = 64)
+    }
+    TxnTable.read(spark, kept)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("kept"), sum(col("vec_id")).as("id_checksum"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st14_stream_embdedup" -> (st14StreamEmbDedup _),
     "st12_stream_neardup" -> (st12StreamNeardup _),
     "st12b_stream_repair" -> (st12bStreamRepair _),
     "st13_stream_index" -> (st13StreamIndex _),
@@ -415,6 +448,32 @@ object StreamingQueries {
         |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Sign-LSH replay: md5-Rademacher planes (the l3_lsh machinery),
+    // 16-bit signature, four 4-bit bands, "drop v iff a lower-id
+    // vector shares a band" — the embedding analog of streamNeardupSql.
+    "st14_stream_embdedup" ->
+      """WITH planes AS (
+        |  SELECT i, list(CASE WHEN (strpos('0123456789abcdef',
+        |      substr(md5('lsh:42:'||i||':'||j),1,1))-1) & 1 = 1
+        |    THEN 1.0 ELSE -1.0 END ORDER BY j) AS p
+        |  FROM range(0,16) t1(i), range(0,64) t2(j) GROUP BY i),
+        |sigs AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1,65),
+        |          j -> CAST(e.embedding[j] AS DOUBLE) * pl.p[j])),
+        |        (a,b) -> a+b) >= 0
+        |      THEN CAST(1 AS BIGINT) << pl.i ELSE 0 END) AS BIGINT) AS sig
+        |  FROM embeddings e, planes pl GROUP BY e.vec_id),
+        |bands AS (SELECT vec_id, b, (sig >> CAST(4*b AS INTEGER)) & 15 AS key
+        |  FROM sigs, range(0,4) t(b)),
+        |dup AS (SELECT DISTINCT a.vec_id FROM bands a JOIN bands e
+        |  ON a.b = e.b AND a.key = e.key AND e.vec_id < a.vec_id)
+        |SELECT e.label, CAST(count(*) AS BIGINT) AS kept,
+        |  CAST(sum(e.vec_id) AS BIGINT) AS id_checksum
+        |FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM dup)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "st12_stream_neardup" -> streamNeardupSql,
     "st12b_stream_repair" -> streamNeardupSql,
     // The streamed-in index must serve the SAME answers as l32's

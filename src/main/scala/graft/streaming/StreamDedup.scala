@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.TxnTable
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import graft.plans.BloomMightContain
 
 /** Streaming near-duplicate suppression at ingest — the incremental
@@ -96,14 +96,46 @@ object StreamDedup {
   private def bloomPathOf(storePath: String): String =
     storePath.stripSuffix("/") + "_bloom"
 
-  /** The batch-side signature frame: (id, band, key, hkey, bucket). */
-  private def sigFrame(batch: DataFrame, shingleLen: Int, numHashes: Int,
-      bands: Int, nStoreBuckets: Int): DataFrame =
-    Dedup.minHashBandKeys(batch, "text", "doc_id", shingleLen, numHashes,
-        bands)
-      .select(col("id"), col("band"), col("key"),
+  /** Attach the store-layout columns to ANY (id, band, key) band-key
+    * frame: (id, band, key, hkey, bucket). The protocol below is
+    * banding-agnostic — text MinHash and embedding sign-LSH differ
+    * only in how this frame is produced. */
+  private def withStoreKeys(bandKeys: DataFrame,
+      nStoreBuckets: Int): DataFrame =
+    bandKeys.select(col("id"), col("band"), col("key"),
         xxhash64(col("band"), col("key")).as("hkey"))
       .withColumn("bucket", pmod(col("hkey"), lit(nStoreBuckets)).cast("int"))
+
+  /** The text batch's signature frame (md5-MinHash shingle banding). */
+  private def sigFrame(batch: DataFrame, shingleLen: Int, numHashes: Int,
+      bands: Int, nStoreBuckets: Int): DataFrame =
+    withStoreKeys(
+      Dedup.minHashBandKeys(batch, "text", "doc_id", shingleLen, numHashes,
+          bands)
+        .select(col("id"), col("band"), col("key")),
+      nStoreBuckets)
+
+  /** The embedding batch's signature frame: md5-Rademacher sign-LSH
+    * signature ([[Similarity.withLshSignature]] — engine-reproducible,
+    * the l3_lsh discipline) split into `bands` chunks of `bits/bands`
+    * sign bits each; two vectors collide on a band iff those bits
+    * match, the cosine-LSH analog of MinHash shingle banding. */
+  private def embSigFrame(batch: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bits: Int, bands: Int, seed: Long,
+      nStoreBuckets: Int): DataFrame = {
+    require(bits % bands == 0, "bits must divide into equal bands")
+    val r = bits / bands
+    val sig = Similarity.withLshSignature(batch, dim, bits, seed, vecCol,
+      "__sig")
+    withStoreKeys(
+      sig.select(col(idCol).as("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__sig"), r * b).bitwiseAND(lit((1 << r) - 1))
+              .cast("string").as("key"))): _*)).as("bk"))
+        .select(col("id"), col("bk.band"), col("bk.key")),
+      nStoreBuckets)
+  }
 
   /** Start-to-drain a docs stream through the near-dup gate. */
   def runNearDupStream(
@@ -148,9 +180,53 @@ object StreamDedup {
       nStoreBuckets: Int = 64,
       bloomBytesPerBucket: Int = 1 << 13,
       storeFilesPerBatch: Int = 4,
-      compactStoreAtFiles: Int = 256): Unit = {
-    val idCol = "doc_id"
-    val sigs = sigFrame(batch, shingleLen, numHashes, bands, nStoreBuckets)
+      compactStoreAtFiles: Int = 256): Unit =
+    processSigs(spark, batch, "doc_id",
+      sigFrame(batch, shingleLen, numHashes, bands, nStoreBuckets),
+      batchId, storePath, keptPath, streamId, bloomBytesPerBucket,
+      storeFilesPerBatch, compactStoreAtFiles)
+
+  /** [[processBatch]] for EMBEDDING streams: the identical committed-
+    * store protocol (bloom gate, bucket-pruned probe, lower-id-wins,
+    * exactly-once commits) over sign-LSH band keys instead of MinHash
+    * shingle bands — near-duplicate vectors collide on a band of sign
+    * bits. The st14 gate pins it to a DuckDB replay of the signature
+    * + banding + batch rule. */
+  def processEmbeddingBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      storePath: String,
+      keptPath: String,
+      streamId: String,
+      dim: Int,
+      bits: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L,
+      nStoreBuckets: Int = 64,
+      bloomBytesPerBucket: Int = 1 << 13,
+      storeFilesPerBatch: Int = 4,
+      compactStoreAtFiles: Int = 256): Unit =
+    processSigs(spark, batch, "vec_id",
+      embSigFrame(batch, "vec_id", "embedding", dim, bits, bands, seed,
+        nStoreBuckets),
+      batchId, storePath, keptPath, streamId, bloomBytesPerBucket,
+      storeFilesPerBatch, compactStoreAtFiles)
+
+  /** The banding-agnostic protocol core (steps 2–4 of the scaladoc). */
+  private def processSigs(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      rawSigs: DataFrame,
+      batchId: Long,
+      storePath: String,
+      keptPath: String,
+      streamId: String,
+      bloomBytesPerBucket: Int,
+      storeFilesPerBatch: Int,
+      compactStoreAtFiles: Int): Unit = {
+    val sigs = rawSigs
       .localCheckpoint() // sigs feed 3 consumers; band once, not thrice
     // collides with a lower-id document of the SAME batch…
     val batchHits = sigs.as("a")

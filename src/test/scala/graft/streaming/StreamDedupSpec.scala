@@ -194,6 +194,54 @@ class StreamDedupSpec extends SparkSpecBase {
       s"post-compaction dup read must stay pruned: $s")
   }
 
+  test("embedding near-dup: batching-independent, equals the LSH band rule") {
+    import graft.operators.Similarity
+    // 24 8-dim vectors: pairs (i, i+12) are identical → same signature
+    // → collide on every band; the rest are sign-diverse
+    val embCorpus = (0 until 24).map { i =>
+      val j = i % 12
+      (i.toLong, (0 until 8).map(d =>
+        (if (((j >> (d % 4)) & 1) == 1) 1.0f else -1.0f) *
+          (1.0f + 0.1f * ((j * 3 + d) % 5))))
+    }.toDF("vec_id", "embedding")
+    def runEmb(nBatches: Int): Set[Long] = {
+      val store = Files.createTempDirectory("graft_sde_store").toString + "/t"
+      val kept = Files.createTempDirectory("graft_sde_kept").toString + "/t"
+      val step = 24 / nBatches
+      (0 until nBatches).foreach { b =>
+        StreamDedup.processEmbeddingBatch(spark,
+          embCorpus.filter(col("vec_id") >= b * step &&
+            col("vec_id") < (b + 1) * step),
+          b.toLong, store, kept, s"emb$nBatches", dim = 8, bits = 8,
+          bands = 2)
+      }
+      TxnTable.read(spark, kept)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    }
+    val one = runEmb(1)
+    val three = runEmb(3)
+    assert(one == three, "embedding dedup must be batching-independent")
+    // batch rule oracle: drop v iff a lower-id vector shares a band
+    val r = 8 / 2
+    val sig = Similarity.withLshSignature(embCorpus, 8, 8, 42L,
+        "embedding", "__sig")
+      .select(col("vec_id"), col("__sig"))
+    val banded = sig.select(col("vec_id"),
+      explode(array((0 until 2).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("__sig"), r * b).bitwiseAND(lit((1 << r) - 1))
+            .as("k"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.b"), col("bk.k"))
+    val dropped = banded.as("a").join(banded.as("e"),
+        col("a.b") === col("e.b") && col("a.k") === col("e.k") &&
+          col("e.vec_id") < col("a.vec_id"), "left_semi")
+      .select(col("a.vec_id")).collect().map(_.getLong(0)).toSet
+    assert(one == (0L until 24L).toSet -- dropped)
+    // the planted identical pairs were actually deduped
+    assert((12L until 24L).forall(i => !one.contains(i)),
+      "identical twin vectors must all drop")
+  }
+
   test("redelivered micro-batch is a no-op on both tables") {
     val store = Files.createTempDirectory("graft_sdd_store").toString + "/t"
     val kept = Files.createTempDirectory("graft_sdd_kept").toString + "/t"
