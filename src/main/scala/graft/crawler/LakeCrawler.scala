@@ -115,13 +115,20 @@ object LakeCrawler {
         val v = graft.core.TxnTable.currentVersion(t)
         if (v < 0) None
         else {
-          val cs = graft.core.TxnTable.commits(t)
-          val live = graft.core.TxnTable.snapshotFiles(t).toSet
-          val liveAdds = cs.flatMap(_.adds).filter(a => live.contains(a.path))
-            .groupBy(_.path).map(_._2.head)
+          // Checkpoint-amortized sizing: resolve the LIVE file list
+          // (O(CheckpointInterval) log reads) and stat those files —
+          // never a full log replay, so crawl cost is independent of
+          // how many commits the table has accumulated. Live files
+          // can't race away (vacuum deletes only dead ones); a miss is
+          // tolerated as 0 rather than failing the crawl.
+          val live = graft.core.TxnTable.snapshotFiles(t)
+          val bytes = live.map { f =>
+            try filesystem.getFileStatus(new Path(st.getPath, f)).getLen
+            catch { case _: java.io.FileNotFoundException => 0L }
+          }.sum
           val logFiles = filesystem.listStatus(new Path(st.getPath, "_graft_log"))
           Some(DatasetInfo(st.getPath.getName, t, "graft-txn",
-            liveAdds.size, liveAdds.map(_.bytes).sum,
+            live.size, bytes,
             logFiles.map(_.getModificationTime).max))
         }
       } else if (isTextIndex(filesystem, st.getPath)) {
