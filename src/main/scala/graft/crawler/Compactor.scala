@@ -20,6 +20,14 @@ object Compactor {
   def targetFileCount(sizeBytes: Long, targetFileBytes: Long): Int =
     math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
 
+  private def countDeepDataFiles(
+      filesystem: org.apache.hadoop.fs.FileSystem, p: Path): Int =
+    filesystem.listStatus(p)
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith("."))
+      .map(s => if (s.isFile) 1 else countDeepDataFiles(filesystem, s.getPath))
+      .sum
+
   /** Compact `info`'s directory into ~targetFileBytes files. Returns the
     * new file count. Only directory-backed parquet/orc datasets qualify
     * (single files and text formats are left alone).
@@ -28,6 +36,22 @@ object Compactor {
       spark: SparkSession,
       info: DatasetInfo,
       targetFileBytes: Long): Int = {
+    // Engine-managed layouts compact through their OWN safe paths — a
+    // raw directory swap under a commit log or a bucket tree would
+    // corrupt them. This is what lets one maintenance sweep walk a
+    // discover() listing and compact everything it finds.
+    if (info.format == "graft-txn") {
+      val n = targetFileCount(info.sizeBytes, targetFileBytes)
+      if (n >= info.numFiles) return info.numFiles
+      graft.core.TxnTable.compact(spark, info.path, n)
+      return graft.core.TxnTable.snapshotFiles(info.path).size
+    }
+    if (info.format == "graft-index") {
+      graft.operators.Keywords.compactIndex(spark, info.path)
+      val fsys = new Path(info.path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      return countDeepDataFiles(fsys, new Path(info.path))
+    }
     require(info.format == "parquet" || info.format == "orc",
       s"compaction supports columnar datasets, not ${info.format}")
     val n = targetFileCount(info.sizeBytes, targetFileBytes)

@@ -412,6 +412,13 @@ object Keywords {
     * No-op in production. */
   private[graft] var compactSwapHook: String => Unit = _ => ()
 
+  /** Accept both plain local paths and `file:` URIs for the java.nio
+    * parts of the swap (the crawler hands over Hadoop-style URI
+    * strings; spark.read accepts either form directly). */
+  private def localPath(path: String): String =
+    if (path.startsWith("file:")) java.net.URI.create(path).getPath
+    else path
+
   private def rmTree(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.isDirectory(p)) {
@@ -434,8 +441,8 @@ object Keywords {
   def recoverIndex(path: String): Unit = {
     import java.nio.file.{Files, Paths}
     Seq("postings", "stats").foreach { name =>
-      val live = Paths.get(path, name)
-      val old = Paths.get(path, s".${name}__old")
+      val live = Paths.get(localPath(path), name)
+      val old = Paths.get(localPath(path), s".${name}__old")
       if (Files.exists(old) && !Files.exists(live)) Files.move(old, live)
       else if (Files.exists(old)) rmTree(old)
     }
@@ -474,8 +481,8 @@ object Keywords {
       .withColumn("n_buckets", lit(nBuckets))
       .write.mode("overwrite").parquet(s"$staged/stats")
     def swap(name: String): Unit = {
-      val live = Paths.get(path, name)
-      val old = Paths.get(path, s".${name}__old")
+      val live = Paths.get(localPath(path), name)
+      val old = Paths.get(localPath(path), s".${name}__old")
       Files.move(live, old)
       compactSwapHook(name) // crash window: old holds the only copy
       Files.move(Paths.get(staged, name), live)

@@ -121,6 +121,38 @@ class CrawlerSpec extends SparkSpecBase {
     assert(top.map(_.getLong(1)).toSeq == Seq(3L, 2L))
   }
 
+  test("Compactor routes engine-managed layouts to their own safe paths") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lake = java.nio.file.Files.createTempDirectory("graft_cmpspec")
+      .toString
+    // a fragmented txn table + a multi-tranche index + a plain dataset
+    val t = s"$lake/txn"
+    graft.core.TxnTable.create(spark,
+      t, (0 until 200).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+      partitions = 20)
+    (0 until 3).foreach(b => graft.core.TxnTable.append(spark, t,
+      (200 + b * 10 until 210 + b * 10).map(i => (i.toLong, s"r$i"))
+        .toDF("id", "s"), partitions = 5))
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"maintenance doc $i alpha tail$i")).toDF("doc_id", "text")
+    graft.operators.Keywords.buildIndex(docs.filter(col("doc_id") < 20),
+      "doc_id", "text", s"$lake/idx", nBuckets = 4)
+    graft.operators.Keywords.appendToIndex(docs.filter(col("doc_id") >= 20),
+      "doc_id", "text", s"$lake/idx")
+    val infos = LakeCrawler.discover(spark, lake)
+    // ONE sweep compacts both through their own safe paths
+    infos.foreach(i => Compactor.compact(spark, i, targetFileBytes = 1 << 26))
+    // txn: content + history intact, fewer live files, log still works
+    assert(graft.core.TxnTable.read(spark, t).count() == 230)
+    assert(graft.core.TxnTable.snapshotFiles(t).size < 35)
+    assert(graft.core.TxnTable.commits(t).last.op == "compact")
+    // index: served answers unchanged, tranches folded
+    assert(spark.read.parquet(s"$lake/idx/stats").count() == 1)
+    assert(graft.operators.Keywords
+      .bm25TopKIndexed(spark, s"$lake/idx", Seq("alpha"), 5).count() == 5)
+  }
+
   test("C15: a text-index layout discovers as ONE graft-index dataset") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -194,6 +194,26 @@ class StreamDedupSpec extends SparkSpecBase {
       s"post-compaction dup read must stay pruned: $s")
   }
 
+  test("a SATURATED bloom degrades to extra reads, never wrong answers") {
+    // 8-byte per-bucket filters (64 bits) saturate immediately at these
+    // key counts — the gate must degrade to "read the candidate
+    // buckets", not to false negatives (impossible by construction) or
+    // wrong results
+    val store = Files.createTempDirectory("graft_sdd_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_sdd_kept").toString + "/t"
+    (0 until 3).foreach { b =>
+      StreamDedup.processBatch(spark,
+        corpus.filter(col("doc_id") >= b * 10 && col("doc_id") < (b + 1) * 10),
+        b.toLong, store, kept, "sat", bloomBytesPerBucket = 8)
+    }
+    val satKept = TxnTable.read(spark, kept)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val dropped = Dedup.minHashBandedPairs(corpus, "text", "doc_id")
+      .select(col("b_id")).collect().map(_.getLong(0)).toSet
+    assert(satKept == (0L until 30L).toSet -- dropped,
+      "saturation changed the dedup result")
+  }
+
   test("embedding near-dup: batching-independent, equals the LSH band rule") {
     import graft.operators.Similarity
     // 24 8-dim vectors: pairs (i, i+12) are identical → same signature
