@@ -169,6 +169,63 @@ object TxnVectorIndex {
     -1L // unreachable
   }
 
+  /** [[upsertLazy]] as an EXACTLY-ONCE streaming sink tranche — the
+    * searchable VECTOR stream (the [[TxnIndex.upsertLazyStreamBatch]]
+    * role): each micro-batch is ONE append-only commit labeled
+    * `stream:<streamId>:<batchId>`, redelivery is a no-op (re-checked
+    * inside the CAS retry loop), queries serve any committed snapshot
+    * while ingest continues, and re-ingested vec_ids get the full
+    * tombstone treatment. `compactEvery` > 0 folds tombstones once
+    * the tranche count reaches the threshold (best-effort, after the
+    * batch's exactly-once commit).
+    * @return the committed version, or None if already applied. */
+  def upsertLazyStreamBatch(vectors: DataFrame, idCol: String,
+      vecCol: String, path: String, streamId: String, batchId: Long,
+      maxAttempts: Int = 10, compactEvery: Int = 0): Option[Long] = {
+    val spark = vectors.sparkSession
+    def alreadyApplied(): Boolean =
+      TxnTable.lastAppliedBatch(path, streamId).exists(_ >= batchId)
+    var attempt = 0
+    while (true) {
+      if (alreadyApplied()) return None
+      val base = TxnTable.currentVersion(path)
+      val seq = maxSeq(spark, path, base) + 1
+      val cents = centroids(spark, path, base)
+      val data = vectors.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("embedding"))
+      val assigned = Similarity.withIvfList(data, cents, "embedding", "list")
+      val rows = vRows(assigned, seq)
+        .unionAll(tombstoneRows(data.select(col("vec_id")).distinct(), seq))
+        .unionAll(trancheRow(spark, data.count(), seq))
+      try {
+        val v = TxnTable.appendCas(spark, path, rows, expectedBase = base,
+          clusterBy = clusterKeys,
+          partitions = math.max(1, cents.length / 4),
+          op = s"stream:$streamId:$batchId")
+        if (compactEvery > 0) maybeCompact(spark, path, compactEvery)
+        return Some(v)
+      } catch {
+        case e: TxnTable.TxnConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    None // unreachable
+  }
+
+  /** Compact iff the accumulated tranche rows reached `maxTranches` —
+    * best-effort (the [[TxnIndex.maybeCompact]] contract: a lost race
+    * defers; tombstones are a read tax, never a correctness issue). */
+  def maybeCompact(spark: SparkSession, path: String,
+      maxTranches: Int): Boolean = {
+    val v = TxnTable.currentVersion(path)
+    val tranches = TxnTable.readPrunedIn(spark, path, "list", Seq(-1L), v)
+      .filter(col("kind") === "s").count()
+    if (tranches < maxTranches) false
+    else try { compact(spark, path); true }
+    catch { case _: TxnTable.TxnConflictException => false }
+  }
+
   /** Delete ids: a tombstone-only CAS commit (O(ids), nothing read or
     * rewritten); [[compact]] reclaims the space physically. */
   def delete(spark: SparkSession, path: String, ids: DataFrame,

@@ -686,7 +686,7 @@ object PipelineQueries {
     * partitionBy layout) and l3d (the transactional index, whose
     * build → same-value re-ingest → compact phases must all land on
     * this same logical answer). */
-  private val ivfDiskTopkSql: String =
+  private[queries] val ivfDiskTopkSql: String =
     """WITH cents AS (
         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
         |      - 1 AS i,

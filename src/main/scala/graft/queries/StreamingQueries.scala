@@ -397,7 +397,61 @@ object StreamingQueries {
       .orderBy(col("label"))
   }
 
+  /** ST15: the SEARCHABLE VECTOR STREAM — embeddings stream into the
+    * transactional IVF index micro-batch by micro-batch
+    * ([[graft.operators.TxnVectorIndex.upsertLazyStreamBatch]]: each
+    * batch ONE append-only commit labeled with its batch id,
+    * exactly-once under redelivery), assigned with the index's FROZEN
+    * quantizer. The batches re-ingest the corpus with IDENTICAL
+    * vectors — physically tombstone tranches, logically a no-op — so
+    * the post-drain serve must STILL match l3c's IVF oracle: streaming
+    * ingest mode never leaks into retrieval. In-run asserts:
+    * append-only commits, redelivered batch is a version-level no-op,
+    * and a compaction after the drain changes nothing served.
+    */
+  def st15StreamVecIndex(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.core.{Lake, TxnTable}
+    import graft.operators.TxnVectorIndex
+    val nlist = 8; val nprobe = 3; val k = 10
+    val emb = Lake.table(spark, dir, "embeddings")
+    val data = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq
+    val idx = Files.createTempDirectory("graft_st15").toString + "/idx"
+    TxnVectorIndex.build(data, "vec_id", "embedding", idx, nlist)
+    val pre = TxnVectorIndex.topK(spark, idx, q, k, nprobe).collect().toSeq
+    val mx = data.agg(max(col("vec_id"))).head().getLong(0)
+    val step = mx / 3 + 1
+    (0 until 3).foreach { i =>
+      val batch = data.filter(
+        col("vec_id") >= i * step && col("vec_id") < (i + 1) * step)
+      val v = TxnVectorIndex.upsertLazyStreamBatch(batch, "vec_id",
+        "embedding", idx, "st15", i.toLong)
+      require(v.nonEmpty, s"batch $i must commit")
+      require(TxnTable.commits(idx).last.removes.isEmpty,
+        "streaming vector tranche rewrote files")
+    }
+    // redelivery of the last batch is a version-level no-op
+    val vBefore = TxnTable.currentVersion(idx)
+    val redo = TxnVectorIndex.upsertLazyStreamBatch(
+      data.filter(col("vec_id") >= 2 * step), "vec_id", "embedding",
+      idx, "st15", 2L)
+    require(redo.isEmpty && TxnTable.currentVersion(idx) == vBefore,
+      "redelivered batch must be a no-op")
+    require(TxnVectorIndex.topK(spark, idx, q, k, nprobe)
+      .collect().toSeq == pre, "same-value streaming re-ingest drifted")
+    TxnVectorIndex.compact(spark, idx)
+    val fin = TxnVectorIndex.topK(spark, idx, q, k, nprobe).collect()
+    require(fin.toSeq == pre, "compaction moved the served top-k")
+    import spark.implicits._
+    fin.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .toDF("vec_id", "sim")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st15_stream_vecindex" -> (st15StreamVecIndex _),
     "st14_stream_embdedup" -> (st14StreamEmbDedup _),
     "st12_stream_neardup" -> (st12StreamNeardup _),
     "st12b_stream_repair" -> (st12bStreamRepair _),
@@ -448,6 +502,10 @@ object StreamingQueries {
         |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The streamed-in vector index must serve l3c's IVF oracle — the
+    // batches re-ingest the corpus identically, so the logical state
+    // never moves while the physical state churns through tombstones.
+    "st15_stream_vecindex" -> PipelineQueries.ivfDiskTopkSql,
     // Sign-LSH replay: md5-Rademacher planes (the l3_lsh machinery),
     // 16-bit signature, four 4-bit bands, "drop v iff a lower-id
     // vector shares a band" — the embedding analog of streamNeardupSql.

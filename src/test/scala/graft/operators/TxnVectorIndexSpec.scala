@@ -154,6 +154,43 @@ class TxnVectorIndexSpec extends SparkSpecBase {
     assert(served(idx) == serial, "compaction after the race drifted")
   }
 
+  test("streaming vector tranche is exactly-once even when it loses a race") {
+    import spark.implicits._
+    val idx = fresh()
+    TxnVectorIndex.build(vecs(0 until 20), "vec_id", "embedding", idx,
+      nlist = 4)
+    val batch0 = vecs(20 until 25)
+    assert(TxnVectorIndex.upsertLazyStreamBatch(batch0, "vec_id",
+      "embedding", idx, "vs1", 0L).nonEmpty)
+    // plain redelivery is a no-op
+    assert(TxnVectorIndex.upsertLazyStreamBatch(batch0, "vec_id",
+      "embedding", idx, "vs1", 0L).isEmpty)
+    // redelivery that loses a version race to its OWN first delivery:
+    // the retry loop must re-check idempotence, not double-commit
+    val batch1 = vecs(25 until 30)
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      TxnVectorIndex.upsertLazyStreamBatch(batch1, "vec_id", "embedding",
+        idx, "vs1", 1L)
+    }
+    val res = try TxnVectorIndex.upsertLazyStreamBatch(batch1, "vec_id",
+      "embedding", idx, "vs1", 1L)
+    finally TxnTable.preCommitHook = () => ()
+    assert(fired && res.isEmpty, "the losing delivery must be a no-op")
+    // exactly one copy landed: serve equals a serial index over the
+    // union with the raced index's own frozen quantizer
+    val union = vecs(0 until 30)
+    val cents = TxnVectorIndex.centroids(spark, idx)
+    val serial = Similarity.ivfTopKIndexed(
+        Similarity.withIvfList(union, cents), cents, query, 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served(idx) == serial)
+    // maybeCompact bounds tranche growth like the text index's policy
+    assert(TxnVectorIndex.maybeCompact(spark, idx, maxTranches = 2))
+    assert(served(idx) == serial, "compaction drifted the serve")
+  }
+
   test("a foreign TxnTable is rejected with a descriptive error") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_txnvec_foreign").toString + "/t"
