@@ -1057,6 +1057,41 @@ object TxnTable {
       .filter(col(column).isInCollection(vs))
   }
 
+  /** [[readPruned]] in TWO dimensions — the serving read for
+    * [[compactClustered]]'s z-ordered layout: rows with `colA` ∈
+    * [loA, hiA] AND `colB` ∈ [loB, hiB], scanning only live files whose
+    * footer boxes intersect the query box. A z-ordered file owns a
+    * compact range in BOTH columns, so box pruning multiplies the two
+    * dimensions' selectivities where single-column pruning gets only
+    * one — the point of paying the z-order shuffle. Files missing
+    * stats for either column are conservatively kept. */
+  def readPrunedBox(spark: SparkSession, path: String,
+      colA: String, loA: Long, hiA: Long,
+      colB: String, loB: Long, hiB: Long, asOf: Long = -1L): DataFrame = {
+    val full = read(spark, path, asOf)
+    val liveAbs = snapshotFiles(path, asOf)
+      .map(f => localRoot(path).resolve(f).toString)
+    val kept = graft.crawler.SkippingIndex
+      .buildForFiles(spark, liveAbs, Seq(colA, colB))
+      .select(col("file"),
+        col("mins").getItem(0).as("mnA"), col("maxs").getItem(0).as("mxA"),
+        col("mins").getItem(1).as("mnB"), col("maxs").getItem(1).as("mxB"))
+      .collect()
+      .filter { r =>
+        val aOk = r.isNullAt(1) || r.isNullAt(2) ||
+          (r.getLong(1) <= hiA && r.getLong(2) >= loA)
+        val bOk = r.isNullAt(3) || r.isNullAt(4) ||
+          (r.getLong(3) <= hiB && r.getLong(4) >= loB)
+        aOk && bOk
+      }
+      .map(_.getString(0)).toSeq
+    val pred = col(colA).between(loA, hiA) && col(colB).between(loB, hiB)
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
+    else spark.read.schema(full.schema).parquet(kept: _*).filter(pred)
+  }
+
   /** Commit history as a DataFrame (driver-side metadata). */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

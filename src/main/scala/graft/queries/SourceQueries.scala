@@ -282,7 +282,50 @@ object SourceQueries {
     }.reduce(_ unionAll _).orderBy(col("version"))
   }
 
+  /** S14: BOX-pruned reads on a z-ordered transactional table —
+    * `compactClustered` + `readPrunedBox` end-to-end: the lineitem
+    * snapshot is z-ordered on (l_partkey, l_suppkey), then a
+    * two-dimensional box query must (a) return exactly the predicate's
+    * rows (oracle) and (b) read a strict subset of the snapshot's
+    * files, tighter-or-equal than either single-dimension prune —
+    * asserted in-run. The payoff of paying the z-order shuffle: both
+    * dimensions' footer ranges stay compact per file.
+    */
+  def s14BoxRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val t = java.nio.file.Files.createTempDirectory("graft_s14")
+      .toString + "/li_txn"
+    val li = Lake.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+    TxnTable.create(spark, t, li, partitions = 4)
+    TxnTable.compactClustered(spark, t, col("l_partkey"), col("l_suppkey"),
+      targetFiles = 16)
+    // scale-proportional box (half of each key range) so the gate's
+    // in-run pruning asserts hold at every sf
+    val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+    val (hiA, hiB) = (mx.getLong(0) / 2, mx.getLong(1) / 2)
+    val boxed = TxnTable.readPrunedBox(spark, t,
+      "l_partkey", 1L, hiA, "l_suppkey", 1L, hiB)
+    val rows = boxed
+      .agg(count(lit(1)).as("c"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
+        sum(col("l_partkey")).as("pk_sum"),
+        sum(col("l_suppkey")).as("sk_sum"))
+      .collect()
+    val read = boxed.inputFiles.length
+    val live = TxnTable.snapshotFiles(t).size
+    val oneDim = TxnTable.readPruned(spark, t, "l_partkey", 1L, hiA)
+      .inputFiles.length
+    require(read > 0 && read < live && read <= oneDim,
+      s"box prune: read $read of $live files (1-dim read $oneDim)")
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.toDF("c", "qty_c", "pk_sum", "sk_sum")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s14_box_read"      -> (s14BoxRead _),
     "s13_txn_table"     -> (s13TxnTable _),
     "s12_nested"        -> (s12Nested _),
     "s10_zorder_values" -> (s10ZorderValues _),
@@ -295,6 +338,19 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // The box predicate on raw lineitem; the pruning half of the gate
+    // (strict-subset file read, ≤ the 1-dim prune) is asserted in-run.
+    "s14_box_read" ->
+      """WITH b AS (SELECT CAST(max(l_partkey)//2 AS BIGINT) AS hia,
+        |    CAST(max(l_suppkey)//2 AS BIGINT) AS hib FROM lineitem)
+        |SELECT count(*) AS c,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS qty_c,
+        |  CAST(sum(l_partkey) AS BIGINT) AS pk_sum,
+        |  CAST(sum(l_suppkey) AS BIGINT) AS sk_sum
+        |FROM lineitem, b
+        |WHERE l_partkey BETWEEN 1 AND b.hia
+        |  AND l_suppkey BETWEEN 1 AND b.hib""".stripMargin,
     // Each snapshot recomputed from the raw table with the same tranche
     // definitions; v4 must equal v3 (compaction is purely physical).
     "s13_txn_table" ->

@@ -186,6 +186,31 @@ object StreamDedup {
       batchId, storePath, keptPath, streamId, bloomBytesPerBucket,
       storeFilesPerBatch, compactStoreAtFiles)
 
+  /** Start-to-drain an embedding stream through the near-dup gate —
+    * [[runNearDupStream]]'s vector twin. */
+  def runEmbeddingNearDupStream(
+      spark: SparkSession,
+      streamVecs: DataFrame,
+      storePath: String,
+      keptPath: String,
+      streamId: String,
+      dim: Int,
+      bits: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L): Unit = {
+    val q = streamVecs.writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          processEmbeddingBatch(spark, batch.toDF(), batchId, storePath,
+            keptPath, streamId, dim, bits, bands, seed)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** [[processBatch]] for EMBEDDING streams: the identical committed-
     * store protocol (bloom gate, bucket-pruned probe, lower-id-wins,
     * exactly-once commits) over sign-LSH band keys instead of MinHash

@@ -780,6 +780,30 @@ class TxnTableSpec extends SparkSpecBase {
       partitions = 8, clusterBy = Seq(col("id"))).isEmpty)
   }
 
+  test("readPrunedBox: z-ordered layout prunes in BOTH dimensions") {
+    import spark.implicits._
+    val t = freshTable()
+    // 32×32 grid; z-order clusters (a, b) so each file owns a box
+    val grid = (for (a <- 0 until 32; b <- 0 until 32)
+      yield (a.toLong, b.toLong, a * 32L + b)).toDF("a", "b", "v")
+    create(spark, t, grid, partitions = 4)
+    compactClustered(spark, t, col("a"), col("b"), targetFiles = 16)
+    val live = snapshotFiles(t).size
+    val boxed = readPrunedBox(spark, t, "a", 4L, 7L, "b", 20L, 23L)
+    assert(boxed.count() == 16)
+    assert(boxed.agg(sum(col("v"))).head().getLong(0) ==
+      (for (a <- 4 to 7; b <- 20 to 23) yield a * 32L + b).sum)
+    val read = boxed.inputFiles.length
+    assert(read > 0 && read < live,
+      s"box read must be a strict subset: $read of $live files")
+    // and tighter than either single-dimension prune alone
+    val onlyA = readPruned(spark, t, "a", 4L, 7L).inputFiles.length
+    assert(read <= onlyA, s"box read $read beat by 1-dim read $onlyA")
+    // empty box → zero files
+    assert(readPrunedBox(spark, t, "a", 500L, 600L, "b", 0L, 31L)
+      .inputFiles.isEmpty)
+  }
+
   test("deleteMatching removes by distributive key join") {
     import spark.implicits._
     val t = freshTable()

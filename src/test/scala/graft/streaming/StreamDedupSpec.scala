@@ -241,6 +241,21 @@ class StreamDedupSpec extends SparkSpecBase {
     val one = runEmb(1)
     val three = runEmb(3)
     assert(one == three, "embedding dedup must be batching-independent")
+    // the REAL stream wrapper lands in the same place (foreachBatch
+    // plumbing + exactly-once commits over the same protocol)
+    val streamed = {
+      val staging = Files.createTempDirectory("graft_sde_in").toString
+      embCorpus.coalesce(1).write.mode("overwrite").parquet(staging)
+      val store = Files.createTempDirectory("graft_sde_s2").toString + "/t"
+      val kept = Files.createTempDirectory("graft_sde_k2").toString + "/t"
+      val sch = spark.read.parquet(staging).schema
+      StreamDedup.runEmbeddingNearDupStream(spark,
+        spark.readStream.schema(sch).parquet(staging),
+        store, kept, "embstream", dim = 8, bits = 8, bands = 2)
+      TxnTable.read(spark, kept)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    }
+    assert(streamed == one, "real-stream wrapper drifted from the protocol")
     // batch rule oracle: drop v iff a lower-id vector shares a band
     val r = 8 / 2
     val sig = Similarity.withLshSignature(embCorpus, 8, 8, 42L,
