@@ -978,9 +978,12 @@ object CorpusQueries {
       |  CAST(rnk AS BIGINT) AS rnk
       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
-  private[queries] val bm25TopkSql =
-    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-      |             string_split(text, ' ') AS t FROM documents),
+  /** The BM25 top-25 CTE chain over any (doc_id, text) source CTE —
+    * exposed so composed pipelines (st16) can score a derived corpus
+    * with the exact same literal arithmetic. */
+  private[queries] def bm25TopkCtes(src: String): String =
+    s"""d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |             string_split(text, ' ') AS t FROM $src),
       |s AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d),
       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
       |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
@@ -996,6 +999,9 @@ object CorpusQueries {
       |SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)
       |  AS score
       |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+
+  private[queries] val bm25TopkSql: String =
+    "WITH " + bm25TopkCtes("documents")
 
   /** Phrase search oracle, shared by l35 (rescan) and l36b (persisted
     * index): substring containment on space-padded text — a DIFFERENT

@@ -644,7 +644,11 @@ object PipelineQueries {
     * stopword lists the engine uses, then quality filter, keep-first
     * dedup, recursive-CTE near-dup components, per-source accounting.
     */
-  private def curationOracleSql: String = {
+  /** The langid + sigmoid-quality filter CTE chain (sc, filt) over raw
+    * documents — the SQL replay of `TextFunctions.langId == "en" &&
+    * qualityScore >= 0.6`, shared by the batch pipeline oracle (p1) and
+    * the streaming pipeline oracle (st16). */
+  private[queries] def qualityFiltCtes: String = {
     val langs = TextFunctions.stopwords.keys.toSeq.sorted
     def scoreExpr(lang: String): String = {
       val lst = TextFunctions.stopwords(lang).map(w => s"'$w'").mkString(",")
@@ -654,13 +658,17 @@ object PipelineQueries {
     val m = langs.map(l => s"s_$l").mkString("greatest(", ",", ")")
     val cases = langs.sorted.reverse.init
       .map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
-    s"""WITH RECURSIVE sc AS (SELECT doc_id, text, source,
+    s"""sc AS (SELECT doc_id, text, source,
        |  $cols,
        |  round(1.0/(1.0+exp(-(CAST(length(text) AS DOUBLE)/len(string_split(text,' ')) - 5.0))), 6) AS q
        |  FROM documents),
        |filt AS (SELECT doc_id, text, source FROM sc
        |  WHERE q >= 0.6 AND $m > 0
-       |    AND CASE $cases ELSE '${langs.min}' END = 'en'),
+       |    AND CASE $cases ELSE '${langs.min}' END = 'en')""".stripMargin
+  }
+
+  private def curationOracleSql: String = {
+    s"""WITH RECURSIVE ${qualityFiltCtes},
        |ded AS (SELECT f.* FROM filt f
        |  JOIN (SELECT md5(text) h, min(doc_id) keep FROM filt GROUP BY md5(text)) k
        |    ON md5(f.text) = k.h AND f.doc_id = k.keep),

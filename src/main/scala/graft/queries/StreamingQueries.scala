@@ -450,7 +450,69 @@ object StreamingQueries {
       .toDF("vec_id", "sim")
   }
 
+  /** ST16: the STREAMING CURATION PIPELINE — the whole ingest path
+    * composed in one pass per micro-batch, the shape a production
+    * training-data pipeline actually runs:
+    *
+    *   quality gate (langid=en ∧ sigmoid quality ≥ 0.6, map-side)
+    *     → near-dup gate (the ST12 committed-store protocol over the
+    *       SURVIVORS — signatures of filtered-out docs are never even
+    *       computed)
+    *     → searchable index (each batch's kept docs ONE append-only
+    *       TxnIndex commit, exactly-once by batch id).
+    *
+    * The oracle composes the three stages' proven SQL replays — the p1
+    * quality CTEs, the st12 banding CTEs applied to the FILTERED set,
+    * and the l32 BM25 CTEs over the kept set — so the served top-k
+    * must equal a batch replay of the entire pipeline. In-run asserts:
+    * an end-to-end redelivery of the last batch leaves all three
+    * tables at their versions (exactly-once composes), and the index
+    * serve never rescans a corpus.
+    */
+  def st16StreamCuration(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.core.{Lake, TxnTable}
+    import graft.functions.TextFunctions
+    import graft.operators.TxnIndex
+    val store = Files.createTempDirectory("graft_st16_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_st16_kept").toString + "/t"
+    val idx = Files.createTempDirectory("graft_st16_idx").toString + "/t"
+    val docs = Lake.table(spark, dir, "documents")
+    TxnIndex.build(docs.select(col("doc_id"), col("text")).limit(0),
+      "doc_id", "text", idx, nBuckets = 16)
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val step = mx / 3 + 1
+    def runBatch(i: Long): Unit = {
+      val batch = docs.filter(
+        col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+      val passed = batch.filter(
+        TextFunctions.langId(col("text")) === "en" &&
+          TextFunctions.qualityScore(col("text")) >= 0.6)
+      val keptBatch = graft.streaming.StreamDedup.processBatch(
+        spark, passed, i, store, kept, "st16")
+      TxnIndex.upsertLazyStreamBatch(
+        keptBatch.select(col("doc_id"), col("text")),
+        "doc_id", "text", idx, "st16", i)
+      ()
+    }
+    (0L until 3L).foreach(runBatch)
+    // end-to-end redelivery of the last batch: every stage is a no-op
+    val (vK, vS, vI) = (TxnTable.currentVersion(kept),
+      TxnTable.currentVersion(store), TxnTable.currentVersion(idx))
+    runBatch(2L)
+    require(TxnTable.currentVersion(kept) == vK &&
+      TxnTable.currentVersion(store) == vS &&
+      TxnTable.currentVersion(idx) == vI,
+      "redelivered batch must be a no-op across the WHOLE pipeline")
+    import spark.implicits._
+    TxnIndex.bm25TopK(spark, idx,
+        Seq("dup", "join", "vector", "window"), 25)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+      .toDF("doc_id", "score")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st16_stream_curation" -> (st16StreamCuration _),
     "st15_stream_vecindex" -> (st15StreamVecIndex _),
     "st14_stream_embdedup" -> (st14StreamEmbDedup _),
     "st12_stream_neardup" -> (st12StreamNeardup _),
@@ -473,11 +535,15 @@ object StreamingQueries {
   // replay) and "drop d iff a lower-id document shares a band".
   // Shared by st12 (in-order arrival) and st12b (out-of-order arrival
   // + reconcile): arrival order must not change the answer.
-  private val streamNeardupSql =
-      """WITH sh AS (
+  /** The md5-MinHash banding + lower-id-wins dup CTE chain over any
+    * (doc_id, text) source CTE — exposed for composed pipelines (st16:
+    * banding over the quality-FILTERED corpus). Yields a `dup` CTE of
+    * dropped doc_ids. */
+  private[queries] def minhashDupCtes(src: String): String =
+    s"""sh AS (
         |  SELECT doc_id, list_transform(range(1, len(w)-1),
         |    i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS s
-        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM $src)
         |  WHERE len(w) >= 3),
         |m AS (
         |  SELECT doc_id, i,
@@ -494,14 +560,27 @@ object StreamingQueries {
         |  FROM sig, range(0,4) t(b)),
         |dup AS (
         |  SELECT DISTINCT a.doc_id FROM banded a JOIN banded e
-        |  ON a.b = e.b AND a.key = e.key AND e.doc_id < a.doc_id)
-        |SELECT d.source, CAST(count(*) AS BIGINT) AS kept,
-        |  CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
-        |FROM documents d
-        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
-        |GROUP BY d.source ORDER BY d.source""".stripMargin
+        |  ON a.b = e.b AND a.key = e.key AND e.doc_id < a.doc_id)""".stripMargin
+
+  private val streamNeardupSql =
+    "WITH " + minhashDupCtes("documents") + """
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS kept,
+      |  CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+      |FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The whole pipeline's batch replay, composed from the three
+    // stages' proven fragments: p1's quality filter (sc, filt), st12's
+    // banding over the FILTERED set (dup), l32's BM25 over the kept
+    // set — one WITH chain, one answer the stream must land on.
+    "st16_stream_curation" ->
+      ("WITH " + PipelineQueries.qualityFiltCtes + ",\n" +
+        minhashDupCtes("filt") + ",\n" +
+        "kept AS (SELECT doc_id, text FROM filt\n" +
+        "  WHERE doc_id NOT IN (SELECT doc_id FROM dup)),\n" +
+        CorpusQueries.bm25TopkCtes("kept")),
     // The streamed-in vector index must serve l3c's IVF oracle — the
     // batches re-ingest the corpus identically, so the logical state
     // never moves while the physical state churns through tombstones.

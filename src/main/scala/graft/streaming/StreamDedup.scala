@@ -159,6 +159,7 @@ object StreamDedup {
           processBatch(spark, batch.toDF(), batchId, storePath, keptPath,
             streamId, shingleLen, numHashes, bands, nStoreBuckets,
             bloomBytesPerBucket, storeFilesPerBatch, compactStoreAtFiles)
+          ()
       }
       .start()
     try q.processAllAvailable()
@@ -166,7 +167,11 @@ object StreamDedup {
   }
 
   /** One micro-batch of the protocol above (public so specs can drive
-    * batches deterministically without a stream). */
+    * batches deterministically without a stream).
+    * @return the batch's KEPT rows (already committed) — deterministic
+    *         to re-evaluate, so downstream pipeline stages (e.g. a
+    *         searchable-index sink) can consume the survivors without
+    *         re-reading the kept table. */
   def processBatch(
       spark: SparkSession,
       batch: DataFrame,
@@ -180,7 +185,7 @@ object StreamDedup {
       nStoreBuckets: Int = 64,
       bloomBytesPerBucket: Int = 1 << 13,
       storeFilesPerBatch: Int = 4,
-      compactStoreAtFiles: Int = 256): Unit =
+      compactStoreAtFiles: Int = 256): DataFrame =
     processSigs(spark, batch, "doc_id",
       sigFrame(batch, shingleLen, numHashes, bands, nStoreBuckets),
       batchId, storePath, keptPath, streamId, bloomBytesPerBucket,
@@ -205,6 +210,7 @@ object StreamDedup {
             batchId: Long) =>
           processEmbeddingBatch(spark, batch.toDF(), batchId, storePath,
             keptPath, streamId, dim, bits, bands, seed)
+          ()
       }
       .start()
     try q.processAllAvailable()
@@ -231,7 +237,7 @@ object StreamDedup {
       nStoreBuckets: Int = 64,
       bloomBytesPerBucket: Int = 1 << 13,
       storeFilesPerBatch: Int = 4,
-      compactStoreAtFiles: Int = 256): Unit =
+      compactStoreAtFiles: Int = 256): DataFrame =
     processSigs(spark, batch, "vec_id",
       embSigFrame(batch, "vec_id", "embedding", dim, bits, bands, seed,
         nStoreBuckets),
@@ -250,7 +256,7 @@ object StreamDedup {
       streamId: String,
       bloomBytesPerBucket: Int,
       storeFilesPerBatch: Int,
-      compactStoreAtFiles: Int): Unit = {
+      compactStoreAtFiles: Int): DataFrame = {
     val sigs = rawSigs
       .localCheckpoint() // sigs feed 3 consumers; band once, not thrice
     // collides with a lower-id document of the SAME batch…
@@ -277,6 +283,7 @@ object StreamDedup {
       partitions = storeFilesPerBatch)
     foldBloom(spark, bloomPathOf(storePath))
     maybeCompactStore(spark, storePath, compactStoreAtFiles)
+    kept
   }
 
   /** Per-batch tranches each cover their own bucket sub-ranges, so a
