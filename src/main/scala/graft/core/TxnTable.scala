@@ -162,7 +162,14 @@ object TxnTable {
     *    checkpoint instead of walking to v0;
     *  - `streams`: per-streamId highest applied batch id — the role of
     *    Delta's `txn` action — so `appendStreamBatch`'s idempotence
-    *    check is O(suffix), not O(versions) per micro-batch.
+    *    check is O(suffix), not O(versions) per micro-batch;
+    *  - `allAdds`: add metadata of every EXTANT ever-referenced data
+    *    file in the prefix (pruned of files a vacuum already deleted —
+    *    once gone, nothing can reference them again) — what lets
+    *    `vacuum` build its dead-set and `restore` its re-add list
+    *    without replaying every commit JSON (an always-on streaming
+    *    sink accumulates ~one version per micro-batch, so O(versions)
+    *    maintenance would grow without bound).
     * The Option fields are None for checkpoints written by older code;
     * readers then fall back to a full replay (correct, just slower).
     */
@@ -172,7 +179,8 @@ object TxnTable {
       horizon: Long,
       schemaGens: Option[Long],
       schema: Option[String],
-      streams: Option[Map[String, Long]])
+      streams: Option[Map[String, Long]],
+      allAdds: Option[Seq[TxnAdd]])
 
   /** `stream:<id>:<batch>` op → (id, batch); None for other ops. */
   private def parseStreamOp(op: String): Option[(String, Long)] =
@@ -199,6 +207,30 @@ object TxnTable {
       readCommit(path, v).schema.foreach { js => gens += 1; s = Some(js) }
     }
     (gens, s)
+  }
+
+  /** Add metadata per EXTANT ever-referenced data-file path of the
+    * prefix ≤ `upTo` — checkpoint-amortized like [[schemaInfo]]. The
+    * index underlying [[vacuum]]'s dead-set and [[restore]]'s re-add
+    * list: a path's (rows, bytes) are immutable once written, so
+    * first-seen metadata is authoritative even when a restore re-adds
+    * the path by reference in a later commit. Paths pruned at
+    * checkpoint time (physically deleted by a vacuum) stay pruned —
+    * a deleted file can never be referenced again (restore is fenced
+    * at the vacuum horizon). */
+  private def addsIndex(path: String, upTo: Long): Map[String, TxnAdd] = {
+    val (from, init) = latestCheckpoint(path, upTo) match {
+      case Some(ck) if ck.allAdds.isDefined =>
+        (ck.version + 1, ck.allAdds.get.map(a => a.path -> a).toMap)
+      case _ => (0L, Map.empty[String, TxnAdd])
+    }
+    var m = init
+    (from to upTo).foreach { v =>
+      readCommit(path, v).adds.foreach { a =>
+        if (!m.contains(a.path)) m = m.updated(a.path, a)
+      }
+    }
+    m
   }
 
   /** Highest applied batch id per streamId in the prefix ≤ `upTo` —
@@ -248,6 +280,14 @@ object TxnTable {
         // PREVIOUS checkpoint, so writing one costs O(interval) reads.
         val (gens, schema) = schemaInfo(path, commit.version)
         val streams = streamBatches(path, commit.version)
+        // Extant-pruned: entries whose data file a vacuum already
+        // deleted are dropped (they can never be restored or vacuumed
+        // again), so the field's size tracks live + not-yet-vacuumed
+        // files, not table lifetime. The existence probe is O(entries)
+        // metadata, paid only at checkpoint cadence.
+        val allAdds = addsIndex(path, commit.version).values.toSeq
+          .filter(a => Files.exists(localRoot(path).resolve(a.path)))
+          .sortBy(_.path)
         val json = s"""{"version":${commit.version},""" +
           s""""horizon":${earliestVersion(path)},""" +
           s""""schemaGens":$gens,""" +
@@ -256,6 +296,10 @@ object TxnTable {
           streams.toSeq.sortBy(_._1)
             .map { case (k, b) => s""""${esc(k)}":$b""" }
             .mkString("{", ",", "}") +
+          s""","allAdds":""" +
+          allAdds.map(a =>
+            s"""{"path":"${esc(a.path)}","rows":${a.rows},"bytes":${a.bytes}}""")
+            .mkString("[", ",", "]") +
           s""","files":""" +
           files.map(f => s""""${esc(f)}"""").mkString("[", ",", "]") + "}"
         val ctmp = logDir(path).resolve(s".ckpt-tmp-${java.util.UUID.randomUUID()}")
@@ -310,7 +354,14 @@ object TxnTable {
           Some(fields.map { case (k, jv) => k -> jv.extract[Long] }.toMap)
         case _ => None
       }
-      Some(Ckpt(best, files, horizon, schemaGens, schema, streams))
+      val allAdds = (j \ "allAdds") match {
+        case JArray(arr) => Some(arr.map(a => TxnAdd(
+          (a \ "path").extract[String],
+          (a \ "rows").extract[Long],
+          (a \ "bytes").extract[Long])))
+        case _ => None
+      }
+      Some(Ckpt(best, files, horizon, schemaGens, schema, streams, allAdds))
     } catch { case _: Throwable => None } // corrupt checkpoint → full replay
   }
 
@@ -864,9 +915,14 @@ object TxnTable {
     }
     requireReadable()
     val target = snapshotFiles(path, toVersion)
-    val targetAdds = commits(path).flatMap(_.adds)
-      .filter(a => target.contains(a.path))
-      .groupBy(_.path).map(_._2.head).toSeq
+    // Checkpoint-amortized re-add metadata: the target's files are all
+    // extant (the version is readable, so no vacuum deleted them),
+    // hence every one is in the addsIndex — no O(versions) log replay.
+    val byPath = addsIndex(path, currentVersion(path))
+    val targetAdds = target.flatMap(byPath.get)
+    require(targetAdds.size == target.size,
+      s"restore: add metadata missing for ${target.size - targetAdds.size} " +
+        s"of ${target.size} target files (corrupt log?)")
     var attempt = 0
     while (true) {
       val cur = currentVersion(path)
@@ -923,9 +979,10 @@ object TxnTable {
     * — the commit carries no adds/removes. Returns (new version,
     * number of files deleted).
     *
-    * Scale: resolves `retainVersions` snapshots (checkpoint-amortized)
-    * and lists the data dir — both metadata-scale; deletion is
-    * O(dead files).
+    * Scale: resolves `retainVersions` snapshots and the extant-adds
+    * index — ALL checkpoint-amortized (O(interval) commit reads each,
+    * never an O(versions) log replay; the spec pins the read count on
+    * a 100+-commit table); deletion is O(dead files).
     */
   def vacuum(spark: SparkSession, path: String,
       retainVersions: Int = 2): (Long, Int) = {
@@ -936,12 +993,16 @@ object TxnTable {
       val horizon = math.max(earliestVersion(path),
         math.max(0L, cur - retainVersions + 1))
       val keep = (horizon to cur).flatMap(v => snapshotFiles(path, v)).toSet
-      // Known-dead only: files REFERENCED by a pre-horizon commit and
-      // absent from every retained snapshot. Never "everything not in
-      // keep" — a concurrent appender stages its data files BEFORE its
-      // commit, and an unreferenced file may be exactly that.
-      val dead = commits(path).filter(_.version < horizon)
-        .flatMap(_.adds.map(_.path)).toSet -- keep
+      // Known-dead only: files REFERENCED by some commit and absent
+      // from every retained snapshot. Never "everything not in keep" —
+      // a concurrent appender stages its data files BEFORE its commit,
+      // and an unreferenced file may be exactly that; addsIndex only
+      // ever holds committed references. Checkpoint-amortized: the
+      // index replays the suffix past the nearest checkpoint, not the
+      // whole log. (Equal to the "pre-horizon commits only" dead-set:
+      // any file added by a commit ≥ horizon is live at that commit's
+      // own version, which is a retained snapshot — so it is in keep.)
+      val dead = addsIndex(path, cur).keySet -- keep
       preCommitHook()
       try {
         tryCommit(path, TxnCommit(cur + 1, s"vacuum:$horizon", Nil, Nil))

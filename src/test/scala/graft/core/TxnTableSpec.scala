@@ -348,6 +348,42 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).count() == 255)
   }
 
+  test("vacuum and restore are checkpoint-amortized on a 100+-commit log") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10)) // v0
+    (1 to 104).foreach(k => append(spark, t, rangeDf(k * 10, k * 10 + 10)))
+    assert(currentVersion(t) == 104L)
+    // A full log replay costs ≥105 version-file reads per call (the old
+    // commits()-based paths). Amortized budget: each sub-step replays at
+    // most the ≤CheckpointInterval-commit suffix past a checkpoint, and
+    // restore/vacuum compose a handful of such sub-steps.
+    val budget = 6L * CheckpointInterval
+    val rReads = logReads {
+      restore(spark, t, 103L) // v105: re-adds snapshot 103 by reference
+    }
+    assert(rReads <= budget,
+      s"restore replayed $rReads version files (full replay would be ≥105)")
+    assert(read(spark, t).count() == 1040L, "restore landed off-target")
+    // fold + append so the horizon moves past every original file's
+    // last reference — they become genuinely dead
+    compact(spark, t) // v106
+    append(spark, t, rangeDf(2000, 2010)) // v107
+    val vReads = logReads {
+      val (_, deleted) = vacuum(spark, t, retainVersions = 2) // horizon 106
+      assert(deleted >= 100, s"vacuum reaped only $deleted dead files")
+    }
+    assert(vReads <= budget,
+      s"vacuum replayed $vReads version files (full replay would be ≥108)")
+    val preRows = 1050L
+    // answers pinned after the vacuum; pre-horizon time travel fences
+    assert(read(spark, t).count() == preRows)
+    intercept[IllegalArgumentException] { read(spark, t, asOf = 3L) }
+    // a second vacuum is a cheap no-op (the dead set was pruned from
+    // the checkpoint's extant-adds index, so nothing is re-deleted)
+    val (_, again) = vacuum(spark, t, retainVersions = 2)
+    assert(again == 0, "re-vacuum must find nothing to delete")
+  }
+
   test("concurrent DIFFERENT streams compose through the version protocol") {
     // the appendStreamBatch doc promises single-writer-per-streamId but
     // free composition ACROSS streams — three streams of three batches
