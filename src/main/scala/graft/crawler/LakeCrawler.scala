@@ -78,15 +78,43 @@ object LakeCrawler {
     * (`postings/bucket=<b>/` + `stats/`)? Classified as ONE logical
     * `graft-index` dataset — without this, a catalog user would see the
     * postings tree and the stats table profiled as two unrelated user
-    * datasets (or, for the bucket-partitioned tree, not at all). */
-  private def isTextIndex(filesystem: FileSystem, dir: Path): Boolean = {
+    * datasets (or, for the bucket-partitioned tree, not at all).
+    *
+    * Detection keys on the explicit `_graft_index` marker buildIndex
+    * writes; legacy pre-marker layouts are accepted only when the
+    * structural shape AND the stats parquet schema both match — a user
+    * dataset that merely grew a postings/+stats/ pair must NEVER be
+    * routed through compactIndex's pinned-schema rewrite, which would
+    * destroy foreign data. */
+  private def isTextIndex(spark: SparkSession, filesystem: FileSystem,
+      dir: Path): Boolean = {
+    if (filesystem.exists(new Path(dir, "_graft_index"))) return true
     val postings = new Path(dir, "postings")
     val stats = new Path(dir, "stats")
     filesystem.exists(postings) && filesystem.exists(stats) &&
       filesystem.getFileStatus(postings).isDirectory &&
       filesystem.listStatus(postings)
-        .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket=")) &&
+      statsSchemaMatchesIndex(spark, filesystem, stats)
   }
+
+  /** Legacy-layout guard: the stats table of a real index carries
+    * exactly the (n, sum_dl, n_buckets) columns. Footer-only check;
+    * any read problem means "not an index" (conservative). */
+  private def statsSchemaMatchesIndex(spark: SparkSession,
+      filesystem: FileSystem, stats: Path): Boolean =
+    try {
+      filesystem.listStatus(stats).filter(_.isFile).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .exists { p =>
+          val names = ParquetFileReader.readFooter(
+              spark.sparkContext.hadoopConfiguration, p,
+              ParquetMetadataConverter.NO_FILTER)
+            .getFileMetaData.getSchema.getFields.toArray
+            .map(_.asInstanceOf[org.apache.parquet.schema.Type].getName).toSet
+          Set("n", "sum_dl", "n_buckets").subsetOf(names)
+        }
+    } catch { case _: Throwable => false }
 
   /** C1: walk the lake root; each data file or uniform directory of data
     * files becomes a dataset. Hidden/underscore entries (_SUCCESS, …) are
@@ -131,7 +159,7 @@ object LakeCrawler {
             live.size, bytes,
             logFiles.map(_.getModificationTime).max))
         }
-      } else if (isTextIndex(filesystem, st.getPath)) {
+      } else if (isTextIndex(spark, filesystem, st.getPath)) {
         // C15: one LOGICAL dataset — sized from the whole layout's data
         // files (postings tree + stats), opened as the postings frame,
         // and flagged changed whenever an append or compaction rewrites

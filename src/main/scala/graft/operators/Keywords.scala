@@ -394,6 +394,14 @@ object Keywords {
       .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("sum_dl"))
       .withColumn("n_buckets", lit(nBuckets))
       .write.mode(mode).parquet(s"$path/stats")
+    // Explicit layout marker: crawler detection and maintenance routing
+    // key on this file, so a user dataset that coincidentally grows a
+    // postings/+stats/ shape is never routed through compactIndex's
+    // pinned-schema rewrite (which would destroy foreign data).
+    val marker = java.nio.file.Paths.get(localPath(path), "_graft_index")
+    if (!java.nio.file.Files.exists(marker))
+      java.nio.file.Files.write(marker, "graft-index-v1\n".getBytes("UTF-8"))
+    ()
   }
 
   /** The buckets `terms` hash into — computed with the SAME Catalyst
@@ -446,6 +454,20 @@ object Keywords {
       if (Files.exists(old) && !Files.exists(live)) Files.move(old, live)
       else if (Files.exists(old)) rmTree(old)
     }
+    // Stale staging from a crashed compaction is always safe to drop:
+    // a swap only ever consumes a FULLY staged directory, and the live
+    // dirs are complete once the __old handling above ran.
+    val root = Paths.get(localPath(path))
+    if (Files.isDirectory(root)) {
+      val s = Files.list(root)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith(".graft_idx_stage")) rmTree(p)
+        }
+      } finally s.close()
+    }
   }
 
   /** Fold an index's accumulated tranche files: every bucket directory
@@ -470,7 +492,15 @@ object Keywords {
     import java.nio.file.{Files, Paths}
     recoverIndex(path) // heal any previous crashed swap first
     val (_, nBuckets) = indexStats(spark, path)
-    val staged = Files.createTempDirectory("graft_idx_compact").toString
+    // Stage INSIDE the index's own directory: both swap renames are
+    // then same-filesystem atomic moves. Staging under java.io.tmpdir
+    // broke deployments where the index lives on another filesystem —
+    // the cross-filestore move of a non-empty directory throws AFTER
+    // live → __old already happened, leaving the index headless until
+    // a recover. Dot-prefixed so readers and the crawler skip it.
+    val stagedRoot = Files.createTempDirectory(
+      Paths.get(localPath(path)), ".graft_idx_stage")
+    val staged = stagedRoot.toString
     spark.read.schema(postingsSchema).parquet(s"$path/postings")
       .repartition(nBuckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
@@ -490,6 +520,7 @@ object Keywords {
     }
     swap("postings")
     swap("stats")
+    rmTree(stagedRoot)
   }
 
   /** The folded (n, avgdl) stats of a persisted index plus its bucket

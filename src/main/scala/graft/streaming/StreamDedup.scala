@@ -259,6 +259,18 @@ object StreamDedup {
       compactStoreAtFiles: Int): DataFrame = {
     val sigs = rawSigs
       .localCheckpoint() // sigs feed 3 consumers; band once, not thrice
+    // A store created BEFORE the sidecar existed must get a FULL
+    // backfill on first contact: a sidecar covering only post-upgrade
+    // batches would let the inner-join gate silently drop collisions
+    // with legacy rows (missed duplicates — the invariant is
+    // bloom ⊇ committed store keys at every instant, from row one).
+    // One store scan, paid exactly once per legacy store.
+    if (TxnTable.currentVersion(bloomPathOf(storePath)) < 0 &&
+        TxnTable.currentVersion(storePath) >= 0) {
+      try TxnTable.create(spark, bloomPathOf(storePath),
+        storeBloomRows(spark, storePath, bloomBytesPerBucket))
+      catch { case _: TxnTable.TxnConflictException => () }
+    }
     // collides with a lower-id document of the SAME batch…
     val batchHits = sigs.as("a")
       .join(sigs.as("b"),
@@ -269,7 +281,7 @@ object StreamDedup {
     // only the candidates' buckets from the committed signature store
     val dropIds = (if (TxnTable.currentVersion(storePath) < 0) batchHits
       else batchHits.unionAll(storeHits(spark, sigs, storePath, streamId,
-        batchId))).distinct()
+        batchId, bloomBytesPerBucket))).distinct()
     val kept = batch.join(dropIds.withColumnRenamed("id", idCol),
       Seq(idCol), "left_anti")
     appendOrCreate(spark, keptPath, kept, s"$streamId-kept", batchId)
@@ -302,17 +314,30 @@ object StreamDedup {
     if (files <= maxFiles) return
     try TxnTable.overwriteClustered(spark, storePath,
       TxnTable.read(spark, storePath),
-      Seq(col("bucket"), col("key")), targetFiles = maxFiles / 4)
+      Seq(col("bucket"), col("key")),
+      targetFiles = math.max(1, maxFiles / 4))
     catch { case _: TxnTable.TxnConflictException => () }
     ()
   }
 
+  /** (bucket, bloom) rows rebuilt from the FULL committed store — the
+    * backfill/repair source: covers every committed key by
+    * construction, so the bloom ⊇ committed-store-keys invariant holds
+    * the moment these rows commit. One store scan, paid only on legacy
+    * first-contact or sizing repair. */
+  private def storeBloomRows(spark: SparkSession, storePath: String,
+      bloomBytes: Int): DataFrame =
+    bloomRows(TxnTable.read(spark, storePath)
+      .select(col("bucket"),
+        xxhash64(col("band"), col("key")).as("hkey")), bloomBytes)
+
   /** ids of batch documents colliding with a LOWER-id committed
     * signature — bloom-gated, bucket-pruned (the serving read). */
   private def storeHits(spark: SparkSession, sigs: DataFrame,
-      storePath: String, streamId: String, batchId: Long): DataFrame = {
+      storePath: String, streamId: String, batchId: Long,
+      bloomBytes: Int): DataFrame = {
     val live = TxnTable.snapshotFiles(storePath).size
-    val candidates = mergedBloom(spark, bloomPathOf(storePath)) match {
+    val candidates = mergedBloom(spark, storePath, bloomBytes) match {
       case Some(bloom) =>
         // broadcast the ≤nStoreBuckets (bucket, bloom) rows; the probe
         // is a codegen scalar — map-side, no shuffle. A key whose
@@ -365,9 +390,17 @@ object StreamDedup {
 
   /** All sidecar rows OR-folded to one filter per bucket, driver-side
     * (the sidecar is metadata-scale: ≤ nStoreBuckets rows after a fold,
-    * + nStoreBuckets per unfolded batch). None if no sidecar exists. */
-  private def mergedBloom(spark: SparkSession,
-      bloomPath: String): Option[DataFrame] = {
+    * + nStoreBuckets per unfolded batch). None if no sidecar exists.
+    *
+    * Sizing drift (bloomBytesPerBucket changed across a restart) is
+    * SELF-HEALING: mixed-length rows can't be OR-merged (different
+    * hash spaces), so the sidecar is rebuilt from the full store at
+    * the current size and overwritten in place — one repair scan, not
+    * a permanently poisoned sidecar failing every batch. */
+  private def mergedBloom(spark: SparkSession, storePath: String,
+      bloomBytes: Int): Option[DataFrame] = {
+    import spark.implicits._
+    val bloomPath = bloomPathOf(storePath)
     val v = TxnTable.currentVersion(bloomPath)
     if (v < 0) return None
     val cached = bloomCache.get(bloomPath)
@@ -375,12 +408,24 @@ object StreamDedup {
       if (cached != null && cached._1 == v) cached._2
       else {
         if (bloomCache.size > 64) bloomCache.clear() // bound, not LRU
-        val f = orFold(TxnTable.read(spark, bloomPath).collect()
-          .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))))
-        bloomCache.put(bloomPath, (v, f))
+        val rows = TxnTable.read(spark, bloomPath).collect()
+          .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))).toSeq
+        val (f, vNow) =
+          try (orFold(rows), v)
+          catch {
+            case _: IllegalArgumentException =>
+              val rebuilt = storeBloomRows(spark, storePath, bloomBytes)
+                .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
+                .toSeq
+              try TxnTable.overwrite(spark, bloomPath,
+                rebuilt.toDF("bucket", "bloom"))
+              catch { case _: TxnTable.TxnConflictException => () }
+              // rebuilt rows are uniform by construction
+              (orFold(rebuilt), TxnTable.currentVersion(bloomPath))
+          }
+        bloomCache.put(bloomPath, (vNow, f))
         f
       }
-    import spark.implicits._
     Some(folded.toDF("bucket", "bloom"))
   }
 
@@ -412,9 +457,14 @@ object StreamDedup {
     val rows = TxnTable.read(spark, bloomPath).collect()
       .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))).toSeq
     import spark.implicits._
+    // drift-tolerant: a mixed-size sidecar defers to mergedBloom's
+    // self-heal at the next probe instead of failing this batch
     try TxnTable.overwrite(spark, bloomPath,
       orFold(rows).toDF("bucket", "bloom"))
-    catch { case _: TxnTable.TxnConflictException => () }
+    catch {
+      case _: TxnTable.TxnConflictException => ()
+      case _: IllegalArgumentException => ()
+    }
     ()
   }
 

@@ -180,4 +180,37 @@ class CrawlerSpec extends SparkSpecBase {
     // and the profiler can take it (array positions column included)
     assert(Profiler.profile(spark, opened, "idx").nonEmpty)
   }
+
+  test("coincidental postings/+stats/ user data is NOT an index; legacy is") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lake = java.nio.file.Files.createTempDirectory("graft_idxguard")
+      .toString
+    // a user dataset that merely reuses the index's directory names —
+    // routing it through compactIndex would destroy it
+    Seq((1L, "x")).toDF("a", "b").coalesce(1)
+      .write.parquet(s"$lake/fake/postings/bucket=0")
+    Seq((2L, 3L)).toDF("a", "b").coalesce(1)
+      .write.parquet(s"$lake/fake/stats")
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"guard doc $i alpha beta tail$i")).toDF("doc_id", "text")
+    graft.operators.Keywords.buildIndex(docs, "doc_id", "text",
+      s"$lake/legacyidx", nBuckets = 4)
+    // a legacy layout predates the marker file — structural + stats
+    // schema detection must still classify it
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$lake/legacyidx/_graft_index"))
+    val infos = LakeCrawler.discover(spark, lake)
+    assert(!infos.exists(i =>
+      i.name == "fake" && i.format == "graft-index"),
+      s"coincidental shape classified as index: $infos")
+    assert(infos.find(_.name == "legacyidx")
+      .exists(_.format == "graft-index"),
+      s"legacy pre-marker index lost its classification: $infos")
+    // the marked index (normal build) is of course still detected
+    graft.operators.Keywords.buildIndex(docs, "doc_id", "text",
+      s"$lake/markedidx", nBuckets = 4)
+    assert(LakeCrawler.discover(spark, lake).find(_.name == "markedidx")
+      .exists(_.format == "graft-index"))
+  }
 }

@@ -277,6 +277,101 @@ class StreamDedupSpec extends SparkSpecBase {
       "identical twin vectors must all drop")
   }
 
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) rmTree(it.next())
+      } finally s.close()
+    }
+    Files.deleteIfExists(p)
+    ()
+  }
+
+  test("legacy store without a sidecar gets a FULL bloom backfill on contact") {
+    val store = Files.createTempDirectory("graft_sdl_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_sdl_kept").toString + "/t"
+    val uniq = (0 until 30).map(i =>
+      (i.toLong, s"legacy item $i carrying omicron$i pi$i rho$i sigma$i",
+        "u")).toDF("doc_id", "text", "source")
+    (0 until 2).foreach { b =>
+      StreamDedup.processBatch(spark,
+        uniq.filter(col("doc_id") >= b * 10 && col("doc_id") < (b + 1) * 10),
+        b.toLong, store, kept, "leg")
+    }
+    // simulate a store written before the sidecar existed
+    rmTree(java.nio.file.Paths.get(store + "_bloom"))
+    // first contact is an ALL-NEW batch: without the backfill this
+    // creates a sidecar covering only its own keys…
+    StreamDedup.processBatch(spark,
+      uniq.filter(col("doc_id") >= 20), 2L, store, kept, "leg")
+    // …and a later dup of a PRE-SIDECAR doc would then be bloom-
+    // rejected before the store probe — a silently missed duplicate
+    StreamDedup.scanLog.clear()
+    val dup = Seq((100L,
+      "legacy item 3 carrying omicron3 pi3 rho3 sigma3", "u"))
+      .toDF("doc_id", "text", "source")
+    StreamDedup.processBatch(spark, dup, 3L, store, kept, "leg")
+    assert(!TxnTable.read(spark, kept).select(col("doc_id"))
+      .collect().map(_.getLong(0)).contains(100L),
+      "dup of a pre-sidecar doc must still be dropped")
+    import scala.jdk.CollectionConverters._
+    val s = StreamDedup.scanLog.asScala.find(_.streamId == "leg").get
+    assert(s.filesRead > 0, "the backfilled bloom must admit the dup's keys")
+  }
+
+  test("tiny store-compaction trigger compacts to >=1 file, never throws") {
+    // compactStoreAtFiles in 1..3 used to floor targetFiles to 0 and
+    // fail the micro-batch inside repartitionByRange
+    val store = Files.createTempDirectory("graft_sdc_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_sdc_kept").toString + "/t"
+    (0 until 2).foreach { b =>
+      StreamDedup.processBatch(spark,
+        corpus.filter(col("doc_id") >= b * 10 && col("doc_id") < (b + 1) * 10),
+        b.toLong, store, kept, "tiny", compactStoreAtFiles = 2)
+    }
+    assert(TxnTable.snapshotFiles(store).size >= 1)
+    // dedup still correct through the aggressive compaction
+    val dup = Seq((200L, "the quick brown fox jumps over the lazy dog tonight",
+      "u")).toDF("doc_id", "text", "source")
+    StreamDedup.processBatch(spark, dup, 2L, store, kept, "tiny",
+      compactStoreAtFiles = 2)
+    assert(!TxnTable.read(spark, kept).select(col("doc_id"))
+      .collect().map(_.getLong(0)).contains(200L))
+  }
+
+  test("bloom sizing drift across restarts self-heals, never poisons") {
+    val store = Files.createTempDirectory("graft_sds_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_sds_kept").toString + "/t"
+    val uniq = (0 until 30).map(i =>
+      (i.toLong, s"drift item $i carrying tau$i upsilon$i phi$i chi$i",
+        "u")).toDF("doc_id", "text", "source")
+    (0 until 2).foreach { b =>
+      StreamDedup.processBatch(spark,
+        uniq.filter(col("doc_id") >= b * 10 && col("doc_id") < (b + 1) * 10),
+        b.toLong, store, kept, "drift", bloomBytesPerBucket = 1024)
+    }
+    // "restart" with a different sizing: this batch's sidecar rows
+    // commit at the new size, leaving the sidecar mixed-length
+    StreamDedup.processBatch(spark,
+      uniq.filter(col("doc_id") >= 20), 2L, store, kept, "drift",
+      bloomBytesPerBucket = 4096)
+    // the next probe hits the mixed sidecar: it must rebuild at the
+    // current size (one repair scan) and still catch a dup of a doc
+    // committed under the OLD sizing — not fail every batch forever
+    val dup = Seq((100L, "drift item 5 carrying tau5 upsilon5 phi5 chi5",
+      "u")).toDF("doc_id", "text", "source")
+    StreamDedup.processBatch(spark, dup, 3L, store, kept, "drift",
+      bloomBytesPerBucket = 4096)
+    assert(!TxnTable.read(spark, kept).select(col("doc_id"))
+      .collect().map(_.getLong(0)).contains(100L))
+    // healed: the sidecar is uniformly sized again
+    val lens = TxnTable.read(spark, store + "_bloom")
+      .select(length(col("bloom"))).collect().map(_.getInt(0)).toSet
+    assert(lens.size == 1, s"sidecar still mixed-size after heal: $lens")
+  }
+
   test("redelivered micro-batch is a no-op on both tables") {
     val store = Files.createTempDirectory("graft_sdd_store").toString + "/t"
     val kept = Files.createTempDirectory("graft_sdd_kept").toString + "/t"
