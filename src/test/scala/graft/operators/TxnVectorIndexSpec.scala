@@ -191,6 +191,55 @@ class TxnVectorIndexSpec extends SparkSpecBase {
     assert(served(idx) == serial, "compaction drifted the serve")
   }
 
+  test("restore across compaction revives tombstones + quantizer; vacuum fences") {
+    import spark.implicits._
+    val idx = fresh()
+    TxnVectorIndex.build(vecs(0 until 40), "vec_id", "embedding", idx,
+      nlist = 4) // v0
+    val centsAtBuild = TxnVectorIndex.centroids(spark, idx).toSeq
+    val victim = served(idx).head._1
+    // tranche 1: flip the top hit to the far cluster (tombstone + re-add)
+    TxnVectorIndex.upsertLazy(
+      Seq((victim, (0 until 8).map(_ => -1.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx) // v1
+    // tranche 2: a brand-new id
+    TxnVectorIndex.upsertLazy(
+      Seq((100L, (0 until 8).map(_ => 1.2f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx) // v2
+    val preCompact = served(idx)
+    assert(!preCompact.exists(_._1 == victim) &&
+      preCompact.exists(_._1 == 100L))
+    TxnVectorIndex.compact(spark, idx) // v3: tombstones folded away
+    assert(TxnTable.read(spark, idx).filter(col("kind") === "t").count() == 0)
+    // restore to the PRE-compaction version: the merge-on-read
+    // tombstones, the three tranche rows, AND the frozen centroid rows
+    // must all come back and serve identically
+    TxnTable.restore(spark, idx, 2L) // v4
+    assert(served(idx) == preCompact,
+      "restore across compaction must revive the exact served answers")
+    assert(TxnTable.read(spark, idx).filter(col("kind") === "t").count() > 0,
+      "the tombstone rows must be revived (merge-on-read state)")
+    val tranches = TxnTable.readPrunedIn(spark, idx, "list", Seq(-1L))
+      .filter(col("kind") === "s").count()
+    assert(tranches == 3,
+      s"expected the 3 pre-compact tranche rows back, got $tranches")
+    assert(TxnVectorIndex.centroids(spark, idx).toSeq == centsAtBuild,
+      "the frozen quantizer must be revived exactly")
+    // ingest composes with the restored snapshot (same frozen centroids)
+    TxnVectorIndex.upsertLazy(
+      Seq((101L, (0 until 8).map(_ => 1.3f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx) // v5
+    assert(served(idx).exists(_._1 == 101L))
+    // vacuum: physical cleanup reaps the compacted layout's files;
+    // pre-horizon serving fences with a clear error, current is intact
+    TxnTable.vacuum(spark, idx, retainVersions = 2) // v6, horizon 4
+    val e = intercept[IllegalArgumentException] { served(idx, asOf = 1L) }
+    assert(e.getMessage.contains("vacuum"),
+      s"pre-horizon serving must fail clearly, got: ${e.getMessage}")
+    assert(served(idx).exists(_._1 == 101L),
+      "current serving must be untouched by the physical cleanup")
+  }
+
   test("a foreign TxnTable is rejected with a descriptive error") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_txnvec_foreign").toString + "/t"

@@ -315,6 +315,37 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(graft.core.TxnTable.read(spark, kept).count() == 8)
   }
 
+  test("l3d txn-vector-index serving: pruned files, pushed list filter, heap") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Lake.table(spark, sf0001, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ps_txnvec")
+      .toString + "/t"
+    val data = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    graft.operators.TxnVectorIndex.build(data, "vec_id", "embedding", idx,
+      nlist = 8)
+    // one lazy tranche so the snapshot holds a REAL tombstone list too
+    graft.operators.TxnVectorIndex.upsertLazy(
+      data.filter(col("vec_id") % 7 === 0), "vec_id", "embedding", idx)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq
+    val df = graft.operators.TxnVectorIndex.topK(spark, idx, q, 10, nprobe = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("embeddings.parquet"), "serving plan rescanned the corpus")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ANN top-k must be a heap, not a total sort")
+    // the residual list predicate pushes into the pruned parquet scan
+    assert(p.contains("PushedFilters") && p.contains("In(list"),
+      "list filter not pushed into the index scan")
+    // driver-side footer pruning: the scan's file set is the probed
+    // lists + the tombstone list, a strict subset of the snapshot
+    val read = df.inputFiles.length
+    val live = graft.core.TxnTable.snapshotFiles(idx).size
+    assert(read > 0 && read < live && read <= 8,
+      s"serve must read only probed+tombstone files: $read of $live")
+  }
+
   test("l37 txn-index serving: no corpus scan, term filter pushed, heap top-k") {
     val docs = graft.core.Lake.table(spark, sf0001, "documents")
     val idx = java.nio.file.Files.createTempDirectory("graft_ps_txnidx")
