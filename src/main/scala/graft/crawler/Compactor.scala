@@ -23,7 +23,9 @@ object Compactor {
   private def countDeepDataFiles(
       filesystem: org.apache.hadoop.fs.FileSystem, p: Path): Int =
     filesystem.listStatus(p)
-      .filterNot(s => s.getPath.getName.startsWith("_") ||
+      // `__list=` partition dirs are data despite the underscore prefix
+      .filterNot(s => (s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("__list=")) ||
         s.getPath.getName.startsWith("."))
       .map(s => if (s.isFile) 1 else countDeepDataFiles(filesystem, s.getPath))
       .sum
@@ -52,7 +54,8 @@ object Compactor {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       return countDeepDataFiles(fsys, new Path(info.path))
     }
-    require(info.format == "parquet" || info.format == "orc",
+    require(info.format == "parquet" || info.format == "orc" ||
+      info.format == "graft-ann",
       s"compaction supports columnar datasets, not ${info.format}")
     val n = targetFileCount(info.sizeBytes, targetFileBytes)
     if (n >= info.numFiles) return info.numFiles // already compact enough
@@ -72,8 +75,19 @@ object Compactor {
     require(fs.getFileStatus(src).isDirectory,
       s"compaction target must be a directory: ${info.path}")
 
-    val df = spark.read.format(info.format).load(info.path)
-    df.repartition(n).write.format(info.format).save(tmp.toString)
+    if (info.format == "graft-ann") {
+      // LAYOUT-PRESERVING: rewrite through partitionBy so the __list
+      // partition pruning (the read-time probe that makes the layout an
+      // index) survives compaction. Hash-partitioning on __list puts
+      // each list in exactly one task → one file per list.
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(info.path)
+        .repartition(math.max(1, n), col("__list"))
+        .write.partitionBy("__list").parquet(tmp.toString)
+    } else {
+      val df = spark.read.format(info.format).load(info.path)
+      df.repartition(n).write.format(info.format).save(tmp.toString)
+    }
 
     // Swap: src -> old, tmp -> src, drop old. Readers holding an open
     // dataset see a complete directory either way; a NEW reader in the
@@ -83,7 +97,8 @@ object Compactor {
     if (!fs.rename(src, old)) sys.error(s"compaction swap failed for $src")
     if (!fs.rename(tmp, src)) { fs.rename(old, src); sys.error(s"swap-in failed for $src") }
     fs.delete(old, true)
-    fs.listStatus(src).count(s =>
+    if (info.format == "graft-ann") countDeepDataFiles(fs, src)
+    else fs.listStatus(src).count(s =>
       s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
   }
 }

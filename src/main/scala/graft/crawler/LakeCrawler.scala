@@ -98,6 +98,29 @@ object LakeCrawler {
       statsSchemaMatchesIndex(spark, filesystem, stats)
   }
 
+  /** Is this directory a write-time IVF layout — `__list=<n>/`
+    * partition dirs from [[graft.operators.Similarity.withIvfList]] +
+    * `partitionBy` (the l3c shape)? Classified as ONE `graft-ann`
+    * dataset: the leading-underscore partition dirs make the tree
+    * INVISIBLE to the plain directory walk (no top-level files, and
+    * the visibility filter skips `__list=` entries), so without this a
+    * catalog user would not see the vector corpus at all. */
+  private def isAnnLayout(filesystem: FileSystem, dir: Path): Boolean = {
+    val entries = filesystem.listStatus(dir)
+    entries.exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("__list=")) &&
+      !entries.exists(visibleStatus) // nothing BUT the layout (+_SUCCESS etc.)
+  }
+
+  /** Data files of an ann layout: descend exactly one level into the
+    * `__list=` partition dirs (which the generic visibility filter
+    * deliberately skips). */
+  private def annFiles(filesystem: FileSystem, dir: Path): Seq[FileStatus] =
+    filesystem.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__list="))
+      .flatMap(s => filesystem.listStatus(s.getPath).toSeq
+        .filter(f => f.isFile && visibleStatus(f)))
+
   /** Legacy-layout guard: the stats table of a real index carries
     * exactly the (n, sum_dl, n_buckets) columns. Footer-only check;
     * any read problem means "not an index" (conservative). */
@@ -169,6 +192,16 @@ object LakeCrawler {
         else Some(DatasetInfo(st.getPath.getName, st.getPath.toString,
           "graft-index", files.length, files.map(_.getLen).sum,
           files.map(_.getModificationTime).max))
+      } else if (isAnnLayout(filesystem, st.getPath)) {
+        // C16: one LOGICAL dataset — the IVF vector layout, sized from
+        // the whole partition tree, opened with partition discovery
+        // (so `__list` comes back as the assignment column), flagged
+        // changed whenever a rewrite touches any partition.
+        val files = annFiles(filesystem, st.getPath)
+        if (files.isEmpty) None
+        else Some(DatasetInfo(st.getPath.getName, st.getPath.toString,
+          "graft-ann", files.length, files.map(_.getLen).sum,
+          files.map(_.getModificationTime).max))
       } else {
         val files = filesystem.listStatus(st.getPath).filter(_.isFile).filter(visible)
         if (files.isEmpty) None
@@ -222,6 +255,9 @@ object LakeCrawler {
     // tf, positions, bucket); the stats table is the layout's own
     // metadata, folded by the serving paths, not user data
     case "graft-index" => spark.read.parquet(s"${info.path}/postings")
+    // partition discovery restores `__list` as the assignment column —
+    // the layout's data-shaped face is (vec_id, embedding, __list)
+    case "graft-ann" => spark.read.parquet(info.path)
     case "orc" => spark.read.orc(info.path)
     case "json" => spark.read.json(info.path)
     case "csv" => spark.read

@@ -339,7 +339,54 @@ object CrawlerQueries {
         "stats_docs", "datasets", "changed", "unchanged")
   }
 
+  /** C16: the crawler is ANN-layout-aware — the C15 move for vectors.
+    * A lake holds a plain parquet dataset and an IVF layout
+    * ([[graft.operators.Similarity.withIvfList]] + `partitionBy
+    * (__list)`, the l3c shape). The leading-underscore partition dirs
+    * make the tree invisible to a plain walk, so without this a
+    * catalog user would not see the vector corpus at all; discovery
+    * must classify it as ONE `graft-ann` dataset, open it with the
+    * `__list` assignment column restored (checksum oracle-checked
+    * against a DuckDB replay of md5 centroid sampling + left-fold
+    * squared-distance assignment), size it from the whole partition
+    * tree, and a layout-preserving compaction must flag exactly the
+    * ann dataset changed on re-crawl.
+    */
+  def c16AnnCrawl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val lake = Files.createTempDirectory("graft_c16").toString
+    graft.core.Lake.table(spark, dir, "nation")
+      .coalesce(1).write.parquet(s"$lake/nation")
+    val emb = graft.core.Lake.table(spark, dir, "embeddings")
+    val cents = Similarity.md5Centroids(emb, 8)
+    Similarity.withIvfList(emb.filter(col("vec_id") =!= 0), cents)
+      .write.mode("overwrite").partitionBy("__list").parquet(s"$lake/annvecs")
+    val snap1 = Files.createTempDirectory("graft_c16s1").toString
+    val infos = CatalogStore.crawl(spark, lake, snap1)
+    val annInfo = infos.find(_.name == "annvecs").get
+    val logical = LakeCrawler.open(spark, annInfo)
+    val agg = logical.agg(count(lit(1)).as("v"),
+      countDistinct(col("__list")).as("l"),
+      sum(col("__list").cast("long") * col("vec_id")).as("s")).head()
+    // a maintenance rewrite (layout-preserving compaction) must surface
+    // as exactly-one-changed-dataset, and the checksum must not move
+    graft.crawler.Compactor.compact(spark, annInfo, targetFileBytes = 1L << 26)
+    val agg2 = LakeCrawler.open(spark,
+        annInfo.copy(numFiles = 0, sizeBytes = 0, modifiedMs = 0))
+      .agg(sum(col("__list").cast("long") * col("vec_id"))).head()
+    require(agg2.getLong(0) == agg.getLong(2),
+      "compaction must preserve the list assignment exactly")
+    val snap2 = Files.createTempDirectory("graft_c16s2").toString
+    val d = CatalogStore.incrementalCrawl(spark, lake, snap1, snap2)
+    Seq((annInfo.format, agg.getLong(0), agg.getLong(1), agg.getLong(2),
+        infos.size.toLong, d.changed.mkString(","), d.unchanged.mkString(",")))
+      .toDF("ann_format", "n_vecs", "n_lists", "list_checksum",
+        "datasets", "changed", "unchanged")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "c16_ann_crawl"       -> (c16AnnCrawl _),
     "c15_index_crawl"     -> (c15IndexCrawl _),
     "c14_txn_crawl"       -> (c14TxnCrawl _),
     "c13_cbo_bhj"         -> (c13CboBhj _),
@@ -394,6 +441,21 @@ object CrawlerQueries {
        |FROM customer""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The list-assignment checksum is the cross-engine check (DuckDB
+    // replays md5 centroid sampling + squared-distance assignment);
+    // format/diff columns pin the ann classification and the
+    // exactly-one-changed-dataset invariant after a layout-preserving
+    // compaction.
+    "c16_ann_crawl" ->
+      ("WITH " + PipelineQueries.ivfAssignCtes + """
+        |SELECT 'graft-ann' AS ann_format,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(count(DISTINCT list) AS BIGINT) AS n_lists,
+        |  CAST(sum(list * vec_id) AS BIGINT) AS list_checksum,
+        |  CAST(2 AS BIGINT) AS datasets,
+        |  'annvecs' AS changed,
+        |  'nation' AS unchanged
+        |FROM assign""".stripMargin),
     // The postings aggregate is the cross-engine check (DuckDB replays
     // tokenize→postings on raw documents); format/diff columns pin the
     // index classification and the exactly-one-changed-dataset

@@ -694,8 +694,13 @@ object PipelineQueries {
     * partitionBy layout) and l3d (the transactional index, whose
     * build → same-value re-ingest → compact phases must all land on
     * this same logical answer). */
-  private[queries] val ivfDiskTopkSql: String =
-    """WITH cents AS (
+  /** The md5-centroid sampling + left-fold squared-distance assignment
+    * CTE chain (8 lists, dim 64) — the write-time half of the l3c IVF
+    * replay, exposed for layouts that persist the assignment (c16's
+    * ann-crawl checksum oracle composes it). Yields an `assign` CTE of
+    * (vec_id, list). */
+  private[queries] val ivfAssignCtes: String =
+    """cents AS (
         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
         |      - 1 AS i,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
@@ -713,7 +718,10 @@ object PipelineQueries {
         |  SELECT vec_id, i AS list FROM (
         |    SELECT vec_id, i,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
-        |    FROM dist) WHERE rn = 1),
+        |    FROM dist) WHERE rn = 1)""".stripMargin
+
+  private[queries] val ivfDiskTopkSql: String =
+    "WITH " + ivfAssignCtes + """,
         |qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
         |    sqrt(list_sum(list_transform(embedding,
         |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
