@@ -113,6 +113,24 @@ object TxnVectorIndex {
     TxnTable.createClustered(spark, path, rows, clusterKeys, nlist + 2)
   }
 
+  /** Create an EMPTY index whose frozen quantizer is md5-sampled from
+    * `quantizerSource` — the bootstrap for pure streaming ingest: any
+    * real IVF system trains its coarse quantizer on a (batch) sample,
+    * then streams the corpus in through [[upsertLazyStreamBatch]].
+    * Version 0 holds only the centroid rows and a zero tranche; every
+    * serving/ingest invariant (frozen centroids, pruned reads,
+    * exactly-once) applies from the first streamed batch. */
+  def buildEmpty(quantizerSource: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 16): Long = {
+    val spark = quantizerSource.sparkSession
+    val data = quantizerSource.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("embedding"))
+    val cents = Similarity.md5Centroids(data, nlist, "vec_id", "embedding")
+    val rows = centroidRows(spark, cents)
+      .unionAll(trancheRow(spark, 0L, seq = 0))
+    TxnTable.createClustered(spark, path, rows, clusterKeys, 2)
+  }
+
   /** The frozen quantizer of the committed index at `asOf`, in centroid
     * order — ONE pruned read (list = −2). */
   def centroids(spark: SparkSession, path: String,

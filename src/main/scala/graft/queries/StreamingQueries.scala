@@ -511,7 +511,79 @@ object StreamingQueries {
       .toDF("doc_id", "score")
   }
 
+  /** ST17: the streaming EMBEDDING curation pipeline — st16's vector
+    * twin, the whole vector ingest path composed per micro-batch:
+    *
+    *   embedding quality gate (dimension sanity ∧ no spike component:
+    *     max |x| ≤ 0.35 — order-independent, so engine-exact at any
+    *     threshold; map-side)
+    *     → ST14's committed-store sign-LSH near-dup over the SURVIVORS
+    *     → ST15's transactional IVF ingest (each batch's kept vectors
+    *       ONE append-only commit, exactly-once by batch id).
+    *
+    * The coarse quantizer trains on the quality-passed corpus up front
+    * ([[graft.operators.TxnVectorIndex.buildEmpty]] — the batch
+    * bootstrap every IVF system does) and is FROZEN; ingest then
+    * streams. The oracle is ONE WITH chain composing the quality
+    * filter, st14's banding CTEs over the filtered set, and the l3c
+    * IVF probe replay (md5 centroids from the filtered set, assignment
+    * + probe + rounded-cosine rerank over the kept set). In-run: an
+    * end-to-end redelivery of the last batch leaves store, kept table,
+    * AND index at their versions.
+    */
+  def st17StreamEmbCuration(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.core.{Lake, TxnTable}
+    import graft.operators.TxnVectorIndex
+    val nlist = 8; val nprobe = 3; val k = 10
+    val store = Files.createTempDirectory("graft_st17_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_st17_kept").toString + "/t"
+    val idx = Files.createTempDirectory("graft_st17_idx").toString + "/idx"
+    val emb = Lake.table(spark, dir, "embeddings")
+    val data = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val qualityOk =
+      size(col("embedding")) === 64 &&
+        array_max(transform(col("embedding"),
+          x => abs(x.cast("double")))) <= 0.35
+    TxnVectorIndex.buildEmpty(data.filter(qualityOk), "vec_id", "embedding",
+      idx, nlist)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq
+    val mx = data.agg(max(col("vec_id"))).head().getLong(0)
+    val step = mx / 3 + 1
+    def runBatch(i: Long): Unit = {
+      val batch = data.filter(
+        col("vec_id") >= i * step && col("vec_id") < (i + 1) * step)
+      val passed = batch.filter(qualityOk)
+      // 32-bit signature in two 16-bit bands: only GENUINE near-dups
+      // collide (4-bit bands would band-collide most of the corpus —
+      // right for st14's rule-check, degenerate for a curation gate)
+      val keptBatch = graft.streaming.StreamDedup.processEmbeddingBatch(
+        spark, passed, i, store, kept, "st17", dim = 64, bits = 32,
+        bands = 2)
+      TxnVectorIndex.upsertLazyStreamBatch(
+        keptBatch.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", idx, "st17", i)
+      ()
+    }
+    (0L until 3L).foreach(runBatch)
+    // end-to-end redelivery of the last batch: every stage is a no-op
+    val (vK, vS, vI) = (TxnTable.currentVersion(kept),
+      TxnTable.currentVersion(store), TxnTable.currentVersion(idx))
+    runBatch(2L)
+    require(TxnTable.currentVersion(kept) == vK &&
+      TxnTable.currentVersion(store) == vS &&
+      TxnTable.currentVersion(idx) == vI,
+      "redelivered batch must be a no-op across the WHOLE vector pipeline")
+    import spark.implicits._
+    TxnVectorIndex.topK(spark, idx, q, k, nprobe)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+      .toDF("vec_id", "sim")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st17_stream_embcuration" -> (st17StreamEmbCuration _),
     "st16_stream_curation" -> (st16StreamCuration _),
     "st15_stream_vecindex" -> (st15StreamVecIndex _),
     "st14_stream_embdedup" -> (st14StreamEmbDedup _),
@@ -562,6 +634,34 @@ object StreamingQueries {
         |  SELECT DISTINCT a.doc_id FROM banded a JOIN banded e
         |  ON a.b = e.b AND a.key = e.key AND e.doc_id < a.doc_id)""".stripMargin
 
+  /** The md5-Rademacher sign-LSH banding + lower-id-wins dup CTE chain
+    * over any (vec_id, embedding) source CTE (16-bit signature, four
+    * 4-bit bands, dim 64) — exposed for composed pipelines (st17:
+    * banding over the quality-FILTERED corpus). Yields a `dup` CTE of
+    * dropped vec_ids. */
+  private[queries] def embDupCtes(src: String, bits: Int = 16,
+      bands: Int = 4): String = {
+    val r = bits / bands
+    val mask = (1 << r) - 1
+    s"""planes AS (
+        |  SELECT i, list(CASE WHEN (strpos('0123456789abcdef',
+        |      substr(md5('lsh:42:'||i||':'||j),1,1))-1) & 1 = 1
+        |    THEN 1.0 ELSE -1.0 END ORDER BY j) AS p
+        |  FROM range(0,$bits) t1(i), range(0,64) t2(j) GROUP BY i),
+        |sigs AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1,65),
+        |          j -> CAST(e.embedding[j] AS DOUBLE) * pl.p[j])),
+        |        (a,b) -> a+b) >= 0
+        |      THEN CAST(1 AS BIGINT) << pl.i ELSE 0 END) AS BIGINT) AS sig
+        |  FROM $src e, planes pl GROUP BY e.vec_id),
+        |bands AS (SELECT vec_id, b, (sig >> CAST($r*b AS INTEGER)) & $mask AS key
+        |  FROM sigs, range(0,$bands) t(b)),
+        |dup AS (SELECT DISTINCT a.vec_id FROM bands a JOIN bands e
+        |  ON a.b = e.b AND a.key = e.key AND e.vec_id < a.vec_id)""".stripMargin
+  }
+
   private val streamNeardupSql =
     "WITH " + minhashDupCtes("documents") + """
       |SELECT d.source, CAST(count(*) AS BIGINT) AS kept,
@@ -585,32 +685,74 @@ object StreamingQueries {
     // batches re-ingest the corpus identically, so the logical state
     // never moves while the physical state churns through tombstones.
     "st15_stream_vecindex" -> PipelineQueries.ivfDiskTopkSql,
+    // The vector pipeline's batch replay, composed from the three
+    // stages' proven fragments: the spike/dimension quality filter,
+    // st14's sign-LSH banding over the FILTERED set (dup), and the l3c
+    // IVF probe replay (md5 centroids from the filtered set, left-fold
+    // assignment + probe + rounded-cosine rerank over the kept set) —
+    // one WITH chain, one answer the stream must land on.
+    "st17_stream_embcuration" ->
+      ("""WITH filt AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id <> 0 AND len(embedding) = 64
+        |    AND list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) <= 0.35),
+        |""".stripMargin + embDupCtes("filt", bits = 32, bands = 2) + """,
+        |kept AS (SELECT vec_id, embedding FROM filt
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM dup)),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |      - 1 AS i,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+        |  FROM filt
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |dist AS (
+        |  SELECT e.vec_id, ct.i,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1,65), j ->
+        |        (CAST(e.embedding[j] AS DOUBLE) - ct.c[j])
+        |        * (CAST(e.embedding[j] AS DOUBLE) - ct.c[j]))),
+        |      (a,b) -> a+b) AS d
+        |  FROM kept e, cents ct),
+        |assign AS (
+        |  SELECT vec_id, i AS list FROM (
+        |    SELECT vec_id, i,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE vec_id = 0),
+        |qdist AS (
+        |  SELECT ct.i,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1,65), j ->
+        |        (ct.c[j] - qv.e[j]) * (ct.c[j] - qv.e[j]))),
+        |      (a,b) -> a+b) AS d
+        |  FROM cents ct, qv),
+        |probe AS (SELECT i FROM (
+        |  SELECT i, row_number() OVER (ORDER BY d, i) AS rn FROM qdist)
+        |  WHERE rn <= 3)
+        |SELECT e.vec_id AS vec_id,
+        |  round(list_sum(list_transform(range(1,65),
+        |    j -> CAST(e.embedding[j] AS DOUBLE) * qv.e[j])) /
+        |    (sqrt(list_sum(list_transform(e.embedding,
+        |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * qv.nrm),
+        |    6) AS sim
+        |FROM kept e, qv, assign a
+        |WHERE e.vec_id = a.vec_id
+        |  AND a.list IN (SELECT i FROM probe)
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin),
     // Sign-LSH replay: md5-Rademacher planes (the l3_lsh machinery),
     // 16-bit signature, four 4-bit bands, "drop v iff a lower-id
     // vector shares a band" — the embedding analog of streamNeardupSql.
     "st14_stream_embdedup" ->
-      """WITH planes AS (
-        |  SELECT i, list(CASE WHEN (strpos('0123456789abcdef',
-        |      substr(md5('lsh:42:'||i||':'||j),1,1))-1) & 1 = 1
-        |    THEN 1.0 ELSE -1.0 END ORDER BY j) AS p
-        |  FROM range(0,16) t1(i), range(0,64) t2(j) GROUP BY i),
-        |sigs AS (
-        |  SELECT e.vec_id,
-        |    CAST(sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |        list_transform(range(1,65),
-        |          j -> CAST(e.embedding[j] AS DOUBLE) * pl.p[j])),
-        |        (a,b) -> a+b) >= 0
-        |      THEN CAST(1 AS BIGINT) << pl.i ELSE 0 END) AS BIGINT) AS sig
-        |  FROM embeddings e, planes pl GROUP BY e.vec_id),
-        |bands AS (SELECT vec_id, b, (sig >> CAST(4*b AS INTEGER)) & 15 AS key
-        |  FROM sigs, range(0,4) t(b)),
-        |dup AS (SELECT DISTINCT a.vec_id FROM bands a JOIN bands e
-        |  ON a.b = e.b AND a.key = e.key AND e.vec_id < a.vec_id)
+      ("WITH " + embDupCtes("embeddings") + """
         |SELECT e.label, CAST(count(*) AS BIGINT) AS kept,
         |  CAST(sum(e.vec_id) AS BIGINT) AS id_checksum
         |FROM embeddings e
         |WHERE e.vec_id NOT IN (SELECT vec_id FROM dup)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     "st12_stream_neardup" -> streamNeardupSql,
     "st12b_stream_repair" -> streamNeardupSql,
     // The streamed-in index must serve the SAME answers as l32's
