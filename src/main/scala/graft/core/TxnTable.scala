@@ -1057,7 +1057,7 @@ object TxnTable {
   def readPruned(spark: SparkSession, path: String, column: String,
       lo: Long, hi: Long, asOf: Long = -1L): DataFrame = {
     val full = read(spark, path, asOf) // fence checks + mergeSchema logic
-    val pred = col(column).between(lo, hi)
+    val pred = physicalBetween(full, column, lo, hi)
     // Index ONLY the resolved live snapshot files: dead/orphaned
     // siblings under data/ are never footer-read (a concurrent vacuum
     // reaping one can't fail this read), and the index cost is
@@ -1086,29 +1086,22 @@ object TxnTable {
     if (vs.isEmpty) return full.filter(lit(false))
     val liveAbs = snapshotFiles(path, asOf)
       .map(f => localRoot(path).resolve(f).toString)
-    // The footer index is metadata-scale and the kept list goes to the
-    // driver regardless (it becomes the scan's file set) — so intersect
-    // driver-side in ONE pass over the collected bounds instead of one
-    // selectFiles job per value (serving latency, measured in
-    // NewOpsBench). Per file, the smallest value ≥ min is found by
-    // binary search — O(files·log values), so a large point set (a
-    // batch's candidate buckets, a query's term buckets) never turns
-    // the intersect into an O(files·values) driver loop. Null bounds
-    // keep the file, never skip it.
-    val sorted = vs.sorted.toArray
-    def anyValueIn(mn: Long, mx: Long): Boolean = {
-      var i = java.util.Arrays.binarySearch(sorted, mn)
-      if (i < 0) i = -i - 1
-      i < sorted.length && sorted(i) <= mx
-    }
+    // The intersect stays a DATAFRAME filter — only the KEPT file
+    // names reach the driver (they become the scan's file set, the
+    // same driver state any scan holds); full per-file stats never
+    // funnel through one thread, and past SkippingIndex's threshold
+    // the footer reads themselves fan out as a job. Per file the
+    // values probe is a higher-order `exists` over the sorted literal
+    // array — distributed, and short-circuiting per Spark's exists
+    // semantics. Null bounds keep the file, never skip it.
+    val sortedVals = typedlit(vs.sorted)
     val kept = graft.crawler.SkippingIndex
       .buildForFiles(spark, liveAbs, Seq(column))
       .select(col("file"), col("mins").getItem(0).as("mn"),
         col("maxs").getItem(0).as("mx"))
-      .collect()
-      .filter(r => r.isNullAt(1) || r.isNullAt(2) ||
-        anyValueIn(r.getLong(1), r.getLong(2)))
-      .map(_.getString(0)).toSeq
+      .filter(col("mn").isNull || col("mx").isNull ||
+        exists(sortedVals, v => v >= col("mn") && v <= col("mx")))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
     // empty kept set → a ZERO-file frame (not full.filter(false)), so
     // df.inputFiles honestly reports what a caller's scan would touch
     if (kept.isEmpty)
@@ -1118,6 +1111,20 @@ object TxnTable {
       .filter(col(column).isInCollection(vs))
   }
 
+  /** The residual row predicate for a physical-int64 bound on `c`:
+    * bounds live in the column's PHYSICAL footer-stats value space —
+    * the plain value for integral columns, epoch MICROSECONDS for
+    * timestamps (parquet TIMESTAMP(MICROS) is INT64). The timestamp
+    * literal form keeps the predicate foldable, so it still pushes
+    * into the parquet scan for row-group skipping inside kept files. */
+  private def physicalBetween(df: DataFrame, c: String,
+      lo: Long, hi: Long): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        col(c).between(timestamp_micros(lit(lo)), timestamp_micros(lit(hi)))
+      case _ => col(c).between(lo, hi)
+    }
+
   /** [[readPruned]] in TWO dimensions — the serving read for
     * [[compactClustered]]'s z-ordered layout: rows with `colA` ∈
     * [loA, hiA] AND `colB` ∈ [loB, hiB], scanning only live files whose
@@ -1125,7 +1132,12 @@ object TxnTable {
     * compact range in BOTH columns, so box pruning multiplies the two
     * dimensions' selectivities where single-column pruning gets only
     * one — the point of paying the z-order shuffle. Files missing
-    * stats for either column are conservatively kept. */
+    * stats for either column are conservatively kept.
+    *
+    * Bounds are in each column's physical int64 space (micros for
+    * timestamp columns — see [[physicalBetween]]), so a time-range ×
+    * key box works the same as a key × key box. The box intersect is a
+    * DataFrame filter; only kept file NAMES are collected. */
   def readPrunedBox(spark: SparkSession, path: String,
       colA: String, loA: Long, hiA: Long,
       colB: String, loB: Long, hiB: Long, asOf: Long = -1L): DataFrame = {
@@ -1137,16 +1149,14 @@ object TxnTable {
       .select(col("file"),
         col("mins").getItem(0).as("mnA"), col("maxs").getItem(0).as("mxA"),
         col("mins").getItem(1).as("mnB"), col("maxs").getItem(1).as("mxB"))
-      .collect()
-      .filter { r =>
-        val aOk = r.isNullAt(1) || r.isNullAt(2) ||
-          (r.getLong(1) <= hiA && r.getLong(2) >= loA)
-        val bOk = r.isNullAt(3) || r.isNullAt(4) ||
-          (r.getLong(3) <= hiB && r.getLong(4) >= loB)
-        aOk && bOk
-      }
-      .map(_.getString(0)).toSeq
-    val pred = col(colA).between(loA, hiA) && col(colB).between(loB, hiB)
+      .filter(
+        (col("mnA").isNull || col("mxA").isNull ||
+          (col("mnA") <= hiA && col("mxA") >= loA)) &&
+        (col("mnB").isNull || col("mxB").isNull ||
+          (col("mnB") <= hiB && col("mxB") >= loB)))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val pred = physicalBetween(full, colA, loA, hiA) &&
+      physicalBetween(full, colB, loB, hiB)
     if (kept.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)

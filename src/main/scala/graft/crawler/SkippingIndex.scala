@@ -36,24 +36,28 @@ object SkippingIndex {
     buildForFiles(spark, files.toSeq.map(_.toString), columns)
   }
 
-  /** Index an EXPLICIT file list — the entry point for snapshot-scoped
-    * callers (TxnTable.readPruned indexes only the resolved live files,
-    * never dead/orphaned siblings in the same directory). A file that
-    * disappears between listing and footer read (a concurrent vacuum
-    * reaping a dead file) is skipped, not fatal: it cannot be part of
-    * the caller's snapshot, so skipping preserves correctness.
-    */
-  def buildForFiles(spark: SparkSession, paths: Seq[String],
-      columns: Seq[String]): DataFrame = {
-    import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    val rows = paths.map(new Path(_)).flatMap { p =>
-      val footerOpt =
-        try Some(ParquetFileReader.readFooter(conf, p,
-          ParquetMetadataConverter.NO_FILTER))
-        catch { case _: java.io.FileNotFoundException => None }
-      footerOpt.map(p -> _)
-    }.map { case (p, footer) =>
+  /** Above this many files the footer reads run as a Spark job over
+    * the path list instead of a driver loop — serving-path calls
+    * (a snapshot's dozens of files) stay zero-job-overhead, while a
+    * million-file table never funnels its metadata scan through one
+    * thread. */
+  val DistributeThreshold = 256
+
+  /** One file's (path, rowCount, mins, maxs) from its parquet footer;
+    * None if the file vanished (a concurrent vacuum reaping a dead
+    * sibling — it cannot be part of the caller's snapshot, so skipping
+    * preserves correctness). Serializable-closure-safe: takes the
+    * Configuration explicitly so the distributed path can construct
+    * one per partition. */
+  private def footerBounds(conf: org.apache.hadoop.conf.Configuration,
+      path: String, columns: Seq[String])
+      : Option[(String, Long, Seq[Option[Long]], Seq[Option[Long]])] = {
+    val p = new Path(path)
+    val footerOpt =
+      try Some(ParquetFileReader.readFooter(conf, p,
+        ParquetMetadataConverter.NO_FILTER))
+      catch { case _: java.io.FileNotFoundException => None }
+    footerOpt.map { footer =>
       val blocks = footer.getBlocks.asScala
       val rowCount = blocks.map(_.getRowCount).sum
       val bounds = columns.map { c =>
@@ -63,9 +67,10 @@ object SkippingIndex {
             .map(_.getStatistics)
             .filter(s => s != null && s.hasNonNullValue)
         }
-        // Non-integer stats (or a re-typed column) degrade to no-bounds —
-        // the file is conservatively kept, never wrongly skipped. INT32
-        // and INT64 both index (TxnIndex's bucket column is INT32).
+        // Non-int64/32 stats (or a re-typed column) degrade to
+        // no-bounds — the file is conservatively kept, never wrongly
+        // skipped. INT32 and INT64 both index (TxnIndex's bucket
+        // column is INT32; timestamps are physically INT64 micros).
         val longs = stats.flatMap { s =>
           (s.genericGetMin, s.genericGetMax) match {
             case (mn: java.lang.Long, mx: java.lang.Long) =>
@@ -79,11 +84,38 @@ object SkippingIndex {
           (Option.empty[Long], Option.empty[Long])
         else (Some(longs.map(_._1).min), Some(longs.map(_._2).max))
       }
-      (p.toString, rowCount, bounds)
+      (p.toString, rowCount, bounds.map(_._1), bounds.map(_._2))
     }
-    rows.map { case (f, n, b) =>
-      (f, n, b.map(_._1), b.map(_._2))
-    }.toDF("file", "row_count", "mins", "maxs")
+  }
+
+  /** Index an EXPLICIT file list — the entry point for snapshot-scoped
+    * callers (TxnTable.readPruned indexes only the resolved live files,
+    * never dead/orphaned siblings in the same directory). Small lists
+    * index in a driver loop (no job overhead on serving paths); past
+    * [[DistributeThreshold]] the footer reads fan out as a Spark job,
+    * so consumers can keep filtering the result AS A DATAFRAME and
+    * collect only the kept file names — full per-file stats never
+    * funnel through the driver for a huge table.
+    */
+  def buildForFiles(spark: SparkSession, paths: Seq[String],
+      columns: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (paths.size <= DistributeThreshold) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      paths.flatMap(footerBounds(conf, _, columns))
+        .toDF("file", "row_count", "mins", "maxs")
+    } else {
+      val cols = columns
+      val slices = math.min(64, math.max(1, paths.size / 256))
+      spark.createDataset(
+        spark.sparkContext.parallelize(paths, slices).mapPartitions { it =>
+          // a fresh Configuration per partition: Hadoop confs are not
+          // serializable; defaults resolve local/HDFS paths alike (at a
+          // cluster with custom FS conf, broadcast a SerializableConfiguration)
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.flatMap(footerBounds(conf, _, cols))
+        }).toDF("file", "row_count", "mins", "maxs")
+    }
   }
 
   /** Files whose [min, max] range on indexed column `i` intersects

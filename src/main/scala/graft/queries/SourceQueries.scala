@@ -324,7 +324,51 @@ object SourceQueries {
       .toSeq.toDF("c", "qty_c", "pk_sum", "sk_sum")
   }
 
+  /** S14b: the TIME-RANGE box — s14 with a TIMESTAMP dimension. The
+    * lineitem snapshot is z-ordered on (l_shipdate, l_partkey); the box
+    * bounds live in the column's PHYSICAL int64 footer space (epoch
+    * micros for timestamps), so the same footer machinery prunes a
+    * time-range × key query, and the residual predicate is rebuilt as
+    * foldable timestamp literals (still row-group-pushable). Bounds are
+    * scale-proportional (middle quarter of the shipdate span × lower
+    * half of the key range) so the in-run pruning asserts hold at
+    * every sf.
+    */
+  def s14bTimeBoxRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val t = java.nio.file.Files.createTempDirectory("graft_s14b")
+      .toString + "/li_txn"
+    val li = Lake.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"),
+        col("l_quantity"))
+    TxnTable.create(spark, t, li, partitions = 4)
+    TxnTable.compactClustered(spark, t, col("l_shipdate"), col("l_partkey"),
+      targetFiles = 16)
+    val b = li.agg(min(unix_micros(col("l_shipdate"))),
+      max(unix_micros(col("l_shipdate"))), max(col("l_partkey"))).head()
+    val (tmn, tmx, pmx) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    val (loT, hiT) = (tmn + (tmx - tmn) / 4, tmn + (tmx - tmn) / 2)
+    val boxed = TxnTable.readPrunedBox(spark, t,
+      "l_shipdate", loT, hiT, "l_partkey", 1L, pmx / 2)
+    val rows = boxed
+      .agg(count(lit(1)).as("c"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
+        sum(col("l_partkey")).as("pk_sum"),
+        countDistinct(to_date(col("l_shipdate"))).as("days"))
+      .collect()
+    val read = boxed.inputFiles.length
+    val live = TxnTable.snapshotFiles(t).size
+    val oneDim = TxnTable.readPruned(spark, t, "l_shipdate", loT, hiT)
+      .inputFiles.length
+    require(read > 0 && read < live && read <= oneDim,
+      s"time box prune: read $read of $live files (1-dim read $oneDim)")
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.toDF("c", "qty_c", "pk_sum", "days")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s14b_time_box"     -> (s14bTimeBoxRead _),
     "s14_box_read"      -> (s14BoxRead _),
     "s13_txn_table"     -> (s13TxnTable _),
     "s12_nested"        -> (s12Nested _),
@@ -338,6 +382,24 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // The time-range box on raw lineitem (bounds derived in epoch
+    // micros exactly as the engine derives them); the pruning half is
+    // asserted in-run.
+    "s14b_time_box" ->
+      """WITH b AS (SELECT min(epoch_us(l_shipdate)) AS tmn,
+        |    max(epoch_us(l_shipdate)) AS tmx,
+        |    CAST(max(l_partkey)//2 AS BIGINT) AS pmx2 FROM lineitem),
+        |sel AS (SELECT l.l_partkey, l.l_quantity, l.l_shipdate
+        |  FROM lineitem l, b
+        |  WHERE epoch_us(l.l_shipdate)
+        |      BETWEEN b.tmn + (b.tmx - b.tmn)//4
+        |          AND b.tmn + (b.tmx - b.tmn)//2
+        |    AND l.l_partkey BETWEEN 1 AND b.pmx2)
+        |SELECT CAST(count(*) AS BIGINT) AS c,
+        |  CAST(sum(round(l_quantity * 100)) AS BIGINT) AS qty_c,
+        |  CAST(sum(l_partkey) AS BIGINT) AS pk_sum,
+        |  CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+        |FROM sel""".stripMargin,
     // The box predicate on raw lineitem; the pruning half of the gate
     // (strict-subset file read, ≤ the 1-dim prune) is asserted in-run.
     "s14_box_read" ->

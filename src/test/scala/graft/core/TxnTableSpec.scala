@@ -348,6 +348,39 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).count() == 255)
   }
 
+  test("footer pruning on a multi-hundred-file table: distributed index, " +
+      "names-only collect") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0 until 3000).map(i => (i.toLong, i.toLong / 10))
+      .toDF("id", "grp")
+    createClustered(spark, t, df, Seq(col("id")), targetFiles = 300)
+    val liveAbs = snapshotFiles(t)
+      .map(f => java.nio.file.Paths.get(t).resolve(f).toString)
+    assert(liveAbs.size == 300)
+    // past the threshold the footer index is a DISTRIBUTED job, not a
+    // driver loop materialized as a LocalRelation — consumers filter it
+    // as a DataFrame and only kept names ever reach the driver
+    val idx = graft.crawler.SkippingIndex.buildForFiles(spark, liveAbs,
+      Seq("id"))
+    assert(!idx.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+      "300-file footer index must not be a driver-materialized relation")
+    assert(idx.count() == 300)
+    // all three pruned-read shapes stay correct AND strictly pruned
+    val pr = readPruned(spark, t, "id", 100L, 199L)
+    assert(pr.inputFiles.length < 30,
+      s"range prune kept ${pr.inputFiles.length}/300 files")
+    assert(pr.count() == 100)
+    val vals = Seq(5L, 1500L, 2995L)
+    val pin = readPrunedIn(spark, t, "id", vals)
+    assert(pin.inputFiles.length <= 3 * 2,
+      s"point prune kept ${pin.inputFiles.length}/300 files")
+    assert(pin.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+      == vals.sorted)
+    val box = readPrunedBox(spark, t, "id", 0L, 99L, "grp", 0L, 9L)
+    assert(box.inputFiles.length < 30 && box.count() == 100)
+  }
+
   test("vacuum and restore are checkpoint-amortized on a 100+-commit log") {
     val t = freshTable()
     create(spark, t, rangeDf(0, 10)) // v0
