@@ -297,6 +297,49 @@ object NewOpsBench {
           f"${times(b)}%8.3f s  $tag")
       }
     }
+    // Round-10 probe: commit-log maintenance at streaming version
+    // counts. 120 micro-batch commits (the shape an always-on sink
+    // accumulates), then restore + vacuum — both must resolve from the
+    // nearest checkpoint + suffix (counted via the versionFileReads
+    // seam), never replay the whole log. The printed log_reads is the
+    // scale evidence: it stays ~O(CheckpointInterval) as versions grow,
+    // where the pre-round-10 paths cost one read per version.
+    locally {
+      import graft.core.TxnTable
+      val t = java.nio.file.Files.createTempDirectory("graft_newops_vac")
+        .toString + "/t"
+      TxnTable.create(spark, t, spark.range(0, 10).toDF("id"))
+      val t0 = System.nanoTime()
+      (1 to 120).foreach(k => TxnTable.appendStreamBatch(spark, t,
+        spark.range(k * 10L, k * 10L + 10).toDF("id"), "bench", k.toLong))
+      val tCommits = (System.nanoTime() - t0) / 1e9
+      println(f"[newops] txn_120_stream_commits     $tCommits%8.3f s  " +
+        "rows=120")
+      def reads(body: => Unit): Long = {
+        val b = TxnTable.versionFileReads.get(); body
+        TxnTable.versionFileReads.get() - b
+      }
+      var r = 0L
+      val tRestore = {
+        val x0 = System.nanoTime()
+        r = reads { TxnTable.restore(spark, t, 119L) }
+        (System.nanoTime() - x0) / 1e9
+      }
+      println(f"[newops] txn_restore_at_v121        $tRestore%8.3f s  " +
+        s"log_reads=$r (full replay: 121+)")
+      TxnTable.compact(spark, t)
+      TxnTable.append(spark, t, spark.range(5000, 5010).toDF("id"))
+      val tVacuum = {
+        val x0 = System.nanoTime()
+        r = reads {
+          val (_, deleted) = TxnTable.vacuum(spark, t, retainVersions = 2)
+          require(deleted > 0, "probe table must have dead files")
+        }
+        (System.nanoTime() - x0) / 1e9
+      }
+      println(f"[newops] txn_vacuum_at_v124         $tVacuum%8.3f s  " +
+        s"log_reads=$r (full replay: 124+)")
+    }
     spark.stop()
   }
 }
