@@ -55,9 +55,11 @@ import graft.plans.BloomMightContain
   * False positives only cost extra bucket reads — the (band, key)
   * equi-join against the store remains the decision procedure — and
   * false negatives are impossible by construction. When a bucket's
-  * filter saturates (keys ≫ bits), its candidates degrade to "read
-  * that bucket", never past the bucket-pruned bound; at larger scale
-  * nStoreBuckets (and with it total bloom bits) is the knob.
+  * filter saturates (keys ≫ bits), candidates degrade to "read that
+  * bucket", never past the bucket-pruned bound — and the fold pass
+  * SELF-TUNES: a saturated sidecar is rebuilt from the store sized to
+  * the exact committed key count, so the zero-read gate recovers
+  * without operator intervention (one repair scan per size step).
   *
   * The result equals the batch rule "drop d iff some document with a
   * smaller id shares a band" — StreamDedupSpec pins that the kept set
@@ -279,21 +281,28 @@ object StreamDedup {
       .select(col("a.id"))
     // …or of an EARLIER batch: bloom-gate the batch's keys, then read
     // only the candidates' buckets from the committed signature store
+    val sidecar = foldedSidecar(spark, storePath, bloomBytesPerBucket)
+    // New rows match the sidecar's CURRENT size, which [[foldBloom]]
+    // may have auto-grown past the default — committing default-sized
+    // rows beside grown ones would force a repair scan every batch.
+    val effBloomBytes = sidecar
+      .flatMap(_.iterator.map(_._2.length).maxOption)
+      .getOrElse(bloomBytesPerBucket)
     val dropIds = (if (TxnTable.currentVersion(storePath) < 0) batchHits
       else batchHits.unionAll(storeHits(spark, sigs, storePath, streamId,
-        batchId, bloomBytesPerBucket))).distinct()
+        batchId, sidecar))).distinct()
     val kept = batch.join(dropIds.withColumnRenamed("id", idCol),
       Seq(idCol), "left_anti")
     appendOrCreate(spark, keptPath, kept, s"$streamId-kept", batchId)
     // bloom BEFORE sigs — the over-approximation invariant (see above)
     appendOrCreate(spark, bloomPathOf(storePath),
-      bloomRows(sigs, bloomBytesPerBucket), s"$streamId-bloom", batchId)
+      bloomRows(sigs, effBloomBytes), s"$streamId-bloom", batchId)
     appendOrCreate(spark, storePath,
       sigs.select(col("id"), col("band"), col("key"), col("bucket")),
       s"$streamId-sigs", batchId,
       clusterBy = Seq(col("bucket"), col("key")),
       partitions = storeFilesPerBatch)
-    foldBloom(spark, bloomPathOf(storePath))
+    foldBloom(spark, storePath, effBloomBytes)
     maybeCompactStore(spark, storePath, compactStoreAtFiles)
     kept
   }
@@ -335,15 +344,16 @@ object StreamDedup {
     * signature — bloom-gated, bucket-pruned (the serving read). */
   private def storeHits(spark: SparkSession, sigs: DataFrame,
       storePath: String, streamId: String, batchId: Long,
-      bloomBytes: Int): DataFrame = {
+      sidecar: Option[Seq[(Int, Array[Byte])]]): DataFrame = {
+    import spark.implicits._
     val live = TxnTable.snapshotFiles(storePath).size
-    val candidates = mergedBloom(spark, storePath, bloomBytes) match {
-      case Some(bloom) =>
+    val candidates = sidecar match {
+      case Some(folded) =>
         // broadcast the ≤nStoreBuckets (bucket, bloom) rows; the probe
         // is a codegen scalar — map-side, no shuffle. A key whose
         // bucket has no bloom row has no committed sibling: inner join
         // drops it (correct, not just fast).
-        sigs.join(broadcast(bloom), Seq("bucket"))
+        sigs.join(broadcast(folded.toDF("bucket", "bloom")), Seq("bucket"))
           .filter(BloomMightContain.bloom_might_contain(col("bloom"),
             col("hkey")))
           .drop("bloom")
@@ -392,41 +402,42 @@ object StreamDedup {
     * (the sidecar is metadata-scale: ≤ nStoreBuckets rows after a fold,
     * + nStoreBuckets per unfolded batch). None if no sidecar exists.
     *
-    * Sizing drift (bloomBytesPerBucket changed across a restart) is
+    * Sizing drift (bloomBytesPerBucket changed across a restart, or a
+    * default-sized batch row landing beside auto-grown rows) is
     * SELF-HEALING: mixed-length rows can't be OR-merged (different
-    * hash spaces), so the sidecar is rebuilt from the full store at
-    * the current size and overwritten in place — one repair scan, not
-    * a permanently poisoned sidecar failing every batch. */
-  private def mergedBloom(spark: SparkSession, storePath: String,
-      bloomBytes: Int): Option[DataFrame] = {
+    * hash spaces), so the sidecar is rebuilt from the full store —
+    * at the LARGEST size present (never shrinking an auto-grown
+    * sidecar back to the default) — and overwritten in place. One
+    * repair scan, not a permanently poisoned sidecar failing every
+    * batch. */
+  private def foldedSidecar(spark: SparkSession, storePath: String,
+      defaultBytes: Int): Option[Seq[(Int, Array[Byte])]] = {
     import spark.implicits._
     val bloomPath = bloomPathOf(storePath)
     val v = TxnTable.currentVersion(bloomPath)
     if (v < 0) return None
     val cached = bloomCache.get(bloomPath)
-    val folded =
-      if (cached != null && cached._1 == v) cached._2
-      else {
-        if (bloomCache.size > 64) bloomCache.clear() // bound, not LRU
-        val rows = TxnTable.read(spark, bloomPath).collect()
-          .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))).toSeq
-        val (f, vNow) =
-          try (orFold(rows), v)
-          catch {
-            case _: IllegalArgumentException =>
-              val rebuilt = storeBloomRows(spark, storePath, bloomBytes)
-                .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
-                .toSeq
-              try TxnTable.overwrite(spark, bloomPath,
-                rebuilt.toDF("bucket", "bloom"))
-              catch { case _: TxnTable.TxnConflictException => () }
-              // rebuilt rows are uniform by construction
-              (orFold(rebuilt), TxnTable.currentVersion(bloomPath))
-          }
-        bloomCache.put(bloomPath, (vNow, f))
-        f
+    if (cached != null && cached._1 == v) return Some(cached._2)
+    if (bloomCache.size > 64) bloomCache.clear() // bound, not LRU
+    val rows = TxnTable.read(spark, bloomPath).collect()
+      .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))).toSeq
+    val (f, vNow) =
+      try (orFold(rows), v)
+      catch {
+        case _: IllegalArgumentException =>
+          val target = math.max(defaultBytes,
+            rows.iterator.map(_._2.length).maxOption.getOrElse(defaultBytes))
+          val rebuilt = storeBloomRows(spark, storePath, target)
+            .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
+            .toSeq
+          try TxnTable.overwrite(spark, bloomPath,
+            rebuilt.toDF("bucket", "bloom"))
+          catch { case _: TxnTable.TxnConflictException => () }
+          // rebuilt rows are uniform by construction
+          (orFold(rebuilt), TxnTable.currentVersion(bloomPath))
       }
-    Some(folded.toDF("bucket", "bloom"))
+    bloomCache.put(bloomPath, (vNow, f))
+    Some(f)
   }
 
   private def orFold(rows: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] =
@@ -442,26 +453,70 @@ object StreamDedup {
       (b, out)
     }.toSeq.sortBy(_._1)
 
-  /** How many sidecar commits between folds. */
-  private val BloomFoldCadence = 16
+  /** How many sidecar commits between folds (test seam: specs shrink
+    * it to exercise the fold/auto-grow loops in few batches). */
+  private[graft] var BloomFoldCadence = 16
+
+  /** A folded bucket filter past this set-bit fraction has lost its
+    * pruning power (the false-positive rate races toward 1) — the fold
+    * auto-grows the sidecar instead of folding in place. */
+  private val SaturationFill = 0.5
+
+  /** Target bits per committed key when auto-growing (fill ≈ 0.44
+    * after rebuild — below the saturation trigger, so sizing is
+    * stable; fp ≈ 0.4% with the pinned k=7). */
+  private val GrowBitsPerKey = 12
 
   /** Fold the sidecar to one row per bucket on a COMMIT-COUNT cadence
     * (every ~16 versions) — the trigger costs one version lookup, not
     * a table read, so quiet batches pay nothing; the unfolded row
     * count stays ≤ cadence·nStoreBuckets + nStoreBuckets between
     * folds. Best-effort maintenance (a lost overwrite race defers to
-    * the next trigger; the fold changes no answers, only read cost). */
-  private def foldBloom(spark: SparkSession, bloomPath: String): Unit = {
+    * the next trigger; the fold changes no answers, only read cost).
+    *
+    * SELF-TUNING: when a folded bucket saturates (set-bit fraction >
+    * [[SaturationFill]] — its gate passes ~everything and all-new
+    * batches stop reading zero files), the fold REBUILDS the sidecar
+    * from the store instead, sized from the exact committed key count
+    * at [[GrowBitsPerKey]] bits/key (min 2× current, so progress is
+    * guaranteed). Subsequent batch rows adopt the grown size (see
+    * `effBloomBytes` in processSigs), so growth costs one repair scan
+    * per size step, not per batch. */
+  private def foldBloom(spark: SparkSession, storePath: String,
+      curBytes: Int): Unit = {
+    val bloomPath = bloomPathOf(storePath)
     val v = TxnTable.currentVersion(bloomPath)
     if (v <= 0 || v % BloomFoldCadence != 0) return
     val rows = TxnTable.read(spark, bloomPath).collect()
       .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))).toSeq
     import spark.implicits._
-    // drift-tolerant: a mixed-size sidecar defers to mergedBloom's
+    // drift-tolerant: a mixed-size sidecar defers to foldedSidecar's
     // self-heal at the next probe instead of failing this batch
-    try TxnTable.overwrite(spark, bloomPath,
-      orFold(rows).toDF("bucket", "bloom"))
-    catch {
+    try {
+      val folded = orFold(rows)
+      val maxFill = folded.iterator.map { case (_, b) =>
+        var bits = 0
+        b.foreach(x => bits += java.lang.Integer.bitCount(x & 0xff))
+        bits.toDouble / (b.length * 8L)
+      }.maxOption.getOrElse(0.0)
+      val storeV = TxnTable.currentVersion(storePath)
+      if (maxFill > SaturationFill && storeV >= 0) {
+        val mk = TxnTable.read(spark, storePath)
+          .groupBy(col("bucket"))
+          .agg(countDistinct(xxhash64(col("band"), col("key"))).as("n"))
+          .agg(max(col("n"))).head()
+        val maxKeys = if (mk.isNullAt(0)) 0L else mk.getLong(0)
+        if (maxKeys > 0) {
+          val target = math.max(curBytes * 2,
+            graft.plans.BloomUtil.sizing(maxKeys, GrowBitsPerKey)._1)
+          TxnTable.overwrite(spark, bloomPath,
+            storeBloomRows(spark, storePath, target))
+        }
+      } else {
+        TxnTable.overwrite(spark, bloomPath, folded.toDF("bucket", "bloom"))
+        ()
+      }
+    } catch {
       case _: TxnTable.TxnConflictException => ()
       case _: IllegalArgumentException => ()
     }

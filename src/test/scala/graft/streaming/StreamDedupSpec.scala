@@ -372,6 +372,50 @@ class StreamDedupSpec extends SparkSpecBase {
     assert(lens.size == 1, s"sidecar still mixed-size after heal: $lens")
   }
 
+  test("a saturated sidecar AUTO-GROWS at fold and regains zero-read pruning") {
+    val store = Files.createTempDirectory("graft_sdg_store").toString + "/t"
+    val kept = Files.createTempDirectory("graft_sdg_kept").toString + "/t"
+    val prevCadence = StreamDedup.BloomFoldCadence
+    StreamDedup.BloomFoldCadence = 4
+    try {
+      // 8-byte filters over 4 buckets saturate within a few batches of
+      // unique docs; the fold must then REBUILD the sidecar from the
+      // store, sized to the committed key count
+      val uniq = (0 until 120).map(i =>
+        (i.toLong, s"grow item $i with words psi$i omega$i alef$i bet$i",
+          "u")).toDF("doc_id", "text", "source")
+      (0 until 12).foreach { b =>
+        StreamDedup.processBatch(spark,
+          uniq.filter(col("doc_id") >= b * 10 && col("doc_id") < (b + 1) * 10),
+          b.toLong, store, kept, "grow", nStoreBuckets = 4,
+          bloomBytesPerBucket = 8)
+      }
+      val lens = TxnTable.read(spark, store + "_bloom")
+        .select(length(col("bloom"))).collect().map(_.getInt(0)).toSet
+      assert(lens.max > 8, s"sidecar must auto-grow past 8 bytes, got $lens")
+      // pruning power restored: an all-new batch reads ZERO store files
+      // again (a saturated 64-bit filter passed everything)
+      StreamDedup.scanLog.clear()
+      val fresh = (200 until 210).map(i =>
+        (i.toLong, s"fresh item $i with words gimel$i dalet$i he$i vav$i",
+          "u")).toDF("doc_id", "text", "source")
+      StreamDedup.processBatch(spark, fresh, 12L, store, kept, "grow",
+        nStoreBuckets = 4, bloomBytesPerBucket = 8)
+      import scala.jdk.CollectionConverters._
+      val s = StreamDedup.scanLog.asScala.find(_.streamId == "grow").get
+      assert(s.filesRead == 0 && s.candBuckets == 0,
+        s"grown sidecar must gate an all-new batch to zero reads: $s")
+      // and a genuine dup of an EARLY (pre-growth) doc is still caught —
+      // the rebuild covered the whole committed store
+      val dup = Seq((300L, "grow item 7 with words psi7 omega7 alef7 bet7",
+        "u")).toDF("doc_id", "text", "source")
+      StreamDedup.processBatch(spark, dup, 13L, store, kept, "grow",
+        nStoreBuckets = 4, bloomBytesPerBucket = 8)
+      assert(!TxnTable.read(spark, kept).select(col("doc_id"))
+        .collect().map(_.getLong(0)).contains(300L))
+    } finally StreamDedup.BloomFoldCadence = prevCadence
+  }
+
   test("redelivered micro-batch is a no-op on both tables") {
     val store = Files.createTempDirectory("graft_sdd_store").toString + "/t"
     val kept = Files.createTempDirectory("graft_sdd_kept").toString + "/t"
