@@ -1122,6 +1122,10 @@ object TxnTable {
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.TimestampType =>
         col(c).between(timestamp_micros(lit(lo)), timestamp_micros(lit(hi)))
+      case org.apache.spark.sql.types.DateType =>
+        // parquet DATE is INT32 days since epoch — bounds are unix days
+        col(c).between(date_from_unix_date(lit(lo.toInt)),
+          date_from_unix_date(lit(hi.toInt)))
       case _ => col(c).between(lo, hi)
     }
 

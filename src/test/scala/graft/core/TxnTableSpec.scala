@@ -381,6 +381,53 @@ class TxnTableSpec extends SparkSpecBase {
     assert(box.inputFiles.length < 30 && box.count() == 100)
   }
 
+  test("physical-typed pruning: DATE columns prune by unix-day bounds") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = (0 until 400).map(i => (i.toLong,
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(18000 + i / 2))))
+      .toDF("id", "d")
+    createClustered(spark, t, df, Seq(col("d")), targetFiles = 8)
+    val pr = readPruned(spark, t, "d", 18020L, 18039L)
+    assert(pr.count() == 40, "date-box must select exactly the day range")
+    assert(pr.inputFiles.length < 8,
+      s"date pruning kept ${pr.inputFiles.length}/8 files")
+    val full = read(spark, t).filter(col("d").between(
+      lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(18020))),
+      lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(18039)))))
+    assert(pr.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      full.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("old-format checkpoints (no allAdds) fall back to full replay, correct") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10))
+    (1 to 14).foreach(k => append(spark, t, rangeDf(k * 10, k * 10 + 10)))
+    // simulate checkpoints written by older code: strip the allAdds field
+    val logDir = java.nio.file.Paths.get(t, "_graft_log")
+    val s = Files.list(logDir)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith("ckpt-v")) {
+          val txt = new String(Files.readAllBytes(p), "UTF-8")
+          val stripped = txt.replaceAll("\"allAdds\":\\[[^\\]]*\\],", "")
+          assert(stripped != txt, "fixture must actually strip the field")
+          Files.write(p, stripped.getBytes("UTF-8"))
+        }
+      }
+    } finally s.close()
+    // restore + vacuum still correct (slower full-replay path)
+    restore(spark, t, 12L) // v15: content of v12
+    assert(read(spark, t).count() == 130)
+    compact(spark, t) // v16
+    append(spark, t, rangeDf(5000, 5010)) // v17
+    val (_, deleted) = vacuum(spark, t, retainVersions = 2)
+    assert(deleted > 0, "old-format fallback must still find the dead files")
+    assert(read(spark, t).count() == 140)
+  }
+
   test("vacuum and restore are checkpoint-amortized on a 100+-commit log") {
     val t = freshTable()
     create(spark, t, rangeDf(0, 10)) // v0
