@@ -1111,6 +1111,32 @@ object TxnTable {
       .filter(col(column).isInCollection(vs))
   }
 
+  /** [[readPruned]] for STRING columns: rows with `column` ∈ [lo, hi]
+    * under binary-lexicographic order — the SAME order parquet's UTF8
+    * footer stats and Spark's string comparison both use, so the
+    * file-level prune and the residual predicate can never disagree.
+    * Same contract as the long-typed reads: files without string stats
+    * are conservatively kept, the intersect is a DataFrame filter,
+    * only kept file NAMES are collected, and an empty kept set returns
+    * a zero-file frame. Pair with a `createClustered`/
+    * `compactClustered` layout leading on the string column. */
+  def readPrunedString(spark: SparkSession, path: String, column: String,
+      lo: String, hi: String, asOf: Long = -1L): DataFrame = {
+    val full = read(spark, path, asOf)
+    val liveAbs = snapshotFiles(path, asOf)
+      .map(f => localRoot(path).resolve(f).toString)
+    val kept = graft.crawler.SkippingIndex
+      .buildStringIndex(spark, liveAbs, column)
+      .filter(col("mn").isNull || col("mx").isNull ||
+        (col("mn") <= hi && col("mx") >= lo))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val pred = col(column).between(lit(lo), lit(hi))
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
+    else spark.read.schema(full.schema).parquet(kept: _*).filter(pred)
+  }
+
   /** The residual row predicate for a physical-int64 bound on `c`:
     * bounds live in the column's PHYSICAL footer-stats value space —
     * the plain value for integral columns, epoch MICROSECONDS for

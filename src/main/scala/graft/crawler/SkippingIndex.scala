@@ -118,6 +118,70 @@ object SkippingIndex {
     }
   }
 
+  /** One file's (path, rowCount, min, max) STRING bounds for `column`
+    * from its parquet footer — the string sibling of [[footerBounds]]
+    * (separate shape: typed bounds can't share the long-array schema).
+    * Parquet UTF8 stats order is unsigned byte-lexicographic, which is
+    * exactly Spark's UTF8String column comparison — so a DataFrame
+    * filter over these bounds is consistent with how the stats were
+    * computed (and parquet's own truncation rules keep truncated
+    * bounds valid: min ≤ values ≤ max always). Non-binary stats →
+    * null bounds (file conservatively kept). */
+  private def footerStringBounds(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String, column: String)
+      : Option[(String, Long, Option[String], Option[String])] = {
+    val p = new Path(path)
+    val footerOpt =
+      try Some(ParquetFileReader.readFooter(conf, p,
+        ParquetMetadataConverter.NO_FILTER))
+      catch { case _: java.io.FileNotFoundException => None }
+    footerOpt.map { footer =>
+      val blocks = footer.getBlocks.asScala
+      val rowCount = blocks.map(_.getRowCount).sum
+      val stats = blocks.flatMap { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .map(_.getStatistics)
+          .filter(s => s != null && s.hasNonNullValue)
+      }
+      val strs = stats.flatMap { s =>
+        (s.genericGetMin, s.genericGetMax) match {
+          case (mn: org.apache.parquet.io.api.Binary,
+                mx: org.apache.parquet.io.api.Binary) =>
+            Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+          case _ => None
+        }
+      }
+      val bounds =
+        if (strs.isEmpty || strs.size != stats.size)
+          (Option.empty[String], Option.empty[String])
+        else (Some(strs.map(_._1).min), Some(strs.map(_._2).max))
+      (p.toString, rowCount, bounds._1, bounds._2)
+    }
+  }
+
+  /** STRING min/max index over an explicit file list — same distribute-
+    * past-threshold and filter-as-a-DataFrame contract as
+    * [[buildForFiles]]. Columns: (file, row_count, mn, mx). */
+  def buildStringIndex(spark: SparkSession, paths: Seq[String],
+      column: String): DataFrame = {
+    import spark.implicits._
+    if (paths.size <= DistributeThreshold) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      paths.flatMap(footerStringBounds(conf, _, column))
+        .toDF("file", "row_count", "mn", "mx")
+    } else {
+      val c = column
+      val slices = math.min(64, math.max(1, paths.size / 256))
+      spark.createDataset(
+        spark.sparkContext.parallelize(paths, slices).mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.flatMap(footerStringBounds(conf, _, c))
+        }).toDF("file", "row_count", "mn", "mx")
+    }
+  }
+
   /** Files whose [min, max] range on indexed column `i` intersects
     * [lo, hi] (files without stats are kept — skipping must never drop
     * data).

@@ -367,7 +367,41 @@ object SourceQueries {
       .toSeq.toDF("c", "qty_c", "pk_sum", "days")
   }
 
+  /** S15: STRING-pruned reads — the last footer-stats type. documents
+    * is clustered leading on `source`; a string-range read must return
+    * exactly the rows of the (binary-lexicographic) range while
+    * scanning a strict subset of the snapshot's files, from the
+    * parquet UTF8 footer min/max. Byte order is the one order all
+    * three parties share (parquet stats, Spark string comparison, the
+    * DuckDB BETWEEN), so the prune and the predicate cannot disagree.
+    */
+  def s15StringPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val t = java.nio.file.Files.createTempDirectory("graft_s15")
+      .toString + "/docs_txn"
+    val docs = Lake.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    TxnTable.createClustered(spark, t, docs,
+      Seq(col("source"), col("doc_id")), targetFiles = 10)
+    // 'src0'..'src12' spans 5 of the 20 sources in byte order
+    // (src0, src1, src10, src11, src12) — scale-independent bounds
+    val pruned = TxnTable.readPrunedString(spark, t, "source",
+      "src0", "src12")
+    val rows = pruned
+      .agg(count(lit(1)).as("c"), sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("chars"))
+      .collect()
+    val read = pruned.inputFiles.length
+    val live = TxnTable.snapshotFiles(t).size
+    require(read > 0 && read < live,
+      s"string prune: read $read of $live files")
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.toDF("c", "id_sum", "chars")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s15_string_prune"  -> (s15StringPrune _),
     "s14b_time_box"     -> (s14bTimeBoxRead _),
     "s14_box_read"      -> (s14BoxRead _),
     "s13_txn_table"     -> (s13TxnTable _),
@@ -382,6 +416,14 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // The string range on raw documents; the pruning half is asserted
+    // in-run (strict-subset file read from UTF8 footer stats).
+    "s15_string_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS c,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE source BETWEEN 'src0' AND 'src12'""".stripMargin,
     // The time-range box on raw lineitem (bounds derived in epoch
     // micros exactly as the engine derives them); the pruning half is
     // asserted in-run.
