@@ -672,7 +672,10 @@ object TxnTable {
       if (survivors.isEmpty) Nil
       else writeData(spark, path, survivors, 1)
     val hitNames = hitDf.collect().map(_.getString(0)).toSet
-    val removes = files.filter(f => hitNames.contains(f.stripPrefix("data/")))
+    // last-segment comparison (UUID file names are a complete key):
+    // works for own-root relative paths AND a shallow clone's absolute
+    // source references alike
+    val removes = files.filter(f => hitNames.contains(f.split('/').last))
     preCommitHook()
     try tryCommit(path, TxnCommit(base + 1, "delete", adds, removes))
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
@@ -778,7 +781,8 @@ object TxnTable {
     val adds = survivorAdds ++ insertAdds
     if (adds.isEmpty && nHitFiles == 0) return base // no-op merge
     val hitNames = hitDf.collect().map(_.getString(0)).toSet
-    val removes = files.filter(f => hitNames.contains(f.stripPrefix("data/")))
+    // last-segment comparison — see deleteWhere (clone-safe)
+    val removes = files.filter(f => hitNames.contains(f.split('/').last))
     preCommitHook()
     try tryCommit(path, TxnCommit(base + 1, "merge", adds, removes))
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
@@ -900,6 +904,40 @@ object TxnTable {
     sys.error(s"appendStreamBatch: lost $maxAttempts version races for $op")
   }
 
+  /** SHALLOW CLONE: create `dst` whose version 0 references `src`'s
+    * snapshot files BY PATH — zero data copied, pure metadata (the
+    * zero-copy branch/sandbox operation: test a migration against
+    * 100 TB without duplicating a byte). The clone's own writes land
+    * under its own `data/`; rewrites (delete/merge/compact) replace
+    * source references with clone-local files, progressively
+    * materializing exactly the rewritten part. [[vacuum]] deletes only
+    * files under a table's OWN root, so a clone's vacuum can never
+    * reap source data. Caveat (the same contract as Delta shallow
+    * clones): the SOURCE does not know about clones — vacuuming the
+    * source can invalidate a clone's un-materialized references, so
+    * retain source history for as long as clones live.
+    */
+  def cloneShallow(spark: SparkSession, src: String, dst: String,
+      asOf: Long = -1L): Long = {
+    val srcTop = currentVersion(src)
+    require(srcTop >= 0, s"not a TxnTable: $src")
+    val upTo = if (asOf < 0) srcTop else asOf
+    if (asOf >= 0) {
+      val earliest = earliestVersion(src)
+      require(asOf >= earliest,
+        s"cannot clone at $asOf: vacuumed (earliest readable $earliest)")
+    }
+    val byPath = addsIndex(src, srcTop)
+    val adds = snapshotFiles(src, upTo).map { f =>
+      val a = byPath.getOrElse(f,
+        sys.error(s"clone: add metadata missing for $f (corrupt log?)"))
+      a.copy(path = localRoot(src).resolve(f).toString)
+    }
+    val schema = schemaInfo(src, upTo)._2
+    tryCommit(dst, TxnCommit(0L, s"clone:$upTo", adds, Nil, schema))
+    0L
+  }
+
   /** Roll the table back to the logical content of `toVersion` — as a
     * NEW commit (history is never rewritten): removes the current live
     * set and re-adds the target snapshot's files by reference. Requires
@@ -1007,10 +1045,15 @@ object TxnTable {
       try {
         tryCommit(path, TxnCommit(cur + 1, s"vacuum:$horizon", Nil, Nil))
         // the commit won: the dead-set is authoritative (later writers
-        // build on a log that already contains this vacuum)
+        // build on a log that already contains this vacuum). Only
+        // files under the table's OWN data dir are deletable — a
+        // shallow clone references foreign absolute paths, and its
+        // vacuum must never reap the source's data.
         var deleted = 0
         dead.foreach { f =>
-          if (Files.deleteIfExists(localRoot(path).resolve(f))) deleted += 1
+          val p = localRoot(path).resolve(f)
+          if (p.startsWith(dataDir(path)) && Files.deleteIfExists(p))
+            deleted += 1
         }
         return (cur + 1, deleted)
       } catch {

@@ -400,7 +400,47 @@ object SourceQueries {
       .toSeq.toDF("c", "id_sum", "chars")
   }
 
+  /** S16: SHALLOW CLONE — zero-copy table branching. Clone the orders
+    * txn table (pure metadata: the in-run assert requires that the
+    * clone owns NO data files), then branch on the clone: a predicate
+    * delete (rewrites only hit files, replacing source references
+    * with clone-local survivors) and an append. The oracle recomputes
+    * the branch from raw orders; in-run asserts pin the zero-copy and
+    * isolation halves — the source's version AND content are
+    * untouched by the clone's writes, and an aggressive vacuum on the
+    * clone deletes nothing of the source (own-root guard).
+    */
+  def s16ShallowClone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val root = java.nio.file.Files.createTempDirectory("graft_s16").toString
+    val src = s"$root/src"
+    val dst = s"$root/clone"
+    val orders = Lake.table(spark, dir, "orders")
+    TxnTable.create(spark, src, orders, partitions = 4)
+    val srcV = TxnTable.currentVersion(src)
+    TxnTable.cloneShallow(spark, src, dst)
+    require(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "data")),
+      "shallow clone must write ZERO data files")
+    // branch: the clone diverges, the source must not move
+    TxnTable.deleteWhere(spark, dst, col("o_orderstatus") === "P")
+    TxnTable.append(spark, dst,
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+    require(TxnTable.currentVersion(src) == srcV,
+      "clone writes must not touch the source log")
+    val srcRows = TxnTable.read(spark, src).count()
+    // aggressive clone vacuum: the own-root guard must spare the source
+    TxnTable.vacuum(spark, dst, retainVersions = 1)
+    require(TxnTable.read(spark, src).count() == srcRows,
+      "clone vacuum must never reap source data")
+    TxnTable.read(spark, dst)
+      .agg(count(lit(1)).as("c"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_c"),
+        sum(col("o_orderkey")).as("key_sum"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s16_shallow_clone" -> (s16ShallowClone _),
     "s15_string_prune"  -> (s15StringPrune _),
     "s14b_time_box"     -> (s14bTimeBoxRead _),
     "s14_box_read"      -> (s14BoxRead _),
@@ -416,6 +456,19 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // The branched clone's content from raw orders; the zero-copy and
+    // isolation halves are asserted in-run.
+    "s16_shallow_clone" ->
+      """WITH cl AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderstatus <> 'P'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2 FROM orders
+        |  WHERE o_orderkey % 10 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS c,
+        |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS price_c,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM cl""".stripMargin,
     // The string range on raw documents; the pruning half is asserted
     // in-run (strict-subset file read from UTF8 footer stats).
     "s15_string_prune" ->

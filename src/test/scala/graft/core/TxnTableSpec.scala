@@ -381,6 +381,41 @@ class TxnTableSpec extends SparkSpecBase {
     assert(box.inputFiles.length < 30 && box.count() == 100)
   }
 
+  test("shallow clone: zero-copy branch, divergent writes, vacuums never cross") {
+    val root = Files.createTempDirectory("graft_clone").toString
+    val src = s"$root/src"
+    val dst = s"$root/clone"
+    create(spark, src, rangeDf(0, 100))
+    append(spark, src, rangeDf(100, 150))
+    cloneShallow(spark, src, dst)
+    // pure metadata: no data dir, content identical to the source
+    assert(!Files.exists(java.nio.file.Paths.get(dst, "data")))
+    assert(read(spark, dst).count() == 150)
+    // branch the clone; the source must not move
+    deleteWhere(spark, dst, col("id") < 50)
+    append(spark, dst, rangeDf(500, 510))
+    assert(read(spark, dst).count() == 110)
+    assert(read(spark, src).count() == 150, "source content must not move")
+    assert(currentVersion(src) == 1L, "source log must not move")
+    // clone time travel: v0 is the cloned snapshot
+    assert(read(spark, dst, asOf = 0L).count() == 150)
+    // aggressive clone vacuum: own-root guard spares every source file
+    vacuum(spark, dst, retainVersions = 1)
+    assert(read(spark, src).count() == 150,
+      "clone vacuum must never delete source data")
+    // compact fully materializes the clone; a second vacuum then reaps
+    // the clone's OWN dead rewrite files, still sparing the source
+    compact(spark, dst)
+    val (_, reaped) = vacuum(spark, dst, retainVersions = 1)
+    assert(reaped > 0, "materialized clone must have own dead files to reap")
+    assert(read(spark, dst).count() == 110)
+    assert(read(spark, src).count() == 150)
+    // clone-of-clone composes (references resolve transitively)
+    val dst2 = s"$root/clone2"
+    cloneShallow(spark, dst, dst2)
+    assert(read(spark, dst2).count() == 110)
+  }
+
   test("physical-typed pruning: DATE columns prune by unix-day bounds") {
     import spark.implicits._
     val t = freshTable()
