@@ -1236,6 +1236,42 @@ object TxnTable {
     else spark.read.schema(full.schema).parquet(kept: _*).filter(pred)
   }
 
+  /** CHANGE DATA FEED between two readable versions: the keyed
+    * row-level diff (insert/delete/update — [[graft.operators.
+    * SnapshotDiff]] semantics, unchanged keys absent) computed from
+    * ONLY the files that changed between the versions. An unchanged
+    * file contributes identical rows to both sides and therefore no
+    * diff row — so at 100 TB, where a day of commits touches ~1% of
+    * files, this reads that 1% instead of two full snapshots (rows
+    * carried through a rewrite appear on both sides and cancel as
+    * `unchanged`, exactly as in the full diff — equality with the
+    * full-snapshot diff is asserted in-run by the s17 gate). Requires
+    * the table to be keyed on `keyCols` (≤ 1 row per key), the same
+    * contract as SnapshotDiff itself. Schema-evolved tables diff under
+    * each version's recorded schema; the payload columns must match.
+    */
+  def diffVersions(spark: SparkSession, path: String, fromV: Long,
+      toV: Long, keyCols: Seq[String]): DataFrame = {
+    val top = currentVersion(path)
+    val earliest = earliestVersion(path)
+    require(fromV <= toV && toV <= top && fromV >= earliest,
+      s"diffVersions: need $earliest <= fromV <= toV <= $top, " +
+        s"got [$fromV, $toV]")
+    val before = snapshotFiles(path, fromV)
+    val after = snapshotFiles(path, toV)
+    val removed = before.toSet -- after.toSet
+    val added = after.toSet -- before.toSet
+    def side(files: Set[String], v: Long): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          read(spark, path, v).schema)
+      else snapshotReader(spark, path, v).parquet(
+        files.toSeq.map(f => localRoot(path).resolve(f).toString): _*)
+    graft.operators.SnapshotDiff.diff(
+      side(removed, fromV), side(added, toV), keyCols)
+  }
+
   /** Commit history as a DataFrame (driver-side metadata). */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

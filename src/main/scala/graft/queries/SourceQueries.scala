@@ -439,7 +439,56 @@ object SourceQueries {
         sum(col("o_orderkey")).as("key_sum"))
   }
 
+  /** S17: change data feed between versions, FILE-SCOPED — the keyed
+    * insert/delete/update diff computed from only the files that
+    * changed. The table is key-clustered so the delete (a key range)
+    * and the update merge (a narrow key range) each rewrite a few
+    * files; the in-run asserts pin BOTH halves: the changed-file sets
+    * are strictly smaller than the snapshots (the scoping actually
+    * prunes), and the scoped diff equals the full-snapshot diff
+    * op-for-op. The oracle recomputes all three ops from raw orders
+    * with the same scale-proportional bounds.
+    */
+  def s17VersionDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val t = java.nio.file.Files.createTempDirectory("graft_s17")
+      .toString + "/orders_txn"
+    val orders = Lake.table(spark, dir, "orders")
+    val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_orderkey")),
+      targetFiles = 8) // v0
+    TxnTable.deleteWhere(spark, t, col("o_orderkey") <= mx / 8) // v1
+    TxnTable.merge(spark, t,
+      orders.filter(col("o_orderkey").between(mx / 2, mx / 2 + mx / 16))
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      Seq("o_orderkey"), clusterBy = Seq(col("o_orderkey"))) // v2
+    TxnTable.append(spark, t,
+      orders.filter(col("o_orderkey").between(mx / 4, mx / 4 + mx / 16))
+        .withColumn("o_orderkey", col("o_orderkey") + mx)) // v3
+    val scoped = TxnTable.diffVersions(spark, t, 0L, 3L, Seq("o_orderkey"))
+    def byOp(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("c"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("op"))
+    val result = byOp(scoped).collect()
+    // the scoped diff must equal the FULL-snapshot diff op-for-op
+    val full = byOp(graft.operators.SnapshotDiff.diff(
+      TxnTable.read(spark, t, 0L), TxnTable.read(spark, t, 3L),
+      Seq("o_orderkey"))).collect()
+    require(result.toSeq == full.toSeq,
+      "file-scoped diff drifted from the full-snapshot diff")
+    // and the scoping actually pruned: strictly fewer files read
+    val b = TxnTable.snapshotFiles(t, 0L).toSet
+    val a = TxnTable.snapshotFiles(t, 3L).toSet
+    require(((b -- a).size + (a -- b).size) < b.size + a.size,
+      "changed-file sets must be smaller than the two snapshots")
+    import spark.implicits._
+    result.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.toDF("op", "c", "key_sum")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s17_version_diff"  -> (s17VersionDiff _),
     "s16_shallow_clone" -> (s16ShallowClone _),
     "s15_string_prune"  -> (s15StringPrune _),
     "s14b_time_box"     -> (s14bTimeBoxRead _),
@@ -456,6 +505,24 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // All three change ops recomputed from raw orders with the same
+    // scale-proportional bounds; the file-scoping and scoped≡full
+    // halves are asserted in-run.
+    "s17_version_diff" ->
+      """WITH b AS (SELECT max(o_orderkey) AS mx FROM orders),
+        |d AS (SELECT 'delete' AS op, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |      FROM orders, b WHERE o_orderkey <= b.mx//8),
+        |u AS (SELECT 'update' AS op, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |      FROM orders, b
+        |      WHERE o_orderkey BETWEEN b.mx//2 AND b.mx//2 + b.mx//16),
+        |i AS (SELECT 'insert' AS op, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(o_orderkey + b.mx) AS BIGINT) AS key_sum
+        |      FROM orders, b
+        |      WHERE o_orderkey BETWEEN b.mx//4 AND b.mx//4 + b.mx//16)
+        |SELECT * FROM d UNION ALL SELECT * FROM u UNION ALL
+        |SELECT * FROM i ORDER BY op""".stripMargin,
     // The branched clone's content from raw orders; the zero-copy and
     // isolation halves are asserted in-run.
     "s16_shallow_clone" ->

@@ -416,6 +416,22 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, dst2).count() == 110)
   }
 
+  test("diffVersions: identical versions diff empty; vacuumed fromV fences") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 50))
+    append(spark, t, rangeDf(50, 80))
+    assert(diffVersions(spark, t, 1L, 1L, Seq("id")).count() == 0)
+    // the appended tranche surfaces as pure inserts
+    val d = diffVersions(spark, t, 0L, 1L, Seq("id")).collect()
+    assert(d.length == 30 && d.forall(_.getAs[String]("op") == "insert"))
+    compact(spark, t) // v2
+    vacuum(spark, t, retainVersions = 2) // v3, horizon 2
+    val e = intercept[IllegalArgumentException] {
+      diffVersions(spark, t, 0L, 2L, Seq("id"))
+    }
+    assert(e.getMessage.contains("diffVersions"))
+  }
+
   test("physical-typed pruning: DATE columns prune by unix-day bounds") {
     import spark.implicits._
     val t = freshTable()
