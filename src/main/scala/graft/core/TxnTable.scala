@@ -1272,6 +1272,33 @@ object TxnTable {
       side(removed, fromV), side(added, toV), keyCols)
   }
 
+  /** [[diffVersions]] with BOTH row images (`before`/`after` payload
+    * structs — [[graft.operators.SnapshotDiff.diffImages]]): the CDF
+    * shape incremental view maintenance needs, since a delete's or
+    * update's OLD values are what a downstream aggregate subtracts.
+    * Same file scoping, fences, and keyed contract. */
+  def diffVersionsImages(spark: SparkSession, path: String, fromV: Long,
+      toV: Long, keyCols: Seq[String]): DataFrame = {
+    val top = currentVersion(path)
+    val earliest = earliestVersion(path)
+    require(fromV <= toV && toV <= top && fromV >= earliest,
+      s"diffVersions: need $earliest <= fromV <= toV <= $top, " +
+        s"got [$fromV, $toV]")
+    val before = snapshotFiles(path, fromV)
+    val after = snapshotFiles(path, toV)
+    val removed = before.toSet -- after.toSet
+    val added = after.toSet -- before.toSet
+    def side(files: Set[String], v: Long): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          read(spark, path, v).schema)
+      else snapshotReader(spark, path, v).parquet(
+        files.toSeq.map(f => localRoot(path).resolve(f).toString): _*)
+    graft.operators.SnapshotDiff.diffImages(
+      side(removed, fromV), side(added, toV), keyCols)
+  }
+
   /** Commit history as a DataFrame (driver-side metadata). */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

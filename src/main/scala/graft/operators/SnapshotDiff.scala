@@ -50,4 +50,35 @@ object SnapshotDiff {
       .filter(col("op") =!= "unchanged")
       .select(keyCols.map(col) ++ Seq(col("op")) ++ payload.map(col): _*)
   }
+
+  /** [[diff]] with BOTH row images — the change-data-feed shape
+    * incremental consumers need (a delete's or update's OLD values are
+    * what a downstream aggregate must subtract; the plain diff carries
+    * only the new side). Output: keyCols ++ (op, before, after) where
+    * `before`/`after` are payload structs, null for inserts/deletes
+    * respectively. Same keyed contract and the same one-shuffle,
+    * hash-compared shape as [[diff]].
+    */
+  def diffImages(oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val payload = newDf.columns.filterNot(keyCols.contains).toSeq
+    require(payload == oldDf.columns.filterNot(keyCols.contains).toSeq,
+      "old and new snapshots must share the same payload columns")
+    val o = oldDf.select(
+      keyCols.map(col) :+ struct(payload.map(col): _*).as("before") :+
+        payloadHash(payload).as("__old_hash"): _*)
+    val n = newDf.select(
+      keyCols.map(col) :+ struct(payload.map(col): _*).as("after") :+
+        payloadHash(payload).as("__new_hash"): _*)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("__old_hash").isNull, lit("insert"))
+          .when(col("__new_hash").isNull, lit("delete"))
+          .when(col("__old_hash") =!= col("__new_hash"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("op") =!= "unchanged")
+      .select(keyCols.map(col) ++
+        Seq(col("op"), col("before"), col("after")): _*)
+  }
 }

@@ -487,7 +487,67 @@ object SourceQueries {
       .toSeq.toDF("op", "c", "key_sum")
   }
 
+  /** S18: INCREMENTAL VIEW MAINTENANCE from the change data feed — the
+    * payoff of carrying row images: a per-status (count, revenue) view
+    * is materialized once at v0, then maintained purely by folding the
+    * three consecutive per-version image diffs (+after for inserts,
+    * −before for deletes, both for updates) — the table is never
+    * re-aggregated. In-run: the maintained view equals a direct
+    * recompute of the final snapshot, row for row; the oracle replays
+    * the final state from raw orders. At 100 TB this is the difference
+    * between re-scanning the table per refresh and paying O(changed
+    * files) per version.
+    */
+  def s18IncrementalView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val t = java.nio.file.Files.createTempDirectory("graft_s18")
+      .toString + "/orders_txn"
+    val orders = Lake.table(spark, dir, "orders")
+    val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_orderkey")),
+      targetFiles = 8) // v0
+    TxnTable.append(spark, t,
+      orders.filter(col("o_orderkey").between(mx / 4, mx / 4 + mx / 16))
+        .withColumn("o_orderkey", col("o_orderkey") + mx)) // v1: inserts
+    TxnTable.deleteWhere(spark, t, col("o_orderkey") <= mx / 8) // v2
+    TxnTable.merge(spark, t,
+      orders.filter(col("o_orderkey").between(mx / 2, mx / 2 + mx / 16))
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      Seq("o_orderkey"), clusterBy = Seq(col("o_orderkey"))) // v3: updates
+    def deltaOf(d: org.apache.spark.sql.DataFrame) = {
+      val plus = d.filter(col("op") =!= "delete")
+        .select(col("after.o_orderstatus").as("st"), lit(1L).as("dc"),
+          round(col("after.o_totalprice") * 100).cast("long").as("dp"))
+      val minus = d.filter(col("op") =!= "insert")
+        .select(col("before.o_orderstatus").as("st"), lit(-1L).as("dc"),
+          (-round(col("before.o_totalprice") * 100)).cast("long").as("dp"))
+      plus.unionAll(minus)
+    }
+    val state0 = TxnTable.read(spark, t, 0L)
+      .select(col("o_orderstatus").as("st"), lit(1L).as("dc"),
+        round(col("o_totalprice") * 100).cast("long").as("dp"))
+    val folded = (0L until 3L).map(v => deltaOf(
+        TxnTable.diffVersionsImages(spark, t, v, v + 1, Seq("o_orderkey"))))
+      .foldLeft(state0)(_ unionAll _)
+    val result = folded.groupBy(col("st"))
+      .agg(sum(col("dc")).as("cnt"), sum(col("dp")).as("price_c"))
+      .filter(col("cnt") > 0)
+      .orderBy(col("st")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = TxnTable.read(spark, t, 3L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_c"))
+      .orderBy(col("o_orderstatus")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    require(result == direct,
+      "maintained view drifted from the direct final-snapshot recompute")
+    import spark.implicits._
+    result.toDF("st", "cnt", "price_c")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s18_incremental_view" -> (s18IncrementalView _),
     "s17_version_diff"  -> (s17VersionDiff _),
     "s16_shallow_clone" -> (s16ShallowClone _),
     "s15_string_prune"  -> (s15StringPrune _),
@@ -505,6 +565,24 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // The FINAL maintained state replayed from raw orders (insert
+    // tranche + key-range delete + doubled-price updates); the
+    // maintained≡recomputed half is asserted in-run.
+    "s18_incremental_view" ->
+      """WITH b AS (SELECT max(o_orderkey) AS mx FROM orders),
+        |fin AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders, b
+        |  WHERE o_orderkey > b.mx//8
+        |    AND o_orderkey NOT BETWEEN b.mx//2 AND b.mx//2 + b.mx//16
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice * 2 FROM orders, b
+        |  WHERE o_orderkey BETWEEN b.mx//2 AND b.mx//2 + b.mx//16
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders, b
+        |  WHERE o_orderkey BETWEEN b.mx//4 AND b.mx//4 + b.mx//16)
+        |SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS price_c
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
     // All three change ops recomputed from raw orders with the same
     // scale-proportional bounds; the file-scoping and scoped≡full
     // halves are asserted in-run.

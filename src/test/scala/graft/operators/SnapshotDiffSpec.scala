@@ -67,4 +67,31 @@ class SnapshotDiffSpec extends SparkSpecBase {
     val orders = graft.core.Lake.table(spark, sf0001, "orders")
     assert(SnapshotDiff.diff(orders, orders, Seq("o_orderkey")).count() === 0)
   }
+
+  test("diffImages: both row images carried, consistent with diff") {
+    val o = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val n = Seq((2L, "b", 25.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val d = SnapshotDiff.diffImages(o, n, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(d.keySet == Set(1L, 2L, 4L)) // 3 unchanged
+    val del = d(1L)
+    assert(del.getAs[String]("op") == "delete" && del.isNullAt(3) &&
+      del.getStruct(2).getDouble(1) == 10.0,
+      "a delete must carry its BEFORE image and a null after")
+    val upd = d(2L)
+    assert(upd.getAs[String]("op") == "update" &&
+      upd.getStruct(2).getDouble(1) == 20.0 &&
+      upd.getStruct(3).getDouble(1) == 25.0,
+      "an update must carry both images")
+    val ins = d(4L)
+    assert(ins.getAs[String]("op") == "insert" && ins.isNullAt(2) &&
+      ins.getStruct(3).getDouble(1) == 40.0,
+      "an insert must carry its AFTER image and a null before")
+    // same keys + ops as the plain diff
+    val plain = SnapshotDiff.diff(o, n, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(plain == d.map { case (k, r) => (k, r.getAs[String]("op")) }.toSet)
+  }
 }
