@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.plans.ZOrderInterleave(exprs.head, exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("zorder3"),
+      new ExpressionInfo(classOf[graft.plans.ZOrderInterleave3].getName,
+        "zorder3"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.ZOrderInterleave3(exprs.head, exprs(1), exprs(2))))
+    e.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[graft.plans.BloomMightContain].getName,
         "bloom_might_contain"),

@@ -839,6 +839,26 @@ object TxnTable {
     base + 1
   }
 
+  /** [[compactClustered]] on THREE dimensions (Morton3, 21 bits/dim) —
+    * each rewritten file owns a compact range on all three columns, so
+    * [[readPrunedBoxN]] multiplies three selectivities. Same contract
+    * otherwise: abort-on-conflict, history readable, staged files
+    * cleaned on abort. */
+  def compactClustered3(spark: SparkSession, path: String,
+      a: Column, b: Column, c: Column, targetFiles: Int = 27): Long = {
+    val base = currentVersion(path)
+    val files = snapshotFiles(path, base)
+    val abs = files.map(f => localRoot(path).resolve(f).toString)
+    val clustered = graft.operators.Layout.zorderPartitions3(
+      snapshotReader(spark, path, base).parquet(abs: _*), a, b, c,
+      targetFiles)
+    val adds = writeDataPrepared(spark, path, clustered)
+    preCommitHook()
+    try tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+    base + 1
+  }
+
   /** Exactly-once streaming append (the foreachBatch sink): commit the
     * micro-batch under op `stream:<streamId>:<batchId>` and SKIP any
     * batch id already in the log — checkpoint recovery re-delivers the
@@ -1213,23 +1233,37 @@ object TxnTable {
     * DataFrame filter; only kept file NAMES are collected. */
   def readPrunedBox(spark: SparkSession, path: String,
       colA: String, loA: Long, hiA: Long,
-      colB: String, loB: Long, hiB: Long, asOf: Long = -1L): DataFrame = {
+      colB: String, loB: Long, hiB: Long, asOf: Long = -1L): DataFrame =
+    readPrunedBoxN(spark, path,
+      Seq((colA, loA, hiA), (colB, loB, hiB)), asOf)
+
+  /** The N-dimensional box read: rows with EVERY `(column, lo, hi)`
+    * bound satisfied, scanning only live files whose footer ranges
+    * intersect all of them — the serving read for [[compactClustered]]
+    * (2-d) and [[compactClustered3]] (3-d) layouts, and for any
+    * conjunction of range predicates over a clustered table. Bounds
+    * live in each column's physical int64 space ([[physicalBetween]]);
+    * files missing stats on a dimension are conservatively kept for
+    * that dimension; the intersect is a DataFrame filter and only kept
+    * file NAMES are collected. */
+  def readPrunedBoxN(spark: SparkSession, path: String,
+      dims: Seq[(String, Long, Long)], asOf: Long = -1L): DataFrame = {
+    require(dims.nonEmpty, "at least one box dimension")
     val full = read(spark, path, asOf)
     val liveAbs = snapshotFiles(path, asOf)
       .map(f => localRoot(path).resolve(f).toString)
+    val keepCond = dims.zipWithIndex.map { case ((_, lo, hi), i) =>
+      val mn = col("mins").getItem(i)
+      val mx = col("maxs").getItem(i)
+      mn.isNull || mx.isNull || (mn <= hi && mx >= lo)
+    }.reduce(_ && _)
     val kept = graft.crawler.SkippingIndex
-      .buildForFiles(spark, liveAbs, Seq(colA, colB))
-      .select(col("file"),
-        col("mins").getItem(0).as("mnA"), col("maxs").getItem(0).as("mxA"),
-        col("mins").getItem(1).as("mnB"), col("maxs").getItem(1).as("mxB"))
-      .filter(
-        (col("mnA").isNull || col("mxA").isNull ||
-          (col("mnA") <= hiA && col("mxA") >= loA)) &&
-        (col("mnB").isNull || col("mxB").isNull ||
-          (col("mnB") <= hiB && col("mxB") >= loB)))
+      .buildForFiles(spark, liveAbs, dims.map(_._1))
+      .filter(keepCond)
       .select(col("file")).collect().map(_.getString(0)).toSeq
-    val pred = physicalBetween(full, colA, loA, hiA) &&
-      physicalBetween(full, colB, loB, hiB)
+    val pred = dims.map { case (c, lo, hi) =>
+      physicalBetween(full, c, lo, hi)
+    }.reduce(_ && _)
     if (kept.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)

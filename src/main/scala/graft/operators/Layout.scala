@@ -65,4 +65,24 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** [[zorderPartitions]] for THREE dimensions (Morton3, 21 bits/dim):
+    * each file then owns a compact range on ALL THREE columns, so a
+    * 3-d box predicate prunes on every dimension. Same one
+    * range-shuffle cost; bounds come from one 6-number agg. */
+  def zorderPartitions3(df: DataFrame, a: Column, b: Column, c: Column,
+      numPartitions: Int): DataFrame = {
+    val r = df.agg(min(a.cast("double")), max(a.cast("double")),
+      min(b.cast("double")), max(b.cast("double")),
+      min(c.cast("double")), max(c.cast("double"))).head()
+    def get(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    val z = ZOrderInterleave.zorder3(
+      normalizeToBits(a, get(0), get(1), 21),
+      normalizeToBits(b, get(2), get(3), 21),
+      normalizeToBits(c, get(4), get(5), 21))
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
 }

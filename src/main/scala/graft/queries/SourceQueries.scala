@@ -546,7 +546,52 @@ object SourceQueries {
     result.toDF("st", "cnt", "price_c")
   }
 
+  /** S19: THREE-dimensional z-order + 3-d box reads — Morton3
+    * clustering (21 bits/dim) on (l_partkey, l_suppkey, l_orderkey),
+    * then a 3-d box query (half of each key range) must return exactly
+    * the predicate's rows while reading a strict subset of snapshot
+    * files, tighter-or-equal than EVERY single-dimension prune —
+    * asserted in-run. The third dimension is what a 2-d key cannot
+    * give: with three conjunctive range predicates, the 2-d layout
+    * prunes on two of them at best.
+    */
+  def s19Zorder3Box(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val t = java.nio.file.Files.createTempDirectory("graft_s19")
+      .toString + "/li_txn"
+    val li = Lake.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+    TxnTable.create(spark, t, li, partitions = 4)
+    TxnTable.compactClustered3(spark, t, col("l_partkey"),
+      col("l_suppkey"), col("l_orderkey"), targetFiles = 27)
+    val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey")),
+      max(col("l_orderkey"))).head()
+    val (pk, sk, ok) = (mx.getLong(0) / 2, mx.getLong(1) / 2,
+      mx.getLong(2) / 2)
+    val dims = Seq(("l_partkey", 1L, pk), ("l_suppkey", 1L, sk),
+      ("l_orderkey", 1L, ok))
+    val boxed = TxnTable.readPrunedBoxN(spark, t, dims)
+    val rows = boxed
+      .agg(count(lit(1)).as("c"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
+        sum(col("l_partkey") + col("l_suppkey") + col("l_orderkey"))
+          .as("key_sum"))
+      .collect()
+    val read = boxed.inputFiles.length
+    val live = TxnTable.snapshotFiles(t).size
+    val oneDim = dims.map { case (c, lo, hi) =>
+      TxnTable.readPruned(spark, t, c, lo, hi).inputFiles.length
+    }.min
+    require(read > 0 && read < live && read <= oneDim,
+      s"3-d box prune: read $read of $live files (best 1-dim $oneDim)")
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.toDF("c", "qty_c", "key_sum")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s19_zorder3_box"   -> (s19Zorder3Box _),
     "s18_incremental_view" -> (s18IncrementalView _),
     "s17_version_diff"  -> (s17VersionDiff _),
     "s16_shallow_clone" -> (s16ShallowClone _),
@@ -565,6 +610,20 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // The 3-d box predicate on raw lineitem; the pruning half
+    // (strict subset, ≤ every 1-dim prune) is asserted in-run.
+    "s19_zorder3_box" ->
+      """WITH b AS (SELECT CAST(max(l_partkey)//2 AS BIGINT) AS pk,
+        |    CAST(max(l_suppkey)//2 AS BIGINT) AS sk,
+        |    CAST(max(l_orderkey)//2 AS BIGINT) AS ok FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS c,
+        |  CAST(sum(round(l_quantity * 100)) AS BIGINT) AS qty_c,
+        |  CAST(sum(l_partkey + l_suppkey + l_orderkey) AS BIGINT)
+        |    AS key_sum
+        |FROM lineitem, b
+        |WHERE l_partkey BETWEEN 1 AND b.pk
+        |  AND l_suppkey BETWEEN 1 AND b.sk
+        |  AND l_orderkey BETWEEN 1 AND b.ok""".stripMargin,
     // The FINAL maintained state replayed from raw orders (insert
     // tranche + key-range delete + doubled-price updates); the
     // maintained≡recomputed half is asserted in-run.

@@ -79,4 +79,49 @@ class ZOrderSpec extends SparkSpecBase {
     assert(laid.count() === li.count())
     assert(laid.exceptAll(li).count() === 0)
   }
+
+  private def referenceInterleave3(x: Long, y: Long, z: Long): Long =
+    (0 until 21).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (3 * i + 2)) |
+        (((y >> i) & 1L) << (3 * i + 1)) | (((z >> i) & 1L) << (3 * i))
+    }
+
+  test("interleave3 matches the bit-by-bit reference; out-of-range throws") {
+    val m = (1L << 21) - 1
+    val cases = Seq[(Long, Long, Long)](
+      (0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1), (m, 0, 0), (0, m, 0),
+      (0, 0, m), (m, m, m), (12345, 67890, 99999),
+      (0x155555L, 0x0AAAAAL, 0x133333L))
+    cases.foreach { case (x, y, z) =>
+      assert(ZOrderInterleave.interleave3(x, y, z) ===
+        referenceInterleave3(x, y, z), s"($x,$y,$z)")
+    }
+    // the full 3×21-bit result stays sign-clear (LongType order == z order)
+    assert(ZOrderInterleave.interleave3(m, m, m) > 0)
+    intercept[IllegalArgumentException](
+      ZOrderInterleave.interleave3(1L << 21, 0, 0))
+    intercept[IllegalArgumentException](
+      ZOrderInterleave.interleave3(0, 0, -1))
+  }
+
+  test("zorderPartitions3 preserves rows; 3-d layout prunes on the 3rd dim") {
+    val li = graft.core.Lake.table(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val laid = Layout.zorderPartitions3(li, col("l_partkey"),
+      col("l_suppkey"), col("l_orderkey"), 27)
+    assert(laid.count() === li.count())
+    assert(laid.exceptAll(li).count() === 0)
+    // write the layout; the THIRD dimension's footer ranges must prune
+    // (a 2-d (partkey, suppkey) key gives orderkey no locality at all)
+    val out = java.nio.file.Files.createTempDirectory("graft_z3").toString
+    laid.write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    val mxO = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val idx = graft.crawler.SkippingIndex.buildForFiles(spark, files,
+      Seq("l_orderkey"))
+    val kept = graft.crawler.SkippingIndex.selectFiles(idx, 0, 1L, mxO / 4)
+    assert(kept.size < files.size,
+      s"3rd-dim prune kept ${kept.size}/${files.size} files")
+  }
 }
