@@ -251,9 +251,10 @@ object TxnTable {
 
   /** Test seam: invoked between the version read and the tryCommit of
     * every retrying writer (append / restore / appendStreamBatch /
-    * vacuum) and of the single-shot writers (deleteWhere / compact /
-    * compactClustered, which abort to the caller on conflict instead
-    * of retrying),
+    * vacuum) and before every commit attempt of the rewrite writers
+    * (deleteWhere / merge / compact / compactClustered / overwrite,
+    * which rebase past commutable interleaved commits and abort to the
+    * caller on a true logical conflict — see [[commitRewrite]]),
     * letting specs deterministically interleave a concurrent commit
     * into the race window. No-op in production. */
   private[graft] var preCommitHook: () => Unit = () => ()
@@ -408,10 +409,16 @@ object TxnTable {
   /** Like writeData but trusts the frame's existing partitioning/sort —
     * the seam clustered layouts (compactClustered) come through, where a
     * blind repartition would destroy the ordering being written. */
+  /** Test seam: counts physical data-write jobs (every staged tranche
+    * comes through writeDataPrepared), so specs can assert a REBASED
+    * rewrite committed without re-running its rewrite job. */
+  private[graft] val dataWriteJobs = new java.util.concurrent.atomic.AtomicLong
+
   private def writeDataPrepared(
       spark: SparkSession,
       path: String,
       df: DataFrame): Seq[TxnAdd] = {
+    dataWriteJobs.incrementAndGet()
     val staging = Files.createTempDirectory("graft_txn_stage").toString
     df.write.mode("overwrite").parquet(staging)
     Files.createDirectories(dataDir(path))
@@ -463,6 +470,77 @@ object TxnTable {
     adds.foreach(a =>
       try Files.deleteIfExists(localRoot(path).resolve(a.path))
       catch { case _: Throwable => () })
+
+  /** How a rewrite commit may REBASE past commits that landed between
+    * its snapshot read and its tryCommit (the Delta-style logical
+    * conflict check). Without rebase, always-on ingest starves
+    * maintenance: a compaction that takes longer than one streaming
+    * micro-batch loses the CAS race to the stream's next commit every
+    * time and redoes the whole rewrite job from scratch. */
+  private sealed trait RebasePolicy
+  /** Never rebase — CAS writers whose INPUT ROWS were derived from the
+    * base snapshot (appendCas, merge with expectedBase): committing
+    * them over anything newer could encode stale derivations. */
+  private case object NoRebase extends RebasePolicy
+  /** Rebase iff no interleaved commit removed any of THIS rewrite's
+    * removes. An append (or any commit touching disjoint files)
+    * commutes: the rewrite's removes are still live at the new head,
+    * its adds carry exactly their replacement rows, so re-committing
+    * the SAME adds/removes at the new version preserves every
+    * interleaved writer's data. A true overlap (someone rewrote or
+    * deleted one of our source files) still aborts — our adds were
+    * computed from rows that no longer stand. This is WriteSerializable
+    * isolation (Delta's default): a rebased deleteWhere/merge applies
+    * its predicate to the snapshot it READ; rows appended concurrently
+    * are not re-filtered. */
+  private case object CommuteNonOverlapping extends RebasePolicy
+  /** Rebase only past commits that changed NO files (vacuum and other
+    * metadata-only commits). INSERT OVERWRITE replaces the table's
+    * whole logical content, so it must NOT commute with an interleaved
+    * append — the overwrite would need to remove the appended files
+    * too, which its recorded removes (resolved at base) do not cover. */
+  private case object CommuteMetadataOnly extends RebasePolicy
+
+  /** Publish a rewrite commit at `base + 1`, rebasing past commutable
+    * interleaved commits per `policy` — the SAME adds/removes re-commit
+    * at the new head WITHOUT re-running the rewrite job (the whole
+    * point: the loser's work is metadata-rebased, not redone). Returns
+    * the committed version; throws [[TxnConflictException]] on a true
+    * logical conflict (callers clean their staged adds). */
+  private def commitRewrite(path: String, base: Long, op: String,
+      adds: Seq[TxnAdd], removes: Seq[String], policy: RebasePolicy,
+      schema: Option[String] = None, maxRebases: Int = 20): Long = {
+    val myRemoves = removes.toSet
+    var v = base + 1
+    var attempt = 0
+    while (true) {
+      preCommitHook()
+      try {
+        tryCommit(path, TxnCommit(v, op, adds, removes, schema))
+        return v
+      } catch {
+        case e: TxnConflictException =>
+          if (attempt >= maxRebases) throw e
+          val cur = currentVersion(path)
+          val commutes = policy match {
+            case NoRebase => false
+            case CommuteNonOverlapping =>
+              (v to cur).forall { iv =>
+                !readCommit(path, iv).removes.exists(myRemoves.contains)
+              }
+            case CommuteMetadataOnly =>
+              (v to cur).forall { iv =>
+                val c = readCommit(path, iv)
+                c.adds.isEmpty && c.removes.isEmpty
+              }
+          }
+          if (!commutes) throw e
+          attempt += 1
+          v = cur + 1
+      }
+    }
+    -1L // unreachable
+  }
 
   /** The table schema as of the latest commit that recorded one
     * (create + explicit evolutions) — checkpoint-amortized via
@@ -593,10 +671,8 @@ object TxnTable {
     val files = snapshotFiles(path, base)
     checkSchema(path, df, evolveSchema = false)
     val adds = writeData(spark, path, df, partitions)
-    preCommitHook()
-    try tryCommit(path, TxnCommit(base + 1, "overwrite", adds, files))
+    try commitRewrite(path, base, "overwrite", adds, files, CommuteMetadataOnly)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
-    base + 1
   }
 
   def overwriteClustered(spark: SparkSession, path: String, df: DataFrame,
@@ -607,10 +683,8 @@ object TxnTable {
     val adds = writeDataPrepared(spark, path,
       df.repartitionByRange(targetFiles, clusterBy: _*)
         .sortWithinPartitions(clusterBy: _*))
-    preCommitHook()
-    try tryCommit(path, TxnCommit(base + 1, "overwrite", adds, files))
+    try commitRewrite(path, base, "overwrite", adds, files, CommuteMetadataOnly)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
-    base + 1
   }
 
   def append(spark: SparkSession, path: String, df: DataFrame,
@@ -645,7 +719,10 @@ object TxnTable {
   /** Delete matching rows by rewriting ONLY the files that contain them
     * (one input_file_name() pass finds those files; untouched files are
     * carried by reference). The snapshot it read is re-validated at
-    * commit: a concurrent commit aborts the delete (no lost updates).
+    * commit: commutable interleaved commits (appends, rewrites of
+    * disjoint files) are rebased past without redoing the job; a
+    * concurrent commit that touched one of the hit files aborts the
+    * delete (no lost updates) — see [[commitRewrite]].
     */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column): Long = {
     val base = currentVersion(path)
@@ -676,10 +753,9 @@ object TxnTable {
     // works for own-root relative paths AND a shallow clone's absolute
     // source references alike
     val removes = files.filter(f => hitNames.contains(f.split('/').last))
-    preCommitHook()
-    try tryCommit(path, TxnCommit(base + 1, "delete", adds, removes))
+    try commitRewrite(path, base, "delete", adds, removes,
+      CommuteNonOverlapping)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
-    base + 1
   }
 
   /** Keyed MERGE (the Delta MERGE whenMatched-delete + insert role):
@@ -695,10 +771,11 @@ object TxnTable {
     * input_file_name() pass + a broadcast-or-keyed semi-join on the
     * keys — no driver-side key list, so the key set may be data-sized);
     * untouched files are carried by reference. Conflict contract:
-    * abort-on-conflict like [[deleteWhere]] — the snapshot it read is
-    * re-validated at commit, a concurrent commit surfaces as
-    * [[TxnConflictException]], and an aborted run deletes its staged
-    * files.
+    * rebase-or-abort like [[deleteWhere]] — the snapshot it read is
+    * re-validated at commit; commutable interleaved commits rebase,
+    * a true overlap surfaces as [[TxnConflictException]] (and a CAS
+    * caller via `expectedBase` never rebases), and an aborted run
+    * deletes its staged files.
     */
   def merge(spark: SparkSession, path: String, df: DataFrame,
       keyCols: Seq[String], partitions: Int = 1,
@@ -783,10 +860,11 @@ object TxnTable {
     val hitNames = hitDf.collect().map(_.getString(0)).toSet
     // last-segment comparison — see deleteWhere (clone-safe)
     val removes = files.filter(f => hitNames.contains(f.split('/').last))
-    preCommitHook()
-    try tryCommit(path, TxnCommit(base + 1, "merge", adds, removes))
+    // CAS callers derived their INPUT from the base snapshot — never
+    // rebase those; a plain merge commutes with non-overlapping commits
+    val policy = if (expectedBase >= 0) NoRebase else CommuteNonOverlapping
+    try commitRewrite(path, base, "merge", adds, removes, policy)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
-    base + 1
   }
 
   /** Fold the current snapshot into `targetFiles` files. Purely physical:
@@ -801,10 +879,9 @@ object TxnTable {
     // table must not lose evolved columns to single-footer inference
     val adds = writeData(spark, path,
       snapshotReader(spark, path, base).parquet(abs: _*), targetFiles)
-    preCommitHook()
-    try tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
+    try commitRewrite(path, base, "compact", adds, files,
+      CommuteNonOverlapping)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
-    base + 1
   }
 
   /** Fold the current snapshot into `targetFiles` Z-ORDERED files on
@@ -816,14 +893,15 @@ object TxnTable {
     * At scale the rewrite is the same range-partition + local-sort
     * shuffle any global sort costs, amortized over every pruned read.
     *
-    * Conflict contract — abort-on-conflict, like [[compact]] and
-    * [[deleteWhere]]: the snapshot it read is re-validated at commit,
-    * and a concurrent commit surfaces as [[TxnConflictException]] to
-    * the caller (who re-runs against the fresh snapshot if still
-    * wanted). Retrying internally would be WRONG here: the rewrite was
-    * computed from the old snapshot, so blindly committing it after a
-    * lost race would silently undo the interleaved writer's rows. An
-    * aborted run deletes its staged files — nothing is orphaned.
+    * Conflict contract — rebase-or-abort, like [[compact]] and
+    * [[deleteWhere]]: losing the version race triggers the LOGICAL
+    * conflict check ([[commitRewrite]]) — interleaved commits that
+    * touched none of this rewrite's removes (appends, stream batches,
+    * disjoint rewrites) commute, and the same adds/removes re-commit
+    * at the new head without redoing the rewrite job; an interleaved
+    * commit that removed one of our source files aborts with
+    * [[TxnConflictException]] (blindly committing would undo that
+    * writer's rows). An aborted run deletes its staged files.
     */
   def compactClustered(spark: SparkSession, path: String,
       a: Column, b: Column, targetFiles: Int = 16): Long = {
@@ -833,10 +911,9 @@ object TxnTable {
     val clustered = graft.operators.Layout.zorderPartitions(
       snapshotReader(spark, path, base).parquet(abs: _*), a, b, targetFiles)
     val adds = writeDataPrepared(spark, path, clustered)
-    preCommitHook()
-    try tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
+    try commitRewrite(path, base, "compact", adds, files,
+      CommuteNonOverlapping)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
-    base + 1
   }
 
   /** [[compactClustered]] on THREE dimensions (Morton3, 21 bits/dim) —
@@ -853,10 +930,9 @@ object TxnTable {
       snapshotReader(spark, path, base).parquet(abs: _*), a, b, c,
       targetFiles)
     val adds = writeDataPrepared(spark, path, clustered)
-    preCommitHook()
-    try tryCommit(path, TxnCommit(base + 1, "compact", adds, files))
+    try commitRewrite(path, base, "compact", adds, files,
+      CommuteNonOverlapping)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
-    base + 1
   }
 
   /** Exactly-once streaming append (the foreachBatch sink): commit the
@@ -946,6 +1022,8 @@ object TxnTable {
       val earliest = earliestVersion(src)
       require(asOf >= earliest,
         s"cannot clone at $asOf: vacuumed (earliest readable $earliest)")
+      require(asOf <= srcTop,
+        s"cannot clone at $asOf: version does not exist (latest $srcTop)")
     }
     val byPath = addsIndex(src, srcTop)
     val adds = snapshotFiles(src, upTo).map { f =>
@@ -1212,9 +1290,12 @@ object TxnTable {
       case org.apache.spark.sql.types.TimestampType =>
         col(c).between(timestamp_micros(lit(lo)), timestamp_micros(lit(hi)))
       case org.apache.spark.sql.types.DateType =>
-        // parquet DATE is INT32 days since epoch — bounds are unix days
-        col(c).between(date_from_unix_date(lit(lo.toInt)),
-          date_from_unix_date(lit(hi.toInt)))
+        // parquet DATE is INT32 days since epoch — bounds are unix days;
+        // toIntExact so an out-of-range bound fails loudly instead of
+        // wrapping into a residual predicate that disagrees with the
+        // file-level prune
+        col(c).between(date_from_unix_date(lit(Math.toIntExact(lo))),
+          date_from_unix_date(lit(Math.toIntExact(hi))))
       case _ => col(c).between(lo, hi)
     }
 

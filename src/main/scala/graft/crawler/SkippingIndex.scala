@@ -23,6 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object SkippingIndex {
 
+  /** Java-serializable Hadoop Configuration carrier for the distributed
+    * footer-read path: Configuration itself is not Serializable, but it
+    * IS Writable — ship the session's conf (custom filesystems,
+    * object-store credentials) to executors instead of rebuilding
+    * defaults per partition, which silently drops that config. */
+  private class SerConf(@transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Long-typed min/max stats per file for `columns` + row count.
     * Columns must be INT64 in the files (the id/key columns a layout
     * clusters on). Missing stats → null bounds (file never skipped).
@@ -107,12 +124,14 @@ object SkippingIndex {
     } else {
       val cols = columns
       val slices = math.min(64, math.max(1, paths.size / 256))
+      // ship the SESSION's Hadoop conf (custom filesystems, object-store
+      // credentials) — a default per-partition Configuration would make
+      // distributed builds fail exactly where the driver path succeeds
+      val bconf = spark.sparkContext.broadcast(
+        new SerConf(spark.sparkContext.hadoopConfiguration))
       spark.createDataset(
         spark.sparkContext.parallelize(paths, slices).mapPartitions { it =>
-          // a fresh Configuration per partition: Hadoop confs are not
-          // serializable; defaults resolve local/HDFS paths alike (at a
-          // cluster with custom FS conf, broadcast a SerializableConfiguration)
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = bconf.value.value
           it.flatMap(footerBounds(conf, _, cols))
         }).toDF("file", "row_count", "mins", "maxs")
     }
@@ -145,18 +164,40 @@ object SkippingIndex {
           .map(_.getStatistics)
           .filter(s => s != null && s.hasNonNullValue)
       }
-      val strs = stats.flatMap { s =>
+      val bins = stats.flatMap { s =>
         (s.genericGetMin, s.genericGetMax) match {
           case (mn: org.apache.parquet.io.api.Binary,
                 mx: org.apache.parquet.io.api.Binary) =>
-            Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+            Some((mn.getBytes, mx.getBytes))
           case _ => None
         }
       }
+      // Fold per-row-group bounds to file level as UNSIGNED UTF-8 BYTES —
+      // the order parquet's UTF8 stats and Spark's UTF8String comparison
+      // both use. Java String's .min/.max compare UTF-16 code units,
+      // which DISAGREES with byte order for supplementary-plane code
+      // points (e.g. U+10000 sorts below U+FFFF in UTF-16 but above in
+      // UTF-8), so a multi-row-group file could report a wrong file-level
+      // bound and be wrongly skipped.
       val bounds =
-        if (strs.isEmpty || strs.size != stats.size)
+        if (bins.isEmpty || bins.size != stats.size)
           (Option.empty[String], Option.empty[String])
-        else (Some(strs.map(_._1).min), Some(strs.map(_._2).max))
+        else {
+          def lt(a: Array[Byte], b: Array[Byte]): Boolean = {
+            var i = 0
+            val n = math.min(a.length, b.length)
+            while (i < n) {
+              val d = (a(i) & 0xff) - (b(i) & 0xff)
+              if (d != 0) return d < 0
+              i += 1
+            }
+            a.length < b.length
+          }
+          val mn = bins.map(_._1).reduce((a, b) => if (lt(a, b)) a else b)
+          val mx = bins.map(_._2).reduce((a, b) => if (lt(a, b)) b else a)
+          (Some(new String(mn, java.nio.charset.StandardCharsets.UTF_8)),
+            Some(new String(mx, java.nio.charset.StandardCharsets.UTF_8)))
+        }
       (p.toString, rowCount, bounds._1, bounds._2)
     }
   }
@@ -174,9 +215,11 @@ object SkippingIndex {
     } else {
       val c = column
       val slices = math.min(64, math.max(1, paths.size / 256))
+      val bconf = spark.sparkContext.broadcast(
+        new SerConf(spark.sparkContext.hadoopConfiguration))
       spark.createDataset(
         spark.sparkContext.parallelize(paths, slices).mapPartitions { it =>
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = bconf.value.value
           it.flatMap(footerStringBounds(conf, _, c))
         }).toDF("file", "row_count", "mn", "mx")
     }

@@ -422,7 +422,7 @@ object StreamDedup {
     val rows = TxnTable.read(spark, bloomPath).collect()
       .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))).toSeq
     val (f, vNow) =
-      try (orFold(rows), v)
+      try (orFold(rows), Some(v))
       catch {
         case _: IllegalArgumentException =>
           val target = math.max(defaultBytes,
@@ -430,13 +430,21 @@ object StreamDedup {
           val rebuilt = storeBloomRows(spark, storePath, target)
             .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
             .toSeq
-          try TxnTable.overwrite(spark, bloomPath,
-            rebuilt.toDF("bucket", "bloom"))
-          catch { case _: TxnTable.TxnConflictException => () }
+          // Cache ONLY under a version this repair owns: on a lost
+          // overwrite race the store snapshot `rebuilt` was read from
+          // predates the concurrent commit, so caching it under the
+          // post-race version would serve a bloom missing that batch's
+          // keys as "fresh" — a false negative the module promises is
+          // impossible. Skipping the put just makes the next probe
+          // re-read the sidecar.
+          val owned =
+            try Some(TxnTable.overwrite(spark, bloomPath,
+              rebuilt.toDF("bucket", "bloom")))
+            catch { case _: TxnTable.TxnConflictException => None }
           // rebuilt rows are uniform by construction
-          (orFold(rebuilt), TxnTable.currentVersion(bloomPath))
+          (orFold(rebuilt), owned)
       }
-    bloomCache.put(bloomPath, (vNow, f))
+    vNow.foreach(ver => bloomCache.put(bloomPath, (ver, f)))
     Some(f)
   }
 

@@ -567,7 +567,7 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).count() == 20)
   }
 
-  test("deleteWhere aborts cleanly when a commit lands in its race window") {
+  test("deleteWhere rebases past a concurrent append without redoing work") {
     val t = freshTable()
     create(spark, t, rangeDf(0, 50))
     var fired = false
@@ -575,21 +575,48 @@ class TxnTableSpec extends SparkSpecBase {
       fired = true // steal the version the delete computed against
       append(spark, t, rangeDf(50, 60))
     }
+    // an append touches none of the delete's removes — it COMMUTES: the
+    // delete must re-commit the same adds/removes at the new head
+    // instead of aborting (or worse, redoing its rewrite job)
+    val w0 = TxnTable.dataWriteJobs.get()
+    val v = try deleteWhere(spark, t, col("id") < 10)
+      finally TxnTable.preCommitHook = () => ()
+    assert(fired)
+    // the append took v1; the rebased delete landed at v2
+    assert(v == 2L && currentVersion(t) == 2L)
+    // exactly TWO data writes happened: the delete's survivor rewrite
+    // and the interleaved append — the rebase re-ran NO write job
+    assert(TxnTable.dataWriteJobs.get() - w0 == 2,
+      "rebase must re-commit metadata, not re-run the rewrite")
+    // both writers' effects are live: 50 - 10 deleted + 10 appended
+    assert(read(spark, t).count() == 50)
+    assert(read(spark, t).filter(col("id") >= 50).count() == 10,
+      "rebased delete must not undo the interleaved append")
+    assert(read(spark, t).agg(min(col("id"))).head().getLong(0) == 10L)
+    assert(onDisk(t) == referenced(t))
+  }
+
+  test("compact racing a deleteWhere of a compacted file still aborts") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 50), partitions = 2)
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true // rewrite one of the files the compact also removes
+      deleteWhere(spark, t, col("id") < 5)
+    }
     try {
-      // a delete validates its base snapshot at commit: losing the race
-      // must surface as a conflict to the caller, never a lost update
-      intercept[TxnConflictException] {
-        deleteWhere(spark, t, col("id") < 10)
-      }
+      // a TRUE overlap: the interleaved delete removed a file this
+      // compact's rewrite was computed from — rebasing would resurrect
+      // the deleted rows, so the compact must abort and clean staging
+      intercept[TxnConflictException] { compact(spark, t) }
     } finally TxnTable.preCommitHook = () => ()
     assert(fired)
-    // the aborted delete left no trace: only the interleaved append
-    // committed, and every row it saw is still live
-    assert(currentVersion(t) == 1L)
-    assert(read(spark, t).count() == 60)
-    // the delete still works once the log is quiet
-    deleteWhere(spark, t, col("id") < 10)
-    assert(read(spark, t).count() == 50)
+    assert(onDisk(t) == referenced(t), "aborted compact orphaned staged files")
+    assert(read(spark, t).count() == 45, "interleaved delete intact")
+    // and succeeds once the log is quiet
+    compact(spark, t)
+    assert(read(spark, t).count() == 45)
+    assert(onDisk(t) == referenced(t))
   }
 
   test("append re-validates schema after losing the race to an evolution") {
@@ -629,7 +656,7 @@ class TxnTableSpec extends SparkSpecBase {
   private def referenced(t: String): Set[String] =
     commits(t).flatMap(_.adds).map(_.path.stripPrefix("data/")).toSet
 
-  test("compactClustered aborts on conflict and deletes its staged files") {
+  test("compactClustered rebases past a committing appender, files intact") {
     import spark.implicits._
     val t = freshTable()
     val df = (0 until 1024).map(i => (i.toLong, (i % 32).toLong)).toDF("id", "a")
@@ -639,22 +666,27 @@ class TxnTableSpec extends SparkSpecBase {
       fired = true // steal the version the clustering computed against
       append(spark, t, (5000 until 5010).map(i => (i.toLong, 0L)).toDF("id", "a"))
     }
-    try {
-      // abort-on-conflict is the CONTRACT (retrying would commit a
-      // rewrite computed from the stale snapshot, silently undoing the
-      // interleaved append) — and the loser must clean its staging
-      intercept[TxnConflictException] {
-        compactClustered(spark, t, col("id"), col("a"), targetFiles = 8)
-      }
-    } finally TxnTable.preCommitHook = () => ()
+    // the maintenance-starvation scenario: an always-on stream commits
+    // mid-compaction. The append commutes (it touches none of the
+    // compact's removes), so the compaction must land at the next
+    // version WITHOUT re-running its rewrite job.
+    val w0 = TxnTable.dataWriteJobs.get()
+    val v = try compactClustered(spark, t, col("id"), col("a"), targetFiles = 8)
+      finally TxnTable.preCommitHook = () => ()
     assert(fired)
-    assert(onDisk(t) == referenced(t),
-      "aborted compactClustered orphaned staged files")
-    // nothing was lost, and the rewrite succeeds once the log is quiet
-    assert(read(spark, t).count() == 1034)
-    compactClustered(spark, t, col("id"), col("a"), targetFiles = 8)
+    assert(v == 2L && currentVersion(t) == 2L)
+    assert(TxnTable.dataWriteJobs.get() - w0 == 2,
+      "one clustered rewrite + one interleaved append — rebase redid nothing")
+    // the appended file survived the rebased compact: it is live and
+    // NOT among the compact's removes
+    val appendAdds = commits(t).find(_.version == 1L).get.adds.map(_.path).toSet
+    val compactRemoves = commits(t).find(_.version == 2L).get.removes.toSet
+    assert(appendAdds.nonEmpty && appendAdds.intersect(compactRemoves).isEmpty)
+    assert(appendAdds.subsetOf(snapshotFiles(t).toSet))
     assert(read(spark, t).count() == 1034)
     assert(onDisk(t) == referenced(t))
+    // and the clustered layout still serves pruned reads
+    assert(readPruned(spark, t, "id", 100L, 150L).count() == 51)
   }
 
   test("aborted append and duplicate stream batch clean their staging") {
@@ -773,7 +805,7 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).count() == 600)
   }
 
-  test("merge aborts on conflict in its race window and cleans staging") {
+  test("merge rebases past a concurrent append; overwrite cannot commute") {
     import spark.implicits._
     val t = freshTable()
     create(spark, t, rangeDf(0, 50))
@@ -782,15 +814,39 @@ class TxnTableSpec extends SparkSpecBase {
       fired = true // steal the version the merge computed against
       append(spark, t, rangeDf(100, 110))
     }
+    // a plain (non-CAS) merge commutes with an append of disjoint files
+    val v = try merge(spark, t, Seq((5L, "n5")).toDF("id", "s"), Seq("id"))
+      finally TxnTable.preCommitHook = () => ()
+    assert(fired)
+    assert(v == 2L && read(spark, t).count() == 60, "both writers landed")
+    assert(read(spark, t).filter(col("s") === "n5").count() == 1)
+    assert(onDisk(t) == referenced(t))
+    // INSERT OVERWRITE replaces the WHOLE logical content — an
+    // interleaved append cannot commute (the overwrite's removes,
+    // resolved at base, would leave the appended file alive), so it
+    // must still abort and clean its staging
+    fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      append(spark, t, rangeDf(200, 210))
+    }
     try intercept[TxnConflictException] {
-      merge(spark, t, Seq((5L, "n5")).toDF("id", "s"), Seq("id"))
+      overwrite(spark, t, rangeDf(300, 305))
     } finally TxnTable.preCommitHook = () => ()
     assert(fired)
-    assert(onDisk(t) == referenced(t), "aborted merge orphaned staged files")
-    assert(read(spark, t).count() == 60, "interleaved append intact")
-    // and succeeds once the log is quiet
-    merge(spark, t, Seq((5L, "n5")).toDF("id", "s"), Seq("id"))
-    assert(read(spark, t).filter(col("s") === "n5").count() == 1)
+    assert(onDisk(t) == referenced(t), "aborted overwrite orphaned staging")
+    assert(read(spark, t).count() == 70, "interleaved append intact")
+    // but a vacuum changes no files — the overwrite rebases past it
+    fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      vacuum(spark, t, retainVersions = 100) // metadata-only commit
+    }
+    val ov = try overwrite(spark, t, rangeDf(300, 305))
+      finally TxnTable.preCommitHook = () => ()
+    assert(fired)
+    assert(ov == currentVersion(t) && read(spark, t).count() == 5)
+    assert(onDisk(t) == referenced(t))
   }
 
   test("merge expectedBase CAS rejects a stale snapshot up front") {
