@@ -1033,7 +1033,57 @@ object TxnTable {
     }
     val schema = schemaInfo(src, upTo)._2
     tryCommit(dst, TxnCommit(0L, s"clone:$upTo", adds, Nil, schema))
+    // Register the clone's pin AT THE SOURCE (best-effort: a read-only
+    // source degrades to the documented retain-history-manually
+    // contract): the source's vacuum consults the registry and keeps
+    // the pinned snapshot's files alive for as long as the clone is
+    // registered — without this, a source vacuum can silently reap
+    // files a live clone still references. releaseClone drops the pin.
+    try {
+      val cd = cloneRegistryDir(src)
+      Files.createDirectories(cd)
+      val json = s"""{"dst":"${esc(localRoot(dst).toString)}","version":$upTo}"""
+      Files.write(cd.resolve(cloneRegName(dst)),
+        json.getBytes(StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     0L
+  }
+
+  private def cloneRegistryDir(path: String): JPath =
+    localRoot(path).resolve("_graft_clones")
+
+  private def cloneRegName(dst: String): String =
+    "c-" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        localRoot(dst).toString).toLong & 0xffffffffL) + ".json"
+
+  /** Drop `dst`'s registration at `src` — after this, a source vacuum
+    * is free to reap the pinned snapshot's files and the clone's
+    * un-materialized references become invalid (the clone should have
+    * been deleted, or fully materialized via its own compact, first).
+    * Returns whether a registration existed. */
+  def releaseClone(src: String, dst: String): Boolean =
+    try Files.deleteIfExists(cloneRegistryDir(src).resolve(cloneRegName(dst)))
+    catch { case _: Throwable => false }
+
+  /** Pinned source versions of registered live clones (for vacuum). */
+  private def registeredClonePins(path: String): Seq[Long] = {
+    val cd = cloneRegistryDir(path)
+    if (!Files.isDirectory(cd)) return Nil
+    val it = Files.list(cd)
+    try it.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .flatMap { p =>
+        try {
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          implicit val fmts: Formats = DefaultFormats
+          val j = JsonMethods.parse(new String(Files.readAllBytes(p),
+            StandardCharsets.UTF_8))
+          Some((j \ "version").extract[Long])
+        } catch { case _: Throwable => None }
+      }.toSeq
+    finally it.close()
   }
 
   /** Roll the table back to the logical content of `toVersion` — as a
