@@ -492,7 +492,10 @@ object TxnTable {
     * computed from rows that no longer stand. This is WriteSerializable
     * isolation (Delta's default): a rebased deleteWhere/merge applies
     * its predicate to the snapshot it READ; rows appended concurrently
-    * are not re-filtered. */
+    * are not re-filtered. An interleaved commit that RECORDS A SCHEMA
+    * (evolution) aborts the rebase even without file overlap — our
+    * staged files carry the pre-evolution shape (the
+    * ConcurrentMetadataChange rule). */
   private case object CommuteNonOverlapping extends RebasePolicy
   /** Rebase only past commits that changed NO files (vacuum and other
     * metadata-only commits). INSERT OVERWRITE replaces the table's
@@ -526,7 +529,15 @@ object TxnTable {
             case NoRebase => false
             case CommuteNonOverlapping =>
               (v to cur).forall { iv =>
-                !readCommit(path, iv).removes.exists(myRemoves.contains)
+                val c = readCommit(path, iv)
+                // a schema-recording commit (evolution) never commutes:
+                // our adds were written under the PRE-evolution shape,
+                // and rebasing them past it would commit old-shape
+                // files as if they post-dated the new schema — mirror
+                // the reference lake formats' ConcurrentMetadataChange
+                // rule and abort regardless of file overlap
+                c.schema.isEmpty &&
+                  !c.removes.exists(myRemoves.contains)
               }
             case CommuteMetadataOnly =>
               (v to cur).forall { iv =>
@@ -1052,19 +1063,37 @@ object TxnTable {
   private def cloneRegistryDir(path: String): JPath =
     localRoot(path).resolve("_graft_clones")
 
-  private def cloneRegName(dst: String): String =
-    "c-" + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        localRoot(dst).toString).toLong & 0xffffffffL) + ".json"
+  /** Registry file name for a clone pin: a full 128-bit digest of the
+    * clone's absolute path — collision-resistant, so two clones can
+    * never overwrite each other's pin (a 32-bit hash here would let
+    * releaseClone of one clone silently unpin another). */
+  private def cloneRegName(dst: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(localRoot(dst).toString.getBytes(StandardCharsets.UTF_8))
+    "c-" + md.map(b => f"$b%02x").mkString + ".json"
+  }
 
   /** Drop `dst`'s registration at `src` — after this, a source vacuum
     * is free to reap the pinned snapshot's files and the clone's
     * un-materialized references become invalid (the clone should have
     * been deleted, or fully materialized via its own compact, first).
-    * Returns whether a registration existed. */
+    * The stored `dst` field is verified before deleting, so even a
+    * digest collision cannot release another clone's pin. Returns
+    * whether a registration existed and was removed. */
   def releaseClone(src: String, dst: String): Boolean =
-    try Files.deleteIfExists(cloneRegistryDir(src).resolve(cloneRegName(dst)))
-    catch { case _: Throwable => false }
+    try {
+      val p = cloneRegistryDir(src).resolve(cloneRegName(dst))
+      if (!Files.exists(p)) false
+      else {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        implicit val fmts: Formats = DefaultFormats
+        val j = JsonMethods.parse(new String(Files.readAllBytes(p),
+          StandardCharsets.UTF_8))
+        ((j \ "dst").extractOpt[String].contains(localRoot(dst).toString)
+          && Files.deleteIfExists(p))
+      }
+    } catch { case _: Throwable => false }
 
   /** Pinned source versions of registered live clones (for vacuum). */
   private def registeredClonePins(path: String): Seq[Long] = {
@@ -1169,16 +1198,39 @@ object TxnTable {
     * index — ALL checkpoint-amortized (O(interval) commit reads each,
     * never an O(versions) log replay; the spec pins the read count on
     * a 100+-commit table); deletion is O(dead files).
+    *
+    * **Clone pins**: every snapshot version a registered live shallow
+    * clone references ([[cloneShallow]]'s registry) is added to the
+    * keep-set REGARDLESS of the horizon — a source vacuum never reaps
+    * files a registered clone still reads, however aggressive the
+    * retention. [[releaseClone]] (or deleting the clone's pin file)
+    * lifts the protection. Pins guard physical files only; the
+    * time-travel horizon (and its fences) advance normally.
+    *
+    * **Orphan sweep** (opt-in via `orphanGraceMs >= 0`): also deletes
+    * files under the table's own `data/` that are referenced by NO
+    * commit — crashed-writer staging debris, which the known-dead set
+    * can never reach — but only when older than the grace window.
+    * Grace must exceed the longest write job's staging time: an
+    * in-flight writer stages its files moments before committing, and
+    * the window is what keeps the sweep from eating them (the same
+    * retention-vs-writer-duration contract as the reference lake
+    * formats' vacuum). The orphan set is re-resolved against the
+    * LATEST log state after the vacuum commit wins, so anything
+    * committed meanwhile is excluded.
     */
   def vacuum(spark: SparkSession, path: String,
-      retainVersions: Int = 2): (Long, Int) = {
+      retainVersions: Int = 2, orphanGraceMs: Long = -1L): (Long, Int) = {
     require(retainVersions >= 1, "must retain at least the current version")
     var attempt = 0
     while (true) {
       val cur = currentVersion(path)
       val horizon = math.max(earliestVersion(path),
         math.max(0L, cur - retainVersions + 1))
-      val keep = (horizon to cur).flatMap(v => snapshotFiles(path, v)).toSet
+      val pinned = registeredClonePins(path)
+        .filter(v => v >= 0 && v <= cur).distinct
+      val keep = ((horizon to cur) ++ pinned)
+        .flatMap(v => snapshotFiles(path, v)).toSet
       // Known-dead only: files REFERENCED by some commit and absent
       // from every retained snapshot. Never "everything not in keep" —
       // a concurrent appender stages its data files BEFORE its commit,
@@ -1202,6 +1254,22 @@ object TxnTable {
           val p = localRoot(path).resolve(f)
           if (p.startsWith(dataDir(path)) && Files.deleteIfExists(p))
             deleted += 1
+        }
+        if (orphanGraceMs >= 0 && Files.isDirectory(dataDir(path))) {
+          // referenced-by-NO-commit files, re-resolved at the LATEST
+          // version (not `cur`): a writer that committed between our
+          // vacuum commit and this scan is already in the index, so
+          // only true debris older than the grace window is swept
+          val referenced = addsIndex(path, currentVersion(path)).keySet
+            .map(f => localRoot(path).resolve(f).normalize)
+          val cutoff = System.currentTimeMillis() - orphanGraceMs
+          val it = Files.walk(dataDir(path))
+          try it.iterator().asScala.foreach { p =>
+            if (Files.isRegularFile(p) &&
+              !referenced.contains(p.normalize) &&
+              Files.getLastModifiedTime(p).toMillis < cutoff &&
+              Files.deleteIfExists(p)) deleted += 1
+          } finally it.close()
         }
         return (cur + 1, deleted)
       } catch {

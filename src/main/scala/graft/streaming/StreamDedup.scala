@@ -414,38 +414,48 @@ object StreamDedup {
       defaultBytes: Int): Option[Seq[(Int, Array[Byte])]] = {
     import spark.implicits._
     val bloomPath = bloomPathOf(storePath)
-    val v = TxnTable.currentVersion(bloomPath)
-    if (v < 0) return None
-    val cached = bloomCache.get(bloomPath)
-    if (cached != null && cached._1 == v) return Some(cached._2)
-    if (bloomCache.size > 64) bloomCache.clear() // bound, not LRU
-    val rows = TxnTable.read(spark, bloomPath).collect()
-      .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))).toSeq
-    val (f, vNow) =
-      try (orFold(rows), Some(v))
-      catch {
+    var attempt = 0
+    while (attempt < 8) {
+      val v = TxnTable.currentVersion(bloomPath)
+      if (v < 0) return None
+      val cached = bloomCache.get(bloomPath)
+      if (cached != null && cached._1 == v) return Some(cached._2)
+      if (bloomCache.size > 64) bloomCache.clear() // bound, not LRU
+      val rows = TxnTable.read(spark, bloomPath).collect()
+        .map(r => (r.getInt(0), r.getAs[Array[Byte]](1))).toSeq
+      try {
+        val f = orFold(rows)
+        bloomCache.put(bloomPath, (v, f))
+        return Some(f)
+      } catch {
         case _: IllegalArgumentException =>
+          // mixed sizing → rebuild from the full store at the largest
+          // size present and overwrite the sidecar in place
           val target = math.max(defaultBytes,
             rows.iterator.map(_._2.length).maxOption.getOrElse(defaultBytes))
           val rebuilt = storeBloomRows(spark, storePath, target)
             .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
             .toSeq
-          // Cache ONLY under a version this repair owns: on a lost
-          // overwrite race the store snapshot `rebuilt` was read from
-          // predates the concurrent commit, so caching it under the
-          // post-race version would serve a bloom missing that batch's
-          // keys as "fresh" — a false negative the module promises is
-          // impossible. Skipping the put just makes the next probe
-          // re-read the sidecar.
-          val owned =
-            try Some(TxnTable.overwrite(spark, bloomPath,
-              rebuilt.toDF("bucket", "bloom")))
-            catch { case _: TxnTable.TxnConflictException => None }
-          // rebuilt rows are uniform by construction
-          (orFold(rebuilt), owned)
+          try {
+            // cache (and RETURN) only a fold whose version this repair
+            // owns: on a lost overwrite race both the cached and the
+            // in-flight fold would miss the winner's keys — the false
+            // negative this module promises is impossible — so the
+            // loser loops back and re-reads the sidecar at the
+            // winner's version instead of using its stale rebuild
+            val ver = TxnTable.overwrite(spark, bloomPath,
+              rebuilt.toDF("bucket", "bloom"))
+            val f = orFold(rebuilt) // rebuilt rows uniform by construction
+            bloomCache.put(bloomPath, (ver, f))
+            return Some(f)
+          } catch {
+            case _: TxnTable.TxnConflictException => attempt += 1
+          }
       }
-    vNow.foreach(ver => bloomCache.put(bloomPath, (ver, f)))
-    Some(f)
+    }
+    // pathological contention: give up on the gate this batch — None
+    // means the caller probes the store UNgated (correct, just slower)
+    None
   }
 
   private def orFold(rows: Seq[(Int, Array[Byte])]): Seq[(Int, Array[Byte])] =

@@ -1027,6 +1027,87 @@ class TxnTableSpec extends SparkSpecBase {
       .inputFiles.isEmpty)
   }
 
+  test("source vacuum honors registered clone pins; releaseClone lifts them") {
+    val root = Files.createTempDirectory("graft_clonepin").toString
+    val src = s"$root/src"
+    val dst = s"$root/clone"
+    val dst2 = s"$root/clone2"
+    create(spark, src, rangeDf(0, 40), partitions = 2) // v0
+    cloneShallow(spark, src, dst)  // pin @ v0
+    cloneShallow(spark, src, dst2) // second pin @ v0 (distinct reg file)
+    // source moves on and fully rewrites, so v0's files are dead by
+    // retention — only the pins keep them alive
+    deleteWhere(spark, src, col("id") < 20) // v1
+    compact(spark, src)                     // v2
+    val v0Files = snapshotFiles(src, 0L)
+    vacuum(spark, src, retainVersions = 1)
+    assert(v0Files.forall(f =>
+      Files.exists(java.nio.file.Paths.get(src).resolve(f))),
+      "vacuum must keep every file a registered clone references")
+    assert(read(spark, dst).count() == 40, "pinned clone reads intact")
+    // releasing ONE clone must not unpin the other (collision-resistant
+    // registry names + dst verification)
+    assert(releaseClone(src, dst))
+    assert(!releaseClone(src, dst), "double release reports nothing left")
+    vacuum(spark, src, retainVersions = 1)
+    assert(read(spark, dst2).count() == 40,
+      "releasing one clone must not unpin another")
+    // after the LAST release an equally aggressive vacuum reaps v0
+    assert(releaseClone(src, dst2))
+    val (_, reaped) = vacuum(spark, src, retainVersions = 1)
+    assert(reaped > 0, "released pins must become reapable")
+    assert(v0Files.exists(f =>
+      !Files.exists(java.nio.file.Paths.get(src).resolve(f))))
+    assert(read(spark, src).count() == 20, "source content unaffected")
+  }
+
+  test("vacuum orphan sweep reaps stale debris, spares fresh staging") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 20))
+    val dd = java.nio.file.Paths.get(t, "data")
+    val oldStray = dd.resolve("part-stray-crashed-writer.parquet")
+    Files.write(oldStray, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(oldStray,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600L * 1000))
+    val freshStray = dd.resolve("part-stray-inflight-writer.parquet")
+    Files.write(freshStray, Array[Byte](4, 5, 6))
+    // grace off (default): debris is never touched
+    vacuum(spark, t, retainVersions = 2)
+    assert(Files.exists(oldStray) && Files.exists(freshStray))
+    // grace on: only the stray OLDER than the window is swept
+    val (_, deleted) = vacuum(spark, t, retainVersions = 2,
+      orphanGraceMs = 60L * 1000)
+    assert(deleted >= 1 && !Files.exists(oldStray))
+    assert(Files.exists(freshStray),
+      "a fresh in-flight staged file must survive the sweep")
+    assert(read(spark, t).count() == 20, "committed data untouched")
+  }
+
+  test("rewrite does not rebase past an interleaved schema evolution") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 50))
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true // interleave a schema-EVOLVING append: no file
+      // overlap with the delete's removes, but it records a schema —
+      // the ConcurrentMetadataChange rule must abort the rebase
+      append(spark, t, rangeDf(50, 60).withColumn("extra", lit(1L)),
+        evolveSchema = true)
+    }
+    try {
+      intercept[TxnConflictException] {
+        deleteWhere(spark, t, col("id") < 10)
+      }
+    } finally TxnTable.preCommitHook = () => ()
+    assert(fired)
+    assert(onDisk(t) == referenced(t), "aborted rewrite must clean staging")
+    assert(read(spark, t).count() == 60, "evolved append intact")
+    // once the log is quiet the delete re-runs under the evolved schema
+    deleteWhere(spark, t, col("id") < 10)
+    assert(read(spark, t).count() == 50)
+  }
+
   test("deleteMatching removes by distributive key join") {
     import spark.implicits._
     val t = freshTable()
