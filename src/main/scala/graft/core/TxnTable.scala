@@ -588,11 +588,23 @@ object TxnTable {
   /** Create version 0 from `df`, recording its schema. Fails if the
     * table already exists. */
   def create(spark: SparkSession, path: String, df: DataFrame,
-      partitions: Int = 1): Long = {
+      partitions: Int = 1, op: String = "create"): Long = {
     val adds = writeData(spark, path, df, partitions)
-    try tryCommit(path, TxnCommit(0L, "create", adds, Nil, Some(df.schema.json)))
+    try tryCommit(path, TxnCommit(0L, op, adds, Nil, Some(df.schema.json)))
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
     0L
+  }
+
+  /** Highest recorded `stream:<id>:<n>` marker for `streamId` — the
+    * public read side of the per-stream transaction markers
+    * ([[appendStreamBatch]]'s idempotence state, also writable via the
+    * `op` parameter of [[create]]/[[overwrite]] for sinks that replace
+    * rather than append, e.g. a maintained view recording the source
+    * version it reflects). Checkpoint-amortized. None if the table or
+    * marker doesn't exist. */
+  def streamHighWater(path: String, streamId: String): Option[Long] = {
+    val top = currentVersion(path)
+    if (top < 0) None else streamBatches(path, top).get(streamId)
   }
 
   /** [[create]] with a clustered physical layout: range-partition the
@@ -677,12 +689,12 @@ object TxnTable {
     * bloom-sidecar's accumulated rows to one). Same conflict contract:
     * abort-on-conflict, staged files cleaned, history stays readable. */
   def overwrite(spark: SparkSession, path: String, df: DataFrame,
-      partitions: Int = 1): Long = {
+      partitions: Int = 1, op: String = "overwrite"): Long = {
     val base = currentVersion(path)
     val files = snapshotFiles(path, base)
     checkSchema(path, df, evolveSchema = false)
     val adds = writeData(spark, path, df, partitions)
-    try commitRewrite(path, base, "overwrite", adds, files, CommuteMetadataOnly)
+    try commitRewrite(path, base, op, adds, files, CommuteMetadataOnly)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
   }
 

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.TxnTable
+
+/** Incremental maintenance of a grouped-aggregate materialized view
+  * over a [[graft.core.TxnTable]], fed by the file-scoped change data
+  * feed ([[TxnTable.diffVersionsImages]]) — including the
+  * NON-INVERTIBLE extremes (min/max), which a pure delta fold cannot
+  * maintain through deletes (SURVEY §2.7 widening; the s18 gate covers
+  * the invertible count/sum fold, this operator adds the rest).
+  *
+  * View shape: `GROUP BY groupCol → count(*), sum(valueCol),
+  * min(valueCol), max(valueCol)` with long-typed group and value
+  * columns (the same physical-int64 contract as the pruned reads the
+  * recompute path rides on).
+  *
+  * Maintenance per version step:
+  *  - **count/sum** fold exactly from the images: +after for inserts,
+  *    −before for deletes, both for updates — never re-aggregated.
+  *  - **min/max grow monotonically** from insert/update after-images:
+  *    `least(mn, min(inserted))` / `greatest(mx, max(inserted))` — an
+  *    arriving value can only extend the range, so no recompute.
+  *  - **min/max shrink needs recompute**: a delete/update whose
+  *    BEFORE-image value sits at its group's current extreme
+  *    (`v <= mn || v >= mx`) may have removed that extreme. ONLY those
+  *    groups are re-aggregated, and only from the files whose footer
+  *    range contains their keys ([[TxnTable.readPrunedIn]]) — on a
+  *    group-clustered table that is O(affected groups' files), never a
+  *    table scan. Groups whose deletes land strictly inside the open
+  *    interval (mn, mx) keep their extremes with zero files read.
+  *
+  * Scale notes: the affected-group key list is collected to the driver
+  * — O(groups touched by one version's delta), the same metadata-scale
+  * collect as deleteWhere's hit-file list, never O(table groups). The
+  * returned state carries a truncated lineage (`localCheckpoint`), so
+  * chained steps don't stack exponentially re-evaluated plans; a
+  * long-lived view should persist state as its own TxnTable between
+  * steps — [[graft.streaming.StreamIvm]] does exactly that.
+  */
+object IncrementalView {
+
+  /** Per-step evidence for specs/gates: how much the recompute read. */
+  case class StepStats(affectedGroups: Int, filesRead: Int, liveFiles: Int)
+
+  /** Full (re)materialization — the state shape every step preserves:
+    * (groupCol, cnt, sm, mn, mx). */
+  def materializeMinMax(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("cnt"),
+      sum(col(valueCol)).as("sm"),
+      min(col(valueCol)).as("mn"),
+      max(col(valueCol)).as("mx"))
+
+  /** Advance `state` (shape of [[materializeMinMax]] at `fromV`) to the
+    * view of `path` at `toV`. Returns the new state plus the step's
+    * pruned-read evidence. */
+  def maintainMinMaxStep(spark: SparkSession, path: String,
+      state: DataFrame, fromV: Long, toV: Long, keyCols: Seq[String],
+      groupCol: String, valueCol: String): (DataFrame, StepStats) = {
+    val d = TxnTable.diffVersionsImages(spark, path, fromV, toV, keyCols)
+      .persist()
+    try {
+      val plus = d.filter(col("op") =!= "delete").select(
+        col(s"after.$groupCol").as(groupCol),
+        lit(1L).as("dc"), col(s"after.$valueCol").cast("long").as("dv"))
+      val minus = d.filter(col("op") =!= "insert").select(
+        col(s"before.$groupCol").as(groupCol),
+        lit(-1L).as("dc"), (-col(s"before.$valueCol")).cast("long").as("dv"))
+
+      // invertible half: exact fold, no reads
+      val folded = state.select(col(groupCol), col("cnt"), col("sm"))
+        .unionAll(plus.select(col(groupCol), col("dc").as("cnt"),
+          col("dv").as("sm")))
+        .unionAll(minus.select(col(groupCol), col("dc").as("cnt"),
+          col("dv").as("sm")))
+        .groupBy(col(groupCol))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("sm")).as("sm"))
+        .filter(col("cnt") > 0)
+
+      // extremes half: monotone growth from after-images...
+      val insExt = plus.groupBy(col(groupCol))
+        .agg(min(col("dv")).as("imn"), max(col("dv")).as("imx"))
+      val grownExt = state.select(col(groupCol), col("mn"), col("mx"))
+        .join(insExt, Seq(groupCol), "full_outer")
+        .select(col(groupCol),
+          least(col("mn"), col("imn")).as("mn"),
+          greatest(col("mx"), col("imx")).as("mx"))
+
+      // ...and recompute for groups whose before-image hit an extreme
+      // (or whose state row is missing — conservatively recompute)
+      val affected = minus
+        .join(state.select(col(groupCol), col("mn"), col("mx")),
+          Seq(groupCol), "left")
+        .filter(col("mn").isNull || (-col("dv")) <= col("mn") ||
+          (-col("dv")) >= col("mx"))
+        .select(col(groupCol)).distinct()
+        .collect().map(_.getLong(0)).toSeq
+
+      val merged = folded.join(grownExt, Seq(groupCol), "inner")
+        .select(col(groupCol), col("cnt"), col("sm"), col("mn"), col("mx"))
+
+      val (next, stats) =
+        if (affected.isEmpty)
+          (merged, StepStats(0, 0, TxnTable.snapshotFiles(path, toV).size))
+        else {
+          val pruned = TxnTable.readPrunedIn(spark, path, groupCol,
+            affected, asOf = toV)
+          val recomputed = materializeMinMax(pruned, groupCol, valueCol)
+          val live = TxnTable.snapshotFiles(path, toV).size
+          (merged.filter(!col(groupCol).isInCollection(affected))
+            .unionAll(recomputed),
+            StepStats(affected.size, pruned.inputFiles.length, live))
+        }
+      (next.localCheckpoint(true), stats)
+    } finally { d.unpersist(); () }
+  }
+}

@@ -546,6 +546,73 @@ object SourceQueries {
     result.toDF("st", "cnt", "price_c")
   }
 
+  /** S18b: incremental view maintenance for NON-INVERTIBLE aggregates
+    * (min/max) — what the s18 delta fold alone cannot do: a delete can
+    * remove a group's current extreme, and no amount of +/- folding
+    * recovers the runner-up. [[graft.operators.IncrementalView]]
+    * maintains count/sum exactly from the change images, grows min/max
+    * monotonically from inserts, and re-aggregates ONLY the groups
+    * whose before-image hit an extreme — reading only the files whose
+    * footer key range contains those groups (the table is clustered by
+    * the group key). In-run asserts pin the scale contract: the
+    * insert-only step reads ZERO files, the extreme-touching step
+    * reads a strict subset of the snapshot, and the maintained view
+    * equals a direct recompute. The oracle replays the final state
+    * from raw orders.
+    */
+  def s18bMinmaxView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    import graft.operators.IncrementalView
+    val t = java.nio.file.Files.createTempDirectory("graft_s18b")
+      .toString + "/orders_txn"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ck, kx) = (m.getLong(0), m.getLong(1))
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10) // v0
+    var state = IncrementalView.materializeMinMax(
+      TxnTable.read(spark, t, 0L), "o_custkey", "price_c")
+    // v1: insert-only tranche (tripled price, fresh keys)
+    TxnTable.append(spark, t,
+      orders.filter(col("o_custkey").between(ck / 4, ck / 4 + ck / 16))
+        .select((col("o_orderkey") + kx).as("o_orderkey"),
+          col("o_custkey"), (col("price_c") * 3).as("price_c")))
+    val (s1, st1) = IncrementalView.maintainMinMaxStep(spark, t, state,
+      0L, 1L, Seq("o_orderkey"), "o_custkey", "price_c")
+    require(st1.affectedGroups == 0 && st1.filesRead == 0,
+      s"insert-only step must fold with zero reads, got $st1")
+    state = s1
+    // v2: whole-group deletes (low custkey range)
+    TxnTable.deleteWhere(spark, t, col("o_custkey") <= ck / 8)
+    val (s2, _) = IncrementalView.maintainMinMaxStep(spark, t, state,
+      1L, 2L, Seq("o_orderkey"), "o_custkey", "price_c")
+    state = s2
+    // v3: doubled-price updates over a mid custkey range — every
+    // touched group's extremes move, ONLY those groups recompute
+    TxnTable.merge(spark, t,
+      orders.filter(col("o_custkey").between(ck / 2, ck / 2 + ck / 16))
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("price_c") * 2).as("price_c")),
+      Seq("o_orderkey"), clusterBy = Seq(col("o_custkey")))
+    val (s3, st3) = IncrementalView.maintainMinMaxStep(spark, t, state,
+      2L, 3L, Seq("o_orderkey"), "o_custkey", "price_c")
+    require(st3.affectedGroups > 0 && st3.filesRead > 0 &&
+      st3.filesRead < st3.liveFiles,
+      s"extreme recompute must read a strict subset, got $st3")
+    state = s3
+    val maintained = state.select(col("o_custkey").as("g"), col("cnt"),
+      col("sm"), col("mn"), col("mx")).orderBy(col("g"))
+    val direct = IncrementalView.materializeMinMax(
+        TxnTable.read(spark, t, 3L), "o_custkey", "price_c")
+      .select(col("o_custkey").as("g"), col("cnt"), col("sm"), col("mn"),
+        col("mx")).orderBy(col("g"))
+    require(maintained.collect().toSeq == direct.collect().toSeq,
+      "maintained min/max view drifted from the direct recompute")
+    maintained
+  }
+
   /** S19: THREE-dimensional z-order + 3-d box reads — Morton3
     * clustering (21 bits/dim) on (l_partkey, l_suppkey, l_orderkey),
     * then a 3-d box query (half of each key range) must return exactly
@@ -592,6 +659,7 @@ object SourceQueries {
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "s19_zorder3_box"   -> (s19Zorder3Box _),
+    "s18b_minmax_view"  -> (s18bMinmaxView _),
     "s18_incremental_view" -> (s18IncrementalView _),
     "s17_version_diff"  -> (s17VersionDiff _),
     "s16_shallow_clone" -> (s16ShallowClone _),
@@ -624,6 +692,27 @@ object SourceQueries {
         |WHERE l_partkey BETWEEN 1 AND b.pk
         |  AND l_suppkey BETWEEN 1 AND b.sk
         |  AND l_orderkey BETWEEN 1 AND b.ok""".stripMargin,
+    // The final min/max/count/sum view replayed from raw orders
+    // (tripled-price insert tranche + whole-group deletes +
+    // doubled-price updates); the maintained≡recomputed and
+    // pruned-recompute halves are asserted in-run.
+    "s18b_minmax_view" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders),
+        |fin AS (
+        |  SELECT o_custkey AS g,
+        |    CASE WHEN o_custkey BETWEEN b.ck//2 AND b.ck//2 + b.ck//16
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+        |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS pc
+        |  FROM orders, b WHERE o_custkey > b.ck//8
+        |  UNION ALL
+        |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) * 3
+        |  FROM orders, b
+        |  WHERE o_custkey BETWEEN b.ck//4 AND b.ck//4 + b.ck//16)
+        |SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS sm, CAST(min(pc) AS BIGINT) AS mn,
+        |  CAST(max(pc) AS BIGINT) AS mx
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
     // The FINAL maintained state replayed from raw orders (insert
     // tranche + key-range delete + doubled-price updates); the
     // maintained≡recomputed half is asserted in-run.

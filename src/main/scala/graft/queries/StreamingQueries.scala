@@ -3,6 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.nio.file.Files
+
+import graft.core.Lake
 import graft.streaming.EventStreams
 
 /** Gate entries for the streaming surface (SURVEY.md §2.9). Each runs a
@@ -582,7 +585,82 @@ object StreamingQueries {
       .toDF("vec_id", "sim")
   }
 
+  /** ST18: CONTINUOUS incremental view maintenance — a Structured
+    * Streaming query follows the txn table's COMMIT LOG (the
+    * [[graft.streaming.TxnLogSourceProvider]] micro-batch source,
+    * offsets = versions, checkpointed) and folds each batch's
+    * file-scoped change images into a min/max/count/sum view stored as
+    * its own TxnTable ([[graft.streaming.StreamIvm]]). The batch ops
+    * are s18b's exactly (insert tranche, whole-group deletes,
+    * doubled-price updates), so the same DuckDB replay is the oracle.
+    * In-run asserts pin the streaming halves: the second maintenance
+    * pass folds the three live commits through the checkpointed
+    * offset, a third pass with no new commits leaves the view table
+    * untouched, a fresh-checkpoint replay of every batch no-ops on the
+    * sink's high-water marker (exactly-once), and the final view
+    * equals a direct recompute.
+    */
+  def st18StreamIvm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    import graft.operators.IncrementalView
+    import graft.streaming.StreamIvm
+    val root = Files.createTempDirectory("graft_st18").toString
+    val t = s"$root/orders_txn"
+    val view = s"$root/view"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val ck: Long = m.getLong(0)
+    val kx: Long = m.getLong(1)
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10) // v0
+    // pass 1: initial materialization at v0
+    StreamIvm.maintainMinMaxView(spark, t, view, Seq("o_orderkey"),
+      "o_custkey", "price_c", s"$root/ckpt")
+    require(StreamIvm.appliedVersion(view).contains(0L))
+    // three live commits land while the maintainer is down...
+    TxnTable.append(spark, t,
+      orders.filter(col("o_custkey").between(ck / 4, ck / 4 + ck / 16))
+        .select((col("o_orderkey") + kx).as("o_orderkey"),
+          col("o_custkey"), (col("price_c") * 3).as("price_c"))) // v1
+    TxnTable.deleteWhere(spark, t, col("o_custkey") <= ck / 8)   // v2
+    TxnTable.merge(spark, t,
+      orders.filter(col("o_custkey").between(ck / 2, ck / 2 + ck / 16))
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("price_c") * 2).as("price_c")),
+      Seq("o_orderkey"), clusterBy = Seq(col("o_custkey")))       // v3
+    // ...pass 2 drains them through the checkpointed offset
+    StreamIvm.maintainMinMaxView(spark, t, view, Seq("o_orderkey"),
+      "o_custkey", "price_c", s"$root/ckpt")
+    require(StreamIvm.appliedVersion(view).contains(3L),
+      "maintenance pass must fold to the log head")
+    // pass 3, nothing new: the view table must not move at all
+    val vStable = TxnTable.currentVersion(view)
+    StreamIvm.maintainMinMaxView(spark, t, view, Seq("o_orderkey"),
+      "o_custkey", "price_c", s"$root/ckpt")
+    require(TxnTable.currentVersion(view) == vStable,
+      "no-new-data pass must be a no-op")
+    // redelivery: a FRESH checkpoint replays every version — the
+    // sink's stream:ivm:<v> high-water marker makes each a no-op
+    StreamIvm.maintainMinMaxView(spark, t, view, Seq("o_orderkey"),
+      "o_custkey", "price_c", s"$root/ckpt_replay")
+    require(TxnTable.currentVersion(view) == vStable,
+      "replayed batches must no-op on the high-water marker")
+    val maintained = TxnTable.read(spark, view)
+      .select(col("o_custkey").as("g"), col("cnt"), col("sm"), col("mn"),
+        col("mx")).orderBy(col("g"))
+    val direct = IncrementalView.materializeMinMax(
+        TxnTable.read(spark, t, 3L), "o_custkey", "price_c")
+      .select(col("o_custkey").as("g"), col("cnt"), col("sm"), col("mn"),
+        col("mx")).orderBy(col("g"))
+    require(maintained.collect().toSeq == direct.collect().toSeq,
+      "stream-maintained view drifted from the direct recompute")
+    maintained
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st18_stream_ivm" -> (st18StreamIvm _),
     "st17_stream_embcuration" -> (st17StreamEmbCuration _),
     "st16_stream_curation" -> (st16StreamCuration _),
     "st15_stream_vecindex" -> (st15StreamVecIndex _),
@@ -671,6 +749,10 @@ object StreamingQueries {
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same final state as s18b (the stream applies the same three
+    // commits); the streaming halves (checkpointed offsets, no-op
+    // redelivery, exactly-once marker) are asserted in-run.
+    "st18_stream_ivm" -> SourceQueries.oracle("s18b_minmax_view"),
     // The whole pipeline's batch replay, composed from the three
     // stages' proven fragments: p1's quality filter (sc, filt), st12's
     // banding over the FILTERED set (dup), l32's BM25 over the kept

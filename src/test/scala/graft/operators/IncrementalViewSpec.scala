@@ -1,0 +1,156 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.core.TxnTable
+import graft.streaming.StreamIvm
+
+/** Incremental min/max/count/sum view maintenance, pinned:
+  *  - count/sum fold exactly; min/max grow monotonically from inserts
+  *    with ZERO files read;
+  *  - a delete/update whose before-image sits strictly inside its
+  *    group's (mn, mx) folds with ZERO files read (untouched groups'
+  *    files are never re-read — the non-invertible recompute is
+  *    triggered, and priced, only by extremes);
+  *  - extreme-touching deletes recompute ONLY the affected groups via
+  *    the pruned reads (files read < live snapshot);
+  *  - every step's state equals a direct recompute of the snapshot;
+  *  - the streaming maintainer is exactly-once across restarts and
+  *    no-ops on redelivery.
+  */
+class IncrementalViewSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def direct(t: String, v: Long): Seq[(Long, Long, Long, Long, Long)] =
+    IncrementalView.materializeMinMax(
+        TxnTable.read(spark, t, v), "g", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq.sortBy(_._1)
+
+  private def snap(df: DataFrame): Seq[(Long, Long, Long, Long, Long)] =
+    df.select(col("g"), col("cnt"), col("sm"), col("mn"), col("mx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq.sortBy(_._1)
+
+  test("min/max view: monotone inserts free, extreme deletes pruned recompute") {
+    val t = Files.createTempDirectory("graft_ivm").toString + "/t"
+    // 4 groups × values 10g+1 .. 10g+9, one file per group
+    val rows = for (g <- 0L until 4L; i <- 1L to 9L)
+      yield (g * 100 + i, g, g * 10 + i)
+    TxnTable.createClustered(spark, t,
+      rows.toDF("id", "g", "v"), Seq(col("g")), targetFiles = 4) // v0
+
+    var state = IncrementalView.materializeMinMax(
+      TxnTable.read(spark, t, 0L), "g", "v")
+    assert(snap(state) == direct(t, 0L))
+
+    // v1: interior insert + duplicate-of-max insert — monotone fold,
+    // no recompute, no files read
+    TxnTable.append(spark, t,
+      Seq((150L, 1L, 15L), (350L, 3L, 39L)).toDF("id", "g", "v"))
+    val (s1, st1) = IncrementalView.maintainMinMaxStep(spark, t, state,
+      0L, 1L, Seq("id"), "g", "v")
+    assert(st1.affectedGroups == 0 && st1.filesRead == 0)
+    assert(snap(s1) == direct(t, 1L))
+    state = s1
+
+    // v2: delete group 2's max row — ONLY group 2 recomputed, from a
+    // strict subset of the snapshot's files
+    TxnTable.deleteWhere(spark, t, col("id") === 209L)
+    val (s2, st2) = IncrementalView.maintainMinMaxStep(spark, t, state,
+      1L, 2L, Seq("id"), "g", "v")
+    assert(st2.affectedGroups == 1)
+    assert(st2.filesRead > 0 && st2.filesRead < st2.liveFiles,
+      s"extreme recompute must prune: read ${st2.filesRead} of ${st2.liveFiles}")
+    assert(snap(s2) == direct(t, 2L))
+    assert(snap(s2).find(_._1 == 2L).get._5 == 28L, "new max after delete")
+    state = s2
+
+    // v3: interior delete (15 sits strictly inside group 1's range) —
+    // zero files read, nothing recomputed
+    TxnTable.deleteWhere(spark, t, col("id") === 105L)
+    val (s3, st3) = IncrementalView.maintainMinMaxStep(spark, t, state,
+      2L, 3L, Seq("id"), "g", "v")
+    assert(st3.affectedGroups == 0 && st3.filesRead == 0,
+      "interior delete must not trigger the recompute path")
+    assert(snap(s3) == direct(t, 3L))
+    state = s3
+
+    // v4: one update lifts group 1's MIN row (recompute, group 1 only),
+    // another raises a group-2 interior value past the max (monotone)
+    TxnTable.merge(spark, t,
+      Seq((101L, 1L, 16L), (203L, 2L, 35L)).toDF("id", "g", "v"),
+      Seq("id"), clusterBy = Seq(col("g")))
+    val (s4, st4) = IncrementalView.maintainMinMaxStep(spark, t, state,
+      3L, 4L, Seq("id"), "g", "v")
+    assert(st4.affectedGroups == 1, "interior-before update must not recompute")
+    assert(snap(s4) == direct(t, 4L))
+    val g2 = snap(s4).find(_._1 == 2L).get
+    assert(g2._5 == 35L, "monotone max growth from update after-image")
+    state = s4
+
+    // v5: duplicate-extreme delete (one of two value-39 rows in group
+    // 3): recompute keeps 39 from the surviving duplicate
+    TxnTable.deleteWhere(spark, t, col("id") === 309L)
+    val (s5, st5) = IncrementalView.maintainMinMaxStep(spark, t, state,
+      4L, 5L, Seq("id"), "g", "v")
+    assert(st5.affectedGroups == 1)
+    assert(snap(s5) == direct(t, 5L))
+    assert(snap(s5).find(_._1 == 3L).get._5 == 39L)
+    state = s5
+
+    // v6: whole-group delete — the group drops out of the view
+    TxnTable.deleteWhere(spark, t, col("g") === 0L)
+    val (s6, _) = IncrementalView.maintainMinMaxStep(spark, t, state,
+      5L, 6L, Seq("id"), "g", "v")
+    assert(snap(s6) == direct(t, 6L))
+    assert(!snap(s6).exists(_._1 == 0L))
+  }
+
+  test("streaming maintainer: exactly-once folds, redelivery no-op") {
+    val root = Files.createTempDirectory("graft_sivm").toString
+    val t = s"$root/t"
+    val view = s"$root/view"
+    val ckpt = s"$root/ckpt"
+    val rows = for (g <- 0L until 4L; i <- 1L to 9L)
+      yield (g * 100 + i, g, g * 10 + i)
+    TxnTable.createClustered(spark, t,
+      rows.toDF("id", "g", "v"), Seq(col("g")), targetFiles = 4) // v0
+
+    // pass 1: initial materialization (v0)
+    StreamIvm.maintainMinMaxView(spark, t, view, Seq("id"), "g", "v", ckpt)
+    assert(StreamIvm.appliedVersion(view).contains(0L))
+    assert(snap(TxnTable.read(spark, view)) == direct(t, 0L))
+
+    // three more commits, then pass 2 folds them incrementally
+    TxnTable.append(spark, t, Seq((150L, 1L, 15L)).toDF("id", "g", "v"))
+    TxnTable.deleteWhere(spark, t, col("id") === 209L)
+    TxnTable.merge(spark, t, Seq((101L, 1L, 16L)).toDF("id", "g", "v"),
+      Seq("id"), clusterBy = Seq(col("g")))
+    StreamIvm.maintainMinMaxView(spark, t, view, Seq("id"), "g", "v", ckpt)
+    assert(StreamIvm.appliedVersion(view).contains(3L))
+    assert(snap(TxnTable.read(spark, view)) == direct(t, 3L))
+
+    // pass 3 with no new commits: the view table must not move at all
+    val vBefore = TxnTable.currentVersion(view)
+    StreamIvm.maintainMinMaxView(spark, t, view, Seq("id"), "g", "v", ckpt)
+    assert(TxnTable.currentVersion(view) == vBefore,
+      "no-new-data pass must be a no-op on the view table")
+
+    // redelivery simulation: a FRESH checkpoint replays every version
+    // from scratch — the sink's high-water marker makes it a no-op
+    StreamIvm.maintainMinMaxView(spark, t, view, Seq("id"), "g", "v",
+      s"$root/ckpt2")
+    assert(TxnTable.currentVersion(view) == vBefore,
+      "replayed batches must hit the applied>=target fence")
+    assert(snap(TxnTable.read(spark, view)) == direct(t, 3L))
+  }
+}
