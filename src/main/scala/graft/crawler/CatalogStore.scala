@@ -44,8 +44,10 @@ object CatalogStore {
           f.nullable, i)
       }
     }
+    // nested-aware (C17): struct leaves ride the same single pass,
+    // array elements get a column-pruned explode pass each
     val profiles = infos.flatMap { info =>
-      Profiler.profile(spark, LakeCrawler.open(spark, info), info.name,
+      Profiler.profileNested(spark, LakeCrawler.open(spark, info), info.name,
         exactDistinctThreshold)
     }
     infos.toDF().write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/datasets")
@@ -98,7 +100,7 @@ object CatalogStore {
     val d = diff(prev, cur)
     val toProfile = cur.filter(i => d.changed.contains(i.name) || d.added.contains(i.name))
     val freshProfiles = toProfile.flatMap(i =>
-      Profiler.profile(spark, LakeCrawler.open(spark, i), i.name))
+      Profiler.profileNested(spark, LakeCrawler.open(spark, i), i.name))
     val freshColumns = toProfile.flatMap { info =>
       LakeCrawler.extractSchema(spark, info).fields.zipWithIndex.map {
         case (f, i) => ColumnMeta(info.name, f.name, f.dataType.simpleString,

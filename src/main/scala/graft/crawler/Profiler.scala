@@ -83,6 +83,76 @@ object Profiler {
     profile(spark, df, dataset, exactDistinctThreshold).toDF()
   }
 
+  /** [[profile]] extended to NESTED leaves (SURVEY §2.8 C3 residual:
+    * the s12-shaped datasets the crawler discovers deserve more than
+    * hollow top-level rows for their struct/array columns):
+    *  - **struct leaves** (any nesting depth) join the SAME single wide
+    *    pass as top-level columns — each is just a dotted projection
+    *    (`cust.c_mktsegment`), so flattening costs zero extra scans and
+    *    the parquet reader prunes to exactly the profiled leaves;
+    *  - **array elements** are profiled per element leaf (`items[]` for
+    *    primitive elements, `items[].l_quantity` for struct elements)
+    *    via ONE column-pruned explode pass PER ARRAY COLUMN — the only
+    *    shape that yields true element-level distinct counts; the scan
+    *    reads only that array column (ReadSchema prunes the rest), so
+    *    at 100 TB each pass is O(that column's bytes), not O(table).
+    *    `cnt` counts non-null ELEMENTS; `nulls` counts null elements
+    *    (rows with null/empty arrays contribute none);
+    *  - maps and arrays nested INSIDE structs/arrays stay skipped
+    *    (unbounded key spaces / no stable leaf path) — same contract as
+    *    [[orderable]]'s conservatism.
+    */
+  def profileNested(
+      spark: SparkSession,
+      df: DataFrame,
+      dataset: String,
+      exactDistinctThreshold: Long = 100000L): Seq[ColumnProfile] = {
+    def structLeaves(prefix: String, dt: DataType): Seq[String] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap(f =>
+        structLeaves(s"$prefix.${f.name}", f.dataType))
+      case _: ArrayType | _: MapType => Nil
+      case _ => Seq(prefix)
+    }
+    val flatPaths = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case st: StructType => structLeaves(f.name, st)
+        case _: ArrayType | _: MapType => Nil
+        case _ => Seq(f.name)
+      }
+    }
+    val flatPass =
+      if (flatPaths.isEmpty) Nil
+      else profile(spark,
+        df.select(flatPaths.map(p => col(p).as(p)): _*),
+        dataset, exactDistinctThreshold)
+    val arrayPasses = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case ArrayType(st: StructType, _) =>
+          val leaves = st.fields.toSeq.flatMap(g =>
+            structLeaves(g.name, g.dataType))
+          if (leaves.isEmpty) Nil
+          else profile(spark,
+            df.select(explode(col(f.name)).as("__e"))
+              .select(leaves.map(p =>
+                col(s"__e.$p").as(s"${f.name}[].$p")): _*),
+            dataset, exactDistinctThreshold)
+        case ArrayType(_: ArrayType | _: MapType, _) => Nil
+        case _: ArrayType =>
+          profile(spark,
+            df.select(explode(col(f.name)).as(s"${f.name}[]")),
+            dataset, exactDistinctThreshold)
+        case _ => Nil
+      }
+    }
+    flatPass ++ arrayPasses
+  }
+
+  def profileNestedDF(spark: SparkSession, df: DataFrame, dataset: String,
+      exactDistinctThreshold: Long = 100000L): DataFrame = {
+    import spark.implicits._
+    profileNested(spark, df, dataset, exactDistinctThreshold).toDF()
+  }
+
   /** Exact top-k most frequent values of one column (for small-cardinality
     * string columns; at scale swap in a count-min sketch before this).
     */

@@ -45,6 +45,36 @@ object CrawlerQueries {
       .orderBy(col("col_name"))
   }
 
+  /** C17: NESTED-leaf profiling — the s12-shaped shredded orders table
+    * (struct customer + array<struct> items) profiled down to its
+    * leaves: struct leaves ride the same single wide pass as top-level
+    * columns (dotted projections — zero extra scans), array elements
+    * get one column-pruned explode pass with true element-level
+    * distinct counts. The oracle recomputes every leaf's stats from
+    * the raw relational tables the nested table was shredded from.
+    */
+  def c17NestedProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Lake
+    val out = Files.createTempDirectory("graft_c17").toString + "/nested"
+    val items = Lake.table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))))
+        .as("items"))
+    Lake.table(spark, dir, "orders")
+      .join(broadcast(Lake.table(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(items, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        struct(col("c_custkey"), col("c_mktsegment")).as("cust"),
+        col("items"))
+      .write.mode("overwrite").parquet(out)
+    Profiler.profileNestedDF(spark, spark.read.parquet(out), "nested")
+      .select(col("column").as("col_name"), col("cnt"), col("nulls"),
+        col("ndistinct"), col("min_s"), col("max_s"))
+      .orderBy(col("col_name"))
+  }
+
   /** C3 (top-k frequent values): exact top-3 most frequent customer
     * market segments from the profiler's topK, cross-engine checked.
     */
@@ -399,6 +429,7 @@ object CrawlerQueries {
     "c2_schemas"          -> (c2Schemas _),
     "c3_profile_customer" -> (c3ProfileCustomer _),
     "c3_topk_mktsegment"  -> (c3TopkMktsegment _),
+    "c17_nested_profile"  -> (c17NestedProfile _),
     "c5_incremental"      -> (c5Incremental _),
     "c6_quality_checks"   -> (c6QualityChecks _),
     "c7_schema_drift"     -> (c7SchemaDrift _))
@@ -528,6 +559,34 @@ object CrawlerQueries {
     "c3_profile_customer" ->
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .map(profBlock).mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // Every nested leaf's stats recomputed from the raw relational
+    // tables the nested dataset was shredded from: struct leaves over
+    // the joined base rows, array-element leaves over the lineitems of
+    // those orders (explode semantics: one row per element).
+    "c17_nested_profile" ->
+      ("""WITH base AS (
+         |  SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_mktsegment
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |  WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem)),
+         |el AS (
+         |  SELECT l_linenumber, l_quantity, l_extendedprice FROM lineitem
+         |  WHERE l_orderkey IN (SELECT o_orderkey FROM base))
+         |""".stripMargin +
+        (Seq(("o_orderkey", "o_orderkey", "base"),
+          ("o_totalprice", "o_totalprice", "base"),
+          ("cust.c_custkey", "c_custkey", "base"),
+          ("cust.c_mktsegment", "c_mktsegment", "base"),
+          ("items[].l_linenumber", "l_linenumber", "el"),
+          ("items[].l_quantity", "l_quantity", "el"),
+          ("items[].l_extendedprice", "l_extendedprice", "el"))
+          .map { case (label, c, rel) =>
+            s"""SELECT '$label' AS col_name, count($c) AS cnt,
+               | count(*) - count($c) AS nulls,
+               | count(DISTINCT $c) AS ndistinct,
+               | CAST(min($c) AS VARCHAR) AS min_s,
+               | CAST(max($c) AS VARCHAR) AS max_s
+               |FROM $rel""".stripMargin }
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
     "c3_topk_mktsegment" ->
       """SELECT CAST(c_mktsegment AS VARCHAR) AS value, count(*) AS freq
         |FROM customer GROUP BY 1 ORDER BY freq DESC, value LIMIT 3""".stripMargin,

@@ -213,4 +213,40 @@ class CrawlerSpec extends SparkSpecBase {
     assert(LakeCrawler.discover(spark, lake).find(_.name == "markedidx")
       .exists(_.format == "graft-index"))
   }
+
+  test("profileNested: struct leaves, array elements, null handling") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // struct with a null leaf, primitive array with a null element and
+    // a null/empty array, array<struct>, top-level flat column
+    val df = Seq(
+      (1L, ("a", Option(10L)), Seq[Option[Long]](Some(1L), None, Some(3L)),
+        Seq((1L, 5.0))),
+      (2L, ("b", None), Seq[Option[Long]](Some(7L)), Seq((2L, 6.0), (3L, 6.0))),
+      (3L, ("a", Option(30L)), Seq.empty[Option[Long]], Seq.empty[(Long, Double)])
+    ).toDF("id", "s", "arr", "items")
+      .select(col("id"),
+        col("s").cast("struct<tag:string,v:bigint>").as("s"),
+        col("arr"),
+        col("items").cast("array<struct<k:bigint,x:double>>").as("items"))
+    val profs = Profiler.profileNested(spark, df, "t")
+      .map(p => p.column -> p).toMap
+    // flat + struct leaves in the single pass
+    assert(profs("id").cnt == 3 && profs("id").ndistinct == 3)
+    assert(profs("s.tag").cnt == 3 && profs("s.tag").ndistinct == 2)
+    assert(profs("s.v").cnt == 2 && profs("s.v").nulls == 1,
+      "null struct leaf must count as a null")
+    // primitive array: 4 elements, one null element; empty arrays
+    // contribute nothing
+    assert(profs("arr[]").cnt == 3 && profs("arr[]").nulls == 1)
+    assert(profs("arr[]").min_s.contains("1") &&
+      profs("arr[]").max_s.contains("7"))
+    // array<struct>: per-field element stats with element distincts
+    assert(profs("items[].k").cnt == 3 && profs("items[].k").ndistinct == 3)
+    assert(profs("items[].x").ndistinct == 2,
+      "element-level distinct must dedup across rows")
+    // no rows for the container columns themselves
+    assert(!profs.contains("s") && !profs.contains("arr") &&
+      !profs.contains("items"))
+  }
 }
