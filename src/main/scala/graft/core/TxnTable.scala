@@ -817,9 +817,44 @@ object TxnTable {
     rewriteByKeys(spark, path, keys.select(keyCols.map(col): _*),
       keyCols, None, 1, Nil, -1L)
 
+  /** Apply a keyed CHANGE BATCH as ONE commit: delete every current row
+    * whose key appears in `keys`, insert the `upserts` rows —
+    * [[merge]] generalized to carry deletes (a CDC consumer's apply
+    * primitive: keys = every changed key, upserts = after-images of
+    * inserts+updates; a delete is a key with no upsert row). `op` lets
+    * an exactly-once consumer record its stream marker on the same
+    * commit ([[streamHighWater]]), so apply+marker is atomic. */
+  def applyChanges(spark: SparkSession, path: String, keys: DataFrame,
+      upserts: DataFrame, keyCols: Seq[String], partitions: Int = 1,
+      clusterBy: Seq[Column] = Nil, op: String = "merge"): Long =
+    rewriteByKeys(spark, path, keys, keyCols, Some(upserts), partitions,
+      clusterBy, -1L, op)
+
+  /** Commit a METADATA-ONLY marker (no adds, no removes — logical
+    * content unchanged): the carrier for stream high-water marks when a
+    * batch changes no data (e.g. a replicated version range that was
+    * all vacuum/compaction), Delta's bare `txn` action. Retries version
+    * races — a marker conflicts with nothing logically. */
+  def commitMarker(path: String, op: String, maxAttempts: Int = 20): Long = {
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(path) + 1
+      require(v > 0, s"commitMarker: not a table: $path")
+      preCommitHook()
+      try { tryCommit(path, TxnCommit(v, op, Nil, Nil)); return v }
+      catch {
+        case e: TxnConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
   private def rewriteByKeys(spark: SparkSession, path: String,
       keys: DataFrame, keyCols: Seq[String], insert: Option[DataFrame],
-      partitions: Int, clusterBy: Seq[Column], expectedBase: Long): Long = {
+      partitions: Int, clusterBy: Seq[Column], expectedBase: Long,
+      op: String = "merge"): Long = {
     val base = currentVersion(path)
     // CAS guard: a caller that computed its input FROM a snapshot (e.g.
     // TxnIndex.upsert's replaced-doc stats) passes that snapshot's
@@ -886,7 +921,7 @@ object TxnTable {
     // CAS callers derived their INPUT from the base snapshot — never
     // rebase those; a plain merge commutes with non-overlapping commits
     val policy = if (expectedBase >= 0) NoRebase else CommuteNonOverlapping
-    try commitRewrite(path, base, "merge", adds, removes, policy)
+    try commitRewrite(path, base, op, adds, removes, policy)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
   }
 

@@ -659,7 +659,78 @@ object StreamingQueries {
     maintained
   }
 
+  /** ST19: streaming CDC REPLICATION — a second TxnTable kept as a
+    * live row-level replica by following the source's commit log and
+    * applying each batch's file-scoped change images as ONE
+    * `applyChanges` commit carrying the `stream:replica:<v>` marker
+    * (apply+marker atomic ⇒ exactly-once). Exercises all three apply
+    * paths: initial snapshot copy, incremental image apply (insert +
+    * whole-group delete + update tranches), and the metadata-only
+    * marker for a version range with empty net diff (a compaction).
+    * In-run: replica rows ≡ source rows after catch-up (both
+    * directions of `except` empty), no-new-data pass and
+    * fresh-checkpoint replay leave the replica untouched. Oracle
+    * replays the final content from raw orders.
+    */
+  def st19StreamReplica(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    import graft.streaming.StreamReplica
+    val root = Files.createTempDirectory("graft_st19").toString
+    val src = s"$root/orders_txn"
+    val dst = s"$root/replica"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val ck: Long = m.getLong(0)
+    val kx: Long = m.getLong(1)
+    TxnTable.createClustered(spark, src, orders, Seq(col("o_custkey")),
+      targetFiles = 10) // v0
+    StreamReplica.replicate(spark, src, dst, Seq("o_orderkey"),
+      s"$root/ckpt", clusterBy = Seq("o_custkey"))
+    require(StreamReplica.appliedVersion(dst).contains(0L))
+    TxnTable.append(spark, src,
+      orders.filter(col("o_custkey").between(ck / 4, ck / 4 + ck / 16))
+        .select((col("o_orderkey") + kx).as("o_orderkey"),
+          col("o_custkey"), (col("price_c") * 3).as("price_c")))  // v1
+    TxnTable.deleteWhere(spark, src, col("o_custkey") <= ck / 8)  // v2
+    TxnTable.merge(spark, src,
+      orders.filter(col("o_custkey").between(ck / 2, ck / 2 + ck / 16))
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("price_c") * 2).as("price_c")),
+      Seq("o_orderkey"), clusterBy = Seq(col("o_custkey")))        // v3
+    StreamReplica.replicate(spark, src, dst, Seq("o_orderkey"),
+      s"$root/ckpt", clusterBy = Seq("o_custkey"))
+    require(StreamReplica.appliedVersion(dst).contains(3L))
+    // row-for-row equality, both directions
+    val s3 = TxnTable.read(spark, src, 3L)
+    val r3 = TxnTable.read(spark, dst)
+    require(s3.exceptAll(r3).isEmpty && r3.exceptAll(s3).isEmpty,
+      "replica must equal the source row-for-row")
+    // a compaction changes no rows: the replica advances its marker
+    // with a metadata-only commit, content untouched
+    TxnTable.compact(spark, src)                                  // v4
+    val rowsBefore = TxnTable.read(spark, dst).count()
+    StreamReplica.replicate(spark, src, dst, Seq("o_orderkey"),
+      s"$root/ckpt", clusterBy = Seq("o_custkey"))
+    require(StreamReplica.appliedVersion(dst).contains(4L) &&
+      TxnTable.read(spark, dst).count() == rowsBefore,
+      "empty-diff range must advance the marker without touching rows")
+    // no-new-data pass + fresh-checkpoint replay: both no-ops
+    val vStable = TxnTable.currentVersion(dst)
+    StreamReplica.replicate(spark, src, dst, Seq("o_orderkey"),
+      s"$root/ckpt", clusterBy = Seq("o_custkey"))
+    StreamReplica.replicate(spark, src, dst, Seq("o_orderkey"),
+      s"$root/ckpt_replay", clusterBy = Seq("o_custkey"))
+    require(TxnTable.currentVersion(dst) == vStable,
+      "replayed batches must no-op on the high-water marker")
+    TxnTable.read(spark, dst)
+      .agg(count(lit(1)).as("c"), sum(col("price_c")).as("price_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st19_stream_replica" -> (st19StreamReplica _),
     "st18_stream_ivm" -> (st18StreamIvm _),
     "st17_stream_embcuration" -> (st17StreamEmbCuration _),
     "st16_stream_curation" -> (st16StreamCuration _),
@@ -753,6 +824,29 @@ object StreamingQueries {
     // commits); the streaming halves (checkpointed offsets, no-op
     // redelivery, exactly-once marker) are asserted in-run.
     "st18_stream_ivm" -> SourceQueries.oracle("s18b_minmax_view"),
+    // The replica's final content replayed from raw orders (same
+    // commit chain as s18b: tripled-price insert tranche with shifted
+    // keys + whole-group deletes + doubled-price updates); the
+    // replica≡source, empty-diff marker, and redelivery-no-op halves
+    // are asserted in-run.
+    "st19_stream_replica" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck,
+        |           CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),
+        |fin AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_custkey BETWEEN b.ck//2 AND b.ck//2 + b.ck//16
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+        |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS pc
+        |  FROM orders, b WHERE o_custkey > b.ck//8
+        |  UNION ALL
+        |  SELECT o_orderkey + b.kx,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) * 3
+        |  FROM orders, b
+        |  WHERE o_custkey BETWEEN b.ck//4 AND b.ck//4 + b.ck//16)
+        |SELECT CAST(count(*) AS BIGINT) AS c,
+        |  CAST(sum(pc) AS BIGINT) AS price_sum,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM fin""".stripMargin,
     // The whole pipeline's batch replay, composed from the three
     // stages' proven fragments: p1's quality filter (sc, filt), st12's
     // banding over the FILTERED set (dup), l32's BM25 over the kept

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.TxnTable
+
+/** Streaming CDC REPLICATION: keep a second TxnTable (`dstPath`) as a
+  * live row-level replica of a source table by following the source's
+  * commit log ([[TxnLogSourceProvider]]) and applying each batch's
+  * file-scoped change images — the downstream half of the change data
+  * feed (S17) that every lake-to-lake / lake-to-serving sync needs.
+  *
+  * Per micro-batch: ONE [[TxnTable.diffVersionsImages]] spanning the
+  * batch's version range (reads only files that changed at the
+  * source), then ONE [[TxnTable.applyChanges]] commit at the replica —
+  * changed keys deleted, after-images of inserts/updates re-inserted,
+  * and the applied source version recorded as a `stream:replica:<v>`
+  * marker ON THAT SAME COMMIT, so apply+marker is atomic and a
+  * redelivered batch no-ops ([[TxnTable.streamHighWater]] — the same
+  * exactly-once discipline as [[StreamIvm]]). A version range whose
+  * net row diff is empty (compactions, vacuums, self-cancelling
+  * rewrites) advances the marker with a metadata-only
+  * [[TxnTable.commitMarker]].
+  *
+  * Scale: replica work per batch is O(source files changed) reads +
+  * O(changed keys) rewrite at the replica (the keyed rewrite prunes to
+  * hit files) — a 100 TB replica tracking 1% daily churn pays ~1%
+  * per day, never a full copy. `clusterBy` keeps the replica's files
+  * key-clustered so its own pruned reads stay tight.
+  */
+object StreamReplica {
+
+  private val StreamId = "replica"
+  private def marker(srcV: Long) = s"stream:$StreamId:$srcV"
+
+  /** Source version the replica currently reflects. */
+  def appliedVersion(dstPath: String): Option[Long] =
+    TxnTable.streamHighWater(dstPath, StreamId)
+
+  /** Bring the replica up to source version `target` (first call
+    * copies the snapshot; later calls apply only the change images;
+    * `applied >= target` no-ops). */
+  def applyUpTo(spark: SparkSession, srcPath: String, dstPath: String,
+      target: Long, keyCols: Seq[String],
+      clusterBy: Seq[String] = Nil): Unit =
+    appliedVersion(dstPath) match {
+      case None =>
+        TxnTable.create(spark, dstPath,
+          TxnTable.read(spark, srcPath, target), op = marker(target))
+      case Some(a) if a >= target => ()
+      case Some(a) =>
+        val d = TxnTable.diffVersionsImages(spark, srcPath, a, target,
+          keyCols).persist()
+        try {
+          if (d.isEmpty) { TxnTable.commitMarker(dstPath, marker(target)); () }
+          else {
+            // restore the table's column order from the after-images
+            val cols = TxnTable.read(spark, srcPath, target).columns.toSeq
+            val upserts = d.filter(col("op") =!= "delete")
+              .select(cols.map(c =>
+                if (keyCols.contains(c)) col(c)
+                else col(s"after.`$c`").as(c)): _*)
+            TxnTable.applyChanges(spark, dstPath,
+              d.select(keyCols.map(col): _*), upserts, keyCols,
+              clusterBy = clusterBy.map(col), op = marker(target))
+            ()
+          }
+        } finally { d.unpersist(); () }
+    }
+
+  /** One Trigger.AvailableNow replication pass: drain every source
+    * commit not yet applied to the replica, then return. Re-call (same
+    * `checkpointDir`) after more source commits, or wire a continuous
+    * trigger for an always-on replicator. */
+  def replicate(spark: SparkSession, srcPath: String, dstPath: String,
+      keyCols: Seq[String], checkpointDir: String,
+      clusterBy: Seq[String] = Nil): Unit = {
+    val q = StreamIvm.changesStream(spark, srcPath).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val mx = batch.agg(max(col("version"))).head()
+          if (!mx.isNullAt(0))
+            applyUpTo(batch.sparkSession, srcPath, dstPath,
+              mx.getLong(0), keyCols, clusterBy)
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+  }
+}
