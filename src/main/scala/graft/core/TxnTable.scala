@@ -19,6 +19,24 @@ case class TxnCommit(
     removes: Seq[String],
     schema: Option[String] = None)
 
+/** MERGE INTO matched-clause ADT (SQL MERGE / the Delta DSL): clauses
+  * are evaluated in the order given, first clause whose condition fires
+  * claims the row. Conditions and update expressions may reference the
+  * target's columns by name and the source row's via
+  * [[TxnTable.srcCol]]. */
+sealed trait MergeMatched
+/** WHEN MATCHED [AND cond] THEN UPDATE SET … (per-column expressions,
+  * each cast to the column's existing type). */
+case class MatchedUpdate(set: Map[String, Column],
+    cond: Option[Column] = None) extends MergeMatched
+/** WHEN MATCHED [AND cond] THEN DELETE. */
+case class MatchedDelete(cond: Option[Column] = None) extends MergeMatched
+/** WHEN NOT MATCHED [AND cond] THEN INSERT (values reference source
+  * columns via [[TxnTable.srcCol]]; unspecified table columns get
+  * NULL). */
+case class NotMatchedInsert(values: Map[String, Column],
+    cond: Option[Column] = None)
+
 /** A minimal transactional table format: snapshot-versioned parquet with
   * an append-only JSON commit log — the ACID layer the plain-directory
   * lake lacks (SURVEY.md residual gap; Compactor's swap and SnapshotDiff
@@ -781,6 +799,45 @@ object TxnTable {
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
   }
 
+  /** UPDATE … SET … WHERE: rewrite every row matching `predicate` with
+    * the `set` expressions applied (each cast to its column's existing
+    * type, so the table schema never drifts); non-matching rows in hit
+    * files are carried through the rewrite unchanged, and files with NO
+    * matching row are carried by reference — the update's cost is
+    * O(files containing a match), not O(table). Same conflict contract
+    * as [[deleteWhere]] (rebase-or-abort, staged files cleaned on
+    * abort); the commit op is `update`, so the change feed (S17) shows
+    * the touched files' before/after images. */
+  def updateWhere(spark: SparkSession, path: String, predicate: Column,
+      set: Map[String, Column]): Long = {
+    val base = currentVersion(path)
+    val files = snapshotFiles(path, base)
+    val abs = files.map(f => localRoot(path).resolve(f).toString)
+    val current = snapshotReader(spark, path, base).parquet(abs: _*)
+    val tableCols = current.columns.toSeq
+    val bad = set.keySet -- tableCols
+    require(bad.isEmpty, s"updateWhere: unknown columns $bad")
+    val withName = current
+      .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
+    val hitDf = withName.filter(predicate)
+      .select(col("__fname")).distinct().localCheckpoint()
+    if (hitDf.isEmpty) return base
+    val p = coalesce(predicate, lit(false))
+    val rewritten = withName.join(broadcast(hitDf), "__fname")
+      .select(tableCols.map { c =>
+        if (set.contains(c))
+          when(p, set(c).cast(current.schema(c).dataType))
+            .otherwise(col(c)).as(c)
+        else col(c)
+      }: _*)
+    val adds = writeData(spark, path, rewritten, 1)
+    val hitNames = hitDf.collect().map(_.getString(0)).toSet
+    val removes = files.filter(f => hitNames.contains(f.split('/').last))
+    try commitRewrite(path, base, "update", adds, removes,
+      CommuteNonOverlapping)
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+  }
+
   /** Keyed MERGE (the Delta MERGE whenMatched-delete + insert role):
     * atomically replace every current row whose `keyCols` tuple appears
     * in `df` with `df`'s rows — ONE commit, so no reader ever observes
@@ -805,6 +862,132 @@ object TxnTable {
       clusterBy: Seq[Column] = Nil, expectedBase: Long = -1L): Long =
     rewriteByKeys(spark, path, df.select(keyCols.map(col): _*),
       keyCols, Some(df), partitions, clusterBy, expectedBase)
+
+  /** Address a SOURCE column inside a [[mergeInto]] clause condition or
+    * update/insert expression (target columns are addressed plainly). */
+  def srcCol(name: String): Column = col(s"$SrcStruct.$name")
+
+  private val SrcStruct = "__graft_src"
+
+  /** Full SQL MERGE INTO: join `source` to the table on `keyCols` and
+    * apply ordered WHEN MATCHED clauses (update/delete, each optionally
+    * conditioned, first fire wins) plus an optional WHEN NOT MATCHED
+    * insert — ONE atomic commit. Matched rows claimed by no clause, and
+    * unmatched target rows, are untouched. Source rows must be unique
+    * per key (multiple matches for one target row is an error, as in
+    * Delta/SQL); NULL-keyed source rows match nothing and fall through
+    * to the insert clause (SQL equality).
+    *
+    * Scale shape: ONE inner-join pass over the table finds (a) the
+    * files containing a row some clause actually fires on — only those
+    * are rewritten, carried files stay by reference — and (b) the
+    * matched key set, so the insert side is an anti-join of the SOURCE
+    * against metadata-scale keys, never a second table scan. The
+    * source is broadcast when small (Spark decides); the rewrite reads
+    * only hit files. Cost: O(table scan) + O(hit files rewrite),
+    * exactly the Delta merge shape.
+    */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], matched: Seq[MergeMatched],
+      notMatched: Option[NotMatchedInsert] = None,
+      clusterBy: Seq[Column] = Nil): Long = {
+    val base = currentVersion(path)
+    val files = snapshotFiles(path, base)
+    val abs = files.map(f => localRoot(path).resolve(f).toString)
+    val current = snapshotReader(spark, path, base).parquet(abs: _*)
+    val tableCols = current.columns.toSeq
+    val srcS = source.select(
+      keyCols.map(col) :+
+        struct(source.columns.map(col): _*).as(SrcStruct): _*)
+    // duplicate source keys would make "which source row wins" ambiguous
+    val dup = srcS.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*).count().filter(col("count") > 1)
+    require(dup.isEmpty,
+      "mergeInto: multiple source rows match the same key " +
+        dup.limit(3).collect().mkString(", "))
+    // first-fire-wins claim tracking: build per-clause disjoint fire
+    // predicates (claimed rows are excluded from later clauses)
+    def firePredicates(): (Column, Seq[(Column, Map[String, Column])]) = {
+      var claimed: Column = lit(false)
+      var deleteP: Column = lit(false)
+      val updates = Seq.newBuilder[(Column, Map[String, Column])]
+      matched.foreach {
+        case MatchedDelete(c) =>
+          val fire = !claimed && coalesce(c.getOrElse(lit(true)), lit(false))
+          deleteP = deleteP || fire
+          claimed = claimed || fire
+        case MatchedUpdate(set, c) =>
+          val fire = !claimed && coalesce(c.getOrElse(lit(true)), lit(false))
+          updates += ((fire, set))
+          claimed = claimed || fire
+      }
+      (deleteP, updates.result())
+    }
+    val withName = current
+      .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
+    // pass 1: one table scan → fired file set + matched key set
+    val joinedAll = withName.join(srcS, keyCols, "inner")
+    val (delAll, updAll) = firePredicates()
+    val anyFire = updAll.map(_._1).foldLeft(delAll)(_ || _)
+    val probe = joinedAll
+      .select(col("__fname") +: keyCols.map(col) :+ anyFire.as("__fire"): _*)
+      .localCheckpoint()
+    val hitDf = probe.filter(col("__fire"))
+      .select(col("__fname")).distinct().localCheckpoint()
+    val matchedKeys = probe.select(keyCols.map(col): _*).distinct()
+    val nHitFiles = hitDf.count()
+    // pass 2: rewrite ONLY hit files — delete claimed-deleted rows,
+    // apply the winning update's SET, carry everything else
+    val survivorAdds =
+      if (nHitFiles == 0) Nil
+      else {
+        val joined = withName.join(broadcast(hitDf), "__fname")
+          .join(srcS, keyCols, "left")
+        val m = col(SrcStruct).isNotNull
+        val (delP, upds) = firePredicates()
+        val out = joined.filter(!(m && delP))
+          .select(tableCols.map { c =>
+            upds.foldRight(col(c)) { case ((fire, set), acc) =>
+              if (set.contains(c))
+                when(m && fire,
+                  set(c).cast(current.schema(c).dataType)).otherwise(acc)
+              else acc
+            }.as(c)
+          }: _*)
+        if (out.isEmpty) Nil
+        else if (clusterBy.nonEmpty)
+          writeDataPrepared(spark, path,
+            out.repartitionByRange(math.max(1, nHitFiles.toInt), clusterBy: _*)
+              .sortWithinPartitions(clusterBy: _*))
+        else writeData(spark, path, out, 1)
+      }
+    // insert side: anti-join the SOURCE against the matched keys
+    // (metadata-scale), never a second scan of the table
+    val insertAdds = notMatched match {
+      case Some(NotMatchedInsert(values, cond)) =>
+        val cand = srcS.join(matchedKeys, keyCols, "left_anti")
+          .filter(coalesce(cond.getOrElse(lit(true)), lit(false)))
+        val rows = cand.select(tableCols.map { c =>
+          values.get(c)
+            .map(_.cast(current.schema(c).dataType))
+            .getOrElse(lit(null).cast(current.schema(c).dataType)).as(c)
+        }: _*)
+        if (rows.isEmpty) Nil
+        else if (clusterBy.nonEmpty)
+          writeDataPrepared(spark, path,
+            rows.repartitionByRange(1, clusterBy: _*)
+              .sortWithinPartitions(clusterBy: _*))
+        else writeData(spark, path, rows, 1)
+      case None => Nil
+    }
+    val adds = survivorAdds ++ insertAdds
+    if (adds.isEmpty && nHitFiles == 0) return base // nothing fired
+    val hitNames = hitDf.collect().map(_.getString(0)).toSet
+    val removes = files.filter(f => hitNames.contains(f.split('/').last))
+    try commitRewrite(path, base, "merge", adds, removes,
+      CommuteNonOverlapping)
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+  }
 
   /** Keyed anti-delete: atomically delete every current row whose
     * `keyCols` tuple appears in `keys` — [[merge]] without the insert.

@@ -657,7 +657,90 @@ object SourceQueries {
       .toSeq.toDF("c", "qty_c", "key_sum")
   }
 
+  /** S20: UPDATE … SET … WHERE — rewrite-in-place of matching rows with
+    * the SET expressions applied, scoped to the files that contain a
+    * match (strict-subset rewrite asserted in-run on the clustered
+    * layout: the update's custkey range maps to a few files). Oracle
+    * replays the CASE WHEN over raw orders. */
+  def s20Update(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val t = java.nio.file.Files.createTempDirectory("graft_s20")
+      .toString + "/orders_txn"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10)
+    val nFiles = TxnTable.snapshotFiles(t).size
+    TxnTable.updateWhere(spark, t,
+      col("o_custkey").between(ck / 2, ck / 2 + ck / 8) &&
+        col("o_orderstatus") === "O",
+      Map("price_c" -> (col("price_c") * 2)))
+    val c = TxnTable.commits(t).last
+    require(c.op == "update" && c.removes.nonEmpty &&
+      c.removes.size < nFiles,
+      s"update must rewrite a strict subset of $nFiles files, " +
+        s"got ${c.removes.size}")
+    TxnTable.read(spark, t).groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"))
+      .orderBy(col("st"))
+  }
+
+  /** S21: full MERGE INTO — ordered WHEN MATCHED clauses (a conditioned
+    * delete, then an unconditional update taking the source value) plus
+    * a conditioned WHEN NOT MATCHED insert, one atomic commit; only
+    * files containing a fired row are rewritten (strict subset asserted
+    * in-run). Oracle replays all three clause outcomes from raw
+    * orders. */
+  def s21MergeInto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    import graft.core.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+    val t = java.nio.file.Files.createTempDirectory("graft_s21")
+      .toString + "/orders_txn"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ck, kx) = (m.getLong(0), m.getLong(1))
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10)
+    val nFiles = TxnTable.snapshotFiles(t).size
+    // source: tripled prices for a mid custkey band (matched) + fresh
+    // keys carrying their original price (insert candidates)
+    val source = orders
+      .filter(col("o_custkey").between(ck / 3, ck / 3 + ck / 8))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("price_c") * 3).as("nv"))
+      .unionAll(orders
+        .filter(col("o_custkey").between(ck / 5, ck / 5 + ck / 16))
+        .select((col("o_orderkey") + kx).as("o_orderkey"),
+          col("o_custkey"), col("price_c").as("nv")))
+    TxnTable.mergeInto(spark, t, source, Seq("o_orderkey"),
+      matched = Seq(
+        MatchedDelete(Some(col("o_orderstatus") === "F")),
+        MatchedUpdate(Map("price_c" -> TxnTable.srcCol("nv")))),
+      notMatched = Some(NotMatchedInsert(
+        Map("o_orderkey" -> TxnTable.srcCol("o_orderkey"),
+          "o_custkey" -> TxnTable.srcCol("o_custkey"),
+          "o_orderstatus" -> lit("N"),
+          "price_c" -> TxnTable.srcCol("nv")),
+        cond = Some(TxnTable.srcCol("o_custkey") % 2 === 0))),
+      clusterBy = Seq(col("o_custkey")))
+    val c = TxnTable.commits(t).last
+    require(c.op == "merge" && c.removes.nonEmpty &&
+      c.removes.size < nFiles,
+      s"merge must rewrite a strict subset of $nFiles files, " +
+        s"got ${c.removes.size}")
+    TxnTable.read(spark, t).groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("st"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s21_merge_into"    -> (s21MergeInto _),
+    "s20_update"        -> (s20Update _),
     "s19_zorder3_box"   -> (s19Zorder3Box _),
     "s18b_minmax_view"  -> (s18bMinmaxView _),
     "s18_incremental_view" -> (s18IncrementalView _),
@@ -678,6 +761,47 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // The CASE WHEN replay of the update over raw orders; the
+    // strict-subset rewrite half is asserted in-run.
+    "s20_update" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders),
+        |u AS (
+        |  SELECT o_orderstatus AS st,
+        |    CASE WHEN o_custkey BETWEEN b.ck//2 AND b.ck//2 + b.ck//8
+        |           AND o_orderstatus = 'O'
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+        |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS pc
+        |  FROM orders, b)
+        |SELECT st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS price_sum
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // All three MERGE clause outcomes replayed from raw orders:
+    // matched+F deleted, matched+not-F repriced to the source value,
+    // unmatched fresh keys inserted when custkey is even; untouched
+    // rows carried.
+    "s21_merge_into" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck,
+        |           CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),
+        |fin AS (
+        |  SELECT o_orderstatus AS st,
+        |    CASE WHEN o_custkey BETWEEN b.ck//3 AND b.ck//3 + b.ck//8
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) * 3
+        |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS pc,
+        |    o_orderkey AS k
+        |  FROM orders, b
+        |  WHERE NOT (o_custkey BETWEEN b.ck//3 AND b.ck//3 + b.ck//8
+        |             AND o_orderstatus = 'F')
+        |  UNION ALL
+        |  SELECT 'N', CAST(round(o_totalprice * 100) AS BIGINT),
+        |    o_orderkey + b.kx
+        |  FROM orders, b
+        |  WHERE o_custkey BETWEEN b.ck//5 AND b.ck//5 + b.ck//16
+        |    AND o_custkey % 2 = 0)
+        |SELECT st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS price_sum,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
     // The 3-d box predicate on raw lineitem; the pruning half
     // (strict subset, ≤ every 1-dim prune) is asserted in-run.
     "s19_zorder3_box" ->

@@ -1,0 +1,133 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Full SQL MERGE INTO semantics (ordered matched clauses + conditioned
+  * insert) and UPDATE … WHERE — the rewrite-scoping (only hit files),
+  * clause order, null-key, and duplicate-source contracts. */
+class MergeIntoSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mk(t: String): Unit =
+    TxnTable.createClustered(spark, t,
+      (for (g <- 0L until 4L; i <- 1L to 5L)
+        yield (g * 10 + i, g, (g * 10 + i) * 100)).toDF("id", "g", "v"),
+      Seq(col("g")), targetFiles = 4)
+
+  private def rows(t: String): Set[(Long, Long, Long)] =
+    TxnTable.read(spark, t).as[(Long, Long, Long)].collect().toSet
+
+  test("updateWhere rewrites only hit files, casts SET to column type") {
+    val t = Files.createTempDirectory("graft_upd").toString + "/t"
+    mk(t)
+    val before = rows(t)
+    val nFiles = TxnTable.snapshotFiles(t).size
+    TxnTable.updateWhere(spark, t, col("g") === 1L,
+      Map("v" -> (col("v") + lit(0.5)))) // double expr cast back to long
+    val c = TxnTable.commits(t).last
+    assert(c.op == "update" && c.removes.nonEmpty &&
+      c.removes.size < nFiles,
+      s"update must rewrite a strict subset of $nFiles files, got $c")
+    // the cast truncates +0.5 back to long ⇒ values unchanged for g==1
+    assert(rows(t) == before)
+    // a real update now
+    TxnTable.updateWhere(spark, t, col("g") === 2L,
+      Map("v" -> (col("v") * 2)))
+    assert(rows(t) == before.map { case (id, g, v) =>
+      (id, g, if (g == 2L) v * 2 else v)
+    })
+    // no-match predicate: version must not move
+    val v0 = TxnTable.currentVersion(t)
+    TxnTable.updateWhere(spark, t, col("g") === 99L,
+      Map("v" -> lit(0L)))
+    assert(TxnTable.currentVersion(t) == v0)
+  }
+
+  test("mergeInto: ordered clauses, first fire wins; conditioned insert") {
+    val t = Files.createTempDirectory("graft_mi").toString + "/t"
+    mk(t)
+    val nFiles = TxnTable.snapshotFiles(t).size
+    // source: ids 11..15 (g=1, matched), 21..22 (g=2, matched),
+    // 90,91 (new), one null-keyed row
+    val source = Seq(
+      (Some(11L), 1000L), (Some(12L), 1000L), (Some(13L), 40L),
+      (Some(14L), 40L), (Some(15L), 40L),
+      (Some(21L), 7L), (Some(22L), 9000L),
+      (Some(90L), 500L), (Some(91L), 30L), (None, 600L))
+      .toDF("id", "nv")
+    TxnTable.mergeInto(spark, t, source, Seq("id"),
+      matched = Seq(
+        // clause 1: delete matched rows whose NEW value is tiny
+        MatchedDelete(Some(TxnTable.srcCol("nv") < 50L)),
+        // clause 2: update the rest to the source value, tagging g
+        MatchedUpdate(Map(
+          "v" -> TxnTable.srcCol("nv"),
+          "g" -> (col("g") + 100L)))),
+      notMatched = Some(NotMatchedInsert(
+        Map("id" -> TxnTable.srcCol("id"),
+          "g" -> lit(9L),
+          "v" -> TxnTable.srcCol("nv")),
+        cond = Some(TxnTable.srcCol("nv") >= 100L))))
+    val got = TxnTable.read(spark, t).filter(col("id").isNotNull)
+      .as[(Long, Long, Long)].collect().toSet
+    // deleted: 13,14,15 (nv<50), 21 (nv<50); updated: 11,12 (→1000,
+    // g=101), 22 (→9000, g=102); inserted: 90 (nv≥100); NOT 91 (nv<100),
+    // NOT the null-key row (insert values project id=null… cond passes
+    // nv=600 ⇒ inserted with NULL id — SQL says null keys fall to
+    // insert; assert it landed)
+    assert(!got.exists(r => Set(13L, 14L, 15L, 21L).contains(r._1)))
+    assert(got.contains((11L, 101L, 1000L)) &&
+      got.contains((12L, 101L, 1000L)) && got.contains((22L, 102L, 9000L)))
+    assert(got.contains((90L, 9L, 500L)) && !got.exists(_._1 == 91L))
+    val withNull = TxnTable.read(spark, t)
+      .filter(col("id").isNull).as[(Option[Long], Long, Long)].collect()
+    assert(withNull.toSeq == Seq((None, 9L, 600L)),
+      "null-keyed source row must fall through to the insert clause")
+    // untouched groups remain intact
+    assert(got.filter(_._2 == 0L).map(_._1) == Set(1L, 2L, 3L, 4L, 5L))
+    // only files holding fired rows were rewritten (g=0 and g=3 files
+    // untouched): commit removes a strict subset
+    val c = TxnTable.commits(t).last
+    assert(c.op == "merge" && c.removes.size < nFiles,
+      s"merge must rewrite a strict subset of $nFiles files, got $c")
+  }
+
+  test("mergeInto: clause ORDER decides the winner on overlap") {
+    val t = Files.createTempDirectory("graft_mi2").toString + "/t"
+    mk(t)
+    val source = Seq((11L, 5L)).toDF("id", "nv")
+    // update listed FIRST claims the row; the unconditional delete
+    // after it must not fire
+    TxnTable.mergeInto(spark, t, source, Seq("id"),
+      matched = Seq(
+        MatchedUpdate(Map("v" -> TxnTable.srcCol("nv"))),
+        MatchedDelete(None)))
+    assert(rows(t).contains((11L, 1L, 5L)),
+      "first-listed update must claim the row before the delete")
+  }
+
+  test("mergeInto: duplicate source keys rejected; no-op returns base") {
+    val t = Files.createTempDirectory("graft_mi3").toString + "/t"
+    mk(t)
+    val dup = Seq((11L, 1L), (11L, 2L)).toDF("id", "nv")
+    intercept[IllegalArgumentException] {
+      TxnTable.mergeInto(spark, t, dup, Seq("id"),
+        matched = Seq(MatchedUpdate(Map("v" -> TxnTable.srcCol("nv")))))
+    }
+    // source that matches nothing and inserts nothing: version unmoved
+    val v0 = TxnTable.currentVersion(t)
+    TxnTable.mergeInto(spark, t, Seq((999L, 1L)).toDF("id", "nv"),
+      Seq("id"),
+      matched = Seq(MatchedDelete(None)))
+    assert(TxnTable.currentVersion(t) == v0)
+    // conditions that never fire on matched rows: also a no-op
+    TxnTable.mergeInto(spark, t, Seq((11L, 1L)).toDF("id", "nv"),
+      Seq("id"),
+      matched = Seq(MatchedDelete(Some(lit(false)))))
+    assert(TxnTable.currentVersion(t) == v0)
+  }
+}
