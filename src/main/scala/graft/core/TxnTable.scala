@@ -11,13 +11,19 @@ case class TxnAdd(path: String, rows: Long, bytes: Long)
 
 /** One committed version: the actions that produced it. `schema` is the
   * table schema as of this commit (JSON), recorded on create and on
-  * explicit evolution; absent otherwise. */
+  * explicit evolution; absent otherwise. `dvs` are DELETION-VECTOR
+  * reassignments: (data file, DV file) pairs stating that from this
+  * version on, the data file's logical rows are its physical rows MINUS
+  * the positions listed in the DV file (merge-on-read delete — the data
+  * file itself is untouched). A commit that re-adds or removes a data
+  * file implicitly clears its DV. */
 case class TxnCommit(
     version: Long,
     op: String,
     adds: Seq[TxnAdd],
     removes: Seq[String],
-    schema: Option[String] = None)
+    schema: Option[String] = None,
+    dvs: Seq[(String, String)] = Nil)
 
 /** MERGE INTO matched-clause ADT (SQL MERGE / the Delta DSL): clauses
   * are evaluated in the order given, first clause whose condition fires
@@ -89,6 +95,7 @@ object TxnTable {
 
   private def logDir(path: String): JPath = localRoot(path).resolve("_graft_log")
   private def dataDir(path: String): JPath = localRoot(path).resolve("data")
+  private def dvDir(path: String): JPath = localRoot(path).resolve("dv")
   private def versionFile(path: String, v: Long): JPath =
     logDir(path).resolve(f"v$v%010d.json")
 
@@ -103,7 +110,12 @@ object TxnTable {
       .mkString("[", ",", "]")
     val removes = c.removes.map(r => s""""${esc(r)}"""").mkString("[", ",", "]")
     val schema = c.schema.map(s => s""","schema":"${esc(s)}"""").getOrElse("")
-    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":$adds,"removes":$removes$schema}"""
+    val dvs =
+      if (c.dvs.isEmpty) ""
+      else c.dvs.map { case (f, dv) =>
+        s"""{"f":"${esc(f)}","dv":"${esc(dv)}"}"""
+      }.mkString(""","dvs":[""", ",", "]")
+    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":$adds,"removes":$removes$schema$dvs}"""
   }
 
   private def parse(json: String): TxnCommit = {
@@ -127,8 +139,13 @@ object TxnTable {
       case JString(s) => Some(s)
       case _ => None
     }
+    val dvs = (j \ "dvs") match {
+      case JArray(arr) => arr.map(d =>
+        ((d \ "f").extract[String], (d \ "dv").extract[String]))
+      case _ => Nil
+    }
     TxnCommit((j \ "version").extract[Long], (j \ "op").extract[String],
-      adds, removes, schema)
+      adds, removes, schema, dvs)
   }
 
   /** Latest committed version, or -1 for a nonexistent/empty table. */
@@ -198,7 +215,8 @@ object TxnTable {
       schemaGens: Option[Long],
       schema: Option[String],
       streams: Option[Map[String, Long]],
-      allAdds: Option[Seq[TxnAdd]])
+      allAdds: Option[Seq[TxnAdd]],
+      dvs: Option[Map[String, String]])
 
   /** `stream:<id>:<batch>` op → (id, batch); None for other ops. */
   private def parseStreamOp(op: String): Option[(String, Long)] =
@@ -307,11 +325,16 @@ object TxnTable {
         val allAdds = addsIndex(path, commit.version).values.toSeq
           .filter(a => Files.exists(localRoot(path).resolve(a.path)))
           .sortBy(_.path)
+        val dvs = snapshotDvs(path, commit.version)
         val json = s"""{"version":${commit.version},""" +
           s""""horizon":${earliestVersion(path)},""" +
           s""""schemaGens":$gens,""" +
           schema.map(s => s""""schema":"${esc(s)}",""").getOrElse("") +
-          s""""streams":""" +
+          s""""dvs":""" +
+          dvs.toSeq.sortBy(_._1)
+            .map { case (f, dv) => s""""${esc(f)}":"${esc(dv)}"""" }
+            .mkString("{", ",", "}") +
+          s""","streams":""" +
           streams.toSeq.sortBy(_._1)
             .map { case (k, b) => s""""${esc(k)}":$b""" }
             .mkString("{", ",", "}") +
@@ -380,7 +403,13 @@ object TxnTable {
           (a \ "bytes").extract[Long])))
         case _ => None
       }
-      Some(Ckpt(best, files, horizon, schemaGens, schema, streams, allAdds))
+      val dvs = (j \ "dvs") match {
+        case JObject(fields) =>
+          Some(fields.map { case (k, jv) => k -> jv.extract[String] }.toMap)
+        case _ => None
+      }
+      Some(Ckpt(best, files, horizon, schemaGens, schema, streams, allAdds,
+        dvs))
     } catch { case _: Throwable => None } // corrupt checkpoint → full replay
   }
 
@@ -411,6 +440,31 @@ object TxnTable {
       c.adds.foreach(a => live += a.path)
     }
     live.toSeq
+  }
+
+  /** Resolve the DELETION-VECTOR map of a snapshot: live data file →
+    * its current DV file (absent = no deleted positions). Folds like
+    * [[snapshotFiles]] (checkpoint-amortized): a remove or re-add
+    * clears a file's DV, a commit's `dvs` entries (re)assign; within
+    * one commit the dvs assignments win, so [[restore]] can re-add a
+    * file and restore its DV in the same commit. */
+  def snapshotDvs(path: String, asOf: Long = -1L): Map[String, String] = {
+    val top = currentVersion(path)
+    require(top >= 0, s"not a TxnTable: $path")
+    val upTo = if (asOf < 0) top else asOf
+    require(upTo <= top, s"version $upTo does not exist (latest $top)")
+    val (from, init) = latestCheckpoint(path, upTo) match {
+      case Some(ck) if ck.dvs.isDefined => (ck.version, ck.dvs.get)
+      case _ => (-1L, Map.empty[String, String]) // old checkpoint: replay
+    }
+    var m = init
+    ((from + 1) to upTo).foreach { v =>
+      val c = readCommit(path, v)
+      c.removes.foreach(m -= _)
+      c.adds.foreach(a => m -= a.path)
+      c.dvs.foreach { case (f, dv) => m += (f -> dv) }
+    }
+    m
   }
 
   /** Write df's rows as fresh immutable part files; returns their adds.
@@ -475,6 +529,40 @@ object TxnTable {
           .asInstanceOf[org.apache.spark.sql.types.StructType])
       case None => spark.read
     }
+
+  /** Apply a snapshot's DELETION VECTORS to a raw parquet scan of (a
+    * subset of) its files: attach the scan-time file name and row
+    * position (`input_file_name()` / `_metadata.row_index` — both must
+    * be planted BEFORE any join buries the scan), then anti-join the
+    * (file, pos) pairs listed in the snapshot's DV files. A snapshot
+    * with no DVs returns the scan untouched — ZERO plan overhead on the
+    * common path. DV rows are cumulative per file (a newer DV is a
+    * superset of the one it replaced), so reading every mapped DV file
+    * and anti-joining the union is exact even when one DV file is
+    * current for file A but superseded for file B. The DV side is
+    * O(deleted rows) and Spark broadcast-joins it while small; compact
+    * materializes and clears DVs when they grow. `keepFname` returns
+    * the frame with `__fname` still attached for the rewrite paths. */
+  private def applyDv(spark: SparkSession, path: String, asOf: Long,
+      scan: DataFrame, keepFname: Boolean): DataFrame = {
+    val dvm = snapshotDvs(path, asOf)
+    def named = scan.withColumn("__fname",
+      element_at(split(input_file_name(), "/"), -1))
+    if (dvm.isEmpty) { if (keepFname) named else scan }
+    else {
+      val cols = scan.columns.toSeq
+      val dvAbs = dvm.values.toSeq.distinct
+        .map(f => localRoot(path).resolve(f).toString)
+      val dv = spark.read.parquet(dvAbs: _*)
+        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+      val withMeta = named.withColumn("__pos", col("_metadata.row_index"))
+      val out = withMeta.join(dv,
+        withMeta("__fname") === dv("__dv_file") &&
+          withMeta("__pos") === dv("__dv_pos"), "left_anti")
+        .drop("__pos")
+      if (keepFname) out else out.select(cols.map(col): _*)
+    }
+  }
 
   /** Delete the staged-but-never-committed data files of an aborted
     * write. writeData moves fresh files into data/ BEFORE the commit
@@ -554,13 +642,19 @@ object TxnTable {
                 // files as if they post-dated the new schema — mirror
                 // the reference lake formats' ConcurrentMetadataChange
                 // rule and abort regardless of file overlap
+                // a DV assignment on one of OUR removes also conflicts:
+                // our adds were computed from the pre-DV rows, so
+                // rebasing past it would resurrect the DV-deleted rows
                 c.schema.isEmpty &&
-                  !c.removes.exists(myRemoves.contains)
+                  !c.removes.exists(myRemoves.contains) &&
+                  !c.dvs.exists(d => myRemoves.contains(d._1))
               }
             case CommuteMetadataOnly =>
               (v to cur).forall { iv =>
                 val c = readCommit(path, iv)
-                c.adds.isEmpty && c.removes.isEmpty
+                // a DV delete changes logical content like an append —
+                // an overwrite must not silently swallow it
+                c.adds.isEmpty && c.removes.isEmpty && c.dvs.isEmpty
               }
           }
           if (!commutes) throw e
@@ -777,8 +871,11 @@ object TxnTable {
     // driver materialization is the collect at the bottom, which the
     // commit's `removes` metadata needs regardless — bounded by the
     // snapshot file count, the same order as the file list itself.
-    val withName = snapshotReader(spark, path, base).parquet(abs: _*)
-      .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
+    // applyDv: DV-deleted rows are logically gone — they must neither
+    // trigger a hit nor survive the rewrite (the rewrite's removes
+    // clear the hit files' DV mappings).
+    val withName = applyDv(spark, path, base,
+      snapshotReader(spark, path, base).parquet(abs: _*), keepFname = true)
     val hitDf = withName.filter(predicate)
       .select(col("__fname")).distinct().localCheckpoint()
     if (hitDf.isEmpty) return base
@@ -799,6 +896,115 @@ object TxnTable {
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
   }
 
+  /** MERGE-ON-READ delete (deletion vectors): mark every row matching
+    * `predicate` deleted by POSITION, without rewriting a single data
+    * file — one small DV parquet of (file, row position) pairs plus a
+    * metadata commit. The write cost is O(deleted rows), not O(bytes
+    * of the files they live in): deleting 0.1% of rows scattered
+    * across a 100 TB table costs ~a few MB of positions where
+    * [[deleteWhere]] (copy-on-write) would rewrite every touched
+    * file. Readers anti-join the DV at scan time ([[applyDv]] — zero
+    * overhead for DV-free snapshots); [[compact]] (or any rewrite
+    * touching the file) MATERIALIZES the DV and clears it, which is
+    * the read-amplification escape valve. DVs are cumulative per
+    * file: the new DV carries the union of old and new positions, so
+    * exactly one DV file is current per data file. Conflict contract:
+    * rebase past interleaved commits that touch none of the DV'd
+    * files; abort (after retries) when one removed or re-DV'd them.
+    * Returns the base version unchanged if nothing matched. */
+  def deleteWhereMor(spark: SparkSession, path: String,
+      predicate: Column): Long = {
+    val base = currentVersion(path)
+    val files = snapshotFiles(path, base)
+    val abs = files.map(f => localRoot(path).resolve(f).toString)
+    val dvm = snapshotDvs(path, base)
+    // live rows only (existing DVs applied) with position metadata:
+    // an already-deleted row must not re-trigger a hit, but its
+    // position must be CARRIED into the replacement DV below
+    val scan = snapshotReader(spark, path, base).parquet(abs: _*)
+      .withColumn("__fname",
+        element_at(split(input_file_name(), "/"), -1))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val oldDv =
+      if (dvm.isEmpty)
+        spark.emptyDataFrame
+          .withColumn("file", lit("")).withColumn("pos", lit(0L))
+          .limit(0).select(col("file"), col("pos"))
+      else spark.read.parquet(dvm.values.toSeq.distinct
+        .map(f => localRoot(path).resolve(f).toString): _*)
+        .select(col("file"), col("pos"))
+    val live = scan.join(oldDv,
+      scan("__fname") === oldDv("file") && scan("__pos") === oldDv("pos"),
+      "left_anti")
+    val hits = live.filter(predicate)
+      .select(col("__fname").as("file"), col("__pos").as("pos"))
+      .localCheckpoint()
+    if (hits.isEmpty) return base
+    val hitNames = hits.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val hitPaths = files.filter(f => hitNames.contains(f.split('/').last))
+    // replacement DV: new hits ∪ the hit files' previous positions
+    val carried = oldDv.filter(col("file")
+      .isInCollection(hitNames.toSeq))
+    val dvFile = writeDv(spark, path, hits.unionByName(carried))
+    val dvs = hitPaths.map(f => f -> dvFile)
+    try commitDvs(path, base, "dvdelete", dvs)
+    catch {
+      case e: Throwable =>
+        try Files.deleteIfExists(localRoot(path).resolve(dvFile))
+        catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  /** Write one DV parquet under `dv/`; returns its table-relative path. */
+  private def writeDv(spark: SparkSession, path: String,
+      rows: DataFrame): String = {
+    val staging = Files.createTempDirectory("graft_dv_stage").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(staging)
+    Files.createDirectories(dvDir(path))
+    val src = Files.list(Paths.get(staging)).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    require(src.size == 1, s"writeDv: expected 1 part file, got ${src.size}")
+    val name = s"dv-${java.util.UUID.randomUUID()}.parquet"
+    Files.move(src.head, dvDir(path).resolve(name))
+    s"dv/$name"
+  }
+
+  /** Publish a DV-only commit at `base + 1`, rebasing past interleaved
+    * commits that touched NONE of the DV'd files (an append, a rewrite
+    * of other files, a marker all commute — the DV'd files' rows still
+    * stand at the new head); abort when one removed, rewrote, or
+    * re-DV'd them (our union-with-old-positions DV was computed from a
+    * stale DV state). */
+  private def commitDvs(path: String, base: Long, op: String,
+      dvs: Seq[(String, String)], maxRebases: Int = 20): Long = {
+    val myFiles = dvs.map(_._1).toSet
+    var v = base + 1
+    var attempt = 0
+    while (true) {
+      preCommitHook()
+      try {
+        tryCommit(path, TxnCommit(v, op, Nil, Nil, None, dvs))
+        return v
+      } catch {
+        case e: TxnConflictException =>
+          if (attempt >= maxRebases) throw e
+          val cur = currentVersion(path)
+          val commutes = (v to cur).forall { iv =>
+            val c = readCommit(path, iv)
+            c.schema.isEmpty &&
+              !c.removes.exists(myFiles.contains) &&
+              !c.dvs.exists(d => myFiles.contains(d._1))
+          }
+          if (!commutes) throw e
+          attempt += 1
+          v = cur + 1
+      }
+    }
+    -1L // unreachable
+  }
+
   /** UPDATE … SET … WHERE: rewrite every row matching `predicate` with
     * the `set` expressions applied (each cast to its column's existing
     * type, so the table schema never drifts); non-matching rows in hit
@@ -817,8 +1023,7 @@ object TxnTable {
     val tableCols = current.columns.toSeq
     val bad = set.keySet -- tableCols
     require(bad.isEmpty, s"updateWhere: unknown columns $bad")
-    val withName = current
-      .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
+    val withName = applyDv(spark, path, base, current, keepFname = true)
     val hitDf = withName.filter(predicate)
       .select(col("__fname")).distinct().localCheckpoint()
     if (hitDf.isEmpty) return base
@@ -923,8 +1128,7 @@ object TxnTable {
       }
       (deleteP, updates.result())
     }
-    val withName = current
-      .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
+    val withName = applyDv(spark, path, base, current, keepFname = true)
     // pass 1: one table scan → fired file set + matched key set
     val joinedAll = withName.join(srcS, keyCols, "inner")
     val (delAll, updAll) = firePredicates()
@@ -1059,8 +1263,7 @@ object TxnTable {
     // from the rewritten files (permanent data loss in the new commit).
     val current = snapshotReader(spark, path, base).parquet(abs: _*)
     val tableCols = current.columns.toSeq
-    val withName = current
-      .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
+    val withName = applyDv(spark, path, base, current, keepFname = true)
     // File names under data/ are UUIDs, so the bare name is a complete
     // key. The hit-file set is a DATAFRAME end-to-end (localCheckpoint
     // materializes the one input_file_name() pass; the survivors join
@@ -1119,7 +1322,9 @@ object TxnTable {
     // schema-pinned like every rewrite: compacting a schema-evolved
     // table must not lose evolved columns to single-footer inference
     val adds = writeData(spark, path,
-      snapshotReader(spark, path, base).parquet(abs: _*), targetFiles)
+      applyDv(spark, path, base,
+        snapshotReader(spark, path, base).parquet(abs: _*),
+        keepFname = false), targetFiles)
     try commitRewrite(path, base, "compact", adds, files,
       CommuteNonOverlapping)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
@@ -1150,7 +1355,9 @@ object TxnTable {
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
     val clustered = graft.operators.Layout.zorderPartitions(
-      snapshotReader(spark, path, base).parquet(abs: _*), a, b, targetFiles)
+      applyDv(spark, path, base,
+        snapshotReader(spark, path, base).parquet(abs: _*),
+        keepFname = false), a, b, targetFiles)
     val adds = writeDataPrepared(spark, path, clustered)
     try commitRewrite(path, base, "compact", adds, files,
       CommuteNonOverlapping)
@@ -1168,7 +1375,9 @@ object TxnTable {
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
     val clustered = graft.operators.Layout.zorderPartitions3(
-      snapshotReader(spark, path, base).parquet(abs: _*), a, b, c,
+      applyDv(spark, path, base,
+        snapshotReader(spark, path, base).parquet(abs: _*),
+        keepFname = false), a, b, c,
       targetFiles)
     val adds = writeDataPrepared(spark, path, clustered)
     try commitRewrite(path, base, "compact", adds, files,
@@ -1273,7 +1482,15 @@ object TxnTable {
       a.copy(path = localRoot(src).resolve(f).toString)
     }
     val schema = schemaInfo(src, upTo)._2
-    tryCommit(dst, TxnCommit(0L, s"clone:$upTo", adds, Nil, schema))
+    // carry the source snapshot's deletion vectors, absolutized like
+    // the data references (keys must match the adds' paths; the DV
+    // files live under the SOURCE's dv/ and are never reaped by the
+    // clone's own vacuum, same as data)
+    val dvs = snapshotDvs(src, upTo).toSeq.sortBy(_._1).map {
+      case (f, dv) => (localRoot(src).resolve(f).toString,
+        localRoot(src).resolve(dv).toString)
+    }
+    tryCommit(dst, TxnCommit(0L, s"clone:$upTo", adds, Nil, schema, dvs))
     // Register the clone's pin AT THE SOURCE (best-effort: a read-only
     // source degrades to the documented retain-history-manually
     // contract): the source's vacuum consults the registry and keeps
@@ -1386,8 +1603,12 @@ object TxnTable {
       // race below, and the retry re-enters through this check.
       requireReadable()
       try {
+        // dvs: the re-add clears each file's DV, the same commit's dvs
+        // then restore the TARGET version's map — so a restore across
+        // a dvdelete rolls the deletion vectors back too
         tryCommit(path, TxnCommit(cur + 1, s"restore:$toVersion",
-          targetAdds, live.filterNot(target.contains), schemaRollback))
+          targetAdds, live.filterNot(target.contains), schemaRollback,
+          snapshotDvs(path, toVersion).toSeq.sortBy(_._1)))
         return cur + 1
       } catch {
         case _: TxnConflictException if attempt < maxAttempts => attempt += 1
@@ -1501,6 +1722,26 @@ object TxnTable {
               Files.deleteIfExists(p)) deleted += 1
           } finally it.close()
         }
+        if (orphanGraceMs >= 0 && Files.isDirectory(dvDir(path))) {
+          // deletion-vector sweep, same age-graced contract: a DV file
+          // is kept while ANY retained/pinned snapshot (or the latest
+          // log state, covering commits that raced this vacuum) maps a
+          // data file to it; superseded/orphaned DVs older than the
+          // grace window are reaped. Grace is what protects a
+          // concurrent dvdelete's staged-but-not-yet-committed file.
+          val keepDv = (((horizon to cur) ++ pinned)
+            .flatMap(v => snapshotDvs(path, v).values) ++
+            snapshotDvs(path, currentVersion(path)).values).toSet
+            .map((f: String) => localRoot(path).resolve(f).normalize)
+          val cutoff = System.currentTimeMillis() - orphanGraceMs
+          val it = Files.walk(dvDir(path))
+          try it.iterator().asScala.foreach { p =>
+            if (Files.isRegularFile(p) &&
+              !keepDv.contains(p.normalize) &&
+              Files.getLastModifiedTime(p).toMillis < cutoff &&
+              Files.deleteIfExists(p)) deleted += 1
+          } finally it.close()
+        }
         return (cur + 1, deleted)
       } catch {
         case _: TxnConflictException if attempt < 20 => attempt += 1
@@ -1529,7 +1770,9 @@ object TxnTable {
     val reader =
       if (generations > 1) spark.read.option("mergeSchema", "true")
       else spark.read
-    reader.parquet(files.map(f => localRoot(path).resolve(f).toString): _*)
+    applyDv(spark, path, upTo,
+      reader.parquet(files.map(f => localRoot(path).resolve(f).toString): _*),
+      keepFname = false)
   }
 
   /** Snapshot read with FILE-level stats pruning: rows of the snapshot
@@ -1557,7 +1800,9 @@ object TxnTable {
       .buildForFiles(spark, liveAbs, Seq(column))
     val kept = graft.crawler.SkippingIndex.selectFiles(idx, 0, lo, hi)
     if (kept.isEmpty) full.filter(lit(false))
-    else spark.read.schema(full.schema).parquet(kept: _*).filter(pred)
+    else applyDv(spark, path, asOf,
+      spark.read.schema(full.schema).parquet(kept: _*),
+      keepFname = false).filter(pred)
   }
 
   /** [[readPruned]] for a SET of point values instead of one range:
@@ -1596,8 +1841,9 @@ object TxnTable {
     if (kept.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
-    else spark.read.schema(full.schema).parquet(kept: _*)
-      .filter(col(column).isInCollection(vs))
+    else applyDv(spark, path, asOf,
+      spark.read.schema(full.schema).parquet(kept: _*),
+      keepFname = false).filter(col(column).isInCollection(vs))
   }
 
   /** [[readPruned]] for STRING columns: rows with `column` ∈ [lo, hi]
@@ -1623,7 +1869,9 @@ object TxnTable {
     if (kept.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
-    else spark.read.schema(full.schema).parquet(kept: _*).filter(pred)
+    else applyDv(spark, path, asOf,
+      spark.read.schema(full.schema).parquet(kept: _*),
+      keepFname = false).filter(pred)
   }
 
   /** The residual row predicate for a physical-int64 bound on `c`:
@@ -1696,7 +1944,9 @@ object TxnTable {
     if (kept.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
-    else spark.read.schema(full.schema).parquet(kept: _*).filter(pred)
+    else applyDv(spark, path, asOf,
+      spark.read.schema(full.schema).parquet(kept: _*),
+      keepFname = false).filter(pred)
   }
 
   /** CHANGE DATA FEED between two readable versions: the keyed
@@ -1722,15 +1972,24 @@ object TxnTable {
         s"got [$fromV, $toV]")
     val before = snapshotFiles(path, fromV)
     val after = snapshotFiles(path, toV)
-    val removed = before.toSet -- after.toSet
-    val added = after.toSet -- before.toSet
+    // a file carried by BOTH versions whose deletion-vector assignment
+    // moved still changed logically (a dvdelete touched it): diff it on
+    // both sides — each side's applyDv subtracts that version's DV, so
+    // MOR-deleted rows surface as `delete` diff rows exactly like a
+    // copy-on-write rewrite's
+    val (dvB, dvA) = (snapshotDvs(path, fromV), snapshotDvs(path, toV))
+    val dvChanged = before.toSet.intersect(after.toSet)
+      .filter(f => dvB.get(f) != dvA.get(f))
+    val removed = (before.toSet -- after.toSet) ++ dvChanged
+    val added = (after.toSet -- before.toSet) ++ dvChanged
     def side(files: Set[String], v: Long): DataFrame =
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           read(spark, path, v).schema)
-      else snapshotReader(spark, path, v).parquet(
-        files.toSeq.map(f => localRoot(path).resolve(f).toString): _*)
+      else applyDv(spark, path, v, snapshotReader(spark, path, v).parquet(
+        files.toSeq.map(f => localRoot(path).resolve(f).toString): _*),
+        keepFname = false)
     graft.operators.SnapshotDiff.diff(
       side(removed, fromV), side(added, toV), keyCols)
   }
@@ -1749,15 +2008,24 @@ object TxnTable {
         s"got [$fromV, $toV]")
     val before = snapshotFiles(path, fromV)
     val after = snapshotFiles(path, toV)
-    val removed = before.toSet -- after.toSet
-    val added = after.toSet -- before.toSet
+    // a file carried by BOTH versions whose deletion-vector assignment
+    // moved still changed logically (a dvdelete touched it): diff it on
+    // both sides — each side's applyDv subtracts that version's DV, so
+    // MOR-deleted rows surface as `delete` diff rows exactly like a
+    // copy-on-write rewrite's
+    val (dvB, dvA) = (snapshotDvs(path, fromV), snapshotDvs(path, toV))
+    val dvChanged = before.toSet.intersect(after.toSet)
+      .filter(f => dvB.get(f) != dvA.get(f))
+    val removed = (before.toSet -- after.toSet) ++ dvChanged
+    val added = (after.toSet -- before.toSet) ++ dvChanged
     def side(files: Set[String], v: Long): DataFrame =
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           read(spark, path, v).schema)
-      else snapshotReader(spark, path, v).parquet(
-        files.toSeq.map(f => localRoot(path).resolve(f).toString): _*)
+      else applyDv(spark, path, v, snapshotReader(spark, path, v).parquet(
+        files.toSeq.map(f => localRoot(path).resolve(f).toString): _*),
+        keepFname = false)
     graft.operators.SnapshotDiff.diffImages(
       side(removed, fromV), side(added, toV), keyCols)
   }

@@ -738,7 +738,53 @@ object SourceQueries {
       .orderBy(col("st"))
   }
 
+  /** S22: DELETION VECTORS (merge-on-read delete) — two stacked MOR
+    * deletes mark rows dead by position without touching ONE data file
+    * (file-set identity asserted in-run), readers and the pruned reads
+    * subtract the DV at scan time, time travel still sees the full
+    * snapshot. The O(deleted rows)-not-O(file bytes) write path a
+    * 100 TB table needs for scattered deletes; compaction is the
+    * read-amplification escape valve (DeletionVectorSpec pins it).
+    * Oracle replays both predicates over raw orders. */
+  def s22DeletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val t = java.nio.file.Files.createTempDirectory("graft_s22")
+      .toString + "/orders_txn"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    val total = orders.count()
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10)
+    val filesBefore = TxnTable.snapshotFiles(t).toSet
+    TxnTable.deleteWhereMor(spark, t, col("o_custkey") <= ck / 8)   // v1
+    TxnTable.deleteWhereMor(spark, t,
+      col("o_orderstatus") === "F" &&
+        col("o_custkey").between(ck / 2, ck / 2 + ck / 16))         // v2
+    require(TxnTable.snapshotFiles(t).toSet == filesBefore,
+      "MOR deletes must not rewrite a single data file")
+    require(TxnTable.snapshotDvs(t).nonEmpty &&
+      TxnTable.commits(t).last.op == "dvdelete")
+    // time travel is untouched by the marks
+    require(TxnTable.read(spark, t, 0L).count() == total,
+      "v0 must still read the full snapshot")
+    // a footer-pruned read subtracts the DV exactly like the full read
+    val lo = ck / 2
+    val hi = ck / 2 + ck / 16
+    val prunedC = TxnTable.readPruned(spark, t, "o_custkey", lo, hi).count()
+    val fullC = TxnTable.read(spark, t)
+      .filter(col("o_custkey").between(lo, hi)).count()
+    require(prunedC == fullC,
+      s"pruned read must apply the DV: $prunedC vs $fullC")
+    TxnTable.read(spark, t).groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("st"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s22_deletion_vectors" -> (s22DeletionVectors _),
     "s21_merge_into"    -> (s21MergeInto _),
     "s20_update"        -> (s20Update _),
     "s19_zorder3_box"   -> (s19Zorder3Box _),
@@ -761,6 +807,20 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // Both MOR-delete predicates replayed over raw orders; the
+    // zero-data-rewrite, time-travel, and pruned-read halves are
+    // asserted in-run.
+    "s22_deletion_vectors" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders)
+        |SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS price_sum,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders, b
+        |WHERE o_custkey > b.ck//8
+        |  AND NOT (o_orderstatus = 'F'
+        |           AND o_custkey BETWEEN b.ck//2 AND b.ck//2 + b.ck//16)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The CASE WHEN replay of the update over raw orders; the
     // strict-subset rewrite half is asserted in-run.
     "s20_update" ->

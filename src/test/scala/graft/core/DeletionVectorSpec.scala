@@ -1,0 +1,205 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Merge-on-read deletes (deletion vectors): position-level delete
+  * marks instead of file rewrites — the O(deleted rows) delete path.
+  * Pins: zero data files touched, cumulative DVs, every read path
+  * applying them, rewrites/compaction materializing them, CDF/restore/
+  * clone/vacuum integration, and the conflict rules. */
+class DeletionVectorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mk(t: String, nFiles: Int = 4): Unit =
+    TxnTable.createClustered(spark, t,
+      (for (g <- 0L until 4L; i <- 1L to 8L)
+        yield (g * 10 + i, g, (g * 10 + i) * 100)).toDF("id", "g", "v"),
+      Seq(col("g")), targetFiles = nFiles)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").as[Long].collect().toSet
+
+  test("MOR delete: rows gone, data files untouched, time travel intact") {
+    val t = Files.createTempDirectory("graft_dv1").toString + "/t"
+    mk(t)
+    val filesBefore = TxnTable.snapshotFiles(t).toSet
+    val v = TxnTable.deleteWhereMor(spark, t, col("g") === 1L)
+    assert(v == 1L)
+    assert(TxnTable.snapshotFiles(t).toSet == filesBefore,
+      "a MOR delete must not add or remove a single data file")
+    assert(TxnTable.commits(t).last.op == "dvdelete")
+    assert(TxnTable.snapshotDvs(t).nonEmpty)
+    assert(!ids(TxnTable.read(spark, t)).exists(id => id >= 11L && id <= 18L))
+    assert(ids(TxnTable.read(spark, t)).size == 24)
+    // time travel to v0 still sees everything
+    assert(ids(TxnTable.read(spark, t, 0L)).size == 32)
+    // no-match predicate: no commit
+    assert(TxnTable.deleteWhereMor(spark, t, col("g") === 99L) == 1L)
+  }
+
+  test("cumulative DVs: a second MOR delete unions, never resurrects") {
+    val t = Files.createTempDirectory("graft_dv2").toString + "/t"
+    mk(t)
+    TxnTable.deleteWhereMor(spark, t, col("id") === 11L)
+    TxnTable.deleteWhereMor(spark, t, col("id") === 12L)
+    val got = ids(TxnTable.read(spark, t))
+    assert(!got.contains(11L) && !got.contains(12L) && got.size == 30)
+    // exactly one DV file current per data file
+    assert(TxnTable.snapshotDvs(t).size == 1)
+    // deleting an already-MOR-deleted row is a no-op (it is not live)
+    val v = TxnTable.currentVersion(t)
+    TxnTable.deleteWhereMor(spark, t, col("id") === 11L)
+    assert(TxnTable.currentVersion(t) == v)
+  }
+
+  test("pruned reads and keyed rewrites apply DVs") {
+    val t = Files.createTempDirectory("graft_dv3").toString + "/t"
+    mk(t)
+    TxnTable.deleteWhereMor(spark, t, col("id") === 21L)
+    // footer-pruned range read must not see the deleted row
+    val pruned = ids(TxnTable.readPruned(spark, t, "g", 2L, 2L))
+    assert(pruned == Set(22L, 23L, 24L, 25L, 26L, 27L, 28L))
+    // a keyed merge rewriting the DV'd file keeps the row dead and
+    // clears the mapping (copy-on-write materializes the DV)
+    TxnTable.merge(spark, t, Seq((22L, 2L, 9999L)).toDF("id", "g", "v"),
+      Seq("id"), clusterBy = Seq(col("g")))
+    assert(TxnTable.snapshotDvs(t).isEmpty,
+      "rewriting the DV'd file must clear its deletion vector")
+    val got = TxnTable.read(spark, t).as[(Long, Long, Long)].collect().toSet
+    assert(!got.exists(_._1 == 21L) && got.contains((22L, 2L, 9999L)))
+  }
+
+  test("compact materializes DVs; updateWhere does not resurrect") {
+    val t = Files.createTempDirectory("graft_dv4").toString + "/t"
+    mk(t)
+    TxnTable.deleteWhereMor(spark, t, col("g") === 0L)
+    TxnTable.updateWhere(spark, t, col("g") === 3L,
+      Map("v" -> (col("v") * 2)))
+    val expect = (for (g <- 1L until 4L; i <- 1L to 8L)
+      yield (g * 10 + i, g,
+        (g * 10 + i) * 100 * (if (g == 3L) 2 else 1))).toSet
+    assert(TxnTable.read(spark, t).as[(Long, Long, Long)].collect().toSet
+      == expect)
+    TxnTable.compact(spark, t, targetFiles = 2)
+    assert(TxnTable.snapshotDvs(t).isEmpty,
+      "compaction must materialize and clear every DV")
+    assert(TxnTable.read(spark, t).as[(Long, Long, Long)].collect().toSet
+      == expect)
+  }
+
+  test("CDF across a dvdelete emits the deleted rows; restore rolls back") {
+    val t = Files.createTempDirectory("graft_dv5").toString + "/t"
+    mk(t)
+    TxnTable.deleteWhereMor(spark, t, col("id").isin(11L, 23L)) // v1
+    val d = TxnTable.diffVersionsImages(spark, t, 0L, 1L, Seq("id"))
+      .select(col("op"), col("id")).as[(String, Long)].collect().toSet
+    assert(d == Set(("delete", 11L), ("delete", 23L)),
+      s"dvdelete must surface as CDF deletes, got $d")
+    // restore to v0 revives the rows (DV map rolled back too)
+    TxnTable.restore(spark, t, 0L) // v2
+    assert(TxnTable.snapshotDvs(t).isEmpty)
+    assert(ids(TxnTable.read(spark, t)).size == 32)
+    // and restore BACK to the DV'd version re-applies the DV
+    TxnTable.restore(spark, t, 1L) // v3
+    assert(TxnTable.snapshotDvs(t).nonEmpty)
+    assert(ids(TxnTable.read(spark, t)).size == 30)
+  }
+
+  test("shallow clone carries the source's DVs") {
+    val root = Files.createTempDirectory("graft_dv6").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    mk(src)
+    TxnTable.deleteWhereMor(spark, src, col("g") === 2L)
+    TxnTable.cloneShallow(spark, src, dst)
+    assert(ids(TxnTable.read(spark, dst)) ==
+      ids(TxnTable.read(spark, src)))
+    assert(!ids(TxnTable.read(spark, dst)).exists(id => id / 10L == 2L))
+    TxnTable.releaseClone(src, dst)
+  }
+
+  test("vacuum sweeps superseded DV files under grace, keeps current") {
+    val t = Files.createTempDirectory("graft_dv7").toString + "/t"
+    mk(t)
+    TxnTable.deleteWhereMor(spark, t, col("id") === 11L) // dv A
+    TxnTable.deleteWhereMor(spark, t, col("id") === 12L) // dv B ⊇ A
+    val dvDirP = java.nio.file.Paths.get(t, "dv")
+    def dvFiles() = {
+      val it = Files.list(dvDirP)
+      try it.iterator().asScala.toSeq.map(_.getFileName.toString)
+      finally it.close()
+    }
+    assert(dvFiles().size == 2)
+    // retain only the latest version; superseded dv A is reapable,
+    // current dv B must survive (grace 0: everything old enough)
+    TxnTable.vacuum(spark, t, retainVersions = 1, orphanGraceMs = 0L)
+    val left = dvFiles()
+    assert(left.size == 1 &&
+      TxnTable.snapshotDvs(t).values.toSet ==
+        left.map(n => s"dv/$n").toSet,
+      s"exactly the current DV must survive, got $left")
+    assert(ids(TxnTable.read(spark, t)).size == 30)
+  }
+
+  private implicit class JIter[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+
+  test("conflicts: append rebases past a DV commit; rewrite of the " +
+    "DV'd file aborts it") {
+    val t = Files.createTempDirectory("graft_dv8").toString + "/t"
+    mk(t)
+    // interleave an append into the dvdelete's race window: commutes
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      TxnTable.append(spark, t, Seq((99L, 9L, 1L)).toDF("id", "g", "v"))
+    }
+    try TxnTable.deleteWhereMor(spark, t, col("id") === 11L)
+    finally TxnTable.preCommitHook = () => ()
+    assert(TxnTable.currentVersion(t) == 2L)
+    val got = ids(TxnTable.read(spark, t))
+    assert(got.contains(99L) && !got.contains(11L),
+      "append and MOR delete must both land")
+    // interleave a deleteWhere that REWRITES the DV'd file: the DV
+    // commit must abort (its union-with-old DV is stale)
+    fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      TxnTable.deleteWhere(spark, t, col("id") === 13L) // rewrites g=1 file
+    }
+    try {
+      intercept[TxnTable.TxnConflictException] {
+        TxnTable.deleteWhereMor(spark, t, col("id") === 12L)
+      }
+    } finally TxnTable.preCommitHook = () => ()
+    // the aborted dvdelete left content correct and cleaned its DV file
+    val after = ids(TxnTable.read(spark, t))
+    assert(!after.contains(13L) && after.contains(12L))
+  }
+
+  test("checkpoint carries the DV map (resolution from ckpt + suffix)") {
+    val t = Files.createTempDirectory("graft_dv9").toString + "/t"
+    mk(t)
+    TxnTable.deleteWhereMor(spark, t, col("id") === 11L) // v1
+    // push past a checkpoint boundary (interval 10)
+    (0 until 10).foreach { i =>
+      TxnTable.append(spark, t, Seq((200L + i, 9L, 1L)).toDF("id", "g", "v"))
+    }
+    assert(TxnTable.currentVersion(t) == 11L)
+    val before = TxnTable.versionFileReads.get()
+    val dvm = TxnTable.snapshotDvs(t)
+    val reads = TxnTable.versionFileReads.get() - before
+    assert(dvm.size == 1)
+    assert(reads <= TxnTable.CheckpointInterval + 2,
+      s"snapshotDvs must resolve from the checkpoint, read $reads commits")
+    assert(!ids(TxnTable.read(spark, t)).contains(11L))
+  }
+}
