@@ -62,9 +62,18 @@ object DvBench {
     val mor = mkTable("mor")
     println(s"rows=$nRows files=${TxnTable.snapshotFiles(cow).size} x2 tables")
 
-    // scattered predicate: ~1/1000 ids, spread over every file
-    val pred = col("id") % 1000L === 0L
+    // scattered predicate: ~1/997 ids, spread over every file (997 is
+    // prime, so coprime with the id = orderkey*8 + linenumber encoding
+    // whose residues mod 8 exclude 0)
+    val pred = col("id") % 997L === 0L
     val doomed = li.filter(pred).count()
+    require(doomed > 0, "probe predicate must hit")
+
+    // DV-free baseline on the SAME 200-file layout (the CoW table's
+    // post-delete layout is consolidated by its rewrite, so it is NOT
+    // the comparison point for read overhead)
+    val (baseRead, base) = timeIt(TxnTable.read(spark, mor)
+      .agg(count(lit(1)), sum(col("price_c"))).head())
 
     // probe 1: CoW vs MOR delete (single-shot each — a delete commits)
     val t0 = System.nanoTime()
@@ -84,16 +93,19 @@ object DvBench {
       f"cowFilesRewritten=$cowRewrote morSec=$morSec%.3f " +
       f"morFilesRewritten=$morRewrote dvBytes=$dvBytes loadavg=$loadavg")
 
-    // probe 2: read overhead with the DV live
+    // probe 2: read overhead with the DV live — same table, same
+    // 200-file layout, before (baseline above) vs after the dvdelete
     val (cowRead, a) = timeIt(TxnTable.read(spark, cow)
       .agg(count(lit(1)), sum(col("price_c"))).head())
     val (morRead, b) = timeIt(TxnTable.read(spark, mor)
       .agg(count(lit(1)), sum(col("price_c"))).head())
     require(a == b, s"CoW and MOR must agree: $a vs $b")
-    println(f"read cowSec=$cowRead%.3f morSec=$morRead%.3f " +
-      f"overhead=${morRead / cowRead}%.2fx loadavg=$loadavg")
+    println(f"read baselineSec=$baseRead%.3f morSec=$morRead%.3f " +
+      f"overhead=${morRead / baseRead}%.2fx " +
+      f"(cowConsolidatedSec=$cowRead%.3f) loadavg=$loadavg")
 
     // probe 3: compaction materializes; read returns to the plain plan
+    // (same 200-file target, so postRead is comparable to baseline)
     val (compSec, _) = { // single-shot: compaction commits
       val s = System.nanoTime()
       TxnTable.compact(spark, mor, targetFiles = 200)
@@ -104,7 +116,7 @@ object DvBench {
       .agg(count(lit(1)), sum(col("price_c"))).head())
     require(c == a, "content must survive materialization")
     println(f"compact sec=$compSec%.3f postReadSec=$postRead%.3f " +
-      f"loadavg=$loadavg")
+      f"(vs baseline $baseRead%.3f) loadavg=$loadavg")
     spark.stop()
   }
 }
