@@ -185,6 +185,44 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(!after.contains(13L) && after.contains(12L))
   }
 
+  test("MOR deletes flow through the streaming CDC replica and the " +
+    "streaming IVM view") {
+    import graft.streaming.{StreamIvm, StreamReplica}
+    import graft.operators.IncrementalView
+    val root = Files.createTempDirectory("graft_dv10").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    val view = s"$root/view"
+    mk(src)
+    // bootstrap replica + maintained min/max view at v0
+    StreamReplica.replicate(spark, src, dst, Seq("id"), s"$root/ck1",
+      clusterBy = Seq("g"))
+    StreamIvm.maintainMinMaxView(spark, src, view, Seq("id"), "g", "v",
+      s"$root/ck2")
+    // one whole group MOR-deleted + one scattered row — both change
+    // only DELETION VECTORS, zero data files; the CDF they ride on
+    // must still surface them as delete images downstream
+    TxnTable.deleteWhereMor(spark, src,
+      col("g") === 1L || col("id") === 33L)
+    StreamReplica.replicate(spark, src, dst, Seq("id"), s"$root/ck1",
+      clusterBy = Seq("g"))
+    StreamIvm.maintainMinMaxView(spark, src, view, Seq("id"), "g", "v",
+      s"$root/ck2")
+    assert(ids(TxnTable.read(spark, dst)) == ids(TxnTable.read(spark, src)),
+      "replica must drop the MOR-deleted rows")
+    assert(!ids(TxnTable.read(spark, dst)).contains(33L))
+    val maintained = TxnTable.read(spark, view)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val direct = IncrementalView.materializeMinMax(
+      TxnTable.read(spark, src), "g", "v")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(maintained == direct,
+      s"maintained view must equal a direct recompute: " +
+        s"$maintained vs $direct")
+    assert(!maintained.exists(_._1 == 1L),
+      "a fully MOR-deleted group must leave the view")
+  }
+
   test("checkpoint carries the DV map (resolution from ckpt + suffix)") {
     val t = Files.createTempDirectory("graft_dv9").toString + "/t"
     mk(t)
