@@ -915,12 +915,77 @@ object TxnTable {
   def deleteWhereMor(spark: SparkSession, path: String,
       predicate: Column): Long = {
     val base = currentVersion(path)
+    val (live, oldDv, files) = liveWithPos(spark, path, base)
+    val hits = live.filter(predicate)
+      .select(col("__fname").as("file"), col("__pos").as("pos"))
+      .localCheckpoint()
+    if (hits.isEmpty) return base
+    val (dvs, dvFile) = buildDvs(spark, path, files, hits, oldDv)
+    try commitDvs(path, base, "dvdelete", dvs)
+    catch {
+      case e: Throwable =>
+        try Files.deleteIfExists(localRoot(path).resolve(dvFile))
+        catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  /** MERGE-ON-READ update: the [[updateWhere]] semantics at
+    * [[deleteWhereMor]]'s cost — matching rows are marked dead by
+    * position in a DV and their UPDATED images appended as fresh
+    * files, ONE atomic commit (`dvupdate` carries both the adds and
+    * the DV reassignments, so no reader ever sees the row missing or
+    * doubled). Write cost is O(changed rows): updating 0.1% of rows
+    * scattered across a 100 TB table writes ~the changed rows + a
+    * few MB of positions, where [[updateWhere]] (copy-on-write)
+    * rewrites every file containing a match. Same read/compaction
+    * story as MOR delete (readers subtract the DV; compact
+    * materializes); CDF shows the change as before/after images like
+    * any rewrite. Returns the base version if nothing matched. */
+  def updateWhereMor(spark: SparkSession, path: String,
+      predicate: Column, set: Map[String, Column],
+      partitions: Int = 1): Long = {
+    val base = currentVersion(path)
+    val (live, oldDv, files) = liveWithPos(spark, path, base)
+    val tableCols = live.columns.toSeq
+      .filterNot(c => c == "__fname" || c == "__pos")
+    val bad = set.keySet -- tableCols
+    require(bad.isEmpty, s"updateWhereMor: unknown columns $bad")
+    // one materialized pass pins BOTH the hit positions and the row
+    // content the updated images are computed from (the DV and the
+    // appended rows must describe the same snapshot rows)
+    val hitRows = live.filter(predicate).localCheckpoint()
+    if (hitRows.isEmpty) return base
+    val hits = hitRows
+      .select(col("__fname").as("file"), col("__pos").as("pos"))
+    val updated = hitRows.select(tableCols.map { c =>
+      if (set.contains(c))
+        set(c).cast(live.schema(c).dataType).as(c)
+      else col(c)
+    }: _*)
+    val adds = writeData(spark, path, updated, partitions)
+    val (dvs, dvFile) =
+      try buildDvs(spark, path, files, hits, oldDv)
+      catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+    try commitDvs(path, base, "dvupdate", dvs, adds)
+    catch {
+      case e: Throwable =>
+        cleanupStaged(path, adds)
+        try Files.deleteIfExists(localRoot(path).resolve(dvFile))
+        catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  /** Live rows of the snapshot `base` (existing DVs applied — an
+    * already-deleted row must not re-trigger a hit) with `__fname` /
+    * `__pos` scan metadata attached, plus the current DV rows and the
+    * snapshot file list, for the MOR write paths. */
+  private def liveWithPos(spark: SparkSession, path: String, base: Long)
+      : (DataFrame, DataFrame, Seq[String]) = {
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
     val dvm = snapshotDvs(path, base)
-    // live rows only (existing DVs applied) with position metadata:
-    // an already-deleted row must not re-trigger a hit, but its
-    // position must be CARRIED into the replacement DV below
     val scan = snapshotReader(spark, path, base).parquet(abs: _*)
       .withColumn("__fname",
         element_at(split(input_file_name(), "/"), -1))
@@ -936,25 +1001,22 @@ object TxnTable {
     val live = scan.join(oldDv,
       scan("__fname") === oldDv("file") && scan("__pos") === oldDv("pos"),
       "left_anti")
-    val hits = live.filter(predicate)
-      .select(col("__fname").as("file"), col("__pos").as("pos"))
-      .localCheckpoint()
-    if (hits.isEmpty) return base
+    (live, oldDv, files)
+  }
+
+  /** Write the replacement DV for `hits` (new positions ∪ the hit
+    * files' previous positions — DVs are cumulative per file) and
+    * return the per-file reassignments plus the DV file for cleanup. */
+  private def buildDvs(spark: SparkSession, path: String,
+      files: Seq[String], hits: DataFrame, oldDv: DataFrame)
+      : (Seq[(String, String)], String) = {
     val hitNames = hits.select(col("file")).distinct()
       .collect().map(_.getString(0)).toSet
     val hitPaths = files.filter(f => hitNames.contains(f.split('/').last))
-    // replacement DV: new hits ∪ the hit files' previous positions
     val carried = oldDv.filter(col("file")
       .isInCollection(hitNames.toSeq))
     val dvFile = writeDv(spark, path, hits.unionByName(carried))
-    val dvs = hitPaths.map(f => f -> dvFile)
-    try commitDvs(path, base, "dvdelete", dvs)
-    catch {
-      case e: Throwable =>
-        try Files.deleteIfExists(localRoot(path).resolve(dvFile))
-        catch { case _: Throwable => () }
-        throw e
-    }
+    (hitPaths.map(f => f -> dvFile), dvFile)
   }
 
   /** Write one DV parquet under `dv/`; returns its table-relative path. */
@@ -971,21 +1033,23 @@ object TxnTable {
     s"dv/$name"
   }
 
-  /** Publish a DV-only commit at `base + 1`, rebasing past interleaved
+  /** Publish a DV commit (optionally carrying fresh adds — the
+    * MOR-update shape) at `base + 1`, rebasing past interleaved
     * commits that touched NONE of the DV'd files (an append, a rewrite
     * of other files, a marker all commute — the DV'd files' rows still
     * stand at the new head); abort when one removed, rewrote, or
     * re-DV'd them (our union-with-old-positions DV was computed from a
     * stale DV state). */
   private def commitDvs(path: String, base: Long, op: String,
-      dvs: Seq[(String, String)], maxRebases: Int = 20): Long = {
+      dvs: Seq[(String, String)], adds: Seq[TxnAdd] = Nil,
+      maxRebases: Int = 20): Long = {
     val myFiles = dvs.map(_._1).toSet
     var v = base + 1
     var attempt = 0
     while (true) {
       preCommitHook()
       try {
-        tryCommit(path, TxnCommit(v, op, Nil, Nil, None, dvs))
+        tryCommit(path, TxnCommit(v, op, adds, Nil, None, dvs))
         return v
       } catch {
         case e: TxnConflictException =>

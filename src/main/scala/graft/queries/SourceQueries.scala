@@ -783,7 +783,47 @@ object SourceQueries {
       .orderBy(col("st"))
   }
 
+  /** S23: MERGE-ON-READ update — `updateWhereMor` doubles a scattered
+    * slice's prices by appending the updated images + a DV marking the
+    * old positions dead, in ONE commit that rewrites ZERO pre-existing
+    * data files (asserted in-run, vs s20's copy-on-write strict-subset
+    * rewrite of the same shape); a stacked MOR delete then prunes a
+    * sub-slice, exercising DVs ON the appended update images. Oracle
+    * replays update-then-delete over raw orders. */
+  def s23MorUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val t = java.nio.file.Files.createTempDirectory("graft_s23")
+      .toString + "/orders_txn"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10)
+    val filesBefore = TxnTable.snapshotFiles(t).toSet
+    TxnTable.updateWhereMor(spark, t,
+      col("o_custkey").between(ck / 2, ck / 2 + ck / 8) &&
+        col("o_orderstatus") === "O",
+      Map("price_c" -> (col("price_c") * 2)))                       // v1
+    val c = TxnTable.commits(t).last
+    require(c.op == "dvupdate" && c.adds.nonEmpty && c.dvs.nonEmpty &&
+      c.removes.isEmpty, "adds + DVs must ride one rewrite-free commit")
+    require(filesBefore.subsetOf(TxnTable.snapshotFiles(t).toSet),
+      "MOR update must not rewrite a single pre-existing data file")
+    // MOR delete stacked on the update: kills updated AND original rows
+    TxnTable.deleteWhereMor(spark, t,
+      col("o_orderstatus") === "O" &&
+        col("o_custkey").between(ck / 2, ck / 2 + ck / 16))         // v2
+    require(TxnTable.read(spark, t, 0L).count() == orders.count(),
+      "v0 must still read the pre-update snapshot")
+    TxnTable.read(spark, t).groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("st"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s23_mor_update"    -> (s23MorUpdate _),
     "s22_deletion_vectors" -> (s22DeletionVectors _),
     "s21_merge_into"    -> (s21MergeInto _),
     "s20_update"        -> (s20Update _),
@@ -807,6 +847,26 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // MOR update-then-delete replayed over raw orders; the
+    // zero-rewrite, one-commit, and time-travel halves are asserted
+    // in-run.
+    "s23_mor_update" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders),
+        |u AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_custkey BETWEEN b.ck//2 AND b.ck//2 + b.ck//8
+        |           AND o_orderstatus = 'O'
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+        |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS pc
+        |  FROM orders, b)
+        |SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS price_sum,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM u, b
+        |WHERE NOT (o_orderstatus = 'O'
+        |           AND o_custkey BETWEEN b.ck//2 AND b.ck//2 + b.ck//16)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Both MOR-delete predicates replayed over raw orders; the
     // zero-data-rewrite, time-travel, and pruned-read halves are
     // asserted in-run.

@@ -185,6 +185,54 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(!after.contains(13L) && after.contains(12L))
   }
 
+  test("MOR update: DV + appended images in one commit, no data file " +
+    "rewritten, stacks with MOR delete, compact materializes") {
+    val t = Files.createTempDirectory("graft_dvu").toString + "/t"
+    mk(t)
+    val filesBefore = TxnTable.snapshotFiles(t).toSet
+    val v = TxnTable.updateWhereMor(spark, t, col("g") === 1L,
+      Map("v" -> (col("v") * 2)))
+    assert(v == 1L)
+    val c = TxnTable.commits(t).last
+    assert(c.op == "dvupdate" && c.adds.nonEmpty && c.dvs.nonEmpty &&
+      c.removes.isEmpty, "adds + DVs must ride ONE commit")
+    assert(filesBefore.subsetOf(TxnTable.snapshotFiles(t).toSet),
+      "a MOR update must not rewrite a single pre-existing data file")
+    def content() =
+      TxnTable.read(spark, t).as[(Long, Long, Long)].collect().toSet
+    val expect1 = (for (g <- 0L until 4L; i <- 1L to 8L)
+      yield (g * 10 + i, g,
+        (g * 10 + i) * 100 * (if (g == 1L) 2 else 1))).toSet
+    assert(content() == expect1)
+    // the updated images' types did not drift
+    assert(TxnTable.read(spark, t).schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // time travel to v0 sees the original values
+    assert(TxnTable.read(spark, t, 0L).as[(Long, Long, Long)]
+      .collect().toSet.forall(_._3 % 100 == 0))
+    // a MOR delete stacks on the update (row 12 is an UPDATED row that
+    // now lives in the appended file — its DV must land there)
+    TxnTable.deleteWhereMor(spark, t, col("id") === 12L)
+    assert(content() == expect1.filterNot(_._1 == 12L))
+    // updating an already-MOR-deleted row is a no-op
+    val vv = TxnTable.currentVersion(t)
+    assert(TxnTable.updateWhereMor(spark, t, col("id") === 12L,
+      Map("v" -> lit(0L))) == vv)
+    // CDF across the dvupdate shows before/after images as an update
+    val d = TxnTable.diffVersionsImages(spark, t, 0L, 1L, Seq("id"))
+    assert(d.filter(col("op") === "update").count() == 8L &&
+      d.filter(col("op") =!= "update").isEmpty,
+      "a MOR update must surface as CDF update images")
+    // compact materializes everything back to a plain table
+    TxnTable.compact(spark, t, targetFiles = 2)
+    assert(TxnTable.snapshotDvs(t).isEmpty)
+    assert(content() == expect1.filterNot(_._1 == 12L))
+    // unknown SET column rejected
+    intercept[IllegalArgumentException] {
+      TxnTable.updateWhereMor(spark, t, lit(true), Map("nope" -> lit(1)))
+    }
+  }
+
   test("MOR deletes flow through the streaming CDC replica and the " +
     "streaming IVM view") {
     import graft.streaming.{StreamIvm, StreamReplica}
