@@ -6,8 +6,16 @@ import java.nio.file.{Files, Path => JPath, Paths, FileAlreadyExistsException}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One data file added by a commit. */
-case class TxnAdd(path: String, rows: Long, bytes: Long)
+/** One data file added by a commit. `stats` is the file's write-time
+  * column statistics as compact JSON
+  * (`{"cols":[…],"l":{col:[mn,mx]},"s":{col:[mn,mx]}}` — the leaf
+  * columns attempted, long bounds in the column's PHYSICAL footer
+  * space, and UTF8 string bounds), a pure cache of what a read-time
+  * footer index would compute: pruned reads plan from the log alone,
+  * zero footer opens. Absent on adds written before stats-in-log —
+  * those files fall back to footer reads. */
+case class TxnAdd(path: String, rows: Long, bytes: Long,
+    stats: Option[String] = None)
 
 /** One committed version: the actions that produced it. `schema` is the
   * table schema as of this commit (JSON), recorded on create and on
@@ -104,10 +112,24 @@ object TxnTable {
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
+  private def renderAdd(a: TxnAdd): String =
+    s"""{"path":"${esc(a.path)}","rows":${a.rows},"bytes":${a.bytes}""" +
+      a.stats.map(s => s""","stats":$s""").getOrElse("") + "}"
+
+  private def parseAdd(a: org.json4s.JValue): TxnAdd = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val stats = (a \ "stats") match {
+      case o: JObject => Some(JsonMethods.compact(JsonMethods.render(o)))
+      case _ => None
+    }
+    TxnAdd((a \ "path").extract[String], (a \ "rows").extract[Long],
+      (a \ "bytes").extract[Long], stats)
+  }
+
   private def render(c: TxnCommit): String = {
-    val adds = c.adds.map(a =>
-      s"""{"path":"${esc(a.path)}","rows":${a.rows},"bytes":${a.bytes}}""")
-      .mkString("[", ",", "]")
+    val adds = c.adds.map(renderAdd).mkString("[", ",", "]")
     val removes = c.removes.map(r => s""""${esc(r)}"""").mkString("[", ",", "]")
     val schema = c.schema.map(s => s""","schema":"${esc(s)}"""").getOrElse("")
     val dvs =
@@ -125,10 +147,7 @@ object TxnTable {
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(json)
     val adds = (j \ "adds") match {
-      case JArray(arr) => arr.map(a => TxnAdd(
-        (a \ "path").extract[String],
-        (a \ "rows").extract[Long],
-        (a \ "bytes").extract[Long]))
+      case JArray(arr) => arr.map(parseAdd)
       case _ => Nil
     }
     val removes = (j \ "removes") match {
@@ -339,9 +358,7 @@ object TxnTable {
             .map { case (k, b) => s""""${esc(k)}":$b""" }
             .mkString("{", ",", "}") +
           s""","allAdds":""" +
-          allAdds.map(a =>
-            s"""{"path":"${esc(a.path)}","rows":${a.rows},"bytes":${a.bytes}}""")
-            .mkString("[", ",", "]") +
+          allAdds.map(renderAdd).mkString("[", ",", "]") +
           s""","files":""" +
           files.map(f => s""""${esc(f)}"""").mkString("[", ",", "]") + "}"
         val ctmp = logDir(path).resolve(s".ckpt-tmp-${java.util.UUID.randomUUID()}")
@@ -377,7 +394,12 @@ object TxnTable {
         Files.readAllBytes(checkpointFile(path, best)), StandardCharsets.UTF_8))
       val files = (j \ "files") match {
         case JArray(arr) => arr.map(_.extract[String])
-        case _ => Nil
+        // no files ARRAY at all (an empty snapshot is JArray(Nil)) →
+        // the checkpoint is corrupt, not "empty": jackson ignores
+        // trailing garbage after a parseable prefix, so a truncated/
+        // mangled checkpoint could otherwise half-parse into a Ckpt
+        // that silently resolves every snapshot to zero files
+        case _ => return None
       }
       val horizon = (j \ "horizon") match {
         case JInt(h) => h.toLong
@@ -397,10 +419,7 @@ object TxnTable {
         case _ => None
       }
       val allAdds = (j \ "allAdds") match {
-        case JArray(arr) => Some(arr.map(a => TxnAdd(
-          (a \ "path").extract[String],
-          (a \ "rows").extract[Long],
-          (a \ "bytes").extract[Long])))
+        case JArray(arr) => Some(arr.map(parseAdd))
         case _ => None
       }
       val dvs = (j \ "dvs") match {
@@ -486,6 +505,11 @@ object TxnTable {
     * rewrite committed without re-running its rewrite job. */
   private[graft] val dataWriteJobs = new java.util.concurrent.atomic.AtomicLong
 
+  /** Test seam: suppresses write-time stats-in-log (simulating adds
+    * written before the feature) so specs can pin the mixed-generation
+    * footer fallback. Row counts are still footer-derived either way. */
+  private[graft] var collectWriteStats = true
+
   private def writeDataPrepared(
       spark: SparkSession,
       path: String,
@@ -494,21 +518,66 @@ object TxnTable {
     val staging = Files.createTempDirectory("graft_txn_stage").toString
     df.write.mode("overwrite").parquet(staging)
     Files.createDirectories(dataDir(path))
-    val footers = graft.crawler.SkippingIndex.build(spark, staging, Seq.empty)
-      .select(col("file"), col("row_count")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val conf = spark.sparkContext.hadoopConfiguration
     Files.list(Paths.get(staging)).iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map { src =>
+        // ONE footer read per fresh file, at write time: row count for
+        // the add (no second data scan) + the column min/max cache
+        // that lets pruned reads plan from the log alone (stats-in-log)
+        val st = graft.crawler.SkippingIndex.fileStats(conf, src.toString)
         val name = s"part-${java.util.UUID.randomUUID()}.parquet"
         val dst = dataDir(path).resolve(name)
         Files.move(src, dst)
-        val rows = footers.collectFirst {
-          case (f, n) if f.endsWith(src.getFileName.toString) => n
-        }.getOrElse(0L)
-        TxnAdd(s"data/$name", rows, Files.size(dst))
+        val statsJ =
+          if (collectWriteStats)
+            st.map { case (_, cols, ls, ss) => statsJson(cols, ls, ss) }
+          else None
+        TxnAdd(s"data/$name", st.map(_._1).getOrElse(0L),
+          Files.size(dst), statsJ)
       }
   }
+
+  private def statsJson(cols: Seq[String],
+      ls: Map[String, (Long, Long)],
+      ss: Map[String, (String, String)]): String = {
+    val c = cols.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
+    val l = ls.toSeq.sortBy(_._1).map { case (k, (mn, mx)) =>
+      s""""${esc(k)}":[$mn,$mx]"""
+    }.mkString("{", ",", "}")
+    val s = ss.toSeq.sortBy(_._1).map { case (k, (mn, mx)) =>
+      s""""${esc(k)}":["${esc(mn)}","${esc(mx)}"]"""
+    }.mkString("{", ",", "}")
+    s"""{"cols":$c,"l":$l,"s":$s}"""
+  }
+
+  private case class AddStats(cols: Set[String],
+      l: Map[String, (Long, Long)], s: Map[String, (String, String)])
+
+  private def parseAddStats(json: String): Option[AddStats] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: Formats = DefaultFormats
+      val j = JsonMethods.parse(json)
+      val cols = (j \ "cols") match {
+        case JArray(arr) => arr.map(_.extract[String]).toSet
+        case _ => return None
+      }
+      val l = (j \ "l") match {
+        case JObject(fields) => fields.map { case (k, v) =>
+          val b = v.extract[Seq[Long]]; k -> (b(0), b(1))
+        }.toMap
+        case _ => Map.empty[String, (Long, Long)]
+      }
+      val s = (j \ "s") match {
+        case JObject(fields) => fields.map { case (k, v) =>
+          val b = v.extract[Seq[String]]; k -> (b(0), b(1))
+        }.toMap
+        case _ => Map.empty[String, (String, String)]
+      }
+      Some(AddStats(cols, l, s))
+    } catch { case _: Throwable => None } // malformed → footer fallback
 
   class SchemaMismatchException(msg: String) extends RuntimeException(msg)
 
@@ -1850,18 +1919,81 @@ object TxnTable {
     * for `column` are conservatively kept; an empty kept set returns an
     * empty frame with the snapshot's schema.
     */
+  /** The skipping index for `columns` over the snapshot's live files —
+    * resolved from the COMMIT LOG's write-time stats when the adds
+    * carry them (metadata-only: ZERO parquet footer opens), falling
+    * back to footer reads ONLY for files written before stats-in-log.
+    * Same output shape as [[graft.crawler.SkippingIndex.buildForFiles]]
+    * (`file, row_count, mins, maxs`), so [[readPruned]]'s selection is
+    * unchanged. A column a file's stats ATTEMPTED but has no bounds
+    * for (no usable footer stats) gets null bounds without a footer
+    * read — the footer would find nothing either; a column OUTSIDE the
+    * attempted set (schema drift across generations) footer-reads that
+    * file. At 100 TB the log path replaces millions of per-query
+    * object-store footer GETs with the metadata the planner already
+    * holds. */
+  private def statsIndexFor(spark: SparkSession, path: String,
+      asOf: Long, columns: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val top = currentVersion(path)
+    val upTo = if (asOf < 0) top else asOf
+    val ai = addsIndex(path, upTo)
+    val meta = Seq.newBuilder[(String, Long, Seq[Option[Long]], Seq[Option[Long]])]
+    val fallback = Seq.newBuilder[String]
+    snapshotFiles(path, upTo).foreach { f =>
+      val abs = localRoot(path).resolve(f).toString
+      ai.get(f).flatMap(_.stats).flatMap(parseAddStats) match {
+        case Some(st) if columns.forall(st.cols.contains) =>
+          meta += ((abs, ai(f).rows,
+            columns.map(c => st.l.get(c).map(_._1)),
+            columns.map(c => st.l.get(c).map(_._2))))
+        case _ => fallback += abs
+      }
+    }
+    val metaDf = meta.result().toDF("file", "row_count", "mins", "maxs")
+    val fb = fallback.result()
+    if (fb.isEmpty) metaDf
+    else metaDf.unionByName(
+      graft.crawler.SkippingIndex.buildForFiles(spark, fb, columns))
+  }
+
+  /** [[statsIndexFor]]'s STRING sibling (`file, row_count, mn, mx` —
+    * the [[graft.crawler.SkippingIndex.buildStringIndex]] shape). A
+    * string bound the writer dropped (raw binary, or longer than
+    * `MaxLoggedStringBound`) reads as null bounds — the file is
+    * conservatively kept, never footer-read. */
+  private def stringStatsIndexFor(spark: SparkSession, path: String,
+      asOf: Long, column: String): DataFrame = {
+    import spark.implicits._
+    val top = currentVersion(path)
+    val upTo = if (asOf < 0) top else asOf
+    val ai = addsIndex(path, upTo)
+    val meta = Seq.newBuilder[(String, Long, Option[String], Option[String])]
+    val fallback = Seq.newBuilder[String]
+    snapshotFiles(path, upTo).foreach { f =>
+      val abs = localRoot(path).resolve(f).toString
+      ai.get(f).flatMap(_.stats).flatMap(parseAddStats) match {
+        case Some(st) if st.cols.contains(column) =>
+          meta += ((abs, ai(f).rows,
+            st.s.get(column).map(_._1), st.s.get(column).map(_._2)))
+        case _ => fallback += abs
+      }
+    }
+    val metaDf = meta.result().toDF("file", "row_count", "mn", "mx")
+    val fb = fallback.result()
+    if (fb.isEmpty) metaDf
+    else metaDf.unionByName(
+      graft.crawler.SkippingIndex.buildStringIndex(spark, fb, column))
+  }
+
   def readPruned(spark: SparkSession, path: String, column: String,
       lo: Long, hi: Long, asOf: Long = -1L): DataFrame = {
     val full = read(spark, path, asOf) // fence checks + mergeSchema logic
     val pred = physicalBetween(full, column, lo, hi)
-    // Index ONLY the resolved live snapshot files: dead/orphaned
-    // siblings under data/ are never footer-read (a concurrent vacuum
-    // reaping one can't fail this read), and the index cost is
-    // O(snapshot), not O(everything ever written).
-    val liveAbs = snapshotFiles(path, asOf)
-      .map(f => localRoot(path).resolve(f).toString)
-    val idx = graft.crawler.SkippingIndex
-      .buildForFiles(spark, liveAbs, Seq(column))
+    // Index ONLY the resolved live snapshot files (dead/orphaned
+    // siblings under data/ never touched), from the commit log's
+    // write-time stats — footers opened only for pre-stats adds.
+    val idx = statsIndexFor(spark, path, asOf, Seq(column))
     val kept = graft.crawler.SkippingIndex.selectFiles(idx, 0, lo, hi)
     if (kept.isEmpty) full.filter(lit(false))
     else applyDv(spark, path, asOf,
@@ -1882,8 +2014,6 @@ object TxnTable {
     val full = read(spark, path, asOf)
     val vs = values.distinct
     if (vs.isEmpty) return full.filter(lit(false))
-    val liveAbs = snapshotFiles(path, asOf)
-      .map(f => localRoot(path).resolve(f).toString)
     // The intersect stays a DATAFRAME filter — only the KEPT file
     // names reach the driver (they become the scan's file set, the
     // same driver state any scan holds); full per-file stats never
@@ -1893,8 +2023,7 @@ object TxnTable {
     // array — distributed, and short-circuiting per Spark's exists
     // semantics. Null bounds keep the file, never skip it.
     val sortedVals = typedlit(vs.sorted)
-    val kept = graft.crawler.SkippingIndex
-      .buildForFiles(spark, liveAbs, Seq(column))
+    val kept = statsIndexFor(spark, path, asOf, Seq(column))
       .select(col("file"), col("mins").getItem(0).as("mn"),
         col("maxs").getItem(0).as("mx"))
       .filter(col("mn").isNull || col("mx").isNull ||
@@ -1922,10 +2051,7 @@ object TxnTable {
   def readPrunedString(spark: SparkSession, path: String, column: String,
       lo: String, hi: String, asOf: Long = -1L): DataFrame = {
     val full = read(spark, path, asOf)
-    val liveAbs = snapshotFiles(path, asOf)
-      .map(f => localRoot(path).resolve(f).toString)
-    val kept = graft.crawler.SkippingIndex
-      .buildStringIndex(spark, liveAbs, column)
+    val kept = stringStatsIndexFor(spark, path, asOf, column)
       .filter(col("mn").isNull || col("mx").isNull ||
         (col("mn") <= hi && col("mx") >= lo))
       .select(col("file")).collect().map(_.getString(0)).toSeq
@@ -1991,15 +2117,12 @@ object TxnTable {
       dims: Seq[(String, Long, Long)], asOf: Long = -1L): DataFrame = {
     require(dims.nonEmpty, "at least one box dimension")
     val full = read(spark, path, asOf)
-    val liveAbs = snapshotFiles(path, asOf)
-      .map(f => localRoot(path).resolve(f).toString)
     val keepCond = dims.zipWithIndex.map { case ((_, lo, hi), i) =>
       val mn = col("mins").getItem(i)
       val mx = col("maxs").getItem(i)
       mn.isNull || mx.isNull || (mn <= hi && mx >= lo)
     }.reduce(_ && _)
-    val kept = graft.crawler.SkippingIndex
-      .buildForFiles(spark, liveAbs, dims.map(_._1))
+    val kept = statsIndexFor(spark, path, asOf, dims.map(_._1))
       .filter(keepCond)
       .select(col("file")).collect().map(_.getString(0)).toSeq
     val pred = dims.map { case (c, lo, hi) =>

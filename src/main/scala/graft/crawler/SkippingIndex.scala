@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object SkippingIndex {
 
+  /** Test seam: counts parquet footer opens (driver-side paths — the
+    * distributed build increments once per file on executors of the
+    * same JVM under local mode), so specs can assert a log-stats read
+    * planned with ZERO footer reads. */
+  private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong
+
   /** Java-serializable Hadoop Configuration carrier for the distributed
     * footer-read path: Configuration itself is not Serializable, but it
     * IS Writable — ship the session's conf (custom filesystems,
@@ -69,6 +75,7 @@ object SkippingIndex {
   private def footerBounds(conf: org.apache.hadoop.conf.Configuration,
       path: String, columns: Seq[String])
       : Option[(String, Long, Seq[Option[Long]], Seq[Option[Long]])] = {
+    footerReads.incrementAndGet()
     val p = new Path(path)
     val footerOpt =
       try Some(ParquetFileReader.readFooter(conf, p,
@@ -150,6 +157,7 @@ object SkippingIndex {
       conf: org.apache.hadoop.conf.Configuration,
       path: String, column: String)
       : Option[(String, Long, Option[String], Option[String])] = {
+    footerReads.incrementAndGet()
     val p = new Path(path)
     val footerOpt =
       try Some(ParquetFileReader.readFooter(conf, p,
@@ -223,6 +231,99 @@ object SkippingIndex {
           it.flatMap(footerStringBounds(conf, _, c))
         }).toDF("file", "row_count", "mn", "mx")
     }
+  }
+
+  /** Longest stored string bound for stats-in-log (UTF-8 bytes): a
+    * longer bound is DROPPED (column conservatively unprunable from
+    * the log for this file) rather than truncated — a truncated max
+    * smaller than a real value would wrongly skip the file. */
+  val MaxLoggedStringBound = 96
+
+  /** ALL-leaf-column file stats for the WRITE path (stats-in-log):
+    * (row count, leaf columns attempted, long bounds, string bounds).
+    * A PURE CACHE of what [[buildForFiles]] / [[buildStringIndex]]
+    * would compute at read time — same per-block fold rules (INT32/
+    * INT64 → long bounds; BINARY/UTF8 folded as unsigned bytes; a
+    * block with unusable stats voids the column's bounds, the file is
+    * then conservatively kept), extracted ONCE when the file is
+    * written instead of on every pruned read. At 100 TB the
+    * difference is a metadata-only plan vs millions of object-store
+    * footer GETs per query. */
+  def fileStats(conf: org.apache.hadoop.conf.Configuration, path: String)
+      : Option[(Long, Seq[String], Map[String, (Long, Long)],
+                Map[String, (String, String)])] = {
+    footerReads.incrementAndGet()
+    val p = new Path(path)
+    val footerOpt =
+      try Some(ParquetFileReader.readFooter(conf, p,
+        ParquetMetadataConverter.NO_FILTER))
+      catch { case _: java.io.FileNotFoundException => None }
+    footerOpt.map { footer =>
+      val blocks = footer.getBlocks.asScala
+      val rowCount = blocks.map(_.getRowCount).sum
+      val leafCols = footer.getFileMetaData.getSchema.getColumns.asScala
+        .map(_.getPath.mkString(".")).toSeq
+      val longs = Map.newBuilder[String, (Long, Long)]
+      val strings = Map.newBuilder[String, (String, String)]
+      leafCols.foreach { c =>
+        val stats = blocks.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == c)
+            .map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+        }
+        val asLongs = stats.flatMap { s =>
+          (s.genericGetMin, s.genericGetMax) match {
+            case (mn: java.lang.Long, mx: java.lang.Long) =>
+              Some((mn.longValue, mx.longValue))
+            case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+              Some((mn.longValue, mx.longValue))
+            case _ => None
+          }
+        }
+        val asBins = stats.flatMap { s =>
+          (s.genericGetMin, s.genericGetMax) match {
+            case (mn: org.apache.parquet.io.api.Binary,
+                  mx: org.apache.parquet.io.api.Binary) =>
+              Some((mn.getBytes, mx.getBytes))
+            case _ => None
+          }
+        }
+        if (stats.nonEmpty && asLongs.size == stats.size)
+          longs += c -> (asLongs.map(_._1).min, asLongs.map(_._2).max)
+        else if (stats.nonEmpty && asBins.size == stats.size) {
+          val mn = asBins.map(_._1).reduce((a, b) => if (ltBytes(a, b)) a else b)
+          val mx = asBins.map(_._2).reduce((a, b) => if (ltBytes(a, b)) b else a)
+          if (mn.length <= MaxLoggedStringBound &&
+              mx.length <= MaxLoggedStringBound) {
+            val mnS = new String(mn, java.nio.charset.StandardCharsets.UTF_8)
+            val mxS = new String(mx, java.nio.charset.StandardCharsets.UTF_8)
+            // RAW-binary guard: a non-UTF8 bound decodes lossily
+            // (U+FFFD), and a shrunk re-encoded bound could wrongly
+            // skip a file — only bounds that round-trip are logged
+            if (java.util.Arrays.equals(
+                  mnS.getBytes(java.nio.charset.StandardCharsets.UTF_8), mn) &&
+                java.util.Arrays.equals(
+                  mxS.getBytes(java.nio.charset.StandardCharsets.UTF_8), mx))
+              strings += c -> ((mnS, mxS))
+          }
+        }
+      }
+      (rowCount, leafCols, longs.result(), strings.result())
+    }
+  }
+
+  /** Unsigned byte-lexicographic less-than — the order parquet UTF8
+    * stats and Spark's UTF8String comparison both use. */
+  private def ltBytes(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
   }
 
   /** Files whose [min, max] range on indexed column `i` intersects

@@ -822,7 +822,47 @@ object SourceQueries {
       .orderBy(col("st"))
   }
 
+  /** S24: STATS-IN-LOG pruned reads — every write records per-file
+    * column min/max in the commit's adds, so a pruned range read plans
+    * from the COMMIT LOG alone: ZERO parquet footer opens (counter-
+    * asserted in-run) while still reading a strict subset of the
+    * snapshot's files. At 100 TB this replaces millions of per-query
+    * object-store footer GETs with metadata the planner already holds.
+    * Oracle replays the range aggregate over raw orders. */
+  def s24LogStatsPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    import graft.crawler.SkippingIndex
+    val t = java.nio.file.Files.createTempDirectory("graft_s24")
+      .toString + "/orders_txn"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10)
+    require(TxnTable.commits(t).last.adds.forall(_.stats.isDefined),
+      "every add must carry write-time stats")
+    val before = SkippingIndex.footerReads.get()
+    val pruned = TxnTable.readPruned(spark, t, "o_custkey",
+      ck / 4, ck / 4 + ck / 8)
+    val agg = pruned.groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"),
+        sum(col("o_custkey")).as("ck_sum"))
+      .orderBy(col("st"))
+    val rows = agg.collect()
+    val reads = SkippingIndex.footerReads.get() - before
+    require(reads == 0,
+      s"log-stats prune must plan with zero footer opens, read $reads")
+    require(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.length < TxnTable.snapshotFiles(t).size,
+      "the log stats must skip a strict subset of files")
+    import spark.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq.toDF("st", "cnt", "price_sum", "ck_sum")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s24_log_stats_prune" -> (s24LogStatsPrune _),
     "s23_mor_update"    -> (s23MorUpdate _),
     "s22_deletion_vectors" -> (s22DeletionVectors _),
     "s21_merge_into"    -> (s21MergeInto _),
@@ -847,6 +887,17 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // The range aggregate replayed over raw orders; the zero-footer
+    // and strict-subset halves are asserted in-run.
+    "s24_log_stats_prune" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders)
+        |SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS price_sum,
+        |  CAST(sum(o_custkey) AS BIGINT) AS ck_sum
+        |FROM orders, b
+        |WHERE o_custkey BETWEEN b.ck//4 AND b.ck//4 + b.ck//8
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // MOR update-then-delete replayed over raw orders; the
     // zero-rewrite, one-commit, and time-travel halves are asserted
     // in-run.

@@ -1,0 +1,135 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.crawler.SkippingIndex
+
+/** Stats-in-log: every write records per-file column min/max in the
+  * commit's adds, so pruned reads plan from the LOG alone — zero
+  * parquet footer opens (pinned via the footerReads counter). Footer
+  * reads survive only as the fallback for pre-stats adds. */
+class LogStatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def footers[A](f: => A): (A, Long) = {
+    val before = SkippingIndex.footerReads.get()
+    val out = f
+    (out, SkippingIndex.footerReads.get() - before)
+  }
+
+  private def mk(t: String): Unit =
+    TxnTable.createClustered(spark, t,
+      (for (g <- 0L until 8L; i <- 1L to 50L)
+        yield (g * 1000 + i, g, s"k${g * 1000 + i}", (g * 1000 + i) * 3))
+        .toDF("id", "g", "name", "v"),
+      Seq(col("g")), targetFiles = 8)
+
+  test("adds carry write-time stats; pruned read plans with ZERO " +
+    "footer opens and still prunes files") {
+    val t = Files.createTempDirectory("graft_ls1").toString + "/t"
+    mk(t)
+    val adds = TxnTable.commits(t).last.adds
+    assert(adds.nonEmpty && adds.forall(_.stats.isDefined),
+      "every add must carry stats")
+    assert(adds.head.stats.get.contains("\"l\""))
+    val (df, reads) = footers(TxnTable.readPruned(spark, t, "g", 2L, 3L))
+    assert(reads == 0, s"log-stats prune must open no footer, read $reads")
+    assert(df.select("id").as[Long].collect().toSet ==
+      (for (g <- 2L to 3L; i <- 1L to 50L) yield g * 1000 + i).toSet)
+    assert(df.inputFiles.length < TxnTable.snapshotFiles(t).size,
+      "the log stats must actually skip files")
+    // the IN-set and N-dim box reads ride the same log index
+    val (inDf, inReads) = footers(
+      TxnTable.readPrunedIn(spark, t, "g", Seq(1L, 6L)))
+    assert(inReads == 0 && inDf.count() == 100)
+    val (boxDf, boxReads) = footers(TxnTable.readPrunedBoxN(spark, t,
+      Seq(("g", 2L, 3L), ("id", 2000L, 2025L))))
+    assert(boxReads == 0 && boxDf.count() == 25)
+  }
+
+  test("string bounds in the log: readPrunedString zero-footer; " +
+    "oversized bounds degrade to conservative keep") {
+    val t = Files.createTempDirectory("graft_ls2").toString + "/t"
+    mk(t)
+    val (df, reads) = footers(
+      TxnTable.readPrunedString(spark, t, "name", "k2000", "k2999"))
+    assert(reads == 0, s"string log prune must open no footer, got $reads")
+    // string-lexicographic: g=2's k2001..k2050 (50) plus g=0's
+    // k21..k29 (9 — "k21" > "k2000" byte-wise)
+    assert(df.count() == 59 &&
+      df.inputFiles.length < TxnTable.snapshotFiles(t).size)
+    // a column whose bounds exceed MaxLoggedStringBound is dropped from
+    // the log stats (never truncated) → files kept, still zero footers
+    val t2 = Files.createTempDirectory("graft_ls2b").toString + "/t"
+    val longPad = "x" * 200
+    TxnTable.create(spark, t2,
+      Seq((1L, s"a$longPad"), (2L, s"b$longPad")).toDF("id", "s"))
+    val st = TxnTable.commits(t2).last.adds.head.stats.get
+    assert(st.contains("\"cols\":") && !st.contains(longPad.take(100)),
+      "oversized string bounds must not be logged")
+    val (df2, reads2) = footers(
+      TxnTable.readPrunedString(spark, t2, "s", "a", "az"))
+    assert(reads2 == 0)
+    assert(df2.select("id").as[Long].collect().toSet == Set(1L),
+      "conservative keep + residual predicate must stay exact")
+  }
+
+  test("mixed generations: pre-stats adds footer-read, stats adds do " +
+    "not; rewrite refreshes stats") {
+    val t = Files.createTempDirectory("graft_ls3").toString + "/t"
+    TxnTable.collectWriteStats = false
+    try {
+      TxnTable.createClustered(spark, t,
+        (for (g <- 0L until 4L; i <- 1L to 10L)
+          yield (g * 100 + i, g)).toDF("id", "g"),
+        Seq(col("g")), targetFiles = 4)                             // v0
+    } finally TxnTable.collectWriteStats = true
+    assert(TxnTable.commits(t).last.adds.forall(_.stats.isEmpty))
+    TxnTable.append(spark, t,
+      Seq((900L, 9L), (901L, 9L)).toDF("id", "g"))                  // v1
+    val statless =
+      TxnTable.snapshotFiles(t).size - 1 // v1's single add has stats
+    val (df, reads) = footers(TxnTable.readPruned(spark, t, "g", 9L, 9L))
+    assert(reads == statless.toLong,
+      s"exactly the pre-stats files footer-read: $reads vs $statless")
+    assert(df.select("id").as[Long].collect().toSet == Set(900L, 901L))
+    // compacting rewrites everything through the stats-writing path →
+    // the whole table becomes log-prunable
+    TxnTable.compact(spark, t, targetFiles = 2)
+    val (df2, reads2) = footers(TxnTable.readPruned(spark, t, "g", 9L, 9L))
+    assert(reads2 == 0, s"post-compact prune must be metadata-only")
+    assert(df2.select("id").as[Long].collect().toSet == Set(900L, 901L))
+  }
+
+  test("stats survive the checkpoint (allAdds round-trip)") {
+    val t = Files.createTempDirectory("graft_ls4").toString + "/t"
+    mk(t)
+    (0 until TxnTable.CheckpointInterval).foreach { i =>
+      TxnTable.append(spark, t,
+        Seq((9000L + i, 9L, s"x$i", 1L)).toDF("id", "g", "name", "v"))
+    }
+    assert(TxnTable.currentVersion(t) >= TxnTable.CheckpointInterval)
+    val before = TxnTable.versionFileReads.get()
+    val (df, reads) = footers(TxnTable.readPruned(spark, t, "g", 9L, 9L))
+    val vreads = TxnTable.versionFileReads.get() - before
+    assert(reads == 0,
+      s"checkpointed adds must still carry stats, footer-read $reads")
+    assert(vreads <= 3 * (TxnTable.CheckpointInterval + 2),
+      s"prune must resolve near the checkpoint, read $vreads commits")
+    assert(df.count() == TxnTable.CheckpointInterval.toLong)
+  }
+
+  test("DVs and log-stats pruning compose") {
+    val t = Files.createTempDirectory("graft_ls5").toString + "/t"
+    mk(t)
+    TxnTable.deleteWhereMor(spark, t, col("id") === 2001L)
+    val (df, reads) = footers(TxnTable.readPruned(spark, t, "g", 2L, 2L))
+    assert(reads == 0)
+    assert(df.select("id").as[Long].collect().toSet ==
+      (2L to 50L).map(2000L + _).toSet,
+      "the pruned read must subtract the DV with zero footer opens")
+  }
+}

@@ -120,6 +120,13 @@ class TxnTableSpec extends SparkSpecBase {
     java.nio.file.Files.write(ck, "{not json".getBytes)
     assert(read(spark, t, asOf = 12).count() == 130)
     assert(read(spark, t, asOf = 10).count() == 110)
+    // the sneakier corruption: a VALID json object missing the files
+    // array, with trailing garbage jackson would silently ignore — it
+    // must be treated as corrupt (full replay), never as "0 files"
+    java.nio.file.Files.write(ck,
+      """{"version":10,"horizon":0,"streams":{}}garbage]}""".getBytes)
+    assert(read(spark, t, asOf = 12).count() == 130)
+    assert(snapshotFiles(t, 10).nonEmpty)
   }
 
   test("streaming sink: a real stream lands exactly-once, replays are no-ops") {
@@ -463,7 +470,17 @@ class TxnTableSpec extends SparkSpecBase {
         val p = it.next()
         if (p.getFileName.toString.startsWith("ckpt-v")) {
           val txt = new String(Files.readAllBytes(p), "UTF-8")
-          val stripped = txt.replaceAll("\"allAdds\":\\[[^\\]]*\\],", "")
+          // JSON-aware field removal (a bracket-blind regex would stop
+          // at the first ']' INSIDE the adds' nested stats arrays and
+          // mangle the file into jackson-half-parsable garbage — the
+          // corrupt-checkpoint case, which is a different test)
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          val stripped = JsonMethods.compact(JsonMethods.render(
+            JsonMethods.parse(txt).removeField {
+              case ("allAdds", _) => true
+              case _ => false
+            }))
           assert(stripped != txt, "fixture must actually strip the field")
           Files.write(p, stripped.getBytes("UTF-8"))
         }
