@@ -1767,6 +1767,40 @@ object TxnTable {
     }.foldLeft(ckHorizon)(math.max)
   }
 
+  /** TIMESTAMP time travel: the latest readable version whose commit
+    * landed at or before `tsMillis` — resolved from the version files'
+    * MODIFICATION TIMES (the reference lake formats' design: the log
+    * is the clock; no format change, works on every existing table).
+    * Commit files are created in version order, so their mtimes are
+    * non-decreasing and a binary search over the readable range
+    * suffices: O(log versions) stat calls, no commit is parsed.
+    * Caveats shared with those formats: the resolution is the store's
+    * mtime granularity, and copying a log with tools that reset
+    * mtimes rewrites history's clock. Throws if `tsMillis` predates
+    * the earliest READABLE commit (pre-vacuum-horizon history is gone
+    * — same fence as version-addressed reads). */
+  def versionAt(path: String, tsMillis: Long): Long = {
+    val top = currentVersion(path)
+    require(top >= 0, s"not a TxnTable: $path")
+    def mtime(v: Long): Long =
+      Files.getLastModifiedTime(versionFile(path, v)).toMillis
+    var lo = earliestVersion(path)
+    require(mtime(lo) <= tsMillis,
+      s"timestamp $tsMillis predates the earliest readable commit " +
+        s"(v$lo at ${mtime(lo)})")
+    var hi = top
+    while (lo < hi) { // invariant: mtime(lo) <= ts; answer in [lo, hi]
+      val mid = lo + (hi - lo + 1) / 2
+      if (mtime(mid) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** [[read]] addressed by wall-clock time instead of version. */
+  def readAsOfTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): DataFrame =
+    read(spark, path, versionAt(path, tsMillis))
+
   /** Physical cleanup: delete data files referenced ONLY by snapshots
     * older than the time-travel horizon (the last `retainVersions`
     * versions stay fully readable). The horizon is recorded as a

@@ -861,7 +861,40 @@ object SourceQueries {
       r.getLong(3))).toSeq.toDF("st", "cnt", "price_sum", "ck_sum")
   }
 
+  /** S25: TIMESTAMP time travel — `readAsOfTimestamp` resolves a
+    * wall-clock instant to the latest commit at or before it from the
+    * version files' mtimes (binary search, no commit parsed) and reads
+    * that snapshot: a delete after the captured instant is invisible
+    * to it (count-identity asserted in-run) while the head read sees
+    * it. Oracle replays the pre-delete snapshot = raw orders. */
+  def s25TimeTravelTs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val t = java.nio.file.Files.createTempDirectory("graft_s25")
+      .toString + "/orders_txn"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val total = orders.count()
+    TxnTable.create(spark, t, orders, partitions = 4)               // v0
+    Thread.sleep(25)
+    val ts0 = System.currentTimeMillis()
+    Thread.sleep(25)
+    TxnTable.deleteWhere(spark, t, col("o_orderstatus") === "F")    // v1
+    require(TxnTable.versionAt(t, ts0) == 0L,
+      "the captured instant must resolve to the pre-delete commit")
+    require(TxnTable.versionAt(t, System.currentTimeMillis()) == 1L)
+    val asOf = TxnTable.readAsOfTimestamp(spark, t, ts0)
+    require(asOf.count() == total,
+      "the timestamp read must see the pre-delete snapshot")
+    require(TxnTable.read(spark, t).filter(col("o_orderstatus") === "F")
+      .isEmpty, "the head read must see the delete")
+    asOf.groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"))
+      .orderBy(col("st"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s25_time_travel_ts" -> (s25TimeTravelTs _),
     "s24_log_stats_prune" -> (s24LogStatsPrune _),
     "s23_mor_update"    -> (s23MorUpdate _),
     "s22_deletion_vectors" -> (s22DeletionVectors _),
@@ -887,6 +920,12 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // The pre-delete snapshot IS raw orders; the version-resolution
+    // and head-sees-the-delete halves are asserted in-run.
+    "s25_time_travel_ts" ->
+      """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS price_sum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // The range aggregate replayed over raw orders; the zero-footer
     // and strict-subset halves are asserted in-run.
     "s24_log_stats_prune" ->

@@ -496,6 +496,33 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).count() == 140)
   }
 
+  test("timestamp time travel: versionAt resolves from commit mtimes, " +
+    "fenced at the vacuum horizon") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10)) // v0
+    Thread.sleep(30)
+    val ts0 = System.currentTimeMillis()
+    Thread.sleep(30)
+    append(spark, t, rangeDf(10, 20)) // v1
+    Thread.sleep(30)
+    val ts1 = System.currentTimeMillis()
+    Thread.sleep(30)
+    append(spark, t, rangeDf(20, 30)) // v2
+    assert(versionAt(t, ts0) == 0L)
+    assert(versionAt(t, ts1) == 1L)
+    assert(versionAt(t, System.currentTimeMillis()) == 2L)
+    assert(readAsOfTimestamp(spark, t, ts1).count() == 20)
+    // a timestamp before the first commit is a clear error
+    intercept[IllegalArgumentException](versionAt(t, ts0 - 3600000L))
+    // vacuum moves the horizon: pre-horizon timestamps now throw too
+    compact(spark, t) // v3
+    append(spark, t, rangeDf(30, 40)) // v4
+    vacuum(spark, t, retainVersions = 2)
+    intercept[IllegalArgumentException](versionAt(t, ts0))
+    assert(readAsOfTimestamp(spark, t, System.currentTimeMillis())
+      .count() == 40)
+  }
+
   test("vacuum and restore are checkpoint-amortized on a 100+-commit log") {
     val t = freshTable()
     create(spark, t, rangeDf(0, 10)) // v0
