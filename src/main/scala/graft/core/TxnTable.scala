@@ -235,7 +235,8 @@ object TxnTable {
       schema: Option[String],
       streams: Option[Map[String, Long]],
       allAdds: Option[Seq[TxnAdd]],
-      dvs: Option[Map[String, String]])
+      dvs: Option[Map[String, String]],
+      constraints: Option[Map[String, String]])
 
   /** `stream:<id>:<batch>` op → (id, batch); None for other ops. */
   private def parseStreamOp(op: String): Option[(String, Long)] =
@@ -304,6 +305,30 @@ object TxnTable {
     m
   }
 
+  /** Active CHECK constraints (name -> SQL expression) of the prefix
+    * <= `upTo` -- folded from `constraint:add:<name>:<sql>` /
+    * `constraint:drop:<name>` ops, checkpoint-amortized like
+    * [[schemaInfo]]. */
+  private def constraintsInfo(path: String, upTo: Long)
+      : Map[String, String] = {
+    val (from, init) = latestCheckpoint(path, upTo) match {
+      case Some(ck) if ck.constraints.isDefined =>
+        (ck.version + 1, ck.constraints.get)
+      case _ => (0L, Map.empty[String, String])
+    }
+    var m = init
+    (from to upTo).foreach { v =>
+      val op = readCommit(path, v).op
+      if (op.startsWith("constraint:add:")) {
+        val rest = op.stripPrefix("constraint:add:")
+        val i = rest.indexOf(':')
+        if (i > 0) m = m.updated(rest.take(i), rest.drop(i + 1))
+      } else if (op.startsWith("constraint:drop:"))
+        m -= op.stripPrefix("constraint:drop:")
+    }
+    m
+  }
+
   /** Test seam: invoked between the version read and the tryCommit of
     * every retrying writer (append / restore / appendStreamBatch /
     * vacuum) and before every commit attempt of the rewrite writers
@@ -345,11 +370,16 @@ object TxnTable {
           .filter(a => Files.exists(localRoot(path).resolve(a.path)))
           .sortBy(_.path)
         val dvs = snapshotDvs(path, commit.version)
+        val cons = constraintsInfo(path, commit.version)
         val json = s"""{"version":${commit.version},""" +
           s""""horizon":${earliestVersion(path)},""" +
           s""""schemaGens":$gens,""" +
           schema.map(s => s""""schema":"${esc(s)}",""").getOrElse("") +
-          s""""dvs":""" +
+          s""""constraints":""" +
+          cons.toSeq.sortBy(_._1)
+            .map { case (n, e) => s""""${esc(n)}":"${esc(e)}"""" }
+            .mkString("{", ",", "}") +
+          s""","dvs":""" +
           dvs.toSeq.sortBy(_._1)
             .map { case (f, dv) => s""""${esc(f)}":"${esc(dv)}"""" }
             .mkString("{", ",", "}") +
@@ -427,8 +457,13 @@ object TxnTable {
           Some(fields.map { case (k, jv) => k -> jv.extract[String] }.toMap)
         case _ => None
       }
+      val cons = (j \ "constraints") match {
+        case JObject(fields) =>
+          Some(fields.map { case (k, jv) => k -> jv.extract[String] }.toMap)
+        case _ => None
+      }
       Some(Ckpt(best, files, horizon, schemaGens, schema, streams, allAdds,
-        dvs))
+        dvs, cons))
     } catch { case _: Throwable => None } // corrupt checkpoint → full replay
   }
 
@@ -830,12 +865,13 @@ object TxnTable {
     // is latency hygiene, not the correctness gate.
     val early = currentVersion(path)
     if (early != expectedBase) throw new TxnConflictException(early)
+    val checked = withChecks(spark, path, df)
     val adds =
       if (clusterBy.nonEmpty)
         writeDataPrepared(spark, path,
-          df.repartitionByRange(partitions, clusterBy: _*)
+          checked.repartitionByRange(partitions, clusterBy: _*)
             .sortWithinPartitions(clusterBy: _*))
-      else writeData(spark, path, df, partitions)
+      else writeData(spark, path, checked, partitions)
     val base = currentVersion(path)
     if (base != expectedBase) {
       cleanupStaged(path, adds)
@@ -874,7 +910,8 @@ object TxnTable {
     val base = currentVersion(path)
     val files = snapshotFiles(path, base)
     checkSchema(path, df, evolveSchema = false)
-    val adds = writeData(spark, path, df, partitions)
+    val adds = writeData(spark, path, withChecks(spark, path, df),
+      partitions)
     try commitRewrite(path, base, op, adds, files, CommuteMetadataOnly)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
   }
@@ -885,7 +922,8 @@ object TxnTable {
     val files = snapshotFiles(path, base)
     checkSchema(path, df, evolveSchema = false)
     val adds = writeDataPrepared(spark, path,
-      df.repartitionByRange(targetFiles, clusterBy: _*)
+      withChecks(spark, path, df)
+        .repartitionByRange(targetFiles, clusterBy: _*)
         .sortWithinPartitions(clusterBy: _*))
     try commitRewrite(path, base, "overwrite", adds, files, CommuteMetadataOnly)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
@@ -895,7 +933,8 @@ object TxnTable {
       partitions: Int = 1, maxAttempts: Int = 20,
       evolveSchema: Boolean = false): Long = {
     var newSchema = checkSchema(path, df, evolveSchema)
-    val adds = writeData(spark, path, df, partitions)
+    val adds = writeData(spark, path, withChecks(spark, path, df),
+      partitions)
     var attempt = 0
     // Any abort past this point (schema mismatch discovered on retry,
     // retry budget exhausted) must delete the staged files it can no
@@ -1032,7 +1071,8 @@ object TxnTable {
         set(c).cast(live.schema(c).dataType).as(c)
       else col(c)
     }: _*)
-    val adds = writeData(spark, path, updated, partitions)
+    val adds = writeData(spark, path, withChecks(spark, path, updated),
+      partitions)
     val (dvs, dvFile) =
       try buildDvs(spark, path, files, hits, oldDv)
       catch { case e: Throwable => cleanupStaged(path, adds); throw e }
@@ -1168,7 +1208,8 @@ object TxnTable {
             .otherwise(col(c)).as(c)
         else col(c)
       }: _*)
-    val adds = writeData(spark, path, rewritten, 1)
+    val adds = writeData(spark, path,
+      withChecks(spark, path, rewritten), 1)
     val hitNames = hitDf.collect().map(_.getString(0)).toSet
     val removes = files.filter(f => hitNames.contains(f.split('/').last))
     try commitRewrite(path, base, "update", adds, removes,
@@ -1291,12 +1332,13 @@ object TxnTable {
               else acc
             }.as(c)
           }: _*)
+        val outC = withChecks(spark, path, out)
         if (out.isEmpty) Nil
         else if (clusterBy.nonEmpty)
           writeDataPrepared(spark, path,
-            out.repartitionByRange(math.max(1, nHitFiles.toInt), clusterBy: _*)
-              .sortWithinPartitions(clusterBy: _*))
-        else writeData(spark, path, out, 1)
+            outC.repartitionByRange(math.max(1, nHitFiles.toInt),
+              clusterBy: _*).sortWithinPartitions(clusterBy: _*))
+        else writeData(spark, path, outC, 1)
       }
     // insert side: anti-join the SOURCE against the matched keys
     // (metadata-scale), never a second scan of the table
@@ -1309,12 +1351,13 @@ object TxnTable {
             .map(_.cast(current.schema(c).dataType))
             .getOrElse(lit(null).cast(current.schema(c).dataType)).as(c)
         }: _*)
+        val rowsC = withChecks(spark, path, rows)
         if (rows.isEmpty) Nil
         else if (clusterBy.nonEmpty)
           writeDataPrepared(spark, path,
-            rows.repartitionByRange(1, clusterBy: _*)
+            rowsC.repartitionByRange(1, clusterBy: _*)
               .sortWithinPartitions(clusterBy: _*))
-        else writeData(spark, path, rows, 1)
+        else writeData(spark, path, rowsC, 1)
       case None => Nil
     }
     val adds = survivorAdds ++ insertAdds
@@ -1369,6 +1412,79 @@ object TxnTable {
       }
     }
     -1L // unreachable
+  }
+
+  /** Active CHECK constraints of the table head (name → SQL). */
+  def constraints(path: String): Map[String, String] = {
+    val top = currentVersion(path)
+    if (top < 0) Map.empty else constraintsInfo(path, top)
+  }
+
+  class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
+  /** ADD CONSTRAINT <name> CHECK (<exprSql>): validates that EVERY
+    * existing row satisfies the expression (SQL CHECK semantics — a
+    * NULL result satisfies), then records it as a metadata commit;
+    * from that commit on, every write that brings NEW row content
+    * (append / overwrite / merge / applyChanges / update / MOR update
+    * / stream batches) enforces it IN the write job — single pass, no
+    * second scan ([[withChecks]]). A conflict during the commit race
+    * re-validates against the fresh snapshot, so an interleaved append
+    * of violating rows aborts the add instead of slipping past it. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      exprSql: String, maxAttempts: Int = 20): Long = {
+    require(name.matches("[A-Za-z0-9_\\-]+"),
+      s"constraint name must be alphanumeric/_/-: $name")
+    require(!constraints(path).contains(name),
+      s"constraint $name already exists")
+    var attempt = 0
+    while (true) {
+      val base = currentVersion(path)
+      val violating = read(spark, path)
+        .filter(!coalesce(expr(exprSql), lit(true)))
+      if (!violating.isEmpty)
+        throw new ConstraintViolationException(
+          s"cannot add CHECK constraint $name ($exprSql): " +
+            s"existing rows violate it, e.g. ${violating.head()}")
+      preCommitHook()
+      try {
+        tryCommit(path, TxnCommit(base + 1,
+          s"constraint:add:$name:$exprSql", Nil, Nil))
+        return base + 1
+      } catch {
+        case e: TxnConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1 // loop re-validates the fresh snapshot
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** DROP CONSTRAINT: a metadata commit; false if it did not exist. */
+  def dropConstraint(path: String, name: String): Boolean =
+    if (!constraints(path).contains(name)) false
+    else { commitMarker(path, s"constraint:drop:$name"); true }
+
+  /** Enforce the table's CHECK constraints on `df` INSIDE the write
+    * job that consumes it: each row is guarded by an `assert_true`
+    * that throws (with the constraint name) on a FALSE check — a NULL
+    * check satisfies, per SQL. Zero extra passes: the guard is a
+    * codegen'd filter that keeps every passing row, so the write plan
+    * is unchanged except for the inline assertion; tables with no
+    * constraints get `df` back untouched. */
+  private def withChecks(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = {
+    val cs =
+      try constraints(path)
+      catch { case _: IllegalArgumentException => Map.empty[String, String] }
+    if (cs.isEmpty) df
+    else df.filter(cs.toSeq.sortBy(_._1).map { case (n, sql) =>
+      coalesce(
+        assert_true(coalesce(expr(sql), lit(true)),
+          lit(s"CHECK constraint $n violated: $sql")),
+        lit(true))
+    }.reduce(_ && _))
   }
 
   private def rewriteByKeys(spark: SparkSession, path: String,
@@ -1427,9 +1543,11 @@ object TxnTable {
     val insertAdds = insert match {
       case Some(d) if !d.isEmpty && clusterBy.nonEmpty =>
         writeDataPrepared(spark, path,
-          d.repartitionByRange(partitions, clusterBy: _*)
+          withChecks(spark, path, d)
+            .repartitionByRange(partitions, clusterBy: _*)
             .sortWithinPartitions(clusterBy: _*))
-      case Some(d) if !d.isEmpty => writeData(spark, path, d, partitions)
+      case Some(d) if !d.isEmpty =>
+        writeData(spark, path, withChecks(spark, path, d), partitions)
       case _ => Nil
     }
     val adds = survivorAdds ++ insertAdds
@@ -1555,12 +1673,13 @@ object TxnTable {
     // clusterBy range-clusters the batch's files (each owning a compact
     // key range) so footer pruning on the cluster column stays tight —
     // the layout an incrementally-served store (StreamDedup) needs.
+    val checked = withChecks(spark, path, df)
     val adds =
       if (clusterBy.nonEmpty)
         writeDataPrepared(spark, path,
-          df.repartitionByRange(partitions, clusterBy: _*)
+          checked.repartitionByRange(partitions, clusterBy: _*)
             .sortWithinPartitions(clusterBy: _*))
-      else writeData(spark, path, df, partitions)
+      else writeData(spark, path, checked, partitions)
     var attempt = 0
     while (attempt <= maxAttempts) {
       if (alreadyApplied()) {

@@ -893,7 +893,44 @@ object SourceQueries {
       .orderBy(col("st"))
   }
 
+  /** S26: CHECK constraints — `addConstraint` validates every existing
+    * row then records the rule as a metadata commit; a violating append
+    * afterwards throws INSIDE the write job and commits nothing
+    * (version identity asserted in-run), a satisfying append lands.
+    * Oracle replays orders plus the accepted slice. */
+  def s26Constraints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val t = java.nio.file.Files.createTempDirectory("graft_s26")
+      .toString + "/orders_txn"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    TxnTable.create(spark, t, orders, partitions = 4)               // v0
+    TxnTable.addConstraint(spark, t, "price_nonneg", "price_c >= 0")
+    TxnTable.addConstraint(spark, t, "status_known",
+      "o_orderstatus IN ('O','F','P')")                             // v1,v2
+    // violating rows must throw in the write and commit NOTHING
+    val vBefore = TxnTable.currentVersion(t)
+    val bad = try {
+      TxnTable.append(spark, t,
+        orders.limit(5).withColumn("price_c", lit(-1L)))
+      false
+    } catch { case _: Throwable => true }
+    require(bad && TxnTable.currentVersion(t) == vBefore,
+      "a violating append must throw and commit nothing")
+    // a satisfying derived slice lands
+    TxnTable.append(spark, t,
+      orders.filter(col("o_orderkey") <= 100)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("price_c", col("price_c") * 2))
+    TxnTable.read(spark, t).groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("st"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s26_constraints"   -> (s26Constraints _),
     "s25_time_travel_ts" -> (s25TimeTravelTs _),
     "s24_log_stats_prune" -> (s24LogStatsPrune _),
     "s23_mor_update"    -> (s23MorUpdate _),
@@ -920,6 +957,21 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // Orders plus the accepted slice; the rejected-append half is
+    // asserted in-run.
+    "s26_constraints" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) * 2
+        |  FROM orders WHERE o_orderkey <= 100)
+        |SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS price_sum,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // The pre-delete snapshot IS raw orders; the version-resolution
     // and head-sees-the-delete halves are asserted in-run.
     "s25_time_travel_ts" ->
