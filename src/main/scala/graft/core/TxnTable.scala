@@ -1393,6 +1393,62 @@ object TxnTable {
     rewriteByKeys(spark, path, keys, keyCols, Some(upserts), partitions,
       clusterBy, -1L, op)
 
+  /** [[applyChanges]] at MERGE-ON-READ cost: matched current rows are
+    * marked dead by position in a DV instead of rewriting their files,
+    * the upsert after-images are appended as fresh files, ONE atomic
+    * commit carries both (plus the caller's `op` marker — exactly-once
+    * CDC apply stays atomic). The per-batch cost of a continuously
+    * replicated table drops from O(bytes of every file containing a
+    * changed key) to O(changed rows); compaction stays the
+    * read-amplification escape valve. NULL-keyed upsert rows never
+    * match (SQL equality) and are simply appended, like [[merge]].
+    * A no-change batch (no match, no upsert) returns the base version
+    * — callers needing a marker regardless use [[commitMarker]]. */
+  def applyChangesMor(spark: SparkSession, path: String, keys: DataFrame,
+      upserts: DataFrame, keyCols: Seq[String], partitions: Int = 1,
+      op: String = "dvmerge"): Long = {
+    val base = currentVersion(path)
+    val (live, oldDv, files) = liveWithPos(spark, path, base)
+    val keysS = keys.select(keyCols.map(col): _*).distinct()
+    val hits = live.join(keysS, keyCols, "left_semi")
+      .select(col("__fname").as("file"), col("__pos").as("pos"))
+      .localCheckpoint()
+    checkSchema(path, upserts, evolveSchema = false)
+    val tableCols = live.columns.toSeq
+      .filterNot(c => c == "__fname" || c == "__pos")
+    val ups = withChecks(spark, path,
+      upserts.select(tableCols.map(col): _*))
+    val adds =
+      if (upserts.isEmpty) Nil
+      else writeData(spark, path, ups, partitions)
+    if (hits.isEmpty && adds.isEmpty) return base
+    val (dvs, dvFile) =
+      if (hits.isEmpty) (Nil, None)
+      else
+        try {
+          val (d, f) = buildDvs(spark, path, files, hits, oldDv)
+          (d, Some(f))
+        } catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+    try commitDvs(path, base, op, dvs, adds)
+    catch {
+      case e: Throwable =>
+        cleanupStaged(path, adds)
+        dvFile.foreach { f =>
+          try Files.deleteIfExists(localRoot(path).resolve(f))
+          catch { case _: Throwable => () }
+        }
+        throw e
+    }
+  }
+
+  /** [[merge]] (keyed upsert) at MERGE-ON-READ cost — replace every
+    * current row whose key appears in `df` with `df`'s row, via
+    * [[applyChangesMor]]. */
+  def mergeMor(spark: SparkSession, path: String, df: DataFrame,
+      keyCols: Seq[String], partitions: Int = 1): Long =
+    applyChangesMor(spark, path, df.select(keyCols.map(col): _*), df,
+      keyCols, partitions)
+
   /** Commit a METADATA-ONLY marker (no adds, no removes — logical
     * content unchanged): the carrier for stream high-water marks when a
     * batch changes no data (e.g. a replicated version range that was

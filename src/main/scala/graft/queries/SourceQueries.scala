@@ -929,7 +929,46 @@ object SourceQueries {
       .orderBy(col("st"))
   }
 
+  /** S27: MERGE-ON-READ keyed merge — `mergeMor` replaces a scattered
+    * key slice (repriced after-images) and inserts new keys in ONE
+    * `dvmerge` commit that rewrites ZERO pre-existing data files
+    * (asserted in-run): matched rows die by deletion vector, the
+    * after-images append. The CDC-apply primitive at O(changed rows)
+    * cost. Oracle replays replace+insert over raw orders. */
+  def s27MorMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val t = java.nio.file.Files.createTempDirectory("graft_s27")
+      .toString + "/orders_txn"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val kx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10)
+    val filesBefore = TxnTable.snapshotFiles(t).toSet
+    // source batch: reprice every key <= kx/8 (update), plus the same
+    // slice re-keyed past the max (insert)
+    val updates = orders.filter(col("o_orderkey") <= kx / 8)
+      .withColumn("price_c", col("price_c") * 3)
+    val inserts = updates
+      .withColumn("o_orderkey", col("o_orderkey") + kx + 1000000L)
+    TxnTable.mergeMor(spark, t, updates.unionByName(inserts),
+      Seq("o_orderkey"))                                            // v1
+    val c = TxnTable.commits(t).last
+    require(c.op == "dvmerge" && c.adds.nonEmpty && c.dvs.nonEmpty &&
+      c.removes.isEmpty, "one rewrite-free dvmerge commit")
+    require(filesBefore.subsetOf(TxnTable.snapshotFiles(t).toSet),
+      "MOR merge must not rewrite a single pre-existing data file")
+    require(TxnTable.read(spark, t, 0L).count() == orders.count(),
+      "v0 must still read the pre-merge snapshot")
+    TxnTable.read(spark, t).groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("st"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s27_mor_merge"     -> (s27MorMerge _),
     "s26_constraints"   -> (s26Constraints _),
     "s25_time_travel_ts" -> (s25TimeTravelTs _),
     "s24_log_stats_prune" -> (s24LogStatsPrune _),
@@ -957,6 +996,25 @@ object SourceQueries {
     "s9_compaction"     -> (s9Compaction _))
 
   val oracle: Map[String, String] = Map(
+    // Replace + insert replayed over raw orders; the zero-rewrite,
+    // one-commit, and time-travel halves are asserted in-run.
+    "s27_mor_merge" ->
+      """WITH b AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS kx
+        |           FROM orders),
+        |u AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey <= b.kx//8
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) * 3
+        |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS pc
+        |  FROM orders, b
+        |  UNION ALL
+        |  SELECT o_orderkey + b.kx + 1000000, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) * 3
+        |  FROM orders, b WHERE o_orderkey <= b.kx//8)
+        |SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS price_sum,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // Orders plus the accepted slice; the rejected-append half is
     // asserted in-run.
     "s26_constraints" ->

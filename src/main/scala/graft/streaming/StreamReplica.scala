@@ -44,7 +44,7 @@ object StreamReplica {
     * `applied >= target` no-ops). */
   def applyUpTo(spark: SparkSession, srcPath: String, dstPath: String,
       target: Long, keyCols: Seq[String],
-      clusterBy: Seq[String] = Nil): Unit =
+      clusterBy: Seq[String] = Nil, mor: Boolean = false): Unit =
     appliedVersion(dstPath) match {
       case None =>
         TxnTable.create(spark, dstPath,
@@ -62,9 +62,17 @@ object StreamReplica {
               .select(cols.map(c =>
                 if (keyCols.contains(c)) col(c)
                 else col(s"after.`$c`").as(c)): _*)
-            TxnTable.applyChanges(spark, dstPath,
-              d.select(keyCols.map(col): _*), upserts, keyCols,
-              clusterBy = clusterBy.map(col), op = marker(target))
+            // mor: changed keys marked dead by DELETION VECTOR +
+            // after-images appended — the replica's per-batch cost
+            // drops to O(changed rows); apply+marker stays ONE commit
+            if (mor)
+              TxnTable.applyChangesMor(spark, dstPath,
+                d.select(keyCols.map(col): _*), upserts, keyCols,
+                op = marker(target))
+            else
+              TxnTable.applyChanges(spark, dstPath,
+                d.select(keyCols.map(col): _*), upserts, keyCols,
+                clusterBy = clusterBy.map(col), op = marker(target))
             ()
           }
         } finally { d.unpersist(); () }
@@ -76,7 +84,7 @@ object StreamReplica {
     * trigger for an always-on replicator. */
   def replicate(spark: SparkSession, srcPath: String, dstPath: String,
       keyCols: Seq[String], checkpointDir: String,
-      clusterBy: Seq[String] = Nil): Unit = {
+      clusterBy: Seq[String] = Nil, mor: Boolean = false): Unit = {
     val q = StreamIvm.changesStream(spark, srcPath).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -86,7 +94,7 @@ object StreamReplica {
           val mx = batch.agg(max(col("version"))).head()
           if (!mx.isNullAt(0))
             applyUpTo(batch.sparkSession, srcPath, dstPath,
-              mx.getLong(0), keyCols, clusterBy)
+              mx.getLong(0), keyCols, clusterBy, mor)
       }
       .start()
     try q.awaitTermination() finally q.stop()

@@ -233,6 +233,66 @@ class DeletionVectorSpec extends SparkSpecBase {
     }
   }
 
+  test("MOR merge: keyed upsert + delete at DV cost, one commit, " +
+    "zero pre-existing files rewritten") {
+    val t = Files.createTempDirectory("graft_dvm").toString + "/t"
+    mk(t)
+    val filesBefore = TxnTable.snapshotFiles(t).toSet
+    // replace key 11, insert key 99 — one dvmerge commit
+    val v = TxnTable.mergeMor(spark, t,
+      Seq((11L, 1L, 7777L), (99L, 9L, 9900L)).toDF("id", "g", "v"),
+      Seq("id"))
+    assert(v == 1L)
+    val c = TxnTable.commits(t).last
+    assert(c.op == "dvmerge" && c.adds.nonEmpty && c.dvs.nonEmpty &&
+      c.removes.isEmpty)
+    assert(filesBefore.subsetOf(TxnTable.snapshotFiles(t).toSet))
+    val got = TxnTable.read(spark, t).as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((11L, 1L, 7777L)) && got.contains((99L, 9L, 9900L))
+      && got.size == 33)
+    assert(ids(TxnTable.read(spark, t, 0L)).size == 32, "v0 intact")
+    // a keyed DELETE batch (keys with no upsert rows) via the same
+    // primitive: key marked dead, nothing appended
+    TxnTable.applyChangesMor(spark, t, Seq(99L).toDF("id"),
+      Seq.empty[(Long, Long, Long)].toDF("id", "g", "v"), Seq("id"))
+    assert(TxnTable.commits(t).last.adds.isEmpty)
+    assert(!ids(TxnTable.read(spark, t)).contains(99L))
+    // no-change batch: version unchanged
+    val vv = TxnTable.currentVersion(t)
+    assert(TxnTable.applyChangesMor(spark, t, Seq(12345L).toDF("id"),
+      Seq.empty[(Long, Long, Long)].toDF("id", "g", "v"), Seq("id")) == vv)
+  }
+
+  test("streaming CDC replica in MOR mode: follows the source with " +
+    "zero replica file rewrites") {
+    import graft.streaming.StreamReplica
+    val root = Files.createTempDirectory("graft_dvrep").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    mk(src)
+    StreamReplica.replicate(spark, src, dst, Seq("id"), s"$root/ck",
+      mor = true)
+    val replicaFiles = TxnTable.snapshotFiles(dst).toSet
+    // source: update + delete + insert across two commits
+    TxnTable.updateWhere(spark, src, col("id") === 11L,
+      Map("v" -> lit(42L)))
+    TxnTable.deleteWhereMor(spark, src, col("id") === 22L)
+    TxnTable.append(spark, src, Seq((99L, 9L, 1L)).toDF("id", "g", "v"))
+    StreamReplica.replicate(spark, src, dst, Seq("id"), s"$root/ck",
+      mor = true)
+    assert(TxnTable.read(spark, dst).as[(Long, Long, Long)].collect().toSet
+      == TxnTable.read(spark, src).as[(Long, Long, Long)].collect().toSet)
+    assert(replicaFiles.subsetOf(TxnTable.snapshotFiles(dst).toSet),
+      "the MOR replica must never rewrite a pre-existing file")
+    assert(TxnTable.commits(dst).last.op.startsWith("stream:replica:"),
+      "apply+marker must stay one commit in MOR mode")
+    // redelivery no-op
+    val vStable = TxnTable.currentVersion(dst)
+    StreamReplica.replicate(spark, src, dst, Seq("id"), s"$root/ck",
+      mor = true)
+    assert(TxnTable.currentVersion(dst) == vStable)
+  }
+
   test("MOR deletes flow through the streaming CDC replica and the " +
     "streaming IVM view") {
     import graft.streaming.{StreamIvm, StreamReplica}
