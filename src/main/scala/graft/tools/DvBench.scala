@@ -104,6 +104,29 @@ object DvBench {
       f"overhead=${morRead / baseRead}%.2fx " +
       f"(cowConsolidatedSec=$cowRead%.3f) loadavg=$loadavg")
 
+    // probe 4 (fresh tables): scattered keyed MERGE, CoW vs MOR —
+    // reprice 1/997 of the keys, hitting most files of the layout
+    val cowM = mkTable("cow_m")
+    val morM = mkTable("mor_m")
+    val batch = li.filter(pred).withColumn("price_c", col("price_c") * 2)
+    val t2 = System.nanoTime()
+    TxnTable.merge(spark, cowM, batch, Seq("id"))
+    val cowMSec = (System.nanoTime() - t2) / 1e9
+    val cowMRewrote = TxnTable.commits(cowM).last.removes.size
+    val t3 = System.nanoTime()
+    TxnTable.mergeMor(spark, morM, batch, Seq("id"))
+    val morMSec = (System.nanoTime() - t3) / 1e9
+    val morMRewrote = TxnTable.commits(morM).last.removes.size
+    val (ra, a2) = timeIt(TxnTable.read(spark, cowM)
+      .agg(count(lit(1)), sum(col("price_c"))).head())
+    val (rb, b2) = timeIt(TxnTable.read(spark, morM)
+      .agg(count(lit(1)), sum(col("price_c"))).head())
+    require(a2 == b2, s"CoW and MOR merge must agree: $a2 vs $b2")
+    println(f"merge changed=$doomed cowSec=$cowMSec%.3f " +
+      f"cowFilesRewritten=$cowMRewrote morSec=$morMSec%.3f " +
+      f"morFilesRewritten=$morMRewrote readCow=$ra%.3f readMor=$rb%.3f " +
+      f"loadavg=$loadavg")
+
     // probe 3: compaction materializes; read returns to the plain plan
     // (same 200-file target, so postRead is comparable to baseline)
     val (compSec, _) = { // single-shot: compaction commits
