@@ -78,6 +78,24 @@ object CorpusQueries {
     Keywords.bm25TopK(Lake.table(spark, dir, "documents"), "doc_id", "text",
       Seq("dup", "join", "vector", "window"), 25)
 
+  /** L40: HYBRID retrieval — BM25 candidates (l32's terms) and
+    * cosine candidates (q14's query vector) fused by reciprocal rank
+    * fusion, the RAG-retrieval shape: rrf = Σ 1/(60 + rank). Each
+    * list is top-50 bounded, so the fusion is metadata-scale; the
+    * corpus work lives in the two generators (both independently
+    * oracle-pinned). Oracle replays both rankings and the fusion.
+    */
+  def l40HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Lake.table(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    graft.operators.HybridSearch.hybridTopK(
+      Lake.table(spark, dir, "documents"), "doc_id", "text",
+      emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
+      Seq("dup", "join", "vector", "window"), qv, k = 20, depth = 50)
+      .select(col("id"), col("rrf"))
+  }
+
   /** L33: bigram coherence score — per-doc mean bigram log-prob, the
     * sequential signal l29's unigram LM can't see (word salad keeps
     * its unigram distribution; its bigrams collapse to near-unseen).
@@ -923,6 +941,7 @@ object CorpusQueries {
     "l4_repetition" -> (l4Repetition _),
     "l31_gopher_repetition" -> (l31GopherRepetition _),
     "l32_bm25_topk" -> (l32Bm25TopK _),
+    "l40_hybrid_search" -> (l40HybridSearch _),
     "l33_bigram_logprob" -> (l33BigramLogprob _),
     "l34_bm25_multi" -> (l34Bm25Multi _),
     "l35_phrase_search" -> (l35PhraseSearch _),
@@ -1359,6 +1378,37 @@ object CorpusQueries {
     // expression shapes, same 1.2/0.75/(1.2 + 1.0) literals) so the
     // doubles match bit-for-bit before the shared 6dp+DECIMAL gate.
     "l32_bm25_topk" -> bm25TopkSql,
+    // Both rankings replayed (BM25 arithmetic = l32's, cosine = q14's),
+    // ranks over (score DESC, id), per-list RRF terms 6dp-rounded and
+    // DECIMAL-summed -- the engine fuses the same way bit-exactly.
+    "l40_hybrid_search" ->
+      ("""WITH """ + bm25TopkCtes("documents").replace("LIMIT 25", "LIMIT 50")
+        .replace("FROM tf JOIN dfq USING (term) CROSS JOIN s)",
+          "FROM tf JOIN dfq USING (term) CROSS JOIN s),")
+        .replace("SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)",
+          "bm AS (SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)") +
+      """),
+        |bmr AS (SELECT doc_id AS id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+        |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |cs AS (SELECT e.vec_id, round(
+        |    list_sum(list_transform(range(1,65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1,65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1,65),
+        |        i -> CAST(q.qv[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE))))), 6) AS sim
+        |  FROM embeddings e, qv q WHERE e.vec_id <> 0
+        |  ORDER BY sim DESC, vec_id LIMIT 50),
+        |csr AS (SELECT vec_id AS id,
+        |  row_number() OVER (ORDER BY sim DESC, vec_id) AS r FROM cs),
+        |f AS (SELECT coalesce(bmr.id, csr.id) AS id,
+        |    CAST(coalesce(round(1.0/(60+bmr.r), 6), 0) AS DECIMAL(18,6))
+        |  + CAST(coalesce(round(1.0/(60+csr.r), 6), 0) AS DECIMAL(18,6))
+        |    AS rrf
+        |  FROM bmr FULL OUTER JOIN csr ON bmr.id = csr.id)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(rrf AS DOUBLE) AS rrf
+        |FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin),
     // The indexed path must agree with the rescan path EXACTLY — same
     // oracle, different engine plan (pruned index read vs corpus scan).
     "l36_indexed_bm25" -> bm25TopkSql,
