@@ -103,10 +103,19 @@ object GraftEngine {
     def crawl(lakeRoot: String, catalogDir: String): Seq[DatasetInfo] =
       CatalogStore.crawl(spark, lakeRoot, catalogDir)
 
-    /** The transactional surface (round 5): read a TxnTable snapshot
-      * (latest or time travel). Writes go through `graft.core.TxnTable`
-      * directly (create/append/deleteWhere/compact/vacuum/
-      * appendStreamBatch).
+    /** The transactional surface (rounds 5–12): read a TxnTable
+      * snapshot (latest, version time travel, or
+      * `TxnTable.readAsOfTimestamp` for wall-clock addressing; pruned
+      * variants `readPruned`/`readPrunedIn`/`readPrunedString`/
+      * `readPrunedBoxN` plan from stats-in-log). Writes go through
+      * `graft.core.TxnTable` directly: create/append/overwrite,
+      * deleteWhere/updateWhere/merge/mergeInto (copy-on-write),
+      * deleteWhereMor/updateWhereMor/mergeMor/applyChangesMor
+      * (merge-on-read via deletion vectors), compact/compactClustered
+      * (+z-order), cloneShallow/restore/vacuum, addConstraint/
+      * dropConstraint (CHECK), appendStreamBatch/applyChanges
+      * (exactly-once streaming); continuous consumers live in
+      * `graft.streaming` (StreamIvm, StreamReplica).
       */
     def txnRead(path: String, asOf: Long = -1L): DataFrame =
       graft.core.TxnTable.read(spark, path, asOf)
