@@ -173,7 +173,11 @@ object LakeCrawler {
           // can't race away (vacuum deletes only dead ones); a miss is
           // tolerated as 0 rather than failing the crawl.
           val live = graft.core.TxnTable.snapshotFiles(t)
-          val bytes = live.map { f =>
+          // deletion-vector sidecars are part of the snapshot's
+          // physical footprint too (merge-on-read deletes)
+          val dvFiles = graft.core.TxnTable.snapshotDvs(t)
+            .values.toSeq.distinct
+          val bytes = (live ++ dvFiles).map { f =>
             try filesystem.getFileStatus(new Path(st.getPath, f)).getLen
             catch { case _: java.io.FileNotFoundException => 0L }
           }.sum

@@ -153,6 +153,29 @@ class CrawlerSpec extends SparkSpecBase {
       .bm25TopKIndexed(spark, s"$lake/idx", Seq("alpha"), 5).count() == 5)
   }
 
+  test("a txn table with deletion vectors crawls DV-aware: logical " +
+    "rows exclude MOR deletes, sizing includes the DV sidecar") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lake = java.nio.file.Files.createTempDirectory("graft_dvcrawl")
+      .toString
+    val t = s"$lake/txn"
+    graft.core.TxnTable.create(spark, t,
+      (0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+      partitions = 4)
+    val sizeBefore = LakeCrawler.discover(spark, lake).head.sizeBytes
+    graft.core.TxnTable.deleteWhereMor(spark, t, col("id") < 10L)
+    val infos = LakeCrawler.discover(spark, lake)
+    assert(infos.head.format == "graft-txn")
+    assert(infos.head.sizeBytes > sizeBefore,
+      "the DV sidecar must count toward the dataset's physical size " +
+        s"(${infos.head.sizeBytes} vs $sizeBefore)")
+    // opened frame applies the DV (logical content, not raw files)
+    assert(LakeCrawler.open(spark, infos.head).count() == 90)
+    // and the incremental re-crawl saw the dvdelete as a change
+    assert(infos.head.modifiedMs > 0)
+  }
+
   test("C15: a text-index layout discovers as ONE graft-index dataset") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
