@@ -1369,6 +1369,108 @@ object TxnTable {
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
   }
 
+  /** [[mergeInto]] (ordered WHEN MATCHED clauses + conditioned insert)
+    * at MERGE-ON-READ cost: every clause-claimed row is marked dead by
+    * position in a DV — delete-claimed rows stay dead, update-claimed
+    * rows are re-appended with the winning clause's SET applied, and
+    * the NOT MATCHED inserts append alongside — ONE `dvmerge` commit
+    * carrying the adds and the DV reassignments, ZERO pre-existing
+    * data files rewritten. One table pass: the matched join slice is
+    * materialized once (O(matched rows) — batch scale) and yields the
+    * fired positions, the update images, and the matched-key set the
+    * insert side anti-joins; clause semantics (first-fire-wins,
+    * duplicate-source reject, NULL keys fall through to insert) are
+    * [[mergeInto]]'s, spec-pinned against it. */
+  def mergeIntoMor(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], matched: Seq[MergeMatched],
+      notMatched: Option[NotMatchedInsert] = None,
+      partitions: Int = 1): Long = {
+    val base = currentVersion(path)
+    val (live, oldDv, files) = liveWithPos(spark, path, base)
+    val tableCols = live.columns.toSeq
+      .filterNot(c => c == "__fname" || c == "__pos")
+    val schema = live.select(tableCols.map(col): _*).schema
+    val srcS = source.select(
+      keyCols.map(col) :+
+        struct(source.columns.map(col): _*).as(SrcStruct): _*)
+    val dup = srcS.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*).count().filter(col("count") > 1)
+    require(dup.isEmpty,
+      "mergeIntoMor: multiple source rows match the same key " +
+        dup.limit(3).collect().mkString(", "))
+    def firePredicates(): (Column, Seq[(Column, Map[String, Column])]) = {
+      var claimed: Column = lit(false)
+      var deleteP: Column = lit(false)
+      val updates = Seq.newBuilder[(Column, Map[String, Column])]
+      matched.foreach {
+        case MatchedDelete(c) =>
+          val fire = !claimed && coalesce(c.getOrElse(lit(true)), lit(false))
+          deleteP = deleteP || fire
+          claimed = claimed || fire
+        case MatchedUpdate(set, c) =>
+          val fire = !claimed && coalesce(c.getOrElse(lit(true)), lit(false))
+          updates += ((fire, set))
+          claimed = claimed || fire
+      }
+      (deleteP, updates.result())
+    }
+    // ONE table pass: the matched slice pins positions, fire flags,
+    // and the source struct the update images are computed from
+    val (delP, upds) = firePredicates()
+    val anyFire = upds.map(_._1).foldLeft(delP)(_ || _)
+    val matchedRows = live.join(srcS, keyCols, "inner")
+      .withColumn("__del", delP)
+      .withColumn("__fire", anyFire)
+      .localCheckpoint()
+    val hits = matchedRows.filter(col("__fire"))
+      .select(col("__fname").as("file"), col("__pos").as("pos"))
+    val updated = matchedRows.filter(col("__fire") && !col("__del"))
+      .select(tableCols.map { c =>
+        upds.foldRight(col(c)) { case ((fire, set), acc) =>
+          if (set.contains(c))
+            when(fire, set(c).cast(schema(c).dataType)).otherwise(acc)
+          else acc
+        }.as(c)
+      }: _*)
+    val inserts = notMatched match {
+      case Some(NotMatchedInsert(values, cond)) =>
+        val matchedKeys = matchedRows.select(keyCols.map(col): _*).distinct()
+        srcS.join(matchedKeys, keyCols, "left_anti")
+          .filter(coalesce(cond.getOrElse(lit(true)), lit(false)))
+          .select(tableCols.map { c =>
+            values.get(c)
+              .map(_.cast(schema(c).dataType))
+              .getOrElse(lit(null).cast(schema(c).dataType)).as(c)
+          }: _*)
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val newRows = updated.unionByName(inserts)
+    val adds =
+      if (newRows.isEmpty) Nil
+      else writeData(spark, path, withChecks(spark, path, newRows),
+        partitions)
+    if (hits.isEmpty && adds.isEmpty) return base // nothing fired
+    val (dvs, dvFile) =
+      if (hits.isEmpty) (Nil, None)
+      else
+        try {
+          val (d, f) = buildDvs(spark, path, files, hits, oldDv)
+          (d, Some(f))
+        } catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+    try commitDvs(path, base, "dvmerge", dvs, adds)
+    catch {
+      case e: Throwable =>
+        cleanupStaged(path, adds)
+        dvFile.foreach { f =>
+          try Files.deleteIfExists(localRoot(path).resolve(f))
+          catch { case _: Throwable => () }
+        }
+        throw e
+    }
+  }
+
   /** Keyed anti-delete: atomically delete every current row whose
     * `keyCols` tuple appears in `keys` — [[merge]] without the insert.
     * Unlike [[deleteWhere]], the doomed set is a DataFrame joined
@@ -2012,6 +2114,26 @@ object TxnTable {
     * LATEST log state after the vacuum commit wins, so anything
     * committed meanwhile is excluded.
     */
+  /** [[vacuum]] with TIME-based retention (the reference lake formats'
+    * `RETAIN n HOURS` shape): every snapshot that was current at any
+    * instant within the trailing `retainMs` window stays readable —
+    * the horizon lands on [[versionAt]](now − retainMs), the version
+    * active AT the cutoff (not merely versions committed after it).
+    * A window older than the whole readable log degrades to the
+    * existing horizon (nothing newly reapable). */
+  def vacuumRetainMillis(spark: SparkSession, path: String,
+      retainMs: Long, orphanGraceMs: Long = -1L): (Long, Int) = {
+    require(retainMs >= 0, "retention window must be non-negative")
+    val top = currentVersion(path)
+    val cutoff = System.currentTimeMillis() - retainMs
+    val keepFrom =
+      try versionAt(path, cutoff)
+      catch { // cutoff predates the earliest readable commit
+        case _: IllegalArgumentException => earliestVersion(path)
+      }
+    vacuum(spark, path, math.toIntExact(top - keepFrom + 1), orphanGraceMs)
+  }
+
   def vacuum(spark: SparkSession, path: String,
       retainVersions: Int = 2, orphanGraceMs: Long = -1L): (Long, Int) = {
     require(retainVersions >= 1, "must retain at least the current version")

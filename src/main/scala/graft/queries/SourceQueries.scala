@@ -738,6 +738,54 @@ object SourceQueries {
       .orderBy(col("st"))
   }
 
+  /** S28: MERGE INTO at MERGE-ON-READ cost — s21's exact clause
+    * scenario through `mergeIntoMor`: claimed rows die by deletion
+    * vector, update images + inserts append, ONE commit, ZERO
+    * pre-existing data files rewritten (asserted in-run vs s21's
+    * strict-subset CoW rewrite). Shares s21's oracle verbatim — the
+    * two paths must agree bit-exactly. */
+  def s28MorMergeInto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    import graft.core.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+    val t = java.nio.file.Files.createTempDirectory("graft_s28")
+      .toString + "/orders_txn"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ck, kx) = (m.getLong(0), m.getLong(1))
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10)
+    val filesBefore = TxnTable.snapshotFiles(t).toSet
+    val source = orders
+      .filter(col("o_custkey").between(ck / 3, ck / 3 + ck / 8))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("price_c") * 3).as("nv"))
+      .unionAll(orders
+        .filter(col("o_custkey").between(ck / 5, ck / 5 + ck / 16))
+        .select((col("o_orderkey") + kx).as("o_orderkey"),
+          col("o_custkey"), col("price_c").as("nv")))
+    TxnTable.mergeIntoMor(spark, t, source, Seq("o_orderkey"),
+      matched = Seq(
+        MatchedDelete(Some(col("o_orderstatus") === "F")),
+        MatchedUpdate(Map("price_c" -> TxnTable.srcCol("nv")))),
+      notMatched = Some(NotMatchedInsert(
+        Map("o_orderkey" -> TxnTable.srcCol("o_orderkey"),
+          "o_custkey" -> TxnTable.srcCol("o_custkey"),
+          "o_orderstatus" -> lit("N"),
+          "price_c" -> TxnTable.srcCol("nv")),
+        cond = Some(TxnTable.srcCol("o_custkey") % 2 === 0))))
+    val c = TxnTable.commits(t).last
+    require(c.op == "dvmerge" && c.adds.nonEmpty && c.dvs.nonEmpty &&
+      c.removes.isEmpty, "one rewrite-free dvmerge commit")
+    require(filesBefore.subsetOf(TxnTable.snapshotFiles(t).toSet),
+      "MOR MERGE INTO must not rewrite a single pre-existing data file")
+    TxnTable.read(spark, t).groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("st"))
+  }
+
   /** S22: DELETION VECTORS (merge-on-read delete) — two stacked MOR
     * deletes mark rows dead by position without touching ONE data file
     * (file-set identity asserted in-run), readers and the pruned reads
@@ -968,6 +1016,7 @@ object SourceQueries {
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s28_mor_merge_into" -> (s28MorMergeInto _),
     "s27_mor_merge"     -> (s27MorMerge _),
     "s26_constraints"   -> (s26Constraints _),
     "s25_time_travel_ts" -> (s25TimeTravelTs _),
@@ -994,6 +1043,31 @@ object SourceQueries {
     "s7_bucketed_join"  -> (s7BucketedJoin _),
     "s8_orc_roundtrip"  -> (s8OrcRoundtrip _),
     "s9_compaction"     -> (s9Compaction _))
+
+  /** Shared by s21 (copy-on-write mergeInto) and s28 (merge-on-read
+    * mergeIntoMor): identical clause semantics, so one oracle. */
+  private val mergeIntoSql: String =
+    """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck,
+        |           CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),
+        |fin AS (
+        |  SELECT o_orderstatus AS st,
+        |    CASE WHEN o_custkey BETWEEN b.ck//3 AND b.ck//3 + b.ck//8
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) * 3
+        |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS pc,
+        |    o_orderkey AS k
+        |  FROM orders, b
+        |  WHERE NOT (o_custkey BETWEEN b.ck//3 AND b.ck//3 + b.ck//8
+        |             AND o_orderstatus = 'F')
+        |  UNION ALL
+        |  SELECT 'N', CAST(round(o_totalprice * 100) AS BIGINT),
+        |    o_orderkey + b.kx
+        |  FROM orders, b
+        |  WHERE o_custkey BETWEEN b.ck//5 AND b.ck//5 + b.ck//16
+        |    AND o_custkey % 2 = 0)
+        |SELECT st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS price_sum,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Replace + insert replayed over raw orders; the zero-rewrite,
@@ -1100,28 +1174,10 @@ object SourceQueries {
     // matched+F deleted, matched+not-F repriced to the source value,
     // unmatched fresh keys inserted when custkey is even; untouched
     // rows carried.
-    "s21_merge_into" ->
-      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck,
-        |           CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),
-        |fin AS (
-        |  SELECT o_orderstatus AS st,
-        |    CASE WHEN o_custkey BETWEEN b.ck//3 AND b.ck//3 + b.ck//8
-        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) * 3
-        |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS pc,
-        |    o_orderkey AS k
-        |  FROM orders, b
-        |  WHERE NOT (o_custkey BETWEEN b.ck//3 AND b.ck//3 + b.ck//8
-        |             AND o_orderstatus = 'F')
-        |  UNION ALL
-        |  SELECT 'N', CAST(round(o_totalprice * 100) AS BIGINT),
-        |    o_orderkey + b.kx
-        |  FROM orders, b
-        |  WHERE o_custkey BETWEEN b.ck//5 AND b.ck//5 + b.ck//16
-        |    AND o_custkey % 2 = 0)
-        |SELECT st, CAST(count(*) AS BIGINT) AS cnt,
-        |  CAST(sum(pc) AS BIGINT) AS price_sum,
-        |  CAST(sum(k) AS BIGINT) AS key_sum
-        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s21_merge_into" -> mergeIntoSql,
+    // The MOR path must agree with the CoW path EXACTLY - same oracle,
+    // different physical mechanism (DV + append vs file rewrite).
+    "s28_mor_merge_into" -> mergeIntoSql,
     // The 3-d box predicate on raw lineitem; the pruning half
     // (strict subset, ≤ every 1-dim prune) is asserted in-run.
     "s19_zorder3_box" ->

@@ -96,6 +96,51 @@ class MergeIntoSpec extends SparkSpecBase {
       s"merge must rewrite a strict subset of $nFiles files, got $c")
   }
 
+  test("mergeIntoMor: identical clause semantics to mergeInto, zero " +
+    "pre-existing files rewritten") {
+    val cow = Files.createTempDirectory("graft_mim").toString + "/cow"
+    val mor = Files.createTempDirectory("graft_mim").toString + "/mor"
+    mk(cow); mk(mor)
+    val filesBefore = TxnTable.snapshotFiles(mor).toSet
+    val source = Seq(
+      (Some(11L), 1000L), (Some(12L), 1000L), (Some(13L), 40L),
+      (Some(14L), 40L), (Some(15L), 40L),
+      (Some(21L), 7L), (Some(22L), 9000L),
+      (Some(90L), 500L), (Some(91L), 30L), (None, 600L))
+      .toDF("id", "nv")
+    val matched = Seq(
+      MatchedDelete(Some(TxnTable.srcCol("nv") < 50L)),
+      MatchedUpdate(Map(
+        "v" -> TxnTable.srcCol("nv"),
+        "g" -> (col("g") + 100L))))
+    val notMatched = Some(NotMatchedInsert(
+      Map("id" -> TxnTable.srcCol("id"),
+        "g" -> lit(9L),
+        "v" -> TxnTable.srcCol("nv")),
+      cond = Some(TxnTable.srcCol("nv") >= 100L)))
+    TxnTable.mergeInto(spark, cow, source, Seq("id"), matched, notMatched)
+    TxnTable.mergeIntoMor(spark, mor, source, Seq("id"), matched,
+      notMatched)
+    def all(t: String) = TxnTable.read(spark, t)
+      .as[(Option[Long], Long, Long)].collect().toSet
+    assert(all(mor) == all(cow),
+      "MOR and CoW MERGE INTO must produce identical content")
+    val c = TxnTable.commits(mor).last
+    assert(c.op == "dvmerge" && c.adds.nonEmpty && c.dvs.nonEmpty &&
+      c.removes.isEmpty)
+    assert(filesBefore.subsetOf(TxnTable.snapshotFiles(mor).toSet),
+      "MOR MERGE INTO must not rewrite a single pre-existing file")
+    // time travel intact; a later compact materializes identically
+    assert(TxnTable.read(spark, mor, 0L).count() == 20)
+    TxnTable.compact(spark, mor, targetFiles = 2)
+    assert(TxnTable.snapshotDvs(mor).isEmpty && all(mor) == all(cow))
+    // no-op source: version unchanged
+    val v = TxnTable.currentVersion(mor)
+    assert(TxnTable.mergeIntoMor(spark, mor,
+      Seq((Some(12345L), 1L)).toDF("id", "nv"), Seq("id"),
+      Seq(MatchedDelete(None))) == v)
+  }
+
   test("mergeInto: clause ORDER decides the winner on overlap") {
     val t = Files.createTempDirectory("graft_mi2").toString + "/t"
     mk(t)

@@ -523,6 +523,31 @@ class TxnTableSpec extends SparkSpecBase {
       .count() == 40)
   }
 
+  test("time-based vacuum: the snapshot active AT the cutoff stays " +
+    "readable, older ones are reaped") {
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10)) // v0
+    compact(spark, t) // v1 (v0's file becomes reapable once past horizon)
+    Thread.sleep(40)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(40)
+    compact(spark, t) // v2
+    compact(spark, t) // v3
+    // retain back to `mid`: v1 was current at the cutoff → horizon = 1,
+    // so v1..v3 readable, v0's file dead
+    val (_, deleted) = vacuumRetainMillis(spark, t,
+      System.currentTimeMillis() - mid)
+    assert(earliestVersion(t) == 1L,
+      s"horizon must land on the version active at the cutoff")
+    assert(deleted > 0, "v0's compacted-away file must be reaped")
+    assert(read(spark, t, asOf = 1L).count() == 10)
+    intercept[Exception](read(spark, t, asOf = 0L).count())
+    // a window older than the whole log is a no-op
+    val (_, d2) = vacuumRetainMillis(spark, t, 7L * 24 * 3600 * 1000)
+    assert(d2 == 0)
+    assert(read(spark, t, asOf = 1L).count() == 10)
+  }
+
   test("vacuum and restore are checkpoint-amortized on a 100+-commit log") {
     val t = freshTable()
     create(spark, t, rangeDf(0, 10)) // v0
