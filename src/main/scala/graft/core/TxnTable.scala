@@ -1720,6 +1720,46 @@ object TxnTable {
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
   }
 
+  /** AUTO-MAINTENANCE policy: compact when the snapshot's physical
+    * shape has degraded past either threshold — too many files (write
+    * amplification / footer overhead) or too large a MOR-DELETED row
+    * fraction (read amplification: every scan drags the DV anti-join
+    * until a rewrite materializes it). Returns the compaction's version
+    * when it ran, None when the table is healthy. Both signals are
+    * metadata-cheap: file count from the snapshot, live row counts from
+    * the adds, dead positions by counting the CURRENT (file → DV)
+    * pairs' rows in the tiny DV sidecars — exact even though a
+    * cumulative DV file can carry superseded positions for OTHER data
+    * files (those pairs are excluded by the mapping join). The policy
+    * is advisory and race-tolerant: the compact itself rebases/aborts
+    * under the normal conflict rules. */
+  def maybeCompact(spark: SparkSession, path: String,
+      maxFiles: Int = 64, maxDeadFrac: Double = 0.2,
+      targetFiles: Int = 1): Option[Long] = {
+    val base = currentVersion(path)
+    val files = snapshotFiles(path, base)
+    val dvm = snapshotDvs(path, base)
+    val degraded =
+      if (files.size > maxFiles) true
+      else if (dvm.isEmpty) false
+      else {
+        val ai = addsIndex(path, base)
+        val totalRows = files.flatMap(ai.get).map(_.rows).sum
+        import spark.implicits._
+        val mapping = dvm.toSeq
+          .map { case (f, dv) => (f.split('/').last, dv.split('/').last) }
+          .toDF("file", "__dv")
+        val dvRows = spark.read.parquet(dvm.values.toSeq.distinct
+            .map(f => localRoot(path).resolve(f).toString): _*)
+          .withColumn("__dv",
+            element_at(split(input_file_name(), "/"), -1))
+          .join(mapping, Seq("file", "__dv"), "left_semi")
+        val dead = dvRows.count()
+        totalRows > 0 && dead.toDouble / totalRows > maxDeadFrac
+      }
+    if (degraded) Some(compact(spark, path, targetFiles)) else None
+  }
+
   /** Fold the current snapshot into `targetFiles` files. Purely physical:
     * the logical content is unchanged, old versions stay readable (their
     * files are never deleted).

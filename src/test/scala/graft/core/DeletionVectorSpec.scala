@@ -331,6 +331,35 @@ class DeletionVectorSpec extends SparkSpecBase {
       "a fully MOR-deleted group must leave the view")
   }
 
+  test("maybeCompact: dead-fraction and file-count triggers, exact " +
+    "dead count under cumulative DVs, healthy table untouched") {
+    val t = Files.createTempDirectory("graft_dvmc").toString + "/t"
+    mk(t) // 32 rows, 4 files
+    // healthy: no DVs, few files → no-op
+    assert(TxnTable.maybeCompact(spark, t).isEmpty)
+    // 4/32 = 12.5% dead: below a 20% bar, above a 10% bar.
+    // Two stacked deletes make the current DV for g=0's file carry
+    // SUPERSEDED positions for nothing — but delete 11 then 12 makes
+    // the second DV cumulative; the mapping join must still count
+    // exactly 4 dead positions, not double-count carried ones.
+    TxnTable.deleteWhereMor(spark, t, col("id").isin(1L, 2L))
+    TxnTable.deleteWhereMor(spark, t, col("id").isin(11L, 12L))
+    assert(TxnTable.maybeCompact(spark, t, maxDeadFrac = 0.2).isEmpty,
+      "12.5% dead must not trip a 20% bar")
+    val v = TxnTable.maybeCompact(spark, t, maxDeadFrac = 0.10,
+      targetFiles = 2)
+    assert(v.nonEmpty, "12.5% dead must trip a 10% bar")
+    assert(TxnTable.snapshotDvs(t).isEmpty)
+    assert(ids(TxnTable.read(spark, t)).size == 28)
+    // file-count trigger, no DVs involved
+    (0 until 6).foreach { i =>
+      TxnTable.append(spark, t, Seq((500L + i, 9L, 1L)).toDF("id", "g", "v"))
+    }
+    assert(TxnTable.maybeCompact(spark, t, maxFiles = 4).nonEmpty)
+    assert(TxnTable.snapshotFiles(t).size == 1)
+    assert(TxnTable.maybeCompact(spark, t, maxFiles = 4).isEmpty)
+  }
+
   test("checkpoint carries the DV map (resolution from ckpt + suffix)") {
     val t = Files.createTempDirectory("graft_dv9").toString + "/t"
     mk(t)
