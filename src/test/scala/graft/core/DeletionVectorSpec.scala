@@ -360,6 +360,35 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(TxnTable.maybeCompact(spark, t, maxFiles = 4).isEmpty)
   }
 
+  test("concurrent appends + MOR deletes on disjoint files all land " +
+    "(rebase under real thread interleaving)") {
+    val t = Files.createTempDirectory("graft_dvcc").toString + "/t"
+    TxnTable.create(spark, t,
+      Seq((0L, -1L, 0L)).toDF("id", "g", "v"))
+    // each thread appends its own file then MOR-deletes only ITS rows
+    // (hits only its own file) — every commit commutes with every
+    // other, so all 3×2 commits must land whatever the interleaving
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 3).map { k =>
+      new Thread(() => {
+        try {
+          TxnTable.append(spark, t,
+            (1L to 10L).map(i => (k * 100 + i, k.toLong, i))
+              .toDF("id", "g", "v"))
+          TxnTable.deleteWhereMor(spark, t,
+            col("g") === k.toLong && col("v") <= 3L)
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"no commuting commit may abort: ${errs.peek()}")
+    assert(TxnTable.currentVersion(t) == 6L, "3 appends + 3 dvdeletes")
+    val got = ids(TxnTable.read(spark, t))
+    val expect = Set(0L) ++
+      (for (k <- 0 until 3; i <- 4L to 10L) yield k * 100 + i)
+    assert(got == expect, s"serializable outcome violated: $got")
+  }
+
   test("checkpoint carries the DV map (resolution from ckpt + suffix)") {
     val t = Files.createTempDirectory("graft_dv9").toString + "/t"
     mk(t)
