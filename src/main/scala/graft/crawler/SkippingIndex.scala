@@ -338,13 +338,21 @@ object SkippingIndex {
     * line below is the signal to watch).
     */
   def selectFiles(index: DataFrame, i: Int, lo: Long, hi: Long): Seq[String] = {
-    val total = index.count()
-    val kept = index.filter(
-        col("mins").getItem(i).isNull ||
-        (col("mins").getItem(i) <= hi && col("maxs").getItem(i) >= lo))
-      .select(col("file")).collect().map(_.getString(0)).toSeq
-    org.slf4j.LoggerFactory.getLogger(getClass).info(
-      s"skipping-index: kept ${kept.size}/$total files for col#$i in [$lo, $hi]")
-    kept
+    // persist across the two actions below (count + collect): past the
+    // distribute threshold the index is a LAZY footer-reading job, and
+    // unpersisted it would open every footer TWICE (measured: 4000
+    // opens for a 2000-file table). The cached rows are tiny
+    // (file, row_count, bounds).
+    index.persist()
+    try {
+      val total = index.count()
+      val kept = index.filter(
+          col("mins").getItem(i).isNull ||
+          (col("mins").getItem(i) <= hi && col("maxs").getItem(i) >= lo))
+        .select(col("file")).collect().map(_.getString(0)).toSeq
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"skipping-index: kept ${kept.size}/$total files for col#$i in [$lo, $hi]")
+      kept
+    } finally { index.unpersist(); () }
   }
 }
