@@ -2435,6 +2435,48 @@ object TxnTable {
       keepFname = false).filter(pred)
   }
 
+  /** MIXED-TYPE box read: one STRING range dimension conjoined with
+    * any number of long/timestamp/date range dimensions — the box
+    * shape a (source, n_chars)-style layout serves. The kept set is
+    * the INTERSECTION of the per-type prunes (string bounds from the
+    * string index, physical-int64 bounds from the long index — both
+    * log-stats-first with per-file footer fallback), so the read is
+    * ≤ every single-dimension prune; ONE scan of the intersection
+    * with every residual predicate applied (and pushed into kept
+    * files' row groups). Files without stats on a dimension are
+    * conservatively kept for that dimension, like every pruned read. */
+  def readPrunedBoxMixed(spark: SparkSession, path: String,
+      strCol: String, strLo: String, strHi: String,
+      dims: Seq[(String, Long, Long)], asOf: Long = -1L): DataFrame = {
+    val full = read(spark, path, asOf)
+    val keptStr = stringStatsIndexFor(spark, path, asOf, strCol)
+      .filter(col("mn").isNull || col("mx").isNull ||
+        (col("mn") <= strHi && col("mx") >= strLo))
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val keptLong =
+      if (dims.isEmpty) keptStr
+      else {
+        val keepCond = dims.zipWithIndex.map { case ((_, lo, hi), i) =>
+          val mn = col("mins").getItem(i)
+          val mx = col("maxs").getItem(i)
+          mn.isNull || mx.isNull || (mn <= hi && mx >= lo)
+        }.reduce(_ && _)
+        statsIndexFor(spark, path, asOf, dims.map(_._1))
+          .filter(keepCond)
+          .select(col("file")).collect().map(_.getString(0)).toSet
+      }
+    val kept = (keptStr intersect keptLong).toSeq.sorted
+    val pred = dims.map { case (c, lo, hi) =>
+      physicalBetween(full, c, lo, hi)
+    }.foldLeft(col(strCol).between(lit(strLo), lit(strHi)))(_ && _)
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
+    else applyDv(spark, path, asOf,
+      spark.read.schema(full.schema).parquet(kept: _*),
+      keepFname = false).filter(pred)
+  }
+
   /** The residual row predicate for a physical-int64 bound on `c`:
     * bounds live in the column's PHYSICAL footer-stats value space —
     * the plain value for integral columns, epoch MICROSECONDS for

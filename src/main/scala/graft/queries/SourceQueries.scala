@@ -738,6 +738,44 @@ object SourceQueries {
       .orderBy(col("st"))
   }
 
+  /** S31: MIXED-TYPE box read — a STRING range × LONG range box on a
+    * (source, n_chars)-clustered documents snapshot: the kept set is
+    * the INTERSECTION of the string-bounds prune and the long-bounds
+    * prune (both log-stats-first), asserted in-run to read a strict
+    * subset ≤ EITHER single-dimension prune, with zero footer opens.
+    * Oracle replays the two-range predicate over raw documents. */
+  def s31MixedBox(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    import graft.crawler.SkippingIndex
+    val t = java.nio.file.Files.createTempDirectory("graft_s31")
+      .toString + "/docs_txn"
+    val docs = Lake.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+    TxnTable.createClustered(spark, t, docs,
+      Seq(col("source"), col("n_chars")), targetFiles = 16)
+    val before = SkippingIndex.footerReads.get()
+    val boxed = TxnTable.readPrunedBoxMixed(spark, t,
+      "source", "src2", "src5", Seq(("n_chars", 100L, 320L)))
+    val rows = boxed
+      .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("nc_sum"),
+        sum(col("doc_id")).as("id_sum"))
+      .collect()
+    require(SkippingIndex.footerReads.get() == before,
+      "the mixed box must plan from the log alone")
+    val live = TxnTable.snapshotFiles(t).size
+    val read = boxed.inputFiles.length
+    val strOnly = TxnTable.readPrunedString(spark, t, "source",
+      "src2", "src5").inputFiles.length
+    val longOnly = TxnTable.readPruned(spark, t, "n_chars", 100L, 320L)
+      .inputFiles.length
+    require(read > 0 && read < live && read <= strOnly &&
+      read <= longOnly,
+      s"mixed box read $read of $live (str $strOnly, long $longOnly)")
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.toDF("c", "nc_sum", "id_sum")
+  }
+
   /** S28: MERGE INTO at MERGE-ON-READ cost — s21's exact clause
     * scenario through `mergeIntoMor`: claimed rows die by deletion
     * vector, update images + inserts append, ONE commit, ZERO
@@ -1016,6 +1054,7 @@ object SourceQueries {
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s31_mixed_box"     -> (s31MixedBox _),
     "s28_mor_merge_into" -> (s28MorMergeInto _),
     "s27_mor_merge"     -> (s27MorMerge _),
     "s26_constraints"   -> (s26Constraints _),
@@ -1070,6 +1109,15 @@ object SourceQueries {
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The two-range predicate replayed over raw documents; the
+    // intersection-prune and zero-footer halves are asserted in-run.
+    "s31_mixed_box" ->
+      """SELECT CAST(count(*) AS BIGINT) AS c,
+        |  CAST(sum(n_chars) AS BIGINT) AS nc_sum,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE source BETWEEN 'src2' AND 'src5'
+        |  AND n_chars BETWEEN 100 AND 320""".stripMargin,
     // Replace + insert replayed over raw orders; the zero-rewrite,
     // one-commit, and time-travel halves are asserted in-run.
     "s27_mor_merge" ->

@@ -122,6 +122,20 @@ class LogStatsSpec extends SparkSpecBase {
     assert(df.count() == TxnTable.CheckpointInterval.toLong)
   }
 
+  test("mixed string×long box: intersection prune, zero footers, " +
+    "DV-aware") {
+    val t = Files.createTempDirectory("graft_ls6").toString + "/t"
+    mk(t)
+    TxnTable.deleteWhereMor(spark, t, col("id") === 3005L)
+    val (df, reads) = footers(TxnTable.readPrunedBoxMixed(spark, t,
+      "name", "k3000", "k3999", Seq(("id", 3001L, 3010L))))
+    assert(reads == 0)
+    assert(df.select("id").as[Long].collect().toSet ==
+      ((3001L to 3010L).toSet - 3005L),
+      "residuals applied on the intersection scan, DV subtracted")
+    assert(df.inputFiles.length < TxnTable.snapshotFiles(t).size)
+  }
+
   test("DVs and log-stats pruning compose") {
     val t = Files.createTempDirectory("graft_ls5").toString + "/t"
     mk(t)
