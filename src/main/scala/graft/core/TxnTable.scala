@@ -2435,6 +2435,31 @@ object TxnTable {
       keepFname = false).filter(pred)
   }
 
+  /** [[readPrunedIn]] for STRING columns: rows with `column` ∈ `values`,
+    * scanning only live files whose string bounds contain at least one
+    * of the values — the serving shape for domain/source-keyed reads
+    * (`source IN (...)`) over a string-clustered layout. Log-stats-
+    * first like every pruned read; files without string bounds are
+    * conservatively kept. */
+  def readPrunedInString(spark: SparkSession, path: String,
+      column: String, values: Seq[String], asOf: Long = -1L): DataFrame = {
+    val full = read(spark, path, asOf)
+    val vs = values.distinct
+    if (vs.isEmpty) return full.filter(lit(false))
+    val sortedVals = typedlit(vs.sorted)
+    val kept = stringStatsIndexFor(spark, path, asOf, column)
+      .filter(col("mn").isNull || col("mx").isNull ||
+        exists(sortedVals, v => v >= col("mn") && v <= col("mx")))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    val pred = col(column).isInCollection(vs)
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
+    else applyDv(spark, path, asOf,
+      spark.read.schema(full.schema).parquet(kept: _*),
+      keepFname = false).filter(pred)
+  }
+
   /** MIXED-TYPE box read: one STRING range dimension conjoined with
     * any number of long/timestamp/date range dimensions — the box
     * shape a (source, n_chars)-style layout serves. The kept set is

@@ -776,6 +776,37 @@ object SourceQueries {
       .toSeq.toDF("c", "nc_sum", "id_sum")
   }
 
+  /** S32: STRING point-set pruned read — `readPrunedInString` serves a
+    * `source IN (...)` probe over a source-clustered documents
+    * snapshot, reading a strict subset of files with zero footer opens
+    * (log stats; asserted in-run). The serving shape for per-domain
+    * reads. Oracle replays the IN-set over raw documents. */
+  def s32StringInPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    import graft.crawler.SkippingIndex
+    val t = java.nio.file.Files.createTempDirectory("graft_s32")
+      .toString + "/docs_txn"
+    val docs = Lake.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    TxnTable.createClustered(spark, t, docs, Seq(col("source")),
+      targetFiles = 16)
+    val before = SkippingIndex.footerReads.get()
+    val probed = TxnTable.readPrunedInString(spark, t, "source",
+      Seq("src3", "src7", "src12"))
+    val rows = probed
+      .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("nc_sum"),
+        sum(col("doc_id")).as("id_sum"))
+      .collect()
+    require(SkippingIndex.footerReads.get() == before,
+      "the IN-set prune must plan from the log alone")
+    require(probed.inputFiles.nonEmpty &&
+      probed.inputFiles.length < TxnTable.snapshotFiles(t).size,
+      "the IN-set prune must skip files")
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.toDF("c", "nc_sum", "id_sum")
+  }
+
   /** S28: MERGE INTO at MERGE-ON-READ cost — s21's exact clause
     * scenario through `mergeIntoMor`: claimed rows die by deletion
     * vector, update images + inserts append, ONE commit, ZERO
@@ -1054,6 +1085,7 @@ object SourceQueries {
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s32_string_in_prune" -> (s32StringInPrune _),
     "s31_mixed_box"     -> (s31MixedBox _),
     "s28_mor_merge_into" -> (s28MorMergeInto _),
     "s27_mor_merge"     -> (s27MorMerge _),
@@ -1109,6 +1141,14 @@ object SourceQueries {
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The IN-set replayed over raw documents; the subset and
+    // zero-footer halves are asserted in-run.
+    "s32_string_in_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS c,
+        |  CAST(sum(n_chars) AS BIGINT) AS nc_sum,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE source IN ('src3', 'src7', 'src12')""".stripMargin,
     // The two-range predicate replayed over raw documents; the
     // intersection-prune and zero-footer halves are asserted in-run.
     "s31_mixed_box" ->

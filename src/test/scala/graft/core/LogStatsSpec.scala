@@ -136,6 +136,17 @@ class LogStatsSpec extends SparkSpecBase {
     assert(df.inputFiles.length < TxnTable.snapshotFiles(t).size)
   }
 
+  test("string IN-set prune: zero footers, strict subset, empty set") {
+    val t = Files.createTempDirectory("graft_ls7").toString + "/t"
+    mk(t)
+    val (df, reads) = footers(TxnTable.readPrunedInString(spark, t,
+      "name", Seq("k1001", "k5005", "k1001")))
+    assert(reads == 0)
+    assert(df.select("id").as[Long].collect().toSet == Set(1001L, 5005L))
+    assert(df.inputFiles.length < TxnTable.snapshotFiles(t).size)
+    assert(TxnTable.readPrunedInString(spark, t, "name", Nil).isEmpty)
+  }
+
   test("DVs and log-stats pruning compose") {
     val t = Files.createTempDirectory("graft_ls5").toString + "/t"
     mk(t)
