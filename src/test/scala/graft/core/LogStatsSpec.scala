@@ -136,6 +136,27 @@ class LogStatsSpec extends SparkSpecBase {
     assert(df.inputFiles.length < TxnTable.snapshotFiles(t).size)
   }
 
+  test("schema evolution: pruning on a column old files never had " +
+    "stays correct (conservative keep, old-file footer fallback)") {
+    val t = Files.createTempDirectory("graft_ls8").toString + "/t"
+    TxnTable.create(spark, t,
+      (1L to 20L).map(i => (i, i % 4)).toDF("id", "g"), partitions = 2)
+    TxnTable.append(spark, t,
+      (21L to 40L).map(i => (i, i % 4, i * 10)).toDF("id", "g", "v"),
+      evolveSchema = true)
+    // pruning on the EVOLVED column: pre-evolution files carry no "v"
+    // anywhere (not in their stats' attempted set, not in their
+    // footers) — they must be conservatively kept, never skipped, and
+    // their rows surface with v = NULL (excluded by the residual)
+    val df = TxnTable.readPruned(spark, t, "v", 250L, 300L)
+    assert(df.select("id").as[Long].collect().toSet == (25L to 30L).toSet)
+    // pruning on the ORIGINAL column stays zero-footer: every file's
+    // stats attempted "id"
+    val (df2, reads) = footers(TxnTable.readPruned(spark, t, "id", 5L, 8L))
+    assert(reads == 0, s"id-prune must stay metadata-only, read $reads")
+    assert(df2.select("id").as[Long].collect().toSet == (5L to 8L).toSet)
+  }
+
   test("string IN-set prune: zero footers, strict subset, empty set") {
     val t = Files.createTempDirectory("graft_ls7").toString + "/t"
     mk(t)
