@@ -120,6 +120,13 @@ object GraftEngine {
     def txnRead(path: String, asOf: Long = -1L): DataFrame =
       graft.core.TxnTable.read(spark, path, asOf)
 
+    /** Register a TxnTable snapshot as a temp view, so the SQL surface
+      * reaches transactional tables by name (re-call after commits to
+      * advance the view to the new head, or pin `asOf` for a frozen
+      * historical view). */
+    def txnView(path: String, name: String, asOf: Long = -1L): Unit =
+      txnRead(path, asOf).createOrReplaceTempView(name)
+
     /** Register crawled statistics with the cost-based optimizer
       * (round 5): every discovered dataset becomes a catalog table with
       * its profile injected as CatalogStatistics — join strategy and

@@ -75,6 +75,24 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(eng.txnRead(t, asOf = 0).count() == 25)
   }
 
+  test("txnView surface: SQL reaches a transactional table by name, " +
+    "frozen asOf views stay frozen") {
+    val t = java.nio.file.Files.createTempDirectory("graft_eng_tv")
+      .toString + "/t"
+    graft.core.TxnTable.create(spark, t, eng.table("nation"))
+    eng.txnView(t, "nation_txn")
+    eng.txnView(t, "nation_v0", asOf = 0)
+    assert(eng.sql("SELECT count(*) c FROM nation_txn").head().getLong(0)
+      == 25)
+    graft.core.TxnTable.deleteWhereMor(spark, t,
+      org.apache.spark.sql.functions.col("n_regionkey") === 0)
+    eng.txnView(t, "nation_txn") // advance to the new head
+    assert(eng.sql("SELECT count(*) c FROM nation_txn").head().getLong(0)
+      == 20)
+    assert(eng.sql("SELECT count(*) c FROM nation_v0").head().getLong(0)
+      == 25, "the pinned asOf view must stay frozen")
+  }
+
   test("registerStats surface: catalog tables carry crawled rowCounts") {
     eng.registerStats("/root/testdata/sf0.001", "engstats_")
     val saved = spark.conf.getOption("spark.sql.cbo.enabled")
