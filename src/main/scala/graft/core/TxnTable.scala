@@ -2084,6 +2084,28 @@ object TxnTable {
     }.foldLeft(ckHorizon)(math.max)
   }
 
+  /** DESCRIBE HISTORY: one row per commit of the readable log —
+    * (version, op, tsMillis from the commit file's mtime, files/rows/
+    * bytes added, files removed, DV reassignments, whether a schema
+    * was recorded). The table-audit surface: who-did-what-when over
+    * the same log every read resolves from; pre-horizon versions are
+    * absent (their commits may be unreadable after a vacuum). Driver-
+    * side O(readable versions) metadata — the same order as the log
+    * listing itself. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val top = currentVersion(path)
+    require(top >= 0, s"not a TxnTable: $path")
+    (earliestVersion(path) to top).map { v =>
+      val c = readCommit(path, v)
+      val ts = Files.getLastModifiedTime(versionFile(path, v)).toMillis
+      (v, c.op, ts, c.adds.size.toLong, c.adds.map(_.rows).sum,
+        c.adds.map(_.bytes).sum, c.removes.size.toLong,
+        c.dvs.size.toLong, c.schema.isDefined)
+    }.toDF("version", "op", "ts_millis", "files_added", "rows_added",
+      "bytes_added", "files_removed", "dv_reassigned", "schema_change")
+  }
+
   /** TIMESTAMP time travel: the latest readable version whose commit
     * landed at or before `tsMillis` — resolved from the version files'
     * MODIFICATION TIMES (the reference lake formats' design: the log
@@ -2655,12 +2677,4 @@ object TxnTable {
       side(removed, fromV), side(added, toV), keyCols)
   }
 
-  /** Commit history as a DataFrame (driver-side metadata). */
-  def history(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    commits(path).map(c =>
-      (c.version, c.op, c.adds.size.toLong, c.removes.size.toLong,
-        c.adds.map(_.rows).sum))
-      .toDF("version", "op", "n_adds", "n_removes", "rows_added")
-  }
 }

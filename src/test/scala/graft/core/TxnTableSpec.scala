@@ -523,6 +523,36 @@ class TxnTableSpec extends SparkSpecBase {
       .count() == 40)
   }
 
+  test("history: one audit row per readable commit, horizon-fenced") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 10)) // v0
+    append(spark, t, rangeDf(10, 20)) // v1
+    deleteWhereMor(spark, t, col("id") === 5L) // v2
+    compact(spark, t) // v3
+    val h = history(spark, t)
+      .select("version", "op", "files_added", "files_removed",
+        "dv_reassigned", "schema_change")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+      .sortBy(_._1)
+    assert(h.map(x => (x._1, x._2)).toSeq ==
+      Seq((0L, "create"), (1L, "append"), (2L, "dvdelete"),
+        (3L, "compact")))
+    assert(h(0)._6 && !h(1)._6, "only the create recorded a schema")
+    assert(h(2)._3 == 0 && h(2)._5 > 0,
+      "the dvdelete must show DV reassignments and zero adds")
+    assert(h(3)._4 > 0, "the compact must show removes")
+    // timestamps non-decreasing in version order
+    val ts = history(spark, t).orderBy(col("version"))
+      .select("ts_millis").as[Long].collect()
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // after a vacuum, pre-horizon commits leave the audit
+    append(spark, t, rangeDf(100, 110)) // v4
+    vacuum(spark, t, retainVersions = 2)
+    assert(history(spark, t).select(min(col("version"))).head().getLong(0)
+      == earliestVersion(t))
+  }
+
   test("time-based vacuum: the snapshot active AT the cutoff stays " +
     "readable, older ones are reaped") {
     val t = freshTable()
