@@ -2610,6 +2610,14 @@ object TxnTable {
     * contract as SnapshotDiff itself. Schema-evolved tables diff under
     * each version's recorded schema; the payload columns must match.
     */
+  /** [[diffVersions]] addressed by wall-clock instants ("what changed
+    * between yesterday 09:00 and now") — both endpoints resolve
+    * through [[versionAt]], same fences. */
+  def diffBetweenTimestamps(spark: SparkSession, path: String,
+      fromTs: Long, toTs: Long, keyCols: Seq[String]): DataFrame =
+    diffVersions(spark, path, versionAt(path, fromTs),
+      versionAt(path, toTs), keyCols)
+
   def diffVersions(spark: SparkSession, path: String, fromV: Long,
       toV: Long, keyCols: Seq[String]): DataFrame = {
     val top = currentVersion(path)

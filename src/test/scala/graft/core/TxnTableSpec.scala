@@ -512,6 +512,11 @@ class TxnTableSpec extends SparkSpecBase {
     assert(versionAt(t, ts1) == 1L)
     assert(versionAt(t, System.currentTimeMillis()) == 2L)
     assert(readAsOfTimestamp(spark, t, ts1).count() == 20)
+    // timestamp-addressed CDF: between ts0 and now = v0→v2 inserts
+    val d = diffBetweenTimestamps(spark, t, ts0,
+      System.currentTimeMillis(), Seq("id"))
+    assert(d.filter(col("op") === "insert").count() == 20 &&
+      d.filter(col("op") =!= "insert").isEmpty)
     // a timestamp before the first commit is a clear error
     intercept[IllegalArgumentException](versionAt(t, ts0 - 3600000L))
     // vacuum moves the horizon: pre-horizon timestamps now throw too
