@@ -109,8 +109,30 @@ object TxnTable {
 
   // -- commit (de)serialization: the log schema is a stable, tiny JSON --
 
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  /** JSON string-escape for every string field the log embeds. User
+    * data reaches commit files through several of them — string min/max
+    * bounds in stats-in-log, constraint SQL in `constraint:add` ops,
+    * recorded schemas — so CONTROL CHARACTERS must escape too: a raw
+    * newline inside a bound would write a commit file that is invalid
+    * JSON, and every subsequent log read throws, leaving the table
+    * permanently unreadable after a routine append. */
+  private def esc(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => b.append("\\\\")
+        case '"' => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      i += 1
+    }
+    b.toString
+  }
 
   private def renderAdd(a: TxnAdd): String =
     s"""{"path":"${esc(a.path)}","rows":${a.rows},"bytes":${a.bytes}""" +
@@ -749,9 +771,20 @@ object TxnTable {
                 // a DV assignment on one of OUR removes also conflicts:
                 // our adds were computed from the pre-DV rows, so
                 // rebasing past it would resurrect the DV-deleted rows
+                // a constraint:add/:drop is a metadata change like a
+                // schema evolution: our adds were validated (withChecks)
+                // against the constraint set at OUR base, so rebasing
+                // past a fresh CHECK could commit rows it never saw —
+                // abort and let the caller re-run under the new rules
+                // an interleaved commit that RE-ADDS one of our removes
+                // (restore) also conflicts: the re-add resets that
+                // file's DV/content state, so our adds — computed from
+                // the pre-restore snapshot — would silently undo it
                 c.schema.isEmpty &&
+                  !c.op.startsWith("constraint:") &&
                   !c.removes.exists(myRemoves.contains) &&
-                  !c.dvs.exists(d => myRemoves.contains(d._1))
+                  !c.dvs.exists(d => myRemoves.contains(d._1)) &&
+                  !c.adds.exists(a => myRemoves.contains(a.path))
               }
             case CommuteMetadataOnly =>
               (v to cur).forall { iv =>
@@ -933,6 +966,12 @@ object TxnTable {
       partitions: Int = 1, maxAttempts: Int = 20,
       evolveSchema: Boolean = false): Long = {
     var newSchema = checkSchema(path, df, evolveSchema)
+    // Constraint baseline taken BEFORE the write job: anything added
+    // after this point is re-validated against the staged files on a
+    // lost version race (revalidateStaged).
+    var csStage =
+      try constraints(path)
+      catch { case _: IllegalArgumentException => Map.empty[String, String] }
     val adds = writeData(spark, path, withChecks(spark, path, df),
       partitions)
     var attempt = 0
@@ -953,6 +992,10 @@ object TxnTable {
             // re-validate against the FRESH snapshot so a drifted append
             // fails loudly instead of committing stale-schema data.
             newSchema = checkSchema(path, df, evolveSchema)
+            // ... or a concurrent addConstraint: the staged rows were
+            // checked against the OLD constraint set — re-validate them
+            // (the outer catch cleans the staged files on violation)
+            csStage = revalidateStaged(spark, path, adds, csStage)
         }
       }
     } catch { case e: Throwable => cleanupStaged(path, adds); throw e }
@@ -1166,9 +1209,20 @@ object TxnTable {
           val cur = currentVersion(path)
           val commutes = (v to cur).forall { iv =>
             val c = readCommit(path, iv)
+            // an interleaved commit that RE-ADDS one of our DV'd files
+            // (restore) resets that file's DV state: our DV was built
+            // as (old cumulative positions ∪ new hits) against the
+            // PRE-restore map, so rebasing past the re-add would
+            // silently re-delete the rows the restore just resurrected
+            // a constraint change conflicts only when this commit also
+            // APPENDS row images (MOR update): those were validated
+            // against the constraint set at our base; a pure DV delete
+            // removes rows and can never violate a fresh CHECK
             c.schema.isEmpty &&
+              (adds.isEmpty || !c.op.startsWith("constraint:")) &&
               !c.removes.exists(myFiles.contains) &&
-              !c.dvs.exists(d => myFiles.contains(d._1))
+              !c.dvs.exists(d => myFiles.contains(d._1)) &&
+              !c.adds.exists(a => myFiles.contains(a.path))
           }
           if (!commutes) throw e
           attempt += 1
@@ -1645,6 +1699,36 @@ object TxnTable {
     }.reduce(_ && _))
   }
 
+  /** Re-validate already-STAGED files against constraints added since
+    * they were written: a retrying append that lost its version race
+    * to a concurrent [[addConstraint]] enforced the OLD constraint set
+    * inside its write job ([[withChecks]]), so the staged rows were
+    * never checked against the fresh CHECK — without this, violating
+    * rows would slip past enforcement (addConstraint only re-validates
+    * when IT loses the race). One scan of just the staged tranche, and
+    * only when the set actually changed. Returns the fresh set as the
+    * retry's new baseline. */
+  private def revalidateStaged(spark: SparkSession, path: String,
+      adds: Seq[TxnAdd], csAtStage: Map[String, String])
+      : Map[String, String] = {
+    val csNow =
+      try constraints(path)
+      catch { case _: IllegalArgumentException => Map.empty[String, String] }
+    val fresh = csNow.filter { case (n, sql) => !csAtStage.get(n).contains(sql) }
+    if (fresh.nonEmpty && adds.nonEmpty) {
+      val staged = spark.read.parquet(
+        adds.map(a => localRoot(path).resolve(a.path).toString): _*)
+      fresh.toSeq.sortBy(_._1).foreach { case (n, sql) =>
+        val viol = staged.filter(!coalesce(expr(sql), lit(true)))
+        if (!viol.isEmpty)
+          throw new ConstraintViolationException(
+            s"CHECK constraint $n ($sql) was added concurrently and the " +
+              s"staged rows violate it, e.g. ${viol.head()}")
+      }
+    }
+    csNow
+  }
+
   private def rewriteByKeys(spark: SparkSession, path: String,
       keys: DataFrame, keyCols: Seq[String], insert: Option[DataFrame],
       partitions: Int, clusterBy: Seq[Column], expectedBase: Long,
@@ -1868,6 +1952,9 @@ object TxnTable {
     }
     if (alreadyApplied()) return None
     checkSchema(path, df, evolveSchema = false)
+    var csStage =
+      try constraints(path)
+      catch { case _: IllegalArgumentException => Map.empty[String, String] }
     // clusterBy range-clusters the batch's files (each owning a compact
     // key range) so footer pruning on the cluster column stays tight —
     // the layout an incrementally-served store (StreamDedup) needs.
@@ -1893,7 +1980,13 @@ object TxnTable {
         tryCommit(path, TxnCommit(v, op, adds, Nil))
         return Some(v)
       } catch {
-        case _: TxnConflictException => attempt += 1
+        case _: TxnConflictException =>
+          attempt += 1
+          // the lost race may have been a concurrent addConstraint —
+          // re-validate the staged rows against the fresh set (cleaning
+          // the staged tranche if they violate it; see revalidateStaged)
+          try csStage = revalidateStaged(spark, path, adds, csStage)
+          catch { case e: Throwable => cleanupStaged(path, adds); throw e }
       }
     }
     cleanupStaged(path, adds)

@@ -66,6 +66,31 @@ object SkippingIndex {
     * thread. */
   val DistributeThreshold = 256
 
+  /** Per-block statistics for `column` across a file's row groups, or
+    * None when ANY block with rows lacks USABLE stats for it (writer
+    * disabled statistics, or parquet dropped oversized binary bounds):
+    * bounds folded from the remaining blocks would be too NARROW, and a
+    * pruned read trusting them could skip a file that holds matching
+    * rows — dropped data, not just a missed optimization. The returned
+    * blocks are those with at least one non-null value; a block whose
+    * column is entirely null DOES carry usable stats (num-nulls set, no
+    * non-null value) and is excluded from the min/max fold without
+    * voiding it — null rows never satisfy a range predicate. */
+  private def usableStats(
+      blocks: scala.collection.Seq[
+        org.apache.parquet.hadoop.metadata.BlockMetaData],
+      column: String)
+      : Option[scala.collection.Seq[
+        org.apache.parquet.column.statistics.Statistics[_]]] = {
+    val perBlock = blocks.filter(_.getRowCount > 0).map { b =>
+      b.getColumns.asScala.find(_.getPath.toDotString == column)
+        .map(_.getStatistics)
+    }
+    if (perBlock.exists(o => o.isEmpty || o.get == null || o.get.isEmpty))
+      None
+    else Some(perBlock.map(_.get).filter(_.hasNonNullValue))
+  }
+
   /** One file's (path, rowCount, mins, maxs) from its parquet footer;
     * None if the file vanished (a concurrent vacuum reaping a dead
     * sibling — it cannot be part of the caller's snapshot, so skipping
@@ -85,16 +110,14 @@ object SkippingIndex {
       val blocks = footer.getBlocks.asScala
       val rowCount = blocks.map(_.getRowCount).sum
       val bounds = columns.map { c =>
-        val stats = blocks.flatMap { b =>
-          b.getColumns.asScala
-            .find(_.getPath.toDotString == c)
-            .map(_.getStatistics)
-            .filter(s => s != null && s.hasNonNullValue)
-        }
-        // Non-int64/32 stats (or a re-typed column) degrade to
-        // no-bounds — the file is conservatively kept, never wrongly
-        // skipped. INT32 and INT64 both index (TxnIndex's bucket
-        // column is INT32; timestamps are physically INT64 micros).
+        // usableStats: a block with rows but no usable stats VOIDS the
+        // column (bounds from the other blocks would be too narrow and
+        // could wrongly skip the file). Non-int64/32 stats (or a
+        // re-typed column) likewise degrade to no-bounds — the file is
+        // conservatively kept, never wrongly skipped. INT32 and INT64
+        // both index (TxnIndex's bucket column is INT32; timestamps
+        // are physically INT64 micros).
+        val stats = usableStats(blocks, c).getOrElse(Nil)
         val longs = stats.flatMap { s =>
           (s.genericGetMin, s.genericGetMax) match {
             case (mn: java.lang.Long, mx: java.lang.Long) =>
@@ -166,12 +189,9 @@ object SkippingIndex {
     footerOpt.map { footer =>
       val blocks = footer.getBlocks.asScala
       val rowCount = blocks.map(_.getRowCount).sum
-      val stats = blocks.flatMap { b =>
-        b.getColumns.asScala
-          .find(_.getPath.toDotString == column)
-          .map(_.getStatistics)
-          .filter(s => s != null && s.hasNonNullValue)
-      }
+      // usableStats: any row-bearing block without usable stats voids
+      // the bounds — see the long-typed sibling above
+      val stats = usableStats(blocks, column).getOrElse(Nil)
       val bins = stats.flatMap { s =>
         (s.genericGetMin, s.genericGetMax) match {
           case (mn: org.apache.parquet.io.api.Binary,
@@ -266,12 +286,11 @@ object SkippingIndex {
       val longs = Map.newBuilder[String, (Long, Long)]
       val strings = Map.newBuilder[String, (String, String)]
       leafCols.foreach { c =>
-        val stats = blocks.flatMap { b =>
-          b.getColumns.asScala
-            .find(_.getPath.toDotString == c)
-            .map(_.getStatistics)
-            .filter(s => s != null && s.hasNonNullValue)
-        }
+        // usableStats: a block with rows but dropped/disabled stats
+        // voids the column's logged bounds — freezing too-narrow
+        // bounds into the commit log would make every future pruned
+        // read of this file wrong, not just one query
+        val stats = usableStats(blocks, c).getOrElse(Nil)
         val asLongs = stats.flatMap { s =>
           (s.genericGetMin, s.genericGetMax) match {
             case (mn: java.lang.Long, mx: java.lang.Long) =>

@@ -118,4 +118,76 @@ class ConstraintSpec extends SparkSpecBase {
     assert(TxnTable.streamHighWater(t, "st").isEmpty,
       "a violating stream batch must not record its marker")
   }
+
+  private def dataFiles(t: String): Long = {
+    val d = java.nio.file.Paths.get(t).resolve("data")
+    if (!Files.isDirectory(d)) 0L
+    else {
+      val s = Files.list(d)
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+  }
+
+  test("an append losing its race to addConstraint re-validates the " +
+    "staged rows against the fresh CHECK") {
+    val t = Files.createTempDirectory("graft_cn4").toString + "/t"
+    mk(t) // v0: rows v = 10, 20, 30 — all satisfy v < 100
+    // interleave the constraint INSIDE the append's race window: the
+    // append staged v=500 under the EMPTY constraint set, so only the
+    // retry's re-validation stands between it and committing a
+    // violation past enforcement
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      TxnTable.addConstraint(spark, t, "v_cap", "v < 100")
+    }
+    try violates(TxnTable.append(spark, t,
+      Seq((4L, 500L, "x")).toDF("id", "v", "s")))
+    finally TxnTable.preCommitHook = () => ()
+    assert(fired, "hook must have interleaved the addConstraint")
+    // the constraint's commit won the race; the append committed nothing
+    // and left no staged debris behind
+    assert(TxnTable.constraints(t).contains("v_cap"))
+    assert(TxnTable.read(spark, t).count() == 3)
+    assert(dataFiles(t) == TxnTable.snapshotFiles(t).size,
+      "aborted append must clean its staged files")
+    // a racing append whose rows SATISFY the fresh constraint retries
+    // through the same window and commits
+    fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      TxnTable.addConstraint(spark, t, "v_pos", "v > 0")
+    }
+    val v = try TxnTable.append(spark, t,
+      Seq((5L, 50L, "y")).toDF("id", "v", "s"))
+      finally TxnTable.preCommitHook = () => ()
+    assert(fired && v == TxnTable.currentVersion(t))
+    assert(TxnTable.read(spark, t).count() == 4)
+  }
+
+  test("a rewrite never rebases past an interleaved constraint change") {
+    val t = Files.createTempDirectory("graft_cn5").toString + "/t"
+    mk(t)
+    // a deleteWhere's survivor files were validated (withChecks) against
+    // the constraint set at ITS base — rebasing past a fresh CHECK would
+    // commit rows the new rule never saw, so the rewrite must abort
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      TxnTable.addConstraint(spark, t, "v_cap", "v < 100")
+    }
+    try intercept[TxnTable.TxnConflictException] {
+      TxnTable.deleteWhere(spark, t, col("id") === 1L)
+    } finally TxnTable.preCommitHook = () => ()
+    assert(fired)
+    // the constraint landed; the aborted delete changed nothing and
+    // cleaned its staged rewrite
+    assert(TxnTable.constraints(t).contains("v_cap"))
+    assert(TxnTable.read(spark, t).count() == 3)
+    assert(dataFiles(t) == TxnTable.snapshotFiles(t).size)
+    // the delete re-run after the abort applies cleanly
+    TxnTable.deleteWhere(spark, t, col("id") === 1L)
+    assert(TxnTable.read(spark, t).count() == 2)
+  }
 }

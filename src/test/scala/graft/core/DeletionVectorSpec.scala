@@ -406,4 +406,33 @@ class DeletionVectorSpec extends SparkSpecBase {
       s"snapshotDvs must resolve from the checkpoint, read $reads commits")
     assert(!ids(TxnTable.read(spark, t)).contains(11L))
   }
+
+  test("a MOR delete never rebases past a restore that re-adds its file") {
+    val t = Files.createTempDirectory("graft_dv10").toString + "/t"
+    mk(t) // v0: 32 rows
+    TxnTable.deleteWhereMor(spark, t, col("id") === 11L) // v1: DV {11}
+    // the racing delete targets the SAME file: its DV is built as
+    // (old cumulative positions ∪ new hits) against the v1 map, i.e.
+    // {11, 12}. The interleaved restore(0) RE-ADDS the file and clears
+    // its DV — rebasing past it would commit {11, 12} and silently
+    // re-delete row 11, which the restore just resurrected.
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      TxnTable.restore(spark, t, 0L) // v2: re-adds all files, dvs = {}
+    }
+    try intercept[TxnTable.TxnConflictException] {
+      TxnTable.deleteWhereMor(spark, t, col("id") === 12L)
+    } finally TxnTable.preCommitHook = () => ()
+    assert(fired, "hook must have interleaved the restore")
+    // the restore won: every row is live again, including 11
+    assert(TxnTable.currentVersion(t) == 2L)
+    assert(TxnTable.snapshotDvs(t).isEmpty)
+    assert(ids(TxnTable.read(spark, t)).contains(11L))
+    assert(ids(TxnTable.read(spark, t)).size == 32)
+    // re-run after the abort applies against the restored state
+    TxnTable.deleteWhereMor(spark, t, col("id") === 12L)
+    assert(ids(TxnTable.read(spark, t)) == ((1L to 32L).map(i =>
+      (i - 1) / 8 * 10 + ((i - 1) % 8 + 1)).toSet - 12L))
+  }
 }

