@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticQueries, ContractQueries, CorpusQueries, CrawlerQueries, ExtraQueries, GraphQueries, PipelineQueries, SourceQueries, StreamingQueries, TemporalQueries}
+import graft.queries.{AnalyticQueries, ContractQueries, CorpusQueries, CrawlerQueries, ExtraQueries, GraphQueries, PipelineQueries, SourceQueries, SqlDmlQueries, StreamingQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +15,7 @@ object SparkEntry {
     (ContractQueries.all ++ PipelineQueries.all ++ CrawlerQueries.all ++
       StreamingQueries.all ++ ExtraQueries.all ++ SourceQueries.all ++
       TemporalQueries.all ++ AnalyticQueries.all ++ CorpusQueries.all ++
-      GraphQueries.all).toMap
+      GraphQueries.all ++ SqlDmlQueries.all).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +23,5 @@ object SparkEntry {
     ContractQueries.oracle ++ PipelineQueries.oracle ++ CrawlerQueries.oracle ++
       StreamingQueries.oracle ++ ExtraQueries.oracle ++ SourceQueries.oracle ++
       TemporalQueries.oracle ++ AnalyticQueries.oracle ++ CorpusQueries.oracle ++
-      GraphQueries.oracle
+      GraphQueries.oracle ++ SqlDmlQueries.oracle
 }

@@ -1300,7 +1300,7 @@ object TxnTable {
     * update/insert expression (target columns are addressed plainly). */
   def srcCol(name: String): Column = col(s"$SrcStruct.$name")
 
-  private val SrcStruct = "__graft_src"
+  private[graft] val SrcStruct = "__graft_src"
 
   /** Full SQL MERGE INTO: join `source` to the table on `keyCols` and
     * apply ordered WHEN MATCHED clauses (update/delete, each optionally

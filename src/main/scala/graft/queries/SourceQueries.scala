@@ -1117,7 +1117,7 @@ object SourceQueries {
 
   /** Shared by s21 (copy-on-write mergeInto) and s28 (merge-on-read
     * mergeIntoMor): identical clause semantics, so one oracle. */
-  private val mergeIntoSql: String =
+  private[queries] val mergeIntoSql: String =
     """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck,
         |           CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),
         |fin AS (

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Lake, TxnTable}
+import graft.sql.GraftSql
+
+/** SQL DML surface gates (round 13): UPDATE / DELETE FROM / MERGE INTO
+  * statement TEXT — parsed by Spark's parser, dispatched by
+  * [[GraftSql]] to the TxnTable write paths — must produce exactly the
+  * state the oracle computes by replaying the statements relationally.
+  * s34b runs the SAME scenario as s21_merge_into through statement text
+  * and shares its oracle: the facade translation is pinned against the
+  * already-adjudicated DataFrame API, end to end.
+  */
+object SqlDmlQueries {
+
+  private def freshName(p: String): String =
+    p + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** UPDATE then DELETE as statement text on a clustered orders table;
+    * both rewrite strict file subsets (asserted in-run). */
+  def s34SqlUpdateDelete(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_s34")
+      .toString + "/orders_txn"
+    val n = freshName("orders_dml_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10)
+    val nFiles = TxnTable.snapshotFiles(t).size
+    GraftSql.register(n, t)
+    try {
+      GraftSql.execute(spark,
+        s"""UPDATE $n SET price_c = price_c * 2
+           |WHERE o_custkey BETWEEN ${ck / 2} AND ${ck / 2 + ck / 8}
+           |  AND o_orderstatus = 'O'""".stripMargin)
+      val u = TxnTable.commits(t).last
+      require(u.op == "update" && u.removes.nonEmpty &&
+        u.removes.size < nFiles,
+        s"SQL UPDATE must rewrite a strict subset of $nFiles files, " +
+          s"got ${u.removes.size}")
+      GraftSql.execute(spark,
+        s"DELETE FROM $n WHERE o_orderstatus = 'F' " +
+          s"AND o_custkey <= ${ck / 10}")
+      val d = TxnTable.commits(t).last
+      require(d.op == "delete" && d.removes.nonEmpty &&
+        d.removes.size < nFiles,
+        s"SQL DELETE must rewrite a strict subset of $nFiles files, " +
+          s"got ${d.removes.size}")
+    } finally GraftSql.unregister(n)
+    TxnTable.read(spark, t).groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("st"))
+  }
+
+  /** The s21_merge_into scenario as MERGE INTO statement text (ordered
+    * WHEN MATCHED delete/update, conditioned INSERT) — same oracle. */
+  def s34bSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_s34b")
+      .toString + "/orders_txn"
+    val n = freshName("orders_m_")
+    val srcView = freshName("orders_msrc_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ck, kx) = (m.getLong(0), m.getLong(1))
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10)
+    val nFiles = TxnTable.snapshotFiles(t).size
+    orders
+      .filter(col("o_custkey").between(ck / 3, ck / 3 + ck / 8))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("price_c") * 3).as("nv"))
+      .unionAll(orders
+        .filter(col("o_custkey").between(ck / 5, ck / 5 + ck / 16))
+        .select((col("o_orderkey") + kx).as("o_orderkey"),
+          col("o_custkey"), col("price_c").as("nv")))
+      .createOrReplaceTempView(srcView)
+    GraftSql.register(n, t)
+    try {
+      GraftSql.execute(spark,
+        s"""MERGE INTO $n AS tg USING $srcView AS sr
+           |ON tg.o_orderkey = sr.o_orderkey
+           |WHEN MATCHED AND tg.o_orderstatus = 'F' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET price_c = sr.nv
+           |WHEN NOT MATCHED AND sr.o_custkey % 2 = 0 THEN
+           |  INSERT (o_orderkey, o_custkey, o_orderstatus, price_c)
+           |  VALUES (sr.o_orderkey, sr.o_custkey, 'N', sr.nv)
+           |""".stripMargin)
+      val c = TxnTable.commits(t).last
+      require(c.op == "merge" && c.removes.nonEmpty &&
+        c.removes.size < nFiles,
+        s"SQL MERGE must rewrite a strict subset of $nFiles files, " +
+          s"got ${c.removes.size}")
+    } finally GraftSql.unregister(n)
+    TxnTable.read(spark, t).groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("st"))
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
+    "s34b_sql_merge" -> (s34bSqlMerge _))
+
+  val oracle: Map[String, String] = Map(
+    // UPDATE doubles the mid-band O prices, DELETE drops low-band F
+    // rows — replayed as one CASE + anti-filter over raw orders
+    "s34_sql_update_delete" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders),
+        |u AS (
+        |  SELECT o_orderkey, o_orderstatus AS st,
+        |    CASE WHEN o_custkey BETWEEN b.ck//2 AND b.ck//2 + b.ck//8
+        |           AND o_orderstatus = 'O'
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+        |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS pc
+        |  FROM orders, b
+        |  WHERE NOT (o_orderstatus = 'F' AND o_custkey <= b.ck//10))
+        |SELECT st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS price_sum,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // statement-text MERGE = the s21 DataFrame MERGE, same oracle
+    "s34b_sql_merge" -> SourceQueries.mergeIntoSql)
+}

@@ -1,0 +1,219 @@
+package graft.sql
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.core.{MatchedDelete, MatchedUpdate, MergeMatched, NotMatchedInsert, TxnTable}
+
+/** SQL DML over transactional tables: `UPDATE`, `DELETE FROM`, and
+  * `MERGE INTO` statements — parsed by SPARK'S OWN PARSER (full
+  * expression grammar for free: functions, CASE, subquery-free
+  * predicates, qualified names, aliases) and dispatched to the
+  * corresponding [[TxnTable]] operation. This closes the relational
+  * surface: SELECT already reaches TxnTables by name through
+  * `Engine.txnView`; with this facade a user ports DML statements
+  * verbatim instead of rewriting them as DataFrame calls.
+  *
+  * Tables are REGISTERED (name → table path + write mode): Spark's
+  * catalog cannot host our log-backed tables as first-class v2 writes,
+  * so the facade resolves the statement's target itself. A table
+  * registered `mor = true` routes every statement through the
+  * merge-on-read paths (deletion vectors + appends, O(changed rows));
+  * the default is copy-on-write (hit-file rewrite).
+  *
+  * Scale: the facade is pure TRANSLATION — zero extra passes, zero
+  * driver data movement. Each statement executes as the already-scale-
+  * audited TxnTable operation it maps to (one hit-finding pass + a
+  * hit-file-only rewrite or DV append, never a full-table rewrite).
+  *
+  * Name resolution inside a MERGE follows SQL convention: a reference
+  * qualified by the source alias binds to the source, by the target
+  * alias to the target; an unqualified name binds to the target in
+  * WHEN MATCHED clauses (both sides are in scope) and to the source in
+  * the INSERT clause (only the source is in scope there).
+  */
+object GraftSql {
+
+  private case class Reg(path: String, mor: Boolean)
+  private val tables = new ConcurrentHashMap[String, Reg]()
+
+  /** Register `name` as DML target for the TxnTable at `path`;
+    * `mor = true` routes statements through the merge-on-read paths. */
+  def register(name: String, path: String, mor: Boolean = false): Unit =
+    tables.put(name.toLowerCase, Reg(path, mor))
+
+  def unregister(name: String): Unit = { tables.remove(name.toLowerCase); () }
+
+  /** Execute one DML statement against its registered target; returns
+    * the committed version (or the unchanged head when nothing
+    * matched). SELECTs belong to `spark.sql` — this facade accepts
+    * exactly UPDATE / DELETE FROM / MERGE INTO. */
+  def execute(spark: SparkSession, sqlText: String): Long =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case DeleteFromTable(t, cond) =>
+        val (reg, quals) = target(t)
+        val c = Bridge.column(stripQual(cond, quals))
+        if (reg.mor) TxnTable.deleteWhereMor(spark, reg.path, c)
+        else TxnTable.deleteWhere(spark, reg.path, c)
+
+      case UpdateTable(t, assigns, cond) =>
+        val (reg, quals) = target(t)
+        val set = assigns.map(a =>
+          lastName(a.key) -> Bridge.column(stripQual(a.value, quals))).toMap
+        val c = cond.map(e => Bridge.column(stripQual(e, quals)))
+          .getOrElse(lit(true))
+        if (reg.mor) TxnTable.updateWhereMor(spark, reg.path, c, set)
+        else TxnTable.updateWhere(spark, reg.path, c, set)
+
+      case m: MergeIntoTable => merge(spark, m)
+
+      case other => throw new IllegalArgumentException(
+        s"GraftSql.execute handles UPDATE / DELETE FROM / MERGE INTO; " +
+          s"got ${other.nodeName} — run queries through spark.sql")
+    }
+
+  // -- target resolution ---------------------------------------------------
+
+  /** Unwrap the parser's target relation to its registration plus the
+    * qualifier spellings that may prefix its columns (alias and/or
+    * table name). */
+  private def target(plan: LogicalPlan): (Reg, Set[String]) = plan match {
+    case SubqueryAlias(id, child) =>
+      val (reg, quals) = target(child)
+      (reg, quals + id.name.toLowerCase)
+    case r: UnresolvedRelation =>
+      val full = r.multipartIdentifier.mkString(".").toLowerCase
+      val short = r.multipartIdentifier.last.toLowerCase
+      val reg = Option(tables.get(full)).orElse(Option(tables.get(short)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$full is not a registered GraftSql table — call " +
+            "GraftSql.register(name, path) first"))
+      (reg, Set(full, short))
+    case other => throw new IllegalArgumentException(
+      s"unsupported DML target shape: ${other.nodeName}")
+  }
+
+  private def lastName(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case other => throw new IllegalArgumentException(
+      s"expected a column reference, got $other")
+  }
+
+  /** Drop a leading target-alias qualifier so the expression resolves
+    * against the bare table frame (`t.v` → `v`). */
+  private def stripQual(e: Expression, quals: Set[String]): Expression =
+    e.transformUp {
+      case a: UnresolvedAttribute
+          if a.nameParts.length > 1 && quals(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    }
+
+  // -- MERGE INTO ----------------------------------------------------------
+
+  private def merge(spark: SparkSession, m: MergeIntoTable): Long = {
+    val (reg, tgtQuals) = target(m.targetTable)
+    // the source may be any relation or subquery — Spark analyzes it
+    val (srcDf, srcQuals) = m.sourceTable match {
+      case SubqueryAlias(id, child) =>
+        (Bridge.ofRows(spark, child), Set(id.name.toLowerCase))
+      case r: UnresolvedRelation =>
+        (Bridge.ofRows(spark, r),
+          Set(r.multipartIdentifier.last.toLowerCase))
+      case other => (Bridge.ofRows(spark, other), Set.empty[String])
+    }
+    val srcCols = srcDf.columns.map(_.toLowerCase).toSet
+    val tgtCols = TxnTable.read(spark, reg.path).columns
+    val tgtColSet = tgtCols.map(_.toLowerCase).toSet
+
+    // `inMatched`: WHEN MATCHED scopes see both sides — unqualified
+    // names bind to the TARGET; the INSERT scope sees only the source.
+    def rewrite(e: Expression, inMatched: Boolean): Column =
+      Bridge.column(e.transformUp {
+        case a: UnresolvedAttribute =>
+          val parts = a.nameParts
+          val head = parts.head.toLowerCase
+          if (parts.length > 1 && srcQuals(head))
+            UnresolvedAttribute(TxnTable.SrcStruct +: parts.tail)
+          else if (parts.length > 1 && tgtQuals(head))
+            UnresolvedAttribute(parts.tail)
+          else if (parts.length == 1 &&
+              (!inMatched || !tgtColSet(head)) && srcCols(head))
+            UnresolvedAttribute(Seq(TxnTable.SrcStruct, parts.head))
+          else a
+      })
+
+    // equi-key extraction from ON: every conjunct must be
+    // target-col = source-col with the SAME column name — the key
+    // contract mergeInto's one-pass hit-file join is built on
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def side(a: UnresolvedAttribute): (String, String) = {
+      val head = a.nameParts.head.toLowerCase
+      val name = a.nameParts.last
+      if (a.nameParts.length > 1 && srcQuals(head)) ("src", name)
+      else if (a.nameParts.length > 1 && tgtQuals(head)) ("tgt", name)
+      else if (tgtColSet(name.toLowerCase)) ("tgt", name)
+      else if (srcCols(name.toLowerCase)) ("src", name)
+      else ("?", name)
+    }
+    val keyCols = conjuncts(m.mergeCondition).map {
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
+        (side(l), side(r)) match {
+          case (("tgt", tn), ("src", sn)) if tn.equalsIgnoreCase(sn) => tn
+          case (("src", sn), ("tgt", tn)) if tn.equalsIgnoreCase(sn) => tn
+          case other => throw new IllegalArgumentException(
+            s"MERGE ON must pair a target and a source column of the " +
+              s"same name, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"MERGE ON supports equi-conditions only, got ${other.sql}")
+    }
+
+    def assignmentsToSet(assigns: Seq[Assignment]): Map[String, Column] =
+      assigns.map(a =>
+        lastName(a.key) -> rewrite(a.value, inMatched = true)).toMap
+    def starSet: Map[String, Column] =
+      tgtCols.map(c => c -> TxnTable.srcCol(c)).toMap
+
+    val matched: Seq[MergeMatched] = m.matchedActions.map {
+      case DeleteAction(cond) =>
+        MatchedDelete(cond.map(rewrite(_, inMatched = true)))
+      case UpdateAction(cond, assigns, _) =>
+        MatchedUpdate(assignmentsToSet(assigns),
+          cond.map(rewrite(_, inMatched = true)))
+      case UpdateStarAction(cond) =>
+        MatchedUpdate(starSet, cond.map(rewrite(_, inMatched = true)))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN MATCHED action: $other")
+    }
+
+    require(m.notMatchedBySourceActions.isEmpty,
+      "WHEN NOT MATCHED BY SOURCE is not supported")
+    require(m.notMatchedActions.size <= 1,
+      "at most one WHEN NOT MATCHED clause is supported")
+    val notMatched: Option[NotMatchedInsert] = m.notMatchedActions.headOption.map {
+      case InsertAction(cond, assigns) =>
+        NotMatchedInsert(
+          assigns.map(a =>
+            lastName(a.key) -> rewrite(a.value, inMatched = false)).toMap,
+          cond.map(rewrite(_, inMatched = false)))
+      case InsertStarAction(cond) =>
+        NotMatchedInsert(starSet, cond.map(rewrite(_, inMatched = false)))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED action: $other")
+    }
+
+    if (reg.mor)
+      TxnTable.mergeIntoMor(spark, reg.path, srcDf, keyCols, matched, notMatched)
+    else
+      TxnTable.mergeInto(spark, reg.path, srcDf, keyCols, matched, notMatched)
+  }
+}

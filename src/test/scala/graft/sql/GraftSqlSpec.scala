@@ -1,0 +1,122 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.core.TxnTable
+
+/** SQL DML facade: Spark-parsed UPDATE / DELETE FROM / MERGE INTO
+  * dispatched to TxnTable operations — statement text a user would
+  * port verbatim, both copy-on-write and merge-on-read routing. */
+class GraftSqlSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mk(mor: Boolean = false): (String, String) = {
+    val t = Files.createTempDirectory("graft_sql").toString + "/t"
+    val name = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d"))
+        .toDF("id", "v", "s"))
+    GraftSql.register(name, t, mor)
+    (t, name)
+  }
+
+  private def rows(t: String): Set[(Long, Long, String)] =
+    TxnTable.read(spark, t).as[(Long, Long, String)].collect().toSet
+
+  test("DELETE FROM with a parsed predicate (CoW and MOR)") {
+    val (t, n) = mk()
+    val v = GraftSql.execute(spark, s"DELETE FROM $n WHERE v > 25")
+    assert(v == 1L)
+    assert(TxnTable.commits(t).last.op == "delete")
+    assert(rows(t) == Set((1L, 10L, "a"), (2L, 20L, "b")))
+
+    val (t2, n2) = mk(mor = true)
+    // qualified + aliased references parse and strip
+    GraftSql.execute(spark,
+      s"DELETE FROM $n2 AS x WHERE x.s IN ('a', 'c') AND x.id < 3")
+    assert(TxnTable.commits(t2).last.op == "dvdelete",
+      "mor registration must route through deletion vectors")
+    assert(rows(t2) == Set((2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d")))
+  }
+
+  test("UPDATE with SET expressions, WHERE, and full-table update") {
+    val (t, n) = mk()
+    GraftSql.execute(spark,
+      s"UPDATE $n SET v = v * 10, s = upper(s) WHERE id BETWEEN 2 AND 3")
+    assert(TxnTable.commits(t).last.op == "update")
+    assert(rows(t) == Set((1L, 10L, "a"), (2L, 200L, "B"),
+      (3L, 300L, "C"), (4L, 40L, "d")))
+    // no WHERE → every row; CASE WHEN exercises the full expression grammar
+    GraftSql.execute(spark,
+      s"UPDATE $n SET v = CASE WHEN v >= 200 THEN v + 1 ELSE v END")
+    assert(rows(t).map(_._2) == Set(10L, 201L, 301L, 40L))
+
+    val (t2, n2) = mk(mor = true)
+    GraftSql.execute(spark, s"UPDATE $n2 SET v = -v WHERE id = 1")
+    assert(TxnTable.commits(t2).last.op == "dvupdate")
+    assert(rows(t2).contains((1L, -10L, "a")))
+  }
+
+  test("MERGE INTO: update / delete / insert clauses with aliases") {
+    val (t, n) = mk()
+    Seq((2L, 99L, "two"), (3L, 0L, "three"), (9L, 90L, "nine"))
+      .toDF("id", "v", "s").createOrReplaceTempView("merge_src")
+    val ver = GraftSql.execute(spark,
+      s"""MERGE INTO $n AS tg USING merge_src AS sr ON tg.id = sr.id
+         |WHEN MATCHED AND sr.v = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = sr.v + tg.v, s = sr.s
+         |WHEN NOT MATCHED AND sr.v > 50 THEN
+         |  INSERT (id, v, s) VALUES (sr.id, sr.v, upper(sr.s))
+         |""".stripMargin)
+    assert(ver == 1L && TxnTable.commits(t).last.op == "merge")
+    assert(rows(t) == Set(
+      (1L, 10L, "a"), // untouched
+      (2L, 119L, "two"), // updated: 99 + 20
+      // 3 deleted by the first matched clause
+      (4L, 40L, "d"), // untouched
+      (9L, 90L, "NINE"))) // inserted (v > 50 passed)
+  }
+
+  test("MERGE INTO with INSERT * and a subquery source; MOR routing") {
+    val (t, n) = mk(mor = true)
+    Seq((4L, 400L, "four"), (7L, 70L, "seven"))
+      .toDF("id", "v", "s").createOrReplaceTempView("merge_src2")
+    GraftSql.execute(spark,
+      s"""MERGE INTO $n USING (SELECT id, v, s FROM merge_src2 WHERE v > 0) u
+         |ON $n.id = u.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    assert(TxnTable.commits(t).last.op == "dvmerge",
+      "mor registration must route MERGE through deletion vectors")
+    assert(rows(t) == Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"),
+      (4L, 400L, "four"), (7L, 70L, "seven")))
+  }
+
+  test("unsupported shapes fail loudly; unregistered names rejected") {
+    val (_, n) = mk()
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, "DELETE FROM not_registered WHERE 1 = 1")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, s"SELECT * FROM $n")
+    }
+    Seq((1L, 1L, "x")).toDF("id", "v", "s")
+      .createOrReplaceTempView("merge_src3")
+    // non-equi ON
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"MERGE INTO $n USING merge_src3 s ON $n.id > s.id " +
+          "WHEN MATCHED THEN DELETE")
+    }
+    // NOT MATCHED BY SOURCE unsupported
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"MERGE INTO $n USING merge_src3 s ON $n.id = s.id " +
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+  }
+}
