@@ -256,4 +256,91 @@ object Curation {
         least(greatest(v, col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
+
+  /** Whitespace-normalized token array — the shared tokenization of the
+    * span-dedup family (one regexp pass, map-side). */
+  private def spanTokens(text: Column): Column =
+    split(trim(regexp_replace(text, "\\s+", " ")), " ")
+
+  /** Every SLIDING n-token span of a doc as (id, 1-based start, span
+    * hash): the exact-substring unit of Lee et al. 2021 ("Deduplicating
+    * Training Data Makes Language Models Better") — a sliding window
+    * catches duplicated passages at ANY offset, where fixed chunking
+    * ([[chunkDedup]]) only catches alignment-preserving duplicates.
+    * Spans are carried as 64-bit xxhash64 of the joined tokens, the
+    * standard shingle trick: grouping shuffles 8 bytes per span instead
+    * of the span text (a collision merges two span classes — noise far
+    * below the dedup signal itself). Docs shorter than n tokens emit no
+    * spans. */
+  private def spanOccurrences(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 2, "span length must be >= 2 tokens")
+    val tk = spanTokens(col(textCol))
+    docs
+      .select(col(idCol).as("__id"), tk.as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(1), size(col("__tk")) - lit(n - 1)),
+          i => xxhash64(array_join(slice(col("__tk"), i, lit(n)), " ")))))
+      .select(col("__id"), (col("pos") + 1).as("__i"), col("col").as("__h"))
+  }
+
+  /** Per-doc duplicated-span SIGNAL: for every doc with at least one
+    * n-token span, (id, n_spans, dup_spans) where dup_spans counts span
+    * positions whose exact token sequence occurs more than once in the
+    * corpus (cross-doc or repeated within the doc). The cheap
+    * measurement pass pipelines run BEFORE committing to removal — a
+    * corpus-level duplication profile from two hash shuffles (one
+    * count-over-span-class window, one per-doc fold), no all-pairs
+    * comparison anywhere.
+    */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    spanOccurrences(docs, idCol, textCol, n)
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("dup_spans"))
+
+  /** Exact substring dedup, keep-first: delete every token covered by a
+    * duplicated n-token span occurrence EXCEPT the span class's first
+    * occurrence corpus-wide (ordered by (id, position) — deterministic).
+    * Output: (id, kept_text, n_tokens, tokens_kept) for every input doc
+    * (unchanged docs come back with kept_text == normalized text).
+    *
+    * Shape: span classes get a count + first-occurrence rank in ONE
+    * window over the span hash; non-keeper duplicated occurrences expand
+    * to their covered positions (explode of n ints per occurrence — the
+    * output is bounded by total token count, same order as the corpus
+    * itself); the per-doc drop-set folds with collect_set and the final
+    * reconstruction is a map-side higher-order filter over the token
+    * array. Three keyed shuffles total (span class, doc, doc), linear at
+    * 100 TB; the only per-row state is the doc's own drop-set.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val occ = spanOccurrences(docs, idCol, textCol, n)
+    val w = Window.partitionBy(col("__h"))
+    val ranked = occ
+      .withColumn("__c", count(lit(1)).over(w))
+      .withColumn("__rn",
+        row_number().over(w.orderBy(col("__id"), col("__i"))))
+    val drops = ranked
+      .filter(col("__c") > 1 && col("__rn") > 1)
+      .select(col("__id"),
+        explode(sequence(col("__i"), col("__i") + lit(n - 1))).as("__p"))
+      .groupBy("__id").agg(collect_set(col("__p")).as("__drop"))
+    docs
+      .select(col(idCol).as("__id"), spanTokens(col(textCol)).as("__tk"))
+      .join(drops, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        array_join(filter(col("__tk"), (t, i) =>
+          col("__drop").isNull || !array_contains(col("__drop"), i + 1)),
+          " ").as("kept_text"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        when(col("__drop").isNull, size(col("__tk")))
+          .otherwise(size(col("__tk")) - size(col("__drop")))
+          .cast("long").as("tokens_kept"))
+  }
 }

@@ -439,6 +439,37 @@ object CorpusQueries {
     * per-source distinct count of md5(reassembled text) pins content AND
     * chunk order of every reconstructed doc, not just counts.
     */
+  /** Exact substring-span duplication SIGNAL (Lee et al. 2021 sliding-
+    * window formulation): per source, how many 8-token span positions
+    * repeat corpus-wide and how many docs carry at least one. */
+  def l41SpanStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    graft.operators.Curation.duplicateSpanStats(docs, "doc_id", "text", 8)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_spans")).as("spans"),
+        sum(col("dup_spans")).as("dup_spans"),
+        sum(when(col("dup_spans") > 0, 1L).otherwise(0L)).as("dup_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** Exact substring REMOVAL, keep-first: every duplicated 8-token span
+    * occurrence except the corpus-wide first loses its tokens; docs are
+    * reassembled from survivors. Compared on per-source token totals AND
+    * the md5 of every reconstructed text (content-exact, not count-only). */
+  def l41bSpanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    graft.operators.Curation.removeDuplicateSpans(docs, "doc_id", "text", 8)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("toks"),
+        sum(col("tokens_kept")).as("kept"),
+        countDistinct(md5(col("kept_text"))).as("distinct_kept"))
+      .orderBy(col("source"))
+  }
+
   def l2eChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Lake.table(spark, dir, "documents")
     graft.operators.Curation.chunkDedup(docs, "doc_id", "text", chunkTokens = 10)
@@ -956,6 +987,8 @@ object CorpusQueries {
     "l3_centroids"  -> (l3Centroids _),
     "l4m_domain_quota" -> (l4mDomainQuota _),
     "l2e_chunk_dedup"  -> (l2eChunkDedup _),
+    "l41_span_stats"   -> (l41SpanStats _),
+    "l41b_span_removal" -> (l41bSpanRemoval _),
     "l7_contamination" -> (l7Contamination _),
     "l8_weighted_sample"  -> (l8WeightedSample _),
     "l9_length_histogram" -> (l9LengthHistogram _),
@@ -1517,6 +1550,64 @@ object CorpusQueries {
         |  CAST(sum(chunks_kept) AS BIGINT) AS ck,
         |  count(DISTINCT md5(kept_text)) AS distinct_kept
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    // Sliding 8-token spans replayed over the raw text: a span position
+    // is duplicated when its exact token sequence occurs > 1 time
+    // corpus-wide (the engine groups 64-bit span hashes; the oracle
+    // groups the span text itself — identical classes).
+    "l41_span_stats" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+        |      AS tk FROM documents),
+        |pos AS (SELECT doc_id, source, tk,
+        |    unnest(generate_series(1, len(tk) - 7)) AS i FROM toks),
+        |sp AS (SELECT doc_id, source,
+        |    array_to_string(tk[i : i + 7], ' ') AS sp FROM pos),
+        |cl AS (SELECT doc_id, source,
+        |    count(*) OVER (PARTITION BY sp) AS c FROM sp),
+        |d AS (SELECT doc_id, source, count(*) AS n_spans,
+        |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dup_spans
+        |  FROM cl GROUP BY 1, 2)
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(n_spans) AS BIGINT) AS spans,
+        |  CAST(sum(dup_spans) AS BIGINT) AS dup_spans,
+        |  CAST(sum(CASE WHEN dup_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_docs
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Keep-first removal replay: rank occurrences per span class by
+    // (doc_id, position), expand non-keeper duplicated occurrences to
+    // covered positions, rebuild every doc from surviving tokens, and
+    // compare md5(kept_text) — content-exact.
+    "l41b_span_removal" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+        |      AS tk FROM documents),
+        |pos AS (SELECT doc_id, tk,
+        |    unnest(generate_series(1, len(tk) - 7)) AS i FROM toks),
+        |sp AS (SELECT doc_id, i,
+        |    array_to_string(tk[i : i + 7], ' ') AS sp FROM pos),
+        |cl AS (SELECT doc_id, i,
+        |    count(*) OVER (PARTITION BY sp) AS c,
+        |    row_number() OVER (PARTITION BY sp ORDER BY doc_id, i) AS rn
+        |  FROM sp),
+        |dr AS (SELECT DISTINCT doc_id,
+        |    unnest(generate_series(i, i + 7)) AS p
+        |  FROM cl WHERE c > 1 AND rn > 1),
+        |tokrows AS (SELECT doc_id, unnest(tk) AS tok,
+        |    unnest(generate_series(1, len(tk))) AS p FROM toks),
+        |rec AS (SELECT r.doc_id,
+        |    coalesce(string_agg(r.tok, ' ' ORDER BY r.p)
+        |      FILTER (dr.doc_id IS NULL), '') AS kept_text,
+        |    sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+        |      AS tokens_kept
+        |  FROM tokrows r LEFT JOIN dr
+        |    ON r.doc_id = dr.doc_id AND r.p = dr.p
+        |  GROUP BY 1)
+        |SELECT t.source, count(*) AS docs,
+        |  CAST(sum(len(t.tk)) AS BIGINT) AS toks,
+        |  CAST(sum(rec.tokens_kept) AS BIGINT) AS kept,
+        |  count(DISTINCT md5(rec.kept_text)) AS distinct_kept
+        |FROM toks t JOIN rec ON t.doc_id = rec.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "l7_contamination" ->
       """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents),

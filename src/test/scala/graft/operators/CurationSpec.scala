@@ -119,4 +119,43 @@ class CurationSpec extends SparkSpecBase {
         .select("id").as[Long].collect().toSeq.sorted
     assert(ids(docs.coalesce(1)) === ids(docs.repartition(7)))
   }
+
+  test("duplicateSpanStats counts sliding-span repeats, cross- and within-doc") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // 9 toks, keeper
+      (2L, "a quick brown fox jumps over me"), // shares a 5-span at offset 2
+      (3L, "tiny doc"), // < n tokens → no spans
+      (4L, "x y x y x y x y")) // within-doc repeated spans
+      .toDF("id", "text")
+    val stats = Curation.duplicateSpanStats(docs, "id", "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc1: 5 spans, 1 duplicated ("quick brown fox jumps over")
+    assert(stats(1L) === ((5L, 1L)))
+    // doc2: 3 spans, 1 duplicated
+    assert(stats(2L) === ((3L, 1L)))
+    // doc3 emits no spans at all
+    assert(!stats.contains(3L))
+    // doc4: 4 spans "x y x y x" / "y x y x y" ×2 each → all duplicated
+    assert(stats(4L) === ((4L, 4L)))
+  }
+
+  test("removeDuplicateSpans keeps the corpus-wide first occurrence only") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox jumps over me"),
+      (3L, "tiny doc"))
+      .toDF("id", "text")
+    val out = Curation.removeDuplicateSpans(docs, "id", "text", 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc1 holds the first occurrence → fully intact
+    assert(out(1L) === (("the quick brown fox jumps over the lazy dog", 9L, 9L)))
+    // doc2 loses exactly the 5 tokens covered by the duplicated span;
+    // the uncovered prefix "a" and suffix "me" survive in order
+    assert(out(2L) === (("a me", 7L, 2L)))
+    // short doc untouched
+    assert(out(3L) === (("tiny doc", 2L, 2L)))
+    // every doc comes back, total tokens conserved as kept + removed
+    assert(out.size == 3)
+  }
 }
