@@ -588,7 +588,8 @@ object TxnTable {
         Files.move(src, dst)
         val statsJ =
           if (collectWriteStats)
-            st.map { case (_, cols, ls, ss) => statsJson(cols, ls, ss) }
+            st.map { case (_, cols, ls, ss, ns) =>
+              statsJson(cols, ls, ss, ns) }
           else None
         TxnAdd(s"data/$name", st.map(_._1).getOrElse(0L),
           Files.size(dst), statsJ)
@@ -597,7 +598,8 @@ object TxnTable {
 
   private def statsJson(cols: Seq[String],
       ls: Map[String, (Long, Long)],
-      ss: Map[String, (String, String)]): String = {
+      ss: Map[String, (String, String)],
+      ns: Map[String, Long] = Map.empty): String = {
     val c = cols.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
     val l = ls.toSeq.sortBy(_._1).map { case (k, (mn, mx)) =>
       s""""${esc(k)}":[$mn,$mx]"""
@@ -605,11 +607,18 @@ object TxnTable {
     val s = ss.toSeq.sortBy(_._1).map { case (k, (mn, mx)) =>
       s""""${esc(k)}":["${esc(mn)}","${esc(mx)}"]"""
     }.mkString("{", ",", "}")
-    s"""{"cols":$c,"l":$l,"s":$s}"""
+    // "n": exact per-column null counts — present only when every row
+    // group set them; upgrades bounds from pruning hints to an exact
+    // metadata-only COUNT source (countRange)
+    val n = ns.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${esc(k)}":$v"""
+    }.mkString("{", ",", "}")
+    s"""{"cols":$c,"l":$l,"s":$s,"n":$n}"""
   }
 
   private case class AddStats(cols: Set[String],
-      l: Map[String, (Long, Long)], s: Map[String, (String, String)])
+      l: Map[String, (Long, Long)], s: Map[String, (String, String)],
+      n: Map[String, Long])
 
   private def parseAddStats(json: String): Option[AddStats] =
     try {
@@ -633,7 +642,15 @@ object TxnTable {
         }.toMap
         case _ => Map.empty[String, (String, String)]
       }
-      Some(AddStats(cols, l, s))
+      // absent in pre-round-13 logs → empty map (bounds still prune;
+      // only the metadata-only COUNT path needs null counts)
+      val n = (j \ "n") match {
+        case JObject(fields) => fields.map { case (k, v) =>
+          k -> v.extract[Long]
+        }.toMap
+        case _ => Map.empty[String, Long]
+      }
+      Some(AddStats(cols, l, s, n))
     } catch { case _: Throwable => None } // malformed → footer fallback
 
   class SchemaMismatchException(msg: String) extends RuntimeException(msg)
@@ -2495,6 +2512,116 @@ object TxnTable {
     * a query's keys map to a scattered set of bucket ids rather than a
     * contiguous range (TxnIndex). Files without long-typed stats for
     * `column` are conservatively kept. */
+  /** COUNT(rows with `column` ∈ [lo, hi]) planned from the COMMIT LOG:
+    * a file whose logged bounds lie fully inside the range contributes
+    * (rows − nulls) with ZERO data I/O, a disjoint file contributes
+    * nothing, and only BOUNDARY files (bounds straddling an endpoint),
+    * files with unknown null counts, DV-carrying files, and stats-less
+    * files are scanned — with the residual pushed into their row
+    * groups. Returns (count, filesScanned, filesTotal). The null-count
+    * term is what makes this exact, not heuristic: bounds cover only
+    * non-null values, and "n" in the logged stats is recorded only
+    * when every row group set num-nulls. At 100 TB this is the
+    * difference between a metadata-only answer and a full-column scan
+    * for the dashboard-style range counts every pipeline polls.
+    * Bounds live in the column's physical int64 space (micros /
+    * unix-days — [[physicalBetween]]), like every pruned read. */
+  def countRange(spark: SparkSession, path: String, column: String,
+      lo: Long, hi: Long, asOf: Long = -1L): (Long, Int, Int) = {
+    val full = read(spark, path, asOf) // fences + pinned schema
+    val top = currentVersion(path)
+    val upTo = if (asOf < 0) top else asOf
+    val ai = addsIndex(path, upTo)
+    val dvNames = snapshotDvs(path, upTo).keySet.map(_.split('/').last)
+    var metaCount = 0L
+    var total = 0
+    val scan = Seq.newBuilder[String]
+    snapshotFiles(path, upTo).foreach { f =>
+      total += 1
+      val abs = localRoot(path).resolve(f).toString
+      val st = ai.get(f).flatMap(_.stats).flatMap(parseAddStats)
+      val rows = ai.get(f).map(_.rows).getOrElse(0L)
+      val hasDv = dvNames.contains(f.split('/').last)
+      val b = st.flatMap(_.l.get(column))
+      val nc = st.flatMap(_.n.get(column))
+      if (b.exists { case (mn, mx) => mx < lo || mn > hi }) {
+        // disjoint: 0 matches — a DV only removes rows, so it stays 0
+      } else if (hasDv) scan += abs
+      else (b, nc) match {
+        case (Some((mn, mx)), Some(n)) if mn >= lo && mx <= hi =>
+          metaCount += rows - n // fully inside: every non-null row hits
+        case (None, Some(n)) if st.nonEmpty && n == rows =>
+          () // all-null column: no row can match a range
+        case _ => scan += abs // boundary / unknown nulls / voided bounds
+      }
+    }
+    val scanFiles = scan.result()
+    val scanned =
+      if (scanFiles.isEmpty) 0L
+      else applyDv(spark, path, asOf,
+        spark.read.schema(full.schema).parquet(scanFiles: _*),
+        keepFname = false)
+        .filter(physicalBetween(full, column, lo, hi)).count()
+    (metaCount + scanned, scanFiles.size, total)
+  }
+
+  /** Global (min, max) of `column` in the physical int64 space, planned
+    * from the commit log: clean stats-carrying files contribute their
+    * logged bounds driver-side; only DV-carrying and stats-less files
+    * are scanned (a DV may have deleted the extreme row). Returns
+    * (min, max, filesScanned, filesTotal) — None/None for an empty or
+    * all-null column. Integral, date, and timestamp columns only. */
+  def minMaxOf(spark: SparkSession, path: String, column: String,
+      asOf: Long = -1L): (Option[Long], Option[Long], Int, Int) = {
+    val full = read(spark, path, asOf)
+    import org.apache.spark.sql.types._
+    val phys = full.schema(column).dataType match {
+      case TimestampType => unix_micros(col(column))
+      case DateType => unix_date(col(column)).cast("long")
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(column).cast("long")
+      case dt => throw new IllegalArgumentException(
+        s"minMaxOf: $column has non-integral type $dt")
+    }
+    val top = currentVersion(path)
+    val upTo = if (asOf < 0) top else asOf
+    val ai = addsIndex(path, upTo)
+    val dvNames = snapshotDvs(path, upTo).keySet.map(_.split('/').last)
+    var mn = Option.empty[Long]
+    var mx = Option.empty[Long]
+    var total = 0
+    val scan = Seq.newBuilder[String]
+    snapshotFiles(path, upTo).foreach { f =>
+      total += 1
+      val abs = localRoot(path).resolve(f).toString
+      val st = ai.get(f).flatMap(_.stats).flatMap(parseAddStats)
+      val rows = ai.get(f).map(_.rows).getOrElse(0L)
+      val hasDv = dvNames.contains(f.split('/').last)
+      st.flatMap(_.l.get(column)) match {
+        case Some((fMn, fMx)) if !hasDv =>
+          mn = Some(mn.fold(fMn)(math.min(_, fMn)))
+          mx = Some(mx.fold(fMx)(math.max(_, fMx)))
+        case None if !hasDv &&
+            st.exists(_.n.get(column).contains(rows)) =>
+          () // all-null column in this file: contributes no extreme
+        case _ => scan += abs
+      }
+    }
+    val scanFiles = scan.result()
+    if (scanFiles.nonEmpty) {
+      val r = applyDv(spark, path, asOf,
+        spark.read.schema(full.schema).parquet(scanFiles: _*),
+        keepFname = false)
+        .agg(min(phys), max(phys)).head()
+      if (!r.isNullAt(0)) {
+        val (sMn, sMx) = (r.getLong(0), r.getLong(1))
+        mn = Some(mn.fold(sMn)(math.min(_, sMn)))
+        mx = Some(mx.fold(sMx)(math.max(_, sMx)))
+      }
+    }
+    (mn, mx, scanFiles.size, total)
+  }
+
   def readPrunedIn(spark: SparkSession, path: String, column: String,
       values: Seq[Long], asOf: Long = -1L): DataFrame = {
     val full = read(spark, path, asOf)

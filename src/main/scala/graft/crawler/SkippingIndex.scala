@@ -71,11 +71,11 @@ object SkippingIndex {
     * disabled statistics, or parquet dropped oversized binary bounds):
     * bounds folded from the remaining blocks would be too NARROW, and a
     * pruned read trusting them could skip a file that holds matching
-    * rows — dropped data, not just a missed optimization. The returned
-    * blocks are those with at least one non-null value; a block whose
-    * column is entirely null DOES carry usable stats (num-nulls set, no
-    * non-null value) and is excluded from the min/max fold without
-    * voiding it — null rows never satisfy a range predicate. */
+    * rows — dropped data, not just a missed optimization. Returns every
+    * row-bearing block's stats (callers filter `hasNonNullValue` for
+    * min/max folds); a block whose column is entirely null DOES carry
+    * usable stats (num-nulls set, no non-null value) and never voids —
+    * null rows never satisfy a range predicate. */
   private def usableStats(
       blocks: scala.collection.Seq[
         org.apache.parquet.hadoop.metadata.BlockMetaData],
@@ -88,7 +88,7 @@ object SkippingIndex {
     }
     if (perBlock.exists(o => o.isEmpty || o.get == null || o.get.isEmpty))
       None
-    else Some(perBlock.map(_.get).filter(_.hasNonNullValue))
+    else Some(perBlock.map(_.get))
   }
 
   /** One file's (path, rowCount, mins, maxs) from its parquet footer;
@@ -118,6 +118,7 @@ object SkippingIndex {
         // both index (TxnIndex's bucket column is INT32; timestamps
         // are physically INT64 micros).
         val stats = usableStats(blocks, c).getOrElse(Nil)
+          .filter(_.hasNonNullValue)
         val longs = stats.flatMap { s =>
           (s.genericGetMin, s.genericGetMax) match {
             case (mn: java.lang.Long, mx: java.lang.Long) =>
@@ -192,6 +193,7 @@ object SkippingIndex {
       // usableStats: any row-bearing block without usable stats voids
       // the bounds — see the long-typed sibling above
       val stats = usableStats(blocks, column).getOrElse(Nil)
+        .filter(_.hasNonNullValue)
       val bins = stats.flatMap { s =>
         (s.genericGetMin, s.genericGetMax) match {
           case (mn: org.apache.parquet.io.api.Binary,
@@ -260,7 +262,12 @@ object SkippingIndex {
   val MaxLoggedStringBound = 96
 
   /** ALL-leaf-column file stats for the WRITE path (stats-in-log):
-    * (row count, leaf columns attempted, long bounds, string bounds).
+    * (row count, leaf columns attempted, long bounds, string bounds,
+    * null counts). A column appears in the null-count map only when
+    * EVERY row-bearing block sets num-nulls — which upgrades bounds
+    * from a pruning hint to an EXACT aggregate source: a file fully
+    * inside a range matches exactly (rows − nulls) rows, so COUNT can
+    * be answered from the log with zero data I/O (TxnTable.countRange).
     * A PURE CACHE of what [[buildForFiles]] / [[buildStringIndex]]
     * would compute at read time — same per-block fold rules (INT32/
     * INT64 → long bounds; BINARY/UTF8 folded as unsigned bytes; a
@@ -271,7 +278,7 @@ object SkippingIndex {
     * footer GETs per query. */
   def fileStats(conf: org.apache.hadoop.conf.Configuration, path: String)
       : Option[(Long, Seq[String], Map[String, (Long, Long)],
-                Map[String, (String, String)])] = {
+                Map[String, (String, String)], Map[String, Long])] = {
     footerReads.incrementAndGet()
     val p = new Path(path)
     val footerOpt =
@@ -285,12 +292,17 @@ object SkippingIndex {
         .map(_.getPath.mkString(".")).toSeq
       val longs = Map.newBuilder[String, (Long, Long)]
       val strings = Map.newBuilder[String, (String, String)]
+      val nulls = Map.newBuilder[String, Long]
       leafCols.foreach { c =>
         // usableStats: a block with rows but dropped/disabled stats
         // voids the column's logged bounds — freezing too-narrow
         // bounds into the commit log would make every future pruned
         // read of this file wrong, not just one query
-        val stats = usableStats(blocks, c).getOrElse(Nil)
+        val allStats = usableStats(blocks, c).getOrElse(Nil)
+        if (allStats.nonEmpty && allStats.forall(s =>
+            s.isNumNullsSet && s.getNumNulls >= 0))
+          nulls += c -> allStats.map(_.getNumNulls).sum
+        val stats = allStats.filter(_.hasNonNullValue)
         val asLongs = stats.flatMap { s =>
           (s.genericGetMin, s.genericGetMax) match {
             case (mn: java.lang.Long, mx: java.lang.Long) =>
@@ -328,7 +340,7 @@ object SkippingIndex {
           }
         }
       }
-      (rowCount, leafCols, longs.result(), strings.result())
+      (rowCount, leafCols, longs.result(), strings.result(), nulls.result())
     }
   }
 

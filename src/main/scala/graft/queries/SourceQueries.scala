@@ -946,6 +946,44 @@ object SourceQueries {
     * snapshot's files. At 100 TB this replaces millions of per-query
     * object-store footer GETs with metadata the planner already holds.
     * Oracle replays the range aggregate over raw orders. */
+  /** Metadata-only aggregates from the commit log (round 13): a range
+    * COUNT over a clustered table answers from logged (bounds, rows,
+    * null counts) with only boundary files scanned and ZERO footer
+    * opens; min/max answers with ZERO files scanned; after a MOR
+    * delete, only DV-carrying files rejoin the scan set and the count
+    * stays exact. */
+  def s35MetadataAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val t = java.nio.file.Files.createTempDirectory("graft_s35")
+      .toString + "/orders_txn"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10)
+    val f0 = graft.crawler.SkippingIndex.footerReads.get()
+    val (cnt1, scanned1, total1) =
+      TxnTable.countRange(spark, t, "o_custkey", ck / 4, 3 * ck / 4)
+    require(scanned1 < total1 && scanned1 <= 4,
+      s"range COUNT must scan only boundary files, got $scanned1/$total1")
+    val (mn, mx, scanned2, _) = TxnTable.minMaxOf(spark, t, "o_custkey")
+    require(scanned2 == 0,
+      s"min/max on a clean table must be metadata-only, scanned $scanned2")
+    require(graft.crawler.SkippingIndex.footerReads.get() == f0,
+      "metadata aggregates must open ZERO parquet footers")
+    // MOR delete pushes ONLY the DV-carrying files back into the scan
+    // set; the count stays exact against the live rows
+    TxnTable.deleteWhereMor(spark, t, col("o_custkey") < ck / 8)
+    val (cnt2, scanned3, total3) =
+      TxnTable.countRange(spark, t, "o_custkey", 0, ck / 2)
+    require(scanned3 < total3,
+      s"post-DV COUNT must still skip clean files, got $scanned3/$total3")
+    import spark.implicits._
+    Seq((cnt1, mn.get, mx.get, cnt2))
+      .toDF("cnt_band", "mn", "mx", "cnt_after")
+  }
+
   def s24LogStatsPrune(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.TxnTable
     import graft.crawler.SkippingIndex
@@ -1092,6 +1130,7 @@ object SourceQueries {
     "s26_constraints"   -> (s26Constraints _),
     "s25_time_travel_ts" -> (s25TimeTravelTs _),
     "s24_log_stats_prune" -> (s24LogStatsPrune _),
+    "s35_metadata_agg"  -> (s35MetadataAgg _),
     "s23_mor_update"    -> (s23MorUpdate _),
     "s22_deletion_vectors" -> (s22DeletionVectors _),
     "s21_merge_into"    -> (s21MergeInto _),
@@ -1198,6 +1237,20 @@ object SourceQueries {
       """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS price_sum
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Metadata-only count/min/max replayed over raw orders (pre- and
+    // post-delete); the zero-footer, zero-scan-min/max, and
+    // boundary-only-scan halves are asserted in-run.
+    "s35_metadata_agg" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders)
+        |SELECT
+        |  CAST(sum(CASE WHEN o_custkey BETWEEN b.ck//4 AND 3*b.ck//4
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS cnt_band,
+        |  CAST(min(o_custkey) AS BIGINT) AS mn,
+        |  CAST(max(o_custkey) AS BIGINT) AS mx,
+        |  CAST(sum(CASE WHEN o_custkey >= b.ck//8 AND o_custkey <= b.ck//2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS cnt_after
+        |FROM orders, b GROUP BY b.ck""".stripMargin,
     // The range aggregate replayed over raw orders; the zero-footer
     // and strict-subset halves are asserted in-run.
     "s24_log_stats_prune" ->

@@ -178,4 +178,63 @@ class LogStatsSpec extends SparkSpecBase {
       (2L to 50L).map(2000L + _).toSet,
       "the pruned read must subtract the DV with zero footer opens")
   }
+
+  test("countRange: metadata-only when bounds decide, null-exact, " +
+    "boundary files scanned") {
+    val t = Files.createTempDirectory("graft_cr").toString + "/t"
+    mk(t) // 8 files clustered on g ∈ [0, 8), ids g*1000+1..50
+    // fully-inside band [g=2, g=5]: all four files metadata-only
+    val ((c1, s1, t1), r1) =
+      footers(TxnTable.countRange(spark, t, "g", 2L, 5L))
+    assert(c1 == 200L && s1 == 0 && t1 == 8 && r1 == 0,
+      s"clean full-inside count must be metadata-only, got ($c1,$s1,$t1,$r1)")
+    // band starting INSIDE g=2's id range (2001..2050) → that file is
+    // a boundary scan; g=3's file stays metadata-only; still exact
+    val ((c2, s2, _), r2) =
+      footers(TxnTable.countRange(spark, t, "id", 2025L, 3500L))
+    assert(c2 == 76L && r2 == 0) // 2025..2050 (26) + 3001..3050 (50)
+    assert(s2 == 1, s"expected exactly the straddled file to scan, got $s2")
+    // disjoint range: zero everything
+    val ((c3, s3, _), _) =
+      footers(TxnTable.countRange(spark, t, "g", 100L, 200L))
+    assert(c3 == 0L && s3 == 0)
+  }
+
+  test("countRange subtracts logged null counts exactly") {
+    val t = Files.createTempDirectory("graft_crn").toString + "/t"
+    TxnTable.create(spark, t,
+      Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"),
+        (null, "c"), (null, "d"), (5L, "e")).toDF("v", "s"))
+    // bounds [1,5] fully inside [0,10] — but 2 of 5 rows are NULL and
+    // must not count; no scan needed because "n" is in the log
+    val ((c, s, tt), r) =
+      footers(TxnTable.countRange(spark, t, "v", 0L, 10L))
+    assert(c == 3L && s == 0 && tt == 1 && r == 0,
+      s"null-aware metadata count must be (3,0,1,0), got ($c,$s,$tt,$r)")
+    // an ALL-null tranche contributes nothing, still without a scan
+    TxnTable.append(spark, t,
+      Seq[(java.lang.Long, String)]((null, "x"), (null, "y"))
+        .toDF("v", "s"))
+    val ((c2, s2, t2), _) =
+      footers(TxnTable.countRange(spark, t, "v", 0L, 10L))
+    assert(c2 == 3L && s2 == 0 && t2 == 2,
+      s"all-null file must be metadata-skipped, got ($c2,$s2,$t2)")
+  }
+
+  test("countRange and minMaxOf re-scan ONLY DV-carrying files, exact") {
+    val t = Files.createTempDirectory("graft_crdv").toString + "/t"
+    mk(t)
+    val (mn0, mx0, s0, _) = TxnTable.minMaxOf(spark, t, "id")
+    assert(mn0.contains(1L) && mx0.contains(7050L) && s0 == 0,
+      "clean min/max must be metadata-only")
+    // MOR-delete the global max row: its file must rejoin the scan set
+    // and the new max must come from the scan, not stale log bounds
+    TxnTable.deleteWhereMor(spark, t, col("id") === 7050L)
+    val (mn1, mx1, s1, t1) = TxnTable.minMaxOf(spark, t, "id")
+    assert(mn1.contains(1L) && mx1.contains(7049L))
+    assert(s1 == 1 && t1 == 8, s"only the DV'd file re-scans, got $s1/$t1")
+    val (c, s2, _) = TxnTable.countRange(spark, t, "g", 7L, 7L)
+    assert(c == 49L, "post-DV count must see the deletion")
+    assert(s2 == 1, s"only the DV'd file re-scans for the count, got $s2")
+  }
 }
