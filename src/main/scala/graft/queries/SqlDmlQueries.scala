@@ -105,9 +105,47 @@ object SqlDmlQueries {
       .orderBy(col("st"))
   }
 
+  /** SELECT surface: INSERT INTO statement text grows the table, a
+    * DELETE changes the head, and query() reads the head AND historical
+    * snapshots via VERSION AS OF — all addressed by the registered
+    * name, no temp-view plumbing. */
+  def s36SqlSelectTt(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_s36")
+      .toString + "/orders_txn"
+    val n = freshName("orders_tt_")
+    val srcView = freshName("orders_ins_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ck, kx) = (m.getLong(0), m.getLong(1))
+    graft.core.TxnTable.create(spark, t, orders) // v0
+    orders.filter(col("o_custkey") <= ck / 6)
+      .select((col("o_orderkey") + kx).as("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("price_c"))
+      .createOrReplaceTempView(srcView)
+    GraftSql.register(n, t)
+    try {
+      GraftSql.execute(spark,
+        s"INSERT INTO $n SELECT * FROM $srcView") // v1
+      GraftSql.execute(spark,
+        s"DELETE FROM $n WHERE o_orderstatus = 'F'") // v2
+      val c0 = GraftSql.query(spark,
+        s"SELECT * FROM $n VERSION AS OF 0").count()
+      val c1 = GraftSql.query(spark,
+        s"SELECT * FROM $n VERSION AS OF 1").count()
+      GraftSql.query(spark,
+        s"""SELECT o_orderstatus AS st, count(*) AS cnt,
+           |  sum(price_c) AS ps FROM $n
+           |GROUP BY o_orderstatus ORDER BY st""".stripMargin)
+        .withColumn("c0", lit(c0)).withColumn("c1", lit(c1))
+    } finally GraftSql.unregister(n)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
-    "s34b_sql_merge" -> (s34bSqlMerge _))
+    "s34b_sql_merge" -> (s34bSqlMerge _),
+    "s36_sql_select_tt" -> (s36SqlSelectTt _))
 
   val oracle: Map[String, String] = Map(
     // UPDATE doubles the mid-band O prices, DELETE drops low-band F
@@ -128,5 +166,22 @@ object SqlDmlQueries {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // statement-text MERGE = the s21 DataFrame MERGE, same oracle
-    "s34b_sql_merge" -> SourceQueries.mergeIntoSql)
+    "s34b_sql_merge" -> SourceQueries.mergeIntoSql,
+    // INSERT + DELETE replayed relationally; the VERSION AS OF reads
+    // replay as the pre-insert / pre-delete row counts
+    "s36_sql_select_tt" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck,
+        |    CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),
+        |ins AS (SELECT o_orderkey + b.kx AS o_orderkey, o_custkey,
+        |    o_orderstatus, pc FROM base, b WHERE o_custkey <= b.ck//6),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+        |v2 AS (SELECT * FROM v1 WHERE o_orderstatus <> 'F'),
+        |agg AS (SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(pc) AS BIGINT) AS ps FROM v2 GROUP BY 1)
+        |SELECT st, cnt, ps,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM base) AS c0,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v1) AS c1
+        |FROM agg ORDER BY st""".stripMargin)
 }

@@ -3,7 +3,7 @@ package graft.sql
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.lit
@@ -73,10 +73,104 @@ object GraftSql {
 
       case m: MergeIntoTable => merge(spark, m)
 
+      case InsertIntoStatement(t, partSpec, cols, q, overwrite, ifNot, _) =>
+        require(partSpec.isEmpty && !ifNot,
+          "partition specs are not supported on txn-table INSERTs")
+        val (reg, _) = target(t)
+        val tgtSchema = TxnTable.read(spark, reg.path).schema
+        val tgtCols = tgtSchema.fieldNames
+        val src = Bridge.ofRows(spark, q)
+        // an explicit column list reorders/renames the query's output
+        // into table position; missing columns are not defaulted
+        val df =
+          if (cols.isEmpty) {
+            // positional: the query's output maps onto the table shape
+            require(src.columns.length == tgtCols.length,
+              s"INSERT query width ${src.columns.length} != table width " +
+                s"${tgtCols.length}")
+            src.toDF(tgtCols.toSeq: _*)
+          } else {
+            require(cols.length == src.columns.length,
+              s"INSERT column list (${cols.length}) must match the " +
+                s"query's output width (${src.columns.length})")
+            val byName = cols.zip(src.columns).toMap
+            val missing = tgtCols.filterNot(c =>
+              cols.exists(_.equalsIgnoreCase(c)))
+            require(missing.isEmpty,
+              s"INSERT column list omits table columns: " +
+                missing.mkString(", "))
+            src.select(tgtCols.map { c =>
+              val srcName = byName.find(_._1.equalsIgnoreCase(c)).get._2
+              org.apache.spark.sql.functions.col(srcName).as(c)
+            }.toSeq: _*)
+          }
+        // SQL INSERT semantics: the query's output coerces to the
+        // table's column types (a literal 9 inserts into a BIGINT)
+        val coerced = df.select(tgtSchema.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name)
+            .cast(f.dataType).as(f.name)).toSeq: _*)
+        if (overwrite) TxnTable.overwrite(spark, reg.path, coerced)
+        else TxnTable.append(spark, reg.path, coerced)
+
       case other => throw new IllegalArgumentException(
-        s"GraftSql.execute handles UPDATE / DELETE FROM / MERGE INTO; " +
-          s"got ${other.nodeName} — run queries through spark.sql")
+        s"GraftSql.execute handles UPDATE / DELETE FROM / MERGE INTO / " +
+          s"INSERT; got ${other.nodeName} — run SELECTs through query()")
     }
+
+  /** Run a SELECT whose FROM clause references registered txn tables by
+    * name — including `VERSION AS OF <v>` and `TIMESTAMP AS OF '<ts>'`
+    * time travel (Spark's own grammar). Each registered relation is
+    * substituted with the requested SNAPSHOT's plan (log-resolved file
+    * list, DV-subtracted, schema-pinned) before analysis; unregistered
+    * names still resolve through the session catalog, so txn tables and
+    * temp views mix freely in one statement. */
+  def query(spark: SparkSession, sqlText: String): DataFrame = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
+    def snapshot(r: UnresolvedRelation, asOf: Long): Option[LogicalPlan] = {
+      val full = r.multipartIdentifier.mkString(".").toLowerCase
+      val short = r.multipartIdentifier.last.toLowerCase
+      Option(tables.get(full)).orElse(Option(tables.get(short))).map { reg =>
+        SubqueryAlias(short,
+          TxnTable.read(spark, reg.path, asOf).queryExecution.logical)
+      }
+    }
+    val substituted = plan.transformUp {
+      case tt @ RelationTimeTravel(r: UnresolvedRelation, ts, ver) =>
+        val asOf = (ver, ts) match {
+          case (Some(v), _) => v.toLong
+          case (_, Some(e)) => TxnTable.versionAt(
+            registeredPath(r), timestampMillis(e))
+          case _ => -1L
+        }
+        snapshot(r, asOf).getOrElse(tt)
+      case r: UnresolvedRelation => snapshot(r, -1L).getOrElse(r)
+    }
+    Bridge.ofRows(spark, substituted)
+  }
+
+  private def registeredPath(r: UnresolvedRelation): String = {
+    val full = r.multipartIdentifier.mkString(".").toLowerCase
+    val short = r.multipartIdentifier.last.toLowerCase
+    Option(tables.get(full)).orElse(Option(tables.get(short)))
+      .map(_.path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$full is not a registered GraftSql table"))
+  }
+
+  /** Evaluate a TIMESTAMP AS OF expression to epoch millis: the parser
+    * hands a string (or timestamp) literal; interpret strings in the
+    * session timezone like Spark's own CAST would. */
+  private def timestampMillis(e: Expression): Long = e match {
+    case Literal(v: Long, org.apache.spark.sql.types.TimestampType) =>
+      Math.floorDiv(v, 1000L) // micros → millis
+    case lit: Literal =>
+      val s = lit.value.toString
+      java.sql.Timestamp.valueOf(
+        if (s.contains(" ") || s.contains("T")) s.replace("T", " ")
+        else s + " 00:00:00").getTime
+    case other => throw new IllegalArgumentException(
+      s"TIMESTAMP AS OF must be a literal, got $other")
+  }
 
   // -- target resolution ---------------------------------------------------
 

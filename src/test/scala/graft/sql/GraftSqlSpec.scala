@@ -96,6 +96,51 @@ class GraftSqlSpec extends SparkSpecBase {
       (4L, 400L, "four"), (7L, 70L, "seven")))
   }
 
+  test("INSERT INTO appends; INSERT OVERWRITE replaces; column lists map") {
+    val (t, n) = mk()
+    Seq((8L, 80L, "h")).toDF("id", "v", "s")
+      .createOrReplaceTempView("ins_src")
+    GraftSql.execute(spark, s"INSERT INTO $n SELECT id, v, s FROM ins_src")
+    assert(rows(t).contains((8L, 80L, "h")) && rows(t).size == 5)
+    // explicit column list in a different order
+    GraftSql.execute(spark,
+      s"INSERT INTO $n (s, v, id) SELECT 'nine', 90, 9 FROM ins_src")
+    assert(rows(t).contains((9L, 90L, "nine")))
+    assert(TxnTable.commits(t).last.op == "append")
+    // INSERT OVERWRITE replaces the whole logical content in one commit
+    GraftSql.execute(spark,
+      s"INSERT OVERWRITE $n SELECT id * 100, v, s FROM ins_src")
+    assert(TxnTable.commits(t).last.op == "overwrite")
+    assert(rows(t) == Set((800L, 80L, "h")))
+    // history stays readable: the pre-overwrite snapshot is intact
+    assert(TxnTable.read(spark, t,
+      TxnTable.currentVersion(t) - 1).count() == 6)
+  }
+
+  test("query(): SELECT over registered tables with VERSION AS OF") {
+    val (t, n) = mk() // v0: 4 rows
+    GraftSql.execute(spark, s"DELETE FROM $n WHERE id >= 3") // v1
+    Seq((7L, 70L, "g")).toDF("id", "v", "s")
+      .createOrReplaceTempView("q_src")
+    GraftSql.execute(spark, s"INSERT INTO $n SELECT * FROM q_src") // v2
+    // head query: full expression surface over the registered name
+    val head = GraftSql.query(spark,
+      s"SELECT count(*) AS c, sum(v) AS sv FROM $n WHERE v > 5").head()
+    assert(head.getLong(0) == 3L && head.getLong(1) == 100L)
+    // time travel to v0 sees the pre-delete content
+    assert(GraftSql.query(spark,
+      s"SELECT count(*) AS c FROM $n VERSION AS OF 0").head().getLong(0) == 4L)
+    // registered txn tables and plain temp views mix in one statement
+    val mixed = GraftSql.query(spark,
+      s"""SELECT t.id, t.v, q.v AS qv FROM $n AS t
+         |JOIN q_src q ON q.id = t.id""".stripMargin)
+    assert(mixed.collect().map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((7L, 70L)))
+    // qualified column references against the substituted relation
+    assert(GraftSql.query(spark,
+      s"SELECT $n.id FROM $n WHERE $n.id = 1").count() == 1L)
+  }
+
   test("unsupported shapes fail loudly; unregistered names rejected") {
     val (_, n) = mk()
     intercept[IllegalArgumentException] {
