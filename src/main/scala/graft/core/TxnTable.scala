@@ -2528,9 +2528,10 @@ object TxnTable {
     * unix-days — [[physicalBetween]]), like every pruned read. */
   def countRange(spark: SparkSession, path: String, column: String,
       lo: Long, hi: Long, asOf: Long = -1L): (Long, Int, Int) = {
-    val full = read(spark, path, asOf) // fences + pinned schema
-    val top = currentVersion(path)
-    val upTo = if (asOf < 0) top else asOf
+    // metadata-only planning: fences + RECORDED schema, never a
+    // DataFrame over the full file list (building one stats every
+    // file — O(files) filesystem I/O the metadata path must not pay)
+    val (schema, upTo) = snapshotSchemaFenced(spark, path, asOf)
     val ai = addsIndex(path, upTo)
     val dvNames = snapshotDvs(path, upTo).keySet.map(_.split('/').last)
     var metaCount = 0L
@@ -2559,10 +2560,31 @@ object TxnTable {
     val scanned =
       if (scanFiles.isEmpty) 0L
       else applyDv(spark, path, asOf,
-        spark.read.schema(full.schema).parquet(scanFiles: _*),
+        spark.read.schema(schema).parquet(scanFiles: _*),
         keepFname = false)
-        .filter(physicalBetween(full, column, lo, hi)).count()
+        .filter(physicalBetweenType(schema(column).dataType, column, lo, hi))
+        .count()
     (metaCount + scanned, scanFiles.size, total)
+  }
+
+  /** Recorded snapshot schema + resolved version, with [[read]]'s asOf
+    * fences — schema resolution from the LOG (checkpoint-amortized),
+    * zero file listings; pre-schema-era tables (none in practice) fall
+    * back to one reader-based resolution. */
+  private def snapshotSchemaFenced(spark: SparkSession, path: String,
+      asOf: Long): (org.apache.spark.sql.types.StructType, Long) = {
+    if (asOf >= 0) {
+      val earliest = earliestVersion(path)
+      require(asOf >= earliest,
+        s"version $asOf was vacuumed away (earliest readable: $earliest)")
+    }
+    val upTo = if (asOf < 0) currentVersion(path) else asOf
+    val schema = schemaInfo(path, upTo)._2 match {
+      case Some(js) => org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case None => read(spark, path, asOf).schema
+    }
+    (schema, upTo)
   }
 
   /** Global (min, max) of `column` in the physical int64 space, planned
@@ -2573,9 +2595,9 @@ object TxnTable {
     * all-null column. Integral, date, and timestamp columns only. */
   def minMaxOf(spark: SparkSession, path: String, column: String,
       asOf: Long = -1L): (Option[Long], Option[Long], Int, Int) = {
-    val full = read(spark, path, asOf)
+    val (schema, upTo) = snapshotSchemaFenced(spark, path, asOf)
     import org.apache.spark.sql.types._
-    val phys = full.schema(column).dataType match {
+    val phys = schema(column).dataType match {
       case TimestampType => unix_micros(col(column))
       case DateType => unix_date(col(column)).cast("long")
       case ByteType | ShortType | IntegerType | LongType =>
@@ -2583,8 +2605,6 @@ object TxnTable {
       case dt => throw new IllegalArgumentException(
         s"minMaxOf: $column has non-integral type $dt")
     }
-    val top = currentVersion(path)
-    val upTo = if (asOf < 0) top else asOf
     val ai = addsIndex(path, upTo)
     val dvNames = snapshotDvs(path, upTo).keySet.map(_.split('/').last)
     var mn = Option.empty[Long]
@@ -2610,7 +2630,7 @@ object TxnTable {
     val scanFiles = scan.result()
     if (scanFiles.nonEmpty) {
       val r = applyDv(spark, path, asOf,
-        spark.read.schema(full.schema).parquet(scanFiles: _*),
+        spark.read.schema(schema).parquet(scanFiles: _*),
         keepFname = false)
         .agg(min(phys), max(phys)).head()
       if (!r.isNullAt(0)) {
@@ -2752,7 +2772,12 @@ object TxnTable {
     * into the parquet scan for row-group skipping inside kept files. */
   private def physicalBetween(df: DataFrame, c: String,
       lo: Long, hi: Long): Column =
-    df.schema(c).dataType match {
+    physicalBetweenType(df.schema(c).dataType, c, lo, hi)
+
+  private def physicalBetweenType(
+      dt: org.apache.spark.sql.types.DataType, c: String,
+      lo: Long, hi: Long): Column =
+    dt match {
       case org.apache.spark.sql.types.TimestampType =>
         col(c).between(timestamp_micros(lit(lo)), timestamp_micros(lit(hi)))
       case org.apache.spark.sql.types.DateType =>
