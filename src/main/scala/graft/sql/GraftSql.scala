@@ -79,7 +79,7 @@ object GraftSql {
         val (reg, _) = target(t)
         val tgtSchema = TxnTable.read(spark, reg.path).schema
         val tgtCols = tgtSchema.fieldNames
-        val src = Bridge.ofRows(spark, q)
+        val src = Bridge.ofRows(spark, substituteRelations(spark, q))
         // an explicit column list reorders/renames the query's output
         // into table position; missing columns are not defaulted
         val df =
@@ -124,8 +124,17 @@ object GraftSql {
     * list, DV-subtracted, schema-pinned) before analysis; unregistered
     * names still resolve through the session catalog, so txn tables and
     * temp views mix freely in one statement. */
-  def query(spark: SparkSession, sqlText: String): DataFrame = {
-    val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
+  def query(spark: SparkSession, sqlText: String): DataFrame =
+    Bridge.ofRows(spark, substituteRelations(spark,
+      spark.sessionState.sqlParser.parsePlan(sqlText)))
+
+  /** Replace every registered txn-table reference (plain or
+    * time-traveled) with its snapshot's plan; everything else is left
+    * for the session catalog. Shared by query(), INSERT sources, and
+    * MERGE sources — so `INSERT INTO t2 SELECT * FROM t1 VERSION AS OF 3`
+    * snapshots one table into another with no temp-view plumbing. */
+  private def substituteRelations(spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan = {
     def snapshot(r: UnresolvedRelation, asOf: Long): Option[LogicalPlan] = {
       val full = r.multipartIdentifier.mkString(".").toLowerCase
       val short = r.multipartIdentifier.last.toLowerCase
@@ -134,7 +143,7 @@ object GraftSql {
           TxnTable.read(spark, reg.path, asOf).queryExecution.logical)
       }
     }
-    val substituted = plan.transformUp {
+    plan.transformUp {
       case tt @ RelationTimeTravel(r: UnresolvedRelation, ts, ver) =>
         val asOf = (ver, ts) match {
           case (Some(v), _) => v.toLong
@@ -145,7 +154,6 @@ object GraftSql {
         snapshot(r, asOf).getOrElse(tt)
       case r: UnresolvedRelation => snapshot(r, -1L).getOrElse(r)
     }
-    Bridge.ofRows(spark, substituted)
   }
 
   private def registeredPath(r: UnresolvedRelation): String = {
@@ -215,11 +223,14 @@ object GraftSql {
     // the source may be any relation or subquery — Spark analyzes it
     val (srcDf, srcQuals) = m.sourceTable match {
       case SubqueryAlias(id, child) =>
-        (Bridge.ofRows(spark, child), Set(id.name.toLowerCase))
+        (Bridge.ofRows(spark, substituteRelations(spark, child)),
+          Set(id.name.toLowerCase))
       case r: UnresolvedRelation =>
-        (Bridge.ofRows(spark, r),
+        (Bridge.ofRows(spark, substituteRelations(spark, r)),
           Set(r.multipartIdentifier.last.toLowerCase))
-      case other => (Bridge.ofRows(spark, other), Set.empty[String])
+      case other =>
+        (Bridge.ofRows(spark, substituteRelations(spark, other)),
+          Set.empty[String])
     }
     val srcCols = srcDf.columns.map(_.toLowerCase).toSet
     val tgtCols = TxnTable.read(spark, reg.path).columns

@@ -141,6 +141,32 @@ class GraftSqlSpec extends SparkSpecBase {
       s"SELECT $n.id FROM $n WHERE $n.id = 1").count() == 1L)
   }
 
+  test("TIMESTAMP AS OF resolves by wall clock; txn tables feed INSERT " +
+    "and MERGE sources directly") {
+    val (t, n) = mk() // v0
+    Thread.sleep(1100) // commit-file mtime clock has 1s resolution
+    val tsBetween = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    Thread.sleep(1100)
+    GraftSql.execute(spark, s"DELETE FROM $n WHERE id <= 2") // v1
+    assert(GraftSql.query(spark,
+      s"SELECT count(*) AS c FROM $n TIMESTAMP AS OF '$tsBetween'")
+      .head().getLong(0) == 4L, "instant between commits must see v0")
+    // one txn table snapshots into another with no temp-view plumbing
+    val (t2, n2) = mk()
+    GraftSql.execute(spark,
+      s"INSERT OVERWRITE $n2 SELECT * FROM $n VERSION AS OF 0")
+    assert(rows(t2) == rows(t) ++ Set((1L, 10L, "a"), (2L, 20L, "b")))
+    // and a txn table is a MERGE source by name
+    GraftSql.execute(spark,
+      s"""MERGE INTO $n2 USING $n ON $n2.id = $n.id
+         |WHEN MATCHED THEN UPDATE SET v = $n.v * 1000
+         |""".stripMargin)
+    assert(rows(t2).collect { case (id, v, _) if id >= 3 => v }.toSet ==
+      Set(30000L, 40000L))
+  }
+
   test("unsupported shapes fail loudly; unregistered names rejected") {
     val (_, n) = mk()
     intercept[IllegalArgumentException] {
