@@ -2398,17 +2398,104 @@ object TxnTable {
         s"version $asOf was vacuumed away (earliest readable: $earliest)")
     }
     val upTo = if (asOf < 0) currentVersion(path) else asOf
-    // checkpoint-amortized: the generation count comes from the nearest
-    // checkpoint plus the commit suffix, not a walk to v0
-    val generations = schemaInfo(path, upTo)._1
+    // checkpoint-amortized: schema + generation count come from the
+    // nearest checkpoint plus the commit suffix, not a walk to v0
+    val (generations, recorded) = schemaInfo(path, upTo)
     val files = snapshotFiles(path, asOf)
     require(files.nonEmpty, s"empty snapshot of $path at $asOf")
-    val reader =
-      if (generations > 1) spark.read.option("mergeSchema", "true")
-      else spark.read
+    // Pin the RECORDED snapshot schema: evolved-in columns null-fill on
+    // old-generation files exactly like mergeSchema did, and a DROPPED
+    // column stays dropped even though old files still carry its bytes
+    // (the metadata-only ALTER contract — mergeSchema would resurrect
+    // it). Pre-schema-era logs (none in practice) keep the old readers.
+    val reader = recorded match {
+      case Some(js) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None if generations > 1 => spark.read.option("mergeSchema", "true")
+      case None => spark.read
+    }
     applyDv(spark, path, upTo,
       reader.parquet(files.map(f => localRoot(path).resolve(f).toString): _*),
       keepFname = false)
+  }
+
+  /** ALTER TABLE ADD COLUMNS: record the widened schema as a
+    * metadata-only commit — O(1) at any table size; existing files
+    * null-fill the new columns at read time (pinned-schema read). New
+    * columns must be nullable (there is no backfill to satisfy a NOT
+    * NULL on old rows). */
+  def addColumns(spark: SparkSession, path: String,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Long = {
+    require(cols.nonEmpty, "addColumns: no columns given")
+    commitSchemaChange(path, s"alter:add:${cols.map(_._1).mkString(",")}",
+      () => {
+        val cur = currentSchema(path).getOrElse(
+          throw new IllegalArgumentException(s"not a TxnTable: $path"))
+        val clash = cols.map(_._1.toLowerCase)
+          .intersect(cur.fieldNames.map(_.toLowerCase).toSeq)
+        require(clash.isEmpty, s"addColumns: already present: $clash")
+        org.apache.spark.sql.types.StructType(
+          cur.fields ++ cols.map { case (n, dt) =>
+            org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
+      })
+  }
+
+  /** ALTER TABLE DROP COLUMNS: metadata-only — no file is rewritten
+    * (data files keep the bytes, so [[restore]] across the drop
+    * recovers the column WITH its data); reads bind the narrowed
+    * recorded schema, and subsequent rewrites progressively
+    * materialize the drop. Refuses while a CHECK constraint mentions
+    * the column (drop the constraint first — a silently unenforceable
+    * CHECK is worse than an error). */
+  def dropColumns(spark: SparkSession, path: String,
+      names: Seq[String]): Long = {
+    require(names.nonEmpty, "dropColumns: no columns given")
+    commitSchemaChange(path, s"alter:drop:${names.mkString(",")}",
+      () => {
+        val cur = currentSchema(path).getOrElse(
+          throw new IllegalArgumentException(s"not a TxnTable: $path"))
+        val lower = names.map(_.toLowerCase).toSet
+        val missing = lower -- cur.fieldNames.map(_.toLowerCase)
+        require(missing.isEmpty, s"dropColumns: no such columns: $missing")
+        require(lower.size < cur.fields.length,
+          "dropColumns: cannot drop every column")
+        constraints(path).foreach { case (n, sql) =>
+          val words = sql.toLowerCase.split("[^a-z0-9_]+").toSet
+          require(words.intersect(lower).isEmpty,
+            s"dropColumns: CHECK constraint $n references a dropped " +
+              s"column ($sql) — drop the constraint first")
+        }
+        org.apache.spark.sql.types.StructType(
+          cur.fields.filterNot(f => lower(f.name.toLowerCase)))
+      })
+  }
+
+  /** A metadata-only commit that records a new schema — the ALTER
+    * carrier. The schema is built FRESH on every attempt (a lost race
+    * to another ALTER must not clobber it with a stale base); the
+    * schema it carries makes every in-flight rewrite's rebase abort
+    * (the ConcurrentMetadataChange rule), and retrying appends
+    * re-validate against it ([[checkSchema]] on the fresh head). */
+  private def commitSchemaChange(path: String, op: String,
+      build: () => org.apache.spark.sql.types.StructType,
+      maxAttempts: Int = 20): Long = {
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(path) + 1
+      require(v > 0, s"commitSchemaChange: not a table: $path")
+      val schema = build()
+      preCommitHook()
+      try {
+        tryCommit(path, TxnCommit(v, op, Nil, Nil, Some(schema.json)))
+        return v
+      } catch {
+        case e: TxnConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    -1L // unreachable
   }
 
   /** Snapshot read with FILE-level stats pruning: rows of the snapshot

@@ -142,10 +142,50 @@ object SqlDmlQueries {
     } finally GraftSql.unregister(n)
   }
 
+  /** ALTER surface: ADD COLUMNS widens metadata-only (old rows
+    * null-fill), a statement-text INSERT carries the new column, DROP
+    * COLUMN narrows metadata-only; the drop commit moves zero files and
+    * the pre-drop snapshot keeps the column (asserted in-run). */
+  def s37AlterColumns(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_s37")
+      .toString + "/orders_txn"
+    val n = freshName("orders_alt_")
+    val srcView = freshName("orders_alt_src_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ck, kx) = (m.getLong(0), m.getLong(1))
+    graft.core.TxnTable.create(spark, t, orders) // v0
+    orders.filter(col("o_custkey") <= ck / 5)
+      .select((col("o_orderkey") + kx).as("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("price_c"), lit("fresh").as("note"))
+      .createOrReplaceTempView(srcView)
+    GraftSql.register(n, t)
+    try {
+      GraftSql.execute(spark, s"ALTER TABLE $n ADD COLUMNS (note STRING)")
+      GraftSql.execute(spark, s"INSERT INTO $n SELECT * FROM $srcView")
+      GraftSql.execute(spark, s"ALTER TABLE $n DROP COLUMN o_custkey")
+      val d = graft.core.TxnTable.commits(t).last
+      require(d.op.startsWith("alter:drop") && d.adds.isEmpty &&
+        d.removes.isEmpty, "DROP COLUMN must move zero files")
+      require(graft.core.TxnTable
+        .read(spark, t, 2L).columns.contains("o_custkey"),
+        "the pre-drop snapshot must keep the column")
+      require(!graft.core.TxnTable.read(spark, t).columns
+        .contains("o_custkey"), "the head must not show the column")
+      GraftSql.query(spark,
+        s"""SELECT coalesce(note, 'base') AS note, count(*) AS cnt,
+           |  sum(price_c) AS ps FROM $n
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    } finally GraftSql.unregister(n)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
-    "s36_sql_select_tt" -> (s36SqlSelectTt _))
+    "s36_sql_select_tt" -> (s36SqlSelectTt _),
+    "s37_alter_columns" -> (s37AlterColumns _))
 
   val oracle: Map[String, String] = Map(
     // UPDATE doubles the mid-band O prices, DELETE drops low-band F
@@ -183,5 +223,21 @@ object SqlDmlQueries {
         |SELECT st, cnt, ps,
         |  (SELECT CAST(count(*) AS BIGINT) FROM base) AS c0,
         |  (SELECT CAST(count(*) AS BIGINT) FROM v1) AS c1
-        |FROM agg ORDER BY st""".stripMargin)
+        |FROM agg ORDER BY st""".stripMargin,
+    // widen + insert-with-column + drop replayed relationally: base
+    // rows carry NULL note, the inserted band carries 'fresh'; the
+    // dropped o_custkey never reaches the output
+    "s37_alter_columns" ->
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |    CAST(NULL AS VARCHAR) AS note FROM orders),
+        |b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck FROM orders),
+        |ins AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |    'fresh' AS note FROM orders, b WHERE o_custkey <= b.ck//5),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |SELECT coalesce(note, 'base') AS note,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS ps
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
 }

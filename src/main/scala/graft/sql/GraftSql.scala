@@ -112,9 +112,40 @@ object GraftSql {
         if (overwrite) TxnTable.overwrite(spark, reg.path, coerced)
         else TxnTable.append(spark, reg.path, coerced)
 
+      case AddColumns(t, cols) =>
+        val (reg, _) = target(t)
+        val specs = cols.map { c =>
+          require(c.path.isEmpty, "nested ADD COLUMNS is not supported")
+          require(c.position.isEmpty && c.default.isEmpty,
+            "column position / DEFAULT are not supported")
+          c.colName -> c.dataType
+        }
+        TxnTable.addColumns(spark, reg.path, specs)
+
+      case DropColumns(t, fields, ifExists) =>
+        val (reg, _) = target(t)
+        val names = fields.map {
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName =>
+            require(f.name.length == 1,
+              "nested DROP COLUMNS is not supported")
+            f.name.head
+          case other => throw new IllegalArgumentException(
+            s"unsupported DROP COLUMNS field: $other")
+        }
+        val present =
+          if (!ifExists) names
+          else {
+            val have = TxnTable.read(spark, reg.path)
+              .columns.map(_.toLowerCase).toSet
+            names.filter(n => have(n.toLowerCase))
+          }
+        if (present.isEmpty) TxnTable.currentVersion(reg.path)
+        else TxnTable.dropColumns(spark, reg.path, present)
+
       case other => throw new IllegalArgumentException(
         s"GraftSql.execute handles UPDATE / DELETE FROM / MERGE INTO / " +
-          s"INSERT; got ${other.nodeName} — run SELECTs through query()")
+          s"INSERT / ALTER TABLE ADD|DROP COLUMNS; got ${other.nodeName}" +
+          s" — run SELECTs through query()")
     }
 
   /** Run a SELECT whose FROM clause references registered txn tables by
@@ -189,16 +220,21 @@ object GraftSql {
     case SubqueryAlias(id, child) =>
       val (reg, quals) = target(child)
       (reg, quals + id.name.toLowerCase)
-    case r: UnresolvedRelation =>
-      val full = r.multipartIdentifier.mkString(".").toLowerCase
-      val short = r.multipartIdentifier.last.toLowerCase
-      val reg = Option(tables.get(full)).orElse(Option(tables.get(short)))
-        .getOrElse(throw new IllegalArgumentException(
-          s"$full is not a registered GraftSql table — call " +
-            "GraftSql.register(name, path) first"))
-      (reg, Set(full, short))
+    case r: UnresolvedRelation => lookup(r.multipartIdentifier)
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      lookup(t.multipartIdentifier)
     case other => throw new IllegalArgumentException(
       s"unsupported DML target shape: ${other.nodeName}")
+  }
+
+  private def lookup(parts: Seq[String]): (Reg, Set[String]) = {
+    val full = parts.mkString(".").toLowerCase
+    val short = parts.last.toLowerCase
+    val reg = Option(tables.get(full)).orElse(Option(tables.get(short)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$full is not a registered GraftSql table — call " +
+          "GraftSql.register(name, path) first"))
+    (reg, Set(full, short))
   }
 
   private def lastName(e: Expression): String = e match {

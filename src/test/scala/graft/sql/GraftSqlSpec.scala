@@ -167,6 +167,25 @@ class GraftSqlSpec extends SparkSpecBase {
       Set(30000L, 40000L))
   }
 
+  test("ALTER TABLE ADD/DROP COLUMNS as statement text") {
+    val (t, n) = mk()
+    GraftSql.execute(spark,
+      s"ALTER TABLE $n ADD COLUMNS (note STRING, score BIGINT)")
+    assert(TxnTable.read(spark, t).columns.toSeq ==
+      Seq("id", "v", "s", "note", "score"))
+    GraftSql.execute(spark, s"ALTER TABLE $n DROP COLUMN score")
+    GraftSql.execute(spark, s"ALTER TABLE $n DROP COLUMN IF EXISTS nope")
+    assert(TxnTable.read(spark, t).columns.toSeq ==
+      Seq("id", "v", "s", "note"))
+    // the widened shape is writable through the same SQL surface
+    Seq((9L, 90L, "i", "x")).toDF("id", "v", "s", "note")
+      .createOrReplaceTempView("alter_src")
+    GraftSql.execute(spark, s"INSERT INTO $n SELECT * FROM alter_src")
+    assert(GraftSql.query(spark,
+      s"SELECT count(*) AS c FROM $n WHERE note IS NOT NULL")
+      .head().getLong(0) == 1L)
+  }
+
   test("unsupported shapes fail loudly; unregistered names rejected") {
     val (_, n) = mk()
     intercept[IllegalArgumentException] {
