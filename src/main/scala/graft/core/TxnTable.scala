@@ -273,7 +273,20 @@ object TxnTable {
   /** (schema generations, latest recorded schema) of the log prefix ≤
     * `upTo` — checkpoint-amortized: state is read from the nearest
     * checkpoint and only the suffix is replayed. */
+  /** Memo for [[schemaInfo]]: the log is IMMUTABLE per (path, version)
+    * — a commit file is never rewritten once published — so the derived
+    * (generations, schema) pair is a pure function of the key. Bounded:
+    * cleared wholesale past a size cap (correctness never depends on a
+    * hit). Keeps the column-mapping seam (applyDv resolves the schema
+    * on every read) from re-replaying the checkpoint suffix that the
+    * read itself just replayed. */
+  private val schemaInfoMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), (Long, Option[String])]()
+
   private def schemaInfo(path: String, upTo: Long): (Long, Option[String]) = {
+    val key = (path, upTo)
+    val hit = schemaInfoMemo.get(key)
+    if (hit != null) return hit
     val (from, gens0, s0) = latestCheckpoint(path, upTo) match {
       case Some(ck) if ck.schemaGens.isDefined =>
         (ck.version + 1, ck.schemaGens.get, ck.schema)
@@ -284,6 +297,8 @@ object TxnTable {
     (from to upTo).foreach { v =>
       readCommit(path, v).schema.foreach { js => gens += 1; s = Some(js) }
     }
+    if (schemaInfoMemo.size() > 100000) schemaInfoMemo.clear()
+    schemaInfoMemo.put(key, (gens, s))
     (gens, s)
   }
 
@@ -573,7 +588,11 @@ object TxnTable {
       df: DataFrame): Seq[TxnAdd] = {
     dataWriteJobs.incrementAndGet()
     val staging = Files.createTempDirectory("graft_txn_stage").toString
-    df.write.mode("overwrite").parquet(staging)
+    // column mapping: files always store PHYSICAL names — the single
+    // write-side seam (no-op on unrenamed tables / first writes)
+    val physical = recordedSchemaAt(path, -1L)
+      .map(toPhysical(df, _)).getOrElse(df)
+    physical.write.mode("overwrite").parquet(staging)
     Files.createDirectories(dataDir(path))
     val conf = spark.sparkContext.hadoopConfiguration
     Files.list(Paths.get(staging)).iterator().asScala.toSeq
@@ -666,12 +685,73 @@ object TxnTable {
     */
   private def snapshotReader(spark: SparkSession, path: String,
       upTo: Long): org.apache.spark.sql.DataFrameReader =
-    schemaInfo(path, upTo)._2 match {
-      case Some(js) => spark.read.schema(
-        org.apache.spark.sql.types.DataType.fromJson(js)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    recordedSchemaAt(path, upTo) match {
+      // bind by PHYSICAL names — files always store physical; a renamed
+      // logical name would silently read all-NULL
+      case Some(s) => spark.read.schema(physicalSchema(s))
       case None => spark.read
     }
+
+  // -- column mapping (ALTER TABLE RENAME COLUMN) --------------------------
+  //
+  // A rename is metadata-only: the field keeps its STABLE physical name
+  // (the name it was first written under — files are never rewritten)
+  // and the recorded schema carries the logical name plus a
+  // `graft.physical` metadata key. Every raw parquet scan binds the
+  // physical schema and is aliased back to logical names in ONE place
+  // (the tail of [[applyDv]], which every read path flows through);
+  // every data write renames logical → physical in ONE place
+  // ([[writeDataPrepared]]). Stats-in-log keys are physical
+  // (written from physical files), so stat lookups translate the
+  // caller's logical column first. Unrenamed tables have no mapping and
+  // every helper is an exact no-op.
+
+  private val PhysicalKey = "graft.physical"
+
+  private def physicalFieldName(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private def hasMapping(s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(_.metadata.contains(PhysicalKey))
+
+  /** The schema as stored IN FILES: physical names, metadata stripped. */
+  private def physicalSchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        physicalFieldName(f), f.dataType, f.nullable)))
+
+  /** Logical column name → the physical name stats/files use. */
+  private def physicalColName(path: String, upTo: Long,
+      logical: String): String =
+    recordedSchemaAt(path, upTo)
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(logical)))
+      .map(physicalFieldName).getOrElse(logical)
+
+  private def toLogical(df: DataFrame,
+      s: org.apache.spark.sql.types.StructType): DataFrame =
+    if (!hasMapping(s)) df
+    else df.withColumnsRenamed(
+      s.fields.filter(_.metadata.contains(PhysicalKey))
+        .map(f => physicalFieldName(f) -> f.name).toMap)
+
+  private def toPhysical(df: DataFrame,
+      s: org.apache.spark.sql.types.StructType): DataFrame =
+    if (!hasMapping(s)) df
+    else df.withColumnsRenamed(
+      s.fields.filter(_.metadata.contains(PhysicalKey))
+        .map(f => f.name -> physicalFieldName(f)).toMap)
+
+  private def recordedSchemaAt(path: String, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val upTo = if (v < 0) currentVersion(path) else v
+    if (upTo < 0) None
+    else schemaInfo(path, upTo)._2.map(js =>
+      org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
 
   /** Apply a snapshot's DELETION VECTORS to a raw parquet scan of (a
     * subset of) its files: attach the scan-time file name and row
@@ -691,20 +771,27 @@ object TxnTable {
     val dvm = snapshotDvs(path, asOf)
     def named = scan.withColumn("__fname",
       element_at(split(input_file_name(), "/"), -1))
-    if (dvm.isEmpty) { if (keepFname) named else scan }
-    else {
-      val cols = scan.columns.toSeq
-      val dvAbs = dvm.values.toSeq.distinct
-        .map(f => localRoot(path).resolve(f).toString)
-      val dv = spark.read.parquet(dvAbs: _*)
-        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
-      val withMeta = named.withColumn("__pos", col("_metadata.row_index"))
-      val out = withMeta.join(dv,
-        withMeta("__fname") === dv("__dv_file") &&
-          withMeta("__pos") === dv("__dv_pos"), "left_anti")
-        .drop("__pos")
-      if (keepFname) out else out.select(cols.map(col): _*)
-    }
+    val dvApplied =
+      if (dvm.isEmpty) { if (keepFname) named else scan }
+      else {
+        val cols = scan.columns.toSeq
+        val dvAbs = dvm.values.toSeq.distinct
+          .map(f => localRoot(path).resolve(f).toString)
+        val dv = spark.read.parquet(dvAbs: _*)
+          .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+        val withMeta = named.withColumn("__pos", col("_metadata.row_index"))
+        val out = withMeta.join(dv,
+          withMeta("__fname") === dv("__dv_file") &&
+            withMeta("__pos") === dv("__dv_pos"), "left_anti")
+          .drop("__pos")
+        if (keepFname) out else out.select(cols.map(col): _*)
+      }
+    // column mapping: raw scans bind PHYSICAL names; alias back to the
+    // snapshot's logical names here — the single seam every read path
+    // flows through (after the DV machinery, which only consumes
+    // __fname/_metadata and never a data column)
+    recordedSchemaAt(path, asOf).map(toLogical(dvApplied, _))
+      .getOrElse(dvApplied)
   }
 
   /** Delete the staged-but-never-committed data files of an aborted
@@ -847,7 +934,24 @@ object TxnTable {
         throw new SchemaMismatchException(
           s"append schema ${df.schema.simpleString} does not match table " +
             s"schema ${cur.simpleString}; pass evolveSchema=true to evolve")
-      case _ => Some(df.schema.json)
+      case cur =>
+        // evolution records the writer's LOGICAL schema — carry each
+        // surviving field's column-mapping metadata forward, or a
+        // rename's physical binding would be silently wiped and every
+        // later read of that column would null-fill
+        val merged = org.apache.spark.sql.types.StructType(
+          df.schema.fields.map { f =>
+            cur.flatMap(_.fields.find(_.name.equalsIgnoreCase(f.name)))
+              .filter(_.metadata.contains(PhysicalKey)) match {
+              case Some(old) => f.copy(metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putString(PhysicalKey,
+                    old.metadata.getString(PhysicalKey)).build())
+              case None => f
+            }
+          })
+        Some(merged.json)
     }
   }
 
@@ -1170,7 +1274,11 @@ object TxnTable {
     val live = scan.join(oldDv,
       scan("__fname") === oldDv("file") && scan("__pos") === oldDv("pos"),
       "left_anti")
-    (live, oldDv, files)
+    // column mapping: physical scan → logical names (same seam as
+    // applyDv's tail; the __fname/__pos bookkeeping columns pass through)
+    val logical = recordedSchemaAt(path, base)
+      .map(toLogical(live, _)).getOrElse(live)
+    (logical, oldDv, files)
   }
 
   /** Write the replacement DV for `hits` (new positions ∪ the hit
@@ -1264,10 +1372,14 @@ object TxnTable {
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
     val current = snapshotReader(spark, path, base).parquet(abs: _*)
-    val tableCols = current.columns.toSeq
+    // LOGICAL column surface: applyDv aliases the physical scan back to
+    // the snapshot's logical names (column mapping) — user SET keys and
+    // predicates speak logical
+    val withName = applyDv(spark, path, base, current, keepFname = true)
+    val tableCols = withName.columns.toSeq.filterNot(_ == "__fname")
+    val colType = withName.schema.fields.map(f => f.name -> f.dataType).toMap
     val bad = set.keySet -- tableCols
     require(bad.isEmpty, s"updateWhere: unknown columns $bad")
-    val withName = applyDv(spark, path, base, current, keepFname = true)
     val hitDf = withName.filter(predicate)
       .select(col("__fname")).distinct().localCheckpoint()
     if (hitDf.isEmpty) return base
@@ -1275,7 +1387,7 @@ object TxnTable {
     val rewritten = withName.join(broadcast(hitDf), "__fname")
       .select(tableCols.map { c =>
         if (set.contains(c))
-          when(p, set(c).cast(current.schema(c).dataType))
+          when(p, set(c).cast(colType(c)))
             .otherwise(col(c)).as(c)
         else col(c)
       }: _*)
@@ -1345,7 +1457,11 @@ object TxnTable {
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
     val current = snapshotReader(spark, path, base).parquet(abs: _*)
-    val tableCols = current.columns.toSeq
+    // LOGICAL surface: applyDv aliases the physical scan to logical
+    // names (column mapping); clause SETs and inserts speak logical
+    val withName = applyDv(spark, path, base, current, keepFname = true)
+    val tableCols = withName.columns.toSeq.filterNot(_ == "__fname")
+    val colType = withName.schema.fields.map(f => f.name -> f.dataType).toMap
     val srcS = source.select(
       keyCols.map(col) :+
         struct(source.columns.map(col): _*).as(SrcStruct): _*)
@@ -1373,7 +1489,6 @@ object TxnTable {
       }
       (deleteP, updates.result())
     }
-    val withName = applyDv(spark, path, base, current, keepFname = true)
     // pass 1: one table scan → fired file set + matched key set
     val joinedAll = withName.join(srcS, keyCols, "inner")
     val (delAll, updAll) = firePredicates()
@@ -1399,7 +1514,7 @@ object TxnTable {
             upds.foldRight(col(c)) { case ((fire, set), acc) =>
               if (set.contains(c))
                 when(m && fire,
-                  set(c).cast(current.schema(c).dataType)).otherwise(acc)
+                  set(c).cast(colType(c))).otherwise(acc)
               else acc
             }.as(c)
           }: _*)
@@ -1419,8 +1534,8 @@ object TxnTable {
           .filter(coalesce(cond.getOrElse(lit(true)), lit(false)))
         val rows = cand.select(tableCols.map { c =>
           values.get(c)
-            .map(_.cast(current.schema(c).dataType))
-            .getOrElse(lit(null).cast(current.schema(c).dataType)).as(c)
+            .map(_.cast(colType(c)))
+            .getOrElse(lit(null).cast(colType(c))).as(c)
         }: _*)
         val rowsC = withChecks(spark, path, rows)
         if (rows.isEmpty) Nil
@@ -1770,8 +1885,9 @@ object TxnTable {
     // from an old-generation footer would silently drop evolved columns
     // from the rewritten files (permanent data loss in the new commit).
     val current = snapshotReader(spark, path, base).parquet(abs: _*)
-    val tableCols = current.columns.toSeq
+    // LOGICAL surface (column mapping): tableCols from the aliased frame
     val withName = applyDv(spark, path, base, current, keepFname = true)
+    val tableCols = withName.columns.toSeq.filterNot(_ == "__fname")
     // File names under data/ are UUIDs, so the bare name is a complete
     // key. The hit-file set is a DATAFRAME end-to-end (localCheckpoint
     // materializes the one input_file_name() pass; the survivors join
@@ -2407,11 +2523,13 @@ object TxnTable {
     // old-generation files exactly like mergeSchema did, and a DROPPED
     // column stays dropped even though old files still carry its bytes
     // (the metadata-only ALTER contract — mergeSchema would resurrect
-    // it). Pre-schema-era logs (none in practice) keep the old readers.
+    // it). Binding is by PHYSICAL names (column mapping: files always
+    // store the stable physical name; applyDv aliases back to logical).
+    // Pre-schema-era logs (none in practice) keep the old readers.
     val reader = recorded match {
-      case Some(js) => spark.read.schema(
+      case Some(js) => spark.read.schema(physicalSchema(
         org.apache.spark.sql.types.DataType.fromJson(js)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
       case None if generations > 1 => spark.read.option("mergeSchema", "true")
       case None => spark.read
     }
@@ -2471,6 +2589,44 @@ object TxnTable {
       })
   }
 
+  /** ALTER TABLE RENAME COLUMN — metadata-only via COLUMN MAPPING: the
+    * field keeps its STABLE physical name (what every existing AND
+    * future file stores — see [[writeDataPrepared]]/[[applyDv]]) and
+    * the recorded schema carries the new logical name plus a
+    * `graft.physical` key. No file is touched at any table size;
+    * reads/writes/stats translate at the two mapping seams; time
+    * travel to a pre-rename version shows the old name (each
+    * snapshot's recorded schema is its own). Chained renames keep the
+    * ORIGINAL physical name. Refused while a CHECK constraint
+    * references the old name (its SQL would silently stop binding). */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Long = {
+    require(from.nonEmpty && to.nonEmpty, "renameColumn: empty name")
+    commitSchemaChange(path, s"alter:rename:$from:$to", () => {
+      val cur = currentSchema(path).getOrElse(
+        throw new IllegalArgumentException(s"not a TxnTable: $path"))
+      val f = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+        throw new IllegalArgumentException(
+          s"renameColumn: no such column $from"))
+      require(!cur.fields.exists(_.name.equalsIgnoreCase(to)),
+        s"renameColumn: $to already exists")
+      constraints(path).foreach { case (n, sql) =>
+        val words = sql.toLowerCase.split("[^a-z0-9_]+").toSet
+        require(!words.contains(from.toLowerCase),
+          s"renameColumn: CHECK constraint $n references $from ($sql) — " +
+            "drop the constraint first")
+      }
+      org.apache.spark.sql.types.StructType(cur.fields.map { g =>
+        if (g.name.equalsIgnoreCase(from))
+          org.apache.spark.sql.types.StructField(to, g.dataType, g.nullable,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(g.metadata)
+              .putString(PhysicalKey, physicalFieldName(g)).build())
+        else g
+      })
+    })
+  }
+
   /** A metadata-only commit that records a new schema — the ALTER
     * carrier. The schema is built FRESH on every attempt (a lost race
     * to another ALTER must not clobber it with a stale base); the
@@ -2523,10 +2679,12 @@ object TxnTable {
     * object-store footer GETs with the metadata the planner already
     * holds. */
   private def statsIndexFor(spark: SparkSession, path: String,
-      asOf: Long, columns: Seq[String]): DataFrame = {
+      asOf: Long, logicalColumns: Seq[String]): DataFrame = {
     import spark.implicits._
     val top = currentVersion(path)
     val upTo = if (asOf < 0) top else asOf
+    // stats (log AND footers) are keyed by PHYSICAL names
+    val columns = logicalColumns.map(physicalColName(path, upTo, _))
     val ai = addsIndex(path, upTo)
     val meta = Seq.newBuilder[(String, Long, Seq[Option[Long]], Seq[Option[Long]])]
     val fallback = Seq.newBuilder[String]
@@ -2553,10 +2711,12 @@ object TxnTable {
     * `MaxLoggedStringBound`) reads as null bounds — the file is
     * conservatively kept, never footer-read. */
   private def stringStatsIndexFor(spark: SparkSession, path: String,
-      asOf: Long, column: String): DataFrame = {
+      asOf: Long, logicalColumn: String): DataFrame = {
     import spark.implicits._
     val top = currentVersion(path)
     val upTo = if (asOf < 0) top else asOf
+    // stats (log AND footers) are keyed by PHYSICAL names
+    val column = physicalColName(path, upTo, logicalColumn)
     val ai = addsIndex(path, upTo)
     val meta = Seq.newBuilder[(String, Long, Option[String], Option[String])]
     val fallback = Seq.newBuilder[String]
@@ -2587,7 +2747,7 @@ object TxnTable {
     val kept = graft.crawler.SkippingIndex.selectFiles(idx, 0, lo, hi)
     if (kept.isEmpty) full.filter(lit(false))
     else applyDv(spark, path, asOf,
-      spark.read.schema(full.schema).parquet(kept: _*),
+      snapshotReader(spark, path, asOf).parquet(kept: _*),
       keepFname = false).filter(pred)
   }
 
@@ -2619,6 +2779,7 @@ object TxnTable {
     // DataFrame over the full file list (building one stats every
     // file — O(files) filesystem I/O the metadata path must not pay)
     val (schema, upTo) = snapshotSchemaFenced(spark, path, asOf)
+    val physCol = physicalColName(path, upTo, column)
     val ai = addsIndex(path, upTo)
     val dvNames = snapshotDvs(path, upTo).keySet.map(_.split('/').last)
     var metaCount = 0L
@@ -2630,8 +2791,8 @@ object TxnTable {
       val st = ai.get(f).flatMap(_.stats).flatMap(parseAddStats)
       val rows = ai.get(f).map(_.rows).getOrElse(0L)
       val hasDv = dvNames.contains(f.split('/').last)
-      val b = st.flatMap(_.l.get(column))
-      val nc = st.flatMap(_.n.get(column))
+      val b = st.flatMap(_.l.get(physCol))
+      val nc = st.flatMap(_.n.get(physCol))
       if (b.exists { case (mn, mx) => mx < lo || mn > hi }) {
         // disjoint: 0 matches — a DV only removes rows, so it stays 0
       } else if (hasDv) scan += abs
@@ -2647,7 +2808,7 @@ object TxnTable {
     val scanned =
       if (scanFiles.isEmpty) 0L
       else applyDv(spark, path, asOf,
-        spark.read.schema(schema).parquet(scanFiles: _*),
+        spark.read.schema(physicalSchema(schema)).parquet(scanFiles: _*),
         keepFname = false)
         .filter(physicalBetweenType(schema(column).dataType, column, lo, hi))
         .count()
@@ -2692,6 +2853,7 @@ object TxnTable {
       case dt => throw new IllegalArgumentException(
         s"minMaxOf: $column has non-integral type $dt")
     }
+    val physCol = physicalColName(path, upTo, column)
     val ai = addsIndex(path, upTo)
     val dvNames = snapshotDvs(path, upTo).keySet.map(_.split('/').last)
     var mn = Option.empty[Long]
@@ -2704,12 +2866,12 @@ object TxnTable {
       val st = ai.get(f).flatMap(_.stats).flatMap(parseAddStats)
       val rows = ai.get(f).map(_.rows).getOrElse(0L)
       val hasDv = dvNames.contains(f.split('/').last)
-      st.flatMap(_.l.get(column)) match {
+      st.flatMap(_.l.get(physCol)) match {
         case Some((fMn, fMx)) if !hasDv =>
           mn = Some(mn.fold(fMn)(math.min(_, fMn)))
           mx = Some(mx.fold(fMx)(math.max(_, fMx)))
         case None if !hasDv &&
-            st.exists(_.n.get(column).contains(rows)) =>
+            st.exists(_.n.get(physCol).contains(rows)) =>
           () // all-null column in this file: contributes no extreme
         case _ => scan += abs
       }
@@ -2717,7 +2879,7 @@ object TxnTable {
     val scanFiles = scan.result()
     if (scanFiles.nonEmpty) {
       val r = applyDv(spark, path, asOf,
-        spark.read.schema(schema).parquet(scanFiles: _*),
+        spark.read.schema(physicalSchema(schema)).parquet(scanFiles: _*),
         keepFname = false)
         .agg(min(phys), max(phys)).head()
       if (!r.isNullAt(0)) {
@@ -2755,7 +2917,7 @@ object TxnTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
     else applyDv(spark, path, asOf,
-      spark.read.schema(full.schema).parquet(kept: _*),
+      snapshotReader(spark, path, asOf).parquet(kept: _*),
       keepFname = false).filter(col(column).isInCollection(vs))
   }
 
@@ -2780,7 +2942,7 @@ object TxnTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
     else applyDv(spark, path, asOf,
-      spark.read.schema(full.schema).parquet(kept: _*),
+      snapshotReader(spark, path, asOf).parquet(kept: _*),
       keepFname = false).filter(pred)
   }
 
@@ -2805,7 +2967,7 @@ object TxnTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
     else applyDv(spark, path, asOf,
-      spark.read.schema(full.schema).parquet(kept: _*),
+      snapshotReader(spark, path, asOf).parquet(kept: _*),
       keepFname = false).filter(pred)
   }
 
@@ -2847,7 +3009,7 @@ object TxnTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
     else applyDv(spark, path, asOf,
-      spark.read.schema(full.schema).parquet(kept: _*),
+      snapshotReader(spark, path, asOf).parquet(kept: _*),
       keepFname = false).filter(pred)
   }
 
@@ -2924,7 +3086,7 @@ object TxnTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
     else applyDv(spark, path, asOf,
-      spark.read.schema(full.schema).parquet(kept: _*),
+      snapshotReader(spark, path, asOf).parquet(kept: _*),
       keepFname = false).filter(pred)
   }
 

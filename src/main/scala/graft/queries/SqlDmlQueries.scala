@@ -181,11 +181,59 @@ object SqlDmlQueries {
     } finally GraftSql.unregister(n)
   }
 
+  /** RENAME COLUMN via column mapping: metadata-only (zero files moved,
+    * asserted in-run), every statement verb then speaks the new name —
+    * an UPDATE and the final aggregate run against the renamed column
+    * while every data file still stores the original physical name
+    * (asserted in-run on the post-rename append's file). */
+  def s38RenameColumn(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_s38")
+      .toString + "/orders_txn"
+    val n = freshName("orders_rn_")
+    val srcView = freshName("orders_rn_src_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ck, kx) = (m.getLong(0), m.getLong(1))
+    graft.core.TxnTable.createClustered(spark, t, orders,
+      Seq(col("o_custkey")), targetFiles = 10) // v0
+    orders.filter(col("o_custkey") <= ck / 6)
+      .select((col("o_orderkey") + kx).as("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("price_c"))
+      .createOrReplaceTempView(srcView)
+    GraftSql.register(n, t)
+    try {
+      GraftSql.execute(spark,
+        s"ALTER TABLE $n RENAME COLUMN price_c TO cents") // v1
+      val r = graft.core.TxnTable.commits(t).last
+      require(r.op.startsWith("alter:rename") && r.adds.isEmpty &&
+        r.removes.isEmpty, "RENAME COLUMN must move zero files")
+      // an INSERT through the renamed surface: the staged FILE must
+      // store the ORIGINAL physical name
+      GraftSql.execute(spark, s"INSERT INTO $n SELECT * FROM $srcView")
+      val addPath = graft.core.TxnTable.commits(t).last.adds.head.path
+      val raw = spark.read.parquet(
+        java.nio.file.Paths.get(t).resolve(addPath).toString)
+      require(raw.columns.contains("price_c") && !raw.columns.contains("cents"),
+        s"files must keep the physical name, got ${raw.columns.toSeq}")
+      GraftSql.execute(spark,
+        s"""UPDATE $n SET cents = cents * 2
+           |WHERE o_custkey BETWEEN ${ck / 2} AND ${ck / 2 + ck / 8}
+           |  AND o_orderstatus = 'O'""".stripMargin)
+      GraftSql.query(spark,
+        s"""SELECT o_orderstatus AS st, count(*) AS cnt,
+           |  sum(cents) AS cents_sum FROM $n
+           |GROUP BY o_orderstatus ORDER BY st""".stripMargin)
+    } finally GraftSql.unregister(n)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
-    "s37_alter_columns" -> (s37AlterColumns _))
+    "s37_alter_columns" -> (s37AlterColumns _),
+    "s38_rename_column" -> (s38RenameColumn _))
 
   val oracle: Map[String, String] = Map(
     // UPDATE doubles the mid-band O prices, DELETE drops low-band F
@@ -239,5 +287,23 @@ object SqlDmlQueries {
         |SELECT coalesce(note, 'base') AS note,
         |  CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(pc) AS BIGINT) AS ps
-        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // rename + insert-band + banded update replayed relationally; the
+    // zero-file-move and physical-name-in-file halves assert in-run
+    "s38_rename_column" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck,
+        |    CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),
+        |base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |ins AS (SELECT o_orderkey + b.kx AS o_orderkey, o_custkey,
+        |    o_orderstatus, pc FROM base, b WHERE o_custkey <= b.ck//6),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+        |upd AS (SELECT o_orderstatus AS st,
+        |    CASE WHEN o_custkey BETWEEN b.ck//2 AND b.ck//2 + b.ck//8
+        |           AND o_orderstatus = 'O'
+        |      THEN pc * 2 ELSE pc END AS cents
+        |  FROM u, b)
+        |SELECT st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin)
 }

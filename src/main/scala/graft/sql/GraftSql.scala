@@ -142,10 +142,22 @@ object GraftSql {
         if (present.isEmpty) TxnTable.currentVersion(reg.path)
         else TxnTable.dropColumns(spark, reg.path, present)
 
+      case RenameColumn(t, field, newName) =>
+        val (reg, _) = target(t)
+        val from = field match {
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName =>
+            require(f.name.length == 1,
+              "nested RENAME COLUMN is not supported")
+            f.name.head
+          case other => throw new IllegalArgumentException(
+            s"unsupported RENAME COLUMN field: $other")
+        }
+        TxnTable.renameColumn(spark, reg.path, from, newName)
+
       case other => throw new IllegalArgumentException(
         s"GraftSql.execute handles UPDATE / DELETE FROM / MERGE INTO / " +
-          s"INSERT / ALTER TABLE ADD|DROP COLUMNS; got ${other.nodeName}" +
-          s" — run SELECTs through query()")
+          s"INSERT / ALTER TABLE ADD|DROP|RENAME COLUMN; got " +
+          s"${other.nodeName} — run SELECTs through query()")
     }
 
   /** Run a SELECT whose FROM clause references registered txn tables by

@@ -88,6 +88,89 @@ class AlterColumnsSpec extends SparkSpecBase {
     }
   }
 
+  test("renameColumn: metadata-only column mapping end to end") {
+    val t = mk() // (id, v, s): rows 1..3
+    val v1 = TxnTable.renameColumn(spark, t, "v", "value")
+    assert(v1 == 1L)
+    val c = TxnTable.commits(t).last
+    assert(c.adds.isEmpty && c.removes.isEmpty, "rename must move no files")
+    // head reads the new logical name with the old data
+    val head = TxnTable.read(spark, t)
+    assert(head.columns.toSeq == Seq("id", "value", "s"))
+    assert(head.agg(sum(col("value"))).head().getLong(0) == 60L)
+    // time travel to the pre-rename snapshot shows the OLD name
+    assert(TxnTable.read(spark, t, 0L).columns.toSeq == Seq("id", "v", "s"))
+    // appends use the NEW logical name; the FILES store the physical one
+    TxnTable.append(spark, t,
+      Seq((4L, 40L, "d")).toDF("id", "value", "s"))
+    val newAdd = TxnTable.commits(t).last.adds.head
+    val rawCols = spark.read.parquet(
+      java.nio.file.Paths.get(t).resolve(newAdd.path).toString).columns
+    assert(rawCols.toSeq == Seq("id", "v", "s"),
+      s"files must keep the stable physical name, got ${rawCols.toSeq}")
+    assert(TxnTable.read(spark, t).filter(col("value") === 40L).count() == 1)
+    // the old logical name is gone from the projected surface (filter
+    // can still reach it via Spark's missing-reference resolution, the
+    // same semantics as any withColumnRenamed frame)
+    intercept[Exception] {
+      TxnTable.read(spark, t).select("v").collect()
+    }
+    // old-shape appends fail loudly
+    intercept[TxnTable.SchemaMismatchException] {
+      TxnTable.append(spark, t, Seq((9L, 9L, "x")).toDF("id", "v", "s"))
+    }
+    // rewrites work through the new name and keep physical binding
+    TxnTable.deleteWhere(spark, t, col("value") === 10L)
+    assert(TxnTable.read(spark, t).count() == 3)
+    assert(TxnTable.read(spark, t).agg(sum(col("value")))
+      .head().getLong(0) == 90L)
+    // MOR delete (DV path) composes with the mapping
+    TxnTable.deleteWhereMor(spark, t, col("value") === 20L)
+    assert(TxnTable.read(spark, t).agg(sum(col("value")))
+      .head().getLong(0) == 70L)
+    // chained rename keeps the ORIGINAL physical name
+    TxnTable.renameColumn(spark, t, "value", "amount")
+    assert(TxnTable.read(spark, t).columns.contains("amount"))
+    val lastAdd = {
+      TxnTable.append(spark, t, Seq((5L, 50L, "e")).toDF("id", "amount", "s"))
+      TxnTable.commits(t).last.adds.head
+    }
+    assert(spark.read.parquet(java.nio.file.Paths.get(t)
+      .resolve(lastAdd.path).toString).columns.toSeq == Seq("id", "v", "s"))
+    // restore across the renames rolls the NAME back with the content
+    TxnTable.restore(spark, t, 0L)
+    assert(TxnTable.read(spark, t).columns.toSeq == Seq("id", "v", "s"))
+    assert(TxnTable.read(spark, t).agg(sum(col("v"))).head().getLong(0) == 60L)
+  }
+
+  test("renamed column: pruned reads and metadata aggregates stay " +
+    "log-planned (stats are physical-keyed)") {
+    val t = Files.createTempDirectory("graft_alterp").toString + "/t"
+    TxnTable.createClustered(spark, t,
+      (for (g <- 0L until 8L; i <- 1L to 50L)
+        yield (g * 1000 + i, g, (g * 1000 + i) * 3)).toDF("id", "g", "x"),
+      Seq(col("g")), targetFiles = 8)
+    TxnTable.renameColumn(spark, t, "g", "grp")
+    val f0 = graft.crawler.SkippingIndex.footerReads.get()
+    // pruned read on the RENAMED column: log-stats plan, zero footers,
+    // strict subset, exact rows
+    val pruned = TxnTable.readPruned(spark, t, "grp", 2L, 3L)
+    assert(pruned.count() == 100L)
+    assert(pruned.columns.contains("grp"))
+    val (cnt, scanned, total) = TxnTable.countRange(spark, t, "grp", 2L, 5L)
+    assert(cnt == 200L && scanned == 0 && total == 8,
+      s"metadata count must survive the rename, got ($cnt,$scanned,$total)")
+    val (mn, mx, s2, _) = TxnTable.minMaxOf(spark, t, "grp")
+    assert(mn.contains(0L) && mx.contains(7L) && s2 == 0)
+    assert(graft.crawler.SkippingIndex.footerReads.get() == f0,
+      "renamed-column pruning must stay zero-footer")
+    // constraint guard: a CHECK referencing the name blocks the rename
+    TxnTable.addConstraint(spark, t, "grp_pos", "grp >= 0")
+    intercept[IllegalArgumentException] {
+      TxnTable.renameColumn(spark, t, "grp", "g2")
+    }
+  }
+
   test("metadata aggregates and pruned reads survive an ALTER cycle") {
     val t = mk()
     TxnTable.addColumns(spark, t,

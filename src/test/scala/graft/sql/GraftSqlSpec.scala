@@ -184,6 +184,15 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(GraftSql.query(spark,
       s"SELECT count(*) AS c FROM $n WHERE note IS NOT NULL")
       .head().getLong(0) == 1L)
+    // RENAME COLUMN: statement form, then every verb speaks the new name
+    GraftSql.execute(spark, s"ALTER TABLE $n RENAME COLUMN v TO amount")
+    GraftSql.execute(spark, s"UPDATE $n SET amount = amount + 1 WHERE id = 9")
+    assert(GraftSql.query(spark,
+      s"SELECT sum(amount) AS sa FROM $n WHERE id = 9").head().getLong(0)
+      == 91L)
+    GraftSql.execute(spark, s"DELETE FROM $n WHERE amount > 90")
+    assert(GraftSql.query(spark, s"SELECT count(*) AS c FROM $n")
+      .head().getLong(0) == 4L)
   }
 
   test("unsupported shapes fail loudly; unregistered names rejected") {
