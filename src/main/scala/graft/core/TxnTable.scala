@@ -2598,7 +2598,10 @@ object TxnTable {
     * travel to a pre-rename version shows the old name (each
     * snapshot's recorded schema is its own). Chained renames keep the
     * ORIGINAL physical name. Refused while a CHECK constraint
-    * references the old name (its SQL would silently stop binding). */
+    * references the old name (its SQL would silently stop binding).
+    * A change-data-feed diff ACROSS the rename boundary fails loudly
+    * (SnapshotDiff requires identical payload column names on both
+    * sides) — re-anchor incremental consumers after a rename. */
   def renameColumn(spark: SparkSession, path: String, from: String,
       to: String): Long = {
     require(from.nonEmpty && to.nonEmpty, "renameColumn: empty name")

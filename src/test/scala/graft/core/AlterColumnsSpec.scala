@@ -137,6 +137,23 @@ class AlterColumnsSpec extends SparkSpecBase {
     }
     assert(spark.read.parquet(java.nio.file.Paths.get(t)
       .resolve(lastAdd.path).toString).columns.toSeq == Seq("id", "v", "s"))
+    // compaction rewrites through the mapping: logical shape out,
+    // physical names in the new files, content preserved
+    val preCompact = TxnTable.read(spark, t).count()
+    TxnTable.compact(spark, t)
+    assert(TxnTable.read(spark, t).count() == preCompact)
+    assert(TxnTable.read(spark, t).columns.contains("amount"))
+    assert(spark.read.parquet(java.nio.file.Paths.get(t)
+      .resolve(TxnTable.commits(t).last.adds.head.path).toString)
+      .columns.toSeq == Seq("id", "v", "s"),
+      "compacted files must keep the physical name")
+    // a CDF diff across the rename boundary fails LOUDLY, never
+    // silently mis-diffs
+    val e = intercept[Exception] {
+      TxnTable.diffVersions(spark, t, 0L, TxnTable.currentVersion(t),
+        Seq("id")).collect()
+    }
+    assert(e.getMessage != null)
     // restore across the renames rolls the NAME back with the content
     TxnTable.restore(spark, t, 0L)
     assert(TxnTable.read(spark, t).columns.toSeq == Seq("id", "v", "s"))
