@@ -1848,8 +1848,12 @@ object TxnTable {
       catch { case _: IllegalArgumentException => Map.empty[String, String] }
     val fresh = csNow.filter { case (n, sql) => !csAtStage.get(n).contains(sql) }
     if (fresh.nonEmpty && adds.nonEmpty) {
-      val staged = spark.read.parquet(
+      // staged files store PHYSICAL names (column mapping); constraint
+      // SQL speaks logical — alias before validating
+      val raw = spark.read.parquet(
         adds.map(a => localRoot(path).resolve(a.path).toString): _*)
+      val staged = recordedSchemaAt(path, -1L)
+        .map(toLogical(raw, _)).getOrElse(raw)
       fresh.toSeq.sortBy(_._1).foreach { case (n, sql) =>
         val viol = staged.filter(!coalesce(expr(sql), lit(true)))
         if (!viol.isEmpty)
@@ -2782,6 +2786,17 @@ object TxnTable {
     // DataFrame over the full file list (building one stats every
     // file — O(files) filesystem I/O the metadata path must not pay)
     val (schema, upTo) = snapshotSchemaFenced(spark, path, asOf)
+    schema(column).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"countRange: $column has non-integral type $dt (bounds live in " +
+          "the physical int64 space)")
+    }
     val physCol = physicalColName(path, upTo, column)
     val ai = addsIndex(path, upTo)
     val dvNames = snapshotDvs(path, upTo).keySet.map(_.split('/').last)

@@ -73,7 +73,8 @@ object GraftSql {
 
       case m: MergeIntoTable => merge(spark, m)
 
-      case InsertIntoStatement(t, partSpec, cols, q, overwrite, ifNot, _) =>
+      case InsertIntoStatement(t, partSpec, cols, q, overwrite, ifNot,
+          byName) =>
         require(partSpec.isEmpty && !ifNot,
           "partition specs are not supported on txn-table INSERTs")
         val (reg, _) = target(t)
@@ -83,7 +84,16 @@ object GraftSql {
         // an explicit column list reorders/renames the query's output
         // into table position; missing columns are not defaulted
         val df =
-          if (cols.isEmpty) {
+          if (byName) {
+            // INSERT INTO ... BY NAME: match on the query's output names
+            val have = src.columns.map(c => c.toLowerCase -> c).toMap
+            val missing = tgtCols.filterNot(c => have.contains(c.toLowerCase))
+            require(missing.isEmpty,
+              s"INSERT BY NAME: query output lacks ${missing.mkString(", ")}")
+            src.select(tgtCols.map(c =>
+              org.apache.spark.sql.functions.col(have(c.toLowerCase)).as(c))
+              .toSeq: _*)
+          } else if (cols.isEmpty) {
             // positional: the query's output maps onto the table shape
             require(src.columns.length == tgtCols.length,
               s"INSERT query width ${src.columns.length} != table width " +

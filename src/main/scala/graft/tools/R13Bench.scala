@@ -64,6 +64,23 @@ object R13Bench {
         f"speedup=${tScan / tMeta}%.1fx loadavg=$loadavg")
     }
 
+    // probe 1b: ALTER is O(1) in file count — rename on the largest
+    // table from probe 1, then the renamed column still answers a
+    // metadata count (stats are physical-keyed)
+    {
+      val t = s"$root/count_1024"
+      val t0 = System.nanoTime()
+      TxnTable.renameColumn(spark, t, "g", "grp")
+      val tRename = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (cnt, scanned, total) =
+        TxnTable.countRange(spark, t, "grp", gMax / 4, 3 * gMax / 4)
+      val tCount = (System.nanoTime() - t1) / 1e9
+      println(f"alterRename files=$total%d rename=$tRename%.4f " +
+        f"renamedCount=$tCount%.4f scanned=$scanned%d cnt=$cnt%d " +
+        f"loadavg=$loadavg")
+    }
+
     // probe 2: span dedup throughput on documents
     val docs = Lake.table(spark, sfDir, "documents").localCheckpoint()
     val nDocs = docs.count()

@@ -107,6 +107,10 @@ class GraftSqlSpec extends SparkSpecBase {
       s"INSERT INTO $n (s, v, id) SELECT 'nine', 90, 9 FROM ins_src")
     assert(rows(t).contains((9L, 90L, "nine")))
     assert(TxnTable.commits(t).last.op == "append")
+    // BY NAME: shuffled output order maps by name, not position
+    GraftSql.execute(spark,
+      s"INSERT INTO $n BY NAME SELECT 'ten' AS s, 10L AS id, 100L AS v")
+    assert(rows(t).contains((10L, 100L, "ten")))
     // INSERT OVERWRITE replaces the whole logical content in one commit
     GraftSql.execute(spark,
       s"INSERT OVERWRITE $n SELECT id * 100, v, s FROM ins_src")
@@ -114,7 +118,7 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(rows(t) == Set((800L, 80L, "h")))
     // history stays readable: the pre-overwrite snapshot is intact
     assert(TxnTable.read(spark, t,
-      TxnTable.currentVersion(t) - 1).count() == 6)
+      TxnTable.currentVersion(t) - 1).count() == 7)
   }
 
   test("query(): SELECT over registered tables with VERSION AS OF") {
