@@ -228,7 +228,40 @@ object SqlDmlQueries {
     } finally GraftSql.unregister(n)
   }
 
+  /** The change data feed as a SQL table-valued function:
+    * `table_changes(name, fromV, toV, key...)` inside any SELECT —
+    * statement-text DML produces the changes, the TVF reads them back
+    * (file-scoped diff: only changed files are compared), and plain SQL
+    * aggregates over the feed. */
+  def s39TableChanges(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_s39")
+      .toString + "/orders_txn"
+    val n = freshName("orders_cdf_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    graft.core.TxnTable.createClustered(spark, t, orders,
+      Seq(col("o_custkey")), targetFiles = 10) // v0
+    GraftSql.register(n, t)
+    try {
+      GraftSql.execute(spark,
+        s"""UPDATE $n SET price_c = price_c * 2
+           |WHERE o_custkey BETWEEN ${ck / 2} AND ${ck / 2 + ck / 8}
+           |  AND o_orderstatus = 'O'""".stripMargin) // v1
+      GraftSql.execute(spark,
+        s"DELETE FROM $n WHERE o_orderstatus = 'F' " +
+          s"AND o_custkey <= ${ck / 10}") // v2
+      GraftSql.query(spark,
+        s"""SELECT op, count(*) AS cnt, sum(price_c) AS ps,
+           |  sum(o_orderkey) AS ks
+           |FROM table_changes('$n', 0, 2, 'o_orderkey')
+           |GROUP BY op ORDER BY op""".stripMargin)
+    } finally GraftSql.unregister(n)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s39_table_changes" -> (s39TableChanges _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -305,5 +338,25 @@ object SqlDmlQueries {
         |  FROM u, b)
         |SELECT st, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
-        |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the change feed replayed relationally: updated O-band rows carry
+    // their after-image price, deleted F-band rows a NULL payload
+    "s39_table_changes" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders),
+        |base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |f AS (
+        |  SELECT 'delete' AS op, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(NULL AS BIGINT) AS ps,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS ks
+        |  FROM base, b
+        |  WHERE o_orderstatus = 'F' AND o_custkey <= b.ck//10
+        |  UNION ALL
+        |  SELECT 'update', CAST(count(*) AS BIGINT),
+        |    CAST(sum(pc * 2) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+        |  FROM base, b
+        |  WHERE o_custkey BETWEEN b.ck//2 AND b.ck//2 + b.ck//8
+        |    AND o_orderstatus = 'O')
+        |SELECT * FROM f ORDER BY op""".stripMargin)
 }

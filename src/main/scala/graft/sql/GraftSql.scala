@@ -196,6 +196,11 @@ object GraftSql {
           TxnTable.read(spark, reg.path, asOf).queryExecution.logical)
       }
     }
+    def strLit(e: Expression, what: String): String = e match {
+      case l: Literal if l.value != null => l.value.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal, got $other")
+    }
     plan.transformUp {
       case tt @ RelationTimeTravel(r: UnresolvedRelation, ts, ver) =>
         val asOf = (ver, ts) match {
@@ -206,8 +211,36 @@ object GraftSql {
         }
         snapshot(r, asOf).getOrElse(tt)
       case r: UnresolvedRelation => snapshot(r, -1L).getOrElse(r)
+      // table_changes('t', fromV, toV, 'key'[, 'key2'...]) — the keyed
+      // change-data-feed as a table-valued function (op column +
+      // after-image payload, computed from only the changed files)
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.last.equalsIgnoreCase("table_changes") =>
+        val args = tvf.functionArgs
+        require(args.length >= 4,
+          "table_changes(table, fromVersion, toVersion, keyCol...)")
+        val path = registeredPathByName(strLit(args.head, "table name"))
+        val fromV = strLit(args(1), "fromVersion").toLong
+        val toV = strLit(args(2), "toVersion").toLong
+        val keys = args.drop(3).map(strLit(_, "key column"))
+        SubqueryAlias("table_changes",
+          TxnTable.diffVersions(spark, path, fromV, toV, keys)
+            .queryExecution.logical)
+      // table_history('t') — the audit surface as a TVF
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.last.equalsIgnoreCase("table_history") =>
+        require(tvf.functionArgs.length == 1, "table_history(table)")
+        val path = registeredPathByName(
+          strLit(tvf.functionArgs.head, "table name"))
+        SubqueryAlias("table_history",
+          TxnTable.history(spark, path).queryExecution.logical)
     }
   }
+
+  private def registeredPathByName(name: String): String =
+    Option(tables.get(name.toLowerCase)).map(_.path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$name is not a registered GraftSql table"))
 
   private def registeredPath(r: UnresolvedRelation): String = {
     val full = r.multipartIdentifier.mkString(".").toLowerCase

@@ -199,6 +199,28 @@ class GraftSqlSpec extends SparkSpecBase {
       .head().getLong(0) == 4L)
   }
 
+  test("table_changes / table_history as table-valued functions") {
+    val (t, n) = mk() // v0: 4 rows
+    GraftSql.execute(spark, s"UPDATE $n SET v = v + 1 WHERE id = 2") // v1
+    GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 4") // v2
+    val ch = GraftSql.query(spark,
+      s"""SELECT op, id, v FROM table_changes('$n', 0, 2, 'id')
+         |ORDER BY id""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ch == Seq(("update", 2L), ("delete", 4L)))
+    // composes with plain SQL: aggregate over the feed
+    assert(GraftSql.query(spark,
+      s"SELECT count(*) AS c FROM table_changes('$n', 0, 2, 'id') " +
+        "WHERE op = 'delete'").head().getLong(0) == 1L)
+    val hist = GraftSql.query(spark,
+      s"SELECT version, op FROM table_history('$n') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist == Seq((0L, "create"), (1L, "update"), (2L, "delete")))
+    intercept[IllegalArgumentException] {
+      GraftSql.query(spark, "SELECT * FROM table_changes('nope', 0, 1, 'id')")
+    }
+  }
+
   test("unsupported shapes fail loudly; unregistered names rejected") {
     val (_, n) = mk()
     intercept[IllegalArgumentException] {
