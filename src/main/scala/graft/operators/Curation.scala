@@ -295,12 +295,19 @@ object Curation {
     * comparison anywhere.
     */
   def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    spanOccurrences(docs, idCol, textCol, n)
-      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      n: Int): DataFrame = {
+    val occ = spanOccurrences(docs, idCol, textCol, n)
+    // groupBy + join back, NOT a count-over-window: the window sorts
+    // every span class in one partition, so a boilerplate span repeated
+    // 10⁹ times becomes one straggler task. The aggregate gets map-side
+    // PARTIAL aggregation (the 10⁹ duplicates collapse to one row per
+    // mapper before the shuffle) and the join back is AQE-skew-safe.
+    val classes = occ.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    occ.join(classes, "__h")
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("__c") > 1, 1L).otherwise(0L)).as("dup_spans"))
+  }
 
   /** Exact substring dedup, keep-first: delete every token covered by a
     * duplicated n-token span occurrence EXCEPT the span class's first
@@ -308,25 +315,28 @@ object Curation {
     * Output: (id, kept_text, n_tokens, tokens_kept) for every input doc
     * (unchanged docs come back with kept_text == normalized text).
     *
-    * Shape: span classes get a count + first-occurrence rank in ONE
-    * window over the span hash; non-keeper duplicated occurrences expand
-    * to their covered positions (explode of n ints per occurrence — the
-    * output is bounded by total token count, same order as the corpus
-    * itself); the per-doc drop-set folds with collect_set and the final
-    * reconstruction is a map-side higher-order filter over the token
-    * array. Three keyed shuffles total (span class, doc, doc), linear at
-    * 100 TB; the only per-row state is the doc's own drop-set.
+    * Shape: span classes fold to (count, first occurrence) in ONE
+    * partial-aggregated groupBy over the span hash — min(struct(id, i))
+    * IS the keeper, so no per-class sort exists anywhere (a window rank
+    * would sort a boilerplate span's 10⁹ occurrences in one partition;
+    * the aggregate collapses them map-side). Non-keeper duplicated
+    * occurrences expand to their covered positions (explode of n ints
+    * per occurrence — bounded by total token count); the per-doc
+    * drop-set folds with collect_set and the final reconstruction is a
+    * map-side higher-order filter over the token array. Keyed shuffles
+    * only (span class, join-back, doc, doc), linear at 100 TB; the only
+    * per-row state is the doc's own drop-set.
     */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val occ = spanOccurrences(docs, idCol, textCol, n)
-    val w = Window.partitionBy(col("__h"))
-    val ranked = occ
-      .withColumn("__c", count(lit(1)).over(w))
-      .withColumn("__rn",
-        row_number().over(w.orderBy(col("__id"), col("__i"))))
-    val drops = ranked
-      .filter(col("__c") > 1 && col("__rn") > 1)
+    val classes = occ.groupBy(col("__h")).agg(
+      count(lit(1)).as("__c"),
+      min(struct(col("__id"), col("__i"))).as("__first"))
+    val drops = occ.join(classes, "__h")
+      .filter(col("__c") > 1 &&
+        !(col("__id") === col("__first.__id") &&
+          col("__i") === col("__first.__i")))
       .select(col("__id"),
         explode(sequence(col("__i"), col("__i") + lit(n - 1))).as("__p"))
       .groupBy("__id").agg(collect_set(col("__p")).as("__drop"))
