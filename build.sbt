@@ -31,5 +31,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Belt and braces with the session zone: anything that DOES consult
+  // the JVM default (legacy java.sql parsing, log timestamps) agrees
+  // with the engine's UTC instant space. The statement surface itself
+  // no longer depends on this (GraftSql parses TIMESTAMP AS OF via
+  // Catalyst Cast under the session zone).
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -376,6 +376,13 @@ object TxnTable {
     * into the race window. No-op in production. */
   private[graft] var preCommitHook: () => Unit = () => ()
 
+  /** Test seam: invoked by the metadata-only aggregates (countRange /
+    * minMaxOf) AFTER the snapshot version is resolved and BEFORE the
+    * scan half runs, letting specs interleave a concurrent commit into
+    * the window and pin that both halves answer at the SAME resolved
+    * snapshot. No-op in production. */
+  private[graft] var midReadHook: () => Unit = () => ()
+
   /** Publish `commit` as exactly version `commit.version`.
     * @throws TxnConflictException if that version already exists. */
   def tryCommit(path: String, commit: TxnCommit): Unit = {
@@ -387,6 +394,12 @@ object TxnTable {
       case _: FileAlreadyExistsException =>
         throw new TxnConflictException(commit.version)
     } finally Files.deleteIfExists(tmp)
+    // A version-0 commit is a table BIRTH: if a table previously lived
+    // at this path in this JVM (deleted externally, then recreated),
+    // every memoized (path, version) schema belongs to the dead table —
+    // drop them, or reads of the new table would bind the stale schema.
+    if (commit.version == 0L)
+      schemaInfoMemo.keySet.removeIf(_._1 == path)
     // Checkpoint: only the winner of version V reaches here, so there
     // is exactly one writer; the content is deterministic from the log
     // prefix, so a torn/failed write is safe (readers fall back to a
@@ -730,19 +743,30 @@ object TxnTable {
       .flatMap(_.fields.find(_.name.equalsIgnoreCase(logical)))
       .map(physicalFieldName).getOrElse(logical)
 
+  /** Rename via ONE simultaneous projection — never
+    * `withColumnsRenamed`, which applies entries one-by-one: with a
+    * swap-shaped mapping (field A's new name = field B's old name,
+    * e.g. RENAME v→value + a fresh `v` added later) the sequential
+    * renames collide into duplicate columns. A single aliased select
+    * maps every column exactly once. */
+  private def renameAll(df: DataFrame, m: Map[String, String]): DataFrame =
+    if (m.isEmpty) df
+    else df.select(df.columns.map(c =>
+      col(s"`$c`").as(m.getOrElse(c.toLowerCase, c))).toSeq: _*)
+
   private def toLogical(df: DataFrame,
       s: org.apache.spark.sql.types.StructType): DataFrame =
     if (!hasMapping(s)) df
-    else df.withColumnsRenamed(
+    else renameAll(df,
       s.fields.filter(_.metadata.contains(PhysicalKey))
-        .map(f => physicalFieldName(f) -> f.name).toMap)
+        .map(f => physicalFieldName(f).toLowerCase -> f.name).toMap)
 
   private def toPhysical(df: DataFrame,
       s: org.apache.spark.sql.types.StructType): DataFrame =
     if (!hasMapping(s)) df
-    else df.withColumnsRenamed(
+    else renameAll(df,
       s.fields.filter(_.metadata.contains(PhysicalKey))
-        .map(f => f.name -> physicalFieldName(f)).toMap)
+        .map(f => f.name.toLowerCase -> physicalFieldName(f)).toMap)
 
   private def recordedSchemaAt(path: String, v: Long)
       : Option[org.apache.spark.sql.types.StructType] = {
@@ -751,6 +775,30 @@ object TxnTable {
     else schemaInfo(path, upTo)._2.map(js =>
       org.apache.spark.sql.types.DataType.fromJson(js)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Every PHYSICAL column name (lowercased) that may exist in the
+    * table's data files: the current schema's physical names, the
+    * physical names of every schema recorded in the readable log
+    * prefix (covers dropped columns whose bytes still sit in live
+    * files), and the column sets logged with each live file's
+    * write-time stats (covers pre-horizon eras the log no longer
+    * replays). Used by [[checkSchema]]'s evolution path to refuse a
+    * new logical name that would re-bind old bytes — O(versions)
+    * driver metadata on the rare evolve path only. */
+  private def physicalNamesInUse(path: String, upTo: Long): Set[String] = {
+    def phys(s: org.apache.spark.sql.types.StructType): Seq[String] =
+      s.fields.toSeq.map(f => physicalFieldName(f).toLowerCase)
+    val hist = (earliestVersion(path) to upTo).flatMap { v =>
+      readCommit(path, v).schema.toSeq.flatMap(js =>
+        phys(org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+    }
+    val logged = addsIndex(path, upTo).values
+      .flatMap(_.stats).flatMap(parseAddStats)
+      .flatMap(_.cols.map(_.toLowerCase))
+    (recordedSchemaAt(path, upTo).toSeq.flatMap(phys) ++ hist ++ logged)
+      .toSet
   }
 
   /** Apply a snapshot's DELETION VECTORS to a raw parquet scan of (a
@@ -894,8 +942,17 @@ object TxnTable {
               (v to cur).forall { iv =>
                 val c = readCommit(path, iv)
                 // a DV delete changes logical content like an append —
-                // an overwrite must not silently swallow it
-                c.adds.isEmpty && c.removes.isEmpty && c.dvs.isEmpty
+                // an overwrite must not silently swallow it. A
+                // schema-recording commit (ALTER/evolution) or a
+                // constraint:add/:drop is a metadata change the staged
+                // overwrite never saw: its files carry the pre-ALTER
+                // shape and were validated against the pre-change
+                // constraint set — abort, mirroring
+                // CommuteNonOverlapping's ConcurrentMetadataChange rule
+                // (rebasing past a fresh CHECK would commit rows it
+                // never validated).
+                c.adds.isEmpty && c.removes.isEmpty && c.dvs.isEmpty &&
+                  c.schema.isEmpty && !c.op.startsWith("constraint:")
               }
           }
           if (!commutes) throw e
@@ -935,6 +992,30 @@ object TxnTable {
           s"append schema ${df.schema.simpleString} does not match table " +
             s"schema ${cur.simpleString}; pass evolveSchema=true to evolve")
       case cur =>
+        // Evolution binds a NEW column's logical name as its physical
+        // name (the data files of this very append already store it
+        // that way — they are written from the pre-evolution mapping).
+        // That name must therefore collide with NO physical name the
+        // table's files may already contain: after RENAME a→b an
+        // evolve-append carrying `a` would put two physical `a` fields
+        // in the schema (every read fails), and after DROP s one
+        // carrying `s` would re-bind the dropped bytes (deleted data
+        // resurrects). Reject loudly — ADD COLUMNS remaps to a fresh
+        // physical name and is always safe.
+        cur.foreach { c =>
+          val existing = c.fieldNames.map(_.toLowerCase).toSet
+          val fresh = df.schema.fieldNames
+            .filterNot(n => existing(n.toLowerCase))
+          if (fresh.nonEmpty) {
+            val inUse = physicalNamesInUse(path, currentVersion(path))
+            val clash = fresh.filter(n => inUse(n.toLowerCase))
+            require(clash.isEmpty,
+              s"schema evolution: ${clash.mkString(", ")} collides with " +
+                "a physical column name already present in the table's " +
+                "files (a renamed or dropped column) — use ALTER TABLE " +
+                "ADD COLUMNS, which assigns a fresh physical name")
+          }
+        }
         // evolution records the writer's LOGICAL schema — carry each
         // surviving field's column-mapping metadata forward, or a
         // rename's physical binding would be silently wiped and every
@@ -2546,7 +2627,18 @@ object TxnTable {
     * metadata-only commit — O(1) at any table size; existing files
     * null-fill the new columns at read time (pinned-schema read). New
     * columns must be nullable (there is no backfill to satisfy a NOT
-    * NULL on old rows). */
+    * NULL on old rows).
+    *
+    * Every added column gets a FRESH physical name (`col-<uuid>`, the
+    * column-mapping seam — like the open lake formats do when mapping
+    * is active), never its logical name. Two resurrection/clash
+    * hazards force this: (a) after RENAME a→b, ADD COLUMNS (a …) would
+    * otherwise put two fields named `a` in the physical schema —
+    * every subsequent read fails and writes corrupt; (b) after DROP
+    * COLUMNS s, ADD COLUMNS (s …) would otherwise re-bind the dropped
+    * column's bytes still sitting in old files — deleted data silently
+    * resurrects. A fresh physical name can collide with nothing: no
+    * file has ever stored it. */
   def addColumns(spark: SparkSession, path: String,
       cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Long = {
     require(cols.nonEmpty, "addColumns: no columns given")
@@ -2559,7 +2651,11 @@ object TxnTable {
         require(clash.isEmpty, s"addColumns: already present: $clash")
         org.apache.spark.sql.types.StructType(
           cur.fields ++ cols.map { case (n, dt) =>
-            org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
+            org.apache.spark.sql.types.StructField(n, dt, nullable = true,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(PhysicalKey,
+                  s"col-${java.util.UUID.randomUUID().toString.take(8)}")
+                .build()) })
       })
   }
 
@@ -2797,6 +2893,7 @@ object TxnTable {
         s"countRange: $column has non-integral type $dt (bounds live in " +
           "the physical int64 space)")
     }
+    midReadHook()
     val physCol = physicalColName(path, upTo, column)
     val ai = addsIndex(path, upTo)
     val dvNames = snapshotDvs(path, upTo).keySet.map(_.split('/').last)
@@ -2823,9 +2920,15 @@ object TxnTable {
       }
     }
     val scanFiles = scan.result()
+    // scan half pinned to the SAME resolved snapshot as the metadata
+    // half (upTo, not the raw asOf): a commit landing between the two
+    // resolutions (e.g. a MOR delete adding a DV) must not mix
+    // snapshots — metadata counted at upTo, boundary files
+    // DV-subtracted at a newer head — or the documented-exact count
+    // is wrong under concurrency.
     val scanned =
       if (scanFiles.isEmpty) 0L
-      else applyDv(spark, path, asOf,
+      else applyDv(spark, path, upTo,
         spark.read.schema(physicalSchema(schema)).parquet(scanFiles: _*),
         keepFname = false)
         .filter(physicalBetweenType(schema(column).dataType, column, lo, hi))
@@ -2871,6 +2974,7 @@ object TxnTable {
       case dt => throw new IllegalArgumentException(
         s"minMaxOf: $column has non-integral type $dt")
     }
+    midReadHook()
     val physCol = physicalColName(path, upTo, column)
     val ai = addsIndex(path, upTo)
     val dvNames = snapshotDvs(path, upTo).keySet.map(_.split('/').last)
@@ -2895,8 +2999,10 @@ object TxnTable {
       }
     }
     val scanFiles = scan.result()
+    // same-snapshot pin as countRange: DV subtraction at upTo, never
+    // at a head that advanced after the metadata half resolved
     if (scanFiles.nonEmpty) {
-      val r = applyDv(spark, path, asOf,
+      val r = applyDv(spark, path, upTo,
         spark.read.schema(physicalSchema(schema)).parquet(scanFiles: _*),
         keepFname = false)
         .agg(min(phys), max(phys)).head()

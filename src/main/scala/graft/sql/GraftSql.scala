@@ -206,7 +206,7 @@ object GraftSql {
         val asOf = (ver, ts) match {
           case (Some(v), _) => v.toLong
           case (_, Some(e)) => TxnTable.versionAt(
-            registeredPath(r), timestampMillis(e))
+            registeredPath(r), timestampMillis(spark, e))
           case _ => -1L
         }
         snapshot(r, asOf).getOrElse(tt)
@@ -252,19 +252,31 @@ object GraftSql {
   }
 
   /** Evaluate a TIMESTAMP AS OF expression to epoch millis: the parser
-    * hands a string (or timestamp) literal; interpret strings in the
-    * session timezone like Spark's own CAST would. */
-  private def timestampMillis(e: Expression): Long = e match {
-    case Literal(v: Long, org.apache.spark.sql.types.TimestampType) =>
-      Math.floorDiv(v, 1000L) // micros → millis
-    case lit: Literal =>
-      val s = lit.value.toString
-      java.sql.Timestamp.valueOf(
-        if (s.contains(" ") || s.contains("T")) s.replace("T", " ")
-        else s + " 00:00:00").getTime
-    case other => throw new IllegalArgumentException(
-      s"TIMESTAMP AS OF must be a literal, got $other")
-  }
+    * hands a string (or timestamp) literal; string literals are parsed
+    * by Catalyst's own string→timestamp Cast under the SESSION timezone
+    * (`spark.sql.session.timeZone`) — exactly like Spark's CAST, and
+    * NEVER the JVM default zone (on a host whose default isn't the
+    * session zone, `java.sql.Timestamp.valueOf` would resolve the
+    * statement to a different instant than every other timestamp in
+    * the engine). */
+  private def timestampMillis(spark: SparkSession, e: Expression): Long =
+    e match {
+      case Literal(v: Long, org.apache.spark.sql.types.TimestampType) =>
+        Math.floorDiv(v, 1000L) // micros → millis
+      case l: Literal =>
+        val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+          Literal(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(l.value.toString),
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.TimestampType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+        require(micros != null,
+          s"TIMESTAMP AS OF: cannot parse '${l.value}' as a timestamp")
+        Math.floorDiv(micros.asInstanceOf[Long], 1000L)
+      case other => throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF must be a literal, got $other")
+    }
 
   // -- target resolution ---------------------------------------------------
 

@@ -188,6 +188,72 @@ class AlterColumnsSpec extends SparkSpecBase {
     }
   }
 
+  test("ADD after RENAME or DROP can never clash or resurrect (fresh " +
+    "physical names)") {
+    // RENAME v→value keeps physical `v`; re-ADDing logical `v` must
+    // NOT produce two physical `v` fields (every read would fail) —
+    // the added column gets a fresh col-<uuid> physical name
+    val t = mk() // (id, v, s)
+    TxnTable.renameColumn(spark, t, "v", "value")
+    TxnTable.addColumns(spark, t,
+      Seq("v" -> org.apache.spark.sql.types.LongType))
+    val head = TxnTable.read(spark, t)
+    assert(head.columns.toSeq == Seq("id", "value", "s", "v"))
+    // old data stays in `value`; the NEW `v` never re-binds old bytes
+    assert(head.agg(sum(col("value"))).head().getLong(0) == 60L)
+    assert(head.filter(col("v").isNotNull).count() == 0)
+    // writes land in the fresh physical column and read back
+    TxnTable.append(spark, t,
+      Seq((4L, 40L, "d", 7L)).toDF("id", "value", "s", "v"))
+    assert(TxnTable.read(spark, t).filter(col("v") === 7L).count() == 1)
+    val raw = spark.read.parquet(java.nio.file.Paths.get(t)
+      .resolve(TxnTable.commits(t).last.adds.head.path).toString)
+      .columns.toSet
+    assert(raw.contains("v") && raw.exists(_.startsWith("col-")),
+      s"file must store stable physical v + fresh col-<uuid>, got $raw")
+
+    // DROP s then re-ADD s: the dropped bytes in old files must NOT
+    // resurrect into the new column
+    val t2 = mk()
+    TxnTable.dropColumns(spark, t2, Seq("s"))
+    TxnTable.addColumns(spark, t2,
+      Seq("s" -> org.apache.spark.sql.types.StringType))
+    assert(TxnTable.read(spark, t2).filter(col("s").isNotNull).count() == 0,
+      "dropped data must stay dropped after a same-name re-add")
+    TxnTable.append(spark, t2,
+      Seq((4L, 40L, "fresh")).toDF("id", "v", "s"))
+    assert(TxnTable.read(spark, t2).filter(col("s") === "fresh")
+      .count() == 1)
+  }
+
+  test("schema evolution refuses re-binding an in-use physical name") {
+    // evolve-added columns bind logical-as-physical (the append's own
+    // files already store them that way), so a name colliding with a
+    // renamed field's physical name must be rejected loudly
+    val t = mk()
+    TxnTable.renameColumn(spark, t, "v", "value")
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.append(spark, t,
+        Seq((9L, 90L, "x", 1L)).toDF("id", "value", "s", "v"),
+        evolveSchema = true)
+    }
+    assert(e.getMessage.contains("physical"), e.getMessage)
+    assert(TxnTable.read(spark, t).count() == 3, "nothing may commit")
+    // ... and one colliding with a DROPPED column's bytes likewise
+    val t2 = mk()
+    TxnTable.dropColumns(spark, t2, Seq("s"))
+    intercept[IllegalArgumentException] {
+      TxnTable.append(spark, t2,
+        Seq((9L, 90L, "x")).toDF("id", "v", "s"), evolveSchema = true)
+    }
+    // an untainted new name still evolves fine
+    TxnTable.append(spark, t2,
+      Seq((9L, 90L, "fresh")).toDF("id", "v", "note"), evolveSchema = true)
+    val h2 = TxnTable.read(spark, t2)
+    assert(h2.columns.toSeq == Seq("id", "v", "note"))
+    assert(h2.filter(col("note") === "fresh").count() == 1)
+  }
+
   test("metadata aggregates and pruned reads survive an ALTER cycle") {
     val t = mk()
     TxnTable.addColumns(spark, t,

@@ -190,4 +190,48 @@ class ConstraintSpec extends SparkSpecBase {
     TxnTable.deleteWhere(spark, t, col("id") === 1L)
     assert(TxnTable.read(spark, t).count() == 2)
   }
+
+  test("an overwrite never rebases past an interleaved constraint or " +
+    "ALTER commit") {
+    // overwrite's CommuteMetadataOnly rebase must treat constraint:add
+    // and schema-recording commits like CommuteNonOverlapping does:
+    // its staged rows were validated against the PRE-change rules, so
+    // rebasing past them would commit rows the fresh CHECK (or the
+    // fresh shape) never saw.
+    val t = Files.createTempDirectory("graft_cn6").toString + "/t"
+    mk(t)
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      TxnTable.addConstraint(spark, t, "v_cap", "v < 100")
+    }
+    try intercept[TxnTable.TxnConflictException] {
+      TxnTable.overwrite(spark, t,
+        Seq((9L, 500L, "x")).toDF("id", "v", "s"))
+    } finally TxnTable.preCommitHook = () => ()
+    assert(fired && TxnTable.constraints(t).contains("v_cap"))
+    assert(TxnTable.read(spark, t).count() == 3,
+      "the aborted overwrite must change nothing")
+    assert(dataFiles(t) == TxnTable.snapshotFiles(t).size,
+      "the aborted overwrite must clean its staged files")
+    // the re-run validates against the fresh CHECK: 500 violates …
+    violates(TxnTable.overwrite(spark, t,
+      Seq((9L, 500L, "x")).toDF("id", "v", "s")))
+    // … and a compliant overwrite lands
+    TxnTable.overwrite(spark, t, Seq((9L, 50L, "x")).toDF("id", "v", "s"))
+    assert(TxnTable.read(spark, t).count() == 1)
+    // an interleaved ALTER (schema-recording commit) aborts the same way
+    var fired2 = false
+    TxnTable.preCommitHook = () => if (!fired2) {
+      fired2 = true
+      TxnTable.addColumns(spark, t,
+        Seq("w" -> org.apache.spark.sql.types.LongType))
+    }
+    try intercept[TxnTable.TxnConflictException] {
+      TxnTable.overwrite(spark, t, Seq((7L, 70L, "y")).toDF("id", "v", "s"))
+    } finally TxnTable.preCommitHook = () => ()
+    assert(fired2)
+    assert(TxnTable.read(spark, t).columns.contains("w"),
+      "the interleaved ALTER must stand")
+  }
 }

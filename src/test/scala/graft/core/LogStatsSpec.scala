@@ -237,4 +237,45 @@ class LogStatsSpec extends SparkSpecBase {
     assert(c == 49L, "post-DV count must see the deletion")
     assert(s2 == 1, s"only the DV'd file re-scans for the count, got $s2")
   }
+
+  test("countRange/minMaxOf answer at ONE snapshot under a concurrent " +
+    "commit") {
+    // A commit landing between the metadata half (resolved at upTo) and
+    // the scan half must not shift the scan to the new head — both
+    // halves answer at the snapshot resolved on entry (midReadHook
+    // seam fires exactly in the race window).
+    val t = Files.createTempDirectory("graft_crrace").toString + "/t"
+    mk(t) // 8 g-clustered files; v = id * 3
+    // v ∈ [6003, 6100] cuts file g=2 (bounds 6003..6150) mid-file → it
+    // scans; the interleaved MOR delete kills 10 of its rows at HEAD
+    var fired = false
+    TxnTable.midReadHook = () => if (!fired) {
+      fired = true
+      TxnTable.deleteWhereMor(spark, t, col("id").between(2001L, 2010L))
+    }
+    val cnt =
+      try TxnTable.countRange(spark, t, "v", 6003L, 6100L)._1
+      finally TxnTable.midReadHook = () => ()
+    assert(fired)
+    assert(cnt == 33L,
+      s"count must answer at the entry snapshot (33 rows), got $cnt")
+    // re-run WITHOUT the hook: the head now sees the deletion
+    assert(TxnTable.countRange(spark, t, "v", 6003L, 6100L)._1 == 23L)
+    // minMaxOf: give file g=7 a DV so it scans, then interleave a
+    // delete of the global max row — the max must come from the ENTRY
+    // snapshot, where 7050 is still alive
+    TxnTable.deleteWhereMor(spark, t, col("id") === 7001L)
+    var fired2 = false
+    TxnTable.midReadHook = () => if (!fired2) {
+      fired2 = true
+      TxnTable.deleteWhereMor(spark, t, col("id") === 7050L)
+    }
+    val mx =
+      try TxnTable.minMaxOf(spark, t, "v")._2
+      finally TxnTable.midReadHook = () => ()
+    assert(fired2)
+    assert(mx.contains(7050L * 3),
+      s"max must answer at the entry snapshot, got $mx")
+    assert(TxnTable.minMaxOf(spark, t, "v")._2.contains(7049L * 3))
+  }
 }

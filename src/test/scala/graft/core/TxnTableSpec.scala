@@ -1260,4 +1260,28 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).count() == 4 + CheckpointInterval)
     assert(constraints(t).contains("s_len"))
   }
+
+  test("a table recreated at the same path never serves the dead " +
+    "table's memoized schema") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val t = Files.createTempDirectory("graft_rebirth").toString + "/t"
+    create(spark, t, Seq((1L, "x")).toDF("id", "name"))
+    assert(read(spark, t).columns.toSeq == Seq("id", "name")) // memoizes
+    // external death: the whole table directory is wiped …
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(t))
+    // … and a DIFFERENT table is born at the same path: reads must bind
+    // the new schema, not the memoized (path, version) entry of the
+    // dead one
+    create(spark, t, Seq((5L, 7L, 9L)).toDF("k", "n", "m"))
+    val cols = read(spark, t).columns.toSeq
+    assert(cols == Seq("k", "n", "m"),
+      s"stale memoized schema served after rebirth: $cols")
+    assert(read(spark, t).agg(sum(col("n"))).head().getLong(0) == 7L)
+  }
 }

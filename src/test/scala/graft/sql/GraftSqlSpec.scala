@@ -171,6 +171,35 @@ class GraftSqlSpec extends SparkSpecBase {
       Set(30000L, 40000L))
   }
 
+  test("TIMESTAMP AS OF strings parse in the SESSION timezone, never " +
+    "the JVM default") {
+    val (_, n) = mk() // v0: 4 rows
+    Thread.sleep(1100) // commit-file mtime clock has 1s resolution
+    val tsBetween = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    Thread.sleep(1100)
+    GraftSql.execute(spark, s"DELETE FROM $n WHERE id <= 2") // v1
+    // Under a JVM default of UTC-9, java.sql.Timestamp.valueOf would
+    // shift the literal 9 h LATER → resolve past v1 (count 2). The
+    // Catalyst Cast under the session zone (UTC) must still see v0.
+    val dflt = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("Etc/GMT+9"))
+      assert(GraftSql.query(spark,
+        s"SELECT count(*) AS c FROM $n TIMESTAMP AS OF '$tsBetween'")
+        .head().getLong(0) == 4L,
+        "a non-UTC JVM default zone must not move the resolved instant")
+    } finally java.util.TimeZone.setDefault(dflt)
+    // unparseable literals fail loudly (ANSI Cast throws; non-ANSI
+    // falls to the null-guard), never resolve to a wrong version
+    intercept[Exception] {
+      GraftSql.query(spark,
+        s"SELECT * FROM $n TIMESTAMP AS OF 'not-a-timestamp'").collect()
+    }
+  }
+
   test("ALTER TABLE ADD/DROP COLUMNS as statement text") {
     val (t, n) = mk()
     GraftSql.execute(spark,
