@@ -47,9 +47,20 @@ case class MatchedUpdate(set: Map[String, Column],
 case class MatchedDelete(cond: Option[Column] = None) extends MergeMatched
 /** WHEN NOT MATCHED [AND cond] THEN INSERT (values reference source
   * columns via [[TxnTable.srcCol]]; unspecified table columns get
-  * NULL). */
+  * NULL). Multiple clauses apply first-fire-wins per source row. */
 case class NotMatchedInsert(values: Map[String, Column],
     cond: Option[Column] = None)
+
+/** WHEN NOT MATCHED BY SOURCE clauses: applied to TARGET rows whose
+  * key has no source match (the third leg of SQL MERGE — with it a
+  * single statement expresses full-sync CDC: source drives inserts,
+  * updates, AND deletes of rows it no longer carries). Conditions and
+  * SET expressions see TARGET columns only; ordered first-fire-wins
+  * like WHEN MATCHED. */
+sealed trait MergeBySource
+case class BySourceUpdate(set: Map[String, Column],
+    cond: Option[Column] = None) extends MergeBySource
+case class BySourceDelete(cond: Option[Column] = None) extends MergeBySource
 
 /** A minimal transactional table format: snapshot-versioned parquet with
   * an append-only JSON commit log — the ACID layer the plain-directory
@@ -1532,8 +1543,9 @@ object TxnTable {
     */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String], matched: Seq[MergeMatched],
-      notMatched: Option[NotMatchedInsert] = None,
-      clusterBy: Seq[Column] = Nil): Long = {
+      notMatched: Seq[NotMatchedInsert] = Nil,
+      clusterBy: Seq[Column] = Nil,
+      bySource: Seq[MergeBySource] = Nil): Long = {
     val base = currentVersion(path)
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
@@ -1554,47 +1566,54 @@ object TxnTable {
         dup.limit(3).collect().mkString(", "))
     // first-fire-wins claim tracking: build per-clause disjoint fire
     // predicates (claimed rows are excluded from later clauses)
-    def firePredicates(): (Column, Seq[(Column, Map[String, Column])]) = {
-      var claimed: Column = lit(false)
-      var deleteP: Column = lit(false)
-      val updates = Seq.newBuilder[(Column, Map[String, Column])]
-      matched.foreach {
-        case MatchedDelete(c) =>
-          val fire = !claimed && coalesce(c.getOrElse(lit(true)), lit(false))
-          deleteP = deleteP || fire
-          claimed = claimed || fire
-        case MatchedUpdate(set, c) =>
-          val fire = !claimed && coalesce(c.getOrElse(lit(true)), lit(false))
-          updates += ((fire, set))
-          claimed = claimed || fire
-      }
-      (deleteP, updates.result())
-    }
-    // pass 1: one table scan → fired file set + matched key set
-    val joinedAll = withName.join(srcS, keyCols, "inner")
+    val firePredicates = () => mergeFirePredicates(matched)
+    val bySourcePredicates = () => bySourceFirePredicates(bySource)
+    // pass 1: ONE table pass → fired file set + matched key set. A LEFT
+    // join (not inner) so NOT MATCHED BY SOURCE clauses see unmatched
+    // target rows; only matched rows and by-source-fired rows
+    // materialize through the checkpoint (O(matched + fired), batch
+    // scale — never the whole table). With no by-source clauses the
+    // filter reduces to "matched", which Catalyst's EliminateOuterJoin
+    // turns back into the inner join this always was.
+    val m = col(SrcStruct).isNotNull
+    val joinedAll = withName.join(srcS, keyCols, "left")
     val (delAll, updAll) = firePredicates()
-    val anyFire = updAll.map(_._1).foldLeft(delAll)(_ || _)
+    val anyMatchedFire = updAll.map(_._1).foldLeft(delAll)(_ || _)
+    val (bsDelAll, bsUpdAll) = bySourcePredicates()
+    val anyBsFire = bsUpdAll.map(_._1).foldLeft(bsDelAll)(_ || _)
     val probe = joinedAll
-      .select(col("__fname") +: keyCols.map(col) :+ anyFire.as("__fire"): _*)
+      .select(col("__fname") +: keyCols.map(col) :+ m.as("__m") :+
+        when(m, anyMatchedFire).otherwise(anyBsFire).as("__fire"): _*)
+      .filter(col("__m") || col("__fire"))
       .localCheckpoint()
     val hitDf = probe.filter(col("__fire"))
       .select(col("__fname")).distinct().localCheckpoint()
-    val matchedKeys = probe.select(keyCols.map(col): _*).distinct()
+    val matchedKeys = probe.filter(col("__m"))
+      .select(keyCols.map(col): _*).distinct()
     val nHitFiles = hitDf.count()
-    // pass 2: rewrite ONLY hit files — delete claimed-deleted rows,
-    // apply the winning update's SET, carry everything else
+    // pass 2: rewrite ONLY hit files — delete claimed-deleted rows
+    // (matched AND by-source), apply the winning update's SET per
+    // side, carry everything else
     val survivorAdds =
       if (nHitFiles == 0) Nil
       else {
         val joined = withName.join(broadcast(hitDf), "__fname")
           .join(srcS, keyCols, "left")
-        val m = col(SrcStruct).isNotNull
+        val mm = col(SrcStruct).isNotNull
         val (delP, upds) = firePredicates()
-        val out = joined.filter(!(m && delP))
+        val (bsDelP, bsUpds) = bySourcePredicates()
+        val out = joined.filter(!when(mm, delP).otherwise(bsDelP))
           .select(tableCols.map { c =>
-            upds.foldRight(col(c)) { case ((fire, set), acc) =>
+            val afterMatched =
+              upds.foldRight(col(c)) { case ((fire, set), acc) =>
+                if (set.contains(c))
+                  when(mm && fire,
+                    set(c).cast(colType(c))).otherwise(acc)
+                else acc
+              }
+            bsUpds.foldRight(afterMatched) { case ((fire, set), acc) =>
               if (set.contains(c))
-                when(m && fire,
+                when(!mm && fire,
                   set(c).cast(colType(c))).otherwise(acc)
               else acc
             }.as(c)
@@ -1608,16 +1627,14 @@ object TxnTable {
         else writeData(spark, path, outC, 1)
       }
     // insert side: anti-join the SOURCE against the matched keys
-    // (metadata-scale), never a second scan of the table
-    val insertAdds = notMatched match {
-      case Some(NotMatchedInsert(values, cond)) =>
+    // (metadata-scale), never a second scan of the table; multiple
+    // clauses fold first-fire-wins into ONE select
+    val insertAdds =
+      if (notMatched.isEmpty) Nil
+      else {
         val cand = srcS.join(matchedKeys, keyCols, "left_anti")
-          .filter(coalesce(cond.getOrElse(lit(true)), lit(false)))
-        val rows = cand.select(tableCols.map { c =>
-          values.get(c)
-            .map(_.cast(colType(c)))
-            .getOrElse(lit(null).cast(colType(c))).as(c)
-        }: _*)
+        val rows = notMatchedRows(cand, notMatched, tableCols,
+          c => colType(c))
         val rowsC = withChecks(spark, path, rows)
         if (rows.isEmpty) Nil
         else if (clusterBy.nonEmpty)
@@ -1625,8 +1642,7 @@ object TxnTable {
             rowsC.repartitionByRange(1, clusterBy: _*)
               .sortWithinPartitions(clusterBy: _*))
         else writeData(spark, path, rowsC, 1)
-      case None => Nil
-    }
+      }
     val adds = survivorAdds ++ insertAdds
     if (adds.isEmpty && nHitFiles == 0) return base // nothing fired
     val hitNames = hitDf.collect().map(_.getString(0)).toSet
@@ -1634,6 +1650,69 @@ object TxnTable {
     try commitRewrite(path, base, "merge", adds, removes,
       CommuteNonOverlapping)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+  }
+
+  /** First-fire-wins fire predicates for WHEN MATCHED clauses:
+    * (delete-fire, per-update (fire, SET)) with claimed rows excluded
+    * from later clauses. */
+  private def mergeFirePredicates(matched: Seq[MergeMatched])
+      : (Column, Seq[(Column, Map[String, Column])]) = {
+    var claimed: Column = lit(false)
+    var deleteP: Column = lit(false)
+    val updates = Seq.newBuilder[(Column, Map[String, Column])]
+    matched.foreach {
+      case MatchedDelete(c) =>
+        val fire = !claimed && coalesce(c.getOrElse(lit(true)), lit(false))
+        deleteP = deleteP || fire
+        claimed = claimed || fire
+      case MatchedUpdate(set, c) =>
+        val fire = !claimed && coalesce(c.getOrElse(lit(true)), lit(false))
+        updates += ((fire, set))
+        claimed = claimed || fire
+    }
+    (deleteP, updates.result())
+  }
+
+  /** [[mergeFirePredicates]] for WHEN NOT MATCHED BY SOURCE clauses —
+    * same ordering/claim semantics, target-only expressions. */
+  private def bySourceFirePredicates(bySource: Seq[MergeBySource])
+      : (Column, Seq[(Column, Map[String, Column])]) = {
+    var claimed: Column = lit(false)
+    var deleteP: Column = lit(false)
+    val updates = Seq.newBuilder[(Column, Map[String, Column])]
+    bySource.foreach {
+      case BySourceDelete(c) =>
+        val fire = !claimed && coalesce(c.getOrElse(lit(true)), lit(false))
+        deleteP = deleteP || fire
+        claimed = claimed || fire
+      case BySourceUpdate(set, c) =>
+        val fire = !claimed && coalesce(c.getOrElse(lit(true)), lit(false))
+        updates += ((fire, set))
+        claimed = claimed || fire
+    }
+    (deleteP, updates.result())
+  }
+
+  /** Fold ordered WHEN NOT MATCHED insert clauses over the unmatched
+    * source slice into one select: first clause whose condition passes
+    * claims the row; unspecified columns NULL-fill. */
+  private def notMatchedRows(cand: DataFrame,
+      notMatched: Seq[NotMatchedInsert], tableCols: Seq[String],
+      colType: String => org.apache.spark.sql.types.DataType): DataFrame = {
+    var claimed: Column = lit(false)
+    val clauses = notMatched.map { case NotMatchedInsert(values, cond) =>
+      val fire = !claimed && coalesce(cond.getOrElse(lit(true)), lit(false))
+      claimed = claimed || fire
+      (fire, values)
+    }
+    val anyIns = clauses.map(_._1).foldLeft(lit(false))(_ || _)
+    cand.filter(anyIns).select(tableCols.map { c =>
+      clauses.foldRight(lit(null).cast(colType(c)): Column) {
+        case ((fire, values), acc) =>
+          when(fire, values.get(c).map(_.cast(colType(c)))
+            .getOrElse(lit(null).cast(colType(c)))).otherwise(acc)
+      }.as(c)
+    }: _*)
   }
 
   /** [[mergeInto]] (ordered WHEN MATCHED clauses + conditioned insert)
@@ -1650,8 +1729,9 @@ object TxnTable {
     * [[mergeInto]]'s, spec-pinned against it. */
   def mergeIntoMor(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String], matched: Seq[MergeMatched],
-      notMatched: Option[NotMatchedInsert] = None,
-      partitions: Int = 1): Long = {
+      notMatched: Seq[NotMatchedInsert] = Nil,
+      partitions: Int = 1,
+      bySource: Seq[MergeBySource] = Nil): Long = {
     val base = currentVersion(path)
     val (live, oldDv, files) = liveWithPos(spark, path, base)
     val tableCols = live.columns.toSeq
@@ -1665,33 +1745,27 @@ object TxnTable {
     require(dup.isEmpty,
       "mergeIntoMor: multiple source rows match the same key " +
         dup.limit(3).collect().mkString(", "))
-    def firePredicates(): (Column, Seq[(Column, Map[String, Column])]) = {
-      var claimed: Column = lit(false)
-      var deleteP: Column = lit(false)
-      val updates = Seq.newBuilder[(Column, Map[String, Column])]
-      matched.foreach {
-        case MatchedDelete(c) =>
-          val fire = !claimed && coalesce(c.getOrElse(lit(true)), lit(false))
-          deleteP = deleteP || fire
-          claimed = claimed || fire
-        case MatchedUpdate(set, c) =>
-          val fire = !claimed && coalesce(c.getOrElse(lit(true)), lit(false))
-          updates += ((fire, set))
-          claimed = claimed || fire
-      }
-      (deleteP, updates.result())
-    }
-    // ONE table pass: the matched slice pins positions, fire flags,
-    // and the source struct the update images are computed from
-    val (delP, upds) = firePredicates()
-    val anyFire = upds.map(_._1).foldLeft(delP)(_ || _)
-    val matchedRows = live.join(srcS, keyCols, "inner")
-      .withColumn("__del", delP)
-      .withColumn("__fire", anyFire)
+    // ONE table pass: the LEFT-joined slice pins positions, fire
+    // flags, and the source struct the update images are computed
+    // from; by-source clauses (unmatched target rows) ride the same
+    // pass — only matched + by-source-fired rows materialize. A fired
+    // row dies by DV position; update images (matched AND by-source)
+    // re-append alongside the NOT MATCHED inserts, ONE commit.
+    val (delP, upds) = mergeFirePredicates(matched)
+    val anyMatchedFire = upds.map(_._1).foldLeft(delP)(_ || _)
+    val (bsDelP, bsUpds) = bySourceFirePredicates(bySource)
+    val anyBsFire = bsUpds.map(_._1).foldLeft(bsDelP)(_ || _)
+    val m = col(SrcStruct).isNotNull
+    val matchedRows = live.join(srcS, keyCols, "left")
+      .withColumn("__m", m)
+      .withColumn("__del", when(m, delP).otherwise(bsDelP))
+      .withColumn("__fire", when(m, anyMatchedFire).otherwise(anyBsFire))
+      .filter(col("__m") || col("__fire"))
       .localCheckpoint()
     val hits = matchedRows.filter(col("__fire"))
       .select(col("__fname").as("file"), col("__pos").as("pos"))
-    val updated = matchedRows.filter(col("__fire") && !col("__del"))
+    val updatedMatched = matchedRows
+      .filter(col("__m") && col("__fire") && !col("__del"))
       .select(tableCols.map { c =>
         upds.foldRight(col(c)) { case ((fire, set), acc) =>
           if (set.contains(c))
@@ -1699,21 +1773,27 @@ object TxnTable {
           else acc
         }.as(c)
       }: _*)
-    val inserts = notMatched match {
-      case Some(NotMatchedInsert(values, cond)) =>
-        val matchedKeys = matchedRows.select(keyCols.map(col): _*).distinct()
-        srcS.join(matchedKeys, keyCols, "left_anti")
-          .filter(coalesce(cond.getOrElse(lit(true)), lit(false)))
-          .select(tableCols.map { c =>
-            values.get(c)
-              .map(_.cast(schema(c).dataType))
-              .getOrElse(lit(null).cast(schema(c).dataType)).as(c)
-          }: _*)
-      case None =>
+    val updatedBySource = matchedRows
+      .filter(!col("__m") && col("__fire") && !col("__del"))
+      .select(tableCols.map { c =>
+        bsUpds.foldRight(col(c)) { case ((fire, set), acc) =>
+          if (set.contains(c))
+            when(fire, set(c).cast(schema(c).dataType)).otherwise(acc)
+          else acc
+        }.as(c)
+      }: _*)
+    val inserts =
+      if (notMatched.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
-    val newRows = updated.unionByName(inserts)
+      else {
+        val matchedKeys = matchedRows.filter(col("__m"))
+          .select(keyCols.map(col): _*).distinct()
+        notMatchedRows(srcS.join(matchedKeys, keyCols, "left_anti"),
+          notMatched, tableCols, c => schema(c).dataType)
+      }
+    val newRows = updatedMatched.unionByName(updatedBySource)
+      .unionByName(inserts)
     val adds =
       if (newRows.isEmpty) Nil
       else writeData(spark, path, withChecks(spark, path, newRows),

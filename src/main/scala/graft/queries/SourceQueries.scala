@@ -720,7 +720,7 @@ object SourceQueries {
       matched = Seq(
         MatchedDelete(Some(col("o_orderstatus") === "F")),
         MatchedUpdate(Map("price_c" -> TxnTable.srcCol("nv")))),
-      notMatched = Some(NotMatchedInsert(
+      notMatched = Seq(NotMatchedInsert(
         Map("o_orderkey" -> TxnTable.srcCol("o_orderkey"),
           "o_custkey" -> TxnTable.srcCol("o_custkey"),
           "o_orderstatus" -> lit("N"),
@@ -838,7 +838,7 @@ object SourceQueries {
       matched = Seq(
         MatchedDelete(Some(col("o_orderstatus") === "F")),
         MatchedUpdate(Map("price_c" -> TxnTable.srcCol("nv")))),
-      notMatched = Some(NotMatchedInsert(
+      notMatched = Seq(NotMatchedInsert(
         Map("o_orderkey" -> TxnTable.srcCol("o_orderkey"),
           "o_custkey" -> TxnTable.srcCol("o_custkey"),
           "o_orderstatus" -> lit("N"),

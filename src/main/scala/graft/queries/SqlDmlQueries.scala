@@ -260,7 +260,76 @@ object SqlDmlQueries {
     } finally GraftSql.unregister(n)
   }
 
+  /** S41: MERGE's third leg — WHEN NOT MATCHED BY SOURCE (delete +
+    * update, conditioned, ordered) alongside matched updates and TWO
+    * ordered NOT MATCHED insert clauses: full-sync CDC as ONE
+    * statement. Runs the same statement through the CoW AND the MOR
+    * path and asserts the two snapshots agree bit-exactly (exceptAll
+    * both ways); MOR rewrites zero pre-existing files. Oracle replays
+    * all five clause outcomes relationally. */
+  def s41MergeNotMatchedBySource(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_s41")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ck, kx) = (m.getLong(0), m.getLong(1))
+    val srcView = freshName("orders_sync_")
+    orders
+      .filter(col("o_custkey").between(ck / 3, ck / 3 + ck / 8))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("price_c") * 3).as("nv"))
+      .unionAll(orders
+        .filter(col("o_custkey").between(ck / 5, ck / 5 + ck / 16))
+        .select((col("o_orderkey") + kx).as("o_orderkey"),
+          col("o_custkey"), col("price_c").as("nv")))
+      .createOrReplaceTempView(srcView)
+    def run(mor: Boolean): String = {
+      val t = base.toString + (if (mor) "/mor" else "/cow")
+      val n = freshName(if (mor) "sync_mor_" else "sync_cow_")
+      graft.core.TxnTable.createClustered(spark, t, orders,
+        Seq(col("o_custkey")), targetFiles = 10)
+      val filesBefore = TxnTable.snapshotFiles(t).toSet
+      GraftSql.register(n, t, mor)
+      try GraftSql.execute(spark,
+        s"""MERGE INTO $n AS tg USING $srcView AS sr
+           |ON tg.o_orderkey = sr.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET price_c = sr.nv
+           |WHEN NOT MATCHED AND sr.o_custkey % 2 = 0 THEN
+           |  INSERT (o_orderkey, o_custkey, o_orderstatus, price_c)
+           |  VALUES (sr.o_orderkey, sr.o_custkey, 'N', sr.nv)
+           |WHEN NOT MATCHED THEN
+           |  INSERT (o_orderkey, o_custkey, o_orderstatus, price_c)
+           |  VALUES (sr.o_orderkey, sr.o_custkey, 'M', sr.nv)
+           |WHEN NOT MATCHED BY SOURCE AND tg.o_orderstatus = 'F'
+           |    AND tg.o_custkey <= ${ck / 6} THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE AND tg.o_custkey <= ${ck / 6} THEN
+           |  UPDATE SET price_c = tg.price_c + 1
+           |""".stripMargin)
+      finally GraftSql.unregister(n)
+      val c = TxnTable.commits(t).last
+      if (mor) {
+        require(c.op == "dvmerge" && c.removes.isEmpty &&
+          filesBefore.subsetOf(TxnTable.snapshotFiles(t).toSet),
+          "MOR full-sync must rewrite zero pre-existing files")
+      } else require(c.op == "merge" && c.removes.nonEmpty,
+        "CoW full-sync must land as one merge commit")
+      t
+    }
+    val cow = run(mor = false)
+    val mor = run(mor = true)
+    val (a, b) = (TxnTable.read(spark, cow), TxnTable.read(spark, mor))
+    require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "CoW and MOR full-sync snapshots must agree bit-exactly")
+    a.groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("st"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s41_merge_not_matched_by_source" -> (s41MergeNotMatchedBySource _),
     "s39_table_changes" -> (s39TableChanges _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
@@ -269,6 +338,40 @@ object SqlDmlQueries {
     "s38_rename_column" -> (s38RenameColumn _))
 
   val oracle: Map[String, String] = Map(
+    // full-sync MERGE replayed relationally: matched band → source
+    // price, unmatched low-band F rows deleted, other unmatched
+    // low-band rows +1, fresh keys inserted with parity-picked status
+    "s41_merge_not_matched_by_source" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck,
+        |    CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),
+        |base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, pc * 3 AS nv FROM base, b
+        |  WHERE o_custkey BETWEEN b.ck//3 AND b.ck//3 + b.ck//8
+        |  UNION ALL
+        |  SELECT o_orderkey + b.kx, o_custkey, pc FROM base, b
+        |  WHERE o_custkey BETWEEN b.ck//5 AND b.ck//5 + b.ck//16),
+        |merged AS (
+        |  SELECT t.o_orderkey, t.o_orderstatus, s.nv AS pc
+        |  FROM base t JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  UNION ALL
+        |  SELECT t.o_orderkey, t.o_orderstatus,
+        |    CASE WHEN t.o_custkey <= b.ck//6 THEN t.pc + 1 ELSE t.pc END
+        |  FROM base t, b
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s
+        |                    WHERE s.o_orderkey = t.o_orderkey)
+        |    AND NOT (t.o_orderstatus = 'F' AND t.o_custkey <= b.ck//6)
+        |  UNION ALL
+        |  SELECT s.o_orderkey,
+        |    CASE WHEN s.o_custkey % 2 = 0 THEN 'N' ELSE 'M' END, s.nv
+        |  FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM base t
+        |                    WHERE t.o_orderkey = s.o_orderkey))
+        |SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS price_sum,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // UPDATE doubles the mid-band O prices, DELETE drops low-band F
     // rows — replayed as one CASE + anti-filter over raw orders
     "s34_sql_update_delete" ->

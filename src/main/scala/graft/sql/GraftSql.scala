@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.core.{MatchedDelete, MatchedUpdate, MergeMatched, NotMatchedInsert, TxnTable}
+import graft.core.{BySourceDelete, BySourceUpdate, MatchedDelete, MatchedUpdate, MergeBySource, MergeMatched, NotMatchedInsert, TxnTable}
 
 /** SQL DML over transactional tables: `UPDATE`, `DELETE FROM`, and
   * `MERGE INTO` statements — parsed by SPARK'S OWN PARSER (full
@@ -403,11 +403,8 @@ object GraftSql {
         s"unsupported WHEN MATCHED action: $other")
     }
 
-    require(m.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported")
-    require(m.notMatchedActions.size <= 1,
-      "at most one WHEN NOT MATCHED clause is supported")
-    val notMatched: Option[NotMatchedInsert] = m.notMatchedActions.headOption.map {
+    // multiple WHEN NOT MATCHED clauses: ordered, first-fire-wins
+    val notMatched: Seq[NotMatchedInsert] = m.notMatchedActions.map {
       case InsertAction(cond, assigns) =>
         NotMatchedInsert(
           assigns.map(a =>
@@ -419,9 +416,42 @@ object GraftSql {
         s"unsupported WHEN NOT MATCHED action: $other")
     }
 
+    // WHEN NOT MATCHED BY SOURCE: target-only scope — a source
+    // reference (qualified by the source alias, or an unqualified name
+    // that is only a source column) is a statement error, matching SQL
+    def rewriteBySource(e: Expression): Column =
+      Bridge.column(e.transformUp {
+        case a: UnresolvedAttribute =>
+          val parts = a.nameParts
+          val head = parts.head.toLowerCase
+          if (parts.length > 1 && srcQuals(head))
+            throw new IllegalArgumentException(
+              "WHEN NOT MATCHED BY SOURCE cannot reference the source " +
+                s"(${a.name})")
+          else if (parts.length > 1 && tgtQuals(head))
+            UnresolvedAttribute(parts.tail)
+          else if (parts.length == 1 && !tgtColSet(head) && srcCols(head))
+            throw new IllegalArgumentException(
+              "WHEN NOT MATCHED BY SOURCE cannot reference the source " +
+                s"(${a.name})")
+          else a
+      })
+    val bySource: Seq[MergeBySource] = m.notMatchedBySourceActions.map {
+      case DeleteAction(cond) => BySourceDelete(cond.map(rewriteBySource))
+      case UpdateAction(cond, assigns, _) =>
+        BySourceUpdate(
+          assigns.map(a =>
+            lastName(a.key) -> rewriteBySource(a.value)).toMap,
+          cond.map(rewriteBySource))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
+
     if (reg.mor)
-      TxnTable.mergeIntoMor(spark, reg.path, srcDf, keyCols, matched, notMatched)
+      TxnTable.mergeIntoMor(spark, reg.path, srcDf, keyCols, matched,
+        notMatched, bySource = bySource)
     else
-      TxnTable.mergeInto(spark, reg.path, srcDf, keyCols, matched, notMatched)
+      TxnTable.mergeInto(spark, reg.path, srcDf, keyCols, matched,
+        notMatched, bySource = bySource)
   }
 }

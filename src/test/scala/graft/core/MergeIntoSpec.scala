@@ -67,7 +67,7 @@ class MergeIntoSpec extends SparkSpecBase {
         MatchedUpdate(Map(
           "v" -> TxnTable.srcCol("nv"),
           "g" -> (col("g") + 100L)))),
-      notMatched = Some(NotMatchedInsert(
+      notMatched = Seq(NotMatchedInsert(
         Map("id" -> TxnTable.srcCol("id"),
           "g" -> lit(9L),
           "v" -> TxnTable.srcCol("nv")),
@@ -113,7 +113,7 @@ class MergeIntoSpec extends SparkSpecBase {
       MatchedUpdate(Map(
         "v" -> TxnTable.srcCol("nv"),
         "g" -> (col("g") + 100L))))
-    val notMatched = Some(NotMatchedInsert(
+    val notMatched = Seq(NotMatchedInsert(
       Map("id" -> TxnTable.srcCol("id"),
         "g" -> lit(9L),
         "v" -> TxnTable.srcCol("nv")),
@@ -153,6 +153,93 @@ class MergeIntoSpec extends SparkSpecBase {
         MatchedDelete(None)))
     assert(rows(t).contains((11L, 1L, 5L)),
       "first-listed update must claim the row before the delete")
+  }
+
+  test("NOT MATCHED BY SOURCE: full-sync CDC in ONE statement, CoW and " +
+    "MOR bit-exact") {
+    // source drives inserts, updates, AND deletes of target rows it no
+    // longer carries — the replication-by-statement shape
+    val cow = Files.createTempDirectory("graft_bs1").toString + "/t"
+    val mor = Files.createTempDirectory("graft_bs2").toString + "/t"
+    mk(cow); mk(mor)
+    val filesBefore = TxnTable.snapshotFiles(mor).toSet
+    val source = ((1L to 5L) ++ (11L to 15L)).map(id => (id, id * 1000L))
+      .toDF("id", "nv")
+      .unionAll(Seq((99L, 7L)).toDF("id", "nv"))
+    val matched = Seq(MatchedUpdate(Map("v" -> TxnTable.srcCol("nv"))))
+    val notMatched = Seq(NotMatchedInsert(
+      Map("id" -> TxnTable.srcCol("id"), "g" -> lit(9L),
+        "v" -> TxnTable.srcCol("nv"))))
+    // ordered first-fire-wins: unmatched g==3 rows die, the REST of
+    // the unmatched rows (g==2) bump v — conditions see TARGET columns
+    val bySource = Seq(
+      BySourceDelete(Some(col("g") === 3L)),
+      BySourceUpdate(Map("v" -> (col("v") + 1L))))
+    TxnTable.mergeInto(spark, cow, source, Seq("id"), matched,
+      notMatched, bySource = bySource)
+    TxnTable.mergeIntoMor(spark, mor, source, Seq("id"), matched,
+      notMatched, bySource = bySource)
+    val expected =
+      ((1L to 5L) ++ (11L to 15L)).map(id => (id, id / 10, id * 1000L))
+        .toSet ++
+      (21L to 25L).map(id => (id, 2L, id * 100L + 1L)).toSet +
+      ((99L, 9L, 7L))
+    assert(rows(cow) == expected, s"CoW content wrong: ${rows(cow)}")
+    assert(rows(mor) == expected, "MOR must agree bit-exactly with CoW")
+    // MOR shape: one dvmerge commit, zero pre-existing files rewritten
+    val c = TxnTable.commits(mor).last
+    assert(c.op == "dvmerge" && c.dvs.nonEmpty && c.removes.isEmpty)
+    assert(filesBefore.subsetOf(TxnTable.snapshotFiles(mor).toSet))
+  }
+
+  test("by-source clauses rewrite ONLY the files holding fired rows") {
+    val t = Files.createTempDirectory("graft_bs3").toString + "/t"
+    mk(t)
+    val nFiles = TxnTable.snapshotFiles(t).size
+    // source matches nothing; the by-source delete fires only on g==3
+    // rows, which the clustered layout pins to one file
+    TxnTable.mergeInto(spark, t, Seq((999L, 0L)).toDF("id", "nv"),
+      Seq("id"), matched = Nil,
+      bySource = Seq(BySourceDelete(Some(col("g") === 3L))))
+    val c = TxnTable.commits(t).last
+    assert(c.op == "merge" && c.removes.size == 1 && c.removes.size < nFiles,
+      s"by-source delete must rewrite only the hit file, got $c")
+    assert(rows(t) == (for (g <- 0L until 3L; i <- 1L to 5L)
+      yield (g * 10 + i, g, (g * 10 + i) * 100)).toSet)
+    // by-source clauses that fire on nothing: version unmoved
+    val v0 = TxnTable.currentVersion(t)
+    TxnTable.mergeInto(spark, t, Seq((999L, 0L)).toDF("id", "nv"),
+      Seq("id"), matched = Nil,
+      bySource = Seq(BySourceDelete(Some(lit(false)))))
+    assert(TxnTable.currentVersion(t) == v0)
+  }
+
+  test("multiple WHEN NOT MATCHED clauses: ordered, first fire wins") {
+    val t = Files.createTempDirectory("graft_nm2").toString + "/t"
+    mk(t)
+    val before = rows(t)
+    val source = Seq((99L, 1500L), (100L, 10L)).toDF("id", "nv")
+    TxnTable.mergeInto(spark, t, source, Seq("id"), matched = Nil,
+      notMatched = Seq(
+        NotMatchedInsert(
+          Map("id" -> TxnTable.srcCol("id"), "g" -> lit(1L),
+            "v" -> TxnTable.srcCol("nv")),
+          cond = Some(TxnTable.srcCol("nv") >= 1000L)),
+        NotMatchedInsert(
+          Map("id" -> TxnTable.srcCol("id"), "g" -> lit(2L),
+            "v" -> TxnTable.srcCol("nv")))))
+    assert(rows(t) == before + ((99L, 1L, 1500L)) + ((100L, 2L, 10L)),
+      "first passing clause must claim the row")
+    // an unconditional first clause starves the second entirely
+    val source2 = Seq((101L, 1L)).toDF("id", "nv")
+    TxnTable.mergeInto(spark, t, source2, Seq("id"), matched = Nil,
+      notMatched = Seq(
+        NotMatchedInsert(Map("id" -> TxnTable.srcCol("id"),
+          "g" -> lit(7L), "v" -> TxnTable.srcCol("nv"))),
+        NotMatchedInsert(Map("id" -> TxnTable.srcCol("id"),
+          "g" -> lit(8L), "v" -> TxnTable.srcCol("nv")))))
+    assert(rows(t).contains((101L, 7L, 1L)) &&
+      !rows(t).exists(r => r._1 == 101L && r._2 == 8L))
   }
 
   test("mergeInto: duplicate source keys rejected; no-op returns base") {

@@ -266,11 +266,44 @@ class GraftSqlSpec extends SparkSpecBase {
         s"MERGE INTO $n USING merge_src3 s ON $n.id > s.id " +
           "WHEN MATCHED THEN DELETE")
     }
-    // NOT MATCHED BY SOURCE unsupported
+    // NOT MATCHED BY SOURCE scope is target-only: referencing the
+    // source is a statement error, never a silent null
     intercept[IllegalArgumentException] {
       GraftSql.execute(spark,
-        s"MERGE INTO $n USING merge_src3 s ON $n.id = s.id " +
-          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+        s"MERGE INTO $n USING merge_src3 sr ON $n.id = sr.id " +
+          "WHEN NOT MATCHED BY SOURCE AND sr.v > 0 THEN DELETE")
+    }
+    // INSERT partition specs are a loud contract rejection
+    val pe = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"INSERT INTO $n PARTITION (s='x') SELECT id, v FROM merge_src3")
+    }
+    assert(pe.getMessage.contains("partition specs are not supported"))
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE and multiple NOT MATCHED " +
+    "clauses (CoW and MOR)") {
+    for (mor <- Seq(false, true)) {
+      val (t, n) = mk(mor) // (1,10,a) (2,20,b) (3,30,c) (4,40,d)
+      Seq((1L, 111L), (9L, 500L), (10L, 5L)).toDF("id", "nv")
+        .createOrReplaceTempView("sync_src")
+      GraftSql.execute(spark,
+        s"""MERGE INTO $n AS t USING sync_src AS s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.nv
+           |WHEN NOT MATCHED AND s.nv >= 100 THEN
+           |  INSERT (id, v, s) VALUES (s.id, s.nv, 'big')
+           |WHEN NOT MATCHED THEN
+           |  INSERT (id, v, s) VALUES (s.id, s.nv, 'small')
+           |WHEN NOT MATCHED BY SOURCE AND t.v >= 40 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1
+           |""".stripMargin)
+      assert(rows(t) == Set((1L, 111L, "a"), (2L, 21L, "b"),
+        (3L, 31L, "c"), (9L, 500L, "big"), (10L, 5L, "small")),
+        s"mor=$mor full-sync outcome wrong: ${rows(t)}")
+      val c = TxnTable.commits(t).last
+      if (mor) assert(c.op == "dvmerge" && c.removes.isEmpty)
+      else assert(c.op == "merge")
+      GraftSql.unregister(n)
     }
   }
 }
