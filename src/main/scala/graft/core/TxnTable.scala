@@ -1151,14 +1151,21 @@ object TxnTable {
     * OVERWRITE for small derived/bookkeeping tables (e.g. folding a
     * bloom-sidecar's accumulated rows to one). Same conflict contract:
     * abort-on-conflict, staged files cleaned, history stays readable. */
+  /** `evolveSchema = true` (REPLACE TABLE): the overwrite may carry a
+    * DIFFERENT schema — recorded on the same commit, so the replace is
+    * atomic (readers see old shape + old rows, or new shape + new
+    * rows, never a mix); the evolution collision rules (physical-name
+    * re-binding) apply as for append. */
   def overwrite(spark: SparkSession, path: String, df: DataFrame,
-      partitions: Int = 1, op: String = "overwrite"): Long = {
+      partitions: Int = 1, op: String = "overwrite",
+      evolveSchema: Boolean = false): Long = {
     val base = currentVersion(path)
     val files = snapshotFiles(path, base)
-    checkSchema(path, df, evolveSchema = false)
+    val newSchema = checkSchema(path, df, evolveSchema)
     val adds = writeData(spark, path, withChecks(spark, path, df),
       partitions)
-    try commitRewrite(path, base, op, adds, files, CommuteMetadataOnly)
+    try commitRewrite(path, base, op, adds, files, CommuteMetadataOnly,
+      schema = newSchema)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
   }
 

@@ -260,6 +260,82 @@ object SqlDmlQueries {
     } finally GraftSql.unregister(n)
   }
 
+  /** S40: the SQL table LIFECYCLE — plain CREATE TABLE (column list →
+    * empty v0 with the recorded schema), INSERT into it, CTAS from a
+    * time-traveled registered table with a CLUSTER BY layout (range-
+    * clustered files whose log stats prune from the first read,
+    * asserted in-run zero-footer strict-subset), and CREATE OR REPLACE
+    * swapping content AND schema atomically (pre-replace snapshot
+    * keeps its shape, asserted in-run). Every table is then read
+    * through the same SQL surface; the oracle replays the statements
+    * relationally. */
+  def s40SqlCreate(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s40").toString
+    val n1 = freshName("orders_src_")
+    val n2 = freshName("orders_o_")
+    val n3 = freshName("orders_band_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ck, kx) = (m.getLong(0), m.getLong(1))
+    TxnTable.create(spark, d + "/src", orders) // v0
+    GraftSql.register(n1, d + "/src")
+    try {
+      // grow n1 so the CTAS's VERSION AS OF 0 is a real time travel
+      val insView = freshName("s40_ins_")
+      orders.filter(col("o_custkey") <= ck / 6)
+        .select((col("o_orderkey") + kx).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("price_c"))
+        .createOrReplaceTempView(insView)
+      GraftSql.execute(spark, s"INSERT INTO $n1 SELECT * FROM $insView")
+      // plain CREATE: empty v0 with the declared schema
+      GraftSql.execute(spark,
+        s"""CREATE TABLE $n2 (o_orderkey BIGINT, o_custkey BIGINT,
+           |o_orderstatus STRING, price_c BIGINT) USING graft
+           |LOCATION '$d/t2'""".stripMargin)
+      require(TxnTable.currentVersion(d + "/t2") == 0L &&
+        GraftSql.query(spark, s"SELECT count(*) AS c FROM $n2")
+          .head().getLong(0) == 0L,
+        "CREATE TABLE must land an empty v0")
+      GraftSql.execute(spark,
+        s"INSERT INTO $n2 SELECT * FROM $n1 WHERE o_orderstatus = 'O'")
+      // CTAS from the PRE-insert snapshot, range-clustered on custkey
+      GraftSql.execute(spark,
+        s"""CREATE TABLE $n3 USING graft CLUSTER BY (o_custkey)
+           |LOCATION '$d/t3' TBLPROPERTIES ('graft.targetFiles' = '8')
+           |AS SELECT o_orderkey, o_custkey, price_c
+           |FROM $n1 VERSION AS OF 0
+           |WHERE o_custkey <= ${ck / 2}""".stripMargin)
+      // the clustered layout prunes from the log alone, first read
+      val f0 = graft.crawler.SkippingIndex.footerReads.get()
+      val pruned = TxnTable.readPruned(spark, d + "/t3", "o_custkey",
+        0L, ck / 8)
+      val prunedFiles = pruned.inputFiles.length
+      require(prunedFiles > 0 &&
+        prunedFiles < TxnTable.snapshotFiles(d + "/t3").size &&
+        graft.crawler.SkippingIndex.footerReads.get() == f0,
+        "CTAS CLUSTER BY layout must prune zero-footer from first read")
+      // CREATE OR REPLACE: content AND schema swap atomically
+      GraftSql.execute(spark,
+        s"""CREATE OR REPLACE TABLE $n2 USING graft LOCATION '$d/t2'
+           |AS SELECT o_orderstatus AS st, count(*) AS cnt,
+           |  sum(price_c) AS ps FROM $n2 GROUP BY o_orderstatus
+           |""".stripMargin)
+      require(TxnTable.read(spark, d + "/t2", 1L).columns
+        .contains("o_orderkey"),
+        "the pre-replace snapshot must keep its shape")
+      val agg3 = GraftSql.query(spark,
+        s"SELECT count(*) AS c3, sum(price_c) AS s3 FROM $n3").head()
+      GraftSql.query(spark, s"SELECT st, cnt, ps FROM $n2 ORDER BY st")
+        .withColumn("c3", lit(agg3.getLong(0)))
+        .withColumn("s3", lit(agg3.getLong(1)))
+    } finally {
+      GraftSql.unregister(n1); GraftSql.unregister(n2)
+      GraftSql.unregister(n3)
+    }
+  }
+
   /** S41: MERGE's third leg — WHEN NOT MATCHED BY SOURCE (delete +
     * update, conditioned, ordered) alongside matched updates and TWO
     * ordered NOT MATCHED insert clauses: full-sync CDC as ONE
@@ -329,6 +405,7 @@ object SqlDmlQueries {
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s40_sql_create" -> (s40SqlCreate _),
     "s41_merge_not_matched_by_source" -> (s41MergeNotMatchedBySource _),
     "s39_table_changes" -> (s39TableChanges _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
@@ -338,6 +415,26 @@ object SqlDmlQueries {
     "s38_rename_column" -> (s38RenameColumn _))
 
   val oracle: Map[String, String] = Map(
+    // the lifecycle replayed relationally: n1 v1 = base + low-band
+    // insert; n2 = 'O' slice of v1, then replaced by its own status
+    // aggregate; n3 = the v0 half-band CTAS
+    "s40_sql_create" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck,
+        |    CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),
+        |base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |v1 AS (SELECT * FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey + b.kx, o_custkey, o_orderstatus, pc
+        |  FROM base, b WHERE o_custkey <= b.ck//6),
+        |n2 AS (SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(pc) AS BIGINT) AS ps
+        |  FROM v1 WHERE o_orderstatus = 'O' GROUP BY 1),
+        |n3 AS (SELECT * FROM base, b WHERE o_custkey <= b.ck//2)
+        |SELECT st, cnt, ps,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM n3) AS c3,
+        |  (SELECT CAST(sum(pc) AS BIGINT) FROM n3) AS s3
+        |FROM n2 ORDER BY st""".stripMargin,
     // full-sync MERGE replayed relationally: matched band → source
     // price, unmatched low-band F rows deleted, other unmatched
     // low-band rows +1, fresh keys inserted with parity-picked status

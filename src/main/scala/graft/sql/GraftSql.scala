@@ -164,11 +164,149 @@ object GraftSql {
         }
         TxnTable.renameColumn(spark, reg.path, from, newName)
 
+      case ct: CreateTable =>
+        val (nm, path, mor) = createTarget(ct.name, ct.tableSpec)
+        existingVersion(nm, path) match {
+          case Some(v) =>
+            if (!ct.ignoreIfExists) throw new IllegalArgumentException(
+              s"CREATE TABLE: $nm already exists (at $path) — use IF " +
+                "NOT EXISTS or CREATE OR REPLACE")
+            register(nm, path, mor); v
+          case None =>
+            require(ct.columns.nonEmpty,
+              "CREATE TABLE needs a column list (or use CTAS)")
+            val schema = org.apache.spark.sql.types.StructType(
+              ct.columns.map(c => org.apache.spark.sql.types.StructField(
+                c.name, c.dataType, c.nullable)))
+            // an empty CREATE has nothing to cluster: CLUSTER BY keys
+            // take effect on the data CTAS/OPTIMIZE writes
+            val v = TxnTable.create(spark, path,
+              Bridge.ofRows(spark, LocalRelation(
+                org.apache.spark.sql.catalyst.types.DataTypeUtils
+                  .toAttributes(schema))))
+            register(nm, path, mor); v
+        }
+
+      case ctas: CreateTableAsSelect =>
+        val (nm, path, mor) = createTarget(ctas.name, ctas.tableSpec)
+        existingVersion(nm, path) match {
+          case Some(v) =>
+            if (!ctas.ignoreIfExists) throw new IllegalArgumentException(
+              s"CREATE TABLE: $nm already exists (at $path) — use IF " +
+                "NOT EXISTS or CREATE OR REPLACE")
+            register(nm, path, mor); v
+          case None =>
+            val df = Bridge.ofRows(spark,
+              substituteRelations(spark, ctas.query))
+            val v = createMaybeClustered(spark, path, df,
+              ctas.partitioning, ctas.tableSpec)
+            register(nm, path, mor); v
+        }
+
+      case rtas: ReplaceTableAsSelect =>
+        val (nm, path, mor) = createTarget(rtas.name, rtas.tableSpec)
+        val df = Bridge.ofRows(spark,
+          substituteRelations(spark, rtas.query))
+        existingVersion(nm, path) match {
+          case Some(_) =>
+            // atomic content+schema replacement; history stays readable
+            val v = TxnTable.overwrite(spark, path, df,
+              evolveSchema = true)
+            register(nm, path, mor); v
+          case None =>
+            if (!rtas.orCreate) throw new IllegalArgumentException(
+              s"REPLACE TABLE: $nm does not exist — use CREATE OR REPLACE")
+            val v = createMaybeClustered(spark, path, df,
+              rtas.partitioning, rtas.tableSpec)
+            register(nm, path, mor); v
+        }
+
       case other => throw new IllegalArgumentException(
-        s"GraftSql.execute handles UPDATE / DELETE FROM / MERGE INTO / " +
-          s"INSERT / ALTER TABLE ADD|DROP|RENAME COLUMN; got " +
+        s"GraftSql.execute handles CREATE [OR REPLACE] TABLE [AS " +
+          s"SELECT] / UPDATE / DELETE FROM / MERGE INTO / INSERT / " +
+          s"ALTER TABLE ADD|DROP|RENAME COLUMN; got " +
           s"${other.nodeName} — run SELECTs through query()")
     }
+
+  // -- CREATE TABLE plumbing ----------------------------------------------
+
+  /** Warehouse root: `CREATE TABLE t` without a LOCATION clause lands
+    * at `<warehouse>/<table name>`. */
+  private val warehouseRoot =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  def setWarehouse(dir: String): Unit = warehouseRoot.set(dir)
+
+  // parsePlan hands the PRE-analysis spec (UnresolvedTableSpec); the
+  // resolved TableSpec only exists after analysis — accept both
+  private def specProps(spec: TableSpecBase): Map[String, String] =
+    spec match {
+      case ts: TableSpec => ts.properties
+      case ts: UnresolvedTableSpec => ts.properties
+      case _ => Map.empty
+    }
+
+  private def specLocation(spec: TableSpecBase): Option[String] =
+    spec match {
+      case ts: TableSpec => ts.location
+      case ts: UnresolvedTableSpec => ts.location
+      case _ => None
+    }
+
+  /** (registered name, resolved table path, MOR routing) for a CREATE
+    * target: explicit LOCATION wins, else the warehouse root; a name
+    * already registered resolves to ITS path (so CREATE OR REPLACE by
+    * bare name replaces the registered table). `graft.mor = true` in
+    * TBLPROPERTIES routes subsequent DML merge-on-read. */
+  private def createTarget(name: LogicalPlan,
+      spec: TableSpecBase): (String, String, Boolean) = {
+    val parts = name match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+        u.nameParts
+      case other => throw new IllegalArgumentException(
+        s"unsupported CREATE TABLE target: ${other.nodeName}")
+    }
+    val nm = parts.mkString(".")
+    val props = specProps(spec)
+    val path = specLocation(spec)
+      .orElse(Option(tables.get(nm.toLowerCase)).map(_.path))
+      .getOrElse {
+        val root = Option(warehouseRoot.get).getOrElse(
+          throw new IllegalArgumentException(
+            "CREATE TABLE needs a LOCATION clause or a warehouse root " +
+              "(GraftSql.setWarehouse)"))
+        java.nio.file.Paths.get(root).resolve(parts.last.toLowerCase)
+          .toString
+      }
+    (nm, path, props.get("graft.mor").exists(_.equalsIgnoreCase("true")))
+  }
+
+  /** The table's current version if it already exists (a registered
+    * name or a live log at the resolved path), else None. */
+  private def existingVersion(nm: String, path: String): Option[Long] = {
+    val v = TxnTable.currentVersion(path)
+    if (v >= 0) Some(v) else None
+  }
+
+  /** CTAS write: `CLUSTER BY (a, b)` lays the data out range-clustered
+    * on those keys (tight per-file bounds → log-stats pruning works
+    * from the first read); `graft.targetFiles` sizes the layout. */
+  private def createMaybeClustered(spark: SparkSession, path: String,
+      df: DataFrame, partitioning: Seq[
+        org.apache.spark.sql.connector.expressions.Transform],
+      spec: TableSpecBase): Long = {
+    val cluster = partitioning.flatMap {
+      case c: org.apache.spark.sql.connector.expressions.ClusterByTransform =>
+        c.columnNames.map(_.fieldNames.mkString("."))
+      case other => throw new IllegalArgumentException(
+        s"only CLUSTER BY is supported on txn tables, got $other")
+    }
+    if (cluster.isEmpty) TxnTable.create(spark, path, df)
+    else TxnTable.createClustered(spark, path, df,
+      cluster.map(org.apache.spark.sql.functions.col),
+      targetFiles = specProps(spec).get("graft.targetFiles")
+        .map(_.toInt).getOrElse(8))
+  }
 
   /** Run a SELECT whose FROM clause references registered txn tables by
     * name — including `VERSION AS OF <v>` and `TIMESTAMP AS OF '<ts>'`

@@ -281,6 +281,70 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(pe.getMessage.contains("partition specs are not supported"))
   }
 
+  test("CREATE TABLE / CTAS / CREATE OR REPLACE: the SQL lifecycle") {
+    val d = Files.createTempDirectory("graft_sqlct").toString
+    val n = "ct" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // plain CREATE with a column list: v0, empty, schema recorded
+    GraftSql.execute(spark,
+      s"CREATE TABLE $n (id BIGINT, v BIGINT, s STRING) USING graft " +
+        s"LOCATION '$d/t1'")
+    assert(TxnTable.currentVersion(s"$d/t1") == 0L)
+    assert(GraftSql.query(spark, s"SELECT count(*) AS c FROM $n")
+      .head().getLong(0) == 0L)
+    // the created table takes INSERT / SELECT immediately
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "s")
+      .createOrReplaceTempView("ct_src")
+    GraftSql.execute(spark, s"INSERT INTO $n SELECT * FROM ct_src")
+    assert(GraftSql.query(spark, s"SELECT sum(v) AS sv FROM $n")
+      .head().getLong(0) == 30L)
+    // name collision is loud; IF NOT EXISTS is a registering no-op
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"CREATE TABLE $n (x BIGINT) USING graft LOCATION '$d/t1'")
+    }
+    GraftSql.execute(spark,
+      s"CREATE TABLE IF NOT EXISTS $n (x BIGINT) USING graft " +
+        s"LOCATION '$d/t1'")
+    assert(GraftSql.query(spark, s"SELECT count(*) AS c FROM $n")
+      .head().getLong(0) == 2L, "IF NOT EXISTS must not touch the table")
+    // CTAS from a time-traveled registered table, CLUSTER BY layout
+    GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 1") // v2
+    val n2 = "ct2" + java.util.UUID.randomUUID().toString.replace("-", "")
+    GraftSql.execute(spark,
+      s"""CREATE TABLE $n2 USING graft CLUSTER BY (id)
+         |LOCATION '$d/t2' TBLPROPERTIES ('graft.targetFiles' = '2')
+         |AS SELECT id, v FROM $n VERSION AS OF 1""".stripMargin)
+    assert(GraftSql.query(spark,
+      s"SELECT count(*) AS c, sum(v) AS sv FROM $n2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 30L)), "CTAS must snapshot the pre-delete version")
+    // CREATE OR REPLACE: new content AND a new schema, atomically;
+    // history stays readable
+    GraftSql.execute(spark,
+      s"""CREATE OR REPLACE TABLE $n2 USING graft LOCATION '$d/t2'
+         |AS SELECT count(*) AS cnt, sum(v) AS sv FROM $n""".stripMargin)
+    assert(GraftSql.query(spark, s"SELECT cnt, sv FROM $n2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 20L)))
+    assert(TxnTable.read(spark, s"$d/t2", 0L).columns.toSeq ==
+      Seq("id", "v"), "the pre-replace snapshot keeps its shape")
+    // plain REPLACE of a nonexistent table is loud
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"REPLACE TABLE nope_${n2} USING graft LOCATION '$d/t3' " +
+          "AS SELECT 1 AS one")
+    }
+    // warehouse root: CREATE without LOCATION lands under it
+    GraftSql.setWarehouse(s"$d/wh")
+    val n3 = "ct3" + java.util.UUID.randomUUID().toString.replace("-", "")
+    GraftSql.execute(spark,
+      s"CREATE TABLE $n3 USING graft AS SELECT 7 AS seven")
+    assert(TxnTable.currentVersion(s"$d/wh/${n3.toLowerCase}") == 0L)
+    assert(GraftSql.query(spark, s"SELECT seven FROM $n3")
+      .head().getInt(0) == 7)
+    GraftSql.unregister(n); GraftSql.unregister(n2); GraftSql.unregister(n3)
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE and multiple NOT MATCHED " +
     "clauses (CoW and MOR)") {
     for (mor <- Seq(false, true)) {
