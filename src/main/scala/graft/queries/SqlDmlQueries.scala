@@ -336,6 +336,84 @@ object SqlDmlQueries {
     }
   }
 
+  /** S42: SQL MAINTENANCE verbs — `OPTIMIZE t` (policy-gated
+    * compaction: fires here because the MOR delete left a >20% dead
+    * fraction), `OPTIMIZE t ZORDER BY (a, b)` (z-ordered fold),
+    * `VACUUM t RETAIN 0 HOURS`, and `DESCRIBE HISTORY t` — each run as
+    * statement text on one table and as the direct API call on an
+    * identical twin, asserting in-run that statement ≡ API: same
+    * committed versions, same file counts, same vacuum kill count,
+    * identical history, bit-exact content, and answers pinned
+    * unchanged across the OPTIMIZEs. Oracle replays the surviving
+    * content relationally with the deterministic version numbers. */
+  def s42SqlMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s42").toString
+    val n = freshName("orders_opt_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val stmt = d + "/stmt"
+    val api = d + "/api"
+    Seq(stmt, api).foreach { t =>
+      TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+        targetFiles = 10) // v0
+      TxnTable.deleteWhereMor(spark, t, col("o_orderstatus") === "F") // v1
+    }
+    GraftSql.register(n, stmt)
+    try {
+      val preAnswer = TxnTable.read(spark, stmt)
+        .agg(sum(col("price_c"))).head().getLong(0)
+      // OPTIMIZE ≡ maybeCompact (fires: dead fraction ≈ 0.49 > 0.2)
+      val vS = GraftSql.execute(spark, s"OPTIMIZE $n") // v2
+      val vA = TxnTable.maybeCompact(spark, api).getOrElse(-1L)
+      require(vS == 2L && vA == 2L &&
+        TxnTable.commits(stmt).last.op == "compact" &&
+        TxnTable.snapshotDvs(stmt).isEmpty &&
+        TxnTable.snapshotFiles(stmt).size ==
+          TxnTable.snapshotFiles(api).size,
+        s"OPTIMIZE must equal maybeCompact (got v$vS vs v$vA)")
+      // OPTIMIZE ZORDER ≡ compactClustered
+      val zS = GraftSql.execute(spark,
+        s"OPTIMIZE $n ZORDER BY (o_custkey, o_orderkey)") // v3
+      val zA = TxnTable.compactClustered(spark, api,
+        col("o_custkey"), col("o_orderkey"))
+      require(zS == 3L && zA == 3L &&
+        TxnTable.snapshotFiles(stmt).size ==
+          TxnTable.snapshotFiles(api).size,
+        "OPTIMIZE ZORDER must equal compactClustered")
+      require(TxnTable.read(spark, stmt)
+        .agg(sum(col("price_c"))).head().getLong(0) == preAnswer,
+        "answers must be pinned unchanged across OPTIMIZE")
+      // VACUUM RETAIN 0 HOURS ≡ vacuumRetainMillis(0)
+      val vvS = GraftSql.execute(spark, s"VACUUM $n RETAIN 0 HOURS") // v4
+      val (vvA, _) = TxnTable.vacuumRetainMillis(spark, api, 0L)
+      require(vvS == 4L && vvA == 4L &&
+        TxnTable.earliestVersion(stmt) == 3L &&
+        TxnTable.earliestVersion(api) == 3L,
+        s"VACUUM must equal vacuumRetainMillis (got v$vvS/$vvA, " +
+          s"earliest ${TxnTable.earliestVersion(stmt)})")
+      // DESCRIBE HISTORY ≡ history(): identical audit rows
+      val hStmt = GraftSql.query(spark, s"DESCRIBE HISTORY $n")
+        .select(col("version"), col("op")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val hApi = TxnTable.history(spark, stmt)
+        .select(col("version"), col("op")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      require(hStmt == hApi && hStmt.map(_._1) == Seq(3L, 4L),
+        s"DESCRIBE HISTORY must equal history(): $hStmt vs $hApi")
+      // twins agree bit-exactly at the end
+      val (a, b) = (TxnTable.read(spark, stmt), TxnTable.read(spark, api))
+      require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "statement and API twins must agree bit-exactly")
+      a.groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"))
+        .withColumn("v_opt", lit(vS)).withColumn("v_z", lit(zS))
+        .withColumn("earliest", lit(TxnTable.earliestVersion(stmt)))
+        .withColumn("hist", lit(hStmt.size.toLong))
+        .orderBy(col("st"))
+    } finally GraftSql.unregister(n)
+  }
+
   /** S41: MERGE's third leg — WHEN NOT MATCHED BY SOURCE (delete +
     * update, conditioned, ordered) alongside matched updates and TWO
     * ordered NOT MATCHED insert clauses: full-sync CDC as ONE
@@ -407,6 +485,7 @@ object SqlDmlQueries {
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "s40_sql_create" -> (s40SqlCreate _),
     "s41_merge_not_matched_by_source" -> (s41MergeNotMatchedBySource _),
+    "s42_sql_maintenance" -> (s42SqlMaintenance _),
     "s39_table_changes" -> (s39TableChanges _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
@@ -435,6 +514,17 @@ object SqlDmlQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM n3) AS c3,
         |  (SELECT CAST(sum(pc) AS BIGINT) FROM n3) AS s3
         |FROM n2 ORDER BY st""".stripMargin,
+    // the F-band died via MOR delete; both OPTIMIZEs and the VACUUM
+    // leave content untouched; the version/earliest/history columns
+    // are deterministic from the fixed commit sequence
+    "s42_sql_maintenance" ->
+      """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_sum,
+        |  CAST(2 AS BIGINT) AS v_opt, CAST(3 AS BIGINT) AS v_z,
+        |  CAST(3 AS BIGINT) AS earliest, CAST(2 AS BIGINT) AS hist
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // full-sync MERGE replayed relationally: matched band → source
     // price, unmatched low-band F rows deleted, other unmatched
     // low-band rows +1, fresh keys inserted with parity-picked status

@@ -50,12 +50,58 @@ object GraftSql {
 
   def unregister(name: String): Unit = { tables.remove(name.toLowerCase); () }
 
-  /** Execute one DML statement against its registered target; returns
-    * the committed version (or the unchanged head when nothing
-    * matched). SELECTs belong to `spark.sql` — this facade accepts
-    * exactly UPDATE / DELETE FROM / MERGE INTO. */
-  def execute(spark: SparkSession, sqlText: String): Long =
-    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+  // Maintenance verbs Spark's parser has no grammar for (they are
+  // lakehouse-dialect statements): a statement-head match in front of
+  // parsePlan; everything after the verb resolves through the existing
+  // TxnTable API, so statement ≡ API call by construction.
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+
+  /** Execute one DML/DDL/maintenance statement against its registered
+    * target; returns the committed version (or the unchanged head when
+    * nothing changed). SELECTs and DESCRIBE HISTORY belong to
+    * [[query]]. */
+  def execute(spark: SparkSession, sqlText: String): Long = sqlText match {
+    case OptimizeRe(name, zorder) =>
+      val (reg, _) = lookup(name.split('.').toSeq)
+      Option(zorder).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty) match {
+        case None =>
+          // policy-gated compaction: folds when the snapshot degraded
+          // (too many files / too large a DV-dead fraction), no-op on
+          // a healthy table — the auto-maintenance contract
+          TxnTable.maybeCompact(spark, reg.path)
+            .getOrElse(TxnTable.currentVersion(reg.path))
+        case Some(Seq(a, b)) =>
+          TxnTable.compactClustered(spark, reg.path,
+            org.apache.spark.sql.functions.col(a),
+            org.apache.spark.sql.functions.col(b))
+        case Some(Seq(a, b, c)) =>
+          TxnTable.compactClustered3(spark, reg.path,
+            org.apache.spark.sql.functions.col(a),
+            org.apache.spark.sql.functions.col(b),
+            org.apache.spark.sql.functions.col(c))
+        case Some(cols) => throw new IllegalArgumentException(
+          s"OPTIMIZE ZORDER BY takes 2 or 3 columns, got ${cols.length} " +
+            "— a 1-column layout is range clustering (CTAS CLUSTER BY)")
+      }
+
+    case VacuumRe(name, hours) =>
+      val (reg, _) = lookup(name.split('.').toSeq)
+      (Option(hours) match {
+        case Some(h) => TxnTable.vacuumRetainMillis(spark, reg.path,
+          h.toLong * 3600000L)
+        case None => TxnTable.vacuum(spark, reg.path)
+      })._1
+
+    case HistoryRe(_) => throw new IllegalArgumentException(
+      "DESCRIBE HISTORY returns rows — run it through query()")
+
+    case _ => spark.sessionState.sqlParser.parsePlan(sqlText) match {
       case DeleteFromTable(t, cond) =>
         val (reg, quals) = target(t)
         val c = Bridge.column(stripQual(cond, quals))
@@ -224,9 +270,10 @@ object GraftSql {
       case other => throw new IllegalArgumentException(
         s"GraftSql.execute handles CREATE [OR REPLACE] TABLE [AS " +
           s"SELECT] / UPDATE / DELETE FROM / MERGE INTO / INSERT / " +
-          s"ALTER TABLE ADD|DROP|RENAME COLUMN; got " +
-          s"${other.nodeName} — run SELECTs through query()")
+          s"ALTER TABLE ADD|DROP|RENAME COLUMN / OPTIMIZE / VACUUM; " +
+          s"got ${other.nodeName} — run SELECTs through query()")
     }
+  }
 
   // -- CREATE TABLE plumbing ----------------------------------------------
 
@@ -316,8 +363,14 @@ object GraftSql {
     * names still resolve through the session catalog, so txn tables and
     * temp views mix freely in one statement. */
   def query(spark: SparkSession, sqlText: String): DataFrame =
-    Bridge.ofRows(spark, substituteRelations(spark,
-      spark.sessionState.sqlParser.parsePlan(sqlText)))
+    sqlText match {
+      // the audit surface as a statement (rows out → query, not execute)
+      case HistoryRe(name) =>
+        TxnTable.history(spark, lookup(name.split('.').toSeq)._1.path)
+      case _ =>
+        Bridge.ofRows(spark, substituteRelations(spark,
+          spark.sessionState.sqlParser.parsePlan(sqlText)))
+    }
 
   /** Replace every registered txn-table reference (plain or
     * time-traveled) with its snapshot's plan; everything else is left

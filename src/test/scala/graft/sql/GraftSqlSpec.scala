@@ -345,6 +345,36 @@ class GraftSqlSpec extends SparkSpecBase {
     GraftSql.unregister(n); GraftSql.unregister(n2); GraftSql.unregister(n3)
   }
 
+  test("OPTIMIZE / VACUUM / DESCRIBE HISTORY statement forms") {
+    val (t, n) = mk() // v0: 4 rows, 1 file
+    // healthy table: OPTIMIZE is a policy no-op, version unmoved
+    assert(GraftSql.execute(spark, s"OPTIMIZE $n") == 0L)
+    assert(TxnTable.commits(t).last.op == "create")
+    // ZORDER form compacts unconditionally with the given keys
+    val vz = GraftSql.execute(spark, s"OPTIMIZE $n ZORDER BY (id, v)")
+    assert(vz == 1L && TxnTable.commits(t).last.op.startsWith("compact"))
+    assert(rows(t).map(_._1) == Set(1L, 2L, 3L, 4L))
+    // 1-column ZORDER is a loud contract error
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, s"OPTIMIZE $n ZORDER BY (id)")
+    }
+    // VACUUM (default retention) commits a vacuum marker
+    val vv = GraftSql.execute(spark, s"VACUUM $n")
+    assert(vv == 2L && TxnTable.commits(t).last.op.startsWith("vacuum:"))
+    // DESCRIBE HISTORY: rows through query(); execute() redirects
+    val hist = GraftSql.query(spark, s"DESCRIBE HISTORY $n")
+      .select("version", "op").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist.map(_._1) == (TxnTable.earliestVersion(t) to 2L).toSeq)
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, s"DESCRIBE HISTORY $n")
+    }
+    // unregistered names are loud for the maintenance verbs too
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, "OPTIMIZE not_registered")
+    }
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE and multiple NOT MATCHED " +
     "clauses (CoW and MOR)") {
     for (mor <- Seq(false, true)) {
