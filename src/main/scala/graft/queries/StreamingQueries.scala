@@ -729,7 +729,95 @@ object StreamingQueries {
         sum(col("o_orderkey")).as("key_sum"))
   }
 
+  /** ST20: the FIRST-CLASS streaming row-image change feed —
+    * `readChangesStream` returns a streaming DataFrame of
+    * (key, op, before, after, versions); three live commits (CoW
+    * update, MOR delete, append) are consumed across TWO consumer
+    * restarts on one checkpoint, the reassembled feed equals the batch
+    * `diffVersionsImages` span op-for-op (asserted in-run), and a
+    * pump-checkpoint loss replays every version into per-version
+    * marker no-ops (zero duplicates, asserted). Oracle replays the
+    * three change sets relationally. */
+  def st20ChangesStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    import graft.streaming.StreamChanges
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft_st20").toString
+    val t = s"$root/orders_txn"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ck, kx) = (m.getLong(0), m.getLong(1))
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10) // v0
+    val sink = s"$root/sink"
+    def drain(): Long = {
+      val before =
+        if (!Files.isDirectory(java.nio.file.Paths.get(sink))) 0L
+        else spark.read.parquet(sink).count()
+      val q = StreamChanges.readChangesStream(spark, t, s"$root/spool",
+        s"$root/pump_ckpt", Seq("o_orderkey"))
+        .writeStream.option("checkpointLocation", s"$root/user_ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            b.write.mode("append").parquet(sink); ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.read.parquet(sink).count() - before
+    }
+    // consumer pass 1: the initial load (v0 snapshot as insert rows)
+    require(drain() == orders.count(),
+      "the initial load must arrive as insert rows")
+    // three live commits land while the consumer is down …
+    TxnTable.updateWhere(spark, t,
+      col("o_orderstatus") === "O" &&
+        col("o_custkey").between(ck / 2, ck / 2 + ck / 8),
+      Map("price_c" -> (col("price_c") * 2))) // v1
+    TxnTable.deleteWhereMor(spark, t,
+      col("o_orderstatus") === "F" && col("o_custkey") <= ck / 10) // v2
+    TxnTable.append(spark, t,
+      orders.filter(col("o_custkey") <= ck / 16)
+        .select((col("o_orderkey") + kx).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("price_c"))) // v3
+    // … consumer pass 2 resumes at its checkpoint and gets the images
+    drain()
+    val feed = spark.read.parquet(sink)
+    // reassembled live feed ≡ the batch span diff, op for op
+    val live = feed.filter(col("from_version") >= 0)
+      .select(col("o_orderkey"), col("op"),
+        col("before.price_c").as("bp"), col("after.price_c").as("ap"))
+    val span = TxnTable.diffVersionsImages(spark, t, 0L, 3L,
+      Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("op"),
+        col("before.price_c").as("bp"), col("after.price_c").as("ap"))
+    require(live.exceptAll(span).isEmpty && span.exceptAll(live).isEmpty,
+      "the reassembled feed must equal the batch diff op-for-op")
+    // pump-checkpoint loss: every version replays; markers no-op it
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val it = Files.list(p)
+        try it.iterator().forEachRemaining(rm) finally it.close()
+      }
+      Files.deleteIfExists(p); ()
+    }
+    rm(java.nio.file.Paths.get(s"$root/pump_ckpt"))
+    require(drain() == 0L,
+      "replayed versions must never duplicate the feed")
+    feed.filter(col("from_version") >= 0)
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("before.price_c")).as("before_sum"),
+        sum(col("after.price_c")).as("after_sum"))
+      .orderBy(col("op"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st20_changes_stream" -> (st20ChangesStream _),
     "st19_stream_replica" -> (st19StreamReplica _),
     "st18_stream_ivm" -> (st18StreamIvm _),
     "st17_stream_embcuration" -> (st17StreamEmbCuration _),
@@ -820,6 +908,34 @@ object StreamingQueries {
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the three live change sets replayed relationally: the O-band
+    // update carries both images, the low F-band delete only a before,
+    // the shifted-key insert only an after
+    "st20_changes_stream" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck,
+        |    CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),
+        |base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |f AS (
+        |  SELECT 'delete' AS op, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(sum(pc) AS BIGINT) AS before_sum,
+        |    CAST(NULL AS BIGINT) AS after_sum
+        |  FROM base, b
+        |  WHERE o_orderstatus = 'F' AND o_custkey <= b.ck//10
+        |  UNION ALL
+        |  SELECT 'insert', CAST(count(*) AS BIGINT),
+        |    CAST(sum(o_orderkey + b.kx) AS BIGINT),
+        |    CAST(NULL AS BIGINT), CAST(sum(pc) AS BIGINT)
+        |  FROM base, b WHERE o_custkey <= b.ck//16
+        |  UNION ALL
+        |  SELECT 'update', CAST(count(*) AS BIGINT),
+        |    CAST(sum(o_orderkey) AS BIGINT), CAST(sum(pc) AS BIGINT),
+        |    CAST(sum(pc * 2) AS BIGINT)
+        |  FROM base, b
+        |  WHERE o_orderstatus = 'O'
+        |    AND o_custkey BETWEEN b.ck//2 AND b.ck//2 + b.ck//8)
+        |SELECT * FROM f ORDER BY op""".stripMargin,
     // Same final state as s18b (the stream applies the same three
     // commits); the streaming halves (checkpointed offsets, no-op
     // redelivery, exactly-once marker) are asserted in-run.
