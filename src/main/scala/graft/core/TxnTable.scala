@@ -1047,6 +1047,64 @@ object TxnTable {
     }
   }
 
+  /** CONVERT an existing plain-parquet directory into a TxnTable IN
+    * PLACE, without moving or rewriting a byte at any size: version 0
+    * references every `*.parquet` under `path` (recursive, hidden
+    * files skipped) by its root-relative name, records the directory's
+    * merged schema, and harvests each file's parquet footer ONCE —
+    * distributed as a Spark job, one task per slice of the file list —
+    * so row counts land on the adds and min/max/null-count stats land
+    * in the log: pruned reads and metadata aggregates plan from the
+    * log from the first post-convert read, exactly like a born-graft
+    * table. The adoption cost is one footer read per file (what any
+    * first crawl pays) against ZERO data movement.
+    *
+    * After the convert the directory IS the table: appends/rewrites
+    * land under its `data/`, vacuum deletes only under `data/` (the
+    * adopted originals are never reaped — rewrites strand them as
+    * unreferenced history exactly like a shallow clone's source), time
+    * travel to v0 always shows the adopted content. */
+  def convertParquet(spark: SparkSession, path: String): Long = {
+    require(currentVersion(path) < 0,
+      s"convertParquet: $path is already a TxnTable")
+    val root = localRoot(path)
+    require(Files.isDirectory(root), s"convertParquet: no directory $path")
+    val walk = Files.walk(root)
+    val files =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally walk.close()
+    require(files.nonEmpty, s"convertParquet: no parquet files under $path")
+    // merged schema across every footer generation (a drifted layout
+    // converts with the union shape; old files null-fill, like any
+    // schema-evolved read)
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => root.resolve(f).toString): _*).schema
+    // footer harvest as a DISTRIBUTED job: executors open footers with
+    // a fresh Configuration (the log and data share one filesystem)
+    import spark.implicits._
+    val rootStr = root.toString
+    val harvested = spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 256)))
+      .map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val abs = java.nio.file.Paths.get(rootStr).resolve(f)
+        val st = graft.crawler.SkippingIndex.fileStats(conf, abs.toString)
+        (f, st.map(_._1).getOrElse(0L), Files.size(abs),
+          st.map { case (_, cols, ls, ss, ns) => statsJson(cols, ls, ss, ns) })
+      }
+      .collect() // O(files) add metadata — what the commit carries anyway
+    val adds = harvested.toSeq.sortBy(_._1).map { case (f, rows, bytes, js) =>
+      TxnAdd(f, rows, bytes, js)
+    }
+    tryCommit(path, TxnCommit(0L, "convert", adds, Nil, Some(schema.json)))
+    0L
+  }
+
   /** Create version 0 from `df`, recording its schema. Fails if the
     * table already exists. */
   def create(spark: SparkSession, path: String, df: DataFrame,

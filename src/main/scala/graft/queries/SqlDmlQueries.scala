@@ -336,6 +336,82 @@ object SqlDmlQueries {
     }
   }
 
+  /** S43: table ADOPTION + rollback + constraint DDL as statements —
+    * `CONVERT TO GRAFT '<dir>' AS n` turns an existing plain-parquet
+    * directory into a TxnTable IN PLACE (zero data movement asserted:
+    * every original file survives at its path; footer stats harvested
+    * into the log so the first pruned read plans zero-footer, asserted
+    * strict-subset), `ALTER TABLE … ADD CONSTRAINT … CHECK` enforces
+    * on the very next statement (violating UPDATE intercepted in-run),
+    * and `RESTORE TABLE … TO VERSION AS OF 0` rolls the content back
+    * to the adopted snapshot. Oracle = the raw orders aggregate (the
+    * restore returns exactly the converted content) + the
+    * deterministic version constants. */
+  def s43SqlConvertRestore(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s43")
+      .toString + "/plain"
+    val n = freshName("orders_conv_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    // a SORTED plain-parquet layout (what a well-maintained
+    // pre-lakehouse pipeline leaves behind): tight per-file ranges
+    orders.repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.parquet(d)
+    val beforeFiles = {
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      val b = Seq.newBuilder[String]
+      try it.iterator().forEachRemaining(p => { b += p.toString; () })
+      finally it.close()
+      b.result().filter(_.endsWith(".parquet"))
+    }
+    GraftSql.execute(spark, s"CONVERT TO GRAFT '$d' AS $n") // v0
+    try {
+      // in place: zero data movement, adds carry rows + stats
+      require(beforeFiles.nonEmpty && beforeFiles.forall(f =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(f))),
+        "convert must not move a single file")
+      val c0 = TxnTable.commits(d).head
+      require(c0.op == "convert" && c0.adds.size == beforeFiles.size &&
+        c0.adds.forall(a => a.rows > 0 && a.stats.nonEmpty),
+        "convert must reference every file with footer-harvested stats")
+      // the harvested stats plan the FIRST pruned read zero-footer
+      val f0 = graft.crawler.SkippingIndex.footerReads.get()
+      val pruned = TxnTable.readPruned(spark, d, "o_custkey", 0L, ck / 4)
+      val kept = pruned.inputFiles.length
+      require(kept > 0 && kept < beforeFiles.size &&
+        graft.crawler.SkippingIndex.footerReads.get() == f0,
+        s"first post-convert pruned read must be zero-footer strict " +
+          s"subset, kept $kept of ${beforeFiles.size}")
+      // constraint DDL enforces on the very next statement
+      GraftSql.execute(spark,
+        s"ALTER TABLE $n ADD CONSTRAINT price_pos CHECK (price_c >= 0)") // v1
+      val violated =
+        try { GraftSql.execute(spark,
+          s"UPDATE $n SET price_c = -1 WHERE o_custkey <= ${ck / 8}")
+          false }
+        catch { case _: Throwable => true }
+      require(violated, "the CHECK must reject the violating UPDATE")
+      GraftSql.execute(spark,
+        s"""UPDATE $n SET price_c = price_c * 2
+           |WHERE o_custkey <= ${ck / 8}""".stripMargin) // v2
+      // rollback-as-commit: the adopted snapshot comes back
+      GraftSql.execute(spark, s"RESTORE TABLE $n TO VERSION AS OF 0") // v3
+      val restored = TxnTable.read(spark, d)
+      val raw = spark.read.parquet(beforeFiles: _*)
+      require(restored.exceptAll(raw).isEmpty &&
+        raw.exceptAll(restored).isEmpty,
+        "restore must return exactly the adopted content")
+      restored.groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .withColumn("v_restore", lit(TxnTable.currentVersion(d)))
+        .orderBy(col("st"))
+    } finally GraftSql.unregister(n)
+  }
+
   /** S42: SQL MAINTENANCE verbs — `OPTIMIZE t` (policy-gated
     * compaction: fires here because the MOR delete left a >20% dead
     * fraction), `OPTIMIZE t ZORDER BY (a, b)` (z-ordered fold),
@@ -486,6 +562,7 @@ object SqlDmlQueries {
     "s40_sql_create" -> (s40SqlCreate _),
     "s41_merge_not_matched_by_source" -> (s41MergeNotMatchedBySource _),
     "s42_sql_maintenance" -> (s42SqlMaintenance _),
+    "s43_sql_convert_restore" -> (s43SqlConvertRestore _),
     "s39_table_changes" -> (s39TableChanges _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
@@ -514,6 +591,16 @@ object SqlDmlQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM n3) AS c3,
         |  (SELECT CAST(sum(pc) AS BIGINT) FROM n3) AS s3
         |FROM n2 ORDER BY st""".stripMargin,
+    // restore rolls back to the adopted snapshot, so the final content
+    // IS raw orders; the version column is deterministic (convert 0,
+    // constraint 1, update 2, restore 3)
+    "s43_sql_convert_restore" ->
+      """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_sum,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(3 AS BIGINT) AS v_restore
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the F-band died via MOR delete; both OPTIMIZEs and the VACUUM
     // leave content untouched; the version/earliest/history columns
     // are deterministic from the fixed commit sequence

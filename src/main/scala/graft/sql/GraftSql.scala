@@ -60,6 +60,10 @@ object GraftSql {
     """(?is)^\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val ConvertRe =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s*(?:AS\s+([\w.]+))?\s*;?\s*$""".r
 
   /** Execute one DML/DDL/maintenance statement against its registered
     * target; returns the committed version (or the unchanged head when
@@ -100,6 +104,17 @@ object GraftSql {
 
     case HistoryRe(_) => throw new IllegalArgumentException(
       "DESCRIBE HISTORY returns rows — run it through query()")
+
+    case RestoreRe(name, v) =>
+      val (reg, _) = lookup(name.split('.').toSeq)
+      TxnTable.restore(spark, reg.path, v.toLong)
+
+    case ConvertRe(dir, name) =>
+      // in-place adoption: the parquet directory BECOMES the table
+      // (zero data movement; footer stats harvested into the log)
+      val v = TxnTable.convertParquet(spark, dir)
+      Option(name).foreach(n => register(n, dir))
+      v
 
     case _ => spark.sessionState.sqlParser.parsePlan(sqlText) match {
       case DeleteFromTable(t, cond) =>
@@ -248,6 +263,39 @@ object GraftSql {
               ctas.partitioning, ctas.tableSpec)
             register(nm, path, mor); v
         }
+
+      case ac: AddConstraint =>
+        val (reg, _) = target(ac.table)
+        ac.tableConstraint match {
+          case c: org.apache.spark.sql.catalyst.expressions.CheckConstraint =>
+            TxnTable.addConstraint(spark, reg.path, c.name, c.condition)
+          case other => throw new IllegalArgumentException(
+            s"only CHECK constraints are supported, got $other")
+        }
+
+      // the parser wraps an unresolved CHECK (expression text not yet
+      // bound) as AddCheckConstraint — same dispatch, the TxnTable
+      // validates the SQL against existing rows itself
+      case ac: AddCheckConstraint =>
+        // the parser wraps the target relation in a Filter carrying
+        // the CHECK condition — dig the relation out of the subtree
+        val rel = ac.child.collectFirst {
+          case r: UnresolvedRelation => r: LogicalPlan
+          case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+            t: LogicalPlan
+        }.getOrElse(throw new IllegalArgumentException(
+          s"ADD CONSTRAINT: no table in ${ac.child.nodeName}"))
+        val (reg, _) = target(rel)
+        TxnTable.addConstraint(spark, reg.path,
+          ac.checkConstraint.name, ac.checkConstraint.condition)
+
+      case dc: DropConstraint =>
+        val (reg, _) = target(dc.table)
+        require(!dc.cascade, "DROP CONSTRAINT CASCADE is not supported")
+        val existed = TxnTable.dropConstraint(reg.path, dc.name)
+        require(existed || dc.ifExists,
+          s"no such constraint ${dc.name} — use IF EXISTS")
+        TxnTable.currentVersion(reg.path)
 
       case rtas: ReplaceTableAsSelect =>
         val (nm, path, mor) = createTarget(rtas.name, rtas.tableSpec)

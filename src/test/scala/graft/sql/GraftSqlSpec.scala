@@ -345,6 +345,58 @@ class GraftSqlSpec extends SparkSpecBase {
     GraftSql.unregister(n); GraftSql.unregister(n2); GraftSql.unregister(n3)
   }
 
+  test("CONVERT TO GRAFT adopts parquet in place; RESTORE and " +
+    "constraint DDL statements") {
+    val d = Files.createTempDirectory("graft_conv").toString + "/plain"
+    Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d"))
+      .toDF("id", "v", "s").repartition(2).write.parquet(d)
+    val orig = spark.read.parquet(d).collect().toSet
+    val origFiles = Files.list(java.nio.file.Paths.get(d)).iterator()
+    val before = new scala.collection.mutable.ArrayBuffer[String]()
+    origFiles.forEachRemaining(p => { before += p.toString; () })
+    val n = "cv" + java.util.UUID.randomUUID().toString.replace("-", "")
+    GraftSql.execute(spark, s"CONVERT TO GRAFT '$d' AS $n") // v0
+    // in place: every original file still exists, adds carry stats
+    assert(before.forall(f => Files.exists(java.nio.file.Paths.get(f))))
+    val c0 = TxnTable.commits(d).head
+    assert(c0.op == "convert" && c0.adds.forall(a =>
+      a.rows > 0 && a.stats.nonEmpty))
+    assert(TxnTable.read(spark, d).collect().toSet == orig)
+    assert(GraftSql.query(spark, s"SELECT sum(v) AS sv FROM $n")
+      .head().getLong(0) == 100L)
+    // the harvested stats serve metadata aggregates with zero
+    // further footer reads
+    val f0 = graft.crawler.SkippingIndex.footerReads.get()
+    val (cnt, _, tot) = TxnTable.countRange(spark, d, "v", 0L, 100L)
+    assert(cnt == 4L && tot == 2 &&
+      graft.crawler.SkippingIndex.footerReads.get() == f0)
+    // constraint DDL: ADD enforces, violating DML fails, DROP lifts
+    GraftSql.execute(spark,
+      s"ALTER TABLE $n ADD CONSTRAINT v_pos CHECK (v > 0)") // v1
+    assert(TxnTable.constraints(d).contains("v_pos"))
+    intercept[Exception] {
+      GraftSql.execute(spark, s"UPDATE $n SET v = -1 WHERE id = 1")
+    }
+    GraftSql.execute(spark, s"UPDATE $n SET v = v * 2 WHERE id <= 2") // v2
+    assert(GraftSql.query(spark, s"SELECT sum(v) AS sv FROM $n")
+      .head().getLong(0) == 130L)
+    GraftSql.execute(spark, s"ALTER TABLE $n DROP CONSTRAINT v_pos") // v3
+    assert(!TxnTable.constraints(d).contains("v_pos"))
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, s"ALTER TABLE $n DROP CONSTRAINT nope")
+    }
+    GraftSql.execute(spark,
+      s"ALTER TABLE $n DROP CONSTRAINT IF EXISTS nope") // no-op
+    // RESTORE rolls the content back as a new commit
+    GraftSql.execute(spark, s"RESTORE TABLE $n TO VERSION AS OF 0")
+    assert(TxnTable.read(spark, d).collect().toSet == orig)
+    // converting an existing table is loud
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, s"CONVERT TO GRAFT '$d'")
+    }
+    GraftSql.unregister(n)
+  }
+
   test("OPTIMIZE / VACUUM / DESCRIBE HISTORY statement forms") {
     val (t, n) = mk() // v0: 4 rows, 1 file
     // healthy table: OPTIMIZE is a policy no-op, version unmoved
