@@ -412,6 +412,44 @@ object SqlDmlQueries {
     } finally GraftSql.unregister(n)
   }
 
+  /** S44: SUBQUERIES in DML predicates — `DELETE … WHERE k IN
+    * (SELECT … FROM <another registered txn table>)` (the CDC/retention
+    * shape: the doomed keys come from a second table) and a
+    * self-referencing SCALAR subquery (`price_c > (SELECT max … DIV 2
+    * FROM t)` — the subquery pins the statement-time snapshot, then
+    * the delete rewrites). Oracle replays both as anti-join +
+    * threshold filter. */
+  def s44DmlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s44").toString
+    val n = freshName("orders_sq_")
+    val nc = freshName("cust_sq_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val cust = Lake.table(spark, dir, "customer").select(
+      col("c_custkey"), round(col("c_acctbal") * 100).cast("long")
+        .as("bal_c"))
+    TxnTable.createClustered(spark, d + "/orders", orders,
+      Seq(col("o_custkey")), targetFiles = 10)
+    TxnTable.create(spark, d + "/cust", cust)
+    GraftSql.register(n, d + "/orders")
+    GraftSql.register(nc, d + "/cust")
+    try {
+      GraftSql.execute(spark,
+        s"""DELETE FROM $n WHERE o_custkey IN
+           |(SELECT c_custkey FROM $nc WHERE bal_c < 0)""".stripMargin)
+      require(TxnTable.commits(d + "/orders").last.op == "delete",
+        "the IN-subquery delete must land as one delete commit")
+      GraftSql.execute(spark,
+        s"DELETE FROM $n WHERE price_c > " +
+          s"(SELECT max(price_c) DIV 2 FROM $n)")
+      GraftSql.query(spark,
+        s"""SELECT o_orderstatus AS st, count(*) AS cnt,
+           |sum(price_c) AS price_sum, sum(o_orderkey) AS key_sum
+           |FROM $n GROUP BY 1 ORDER BY 1""".stripMargin)
+    } finally { GraftSql.unregister(n); GraftSql.unregister(nc) }
+  }
+
   /** S42: SQL MAINTENANCE verbs — `OPTIMIZE t` (policy-gated
     * compaction: fires here because the MOR delete left a >20% dead
     * fraction), `OPTIMIZE t ZORDER BY (a, b)` (z-ordered fold),
@@ -563,6 +601,7 @@ object SqlDmlQueries {
     "s41_merge_not_matched_by_source" -> (s41MergeNotMatchedBySource _),
     "s42_sql_maintenance" -> (s42SqlMaintenance _),
     "s43_sql_convert_restore" -> (s43SqlConvertRestore _),
+    "s44_dml_subquery" -> (s44DmlSubquery _),
     "s39_table_changes" -> (s39TableChanges _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
@@ -591,6 +630,21 @@ object SqlDmlQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM n3) AS c3,
         |  (SELECT CAST(sum(pc) AS BIGINT) FROM n3) AS s3
         |FROM n2 ORDER BY st""".stripMargin,
+    // both subquery deletes replayed: anti-join on the negative-balance
+    // custkeys, then the half-max threshold over the survivors
+    "s44_dml_subquery" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |cust AS (SELECT c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        |d1 AS (SELECT * FROM base WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM cust WHERE bal < 0)),
+        |d2 AS (SELECT * FROM d1
+        |  WHERE pc <= (SELECT max(pc) // 2 FROM d1))
+        |SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS price_sum,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM d2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // restore rolls back to the adopted snapshot, so the final content
     // IS raw orders; the version column is deterministic (convert 0,
     // constraint 1, update 2, restore 3)

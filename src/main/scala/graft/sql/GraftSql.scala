@@ -119,7 +119,8 @@ object GraftSql {
     case _ => spark.sessionState.sqlParser.parsePlan(sqlText) match {
       case DeleteFromTable(t, cond) =>
         val (reg, quals) = target(t)
-        val c = Bridge.column(stripQual(cond, quals))
+        val c = Bridge.column(
+          resolveSubqueries(spark, stripQual(cond, quals)))
         if (reg.mor) TxnTable.deleteWhereMor(spark, reg.path, c)
         else TxnTable.deleteWhere(spark, reg.path, c)
 
@@ -127,7 +128,8 @@ object GraftSql {
         val (reg, quals) = target(t)
         val set = assigns.map(a =>
           lastName(a.key) -> Bridge.column(stripQual(a.value, quals))).toMap
-        val c = cond.map(e => Bridge.column(stripQual(e, quals)))
+        val c = cond.map(e => Bridge.column(
+          resolveSubqueries(spark, stripQual(e, quals))))
           .getOrElse(lit(true))
         if (reg.mor) TxnTable.updateWhereMor(spark, reg.path, c, set)
         else TxnTable.updateWhere(spark, reg.path, c, set)
@@ -440,7 +442,9 @@ object GraftSql {
       case other => throw new IllegalArgumentException(
         s"$what must be a literal, got $other")
     }
-    plan.transformUp {
+    // transformUpWithSubqueries: registered names resolve inside
+    // IN/EXISTS/scalar SUBQUERY expressions too, not just the FROM tree
+    plan.transformUpWithSubqueries {
       case tt @ RelationTimeTravel(r: UnresolvedRelation, ts, ver) =>
         val asOf = (ver, ts) match {
           case (Some(v), _) => v.toLong
@@ -548,6 +552,18 @@ object GraftSql {
     case other => throw new IllegalArgumentException(
       s"expected a column reference, got $other")
   }
+
+  /** Resolve registered txn-table names inside SUBQUERY expressions of
+    * a DML predicate (`DELETE … WHERE k IN (SELECT …)`, scalar
+    * subqueries): each embedded plan goes through the same
+    * [[substituteRelations]] the FROM tree gets; the subquery pins its
+    * snapshot at statement time. */
+  private def resolveSubqueries(spark: SparkSession,
+      e: Expression): Expression =
+    e.transformUp {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        s.withNewPlan(substituteRelations(spark, s.plan))
+    }
 
   /** Drop a leading target-alias qualifier so the expression resolves
     * against the bare table frame (`t.v` → `v`). */

@@ -345,6 +345,30 @@ class GraftSqlSpec extends SparkSpecBase {
     GraftSql.unregister(n); GraftSql.unregister(n2); GraftSql.unregister(n3)
   }
 
+  test("subqueries in DML predicates and in query() resolve " +
+    "registered tables") {
+    val (t, n) = mk() // (1,10,a) (2,20,b) (3,30,c) (4,40,d)
+    val (_, n2) = mk() // the subquery's table, registered
+    // IN-subquery over ANOTHER registered txn table
+    GraftSql.execute(spark,
+      s"DELETE FROM $n WHERE id IN (SELECT id FROM $n2 WHERE v >= 30)")
+    assert(rows(t).map(_._1) == Set(1L, 2L))
+    // scalar subquery (self-referencing: snapshot pinned at statement)
+    GraftSql.execute(spark,
+      s"DELETE FROM $n WHERE v > (SELECT avg(v) FROM $n)")
+    assert(rows(t).map(_._1) == Set(1L))
+    // NOT IN with a time-traveled subquery
+    GraftSql.execute(spark,
+      s"DELETE FROM $n WHERE id NOT IN " +
+        s"(SELECT id FROM $n2 VERSION AS OF 0 WHERE v <= 10)")
+    assert(rows(t).map(_._1) == Set(1L))
+    // query(): IN-subquery against a registered name
+    assert(GraftSql.query(spark,
+      s"SELECT count(*) AS c FROM $n2 WHERE id IN " +
+        s"(SELECT id FROM $n)").head().getLong(0) == 1L)
+    GraftSql.unregister(n); GraftSql.unregister(n2)
+  }
+
   test("CONVERT TO GRAFT adopts parquet in place; RESTORE and " +
     "constraint DDL statements") {
     val d = Files.createTempDirectory("graft_conv").toString + "/plain"
