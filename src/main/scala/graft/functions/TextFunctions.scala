@@ -323,4 +323,41 @@ object TextFunctions {
       .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
+
+  /** C4-style LINE filter: keep only lines with at least `minWords`
+    * whitespace words, none of the `banned` substrings
+    * (case-insensitive — the "lorem ipsum"/"javascript" rule), and —
+    * when `requireTerminalPunct` — a terminal-punctuation ending (the
+    * C4 sentence heuristic). Pure Column HOFs over the split lines:
+    * map-side, zero shuffles, scan-speed at any corpus size. Dropped
+    * lines vanish; an all-dropped document becomes the empty string
+    * (pair with a doc-level length gate downstream). */
+  def filterLines(text: Column, minWords: Int,
+      banned: Seq[String] = Nil,
+      requireTerminalPunct: Boolean = false): Column = {
+    val kept = filter(split(text, "\n"), l => {
+      val wordsOk = size(split(trim(l), " +")) >= minWords &&
+        trim(l) =!= ""
+      val bannedOk = banned.foldLeft(lit(true))((acc, b) =>
+        acc && !lower(l).contains(lit(b.toLowerCase)))
+      val punctOk =
+        if (requireTerminalPunct) trim(l).rlike("[.!?\"']$") else lit(true)
+      wordsOk && bannedOk && punctOk
+    })
+    array_join(kept, "\n")
+  }
+
+  /** Within-document duplicate-LINE removal, FIRST occurrence kept and
+    * line order preserved (the boilerplate-paragraph rule: repeated
+    * nav/footer lines collapse to their first appearance). Keep-first
+    * via the index-aware filter HOF — `array_position` returns a
+    * line's FIRST 1-based index, so a line survives iff it sits at its
+    * own first position. O(lines²) per document (bounded by document
+    * size), map-side, zero shuffles. */
+  def dedupLines(text: Column): Column = {
+    val lines = split(text, "\n")
+    array_join(
+      filter(lines, (l, i) => array_position(lines, l) === i + 1),
+      "\n")
+  }
 }

@@ -671,6 +671,31 @@ object CorpusQueries {
         length(TextFunctions.stripHtml(col("html"))).cast("long").as("n"))
       .orderBy(col("doc_id"))
 
+  /** L42: C4-style LINE curation — synthesize a lined corpus from the
+    * documents (every " table " separator becomes a newline; identical
+    * literal replace on both engines), LINE-FILTER it (≥ 5 words, no
+    * "slow" substring — the C4 short-line/banned-token rules), then
+    * collapse within-doc duplicate lines keep-first in order (the
+    * boilerplate-paragraph rule). Both ops are map-side Column HOFs —
+    * zero shuffles at any corpus size; content pinned per doc by md5.
+    * The oracle replays both with DuckDB list lambdas (index-aware
+    * keep-first via list_position). */
+  def l42LineCuration(spark: SparkSession, dir: String): DataFrame = {
+    val lined = Lake.table(spark, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        replace(col("text"), lit(" table "), lit("\n")).as("t2"))
+    val deduped = TextFunctions.dedupLines(
+      TextFunctions.filterLines(col("t2"), 5, Seq("slow")))
+    lined.select(col("doc_id"),
+      when(deduped === "", 0L)
+        .otherwise(size(split(deduped, "\n")).cast("long"))
+        .as("lines_kept"),
+      length(deduped).cast("long").as("chars_kept"),
+      md5(deduped).as("h"))
+      .orderBy(col("doc_id"))
+  }
+
   /** L19: sparse (token-space) cosine similarity join — tf vectors meet
     * on shared terms only (postings self-join), dot products and squared
     * norms stay in EXACT integer arithmetic, and the cosine is one
@@ -962,6 +987,7 @@ object CorpusQueries {
     "l16_countmin" -> (l16Countmin _),
     "l17_oov_rate" -> (l17OovRate _),
     "l18_html_strip" -> (l18HtmlStrip _),
+    "l42_line_curation" -> (l42LineCuration _),
     "l19_sparse_cosine" -> (l19SparseCosine _),
     "l20_mixture" -> (l20Mixture _),
     "l21_retention_delete" -> (l21RetentionDelete _),
@@ -1293,6 +1319,32 @@ object CorpusQueries {
       """SELECT doc_id, md5(text || ' & <end>') AS h,
         |  CAST(length(text || ' & <end>') AS BIGINT) AS n
         |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+    // line filter + keep-first dedup replayed with DuckDB list lambdas
+    // (index-aware keep-first: a line survives iff it sits at its own
+    // first position)
+    "l42_line_curation" ->
+      """WITH lined AS (SELECT doc_id,
+        |    replace(text, ' table ', chr(10)) AS t2
+        |  FROM documents WHERE doc_id < 20),
+        |f AS (SELECT doc_id,
+        |    list_filter(string_split(t2, chr(10)), x ->
+        |      len(string_split_regex(trim(x), ' +')) >= 5
+        |      AND trim(x) <> ''
+        |      AND NOT contains(lower(x), 'slow')) AS ls
+        |  FROM lined),
+        |d AS (SELECT doc_id,
+        |    -- array_to_string of an EMPTY list is NULL in DuckDB
+        |    -- (Spark's array_join gives ''): coalesce to match
+        |    coalesce(array_to_string(
+        |      list_filter(ls, (x, i) -> list_position(ls, x) = i),
+        |      chr(10)), '') AS ded
+        |  FROM f)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN ded = '' THEN 0
+        |    ELSE len(string_split(ded, chr(10))) END AS BIGINT)
+        |    AS lines_kept,
+        |  CAST(length(ded) AS BIGINT) AS chars_kept, md5(ded) AS h
+        |FROM d ORDER BY doc_id""".stripMargin,
     "l17_oov_rate" ->
       """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS t
         |    FROM documents),

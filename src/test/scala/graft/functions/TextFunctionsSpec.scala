@@ -193,4 +193,45 @@ class TextFunctionsSpec extends SparkSpecBase {
       .mapValues(_.size.toLong).toSeq.sortBy(_._1)
     assert(vc(arr) === expected)
   }
+
+  test("filterLines: C4 rules — min words, banned substrings, terminal " +
+    "punctuation") {
+    import org.apache.spark.sql.functions.col
+    def f(text: String, minWords: Int, banned: Seq[String] = Nil,
+        punct: Boolean = false): String =
+      one(TextFunctions.filterLines(col("t"), minWords, banned, punct),
+        text).asInstanceOf[String]
+    val doc = "a good long sentence here.\nshort one\n" +
+      "enable JavaScript to continue now\nanother fine long line here!"
+    // min-words rule alone
+    assert(f(doc, 5) == "a good long sentence here.\n" +
+      "enable JavaScript to continue now\nanother fine long line here!")
+    // banned substring (case-insensitive)
+    assert(f(doc, 5, Seq("javascript")) ==
+      "a good long sentence here.\nanother fine long line here!")
+    // terminal punctuation drops the unpunctuated survivor
+    assert(f(doc, 3, Nil, punct = true) ==
+      "a good long sentence here.\nanother fine long line here!")
+    // all-dropped document becomes the empty string
+    assert(f("tiny\nalso tiny", 5) == "")
+    // blank lines never count as words
+    assert(f("   \nonly this line has enough words", 5) ==
+      "only this line has enough words")
+  }
+
+  test("dedupLines keeps the FIRST occurrence, order preserved") {
+    import org.apache.spark.sql.functions.col
+    def d(text: String): String =
+      one(TextFunctions.dedupLines(col("t")), text).asInstanceOf[String]
+    assert(d("nav bar\nbody one\nnav bar\nbody two\nnav bar") ==
+      "nav bar\nbody one\nbody two")
+    assert(d("a\nb\nc") == "a\nb\nc")
+    assert(d("x\nx\nx") == "x")
+    assert(d("") == "")
+    // composes with the filter: filter first, then collapse
+    val composed = one(TextFunctions.dedupLines(
+      TextFunctions.filterLines(col("t"), 2)),
+      "keep me\nno\nkeep me\nme too").asInstanceOf[String]
+    assert(composed == "keep me\nme too")
+  }
 }
