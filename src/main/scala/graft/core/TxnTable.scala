@@ -1541,13 +1541,27 @@ object TxnTable {
       .select(col("__fname")).distinct().localCheckpoint()
     if (hitDf.isEmpty) return base
     val p = coalesce(predicate, lit(false))
-    val rewritten = withName.join(broadcast(hitDf), "__fname")
-      .select(tableCols.map { c =>
-        if (set.contains(c))
-          when(p, set(c).cast(colType(c)))
-            .otherwise(col(c)).as(c)
-        else col(c)
-      }: _*)
+    val inHit = withName.join(broadcast(hitDf), "__fname")
+    // IN/EXISTS subqueries are only legal in FILTERS (Spark's subquery
+    // placement rule), never inside the per-column when(p, …)
+    // projection — a subquery predicate takes the two-filter shape
+    // instead: untouched rows and updated rows selected separately
+    // over the hit files and unioned. Plain predicates keep the
+    // single-pass codegen'd when().
+    val rewritten =
+      if (!hasJoinSubquery(predicate))
+        inHit.select(tableCols.map { c =>
+          if (set.contains(c))
+            when(p, set(c).cast(colType(c)))
+              .otherwise(col(c)).as(c)
+          else col(c)
+        }: _*)
+      else
+        inHit.filter(!p).select(tableCols.map(col): _*)
+          .unionByName(inHit.filter(p).select(tableCols.map { c =>
+            if (set.contains(c)) set(c).cast(colType(c)).as(c)
+            else col(c)
+          }: _*))
     val adds = writeData(spark, path,
       withChecks(spark, path, rewritten), 1)
     val hitNames = hitDf.collect().map(_.getString(0)).toSet
@@ -1556,6 +1570,17 @@ object TxnTable {
       CommuteNonOverlapping)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
   }
+
+  /** Whether a predicate embeds an IN/EXISTS subquery (a join-shaped
+    * subquery expression) — those only resolve inside filters, so
+    * [[updateWhere]] switches to its two-filter rewrite shape. Scalar
+    * subqueries are projection-legal and keep the fast path. */
+  private def hasJoinSubquery(c: Column): Boolean =
+    try org.apache.spark.sql.graftbridge.Bridge.eagerExpression(c).exists {
+      case _: org.apache.spark.sql.catalyst.expressions.InSubquery => true
+      case _: org.apache.spark.sql.catalyst.expressions.Exists => true
+      case _ => false
+    } catch { case _: Throwable => false }
 
   /** Keyed MERGE (the Delta MERGE whenMatched-delete + insert role):
     * atomically replace every current row whose `keyCols` tuple appears

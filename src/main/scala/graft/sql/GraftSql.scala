@@ -126,8 +126,10 @@ object GraftSql {
 
       case UpdateTable(t, assigns, cond) =>
         val (reg, quals) = target(t)
+        // SET values may carry SCALAR subqueries (projection-legal)
         val set = assigns.map(a =>
-          lastName(a.key) -> Bridge.column(stripQual(a.value, quals))).toMap
+          lastName(a.key) -> Bridge.column(
+            resolveSubqueries(spark, stripQual(a.value, quals)))).toMap
         val c = cond.map(e => Bridge.column(
           resolveSubqueries(spark, stripQual(e, quals))))
           .getOrElse(lit(true))

@@ -366,6 +366,22 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(GraftSql.query(spark,
       s"SELECT count(*) AS c FROM $n2 WHERE id IN " +
         s"(SELECT id FROM $n)").head().getLong(0) == 1L)
+    // UPDATE with an IN-subquery predicate (the two-filter rewrite
+    // shape), CoW and MOR
+    for (mor <- Seq(false, true)) {
+      val (tu, nu) = mk(mor)
+      val (_, nk) = mk()
+      GraftSql.execute(spark,
+        s"""UPDATE $nu SET v = v + 1000 WHERE id IN
+           |(SELECT id FROM $nk WHERE v >= 30)""".stripMargin)
+      assert(rows(tu) == Set((1L, 10L, "a"), (2L, 20L, "b"),
+        (3L, 1030L, "c"), (4L, 1040L, "d")), s"mor=$mor")
+      // and a scalar subquery in the SET value itself
+      GraftSql.execute(spark,
+        s"UPDATE $nu SET v = (SELECT min(v) FROM $nk) WHERE id = 1")
+      assert(rows(tu).contains((1L, 10L, "a")))
+      GraftSql.unregister(nu); GraftSql.unregister(nk)
+    }
     GraftSql.unregister(n); GraftSql.unregister(n2)
   }
 
