@@ -308,6 +308,53 @@ object TextFunctions {
   def urlParam(url: Column, key: String): Column =
     parse_url(url, lit("QUERY"), lit(key))
 
+  /** CANONICAL URL normalization — the dedup key a web-crawl pipeline
+    * groups on (the same page arrives under dozens of spellings):
+    * fragment dropped; scheme and host lowercased; `www.` and the
+    * scheme's default port (`:80` http / `:443` https) stripped;
+    * trailing path slashes trimmed; query params with tracking
+    * prefixes (`utm_`, `fbclid`, `gclid`, `ref=`) dropped and the
+    * REST SORTED so param order never splits a group. Pure codegen'd
+    * string/array expressions (substring_index / regexp_replace /
+    * array_sort on the split params) — map-side, zero shuffles, and
+    * every step has an exact DuckDB twin (split_part / list_sort), so
+    * the op is oracle-checkable end to end. Paths stay case-sensitive
+    * per RFC 3986. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val schemeRaw = substring_index(noFrag, "://", 1)
+    val scheme = lower(schemeRaw)
+    // after the FIRST "://" (substr, not substring_index -1 — a later
+    // "://" inside the query must not re-anchor)
+    val rest0 = noFrag.substr(length(schemeRaw) + 4, lit(1000000))
+    // "host?a=1" (query, no path) → "host/?a=1" so one split rule
+    // covers every shape
+    val rest = when(!rest0.contains("/") && rest0.contains("?"),
+      concat(substring_index(rest0, "?", 1), lit("/?"),
+        substring_index(rest0, "?", -1))).otherwise(rest0)
+    val hostport = lower(substring_index(rest, "/", 1))
+    val host0 = substring_index(hostport, ":", 1)
+    val port = when(hostport.contains(":"),
+      substring_index(hostport, ":", -1)).otherwise(lit(""))
+    val keepPort = !(port === "" ||
+      (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443"))
+    val host = regexp_replace(
+      when(keepPort, concat(host0, lit(":"), port)).otherwise(host0),
+      "^www\\.", "")
+    val pathq = rest.substr(
+      length(substring_index(rest, "/", 1)) + 1, lit(1000000))
+    val path = regexp_replace(substring_index(pathq, "?", 1), "/+$", "")
+    val query = when(pathq.contains("?"),
+      substring_index(pathq, "?", -1)).otherwise(lit(""))
+    val params = array_sort(filter(split(query, "&"), p =>
+      length(p) > 0 && !p.startsWith("utm_") && !p.startsWith("fbclid") &&
+        !p.startsWith("gclid") && !p.startsWith("ref=")))
+    val q2 = array_join(params, "&")
+    concat(scheme, lit("://"), host, path,
+      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+  }
+
   /** HTML → plain text: drop tags, THEN unescape entities (so literal
     * `&lt;tag&gt;` text survives instead of being eaten as markup —
     * entities are content, not structure), then collapse whitespace.

@@ -696,6 +696,39 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** L43: canonical-URL dedup — the same page arrives under dozens of
+    * spellings (case, www, default port, trailing slash, tracking
+    * params, param order, fragments); `canonicalizeUrl` collapses them
+    * to one dedup key, map-side, then one keyed groupBy yields the
+    * per-page group (count + keeper doc). The gate synthesizes four
+    * deterministic spelling variants per document and proves variants
+    * 0–2 of each source collapse to ONE canonical page while variant 3
+    * stays keyed by its real param; the oracle replays the full
+    * canonicalization algorithm step-for-step in DuckDB (split_part /
+    * list_sort / list_filter twins of the Spark expressions). */
+  def l43UrlCanonDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val urls = docs.select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://WWW."), col("source"),
+          lit(".COM:443/A/B/?b=2&a=1&utm_source=x")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://"), col("source"), lit(".com/A/B?a=1&b=2#f")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://"), col("source"), lit(".com/A/B")))
+        .otherwise(concat(lit("https://"), col("source"),
+          lit(".com/other?gclid=1&page="), (col("doc_id") % 5)))
+        .as("url"))
+    urls
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.canonicalizeUrl(col("url"))
+          .as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("dups"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("canon"))
+  }
+
   /** L19: sparse (token-space) cosine similarity join — tf vectors meet
     * on shared terms only (postings self-join), dot products and squared
     * norms stay in EXACT integer arithmetic, and the cosine is one
@@ -988,6 +1021,7 @@ object CorpusQueries {
     "l17_oov_rate" -> (l17OovRate _),
     "l18_html_strip" -> (l18HtmlStrip _),
     "l42_line_curation" -> (l42LineCuration _),
+    "l43_url_canon_dedup" -> (l43UrlCanonDedup _),
     "l19_sparse_cosine" -> (l19SparseCosine _),
     "l20_mixture" -> (l20Mixture _),
     "l21_retention_delete" -> (l21RetentionDelete _),
@@ -1319,6 +1353,61 @@ object CorpusQueries {
       """SELECT doc_id, md5(text || ' & <end>') AS h,
         |  CAST(length(text || ' & <end>') AS BIGINT) AS n
         |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+    // the full canonicalization algorithm replayed step-for-step:
+    // split_part / list_sort / list_filter are the DuckDB twins of the
+    // Spark substring_index / array_sort / filter expressions
+    "l43_url_canon_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'HTTPS://WWW.' || source ||
+        |      '.COM:443/A/B/?b=2&a=1&utm_source=x'
+        |    WHEN 1 THEN 'https://' || source || '.com/A/B?a=1&b=2#f'
+        |    WHEN 2 THEN 'https://' || source || '.com/A/B'
+        |    ELSE 'https://' || source || '.com/other?gclid=1&page=' ||
+        |      CAST(doc_id % 5 AS VARCHAR) END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM u),
+        |s2 AS (SELECT doc_id, nofrag,
+        |    split_part(nofrag, '://', 1) AS schemeraw FROM s1),
+        |s3 AS (SELECT doc_id, lower(schemeraw) AS scheme,
+        |    substring(nofrag, length(schemeraw) + 4) AS rest0 FROM s2),
+        |s4 AS (SELECT doc_id, scheme,
+        |    CASE WHEN NOT contains(rest0, '/') AND contains(rest0, '?')
+        |      THEN split_part(rest0, '?', 1) || '/?' ||
+        |        split_part(rest0, '?', -1)
+        |      ELSE rest0 END AS rest FROM s3),
+        |s5 AS (SELECT doc_id, scheme, rest,
+        |    lower(split_part(rest, '/', 1)) AS hostport FROM s4),
+        |s6 AS (SELECT doc_id, scheme, rest, hostport,
+        |    split_part(hostport, ':', 1) AS host0,
+        |    CASE WHEN contains(hostport, ':')
+        |      THEN split_part(hostport, ':', -1) ELSE '' END AS port
+        |  FROM s5),
+        |s7 AS (SELECT doc_id, scheme,
+        |    regexp_replace(CASE WHEN port = ''
+        |        OR (scheme = 'http' AND port = '80')
+        |        OR (scheme = 'https' AND port = '443') THEN host0
+        |      ELSE host0 || ':' || port END, '^www\.', '') AS host,
+        |    substring(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+        |  FROM s6),
+        |s8 AS (SELECT doc_id, scheme, host,
+        |    regexp_replace(split_part(pathq, '?', 1), '/+$', '') AS path,
+        |    CASE WHEN contains(pathq, '?')
+        |      THEN split_part(pathq, '?', -1) ELSE '' END AS q FROM s7),
+        |s9 AS (SELECT doc_id, scheme, host, path,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(q, '&'), p -> len(p) > 0
+        |        AND NOT starts_with(p, 'utm_')
+        |        AND NOT starts_with(p, 'fbclid')
+        |        AND NOT starts_with(p, 'gclid')
+        |        AND NOT starts_with(p, 'ref='))), '&'), '') AS q2
+        |  FROM s8),
+        |c AS (SELECT doc_id, scheme || '://' || host || path ||
+        |    CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon
+        |  FROM s9)
+        |SELECT canon, CAST(count(*) AS BIGINT) AS dups,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // line filter + keep-first dedup replayed with DuckDB list lambdas
     // (index-aware keep-first: a line survives iff it sits at its own
     // first position)

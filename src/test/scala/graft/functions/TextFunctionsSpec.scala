@@ -219,6 +219,29 @@ class TextFunctionsSpec extends SparkSpecBase {
       "only this line has enough words")
   }
 
+  test("canonicalizeUrl: one spelling per page") {
+    import org.apache.spark.sql.functions.col
+    def c(u: String): String =
+      one(TextFunctions.canonicalizeUrl(col("t")), u).asInstanceOf[String]
+    // case, www, default port, trailing slash, tracking params, param
+    // order, fragment — all collapse to one canonical spelling
+    val want = "https://example.com/A/B?a=1&b=2"
+    assert(c("HTTPS://WWW.Example.COM:443/A/B/?b=2&a=1&utm_source=x") == want)
+    assert(c("https://example.com/A/B?a=1&b=2#section") == want)
+    assert(c("https://www.example.com/A/B///?a=1&b=2&fbclid=zz") == want)
+    // distinct pages stay distinct
+    assert(c("http://example.com/A/B?a=1&b=2") ==
+      "http://example.com/A/B?a=1&b=2")
+    assert(c("https://example.com/a/b?a=1&b=2") ==
+      "https://example.com/a/b?a=1&b=2") // path case is significant
+    // non-default port kept; query-no-path; all-tracking query drops
+    assert(c("https://example.com:8443/x") == "https://example.com:8443/x")
+    assert(c("https://Example.com?b=2&a=1") == "https://example.com?a=1&b=2")
+    assert(c("https://example.com/p?utm_campaign=c&gclid=1") ==
+      "https://example.com/p")
+    assert(c("http://example.com:80/") == "http://example.com")
+  }
+
   test("dedupLines keeps the FIRST occurrence, order preserved") {
     import org.apache.spark.sql.functions.col
     def d(text: String): String =
