@@ -351,8 +351,11 @@ object TextFunctions {
       length(p) > 0 && !p.startsWith("utm_") && !p.startsWith("fbclid") &&
         !p.startsWith("gclid") && !p.startsWith("ref=")))
     val q2 = array_join(params, "&")
-    concat(scheme, lit("://"), host, path,
-      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+    // non-URL input (no "://") passes through lowercased-and-defragged
+    // rather than being mangled into a fake scheme
+    when(!url.contains("://"), lower(noFrag))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(q2 === "", lit("")).otherwise(concat(lit("?"), q2))))
   }
 
   /** HTML → plain text: drop tags, THEN unescape entities (so literal

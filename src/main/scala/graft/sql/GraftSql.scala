@@ -377,6 +377,12 @@ object GraftSql {
         java.nio.file.Paths.get(root).resolve(parts.last.toLowerCase)
           .toString
       }
+    // a name already registered at a DIFFERENT path must not be
+    // silently re-pointed by a CREATE with an explicit LOCATION
+    Option(tables.get(nm.toLowerCase)).map(_.path).foreach(p =>
+      require(p == path,
+        s"$nm is already registered at $p — unregister it first or " +
+          s"use that LOCATION (got $path)"))
     (nm, path, props.get("graft.mor").exists(_.equalsIgnoreCase("true")))
   }
 

@@ -171,7 +171,10 @@ object StreamChanges {
       { Files.deleteIfExists(p); () })
     finally restIt.close()
     Files.deleteIfExists(tmp)
-    Files.createFile(marker)
-    ()
+    // two pumps racing the same version derive IDENTICAL content from
+    // the immutable log, so losing the marker race is benign — never
+    // let it kill the winner-adjacent pump
+    try { Files.createFile(marker); () }
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
   }
 }

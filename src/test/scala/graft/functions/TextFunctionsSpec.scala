@@ -240,6 +240,8 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(c("https://example.com/p?utm_campaign=c&gclid=1") ==
       "https://example.com/p")
     assert(c("http://example.com:80/") == "http://example.com")
+    // non-URL input passes through lowercased, never mangled
+    assert(c("Example.com/Path#f") == "example.com/path")
   }
 
   test("dedupLines keeps the FIRST occurrence, order preserved") {

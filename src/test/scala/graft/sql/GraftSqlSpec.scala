@@ -334,6 +334,12 @@ class GraftSqlSpec extends SparkSpecBase {
         s"REPLACE TABLE nope_${n2} USING graft LOCATION '$d/t3' " +
           "AS SELECT 1 AS one")
     }
+    // CREATE must never silently RE-POINT a registered name to a
+    // different LOCATION
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"CREATE TABLE $n (x BIGINT) USING graft LOCATION '$d/elsewhere'")
+    }
     // warehouse root: CREATE without LOCATION lands under it
     GraftSql.setWarehouse(s"$d/wh")
     val n3 = "ct3" + java.util.UUID.randomUUID().toString.replace("-", "")
