@@ -105,6 +105,57 @@ object R14Bench {
     println(f"changesPump rows=$spooled%d wall=$wall%.2f " +
       f"rowsPerSec=${spooled / wall}%.0f loadavg=$loadavg")
 
+    // probe 3: CONVERT adoption cost at growing file counts — the
+    // claim is zero data movement + a distributed one-footer-per-file
+    // harvest, so wall should track file count, never byte volume
+    Seq(64, 512).foreach { nFiles =>
+      val src = s"$root/conv_$nFiles"
+      spark.range(2000000L)
+        .select(col("id"), (col("id") % 1000).as("g"), (col("id") * 3).as("v"))
+        .repartition(nFiles).write.parquet(src)
+      val t0 = System.nanoTime()
+      graft.core.TxnTable.convertParquet(spark, src)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val f0 = graft.crawler.SkippingIndex.footerReads.get()
+      val cnt = graft.core.TxnTable.countRange(spark, src, "g", 0L, 999L)
+      require(cnt._1 == 2000000L && cnt._2 == 0,
+        s"post-convert metadata count must be exact+scan-free, got $cnt")
+      require(graft.crawler.SkippingIndex.footerReads.get() == f0)
+      println(f"convert files=$nFiles%d wall=$wall%.2f " +
+        f"metaCountScanned=${cnt._2}%d loadavg=$loadavg")
+    }
+
+    // probe 4: full-sync MERGE (matched update + 2 inserts + by-source
+    // delete/update) on 2M rows — the one-pass left-join claim: CoW
+    // and MOR walls, same statement shape as gate s41
+    {
+      import graft.core._
+      val rows2 = spark.range(2000000L)
+        .select(col("id"), (col("id") % 1000).as("g"), (col("id") * 3).as("v"))
+      val src = spark.range(1500000L, 2500000L)
+        .select(col("id"), (col("id") * 7).as("nv"))
+      val matched = Seq(MatchedUpdate(Map("v" -> TxnTable.srcCol("nv"))))
+      val notM = Seq(NotMatchedInsert(Map(
+        "id" -> TxnTable.srcCol("id"), "g" -> lit(9999L),
+        "v" -> TxnTable.srcCol("nv"))))
+      val bys = Seq(
+        BySourceDelete(Some(col("g") < 100L)),
+        BySourceUpdate(Map("v" -> (col("v") + 1L))))
+      def run(mor: Boolean): Double = {
+        val t = s"$root/sync_${if (mor) "mor" else "cow"}"
+        TxnTable.createClustered(spark, t, rows2, Seq(col("g")), 32)
+        val t0 = System.nanoTime()
+        if (mor) TxnTable.mergeIntoMor(spark, t, src, Seq("id"), matched,
+          notM, bySource = bys)
+        else TxnTable.mergeInto(spark, t, src, Seq("id"), matched, notM,
+          bySource = bys)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (cw, mr) = (run(false), run(true))
+      println(f"fullSyncMerge rows=2000000 cow=$cw%.2f mor=$mr%.2f " +
+        f"loadavg=$loadavg")
+    }
+
     spark.stop()
   }
 }
