@@ -1070,13 +1070,23 @@ object TxnTable {
     val root = localRoot(path)
     require(Files.isDirectory(root), s"convertParquet: no directory $path")
     val walk = Files.walk(root)
+    // hidden/metadata filtering applies to EVERY path segment, not
+    // just the leaf (Spark's own listing convention): a directory
+    // being converted may carry another system's metadata tree (e.g.
+    // _delta_log/…/NNN.checkpoint.parquet), and adopting those as
+    // data would corrupt the table
+    def visible(rel: JPath): Boolean =
+      (0 until rel.getNameCount).forall { i =>
+        val seg = rel.getName(i).toString
+        !seg.startsWith("_") && !seg.startsWith(".")
+      }
     val files =
       try walk.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith("."))
-        .map(p => root.relativize(p).toString).toSeq.sorted
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(root.relativize)
+        .filter(visible)
+        .map(_.toString).toSeq.sorted
       finally walk.close()
     require(files.nonEmpty, s"convertParquet: no parquet files under $path")
     // merged schema across every footer generation (a drifted layout
@@ -1380,6 +1390,9 @@ object TxnTable {
       .filterNot(c => c == "__fname" || c == "__pos")
     val bad = set.keySet -- tableCols
     require(bad.isEmpty, s"updateWhereMor: unknown columns $bad")
+    require(!set.values.exists(hasJoinSubquery),
+      "updateWhereMor: IN/EXISTS subqueries are not supported in SET " +
+        "values (scalar subqueries are; or precompute via MERGE INTO)")
     // one materialized pass pins BOTH the hit positions and the row
     // content the updated images are computed from (the DV and the
     // appended rows must describe the same snapshot rows)
@@ -1537,6 +1550,12 @@ object TxnTable {
     val colType = withName.schema.fields.map(f => f.name -> f.dataType).toMap
     val bad = set.keySet -- tableCols
     require(bad.isEmpty, s"updateWhere: unknown columns $bad")
+    // SET values are projections on BOTH rewrite shapes — an IN/EXISTS
+    // subquery there can never satisfy Spark's subquery-placement rule,
+    // so reject it loudly (scalar subqueries are projection-legal)
+    require(!set.values.exists(hasJoinSubquery),
+      "updateWhere: IN/EXISTS subqueries are not supported in SET " +
+        "values (scalar subqueries are; or precompute via MERGE INTO)")
     val hitDf = withName.filter(predicate)
       .select(col("__fname")).distinct().localCheckpoint()
     if (hitDf.isEmpty) return base

@@ -327,12 +327,14 @@ object TextFunctions {
     // after the FIRST "://" (substr, not substring_index -1 — a later
     // "://" inside the query must not re-anchor)
     val rest0 = noFrag.substr(length(schemeRaw) + 4, lit(1000000))
-    // "host?a=1" (query, no path) → "host/?a=1" so one split rule
-    // covers every shape
-    val rest = when(!rest0.contains("/") && rest0.contains("?"),
-      concat(substring_index(rest0, "?", 1), lit("/?"),
-        substring_index(rest0, "?", -1))).otherwise(rest0)
-    val hostport = lower(substring_index(rest, "/", 1))
+    // split at the FIRST '?': everything after it is the query —
+    // including '/' (redirect/path param values are ubiquitous) and
+    // further '?' characters, which must never re-anchor the host or
+    // path split
+    val hostpath = substring_index(rest0, "?", 1)
+    val query = when(rest0.contains("?"),
+      rest0.substr(length(hostpath) + 2, lit(1000000))).otherwise(lit(""))
+    val hostport = lower(substring_index(hostpath, "/", 1))
     val host0 = substring_index(hostport, ":", 1)
     val port = when(hostport.contains(":"),
       substring_index(hostport, ":", -1)).otherwise(lit(""))
@@ -342,11 +344,8 @@ object TextFunctions {
     val host = regexp_replace(
       when(keepPort, concat(host0, lit(":"), port)).otherwise(host0),
       "^www\\.", "")
-    val pathq = rest.substr(
-      length(substring_index(rest, "/", 1)) + 1, lit(1000000))
-    val path = regexp_replace(substring_index(pathq, "?", 1), "/+$", "")
-    val query = when(pathq.contains("?"),
-      substring_index(pathq, "?", -1)).otherwise(lit(""))
+    val path = regexp_replace(
+      hostpath.substr(length(hostport) + 1, lit(1000000)), "/+$", "")
     val params = array_sort(filter(split(query, "&"), p =>
       length(p) > 0 && !p.startsWith("utm_") && !p.startsWith("fbclid") &&
         !p.startsWith("gclid") && !p.startsWith("ref=")))

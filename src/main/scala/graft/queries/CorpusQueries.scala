@@ -1371,29 +1371,28 @@ object CorpusQueries {
         |    split_part(nofrag, '://', 1) AS schemeraw FROM s1),
         |s3 AS (SELECT doc_id, lower(schemeraw) AS scheme,
         |    substring(nofrag, length(schemeraw) + 4) AS rest0 FROM s2),
-        |s4 AS (SELECT doc_id, scheme,
-        |    CASE WHEN NOT contains(rest0, '/') AND contains(rest0, '?')
-        |      THEN split_part(rest0, '?', 1) || '/?' ||
-        |        split_part(rest0, '?', -1)
-        |      ELSE rest0 END AS rest FROM s3),
-        |s5 AS (SELECT doc_id, scheme, rest,
-        |    lower(split_part(rest, '/', 1)) AS hostport FROM s4),
-        |s6 AS (SELECT doc_id, scheme, rest, hostport,
+        |-- split at the FIRST '?': '/' or further '?' inside the query
+        |-- must never re-anchor the host/path split
+        |s4 AS (SELECT doc_id, scheme, rest0,
+        |    split_part(rest0, '?', 1) AS hostpath,
+        |    CASE WHEN contains(rest0, '?')
+        |      THEN substring(rest0, length(split_part(rest0, '?', 1)) + 2)
+        |      ELSE '' END AS q FROM s3),
+        |s5 AS (SELECT doc_id, scheme, hostpath, q,
+        |    lower(split_part(hostpath, '/', 1)) AS hostport FROM s4),
+        |s6 AS (SELECT doc_id, scheme, hostpath, q, hostport,
         |    split_part(hostport, ':', 1) AS host0,
         |    CASE WHEN contains(hostport, ':')
         |      THEN split_part(hostport, ':', -1) ELSE '' END AS port
         |  FROM s5),
-        |s7 AS (SELECT doc_id, scheme,
+        |s8 AS (SELECT doc_id, scheme,
         |    regexp_replace(CASE WHEN port = ''
         |        OR (scheme = 'http' AND port = '80')
         |        OR (scheme = 'https' AND port = '443') THEN host0
         |      ELSE host0 || ':' || port END, '^www\.', '') AS host,
-        |    substring(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+        |    regexp_replace(substring(hostpath, length(hostport) + 1),
+        |      '/+$', '') AS path, q
         |  FROM s6),
-        |s8 AS (SELECT doc_id, scheme, host,
-        |    regexp_replace(split_part(pathq, '?', 1), '/+$', '') AS path,
-        |    CASE WHEN contains(pathq, '?')
-        |      THEN split_part(pathq, '?', -1) ELSE '' END AS q FROM s7),
         |s9 AS (SELECT doc_id, scheme, host, path,
         |    coalesce(array_to_string(list_sort(list_filter(
         |      string_split(q, '&'), p -> len(p) > 0

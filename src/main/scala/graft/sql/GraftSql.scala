@@ -110,6 +110,12 @@ object GraftSql {
       TxnTable.restore(spark, reg.path, v.toLong)
 
     case ConvertRe(dir, name) =>
+      // AS name must not silently re-point an existing registration
+      // (same contract as CREATE's re-pointing guard)
+      Option(name).foreach(n =>
+        Option(tables.get(n.toLowerCase)).map(_.path).foreach(p =>
+          require(p == dir,
+            s"$n is already registered at $p — unregister it first")))
       // in-place adoption: the parquet directory BECOMES the table
       // (zero data movement; footer stats harvested into the log)
       val v = TxnTable.convertParquet(spark, dir)
@@ -231,12 +237,19 @@ object GraftSql {
 
       case ct: CreateTable =>
         val (nm, path, mor) = createTarget(ct.name, ct.tableSpec)
+        // loud-contract: a plain CREATE persists NO layout spec, so a
+        // PARTITIONED BY / CLUSTER BY clause would be silently
+        // dropped — reject it (CTAS CLUSTER BY lays data out; OPTIMIZE
+        // ZORDER BY re-clusters after load)
+        require(ct.partitioning.isEmpty,
+          "CREATE TABLE does not persist a layout spec — use CTAS " +
+            "with CLUSTER BY, or OPTIMIZE … ZORDER BY after loading")
         existingVersion(nm, path) match {
           case Some(v) =>
             if (!ct.ignoreIfExists) throw new IllegalArgumentException(
               s"CREATE TABLE: $nm already exists (at $path) — use IF " +
                 "NOT EXISTS or CREATE OR REPLACE")
-            register(nm, path, mor); v
+            registerKeepingMor(nm, path, mor); v
           case None =>
             require(ct.columns.nonEmpty,
               "CREATE TABLE needs a column list (or use CTAS)")
@@ -259,7 +272,7 @@ object GraftSql {
             if (!ctas.ignoreIfExists) throw new IllegalArgumentException(
               s"CREATE TABLE: $nm already exists (at $path) — use IF " +
                 "NOT EXISTS or CREATE OR REPLACE")
-            register(nm, path, mor); v
+            registerKeepingMor(nm, path, mor); v
           case None =>
             val df = Bridge.ofRows(spark,
               substituteRelations(spark, ctas.query))
@@ -391,6 +404,16 @@ object GraftSql {
   private def existingVersion(nm: String, path: String): Option[Long] = {
     val v = TxnTable.currentVersion(path)
     if (v >= 0) Some(v) else None
+  }
+
+  /** Re-register on an IF-NOT-EXISTS no-op: an EXISTING registration's
+    * MOR routing wins over the new statement's property — "must not
+    * touch the table" includes not silently flipping how its DML
+    * commits. */
+  private def registerKeepingMor(nm: String, path: String,
+      mor: Boolean): Unit = {
+    val keep = Option(tables.get(nm.toLowerCase)).map(_.mor).getOrElse(mor)
+    register(nm, path, keep)
   }
 
   /** CTAS write: `CLUSTER BY (a, b)` lays the data out range-clustered

@@ -28,16 +28,18 @@ import graft.core.TxnTable
   *     materializes EACH VERSION's changes as one distributed
   *     [[TxnTable.diffVersionsImages]] job (file-scoped: reads only
   *     the files that version changed) written to a parquet SPOOL.
-  *     Idempotent per version: each lands under deterministic file
-  *     names behind a `_done_<v-1>_<v>` marker, so replayed versions
-  *     — an engine-redelivered batch, or a pump whose CHECKPOINT was
-  *     lost re-offering everything under different batch boundaries —
-  *     all no-op and the feed stays exactly-once. Version 0 (the
-  *     table's birth) spools the full snapshot as `insert` rows: the
-  *     initial load IS part of the feed. Per-version is the standard
-  *     CDF semantics (a key changed twice shows both changes); the
-  *     cost is one small file-scoped job per commit rather than one
-  *     netted job per batch.
+  *     Idempotent per version: each lands as one `r<v-1>_<v>/` range
+  *     directory published by a single ATOMIC rename — the directory
+  *     IS the done-marker — so replayed versions (an
+  *     engine-redelivered batch, or a pump whose CHECKPOINT was lost
+  *     re-offering everything under different batch boundaries) all
+  *     no-op on one existence probe and the feed stays exactly-once;
+  *     a consumer can never observe a half-written range. Version 0
+  *     (the table's birth) spools the full snapshot as `insert` rows:
+  *     the initial load IS part of the feed. Per-version is the
+  *     standard CDF semantics (a key changed twice shows both
+  *     changes); the cost is one small file-scoped job per commit
+  *     rather than one netted job per batch.
   *  2. the returned frame is Spark's OWN file stream over the spool —
   *     distributed scan, its own checkpoint, so the consumer restarts
   *     independently of the pump.
@@ -47,11 +49,9 @@ import graft.core.TxnTable
   * files. A 100 TB table with 1% daily churn spools ~1%/day. The only
   * extra cost vs the harness pattern is one materialization of the
   * change rows — the standard CDC trade for replayable, multi-consumer
-  * feeds. Crash caveat: a pump killed BETWEEN moving spool files and
-  * writing the range marker re-derives the range on restart
-  * (overwriting the same deterministic names); a consumer that read
-  * the partial spool in that window may see a stale extra part — the
-  * normal redelivery path (marker present) is exactly-once.
+  * feeds. A pump killed mid-write leaves only an orphaned `.tmp-*`
+  * directory the consumer's `r*` glob never matches; the restart
+  * republishes the version atomically.
   */
 object StreamChanges {
 
@@ -113,18 +113,29 @@ object StreamChanges {
       spoolDir: String, pumpCheckpointDir: String,
       keyCols: Seq[String]): DataFrame = {
     pump(spark, srcPath, spoolDir, pumpCheckpointDir, keyCols)
+    // published range directories only — in-flight .tmp-* dirs never
+    // match the glob, so a consumer cannot observe a partial range
     spark.readStream.schema(changesSchema(spark, srcPath, keyCols))
-      .parquet(spoolDir)
+      .parquet(s"$spoolDir/r*")
   }
 
-  /** Materialize one version range's images into the spool —
-    * exactly-once via the range marker + deterministic file names. */
+  /** Materialize one version range's images into the spool. The range
+    * lands as ONE directory (`r<from>_<to>/part-*.parquet`) published
+    * by a single ATOMIC rename — the directory's existence IS the
+    * done-marker, so (a) a replayed version no-ops on one existence
+    * probe (never a spool-wide listing — per-version pump cost stays
+    * flat over the feed's lifetime), (b) a consumer can never observe
+    * a half-written range, and (c) a pump crashing mid-write leaves
+    * only an orphaned `.tmp-*` dir that never matches the consumer's
+    * `r*` glob. Two pumps racing the same version derive IDENTICAL
+    * content from the immutable log, so losing the rename race is
+    * benign. */
   private def spool(spark: SparkSession, srcPath: String,
       spoolDir: String, fromV: Long, toV: Long,
       keyCols: Seq[String]): Unit = {
     val root = Paths.get(spoolDir)
-    val marker = root.resolve(s"_done_${fromV}_${toV}")
-    if (Files.exists(marker)) return // redelivered range: no-op
+    val rangeDir = root.resolve(s"r${fromV}_${toV}")
+    if (Files.exists(rangeDir)) return // redelivered version: no-op
     val imgs =
       if (fromV >= 0)
         TxnTable.diffVersionsImages(spark, srcPath, fromV, toV, keyCols)
@@ -145,36 +156,16 @@ object StreamChanges {
       .withColumn("to_version", lit(toV))
     val tmp = root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     out.write.parquet(tmp.toString)
-    // a retry after a mid-move crash re-lands the range cleanly:
-    // sweep any stale parts of THIS range before moving fresh ones
-    val staleIt = Files.list(root)
-    try staleIt.iterator().forEachRemaining { p =>
-      if (p.getFileName.toString.startsWith(s"r${fromV}_${toV}_p"))
-        Files.deleteIfExists(p)
-    } finally staleIt.close()
-    val partIt = Files.list(tmp)
-    val parts =
-      try {
-        val b = Seq.newBuilder[java.nio.file.Path]
-        partIt.iterator().forEachRemaining { p =>
-          if (p.getFileName.toString.endsWith(".parquet")) b += p
-        }
-        b.result().sortBy(_.getFileName.toString)
-      } finally partIt.close()
-    parts.zipWithIndex.foreach { case (p, i) =>
-      Files.move(p, root.resolve(f"r${fromV}%d_${toV}%d_p$i%05d.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+    try { Files.move(tmp, rangeDir, StandardCopyOption.ATOMIC_MOVE); () }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.FileSystemException =>
+        // another pump published this version first: drop our copy
+        val it = Files.walk(tmp)
+        try it.sorted(java.util.Comparator.reverseOrder())
+          .iterator().forEachRemaining(p => { Files.deleteIfExists(p); () })
+        catch { case _: Throwable => () }
+        finally it.close()
     }
-    // best-effort tmp cleanup (marker correctness does not depend on it)
-    val restIt = Files.list(tmp)
-    try restIt.iterator().forEachRemaining(p =>
-      { Files.deleteIfExists(p); () })
-    finally restIt.close()
-    Files.deleteIfExists(tmp)
-    // two pumps racing the same version derive IDENTICAL content from
-    // the immutable log, so losing the marker race is benign — never
-    // let it kill the winner-adjacent pump
-    try { Files.createFile(marker); () }
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
   }
 }

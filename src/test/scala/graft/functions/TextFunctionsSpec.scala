@@ -242,6 +242,17 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(c("http://example.com:80/") == "http://example.com")
     // non-URL input passes through lowercased, never mangled
     assert(c("Example.com/Path#f") == "example.com/path")
+    // '/' inside a query value must not re-anchor the host/path split:
+    // param order still canonicalizes, tracking still strips
+    assert(c("https://a.com?next=/p&utm_source=t") ==
+      "https://a.com?next=/p")
+    assert(c("https://a.com?utm_source=t&next=/p") ==
+      "https://a.com?next=/p")
+    assert(c("https://a.com/login?back=/x/y&b=2&a=1") ==
+      "https://a.com/login?a=1&b=2&back=/x/y")
+    // a second '?' inside the query stays query content
+    assert(c("https://a.com/p?q=what?&a=1") ==
+      "https://a.com/p?a=1&q=what?")
   }
 
   test("dedupLines keeps the FIRST occurrence, order preserved") {

@@ -340,6 +340,23 @@ class GraftSqlSpec extends SparkSpecBase {
       GraftSql.execute(spark,
         s"CREATE TABLE $n (x BIGINT) USING graft LOCATION '$d/elsewhere'")
     }
+    // a layout clause on a plain CREATE would be silently dropped —
+    // loud contract instead
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"CREATE TABLE ct_lay (id BIGINT) USING graft " +
+          s"CLUSTER BY (id) LOCATION '$d/lay'")
+    }
+    // IF NOT EXISTS must not flip an existing registration's MOR
+    // routing either
+    val (tm, nmor) = mk(mor = true)
+    GraftSql.execute(spark,
+      s"CREATE TABLE IF NOT EXISTS $nmor (id BIGINT, v BIGINT, s STRING) " +
+        s"USING graft LOCATION '$tm'")
+    GraftSql.execute(spark, s"DELETE FROM $nmor WHERE id = 1")
+    assert(TxnTable.commits(tm).last.op == "dvdelete",
+      "IF NOT EXISTS must keep the existing MOR routing")
+    GraftSql.unregister(nmor)
     // warehouse root: CREATE without LOCATION lands under it
     GraftSql.setWarehouse(s"$d/wh")
     val n3 = "ct3" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -372,6 +389,14 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(GraftSql.query(spark,
       s"SELECT count(*) AS c FROM $n2 WHERE id IN " +
         s"(SELECT id FROM $n)").head().getLong(0) == 1L)
+    // an IN-subquery in a SET VALUE can satisfy no projection rule:
+    // loud contract error, never a Spark internal analysis failure
+    val se = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"""UPDATE $n SET v = CASE WHEN id IN (SELECT id FROM $n2)
+           |THEN 1 ELSE 0 END WHERE id > 0""".stripMargin)
+    }
+    assert(se.getMessage.contains("SET values"), se.getMessage)
     // UPDATE with an IN-subquery predicate (the two-filter rewrite
     // shape), CoW and MOR
     for (mor <- Seq(false, true)) {
