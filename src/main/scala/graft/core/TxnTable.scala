@@ -394,6 +394,13 @@ object TxnTable {
     * snapshot. No-op in production. */
   private[graft] var midReadHook: () => Unit = () => ()
 
+  /** Test seam: invoked by [[convertParquet]] AFTER the directory
+    * listing and schema read and BEFORE the distributed footer
+    * harvest, letting specs deterministically vanish a listed file
+    * into the harvest window (the race the loud-failure contract
+    * covers). No-op in production. */
+  private[graft] var convertHarvestHook: () => Unit = () => ()
+
   /** Publish `commit` as exactly version `commit.version`.
     * @throws TxnConflictException if that version already exists. */
   def tryCommit(path: String, commit: TxnCommit): Unit = {
@@ -1089,6 +1096,20 @@ object TxnTable {
         .map(_.toString).toSeq.sorted
       finally walk.close()
     require(files.nonEmpty, s"convertParquet: no parquet files under $path")
+    // the DV machinery keys (file → positions) by BASENAME — the scan
+    // side can only recover input_file_name()'s last segment, and
+    // born-graft writers mint UUID names so leaves are unique by
+    // construction. An adopted tree with duplicate leaves (e.g.
+    // 2020/part-0.parquet + 2021/part-0.parquet) would attach one DV
+    // to BOTH files and kill same-position rows in the wrong one —
+    // silent corruption, so refuse the adoption loudly up front.
+    val dupLeaves = files.groupBy(_.split('/').last)
+      .filter(_._2.size > 1).values.flatten.toSeq.sorted
+    require(dupLeaves.isEmpty,
+      s"convertParquet: duplicate file basenames under $path — deletion " +
+        s"vectors key on the basename, so adoption would corrupt MOR " +
+        s"deletes/updates. Rename to unique leaves first: " +
+        dupLeaves.take(6).mkString(", "))
     // merged schema across every footer generation (a drifted layout
     // converts with the union shape; old files null-fill, like any
     // schema-evolved read)
@@ -1096,6 +1117,7 @@ object TxnTable {
       .parquet(files.map(f => root.resolve(f).toString): _*).schema
     // footer harvest as a DISTRIBUTED job: executors open footers with
     // a fresh Configuration (the log and data share one filesystem)
+    convertHarvestHook()
     import spark.implicits._
     val rootStr = root.toString
     val harvested = spark.createDataset(files)
@@ -1104,6 +1126,12 @@ object TxnTable {
         val conf = new org.apache.hadoop.conf.Configuration()
         val abs = java.nio.file.Paths.get(rootStr).resolve(f)
         val st = graft.crawler.SkippingIndex.fileStats(conf, abs.toString)
+        // fileStats is None only when the file vanished between listing
+        // and harvest — committing a rows=0 add would silently
+        // undercount every metadata-only aggregate, so fail the convert
+        if (st.isEmpty) throw new IllegalStateException(
+          s"convertParquet: $f disappeared during the footer harvest — " +
+            "the directory changed under the convert; re-run it")
         (f, st.map(_._1).getOrElse(0L), Files.size(abs),
           st.map { case (_, cols, ls, ss, ns) => statsJson(cols, ls, ss, ns) })
       }
@@ -1460,6 +1488,14 @@ object TxnTable {
     val hitNames = hits.select(col("file")).distinct()
       .collect().map(_.getString(0)).toSet
     val hitPaths = files.filter(f => hitNames.contains(f.split('/').last))
+    // basename→path must be injective among the hit files: a DV keyed
+    // on a shared leaf would kill same-position rows in BOTH files.
+    // Unreachable for born-graft tables (UUID leaves) and guarded at
+    // convertParquet; kept as a last-line corruption check.
+    val dupLeaf = hitPaths.groupBy(_.split('/').last).filter(_._2.size > 1)
+    require(dupLeaf.isEmpty,
+      s"deletion vector would be ambiguous: duplicate basenames among " +
+        s"hit files ${dupLeaf.values.flatten.mkString(", ")}")
     val carried = oldDv.filter(col("file")
       .isInCollection(hitNames.toSeq))
     val dvFile = writeDv(spark, path, hits.unionByName(carried))
@@ -2266,6 +2302,42 @@ object TxnTable {
         snapshotReader(spark, path, base).parquet(abs: _*),
         keepFname = false), targetFiles)
     try commitRewrite(path, base, "compact", adds, files,
+      CommuteNonOverlapping)
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+  }
+
+  /** The OPTIMIZE statement's bin-pack: UNCONDITIONALLY fold the
+    * snapshot's eligible files — small files (`< targetBytes`, the
+    * write-amplification tail) plus every DV-carrying file (folding
+    * materializes its deletes) — into ~`targetBytes` bins, leaving
+    * healthy large files untouched. Unlike [[maybeCompact]] (the
+    * policy-gated auto-maintenance), an explicit OPTIMIZE always runs
+    * on eligible files; and unlike [[compact]] it never rewrites the
+    * whole table — at 100 TB an OPTIMIZE after a streaming day folds
+    * the day's small-file tail, not the archive. Sizing comes from the
+    * log's add metadata (zero footer reads). Returns the compaction's
+    * version, or the UNCHANGED head when nothing is eligible (fewer
+    * than two small files and zero DVs) — the caller-distinguishable
+    * no-op signal. */
+  def binPack(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val base = currentVersion(path)
+    val files = snapshotFiles(path, base)
+    val ai = addsIndex(path, base)
+    val dvm = snapshotDvs(path, base)
+    val candidates = files.filter(f =>
+      dvm.contains(f) || ai.get(f).exists(_.bytes < targetBytes))
+    if (candidates.size < 2 && !candidates.exists(dvm.contains))
+      return base // nothing to fold: head unchanged IS the signal
+    val abs = candidates.map(f => localRoot(path).resolve(f).toString)
+    val totalBytes = candidates.flatMap(ai.get).map(_.bytes).sum
+    val bins = math.max(1,
+      math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val adds = writeData(spark, path,
+      applyDv(spark, path, base,
+        snapshotReader(spark, path, base).parquet(abs: _*),
+        keepFname = false), bins)
+    try commitRewrite(path, base, "compact", adds, candidates,
       CommuteNonOverlapping)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
   }

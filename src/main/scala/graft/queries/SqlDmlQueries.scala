@@ -477,15 +477,22 @@ object SqlDmlQueries {
     try {
       val preAnswer = TxnTable.read(spark, stmt)
         .agg(sum(col("price_c"))).head().getLong(0)
-      // OPTIMIZE ≡ maybeCompact (fires: dead fraction ≈ 0.49 > 0.2)
+      // an explicit OPTIMIZE ≡ binPack: ALWAYS folds eligible files
+      // (here all ten are small + DV-carrying), never policy-gated
       val vS = GraftSql.execute(spark, s"OPTIMIZE $n") // v2
-      val vA = TxnTable.maybeCompact(spark, api).getOrElse(-1L)
+      val vA = TxnTable.binPack(spark, api)
       require(vS == 2L && vA == 2L &&
         TxnTable.commits(stmt).last.op == "compact" &&
         TxnTable.snapshotDvs(stmt).isEmpty &&
         TxnTable.snapshotFiles(stmt).size ==
           TxnTable.snapshotFiles(api).size,
-        s"OPTIMIZE must equal maybeCompact (got v$vS vs v$vA)")
+        s"OPTIMIZE must equal binPack (got v$vS vs v$vA)")
+      // nothing left to fold (one healthy file, zero DVs): the re-run
+      // no-ops and returns the UNCHANGED head — the distinguishable
+      // "nothing was folded" signal
+      require(GraftSql.execute(spark, s"OPTIMIZE $n") == 2L &&
+        TxnTable.currentVersion(stmt) == 2L,
+        "OPTIMIZE on a healthy table must no-op at the unchanged head")
       // OPTIMIZE ZORDER ≡ compactClustered
       val zS = GraftSql.execute(spark,
         s"OPTIMIZE $n ZORDER BY (o_custkey, o_orderkey)") // v3

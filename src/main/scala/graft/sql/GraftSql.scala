@@ -50,6 +50,17 @@ object GraftSql {
 
   def unregister(name: String): Unit = { tables.remove(name.toLowerCase); () }
 
+  /** Two directory spellings name the same location? Normalized +
+    * absolutized, so `dir`, `dir/`, and `a/./dir` all agree; distinct
+    * directories still differ. (`file:` URIs are stripped to paths.) */
+  private def samePath(a: String, b: String): Boolean = {
+    def norm(p: String) = java.nio.file.Paths
+      .get(if (p.startsWith("file:"))
+        java.net.URI.create(p).getPath else p)
+      .normalize().toAbsolutePath.toString
+    norm(a) == norm(b)
+  }
+
   // Maintenance verbs Spark's parser has no grammar for (they are
   // lakehouse-dialect statements): a statement-head match in front of
   // parsePlan; everything after the verb resolves through the existing
@@ -75,11 +86,12 @@ object GraftSql {
       Option(zorder).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty) match {
         case None =>
-          // policy-gated compaction: folds when the snapshot degraded
-          // (too many files / too large a DV-dead fraction), no-op on
-          // a healthy table — the auto-maintenance contract
-          TxnTable.maybeCompact(spark, reg.path)
-            .getOrElse(TxnTable.currentVersion(reg.path))
+          // an EXPLICIT OPTIMIZE always bin-packs eligible files
+          // (small-file tail + DV-carrying files) — never gated by the
+          // auto-maintenance policy (that's maybeCompact's contract).
+          // A table with nothing eligible returns the unchanged head:
+          // the caller-distinguishable "nothing was folded" signal.
+          TxnTable.binPack(spark, reg.path)
         case Some(Seq(a, b)) =>
           TxnTable.compactClustered(spark, reg.path,
             org.apache.spark.sql.functions.col(a),
@@ -111,10 +123,11 @@ object GraftSql {
 
     case ConvertRe(dir, name) =>
       // AS name must not silently re-point an existing registration
-      // (same contract as CREATE's re-pointing guard)
+      // (same contract as CREATE's re-pointing guard, same
+      // normalized-path comparison)
       Option(name).foreach(n =>
         Option(tables.get(n.toLowerCase)).map(_.path).foreach(p =>
-          require(p == dir,
+          require(samePath(p, dir),
             s"$n is already registered at $p — unregister it first")))
       // in-place adoption: the parquet directory BECOMES the table
       // (zero data movement; footer stats harvested into the log)
@@ -391,9 +404,11 @@ object GraftSql {
           .toString
       }
     // a name already registered at a DIFFERENT path must not be
-    // silently re-pointed by a CREATE with an explicit LOCATION
+    // silently re-pointed by a CREATE with an explicit LOCATION —
+    // compared as NORMALIZED paths, so equivalent spellings (trailing
+    // slash, `./`, redundant segments) of the same directory pass
     Option(tables.get(nm.toLowerCase)).map(_.path).foreach(p =>
-      require(p == path,
+      require(samePath(p, path),
         s"$nm is already registered at $p — unregister it first or " +
           s"use that LOCATION (got $path)"))
     (nm, path, props.get("graft.mor").exists(_.equalsIgnoreCase("true")))

@@ -156,16 +156,34 @@ object StreamChanges {
       .withColumn("to_version", lit(toV))
     val tmp = root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     out.write.parquet(tmp.toString)
+    publish(tmp, rangeDir)
+  }
+
+  /** Publish a fully-written tmp dir as `rangeDir` with one atomic
+    * rename. Losing the rename race to another pump is benign (both
+    * derive identical content from the immutable log) — but ONLY a
+    * race: any other move failure must propagate, because the pump's
+    * checkpoint advances past this version and a swallowed failure
+    * would drop it from the feed forever. So after cleaning our tmp
+    * copy, the range must EXIST or the original failure is rethrown.
+    *
+    * Portability: ATOMIC_MOVE of a DIRECTORY is a local/HDFS-ism — an
+    * object store (S3) has no atomic directory rename. A port there
+    * must switch to the create-exclusive `_done`-marker-file form the
+    * commit log itself uses (write files, then PUT-if-absent one
+    * marker; consumers glob ranges by marker). */
+  private[streaming] def publish(tmp: java.nio.file.Path,
+      rangeDir: java.nio.file.Path): Unit = {
     try { Files.move(tmp, rangeDir, StandardCopyOption.ATOMIC_MOVE); () }
     catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.FileSystemException =>
-        // another pump published this version first: drop our copy
+      case e: java.nio.file.FileSystemException =>
+        // drop our tmp copy either way, then verify the assumed winner
         val it = Files.walk(tmp)
         try it.sorted(java.util.Comparator.reverseOrder())
           .iterator().forEachRemaining(p => { Files.deleteIfExists(p); () })
         catch { case _: Throwable => () }
         finally it.close()
+        if (!Files.exists(rangeDir)) throw e
     }
   }
 }

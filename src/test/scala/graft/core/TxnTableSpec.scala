@@ -1284,4 +1284,97 @@ class TxnTableSpec extends SparkSpecBase {
       s"stale memoized schema served after rebirth: $cols")
     assert(read(spark, t).agg(sum(col("n"))).head().getLong(0) == 7L)
   }
+
+  test("convertParquet rejects an adoption with duplicate file " +
+    "basenames (the DV-ambiguity guard)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_convdup").toString
+    // two year partitions whose leaves collide — the classic
+    // hand-partitioned layout that would corrupt basename-keyed DVs
+    Seq((1L, "a")).toDF("id", "s").coalesce(1)
+      .write.parquet(s"$d/2020")
+    Seq((2L, "b")).toDF("id", "s").coalesce(1)
+      .write.parquet(s"$d/2021")
+    import scala.jdk.CollectionConverters._
+    def leaf(dir: String): java.nio.file.Path = {
+      val it = Files.list(java.nio.file.Paths.get(dir))
+      try it.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      finally it.close()
+    }
+    Files.move(leaf(s"$d/2020"),
+      java.nio.file.Paths.get(s"$d/2020/part-0.parquet"))
+    Files.move(leaf(s"$d/2021"),
+      java.nio.file.Paths.get(s"$d/2021/part-0.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      convertParquet(spark, d)
+    }
+    assert(e.getMessage.contains("duplicate file basenames"),
+      s"wrong rejection: ${e.getMessage}")
+    assert(currentVersion(d) < 0, "a rejected convert must not commit")
+    // unique leaves adopt fine
+    Files.move(java.nio.file.Paths.get(s"$d/2021/part-0.parquet"),
+      java.nio.file.Paths.get(s"$d/2021/part-1.parquet"))
+    convertParquet(spark, d)
+    assert(read(spark, d).count() == 2)
+  }
+
+  test("convertParquet fails loudly when a listed file vanishes " +
+    "before the footer harvest (never a silent rows=0 add)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_convgone").toString + "/p"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").repartition(2)
+      .write.parquet(d)
+    Files.deleteIfExists(java.nio.file.Paths.get(s"$d/_SUCCESS"))
+    import scala.jdk.CollectionConverters._
+    val victim = {
+      val it = Files.list(java.nio.file.Paths.get(d))
+      try it.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      finally it.close()
+    }
+    convertHarvestHook = () => { Files.deleteIfExists(victim); () }
+    try {
+      val e = intercept[Exception] { convertParquet(spark, d) }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("disappeared during the footer")),
+        s"wrong failure: ${chain(e)}")
+      assert(currentVersion(d) < 0, "a failed convert must not commit")
+    } finally convertHarvestHook = () => ()
+  }
+
+  test("binPack folds only small + DV-carrying files, leaves healthy " +
+    "large files untouched, and no-ops at the unchanged head") {
+    val t = freshTable()
+    // one larger file (v0) + three small appends
+    create(spark, t, rangeDf(0, 5000))
+    val bigFile = snapshotFiles(t).head
+    append(spark, t, rangeDf(5000, 5010))
+    append(spark, t, rangeDf(5010, 5020))
+    append(spark, t, rangeDf(5020, 5030))
+    val bigBytes =
+      Files.size(java.nio.file.Paths.get(t).resolve(bigFile))
+    // threshold sits between the small appends and the v0 file
+    val v = binPack(spark, t, targetBytes = bigBytes - 1)
+    assert(v == 4L && commits(t).last.op == "compact")
+    val after = snapshotFiles(t)
+    assert(after.contains(bigFile),
+      "a healthy large file must survive an OPTIMIZE untouched")
+    assert(after.size == 2, s"three small files fold into one: $after")
+    assert(read(spark, t).count() == 5030)
+    // healthy now: the re-run returns the UNCHANGED head (no commit)
+    assert(binPack(spark, t, targetBytes = bigBytes - 1) == 4L)
+    assert(currentVersion(t) == 4L)
+    // a DV on the large file makes it eligible regardless of size:
+    // folding materializes the delete and clears the DV
+    deleteWhereMor(spark, t, col("id") < 100) // v5
+    assert(snapshotDvs(t).nonEmpty)
+    val v2 = binPack(spark, t, targetBytes = bigBytes - 1)
+    assert(v2 == 6L && snapshotDvs(t).isEmpty)
+    assert(!snapshotFiles(t).contains(bigFile),
+      "a DV-carrying file must be folded by OPTIMIZE")
+    assert(read(spark, t).count() == 5030 - 100)
+  }
 }

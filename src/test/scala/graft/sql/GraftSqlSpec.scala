@@ -340,6 +340,14 @@ class GraftSqlSpec extends SparkSpecBase {
       GraftSql.execute(spark,
         s"CREATE TABLE $n (x BIGINT) USING graft LOCATION '$d/elsewhere'")
     }
+    // … but equivalent SPELLINGS of the registered directory are the
+    // SAME location (normalized compare): trailing slash, `./` segment
+    GraftSql.execute(spark,
+      s"CREATE TABLE IF NOT EXISTS $n (id BIGINT, v BIGINT, s STRING) " +
+        s"USING graft LOCATION '$d/t1/'")
+    GraftSql.execute(spark,
+      s"CREATE TABLE IF NOT EXISTS $n (id BIGINT, v BIGINT, s STRING) " +
+        s"USING graft LOCATION '$d/./t1'")
     // a layout clause on a plain CREATE would be silently dropped —
     // loud contract instead
     intercept[IllegalArgumentException] {
@@ -470,9 +478,21 @@ class GraftSqlSpec extends SparkSpecBase {
 
   test("OPTIMIZE / VACUUM / DESCRIBE HISTORY statement forms") {
     val (t, n) = mk() // v0: 4 rows, 1 file
-    // healthy table: OPTIMIZE is a policy no-op, version unmoved
+    // nothing eligible to bin-pack (one file, zero DVs): OPTIMIZE
+    // returns the UNCHANGED head — the distinguishable no-op signal
     assert(GraftSql.execute(spark, s"OPTIMIZE $n") == 0L)
     assert(TxnTable.commits(t).last.op == "create")
+    // two small files ARE eligible: an explicit OPTIMIZE always folds
+    // them (never policy-gated)
+    val (t2, n2) = mk()
+    GraftSql.execute(spark,
+      s"INSERT INTO $n2 SELECT 9L, 90L, 'z'")
+    assert(TxnTable.snapshotFiles(t2).size == 2)
+    val vo = GraftSql.execute(spark, s"OPTIMIZE $n2")
+    assert(vo == 2L && TxnTable.commits(t2).last.op == "compact" &&
+      TxnTable.snapshotFiles(t2).size == 1)
+    assert(rows(t2).map(_._1) == Set(1L, 2L, 3L, 4L, 9L))
+    GraftSql.unregister(n2)
     // ZORDER form compacts unconditionally with the given keys
     val vz = GraftSql.execute(spark, s"OPTIMIZE $n ZORDER BY (id, v)")
     assert(vz == 1L && TxnTable.commits(t).last.op.startsWith("compact"))

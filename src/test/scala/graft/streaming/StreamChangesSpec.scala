@@ -89,4 +89,34 @@ class StreamChangesSpec extends SparkSpecBase {
     assert(drain() == 0,
       "replayed versions must never duplicate the feed")
   }
+
+  test("spool publish: losing the rename race is benign, but any " +
+    "other move failure rethrows (a swallowed one drops the version " +
+    "from the feed forever)") {
+    val root = Files.createTempDirectory("graft_stpub")
+    def mkTmp(): java.nio.file.Path = {
+      val tmp = root.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.createDirectories(tmp)
+      Files.write(tmp.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+      tmp
+    }
+    // won race: the range already exists — our copy is dropped, no throw
+    val won = root.resolve("r0_1")
+    Files.createDirectories(won)
+    Files.write(won.resolve("part-x.parquet"), Array[Byte](9))
+    val tmp1 = mkTmp()
+    StreamChanges.publish(tmp1, won)
+    assert(!Files.exists(tmp1), "the losing copy must be cleaned up")
+    assert(Files.exists(won.resolve("part-x.parquet")),
+      "the winner's content must be untouched")
+    // genuine failure: the destination parent does not exist — the
+    // range was NOT published, so the failure must propagate
+    val tmp2 = mkTmp()
+    val dead = root.resolve("no-such-parent").resolve("r1_2")
+    intercept[java.nio.file.FileSystemException] {
+      StreamChanges.publish(tmp2, dead)
+    }
+    assert(!Files.exists(dead),
+      "sanity: the genuine failure really published nothing")
+  }
 }
