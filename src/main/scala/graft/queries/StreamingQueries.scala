@@ -816,7 +816,113 @@ object StreamingQueries {
       .orderBy(col("op"))
   }
 
+  /** ST21: the change feed's SCALE lifecycle — a TAIL-FOLLOW feed
+    * (`startingVersion`) over a table with prior history spools ZERO
+    * historical ranges (directory listing asserted in-run: no v0
+    * snapshot, no pre-start version — the property that makes the
+    * feed usable on a 100 TB table), `vacuumSpool` retention deletes
+    * exactly the below-watermark ranges while every remaining range
+    * stays consumable by a fresh consumer, and a pump-checkpoint loss
+    * after the sweep must NOT resurrect swept ranges (watermark
+    * no-op, asserted). Oracle replays the two visible change sets
+    * (the appended tranche's inserts + the F-band deletes including
+    * the tranche's own F rows) relationally. */
+  def st21ChangesTail(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    import graft.streaming.StreamChanges
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft_st21").toString
+    val t = s"$root/orders_txn"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ck, kx) = (m.getLong(0), m.getLong(1))
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10) // v0
+    TxnTable.updateWhere(spark, t,
+      col("o_orderstatus") === "O" &&
+        col("o_custkey").between(ck / 2, ck / 2 + ck / 8),
+      Map("price_c" -> (col("price_c") * 2))) // v1 (before the feed)
+    TxnTable.append(spark, t,
+      orders.filter(col("o_custkey") <= ck / 16)
+        .select((col("o_orderkey") + kx).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("price_c"))) // v2
+    TxnTable.deleteWhere(spark, t,
+      col("o_orderstatus") === "F" && col("o_custkey") <= ck / 10) // v3
+    val spool = s"$root/spool"
+    def drain(userCkpt: String, sink: String): Long = {
+      val q = StreamChanges.readChangesStream(spark, t, spool,
+        s"$root/pump_ckpt", Seq("o_orderkey"), startingVersion = Some(2L))
+        .writeStream.option("checkpointLocation", userCkpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => b.write.mode("append").parquet(sink); ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      if (Files.isDirectory(java.nio.file.Paths.get(sink)))
+        spark.read.parquet(sink).count()
+      else 0L
+    }
+    def ranges(): Set[String] = {
+      val it = Files.list(java.nio.file.Paths.get(spool))
+      try {
+        val b = scala.collection.mutable.Set.empty[String]
+        it.iterator().forEachRemaining { p =>
+          val nm = p.getFileName.toString
+          if (nm.startsWith("r")) { b += nm; () }
+        }
+        b.toSet
+      } finally it.close()
+    }
+    val fed = drain(s"$root/uc1", s"$root/sink1")
+    // ZERO historical spool: no v0 snapshot range, no pre-start range
+    require(ranges() == Set("r1_2", "r2_3"),
+      s"tail feed must spool only post-start ranges, got ${ranges()}")
+    val expectIns = orders.filter(col("o_custkey") <= ck / 16).count()
+    val expectDel = TxnTable.read(spark, t, 2L)
+      .filter(col("o_orderstatus") === "F" && col("o_custkey") <= ck / 10)
+      .count()
+    require(fed == expectIns + expectDel,
+      s"tail feed must carry exactly v2+v3 images: $fed vs " +
+        s"$expectIns+$expectDel")
+    // retention: the consumed range sweeps, the newer one survives
+    require(StreamChanges.vacuumSpool(spool, 3L) == 1,
+      "exactly the below-watermark range must sweep")
+    require(ranges() == Set("r2_3"),
+      s"the >= watermark range must stay readable, got ${ranges()}")
+    // a FRESH consumer on the swept spool gets exactly what remains
+    val fresh = drain(s"$root/uc2", s"$root/sink2")
+    require(fresh == expectDel &&
+      spark.read.parquet(s"$root/sink2")
+        .filter(col("op") =!= "delete").count() == 0,
+      s"fresh consumer must read exactly the surviving range: $fresh")
+    // pump-checkpoint loss: re-offered swept versions are watermark
+    // no-ops — a resurrected range would duplicate consumed rows
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val it = Files.list(p)
+        try it.iterator().forEachRemaining(rm) finally it.close()
+      }
+      Files.deleteIfExists(p); ()
+    }
+    rm(java.nio.file.Paths.get(s"$root/pump_ckpt"))
+    require(drain(s"$root/uc1", s"$root/sink1") == fed &&
+      ranges() == Set("r2_3"),
+      "swept ranges must never resurrect after pump-checkpoint loss")
+    spark.read.parquet(s"$root/sink1")
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("before.price_c")).as("before_sum"),
+        sum(col("after.price_c")).as("after_sum"))
+      .orderBy(col("op"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st21_changes_tail" -> (st21ChangesTail _),
     "st20_changes_stream" -> (st20ChangesStream _),
     "st19_stream_replica" -> (st19StreamReplica _),
     "st18_stream_ivm" -> (st18StreamIvm _),
@@ -908,6 +1014,32 @@ object StreamingQueries {
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the tail feed sees ONLY v2 (tranche inserts) and v3 (F-band
+    // deletes — original rows at <= ck/10 plus the tranche's own F
+    // rows at <= ck/16, shifted keys); v0/v1 never reach the spool
+    "st21_changes_tail" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck,
+        |    CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),
+        |base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |del AS (
+        |  SELECT o_orderkey AS k, pc FROM base, b
+        |  WHERE o_orderstatus = 'F' AND o_custkey <= b.ck//10
+        |  UNION ALL
+        |  SELECT o_orderkey + b.kx AS k, pc FROM base, b
+        |  WHERE o_orderstatus = 'F' AND o_custkey <= b.ck//16),
+        |f AS (
+        |  SELECT 'delete' AS op, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(k) AS BIGINT) AS key_sum,
+        |    CAST(sum(pc) AS BIGINT) AS before_sum,
+        |    CAST(NULL AS BIGINT) AS after_sum
+        |  FROM del
+        |  UNION ALL
+        |  SELECT 'insert', CAST(count(*) AS BIGINT),
+        |    CAST(sum(o_orderkey + b.kx) AS BIGINT),
+        |    CAST(NULL AS BIGINT), CAST(sum(pc) AS BIGINT)
+        |  FROM base, b WHERE o_custkey <= b.ck//16)
+        |SELECT * FROM f ORDER BY op""".stripMargin,
     // the three live change sets replayed relationally: the O-band
     // update carries both images, the low F-band delete only a before,
     // the shifted-key insert only an after

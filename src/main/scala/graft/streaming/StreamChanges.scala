@@ -59,8 +59,13 @@ object StreamChanges {
     * (in `keyCols` order) ++ op, before/after payload structs,
     * from_version/to_version. */
   def changesSchema(spark: SparkSession, path: String,
-      keyCols: Seq[String]): StructType = {
-    val t = TxnTable.read(spark, path).schema
+      keyCols: Seq[String]): StructType =
+    feedSchema(TxnTable.read(spark, path).schema, keyCols)
+
+  /** [[changesSchema]] from an explicit table schema — the shape used
+    * when the feed's schema comes from the spool's pinned stamp rather
+    * than the table's current head. */
+  private def feedSchema(t: StructType, keyCols: Seq[String]): StructType = {
     val missing = keyCols.filterNot(k =>
       t.fieldNames.exists(_.equalsIgnoreCase(k)))
     require(missing.isEmpty, s"changesSchema: no such key columns $missing")
@@ -76,13 +81,59 @@ object StreamChanges {
         StructField("to_version", LongType)))
   }
 
+  // spool-root sidecars (underscore names: invisible to the consumer's
+  // `r*` glob and to Spark's own listing)
+  private def stampPath(root: java.nio.file.Path) =
+    root.resolve("_schema.json")
+  private def watermarkPath(root: java.nio.file.Path) =
+    root.resolve("_vacuum_watermark")
+
+  private def readWatermark(root: java.nio.file.Path): Long = {
+    val p = watermarkPath(root)
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else Long.MinValue
+  }
+
   /** Drain every commit not yet spooled (Trigger.AvailableNow), then
     * return. Re-call (same `checkpointDir`) after more commits, or
-    * schedule it for a continuous feed. */
+    * schedule it for a continuous feed.
+    *
+    * `startingVersion` sets where a FRESH pump checkpoint starts
+    * (`Some(s)` → first spooled commit is `s`; `Some(-1)` is reserved;
+    * None → the whole history from v0, whose range r-1_0 is the full
+    * snapshot as insert rows). A tail-follow feed over a 100 TB table
+    * passes `Some(currentVersion + 1)` — or [[readChangesTail]] — and
+    * pays ZERO initial-load spool.
+    *
+    * The first pump STAMPS the spool with the table's schema
+    * (`_schema.json`); every spooled version's schema must match the
+    * stamp, so a feed REFUSES loudly to pump across an ALTER
+    * TABLE/schema-evolving commit instead of silently null-filling or
+    * mis-binding payload structs under the consumer's fixed schema.
+    * The remedy is in the error: start a NEW feed (fresh spool +
+    * checkpoints) at the schema-change version. */
   def pump(spark: SparkSession, srcPath: String, spoolDir: String,
-      checkpointDir: String, keyCols: Seq[String]): Unit = {
-    Files.createDirectories(Paths.get(spoolDir))
-    val q = StreamIvm.changesStream(spark, srcPath).writeStream
+      checkpointDir: String, keyCols: Seq[String],
+      startingVersion: Option[Long] = None): Unit = {
+    val root = Paths.get(spoolDir)
+    Files.createDirectories(root)
+    // pin the feed's schema once, create-exclusive (two racing pumps
+    // both derive it from the same head; first writer wins)
+    if (!Files.exists(stampPath(root))) {
+      val tmp = root.resolve(s".stamp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, TxnTable.read(spark, srcPath).schema.json
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try { Files.move(tmp, stampPath(root),
+        StandardCopyOption.ATOMIC_MOVE); () }
+      catch { case _: java.nio.file.FileSystemException =>
+        Files.deleteIfExists(tmp); () }
+    }
+    val pinnedJson = new String(Files.readAllBytes(stampPath(root)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val q = StreamIvm.changesStream(spark, srcPath,
+      startingVersion.map(_.toString)).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch {
@@ -99,7 +150,7 @@ object StreamChanges {
             .map(_.getLong(0)).sorted
           vs.foreach(v =>
             spool(batch.sparkSession, srcPath, spoolDir, v - 1, v,
-              keyCols))
+              keyCols, pinnedJson))
       }
       .start()
     try q.awaitTermination() finally q.stop()
@@ -108,15 +159,76 @@ object StreamChanges {
   /** One pump pass, then the user-facing STREAMING frame of row
     * images over the spool. The frame's own checkpoint (set by the
     * caller's writeStream) makes consumer restarts resume at the
-    * first unread spool file. */
+    * first unread spool file. The frame's schema is the spool's
+    * PINNED stamp (falling back to the table head only before a first
+    * pump), so a consumer resumed after the table evolved still binds
+    * the spooled ranges' real payload shape. */
   def readChangesStream(spark: SparkSession, srcPath: String,
       spoolDir: String, pumpCheckpointDir: String,
-      keyCols: Seq[String]): DataFrame = {
-    pump(spark, srcPath, spoolDir, pumpCheckpointDir, keyCols)
+      keyCols: Seq[String],
+      startingVersion: Option[Long] = None): DataFrame = {
+    pump(spark, srcPath, spoolDir, pumpCheckpointDir, keyCols,
+      startingVersion)
+    val root = Paths.get(spoolDir)
+    val schema =
+      if (Files.exists(stampPath(root)))
+        feedSchema(DataType.fromJson(
+          new String(Files.readAllBytes(stampPath(root)),
+            java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[StructType], keyCols)
+      else changesSchema(spark, srcPath, keyCols)
     // published range directories only — in-flight .tmp-* dirs never
     // match the glob, so a consumer cannot observe a partial range
-    spark.readStream.schema(changesSchema(spark, srcPath, keyCols))
-      .parquet(s"$spoolDir/r*")
+    spark.readStream.schema(schema).parquet(s"$spoolDir/r*")
+  }
+
+  /** Tail-follow feed: changes from NOW on — the next commit after the
+    * current head is the first range, so a 100 TB table's feed starts
+    * with ZERO initial-load spool (contrast the default feed, whose
+    * first range IS the v0 snapshot). */
+  def readChangesTail(spark: SparkSession, srcPath: String,
+      spoolDir: String, pumpCheckpointDir: String,
+      keyCols: Seq[String]): DataFrame =
+    readChangesStream(spark, srcPath, spoolDir, pumpCheckpointDir,
+      keyCols, Some(TxnTable.currentVersion(srcPath) + 1))
+
+  /** RETENTION sweep: delete published ranges the consumers are done
+    * with — every range whose `to_version < keepAfterVersion` — and
+    * record `keepAfterVersion` as the spool's monotonic vacuum
+    * watermark BEFORE deleting, so a pump whose checkpoint is later
+    * lost re-offers those versions into watermark no-ops instead of
+    * resurrecting swept ranges (which a consumer would re-ingest as
+    * duplicates). Ranges at or above the watermark stay readable;
+    * callers pass the slowest consumer's applied version. Returns the
+    * number of ranges deleted. */
+  def vacuumSpool(spoolDir: String, keepAfterVersion: Long): Int = {
+    val root = Paths.get(spoolDir)
+    require(Files.isDirectory(root), s"vacuumSpool: no spool at $spoolDir")
+    val next = math.max(readWatermark(root), keepAfterVersion)
+    val tmp = root.resolve(s".wm-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, next.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, watermarkPath(root),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    val Range = """r(-?\d+)_(-?\d+)""".r
+    import scala.jdk.CollectionConverters._
+    val victims = {
+      val it = Files.list(root)
+      try it.iterator().asScala.filter { p =>
+        p.getFileName.toString match {
+          case Range(_, to) => to.toLong < next
+          case _ => false
+        }
+      }.toList
+      finally it.close()
+    }
+    victims.foreach { dir =>
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().forEachRemaining(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+    victims.size
   }
 
   /** Materialize one version range's images into the spool. The range
@@ -132,12 +244,49 @@ object StreamChanges {
     * benign. */
   private def spool(spark: SparkSession, srcPath: String,
       spoolDir: String, fromV: Long, toV: Long,
-      keyCols: Seq[String]): Unit = {
+      keyCols: Seq[String], pinnedSchemaJson: String): Unit = {
     val root = Paths.get(spoolDir)
     val rangeDir = root.resolve(s"r${fromV}_${toV}")
     if (Files.exists(rangeDir)) return // redelivered version: no-op
+    // swept range re-offered after a pump-checkpoint loss: the vacuum
+    // watermark says consumers are done with it — never resurrect it
+    if (toV < readWatermark(root)) return
+    // the feed's schema is PINNED at the stamp: a version whose table
+    // schema differs (ALTER TABLE, schema-evolving overwrite) must not
+    // be spooled under the consumer's fixed schema — refuse loudly
+    // with the remedy instead of silently null-filling/mis-binding
+    val vSchema = TxnTable.read(spark, srcPath, toV).schema.json
+    if (vSchema != pinnedSchemaJson) throw new IllegalStateException(
+      s"change feed cannot cross the schema change at version $toV of " +
+        s"$srcPath: the spool is pinned to the schema it was created " +
+        "with. Start a NEW feed (fresh spool + pump/consumer " +
+        s"checkpoints) with startingVersion=$toV to continue under " +
+        "the new schema.")
+    val pinned = DataType.fromJson(pinnedSchemaJson)
+      .asInstanceOf[StructType]
     val imgs =
-      if (fromV >= 0)
+      if (fromV >= 0 &&
+          TxnTable.read(spark, srcPath, fromV).schema.json != vSchema) {
+        // the schema-change commit ITSELF (a new feed pinned at the
+        // new schema starts here): a metadata-only ALTER changes no
+        // rows — publish an EMPTY range so the marker discipline
+        // holds; a commit that changed schema AND data in one version
+        // has no single-schema image representation — refuse
+        val dataChanged =
+          TxnTable.snapshotFiles(srcPath, fromV).toSet !=
+            TxnTable.snapshotFiles(srcPath, toV).toSet ||
+          TxnTable.snapshotDvs(srcPath, fromV) !=
+            TxnTable.snapshotDvs(srcPath, toV)
+        if (dataChanged) throw new IllegalStateException(
+          s"change feed cannot represent version $toV of $srcPath: the " +
+            "commit changed the schema AND data rows in one version, so " +
+            "its images have no single-schema shape. Re-materialize the " +
+            "consumer from a snapshot at or after this version.")
+        val core = StructType(
+          feedSchema(pinned, keyCols).fields.dropRight(2))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], core)
+      } else if (fromV >= 0)
         TxnTable.diffVersionsImages(spark, srcPath, fromV, toV, keyCols)
       else {
         // table birth: the whole snapshot at toV is the initial load,

@@ -34,10 +34,16 @@ import graft.operators.IncrementalView
 object StreamIvm {
 
   /** The commit-log change stream of `tablePath`: one `(version, op)`
-    * row per commit, micro-batched from the checkpointed offset. */
-  def changesStream(spark: SparkSession, tablePath: String): DataFrame =
-    spark.readStream.format(classOf[TxnLogSourceProvider].getName)
-      .option("path", tablePath).load()
+    * row per commit, micro-batched from the checkpointed offset.
+    * `startingVersion` (a version number, or `"latest"` for
+    * tail-follow) sets where a FRESH checkpoint starts — absent means
+    * the whole history from v0. */
+  def changesStream(spark: SparkSession, tablePath: String,
+      startingVersion: Option[String] = None): DataFrame = {
+    val r = spark.readStream.format(classOf[TxnLogSourceProvider].getName)
+      .option("path", tablePath)
+    startingVersion.fold(r)(s => r.option("startingVersion", s)).load()
+  }
 
   private val StreamId = "ivm"
   private def marker(srcV: Long) = s"stream:$StreamId:$srcV"

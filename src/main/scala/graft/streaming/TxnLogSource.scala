@@ -40,7 +40,7 @@ class TxnLogSourceProvider extends TableProvider {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "txn-log source requires .option(\"path\", <table root>)")
-    new TxnLogTable(path)
+    new TxnLogTable(path, Option(properties.get("startingVersion")))
   }
 }
 
@@ -50,7 +50,8 @@ object TxnLogSource {
     StructField("op", StringType, nullable = false)))
 }
 
-private[streaming] class TxnLogTable(path: String)
+private[streaming] class TxnLogTable(path: String,
+    startingVersion: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = s"txnlog(`$path`)"
   override def schema(): StructType = TxnLogSource.schema
@@ -61,7 +62,7 @@ private[streaming] class TxnLogTable(path: String)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = TxnLogSource.schema
         override def toMicroBatchStream(loc: String): MicroBatchStream =
-          new TxnLogMicroBatchStream(path)
+          new TxnLogMicroBatchStream(path, startingVersion)
       }
     }
 }
@@ -73,7 +74,8 @@ private[streaming] case class TxnLogOffset(v: Long) extends Offset {
 private[streaming] case class TxnLogPartition(path: String, fromExcl: Long,
     toIncl: Long) extends InputPartition
 
-private[streaming] class TxnLogMicroBatchStream(path: String)
+private[streaming] class TxnLogMicroBatchStream(path: String,
+    startingVersion: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   import graft.core.TxnTable
 
@@ -94,7 +96,21 @@ private[streaming] class TxnLogMicroBatchStream(path: String)
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : Offset = latestOffset()
-  override def initialOffset(): Offset = TxnLogOffset(-1L)
+  /** Where a FRESH checkpoint starts (resumed queries use their
+    * checkpointed offset instead — Spark only calls this once). The
+    * Delta-CDF `startingVersion` contract: absent → the table's whole
+    * history from v0 (a 100 TB initial load IS the feed's first
+    * range); a version `s` → first emitted commit is `s`; `"latest"`
+    * → only commits that land AFTER stream creation, i.e. tail-follow
+    * with ZERO historical replay — the scale path for "changes from
+    * now on". */
+  override def initialOffset(): Offset = TxnLogOffset(
+    startingVersion match {
+      case None => -1L
+      case Some(s) if s.equalsIgnoreCase("latest") =>
+        TxnTable.currentVersion(path)
+      case Some(s) => s.toLong - 1L
+    })
   override def deserializeOffset(json: String): Offset =
     TxnLogOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

@@ -90,6 +90,118 @@ class StreamChangesSpec extends SparkSpecBase {
       "replayed versions must never duplicate the feed")
   }
 
+  test("startingVersion tail-follow spools zero history; vacuumSpool " +
+    "sweeps below the watermark; swept ranges never resurrect") {
+    val root = Files.createTempDirectory("graft_sttail").toString
+    val t = s"$root/t"
+    TxnTable.create(spark, t,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"))       // v0
+    TxnTable.updateWhere(spark, t, col("id") === 1L,
+      Map("v" -> lit(11L)))                                       // v1
+    TxnTable.append(spark, t, Seq((4L, 40L)).toDF("id", "v"))     // v2
+    def ranges(): Set[String] = {
+      val it = Files.list(java.nio.file.Paths.get(s"$root/spool"))
+      try {
+        val b = scala.collection.mutable.Set.empty[String]
+        it.iterator().forEachRemaining { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("r")) { b += n; () }
+        }
+        b.toSet
+      } finally it.close()
+    }
+    def drain(userCkpt: String, start: Option[Long]): Seq[(Long, String)] = {
+      val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val q = StreamChanges.readChangesStream(spark, t, s"$root/spool",
+        s"$root/pump_ckpt", Seq("id"), start)
+        .writeStream.option("checkpointLocation", userCkpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          sink ++= b.select(col("id"), col("op")).collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      sink.toSeq
+    }
+    // late start at v2: the v0 snapshot and v1 are NEVER materialized
+    val got = drain(s"$root/uc1", Some(2L))
+    assert(got.toSet == Set((4L, "insert")), s"got $got")
+    assert(ranges() == Set("r1_2"),
+      s"zero historical spool bytes expected, got ${ranges()}")
+    // one more commit flows through the same feed
+    TxnTable.deleteWhere(spark, t, col("id") === 2L)              // v3
+    assert(drain(s"$root/uc1", Some(2L)).toSet == Set((2L, "delete")))
+    assert(ranges() == Set("r1_2", "r2_3"))
+    // retention: sweep ranges consumers are done with (to_version < 3)
+    assert(StreamChanges.vacuumSpool(s"$root/spool", 3L) == 1)
+    assert(ranges() == Set("r2_3"), "the >= watermark range must survive")
+    // a FRESH consumer on the swept spool reads exactly what remains
+    assert(drain(s"$root/uc2", Some(2L)).toSet == Set((2L, "delete")))
+    // pump-checkpoint LOSS re-offers v2: the watermark makes it a
+    // no-op — a resurrected range would re-feed consumed duplicates
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val it = Files.list(p)
+        try it.iterator().forEachRemaining(rm) finally it.close()
+      }
+      Files.deleteIfExists(p); ()
+    }
+    rm(java.nio.file.Paths.get(s"$root/pump_ckpt"))
+    assert(drain(s"$root/uc1", Some(2L)).isEmpty)
+    assert(ranges() == Set("r2_3"),
+      "a swept range must never resurrect after pump-checkpoint loss")
+  }
+
+  test("the feed refuses loudly to pump across a schema change; a new " +
+    "feed from the change version continues under the new schema") {
+    val root = Files.createTempDirectory("graft_stalter").toString
+    val t = s"$root/t"
+    TxnTable.create(spark, t,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))                  // v0
+    def drain(spool: String, pumpCkpt: String, ckpt: String,
+        start: Option[Long]): Seq[(Long, String)] = {
+      val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val q = StreamChanges.readChangesStream(spark, t, spool,
+        pumpCkpt, Seq("id"), start)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          sink ++= b.select(col("id"), col("op")).collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      sink.toSeq
+    }
+    assert(drain(s"$root/spool", s"$root/pc", s"$root/uc", None)
+      .size == 2) // initial load
+    TxnTable.addColumns(spark, t,
+      Seq(("w", org.apache.spark.sql.types.LongType)))            // v1: ALTER
+    TxnTable.append(spark, t,
+      Seq((3L, 30L, 300L)).toDF("id", "v", "w"))                  // v2
+    val e = intercept[Exception] {
+      drain(s"$root/spool", s"$root/pc", s"$root/uc", None)
+    }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).exists(_.contains("cannot cross the schema change")),
+      s"wrong failure: ${chain(e)}")
+    // no partial v1/v2 range leaked into the refused spool
+    val it = Files.list(java.nio.file.Paths.get(s"$root/spool"))
+    try it.iterator().forEachRemaining { p =>
+      val n = p.getFileName.toString
+      assert(n == "r-1_0" || n.startsWith("_") || n.startsWith("."),
+        s"leaked range $n")
+    } finally it.close()
+    // the remedy in the error works: a NEW feed pinned at the new
+    // schema picks up from the ALTER version
+    val got = drain(s"$root/spool2", s"$root/pc2", s"$root/uc2", Some(1L))
+    assert(got.toSet == Set((3L, "insert")), s"got $got")
+  }
+
   test("spool publish: losing the rename race is benign, but any " +
     "other move failure rethrows (a swallowed one drops the version " +
     "from the feed forever)") {
