@@ -260,6 +260,79 @@ object SqlDmlQueries {
     } finally GraftSql.unregister(n)
   }
 
+  /** S45: `table_changes` addressed by TIMESTAMP — the "what changed
+    * since yesterday" audit UX. Bounds resolve through the log-mtime
+    * clock (`versionAt`), so the gate asserts IN-RUN that the
+    * timestamp-addressed TVF equals the version-addressed one
+    * row-for-row (exceptAll both ways) for the same resolved
+    * versions, that mixed version/timestamp bounds work, and that a
+    * pre-horizon timestamp fails with the versionAt fence (never a
+    * silent empty diff). Oracle = s39's relational replay (same
+    * commits, same diff). */
+  def s45TableChangesTs(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_s45")
+      .toString + "/orders_txn"
+    val n = freshName("orders_cdfts_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    graft.core.TxnTable.createClustered(spark, t, orders,
+      Seq(col("o_custkey")), targetFiles = 10) // v0
+    GraftSql.register(n, t)
+    try {
+      // distinct log-clock ticks: commits separated beyond mtime
+      // granularity so each version owns an unambiguous instant
+      Thread.sleep(30)
+      GraftSql.execute(spark,
+        s"""UPDATE $n SET price_c = price_c * 2
+           |WHERE o_custkey BETWEEN ${ck / 2} AND ${ck / 2 + ck / 8}
+           |  AND o_orderstatus = 'O'""".stripMargin) // v1
+      Thread.sleep(30)
+      GraftSql.execute(spark,
+        s"DELETE FROM $n WHERE o_orderstatus = 'F' " +
+          s"AND o_custkey <= ${ck / 10}") // v2
+      val ts = graft.core.TxnTable.history(spark, t)
+        .select(col("version"), col("ts_millis")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      def fmt(millis: Long): String =
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochMilli(millis))
+      val byVersion = GraftSql.query(spark,
+        s"SELECT * FROM table_changes('$n', 0, 2, 'o_orderkey')")
+      val byTs = GraftSql.query(spark,
+        s"SELECT * FROM table_changes('$n', '${fmt(ts(0L))}', " +
+          s"'${fmt(ts(2L))}', 'o_orderkey')")
+      require(byTs.exceptAll(byVersion).isEmpty &&
+        byVersion.exceptAll(byTs).isEmpty,
+        "timestamp-addressed table_changes must equal the " +
+          "version-addressed call for the resolved versions")
+      // mixed bounds: version from, timestamp to
+      val mixed = GraftSql.query(spark,
+        s"SELECT * FROM table_changes('$n', 1, '${fmt(ts(2L))}', " +
+          "'o_orderkey')")
+      require(mixed.select(col("op")).distinct().collect()
+        .map(_.getString(0)).toSet == Set("delete"),
+        "v1→ts(v2) must carry only the delete commit")
+      // pre-horizon timestamps are LOUD, never a silent empty diff
+      val e = try {
+        GraftSql.query(spark,
+          s"SELECT * FROM table_changes('$n', " +
+            s"'${fmt(ts(0L) - 3600000L)}', 2, 'o_orderkey')")
+        null
+      } catch { case ex: Exception => ex }
+      require(e != null && e.getMessage != null &&
+        e.getMessage.contains("predates the earliest readable commit"),
+        s"pre-horizon timestamp must hit the versionAt fence: $e")
+      byTs.groupBy(col("op"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("ps"),
+          sum(col("o_orderkey")).as("ks"))
+        .orderBy(col("op"))
+    } finally GraftSql.unregister(n)
+  }
+
   /** S40: the SQL table LIFECYCLE — plain CREATE TABLE (column list →
     * empty v0 with the recorded schema), INSERT into it, CTAS from a
     * time-traveled registered table with a CLUSTER BY layout (range-
@@ -610,6 +683,7 @@ object SqlDmlQueries {
     "s43_sql_convert_restore" -> (s43SqlConvertRestore _),
     "s44_dml_subquery" -> (s44DmlSubquery _),
     "s39_table_changes" -> (s39TableChanges _),
+    "s45_table_changes_ts" -> (s45TableChangesTs _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -779,6 +853,26 @@ object SqlDmlQueries {
         |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
     // the change feed replayed relationally: updated O-band rows carry
     // their after-image price, deleted F-band rows a NULL payload
+    // same commits and diff as s39 — the gate's point (ts ≡ version,
+    // mixed bounds, pre-horizon fence) is asserted in-run
+    "s45_table_changes_ts" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders),
+        |base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |f AS (
+        |  SELECT 'delete' AS op, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(NULL AS BIGINT) AS ps,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS ks
+        |  FROM base, b
+        |  WHERE o_orderstatus = 'F' AND o_custkey <= b.ck//10
+        |  UNION ALL
+        |  SELECT 'update', CAST(count(*) AS BIGINT),
+        |    CAST(sum(pc * 2) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+        |  FROM base, b
+        |  WHERE o_custkey BETWEEN b.ck//2 AND b.ck//2 + b.ck//8
+        |    AND o_orderstatus = 'O')
+        |SELECT * FROM f ORDER BY op""".stripMargin,
     "s39_table_changes" ->
       """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
         |           FROM orders),

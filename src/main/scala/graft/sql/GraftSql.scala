@@ -500,17 +500,32 @@ object GraftSql {
         }
         snapshot(r, asOf).getOrElse(tt)
       case r: UnresolvedRelation => snapshot(r, -1L).getOrElse(r)
-      // table_changes('t', fromV, toV, 'key'[, 'key2'...]) — the keyed
+      // table_changes('t', from, to, 'key'[, 'key2'...]) — the keyed
       // change-data-feed as a table-valued function (op column +
-      // after-image payload, computed from only the changed files)
+      // after-image payload, computed from only the changed files).
+      // Each bound is a VERSION number or a TIMESTAMP literal ("what
+      // changed since yesterday 09:00" — the audit UX), resolved
+      // through versionAt's log-mtime clock, same pre-horizon fence
+      // as every timestamp-addressed read.
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if tvf.name.last.equalsIgnoreCase("table_changes") =>
         val args = tvf.functionArgs
         require(args.length >= 4,
-          "table_changes(table, fromVersion, toVersion, keyCol...)")
+          "table_changes(table, fromVersionOrTs, toVersionOrTs, keyCol...)")
         val path = registeredPathByName(strLit(args.head, "table name"))
-        val fromV = strLit(args(1), "fromVersion").toLong
-        val toV = strLit(args(2), "toVersion").toLong
+        def bound(e: Expression, what: String): Long = e match {
+          case l: Literal if l.value != null &&
+              l.dataType == org.apache.spark.sql.types.StringType &&
+              l.value.toString.matches("-?\\d+") =>
+            l.value.toString.toLong
+          case l: Literal if l.value != null &&
+              (l.dataType == org.apache.spark.sql.types.IntegerType ||
+                l.dataType == org.apache.spark.sql.types.LongType) =>
+            l.value.toString.toLong
+          case e2 => TxnTable.versionAt(path, timestampMillis(spark, e2))
+        }
+        val fromV = bound(args(1), "fromVersionOrTs")
+        val toV = bound(args(2), "toVersionOrTs")
         val keys = args.drop(3).map(strLit(_, "key column"))
         SubqueryAlias("table_changes",
           TxnTable.diffVersions(spark, path, fromV, toV, keys)
@@ -553,13 +568,18 @@ object GraftSql {
       case Literal(v: Long, org.apache.spark.sql.types.TimestampType) =>
         Math.floorDiv(v, 1000L) // micros → millis
       case l: Literal =>
-        val micros = org.apache.spark.sql.catalyst.expressions.Cast(
-          Literal(
-            org.apache.spark.unsafe.types.UTF8String
-              .fromString(l.value.toString),
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.TimestampType,
-          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+        // under ANSI mode the Cast THROWS on malformed input instead
+        // of returning null — either way it's the same contract error
+        val micros =
+          try org.apache.spark.sql.catalyst.expressions.Cast(
+            Literal(
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(l.value.toString),
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.TimestampType,
+            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+          catch { case _: org.apache.spark.SparkException |
+                       _: java.time.DateTimeException => null }
         require(micros != null,
           s"TIMESTAMP AS OF: cannot parse '${l.value}' as a timestamp")
         Math.floorDiv(micros.asInstanceOf[Long], 1000L)

@@ -248,6 +248,33 @@ class GraftSqlSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       GraftSql.query(spark, "SELECT * FROM table_changes('nope', 0, 1, 'id')")
     }
+    // TIMESTAMP bounds resolve through versionAt's log-mtime clock:
+    // ts-of-v0 .. ts-of-v2 ≡ the version-addressed call
+    val ts = TxnTable.history(spark, t)
+      .select(col("version"), col("ts_millis")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def fmt(ms: Long): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    val byTs = GraftSql.query(spark,
+      s"""SELECT op, id FROM table_changes('$n', '${fmt(ts(0L))}',
+         |'${fmt(ts(2L))}', 'id') ORDER BY id""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byTs == Seq(("update", 2L), ("delete", 4L)))
+    // a pre-horizon timestamp is LOUD (the versionAt fence), never a
+    // silent empty feed
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.query(spark, s"SELECT * FROM table_changes('$n', " +
+        s"'${fmt(ts(0L) - 3600000L)}', 2, 'id')")
+    }
+    assert(e.getMessage.contains("predates the earliest readable commit"))
+    // an unparseable bound is a clear contract error
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.query(spark,
+        s"SELECT * FROM table_changes('$n', 'not-a-time', 2, 'id')")
+    }
+    assert(e2.getMessage.contains("cannot parse"), e2.getMessage)
   }
 
   test("unsupported shapes fail loudly; unregistered names rejected") {
