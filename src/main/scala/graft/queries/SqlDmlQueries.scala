@@ -333,6 +333,72 @@ object SqlDmlQueries {
     } finally GraftSql.unregister(n)
   }
 
+  /** S46: CREATE VIEW over registered txn tables — a named derived
+    * query. Pins the three contract halves in-run: (1) a view body
+    * with `VERSION AS OF 0` stays snapshot-PINNED while the table
+    * moves; (2) a view over the plain name TRACKS the table head
+    * (same statement text, different answers across a commit); (3) a
+    * view-of-view composes by re-substitution. DROP VIEW removes the
+    * name. Oracle replays the final view-of-view over the pinned v0
+    * relationally. */
+  def s46SqlView(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_s46")
+      .toString + "/orders_txn"
+    val n = freshName("orders_v_")
+    val v1 = freshName("band_view_")
+    val v2 = freshName("band_agg_view_")
+    val vh = freshName("head_view_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    TxnTable.create(spark, t, orders) // v0
+    GraftSql.register(n, t)
+    try {
+      // a PINNED view (time travel in the body) and a HEAD view
+      GraftSql.execute(spark,
+        s"""CREATE VIEW $v1 AS SELECT o_orderkey, o_custkey,
+           |o_orderstatus, price_c FROM $n VERSION AS OF 0
+           |WHERE o_custkey <= ${ck / 4}""".stripMargin)
+      GraftSql.execute(spark,
+        s"CREATE VIEW $vh AS SELECT sum(price_c) AS ps FROM $n")
+      val headBefore = GraftSql.query(spark, s"SELECT ps FROM $vh")
+        .head().getLong(0)
+      // the table moves: doubled prices in the low band
+      GraftSql.execute(spark,
+        s"UPDATE $n SET price_c = price_c * 2 " +
+          s"WHERE o_custkey <= ${ck / 4}") // v1
+      val headAfter = GraftSql.query(spark, s"SELECT ps FROM $vh")
+        .head().getLong(0)
+      require(headAfter > headBefore,
+        "a view over the plain name must track the table head")
+      // the pinned view still answers at v0 (undoubled prices)
+      val pinned = GraftSql.query(spark,
+        s"SELECT sum(price_c) AS ps FROM $v1").head().getLong(0)
+      val v0Band = TxnTable.read(spark, t, 0L)
+        .filter(col("o_custkey") <= ck / 4)
+        .agg(sum(col("price_c"))).head().getLong(0)
+      require(pinned == v0Band,
+        s"a VERSION AS OF body must stay pinned: $pinned vs $v0Band")
+      // view-of-view composes; DROP VIEW removes the name
+      GraftSql.execute(spark,
+        s"""CREATE VIEW $v2 AS SELECT o_orderstatus AS st,
+           |count(*) AS cnt, sum(price_c) AS ps, sum(o_orderkey) AS ks
+           |FROM $v1 GROUP BY o_orderstatus""".stripMargin)
+      val out = GraftSql.query(spark,
+        s"SELECT st, cnt, ps, ks FROM $v2 ORDER BY st")
+      GraftSql.execute(spark, s"DROP VIEW $vh")
+      val gone = try {
+        GraftSql.query(spark, s"SELECT ps FROM $vh").collect(); false
+      } catch { case _: Exception => true }
+      require(gone, "a dropped view must stop resolving")
+      out
+    } finally {
+      GraftSql.unregister(n)
+      Seq(v1, v2, vh).foreach(GraftSql.unregisterView)
+    }
+  }
+
   /** S40: the SQL table LIFECYCLE — plain CREATE TABLE (column list →
     * empty v0 with the recorded schema), INSERT into it, CTAS from a
     * time-traveled registered table with a CLUSTER BY layout (range-
@@ -684,6 +750,7 @@ object SqlDmlQueries {
     "s44_dml_subquery" -> (s44DmlSubquery _),
     "s39_table_changes" -> (s39TableChanges _),
     "s45_table_changes_ts" -> (s45TableChangesTs _),
+    "s46_sql_view" -> (s46SqlView _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -853,6 +920,17 @@ object SqlDmlQueries {
         |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
     // the change feed replayed relationally: updated O-band rows carry
     // their after-image price, deleted F-band rows a NULL payload
+    // the view-of-view over the v0-PINNED band: original (undoubled)
+    // prices grouped by status — head-tracking/pinning/drop asserted
+    // in-run
+    "s46_sql_view" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders)
+        |SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS ps,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS ks
+        |FROM orders, b WHERE o_custkey <= b.ck//4
+        |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
     // same commits and diff as s39 — the gate's point (ts ≡ version,
     // mixed bounds, pre-horizon fence) is asserted in-run
     "s45_table_changes_ts" ->

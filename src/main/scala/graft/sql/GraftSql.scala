@@ -43,6 +43,16 @@ object GraftSql {
   private case class Reg(path: String, mor: Boolean)
   private val tables = new ConcurrentHashMap[String, Reg]()
 
+  // CREATE VIEW registry: name → the view's UNANALYZED query plan.
+  // Re-substituted on EVERY query, so a view over a plain table name
+  // tracks the table head (a time-traveled body stays pinned — the
+  // body text decides, like any SQL view).
+  private val views = new ConcurrentHashMap[String, LogicalPlan]()
+
+  def unregisterView(name: String): Unit = {
+    views.remove(name.toLowerCase); ()
+  }
+
   /** Register `name` as DML target for the TxnTable at `path`;
     * `mor = true` routes statements through the merge-on-read paths. */
   def register(name: String, path: String, mor: Boolean = false): Unit =
@@ -345,9 +355,48 @@ object GraftSql {
             register(nm, path, mor); v
         }
 
+      // CREATE [OR REPLACE] VIEW v AS SELECT …: names a derived query
+      // over registered txn tables. The body's UNANALYZED plan is
+      // stored and re-substituted at every query, so the view tracks
+      // each referenced table's head (or stays pinned where the body
+      // says VERSION/TIMESTAMP AS OF). Views commit nothing: returns
+      // -1 (no table version moved).
+      case cv: CreateView =>
+        val nm = cv.child match {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedIdentifier => u.nameParts.mkString(".").toLowerCase
+          case other => throw new IllegalArgumentException(
+            s"unsupported CREATE VIEW target: ${other.nodeName}")
+        }
+        require(cv.userSpecifiedColumns.isEmpty,
+          "CREATE VIEW column lists are not supported — alias in the " +
+            "SELECT instead")
+        require(!tables.containsKey(nm) &&
+          !tables.containsKey(nm.split('.').last),
+          s"$nm is a registered txn table — a view must not shadow it")
+        if (views.containsKey(nm) && !cv.replace) {
+          require(cv.allowExisting,
+            s"view $nm already exists — use CREATE OR REPLACE VIEW")
+          // IF NOT EXISTS: the existing definition stands untouched
+        } else views.put(nm, cv.query)
+        -1L
+
+      case dv: DropView =>
+        val nm = dv.child match {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedIdentifier => u.nameParts.mkString(".").toLowerCase
+          case other => throw new IllegalArgumentException(
+            s"unsupported DROP VIEW target: ${other.nodeName}")
+        }
+        val existed = views.remove(nm) != null
+        require(existed || dv.ifExists,
+          s"no such view $nm — use DROP VIEW IF EXISTS")
+        -1L
+
       case other => throw new IllegalArgumentException(
         s"GraftSql.execute handles CREATE [OR REPLACE] TABLE [AS " +
-          s"SELECT] / UPDATE / DELETE FROM / MERGE INTO / INSERT / " +
+          s"SELECT] / CREATE [OR REPLACE] VIEW / DROP VIEW / UPDATE / " +
+          s"DELETE FROM / MERGE INTO / INSERT / " +
           s"ALTER TABLE ADD|DROP|RENAME COLUMN / OPTIMIZE / VACUUM; " +
           s"got ${other.nodeName} — run SELECTs through query()")
     }
@@ -474,7 +523,11 @@ object GraftSql {
     * MERGE sources — so `INSERT INTO t2 SELECT * FROM t1 VERSION AS OF 3`
     * snapshots one table into another with no temp-view plumbing. */
   private def substituteRelations(spark: SparkSession,
-      plan: LogicalPlan): LogicalPlan = {
+      plan: LogicalPlan): LogicalPlan =
+    substituteRelations(spark, plan, Set.empty)
+
+  private def substituteRelations(spark: SparkSession,
+      plan: LogicalPlan, resolvingViews: Set[String]): LogicalPlan = {
     def snapshot(r: UnresolvedRelation, asOf: Long): Option[LogicalPlan] = {
       val full = r.multipartIdentifier.mkString(".").toLowerCase
       val short = r.multipartIdentifier.last.toLowerCase
@@ -482,6 +535,22 @@ object GraftSql {
         SubqueryAlias(short,
           TxnTable.read(spark, reg.path, asOf).queryExecution.logical)
       }
+    }
+    // a view reference expands to its freshly RE-SUBSTITUTED body
+    // (view-of-view composes by recursion); the resolution stack makes
+    // a definition cycle a loud error instead of a stack overflow
+    def view(r: UnresolvedRelation): Option[LogicalPlan] = {
+      val full = r.multipartIdentifier.mkString(".").toLowerCase
+      val short = r.multipartIdentifier.last.toLowerCase
+      Option(views.get(full)).map((full, _))
+        .orElse(Option(views.get(short)).map((short, _)))
+        .map { case (nm, body) =>
+          require(!resolvingViews(nm),
+            s"view definition cycle at $nm " +
+              s"(resolving ${resolvingViews.mkString(" -> ")})")
+          SubqueryAlias(short,
+            substituteRelations(spark, body, resolvingViews + nm))
+        }
     }
     def strLit(e: Expression, what: String): String = e match {
       case l: Literal if l.value != null => l.value.toString
@@ -492,6 +561,12 @@ object GraftSql {
     // IN/EXISTS/scalar SUBQUERY expressions too, not just the FROM tree
     plan.transformUpWithSubqueries {
       case tt @ RelationTimeTravel(r: UnresolvedRelation, ts, ver) =>
+        require(!views.containsKey(
+            r.multipartIdentifier.mkString(".").toLowerCase) &&
+          !views.containsKey(r.multipartIdentifier.last.toLowerCase),
+          s"${r.multipartIdentifier.mkString(".")} is a view — views " +
+            "have no version axis; time-travel the tables INSIDE the " +
+            "view body instead")
         val asOf = (ver, ts) match {
           case (Some(v), _) => v.toLong
           case (_, Some(e)) => TxnTable.versionAt(
@@ -499,7 +574,8 @@ object GraftSql {
           case _ => -1L
         }
         snapshot(r, asOf).getOrElse(tt)
-      case r: UnresolvedRelation => snapshot(r, -1L).getOrElse(r)
+      case r: UnresolvedRelation =>
+        snapshot(r, -1L).orElse(view(r)).getOrElse(r)
       // table_changes('t', from, to, 'key'[, 'key2'...]) — the keyed
       // change-data-feed as a table-valued function (op column +
       // after-image payload, computed from only the changed files).

@@ -277,6 +277,63 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("cannot parse"), e2.getMessage)
   }
 
+  test("CREATE VIEW lifecycle: shadowing, IF NOT EXISTS, OR REPLACE, " +
+    "cycles, and view misuse are all loud") {
+    val (t, n) = mk() // ids 1..4, v = 10,20,30,40
+    val v = "vw" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      GraftSql.execute(spark,
+        s"CREATE VIEW $v AS SELECT id, v FROM $n WHERE v >= 30")
+      assert(GraftSql.query(spark, s"SELECT sum(v) AS sv FROM $v")
+        .head().getLong(0) == 70L)
+      // a view must not shadow a registered table
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, s"CREATE VIEW $n AS SELECT 1 AS one")
+      }
+      // plain re-CREATE collides; IF NOT EXISTS keeps the existing
+      // definition; OR REPLACE swaps it
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, s"CREATE VIEW $v AS SELECT 1 AS one")
+      }
+      GraftSql.execute(spark,
+        s"CREATE VIEW IF NOT EXISTS $v AS SELECT 1 AS one")
+      assert(GraftSql.query(spark, s"SELECT sum(v) AS sv FROM $v")
+        .head().getLong(0) == 70L, "IF NOT EXISTS must keep the original")
+      GraftSql.execute(spark,
+        s"CREATE OR REPLACE VIEW $v AS SELECT id, v FROM $n WHERE v < 30")
+      assert(GraftSql.query(spark, s"SELECT sum(v) AS sv FROM $v")
+        .head().getLong(0) == 30L)
+      // a definition cycle is a loud error, not a stack overflow
+      GraftSql.execute(spark,
+        s"CREATE OR REPLACE VIEW $v AS SELECT * FROM $v")
+      val ce = intercept[IllegalArgumentException] {
+        GraftSql.query(spark, s"SELECT * FROM $v").collect()
+      }
+      assert(ce.getMessage.contains("view definition cycle"))
+      GraftSql.execute(spark,
+        s"CREATE OR REPLACE VIEW $v AS SELECT id, v FROM $n")
+      // views have no version axis
+      val te = intercept[IllegalArgumentException] {
+        GraftSql.query(spark, s"SELECT * FROM $v VERSION AS OF 0")
+      }
+      assert(te.getMessage.contains("views have no version axis"))
+      // views are not DML targets
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, s"DELETE FROM $v WHERE id = 1")
+      }
+      // DROP removes the name; a second plain DROP is loud; IF EXISTS
+      // no-ops
+      GraftSql.execute(spark, s"DROP VIEW $v")
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, s"DROP VIEW $v")
+      }
+      GraftSql.execute(spark, s"DROP VIEW IF EXISTS $v")
+      intercept[Exception] {
+        GraftSql.query(spark, s"SELECT * FROM $v").collect()
+      }
+    } finally { GraftSql.unregister(n); GraftSql.unregisterView(v) }
+  }
+
   test("unsupported shapes fail loudly; unregistered names rejected") {
     val (_, n) = mk()
     intercept[IllegalArgumentException] {
