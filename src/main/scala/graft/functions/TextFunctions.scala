@@ -335,9 +335,21 @@ object TextFunctions {
     val query = when(rest0.contains("?"),
       rest0.substr(length(hostpath) + 2, lit(1000000))).otherwise(lit(""))
     val hostport = lower(substring_index(hostpath, "/", 1))
-    val host0 = substring_index(hostport, ":", 1)
-    val port = when(hostport.contains(":"),
-      substring_index(hostport, ":", -1)).otherwise(lit(""))
+    // IPv6 bracket literals ([::1], [2001:db8::1]:8080): the host is
+    // everything through "]" — splitting on the FIRST ":" would
+    // truncate inside the address. Lowercasing is still correct
+    // canonicalization for hex digits. A userinfo prefix (user@host)
+    // is deliberately passed through as part of the authority:
+    // distinct credentials stay distinct dedup keys.
+    val isBracket = hostport.startsWith("[")
+    val host0 = when(isBracket,
+      concat(substring_index(hostport, "]", 1), lit("]")))
+      .otherwise(substring_index(hostport, ":", 1))
+    val port = when(isBracket,
+      when(hostport.contains("]:"), substring_index(hostport, "]:", -1))
+        .otherwise(lit("")))
+      .otherwise(when(hostport.contains(":"),
+        substring_index(hostport, ":", -1)).otherwise(lit("")))
     val keepPort = !(port === "" ||
       (scheme === "http" && port === "80") ||
       (scheme === "https" && port === "443"))

@@ -333,6 +333,57 @@ object SqlDmlQueries {
     } finally GraftSql.unregister(n)
   }
 
+  /** S47: multi-table UPDATE — `UPDATE t SET … FROM src WHERE
+    * join-cond` (the Postgres/DuckDB statement users port) translated
+    * onto MERGE's WHEN MATCHED UPDATE. The gate runs the statement
+    * against a key-unique source (identical semantics in every
+    * dialect), asserts IN-RUN that the rewrite touched a strict
+    * subset of files and that a hand-written MERGE INTO on a twin
+    * table produces the bit-exact same state; the oracle replays
+    * DuckDB's own UPDATE-FROM semantics relationally. */
+  def s47UpdateFrom(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s47").toString
+    val n = freshName("orders_uf_")
+    val n2 = freshName("orders_uf_twin_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    Seq(d + "/t", d + "/twin").foreach(p =>
+      TxnTable.createClustered(spark, p, orders, Seq(col("o_custkey")),
+        targetFiles = 10)) // v0 each
+    val nFiles = TxnTable.snapshotFiles(d + "/t").size
+    val srcView = freshName("s47_src_")
+    orders.filter(col("o_custkey") <= ck / 8)
+      .select(col("o_orderkey"), (col("price_c") * 3).as("nv"))
+      .createOrReplaceTempView(srcView)
+    GraftSql.register(n, d + "/t"); GraftSql.register(n2, d + "/twin")
+    try {
+      GraftSql.execute(spark,
+        s"""UPDATE $n t SET price_c = s.nv FROM $srcView s
+           |WHERE t.o_orderkey = s.o_orderkey
+           |  AND t.o_orderstatus = 'O'""".stripMargin)
+      val c = TxnTable.commits(d + "/t").last
+      require(c.removes.nonEmpty && c.removes.size < nFiles,
+        s"UPDATE FROM must rewrite a strict subset of $nFiles files, " +
+          s"got ${c.removes.size}")
+      // ≡ the MERGE it translates to, bit-exact on a twin table
+      GraftSql.execute(spark,
+        s"""MERGE INTO $n2 t USING $srcView s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND t.o_orderstatus = 'O'
+           |THEN UPDATE SET price_c = s.nv""".stripMargin)
+      val (a, b) = (TxnTable.read(spark, d + "/t"),
+        TxnTable.read(spark, d + "/twin"))
+      require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "UPDATE FROM must equal its MERGE translation bit-exactly")
+      a.groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("ps"),
+          sum(col("o_orderkey")).as("ks"))
+        .orderBy(col("st"))
+    } finally { GraftSql.unregister(n); GraftSql.unregister(n2) }
+  }
+
   /** S46: CREATE VIEW over registered txn tables — a named derived
     * query. Pins the three contract halves in-run: (1) a view body
     * with `VERSION AS OF 0` stays snapshot-PINNED while the table
@@ -751,6 +802,7 @@ object SqlDmlQueries {
     "s39_table_changes" -> (s39TableChanges _),
     "s45_table_changes_ts" -> (s45TableChangesTs _),
     "s46_sql_view" -> (s46SqlView _),
+    "s47_update_from" -> (s47UpdateFrom _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -920,6 +972,24 @@ object SqlDmlQueries {
         |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
     // the change feed replayed relationally: updated O-band rows carry
     // their after-image price, deleted F-band rows a NULL payload
+    // UPDATE-FROM replayed as DuckDB would run it: matched O-status
+    // rows in the low-custkey band take the source's tripled price
+    "s47_update_from" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders),
+        |base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |src AS (SELECT o_orderkey, pc * 3 AS nv FROM base, b
+        |        WHERE o_custkey <= b.ck//8),
+        |fin AS (
+        |  SELECT t.o_orderstatus AS st,
+        |    CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderstatus = 'O'
+        |      THEN s.nv ELSE t.pc END AS pc,
+        |    t.o_orderkey AS k
+        |  FROM base t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey)
+        |SELECT st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS ps, CAST(sum(k) AS BIGINT) AS ks
+        |FROM fin GROUP BY st ORDER BY st""".stripMargin,
     // the view-of-view over the v0-PINNED band: original (undoubled)
     // prices grouped by status — head-tracking/pinning/drop asserted
     // in-run

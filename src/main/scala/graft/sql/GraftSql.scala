@@ -74,17 +74,60 @@ object GraftSql {
   // Maintenance verbs Spark's parser has no grammar for (they are
   // lakehouse-dialect statements): a statement-head match in front of
   // parsePlan; everything after the verb resolves through the existing
-  // TxnTable API, so statement ≡ API call by construction.
+  // TxnTable API, so statement ≡ API call by construction. Identifiers
+  // accept backtick quoting (`my-table`, `db`.`t`) like every
+  // parser-routed statement; [[parseIdent]] strips the quotes.
+  private val Ident = """((?:`[^`]+`|[\w.])+)"""
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+""" + Ident +
+      """\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([\w.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+""" + Ident +
+      """\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""").r
   private val HistoryRe =
-    """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+    ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
   private val RestoreRe =
-    """(?is)^\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+    ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Ident +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val ConvertRe =
-    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s*(?:AS\s+([\w.]+))?\s*;?\s*$""".r
+    ("""(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s*(?:AS\s+""" + Ident +
+      """)?\s*;?\s*$""").r
+  // the multi-table UPDATE fallback shape (only consulted AFTER
+  // Spark's parser rejected the text — see execute): target and source
+  // with optional aliases, the SET list, the join/filter condition
+  private val UpdateFromRe =
+    ("""(?is)^\s*UPDATE\s+""" + Ident +
+      """(?:\s+(?:AS\s+)?(?!SET\b)(\w+))?\s+SET\s+(.+?)\s+FROM\s+""" +
+      Ident + """(?:\s+(?:AS\s+)?(?!WHERE\b)(\w+))?\s+WHERE\s+""" +
+      """(.+?)\s*;?\s*$""").r
+
+  /** Split a possibly-backtick-quoted identifier into its parts:
+    * `` `my-table` `` → Seq(my-table); `` db.`t.x` `` → Seq(db, t.x).
+    * Unquoted segments split on dots, quoted segments keep theirs. */
+  private def parseIdent(s: String): Seq[String] =
+    if (!s.contains('`')) s.split('.').toSeq
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '`') {
+          val j = s.indexOf('`', i + 1)
+          require(j > i, s"unbalanced backtick in identifier $s")
+          out += s.substring(i + 1, j)
+          i = j + 1
+          if (i < s.length) {
+            require(s.charAt(i) == '.',
+              s"expected '.' after quoted segment in $s")
+            i += 1
+          }
+        } else {
+          val j = s.indexOf('.', i)
+          if (j < 0) { out += s.substring(i); i = s.length }
+          else { out += s.substring(i, j); i = j + 1 }
+        }
+      }
+      out.toSeq
+    }
 
   /** Execute one DML/DDL/maintenance statement against its registered
     * target; returns the committed version (or the unchanged head when
@@ -92,7 +135,7 @@ object GraftSql {
     * [[query]]. */
   def execute(spark: SparkSession, sqlText: String): Long = sqlText match {
     case OptimizeRe(name, zorder) =>
-      val (reg, _) = lookup(name.split('.').toSeq)
+      val (reg, _) = lookup(parseIdent(name))
       Option(zorder).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty) match {
         case None =>
@@ -117,7 +160,7 @@ object GraftSql {
       }
 
     case VacuumRe(name, hours) =>
-      val (reg, _) = lookup(name.split('.').toSeq)
+      val (reg, _) = lookup(parseIdent(name))
       (Option(hours) match {
         case Some(h) => TxnTable.vacuumRetainMillis(spark, reg.path,
           h.toLong * 3600000L)
@@ -128,24 +171,66 @@ object GraftSql {
       "DESCRIBE HISTORY returns rows — run it through query()")
 
     case RestoreRe(name, v) =>
-      val (reg, _) = lookup(name.split('.').toSeq)
+      val (reg, _) = lookup(parseIdent(name))
       TxnTable.restore(spark, reg.path, v.toLong)
 
     case ConvertRe(dir, name) =>
       // AS name must not silently re-point an existing registration
       // (same contract as CREATE's re-pointing guard, same
-      // normalized-path comparison)
-      Option(name).foreach(n =>
+      // normalized-path comparison); quoted names register unquoted
+      val regName = Option(name).map(parseIdent(_).mkString("."))
+      regName.foreach(n =>
         Option(tables.get(n.toLowerCase)).map(_.path).foreach(p =>
           require(samePath(p, dir),
             s"$n is already registered at $p — unregister it first")))
       // in-place adoption: the parquet directory BECOMES the table
       // (zero data movement; footer stats harvested into the log)
       val v = TxnTable.convertParquet(spark, dir)
-      Option(name).foreach(n => register(n, dir))
+      regName.foreach(n => register(n, dir))
       v
 
-    case _ => spark.sessionState.sqlParser.parsePlan(sqlText) match {
+    case _ => (try spark.sessionState.sqlParser.parsePlan(sqlText)
+      catch {
+        case pe: org.apache.spark.sql.catalyst.parser.ParseException =>
+          // Spark's grammar has no multi-table UPDATE — `UPDATE … SET …
+          // FROM src WHERE join-cond` (the statement users port from
+          // Postgres/DuckDB) reaches here as a parse error. It is
+          // EXACTLY MERGE's WHEN MATCHED UPDATE, so translate the text
+          // onto the already-pinned MERGE path and re-parse. Anything
+          // Spark CAN parse (e.g. scalar-subquery SETs with their own
+          // FROM) never takes this branch, so the rewrite cannot
+          // hijack a supported shape.
+          sqlText match {
+            case UpdateFromRe(tgt, tAlias, sets, src, sAlias, cond) =>
+              // ON takes only the equi-join conjuncts (mergeInto's
+              // one-pass key contract); every other predicate folds
+              // into WHEN MATCHED AND — exact for this statement,
+              // which has no other clauses
+              def conj(e: Expression): Seq[Expression] = e match {
+                case And(l, r) => conj(l) ++ conj(r)
+                case x => Seq(x)
+              }
+              val (keys, residual) = conj(spark.sessionState.sqlParser
+                .parseExpression(cond)).partition {
+                  case EqualTo(_: UnresolvedAttribute,
+                               _: UnresolvedAttribute) => true
+                  case _ => false
+                }
+              require(keys.nonEmpty,
+                "UPDATE … FROM needs at least one target-column = " +
+                  "source-column equality in WHERE — that is the join key")
+              val when =
+                if (residual.isEmpty) "WHEN MATCHED"
+                else "WHEN MATCHED AND " +
+                  residual.map(_.sql).mkString(" AND ")
+              spark.sessionState.sqlParser.parsePlan(
+                s"MERGE INTO $tgt ${Option(tAlias).getOrElse("")} " +
+                  s"USING $src ${Option(sAlias).getOrElse("")} " +
+                  s"ON ${keys.map(_.sql).mkString(" AND ")} " +
+                  s"$when THEN UPDATE SET $sets")
+            case _ => throw pe
+          }
+      }) match {
       case DeleteFromTable(t, cond) =>
         val (reg, quals) = target(t)
         val c = Bridge.column(
@@ -511,7 +596,7 @@ object GraftSql {
     sqlText match {
       // the audit surface as a statement (rows out → query, not execute)
       case HistoryRe(name) =>
-        TxnTable.history(spark, lookup(name.split('.').toSeq)._1.path)
+        TxnTable.history(spark, lookup(parseIdent(name))._1.path)
       case _ =>
         Bridge.ofRows(spark, substituteRelations(spark,
           spark.sessionState.sqlParser.parsePlan(sqlText)))

@@ -253,6 +253,17 @@ class TextFunctionsSpec extends SparkSpecBase {
     // a second '?' inside the query stays query content
     assert(c("https://a.com/p?q=what?&a=1") ==
       "https://a.com/p?a=1&q=what?")
+    // IPv6 bracket hosts: the address is never truncated at its first
+    // colon; explicit ports survive, default ports strip, hex digits
+    // lowercase like any host
+    assert(c("http://[::1]:8080/p?b=2&a=1#f") ==
+      "http://[::1]:8080/p?a=1&b=2")
+    assert(c("https://[2001:DB8::1]/x/") == "https://[2001:db8::1]/x")
+    assert(c("http://[::1]:80/x") == "http://[::1]/x")
+    assert(c("https://[2001:db8::1]:443/x") == "https://[2001:db8::1]/x")
+    // userinfo authorities pass through as part of the authority
+    // (documented: distinct credentials are distinct dedup keys)
+    assert(c("http://user@Example.com/a") == "http://user@example.com/a")
   }
 
   test("dedupLines keeps the FIRST occurrence, order preserved") {

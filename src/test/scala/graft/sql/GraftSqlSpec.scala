@@ -277,6 +277,59 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("cannot parse"), e2.getMessage)
   }
 
+  test("UPDATE … FROM translates onto MERGE (CoW and MOR); shapes " +
+    "outside the contract keep the parser's rejection") {
+    Seq((2L, 222L), (3L, 333L), (9L, 999L)).toDF("id", "nv")
+      .createOrReplaceTempView("uf_src")
+    for (mor <- Seq(false, true)) {
+      val (t, n) = mk(mor) // ids 1..4, v = 10,20,30,40
+      GraftSql.execute(spark,
+        s"UPDATE $n t SET v = s.nv FROM uf_src s WHERE t.id = s.id")
+      assert(rows(t) == Set((1L, 10L, "a"), (2L, 222L, "b"),
+        (3L, 333L, "c"), (4L, 40L, "d")), s"mor=$mor")
+      // an extra filter rides the join condition
+      GraftSql.execute(spark,
+        s"""UPDATE $n SET v = s.nv * 10 FROM uf_src s
+           |WHERE $n.id = s.id AND $n.id > 2""".stripMargin)
+      assert(rows(t).map(r => (r._1, r._2)) ==
+        Set((1L, 10L), (2L, 222L), (3L, 3330L), (4L, 40L)), s"mor=$mor")
+      GraftSql.unregister(n)
+    }
+    // without WHERE there is no join condition: the parser's own
+    // rejection stands (contract, not accident)
+    val (_, n2) = mk()
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      GraftSql.execute(spark, s"UPDATE $n2 SET v = s.nv FROM uf_src s")
+    }
+    GraftSql.unregister(n2)
+  }
+
+  test("backtick-quoted identifiers work in the maintenance statement " +
+    "heads; unquoted special characters stay rejected") {
+    val t = Files.createTempDirectory("graft_bt").toString + "/t"
+    val n = "bt-" + java.util.UUID.randomUUID().toString.replace("-", "")
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").createOrReplaceTempView("bt_src")
+    TxnTable.create(spark, t,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    GraftSql.register(n, t)
+    try {
+      // every statement-head verb takes the quoted spelling
+      assert(GraftSql.execute(spark, s"OPTIMIZE `$n`") == 0L) // no-op head
+      GraftSql.execute(spark, s"INSERT INTO `$n` SELECT 3L, 30L")
+      assert(GraftSql.execute(spark, s"OPTIMIZE `$n`") == 2L) // folds
+      assert(GraftSql.execute(spark, s"VACUUM `$n`") == 3L)
+      assert(GraftSql.query(spark, s"DESCRIBE HISTORY `$n`")
+        .count() >= 3L)
+      assert(GraftSql.execute(spark,
+        s"RESTORE TABLE `$n` TO VERSION AS OF 2") == 4L)
+      // the unquoted hyphenated spelling is NOT an identifier — the
+      // statement head falls through to the parser and is rejected
+      intercept[Exception] {
+        GraftSql.execute(spark, s"OPTIMIZE $n")
+      }
+    } finally GraftSql.unregister(n)
+  }
+
   test("CREATE VIEW lifecycle: shadowing, IF NOT EXISTS, OR REPLACE, " +
     "cycles, and view misuse are all loud") {
     val (t, n) = mk() // ids 1..4, v = 10,20,30,40
