@@ -2322,10 +2322,39 @@ object TxnTable {
   def binPack(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
     val base = currentVersion(path)
+    binPackFiles(spark, path, base, snapshotFiles(path, base), targetBytes)
+  }
+
+  /** [[binPack]] SCOPED by a range predicate on `column` (physical
+    * int64 bounds, like [[readPruned]]/[[countRange]]): only eligible
+    * files whose LOGGED [min, max] intersects [lo, hi] fold — the
+    * "re-pack the hot partition's tail" maintenance shape. At 100 TB
+    * an OPTIMIZE after a day of banded ingest touches that band's
+    * small files and nothing else; scoping comes entirely from the
+    * commit log's write-time stats (zero footer reads — files without
+    * stats for `column` are conservatively IN scope, same rule as
+    * every pruned read). */
+  def binPackWhere(spark: SparkSession, path: String, column: String,
+      lo: Long, hi: Long,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val base = currentVersion(path)
     val files = snapshotFiles(path, base)
+    val idx = statsIndexFor(spark, path, base, Seq(column))
+    val keptAbs = graft.crawler.SkippingIndex
+      .selectFiles(idx, 0, lo, hi).toSet
+    val inRange = files.filter(f =>
+      keptAbs.contains(localRoot(path).resolve(f).toString))
+    binPackFiles(spark, path, base, inRange, targetBytes)
+  }
+
+  /** The shared bin-pack tail: fold `scope`'s eligible files (small or
+    * DV-carrying) into ~targetBytes bins; unchanged head when nothing
+    * is eligible. */
+  private def binPackFiles(spark: SparkSession, path: String, base: Long,
+      scope: Seq[String], targetBytes: Long): Long = {
     val ai = addsIndex(path, base)
     val dvm = snapshotDvs(path, base)
-    val candidates = files.filter(f =>
+    val candidates = scope.filter(f =>
       dvm.contains(f) || ai.get(f).exists(_.bytes < targetBytes))
     if (candidates.size < 2 && !candidates.exists(dvm.contains))
       return base // nothing to fold: head unchanged IS the signal
@@ -2676,6 +2705,28 @@ object TxnTable {
         c.dvs.size.toLong, c.schema.isDefined)
     }.toDF("version", "op", "ts_millis", "files_added", "rows_added",
       "bytes_added", "files_removed", "dv_reassigned", "schema_change")
+  }
+
+  /** The operational one-row summary behind `DESCRIBE DETAIL`,
+    * computed ENTIRELY from the commit log (zero data or footer I/O —
+    * at 100 TB this must never scan): current/earliest version, live
+    * file count, total logged rows (write-time counts, i.e. pre-DV;
+    * MOR-deleted rows still reside in the files until a rewrite
+    * materializes them), total bytes, DV-carrying file count, and
+    * active constraint count. */
+  def detail(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val top = currentVersion(path)
+    require(top >= 0, s"not a TxnTable: $path")
+    val files = snapshotFiles(path, top)
+    val ai = addsIndex(path, top)
+    val dvm = snapshotDvs(path, top)
+    val adds = files.flatMap(ai.get)
+    Seq((path, top, earliestVersion(path), files.size.toLong,
+      adds.map(_.rows).sum, adds.map(_.bytes).sum, dvm.size.toLong,
+      constraints(path).size.toLong))
+      .toDF("location", "version", "earliest_version", "num_files",
+        "total_rows", "total_bytes", "num_dv_files", "num_constraints")
   }
 
   /** TIMESTAMP time travel: the latest readable version whose commit

@@ -384,6 +384,121 @@ object SqlDmlQueries {
     } finally { GraftSql.unregister(n); GraftSql.unregister(n2) }
   }
 
+  /** S48: the catalog surface — SHOW TABLES / SHOW VIEWS / DESCRIBE
+    * DETAIL. DESCRIBE DETAIL is computed ENTIRELY from the commit log
+    * (zero data/footer I/O — asserted via the footer-read counter),
+    * the property that makes it free on a 100 TB table. The gate
+    * registers two tables + one view, filters SHOW output to its own
+    * names (the registry is engine-global), and returns the
+    * deterministic DETAIL fields; oracle = literals + the orders
+    * count. */
+  def s48SqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s48").toString
+    val pre = freshName("cat_")
+    val (n1, n2, v1) = (pre + "a", pre + "b", pre + "view")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    TxnTable.create(spark, d + "/a", orders, partitions = 4) // v0
+    TxnTable.create(spark, d + "/b", orders.limit(0))        // v0 empty
+    GraftSql.register(n1, d + "/a"); GraftSql.register(n2, d + "/b")
+    try {
+      GraftSql.execute(spark,
+        s"ALTER TABLE $n1 ADD CONSTRAINT pc_pos CHECK (price_c >= 0)") // v1
+      GraftSql.execute(spark,
+        s"CREATE VIEW $v1 AS SELECT count(*) AS c FROM $n1")
+      val shownT = GraftSql.query(spark, "SHOW TABLES")
+        .filter(col("name").startsWith(pre)).count()
+      val shownV = GraftSql.query(spark, "SHOW VIEWS")
+        .filter(col("name").startsWith(pre)).count()
+      // DESCRIBE DETAIL answers from the log alone: zero footer reads
+      val f0 = graft.crawler.SkippingIndex.footerReads.get()
+      val det = GraftSql.query(spark, s"DESCRIBE DETAIL $n1")
+        .select(col("version"), col("earliest_version"),
+          col("num_files"), col("total_rows"), col("num_dv_files"),
+          col("num_constraints")).head()
+      require(graft.crawler.SkippingIndex.footerReads.get() == f0,
+        "DESCRIBE DETAIL must never open a footer")
+      import spark.implicits._
+      Seq((shownT, shownV, det.getLong(0), det.getLong(1),
+        det.getLong(2), det.getLong(3), det.getLong(4), det.getLong(5)))
+        .toDF("tables_cnt", "views_cnt", "version", "earliest_version",
+          "num_files", "total_rows", "num_dv_files", "num_constraints")
+    } finally {
+      GraftSql.unregister(n1); GraftSql.unregister(n2)
+      GraftSql.unregisterView(v1)
+    }
+  }
+
+  /** S49: predicate-SCOPED OPTIMIZE — `OPTIMIZE t WHERE col BETWEEN
+    * lo AND hi` folds only the eligible files whose LOGGED [min, max]
+    * intersects the range (the "re-pack the hot partition's tail"
+    * maintenance shape): the gate builds a clustered table, appends a
+    * small-file tail into ONE band, runs the scoped statement, and
+    * asserts in-run that (a) statement ≡ `binPackWhere` (twin tables,
+    * bit-exact), (b) files outside the band survive untouched, (c) the
+    * fold is decided with zero footer reads. Oracle replays the final
+    * content (OPTIMIZE never changes logical content). */
+  def s49OptimizeWhere(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s49").toString
+    val n = freshName("orders_ow_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    def build(p: String): Unit = {
+      TxnTable.createClustered(spark, p, orders, Seq(col("o_custkey")),
+        targetFiles = 8) // v0: 8 band files
+      // a 6-file small tail, all INSIDE the low band
+      (0 until 6).foreach { i =>
+        TxnTable.append(spark, p, orders
+          .filter(col("o_custkey") <= ck / 8)
+          .orderBy(col("o_orderkey")).limit(50) // deterministic tranche
+          .select(col("o_orderkey") + lit(1000000L * (i + 1)),
+            col("o_custkey"), col("o_orderstatus"), col("price_c"))
+          .toDF("o_orderkey", "o_custkey", "o_orderstatus", "price_c"))
+      }
+    }
+    build(d + "/t"); build(d + "/twin")
+    GraftSql.register(n, d + "/t")
+    try {
+      val before = TxnTable.snapshotFiles(d + "/t")
+      val f0 = graft.crawler.SkippingIndex.footerReads.get()
+      val vS = GraftSql.execute(spark,
+        s"OPTIMIZE $n WHERE o_custkey BETWEEN 0 AND ${ck / 8}")
+      val vA = TxnTable.binPackWhere(spark, d + "/twin", "o_custkey",
+        0L, ck / 8)
+      require(vS == 7L && vA == 7L,
+        s"scoped OPTIMIZE must equal binPackWhere (v$vS vs v$vA)")
+      val after = TxnTable.snapshotFiles(d + "/t")
+      val c = TxnTable.commits(d + "/t").last
+      // the SCOPE is decided from log stats alone: the only footer
+      // reads in the window are the write-time harvest of the FRESH
+      // bin files (one per add, both twins) — zero existing-file reads
+      val fresh = c.adds.size +
+        TxnTable.commits(d + "/twin").last.adds.size
+      val reads = graft.crawler.SkippingIndex.footerReads.get() - f0
+      require(reads <= fresh,
+        s"scoping must read zero existing footers: $reads vs $fresh fresh")
+      require(c.op == "compact" && c.removes.size >= 6 &&
+        c.removes.size < before.size,
+        s"only the band's files fold: removed ${c.removes.size} " +
+          s"of ${before.size}")
+      // out-of-band files never move
+      val highBand = before.toSet -- c.removes.toSet
+      require(highBand.subsetOf(after.toSet),
+        "files outside the WHERE band must survive untouched")
+      val (a, b) = (TxnTable.read(spark, d + "/t"),
+        TxnTable.read(spark, d + "/twin"))
+      require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "statement and API twins must agree bit-exactly")
+      a.groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("ps"),
+          sum(col("o_orderkey") % 1000000L).as("ks"))
+        .orderBy(col("st"))
+    } finally GraftSql.unregister(n)
+  }
+
   /** S46: CREATE VIEW over registered txn tables — a named derived
     * query. Pins the three contract halves in-run: (1) a view body
     * with `VERSION AS OF 0` stays snapshot-PINNED while the table
@@ -803,6 +918,8 @@ object SqlDmlQueries {
     "s45_table_changes_ts" -> (s45TableChangesTs _),
     "s46_sql_view" -> (s46SqlView _),
     "s47_update_from" -> (s47UpdateFrom _),
+    "s48_sql_catalog" -> (s48SqlCatalog _),
+    "s49_optimize_where" -> (s49OptimizeWhere _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -972,6 +1089,39 @@ object SqlDmlQueries {
         |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
     // the change feed replayed relationally: updated O-band rows carry
     // their after-image price, deleted F-band rows a NULL payload
+    // SHOW counts are literals (the gate filters to its own names);
+    // DESCRIBE DETAIL's deterministic fields: v1 after the constraint,
+    // 4 created files, the raw orders row count, zero DVs
+    "s48_sql_catalog" ->
+      """SELECT CAST(2 AS BIGINT) AS tables_cnt,
+        |  CAST(1 AS BIGINT) AS views_cnt,
+        |  CAST(1 AS BIGINT) AS version,
+        |  CAST(0 AS BIGINT) AS earliest_version,
+        |  CAST(4 AS BIGINT) AS num_files,
+        |  CAST(count(*) AS BIGINT) AS total_rows,
+        |  CAST(0 AS BIGINT) AS num_dv_files,
+        |  CAST(1 AS BIGINT) AS num_constraints
+        |FROM orders""".stripMargin,
+    // OPTIMIZE changes no logical content: final state = orders plus
+    // six shifted copies of the band's 50 lowest-key rows (keys reduce
+    // mod 1e6 in the checksum, so each copy contributes its original
+    // key)
+    "s49_optimize_where" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders),
+        |base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |band AS (SELECT o_orderstatus, pc, o_orderkey FROM base, b
+        |         WHERE o_custkey <= b.ck//8
+        |         ORDER BY o_orderkey LIMIT 50),
+        |fin AS (
+        |  SELECT o_orderstatus AS st, pc, o_orderkey AS k FROM base
+        |  UNION ALL
+        |  SELECT o_orderstatus, pc, o_orderkey FROM band
+        |  CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS i))
+        |SELECT st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS ps, CAST(sum(k) AS BIGINT) AS ks
+        |FROM fin GROUP BY st ORDER BY st""".stripMargin,
     // UPDATE-FROM replayed as DuckDB would run it: matched O-status
     // rows in the low-custkey band take the source's tripled price
     "s47_update_from" ->

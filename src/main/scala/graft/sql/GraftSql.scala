@@ -80,12 +80,18 @@ object GraftSql {
   private val Ident = """((?:`[^`]+`|[\w.])+)"""
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + Ident +
-      """\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
+      """\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?""" +
+      """\s*(?:WHERE\s+(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+))?""" +
+      """\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Ident +
       """\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + Ident + """\s*;?\s*$""").r
+  private val DetailRe =
+    ("""(?is)^\s*DESCRIBE\s+DETAIL\s+""" + Ident + """\s*;?\s*$""").r
+  private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*;?\s*$""".r
+  private val ShowViewsRe = """(?is)^\s*SHOW\s+VIEWS\s*;?\s*$""".r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Ident +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
@@ -134,7 +140,7 @@ object GraftSql {
     * nothing changed). SELECTs and DESCRIBE HISTORY belong to
     * [[query]]. */
   def execute(spark: SparkSession, sqlText: String): Long = sqlText match {
-    case OptimizeRe(name, zorder) =>
+    case OptimizeRe(name, zorder, wCol, wLo, wHi) =>
       val (reg, _) = lookup(parseIdent(name))
       Option(zorder).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty) match {
@@ -144,7 +150,17 @@ object GraftSql {
           // auto-maintenance policy (that's maybeCompact's contract).
           // A table with nothing eligible returns the unchanged head:
           // the caller-distinguishable "nothing was folded" signal.
-          TxnTable.binPack(spark, reg.path)
+          // WHERE col BETWEEN lo AND hi scopes the fold by the logged
+          // file stats — the re-pack-the-hot-partition shape.
+          Option(wCol) match {
+            case Some(c) => TxnTable.binPackWhere(spark, reg.path, c,
+              wLo.toLong, wHi.toLong)
+            case None => TxnTable.binPack(spark, reg.path)
+          }
+        case Some(_) if wCol != null =>
+          throw new IllegalArgumentException(
+            "OPTIMIZE ZORDER BY re-clusters the WHOLE snapshot — it " +
+              "cannot be combined with a WHERE scope")
         case Some(Seq(a, b)) =>
           TxnTable.compactClustered(spark, reg.path,
             org.apache.spark.sql.functions.col(a),
@@ -597,6 +613,19 @@ object GraftSql {
       // the audit surface as a statement (rows out → query, not execute)
       case HistoryRe(name) =>
         TxnTable.history(spark, lookup(parseIdent(name))._1.path)
+      // the operational summary — entirely log-metadata, never a scan
+      case DetailRe(name) =>
+        TxnTable.detail(spark, lookup(parseIdent(name))._1.path)
+      case ShowTablesRe() =>
+        import spark.implicits._
+        import scala.jdk.CollectionConverters._
+        tables.asScala.toSeq
+          .map { case (n, r) => (n, r.path, r.mor) }.sortBy(_._1)
+          .toDF("name", "location", "mor")
+      case ShowViewsRe() =>
+        import spark.implicits._
+        import scala.jdk.CollectionConverters._
+        views.keys.asScala.toSeq.sorted.toDF("name")
       case _ =>
         Bridge.ofRows(spark, substituteRelations(spark,
           spark.sessionState.sqlParser.parsePlan(sqlText)))

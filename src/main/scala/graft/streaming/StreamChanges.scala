@@ -192,6 +192,18 @@ object StreamChanges {
     readChangesStream(spark, srcPath, spoolDir, pumpCheckpointDir,
       keyCols, Some(TxnTable.currentVersion(srcPath) + 1))
 
+  /** Changes since a WALL-CLOCK instant ("follow everything committed
+    * after yesterday 09:00"): the first spooled commit is the first
+    * one that landed AFTER `sinceMillis`, resolved through the same
+    * log-mtime clock as every timestamp-addressed read (`versionAt` —
+    * its pre-horizon fence applies: an instant older than the earliest
+    * readable commit is a loud error, never a silent full replay). */
+  def readChangesSince(spark: SparkSession, srcPath: String,
+      spoolDir: String, pumpCheckpointDir: String,
+      keyCols: Seq[String], sinceMillis: Long): DataFrame =
+    readChangesStream(spark, srcPath, spoolDir, pumpCheckpointDir,
+      keyCols, Some(TxnTable.versionAt(srcPath, sinceMillis) + 1))
+
   /** RETENTION sweep: delete published ranges the consumers are done
     * with — every range whose `to_version < keepAfterVersion` — and
     * record `keepAfterVersion` as the spool's monotonic vacuum

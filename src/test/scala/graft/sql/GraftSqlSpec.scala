@@ -330,6 +330,48 @@ class GraftSqlSpec extends SparkSpecBase {
     } finally GraftSql.unregister(n)
   }
 
+  test("SHOW TABLES / SHOW VIEWS / DESCRIBE DETAIL; OPTIMIZE WHERE " +
+    "scoping and its contract errors") {
+    val (t, n) = mk() // v0: ids 1..4, one file
+    val v = "sv" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      GraftSql.execute(spark, s"CREATE VIEW $v AS SELECT id FROM $n")
+      val shown = GraftSql.query(spark, "SHOW TABLES")
+        .collect().map(_.getString(0)).toSet
+      assert(shown.contains(n))
+      assert(GraftSql.query(spark, "SHOW VIEWS")
+        .collect().map(_.getString(0)).toSet.contains(v))
+      val det = GraftSql.query(spark, s"DESCRIBE DETAIL $n")
+        .select("version", "num_files", "total_rows", "num_dv_files")
+        .head()
+      assert((det.getLong(0), det.getLong(1), det.getLong(2),
+        det.getLong(3)) == (0L, 1L, 4L, 0L))
+      // MOR delete: DETAIL reports the DV from the log; total_rows
+      // stays the write-time count (documented pre-DV semantics)
+      GraftSql.register(n, t, mor = true)
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 1")
+      val det2 = GraftSql.query(spark, s"DESCRIBE DETAIL $n")
+        .select("version", "num_dv_files", "total_rows").head()
+      assert((det2.getLong(0), det2.getLong(1), det2.getLong(2)) ==
+        (1L, 1L, 4L))
+      // OPTIMIZE WHERE: a range outside the data folds nothing
+      assert(GraftSql.execute(spark,
+        s"OPTIMIZE $n WHERE id BETWEEN 1000 AND 2000") == 1L)
+      // …the matching range folds (the DV'd file is eligible)
+      assert(GraftSql.execute(spark,
+        s"OPTIMIZE $n WHERE id BETWEEN 0 AND 10") == 2L)
+      assert(TxnTable.snapshotDvs(t).isEmpty &&
+        rows(t).map(_._1) == Set(2L, 3L, 4L))
+      // ZORDER cannot carry a WHERE scope
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          s"OPTIMIZE $n ZORDER BY (id, v) WHERE id BETWEEN 0 AND 10")
+      }
+      assert(e.getMessage.contains("cannot be combined"))
+      GraftSql.execute(spark, s"DROP VIEW $v")
+    } finally { GraftSql.unregister(n); GraftSql.unregisterView(v) }
+  }
+
   test("CREATE VIEW lifecycle: shadowing, IF NOT EXISTS, OR REPLACE, " +
     "cycles, and view misuse are all loud") {
     val (t, n) = mk() // ids 1..4, v = 10,20,30,40

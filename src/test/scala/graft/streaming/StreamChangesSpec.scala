@@ -154,6 +154,41 @@ class StreamChangesSpec extends SparkSpecBase {
       "a swept range must never resurrect after pump-checkpoint loss")
   }
 
+  test("readChangesSince follows commits after a wall-clock instant; " +
+    "pre-horizon instants hit the versionAt fence") {
+    val root = Files.createTempDirectory("graft_stsince").toString
+    val t = s"$root/t"
+    TxnTable.create(spark, t,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))                  // v0
+    Thread.sleep(30)
+    TxnTable.append(spark, t, Seq((3L, 30L)).toDF("id", "v"))     // v1
+    Thread.sleep(30)
+    TxnTable.append(spark, t, Seq((4L, 40L)).toDF("id", "v"))     // v2
+    val ts = TxnTable.history(spark, t)
+      .select(col("version"), col("ts_millis")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sink = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // "since v1's instant": v1 itself is already committed AT that
+    // instant — the feed starts at the first commit AFTER it (v2)
+    val q = StreamChanges.readChangesSince(spark, t, s"$root/spool",
+      s"$root/pc", Seq("id"), ts(1L))
+      .writeStream.option("checkpointLocation", s"$root/uc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        sink ++= b.select(col("id")).collect().map(_.getLong(0)); ()
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    assert(sink.toSet == Set(4L), s"got $sink")
+    // a pre-horizon instant is the same loud fence as every
+    // timestamp-addressed read
+    val e = intercept[IllegalArgumentException] {
+      StreamChanges.readChangesSince(spark, t, s"$root/spool2",
+        s"$root/pc2", Seq("id"), ts(0L) - 3600000L)
+    }
+    assert(e.getMessage.contains("predates the earliest readable commit"))
+  }
+
   test("the feed refuses loudly to pump across a schema change; a new " +
     "feed from the change version continues under the new schema") {
     val root = Files.createTempDirectory("graft_stalter").toString
