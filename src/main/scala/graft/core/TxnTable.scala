@@ -2809,6 +2809,14 @@ object TxnTable {
   def vacuumRetainMillis(spark: SparkSession, path: String,
       retainMs: Long, orphanGraceMs: Long = -1L): (Long, Int) = {
     require(retainMs >= 0, "retention window must be non-negative")
+    vacuum(spark, path, retainVersionsForWindow(path, retainMs),
+      orphanGraceMs)
+  }
+
+  /** A `RETAIN ms` window expressed as a retained-version count:
+    * everything current at any instant within the trailing window
+    * stays readable. */
+  private def retainVersionsForWindow(path: String, retainMs: Long): Int = {
     val top = currentVersion(path)
     val cutoff = System.currentTimeMillis() - retainMs
     val keepFrom =
@@ -2816,7 +2824,49 @@ object TxnTable {
       catch { // cutoff predates the earliest readable commit
         case _: IllegalArgumentException => earliestVersion(path)
       }
-    vacuum(spark, path, math.toIntExact(top - keepFrom + 1), orphanGraceMs)
+    math.toIntExact(top - keepFrom + 1)
+  }
+
+  /** [[vacuum]]'s ADVISORY half — `VACUUM … DRY RUN`: the data files
+    * the same retention would delete RIGHT NOW, with their logged
+    * sizes, as rows. No commit, no deletion, pure log metadata (the
+    * "how much would I reclaim" question must never scan a 100 TB
+    * table). Advisory by nature: a concurrent commit can change the
+    * dead set; the real vacuum re-resolves it under the log prefix its
+    * own commit wins against. Same dead-set rule as [[vacuum]]:
+    * known-dead only (referenced by some commit, absent from every
+    * retained snapshot and every registered clone pin), own-data-dir
+    * only. */
+  def vacuumDryRun(spark: SparkSession, path: String,
+      retainVersions: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(retainVersions >= 1, "must retain at least the current version")
+    val cur = currentVersion(path)
+    require(cur >= 0, s"not a TxnTable: $path")
+    val horizon = math.max(earliestVersion(path),
+      math.max(0L, cur - retainVersions + 1))
+    val pinned = registeredClonePins(path)
+      .filter(v => v >= 0 && v <= cur).distinct
+    val keep = ((horizon to cur) ++ pinned)
+      .flatMap(v => snapshotFiles(path, v)).toSet
+    val ai = addsIndex(path, cur)
+    (ai.keySet -- keep).toSeq.sorted
+      .filter { f =>
+        val p = localRoot(path).resolve(f)
+        // the log keeps referencing files an earlier vacuum already
+        // reaped; "would reclaim" means bytes still on disk
+        p.startsWith(dataDir(path)) && Files.exists(p)
+      }
+      .map(f => (f, ai(f).bytes))
+      .toDF("file", "bytes")
+  }
+
+  /** [[vacuumDryRun]] with TIME-based retention (`RETAIN n HOURS DRY
+    * RUN`). */
+  def vacuumDryRunRetainMillis(spark: SparkSession, path: String,
+      retainMs: Long): DataFrame = {
+    require(retainMs >= 0, "retention window must be non-negative")
+    vacuumDryRun(spark, path, retainVersionsForWindow(path, retainMs))
   }
 
   def vacuum(spark: SparkSession, path: String,

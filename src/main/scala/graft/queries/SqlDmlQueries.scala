@@ -384,6 +384,70 @@ object SqlDmlQueries {
     } finally { GraftSql.unregister(n); GraftSql.unregister(n2) }
   }
 
+  /** S50: timestamp-addressed RESTORE + VACUUM DRY RUN. `VACUUM …
+    * [RETAIN n HOURS] DRY RUN` reports the reclaimable files WITH
+    * their logged sizes as rows from pure log metadata — nothing
+    * deleted (every listed file still exists afterwards, asserted
+    * in-run, and the listing equals the rewrite commit's removes);
+    * `RESTORE TABLE t TO TIMESTAMP AS OF '<ts>'` rolls back by wall
+    * clock through the same versionAt clock as every ts-addressed
+    * read. Oracle replays the restored (pre-update) content. */
+  def s50RestoreTsVacuumDry(spark: SparkSession, dir: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_s50")
+      .toString + "/orders_txn"
+    val n = freshName("orders_rts_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    TxnTable.create(spark, t, orders, partitions = 4) // v0
+    GraftSql.register(n, t)
+    try {
+      Thread.sleep(30)
+      GraftSql.execute(spark,
+        s"UPDATE $n SET price_c = price_c * 2 " +
+          s"WHERE o_custkey <= ${ck / 4}") // v1 rewrites a file subset
+      val removed = TxnTable.commits(t).last.removes.toSet
+      // DRY RUN: rows == exactly the rewritten-away v0 files, logged
+      // sizes attached, and NOTHING deleted
+      val dry = GraftSql.query(spark,
+        s"VACUUM $n RETAIN 0 HOURS DRY RUN")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(dry.map(_._1).toSet == removed && dry.forall(_._2 > 0),
+        s"dry run must list the dead files with sizes: " +
+          s"${dry.map(_._1).toSet} vs $removed")
+      require(removed.forall(f => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(t).resolve(f))),
+        "a DRY RUN must delete nothing")
+      require(TxnTable.currentVersion(t) == 1L,
+        "a DRY RUN must commit nothing")
+      // rows-out statements belong to query(), pinned
+      val redirected = try {
+        GraftSql.execute(spark, s"VACUUM $n DRY RUN"); false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("query()") }
+      require(redirected, "execute must redirect DRY RUN to query()")
+      // RESTORE by wall clock: back to the pre-update instant
+      val ts0 = TxnTable.history(spark, t)
+        .filter(col("version") === 0).select(col("ts_millis"))
+        .head().getLong(0)
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ts0))
+      val rv = GraftSql.execute(spark,
+        s"RESTORE TABLE $n TO TIMESTAMP AS OF '$fmt'") // v2 = v0 content
+      require(rv == 2L, s"restore must commit at v2, got $rv")
+      val (a, b) = (TxnTable.read(spark, t), TxnTable.read(spark, t, 0L))
+      require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "ts-addressed RESTORE must reproduce the v0 snapshot")
+      a.groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("ps"),
+          sum(col("o_orderkey")).as("ks"))
+        .orderBy(col("st"))
+    } finally GraftSql.unregister(n)
+  }
+
   /** S48: the catalog surface — SHOW TABLES / SHOW VIEWS / DESCRIBE
     * DETAIL. DESCRIBE DETAIL is computed ENTIRELY from the commit log
     * (zero data/footer I/O — asserted via the footer-read counter),
@@ -920,6 +984,7 @@ object SqlDmlQueries {
     "s47_update_from" -> (s47UpdateFrom _),
     "s48_sql_catalog" -> (s48SqlCatalog _),
     "s49_optimize_where" -> (s49OptimizeWhere _),
+    "s50_restore_ts_vacuum_dry" -> (s50RestoreTsVacuumDry _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -1089,6 +1154,14 @@ object SqlDmlQueries {
         |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
     // the change feed replayed relationally: updated O-band rows carry
     // their after-image price, deleted F-band rows a NULL payload
+    // the restored (pre-update) content is raw orders: the dry-run
+    // halves (exact dead-file listing, nothing deleted, execute
+    // redirect) are asserted in-run
+    "s50_restore_ts_vacuum_dry" ->
+      """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS ps,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS ks
+        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin,
     // SHOW counts are literals (the gate filters to its own names);
     // DESCRIBE DETAIL's deterministic fields: v1 after the constraint,
     // 4 created files, the raw orders row count, zero DVs

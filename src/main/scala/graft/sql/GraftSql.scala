@@ -95,6 +95,12 @@ object GraftSql {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Ident +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val RestoreTsRe =
+    ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Ident +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
+  private val VacuumDryRe =
+    ("""(?is)^\s*VACUUM\s+""" + Ident +
+      """\s*(?:RETAIN\s+(\d+)\s+HOURS?)?\s+DRY\s+RUN\s*;?\s*$""").r
   private val ConvertRe =
     ("""(?is)^\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'\s*(?:AS\s+""" + Ident +
       """)?\s*;?\s*$""").r
@@ -175,6 +181,9 @@ object GraftSql {
             "— a 1-column layout is range clustering (CTAS CLUSTER BY)")
       }
 
+    case VacuumDryRe(_, _) => throw new IllegalArgumentException(
+      "VACUUM … DRY RUN returns rows — run it through query()")
+
     case VacuumRe(name, hours) =>
       val (reg, _) = lookup(parseIdent(name))
       (Option(hours) match {
@@ -189,6 +198,14 @@ object GraftSql {
     case RestoreRe(name, v) =>
       val (reg, _) = lookup(parseIdent(name))
       TxnTable.restore(spark, reg.path, v.toLong)
+
+    // RESTORE addressed by wall clock — the "undo whatever happened
+    // after 14:00" shape; resolves through versionAt (session-TZ
+    // parse, pre-horizon fence)
+    case RestoreTsRe(name, ts) =>
+      val (reg, _) = lookup(parseIdent(name))
+      TxnTable.restore(spark, reg.path, TxnTable.versionAt(reg.path,
+        timestampMillis(spark, Literal(ts))))
 
     case ConvertRe(dir, name) =>
       // AS name must not silently re-point an existing registration
@@ -616,6 +633,14 @@ object GraftSql {
       // the operational summary — entirely log-metadata, never a scan
       case DetailRe(name) =>
         TxnTable.detail(spark, lookup(parseIdent(name))._1.path)
+      // reclaimable files as rows, nothing deleted — pure log metadata
+      case VacuumDryRe(name, hours) =>
+        val path = lookup(parseIdent(name))._1.path
+        Option(hours) match {
+          case Some(h) => TxnTable.vacuumDryRunRetainMillis(spark, path,
+            h.toLong * 3600000L)
+          case None => TxnTable.vacuumDryRun(spark, path)
+        }
       case ShowTablesRe() =>
         import spark.implicits._
         import scala.jdk.CollectionConverters._

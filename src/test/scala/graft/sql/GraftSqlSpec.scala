@@ -330,6 +330,46 @@ class GraftSqlSpec extends SparkSpecBase {
     } finally GraftSql.unregister(n)
   }
 
+  test("VACUUM DRY RUN lists exactly what the real vacuum then deletes; " +
+    "RESTORE TO TIMESTAMP resolves on the log clock") {
+    val (t, n) = mk() // v0
+    Thread.sleep(30)
+    GraftSql.execute(spark, s"UPDATE $n SET v = v + 1 WHERE id <= 2") // v1
+    val listed = GraftSql.query(spark, s"VACUUM $n RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0)).toSet
+    assert(listed.nonEmpty)
+    assert(listed.forall(f =>
+      Files.exists(java.nio.file.Paths.get(t).resolve(f))),
+      "dry run deletes nothing")
+    // the real vacuum under the same retention deletes exactly that set
+    val (_, deleted) = TxnTable.vacuumRetainMillis(spark, t, 0L)
+    assert(deleted == listed.size,
+      s"dry run listed ${listed.size}, vacuum deleted $deleted")
+    assert(listed.forall(f =>
+      !Files.exists(java.nio.file.Paths.get(t).resolve(f))))
+    // an empty dry run on the now-clean table
+    assert(GraftSql.query(spark,
+      s"VACUUM $n RETAIN 0 HOURS DRY RUN").count() == 0L)
+    // RESTORE by timestamp: pre-horizon instants are loud (v0 was
+    // vacuumed away)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"RESTORE TABLE $n TO TIMESTAMP AS OF '1999-01-01 00:00:00'")
+    }
+    assert(e.getMessage.contains("predates the earliest readable commit"))
+    // …and a valid instant restores (the head's own instant → head)
+    val tsH = TxnTable.history(spark, t)
+      .orderBy(col("version").desc).select("ts_millis").head().getLong(0)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(tsH))
+    val v = GraftSql.execute(spark,
+      s"RESTORE TABLE $n TO TIMESTAMP AS OF '$fmt'")
+    assert(v == TxnTable.currentVersion(t))
+    GraftSql.unregister(n)
+  }
+
   test("SHOW TABLES / SHOW VIEWS / DESCRIBE DETAIL; OPTIMIZE WHERE " +
     "scoping and its contract errors") {
     val (t, n) = mk() // v0: ids 1..4, one file
