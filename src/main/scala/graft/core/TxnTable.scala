@@ -2338,6 +2338,21 @@ object TxnTable {
       lo: Long, hi: Long,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
     val base = currentVersion(path)
+    // same loud type fence as countRange: bounds live in the physical
+    // int64 space — a string column would silently degrade the scope
+    // to the whole table (no long stats → conservatively kept)
+    val (schema, _) = snapshotSchemaFenced(spark, path, base)
+    schema(column).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"binPackWhere: $column has non-integral type $dt (bounds live " +
+          "in the physical int64 space)")
+    }
     val files = snapshotFiles(path, base)
     val idx = statsIndexFor(spark, path, base, Seq(column))
     val keptAbs = graft.crawler.SkippingIndex

@@ -408,6 +408,12 @@ class GraftSqlSpec extends SparkSpecBase {
           s"OPTIMIZE $n ZORDER BY (id, v) WHERE id BETWEEN 0 AND 10")
       }
       assert(e.getMessage.contains("cannot be combined"))
+      // a non-integral scope column is loud, never a silent
+      // whole-table fold
+      val e2 = intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, s"OPTIMIZE $n WHERE s BETWEEN 0 AND 10")
+      }
+      assert(e2.getMessage.contains("non-integral type"))
       GraftSql.execute(spark, s"DROP VIEW $v")
     } finally { GraftSql.unregister(n); GraftSql.unregisterView(v) }
   }
