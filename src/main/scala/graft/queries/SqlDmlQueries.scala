@@ -384,6 +384,80 @@ object SqlDmlQueries {
     } finally { GraftSql.unregister(n); GraftSql.unregister(n2) }
   }
 
+  /** S51: `CREATE TABLE c SHALLOW CLONE t [VERSION AS OF n]` — the
+    * zero-copy writable fork as a statement. In-run: the clone
+    * directory holds ZERO local parquet (its v0 references the source
+    * snapshot's files by absolute path — no data movement at any
+    * size), statement ≡ `cloneShallow` bit-exact on a twin, the clone
+    * stays pinned at its snapshot while the source moves on, writes
+    * to the clone never touch the source, and a RETAIN-0 source
+    * vacuum leaves the pinned clone fully readable (the registry pin
+    * contract). Oracle replays the cloned v0 content plus the clone's
+    * own local append. */
+  def s51SqlClone(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s51").toString
+    val n = freshName("orders_cl_src_")
+    val c = freshName("orders_cl_dst_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ck, kx) = (m.getLong(0), m.getLong(1))
+    TxnTable.create(spark, d + "/src", orders, partitions = 4) // v0
+    GraftSql.register(n, d + "/src")
+    try {
+      GraftSql.execute(spark,
+        s"UPDATE $n SET price_c = price_c * 2 " +
+          s"WHERE o_custkey <= ${ck / 4}") // v1: the clone must NOT see it
+      GraftSql.execute(spark,
+        s"CREATE TABLE $c SHALLOW CLONE $n VERSION AS OF 0 " +
+          s"LOCATION '$d/clone'")
+      val twin = TxnTable.cloneShallow(spark, d + "/src", d + "/twin", 0L)
+      require(twin == 0L, "sanity: clone commits v0")
+      // zero copy: no local parquet under the clone
+      def localParquet(p: String): Long = {
+        val dd = java.nio.file.Paths.get(p).resolve("data")
+        if (!java.nio.file.Files.isDirectory(dd)) 0L
+        else {
+          val it = java.nio.file.Files.list(dd)
+          try {
+            var n = 0L
+            it.iterator().forEachRemaining(p =>
+              if (p.getFileName.toString.endsWith(".parquet")) n += 1)
+            n
+          } finally it.close()
+        }
+      }
+      require(localParquet(d + "/clone") == 0L,
+        "a shallow clone must copy zero data files")
+      val (cl, tw) = (TxnTable.read(spark, d + "/clone"),
+        TxnTable.read(spark, d + "/twin"))
+      require(cl.exceptAll(tw).isEmpty && tw.exceptAll(cl).isEmpty,
+        "statement and API clones must agree bit-exactly")
+      // the clone is WRITABLE and independent: its append never
+      // touches the source
+      val srcV = TxnTable.currentVersion(d + "/src")
+      GraftSql.query(spark, s"SELECT * FROM $c").count() // resolvable
+      TxnTable.append(spark, d + "/clone",
+        orders.filter(col("o_custkey") <= ck / 16)
+          .select((col("o_orderkey") + kx).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"), col("price_c")))
+      require(TxnTable.currentVersion(d + "/src") == srcV,
+        "a clone write must never move the source")
+      // a RETAIN-0 source vacuum honors the clone's pin: the pinned
+      // v0 files survive and the clone still reads
+      GraftSql.execute(spark, s"VACUUM $n RETAIN 0 HOURS")
+      val after = TxnTable.read(spark, d + "/clone")
+      require(after.count() == cl.count() +
+        orders.filter(col("o_custkey") <= ck / 16).count(),
+        "a source vacuum must never reap a registered clone's files")
+      after.groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("ps"),
+          sum(col("o_orderkey")).as("ks"))
+        .orderBy(col("st"))
+    } finally { GraftSql.unregister(n); GraftSql.unregister(c) }
+  }
+
   /** S50: timestamp-addressed RESTORE + VACUUM DRY RUN. `VACUUM …
     * [RETAIN n HOURS] DRY RUN` reports the reclaimable files WITH
     * their logged sizes as rows from pure log metadata — nothing
@@ -985,6 +1059,7 @@ object SqlDmlQueries {
     "s48_sql_catalog" -> (s48SqlCatalog _),
     "s49_optimize_where" -> (s49OptimizeWhere _),
     "s50_restore_ts_vacuum_dry" -> (s50RestoreTsVacuumDry _),
+    "s51_sql_clone" -> (s51SqlClone _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -1154,6 +1229,23 @@ object SqlDmlQueries {
         |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
     // the change feed replayed relationally: updated O-band rows carry
     // their after-image price, deleted F-band rows a NULL payload
+    // the clone pins v0 (the source's later doubled-price update is
+    // invisible) plus its own shifted-key tranche; zero-copy,
+    // statement ≡ API, write independence and the vacuum pin are
+    // asserted in-run
+    "s51_sql_clone" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck,
+        |    CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),
+        |base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |fin AS (
+        |  SELECT o_orderstatus AS st, pc, o_orderkey AS k FROM base
+        |  UNION ALL
+        |  SELECT o_orderstatus, pc, o_orderkey + b.kx FROM base, b
+        |  WHERE o_custkey <= b.ck//16)
+        |SELECT st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS ps, CAST(sum(k) AS BIGINT) AS ks
+        |FROM fin GROUP BY st ORDER BY st""".stripMargin,
     // the restored (pre-update) content is raw orders: the dry-run
     // halves (exact dead-file listing, nothing deleted, execute
     // redirect) are asserted in-run

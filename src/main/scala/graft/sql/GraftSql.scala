@@ -95,6 +95,11 @@ object GraftSql {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Ident +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + Ident +
+      """\s+SHALLOW\s+CLONE\s+""" + Ident +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
   private val RestoreTsRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Ident +
       """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
@@ -194,6 +199,35 @@ object GraftSql {
 
     case HistoryRe(_) => throw new IllegalArgumentException(
       "DESCRIBE HISTORY returns rows — run it through query()")
+
+    // CREATE TABLE c SHALLOW CLONE t [VERSION AS OF n] [LOCATION p]:
+    // a zero-copy writable fork — the clone's v0 references the
+    // source snapshot's files by absolute path (no data movement at
+    // any size); the source's vacuum honors the clone's registry pin
+    // until releaseClone. Spark's grammar has no CLONE, so this is a
+    // statement head like the other lakehouse verbs.
+    case CloneRe(dstName, srcName, ver, loc) =>
+      val (srcReg, _) = lookup(parseIdent(srcName))
+      val dn = parseIdent(dstName).mkString(".")
+      val path = Option(loc)
+        .orElse(Option(tables.get(dn.toLowerCase)).map(_.path))
+        .getOrElse {
+          val root = Option(warehouseRoot.get).getOrElse(
+            throw new IllegalArgumentException(
+              "SHALLOW CLONE needs a LOCATION clause or a warehouse " +
+                "root (GraftSql.setWarehouse)"))
+          java.nio.file.Paths.get(root)
+            .resolve(parseIdent(dstName).last.toLowerCase).toString
+        }
+      // same re-pointing guard as CREATE
+      Option(tables.get(dn.toLowerCase)).map(_.path).foreach(p =>
+        require(samePath(p, path),
+          s"$dn is already registered at $p — unregister it first or " +
+            s"use that LOCATION (got $path)"))
+      val v = TxnTable.cloneShallow(spark, srcReg.path, path,
+        Option(ver).map(_.toLong).getOrElse(-1L))
+      register(dn, path)
+      v
 
     case RestoreRe(name, v) =>
       val (reg, _) = lookup(parseIdent(name))

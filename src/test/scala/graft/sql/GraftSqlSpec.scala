@@ -330,6 +330,43 @@ class GraftSqlSpec extends SparkSpecBase {
     } finally GraftSql.unregister(n)
   }
 
+  test("CREATE TABLE … SHALLOW CLONE: registration, snapshot pinning, " +
+    "and the contract errors") {
+    val (t, n) = mk() // v0: ids 1..4
+    val c = "cl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val d = Files.createTempDirectory("graft_sqlclone").toString
+    try {
+      GraftSql.execute(spark, s"UPDATE $n SET v = v * 10 WHERE id = 1") // v1
+      // clone at v0: the update is invisible through the clone's name
+      GraftSql.execute(spark,
+        s"CREATE TABLE $c SHALLOW CLONE $n VERSION AS OF 0 " +
+          s"LOCATION '$d/c'")
+      assert(GraftSql.query(spark, s"SELECT sum(v) AS sv FROM $c")
+        .head().getLong(0) == 100L)
+      assert(GraftSql.query(spark, s"SELECT sum(v) AS sv FROM $n")
+        .head().getLong(0) == 190L)
+      // the registered clone takes DML like any table
+      GraftSql.execute(spark, s"DELETE FROM $c WHERE id = 4")
+      assert(GraftSql.query(spark, s"SELECT sum(v) AS sv FROM $c")
+        .head().getLong(0) == 60L)
+      // re-pointing a registered name is loud
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          s"CREATE TABLE $c SHALLOW CLONE $n LOCATION '$d/elsewhere'")
+      }
+      // unregistered source is loud; a vacuumed-away version is loud
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          s"CREATE TABLE x2 SHALLOW CLONE nope_src LOCATION '$d/x'")
+      }
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          s"CREATE TABLE x3 SHALLOW CLONE $n VERSION AS OF 99 " +
+            s"LOCATION '$d/x3'")
+      }
+    } finally { GraftSql.unregister(n); GraftSql.unregister(c) }
+  }
+
   test("VACUUM DRY RUN lists exactly what the real vacuum then deletes; " +
     "RESTORE TO TIMESTAMP resolves on the log clock") {
     val (t, n) = mk() // v0
