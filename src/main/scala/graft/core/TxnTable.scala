@@ -1143,6 +1143,117 @@ object TxnTable {
     0L
   }
 
+  /** IDEMPOTENT bulk file ingestion — the COPY INTO shape: adopt every
+    * `*.parquet` under `srcDir` not yet loaded into `path`, by
+    * REFERENCE (the commit's adds carry the source files' absolute
+    * paths, like a shallow clone's — ZERO data movement at any size;
+    * one distributed footer harvest lands row counts and min/max stats
+    * in the log, so pruned reads and metadata aggregates cover the
+    * adopted files immediately). Idempotence is file-path identity
+    * against the log's adds index: a re-run lists the same files,
+    * finds them loaded, and returns the unchanged head — re-checked
+    * inside the commit retry loop, so two concurrent COPY INTOs of one
+    * directory never double-load a file. A source file MODIFIED in
+    * place is NOT reloaded (path identity, the standard COPY INTO
+    * contract — rename new data). CHECK constraints validate against
+    * the fresh files' rows (one scan of only the new files); vacuum
+    * never deletes foreign absolute paths, so the sources are never
+    * reaped. Refused loudly: schema fields missing from the table,
+    * basename collisions (the DV key), and column-mapped tables (the
+    * adopted files carry source column names, which cannot be bound
+    * through a physical-name mapping). Returns the commit's version,
+    * or the unchanged head when nothing was new. */
+  def copyInto(spark: SparkSession, path: String, srcDir: String): Long = {
+    val top = currentVersion(path)
+    require(top >= 0,
+      s"copyInto: $path is not a TxnTable — CREATE it first")
+    val src = localRoot(srcDir)
+    require(Files.isDirectory(src), s"copyInto: no directory $srcDir")
+    def visible(rel: JPath): Boolean =
+      (0 until rel.getNameCount).forall { i =>
+        val seg = rel.getName(i).toString
+        !seg.startsWith("_") && !seg.startsWith(".")
+      }
+    val walk = Files.walk(src)
+    val listed =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => visible(src.relativize(p)))
+        .map(_.toAbsolutePath.normalize.toString).toSeq.sorted
+      finally walk.close()
+    require(listed.nonEmpty, s"copyInto: no parquet files under $srcDir")
+    def freshAt(v: Long): Seq[String] = {
+      val already = addsIndex(path, v).keySet
+      listed.filterNot(already.contains)
+    }
+    var fresh = freshAt(top)
+    if (fresh.isEmpty) return top
+    // column-mapped tables cannot bind source-named files
+    recordedSchemaAt(path, top).foreach(s => s.fields.foreach(f =>
+      require(physicalFieldName(f) == f.name,
+        s"copyInto: $path maps logical column ${f.name} to physical " +
+          s"${physicalFieldName(f)} — adopted files cannot be bound " +
+          "through a column mapping; INSERT INTO … SELECT instead")))
+    // DV ambiguity guard, same rule as convertParquet: basenames must
+    // be unique among fresh files AND against the live snapshot
+    val liveLeaves = snapshotFiles(path, top).map(_.split('/').last).toSet
+    val clash = fresh.groupBy(_.split('/').last)
+      .filter { case (leaf, fs) => fs.size > 1 || liveLeaves(leaf) }
+    require(clash.isEmpty,
+      s"copyInto: file basename collision (deletion vectors key on " +
+        s"the basename): ${clash.keys.take(6).mkString(", ")}")
+    // every source field must already exist in the table, same type —
+    // missing table columns null-fill at read like any evolved schema
+    val tSchema = read(spark, path, top).schema
+    val sSchema = spark.read.option("mergeSchema", "true")
+      .parquet(fresh: _*).schema
+    sSchema.fields.foreach(f => require(
+      tSchema.fields.exists(t =>
+        t.name.equalsIgnoreCase(f.name) && t.dataType == f.dataType),
+      s"copyInto: source column ${f.name}: ${f.dataType.simpleString} " +
+        s"does not match the table schema"))
+    // constraints validate against ONLY the new rows (assert_true
+    // throws on the first violating row)
+    if (constraints(path).nonEmpty)
+      withChecks(spark, path, spark.read.parquet(fresh: _*)).count()
+    import spark.implicits._
+    val harvested = spark.createDataset(fresh)
+      .repartition(math.max(1, math.min(fresh.size, 256)))
+      .map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val st = graft.crawler.SkippingIndex.fileStats(conf, f)
+        if (st.isEmpty) throw new IllegalStateException(
+          s"copyInto: $f disappeared during the footer harvest")
+        (f, st.map(_._1).getOrElse(0L), Files.size(Paths.get(f)),
+          st.map { case (_, cols, ls, ss, ns) => statsJson(cols, ls, ss, ns) })
+      }
+      .collect()
+    var adds = harvested.toSeq.sortBy(_._1).map { case (f, rows, bytes, js) =>
+      TxnAdd(f, rows, bytes, js)
+    }
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(path)
+      preCommitHook()
+      try {
+        tryCommit(path, TxnCommit(cur + 1, "copyinto", adds, Nil, None))
+        return cur + 1
+      } catch {
+        case e: TxnConflictException =>
+          attempt += 1
+          if (attempt > 20) throw e
+          // a racing COPY INTO may have loaded some of our files:
+          // drop them and retry with the remainder (or no-op)
+          fresh = freshAt(currentVersion(path))
+          if (fresh.isEmpty) return currentVersion(path)
+          val keep = fresh.toSet
+          adds = adds.filter(a => keep(a.path))
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Create version 0 from `df`, recording its schema. Fails if the
     * table already exists. */
   def create(spark: SparkSession, path: String, df: DataFrame,

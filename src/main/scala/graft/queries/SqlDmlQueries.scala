@@ -384,6 +384,64 @@ object SqlDmlQueries {
     } finally { GraftSql.unregister(n); GraftSql.unregister(n2) }
   }
 
+  /** S52: `COPY INTO t FROM '<dir>'` — idempotent zero-copy bulk
+    * ingestion: only files not yet loaded are adopted BY REFERENCE
+    * (absolute paths in the adds, footer stats harvested into the
+    * log). In-run: a re-run is a version-unchanged no-op; a second
+    * batch landing in the directory loads exactly the new files
+    * (commit adds counted); the table directory holds zero local
+    * parquet; a MOR delete then works over the adopted files
+    * (basename-keyed DVs, uniqueness guarded at load). Oracle replays
+    * the two batches minus the deleted band. */
+  def s52CopyInto(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s52").toString
+    val n = freshName("orders_ci_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    // an empty born-graft table, then two landing batches
+    TxnTable.create(spark, d + "/t", orders.limit(0)) // v0
+    GraftSql.register(n, d + "/t")
+    try {
+      orders.filter(col("o_custkey") <= ck / 2).repartition(2)
+        .write.parquet(d + "/landing/b1")
+      val v1 = GraftSql.execute(spark, s"COPY INTO $n FROM '$d/landing'")
+      require(v1 == 1L && TxnTable.commits(d + "/t").last.op == "copyinto",
+        s"first COPY INTO commits v1, got $v1")
+      // idempotent: the same directory re-runs as a no-op
+      require(GraftSql.execute(spark,
+        s"COPY INTO $n FROM '$d/landing'") == 1L &&
+        TxnTable.currentVersion(d + "/t") == 1L,
+        "a re-run COPY INTO must no-op at the unchanged head")
+      // a second batch lands: ONLY its files load
+      orders.filter(col("o_custkey") > ck / 2).repartition(3)
+        .write.parquet(d + "/landing/b2")
+      val v2 = GraftSql.execute(spark, s"COPY INTO $n FROM '$d/landing'")
+      val c2 = TxnTable.commits(d + "/t").last
+      require(v2 == 2L && c2.adds.size == 3,
+        s"the incremental load must carry exactly b2's files, " +
+          s"got ${c2.adds.size}")
+      // zero copy: every loaded add references the landing directory
+      // by absolute path — nothing was copied under the table
+      require(TxnTable.commits(d + "/t").drop(1).flatMap(_.adds)
+        .forall(_.path.startsWith(d + "/landing")),
+        "COPY INTO must adopt by reference, never copy bytes")
+      require(TxnTable.read(spark, d + "/t").count() == orders.count(),
+        "both batches must be visible")
+      // the adopted files take MOR DML like any table
+      GraftSql.register(n, d + "/t", mor = true)
+      GraftSql.execute(spark,
+        s"DELETE FROM $n WHERE o_orderstatus = 'F' " +
+          s"AND o_custkey <= ${ck / 10}") // v3
+      TxnTable.read(spark, d + "/t")
+        .groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("ps"),
+          sum(col("o_orderkey")).as("ks"))
+        .orderBy(col("st"))
+    } finally GraftSql.unregister(n)
+  }
+
   /** S51: `CREATE TABLE c SHALLOW CLONE t [VERSION AS OF n]` — the
     * zero-copy writable fork as a statement. In-run: the clone
     * directory holds ZERO local parquet (its v0 references the source
@@ -1060,6 +1118,7 @@ object SqlDmlQueries {
     "s49_optimize_where" -> (s49OptimizeWhere _),
     "s50_restore_ts_vacuum_dry" -> (s50RestoreTsVacuumDry _),
     "s51_sql_clone" -> (s51SqlClone _),
+    "s52_copy_into" -> (s52CopyInto _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -1229,6 +1288,17 @@ object SqlDmlQueries {
         |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin,
     // the change feed replayed relationally: updated O-band rows carry
     // their after-image price, deleted F-band rows a NULL payload
+    // both landed batches (= all of orders) minus the MOR-deleted low
+    // F band; idempotence/incrementality/zero-copy asserted in-run
+    "s52_copy_into" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders)
+        |SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS ps,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS ks
+        |FROM orders, b
+        |WHERE NOT (o_orderstatus = 'F' AND o_custkey <= b.ck//10)
+        |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
     // the clone pins v0 (the source's later doubled-price update is
     // invisible) plus its own shifted-key tranche; zero-copy,
     // statement ≡ API, write independence and the vacuum pin are

@@ -95,6 +95,9 @@ object GraftSql {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Ident +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+""" + Ident +
+      """\s+FROM\s+'([^']+)'\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + Ident +
       """\s+SHALLOW\s+CLONE\s+""" + Ident +
@@ -199,6 +202,13 @@ object GraftSql {
 
     case HistoryRe(_) => throw new IllegalArgumentException(
       "DESCRIBE HISTORY returns rows — run it through query()")
+
+    // COPY INTO t FROM '<dir>': idempotent zero-copy ingestion — only
+    // files not yet loaded are adopted (by reference, stats harvested);
+    // a re-run is a no-op at the unchanged head
+    case CopyIntoRe(name, dir) =>
+      val (reg, _) = lookup(parseIdent(name))
+      TxnTable.copyInto(spark, reg.path, dir)
 
     // CREATE TABLE c SHALLOW CLONE t [VERSION AS OF n] [LOCATION p]:
     // a zero-copy writable fork — the clone's v0 references the

@@ -1345,6 +1345,63 @@ class TxnTableSpec extends SparkSpecBase {
     } finally convertHarvestHook = () => ()
   }
 
+  test("copyInto contracts: path-identity idempotence, schema and " +
+    "basename fences, constraint validation on the new rows only") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ci").toString
+    val t = s"$root/t"
+    create(spark, t, Seq.empty[(Long, Long)].toDF("id", "v")) // v0
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$root/land/b1")
+    assert(copyInto(spark, t, s"$root/land") == 1L)
+    assert(read(spark, t).count() == 2)
+    // identity is the PATH: a re-run of the same directory no-ops at
+    // the unchanged head (an in-place rewrite would not reload either
+    // — rename new data, per the documented contract)
+    assert(copyInto(spark, t, s"$root/land") == 1L)
+    // a source column the table lacks is loud
+    Seq((3L, 30L, "x")).toDF("id", "v", "extra").coalesce(1)
+      .write.parquet(s"$root/land2/b")
+    val se = intercept[IllegalArgumentException] {
+      copyInto(spark, t, s"$root/land2")
+    }
+    assert(se.getMessage.contains("does not match the table schema"))
+    // a basename colliding with a live file is loud
+    import scala.jdk.CollectionConverters._
+    val liveLeaf = snapshotFiles(t).map(_.split('/').last)
+      .find(_ => true).get
+    Seq((9L, 90L)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$root/land3/b")
+    val it = Files.list(java.nio.file.Paths.get(s"$root/land3/b"))
+    val part = try it.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).next()
+    finally it.close()
+    Files.move(part, part.getParent.resolve(liveLeaf))
+    val be = intercept[IllegalArgumentException] {
+      copyInto(spark, t, s"$root/land3")
+    }
+    assert(be.getMessage.contains("basename collision"))
+    // constraints validate against the NEW rows (the already-loaded
+    // batch is never re-scanned, and a violating batch never commits)
+    addConstraint(spark, t, "v_pos", "v > 0")
+    Seq((4L, -5L)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$root/land/b2")
+    val vBefore = currentVersion(t)
+    intercept[Exception] { copyInto(spark, t, s"$root/land") }
+    assert(currentVersion(t) == vBefore,
+      "a violating COPY INTO must not commit")
+    // …and a clean batch after it loads incrementally
+    Seq((5L, 50L)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$root/land4/b")
+    // drop the violating file, then re-point the landing dir
+    val w2 = Files.walk(java.nio.file.Paths.get(s"$root/land/b2"))
+    try w2.sorted(java.util.Comparator.reverseOrder())
+      .iterator().forEachRemaining(p => { Files.deleteIfExists(p); () })
+    finally w2.close()
+    assert(copyInto(spark, t, s"$root/land4") == vBefore + 1)
+    assert(read(spark, t).agg(sum(col("v"))).head().getLong(0) == 80L)
+  }
+
   test("binPack folds only small + DV-carrying files, leaves healthy " +
     "large files untouched, and no-ops at the unchanged head") {
     val t = freshTable()
