@@ -92,6 +92,9 @@ object GraftSql {
     ("""(?is)^\s*DESCRIBE\s+DETAIL\s+""" + Ident + """\s*;?\s*$""").r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*;?\s*$""".r
   private val ShowViewsRe = """(?is)^\s*SHOW\s+VIEWS\s*;?\s*$""".r
+  private val DescRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?""" + Ident +
+      """\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Ident +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
@@ -543,6 +546,25 @@ object GraftSql {
         } else views.put(nm, cv.query)
         -1L
 
+      // DROP TABLE = UNREGISTER (external-table semantics: the
+      // directory and its history stay — dropping a name must never
+      // delete 100 TB; reclaim space explicitly with VACUUM, then
+      // delete the directory). PURGE is refused for the same reason.
+      case dt: DropTable =>
+        val nm = dt.child match {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedIdentifier => u.nameParts.mkString(".").toLowerCase
+          case other => throw new IllegalArgumentException(
+            s"unsupported DROP TABLE target: ${other.nodeName}")
+        }
+        require(!dt.purge,
+          "DROP TABLE … PURGE is not supported — VACUUM RETAIN 0 " +
+            "HOURS, then delete the directory explicitly")
+        val existed = tables.remove(nm) != null
+        require(existed || dt.ifExists,
+          s"no such registered table $nm — use DROP TABLE IF EXISTS")
+        -1L
+
       case dv: DropView =>
         val nm = dv.child match {
           case u: org.apache.spark.sql.catalyst.analysis
@@ -695,6 +717,15 @@ object GraftSql {
         import spark.implicits._
         import scala.jdk.CollectionConverters._
         views.keys.asScala.toSeq.sorted.toDF("name")
+      // plain DESCRIBE: the current snapshot's logical schema as rows
+      // (matched AFTER the HISTORY/DETAIL heads, so those verbs never
+      // fall through here)
+      case DescRe(name) =>
+        import spark.implicits._
+        TxnTable.read(spark, lookup(parseIdent(name))._1.path)
+          .schema.fields.toSeq
+          .map(f => (f.name, f.dataType.simpleString, f.nullable))
+          .toDF("col_name", "data_type", "nullable")
       case _ =>
         Bridge.ofRows(spark, substituteRelations(spark,
           spark.sessionState.sqlParser.parsePlan(sqlText)))

@@ -452,6 +452,29 @@ class GraftSqlSpec extends SparkSpecBase {
       }
       assert(e2.getMessage.contains("non-integral type"))
       GraftSql.execute(spark, s"DROP VIEW $v")
+      // DESCRIBE TABLE: the logical schema as rows
+      val cols = GraftSql.query(spark, s"DESCRIBE TABLE $n")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(cols == Seq(("id", "bigint"), ("v", "bigint"),
+        ("s", "string")))
+      assert(GraftSql.query(spark, s"DESC $n").count() == 3L)
+      // DROP TABLE unregisters WITHOUT touching the directory
+      GraftSql.execute(spark, s"DROP TABLE $n")
+      intercept[IllegalArgumentException] {
+        GraftSql.query(spark, s"DESCRIBE TABLE $n")
+      }
+      assert(TxnTable.currentVersion(t) >= 0,
+        "DROP TABLE must never delete the table directory")
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, s"DROP TABLE $n")
+      }
+      GraftSql.execute(spark, s"DROP TABLE IF EXISTS $n") // no-op
+      // PURGE is a refusal, not a 100 TB delete
+      GraftSql.register(n, t)
+      val pe = intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, s"DROP TABLE $n PURGE")
+      }
+      assert(pe.getMessage.contains("PURGE"))
     } finally { GraftSql.unregister(n); GraftSql.unregisterView(v) }
   }
 
