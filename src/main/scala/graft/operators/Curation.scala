@@ -39,6 +39,37 @@ object Curation {
       .drop("_rn")
   }
 
+  /** DETERMINISTIC train/val/test assignment — the split every
+    * training pipeline stamps before anything else: a document's
+    * split is a pure function of its id (md5 bucket in [0, 65536)),
+    * so it never changes across runs, engines, partitionings, or
+    * corpus growth (new documents land in splits at the target rates;
+    * old ones never migrate — the property that keeps eval sets
+    * uncontaminated as the corpus is re-crawled). `splits` are
+    * (name, weight) in order; weights must sum to 1. Map-side, zero
+    * shuffles, scan-speed at any size; md5-derived, so an external
+    * oracle replays it bit-for-bit (Spark's `hash` is engine-private).
+    * Per-group proportions converge by the law of large numbers; pair
+    * with [[mixtureSample]] when exact per-stratum counts matter. */
+  def assignSplit(df: DataFrame, idCol: Column,
+      splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val bucket = conv(substring(md5(idCol.cast("string")), 1, 4),
+      16, 10).cast("int")
+    // integer thresholds over the 65536-bucket space: both sides of
+    // an oracle compare integers, never floats
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.min(65536L, math.round(c * 65536)).toInt)
+    val assigned = splits.map(_._1).zip(bounds)
+      .foldRight(lit(splits.last._1): Column) { case ((nm, hi), els) =>
+        when(bucket < hi, lit(nm)).otherwise(els)
+      }
+    df.withColumn(outCol, assigned)
+  }
+
   /** Token-window chunks of `textCol`: chunk i = tokens [i·w, (i+1)·w).
     * The fixed-window formulation is the structure-free fallback every
     * pipeline uses when documents carry no paragraph markers.

@@ -706,6 +706,22 @@ object CorpusQueries {
     * stays keyed by its real param; the oracle replays the full
     * canonicalization algorithm step-for-step in DuckDB (split_part /
     * list_sort / list_filter twins of the Spark expressions). */
+  /** L44: deterministic train/val/test split — `Curation.assignSplit`
+    * stamps each document's split as a pure md5 function of its id
+    * (never migrates across runs or corpus growth; map-side, zero
+    * shuffles). The 80/10/10 assignment is replayed bit-for-bit in
+    * DuckDB (same md5 bucket, same integer thresholds), grouped by
+    * (source, split) with count + id checksum — any drifted bucket
+    * boundary or float comparison would hash-mismatch. */
+  def l44HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    graft.operators.Curation.assignSplit(docs, col("doc_id"),
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"), col("split"))
+  }
+
   def l43UrlCanonDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Lake.table(spark, dir, "documents")
       .select(col("doc_id"), col("source"))
@@ -1022,6 +1038,7 @@ object CorpusQueries {
     "l18_html_strip" -> (l18HtmlStrip _),
     "l42_line_curation" -> (l42LineCuration _),
     "l43_url_canon_dedup" -> (l43UrlCanonDedup _),
+    "l44_hash_split" -> (l44HashSplit _),
     "l19_sparse_cosine" -> (l19SparseCosine _),
     "l20_mixture" -> (l20Mixture _),
     "l21_retention_delete" -> (l21RetentionDelete _),
@@ -1356,6 +1373,28 @@ object CorpusQueries {
     // the full canonicalization algorithm replayed step-for-step:
     // split_part / list_sort / list_filter are the DuckDB twins of the
     // Spark substring_index / array_sort / filter expressions
+    // the md5 bucket replayed digit-for-digit; integer thresholds
+    // 52429/58982 = round(0.8*65536)/round(0.9*65536), same constants
+    // the Spark side derives
+    "l44_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)),1,4), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, x) -> a*16 + x) AS bucket
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    CASE WHEN bucket < 52429 THEN 'train'
+        |         WHEN bucket < 58982 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    doc_id
+        |  FROM b)
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM f GROUP BY source, split ORDER BY source, split""".stripMargin,
     "l43_url_canon_dedup" ->
       """WITH u AS (SELECT doc_id,
         |  CASE CAST(doc_id % 4 AS INT)

@@ -158,4 +158,35 @@ class CurationSpec extends SparkSpecBase {
     // every doc comes back, total tokens conserved as kept + removed
     assert(out.size == 3)
   }
+
+  test("assignSplit: deterministic, exhaustive, corpus-growth-stable, " +
+    "and near the target rates") {
+    import spark.implicits._
+    val ids = (1L to 4000L).toDF("id")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val a = Curation.assignSplit(ids, col("id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exhaustive: every row gets exactly one of the declared names
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic across runs
+    val b = Curation.assignSplit(ids, col("id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // corpus growth never migrates an existing document's split
+    val grown = Curation.assignSplit((1L to 8000L).toDF("id"),
+      col("id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall { case (k, v) => grown(k) == v },
+      "old documents must keep their split as the corpus grows")
+    // rates converge to the weights (md5 is uniform; 4000 draws)
+    val frac = a.values.groupBy(identity).view.mapValues(
+      _.size.toDouble / a.size).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.03 &&
+      math.abs(frac("val") - 0.1) < 0.02 &&
+      math.abs(frac("test") - 0.1) < 0.02, s"rates drifted: $frac")
+    // weight validation is loud
+    intercept[IllegalArgumentException] {
+      Curation.assignSplit(ids, col("id"), Seq(("a", 0.5), ("b", 0.6)))
+    }
+  }
 }
