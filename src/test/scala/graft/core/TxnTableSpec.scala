@@ -1402,6 +1402,33 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).agg(sum(col("v"))).head().getLong(0) == 80L)
   }
 
+  test("copyInto composes with time travel and restore like any commit") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_citt").toString
+    val t = s"$root/t"
+    create(spark, t, Seq((1L, 10L)).toDF("id", "v")) // v0
+    Seq((2L, 20L), (3L, 30L)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$root/land/b1")
+    copyInto(spark, t, s"$root/land") // v1
+    append(spark, t, Seq((4L, 40L)).toDF("id", "v")) // v2
+    // the pre-copy snapshot excludes the adopted files
+    assert(read(spark, t, 0L).collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(read(spark, t, 1L).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    assert(read(spark, t).count() == 4)
+    // restore to the pre-copy version, then the copy no-ops: its
+    // files are still REFERENCED by the log (path identity), so a
+    // restore does not resurrect them through COPY INTO — re-adding
+    // is an explicit restore to v1
+    restore(spark, t, 0L) // v3
+    assert(read(spark, t).collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(copyInto(spark, t, s"$root/land") == 3L,
+      "already-referenced sources never reload")
+    restore(spark, t, 1L) // v4: the adopted content returns intact
+    assert(read(spark, t).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+  }
+
   test("binPack folds only small + DV-carrying files, leaves healthy " +
     "large files untouched, and no-ops at the unchanged head") {
     val t = freshTable()

@@ -154,6 +154,28 @@ class StreamChangesSpec extends SparkSpecBase {
       "a swept range must never resurrect after pump-checkpoint loss")
   }
 
+  test("vacuumSpool is idempotent and its watermark is monotonic") {
+    val root = Files.createTempDirectory("graft_vsp").toString
+    val spool = s"$root/spool"
+    Files.createDirectories(java.nio.file.Paths.get(spool))
+    for ((f, t) <- Seq((-1, 0), (0, 1), (1, 2), (2, 3))) {
+      val d = java.nio.file.Paths.get(s"$spool/r${f}_$t")
+      Files.createDirectories(d)
+      Files.write(d.resolve("part-0.parquet"), Array[Byte](1))
+    }
+    assert(StreamChanges.vacuumSpool(spool, 2L) == 2) // r-1_0, r0_1
+    // a re-run with the same watermark sweeps nothing further
+    assert(StreamChanges.vacuumSpool(spool, 2L) == 0)
+    // a LOWER keepAfter never lowers the watermark or un-sweeps
+    assert(StreamChanges.vacuumSpool(spool, 1L) == 0)
+    val wm = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$spool/_vacuum_watermark"))).trim
+    assert(wm == "2", s"watermark must stay monotonic, got $wm")
+    // advancing sweeps the next range and leaves the newest
+    assert(StreamChanges.vacuumSpool(spool, 3L) == 1)
+    assert(Files.exists(java.nio.file.Paths.get(s"$spool/r2_3")))
+  }
+
   test("readChangesSince follows commits after a wall-clock instant; " +
     "pre-horizon instants hit the versionAt fence") {
     val root = Files.createTempDirectory("graft_stsince").toString
