@@ -1245,10 +1245,26 @@ object TxnTable {
           if (attempt > 20) throw e
           // a racing COPY INTO may have loaded some of our files:
           // drop them and retry with the remainder (or no-op)
-          fresh = freshAt(currentVersion(path))
+          val rebasedTop = currentVersion(path)
+          fresh = freshAt(rebasedTop)
           if (fresh.isEmpty) return currentVersion(path)
           val keep = fresh.toSet
           adds = adds.filter(a => keep(a.path))
+          // re-run the DV ambiguity guard against the REBASED snapshot:
+          // the entry check ran at `top`, but a concurrent commit may
+          // have added a file sharing one of our basenames since — a
+          // blind re-commit would land two live files with one leaf
+          // name and every later MOR DML on the table would fail on
+          // the dup-leaf require. Refusing here keeps the invariant
+          // "live basenames are unique" a commit-time guarantee, not a
+          // snapshot-at-entry hope.
+          val liveNow = snapshotFiles(path, rebasedTop)
+            .map(_.split('/').last).toSet
+          val clashNow = fresh.map(_.split('/').last).filter(liveNow)
+          require(clashNow.isEmpty,
+            s"copyInto: file basename collision introduced by a " +
+              s"concurrent commit (deletion vectors key on the " +
+              s"basename): ${clashNow.take(6).mkString(", ")}")
       }
     }
     -1L // unreachable

@@ -54,9 +54,19 @@ object GraftSql {
   }
 
   /** Register `name` as DML target for the TxnTable at `path`;
-    * `mor = true` routes statements through the merge-on-read paths. */
-  def register(name: String, path: String, mor: Boolean = false): Unit =
-    tables.put(name.toLowerCase, Reg(path, mor))
+    * `mor = true` routes statements through the merge-on-read paths.
+    * Refused if a VIEW already holds the name: relation resolution
+    * tries tables before views, so registering over a view would
+    * silently change what the name resolves to — the mirror of the
+    * CREATE VIEW no-shadow guard. */
+  def register(name: String, path: String, mor: Boolean = false): Unit = {
+    val nm = name.toLowerCase
+    require(!views.containsKey(nm) &&
+      !views.containsKey(nm.split('.').last),
+      s"$name is an existing view — DROP VIEW first (a table " +
+        "registration would silently shadow it)")
+    tables.put(nm, Reg(path, mor)); ()
+  }
 
   def unregister(name: String): Unit = { tables.remove(name.toLowerCase); () }
 
@@ -120,8 +130,8 @@ object GraftSql {
   // with optional aliases, the SET list, the join/filter condition
   private val UpdateFromRe =
     ("""(?is)^\s*UPDATE\s+""" + Ident +
-      """(?:\s+(?:AS\s+)?(?!SET\b)(\w+))?\s+SET\s+(.+?)\s+FROM\s+""" +
-      Ident + """(?:\s+(?:AS\s+)?(?!WHERE\b)(\w+))?\s+WHERE\s+""" +
+      """(?:\s+(?:AS\s+)?(?!SET\b)(`[^`]+`|\w+))?\s+SET\s+(.+?)\s+FROM\s+""" +
+      Ident + """(?:\s+(?:AS\s+)?(?!WHERE\b)(`[^`]+`|\w+))?\s+WHERE\s+""" +
       """(.+?)\s*;?\s*$""").r
 
   /** Split a possibly-backtick-quoted identifier into its parts:
@@ -290,10 +300,32 @@ object GraftSql {
                 case And(l, r) => conj(l) ++ conj(r)
                 case x => Seq(x)
               }
+              // Qualifier spellings of each relation (alias if given,
+              // else the table name's last segment) — used to keep a
+              // TARGET-ONLY equality like `t.a = t.b` out of the key
+              // set: it satisfies attr=attr but joins nothing, and
+              // accepting it would produce a MERGE whose ON references
+              // no source column (a confusing analysis error later
+              // instead of the pointed message here). Unqualified
+              // names stay key candidates — MERGE's own side
+              // resolution binds them against the real schemas.
+              def qualsOf(ident: String, alias: String): Set[String] =
+                Option(alias).map(a => parseIdent(a).last.toLowerCase)
+                  .toSet + parseIdent(ident).last.toLowerCase
+              val tQuals = qualsOf(tgt, tAlias)
+              val sQuals = qualsOf(src, sAlias)
+              def sideOf(a: UnresolvedAttribute): String =
+                if (a.nameParts.length < 2) "?"
+                else {
+                  val h = a.nameParts.head.toLowerCase
+                  if (tQuals(h)) "tgt" else if (sQuals(h)) "src" else "?"
+                }
               val (keys, residual) = conj(spark.sessionState.sqlParser
                 .parseExpression(cond)).partition {
-                  case EqualTo(_: UnresolvedAttribute,
-                               _: UnresolvedAttribute) => true
+                  case EqualTo(l: UnresolvedAttribute,
+                               r: UnresolvedAttribute) =>
+                    val (ls, rs) = (sideOf(l), sideOf(r))
+                    ls == "?" || rs == "?" || ls != rs
                   case _ => false
                 }
               require(keys.nonEmpty,
@@ -803,11 +835,13 @@ object GraftSql {
         require(args.length >= 4,
           "table_changes(table, fromVersionOrTs, toVersionOrTs, keyCol...)")
         val path = registeredPathByName(strLit(args.head, "table name"))
+        // Bound typing follows the CDF convention: an UNQUOTED integer
+        // literal is a VERSION; every string literal is a TIMESTAMP —
+        // even an all-digit one ('2026' is a valid timestamp cast,
+        // 2026-01-01; silently reinterpreting it as version 2026 would
+        // diverge from the convention and yield a confusing
+        // version-range error instead of a timestamp resolution).
         def bound(e: Expression, what: String): Long = e match {
-          case l: Literal if l.value != null &&
-              l.dataType == org.apache.spark.sql.types.StringType &&
-              l.value.toString.matches("-?\\d+") =>
-            l.value.toString.toLong
           case l: Literal if l.value != null &&
               (l.dataType == org.apache.spark.sql.types.IntegerType ||
                 l.dataType == org.apache.spark.sql.types.LongType) =>

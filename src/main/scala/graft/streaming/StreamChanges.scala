@@ -216,6 +216,47 @@ object StreamChanges {
   def vacuumSpool(spoolDir: String, keepAfterVersion: Long): Int = {
     val root = Paths.get(spoolDir)
     require(Files.isDirectory(root), s"vacuumSpool: no spool at $spoolDir")
+    // The watermark update is a read-modify-write: two concurrent
+    // sweeps (keepAfter=5 racing keepAfter=3) could otherwise
+    // interleave read(5)/read(3)/write(5)/write(3) and REGRESS the
+    // persisted watermark after ranges above 3 were already deleted —
+    // re-arming exactly the swept-range resurrection the watermark
+    // exists to prevent. An OS-level file lock serializes the whole
+    // sweep (monotonic max + atomic publish + deletes), across
+    // processes as well as threads. Same-JVM callers are serialized by
+    // a per-spool monitor FIRST — java.nio file locks are held per
+    // JVM, so a second thread's lock() would throw
+    // OverlappingFileLockException rather than wait.
+    //
+    // Portability: the lock plus the watermark's ATOMIC_MOVE publish
+    // below are local/HDFS-isms — an object store (S3) has neither
+    // advisory locks nor atomic rename. A port there must switch the
+    // watermark to a conditional PUT (If-Match on a versioned object)
+    // and CAS-loop the monotonic max, same as the spool publish's
+    // documented marker-file form. A lost watermark update can only
+    // weaken resurrection protection (ranges re-spool and consumers
+    // may see duplicates), never lose data.
+    val monitor = sweepMonitors.computeIfAbsent(
+      root.toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      val lockCh = java.nio.channels.FileChannel.open(
+        root.resolve("_vacuum_lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        vacuumSpoolLocked(root, keepAfterVersion)
+      } finally { lock.release(); lockCh.close() }
+    }
+  }
+
+  // one monitor per spool path: JVM-internal serialization in front of
+  // the cross-process file lock
+  private val sweepMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def vacuumSpoolLocked(root: java.nio.file.Path,
+      keepAfterVersion: Long): Int = {
     val next = math.max(readWatermark(root), keepAfterVersion)
     val tmp = root.resolve(s".wm-${java.util.UUID.randomUUID()}")
     Files.write(tmp, next.toString

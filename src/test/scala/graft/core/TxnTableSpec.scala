@@ -1429,6 +1429,53 @@ class TxnTableSpec extends SparkSpecBase {
       Set(1L, 2L, 3L))
   }
 
+  test("copyInto re-validates basenames against the REBASED snapshot: " +
+    "a concurrent commit adding the same leaf name is refused, not " +
+    "blindly re-committed") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_cirace").toString
+    val t = s"$root/t"
+    create(spark, t, Seq.empty[(Long, Long)].toDF("id", "v")) // v0
+    // two landing dirs, DIFFERENT paths, SAME file basename
+    def land(dir: String, id: Long): Unit = {
+      Seq((id, id * 10L)).toDF("id", "v").coalesce(1)
+        .write.parquet(s"$root/$dir/b")
+      val it = Files.list(java.nio.file.Paths.get(s"$root/$dir/b"))
+      val part = try it.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      finally it.close()
+      Files.move(part, part.getParent.resolve("clash.parquet")); ()
+    }
+    land("land1", 1L)
+    land("land2", 2L)
+    // interleave a rival COPY INTO of land2 inside land1's commit race
+    // window: the entry-time guard ran against v0 (no live clash), so
+    // only a retry-branch re-check can catch the rebased collision —
+    // without it two live files would share a leaf and every later
+    // MOR DML would die on the dup-leaf require
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      copyInto(spark, t, s"$root/land2") // v1: adopts land2's clash.parquet
+    }
+    val e = try intercept[IllegalArgumentException] {
+      copyInto(spark, t, s"$root/land1")
+    } finally TxnTable.preCommitHook = () => ()
+    assert(fired, "hook must have interleaved the rival COPY INTO")
+    assert(e.getMessage.contains(
+      "basename collision introduced by a concurrent commit"),
+      s"wrong failure: ${e.getMessage}")
+    // invariant held: exactly one live file with that leaf, the rival's
+    assert(snapshotFiles(t).map(_.split('/').last)
+      .count(_ == "clash.parquet") == 1)
+    assert(read(spark, t).as[(Long, Long)].collect().toSet ==
+      Set((2L, 20L)))
+    // …and MOR DML on the table still works (nothing was corrupted)
+    deleteWhereMor(spark, t, col("id") === 2L)
+    assert(read(spark, t).count() == 0)
+  }
+
   test("binPack folds only small + DV-carrying files, leaves healthy " +
     "large files untouched, and no-ops at the unchanged head") {
     val t = freshTable()

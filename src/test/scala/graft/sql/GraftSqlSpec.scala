@@ -828,4 +828,83 @@ class GraftSqlSpec extends SparkSpecBase {
       GraftSql.unregister(n)
     }
   }
+
+  test("table_changes bound typing: every STRING literal is a " +
+    "timestamp — an all-digit string is never reinterpreted as a " +
+    "version number") {
+    val (t, n) = mk()
+    GraftSql.execute(spark, s"UPDATE $n SET v = v + 1 WHERE id = 1") // v1
+    // a far-future string bound resolves through versionAt to the
+    // head — identical to the version-addressed call. Interpreted as
+    // version 2999 it would be a version-range error instead.
+    val byVersion = GraftSql.query(spark,
+      s"SELECT * FROM table_changes('$n', 0, 1, 'id')")
+    val byString = GraftSql.query(spark,
+      s"SELECT * FROM table_changes('$n', 0, '2999-01-01 00:00:00', 'id')")
+    assert(byString.exceptAll(byVersion).isEmpty &&
+      byVersion.exceptAll(byString).isEmpty,
+      "a string timestamp bound must resolve through versionAt")
+    // '2026' is a VALID timestamp cast (2026-01-01) that predates this
+    // just-created table — the timestamp fence must fire, proving the
+    // all-digit string took the timestamp path, not version 2026
+    val e = intercept[Exception] {
+      GraftSql.query(spark,
+        s"SELECT * FROM table_changes('$n', '2026', 1, 'id')").collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("predates the earliest readable commit"),
+      s"'2026' must resolve as a timestamp and hit the fence: $e")
+    GraftSql.unregister(n)
+  }
+
+  test("UPDATE … FROM: a target-only equality is not a join key (the " +
+    "pointed error fires, not a downstream MERGE analysis error); " +
+    "backtick-quoted aliases parse") {
+    Seq((2L, 222L), (3L, 333L)).toDF("id", "nv")
+      .createOrReplaceTempView("ufq_src")
+    val (t, n) = mk()
+    try {
+      // t.id = t.id satisfies attr=attr but references no source
+      // column — it must land in the residual, leaving the key set
+      // empty and the pointed message to fire
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          s"UPDATE $n t SET v = s.nv FROM ufq_src s WHERE t.id = t.id")
+      }
+      assert(e.getMessage.contains(
+        "needs at least one target-column = source-column equality"),
+        s"wrong failure: ${e.getMessage}")
+      // quoted aliases: the fallback grammar accepts them and the
+      // rewrite classifies their qualifiers correctly
+      GraftSql.execute(spark,
+        s"""UPDATE $n AS `tg-1` SET v = `sr-1`.nv FROM ufq_src AS `sr-1`
+           |WHERE `tg-1`.id = `sr-1`.id AND `tg-1`.id = `tg-1`.id
+           |""".stripMargin)
+      assert(rows(t) == Set((1L, 10L, "a"), (2L, 222L, "b"),
+        (3L, 333L, "c"), (4L, 40L, "d")),
+        s"quoted-alias UPDATE FROM outcome wrong: ${rows(t)}")
+    } finally GraftSql.unregister(n)
+  }
+
+  test("register() refuses a name an existing view holds — mirroring " +
+    "the CREATE VIEW no-shadow guard") {
+    val (t, n) = mk()
+    val v = "shadow" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      GraftSql.execute(spark, s"CREATE VIEW $v AS SELECT id FROM $n")
+      // tables resolve before views, so this registration would
+      // silently change what $v means — refused loudly instead
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.register(v, t)
+      }
+      assert(e.getMessage.contains("existing view"),
+        s"wrong failure: ${e.getMessage}")
+      // after DROP VIEW the name is free again
+      GraftSql.execute(spark, s"DROP VIEW $v")
+      GraftSql.register(v, t)
+      assert(GraftSql.query(spark, s"SELECT count(*) AS c FROM $v")
+        .head().getLong(0) == 4L)
+      GraftSql.unregister(v)
+    } finally GraftSql.unregister(n)
+  }
 }

@@ -288,4 +288,52 @@ class StreamChangesSpec extends SparkSpecBase {
     assert(!Files.exists(dead),
       "sanity: the genuine failure really published nothing")
   }
+
+  test("concurrent vacuumSpool sweeps never regress the watermark " +
+    "(the read-modify-write is serialized under the spool lock)") {
+    val root = Files.createTempDirectory("graft_stvwm")
+    // fake published ranges r0_1 … r9_10 — vacuumSpool's sweep is pure
+    // directory listing + watermark arithmetic, no parquet is read
+    (0L until 10L).foreach { v =>
+      val d = root.resolve(s"r${v}_${v + 1}")
+      Files.createDirectories(d)
+      Files.write(d.resolve("part-0.parquet"), Array[Byte](1))
+    }
+    // racing sweeps with out-of-order keepAfter values: without the
+    // lock, read(7)/read(3)/write(7)/write(3) interleavings can
+    // persist 3 AFTER ranges below 7 were deleted — re-arming the
+    // swept-range resurrection the watermark exists to prevent
+    val keeps = Seq(5L, 3L, 7L, 2L, 6L, 4L)
+    val threads = keeps.map { k =>
+      new Thread(() => {
+        StreamChanges.vacuumSpool(root.toString, k); ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val wm = new String(Files.readAllBytes(root.resolve(
+      "_vacuum_watermark")), java.nio.charset.StandardCharsets.UTF_8)
+      .trim.toLong
+    assert(wm == 7L,
+      s"watermark must settle at the MAX keepAfter, got $wm")
+    // every range below the max is swept, everything at/above survives
+    val left = {
+      val it = Files.list(root)
+      try {
+        val b = scala.collection.mutable.Set.empty[String]
+        it.iterator().forEachRemaining { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("r")) { b += n; () }
+        }
+        b.toSet
+      } finally it.close()
+    }
+    assert(left == Set("r6_7", "r7_8", "r8_9", "r9_10"),
+      s"exactly to_version >= 7 must survive, got $left")
+    // a later lower-valued sweep stays a no-op: monotonic forever
+    assert(StreamChanges.vacuumSpool(root.toString, 2L) == 0)
+    assert(new String(Files.readAllBytes(root.resolve(
+      "_vacuum_watermark")), java.nio.charset.StandardCharsets.UTF_8)
+      .trim.toLong == 7L)
+  }
 }
