@@ -269,7 +269,8 @@ object TxnTable {
       streams: Option[Map[String, Long]],
       allAdds: Option[Seq[TxnAdd]],
       dvs: Option[Map[String, String]],
-      constraints: Option[Map[String, String]])
+      constraints: Option[Map[String, String]],
+      props: Option[Map[String, String]])
 
   /** `stream:<id>:<batch>` op → (id, batch); None for other ops. */
   private def parseStreamOp(op: String): Option[(String, Long)] =
@@ -439,6 +440,7 @@ object TxnTable {
           .sortBy(_.path)
         val dvs = snapshotDvs(path, commit.version)
         val cons = constraintsInfo(path, commit.version)
+        val prps = propsInfo(path, commit.version)
         val json = s"""{"version":${commit.version},""" +
           s""""horizon":${earliestVersion(path)},""" +
           s""""schemaGens":$gens,""" +
@@ -446,6 +448,10 @@ object TxnTable {
           s""""constraints":""" +
           cons.toSeq.sortBy(_._1)
             .map { case (n, e) => s""""${esc(n)}":"${esc(e)}"""" }
+            .mkString("{", ",", "}") +
+          s""","props":""" +
+          prps.toSeq.sortBy(_._1)
+            .map { case (k, x) => s""""${esc(k)}":"${esc(x)}"""" }
             .mkString("{", ",", "}") +
           s""","dvs":""" +
           dvs.toSeq.sortBy(_._1)
@@ -530,8 +536,13 @@ object TxnTable {
           Some(fields.map { case (k, jv) => k -> jv.extract[String] }.toMap)
         case _ => None
       }
+      val prps = (j \ "props") match {
+        case JObject(fields) =>
+          Some(fields.map { case (k, jv) => k -> jv.extract[String] }.toMap)
+        case _ => None
+      }
       Some(Ckpt(best, files, horizon, schemaGens, schema, streams, allAdds,
-        dvs, cons))
+        dvs, cons, prps))
     } catch { case _: Throwable => None } // corrupt checkpoint → full replay
   }
 
@@ -2243,6 +2254,108 @@ object TxnTable {
     if (!constraints(path).contains(name)) false
     else { commitMarker(path, s"constraint:drop:$name"); true }
 
+  // -- table properties (ALTER TABLE SET/UNSET TBLPROPERTIES) --------------
+  //
+  // Properties are TABLE STATE, not session state: flipping
+  // `graft.mor` (DML routing) or `graft.targetBytes` (bin-pack sizing)
+  // after the table grows is a METADATA COMMIT every subsequent
+  // session and statement observes — folded from `tblprops:set:<json>`
+  // / `tblprops:unset:<json>` ops, checkpoint-amortized like
+  // constraints. Engine-reserved `graft.*` keys are validated at SET
+  // time (a typo like `graft.morr` silently ignored forever is worse
+  // than an error); everything else is free-form user metadata.
+
+  private def propsInfo(path: String, upTo: Long): Map[String, String] = {
+    val (from, init) = latestCheckpoint(path, upTo) match {
+      case Some(ck) if ck.props.isDefined => (ck.version + 1, ck.props.get)
+      case _ => (0L, Map.empty[String, String])
+    }
+    var m = init
+    (from to upTo).foreach { v =>
+      val op = readCommit(path, v).op
+      if (op.startsWith("tblprops:set:"))
+        m = m ++ parsePropsOp(op.stripPrefix("tblprops:set:"))
+      else if (op.startsWith("tblprops:unset:"))
+        m = m -- parseKeysOp(op.stripPrefix("tblprops:unset:"))
+    }
+    m
+  }
+
+  private def parsePropsOp(json: String): Map[String, String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    JsonMethods.parse(json) match {
+      case JObject(fields) =>
+        fields.map { case (k, v) => k -> v.extract[String] }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private def parseKeysOp(json: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    JsonMethods.parse(json) match {
+      case JArray(arr) => arr.map(_.extract[String])
+      case _ => Nil
+    }
+  }
+
+  /** The table head's properties (key → value). */
+  def properties(path: String): Map[String, String] = {
+    val top = currentVersion(path)
+    if (top < 0) Map.empty else propsInfo(path, top)
+  }
+
+  /** SET TBLPROPERTIES: one metadata commit carrying every pair.
+    * `graft.*` keys are engine-reserved and validated here —
+    * `graft.mor` (true|false, re-routes subsequent DML),
+    * `graft.targetFiles` (positive int, clustered-layout width),
+    * `graft.targetBytes` (positive long, bin-pack target). */
+  def setProperties(path: String, props: Map[String, String]): Long = {
+    require(props.nonEmpty, "setProperties: no properties given")
+    props.foreach { case (k, v) =>
+      if (k.startsWith("graft.")) k match {
+        case "graft.mor" => require(
+          v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+          s"graft.mor must be true or false, got '$v'")
+        case "graft.targetFiles" => require(
+          scala.util.Try(v.toInt).toOption.exists(_ > 0),
+          s"graft.targetFiles must be a positive int, got '$v'")
+        case "graft.targetBytes" => require(
+          scala.util.Try(v.toLong).toOption.exists(_ > 0),
+          s"graft.targetBytes must be a positive long, got '$v'")
+        case other => throw new IllegalArgumentException(
+          s"unknown engine property $other — graft.* keys are " +
+            "reserved (known: graft.mor, graft.targetFiles, " +
+            "graft.targetBytes); use an unprefixed key for user " +
+            "metadata")
+      }
+    }
+    val json = props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    commitMarker(path, s"tblprops:set:$json")
+  }
+
+  /** UNSET TBLPROPERTIES [IF EXISTS]: a metadata commit; keys not
+    * present are refused unless `ifExists` (SQL semantics). */
+  def unsetProperties(path: String, keys: Seq[String],
+      ifExists: Boolean = false): Long = {
+    require(keys.nonEmpty, "unsetProperties: no keys given")
+    val have = properties(path)
+    val missing = keys.filterNot(have.contains)
+    require(missing.isEmpty || ifExists,
+      s"unsetProperties: no such properties ${missing.mkString(", ")} " +
+        "— use IF EXISTS")
+    val present = keys.filter(have.contains)
+    if (present.isEmpty) return currentVersion(path)
+    val json = present.sorted
+      .map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
+    commitMarker(path, s"tblprops:unset:$json")
+  }
+
   /** Enforce the table's CHECK constraints on `df` INSIDE the write
     * job that consumes it: each row is guarded by an `assert_true`
     * that throws (with the constraint name) on a FALSE check — a NULL
@@ -3232,6 +3345,66 @@ object TxnTable {
         else g
       })
     })
+  }
+
+  /** ALTER TABLE ALTER COLUMN c TYPE <wider> — TYPE WIDENING as a
+    * METADATA-ONLY commit: the one schema evolution a growing table
+    * always hits (a key outgrows int, a measure outgrows float) that
+    * would otherwise force a full CTAS rewrite at 100 TB. The recorded
+    * schema's field gets the widened logical type; NO file is touched:
+    *
+    *  - READS: the pinned-schema scan binds the widened type over old
+    *    files' narrower physical type — Spark's parquet readers
+    *    (vectorized and row-based) upcast int32→long / float→double
+    *    natively, filters included, so mixed-generation snapshots scan
+    *    in one job with zero plan overhead. Time travel to a pre-widen
+    *    version binds THAT snapshot's own (narrow) schema.
+    *  - WRITES: every post-widen append/rewrite validates against the
+    *    widened schema ([[checkSchema]]) and stores the wide physical
+    *    type; rewrites progressively materialize the widening.
+    *  - STATS/PRUNING: logged long bounds are stored as Long for ALL
+    *    integer widths (the footer harvest widens at write time), so
+    *    [[statsIndexFor]]/[[countRange]] read old adds' bounds
+    *    unchanged in the widened space — pruning and metadata COUNTs
+    *    stay zero-footer across generations.
+    *
+    * Only value-preserving widenings are accepted (byte→short/int/
+    * long, short→int/long, int→long/double, float→double);
+    * narrowing and lossy/incompatible casts (long→int, long→double,
+    * string→anything) are refused loudly — they would need a real
+    * rewrite and a data-loss decision the engine must not make
+    * silently. The metadata commit makes every in-flight rewrite
+    * rebase-abort, like any ALTER. */
+  def widenColumnType(spark: SparkSession, path: String, column: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    commitSchemaChange(path,
+      s"alter:widen:$column:${to.simpleString}", () => {
+        val cur = currentSchema(path).getOrElse(
+          throw new IllegalArgumentException(s"not a TxnTable: $path"))
+        val f = cur.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+          throw new IllegalArgumentException(
+            s"widenColumnType: no such column $column"))
+        val ok: Set[DataType] = f.dataType match {
+          case ByteType => Set(ShortType, IntegerType, LongType)
+          case ShortType => Set(IntegerType, LongType)
+          // int→double is exact: every int32 is representable in a
+          // 53-bit mantissa. long→double is NOT (precision loss above
+          // 2^53) and stays refused.
+          case IntegerType => Set(LongType, DoubleType)
+          case FloatType => Set(DoubleType)
+          case _ => Set.empty
+        }
+        require(ok(to),
+          s"widenColumnType: ${f.dataType.simpleString} -> " +
+            s"${to.simpleString} is not a value-preserving widening " +
+            "(supported: byte/short/int up the integer chain, " +
+            "int->double, float->double) — narrowing or converting " +
+            "needs an explicit rewrite (CTAS with a cast)")
+        StructType(cur.fields.map(g =>
+          if (g.name.equalsIgnoreCase(column)) g.copy(dataType = to)
+          else g))
+      })
   }
 
   /** A metadata-only commit that records a new schema — the ALTER

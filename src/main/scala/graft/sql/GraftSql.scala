@@ -102,6 +102,9 @@ object GraftSql {
     ("""(?is)^\s*DESCRIBE\s+DETAIL\s+""" + Ident + """\s*;?\s*$""").r
   private val ShowTablesRe = """(?is)^\s*SHOW\s+TABLES\s*;?\s*$""".r
   private val ShowViewsRe = """(?is)^\s*SHOW\s+VIEWS\s*;?\s*$""".r
+  private val ShowPropsRe =
+    ("""(?is)^\s*SHOW\s+TBLPROPERTIES\s+""" + Ident +
+      """\s*(?:\(\s*'([^']+)'\s*\))?\s*;?\s*$""").r
   private val DescRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?""" + Ident +
       """\s*;?\s*$""").r
@@ -178,11 +181,16 @@ object GraftSql {
           // A table with nothing eligible returns the unchanged head:
           // the caller-distinguishable "nothing was folded" signal.
           // WHERE col BETWEEN lo AND hi scopes the fold by the logged
-          // file stats — the re-pack-the-hot-partition shape.
+          // file stats — the re-pack-the-hot-partition shape. The
+          // bin target comes from the TABLE's graft.targetBytes
+          // property when set (SET TBLPROPERTIES re-tunes later
+          // OPTIMIZEs), else the 128 MiB default.
+          val tb = TxnTable.properties(reg.path).get("graft.targetBytes")
+            .map(_.toLong).getOrElse(128L * 1024 * 1024)
           Option(wCol) match {
             case Some(c) => TxnTable.binPackWhere(spark, reg.path, c,
-              wLo.toLong, wHi.toLong)
-            case None => TxnTable.binPack(spark, reg.path)
+              wLo.toLong, wHi.toLong, tb)
+            case None => TxnTable.binPack(spark, reg.path, tb)
           }
         case Some(_) if wCol != null =>
           throw new IllegalArgumentException(
@@ -347,7 +355,7 @@ object GraftSql {
         val (reg, quals) = target(t)
         val c = Bridge.column(
           resolveSubqueries(spark, stripQual(cond, quals)))
-        if (reg.mor) TxnTable.deleteWhereMor(spark, reg.path, c)
+        if (routeMor(reg)) TxnTable.deleteWhereMor(spark, reg.path, c)
         else TxnTable.deleteWhere(spark, reg.path, c)
 
       case UpdateTable(t, assigns, cond) =>
@@ -359,7 +367,7 @@ object GraftSql {
         val c = cond.map(e => Bridge.column(
           resolveSubqueries(spark, stripQual(e, quals))))
           .getOrElse(lit(true))
-        if (reg.mor) TxnTable.updateWhereMor(spark, reg.path, c, set)
+        if (routeMor(reg)) TxnTable.updateWhereMor(spark, reg.path, c, set)
         else TxnTable.updateWhere(spark, reg.path, c, set)
 
       case m: MergeIntoTable => merge(spark, m)
@@ -454,6 +462,43 @@ object GraftSql {
             s"unsupported RENAME COLUMN field: $other")
         }
         TxnTable.renameColumn(spark, reg.path, from, newName)
+
+      // ALTER TABLE t ALTER COLUMN c TYPE <wider>: metadata-only type
+      // widening — the TxnTable validates the widening matrix and
+      // refuses narrowing/incompatible casts loudly
+      case ac: AlterColumns =>
+        val (reg, _) = target(ac.table)
+        var v = TxnTable.currentVersion(reg.path)
+        ac.specs.foreach { spec =>
+          require(spec.newDataType.isDefined &&
+            spec.newNullability.isEmpty && spec.newComment.isEmpty &&
+            spec.newPosition.isEmpty,
+            "ALTER COLUMN supports TYPE <wider> only (nullability/" +
+              "comment/position changes are not supported)")
+          val name = spec.column match {
+            case f: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedFieldName =>
+              require(f.name.length == 1,
+                "nested ALTER COLUMN is not supported")
+              f.name.head
+            case other => throw new IllegalArgumentException(
+              s"unsupported ALTER COLUMN field: $other")
+          }
+          v = TxnTable.widenColumnType(spark, reg.path, name,
+            spec.newDataType.get)
+        }
+        v
+
+      // ALTER TABLE t SET TBLPROPERTIES (...): a metadata commit —
+      // the property is TABLE state; a graft.mor flip re-routes every
+      // subsequent DML statement on any session reading this table
+      case sp: SetTableProperties =>
+        val (reg, _) = target(sp.table)
+        TxnTable.setProperties(reg.path, sp.properties)
+
+      case up: UnsetTableProperties =>
+        val (reg, _) = target(up.table)
+        TxnTable.unsetProperties(reg.path, up.propertyKeys, up.ifExists)
 
       case ct: CreateTable =>
         val (nm, path, mor) = createTarget(ct.name, ct.tableSpec)
@@ -749,6 +794,20 @@ object GraftSql {
         import spark.implicits._
         import scala.jdk.CollectionConverters._
         views.keys.asScala.toSeq.sorted.toDF("name")
+      // table properties as rows — log metadata only, never a scan;
+      // SHOW TBLPROPERTIES t('key') narrows to one key (missing key
+      // is a loud error, not a Hive-style message row)
+      case ShowPropsRe(name, key) =>
+        import spark.implicits._
+        val props = TxnTable.properties(lookup(parseIdent(name))._1.path)
+        Option(key) match {
+          case Some(k) =>
+            val v = props.getOrElse(k, throw new IllegalArgumentException(
+              s"no such table property $k on $name"))
+            Seq((k, v)).toDF("key", "value")
+          case None =>
+            props.toSeq.sortBy(_._1).toDF("key", "value")
+        }
       // plain DESCRIBE: the current snapshot's logical schema as rows
       // (matched AFTER the HISTORY/DETAIL heads, so those verbs never
       // fall through here)
@@ -927,6 +986,14 @@ object GraftSql {
       s"unsupported DML target shape: ${other.nodeName}")
   }
 
+  /** Effective DML routing: the TABLE property `graft.mor` (a
+    * metadata commit, visible to every session) overrides the session
+    * registration's flag — flipping a grown table to merge-on-read is
+    * table state, not per-session opinion. */
+  private def routeMor(reg: Reg): Boolean =
+    TxnTable.properties(reg.path).get("graft.mor")
+      .map(_.equalsIgnoreCase("true")).getOrElse(reg.mor)
+
   private def lookup(parts: Seq[String]): (Reg, Set[String]) = {
     val full = parts.mkString(".").toLowerCase
     val short = parts.last.toLowerCase
@@ -1092,7 +1159,7 @@ object GraftSql {
         s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
     }
 
-    if (reg.mor)
+    if (routeMor(reg))
       TxnTable.mergeIntoMor(spark, reg.path, srcDf, keyCols, matched,
         notMatched, bySource = bySource)
     else

