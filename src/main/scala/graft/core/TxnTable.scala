@@ -270,7 +270,8 @@ object TxnTable {
       allAdds: Option[Seq[TxnAdd]],
       dvs: Option[Map[String, String]],
       constraints: Option[Map[String, String]],
-      props: Option[Map[String, String]])
+      props: Option[Map[String, String]],
+      copySrcs: Option[Seq[String]])
 
   /** `stream:<id>:<batch>` op → (id, batch); None for other ops. */
   private def parseStreamOp(op: String): Option[(String, Long)] =
@@ -453,6 +454,9 @@ object TxnTable {
           prps.toSeq.sortBy(_._1)
             .map { case (k, x) => s""""${esc(k)}":"${esc(x)}"""" }
             .mkString("{", ",", "}") +
+          s""","copySrcs":""" +
+          copySourcesInfo(path, commit.version).toSeq.sorted
+            .map(s => s""""${esc(s)}"""").mkString("[", ",", "]") +
           s""","dvs":""" +
           dvs.toSeq.sortBy(_._1)
             .map { case (f, dv) => s""""${esc(f)}":"${esc(dv)}"""" }
@@ -541,8 +545,12 @@ object TxnTable {
           Some(fields.map { case (k, jv) => k -> jv.extract[String] }.toMap)
         case _ => None
       }
+      val csrc = (j \ "copySrcs") match {
+        case JArray(arr) => Some(arr.map(_.extract[String]))
+        case _ => None
+      }
       Some(Ckpt(best, files, horizon, schemaGens, schema, streams, allAdds,
-        dvs, cons, prps))
+        dvs, cons, prps, csrc))
     } catch { case _: Throwable => None } // corrupt checkpoint → full replay
   }
 
@@ -1278,6 +1286,144 @@ object TxnTable {
               s"basename): ${clashNow.take(6).mkString(", ")}")
       }
     }
+    -1L // unreachable
+  }
+
+  /** Source files already materialized by a formatted COPY INTO
+    * (csv/json), replayed from `copyinto:<fmt>:<json-array>` commit
+    * ops — the idempotence registry for sources whose BYTES were
+    * rewritten into table parquet (path identity can't live in the
+    * adds index there, unlike the parquet adopt-by-reference route).
+    * Checkpoint-amortized like constraints/props. */
+  private def copySourcesInfo(path: String, upTo: Long): Set[String] = {
+    val (from, init) = latestCheckpoint(path, upTo) match {
+      case Some(ck) if ck.copySrcs.isDefined =>
+        (ck.version + 1, ck.copySrcs.get.toSet)
+      case _ => (0L, Set.empty[String])
+    }
+    var s = init
+    (from to upTo).foreach { v =>
+      val op = readCommit(path, v).op
+      if (op.startsWith("copyinto:csv:"))
+        s = s ++ parseKeysOp(op.stripPrefix("copyinto:csv:"))
+      else if (op.startsWith("copyinto:json:"))
+        s = s ++ parseKeysOp(op.stripPrefix("copyinto:json:"))
+    }
+    s
+  }
+
+  /** [[copyInto]] for NON-parquet landings — `COPY INTO t FROM '<dir>'
+    * FORMAT AS CSV|JSON`: fresh source files MATERIALIZE through the
+    * standard write path (schema coercion to the table shape, CHECK
+    * constraints riding the write job, column-mapped tables fine —
+    * the staged parquet stores physical names like any append), while
+    * idempotence still keys on source-file PATH identity: each commit
+    * records the batch's absolute source paths in its op
+    * (`copyinto:<fmt>:[...]`, checkpoint-amortized replay), so a
+    * re-run lists the directory, finds every file already loaded, and
+    * returns the unchanged head — and two concurrent formatted COPY
+    * INTOs re-check the registry inside the conflict retry, so a file
+    * loads exactly once. Coercion contract, mirroring the parquet
+    * route: every SOURCE column must name a table column and cast to
+    * its type; missing table columns null-fill; a value that parses
+    * but does not FIT its table type (cast returns null on a non-null
+    * input) aborts the whole batch atomically — nothing commits. */
+  def copyIntoFormat(spark: SparkSession, path: String, srcDir: String,
+      format: String): Long = {
+    val fmt = format.toLowerCase
+    require(fmt == "csv" || fmt == "json",
+      s"copyIntoFormat: unsupported format $format (CSV or JSON; " +
+        "parquet adopts by reference via copyInto)")
+    val top = currentVersion(path)
+    require(top >= 0,
+      s"copyInto: $path is not a TxnTable — CREATE it first")
+    val src = localRoot(srcDir)
+    require(Files.isDirectory(src), s"copyInto: no directory $srcDir")
+    def visible(rel: JPath): Boolean =
+      (0 until rel.getNameCount).forall { i =>
+        val seg = rel.getName(i).toString
+        !seg.startsWith("_") && !seg.startsWith(".")
+      }
+    val ext = "." + fmt
+    val walk = Files.walk(src)
+    val listed =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(ext))
+        .filter(p => visible(src.relativize(p)))
+        .map(_.toAbsolutePath.normalize.toString).toSeq.sorted
+      finally walk.close()
+    require(listed.nonEmpty, s"copyInto: no $fmt files under $srcDir")
+    def freshAt(v: Long): Seq[String] =
+      listed.filterNot(copySourcesInfo(path, v).contains)
+    val fresh = freshAt(top)
+    if (fresh.isEmpty) return top
+    // parse the fresh files: CSV reads untyped (header row names the
+    // columns) and coerces below; JSON carries its own scalar types
+    // enforceSchema=false: every file's header is VALIDATED against
+    // the batch schema — a landing file with drifted column order
+    // fails loudly instead of silently loading values into the wrong
+    // columns (the default maps by position, ignoring later headers)
+    val raw = fmt match {
+      case "csv" => spark.read.option("header", "true")
+        .option("enforceSchema", "false").csv(fresh: _*)
+      case _ => spark.read.json(fresh: _*)
+    }
+    val tSchema = read(spark, path, top).schema
+    raw.columns.foreach(c => require(
+      tSchema.fields.exists(_.name.equalsIgnoreCase(c)),
+      s"copyInto: source column $c is not a table column"))
+    val byName = raw.columns.map(c => c.toLowerCase -> c).toMap
+    // table-shaped projection with LOUD coercion: a non-null source
+    // value whose cast comes back null is malformed for this table —
+    // raise inside the write job, aborting the batch atomically
+    val coerced = raw.select(tSchema.fields.toSeq.map { f =>
+      byName.get(f.name.toLowerCase) match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(c) =>
+          val cast = col(c).cast(f.dataType)
+          when(col(c).isNotNull && cast.isNull,
+            raise_error(concat(
+              lit(s"copyInto: malformed value for ${f.name} " +
+                s"(${f.dataType.simpleString}): '"),
+              col(c).cast("string"), lit("'"))))
+            .otherwise(cast).as(f.name)
+      }
+    }: _*)
+    val opJson = fresh.map(p => s""""${esc(p)}"""")
+      .mkString(s"copyinto:$fmt:[", ",", "]")
+    // standard write path: constraints ride the job; bins sized by the
+    // source byte count against the table's bin-pack target
+    val srcBytes = fresh.map(p => Files.size(Paths.get(p))).sum
+    val bins = math.max(1,
+      math.ceil(srcBytes.toDouble / (128L * 1024 * 1024)).toInt)
+    val adds = writeData(spark, path, withChecks(spark, path, coerced),
+      bins)
+    var attempt = 0
+    try {
+      while (true) {
+        val cur = currentVersion(path)
+        preCommitHook()
+        try {
+          tryCommit(path, TxnCommit(cur + 1, opJson, adds, Nil, None))
+          return cur + 1
+        } catch {
+          case e: TxnConflictException =>
+            attempt += 1
+            if (attempt > 20) throw e
+            // a racing formatted COPY INTO may have loaded one of our
+            // files: the staged batch mixes every file's rows, so a
+            // partial drop is impossible — abort the whole batch and
+            // let the caller re-run (which will list only what is
+            // still fresh). A race that loaded NONE of ours commutes
+            // like any append and re-commits at the new head.
+            if (freshAt(currentVersion(path)).toSet != fresh.toSet)
+              throw new IllegalStateException(
+                "copyInto: a concurrent COPY INTO loaded part of this " +
+                  "batch — re-run to load the remainder")
+        }
+      }
+    } catch { case e: Throwable => cleanupStaged(path, adds); throw e }
     -1L // unreachable
   }
 

@@ -442,6 +442,167 @@ object SqlDmlQueries {
     } finally GraftSql.unregister(n)
   }
 
+  /** S54: `COPY INTO t FROM '<dir>' FORMAT AS CSV` — formatted
+    * ingestion: CSV sources MATERIALIZE through the standard write
+    * path (table-shape coercion from untyped text, constraints riding
+    * the job) while idempotence still keys on source-file path
+    * identity. In-run: a re-run is a version-unchanged no-op; a second
+    * CSV drop loads exactly the new files; the committed adds live
+    * UNDER THE TABLE (bytes rewritten — the opposite of s52's
+    * by-reference parquet adopt); a malformed row (unparseable long)
+    * aborts its whole batch atomically with nothing committed. The
+    * landing directory is DETERMINISTIC so the oracle replays it with
+    * DuckDB's own read_csv over the very same files. */
+  def s54CopyCsv(spark: SparkSession, dir: String): DataFrame = {
+    val land = "/tmp/graft_s54_csv" // fixed: the oracle read_csv's it
+    val lp = java.nio.file.Paths.get(land)
+    if (java.nio.file.Files.exists(lp)) {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(lp)
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft_s54").toString
+    val t = d + "/t"
+    val n = freshName("orders_cc_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    TxnTable.create(spark, t, orders.limit(0)) // v0: empty, typed shape
+    GraftSql.register(n, t)
+    try {
+      orders.filter(col("o_custkey") <= ck / 2).repartition(2)
+        .write.option("header", "true").csv(land + "/b1")
+      val v1 = GraftSql.execute(spark,
+        s"COPY INTO $n FROM '$land' FORMAT AS CSV")
+      val c1 = TxnTable.commits(t).last
+      require(v1 == 1L && c1.op.startsWith("copyinto:csv:"),
+        s"first CSV COPY INTO commits v1, got $v1 / ${c1.op}")
+      // the text coerced into the TABLE's types, not strings
+      require(TxnTable.read(spark, t).schema("price_c").dataType
+        == org.apache.spark.sql.types.LongType,
+        "CSV text must coerce to the table shape")
+      // idempotent: same directory re-runs as a no-op
+      require(GraftSql.execute(spark,
+        s"COPY INTO $n FROM '$land' FORMAT AS CSV") == 1L &&
+        TxnTable.currentVersion(t) == 1L,
+        "a re-run formatted COPY INTO must no-op at the unchanged head")
+      // a second drop lands: ONLY its files load
+      orders.filter(col("o_custkey") > ck / 2).repartition(3)
+        .write.option("header", "true").csv(land + "/b2")
+      val v2 = GraftSql.execute(spark,
+        s"COPY INTO $n FROM '$land' FORMAT AS CSV")
+      require(v2 == 2L, s"incremental CSV load must commit v2, got $v2")
+      // MATERIALIZED, not adopted: every add lives under the table
+      require(TxnTable.commits(t).drop(1).flatMap(_.adds)
+        .forall(!_.path.startsWith(land)),
+        "formatted COPY INTO must rewrite bytes into table parquet")
+      require(TxnTable.read(spark, t).count() == orders.count(),
+        "both CSV drops must be visible")
+      // a malformed batch refuses ATOMICALLY: unparseable long → the
+      // whole load aborts, nothing commits, staged files cleaned
+      java.nio.file.Files.writeString(lp.resolve("bad.csv"),
+        "o_orderkey,o_custkey,o_orderstatus,price_c\n1,2,X,notanumber\n")
+      val top = TxnTable.currentVersion(t)
+      try {
+        GraftSql.execute(spark, s"COPY INTO $n FROM '$land' FORMAT AS CSV")
+        throw new AssertionError("malformed CSV must abort the batch")
+      } catch { case _: Exception => () } // AssertionError propagates
+      require(TxnTable.currentVersion(t) == top &&
+        TxnTable.read(spark, t).count() == orders.count(),
+        "a malformed batch must commit NOTHING")
+      java.nio.file.Files.delete(lp.resolve("bad.csv"))
+      TxnTable.read(spark, t)
+        .groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("ps"),
+          sum(col("o_orderkey")).as("ks"))
+        .orderBy(col("st"))
+    } finally GraftSql.unregister(n)
+  }
+
+  /** S53: `ALTER TABLE t ALTER COLUMN c TYPE BIGINT` — type WIDENING
+    * as a metadata-only commit: the schema evolution a growing table
+    * always hits (a key outgrows int32) that would otherwise force a
+    * full CTAS rewrite at 100 TB. In-run: the commit moves ZERO files;
+    * time travel shows each snapshot's own type (v0 int, head long);
+    * a post-widen tranche carries values beyond int32 and round-trips;
+    * pruned reads and metadata COUNTs over the MIXED-generation
+    * snapshot stay zero-footer (old adds' int32 bounds already live in
+    * the widened long space); narrowing refused loudly. Oracle replays
+    * base ∪ shifted-wide tranche bucketed by generation. */
+  def s53WidenType(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val d = java.nio.file.Files.createTempDirectory("graft_s53").toString
+    val t = d + "/t"
+    val n = freshName("orders_wd_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey").cast("int").as("ck"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("ck")).cast("long"),
+      max(col("o_orderkey"))).head()
+    val (ckMax, kx) = (m.getLong(0), m.getLong(1))
+    TxnTable.createClustered(spark, t, orders, Seq(col("ck")),
+      targetFiles = 8) // v0: ck is int32, 8 banded files
+    GraftSql.register(n, t)
+    try {
+      GraftSql.execute(spark,
+        s"ALTER TABLE $n ALTER COLUMN ck TYPE BIGINT") // v1
+      val c = TxnTable.commits(t).last
+      require(c.op == "alter:widen:ck:bigint" &&
+        c.adds.isEmpty && c.removes.isEmpty,
+        s"widening must be a metadata-only commit, got ${c.op} with " +
+          s"${c.adds.size} adds / ${c.removes.size} removes")
+      // each snapshot binds its OWN type: v0 narrow, head wide
+      require(TxnTable.read(spark, t, 0L).schema("ck").dataType
+        == IntegerType, "time travel must keep the pre-widen int32")
+      require(TxnTable.read(spark, t).schema("ck").dataType == LongType,
+        "the head must bind the widened long")
+      // a post-widen tranche with values NO int32 can hold
+      TxnTable.append(spark, t,
+        orders.filter(col("ck") <= ckMax / 8).select(
+          (col("o_orderkey") + kx).as("o_orderkey"),
+          (col("ck").cast("long") + 5000000000L).as("ck"),
+          col("price_c"))) // v2
+      // narrowing refused loudly — and nothing committed
+      val top = TxnTable.currentVersion(t)
+      try {
+        GraftSql.execute(spark, s"ALTER TABLE $n ALTER COLUMN ck TYPE INT")
+        throw new AssertionError("narrowing must be refused")
+      } catch { case e: IllegalArgumentException =>
+        require(e.getMessage.contains("widening"), e.getMessage) }
+      require(TxnTable.currentVersion(t) == top,
+        "a refused ALTER must commit nothing")
+      // the mixed-generation snapshot plans pruning and COUNT from the
+      // LOG: old int32 bounds translate into the widened space with
+      // zero footer reads
+      val f0 = graft.crawler.SkippingIndex.footerReads.get()
+      val pruned = TxnTable.readPruned(spark, t, "ck", 0L, ckMax / 2)
+      val expectPruned = TxnTable.read(spark, t)
+        .filter(col("ck").between(0L, ckMax / 2)).count()
+      require(pruned.count() == expectPruned,
+        "pruned read must be exact over mixed generations")
+      require(pruned.inputFiles.length < 9,
+        "pruning must keep a strict file subset across generations")
+      val (cnt, scanned, total) =
+        TxnTable.countRange(spark, t, "ck", 0L, 10000000000L)
+      require(scanned == 0 && total == 9,
+        s"widened-space COUNT must plan zero-scan, got ($scanned,$total)")
+      require(cnt == TxnTable.read(spark, t).count(),
+        "metadata COUNT must be exact")
+      require(graft.crawler.SkippingIndex.footerReads.get() == f0,
+        "no footer may be opened: bounds come from the commit log")
+      // result: both generations bucketed — the int32 ceiling splits them
+      TxnTable.read(spark, t)
+        .groupBy(when(col("ck") > 2147483647L, "wide").otherwise("base")
+          .as("gen"))
+        .agg(count(lit(1)).as("cnt"), sum(col("ck")).as("cks"),
+          sum(col("o_orderkey")).as("ks"), sum(col("price_c")).as("ps"))
+        .orderBy(col("gen"))
+    } finally GraftSql.unregister(n)
+  }
+
   /** S51: `CREATE TABLE c SHALLOW CLONE t [VERSION AS OF n]` — the
     * zero-copy writable fork as a statement. In-run: the clone
     * directory holds ZERO local parquet (its v0 references the source
@@ -1119,6 +1280,8 @@ object SqlDmlQueries {
     "s50_restore_ts_vacuum_dry" -> (s50RestoreTsVacuumDry _),
     "s51_sql_clone" -> (s51SqlClone _),
     "s52_copy_into" -> (s52CopyInto _),
+    "s53_widen_type" -> (s53WidenType _),
+    "s54_copy_csv" -> (s54CopyCsv _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -1290,6 +1453,32 @@ object SqlDmlQueries {
     // their after-image price, deleted F-band rows a NULL payload
     // both landed batches (= all of orders) minus the MOR-deleted low
     // F band; idempotence/incrementality/zero-copy asserted in-run
+    // the oracle reads the GATE'S OWN landing files back with DuckDB's
+    // read_csv — the deterministic /tmp/graft_s54_csv drop the engine
+    // loaded (idempotence/materialization/atomic-abort asserted in-run)
+    "s54_copy_csv" ->
+      """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(price_c) AS BIGINT) AS ps,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS ks
+        |FROM read_csv('/tmp/graft_s54_csv/*/*.csv', header=true)
+        |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+    // base generation = raw orders; wide generation = the low-custkey
+    // band re-keyed past int32 (metadata-only widen, zero-footer
+    // pruning/COUNT asserted in-run)
+    "s53_widen_type" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ckm,
+        |    CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),
+        |base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) AS ck,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |u AS (SELECT 'base' AS gen, k, ck, pc FROM base
+        |  UNION ALL
+        |  SELECT 'wide', k + b.kx, ck + 5000000000, pc FROM base, b
+        |  WHERE ck <= b.ckm // 8)
+        |SELECT gen, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(ck) AS BIGINT) AS cks, CAST(sum(k) AS BIGINT) AS ks,
+        |  CAST(sum(pc) AS BIGINT) AS ps
+        |FROM u GROUP BY gen ORDER BY gen""".stripMargin,
     "s52_copy_into" ->
       """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
         |           FROM orders)

@@ -113,7 +113,8 @@ object GraftSql {
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+""" + Ident +
-      """\s+FROM\s+'([^']+)'\s*;?\s*$""").r
+      """\s+FROM\s+'([^']+)'""" +
+      """(?:\s+FORMAT\s+AS\s+(CSV|JSON|PARQUET))?\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + Ident +
       """\s+SHALLOW\s+CLONE\s+""" + Ident +
@@ -224,12 +225,17 @@ object GraftSql {
     case HistoryRe(_) => throw new IllegalArgumentException(
       "DESCRIBE HISTORY returns rows — run it through query()")
 
-    // COPY INTO t FROM '<dir>': idempotent zero-copy ingestion — only
-    // files not yet loaded are adopted (by reference, stats harvested);
-    // a re-run is a no-op at the unchanged head
-    case CopyIntoRe(name, dir) =>
+    // COPY INTO t FROM '<dir>' [FORMAT AS CSV|JSON|PARQUET]: idempotent
+    // ingestion — parquet adopts fresh files by reference (zero copy,
+    // stats harvested); CSV/JSON materialize through the standard write
+    // path (table-shape coercion + constraints) with the same
+    // source-path idempotence; a re-run is a no-op at the unchanged head
+    case CopyIntoRe(name, dir, fmt) =>
       val (reg, _) = lookup(parseIdent(name))
-      TxnTable.copyInto(spark, reg.path, dir)
+      Option(fmt).map(_.toLowerCase) match {
+        case None | Some("parquet") => TxnTable.copyInto(spark, reg.path, dir)
+        case Some(f) => TxnTable.copyIntoFormat(spark, reg.path, dir, f)
+      }
 
     // CREATE TABLE c SHALLOW CLONE t [VERSION AS OF n] [LOCATION p]:
     // a zero-copy writable fork — the clone's v0 references the

@@ -364,11 +364,32 @@ class AlterColumnsSpec extends SparkSpecBase {
       s"widened-space COUNT must be zero-scan, got ($cnt,$scanned,$total)")
     assert(graft.crawler.SkippingIndex.footerReads.get() == f0,
       "no footer may be opened: bounds come from the commit log")
-    // widen composes with column mapping: RENAME then widen keeps the
-    // stable physical name, reads stay correct
+    // widen composes with column mapping: RENAME keeps the stable
+    // physical name; a lossy widen on the renamed column still refuses
+    // (payload is long; long->double loses precision above 2^53)
     TxnTable.renameColumn(spark, t, "pay", "payload") // v3
-    TxnTable.widenColumnType(spark, t, "payload", DoubleType) // refused:
-    // wait — payload is long; long->double is lossy and must refuse
-    ()
+    intercept[IllegalArgumentException] {
+      TxnTable.widenColumnType(spark, t, "payload", DoubleType)
+    }
+    // an int column introduced POST-rename widens fine and reads
+    // through the mapping
+    val t2 = Files.createTempDirectory("graft_widen3").toString + "/t"
+    TxnTable.create(spark, t2,
+      Seq((1, 10L), (2, 20L)).toDF("n", "pay"))
+    TxnTable.renameColumn(spark, t2, "n", "num") // physical stays "n"
+    TxnTable.widenColumnType(spark, t2, "num", LongType)
+    val h = TxnTable.read(spark, t2)
+    assert(h.schema("num").dataType == LongType)
+    assert(h.agg(sum(col("num"))).head().getLong(0) == 3L)
+    TxnTable.append(spark, t2,
+      Seq((7000000000L, 70L)).toDF("num", "pay"))
+    assert(TxnTable.read(spark, t2).agg(sum(col("num")))
+      .head().getLong(0) == 7000000003L)
+    // the post-widen file stores the stable PHYSICAL name, wide type
+    val rawCols = spark.read.parquet(java.nio.file.Paths.get(t2)
+      .resolve(TxnTable.commits(t2).last.adds.head.path).toString)
+    assert(rawCols.columns.toSeq == Seq("n", "pay") &&
+      rawCols.schema("n").dataType == LongType,
+      "post-widen append must keep the physical name with the wide type")
   }
 }

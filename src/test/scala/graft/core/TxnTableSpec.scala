@@ -1476,6 +1476,86 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).count() == 0)
   }
 
+  test("copyIntoFormat: CSV/JSON materialize through the write path " +
+    "with source-path idempotence; coercion, null-fill, refusals, and " +
+    "atomic aborts") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft_cif").toString
+    val t = s"$root/t"
+    create(spark, t, Seq.empty[(Long, String, Long)].toDF("id", "s", "v"))
+    // CSV: untyped text coerces into the table shape
+    Files.writeString(java.nio.file.Paths.get(root).resolve("drop1.csv"),
+      "id,s,v\n1,a,10\n2,b,20\n")
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/land"))
+    Files.move(java.nio.file.Paths.get(root).resolve("drop1.csv"),
+      java.nio.file.Paths.get(s"$root/land/drop1.csv"))
+    assert(copyIntoFormat(spark, t, s"$root/land", "csv") == 1L)
+    val c1 = commits(t).last
+    assert(c1.op.startsWith("copyinto:csv:["), c1.op)
+    assert(c1.adds.forall(!_.path.contains("/land/")),
+      "formatted loads must materialize bytes under the table")
+    val h1 = read(spark, t)
+    assert(h1.schema("id").dataType == LongType &&
+      h1.schema("v").dataType == LongType)
+    assert(h1.as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 10L), (2L, "b", 20L)))
+    // idempotence: same dir no-ops; a NEW file loads alone
+    assert(copyIntoFormat(spark, t, s"$root/land", "csv") == 1L)
+    Files.writeString(java.nio.file.Paths.get(s"$root/land/drop2.csv"),
+      "id,s,v\n3,c,30\n")
+    assert(copyIntoFormat(spark, t, s"$root/land", "csv") == 2L)
+    assert(read(spark, t).count() == 3)
+    // JSON: typed source, SUBSET of columns → the missing one null-fills
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/jland"))
+    Files.writeString(java.nio.file.Paths.get(s"$root/jland/d.json"),
+      """{"id": 4, "s": "d"}""" + "\n" + """{"id": 5, "s": "e"}""" + "\n")
+    assert(copyIntoFormat(spark, t, s"$root/jland", "json") == 3L)
+    assert(commits(t).last.op.startsWith("copyinto:json:["))
+    assert(read(spark, t).filter(col("v").isNull).count() == 2)
+    // refusals: a source column the table lacks; a malformed value —
+    // both abort ATOMICALLY (nothing commits, staged files cleaned)
+    Files.writeString(java.nio.file.Paths.get(s"$root/jland/bad.json"),
+      """{"id": 6, "nope": true}""" + "\n")
+    val e1 = intercept[IllegalArgumentException] {
+      copyIntoFormat(spark, t, s"$root/jland", "json")
+    }
+    assert(e1.getMessage.contains("not a table column"), e1.getMessage)
+    Files.delete(java.nio.file.Paths.get(s"$root/jland/bad.json"))
+    Files.writeString(java.nio.file.Paths.get(s"$root/land/bad.csv"),
+      "id,s,v\n7,g,notanumber\n")
+    val before = currentVersion(t)
+    intercept[Exception] { copyIntoFormat(spark, t, s"$root/land", "csv") }
+    assert(currentVersion(t) == before && read(spark, t).count() == 5,
+      "a malformed batch must commit nothing")
+    Files.delete(java.nio.file.Paths.get(s"$root/land/bad.csv"))
+    // constraints ride the load: a violating batch refuses atomically
+    addConstraint(spark, t, "v_band", "v IS NULL OR v < 1000") // v4
+    Files.writeString(java.nio.file.Paths.get(s"$root/land/big.csv"),
+      "id,s,v\n8,h,99999\n")
+    intercept[Exception] { copyIntoFormat(spark, t, s"$root/land", "csv") }
+    assert(read(spark, t).count() == 5)
+    Files.delete(java.nio.file.Paths.get(s"$root/land/big.csv"))
+    // the source registry folds through a CHECKPOINT: after 10+
+    // commits a re-run still sees drop1/drop2 as loaded
+    (1 to 7).foreach(k => append(spark, t,
+      Seq((100L + k, "x", 1L)).toDF("id", "s", "v"))) // v5..v11 (ckpt v10)
+    assert(Files.exists(java.nio.file.Paths.get(t, "_graft_log",
+      "ckpt-v0000000010.json")))
+    assert(copyIntoFormat(spark, t, s"$root/land", "csv")
+      == currentVersion(t),
+      "the copy-source registry must replay through the checkpoint")
+    // column-mapped tables LOAD fine (the write path maps logical →
+    // physical) — the parquet adopt route refuses these by contract
+    dropConstraint(t, "v_band")
+    renameColumn(spark, t, "v", "val")
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/mland"))
+    Files.writeString(java.nio.file.Paths.get(s"$root/mland/m.csv"),
+      "id,s,val\n200,mm,42\n")
+    copyIntoFormat(spark, t, s"$root/mland", "csv")
+    assert(read(spark, t).filter(col("val") === 42L).count() == 1)
+  }
+
   test("binPack folds only small + DV-carrying files, leaves healthy " +
     "large files untouched, and no-ops at the unchanged head") {
     val t = freshTable()

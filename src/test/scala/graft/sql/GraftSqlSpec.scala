@@ -907,4 +907,130 @@ class GraftSqlSpec extends SparkSpecBase {
       GraftSql.unregister(v)
     } finally GraftSql.unregister(n)
   }
+
+  test("SET/UNSET/SHOW TBLPROPERTIES: table-state metadata commits; a " +
+    "graft.mor flip re-routes subsequent DML merge-on-read") {
+    val (t, n) = mk() // registered CoW
+    try {
+      // baseline: CoW routing rewrites files
+      GraftSql.execute(spark, s"UPDATE $n SET v = v + 1 WHERE id = 1")
+      assert(TxnTable.commits(t).last.op == "update")
+      val nFiles = TxnTable.snapshotFiles(t).size
+      // flip mor via SQL: a metadata commit in the history
+      val pv = GraftSql.execute(spark,
+        s"ALTER TABLE $n SET TBLPROPERTIES ('graft.mor' = 'true', " +
+          "'team' = 'pipeline')")
+      val pc = TxnTable.commits(t).last
+      assert(pc.op.startsWith("tblprops:set:") &&
+        pc.adds.isEmpty && pc.removes.isEmpty,
+        s"SET TBLPROPERTIES must be a metadata-only commit, got ${pc.op}")
+      assert(GraftSql.query(spark, s"DESCRIBE HISTORY $n")
+        .filter(col("op").startsWith("tblprops:set")).count() == 1L)
+      // the NEXT UPDATE goes merge-on-read: zero pre-existing files
+      // rewritten (the s23 assert), a dvupdate commit
+      GraftSql.execute(spark, s"UPDATE $n SET v = v * 10 WHERE id = 2")
+      val u = TxnTable.commits(t).last
+      assert(u.op == "dvupdate", s"mor=true must route MOR, got ${u.op}")
+      assert(u.removes.isEmpty,
+        "merge-on-read must rewrite zero pre-existing files")
+      assert(TxnTable.snapshotFiles(t).size == nFiles + u.adds.size)
+      assert(rows(t) == Set((1L, 11L, "a"), (2L, 200L, "b"),
+        (3L, 30L, "c"), (4L, 40L, "d")))
+      // SHOW TBLPROPERTIES rows as literals; single-key form; missing
+      // key is a loud error (not a Hive message row)
+      val props = GraftSql.query(spark, s"SHOW TBLPROPERTIES $n")
+        .as[(String, String)].collect().toSeq
+      assert(props == Seq("graft.mor" -> "true",
+        "team" -> "pipeline"), s"got $props")
+      assert(GraftSql.query(spark, s"SHOW TBLPROPERTIES $n('team')")
+        .as[(String, String)].collect().toSeq ==
+        Seq("team" -> "pipeline"))
+      intercept[IllegalArgumentException] {
+        GraftSql.query(spark, s"SHOW TBLPROPERTIES $n('nope')")
+      }
+      // property state is TABLE state: a SECOND registration of the
+      // same path observes the flip (no session-local divergence)
+      val n2 = "alias" + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      GraftSql.register(n2, t)
+      GraftSql.execute(spark, s"DELETE FROM $n2 WHERE id = 3")
+      assert(TxnTable.commits(t).last.op == "dvdelete",
+        "a fresh registration must observe the table's mor property")
+      GraftSql.unregister(n2)
+      // UNSET restores the registration default (CoW); IF EXISTS
+      // semantics on missing keys
+      GraftSql.execute(spark,
+        s"ALTER TABLE $n UNSET TBLPROPERTIES ('graft.mor')")
+      assert(TxnTable.commits(t).last.op.startsWith("tblprops:unset:"))
+      GraftSql.execute(spark, s"UPDATE $n SET v = v + 5 WHERE id = 4")
+      assert(TxnTable.commits(t).last.op == "update",
+        "after UNSET the registration default (CoW) must route again")
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          s"ALTER TABLE $n UNSET TBLPROPERTIES ('gone')")
+      }
+      GraftSql.execute(spark,
+        s"ALTER TABLE $n UNSET TBLPROPERTIES IF EXISTS ('gone')")
+      // engine-reserved keys validate at SET time
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          s"ALTER TABLE $n SET TBLPROPERTIES ('graft.mor' = 'maybe')")
+      }
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          s"ALTER TABLE $n SET TBLPROPERTIES ('graft.morr' = 'true')")
+      }
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          s"ALTER TABLE $n SET TBLPROPERTIES ('graft.targetBytes' = '-3')")
+      }
+      assert(pv > 0L)
+    } finally GraftSql.unregister(n)
+  }
+
+  test("graft.targetBytes re-tunes OPTIMIZE bin-packing; properties " +
+    "survive checkpoint + time travel shows each snapshot's own set") {
+    val t = Files.createTempDirectory("graft_sqlprops").toString + "/t"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t, (1L to 40L).map(i => (i, i * 2))
+      .toDF("id", "v"), partitions = 1) // v0: one file
+    // eight more small files
+    (1 to 8).foreach(b => TxnTable.append(spark, t,
+      (1L to 5L).map(i => (b * 100L + i, i)).toDF("id", "v"),
+      partitions = 1))
+    GraftSql.register(n, t)
+    try {
+      // a tiny target forces one-file-per-bin: OPTIMIZE folds nothing
+      // into fewer bins than files → version still moves only if
+      // something folds; with targetBytes=1 every file is its own bin
+      // so nothing is eligible to fold together (unchanged head)
+      GraftSql.execute(spark,
+        s"ALTER TABLE $n SET TBLPROPERTIES ('graft.targetBytes' = '1')")
+      val before = TxnTable.currentVersion(t)
+      val r1 = GraftSql.execute(spark, s"OPTIMIZE $n")
+      assert(r1 == before && TxnTable.currentVersion(t) == before,
+        "targetBytes=1 must make OPTIMIZE a no-op (every bin is one file)")
+      // a huge target folds the whole small-file tail into ONE bin;
+      // this SET lands on v10 — the checkpoint boundary — so the
+      // property must fold through the checkpoint like constraints
+      GraftSql.execute(spark, s"ALTER TABLE $n SET TBLPROPERTIES " +
+        "('graft.targetBytes' = '1073741824')") // v10 + ckpt
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t,
+        "_graft_log", "ckpt-v0000000010.json")),
+        "v10 must have written a checkpoint")
+      val r2 = GraftSql.execute(spark, s"OPTIMIZE $n") // v11
+      assert(r2 == TxnTable.currentVersion(t) && r2 > before)
+      assert(TxnTable.commits(t).last.adds.size == 1,
+        "a 1 GiB target must fold the tail into one bin")
+      assert(TxnTable.read(spark, t).count() == 80L)
+      // properties resolve THROUGH the checkpoint (not a full replay)
+      TxnTable.append(spark, t, Seq((9999L, 1L)).toDF("id", "v")) // v12
+      assert(TxnTable.properties(t) ==
+        Map("graft.targetBytes" -> "1073741824"),
+        "properties must replay from the checkpoint")
+      // time travel semantics: DESCRIBE HISTORY shows both SETs
+      assert(GraftSql.query(spark, s"DESCRIBE HISTORY $n")
+        .filter(col("op").startsWith("tblprops:set")).count() == 2L)
+    } finally GraftSql.unregister(n)
+  }
 }
