@@ -1461,7 +1461,15 @@ object TxnTable {
     val prepared = df.repartitionByRange(targetFiles, clusterBy: _*)
       .sortWithinPartitions(clusterBy: _*)
     val adds = writeDataPrepared(spark, path, prepared)
-    try tryCommit(path, TxnCommit(0L, "create", adds, Nil, Some(df.schema.json)))
+    // the LAYOUT SPEC rides the create commit as seeded table
+    // properties (`create:props:` folds into propsInfo like a SET),
+    // so DESCRIBE DETAIL can tell an operator what the table is
+    // clustered on and how wide — with no extra commit shifting
+    // version numbers
+    val names = clusterBy.map(_.toString()).mkString(",")
+    val op = s"""create:props:{"graft.clusterBy":"${esc(names)}",""" +
+      s""""graft.targetFiles":"$targetFiles"}"""
+    try tryCommit(path, TxnCommit(0L, op, adds, Nil, Some(df.schema.json)))
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
     0L
   }
@@ -2423,6 +2431,9 @@ object TxnTable {
         m = m ++ parsePropsOp(op.stripPrefix("tblprops:set:"))
       else if (op.startsWith("tblprops:unset:"))
         m = m -- parseKeysOp(op.stripPrefix("tblprops:unset:"))
+      else if (op.startsWith("create:props:"))
+        // a clustered create seeds its layout spec as properties
+        m = m ++ parsePropsOp(op.stripPrefix("create:props:"))
     }
     m
   }
@@ -2472,11 +2483,13 @@ object TxnTable {
         case "graft.targetBytes" => require(
           scala.util.Try(v.toLong).toOption.exists(_ > 0),
           s"graft.targetBytes must be a positive long, got '$v'")
+        case "graft.clusterBy" => require(v.trim.nonEmpty,
+          "graft.clusterBy must name at least one column")
         case other => throw new IllegalArgumentException(
           s"unknown engine property $other — graft.* keys are " +
             "reserved (known: graft.mor, graft.targetFiles, " +
-            "graft.targetBytes); use an unprefixed key for user " +
-            "metadata")
+            "graft.targetBytes, graft.clusterBy); use an unprefixed " +
+            "key for user metadata")
       }
     }
     val json = props.toSeq.sortBy(_._1)
@@ -3123,11 +3136,23 @@ object TxnTable {
     val ai = addsIndex(path, top)
     val dvm = snapshotDvs(path, top)
     val adds = files.flatMap(ai.get)
+    val props = propsInfo(path, top)
+    // stats coverage: the share of live adds carrying write-time
+    // min/max stats — the operator's "would OPTIMIZE make pruning
+    // zero-footer?" signal (adds without stats scan conservatively in
+    // every pruned read; a rewrite re-harvests them)
+    val statsCov =
+      if (adds.isEmpty) 1.0
+      else adds.count(_.stats.exists(_.nonEmpty)).toDouble / adds.size
     Seq((path, top, earliestVersion(path), files.size.toLong,
       adds.map(_.rows).sum, adds.map(_.bytes).sum, dvm.size.toLong,
-      constraints(path).size.toLong))
+      constraints(path).size.toLong,
+      props.get("graft.clusterBy"),
+      props.get("graft.targetFiles").map(_.toLong),
+      statsCov))
       .toDF("location", "version", "earliest_version", "num_files",
-        "total_rows", "total_bytes", "num_dv_files", "num_constraints")
+        "total_rows", "total_bytes", "num_dv_files", "num_constraints",
+        "cluster_by", "target_files", "stats_coverage")
   }
 
   /** TIMESTAMP time travel: the latest readable version whose commit

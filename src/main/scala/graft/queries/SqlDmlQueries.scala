@@ -522,6 +522,75 @@ object SqlDmlQueries {
     } finally GraftSql.unregister(n)
   }
 
+  /** S55: PERSISTENT CATALOG — registrations and views survive
+    * sessions: the registry lives in a warehouse-root TxnTable whose
+    * properties map is the catalog, every CREATE/DROP one atomic
+    * metadata commit. In-run: a simulated fresh session (registry
+    * cleared) sees NOTHING, rebinding the catalog restores exactly
+    * the persisted names (a dropped table stays dropped), and the
+    * reloaded VIEW serves over the reloaded TABLE; the catalog
+    * table's own properties carry the entries (commit-level audit).
+    * Oracle replays the view's aggregate from orders. */
+  def s55CatalogPersist(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s55").toString
+    val pre = freshName("pcat_")
+    val (n1, n2, v1) = (pre + "a", pre + "b", pre + "v")
+    val w0 = GraftSql.getWarehouse
+    GraftSql.setWarehouse(d)
+    try {
+      GraftSql.enableCatalog(spark)
+      val orders = Lake.table(spark, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val src = freshName("s55_src_")
+      orders.createOrReplaceTempView(src)
+      GraftSql.execute(spark, s"CREATE TABLE $n1 AS SELECT * FROM $src")
+      GraftSql.execute(spark,
+        s"CREATE TABLE $n2 AS SELECT * FROM $src WHERE o_orderstatus = 'O'")
+      GraftSql.execute(spark,
+        s"CREATE VIEW $v1 AS SELECT o_orderstatus AS st, " +
+          s"count(*) AS cnt, sum(price_c) AS ps FROM $n1 " +
+          "GROUP BY o_orderstatus")
+      GraftSql.execute(spark, s"DROP TABLE $n2") // the drop persists too
+      // a FRESH SESSION starts with an empty registry…
+      GraftSql.resetSession()
+      require(GraftSql.query(spark, "SHOW TABLES")
+        .filter(col("name").startsWith(pre)).count() == 0,
+        "the cleared session must see nothing")
+      // …and rebinding the catalog restores the durable state
+      GraftSql.enableCatalog(spark)
+      val shown = GraftSql.query(spark, "SHOW TABLES")
+        .filter(col("name").startsWith(pre))
+        .collect().map(_.getString(0)).toSet
+      require(shown == Set(n1.toLowerCase),
+        s"reload must restore $n1 and keep $n2 dropped, got $shown")
+      require(GraftSql.query(spark, "SHOW VIEWS")
+        .filter(col("name").startsWith(pre))
+        .collect().map(_.getString(0)).toSet == Set(v1.toLowerCase),
+        "the view must survive the session boundary")
+      // the entries are COMMITS on the catalog table, not session state
+      val catProps = TxnTable.properties(d + "/_graft_catalog")
+      require(catProps.contains(s"table:${n1.toLowerCase}") &&
+        catProps.contains(s"view:${v1.toLowerCase}") &&
+        !catProps.contains(s"table:${n2.toLowerCase}"),
+        s"catalog properties must carry exactly the live entries")
+      require(GraftSql.query(spark,
+        s"SELECT count(*) AS c FROM $n1").head().getLong(0)
+        == orders.count(), "the reloaded table must serve its rows")
+      // the reloaded VIEW serves over the reloaded TABLE
+      GraftSql.query(spark,
+        s"SELECT st, cnt, ps FROM $v1 ORDER BY st")
+    } finally {
+      GraftSql.disableCatalog()
+      GraftSql.unregister(n1); GraftSql.unregister(n2)
+      GraftSql.unregisterView(v1)
+      w0 match {
+        case Some(w) => GraftSql.setWarehouse(w)
+        case None => GraftSql.setWarehouse(null)
+      }
+    }
+  }
+
   /** S53: `ALTER TABLE t ALTER COLUMN c TYPE BIGINT` — type WIDENING
     * as a metadata-only commit: the schema evolution a growing table
     * always hits (a key outgrows int32) that would otherwise force a
@@ -768,19 +837,39 @@ object SqlDmlQueries {
         .filter(col("name").startsWith(pre)).count()
       val shownV = GraftSql.query(spark, "SHOW VIEWS")
         .filter(col("name").startsWith(pre)).count()
+      // a CLUSTERED table for the layout-spec panel (created BEFORE
+      // the zero-footer window: its write-time stats harvest opens
+      // footers; DESCRIBE DETAIL itself must not)
+      val n3 = pre + "c"
+      TxnTable.createClustered(spark, d + "/c", orders,
+        Seq(col("o_custkey")), targetFiles = 4)
+      GraftSql.register(n3, d + "/c")
       // DESCRIBE DETAIL answers from the log alone: zero footer reads
       val f0 = graft.crawler.SkippingIndex.footerReads.get()
       val det = GraftSql.query(spark, s"DESCRIBE DETAIL $n1")
         .select(col("version"), col("earliest_version"),
           col("num_files"), col("total_rows"), col("num_dv_files"),
           col("num_constraints")).head()
+      // layout spec + stats coverage — the operator's "is pruning
+      // zero-footer here?" panel, still entirely log metadata
+      val detC = GraftSql.query(spark, s"DESCRIBE DETAIL $n3")
+        .select(col("cluster_by"), col("target_files"),
+          col("stats_coverage")).head()
+      GraftSql.unregister(n3)
+      // the UNclustered table reports no layout (null columns)
+      val detP = GraftSql.query(spark, s"DESCRIBE DETAIL $n1")
+        .select(col("cluster_by"), col("target_files")).head()
+      require(detP.isNullAt(0) && detP.isNullAt(1),
+        "a plain create must report no layout spec")
       require(graft.crawler.SkippingIndex.footerReads.get() == f0,
         "DESCRIBE DETAIL must never open a footer")
       import spark.implicits._
       Seq((shownT, shownV, det.getLong(0), det.getLong(1),
-        det.getLong(2), det.getLong(3), det.getLong(4), det.getLong(5)))
+        det.getLong(2), det.getLong(3), det.getLong(4), det.getLong(5),
+        detC.getString(0), detC.getLong(1), detC.getDouble(2)))
         .toDF("tables_cnt", "views_cnt", "version", "earliest_version",
-          "num_files", "total_rows", "num_dv_files", "num_constraints")
+          "num_files", "total_rows", "num_dv_files", "num_constraints",
+          "cluster_by", "target_files", "stats_coverage")
     } finally {
       GraftSql.unregister(n1); GraftSql.unregister(n2)
       GraftSql.unregisterView(v1)
@@ -1282,6 +1371,7 @@ object SqlDmlQueries {
     "s52_copy_into" -> (s52CopyInto _),
     "s53_widen_type" -> (s53WidenType _),
     "s54_copy_csv" -> (s54CopyCsv _),
+    "s55_catalog_persist" -> (s55CatalogPersist _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -1453,6 +1543,13 @@ object SqlDmlQueries {
     // their after-image price, deleted F-band rows a NULL payload
     // both landed batches (= all of orders) minus the MOR-deleted low
     // F band; idempotence/incrementality/zero-copy asserted in-run
+    // the persisted view's aggregate over the persisted table = the
+    // same aggregate over raw orders (session-boundary reload, the
+    // dropped-table fence, and the commit-level audit asserted in-run)
+    "s55_catalog_persist" ->
+      """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS ps
+        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin,
     // the oracle reads the GATE'S OWN landing files back with DuckDB's
     // read_csv — the deterministic /tmp/graft_s54_csv drop the engine
     // loaded (idempotence/materialization/atomic-abort asserted in-run)
@@ -1524,7 +1621,10 @@ object SqlDmlQueries {
         |  CAST(4 AS BIGINT) AS num_files,
         |  CAST(count(*) AS BIGINT) AS total_rows,
         |  CAST(0 AS BIGINT) AS num_dv_files,
-        |  CAST(1 AS BIGINT) AS num_constraints
+        |  CAST(1 AS BIGINT) AS num_constraints,
+        |  'o_custkey' AS cluster_by,
+        |  CAST(4 AS BIGINT) AS target_files,
+        |  CAST(1.0 AS DOUBLE) AS stats_coverage
         |FROM orders""".stripMargin,
     // OPTIMIZE changes no logical content: final state = orders plus
     // six shifted copies of the band's 50 lowest-key rows (keys reduce

@@ -921,7 +921,122 @@ object StreamingQueries {
       .orderBy(col("op"))
   }
 
+  /** ST22: FOLLOW-SCHEMA change-feed generations — the CDC
+    * schema-evolution handshake: a mid-feed ALTER rolls the spool to
+    * `gen-<v>` stamped with the new schema; the old generation ends
+    * with one typed `end_of_generation` row whose to_version points
+    * at the next generation; the consumer drains gen-0, re-binds at
+    * the pointer, and the reassembled feed carries the update (old
+    * shape) plus the post-ALTER insert/delete images (new shape,
+    * discount present). In-run: generation list, terminal typing +
+    * pointer, and pump-checkpoint-loss idempotence (every marker
+    * no-ops, terminal included). Oracle replays the three change sets
+    * relationally. */
+  def st22ChangesGenerations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    import graft.streaming.StreamChanges
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft_st22").toString
+    val t = s"$root/orders_txn"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val m = orders.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ck, kx) = (m.getLong(0), m.getLong(1))
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 10) // v0
+    TxnTable.updateWhere(spark, t,
+      col("o_orderstatus") === "O" &&
+        col("o_custkey").between(ck / 2, ck / 2 + ck / 8),
+      Map("price_c" -> (col("price_c") * 2))) // v1: old-shape update
+    val spool = s"$root/spool"
+    def drain(frame: DataFrame, userCkpt: String, sink: String): Long = {
+      val q = frame.writeStream.option("checkpointLocation", userCkpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => b.write.mode("append").parquet(sink); ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      if (Files.isDirectory(java.nio.file.Paths.get(sink)))
+        spark.read.parquet(sink).count()
+      else 0L
+    }
+    // pass 1 (tail past the snapshot): one generation, the v1 update
+    drain(StreamChanges.readChangesStreamFollow(spark, t, spool,
+      s"$root/pc", Seq("o_orderkey"), Some(1L)),
+      s"$root/uc0", s"$root/sink0")
+    require(StreamChanges.generations(spool) == Seq(0L),
+      s"one bootstrap generation expected, got " +
+        s"${StreamChanges.generations(spool)}")
+    // mid-feed ALTER, then post-ALTER data under the new schema
+    TxnTable.addColumns(spark, t,
+      Seq(("discount", org.apache.spark.sql.types.LongType))) // v2
+    TxnTable.append(spark, t,
+      orders.filter(col("o_custkey") <= ck / 16)
+        .select((col("o_orderkey") + kx).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("price_c"),
+          col("o_custkey").as("discount"))) // v3
+    TxnTable.deleteWhereMor(spark, t,
+      col("o_orderstatus") === "F" && col("o_custkey") <= ck / 10) // v4
+    // the SAME pump rolls instead of refusing
+    StreamChanges.pumpFollowSchema(spark, t, spool, s"$root/pc",
+      Seq("o_orderkey"))
+    require(StreamChanges.generations(spool) == Seq(0L, 2L),
+      s"the ALTER must roll gen-2, got " +
+        s"${StreamChanges.generations(spool)}")
+    // the consumer finishes gen-0 on its SAME checkpoint: exactly the
+    // typed terminal row, pointing at the next generation
+    drain(StreamChanges.readGeneration(spark, spool, 0L,
+      Seq("o_orderkey")), s"$root/uc0", s"$root/sink0b")
+    val term = spark.read.parquet(s"$root/sink0b").collect()
+    require(term.length == 1 &&
+      term.head.getAs[String]("op") == "end_of_generation" &&
+      term.head.getAs[Long]("to_version") == 2L,
+      s"gen-0 must end with one typed terminal row, got " +
+        term.map(_.toString).mkString("; "))
+    // …and re-binds at the pointer for the new-shape images
+    drain(StreamChanges.readGeneration(spark, spool, 2L,
+      Seq("o_orderkey")), s"$root/uc1", s"$root/sink1")
+    // pump-checkpoint loss: every marker (terminal included) no-ops
+    def ranges(): Set[String] =
+      StreamChanges.generations(spool).flatMap { g =>
+        val it = Files.list(java.nio.file.Paths.get(s"$spool/gen-$g"))
+        try {
+          import scala.jdk.CollectionConverters._
+          it.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("r")).map(n => s"gen-$g/$n").toSeq
+        } finally it.close()
+      }.toSet
+    val before = ranges()
+    StreamChanges.pumpFollowSchema(spark, t, spool, s"$root/pc_fresh",
+      Seq("o_orderkey"))
+    require(ranges() == before &&
+      StreamChanges.generations(spool) == Seq(0L, 2L),
+      "a checkpoint-lost pump must no-op on every marker")
+    // reassembled feed: both generations' data rows, one aggregate
+    val g0 = spark.read.parquet(s"$root/sink0")
+      .filter(col("op") =!= "end_of_generation")
+      .select(col("op"), col("o_orderkey"),
+        col("before.price_c").as("bpc"), col("after.price_c").as("apc"),
+        lit(null).cast("long").as("disc"))
+    val g1 = spark.read.parquet(s"$root/sink1")
+      .select(col("op"), col("o_orderkey"),
+        col("before.price_c").as("bpc"), col("after.price_c").as("apc"),
+        col("after.discount").as("disc"))
+    g0.unionAll(g1)
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("bpc")).as("before_sum"),
+        sum(col("apc")).as("after_sum"),
+        sum(col("disc")).as("disc_sum"))
+      .orderBy(col("op"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st22_changes_generations" -> (st22ChangesGenerations _),
     "st21_changes_tail" -> (st21ChangesTail _),
     "st20_changes_stream" -> (st20ChangesStream _),
     "st19_stream_replica" -> (st19StreamReplica _),
@@ -1014,6 +1129,42 @@ object StreamingQueries {
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the reassembled two-generation feed: the v1 O-band update (old
+    // shape, disc null), the v3 tranche inserts (new shape, discount
+    // = custkey), the v4 F-band deletes (base <= ck/10 plus the
+    // tranche's own F rows at <= ck/16, shifted keys); terminal rows
+    // and generation mechanics asserted in-run
+    "st22_changes_generations" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck,
+        |    CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),
+        |base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |rows_ AS (
+        |  SELECT 'update' AS op, o_orderkey AS k, pc AS bpc,
+        |    pc * 2 AS apc, CAST(NULL AS BIGINT) AS disc
+        |  FROM base, b
+        |  WHERE o_orderstatus = 'O'
+        |    AND o_custkey BETWEEN b.ck//2 AND b.ck//2 + b.ck//8
+        |  UNION ALL
+        |  SELECT 'insert', o_orderkey + b.kx, CAST(NULL AS BIGINT),
+        |    pc, CAST(o_custkey AS BIGINT)
+        |  FROM base, b WHERE o_custkey <= b.ck//16
+        |  UNION ALL
+        |  SELECT 'delete', o_orderkey, pc, CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT)
+        |  FROM base, b
+        |  WHERE o_orderstatus = 'F' AND o_custkey <= b.ck//10
+        |  UNION ALL
+        |  SELECT 'delete', o_orderkey + b.kx, pc, CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT)
+        |  FROM base, b
+        |  WHERE o_orderstatus = 'F' AND o_custkey <= b.ck//16)
+        |SELECT op, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(bpc) AS BIGINT) AS before_sum,
+        |  CAST(sum(apc) AS BIGINT) AS after_sum,
+        |  CAST(sum(disc) AS BIGINT) AS disc_sum
+        |FROM rows_ GROUP BY op ORDER BY op""".stripMargin,
     // the tail feed sees ONLY v2 (tranche inserts) and v3 (F-band
     // deletes — original rows at <= ck/10 plus the tranche's own F
     // rows at <= ck/16, shifted keys); v0/v1 never reach the spool

@@ -50,7 +50,8 @@ object GraftSql {
   private val views = new ConcurrentHashMap[String, LogicalPlan]()
 
   def unregisterView(name: String): Unit = {
-    views.remove(name.toLowerCase); ()
+    views.remove(name.toLowerCase)
+    persistDrop(s"view:${name.toLowerCase}")
   }
 
   /** Register `name` as DML target for the TxnTable at `path`;
@@ -65,10 +66,14 @@ object GraftSql {
       !views.containsKey(nm.split('.').last),
       s"$name is an existing view — DROP VIEW first (a table " +
         "registration would silently shadow it)")
-    tables.put(nm, Reg(path, mor)); ()
+    tables.put(nm, Reg(path, mor))
+    persistTable(nm, path, mor)
   }
 
-  def unregister(name: String): Unit = { tables.remove(name.toLowerCase); () }
+  def unregister(name: String): Unit = {
+    tables.remove(name.toLowerCase)
+    persistDrop(s"table:${name.toLowerCase}")
+  }
 
   /** Two directory spellings name the same location? Normalized +
     * absolutized, so `dir`, `dir/`, and `a/./dir` all agree; distinct
@@ -626,7 +631,10 @@ object GraftSql {
           require(cv.allowExisting,
             s"view $nm already exists — use CREATE OR REPLACE VIEW")
           // IF NOT EXISTS: the existing definition stands untouched
-        } else views.put(nm, cv.query)
+        } else {
+          views.put(nm, cv.query)
+          persistView(nm, cv.originalText)
+        }
         -1L
 
       // DROP TABLE = UNREGISTER (external-table semantics: the
@@ -646,6 +654,7 @@ object GraftSql {
         val existed = tables.remove(nm) != null
         require(existed || dt.ifExists,
           s"no such registered table $nm — use DROP TABLE IF EXISTS")
+        if (existed) persistDrop(s"table:$nm")
         -1L
 
       case dv: DropView =>
@@ -658,6 +667,7 @@ object GraftSql {
         val existed = views.remove(nm) != null
         require(existed || dv.ifExists,
           s"no such view $nm — use DROP VIEW IF EXISTS")
+        if (existed) persistDrop(s"view:$nm")
         -1L
 
       case other => throw new IllegalArgumentException(
@@ -677,6 +687,101 @@ object GraftSql {
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
   def setWarehouse(dir: String): Unit = warehouseRoot.set(dir)
+
+  def getWarehouse: Option[String] = Option(warehouseRoot.get)
+
+  // -- persistent catalog ---------------------------------------------------
+  //
+  // Registrations and views are durable TABLE STATE when a catalog is
+  // enabled: the registry lives in a warehouse-root TxnTable whose
+  // PROPERTIES map is the catalog (`table:<name>` → {path, mor} JSON,
+  // `view:<name>` → the view's SQL text). Every register / CREATE /
+  // DROP is one atomic metadata commit (tryCommit is create-exclusive
+  // per version), so two sessions mutating the catalog serialize at
+  // the commit level — no overwrite race can drop an entry — and a
+  // fresh session loads the same names every other session sees.
+  // DESCRIBE HISTORY on the catalog table is the audit trail for free.
+
+  private val catalogPath =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Bind (creating if absent) the persistent catalog at
+    * `<warehouse>/_graft_catalog` and load its entries into this
+    * session's registry. Needs [[setWarehouse]] first. */
+  def enableCatalog(spark: SparkSession): Unit = {
+    val root = Option(warehouseRoot.get).getOrElse(
+      throw new IllegalArgumentException(
+        "enableCatalog needs a warehouse root — GraftSql.setWarehouse"))
+    val p = java.nio.file.Paths.get(root).resolve("_graft_catalog")
+      .toString
+    if (TxnTable.currentVersion(p) < 0)
+      TxnTable.create(spark,
+        p, spark.range(0).selectExpr("cast(id as string) as _unused"))
+    catalogPath.set(p)
+    loadCatalog(spark)
+  }
+
+  /** Stop persisting (the in-memory registry stays as-is). */
+  def disableCatalog(): Unit = catalogPath.set(null)
+
+  /** Clear this session's in-memory registry — what a FRESH process
+    * starts with; [[enableCatalog]] then reloads the durable state. */
+  def resetSession(): Unit = { tables.clear(); views.clear() }
+
+  private def loadCatalog(spark: SparkSession): Unit = {
+    val p = catalogPath.get
+    if (p == null) return
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    // views load AFTER tables so the no-shadow guards see the full
+    // table set; entries merge over (never clear) session-local state
+    val props = TxnTable.properties(p)
+    props.foreach {
+      case (k, v) if k.startsWith("table:") =>
+        val j = JsonMethods.parse(v)
+        tables.put(k.stripPrefix("table:"),
+          Reg((j \ "path").extract[String], (j \ "mor").extract[Boolean]))
+      case _ => ()
+    }
+    props.foreach {
+      case (k, v) if k.startsWith("view:") =>
+        views.put(k.stripPrefix("view:"),
+          spark.sessionState.sqlParser.parsePlan(v))
+      case _ => ()
+    }
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def persistTable(nm: String, path: String, mor: Boolean): Unit = {
+    val p = catalogPath.get
+    if (p != null) TxnTable.setProperties(p,
+      Map(s"table:$nm" -> s"""{"path":${jstr(path)},"mor":$mor}"""))
+  }
+
+  private def persistView(nm: String, text: Option[String]): Unit = {
+    val p = catalogPath.get
+    if (p == null) return
+    val t = text.getOrElse(throw new IllegalArgumentException(
+      s"view $nm has no SQL text to persist — a persistent catalog " +
+        "needs CREATE VIEW statement text"))
+    TxnTable.setProperties(p, Map(s"view:$nm" -> t))
+  }
+
+  private def persistDrop(key: String): Unit = {
+    val p = catalogPath.get
+    if (p != null) TxnTable.unsetProperties(p, Seq(key), ifExists = true)
+  }
 
   // parsePlan hands the PRE-analysis spec (UnresolvedTableSpec); the
   // resolved TableSpec only exists after analysis — accept both

@@ -182,6 +182,209 @@ object StreamChanges {
     spark.readStream.schema(schema).parquet(s"$spoolDir/r*")
   }
 
+  // -- follow-schema generations --------------------------------------------
+  //
+  // The pinned-stamp feed REFUSES to cross an ALTER (the default: a
+  // consumer with a fixed schema must never silently mis-bind). The
+  // follow-schema variant instead ROLLS the spool at each metadata-only
+  // schema change: ranges live under `spoolDir/gen-<v>/` (v = the first
+  // version the generation covers), each generation stamped with ITS
+  // schema; the old generation ends with one TYPED terminal row
+  // (`op = "end_of_generation"`, whose `to_version` IS the next
+  // generation's id), so a consumer drains a generation, sees the
+  // terminal row, and re-binds via [[readGeneration]] — the CDC
+  // schema-evolution handshake, with no window where rows bind wrong.
+  // Commits that change schema AND data in one version stay refused
+  // (no single-schema image shape exists). Each generation directory
+  // is spool-shaped (`r*` ranges + watermark), so [[vacuumSpool]]
+  // retention applies per generation.
+
+  private def listGens(root: java.nio.file.Path): Seq[Long] =
+    if (!Files.isDirectory(root)) Nil
+    else {
+      val it = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("gen-"))
+          .map(_.stripPrefix("gen-").toLong).toSeq.sorted
+      } finally it.close()
+    }
+
+  private def createStamped(genDir: java.nio.file.Path,
+      schemaJson: String): Unit = {
+    Files.createDirectories(genDir)
+    if (!Files.exists(stampPath(genDir))) {
+      val tmp = genDir.resolve(s".stamp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp,
+        schemaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try { Files.move(tmp, stampPath(genDir),
+        StandardCopyOption.ATOMIC_MOVE); () }
+      catch { case _: java.nio.file.FileSystemException =>
+        Files.deleteIfExists(tmp); () }
+    }
+  }
+
+  private def readStamp(genDir: java.nio.file.Path): StructType =
+    DataType.fromJson(new String(Files.readAllBytes(stampPath(genDir)),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+
+  /** Drain every commit not yet spooled into GENERATION directories,
+    * rolling at each metadata-only schema change. Same checkpoint /
+    * idempotence discipline as [[pump]]. */
+  def pumpFollowSchema(spark: SparkSession, srcPath: String,
+      spoolDir: String, checkpointDir: String, keyCols: Seq[String],
+      startingVersion: Option[Long] = None): Unit = {
+    val root = Paths.get(spoolDir)
+    Files.createDirectories(root)
+    val q = StreamIvm.changesStream(spark, srcPath,
+      startingVersion.map(_.toString)).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val vs = batch.select(col("version")).collect()
+            .map(_.getLong(0)).sorted
+          vs.foreach(v =>
+            spoolFollow(batch.sparkSession, srcPath, spoolDir, v, keyCols))
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+  }
+
+  /** Generations of a follow-schema spool, oldest first (a rolled
+    * generation's id is the schema-change version that opened it; the
+    * bootstrap generation is named by its pinning from-version). */
+  def generations(spoolDir: String): Seq[Long] =
+    listGens(Paths.get(spoolDir))
+
+  /** The STREAMING frame over ONE generation, bound to that
+    * generation's own pinned schema. A consumer runs a generation to
+    * its terminal row, then re-binds here with the terminal row's
+    * `to_version` as `gen`. */
+  def readGeneration(spark: SparkSession, spoolDir: String, gen: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val gd = Paths.get(spoolDir).resolve(s"gen-$gen")
+    require(Files.exists(stampPath(gd)),
+      s"readGeneration: no generation $gen under $spoolDir")
+    spark.readStream.schema(feedSchema(readStamp(gd), keyCols))
+      .parquet(s"$spoolDir/gen-$gen/r*")
+  }
+
+  /** One follow-schema pump pass, then the OLDEST generation's
+    * streaming frame — the entry point mirroring [[readChangesStream]]
+    * for feeds that must survive ALTERs. */
+  def readChangesStreamFollow(spark: SparkSession, srcPath: String,
+      spoolDir: String, pumpCheckpointDir: String, keyCols: Seq[String],
+      startingVersion: Option[Long] = None): DataFrame = {
+    pumpFollowSchema(spark, srcPath, spoolDir, pumpCheckpointDir,
+      keyCols, startingVersion)
+    val gens = generations(spoolDir)
+    require(gens.nonEmpty, s"no generations spooled under $spoolDir")
+    readGeneration(spark, spoolDir, gens.head, keyCols)
+  }
+
+  /** Spool version `v` into the CURRENT generation, rolling a new one
+    * at a schema change. Marker discipline: `r<v-1>_<v>` existing in
+    * ANY generation means v is already spooled (the terminal marker
+    * shares the naming, so a redelivered ALTER version no-ops the
+    * same way). */
+  private def spoolFollow(spark: SparkSession, srcPath: String,
+      spoolDir: String, v: Long, keyCols: Seq[String]): Unit = {
+    val root = Paths.get(spoolDir)
+    val gens = listGens(root)
+    if (gens.exists(g => Files.exists(
+        root.resolve(s"gen-$g").resolve(s"r${v - 1}_$v"))))
+      return // redelivered version (data range or terminal): no-op
+    // the generation COVERING v (largest id <= v-1), never blindly the
+    // latest: a checkpoint-lost pump re-offers versions from BEFORE
+    // the feed's start — those have no covering generation and must
+    // no-op (spooling them under a later generation's schema would be
+    // exactly the mis-binding this feed exists to prevent)
+    val covering = gens.filter(_ <= v - 1)
+    if (gens.nonEmpty && covering.isEmpty) return
+    val (genDir, pinned) =
+      if (gens.isEmpty) {
+        // bootstrap: stamped with the FROM side's schema (v0 has no
+        // from side — its own create schema pins), and NAMED by that
+        // from version — so a first pumped version that is itself an
+        // ALTER rolls into a distinct gen-<v> instead of colliding
+        // with its own bootstrap directory
+        val baseV = math.max(v - 1, 0)
+        val j = TxnTable.read(spark, srcPath, baseV).schema.json
+        val gd = root.resolve(s"gen-$baseV")
+        createStamped(gd, j)
+        (gd, j)
+      } else {
+        val gd = root.resolve(s"gen-${covering.max}")
+        (gd, readStamp(gd).json)
+      }
+    val vSchema = TxnTable.read(spark, srcPath, v).schema.json
+    if (vSchema == pinned) {
+      spoolRange(spark, srcPath, genDir, v - 1, v, keyCols, pinned)
+      return
+    }
+    // schema change at v: a commit that ALSO changed data has no
+    // single-schema image shape — same refusal as the pinned feed
+    val dataChanged = v == 0 ||
+      TxnTable.snapshotFiles(srcPath, v - 1).toSet !=
+        TxnTable.snapshotFiles(srcPath, v).toSet ||
+      TxnTable.snapshotDvs(srcPath, v - 1) !=
+        TxnTable.snapshotDvs(srcPath, v)
+    if (dataChanged) throw new IllegalStateException(
+      s"change feed cannot represent version $v of $srcPath: the " +
+        "commit changed the schema AND data rows in one version, so " +
+        "its images have no single-schema shape. Re-materialize the " +
+        "consumer from a snapshot at or after this version.")
+    // terminal row in the OLD generation: typed, and its to_version
+    // points at the NEW generation's id
+    val core = feedSchema(DataType.fromJson(pinned)
+      .asInstanceOf[StructType], keyCols)
+    val terminal = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(
+          keyCols.map(_ => null) ++
+            Seq("end_of_generation", null, null, v - 1, v))), core)
+    val tmp = genDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    terminal.write.parquet(tmp.toString)
+    publish(tmp, genDir.resolve(s"r${v - 1}_$v"))
+    // the new generation opens at v, stamped with the NEW schema;
+    // the ALTER commit itself changed no rows, so it needs no range
+    createStamped(root.resolve(s"gen-$v"), vSchema)
+  }
+
+  /** One data range into `genDir` — [[spool]]'s body parameterized by
+    * the target directory (the pinned-feed spool writes to the spool
+    * root; a follow-schema spool writes to its generation). */
+  private def spoolRange(spark: SparkSession, srcPath: String,
+      genDir: java.nio.file.Path, fromV: Long, toV: Long,
+      keyCols: Seq[String], pinnedSchemaJson: String): Unit = {
+    val rangeDir = genDir.resolve(s"r${fromV}_${toV}")
+    if (Files.exists(rangeDir)) return
+    if (toV < readWatermark(genDir)) return
+    val imgs =
+      if (fromV >= 0)
+        TxnTable.diffVersionsImages(spark, srcPath, fromV, toV, keyCols)
+      else {
+        val snap = TxnTable.read(spark, srcPath, toV)
+        val payload = snap.columns.filterNot(c =>
+          keyCols.exists(_.equalsIgnoreCase(c))).toSeq
+        val payloadType = StructType(snap.schema.fields.filterNot(f =>
+          keyCols.exists(_.equalsIgnoreCase(f.name))))
+        snap.select(keyCols.map(col) ++ Seq(
+          lit("insert").as("op"),
+          lit(null).cast(payloadType).as("before"),
+          struct(payload.map(col): _*).as("after")): _*)
+      }
+    val out = imgs.withColumn("from_version", lit(fromV))
+      .withColumn("to_version", lit(toV))
+    val tmp = genDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    out.write.parquet(tmp.toString)
+    publish(tmp, rangeDir)
+  }
+
   /** Tail-follow feed: changes from NOW on — the next commit after the
     * current head is the first range, so a 100 TB table's feed starts
     * with ZERO initial-load spool (contrast the default feed, whose

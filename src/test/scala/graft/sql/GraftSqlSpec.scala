@@ -908,6 +908,60 @@ class GraftSqlSpec extends SparkSpecBase {
     } finally GraftSql.unregister(n)
   }
 
+  test("persistent catalog: registrations, mor routing, and views " +
+    "survive a session reset; reload re-arms the conflict guards") {
+    val d = Files.createTempDirectory("graft_pcat").toString
+    val w0 = GraftSql.getWarehouse
+    GraftSql.setWarehouse(d)
+    val pv = "pv" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (t, n) = try {
+      GraftSql.enableCatalog(spark)
+      val (t, n) = mk() // register() persists now that a catalog is bound
+      GraftSql.register(n, t, mor = true) // re-register flips + persists
+      GraftSql.execute(spark,
+        s"CREATE VIEW $pv AS SELECT id, v FROM $n WHERE v >= 20")
+      // ---- fresh session ----
+      GraftSql.resetSession()
+      assert(GraftSql.query(spark, "SHOW TABLES").filter(col("name") === n)
+        .count() == 0, "a fresh session starts empty")
+      GraftSql.enableCatalog(spark)
+      // the reloaded registration carries its MOR routing
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 1")
+      assert(TxnTable.commits(t).last.op == "dvdelete",
+        "the persisted mor flag must route a fresh session's DML")
+      // the reloaded view serves over the reloaded table
+      assert(GraftSql.query(spark,
+        s"SELECT count(*) AS c FROM $pv").head().getLong(0) == 3L)
+      // conflict guards re-arm from the reloaded state: registering
+      // over the persisted view's name is refused
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.register(pv, t)
+      }
+      assert(e.getMessage.contains("existing view"), e.getMessage)
+      // a DROP VIEW is durable too
+      GraftSql.execute(spark, s"DROP VIEW $pv")
+      GraftSql.resetSession()
+      GraftSql.enableCatalog(spark)
+      assert(GraftSql.query(spark, "SHOW VIEWS")
+        .filter(col("name") === pv).count() == 0,
+        "the dropped view must stay dropped across sessions")
+      GraftSql.register(pv, t) // the name is free again after the drop
+      GraftSql.unregister(pv)
+      (t, n)
+    } finally {
+      GraftSql.disableCatalog()
+      w0 match {
+        case Some(w) => GraftSql.setWarehouse(w)
+        case None => GraftSql.setWarehouse(null)
+      }
+    }
+    GraftSql.unregister(n)
+    // enableCatalog without a warehouse fails loudly
+    GraftSql.setWarehouse(null)
+    intercept[IllegalArgumentException] { GraftSql.enableCatalog(spark) }
+    w0.foreach(GraftSql.setWarehouse)
+  }
+
   test("SET/UNSET/SHOW TBLPROPERTIES: table-state metadata commits; a " +
     "graft.mor flip re-routes subsequent DML merge-on-read") {
     val (t, n) = mk() // registered CoW

@@ -259,6 +259,107 @@ class StreamChangesSpec extends SparkSpecBase {
     assert(got.toSet == Set((3L, "insert")), s"got $got")
   }
 
+  test("follow-schema generations: a mid-feed ALTER rolls the spool, " +
+    "the old generation ends with a typed terminal row pointing at " +
+    "the next, and the reassembled feed equals the batch diffs") {
+    val root = Files.createTempDirectory("graft_stgen").toString
+    val t = s"$root/t"
+    TxnTable.create(spark, t,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))                  // v0
+    TxnTable.updateWhere(spark, t, col("id") === 1L,
+      Map("v" -> lit(11L)))                                       // v1
+    def drainFrame(df: org.apache.spark.sql.DataFrame, ckpt: String,
+        cols: Seq[String]): Seq[Row] = {
+      val sink = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = df.writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          sink ++= b.select(cols.map(col): _*).collect(); ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      sink.toSeq
+    }
+    // first pass: one generation, ordinary feed semantics
+    val g0 = drainFrame(
+      StreamChanges.readChangesStreamFollow(spark, t, s"$root/spool",
+        s"$root/pc", Seq("id")),
+      s"$root/uc0", Seq("id", "op", "to_version"))
+    assert(g0.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "insert"), (2L, "insert"), (1L, "update")))
+    assert(StreamChanges.generations(s"$root/spool") == Seq(0L))
+    // mid-feed ALTER, then post-ALTER data under the NEW schema
+    TxnTable.addColumns(spark, t,
+      Seq(("w", org.apache.spark.sql.types.LongType)))            // v2
+    TxnTable.append(spark, t,
+      Seq((3L, 30L, 300L)).toDF("id", "v", "w"))                  // v3
+    TxnTable.deleteWhereMor(spark, t, col("id") === 2L)           // v4
+    // the SAME pump (same checkpoint) rolls instead of refusing
+    StreamChanges.pumpFollowSchema(spark, t, s"$root/spool",
+      s"$root/pc", Seq("id"))
+    assert(StreamChanges.generations(s"$root/spool") == Seq(0L, 2L))
+    // the consumer finishes gen-0 on its SAME checkpoint: exactly one
+    // new row — the typed terminal, whose to_version IS the next gen
+    val tail0 = drainFrame(
+      StreamChanges.readGeneration(spark, s"$root/spool", 0L, Seq("id")),
+      s"$root/uc0", Seq("id", "op", "to_version"))
+    assert(tail0.size == 1, s"got $tail0")
+    assert(tail0.head.isNullAt(0) &&
+      tail0.head.getString(1) == "end_of_generation" &&
+      tail0.head.getLong(2) == 2L)
+    // …re-binds at the pointer: the new generation carries the new
+    // payload shape (w present) and the post-ALTER changes
+    val g1 = drainFrame(
+      StreamChanges.readGeneration(spark, s"$root/spool",
+        tail0.head.getLong(2), Seq("id")),
+      s"$root/uc1", Seq("id", "op", "after.v", "after.w", "before.v"))
+    assert(g1.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((3L, "insert"), (2L, "delete")))
+    assert(g1.find(_.getString(1) == "insert").exists(r =>
+      r.getLong(2) == 30L && r.getLong(3) == 300L))
+    assert(g1.find(_.getString(1) == "delete").exists(_.getLong(4) == 20L))
+    // reassembled feed ≡ batch diffs op-for-op
+    val batchDiff = TxnTable.diffVersionsImages(spark, t, 2L, 4L,
+      Seq("id")).select(col("id"), col("op")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(g1.map(r => (r.getLong(0), r.getString(1))).toSet == batchDiff)
+    // exactly-once under pump-checkpoint loss: a FRESH pump re-offers
+    // every version; all no-op on their markers (terminal included)
+    def ranges(): Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      for (g <- StreamChanges.generations(s"$root/spool")) {
+        val it = Files.list(
+          java.nio.file.Paths.get(s"$root/spool/gen-$g"))
+        try it.iterator().forEachRemaining { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("r")) { out += s"gen-$g/$n"; () }
+        } finally it.close()
+      }
+      out.toSet
+    }
+    val before = ranges()
+    StreamChanges.pumpFollowSchema(spark, t, s"$root/spool",
+      s"$root/pc_fresh", Seq("id"))
+    assert(ranges() == before,
+      "a checkpoint-lost pump must no-op on every marker")
+    assert(StreamChanges.generations(s"$root/spool") == Seq(0L, 2L))
+    // a commit changing schema AND data in one version stays refused
+    val t2 = s"$root/t2"
+    TxnTable.create(spark, t2, Seq((1L, 1L)).toDF("id", "v"))
+    StreamChanges.pumpFollowSchema(spark, t2, s"$root/spool2",
+      s"$root/pc2", Seq("id"))
+    TxnTable.append(spark, t2, Seq((2L, 2L, 9L)).toDF("id", "v", "x"),
+      evolveSchema = true) // schema + data, one commit
+    val e = intercept[Exception] {
+      StreamChanges.pumpFollowSchema(spark, t2, s"$root/spool2",
+        s"$root/pc2", Seq("id"))
+    }
+    def chain(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ chain(x.getCause)
+    assert(chain(e).exists(_.contains("schema AND data")),
+      s"wrong failure: ${chain(e)}")
+  }
+
   test("spool publish: losing the rename race is benign, but any " +
     "other move failure rethrows (a swallowed one drops the version " +
     "from the feed forever)") {
