@@ -1182,7 +1182,8 @@ object TxnTable {
     * adopted files carry source column names, which cannot be bound
     * through a physical-name mapping). Returns the commit's version,
     * or the unchanged head when nothing was new. */
-  def copyInto(spark: SparkSession, path: String, srcDir: String): Long = {
+  def copyInto(spark: SparkSession, path: String, srcDir: String,
+      pattern: Option[String] = None): Long = {
     val top = currentVersion(path)
     require(top >= 0,
       s"copyInto: $path is not a TxnTable — CREATE it first")
@@ -1193,15 +1194,18 @@ object TxnTable {
         val seg = rel.getName(i).toString
         !seg.startsWith("_") && !seg.startsWith(".")
       }
+    val matches = patternMatcher(pattern)
     val walk = Files.walk(src)
     val listed =
       try walk.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet"))
-        .filter(p => visible(src.relativize(p)))
+        .filter(p => visible(src.relativize(p)) &&
+          matches(src.relativize(p)))
         .map(_.toAbsolutePath.normalize.toString).toSeq.sorted
       finally walk.close()
-    require(listed.nonEmpty, s"copyInto: no parquet files under $srcDir")
+    require(listed.nonEmpty, s"copyInto: no parquet files under $srcDir" +
+      pattern.map(g => s" matching PATTERN '$g'").getOrElse(""))
     def freshAt(v: Long): Seq[String] = {
       val already = addsIndex(path, v).keySet
       listed.filterNot(already.contains)
@@ -1289,6 +1293,22 @@ object TxnTable {
     -1L // unreachable
   }
 
+  /** COPY INTO's `PATTERN = '<glob>'` as a predicate over the path
+    * RELATIVE to the landing directory (`**` crosses directories, the
+    * standard glob contract) — scoping a load to one sub-drop of a
+    * shared landing zone without listing-order dependence. IDEMPOTENCE
+    * IS UNSCOPED by design: the loaded-source registry keys on
+    * absolute paths, so a file loaded under one pattern never reloads
+    * under a broader one. */
+  private def patternMatcher(pattern: Option[String]): JPath => Boolean =
+    pattern match {
+      case None => _ => true
+      case Some(g) =>
+        val m = java.nio.file.FileSystems.getDefault
+          .getPathMatcher("glob:" + g)
+        rel => m.matches(rel)
+    }
+
   /** Source files already materialized by a formatted COPY INTO
     * (csv/json), replayed from `copyinto:<fmt>:<json-array>` commit
     * ops — the idempotence registry for sources whose BYTES were
@@ -1329,7 +1349,7 @@ object TxnTable {
     * but does not FIT its table type (cast returns null on a non-null
     * input) aborts the whole batch atomically — nothing commits. */
   def copyIntoFormat(spark: SparkSession, path: String, srcDir: String,
-      format: String): Long = {
+      format: String, pattern: Option[String] = None): Long = {
     val fmt = format.toLowerCase
     require(fmt == "csv" || fmt == "json",
       s"copyIntoFormat: unsupported format $format (CSV or JSON; " +
@@ -1344,16 +1364,19 @@ object TxnTable {
         val seg = rel.getName(i).toString
         !seg.startsWith("_") && !seg.startsWith(".")
       }
+    val matches = patternMatcher(pattern)
     val ext = "." + fmt
     val walk = Files.walk(src)
     val listed =
       try walk.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(ext))
-        .filter(p => visible(src.relativize(p)))
+        .filter(p => visible(src.relativize(p)) &&
+          matches(src.relativize(p)))
         .map(_.toAbsolutePath.normalize.toString).toSeq.sorted
       finally walk.close()
-    require(listed.nonEmpty, s"copyInto: no $fmt files under $srcDir")
+    require(listed.nonEmpty, s"copyInto: no $fmt files under $srcDir" +
+      pattern.map(g => s" matching PATTERN '$g'").getOrElse(""))
     def freshAt(v: Long): Seq[String] =
       listed.filterNot(copySourcesInfo(path, v).contains)
     val fresh = freshAt(top)

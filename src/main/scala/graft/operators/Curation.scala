@@ -384,4 +384,40 @@ object Curation {
           .otherwise(size(col("__tk")) - size(col("__drop")))
           .cast("long").as("tokens_kept"))
   }
+
+  /** Per-document UNIGRAM SURPRISAL — the cheap novelty/quality signal
+    * a pretraining pipeline runs before anything model-based: a
+    * document of corpus-rare tokens scores high (novel or noisy), one
+    * of stock phrases scores low (boilerplate); both tails are what
+    * curation samples or drops. Output: one row per document with
+    * `tokens` (count) and `surprisal_micronats` — Σ over tokens of
+    * round(ln(total/count(token)) · 10⁶). The per-token weight is
+    * QUANTIZED to integer micro-nats BEFORE the per-document sum, so
+    * cross-engine replay is exact integer arithmetic (the established
+    * micro-unit trick) rather than an order-dependent float sum;
+    * divide by `tokens` for mean nats.
+    *
+    * Scale: one token-frequency aggregate (shuffle on term), one
+    * term-keyed join back (AQE is free to broadcast a small
+    * vocabulary; a 100 TB corpus's vocabulary shuffles — still
+    * O(tokens)), one doc-keyed aggregate. The corpus token total rides
+    * a broadcast single-row cross join, never a driver collect in the
+    * plan. No all-pairs anything. */
+  def unigramSurprisal(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val vocab = tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("__cnt"))
+    val total = vocab.agg(sum(col("__cnt")).as("__total"))
+    tok.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("__total").cast("double") / col("__cnt")) *
+          1000000L).cast("long").as("__mn"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tokens"),
+        sum(col("__mn")).as("surprisal_micronats"))
+  }
 }

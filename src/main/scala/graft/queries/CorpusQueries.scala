@@ -722,6 +722,31 @@ object CorpusQueries {
       .orderBy(col("source"), col("split"))
   }
 
+  /** L45: per-document unigram surprisal — the cheap novelty/quality
+    * signal before anything model-based: high = corpus-rare tokens
+    * (novel or noisy), low = boilerplate; curation samples or drops
+    * both tails. Per-token weights quantize to integer micro-nats
+    * (round(ln(total/cnt)·10⁶)) BEFORE the per-document sum, so the
+    * DuckDB replay is exact integer arithmetic; ranking is the rounded
+    * mean with doc_id tie-break. In-run: token conservation (Σ
+    * per-doc tokens ≡ the corpus token count). */
+  def l45Surprisal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val s = graft.operators.Curation
+      .unigramSurprisal(docs, "doc_id", "text")
+    val corpusTokens = docs.select(explode(split(col("text"), " "))
+      .as("t")).filter(length(col("t")) > 0).count()
+    val fed = s.agg(sum(col("tokens"))).head().getLong(0)
+    require(fed == corpusTokens,
+      s"surprisal must conserve tokens: $fed vs $corpusTokens")
+    s.select(col("doc_id"), col("tokens"),
+      col("surprisal_micronats").as("sm"),
+      round(col("surprisal_micronats").cast("double") /
+        col("tokens") / 1000000L, 6).as("avg_nats"))
+      .orderBy(col("avg_nats").desc, col("doc_id")).limit(20)
+  }
+
   def l43UrlCanonDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Lake.table(spark, dir, "documents")
       .select(col("doc_id"), col("source"))
@@ -1039,6 +1064,7 @@ object CorpusQueries {
     "l42_line_curation" -> (l42LineCuration _),
     "l43_url_canon_dedup" -> (l43UrlCanonDedup _),
     "l44_hash_split" -> (l44HashSplit _),
+    "l45_surprisal" -> (l45Surprisal _),
     "l19_sparse_cosine" -> (l19SparseCosine _),
     "l20_mixture" -> (l20Mixture _),
     "l21_retention_delete" -> (l21RetentionDelete _),
@@ -1373,6 +1399,27 @@ object CorpusQueries {
     // the full canonicalization algorithm replayed step-for-step:
     // split_part / list_sort / list_filter are the DuckDB twins of the
     // Spark substring_index / array_sort / filter expressions
+    // per-token micro-nat weights quantized BEFORE the per-doc sum,
+    // so both engines sum exact integers; rounded-mean rank with
+    // doc_id tie-break; token conservation asserted in-run
+    "l45_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |    LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+        |  WHERE len(t.term) > 0),
+        |v AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+        |w AS (SELECT tok.doc_id,
+        |    CAST(round(ln(CAST(tot.total AS DOUBLE) / v.cnt) * 1000000)
+        |      AS BIGINT) AS mn
+        |  FROM tok JOIN v USING (term) CROSS JOIN tot),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens,
+        |    CAST(sum(mn) AS BIGINT) AS sm
+        |  FROM w GROUP BY 1)
+        |SELECT doc_id, tokens, sm,
+        |  round(CAST(sm AS DOUBLE) / tokens / 1000000, 6) AS avg_nats
+        |FROM d ORDER BY avg_nats DESC, doc_id LIMIT 20""".stripMargin,
     // the md5 bucket replayed digit-for-digit; integer thresholds
     // 52429/58982 = round(0.8*65536)/round(0.9*65536), same constants
     // the Spark side derives

@@ -119,11 +119,13 @@ object GraftSql {
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+""" + Ident +
       """\s+FROM\s+'([^']+)'""" +
-      """(?:\s+FORMAT\s+AS\s+(CSV|JSON|PARQUET))?\s*;?\s*$""").r
+      """(?:\s+FORMAT\s+AS\s+(CSV|JSON|PARQUET))?""" +
+      """(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + Ident +
       """\s+SHALLOW\s+CLONE\s+""" + Ident +
-      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|""" +
+      """\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
   private val RestoreTsRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Ident +
@@ -235,11 +237,14 @@ object GraftSql {
     // stats harvested); CSV/JSON materialize through the standard write
     // path (table-shape coercion + constraints) with the same
     // source-path idempotence; a re-run is a no-op at the unchanged head
-    case CopyIntoRe(name, dir, fmt) =>
+    case CopyIntoRe(name, dir, fmt, pat) =>
       val (reg, _) = lookup(parseIdent(name))
+      val pattern = Option(pat)
       Option(fmt).map(_.toLowerCase) match {
-        case None | Some("parquet") => TxnTable.copyInto(spark, reg.path, dir)
-        case Some(f) => TxnTable.copyIntoFormat(spark, reg.path, dir, f)
+        case None | Some("parquet") =>
+          TxnTable.copyInto(spark, reg.path, dir, pattern)
+        case Some(f) =>
+          TxnTable.copyIntoFormat(spark, reg.path, dir, f, pattern)
       }
 
     // CREATE TABLE c SHALLOW CLONE t [VERSION AS OF n] [LOCATION p]:
@@ -248,7 +253,7 @@ object GraftSql {
     // any size); the source's vacuum honors the clone's registry pin
     // until releaseClone. Spark's grammar has no CLONE, so this is a
     // statement head like the other lakehouse verbs.
-    case CloneRe(dstName, srcName, ver, loc) =>
+    case CloneRe(dstName, srcName, ver, ts, loc) =>
       val (srcReg, _) = lookup(parseIdent(srcName))
       val dn = parseIdent(dstName).mkString(".")
       val path = Option(loc)
@@ -266,8 +271,14 @@ object GraftSql {
         require(samePath(p, path),
           s"$dn is already registered at $p — unregister it first or " +
             s"use that LOCATION (got $path)"))
-      val v = TxnTable.cloneShallow(spark, srcReg.path, path,
-        Option(ver).map(_.toLong).getOrElse(-1L))
+      // the snapshot pin: an explicit version, a wall-clock instant
+      // (resolved through versionAt's log-mtime clock, pre-horizon
+      // fence included), or the head
+      val pinV = Option(ver).map(_.toLong)
+        .orElse(Option(ts).map(s => TxnTable.versionAt(srcReg.path,
+          timestampMillis(spark, Literal(s)))))
+        .getOrElse(-1L)
+      val v = TxnTable.cloneShallow(spark, srcReg.path, path, pinV)
       register(dn, path)
       v
 

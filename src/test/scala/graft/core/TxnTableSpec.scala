@@ -1556,6 +1556,49 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).filter(col("val") === 42L).count() == 1)
   }
 
+  test("COPY INTO PATTERN scopes the load by relative-path glob; " +
+    "idempotence stays absolute-path-keyed across patterns") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cipat").toString
+    val t = s"$root/t"
+    create(spark, t, Seq.empty[(Long, Long)].toDF("id", "v"))
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$root/land/a")
+    Seq((3L, 30L)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$root/land/b")
+    // scoped: only the a/ sub-drop loads
+    assert(copyInto(spark, t, s"$root/land",
+      Some("a/*.parquet")) == 1L)
+    assert(read(spark, t).count() == 2)
+    // a broader later run loads ONLY what the registry lacks: the
+    // a/ files never reload under the wider pattern
+    assert(copyInto(spark, t, s"$root/land", None) == 2L)
+    assert(read(spark, t).count() == 3)
+    assert(commits(t).last.adds.size == 1,
+      "the unscoped re-run must adopt only b/'s file")
+    // ** crosses directories (the standard glob contract)
+    Seq((4L, 40L)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$root/land/c/deep")
+    assert(copyInto(spark, t, s"$root/land",
+      Some("**/deep/*.parquet")) == 3L)
+    assert(read(spark, t).count() == 4)
+    // the formatted route takes the same scope
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/cland"))
+    Files.writeString(java.nio.file.Paths.get(s"$root/cland/x.csv"),
+      "id,v\n5,50\n")
+    Files.writeString(java.nio.file.Paths.get(s"$root/cland/y.csv"),
+      "id,v\n6,60\n")
+    assert(copyIntoFormat(spark, t, s"$root/cland", "csv",
+      Some("x.csv")) == 4L)
+    assert(read(spark, t).count() == 5)
+    assert(read(spark, t).filter(col("id") === 6L).count() == 0,
+      "y.csv is outside the pattern and must not load")
+    // an empty match is a loud error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      copyInto(spark, t, s"$root/land", Some("z/*.parquet"))
+    }
+  }
+
   test("binPack folds only small + DV-carrying files, leaves healthy " +
     "large files untouched, and no-ops at the unchanged head") {
     val t = freshTable()

@@ -189,4 +189,32 @@ class CurationSpec extends SparkSpecBase {
       Curation.assignSplit(ids, col("id"), Seq(("a", 0.5), ("b", 0.6)))
     }
   }
+
+  test("unigramSurprisal: integer micro-nat arithmetic, boilerplate " +
+    "scores below novelty, zero-token docs drop out") {
+    import spark.implicits._
+    // corpus of 8 tokens: "a" ×4, "b" ×2, "c" ×1, "d" ×1
+    val docs = Seq(
+      (1L, "a a a a"),    // pure boilerplate: 4 × ln(8/4)
+      (2L, "b b"),        // 2 × ln(8/2)
+      (3L, "c d"),        // the novel doc: ln(8/1) × 2
+      (4L, "")            // zero tokens: absent from the output
+    ).toDF("doc_id", "text")
+    val s = Curation.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def mn(x: Double): Long = math.round(math.log(x) * 1000000L)
+    assert(s(1L) == (4L, 4 * mn(2.0)), s"got ${s(1L)}")
+    assert(s(2L) == (2L, 2 * mn(4.0)))
+    assert(s(3L) == (2L, 2 * mn(8.0)))
+    assert(!s.contains(4L), "a zero-token doc has no surprisal row")
+    // the ordering a curation pass relies on: novelty > boilerplate
+    assert(s(3L)._2 / s(3L)._1 > s(1L)._2 / s(1L)._1)
+    // deterministic across runs and partitionings
+    val s2 = Curation.unigramSurprisal(docs.repartition(7),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(s == s2)
+  }
 }

@@ -908,6 +908,42 @@ class GraftSqlSpec extends SparkSpecBase {
     } finally GraftSql.unregister(n)
   }
 
+  test("SHALLOW CLONE TIMESTAMP AS OF pins the fork by wall clock " +
+    "(same versionAt clock as every timestamp-addressed read)") {
+    val (t, n) = mk() // v0: 4 rows
+    val c = "cl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val d = Files.createTempDirectory("graft_clts").toString
+    try {
+      Thread.sleep(1100) // commit-file mtime clock has 1s resolution
+      val ts = java.time.LocalDateTime.now()
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      Thread.sleep(1100)
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id <= 2") // v1
+      GraftSql.execute(spark,
+        s"CREATE TABLE $c SHALLOW CLONE $n TIMESTAMP AS OF '$ts' " +
+          s"LOCATION '$d/c'")
+      // the clone pinned the PRE-delete snapshot
+      assert(GraftSql.query(spark, s"SELECT count(*) AS x FROM $c")
+        .head().getLong(0) == 4L)
+      // equivalent to the explicit version pin, bit-exact
+      val c2 = "cl2" + java.util.UUID.randomUUID().toString.replace("-", "")
+      GraftSql.execute(spark,
+        s"CREATE TABLE $c2 SHALLOW CLONE $n VERSION AS OF 0 " +
+          s"LOCATION '$d/c2'")
+      val (a, b) = (TxnTable.read(spark, s"$d/c"),
+        TxnTable.read(spark, s"$d/c2"))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      GraftSql.unregister(c2)
+      // a pre-history instant hits versionAt's loud fence
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          s"CREATE TABLE ${c}x SHALLOW CLONE $n TIMESTAMP AS OF " +
+            s"'2000-01-01 00:00:00' LOCATION '$d/cx'")
+      }
+    } finally { GraftSql.unregister(n); GraftSql.unregister(c) }
+  }
+
   test("persistent catalog: registrations, mor routing, and views " +
     "survive a session reset; reload re-arms the conflict guards") {
     val d = Files.createTempDirectory("graft_pcat").toString

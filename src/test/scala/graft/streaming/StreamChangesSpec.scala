@@ -343,6 +343,17 @@ class StreamChangesSpec extends SparkSpecBase {
     assert(ranges() == before,
       "a checkpoint-lost pump must no-op on every marker")
     assert(StreamChanges.generations(s"$root/spool") == Seq(0L, 2L))
+    // per-GENERATION retention: each gen dir is spool-shaped, so
+    // vacuumSpool sweeps a drained generation's consumed ranges while
+    // the terminal handoff row survives for late consumers
+    assert(StreamChanges.vacuumSpool(s"$root/spool/gen-0", 2L) == 2,
+      "exactly r-1_0 and r0_1 sit below watermark 2")
+    assert(ranges() == before -- Set("gen-0/r-1_0", "gen-0/r0_1"))
+    // …and a checkpoint-lost pump cannot resurrect the swept ranges
+    StreamChanges.pumpFollowSchema(spark, t, s"$root/spool",
+      s"$root/pc_fresh2", Seq("id"))
+    assert(ranges() == before -- Set("gen-0/r-1_0", "gen-0/r0_1"),
+      "swept generation ranges must never resurrect")
     // a commit changing schema AND data in one version stays refused
     val t2 = s"$root/t2"
     TxnTable.create(spark, t2, Seq((1L, 1L)).toDF("id", "v"))
