@@ -1417,6 +1417,10 @@ object TxnTable {
       .mkString(s"copyinto:$fmt:[", ",", "]")
     // standard write path: constraints ride the job; bins sized by the
     // source byte count against the table's bin-pack target
+    val schemaAtStage = recordedSchemaAt(path, top).map(_.json)
+    var csStage =
+      try constraints(path)
+      catch { case _: IllegalArgumentException => Map.empty[String, String] }
     val srcBytes = fresh.map(p => Files.size(Paths.get(p))).sum
     val bins = math.max(1,
       math.ceil(srcBytes.toDouble / (128L * 1024 * 1024)).toInt)
@@ -1444,6 +1448,21 @@ object TxnTable {
               throw new IllegalStateException(
                 "copyInto: a concurrent COPY INTO loaded part of this " +
                   "batch — re-run to load the remainder")
+            // the lost race may have been an ALTER: the staged files
+            // were coerced to the OLD shape — blindly re-committing
+            // would land wrong-schema data (the same fence append's
+            // retry applies via checkSchema)
+            val schemaNow =
+              recordedSchemaAt(path, currentVersion(path)).map(_.json)
+            if (schemaNow != schemaAtStage)
+              throw new IllegalStateException(
+                "copyInto: the table schema changed concurrently — the " +
+                  "staged batch was coerced to the old shape; re-run " +
+                  "the load against the new schema")
+            // …or a concurrent addConstraint: the staged rows were
+            // checked against the OLD constraint set — re-validate
+            // (the outer catch cleans the staged files on violation)
+            csStage = revalidateStaged(spark, path, adds, csStage)
         }
       }
     } catch { case e: Throwable => cleanupStaged(path, adds); throw e }
@@ -3176,6 +3195,58 @@ object TxnTable {
       .toDF("location", "version", "earliest_version", "num_files",
         "total_rows", "total_bytes", "num_dv_files", "num_constraints",
         "cluster_by", "target_files", "stats_coverage")
+  }
+
+  /** Per-COLUMN statistics panel, computed ENTIRELY from the commit
+    * log (zero data or footer I/O — the column-level sibling of
+    * [[detail]]): for each logical column, the share of live adds
+    * carrying write-time stats for it, the GLOBAL min/max folded over
+    * the per-file bounds (reported only at FULL coverage — a single
+    * add without bounds could hide the true extreme, so partial
+    * coverage reports null rather than a lie), and the exact null
+    * count (only when every add logged one). Integer/date/timestamp
+    * bounds live in the physical int64 space (micros / epoch days —
+    * the same space every pruned read uses); string bounds are
+    * writer-truncated prefixes past `MaxLoggedStringBound`, accurate
+    * for short values. At 100 TB this answers "what's in this table"
+    * from O(files) commit metadata where ANALYZE would scan. */
+  def columnStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val top = currentVersion(path)
+    require(top >= 0, s"not a TxnTable: $path")
+    val files = snapshotFiles(path, top)
+    val ai = addsIndex(path, top)
+    val parsed = files.flatMap(ai.get)
+      .map(a => (a.rows, a.stats.flatMap(parseAddStats)))
+    val nAdds = parsed.size
+    val schema = read(spark, path).schema
+    val rows = schema.fields.toSeq.map { f =>
+      val phys = physicalColName(path, top, f.name)
+      val have = parsed.flatMap(_._2).filter(_.cols.contains(phys))
+      val coverage =
+        if (nAdds == 0) 1.0 else have.size.toDouble / nAdds
+      val full = nAdds > 0 && have.size == nAdds
+      val (lmin, lmax) = {
+        val mins = have.flatMap(_.l.get(phys).map(_._1))
+        val maxs = have.flatMap(_.l.get(phys).map(_._2))
+        if (!full || mins.size != nAdds) (None, None)
+        else (Some(mins.min), Some(maxs.max))
+      }
+      val (smin, smax) = {
+        val mins = have.flatMap(_.s.get(phys).map(_._1))
+        val maxs = have.flatMap(_.s.get(phys).map(_._2))
+        if (!full || mins.size != nAdds) (None, None)
+        else (Some(mins.min), Some(maxs.max))
+      }
+      val nulls = {
+        val ns = have.flatMap(_.n.get(phys))
+        if (!full || ns.size != nAdds) None else Some(ns.sum)
+      }
+      (f.name, f.dataType.simpleString, coverage,
+        lmin, lmax, smin, smax, nulls)
+    }
+    rows.toDF("column", "type", "stats_coverage", "min_long",
+      "max_long", "min_str", "max_str", "null_count")
   }
 
   /** TIMESTAMP time travel: the latest readable version whose commit

@@ -522,6 +522,49 @@ object SqlDmlQueries {
     } finally GraftSql.unregister(n)
   }
 
+  /** S58: `SHOW COLUMN STATS t` — the per-column panel from the
+    * commit log alone: global min/max folded over the logged per-file
+    * bounds (reported ONLY at full coverage — a single stats-less add
+    * could hide the true extreme, so partial coverage answers null,
+    * never a lie), exact null counts, per-column coverage fraction.
+    * In-run: ZERO footer reads, zero data scanned; a post-stats
+    * tranche moves the max and the panel follows. Oracle replays the
+    * pinned columns' min/max/nulls with DuckDB aggregates over raw
+    * orders — the log must agree with what a full scan would say. */
+  def s58ColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s58").toString
+    val t = d + "/t"
+    val n = freshName("orders_cs_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val kx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    TxnTable.createClustered(spark, t, orders, Seq(col("o_custkey")),
+      targetFiles = 8) // v0: 8 banded files, stats on every add
+    // a second tranche MOVES the key max: the panel must fold both
+    TxnTable.append(spark, t,
+      orders.orderBy(col("o_orderkey")).limit(10)
+        .select((col("o_orderkey") + kx).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("price_c"))) // v1
+    GraftSql.register(n, t)
+    try {
+      val f0 = graft.crawler.SkippingIndex.footerReads.get()
+      val panel = GraftSql.query(spark, s"SHOW COLUMN STATS $n")
+      val rows = panel.collect()
+      require(graft.crawler.SkippingIndex.footerReads.get() == f0,
+        "SHOW COLUMN STATS must never open a footer")
+      require(rows.length == 4 &&
+        rows.forall(_.getDouble(2) == 1.0),
+        "every column of a stats-harvested table must be fully covered")
+      panel.filter(col("column").isin("o_orderkey", "o_custkey",
+        "o_orderstatus"))
+        .select(col("column"), col("stats_coverage"),
+          col("min_long"), col("max_long"),
+          col("min_str"), col("max_str"), col("null_count"))
+        .orderBy(col("column"))
+    } finally GraftSql.unregister(n)
+  }
+
   /** S55: PERSISTENT CATALOG — registrations and views survive
     * sessions: the registry lives in a warehouse-root TxnTable whose
     * properties map is the catalog, every CREATE/DROP one atomic
@@ -1372,6 +1415,7 @@ object SqlDmlQueries {
     "s53_widen_type" -> (s53WidenType _),
     "s54_copy_csv" -> (s54CopyCsv _),
     "s55_catalog_persist" -> (s55CatalogPersist _),
+    "s58_column_stats" -> (s58ColumnStats _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -1543,6 +1587,36 @@ object SqlDmlQueries {
     // their after-image price, deleted F-band rows a NULL payload
     // both landed batches (= all of orders) minus the MOR-deleted low
     // F band; idempotence/incrementality/zero-copy asserted in-run
+    // the log-folded panel must agree with a full relational scan:
+    // key bounds over base ∪ shifted tranche, status prefix bounds,
+    // zero nulls; zero-footer + full coverage asserted in-run
+    "s58_column_stats" ->
+      """WITH b AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS kx
+        |           FROM orders),
+        |u AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS s
+        |      FROM orders
+        |      UNION ALL
+        |      SELECT o_orderkey + b.kx, o_custkey, o_orderstatus
+        |      FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 10),
+        |        b)
+        |SELECT * FROM (
+        |  SELECT 'o_custkey' AS "column", CAST(1.0 AS DOUBLE)
+        |      AS stats_coverage,
+        |    CAST(min(c) AS BIGINT) AS min_long,
+        |    CAST(max(c) AS BIGINT) AS max_long,
+        |    CAST(NULL AS VARCHAR) AS min_str,
+        |    CAST(NULL AS VARCHAR) AS max_str,
+        |    CAST(0 AS BIGINT) AS null_count FROM u
+        |  UNION ALL
+        |  SELECT 'o_orderkey', CAST(1.0 AS DOUBLE),
+        |    CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(0 AS BIGINT) FROM u
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', CAST(1.0 AS DOUBLE),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |    min(s), max(s), CAST(0 AS BIGINT) FROM u
+        |) ORDER BY "column"""".stripMargin,
     // the persisted view's aggregate over the persisted table = the
     // same aggregate over raw orders (session-boundary reload, the
     // dropped-table fence, and the commit-level audit asserted in-run)

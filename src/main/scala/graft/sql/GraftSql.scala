@@ -110,6 +110,8 @@ object GraftSql {
   private val ShowPropsRe =
     ("""(?is)^\s*SHOW\s+TBLPROPERTIES\s+""" + Ident +
       """\s*(?:\(\s*'([^']+)'\s*\))?\s*;?\s*$""").r
+  private val ShowColStatsRe =
+    ("""(?is)^\s*SHOW\s+COLUMN\s+STATS\s+""" + Ident + """\s*;?\s*$""").r
   private val DescRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?""" + Ident +
       """\s*;?\s*$""").r
@@ -726,8 +728,13 @@ object GraftSql {
     val p = java.nio.file.Paths.get(root).resolve("_graft_catalog")
       .toString
     if (TxnTable.currentVersion(p) < 0)
-      TxnTable.create(spark,
+      // two sessions bootstrapping one warehouse race on v0: create
+      // is create-exclusive, so losing is benign — the winner's
+      // (identical, empty) catalog is the one both load
+      try TxnTable.create(spark,
         p, spark.range(0).selectExpr("cast(id as string) as _unused"))
+      catch { case e: Exception =>
+        if (TxnTable.currentVersion(p) < 0) throw e }
     catalogPath.set(p)
     loadCatalog(spark)
   }
@@ -916,6 +923,11 @@ object GraftSql {
         import spark.implicits._
         import scala.jdk.CollectionConverters._
         views.keys.asScala.toSeq.sorted.toDF("name")
+      // per-column stats panel from the commit log alone — global
+      // min/max over the logged per-file bounds (full coverage only),
+      // exact null counts, coverage fraction; never a scan
+      case ShowColStatsRe(name) =>
+        TxnTable.columnStats(spark, lookup(parseIdent(name))._1.path)
       // table properties as rows — log metadata only, never a scan;
       // SHOW TBLPROPERTIES t('key') narrows to one key (missing key
       // is a loud error, not a Hive-style message row)

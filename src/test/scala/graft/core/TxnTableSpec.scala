@@ -1556,6 +1556,92 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).filter(col("val") === 42L).count() == 1)
   }
 
+  test("columnStats honesty: partial coverage reports null bounds, " +
+    "never a folded lie; nulls count exactly; rename maps physically") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, Seq((1L, 10L, "a"), (2L, 20L, null))
+      .toDF("id", "v", "s"))
+    // an evolved column: the OLD add has no stats for it
+    addColumns(spark, t, Seq(("w",
+      org.apache.spark.sql.types.LongType)))
+    append(spark, t, Seq((3L, 30L, "c", 99L)).toDF("id", "v", "s", "w"))
+    val st = columnStats(spark, t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // fully-covered long column: exact global bounds + null count
+    assert(st("v").getDouble(2) == 1.0 &&
+      st("v").getLong(3) == 10L && st("v").getLong(4) == 30L &&
+      st("v").getLong(7) == 0L)
+    // string column: bounds in the string space, one null counted
+    assert(st("s").getString(5) == "a" && st("s").getString(6) == "c" &&
+      st("s").getLong(7) == 1L)
+    // the evolved column is NOT fully covered: bounds and null count
+    // must be null — the old add could hide the true extreme
+    assert(st("w").getDouble(2) < 1.0 && st("w").isNullAt(3) &&
+      st("w").isNullAt(4) && st("w").isNullAt(7),
+      s"partial coverage must answer null, got ${st("w")}")
+    // a rewrite re-harvests: full coverage returns with exact bounds
+    compact(spark, t)
+    val st2 = columnStats(spark, t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st2("w").getDouble(2) == 1.0 &&
+      st2("w").getLong(3) == 99L && st2("w").getLong(4) == 99L &&
+      st2("w").getLong(7) == 2L,
+      s"post-compact coverage must be full, got ${st2("w")}")
+    // column mapping: the panel reports LOGICAL names over the stable
+    // physical stats
+    renameColumn(spark, t, "v", "value")
+    val st3 = columnStats(spark, t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st3.contains("value") && !st3.contains("v") &&
+      st3("value").getLong(3) == 10L && st3("value").getLong(4) == 30L)
+  }
+
+  test("copyIntoFormat retry fences: a concurrent ALTER aborts the " +
+    "stale-shaped batch; a concurrent constraint re-validates it") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // concurrent widen: the staged files were coerced to the OLD shape
+    val root = Files.createTempDirectory("graft_cifrace").toString
+    val t = s"$root/t"
+    create(spark, t, Seq.empty[(Long, Int)].toDF("id", "v"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/land"))
+    Files.writeString(java.nio.file.Paths.get(s"$root/land/a.csv"),
+      "id,v\n1,10\n")
+    var fired = false
+    TxnTable.preCommitHook = () => if (!fired) {
+      fired = true
+      widenColumnType(spark, t, "v", LongType)
+    }
+    val e = try intercept[IllegalStateException] {
+      copyIntoFormat(spark, t, s"$root/land", "csv")
+    } finally TxnTable.preCommitHook = () => ()
+    assert(fired && e.getMessage.contains("schema changed concurrently"),
+      s"wrong failure: ${e.getMessage}")
+    assert(read(spark, t).count() == 0, "the stale batch must not land")
+    // …the re-run coerces to the NEW shape and lands
+    assert(copyIntoFormat(spark, t, s"$root/land", "csv") == 2L)
+    assert(read(spark, t).schema("v").dataType == LongType)
+    assert(read(spark, t).count() == 1)
+
+    // concurrent addConstraint: staged rows re-validate; violators abort
+    val t2 = s"$root/t2"
+    create(spark, t2, Seq.empty[(Long, Long)].toDF("id", "v"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/land2"))
+    Files.writeString(java.nio.file.Paths.get(s"$root/land2/b.csv"),
+      "id,v\n1,10\n")
+    var fired2 = false
+    TxnTable.preCommitHook = () => if (!fired2) {
+      fired2 = true
+      addConstraint(spark, t2, "v_neg", "v < 0")
+    }
+    try intercept[Exception] {
+      copyIntoFormat(spark, t2, s"$root/land2", "csv")
+    } finally TxnTable.preCommitHook = () => ()
+    assert(fired2 && read(spark, t2).count() == 0,
+      "rows violating the concurrent constraint must not land")
+  }
+
   test("COPY INTO PATTERN scopes the load by relative-path glob; " +
     "idempotence stays absolute-path-keyed across patterns") {
     import spark.implicits._
