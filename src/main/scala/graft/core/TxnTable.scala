@@ -3197,6 +3197,37 @@ object TxnTable {
         "cluster_by", "target_files", "stats_coverage")
   }
 
+  /** FSCK — reconcile the log with storage after OUT-OF-BAND file
+    * loss (a reaped bucket prefix, a fat-fingered rm, a failed
+    * restore): list the live adds whose data files no longer exist
+    * and, with `dryRun = false`, commit one `repair` that REMOVES
+    * them, so the table serves the surviving rows instead of failing
+    * every scan on the first missing file. Returns the missing files
+    * as rows (file, rows, bytes — the logged extent of WHAT WAS LOST,
+    * the ops answer an incident needs) whether or not it commits; the
+    * dry run commits NOTHING. The repair is an ordinary rewrite
+    * commit: history keeps the loss auditable, time travel BEFORE the
+    * repair still (correctly) fails on the vanished bytes, DV
+    * mappings of removed files clear with them, and concurrent
+    * commits rebase-or-abort like any rewrite. Existence probing is
+    * O(live files) metadata — no data or footer I/O. */
+  def repair(spark: SparkSession, path: String,
+      dryRun: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val top = currentVersion(path)
+    require(top >= 0, s"not a TxnTable: $path")
+    val ai = addsIndex(path, top)
+    val missing = snapshotFiles(path, top)
+      .filterNot(f => Files.exists(localRoot(path).resolve(f)))
+    if (!dryRun && missing.nonEmpty)
+      commitRewrite(path, top, "repair", Nil, missing,
+        CommuteNonOverlapping)
+    missing.map { f =>
+      val a = ai.get(f)
+      (f, a.map(_.rows).getOrElse(-1L), a.map(_.bytes).getOrElse(-1L))
+    }.toDF("file", "rows_lost", "bytes_lost")
+  }
+
   /** Per-COLUMN statistics panel, computed ENTIRELY from the commit
     * log (zero data or footer I/O — the column-level sibling of
     * [[detail]]): for each logical column, the share of live adds

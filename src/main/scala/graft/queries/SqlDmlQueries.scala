@@ -522,6 +522,73 @@ object SqlDmlQueries {
     } finally GraftSql.unregister(n)
   }
 
+  /** S59: `REPAIR TABLE t [DRY RUN]` — FSCK after out-of-band file
+    * loss (a reaped prefix, a fat-fingered rm): the dry run lists
+    * EXACTLY the vanished adds with their logged extent (rows/bytes —
+    * what an incident report needs) committing nothing; the repair
+    * commits one auditable `repair` remove so the table serves the
+    * SURVIVING rows instead of failing every scan on the first
+    * missing file. In-run: pre-repair scans fail; the dry run is
+    * exact and side-effect-free; the repair removes exactly the lost
+    * file; DML works again afterwards. Oracle replays orders minus
+    * the lost band minus the post-repair delete. */
+  def s59Repair(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s59").toString
+    val t = d + "/t"
+    val n = freshName("orders_rp_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    // four explicit band tranches, one file each — the lost band is
+    // exactly known, so the oracle can replay the loss
+    TxnTable.create(spark, t, orders.filter(col("o_custkey") <= ck / 4))
+    TxnTable.append(spark, t, orders.filter(
+      col("o_custkey") > ck / 4 && col("o_custkey") <= ck / 2)) // v1
+    TxnTable.append(spark, t, orders.filter(
+      col("o_custkey") > ck / 2 && col("o_custkey") <= 3 * ck / 4)) // v2
+    TxnTable.append(spark, t,
+      orders.filter(col("o_custkey") > 3 * ck / 4)) // v3
+    GraftSql.register(n, t)
+    try {
+      val lost = TxnTable.commits(t)(1).adds.head
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(t).resolve(lost.path))
+      // the dry run is exact and commits NOTHING
+      val dry = GraftSql.query(spark, s"REPAIR TABLE $n DRY RUN")
+        .collect()
+      require(dry.length == 1 && dry(0).getString(0) == lost.path &&
+        dry(0).getLong(1) == lost.rows,
+        s"dry run must list exactly the lost add, got " +
+          dry.map(_.toString).mkString(";"))
+      require(TxnTable.currentVersion(t) == 3L,
+        "a dry run must not commit")
+      // scans still fail on the vanished bytes before the repair
+      try {
+        TxnTable.read(spark, t).count()
+        throw new AssertionError("the pre-repair scan must fail")
+      } catch { case _: Exception => () }
+      // the repair: one auditable remove, survivors serve
+      val v = GraftSql.execute(spark, s"REPAIR TABLE $n")
+      val c = TxnTable.commits(t).last
+      require(v == 4L && c.op == "repair" && c.adds.isEmpty &&
+        c.removes == Seq(lost.path),
+        s"repair must remove exactly the lost add, got ${c.removes}")
+      require(TxnTable.read(spark, t).count() ==
+        orders.count() - lost.rows,
+        "the surviving rows must serve after the repair")
+      // …and the table takes DML again
+      GraftSql.execute(spark,
+        s"DELETE FROM $n WHERE o_orderstatus = 'F' " +
+          s"AND o_custkey <= ${ck / 8}") // v5
+      TxnTable.read(spark, t)
+        .groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("ps"),
+          sum(col("o_orderkey")).as("ks"))
+        .orderBy(col("st"))
+    } finally GraftSql.unregister(n)
+  }
+
   /** S58: `SHOW COLUMN STATS t` — the per-column panel from the
     * commit log alone: global min/max folded over the logged per-file
     * bounds (reported ONLY at full coverage — a single stats-less add
@@ -1416,6 +1483,7 @@ object SqlDmlQueries {
     "s54_copy_csv" -> (s54CopyCsv _),
     "s55_catalog_persist" -> (s55CatalogPersist _),
     "s58_column_stats" -> (s58ColumnStats _),
+    "s59_repair" -> (s59Repair _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -1587,6 +1655,22 @@ object SqlDmlQueries {
     // their after-image price, deleted F-band rows a NULL payload
     // both landed batches (= all of orders) minus the MOR-deleted low
     // F band; idempotence/incrementality/zero-copy asserted in-run
+    // orders minus the lost quartile band minus the post-repair
+    // delete; dry-run exactness and the auditable remove asserted
+    // in-run
+    "s59_repair" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders),
+        |u AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders, b
+        |  WHERE NOT (o_custkey > b.ck//4 AND o_custkey <= b.ck//2))
+        |SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS ps,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS ks
+        |FROM u, b
+        |WHERE NOT (o_orderstatus = 'F' AND o_custkey <= b.ck//8)
+        |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
     // the log-folded panel must agree with a full relational scan:
     // key bounds over base ∪ shifted tranche, status prefix bounds,
     // zero nulls; zero-footer + full coverage asserted in-run

@@ -112,6 +112,10 @@ object GraftSql {
       """\s*(?:\(\s*'([^']+)'\s*\))?\s*;?\s*$""").r
   private val ShowColStatsRe =
     ("""(?is)^\s*SHOW\s+COLUMN\s+STATS\s+""" + Ident + """\s*;?\s*$""").r
+  private val RepairDryRe =
+    ("""(?is)^\s*REPAIR\s+TABLE\s+""" + Ident + """\s+DRY\s+RUN\s*;?\s*$""").r
+  private val RepairRe =
+    ("""(?is)^\s*REPAIR\s+TABLE\s+""" + Ident + """\s*;?\s*$""").r
   private val DescRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?""" + Ident +
       """\s*;?\s*$""").r
@@ -233,6 +237,14 @@ object GraftSql {
 
     case HistoryRe(_) => throw new IllegalArgumentException(
       "DESCRIBE HISTORY returns rows — run it through query()")
+
+    // REPAIR TABLE t: FSCK — commit one repair removing adds whose
+    // files vanished out-of-band, so the table serves the survivors;
+    // the inspection half (REPAIR TABLE t DRY RUN) is query()'s
+    case RepairRe(name) =>
+      val (reg, _) = lookup(parseIdent(name))
+      TxnTable.repair(spark, reg.path, dryRun = false)
+      TxnTable.currentVersion(reg.path)
 
     // COPY INTO t FROM '<dir>' [FORMAT AS CSV|JSON|PARQUET]: idempotent
     // ingestion — parquet adopts fresh files by reference (zero copy,
@@ -923,6 +935,11 @@ object GraftSql {
         import spark.implicits._
         import scala.jdk.CollectionConverters._
         views.keys.asScala.toSeq.sorted.toDF("name")
+      // the FSCK dry run: missing-file rows out, nothing committed
+      // (the committing form is execute's REPAIR TABLE)
+      case RepairDryRe(name) =>
+        TxnTable.repair(spark, lookup(parseIdent(name))._1.path,
+          dryRun = true)
       // per-column stats panel from the commit log alone — global
       // min/max over the logged per-file bounds (full coverage only),
       // exact null counts, coverage fraction; never a scan

@@ -1556,6 +1556,39 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).filter(col("val") === 42L).count() == 1)
   }
 
+  test("repair: clean tables no-op, the lost file's DV clears with " +
+    "it, and history stays auditable") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, Seq((1L, 10L), (2L, 20L)).toDF("id", "v")) // f0
+    append(spark, t, Seq((3L, 30L), (4L, 40L)).toDF("id", "v")) // f1
+    append(spark, t, Seq((5L, 50L)).toDF("id", "v"))            // f2
+    deleteWhereMor(spark, t, col("id") === 3L) // DV on f1 (v3)
+    // clean table: the dry run is empty, the repair commits nothing
+    assert(repair(spark, t).isEmpty)
+    val v0 = currentVersion(t)
+    repair(spark, t, dryRun = false)
+    assert(currentVersion(t) == v0, "a clean repair must not commit")
+    // the DV-carrying file vanishes out-of-band
+    val f1 = commits(t)(1).adds.head
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t).resolve(f1.path))
+    val dry = repair(spark, t).collect()
+    assert(dry.length == 1 && dry(0).getString(0) == f1.path &&
+      dry(0).getLong(1) == 2L)
+    assert(currentVersion(t) == v0)
+    repair(spark, t, dryRun = false)
+    val c = commits(t).last
+    assert(c.op == "repair" && c.removes == Seq(f1.path))
+    // the lost file's DV mapping cleared with it; survivors serve
+    assert(!snapshotDvs(t).keys.exists(_ == f1.path.split('/').last))
+    assert(read(spark, t).as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (5L, 50L)))
+    // MOR DML still works over the repaired snapshot
+    deleteWhereMor(spark, t, col("id") === 5L)
+    assert(read(spark, t).count() == 2)
+  }
+
   test("columnStats honesty: partial coverage reports null bounds, " +
     "never a folded lie; nulls count exactly; rename maps physically") {
     import spark.implicits._
