@@ -3197,6 +3197,22 @@ object TxnTable {
         "cluster_by", "target_files", "stats_coverage")
   }
 
+  /** TRUNCATE: one commit removing every live file — a LOGICAL
+    * delete-all (the bytes stay; history and time travel to the
+    * pre-truncate snapshot keep working, and [[restore]] undoes it —
+    * reclaim space explicitly with vacuum, the same never-delete-100-TB
+    * contract as DROP TABLE). Schema, constraints, and properties
+    * survive; subsequent appends start clean. Conflict contract: any
+    * concurrent data commit aborts the truncate (a truncate that
+    * silently swallowed a racing append would lose its rows). */
+  def truncate(path: String): Long = {
+    val top = currentVersion(path)
+    require(top >= 0, s"not a TxnTable: $path")
+    val files = snapshotFiles(path, top)
+    if (files.isEmpty) return top // already empty: the no-op signal
+    commitRewrite(path, top, "truncate", Nil, files, NoRebase)
+  }
+
   /** FSCK — reconcile the log with storage after OUT-OF-BAND file
     * loss (a reaped bucket prefix, a fat-fingered rm, a failed
     * restore): list the live adds whose data files no longer exist
@@ -3516,7 +3532,17 @@ object TxnTable {
     // nearest checkpoint plus the commit suffix, not a walk to v0
     val (generations, recorded) = schemaInfo(path, upTo)
     val files = snapshotFiles(path, asOf)
-    require(files.nonEmpty, s"empty snapshot of $path at $asOf")
+    if (files.isEmpty) {
+      // a TRUNCATE (or delete-all) leaves a ZERO-FILE snapshot: with a
+      // recorded schema that is a well-defined empty frame, not an
+      // error — appends start clean, aggregates answer zero
+      require(recorded.isDefined,
+        s"empty snapshot of $path at $asOf with no recorded schema")
+      val st = recordedSchemaAt(path, upTo).get
+      return toLogical(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        physicalSchema(st)), st)
+    }
     // Pin the RECORDED snapshot schema: evolved-in columns null-fill on
     // old-generation files exactly like mergeSchema did, and a DROPPED
     // column stays dropped even though old files still carry its bytes

@@ -112,6 +112,9 @@ object GraftSql {
       """\s*(?:\(\s*'([^']+)'\s*\))?\s*;?\s*$""").r
   private val ShowColStatsRe =
     ("""(?is)^\s*SHOW\s+COLUMN\s+STATS\s+""" + Ident + """\s*;?\s*$""").r
+  private val CreateLikeRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + Ident + """\s+LIKE\s+""" + Ident +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
   private val RepairDryRe =
     ("""(?is)^\s*REPAIR\s+TABLE\s+""" + Ident + """\s+DRY\s+RUN\s*;?\s*$""").r
   private val RepairRe =
@@ -237,6 +240,39 @@ object GraftSql {
 
     case HistoryRe(_) => throw new IllegalArgumentException(
       "DESCRIBE HISTORY returns rows — run it through query()")
+
+    // CREATE TABLE n LIKE src [LOCATION p]: an EMPTY table with the
+    // source's current logical schema and its engine (graft.*)
+    // properties — the "same shape, fresh data" bootstrap. No data
+    // and no file references move; the new table has its own clean
+    // history.
+    case CreateLikeRe(dstName, srcName, loc) =>
+      val (srcReg, _) = lookup(parseIdent(srcName))
+      val dn = parseIdent(dstName).mkString(".")
+      val path = Option(loc)
+        .getOrElse {
+          val root = Option(warehouseRoot.get).getOrElse(
+            throw new IllegalArgumentException(
+              "CREATE TABLE LIKE needs a LOCATION clause or a " +
+                "warehouse root (GraftSql.setWarehouse)"))
+          java.nio.file.Paths.get(root)
+            .resolve(parseIdent(dstName).last.toLowerCase).toString
+        }
+      require(TxnTable.currentVersion(path) < 0,
+        s"CREATE TABLE LIKE: a table already exists at $path")
+      Option(tables.get(dn.toLowerCase)).foreach(r =>
+        require(samePath(r.path, path),
+          s"$dn is already registered at ${r.path} — unregister it " +
+            s"first or use that LOCATION (got $path)"))
+      val schema = TxnTable.read(spark, srcReg.path).schema
+      TxnTable.create(spark, path, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      val gprops = TxnTable.properties(srcReg.path)
+        .filter { case (k, _) => k.startsWith("graft.") }
+      if (gprops.nonEmpty) TxnTable.setProperties(path, gprops)
+      register(dn, path,
+        gprops.get("graft.mor").exists(_.equalsIgnoreCase("true")))
+      TxnTable.currentVersion(path)
 
     // REPAIR TABLE t: FSCK — commit one repair removing adds whose
     // files vanished out-of-band, so the table serves the survivors;
@@ -681,6 +717,17 @@ object GraftSql {
           s"no such registered table $nm — use DROP TABLE IF EXISTS")
         if (existed) persistDrop(s"table:$nm")
         -1L
+
+      // TRUNCATE TABLE = logical delete-all (bytes stay, history and
+      // restore keep working; vacuum reclaims explicitly)
+      case tt: TruncateTable =>
+        val nm = tt.table match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+            u.multipartIdentifier.mkString(".").toLowerCase
+          case other => throw new IllegalArgumentException(
+            s"unsupported TRUNCATE target: ${other.nodeName}")
+        }
+        TxnTable.truncate(lookup(Seq(nm))._1.path)
 
       case dv: DropView =>
         val nm = dv.child match {

@@ -908,6 +908,53 @@ class GraftSqlSpec extends SparkSpecBase {
     } finally GraftSql.unregister(n)
   }
 
+  test("TRUNCATE TABLE is a logical delete-all: history and restore " +
+    "survive; CREATE TABLE LIKE copies shape + engine properties only") {
+    val (t, n) = mk() // v0: 4 rows
+    val d = Files.createTempDirectory("graft_trunc").toString
+    val c = "lk" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      GraftSql.execute(spark,
+        s"ALTER TABLE $n SET TBLPROPERTIES ('graft.mor' = 'true')") // v1
+      val v = GraftSql.execute(spark, s"TRUNCATE TABLE $n") // v2
+      assert(v == 2L && TxnTable.commits(t).last.op == "truncate")
+      assert(TxnTable.read(spark, t).count() == 0)
+      // bytes stay: time travel and restore still serve the old rows
+      assert(TxnTable.read(spark, t, 0L).count() == 4)
+      // schema/properties survive; appends start clean
+      GraftSql.execute(spark, s"INSERT INTO $n VALUES (9, 90, 'z')")
+      assert(rows(t) == Set((9L, 90L, "z")))
+      // the property still routes MOR after the truncate
+      GraftSql.execute(spark, s"UPDATE $n SET v = 91 WHERE id = 9")
+      assert(TxnTable.commits(t).last.op == "dvupdate")
+      // a truncated-empty table no-ops a second TRUNCATE... after
+      // restoring first: restore undoes the truncate entirely
+      TxnTable.restore(spark, t, 0L)
+      assert(TxnTable.read(spark, t).count() == 4)
+
+      // CREATE TABLE LIKE: same shape + graft.* properties, ZERO rows,
+      // its own clean history
+      GraftSql.execute(spark,
+        s"CREATE TABLE $c LIKE $n LOCATION '$d/c'")
+      assert(TxnTable.read(spark, s"$d/c").schema ==
+        TxnTable.read(spark, t).schema)
+      assert(TxnTable.read(spark, s"$d/c").count() == 0)
+      assert(TxnTable.properties(s"$d/c") == Map("graft.mor" -> "true"),
+        "engine properties must copy")
+      // the copied mor property routes the new table's DML
+      GraftSql.execute(spark, s"INSERT INTO $c VALUES (1, 10, 'a')")
+      GraftSql.execute(spark, s"DELETE FROM $c WHERE id = 1")
+      assert(TxnTable.commits(s"$d/c").last.op == "dvdelete")
+      // source data never moved: the clone-like is independent
+      assert(TxnTable.read(spark, t).count() == 4)
+      // a second CREATE LIKE at the same location is refused
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          s"CREATE TABLE ${c}x LIKE $n LOCATION '$d/c'")
+      }
+    } finally { GraftSql.unregister(n); GraftSql.unregister(c) }
+  }
+
   test("SHALLOW CLONE TIMESTAMP AS OF pins the fork by wall clock " +
     "(same versionAt clock as every timestamp-addressed read)") {
     val (t, n) = mk() // v0: 4 rows
