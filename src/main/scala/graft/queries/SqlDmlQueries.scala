@@ -522,6 +522,62 @@ object SqlDmlQueries {
     } finally GraftSql.unregister(n)
   }
 
+  /** S62: MATERIALIZED VIEWS — compute-once tables with LOG-METADATA
+    * staleness: the create/refresh commit's op records the source
+    * versions, so SHOW MATERIALIZED VIEWS decides stale with zero
+    * scans; REFRESH is one atomic overwrite (readers see old or new,
+    * never a mix; the pre-refresh materialization stays time-
+    * travelable). In-run: fresh→stale→fresh lifecycle, content PINNED
+    * until the refresh, MV reads like a table, the pre-refresh
+    * snapshot still serves. Oracle replays the refreshed aggregate. */
+  def s62Matview(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s62").toString
+    val n = freshName("orders_mv_src_")
+    val m = freshName("orders_mv_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    TxnTable.create(spark, d + "/src", orders, partitions = 4) // v0
+    GraftSql.register(n, d + "/src")
+    try {
+      GraftSql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW $m LOCATION '$d/mv' AS
+           |SELECT o_orderstatus AS st, count(*) AS cnt,
+           |  sum(price_c) AS ps, sum(o_orderkey) AS ks
+           |FROM $n GROUP BY o_orderstatus""".stripMargin)
+      def stale(): Boolean = GraftSql
+        .query(spark, "SHOW MATERIALIZED VIEWS")
+        .filter(col("name") === m).head().getBoolean(2)
+      require(!stale(), "a just-created MV must be fresh")
+      // the MV reads like a table
+      require(GraftSql.query(spark,
+        s"SELECT count(*) AS c FROM $m").head().getLong(0) == 3L)
+      val pinned = GraftSql.query(spark,
+        s"SELECT sum(ps) AS s FROM $m").head().getLong(0)
+      // a source commit flips staleness — content stays PINNED
+      GraftSql.execute(spark,
+        s"UPDATE $n SET price_c = price_c * 2 " +
+          "WHERE o_orderstatus = 'O'") // src v1
+      require(stale(), "a source commit must flip the stale flag")
+      require(GraftSql.query(spark,
+        s"SELECT sum(ps) AS s FROM $m").head().getLong(0) == pinned,
+        "MV content must stay pinned until the refresh")
+      // REFRESH: atomic recompute-overwrite, staleness clears
+      val v = GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m")
+      require(v == 1L && !stale(),
+        s"the refresh must commit v1 and clear staleness, got $v")
+      // the pre-refresh materialization is still time-travelable
+      require(TxnTable.read(spark, d + "/mv", 0L)
+        .agg(sum(col("ps"))).head().getLong(0) == pinned,
+        "the pre-refresh snapshot must stay readable")
+      GraftSql.query(spark, s"SELECT st, cnt, ps, ks FROM $m ORDER BY st")
+    } finally {
+      try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $m")
+      catch { case _: Exception => () }
+      GraftSql.unregister(n)
+    }
+  }
+
   /** S59: `REPAIR TABLE t [DRY RUN]` — FSCK after out-of-band file
     * loss (a reaped prefix, a fat-fingered rm): the dry run lists
     * EXACTLY the vanished adds with their logged extent (rows/bytes —
@@ -1484,6 +1540,7 @@ object SqlDmlQueries {
     "s55_catalog_persist" -> (s55CatalogPersist _),
     "s58_column_stats" -> (s58ColumnStats _),
     "s59_repair" -> (s59Repair _),
+    "s62_matview" -> (s62Matview _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -1655,6 +1712,16 @@ object SqlDmlQueries {
     // their after-image price, deleted F-band rows a NULL payload
     // both landed batches (= all of orders) minus the MOR-deleted low
     // F band; idempotence/incrementality/zero-copy asserted in-run
+    // the refreshed MV = the post-update aggregate (O-band prices
+    // doubled); fresh→stale→fresh, pinning, and time travel asserted
+    // in-run
+    "s62_matview" ->
+      """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN round(o_totalprice * 100) * 2
+        |    ELSE round(o_totalprice * 100) END) AS BIGINT) AS ps,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS ks
+        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin,
     // orders minus the lost quartile band minus the post-repair
     // delete; dry-run exactness and the auditable remove asserted
     // in-run

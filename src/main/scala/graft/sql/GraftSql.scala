@@ -66,12 +66,16 @@ object GraftSql {
       !views.containsKey(nm.split('.').last),
       s"$name is an existing view — DROP VIEW first (a table " +
         "registration would silently shadow it)")
+    require(!matviews.containsKey(nm),
+      s"$name is a materialized view — DROP MATERIALIZED VIEW first")
     tables.put(nm, Reg(path, mor))
     persistTable(nm, path, mor)
   }
 
   def unregister(name: String): Unit = {
     tables.remove(name.toLowerCase)
+    if (matviews.remove(name.toLowerCase) != null)
+      persistDrop(s"matview:${name.toLowerCase}")
     persistDrop(s"table:${name.toLowerCase}")
   }
 
@@ -112,6 +116,17 @@ object GraftSql {
       """\s*(?:\(\s*'([^']+)'\s*\))?\s*;?\s*$""").r
   private val ShowColStatsRe =
     ("""(?is)^\s*SHOW\s+COLUMN\s+STATS\s+""" + Ident + """\s*;?\s*$""").r
+  private val CreateMvRe =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" + Ident +
+      """(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(.+?)\s*;?\s*$""").r
+  private val RefreshMvRe =
+    ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Ident +
+      """\s*;?\s*$""").r
+  private val DropMvRe =
+    ("""(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+""" + Ident +
+      """\s*;?\s*$""").r
+  private val ShowMvRe =
+    """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$""".r
   private val CreateLikeRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + Ident + """\s+LIKE\s+""" + Ident +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
@@ -240,6 +255,52 @@ object GraftSql {
 
     case HistoryRe(_) => throw new IllegalArgumentException(
       "DESCRIBE HISTORY returns rows — run it through query()")
+
+    // CREATE MATERIALIZED VIEW n [LOCATION p] AS <select>: compute
+    // once into a real TxnTable whose commit op records the source
+    // versions — staleness is then log metadata (SHOW MATERIALIZED
+    // VIEWS), and readers resolve the name like any table
+    case CreateMvRe(name, loc, text) =>
+      val nm = parseIdent(name).mkString(".").toLowerCase
+      require(!tables.containsKey(nm) && !views.containsKey(nm),
+        s"$nm already names a table or view")
+      val path = Option(loc).getOrElse {
+        val root = Option(warehouseRoot.get).getOrElse(
+          throw new IllegalArgumentException(
+            "CREATE MATERIALIZED VIEW needs a LOCATION clause or a " +
+              "warehouse root (GraftSql.setWarehouse)"))
+        java.nio.file.Paths.get(root).resolve(nm.split('.').last).toString
+      }
+      require(TxnTable.currentVersion(path) < 0,
+        s"CREATE MATERIALIZED VIEW: a table already exists at $path")
+      val srcs = mvSources(spark, text)
+      require(srcs.nonEmpty,
+        "a materialized view must reference at least one registered " +
+          "txn table (its staleness is tracked against their versions)")
+      TxnTable.create(spark, path, query(spark, text),
+        op = mvMarker(srcs))
+      matviews.put(nm, (path, text))
+      tables.put(nm, Reg(path, mor = false))
+      persistMv(nm, path, text)
+      0L
+
+    // REFRESH MATERIALIZED VIEW n: one atomic recompute-overwrite,
+    // the new source versions stamped on the commit
+    case RefreshMvRe(name) =>
+      val nm = parseIdent(name).mkString(".").toLowerCase
+      val mv = matviews.get(nm)
+      require(mv != null, s"$nm is not a materialized view")
+      val (path, text) = mv
+      TxnTable.overwrite(spark, path, query(spark, text),
+        op = mvMarker(mvSources(spark, text)))
+
+    case DropMvRe(name) =>
+      val nm = parseIdent(name).mkString(".").toLowerCase
+      require(matviews.remove(nm) != null,
+        s"$nm is not a materialized view")
+      tables.remove(nm)
+      persistDrop(s"matview:$nm")
+      -1L
 
     // CREATE TABLE n LIKE src [LOCATION p]: an EMPTY table with the
     // source's current logical schema and its engine (graft.*)
@@ -803,7 +864,8 @@ object GraftSql {
 
   /** Clear this session's in-memory registry — what a FRESH process
     * starts with; [[enableCatalog]] then reloads the durable state. */
-  def resetSession(): Unit = { tables.clear(); views.clear() }
+  def resetSession(): Unit =
+    { tables.clear(); views.clear(); matviews.clear() }
 
   private def loadCatalog(spark: SparkSession): Unit = {
     val p = catalogPath.get
@@ -825,6 +887,15 @@ object GraftSql {
       case (k, v) if k.startsWith("view:") =>
         views.put(k.stripPrefix("view:"),
           spark.sessionState.sqlParser.parsePlan(v))
+      case _ => ()
+    }
+    props.foreach {
+      case (k, v) if k.startsWith("matview:") =>
+        val nm = k.stripPrefix("matview:")
+        val j = JsonMethods.parse(v)
+        val path = (j \ "path").extract[String]
+        matviews.put(nm, (path, (j \ "text").extract[String]))
+        tables.put(nm, Reg(path, mor = false))
       case _ => ()
     }
   }
@@ -859,6 +930,68 @@ object GraftSql {
     val p = catalogPath.get
     if (p != null) TxnTable.unsetProperties(p, Seq(key), ifExists = true)
   }
+
+  // -- materialized views ---------------------------------------------------
+  //
+  // An MV is a real TxnTable maintained by re-running its SELECT: the
+  // refresh OVERWRITES the table with one commit whose op records the
+  // source tables' versions at compute time (`matview:{"src":v,…}`),
+  // so STALENESS is decidable from log metadata alone (recorded vs
+  // current source versions — zero scans), the refresh itself is
+  // atomic + time-travelable like any overwrite, and readers just see
+  // a table (queries resolve the name through the ordinary registry).
+  // Refreshes are full recomputes — the right default for arbitrary
+  // SELECT shapes; the incremental path for fold-able aggregates is
+  // StreamIvm's, which shares the same version-marker idea.
+
+  private val matviews = new ConcurrentHashMap[String, (String, String)]()
+
+  private def persistMv(nm: String, path: String, text: String): Unit = {
+    val p = catalogPath.get
+    if (p != null) TxnTable.setProperties(p,
+      Map(s"matview:$nm" ->
+        s"""{"path":${jstr(path)},"text":${jstr(text)}}"""))
+  }
+
+  private def mvSources(spark: SparkSession, text: String): Seq[String] = {
+    val plan = spark.sessionState.sqlParser.parsePlan(text)
+    plan.collect {
+      case r: UnresolvedRelation =>
+        val full = r.multipartIdentifier.mkString(".").toLowerCase
+        if (tables.containsKey(full)) Some(full)
+        else {
+          val short = r.multipartIdentifier.last.toLowerCase
+          if (tables.containsKey(short)) Some(short) else None
+        }
+    }.flatten.distinct
+  }
+
+  private def mvMarker(srcs: Seq[String]): String =
+    "matview:" + srcs.sorted.map { s =>
+      val v = TxnTable.currentVersion(tables.get(s).path)
+      s""""$s":$v"""
+    }.mkString("{", ",", "}")
+
+  /** The (source → version) map the MV's LAST refresh recorded. */
+  private def mvRecorded(path: String): Map[String, Long] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    TxnTable.commits(path).reverseIterator
+      .map(_.op).find(_.startsWith("matview:"))
+      .map(op => JsonMethods.parse(op.stripPrefix("matview:")) match {
+        case JObject(fields) =>
+          fields.map { case (k, jv) => k -> jv.extract[Long] }.toMap
+        case _ => Map.empty[String, Long]
+      })
+      .getOrElse(Map.empty)
+  }
+
+  private def mvStale(path: String): Boolean =
+    mvRecorded(path).exists { case (src, v) =>
+      val reg = tables.get(src)
+      reg == null || TxnTable.currentVersion(reg.path) > v
+    }
 
   // parsePlan hands the PRE-analysis spec (UnresolvedTableSpec); the
   // resolved TableSpec only exists after analysis — accept both
@@ -982,6 +1115,14 @@ object GraftSql {
         import spark.implicits._
         import scala.jdk.CollectionConverters._
         views.keys.asScala.toSeq.sorted.toDF("name")
+      // name, location, staleness — the stale flag is log metadata
+      // (recorded vs current source versions), zero scans
+      case ShowMvRe() =>
+        import spark.implicits._
+        import scala.jdk.CollectionConverters._
+        matviews.asScala.toSeq
+          .map { case (n, (p, _)) => (n, p, mvStale(p)) }.sortBy(_._1)
+          .toDF("name", "location", "stale")
       // the FSCK dry run: missing-file rows out, nothing committed
       // (the committing form is execute's REPAIR TABLE)
       case RepairDryRe(name) =>

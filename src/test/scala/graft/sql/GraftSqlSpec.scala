@@ -908,6 +908,60 @@ class GraftSqlSpec extends SparkSpecBase {
     } finally GraftSql.unregister(n)
   }
 
+  test("materialized views: collision guards, durable across sessions " +
+    "via the catalog, stale tracking + refresh after reload, drop") {
+    val d = Files.createTempDirectory("graft_mv").toString
+    val w0 = GraftSql.getWarehouse
+    GraftSql.setWarehouse(d)
+    val pm = "pm" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      GraftSql.enableCatalog(spark)
+      val (t, n) = mk() // 4 rows
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $pm AS SELECT count(*) AS c FROM $n")
+      // the MV name is fenced on every surface
+      val e1 = intercept[IllegalArgumentException] {
+        GraftSql.register(pm, t)
+      }
+      assert(e1.getMessage.contains("materialized view"))
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          s"CREATE VIEW $pm AS SELECT id FROM $n")
+      }
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          s"CREATE MATERIALIZED VIEW $pm AS SELECT id FROM $n")
+      }
+      // a FRESH session reloads the MV with its text: reads, tracks
+      // staleness, and refreshes
+      GraftSql.resetSession()
+      GraftSql.enableCatalog(spark)
+      assert(GraftSql.query(spark, s"SELECT c FROM $pm")
+        .head().getLong(0) == 4L)
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 1")
+      assert(GraftSql.query(spark, "SHOW MATERIALIZED VIEWS")
+        .filter(col("name") === pm).head().getBoolean(2),
+        "the reloaded MV must track staleness")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $pm")
+      assert(GraftSql.query(spark, s"SELECT c FROM $pm")
+        .head().getLong(0) == 3L)
+      // DROP is durable and frees the name
+      GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $pm")
+      GraftSql.resetSession()
+      GraftSql.enableCatalog(spark)
+      assert(GraftSql.query(spark, "SHOW MATERIALIZED VIEWS")
+        .filter(col("name") === pm).count() == 0,
+        "the dropped MV must stay dropped across sessions")
+      GraftSql.unregister(n)
+    } finally {
+      GraftSql.disableCatalog()
+      w0 match {
+        case Some(w) => GraftSql.setWarehouse(w)
+        case None => GraftSql.setWarehouse(null)
+      }
+    }
+  }
+
   test("TRUNCATE TABLE is a logical delete-all: history and restore " +
     "survive; CREATE TABLE LIKE copies shape + engine properties only") {
     val (t, n) = mk() // v0: 4 rows
