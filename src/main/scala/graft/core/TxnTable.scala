@@ -554,6 +554,12 @@ object TxnTable {
     } catch { case _: Throwable => None } // corrupt checkpoint → full replay
   }
 
+  /** One commit by version — O(1), for callers walking the log
+    * backward (e.g. "find the last commit whose op matches") who must
+    * not pay [[commits]]' full-prefix read. */
+  def commitInfo(path: String, version: Long): TxnCommit =
+    readCommit(path, version)
+
   /** All commits with version ≤ asOf (or all, if asOf < 0), in order. */
   def commits(path: String, asOf: Long = -1L): Seq[TxnCommit] = {
     val top = currentVersion(path)
@@ -3203,14 +3209,15 @@ object TxnTable {
     * reclaim space explicitly with vacuum, the same never-delete-100-TB
     * contract as DROP TABLE). Schema, constraints, and properties
     * survive; subsequent appends start clean. Conflict contract: any
-    * concurrent data commit aborts the truncate (a truncate that
-    * silently swallowed a racing append would lose its rows). */
+    * concurrent DATA commit aborts the truncate (a truncate that
+    * silently swallowed a racing append would lose its rows); pure
+    * metadata commits (properties) commute, like overwrite's. */
   def truncate(path: String): Long = {
     val top = currentVersion(path)
     require(top >= 0, s"not a TxnTable: $path")
     val files = snapshotFiles(path, top)
     if (files.isEmpty) return top // already empty: the no-op signal
-    commitRewrite(path, top, "truncate", Nil, files, NoRebase)
+    commitRewrite(path, top, "truncate", Nil, files, CommuteMetadataOnly)
   }
 
   /** FSCK — reconcile the log with storage after OUT-OF-BAND file

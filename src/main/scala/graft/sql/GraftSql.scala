@@ -977,14 +977,22 @@ object GraftSql {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
-    TxnTable.commits(path).reverseIterator
-      .map(_.op).find(_.startsWith("matview:"))
-      .map(op => JsonMethods.parse(op.stripPrefix("matview:")) match {
-        case JObject(fields) =>
-          fields.map { case (k, jv) => k -> jv.extract[Long] }.toMap
-        case _ => Map.empty[String, Long]
-      })
-      .getOrElse(Map.empty)
+    // walk BACKWARD with single-commit reads: the marker is almost
+    // always the head (every MV commit is a create/refresh), so this
+    // is O(1), not an O(versions) full-prefix read per SHOW
+    var v = TxnTable.currentVersion(path)
+    val lo = TxnTable.earliestVersion(path)
+    while (v >= lo) {
+      val op = TxnTable.commitInfo(path, v).op
+      if (op.startsWith("matview:"))
+        return JsonMethods.parse(op.stripPrefix("matview:")) match {
+          case JObject(fields) =>
+            fields.map { case (k, jv) => k -> jv.extract[Long] }.toMap
+          case _ => Map.empty
+        }
+      v -= 1
+    }
+    Map.empty
   }
 
   private def mvStale(path: String): Boolean =
