@@ -2852,6 +2852,27 @@ object TxnTable {
     * [[TxnConflictException]] (blindly committing would undo that
     * writer's rows). An aborted run deletes its staged files.
     */
+  /** Single-column sibling of [[compactClustered]]: fold the snapshot
+    * into `targetFiles` RANGE-clustered files on `a` (what
+    * [[createClustered]] lays out at birth) — the re-cluster half of
+    * a 1-column `graft.clusterBy` layout's OPTIMIZE. Same commit and
+    * conflict contract as every compaction. */
+  def compactClusteredRange(spark: SparkSession, path: String,
+      a: Column, targetFiles: Int = 16): Long = {
+    val base = currentVersion(path)
+    val files = snapshotFiles(path, base)
+    val abs = files.map(f => localRoot(path).resolve(f).toString)
+    val clustered = applyDv(spark, path, base,
+      snapshotReader(spark, path, base).parquet(abs: _*),
+      keepFname = false)
+      .repartitionByRange(targetFiles, a)
+      .sortWithinPartitions(a)
+    val adds = writeDataPrepared(spark, path, clustered)
+    try commitRewrite(path, base, "compact", adds, files,
+      CommuteNonOverlapping)
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+  }
+
   def compactClustered(spark: SparkSession, path: String,
       a: Column, b: Column, targetFiles: Int = 16): Long = {
     val base = currentVersion(path)

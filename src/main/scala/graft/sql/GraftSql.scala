@@ -99,7 +99,7 @@ object GraftSql {
   private val Ident = """((?:`[^`]+`|[\w.])+)"""
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + Ident +
-      """\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?""" +
+      """\s*(?:(ZORDER)(?:\s+BY\s*\(([^)]*)\))?)?""" +
       """\s*(?:WHERE\s+(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+))?""" +
       """\s*;?\s*$""").r
   private val VacuumRe =
@@ -202,9 +202,21 @@ object GraftSql {
     * nothing changed). SELECTs and DESCRIBE HISTORY belong to
     * [[query]]. */
   def execute(spark: SparkSession, sqlText: String): Long = sqlText match {
-    case OptimizeRe(name, zorder, wCol, wLo, wHi) =>
+    case OptimizeRe(name, zkw, zorder, wCol, wLo, wHi) =>
       val (reg, _) = lookup(parseIdent(name))
-      Option(zorder).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      // a bare `OPTIMIZE t ZORDER` re-clusters on the table's
+      // PERSISTED layout spec (graft.clusterBy — seeded by the
+      // clustered create or SET TBLPROPERTIES): the operator does not
+      // have to remember what the table is clustered on
+      val zcols = Option(zorder).orElse {
+        if (zkw == null) None
+        else Some(TxnTable.properties(reg.path).getOrElse("graft.clusterBy",
+          throw new IllegalArgumentException(
+            "OPTIMIZE ZORDER without columns needs the table's " +
+              "graft.clusterBy property — pass ZORDER BY (a, b) or " +
+              "SET TBLPROPERTIES ('graft.clusterBy' = 'a,b')")))
+      }
+      zcols.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty) match {
         case None =>
           // an EXPLICIT OPTIMIZE always bin-packs eligible files
@@ -228,15 +240,28 @@ object GraftSql {
           throw new IllegalArgumentException(
             "OPTIMIZE ZORDER BY re-clusters the WHOLE snapshot — it " +
               "cannot be combined with a WHERE scope")
+        // a single PROPERTY-declared cluster column re-clusters by
+        // RANGE (the layout createClustered laid out at birth); an
+        // explicit 1-column ZORDER BY stays rejected (z-ordering one
+        // dimension is just range clustering — the error teaches)
+        // the persisted width applies only on the PROPERTY-driven
+        // path: an explicit ZORDER BY stays exactly ≡ the API call
+        // with its own defaults (the adjudicated statement≡API twin)
+        case Some(Seq(a)) if zorder == null =>
+          TxnTable.compactClusteredRange(spark, reg.path,
+            org.apache.spark.sql.functions.col(a),
+            zTargetFiles(reg, 16))
         case Some(Seq(a, b)) =>
           TxnTable.compactClustered(spark, reg.path,
             org.apache.spark.sql.functions.col(a),
-            org.apache.spark.sql.functions.col(b))
+            org.apache.spark.sql.functions.col(b),
+            if (zorder == null) zTargetFiles(reg, 16) else 16)
         case Some(Seq(a, b, c)) =>
           TxnTable.compactClustered3(spark, reg.path,
             org.apache.spark.sql.functions.col(a),
             org.apache.spark.sql.functions.col(b),
-            org.apache.spark.sql.functions.col(c))
+            org.apache.spark.sql.functions.col(c),
+            if (zorder == null) zTargetFiles(reg, 27) else 27)
         case Some(cols) => throw new IllegalArgumentException(
           s"OPTIMIZE ZORDER BY takes 2 or 3 columns, got ${cols.length} " +
             "— a 1-column layout is range clustering (CTAS CLUSTER BY)")
@@ -1337,6 +1362,12 @@ object GraftSql {
     * metadata commit, visible to every session) overrides the session
     * registration's flag — flipping a grown table to merge-on-read is
     * table state, not per-session opinion. */
+  /** ZORDER's layout width: the table's graft.targetFiles property
+    * when set, else that compaction arity's own default. */
+  private def zTargetFiles(reg: Reg, dflt: Int): Int =
+    TxnTable.properties(reg.path).get("graft.targetFiles")
+      .map(_.toInt).getOrElse(dflt)
+
   private def routeMor(reg: Reg): Boolean =
     TxnTable.properties(reg.path).get("graft.mor")
       .map(_.equalsIgnoreCase("true")).getOrElse(reg.mor)

@@ -908,6 +908,55 @@ class GraftSqlSpec extends SparkSpecBase {
     } finally GraftSql.unregister(n)
   }
 
+  test("bare OPTIMIZE ZORDER re-clusters on the persisted layout spec; " +
+    "explicit 1-column ZORDER BY stays rejected") {
+    val d = Files.createTempDirectory("graft_ozp").toString + "/t"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // clustered create seeds graft.clusterBy=g, graft.targetFiles=8
+    TxnTable.createClustered(spark, d,
+      (for (g <- 0L until 8L; i <- 1L to 50L)
+        yield (g * 1000 + i, g)).toDF("id", "g"),
+      Seq(col("g")), targetFiles = 8)
+    // a small-file tail SCATTERED across bands ruins the clustering
+    (1 to 4).foreach(k => TxnTable.append(spark, d,
+      Seq((9000L + k, k.toLong % 8)).toDF("id", "g")))
+    GraftSql.register(n, d)
+    try {
+      val v = GraftSql.execute(spark, s"OPTIMIZE $n ZORDER")
+      assert(TxnTable.commits(d).last.op == "compact" &&
+        v == TxnTable.currentVersion(d))
+      // the width is a TARGET: range partitioning may merge sparse
+      // bands, so at-most-width with the tail folded in is the claim
+      assert(TxnTable.snapshotFiles(d).size <= 8 &&
+        TxnTable.snapshotFiles(d).size >= 6,
+        s"the re-cluster must land near the persisted targetFiles " +
+          s"width, got ${TxnTable.snapshotFiles(d).size}")
+      // pruning works again over the re-clustered layout: strict
+      // subset, zero footers, exact rows
+      val f0 = graft.crawler.SkippingIndex.footerReads.get()
+      val pruned = TxnTable.readPruned(spark, d, "g", 2L, 3L)
+      assert(pruned.count() == 102L) // 100 base + the g=2 and g=3 tail rows
+      assert(pruned.inputFiles.length < 8)
+      assert(graft.crawler.SkippingIndex.footerReads.get() == f0)
+      // explicit single-column ZORDER BY keeps its teaching error
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, s"OPTIMIZE $n ZORDER BY (g)")
+      }
+      assert(e.getMessage.contains("range clustering"))
+      // …and a bare ZORDER with NO persisted layout is a loud error
+      val d2 = Files.createTempDirectory("graft_ozp2").toString + "/t"
+      val n2 = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+      TxnTable.create(spark, d2, Seq((1L, 1L)).toDF("id", "g"))
+      GraftSql.register(n2, d2)
+      try {
+        val e2 = intercept[IllegalArgumentException] {
+          GraftSql.execute(spark, s"OPTIMIZE $n2 ZORDER")
+        }
+        assert(e2.getMessage.contains("graft.clusterBy"), e2.getMessage)
+      } finally GraftSql.unregister(n2)
+    } finally GraftSql.unregister(n)
+  }
+
   test("materialized views: collision guards, durable across sessions " +
     "via the catalog, stale tracking + refresh after reload, drop") {
     val d = Files.createTempDirectory("graft_mv").toString
