@@ -1666,6 +1666,21 @@ object TxnTable {
     * concurrent commit that touched one of the hit files aborts the
     * delete (no lost updates) — see [[commitRewrite]].
     */
+  /** The snapshot's PHYSICAL-name scan, safe on ZERO-FILE snapshots
+    * (truncate / delete-all): an empty frame with the recorded
+    * physical schema substitutes for the parquet read — DML and
+    * compaction on an emptied table then no-op through their own
+    * nothing-matched paths instead of crashing on a pathless read. */
+  private def snapshotScan(spark: SparkSession, path: String,
+      base: Long, abs: Seq[String]): DataFrame =
+    if (abs.nonEmpty)
+      snapshotReader(spark, path, base).parquet(abs: _*)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      physicalSchema(recordedSchemaAt(path, base).getOrElse(
+        throw new IllegalArgumentException(
+          s"empty snapshot of $path at $base with no recorded schema"))))
+
   def deleteWhere(spark: SparkSession, path: String, predicate: Column): Long = {
     val base = currentVersion(path)
     val files = snapshotFiles(path, base)
@@ -1682,7 +1697,7 @@ object TxnTable {
     // trigger a hit nor survive the rewrite (the rewrite's removes
     // clear the hit files' DV mappings).
     val withName = applyDv(spark, path, base,
-      snapshotReader(spark, path, base).parquet(abs: _*), keepFname = true)
+      snapshotScan(spark, path, base, abs), keepFname = true)
     val hitDf = withName.filter(predicate)
       .select(col("__fname")).distinct().localCheckpoint()
     if (hitDf.isEmpty) return base
@@ -1797,10 +1812,17 @@ object TxnTable {
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
     val dvm = snapshotDvs(path, base)
-    val scan = snapshotReader(spark, path, base).parquet(abs: _*)
-      .withColumn("__fname",
-        element_at(split(input_file_name(), "/"), -1))
-      .withColumn("__pos", col("_metadata.row_index"))
+    // `_metadata.row_index` exists only on real file scans — the
+    // zero-file substitute (truncate / delete-all) fakes the two
+    // bookkeeping columns on the empty frame instead
+    val scan0 = snapshotScan(spark, path, base, abs)
+    val scan =
+      if (abs.isEmpty)
+        scan0.withColumn("__fname", lit(""))
+          .withColumn("__pos", lit(0L))
+      else scan0.withColumn("__fname",
+          element_at(split(input_file_name(), "/"), -1))
+        .withColumn("__pos", col("_metadata.row_index"))
     val oldDv =
       if (dvm.isEmpty)
         spark.emptyDataFrame
@@ -1917,7 +1939,7 @@ object TxnTable {
     val base = currentVersion(path)
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
-    val current = snapshotReader(spark, path, base).parquet(abs: _*)
+    val current = snapshotScan(spark, path, base, abs)
     // LOGICAL column surface: applyDv aliases the physical scan back to
     // the snapshot's logical names (column mapping) — user SET keys and
     // predicates speak logical
@@ -2034,7 +2056,7 @@ object TxnTable {
     val base = currentVersion(path)
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
-    val current = snapshotReader(spark, path, base).parquet(abs: _*)
+    val current = snapshotScan(spark, path, base, abs)
     // LOGICAL surface: applyDv aliases the physical scan to logical
     // names (column mapping); clause SETs and inserts speak logical
     val withName = applyDv(spark, path, base, current, keepFname = true)
@@ -2641,7 +2663,7 @@ object TxnTable {
     // survivor rewrite must see the evolved shape — parquet inference
     // from an old-generation footer would silently drop evolved columns
     // from the rewritten files (permanent data loss in the new commit).
-    val current = snapshotReader(spark, path, base).parquet(abs: _*)
+    val current = snapshotScan(spark, path, base, abs)
     // LOGICAL surface (column mapping): tableCols from the aliased frame
     val withName = applyDv(spark, path, base, current, keepFname = true)
     val tableCols = withName.columns.toSeq.filterNot(_ == "__fname")
@@ -2746,7 +2768,7 @@ object TxnTable {
     // table must not lose evolved columns to single-footer inference
     val adds = writeData(spark, path,
       applyDv(spark, path, base,
-        snapshotReader(spark, path, base).parquet(abs: _*),
+        snapshotScan(spark, path, base, abs),
         keepFname = false), targetFiles)
     try commitRewrite(path, base, "compact", adds, files,
       CommuteNonOverlapping)
@@ -2826,7 +2848,7 @@ object TxnTable {
       math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val adds = writeData(spark, path,
       applyDv(spark, path, base,
-        snapshotReader(spark, path, base).parquet(abs: _*),
+        snapshotScan(spark, path, base, abs),
         keepFname = false), bins)
     try commitRewrite(path, base, "compact", adds, candidates,
       CommuteNonOverlapping)
@@ -2863,7 +2885,7 @@ object TxnTable {
     val files = snapshotFiles(path, base)
     val abs = files.map(f => localRoot(path).resolve(f).toString)
     val clustered = applyDv(spark, path, base,
-      snapshotReader(spark, path, base).parquet(abs: _*),
+      snapshotScan(spark, path, base, abs),
       keepFname = false)
       .repartitionByRange(targetFiles, a)
       .sortWithinPartitions(a)
@@ -2880,7 +2902,7 @@ object TxnTable {
     val abs = files.map(f => localRoot(path).resolve(f).toString)
     val clustered = graft.operators.Layout.zorderPartitions(
       applyDv(spark, path, base,
-        snapshotReader(spark, path, base).parquet(abs: _*),
+        snapshotScan(spark, path, base, abs),
         keepFname = false), a, b, targetFiles)
     val adds = writeDataPrepared(spark, path, clustered)
     try commitRewrite(path, base, "compact", adds, files,
@@ -2900,7 +2922,7 @@ object TxnTable {
     val abs = files.map(f => localRoot(path).resolve(f).toString)
     val clustered = graft.operators.Layout.zorderPartitions3(
       applyDv(spark, path, base,
-        snapshotReader(spark, path, base).parquet(abs: _*),
+        snapshotScan(spark, path, base, abs),
         keepFname = false), a, b, c,
       targetFiles)
     val adds = writeDataPrepared(spark, path, clustered)

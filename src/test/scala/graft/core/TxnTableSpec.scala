@@ -1556,6 +1556,37 @@ class TxnTableSpec extends SparkSpecBase {
     assert(read(spark, t).filter(col("val") === 42L).count() == 1)
   }
 
+  test("DML and maintenance on a ZERO-FILE snapshot no-op gracefully " +
+    "(truncate / delete-all), and a MERGE can repopulate it") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, Seq((1L, 10L), (2L, 20L)).toDF("id", "v")) // v0
+    truncate(t) // v1: zero files
+    assert(read(spark, t).count() == 0)
+    val v1 = currentVersion(t)
+    // WHERE-DML matches nothing → unchanged head, no crash
+    assert(deleteWhere(spark, t, col("id") === 1L) == v1)
+    assert(updateWhere(spark, t, col("id") === 1L,
+      Map("v" -> lit(0L))) == v1)
+    assert(deleteWhereMor(spark, t, col("id") === 1L) == v1)
+    // CDF across the truncate: every row a delete image
+    val d = diffVersions(spark, t, 0L, v1, Seq("id")).collect()
+    assert(d.length == 2 && d.forall(_.getAs[String]("op") == "delete"))
+    // a MERGE repopulates the empty table through its insert clause
+    mergeInto(spark, t,
+      Seq((5L, 50L)).toDF("id", "v"), Seq("id"),
+      matched = Seq(MatchedUpdate(Map("v" -> srcCol("v")))),
+      notMatched = Seq(NotMatchedInsert(
+        Map("id" -> srcCol("id"), "v" -> srcCol("v")))))
+    assert(read(spark, t).as[(Long, Long)].collect().toSet ==
+      Set((5L, 50L)))
+    // …and a second truncate then append starts clean again
+    truncate(t)
+    append(spark, t, Seq((9L, 90L)).toDF("id", "v"))
+    assert(read(spark, t).as[(Long, Long)].collect().toSet ==
+      Set((9L, 90L)))
+  }
+
   test("repair: clean tables no-op, the lost file's DV clears with " +
     "it, and history stays auditable") {
     import spark.implicits._
