@@ -910,8 +910,14 @@ object GraftSql {
     }
     props.foreach {
       case (k, v) if k.startsWith("view:") =>
-        views.put(k.stripPrefix("view:"),
-          spark.sessionState.sqlParser.parsePlan(v))
+        val nm = k.stripPrefix("view:")
+        // a cross-session race can persist BOTH table:<n> and
+        // view:<n> (each side's in-memory guard couldn't see the
+        // other's uncommitted entry): tables win deterministically on
+        // load — a half-loaded shadowed view would resolve as the
+        // table anyway but answer SHOW VIEWS, which is worse
+        if (!tables.containsKey(nm))
+          views.put(nm, spark.sessionState.sqlParser.parsePlan(v))
       case _ => ()
     }
     props.foreach {
