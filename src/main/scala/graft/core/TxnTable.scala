@@ -3589,9 +3589,16 @@ object TxnTable {
       require(recorded.isDefined,
         s"empty snapshot of $path at $asOf with no recorded schema")
       val st = recordedSchemaAt(path, upTo).get
+      // all-nullable, like every real file scan (Spark's file sources
+      // force asNullable on user schemas) — a zero-file snapshot must
+      // be schema-IDENTICAL to its file-backed siblings, or consumers
+      // comparing schema JSON (the change feed's pin) see a phantom
+      // schema change at the truncate
+      val nullable = org.apache.spark.sql.types.StructType(
+        physicalSchema(st).fields.map(_.copy(nullable = true)))
       return toLogical(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        physicalSchema(st)), st)
+        nullable), st)
     }
     // Pin the RECORDED snapshot schema: evolved-in columns null-fill on
     // old-generation files exactly like mergeSchema did, and a DROPPED

@@ -371,6 +371,41 @@ class StreamChangesSpec extends SparkSpecBase {
       s"wrong failure: ${chain(e)}")
   }
 
+  test("the change feed carries a TRUNCATE as delete images for every " +
+    "row — a consumer's replica empties exactly like the table") {
+    val root = Files.createTempDirectory("graft_sttrunc").toString
+    val t = s"$root/t"
+    TxnTable.create(spark, t,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")) // v0
+    TxnTable.truncate(t)                                    // v1
+    TxnTable.append(spark, t, Seq((9L, 90L)).toDF("id", "v")) // v2
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long)]
+    val q = StreamChanges.readChangesStream(spark, t, s"$root/spool",
+      s"$root/pc", Seq("id"))
+      .writeStream.option("checkpointLocation", s"$root/uc")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        got ++= b.select(col("id"), col("op"), col("to_version"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        ()
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // v0 snapshot inserts, v1 = one delete image PER ROW, v2 insert
+    assert(got.count(_._2 == "insert") == 4)
+    assert(got.filter(_._3 == 1L).toSet ==
+      Set((1L, "delete", 1L), (2L, "delete", 1L), (3L, "delete", 1L)),
+      s"the truncate version must carry every row as a delete, got " +
+        got.filter(_._3 == 1L))
+    // replaying the feed op-for-op lands on the table's head state
+    val replayed = got.groupBy(_._1).filter { case (_, ops) =>
+      ops.maxBy(_._3)._2 != "delete"
+    }.keySet
+    assert(replayed == Set(9L))
+  }
+
   test("spool publish: losing the rename race is benign, but any " +
     "other move failure rethrows (a swallowed one drops the version " +
     "from the feed forever)") {
