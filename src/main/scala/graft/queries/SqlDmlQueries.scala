@@ -19,6 +19,13 @@ object SqlDmlQueries {
   private def freshName(p: String): String =
     p + java.util.UUID.randomUUID().toString.replace("-", "")
 
+  /** s54's per-run CSV landing dir, published into the oracle SQL
+    * ([[oracle]] is a `def` so the entry interpolates the value set
+    * by the gate run, not the object-init default). */
+  private val s54LandDir =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "/tmp/graft_s54_csv")
+
   /** UPDATE then DELETE as statement text on a clustered orders table;
     * both rewrite strict file subsets (asserted in-run). */
   def s34SqlUpdateDelete(spark: SparkSession, dir: String): DataFrame = {
@@ -451,18 +458,18 @@ object SqlDmlQueries {
     * UNDER THE TABLE (bytes rewritten — the opposite of s52's
     * by-reference parquet adopt); a malformed row (unparseable long)
     * aborts its whole batch atomically with nothing committed. The
-    * landing directory is DETERMINISTIC so the oracle replays it with
-    * DuckDB's own read_csv over the very same files. */
+    * landing directory is PER-RUN (a temp dir published through
+    * [[s54LandDir]] into the oracle SQL) so the oracle replays it
+    * with DuckDB's own read_csv over the very same files, and two
+    * concurrent suite runs never race on one path. */
   def s54CopyCsv(spark: SparkSession, dir: String): DataFrame = {
-    val land = "/tmp/graft_s54_csv" // fixed: the oracle read_csv's it
+    // per-run landing dir (concurrent suite runs on one machine must
+    // not race on a shared path); the oracle entry interpolates the
+    // holder, so DuckDB replays THIS run's files
+    val land = java.nio.file.Files
+      .createTempDirectory("graft_s54_csv_").toString
+    s54LandDir.set(land)
     val lp = java.nio.file.Paths.get(land)
-    if (java.nio.file.Files.exists(lp)) {
-      import scala.jdk.CollectionConverters._
-      val w = java.nio.file.Files.walk(lp)
-      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-      finally w.close()
-    }
     val d = java.nio.file.Files.createTempDirectory("graft_s54").toString
     val t = d + "/t"
     val n = freshName("orders_cc_")
@@ -1547,7 +1554,9 @@ object SqlDmlQueries {
     "s37_alter_columns" -> (s37AlterColumns _),
     "s38_rename_column" -> (s38RenameColumn _))
 
-  val oracle: Map[String, String] = Map(
+  // a def, not a val: the s54 entry interpolates the per-run landing
+  // dir its gate publishes (Verify collects oracle SQL AFTER queries)
+  def oracle: Map[String, String] = Map(
     // the lifecycle replayed relationally: n1 v1 = base + low-band
     // insert; n2 = 'O' slice of v1, then replaced by its own status
     // aggregate; n3 = the v0 half-band CTAS
@@ -1776,13 +1785,13 @@ object SqlDmlQueries {
         |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS ps
         |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin,
     // the oracle reads the GATE'S OWN landing files back with DuckDB's
-    // read_csv — the deterministic /tmp/graft_s54_csv drop the engine
-    // loaded (idempotence/materialization/atomic-abort asserted in-run)
+    // read_csv — the per-run landing drop the engine loaded
+    // (idempotence/materialization/atomic-abort asserted in-run)
     "s54_copy_csv" ->
-      """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+      s"""SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(price_c) AS BIGINT) AS ps,
         |  CAST(sum(o_orderkey) AS BIGINT) AS ks
-        |FROM read_csv('/tmp/graft_s54_csv/*/*.csv', header=true)
+        |FROM read_csv('${s54LandDir.get}/*/*.csv', header=true)
         |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
     // base generation = raw orders; wide generation = the low-custkey
     // band re-keyed past int32 (metadata-only widen, zero-footer

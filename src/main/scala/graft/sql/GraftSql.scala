@@ -66,7 +66,10 @@ object GraftSql {
       !views.containsKey(nm.split('.').last),
       s"$name is an existing view — DROP VIEW first (a table " +
         "registration would silently shadow it)")
-    require(!matviews.containsKey(nm),
+    // congruent with the view guard: a dotted registration (`a.b`)
+    // must not shadow MV `b` for bare-name resolution either
+    require(!matviews.containsKey(nm) &&
+      !matviews.containsKey(nm.split('.').last),
       s"$name is a materialized view — DROP MATERIALIZED VIEW first")
     tables.put(nm, Reg(path, mor))
     persistTable(nm, path, mor)
@@ -203,7 +206,7 @@ object GraftSql {
     * [[query]]. */
   def execute(spark: SparkSession, sqlText: String): Long = sqlText match {
     case OptimizeRe(name, zkw, zorder, wCol, wLo, wHi) =>
-      val (reg, _) = lookup(parseIdent(name))
+      val (reg, _) = lookupMutable(parseIdent(name), "OPTIMIZE")
       // a bare `OPTIMIZE t ZORDER` re-clusters on the table's
       // PERSISTED layout spec (graft.clusterBy — seeded by the
       // clustered create or SET TBLPROPERTIES): the operator does not
@@ -350,7 +353,11 @@ object GraftSql {
         require(samePath(r.path, path),
           s"$dn is already registered at ${r.path} — unregister it " +
             s"first or use that LOCATION (got $path)"))
-      val schema = TxnTable.read(spark, srcReg.path).schema
+      // the RECORDED schema, not the file-scan schema: the scan
+      // forces every field nullable, which would silently drop the
+      // source's NOT NULL-ness from the LIKE table
+      val schema = TxnTable.currentSchema(srcReg.path)
+        .getOrElse(TxnTable.read(spark, srcReg.path).schema)
       TxnTable.create(spark, path, spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
       val gprops = TxnTable.properties(srcReg.path)
@@ -374,7 +381,7 @@ object GraftSql {
     // path (table-shape coercion + constraints) with the same
     // source-path idempotence; a re-run is a no-op at the unchanged head
     case CopyIntoRe(name, dir, fmt, pat) =>
-      val (reg, _) = lookup(parseIdent(name))
+      val (reg, _) = lookupMutable(parseIdent(name), "COPY INTO")
       val pattern = Option(pat)
       Option(fmt).map(_.toLowerCase) match {
         case None | Some("parquet") =>
@@ -419,14 +426,14 @@ object GraftSql {
       v
 
     case RestoreRe(name, v) =>
-      val (reg, _) = lookup(parseIdent(name))
+      val (reg, _) = lookupMutable(parseIdent(name), "RESTORE")
       TxnTable.restore(spark, reg.path, v.toLong)
 
     // RESTORE addressed by wall clock — the "undo whatever happened
     // after 14:00" shape; resolves through versionAt (session-TZ
     // parse, pre-horizon fence)
     case RestoreTsRe(name, ts) =>
-      val (reg, _) = lookup(parseIdent(name))
+      val (reg, _) = lookupMutable(parseIdent(name), "RESTORE")
       TxnTable.restore(spark, reg.path, TxnTable.versionAt(reg.path,
         timestampMillis(spark, Literal(ts))))
 
@@ -510,14 +517,14 @@ object GraftSql {
           }
       }) match {
       case DeleteFromTable(t, cond) =>
-        val (reg, quals) = target(t)
+        val (reg, quals) = targetMutable(t, "DELETE")
         val c = Bridge.column(
           resolveSubqueries(spark, stripQual(cond, quals)))
         if (routeMor(reg)) TxnTable.deleteWhereMor(spark, reg.path, c)
         else TxnTable.deleteWhere(spark, reg.path, c)
 
       case UpdateTable(t, assigns, cond) =>
-        val (reg, quals) = target(t)
+        val (reg, quals) = targetMutable(t, "UPDATE")
         // SET values may carry SCALAR subqueries (projection-legal)
         val set = assigns.map(a =>
           lastName(a.key) -> Bridge.column(
@@ -534,7 +541,7 @@ object GraftSql {
           byName) =>
         require(partSpec.isEmpty && !ifNot,
           "partition specs are not supported on txn-table INSERTs")
-        val (reg, _) = target(t)
+        val (reg, _) = targetMutable(t, "INSERT")
         val tgtSchema = TxnTable.read(spark, reg.path).schema
         val tgtCols = tgtSchema.fieldNames
         val src = Bridge.ofRows(spark, substituteRelations(spark, q))
@@ -580,7 +587,7 @@ object GraftSql {
         else TxnTable.append(spark, reg.path, coerced)
 
       case AddColumns(t, cols) =>
-        val (reg, _) = target(t)
+        val (reg, _) = targetMutable(t, "ALTER TABLE")
         val specs = cols.map { c =>
           require(c.path.isEmpty, "nested ADD COLUMNS is not supported")
           require(c.position.isEmpty && c.default.isEmpty,
@@ -590,7 +597,7 @@ object GraftSql {
         TxnTable.addColumns(spark, reg.path, specs)
 
       case DropColumns(t, fields, ifExists) =>
-        val (reg, _) = target(t)
+        val (reg, _) = targetMutable(t, "ALTER TABLE")
         val names = fields.map {
           case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName =>
             require(f.name.length == 1,
@@ -610,7 +617,7 @@ object GraftSql {
         else TxnTable.dropColumns(spark, reg.path, present)
 
       case RenameColumn(t, field, newName) =>
-        val (reg, _) = target(t)
+        val (reg, _) = targetMutable(t, "ALTER TABLE")
         val from = field match {
           case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName =>
             require(f.name.length == 1,
@@ -625,7 +632,7 @@ object GraftSql {
       // widening — the TxnTable validates the widening matrix and
       // refuses narrowing/incompatible casts loudly
       case ac: AlterColumns =>
-        val (reg, _) = target(ac.table)
+        val (reg, _) = targetMutable(ac.table, "ALTER TABLE")
         var v = TxnTable.currentVersion(reg.path)
         ac.specs.foreach { spec =>
           require(spec.newDataType.isDefined &&
@@ -651,11 +658,11 @@ object GraftSql {
       // the property is TABLE state; a graft.mor flip re-routes every
       // subsequent DML statement on any session reading this table
       case sp: SetTableProperties =>
-        val (reg, _) = target(sp.table)
+        val (reg, _) = targetMutable(sp.table, "ALTER TABLE")
         TxnTable.setProperties(reg.path, sp.properties)
 
       case up: UnsetTableProperties =>
-        val (reg, _) = target(up.table)
+        val (reg, _) = targetMutable(up.table, "ALTER TABLE")
         TxnTable.unsetProperties(reg.path, up.propertyKeys, up.ifExists)
 
       case ct: CreateTable =>
@@ -705,7 +712,7 @@ object GraftSql {
         }
 
       case ac: AddConstraint =>
-        val (reg, _) = target(ac.table)
+        val (reg, _) = targetMutable(ac.table, "ALTER TABLE")
         ac.tableConstraint match {
           case c: org.apache.spark.sql.catalyst.expressions.CheckConstraint =>
             TxnTable.addConstraint(spark, reg.path, c.name, c.condition)
@@ -725,12 +732,12 @@ object GraftSql {
             t: LogicalPlan
         }.getOrElse(throw new IllegalArgumentException(
           s"ADD CONSTRAINT: no table in ${ac.child.nodeName}"))
-        val (reg, _) = target(rel)
+        val (reg, _) = targetMutable(rel, "ALTER TABLE")
         TxnTable.addConstraint(spark, reg.path,
           ac.checkConstraint.name, ac.checkConstraint.condition)
 
       case dc: DropConstraint =>
-        val (reg, _) = target(dc.table)
+        val (reg, _) = targetMutable(dc.table, "ALTER TABLE")
         require(!dc.cascade, "DROP CONSTRAINT CASCADE is not supported")
         val existed = TxnTable.dropConstraint(reg.path, dc.name)
         require(existed || dc.ifExists,
@@ -739,6 +746,13 @@ object GraftSql {
 
       case rtas: ReplaceTableAsSelect =>
         val (nm, path, mor) = createTarget(rtas.name, rtas.tableSpec)
+        // fence BEFORE the overwrite: register()'s own MV guard only
+        // fires after the content would already be replaced
+        require(!matviews.containsKey(nm) &&
+          !matviews.containsKey(nm.split('.').last),
+          s"$nm is a materialized view — REPLACE TABLE would diverge " +
+            "its content from its definition; use REFRESH MATERIALIZED " +
+            s"VIEW $nm instead, or DROP MATERIALIZED VIEW")
         val df = Bridge.ofRows(spark,
           substituteRelations(spark, rtas.query))
         existingVersion(nm, path) match {
@@ -813,7 +827,7 @@ object GraftSql {
           case other => throw new IllegalArgumentException(
             s"unsupported TRUNCATE target: ${other.nodeName}")
         }
-        TxnTable.truncate(lookup(Seq(nm))._1.path)
+        TxnTable.truncate(lookupMutable(Seq(nm), "TRUNCATE")._1.path)
 
       case dv: DropView =>
         val nm = dv.child match {
@@ -920,13 +934,22 @@ object GraftSql {
           views.put(nm, spark.sessionState.sqlParser.parsePlan(v))
       case _ => ()
     }
+    // same tables-win precedence as the view branch: a cross-session
+    // race can persist BOTH table:<n> and matview:<n>; loading the
+    // matview LAST with an unconditional put would resolve
+    // matview-wins — the opposite rule. Skip the matview when a
+    // `table:` entry holds the name.
+    val tableEntries = props.keysIterator
+      .filter(_.startsWith("table:")).map(_.stripPrefix("table:")).toSet
     props.foreach {
       case (k, v) if k.startsWith("matview:") =>
         val nm = k.stripPrefix("matview:")
-        val j = JsonMethods.parse(v)
-        val path = (j \ "path").extract[String]
-        matviews.put(nm, (path, (j \ "text").extract[String]))
-        tables.put(nm, Reg(path, mor = false))
+        if (!tableEntries.contains(nm)) {
+          val j = JsonMethods.parse(v)
+          val path = (j \ "path").extract[String]
+          matviews.put(nm, (path, (j \ "text").extract[String]))
+          tables.put(nm, Reg(path, mor = false))
+        }
       case _ => ()
     }
   }
@@ -985,16 +1008,29 @@ object GraftSql {
   }
 
   private def mvSources(spark: SparkSession, text: String): Seq[String] = {
-    val plan = spark.sessionState.sqlParser.parsePlan(text)
-    plan.collect {
+    // registered VIEW names expand recursively (substituting each
+    // view's stored plan), so the staleness marker covers every
+    // TRANSITIVELY-referenced txn table — a SELECT mixing a table
+    // with a view must not under-track the view's base tables
+    val expanded = scala.collection.mutable.Set[String]()
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    def walk(plan: LogicalPlan): Unit = plan.foreach {
       case r: UnresolvedRelation =>
         val full = r.multipartIdentifier.mkString(".").toLowerCase
-        if (tables.containsKey(full)) Some(full)
+        val short = r.multipartIdentifier.last.toLowerCase
+        if (tables.containsKey(full)) out += full
+        else if (tables.containsKey(short)) out += short
         else {
-          val short = r.multipartIdentifier.last.toLowerCase
-          if (tables.containsKey(short)) Some(short) else None
+          val vn = if (views.containsKey(full)) full
+            else if (views.containsKey(short)) short else null
+          // CTE-local names resolve to nothing here: ignored, as
+          // before (their bodies are part of this same plan tree)
+          if (vn != null && expanded.add(vn)) walk(views.get(vn))
         }
-    }.flatten.distinct
+      case _ => ()
+    }
+    walk(spark.sessionState.sqlParser.parsePlan(text))
+    out.toSeq
   }
 
   private def mvMarker(srcs: Seq[String]): String =
@@ -1388,6 +1424,40 @@ object GraftSql {
     (reg, Set(full, short))
   }
 
+  /** [[lookup]] plus the materialized-view fence: a mutation verb on
+    * an MV name is refused — an MV's content must stay equal to its
+    * definition (a stray DML commit would diverge it while SHOW
+    * MATERIALIZED VIEWS still reports it fresh, staleness being
+    * source-version metadata only — and would also push the
+    * staleness marker off the head, degrading [[mvRecorded]]'s O(1)
+    * backward walk). Mirrors the view-as-DML-target refusal. */
+  private def lookupMutable(parts: Seq[String],
+      verb: String): (Reg, Set[String]) = {
+    val full = parts.mkString(".").toLowerCase
+    val short = parts.last.toLowerCase
+    // fence on the name the registry would RESOLVE (full if bound,
+    // else last segment) — the same precedence lookup() applies
+    val resolved = if (tables.containsKey(full)) full else short
+    require(!matviews.containsKey(resolved),
+      s"$resolved is a materialized view — $verb would diverge its " +
+        "content from its definition; use REFRESH MATERIALIZED VIEW " +
+        s"$resolved to recompute it, or DROP MATERIALIZED VIEW")
+    lookup(parts)
+  }
+
+  /** [[target]] with the MV mutation fence of [[lookupMutable]]. */
+  private def targetMutable(plan: LogicalPlan,
+      verb: String): (Reg, Set[String]) = plan match {
+    case SubqueryAlias(id, child) =>
+      val (reg, quals) = targetMutable(child, verb)
+      (reg, quals + id.name.toLowerCase)
+    case r: UnresolvedRelation => lookupMutable(r.multipartIdentifier, verb)
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      lookupMutable(t.multipartIdentifier, verb)
+    case other => throw new IllegalArgumentException(
+      s"unsupported DML target shape: ${other.nodeName}")
+  }
+
   private def lastName(e: Expression): String = e match {
     case a: UnresolvedAttribute => a.nameParts.last
     case other => throw new IllegalArgumentException(
@@ -1418,7 +1488,7 @@ object GraftSql {
   // -- MERGE INTO ----------------------------------------------------------
 
   private def merge(spark: SparkSession, m: MergeIntoTable): Long = {
-    val (reg, tgtQuals) = target(m.targetTable)
+    val (reg, tgtQuals) = targetMutable(m.targetTable, "MERGE")
     // the source may be any relation or subquery — Spark analyzes it
     val (srcDf, srcQuals) = m.sourceTable match {
       case SubqueryAlias(id, child) =>

@@ -121,15 +121,8 @@ object StreamChanges {
     Files.createDirectories(root)
     // pin the feed's schema once, create-exclusive (two racing pumps
     // both derive it from the same head; first writer wins)
-    if (!Files.exists(stampPath(root))) {
-      val tmp = root.resolve(s".stamp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, TxnTable.read(spark, srcPath).schema.json
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      try { Files.move(tmp, stampPath(root),
-        StandardCopyOption.ATOMIC_MOVE); () }
-      catch { case _: java.nio.file.FileSystemException =>
-        Files.deleteIfExists(tmp); () }
-    }
+    if (!Files.exists(stampPath(root)))
+      createStamped(root, TxnTable.read(spark, srcPath).schema.json)
     val pinnedJson = new String(Files.readAllBytes(stampPath(root)),
       java.nio.charset.StandardCharsets.UTF_8)
     val q = StreamIvm.changesStream(spark, srcPath,
@@ -221,8 +214,13 @@ object StreamChanges {
         schemaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       try { Files.move(tmp, stampPath(genDir),
         StandardCopyOption.ATOMIC_MOVE); () }
-      catch { case _: java.nio.file.FileSystemException =>
-        Files.deleteIfExists(tmp); () }
+      catch { case e: java.nio.file.FileSystemException =>
+        // drop our tmp copy either way, then verify the assumed
+        // winner — a genuine I/O failure (permissions, disk full)
+        // must surface HERE, not as a later NoSuchFileException from
+        // readStamp (mirrors publish())
+        Files.deleteIfExists(tmp)
+        if (!Files.exists(stampPath(genDir))) throw e }
     }
   }
 
@@ -349,10 +347,16 @@ object StreamChanges {
             Seq("end_of_generation", null, null, v - 1, v))), core)
     val tmp = genDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     terminal.write.parquet(tmp.toString)
-    publish(tmp, genDir.resolve(s"r${v - 1}_$v"))
-    // the new generation opens at v, stamped with the NEW schema;
-    // the ALTER commit itself changed no rows, so it needs no range
+    // the new generation must exist BEFORE its terminal pointer is
+    // published: a crash between the two in the old order left the
+    // marker on disk with no gen-<v>, so redelivery no-op'd on the
+    // marker check and the feed wedged (every later version resolved
+    // its covering generation to the OLD schema). createStamped is
+    // idempotent, so a crash after it simply re-runs the publish.
     createStamped(root.resolve(s"gen-$v"), vSchema)
+    // the ALTER commit itself changed no rows, so gen-<v> needs no
+    // range; the terminal row in the OLD generation points at it
+    publish(tmp, genDir.resolve(s"r${v - 1}_$v"))
   }
 
   /** One data range into `genDir` — [[spool]]'s body parameterized by

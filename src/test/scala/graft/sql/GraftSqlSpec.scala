@@ -1273,4 +1273,186 @@ class GraftSqlSpec extends SparkSpecBase {
         .filter(col("op").startsWith("tblprops:set")).count() == 2L)
     } finally GraftSql.unregister(n)
   }
+
+  test("materialized views are fenced against every mutation verb — " +
+    "content must stay equal to the definition (refresh instead)") {
+    val d = Files.createTempDirectory("graft_mvf").toString
+    val w0 = GraftSql.getWarehouse
+    GraftSql.setWarehouse(d)
+    val pm = "pm" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (t, n) = mk() // 4 rows
+    try {
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $pm AS " +
+          s"SELECT id, v FROM $n WHERE v > 5")
+      val mvPath = GraftSql.query(spark, "SHOW MATERIALIZED VIEWS")
+        .filter(col("name") === pm).head().getString(1)
+      val v0 = TxnTable.currentVersion(mvPath)
+      val stmts = Seq(
+        s"INSERT INTO $pm VALUES (9, 9)",
+        s"UPDATE $pm SET v = 0 WHERE id = 1",
+        s"DELETE FROM $pm WHERE id = 1",
+        s"MERGE INTO $pm USING $n ON $pm.id = $n.id " +
+          "WHEN MATCHED THEN DELETE",
+        s"TRUNCATE TABLE $pm",
+        s"OPTIMIZE $pm",
+        s"COPY INTO $pm FROM '$d'",
+        s"ALTER TABLE $pm ADD COLUMNS (z INT)",
+        s"ALTER TABLE $pm DROP COLUMN v",
+        s"ALTER TABLE $pm RENAME COLUMN v TO w",
+        s"ALTER TABLE $pm ALTER COLUMN id TYPE BIGINT",
+        s"ALTER TABLE $pm SET TBLPROPERTIES ('a' = 'b')",
+        s"ALTER TABLE $pm UNSET TBLPROPERTIES ('a')",
+        s"ALTER TABLE $pm ADD CONSTRAINT c CHECK (v > 0)",
+        s"RESTORE TABLE $pm TO VERSION AS OF 0",
+        s"CREATE OR REPLACE TABLE $pm AS SELECT id FROM $n")
+      stmts.foreach { stmt =>
+        val e = intercept[IllegalArgumentException] {
+          GraftSql.execute(spark, stmt)
+        }
+        assert(e.getMessage.contains("materialized view"),
+          s"'$stmt' must be fenced, got: ${e.getMessage}")
+      }
+      // nothing committed: the MV's log is untouched and its content
+      // still equals its definition
+      assert(TxnTable.currentVersion(mvPath) == v0,
+        "a fenced verb must commit NOTHING on the MV")
+      assert(GraftSql.query(spark, s"SELECT count(*) AS c FROM $pm")
+        .head().getLong(0) == 4L)
+      // REFRESH (the pointed-at alternative) still works
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 1")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $pm")
+      assert(GraftSql.query(spark, s"SELECT count(*) AS c FROM $pm")
+        .head().getLong(0) == 3L)
+      GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $pm")
+    } finally {
+      GraftSql.unregister(n)
+      w0 match {
+        case Some(w) => GraftSql.setWarehouse(w)
+        case None => GraftSql.setWarehouse(null)
+      }
+    }
+  }
+
+  test("MV staleness tracks tables referenced THROUGH views (mixed " +
+    "table + view definition under-tracked before)") {
+    val d = Files.createTempDirectory("graft_mvv").toString
+    val w0 = GraftSql.getWarehouse
+    GraftSql.setWarehouse(d)
+    val pm = "pm" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val vw = "vw" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (_, n1) = mk() // the view's base table
+    val (_, n2) = mk() // directly-referenced table
+    try {
+      GraftSql.execute(spark,
+        s"CREATE VIEW $vw AS SELECT id, v FROM $n1 WHERE v > 15")
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $pm AS " +
+          s"SELECT a.id, a.v, b.s FROM $vw a JOIN $n2 b ON a.id = b.id")
+      def stale(): Boolean = GraftSql.query(spark,
+        "SHOW MATERIALIZED VIEWS")
+        .filter(col("name") === pm).head().getBoolean(2)
+      assert(!stale(), "freshly created MV must report fresh")
+      // mutate ONLY the view's base table: the marker must cover it
+      GraftSql.execute(spark, s"DELETE FROM $n1 WHERE id = 4")
+      assert(stale(),
+        "a change to the view's base table must flip the MV stale")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $pm")
+      assert(!stale(), "refresh re-records the transitive sources")
+      // and the refreshed content reflects the view-base change:
+      // v>15 passes ids 2,3,4; the delete removed 4 → ids 2,3
+      assert(GraftSql.query(spark, s"SELECT count(*) AS c FROM $pm")
+        .head().getLong(0) == 2L)
+      GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $pm")
+      GraftSql.execute(spark, s"DROP VIEW $vw")
+    } finally {
+      GraftSql.unregister(n1); GraftSql.unregister(n2)
+      w0 match {
+        case Some(w) => GraftSql.setWarehouse(w)
+        case None => GraftSql.setWarehouse(null)
+      }
+    }
+  }
+
+  test("catalog load: tables win deterministically over a cross-" +
+    "session-raced matview entry (same rule as views)") {
+    val d = Files.createTempDirectory("graft_mvrace").toString
+    val w0 = GraftSql.getWarehouse
+    GraftSql.setWarehouse(d)
+    val (t, n) = mk()
+    try {
+      GraftSql.enableCatalog(spark)
+      GraftSql.register(n, t) // NOW persists table:<n> into the catalog
+      // simulate the other session's raced matview:<n> persist by
+      // writing the catalog property directly (each side's in-memory
+      // guard couldn't see the other's uncommitted entry)
+      val catalog = java.nio.file.Paths.get(d, "_graft_catalog").toString
+      def j(x: String) = "\"" + x + "\""
+      TxnTable.setProperties(catalog, Map(s"matview:$n" ->
+        s"{${j("path")}:${j(d + "/ghost")},${j("text")}:${j("SELECT 1")}}"))
+      GraftSql.resetSession()
+      GraftSql.enableCatalog(spark)
+      // the TABLE wins: the name resolves to the table's path and
+      // content, and SHOW MATERIALIZED VIEWS does not list it
+      assert(GraftSql.query(spark, s"SELECT count(*) AS c FROM $n")
+        .head().getLong(0) == 4L,
+        "the raced name must resolve to the TABLE")
+      assert(GraftSql.query(spark, "SHOW MATERIALIZED VIEWS")
+        .filter(col("name") === n).count() == 0L,
+        "the shadowed matview entry must not load")
+      // and DML on the name stays allowed (it is NOT an MV here)
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 1")
+      assert(rows(t).size == 3)
+    } finally {
+      GraftSql.disableCatalog()
+      GraftSql.unregister(n)
+      w0 match {
+        case Some(w) => GraftSql.setWarehouse(w)
+        case None => GraftSql.setWarehouse(null)
+      }
+    }
+  }
+
+  test("register(): a dotted registration cannot shadow an MV's bare " +
+    "name (guard congruent with the view guard)") {
+    val d = Files.createTempDirectory("graft_mvdot").toString
+    val w0 = GraftSql.getWarehouse
+    GraftSql.setWarehouse(d)
+    val pm = "pm" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (t, n) = mk()
+    try {
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $pm AS SELECT count(*) AS c FROM $n")
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.register(s"db.$pm", t)
+      }
+      assert(e.getMessage.contains("materialized view"))
+      GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $pm")
+    } finally {
+      GraftSql.unregister(n)
+      w0 match {
+        case Some(w) => GraftSql.setWarehouse(w)
+        case None => GraftSql.setWarehouse(null)
+      }
+    }
+  }
+
+  test("CREATE TABLE LIKE preserves the source's recorded " +
+    "nullability (not the scan's forced-nullable shape)") {
+    val (t, n) = mk() // Seq-derived: id/v are non-nullable longs
+    val src = TxnTable.currentSchema(t).getOrElse(
+      fail("source must have a recorded schema"))
+    assert(!src("id").nullable && !src("v").nullable,
+      "precondition: the fixture records NOT NULL columns")
+    val dst = Files.createTempDirectory("graft_like").toString + "/t2"
+    val n2 = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      GraftSql.execute(spark,
+        s"CREATE TABLE $n2 LIKE $n LOCATION '$dst'")
+      val got = TxnTable.currentSchema(dst).getOrElse(
+        fail("LIKE table must record a schema"))
+      assert(got == src,
+        s"LIKE must copy the recorded schema exactly; got $got vs $src")
+    } finally { GraftSql.unregister(n2); GraftSql.unregister(n) }
+  }
 }

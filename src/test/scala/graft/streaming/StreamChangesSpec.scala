@@ -371,6 +371,68 @@ class StreamChangesSpec extends SparkSpecBase {
       s"wrong failure: ${chain(e)}")
   }
 
+  test("generation roll crash window: the new generation is stamped " +
+    "BEFORE the terminal marker publishes, so the only crash state " +
+    "(stamp without marker) heals on redelivery") {
+    val root = Files.createTempDirectory("graft_stcrash").toString
+    val t = s"$root/t"
+    TxnTable.create(spark, t, Seq((1L, 10L)).toDF("id", "v"))      // v0
+    StreamChanges.pumpFollowSchema(spark, t, s"$root/spool",
+      s"$root/pc", Seq("id"))
+    TxnTable.addColumns(spark, t,
+      Seq(("w", org.apache.spark.sql.types.LongType)))             // v1
+    StreamChanges.pumpFollowSchema(spark, t, s"$root/spool",
+      s"$root/pc", Seq("id"))
+    val marker = java.nio.file.Paths.get(s"$root/spool/gen-0/r0_1")
+    val gen1stamp =
+      java.nio.file.Paths.get(s"$root/spool/gen-1/_schema.json")
+    assert(Files.exists(marker) && Files.exists(gen1stamp))
+    // simulate the crash BETWEEN the two effects: with the fixed
+    // ordering the stamp lands first, so the on-disk crash state is
+    // gen-1 stamped + terminal marker missing. (The reverse state —
+    // marker without gen-1 — wedged the feed forever: redelivery
+    // no-ops on the marker, gen-1 is never created, and every later
+    // version binds the OLD schema.)
+    val w = Files.walk(marker)
+    try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().forEachRemaining(p => { Files.deleteIfExists(p); () })
+    finally w.close()
+    // post-ALTER data lands while the feed is in the crashed state
+    TxnTable.append(spark, t, Seq((2L, 20L, 200L)).toDF("id", "v", "w"))
+    // redelivery (checkpoint-lost pump re-offers everything): the
+    // absent marker lets the WHOLE roll sequence re-run — stamp
+    // no-ops idempotently, the terminal republishes — and v2 spools
+    // under gen-1's schema, not gen-0's
+    StreamChanges.pumpFollowSchema(spark, t, s"$root/spool",
+      s"$root/pc_fresh", Seq("id"))
+    assert(Files.exists(marker), "the terminal marker must republish")
+    assert(StreamChanges.generations(s"$root/spool") == Seq(0L, 1L))
+    // the consumer handshake works end-to-end across the healed roll
+    def drain(df: org.apache.spark.sql.DataFrame, ckpt: String,
+        cols: Seq[String]): Seq[Row] = {
+      val sink = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = df.writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          sink ++= b.select(cols.map(col): _*).collect(); ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      sink.toSeq
+    }
+    val g0 = drain(
+      StreamChanges.readGeneration(spark, s"$root/spool", 0L, Seq("id")),
+      s"$root/c0", Seq("id", "op", "to_version"))
+    val term = g0.filter(_.getString(1) == "end_of_generation")
+    assert(term.size == 1 && term.head.getLong(2) == 1L)
+    val g1 = drain(
+      StreamChanges.readGeneration(spark, s"$root/spool", 1L, Seq("id")),
+      s"$root/c1", Seq("id", "op", "after.w"))
+    assert(g1.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "insert")) && g1.head.getLong(2) == 200L,
+      s"post-ALTER data must bind the NEW generation's schema, got $g1")
+  }
+
   test("the change feed carries a TRUNCATE as delete images for every " +
     "row — a consumer's replica empties exactly like the table") {
     val root = Files.createTempDirectory("graft_sttrunc").toString
