@@ -4292,8 +4292,17 @@ object TxnTable {
     diffVersions(spark, path, versionAt(path, fromTs),
       versionAt(path, toTs), keyCols)
 
-  def diffVersions(spark: SparkSession, path: String, fromV: Long,
-      toV: Long, keyCols: Seq[String]): DataFrame = {
+  /** The row-level delta between two versions as two MULTISETS —
+    * (removed rows, added rows, scoped absolute file paths): rows come
+    * ONLY from files that left/entered the snapshot (or whose
+    * deletion-vector assignment moved), each side with its version's
+    * DV applied. KEY-FREE: an update surfaces as one removed plus one
+    * added row — exactly what a fold-style consumer (count/sum/min/max
+    * view maintenance) needs, with no row-identity contract. The keyed
+    * [[diffVersions]]/[[diffVersionsImages]] ride on the same scoping.
+    */
+  def changedRowSides(spark: SparkSession, path: String, fromV: Long,
+      toV: Long): (DataFrame, DataFrame, Set[String]) = {
     val top = currentVersion(path)
     val earliest = earliestVersion(path)
     require(fromV <= toV && toV <= top && fromV >= earliest,
@@ -4319,8 +4328,14 @@ object TxnTable {
       else applyDv(spark, path, v, snapshotReader(spark, path, v).parquet(
         files.toSeq.map(f => localRoot(path).resolve(f).toString): _*),
         keepFname = false)
-    graft.operators.SnapshotDiff.diff(
-      side(removed, fromV), side(added, toV), keyCols)
+    (side(removed, fromV), side(added, toV),
+      (removed ++ added).map(f => localRoot(path).resolve(f).toString))
+  }
+
+  def diffVersions(spark: SparkSession, path: String, fromV: Long,
+      toV: Long, keyCols: Seq[String]): DataFrame = {
+    val (rm, ad, _) = changedRowSides(spark, path, fromV, toV)
+    graft.operators.SnapshotDiff.diff(rm, ad, keyCols)
   }
 
   /** [[diffVersions]] with BOTH row images (`before`/`after` payload
@@ -4330,33 +4345,8 @@ object TxnTable {
     * Same file scoping, fences, and keyed contract. */
   def diffVersionsImages(spark: SparkSession, path: String, fromV: Long,
       toV: Long, keyCols: Seq[String]): DataFrame = {
-    val top = currentVersion(path)
-    val earliest = earliestVersion(path)
-    require(fromV <= toV && toV <= top && fromV >= earliest,
-      s"diffVersions: need $earliest <= fromV <= toV <= $top, " +
-        s"got [$fromV, $toV]")
-    val before = snapshotFiles(path, fromV)
-    val after = snapshotFiles(path, toV)
-    // a file carried by BOTH versions whose deletion-vector assignment
-    // moved still changed logically (a dvdelete touched it): diff it on
-    // both sides — each side's applyDv subtracts that version's DV, so
-    // MOR-deleted rows surface as `delete` diff rows exactly like a
-    // copy-on-write rewrite's
-    val (dvB, dvA) = (snapshotDvs(path, fromV), snapshotDvs(path, toV))
-    val dvChanged = before.toSet.intersect(after.toSet)
-      .filter(f => dvB.get(f) != dvA.get(f))
-    val removed = (before.toSet -- after.toSet) ++ dvChanged
-    val added = (after.toSet -- before.toSet) ++ dvChanged
-    def side(files: Set[String], v: Long): DataFrame =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          read(spark, path, v).schema)
-      else applyDv(spark, path, v, snapshotReader(spark, path, v).parquet(
-        files.toSeq.map(f => localRoot(path).resolve(f).toString): _*),
-        keepFname = false)
-    graft.operators.SnapshotDiff.diffImages(
-      side(removed, fromV), side(added, toV), keyCols)
+    val (rm, ad, _) = changedRowSides(spark, path, fromV, toV)
+    graft.operators.SnapshotDiff.diffImages(rm, ad, keyCols)
   }
 
 }

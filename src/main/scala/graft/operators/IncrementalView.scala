@@ -42,8 +42,11 @@ import graft.core.TxnTable
   */
 object IncrementalView {
 
-  /** Per-step evidence for specs/gates: how much the recompute read. */
-  case class StepStats(affectedGroups: Int, filesRead: Int, liveFiles: Int)
+  /** Per-step evidence for specs/gates: how much the recompute read.
+    * `prunedFiles` lists the recompute scan's files (empty when the
+    * step recomputed nothing or fell back to a full re-aggregation). */
+  case class StepStats(affectedGroups: Int, filesRead: Int,
+      liveFiles: Int, prunedFiles: Seq[String] = Nil)
 
   /** Full (re)materialization — the state shape every step preserves:
     * (groupCol, cnt, sm, mn, mx). */
@@ -70,7 +73,81 @@ object IncrementalView {
       val minus = d.filter(col("op") =!= "insert").select(
         col(s"before.$groupCol").as(groupCol),
         lit(-1L).as("dc"), (-col(s"before.$valueCol")).cast("long").as("dv"))
+      foldStep(spark, path, state, plus, minus, groupCol, valueCol, toV)
+    } finally { d.unpersist(); () }
+  }
 
+  /** [[maintainMinMaxStep]] fed by KEY-FREE row multisets (the shape
+    * [[TxnTable.changedRowSides]] returns) instead of keyed images: an
+    * update is one removed + one added row, which folds identically —
+    * so a consumer with NO row-identity contract (the SQL-surface
+    * incremental `REFRESH MATERIALIZED VIEW`) maintains the same
+    * count/sum/min/max state.
+    *
+    * The sides are NETTED first — `(group, value)` multiplicities
+    * summed across removed(−)/added(+), zeros dropped. File-scoped
+    * CDF rewrites whole files, so a narrow update arrives padded with
+    * every untouched row of its file on BOTH sides; netting cancels
+    * those exactly (the key-free analogue of the keyed diff dropping
+    * no-op rows), leaving the affected-extremes set at O(truly
+    * changed groups) instead of O(groups in churned files).
+    *
+    * `recomputeFilter` re-applies the view's row predicate (if any)
+    * to the affected-group recompute scan — the removed/added sides
+    * must arrive already filtered. */
+  def maintainMinMaxFromSides(spark: SparkSession, path: String,
+      state: DataFrame, removed: DataFrame, added: DataFrame,
+      groupCol: String, valueCol: String, toV: Long,
+      recomputeFilter: DataFrame => DataFrame = identity)
+      : (DataFrame, StepStats) = {
+    val net = added.select(col(groupCol),
+        col(valueCol).cast("long").as("dv"), lit(1L).as("m"))
+      .unionAll(removed.select(col(groupCol),
+        col(valueCol).cast("long").as("dv"), lit(-1L).as("m")))
+      .groupBy(col(groupCol), col("dv"))
+      .agg(sum(col("m")).as("m")).filter(col("m") =!= 0)
+      .persist()
+    try {
+      // invertible half: exact fold from the netted multiplicities
+      val folded = state.select(col(groupCol), col("cnt"), col("sm"))
+        .unionAll(net.select(col(groupCol), col("m").as("cnt"),
+          (col("dv") * col("m")).as("sm")))
+        .groupBy(col(groupCol))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("sm")).as("sm"))
+        .filter(col("cnt") > 0)
+      // extremes: monotone growth from net-added values...
+      val insExt = net.filter(col("m") > 0).groupBy(col(groupCol))
+        .agg(min(col("dv")).as("imn"), max(col("dv")).as("imx"))
+      val grownExt = state.select(col(groupCol), col("mn"), col("mx"))
+        .join(insExt, Seq(groupCol), "full_outer")
+        .select(col(groupCol),
+          least(col("mn"), col("imn")).as("mn"),
+          greatest(col("mx"), col("imx")).as("mx"))
+      // ...and recompute for groups whose NET-removed value sat at an
+      // extreme (or with no state row — conservatively recompute)
+      val affected = net.filter(col("m") < 0)
+        .join(state.select(col(groupCol), col("mn"), col("mx")),
+          Seq(groupCol), "left")
+        .filter(col("mn").isNull || col("dv") <= col("mn") ||
+          col("dv") >= col("mx"))
+        .select(col(groupCol)).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val merged = folded.join(grownExt, Seq(groupCol), "inner")
+        .select(col(groupCol), col("cnt"), col("sm"), col("mn"),
+          col("mx"))
+      recomputeTail(spark, path, state, merged, affected, groupCol,
+        valueCol, toV, recomputeFilter)
+    } finally { net.unpersist(); () }
+  }
+
+  /** The shared fold core: `plus`/`minus` are (groupCol, dc, dv) delta
+    * rows (dv already negated on the minus side). */
+  private def foldStep(spark: SparkSession, path: String,
+      state: DataFrame, plus: DataFrame, minus: DataFrame,
+      groupCol: String, valueCol: String, toV: Long,
+      recomputeFilter: DataFrame => DataFrame = identity)
+      : (DataFrame, StepStats) = {
+    {
       // invertible half: exact fold, no reads
       val folded = state.select(col(groupCol), col("cnt"), col("sm"))
         .unionAll(plus.select(col(groupCol), col("dc").as("cnt"),
@@ -103,26 +180,40 @@ object IncrementalView {
       val merged = folded.join(grownExt, Seq(groupCol), "inner")
         .select(col(groupCol), col("cnt"), col("sm"), col("mn"), col("mx"))
 
-      val live = TxnTable.snapshotFiles(path, toV).size
-      val (next, stats) =
-        if (affected.isEmpty)
-          (merged, StepStats(0, 0, live))
-        else if (affected.size > math.max(64L, state.count() / 10)) {
-          // self-tuning fallback: past ~10% of groups affected, ONE
-          // re-aggregation of the snapshot beats per-group pruned reads
-          // plus an InSet over a huge key list (measured, CdfBench at
-          // sf0.1 / 50% churn: 15.9 s pruned-recompute vs 1.0 s reagg)
-          (materializeMinMax(TxnTable.read(spark, path, toV),
-            groupCol, valueCol), StepStats(affected.size, live, live))
-        } else {
-          val pruned = TxnTable.readPrunedIn(spark, path, groupCol,
-            affected, asOf = toV)
-          val recomputed = materializeMinMax(pruned, groupCol, valueCol)
-          (merged.filter(!col(groupCol).isInCollection(affected))
-            .unionAll(recomputed),
-            StepStats(affected.size, pruned.inputFiles.length, live))
-        }
-      (next.localCheckpoint(true), stats)
-    } finally { d.unpersist(); () }
+      recomputeTail(spark, path, state, merged, affected, groupCol,
+        valueCol, toV, recomputeFilter)
+    }
+  }
+
+  /** Shared step tail: apply the affected-group recompute (pruned, or
+    * one full re-aggregation past the self-tuning threshold) and
+    * truncate lineage. */
+  private def recomputeTail(spark: SparkSession, path: String,
+      state: DataFrame, merged: DataFrame, affected: Seq[Long],
+      groupCol: String, valueCol: String, toV: Long,
+      recomputeFilter: DataFrame => DataFrame): (DataFrame, StepStats) = {
+    val live = TxnTable.snapshotFiles(path, toV).size
+    val (next, stats) =
+      if (affected.isEmpty)
+        (merged, StepStats(0, 0, live))
+      else if (affected.size > math.max(64L, state.count() / 10)) {
+        // self-tuning fallback: past ~10% of groups affected, ONE
+        // re-aggregation of the snapshot beats per-group pruned reads
+        // plus an InSet over a huge key list (measured, CdfBench at
+        // sf0.1 / 50% churn: 15.9 s pruned-recompute vs 1.0 s reagg)
+        (materializeMinMax(recomputeFilter(
+          TxnTable.read(spark, path, toV)), groupCol, valueCol),
+          StepStats(affected.size, live, live))
+      } else {
+        val pruned = TxnTable.readPrunedIn(spark, path, groupCol,
+          affected, asOf = toV)
+        val recomputed = materializeMinMax(recomputeFilter(pruned),
+          groupCol, valueCol)
+        (merged.filter(!col(groupCol).isInCollection(affected))
+          .unionAll(recomputed),
+          StepStats(affected.size, pruned.inputFiles.length, live,
+            pruned.inputFiles.toSeq))
+      }
+    (next.localCheckpoint(true), stats)
   }
 }

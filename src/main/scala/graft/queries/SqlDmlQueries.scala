@@ -585,6 +585,93 @@ object SqlDmlQueries {
     }
   }
 
+  /** S62b: INCREMENTAL `REFRESH MATERIALIZED VIEW` — a fold-able MV
+    * (`GROUP BY g → count/sum/min/max` over ONE txn table) refreshes
+    * at O(changed files), never O(table): the delta between the
+    * staleness marker's recorded source version and the head comes
+    * from the key-free changed-row sides (file-scoped multisets),
+    * count/sum fold exactly with zero extra reads, and min/max
+    * recompute ONLY the groups whose removed value sat at an extreme,
+    * via log-stats-pruned reads. In-run: the refresh after a banded
+    * UPDATE reports mode "incremental"; its delta scan is a strict
+    * subset of live files; the extreme recompute prunes to the
+    * rewritten band's files; the result row-for-row equals an
+    * independent full recompute; a second refresh is a zero-commit
+    * no-op. Oracle replays the final aggregate over raw orders. */
+  def s62bMvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s62b").toString
+    val t = d + "/src"
+    val n = freshName("orders_mvi_src_")
+    val m = freshName("orders_mvi_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    // four custkey band tranches, one file each — the banded update
+    // rewrites exactly one, so "O(changed files)" is observable
+    TxnTable.create(spark, t, orders.filter(col("o_custkey") <= ck / 4))
+    TxnTable.append(spark, t, orders.filter(
+      col("o_custkey") > ck / 4 && col("o_custkey") <= ck / 2)) // v1
+    TxnTable.append(spark, t, orders.filter(
+      col("o_custkey") > ck / 2 && col("o_custkey") <= 3 * ck / 4)) // v2
+    TxnTable.append(spark, t,
+      orders.filter(col("o_custkey") > 3 * ck / 4)) // v3
+    GraftSql.register(n, t)
+    try {
+      GraftSql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW $m LOCATION '$d/mv' AS
+           |SELECT o_custkey AS ck, count(*) AS cnt, sum(price_c) AS ps,
+           |  min(price_c) AS mn, max(price_c) AS mx
+           |FROM $n GROUP BY o_custkey""".stripMargin)
+      // NARROW banded UPDATE: CoW rewrites the whole low tranche
+      // file, but the netted delta is only the updated custkeys —
+      // few enough groups that the extreme recompute takes the
+      // pruned path (not the past-threshold full re-aggregation)
+      GraftSql.execute(spark,
+        s"UPDATE $n SET price_c = price_c + 7 " +
+          s"WHERE o_custkey <= ${ck / 64}") // src v4
+      val v = GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m")
+      val st = GraftSql.lastMvRefreshStats.getOrElse(
+        throw new AssertionError("refresh must record stats"))
+      require(st.mode == "incremental",
+        s"a fold-able MV must refresh incrementally, got ${st.mode}")
+      require(st.changedFiles.nonEmpty &&
+        st.changedFiles.size < st.liveFiles,
+        s"the delta scan must touch a strict subset of live files, " +
+          s"got ${st.changedFiles.size} of ${st.liveFiles}")
+      require(st.recomputeFiles.nonEmpty &&
+        st.recomputeFiles.size < st.liveFiles,
+        s"the extreme recompute must prune to the band, got " +
+          s"${st.recomputeFiles.size} of ${st.liveFiles}")
+      // the incrementally-maintained content equals a full recompute
+      val got = TxnTable.read(spark, d + "/mv")
+        .collect().map(_.toSeq).toSet
+      val full = TxnTable.read(spark, t)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("ps"),
+          min(col("price_c")).as("mn"), max(col("price_c")).as("mx"))
+        .collect().map(_.toSeq).toSet
+      require(got == full,
+        "incremental refresh must equal the full recompute row-for-row")
+      // staleness cleared; a second refresh no-ops with ZERO commits
+      require(!GraftSql.query(spark, "SHOW MATERIALIZED VIEWS")
+        .filter(col("name") === m).head().getBoolean(2),
+        "the incremental refresh must clear staleness")
+      val mvV = TxnTable.currentVersion(d + "/mv")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m")
+      require(GraftSql.lastMvRefreshStats.exists(_.mode == "noop") &&
+        TxnTable.currentVersion(d + "/mv") == mvV,
+        "an up-to-date incremental refresh must commit nothing")
+      require(v == mvV, s"the refresh committed $v, head is $mvV")
+      GraftSql.query(spark,
+        s"SELECT ck, cnt, ps, mn, mx FROM $m ORDER BY ck")
+    } finally {
+      try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $m")
+      catch { case _: Exception => () }
+      GraftSql.unregister(n)
+    }
+  }
+
   /** S59: `REPAIR TABLE t [DRY RUN]` — FSCK after out-of-band file
     * loss (a reaped prefix, a fat-fingered rm): the dry run lists
     * EXACTLY the vanished adds with their logged extent (rows/bytes —
@@ -1548,6 +1635,7 @@ object SqlDmlQueries {
     "s58_column_stats" -> (s58ColumnStats _),
     "s59_repair" -> (s59Repair _),
     "s62_matview" -> (s62Matview _),
+    "s62b_mv_incremental" -> (s62bMvIncremental _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -1734,6 +1822,22 @@ object SqlDmlQueries {
     // orders minus the lost quartile band minus the post-repair
     // delete; dry-run exactness and the auditable remove asserted
     // in-run
+    // the incrementally-refreshed aggregate must equal the relational
+    // replay of the banded +7 update over raw orders (the in-run
+    // requires pin the O(changed files) claims; this pins the values)
+    "s62b_mv_incremental" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders),
+        |src AS (SELECT o_custkey AS ck,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) +
+        |      (CASE WHEN o_custkey <= (SELECT ck FROM b)//64
+        |            THEN 7 ELSE 0 END) AS pc
+        |  FROM orders)
+        |SELECT ck, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS ps,
+        |  CAST(min(pc) AS BIGINT) AS mn,
+        |  CAST(max(pc) AS BIGINT) AS mx
+        |FROM src GROUP BY ck ORDER BY ck""".stripMargin,
     "s59_repair" ->
       """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
         |           FROM orders),

@@ -3,8 +3,8 @@ package graft.sql
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualTo, Expression, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.Bridge
@@ -319,8 +319,11 @@ object GraftSql {
       val mv = matviews.get(nm)
       require(mv != null, s"$nm is not a materialized view")
       val (path, text) = mv
-      TxnTable.overwrite(spark, path, query(spark, text),
-        op = mvMarker(mvSources(spark, text)))
+      refreshIncremental(spark, path, text).getOrElse {
+        lastMvRefresh.set(MvRefreshStats("full", Set.empty, Nil, -1))
+        TxnTable.overwrite(spark, path, query(spark, text),
+          op = mvMarker(mvSources(spark, text)))
+      }
 
     case DropMvRe(name) =>
       val nm = parseIdent(name).mkString(".").toLowerCase
@@ -1067,6 +1070,219 @@ object GraftSql {
       val reg = tables.get(src)
       reg == null || TxnTable.currentVersion(reg.path) > v
     }
+
+  // -- incremental REFRESH --------------------------------------------------
+  //
+  // A fold-able MV — `SELECT g, count(*), [sum(v)], [min(v), max(v)]
+  // FROM one-txn-table [WHERE row-local-pred] GROUP BY g` — refreshes
+  // at O(changed files), not O(table): the delta between the marker's
+  // recorded source version and the head comes from
+  // [[TxnTable.changedRowSides]] (key-free row multisets scoped to the
+  // files that entered/left the snapshot), count/sum fold exactly,
+  // and min/max ride [[IncrementalView.maintainMinMaxFromSides]]
+  // (monotone growth + pruned recompute only for groups whose removed
+  // value sat at an extreme). Every other shape — joins, views,
+  // expressions, distinct aggregates, non-integral values — falls
+  // back to the full recompute, which is always correct.
+
+  /** Evidence for gates/specs: what the LAST `REFRESH MATERIALIZED
+    * VIEW` did. `changedFiles` = the delta scan's absolute file paths;
+    * `recomputeFiles` = the extreme-recompute's pruned scan (empty for
+    * pure folds); `liveFiles` = source live file count at the target
+    * version (-1 on the full path). */
+  case class MvRefreshStats(mode: String, changedFiles: Set[String],
+      recomputeFiles: Seq[String], liveFiles: Int)
+  private val lastMvRefresh =
+    new java.util.concurrent.atomic.AtomicReference[MvRefreshStats](null)
+  def lastMvRefreshStats: Option[MvRefreshStats] =
+    Option(lastMvRefresh.get)
+
+  /** Recognized fold shape: `aggs` maps kind ∈ cnt|sum|min|max to the
+    * definition's output name, in SELECT order. */
+  private case class MvFoldShape(src: String, srcQuals: Set[String],
+      groupCol: String, groupOut: String, valueCol: Option[String],
+      aggs: Seq[(String, String)], cond: Option[Expression])
+
+  private def recognizeFoldShape(spark: SparkSession,
+      text: String): Option[MvFoldShape] = {
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(text)
+      catch { case _: Exception => return None }
+    val (groupExprs, aggExprs, child) = plan match {
+      case Aggregate(g, a, c, _) => (g, a, c)
+      case _ => return None
+    }
+    val (rel, quals, cond) = child match {
+      case r: UnresolvedRelation =>
+        (r, Set(r.multipartIdentifier.last.toLowerCase), None)
+      case SubqueryAlias(id, r: UnresolvedRelation) =>
+        (r, Set(id.name.toLowerCase,
+          r.multipartIdentifier.last.toLowerCase), None)
+      case Filter(c, r: UnresolvedRelation) =>
+        (r, Set(r.multipartIdentifier.last.toLowerCase), Some(c))
+      case Filter(c, SubqueryAlias(id, r: UnresolvedRelation)) =>
+        (r, Set(id.name.toLowerCase,
+          r.multipartIdentifier.last.toLowerCase), Some(c))
+      case _ => return None
+    }
+    // the WHERE predicate must be row-local: no subqueries (it will
+    // be re-applied to delta rows and to the extreme recompute)
+    if (cond.exists(_.find {
+      case _: SubqueryExpression => true; case _ => false }.nonEmpty))
+      return None
+    val full = rel.multipartIdentifier.mkString(".").toLowerCase
+    val short = rel.multipartIdentifier.last.toLowerCase
+    val src = if (tables.containsKey(full)) full
+      else if (tables.containsKey(short)) short else return None
+    def srcAttr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute
+          if a.nameParts.length == 1 ||
+            (a.nameParts.length == 2 &&
+              quals(a.nameParts.head.toLowerCase)) =>
+        Some(a.nameParts.last)
+      case _ => None
+    }
+    val g = groupExprs match {
+      case Seq(e) => srcAttr(e).getOrElse(return None)
+      case _ => return None
+    }
+    if (aggExprs.isEmpty) return None
+    val groupOut = aggExprs.head match {
+      case a: UnresolvedAttribute if srcAttr(a).contains(g) =>
+        a.nameParts.last
+      case al: Alias =>
+        al.child match {
+          case a: UnresolvedAttribute if srcAttr(a).contains(g) => al.name
+          case _ => return None
+        }
+      case _ => return None
+    }
+    val aggs = aggExprs.tail.map {
+      case al: Alias => al.child match {
+        case f: UnresolvedFunction
+            if !f.isDistinct && f.filter.isEmpty &&
+              f.nameParts.length == 1 =>
+          (f.nameParts.head.toLowerCase, f.arguments) match {
+            case ("count", Seq(Literal(_, _))) => ("cnt", al.name, None)
+            case ("count",
+              Seq(_: org.apache.spark.sql.catalyst.analysis.Star)) =>
+              ("cnt", al.name, None)
+            case ("sum", Seq(a: UnresolvedAttribute)) =>
+              ("sum", al.name, srcAttr(a).orElse(return None))
+            case ("min", Seq(a: UnresolvedAttribute)) =>
+              ("min", al.name, srcAttr(a).orElse(return None))
+            case ("max", Seq(a: UnresolvedAttribute)) =>
+              ("max", al.name, srcAttr(a).orElse(return None))
+            case _ => return None
+          }
+        case _ => return None
+      }
+      case _ => return None
+    }
+    val kinds = aggs.map(_._1)
+    if (kinds.distinct != kinds) return None
+    val kindSet = kinds.toSet
+    // the fold tiers: cnt is mandatory (group liveness), extremes
+    // need sum's state alongside for the shared maintenance shape
+    if (kindSet != Set("cnt") && kindSet != Set("cnt", "sum") &&
+        kindSet != Set("cnt", "sum", "min", "max")) return None
+    val valueCols = aggs.flatMap(_._3).distinct
+    if (valueCols.length > 1) return None
+    Some(MvFoldShape(src, quals, g, groupOut, valueCols.headOption,
+      aggs.map(a => (a._1, a._2)), cond))
+  }
+
+  /** Attempt the O(changed-files) refresh; None → caller recomputes. */
+  private def refreshIncremental(spark: SparkSession, path: String,
+      text: String): Option[Long] = {
+    val shape = recognizeFoldShape(spark, text).getOrElse(return None)
+    val reg = tables.get(shape.src)
+    if (reg == null) return None
+    val recorded = mvRecorded(path)
+    if (recorded.size != 1) return None
+    val fromV = recorded.getOrElse(shape.src, return None)
+    val srcPath = reg.path
+    val toV = TxnTable.currentVersion(srcPath)
+    if (toV == fromV) {
+      // up to date: nothing to fold, nothing to commit
+      lastMvRefresh.set(MvRefreshStats("noop", Set.empty, Nil,
+        TxnTable.snapshotFiles(srcPath, toV).size))
+      return Some(TxnTable.currentVersion(path))
+    }
+    // a RESTOREd/vacuumed-past source has no replayable delta
+    if (toV < fromV || fromV < TxnTable.earliestVersion(srcPath))
+      return None
+    val schema = TxnTable.read(spark, srcPath).schema
+    def typOf(c: String) =
+      schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    // exact fold needs integral values; the extreme tier's pruned
+    // recompute collects group keys as longs (readPrunedIn contract)
+    if (shape.valueCol.exists(v => !typOf(v).exists(integral))) return None
+    val extremes = shape.aggs.exists(_._1 == "min")
+    if (typOf(shape.groupCol).isEmpty) return None
+    if (extremes && !typOf(shape.groupCol).contains(LongType)) return None
+
+    val (removedRaw, addedRaw, changedFiles) =
+      TxnTable.changedRowSides(spark, srcPath, fromV, toV)
+    val applyCond: DataFrame => DataFrame = shape.cond match {
+      case None => identity
+      case Some(c) =>
+        val stripped = stripQual(c, shape.srcQuals)
+        df => df.filter(Bridge.column(stripped))
+    }
+    val removed = applyCond(removedRaw)
+    val added = applyCond(addedRaw)
+    val g = shape.groupCol
+    val out = shape.aggs.toMap // kind -> output name
+    val mvDf = TxnTable.read(spark, path)
+    import org.apache.spark.sql.functions.{col, greatest, least, lit, sum => fsum}
+
+    val (result, recomputeFiles, live) =
+      if (extremes) {
+        val v = shape.valueCol.get
+        val state = mvDf.select(col(shape.groupOut).as(g),
+          col(out("cnt")).cast("long").as("cnt"),
+          col(out("sum")).cast("long").as("sm"),
+          col(out("min")).cast("long").as("mn"),
+          col(out("max")).cast("long").as("mx"))
+        val (next, st) = graft.operators.IncrementalView
+          .maintainMinMaxFromSides(spark, srcPath, state, removed,
+            added, g, v, toV, applyCond)
+        (next, st.prunedFiles, st.liveFiles)
+      } else {
+        val dvAdd = shape.valueCol
+          .map(v => col(v).cast("long")).getOrElse(lit(0L))
+        val dvRem = shape.valueCol
+          .map(v => (-col(v)).cast("long")).getOrElse(lit(0L))
+        val deltas = added.select(col(g), lit(1L).as("dc"),
+            dvAdd.as("dv"))
+          .unionAll(removed.select(col(g), lit(-1L).as("dc"),
+            dvRem.as("dv")))
+        val smState = if (out.contains("sum"))
+          col(out("sum")).cast("long") else lit(0L)
+        val state = mvDf.select(col(shape.groupOut).as(g),
+          col(out("cnt")).cast("long").as("dc"), smState.as("dv"))
+        val next = state.unionAll(deltas).groupBy(col(g))
+          .agg(fsum(col("dc")).as("cnt"), fsum(col("dv")).as("sm"))
+          .filter(col("cnt") > 0)
+        (next, Nil, TxnTable.snapshotFiles(srcPath, toV).size)
+      }
+    val stateName =
+      Map("cnt" -> "cnt", "sum" -> "sm", "min" -> "mn", "max" -> "mx")
+    val projected = result.select((col(g).as(shape.groupOut) +:
+      shape.aggs.map { case (k, o) => col(stateName(k)).as(o) }): _*)
+    // the marker pins the version the fold actually consumed (NOT a
+    // re-read of the head — a commit landing mid-refresh must leave
+    // the MV stale, not silently claimed fresh)
+    val ver = TxnTable.overwrite(spark, path, projected,
+      op = s"matview:{${jstr(shape.src)}:$toV}")
+    lastMvRefresh.set(MvRefreshStats("incremental", changedFiles,
+      recomputeFiles, live))
+    Some(ver)
+  }
 
   // parsePlan hands the PRE-analysis spec (UnresolvedTableSpec); the
   // resolved TableSpec only exists after analysis — accept both

@@ -1455,4 +1455,86 @@ class GraftSqlSpec extends SparkSpecBase {
         s"LIKE must copy the recorded schema exactly; got $got vs $src")
     } finally { GraftSql.unregister(n2); GraftSql.unregister(n) }
   }
+
+  test("incremental MV refresh: fold tiers (cnt / cnt+sum+WHERE / " +
+    "full min-max), and full-recompute fallback for every other shape") {
+    val d = Files.createTempDirectory("graft_mvinc").toString
+    def mvContent(path: String): Set[Seq[Any]] =
+      TxnTable.read(spark, path).collect().map(_.toSeq).toSet
+    def mode(): String = GraftSql.lastMvRefreshStats.get.mode
+    val (_, n) = mk() // (1,10,a) (2,20,b) (3,30,c) (4,40,d)
+    val m1 = "pm" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val m2 = "pm" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val m3 = "pm" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      // tier 1: count-only over a STRING group (no extremes, so no
+      // long-group contract) — pure fold, zero recompute reads
+      GraftSql.execute(spark, s"CREATE MATERIALIZED VIEW $m1 " +
+        s"LOCATION '$d/m1' AS SELECT s, count(*) AS c FROM $n GROUP BY s")
+      // tier 2: count+sum behind a row-local WHERE
+      GraftSql.execute(spark, s"CREATE MATERIALIZED VIEW $m2 " +
+        s"LOCATION '$d/m2' AS SELECT s, count(*) AS c, sum(v) AS sv " +
+        s"FROM $n WHERE v > 15 GROUP BY s")
+      // tier 3: the full shape over a LONG group
+      GraftSql.execute(spark, s"CREATE MATERIALIZED VIEW $m3 " +
+        s"LOCATION '$d/m3' AS SELECT id, count(*) AS c, sum(v) AS sv, " +
+        s"min(v) AS mn, max(v) AS mx FROM $n GROUP BY id")
+      // churn: an insert (new group + an existing one), an update
+      // crossing m2's predicate boundary (40 → 12 leaves v>15), a
+      // delete removing a group
+      GraftSql.execute(spark, s"INSERT INTO $n VALUES (5, 50, 'a')")
+      GraftSql.execute(spark, s"UPDATE $n SET v = 12 WHERE id = 4")
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 2")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m1")
+      assert(mode() == "incremental")
+      assert(GraftSql.lastMvRefreshStats.get.recomputeFiles.isEmpty,
+        "a pure fold must read nothing beyond the delta")
+      assert(mvContent(s"$d/m1") ==
+        Set(Seq("a", 2L), Seq("c", 1L), Seq("d", 1L)))
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m2")
+      assert(mode() == "incremental")
+      // v>15 now: (3,30,c), (5,50,a) — row 4 dropped OUT via update
+      assert(mvContent(s"$d/m2") ==
+        Set(Seq("a", 1L, 50L), Seq("c", 1L, 30L)))
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m3")
+      assert(mode() == "incremental")
+      assert(mvContent(s"$d/m3") ==
+        Set(Seq(1L, 1L, 10L, 10L, 10L), Seq(3L, 1L, 30L, 30L, 30L),
+          Seq(4L, 1L, 12L, 12L, 12L), Seq(5L, 1L, 50L, 50L, 50L)))
+      // fresh → a second refresh commits NOTHING
+      val v1 = TxnTable.currentVersion(s"$d/m1")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m1")
+      assert(mode() == "noop" && TxnTable.currentVersion(s"$d/m1") == v1)
+      // every non-foldable shape takes the (always-correct) full path
+      val (_, n2) = mk()
+      val fallbacks = Seq(
+        s"SELECT s, avg(v) AS a FROM $n GROUP BY s",       // avg
+        s"SELECT s, sum(v) AS sv FROM $n GROUP BY s",      // no count
+        s"SELECT s, count(*) AS c, min(v) AS mn FROM $n " +
+          "GROUP BY s",                                    // partial tier
+        s"SELECT s, count(DISTINCT v) AS c FROM $n " +
+          "GROUP BY s",                                    // distinct
+        s"SELECT a.s, count(*) AS c FROM $n a JOIN $n2 b " +
+          "ON a.id = b.id GROUP BY a.s",                   // join
+        s"SELECT s, count(*) AS c, min(v) AS mn, max(v) AS mx, " +
+          s"sum(v) AS sv FROM $n GROUP BY s")              // string group
+      fallbacks.zipWithIndex.foreach { case (q, i) =>
+        val mv = "pf" + i + java.util.UUID.randomUUID().toString
+          .replace("-", "")
+        GraftSql.execute(spark,
+          s"CREATE MATERIALIZED VIEW $mv LOCATION '$d/f$i' AS $q")
+        GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 5")
+        GraftSql.execute(spark, s"INSERT INTO $n VALUES (5, 50, 'a')")
+        GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+        assert(mode() == "full", s"shape must fall back: $q")
+        // the fallback result still equals the definition re-run
+        assert(mvContent(s"$d/f$i") ==
+          GraftSql.query(spark, q).collect().map(_.toSeq).toSet)
+        GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
+      }
+      GraftSql.unregister(n2)
+      Seq(m1, m2, m3).foreach(m =>
+        GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $m"))
+    } finally GraftSql.unregister(n)
+  }
 }
