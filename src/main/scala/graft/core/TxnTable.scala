@@ -2890,7 +2890,7 @@ object TxnTable {
       .repartitionByRange(targetFiles, a)
       .sortWithinPartitions(a)
     val adds = writeDataPrepared(spark, path, clustered)
-    try commitRewrite(path, base, "compact", adds, files,
+    try commitRewrite(path, base, "compact:cluster", adds, files,
       CommuteNonOverlapping)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
   }
@@ -2905,7 +2905,7 @@ object TxnTable {
         snapshotScan(spark, path, base, abs),
         keepFname = false), a, b, targetFiles)
     val adds = writeDataPrepared(spark, path, clustered)
-    try commitRewrite(path, base, "compact", adds, files,
+    try commitRewrite(path, base, "compact:cluster", adds, files,
       CommuteNonOverlapping)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
   }
@@ -2926,7 +2926,76 @@ object TxnTable {
         keepFname = false), a, b, c,
       targetFiles)
     val adds = writeDataPrepared(spark, path, clustered)
-    try commitRewrite(path, base, "compact", adds, files,
+    try commitRewrite(path, base, "compact:cluster", adds, files,
+      CommuteNonOverlapping)
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+  }
+
+  /** The table's UN-CLUSTERED TAIL, from log metadata alone: files
+    * added since the newest cluster commit (`compact:cluster`, or a
+    * clustered create) that are still live. None when the table was
+    * never clustered. A tail-clustering commit is itself a cluster
+    * commit, so successive tails chain correctly. */
+  case class ClusterTail(clusterV: Long, tailFiles: Seq[String],
+      tailBytes: Long, totalBytes: Long)
+
+  def clusterTailInfo(path: String): Option[ClusterTail] = {
+    val base = currentVersion(path)
+    if (base < 0) return None
+    val clusterV = commits(path, base).reverse.collectFirst {
+      case c if c.op.startsWith("compact:cluster") => c.version
+      case c if c.op.startsWith("create:props:") &&
+        c.op.contains("\"graft.clusterBy\"") => c.version
+    }.getOrElse(return None)
+    val live = snapshotFiles(path, base)
+    val bulk = snapshotFiles(path, clusterV).toSet
+    val tail = live.filterNot(bulk)
+    val ai = addsIndex(path, base)
+    Some(ClusterTail(clusterV, tail,
+      tail.flatMap(ai.get).map(_.bytes).sum,
+      live.flatMap(ai.get).map(_.bytes).sum))
+  }
+
+  /** INCREMENTAL re-cluster: fold ONLY the un-clustered tail (files
+    * added since the last cluster commit) into range/z-ordered files
+    * at the persisted layout, leaving the already-clustered bulk
+    * byte-for-byte untouched. At 100 TB this turns "re-cluster after
+    * a week of appends" from a full-table rewrite into an
+    * O(tail-bytes) job: the bulk keeps its tight per-file ranges, the
+    * tail gains its own, and a box-pruned read over both is within a
+    * file or two of a fresh full re-cluster's (measured in the
+    * s64_zorder_tail gate). The output width is the persisted
+    * targetFiles scaled by the tail's byte share (min 1), so repeated
+    * tail folds do not fragment the layout. The commit op is
+    * `compact:cluster`, so the NEXT tail starts after this commit.
+    * 1, 2, or 3 cluster columns (range / Morton2 / Morton3 — the same
+    * layouts as the full [[compactClustered]] family). Unchanged head
+    * when the tail is empty. */
+  def compactClusteredTail(spark: SparkSession, path: String,
+      cols: Seq[Column], targetFiles: Int = 16): Long = {
+    require(cols.nonEmpty && cols.size <= 3,
+      s"1-3 cluster columns, got ${cols.size}")
+    val base = currentVersion(path)
+    val ct = clusterTailInfo(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no cluster commit — run a full re-cluster " +
+          "(compactClustered) or CTAS CLUSTER BY first"))
+    if (ct.tailFiles.isEmpty) return base // already fully clustered
+    val abs = ct.tailFiles.map(f => localRoot(path).resolve(f).toString)
+    val bins = math.max(1, math.round(targetFiles.toDouble *
+      ct.tailBytes / math.max(1L, ct.totalBytes)).toInt)
+    val scan = applyDv(spark, path, base,
+      snapshotScan(spark, path, base, abs), keepFname = false)
+    val clustered = cols match {
+      case Seq(a) =>
+        scan.repartitionByRange(bins, a).sortWithinPartitions(a)
+      case Seq(a, b) =>
+        graft.operators.Layout.zorderPartitions(scan, a, b, bins)
+      case Seq(a, b, c) =>
+        graft.operators.Layout.zorderPartitions3(scan, a, b, c, bins)
+    }
+    val adds = writeDataPrepared(spark, path, clustered)
+    try commitRewrite(path, base, "compact:cluster", adds, ct.tailFiles,
       CommuteNonOverlapping)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
   }

@@ -585,6 +585,86 @@ object SqlDmlQueries {
     }
   }
 
+  /** S64: INCREMENTAL RE-CLUSTER — the property-driven `OPTIMIZE t
+    * ZORDER` folds ONLY the un-clustered tail (files added since the
+    * last cluster commit, found from log metadata) into the persisted
+    * layout, leaving the clustered bulk byte-for-byte untouched. At
+    * 100 TB this makes "re-cluster after a week of appends" an
+    * O(tail) job, not a full-table rewrite. In-run: the rewrite set
+    * equals exactly the tail (every bulk file excluded AND surviving),
+    * a box-pruned band read over the folded layout is within one
+    * tail-bin of a FULL re-cluster twin's file count at equal rows,
+    * the prune stays zero-footer, and a second bare ZORDER no-ops.
+    * Oracle replays the banded aggregate over base ∪ three shifted
+    * tranches. */
+  def s64ZorderTail(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s64").toString
+    val t = d + "/t"
+    val n = freshName("orders_zt_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val kx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    // clustered birth on (custkey, orderkey); persisted width 8
+    TxnTable.createClustered(spark, t, orders,
+      Seq(col("o_custkey"), col("o_orderkey")), targetFiles = 8) // v0
+    // a week of appends: three shifted SLICES (the un-clustered tail
+    // stays well under the half-table threshold that flips to a full
+    // re-cluster)
+    (1 to 3).foreach { i =>
+      TxnTable.append(spark, t, orders
+        .filter(col("o_orderkey") <= kx / 8).select(
+          (col("o_orderkey") + i * kx).as("o_orderkey"),
+          col("o_custkey"),
+          (col("price_c") + i).as("price_c")))
+    }
+    GraftSql.register(n, t)
+    try {
+      val bulk = TxnTable.snapshotFiles(t, 0L).toSet
+      val before = TxnTable.snapshotFiles(t).toSet
+      val v = GraftSql.execute(spark, s"OPTIMIZE $n ZORDER")
+      val c = TxnTable.commits(t).last
+      require(c.op == "compact:cluster",
+        s"the tail fold is a cluster commit, got ${c.op}")
+      require(c.removes.toSet == before -- bulk,
+        s"the rewrite set must be exactly the tail: ${c.removes}")
+      require(bulk.subsetOf(TxnTable.snapshotFiles(t).toSet),
+        "every clustered bulk file must survive untouched")
+      require(v == TxnTable.currentVersion(t))
+      // tightness: a band over bulk+tail prunes within one tail-bin
+      // of a freshly FULL-re-clustered twin at the same content
+      TxnTable.cloneShallow(spark, t, d + "/twin")
+      TxnTable.compactClustered(spark, d + "/twin",
+        col("o_custkey"), col("o_orderkey"), 8 + c.adds.size)
+      val f0 = graft.crawler.SkippingIndex.footerReads.get()
+      def band(path: String) = TxnTable.readPrunedBox(spark, path,
+        "o_custkey", 1L, ck / 4, "o_orderkey", 1L, 4 * kx)
+      val pt = band(t)
+      val pf = band(d + "/twin")
+      val (ct2, cf) = (pt.count(), pf.count())
+      require(ct2 == cf && ct2 > 0,
+        s"band reads must agree at equal content: $ct2 vs $cf")
+      require(pt.inputFiles.length <= pf.inputFiles.length + c.adds.size,
+        s"tail-folded prune (${pt.inputFiles.length} files) must be " +
+          s"within one tail-bin of the full twin's " +
+          s"(${pf.inputFiles.length} + ${c.adds.size})")
+      require(pt.inputFiles.length < TxnTable.snapshotFiles(t).size,
+        "the band must prune a strict subset")
+      require(graft.crawler.SkippingIndex.footerReads.get() == f0,
+        "box pruning must stay zero-footer")
+      // an empty tail no-ops at the unchanged head
+      require(GraftSql.execute(spark, s"OPTIMIZE $n ZORDER") == v &&
+        TxnTable.currentVersion(t) == v,
+        "a second bare ZORDER must no-op")
+      pt.groupBy(((col("o_orderkey") - 1) / kx).cast("long")
+          .as("tranche"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("ps"),
+          sum(col("o_custkey")).as("cs"))
+        .orderBy(col("tranche"))
+    } finally GraftSql.unregister(n)
+  }
+
   /** S62b: INCREMENTAL `REFRESH MATERIALIZED VIEW` — a fold-able MV
     * (`GROUP BY g → count/sum/min/max` over ONE txn table) refreshes
     * at O(changed files), never O(table): the delta between the
@@ -1636,6 +1716,7 @@ object SqlDmlQueries {
     "s59_repair" -> (s59Repair _),
     "s62_matview" -> (s62Matview _),
     "s62b_mv_incremental" -> (s62bMvIncremental _),
+    "s64_zorder_tail" -> (s64ZorderTail _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -1822,6 +1903,35 @@ object SqlDmlQueries {
     // orders minus the lost quartile band minus the post-repair
     // delete; dry-run exactness and the auditable remove asserted
     // in-run
+    // banded aggregate over base ∪ three shifted tranches — the
+    // layout work (tail-only rewrite, bulk survival, prune tightness,
+    // zero footers) is asserted in-run; this pins the served values
+    "s64_zorder_tail" ->
+      """WITH b AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS kx,
+        |                  CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders),
+        |u AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |      FROM orders
+        |      UNION ALL
+        |      SELECT o_orderkey + b.kx, o_custkey,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) + 1
+        |      FROM orders, b WHERE o_orderkey <= b.kx // 8
+        |      UNION ALL
+        |      SELECT o_orderkey + 2 * b.kx, o_custkey,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) + 2
+        |      FROM orders, b WHERE o_orderkey <= b.kx // 8
+        |      UNION ALL
+        |      SELECT o_orderkey + 3 * b.kx, o_custkey,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) + 3
+        |      FROM orders, b WHERE o_orderkey <= b.kx // 8)
+        |SELECT (k - 1) // b.kx AS tranche,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS ps,
+        |  CAST(sum(c) AS BIGINT) AS cs
+        |FROM u, b
+        |WHERE c BETWEEN 1 AND b.ck // 4 AND k BETWEEN 1 AND 4 * b.kx
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the incrementally-refreshed aggregate must equal the relational
     // replay of the banded +7 update over raw orders (the in-run
     // requires pin the O(changed files) claims; this pins the values)

@@ -250,21 +250,50 @@ object GraftSql {
         // the persisted width applies only on the PROPERTY-driven
         // path: an explicit ZORDER BY stays exactly ≡ the API call
         // with its own defaults (the adjudicated statement≡API twin)
+        // the PROPERTY-driven (bare ZORDER) path is INCREMENTAL:
+        // cluster only the un-clustered tail into the persisted
+        // layout, leaving the bulk untouched — at 100 TB that makes
+        // weekly maintenance O(new data), not a full-table rewrite.
+        // Past a half-table tail (or with no prior cluster commit) a
+        // full re-cluster is cheaper and resets the chain. An
+        // EXPLICIT ZORDER BY stays exactly ≡ the full API call (the
+        // adjudicated statement≡API twin).
         case Some(Seq(a)) if zorder == null =>
-          TxnTable.compactClusteredRange(spark, reg.path,
-            org.apache.spark.sql.functions.col(a),
-            zTargetFiles(reg, 16))
+          reclusterMaybeTail(spark, reg,
+            Seq(org.apache.spark.sql.functions.col(a)),
+            zTargetFiles(reg, 16),
+            TxnTable.compactClusteredRange(spark, reg.path,
+              org.apache.spark.sql.functions.col(a),
+              zTargetFiles(reg, 16)))
+        case Some(Seq(a, b)) if zorder == null =>
+          reclusterMaybeTail(spark, reg,
+            Seq(org.apache.spark.sql.functions.col(a),
+              org.apache.spark.sql.functions.col(b)),
+            zTargetFiles(reg, 16),
+            TxnTable.compactClustered(spark, reg.path,
+              org.apache.spark.sql.functions.col(a),
+              org.apache.spark.sql.functions.col(b),
+              zTargetFiles(reg, 16)))
         case Some(Seq(a, b)) =>
           TxnTable.compactClustered(spark, reg.path,
             org.apache.spark.sql.functions.col(a),
-            org.apache.spark.sql.functions.col(b),
-            if (zorder == null) zTargetFiles(reg, 16) else 16)
+            org.apache.spark.sql.functions.col(b), 16)
+        case Some(Seq(a, b, c)) if zorder == null =>
+          reclusterMaybeTail(spark, reg,
+            Seq(org.apache.spark.sql.functions.col(a),
+              org.apache.spark.sql.functions.col(b),
+              org.apache.spark.sql.functions.col(c)),
+            zTargetFiles(reg, 27),
+            TxnTable.compactClustered3(spark, reg.path,
+              org.apache.spark.sql.functions.col(a),
+              org.apache.spark.sql.functions.col(b),
+              org.apache.spark.sql.functions.col(c),
+              zTargetFiles(reg, 27)))
         case Some(Seq(a, b, c)) =>
           TxnTable.compactClustered3(spark, reg.path,
             org.apache.spark.sql.functions.col(a),
             org.apache.spark.sql.functions.col(b),
-            org.apache.spark.sql.functions.col(c),
-            if (zorder == null) zTargetFiles(reg, 27) else 27)
+            org.apache.spark.sql.functions.col(c), 27)
         case Some(cols) => throw new IllegalArgumentException(
           s"OPTIMIZE ZORDER BY takes 2 or 3 columns, got ${cols.length} " +
             "— a 1-column layout is range clustering (CTAS CLUSTER BY)")
@@ -1622,6 +1651,19 @@ object GraftSql {
     * table state, not per-session opinion. */
   /** ZORDER's layout width: the table's graft.targetFiles property
     * when set, else that compaction arity's own default. */
+  /** Bare-`OPTIMIZE t ZORDER` routing: tail-only when a cluster
+    * commit exists and the tail is at most half the table's bytes;
+    * an empty tail no-ops at the unchanged head. */
+  private def reclusterMaybeTail(spark: SparkSession, reg: Reg,
+      cols: Seq[Column], width: Int, full: => Long): Long =
+    TxnTable.clusterTailInfo(reg.path) match {
+      case Some(ct) if ct.tailFiles.isEmpty =>
+        TxnTable.currentVersion(reg.path)
+      case Some(ct) if ct.tailBytes * 2 <= ct.totalBytes =>
+        TxnTable.compactClusteredTail(spark, reg.path, cols, width)
+      case _ => full
+    }
+
   private def zTargetFiles(reg: Reg, dflt: Int): Int =
     TxnTable.properties(reg.path).get("graft.targetFiles")
       .map(_.toInt).getOrElse(dflt)

@@ -908,8 +908,8 @@ class GraftSqlSpec extends SparkSpecBase {
     } finally GraftSql.unregister(n)
   }
 
-  test("bare OPTIMIZE ZORDER re-clusters on the persisted layout spec; " +
-    "explicit 1-column ZORDER BY stays rejected") {
+  test("bare OPTIMIZE ZORDER clusters only the un-clustered tail at " +
+    "the persisted layout; explicit 1-column ZORDER BY stays rejected") {
     val d = Files.createTempDirectory("graft_ozp").toString + "/t"
     val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
     // clustered create seeds graft.clusterBy=g, graft.targetFiles=8
@@ -921,16 +921,25 @@ class GraftSqlSpec extends SparkSpecBase {
     (1 to 4).foreach(k => TxnTable.append(spark, d,
       Seq((9000L + k, k.toLong % 8)).toDF("id", "g")))
     GraftSql.register(n, d)
+    val bulk = TxnTable.snapshotFiles(d, 0L).toSet
+    val tail = TxnTable.snapshotFiles(d).toSet -- bulk
     try {
       val v = GraftSql.execute(spark, s"OPTIMIZE $n ZORDER")
-      assert(TxnTable.commits(d).last.op == "compact" &&
-        v == TxnTable.currentVersion(d))
-      // the width is a TARGET: range partitioning may merge sparse
-      // bands, so at-most-width with the tail folded in is the claim
-      assert(TxnTable.snapshotFiles(d).size <= 8 &&
-        TxnTable.snapshotFiles(d).size >= 6,
-        s"the re-cluster must land near the persisted targetFiles " +
-          s"width, got ${TxnTable.snapshotFiles(d).size}")
+      val c = TxnTable.commits(d).last
+      assert(c.op == "compact:cluster" && v == TxnTable.currentVersion(d))
+      // INCREMENTAL: the rewrite folds exactly the tail — the bulk's
+      // clustered files survive byte-for-byte
+      assert(c.removes.toSet == tail,
+        s"the tail fold must rewrite exactly the tail, got ${c.removes}")
+      assert(bulk.subsetOf(TxnTable.snapshotFiles(d).toSet),
+        "every bulk file must survive the tail fold untouched")
+      // a tiny tail folds into a width proportional to its byte share
+      assert(c.adds.size <= 2,
+        s"a 4-row tail must fold into 1-2 files, got ${c.adds.size}")
+      // an immediate second bare ZORDER no-ops at the unchanged head
+      assert(GraftSql.execute(spark, s"OPTIMIZE $n ZORDER") == v &&
+        TxnTable.currentVersion(d) == v,
+        "an empty tail must no-op")
       // pruning works again over the re-clustered layout: strict
       // subset, zero footers, exact rows
       val f0 = graft.crawler.SkippingIndex.footerReads.get()
