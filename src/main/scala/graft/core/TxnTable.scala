@@ -1026,8 +1026,21 @@ object TxnTable {
     * @throws SchemaMismatchException on drift without evolveSchema. */
   private def checkSchema(path: String, df: DataFrame,
       evolveSchema: Boolean): Option[String] = {
-    def sig(s: org.apache.spark.sql.types.StructType) =
-      s.fields.map(f => (f.name, f.dataType)).toSeq
+    import org.apache.spark.sql.types._
+    // nested nullability/metadata are NORMALIZED out of the match,
+    // exactly like the top-level (sig keys on name+type only): a
+    // writer with stricter-than-recorded nested nullability is safe,
+    // and nested field metadata is a reader-side concern
+    def norm(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, norm(f.dataType), nullable = true)))
+      case ArrayType(et, _) => ArrayType(norm(et), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(norm(k), norm(v), valueContainsNull = true)
+      case other => other
+    }
+    def sig(s: StructType) =
+      s.fields.map(f => (f.name, norm(f.dataType))).toSeq
     currentSchema(path) match {
       case Some(cur) if sig(cur) == sig(df.schema) => None
       case Some(cur) if !evolveSchema =>
@@ -3376,17 +3389,33 @@ object TxnTable {
     * writer-truncated prefixes past `MaxLoggedStringBound`, accurate
     * for short values. At 100 TB this answers "what's in this table"
     * from O(files) commit metadata where ANALYZE would scan. */
-  def columnStats(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    val top = currentVersion(path)
+  /** One column's log-folded statistics (see [[logTableStats]]):
+    * bounds/nulls are present ONLY under full add-coverage — an
+    * honest global claim, never a partial one. Long bounds live in
+    * the PHYSICAL int64 space (days for dates, micros for
+    * timestamps). */
+  case class LogColStat(dataType: org.apache.spark.sql.types.DataType,
+      coverage: Double, lmin: Option[Long], lmax: Option[Long],
+      smin: Option[String], smax: Option[String], nulls: Option[Long])
+
+  /** Table statistics folded from the COMMIT LOG alone — zero file
+    * reads: total live bytes, live row count (add rows; rows hidden
+    * by deletion vectors still count — an upper bound, which is what
+    * an optimizer estimate wants), and per-column global bounds/null
+    * counts from the write-time add stats. This is what `ANALYZE
+    * TABLE` would scan 100 TB to recompute; the log already holds it.
+    */
+  def logTableStats(spark: SparkSession, path: String,
+      asOf: Long = -1L): (Long, Long, Seq[(String, LogColStat)]) = {
+    val top = if (asOf >= 0) asOf else currentVersion(path)
     require(top >= 0, s"not a TxnTable: $path")
     val files = snapshotFiles(path, top)
     val ai = addsIndex(path, top)
-    val parsed = files.flatMap(ai.get)
-      .map(a => (a.rows, a.stats.flatMap(parseAddStats)))
+    val adds = files.flatMap(ai.get)
+    val parsed = adds.map(a => (a.rows, a.stats.flatMap(parseAddStats)))
     val nAdds = parsed.size
-    val schema = read(spark, path).schema
-    val rows = schema.fields.toSeq.map { f =>
+    val schema = read(spark, path, top).schema
+    val cols = schema.fields.toSeq.map { f =>
       val phys = physicalColName(path, top, f.name)
       val have = parsed.flatMap(_._2).filter(_.cols.contains(phys))
       val coverage =
@@ -3408,10 +3437,19 @@ object TxnTable {
         val ns = have.flatMap(_.n.get(phys))
         if (!full || ns.size != nAdds) None else Some(ns.sum)
       }
-      (f.name, f.dataType.simpleString, coverage,
-        lmin, lmax, smin, smax, nulls)
+      f.name -> LogColStat(f.dataType, coverage, lmin, lmax,
+        smin, smax, nulls)
     }
-    rows.toDF("column", "type", "stats_coverage", "min_long",
+    (adds.map(_.bytes).sum, parsed.map(_._1).sum, cols)
+  }
+
+  def columnStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (_, _, cols) = logTableStats(spark, path)
+    cols.map { case (n, c) =>
+      (n, c.dataType.simpleString, c.coverage,
+        c.lmin, c.lmax, c.smin, c.smax, c.nulls)
+    }.toDF("column", "type", "stats_coverage", "min_long",
       "max_long", "min_str", "max_str", "null_count")
   }
 
@@ -3833,17 +3871,7 @@ object TxnTable {
         val f = cur.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
           throw new IllegalArgumentException(
             s"widenColumnType: no such column $column"))
-        val ok: Set[DataType] = f.dataType match {
-          case ByteType => Set(ShortType, IntegerType, LongType)
-          case ShortType => Set(IntegerType, LongType)
-          // int→double is exact: every int32 is representable in a
-          // 53-bit mantissa. long→double is NOT (precision loss above
-          // 2^53) and stays refused.
-          case IntegerType => Set(LongType, DoubleType)
-          case FloatType => Set(DoubleType)
-          case _ => Set.empty
-        }
-        require(ok(to),
+        require(wideningTargets(f.dataType)(to),
           s"widenColumnType: ${f.dataType.simpleString} -> " +
             s"${to.simpleString} is not a value-preserving widening " +
             "(supported: byte/short/int up the integer chain, " +
@@ -3853,6 +3881,166 @@ object TxnTable {
           if (g.name.equalsIgnoreCase(column)) g.copy(dataType = to)
           else g))
       })
+  }
+
+  /** Value-preserving widening targets (shared by the top-level and
+    * struct-leaf ALTER COLUMN TYPE paths). int→double is exact: every
+    * int32 is representable in a 53-bit mantissa; long→double is NOT
+    * (precision loss above 2^53) and stays refused. */
+  private def wideningTargets(dt: org.apache.spark.sql.types.DataType)
+      : Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => Set(ShortType, IntegerType, LongType)
+      case ShortType => Set(IntegerType, LongType)
+      case IntegerType => Set(LongType, DoubleType)
+      case FloatType => Set(DoubleType)
+      case _ => Set.empty
+    }
+  }
+
+  // -- nested-field ALTER ---------------------------------------------------
+  //
+  // add/drop/widen a STRUCT LEAF as the same metadata-only schema
+  // commits the top-level ALTERs use: the pinned-schema read binds
+  // each snapshot's own nested shape, old files null-fill an added
+  // leaf and upcast a widened one natively (Spark's parquet readers
+  // clip the requested struct to the file's and widen int32→int64 at
+  // any nesting), and NO file is touched at any table size. Leaves
+  // keep their logical names physically (nested column mapping is not
+  // threaded through the rename seams), so re-ADDING a previously
+  // dropped leaf name is REFUSED from log history — the old bytes
+  // still sitting in files must not silently resurrect.
+
+  private def splitDotted(dotted: String): Seq[String] = {
+    val parts = dotted.split('.').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(parts.length >= 2,
+      s"expected a dotted struct path (parent.leaf), got $dotted")
+    parts
+  }
+
+  /** Rebuild `schema` with the struct at `parts.init` transformed by
+    * `leafOp` (loud when a segment is missing or not a struct). */
+  private def transformStructPath(
+      schema: org.apache.spark.sql.types.StructType, parts: Seq[String],
+      leafOp: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    if (parts.isEmpty) leafOp(schema)
+    else {
+      val hit = schema.fields.exists(_.name.equalsIgnoreCase(parts.head))
+      require(hit, s"no such column ${parts.head}")
+      StructType(schema.fields.map { f =>
+        if (!f.name.equalsIgnoreCase(parts.head)) f
+        else f.dataType match {
+          case st: StructType =>
+            f.copy(dataType = transformStructPath(st, parts.tail, leafOp))
+          case other => throw new IllegalArgumentException(
+            s"${f.name} is ${other.simpleString}, not a struct — " +
+              "nested ALTER addresses struct leaves only")
+        }
+      })
+    }
+  }
+
+  /** Every leaf name (lowercased) EVER recorded at the dotted parent
+    * path across the readable log — the nested resurrection fence. */
+  private def historicalLeafNames(path: String, parent: Seq[String])
+      : Set[String] = {
+    import org.apache.spark.sql.types._
+    def leaves(s: StructType, parts: Seq[String]): Seq[String] =
+      if (parts.isEmpty) s.fieldNames.toSeq.map(_.toLowerCase)
+      else s.fields.find(_.name.equalsIgnoreCase(parts.head))
+        .map(_.dataType).collect { case st: StructType =>
+          leaves(st, parts.tail) }.getOrElse(Nil)
+    val top = currentVersion(path)
+    (earliestVersion(path) to top).flatMap { v =>
+      readCommit(path, v).schema.toSeq.flatMap(js =>
+        leaves(DataType.fromJson(js).asInstanceOf[StructType], parent))
+    }.toSet
+  }
+
+  /** ALTER TABLE ADD COLUMNS (parent.leaf type): metadata-only; old
+    * files null-fill the leaf at read time. A leaf name that EVER
+    * existed at this path is refused (its bytes may still sit in live
+    * files — re-binding them would resurrect dropped data; a CTAS is
+    * the explicit way back). */
+  def addStructField(spark: SparkSession, path: String, dotted: String,
+      dt: org.apache.spark.sql.types.DataType): Long = {
+    val parts = splitDotted(dotted)
+    commitSchemaChange(path, s"alter:addnested:$dotted", () => {
+      val cur = currentSchema(path).getOrElse(
+        throw new IllegalArgumentException(s"not a TxnTable: $path"))
+      val leaf = parts.last
+      require(!historicalLeafNames(path, parts.init)
+          .contains(leaf.toLowerCase),
+        s"addStructField: $dotted existed in a previous schema " +
+          "generation — old files may still hold its bytes, and " +
+          "re-binding them would resurrect dropped data. Use a CTAS " +
+          "to materialize the shape you want.")
+      transformStructPath(cur, parts.init, st => {
+        require(!st.fieldNames.exists(_.equalsIgnoreCase(leaf)),
+          s"addStructField: $dotted already exists")
+        org.apache.spark.sql.types.StructType(st.fields :+
+          org.apache.spark.sql.types.StructField(leaf, dt,
+            nullable = true))
+      })
+    })
+  }
+
+  /** ALTER TABLE ALTER COLUMN parent.leaf TYPE <wider>: the same
+    * value-preserving widening matrix as the top-level form, applied
+    * to a struct leaf — metadata-only, mixed generations upcast at
+    * scan time. */
+  def widenStructFieldType(spark: SparkSession, path: String,
+      dotted: String, to: org.apache.spark.sql.types.DataType): Long = {
+    val parts = splitDotted(dotted)
+    commitSchemaChange(path,
+      s"alter:widennested:$dotted:${to.simpleString}", () => {
+        val cur = currentSchema(path).getOrElse(
+          throw new IllegalArgumentException(s"not a TxnTable: $path"))
+        transformStructPath(cur, parts.init, st => {
+          val leaf = st.fields.find(_.name.equalsIgnoreCase(parts.last))
+            .getOrElse(throw new IllegalArgumentException(
+              s"widenStructFieldType: no such leaf $dotted"))
+          require(wideningTargets(leaf.dataType)(to),
+            s"widenStructFieldType: ${leaf.dataType.simpleString} -> " +
+              s"${to.simpleString} is not a value-preserving widening")
+          org.apache.spark.sql.types.StructType(st.fields.map(g =>
+            if (g.name.equalsIgnoreCase(parts.last)) g.copy(dataType = to)
+            else g))
+        })
+      })
+  }
+
+  /** ALTER TABLE DROP COLUMNS (parent.leaf): metadata-only (bytes
+    * stay; restore across the drop recovers the leaf with its data).
+    * Refused while a CHECK constraint references the leaf, and for a
+    * struct's last leaf (an empty struct cannot be written). */
+  def dropStructField(spark: SparkSession, path: String,
+      dotted: String): Long = {
+    val parts = splitDotted(dotted)
+    commitSchemaChange(path, s"alter:dropnested:$dotted", () => {
+      val cur = currentSchema(path).getOrElse(
+        throw new IllegalArgumentException(s"not a TxnTable: $path"))
+      val leaf = parts.last.toLowerCase
+      constraints(path).foreach { case (n, sql) =>
+        val words = sql.toLowerCase.split("[^a-z0-9_]+").toSet
+        require(!words.contains(leaf),
+          s"dropStructField: CHECK constraint $n references $leaf " +
+            s"($sql) — drop the constraint first")
+      }
+      transformStructPath(cur, parts.init, st => {
+        require(st.fieldNames.exists(_.equalsIgnoreCase(parts.last)),
+          s"dropStructField: no such leaf $dotted")
+        require(st.fields.length > 1,
+          s"dropStructField: cannot drop a struct's last leaf " +
+            s"($dotted) — drop the whole column instead")
+        org.apache.spark.sql.types.StructType(
+          st.fields.filterNot(_.name.equalsIgnoreCase(parts.last)))
+      })
+    })
   }
 
   /** A metadata-only commit that records a new schema — the ALTER

@@ -585,6 +585,165 @@ object SqlDmlQueries {
     }
   }
 
+  /** S66: NESTED-FIELD ALTER — add + widen a STRUCT LEAF as
+    * metadata-only schema commits: `ALTER TABLE t ADD COLUMNS
+    * (cust.tier BIGINT)` and `ALTER TABLE t ALTER COLUMN cust.bal_c
+    * TYPE BIGINT` touch no file at any table size; old generations
+    * null-fill the added leaf and upcast the widened one at scan
+    * time; time travel binds each snapshot's own nested shape. In-run:
+    * both ALTERs commit zero adds/removes; the v0 snapshot still
+    * shows the original struct (no tier, int bal_c); a pruned read on
+    * an UNRELATED top-level column stays zero-footer and a strict
+    * file subset across the mixed generations. Oracle replays the
+    * three-generation union. */
+  def s66NestedAlter(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s66").toString
+    val t = d + "/t"
+    val n = freshName("orders_na_")
+    val base = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      struct(
+        col("o_orderstatus").as("seg"),
+        round(col("o_totalprice") * 100).cast("int").as("bal_c"))
+        .as("cust"))
+    val kx = base.agg(max(col("o_orderkey"))).head().getLong(0)
+    val ck = base.agg(max(col("o_custkey"))).head().getLong(0)
+    // two custkey band tranches → per-file bounds for the prune assert
+    TxnTable.create(spark, t, base.filter(col("o_custkey") <= ck / 2))
+    TxnTable.append(spark, t, base.filter(col("o_custkey") > ck / 2))
+    GraftSql.register(n, t)
+    try {
+      // ALTER #1: add a leaf — metadata-only
+      val v2 = GraftSql.execute(spark,
+        s"ALTER TABLE $n ADD COLUMNS (cust.tier BIGINT)")
+      val c2 = TxnTable.commits(t).last
+      require(v2 == 2L && c2.adds.isEmpty && c2.removes.isEmpty &&
+        c2.op == "alter:addnested:cust.tier",
+        s"nested ADD must be a metadata-only commit, got ${c2.op}")
+      // generation 2 data: the new leaf populated
+      TxnTable.append(spark, t, base.filter(col("o_orderkey") <= kx / 4)
+        .select(
+          (col("o_orderkey") + kx).as("o_orderkey"), col("o_custkey"),
+          struct(col("cust.seg").as("seg"),
+            (col("cust.bal_c") + 1).cast("int").as("bal_c"),
+            (col("o_custkey") % 5).as("tier")).as("cust"))) // v3
+      // ALTER #2: widen the int leaf — metadata-only
+      val v4 = GraftSql.execute(spark,
+        s"ALTER TABLE $n ALTER COLUMN cust.bal_c TYPE BIGINT")
+      val c4 = TxnTable.commits(t).last
+      require(v4 == 4L && c4.adds.isEmpty && c4.removes.isEmpty,
+        "nested widen must be a metadata-only commit")
+      // generation 3 data: beyond-int32 values in the widened leaf
+      TxnTable.append(spark, t, base.filter(col("o_orderkey") <= kx / 4)
+        .select(
+          (col("o_orderkey") + 2 * kx).as("o_orderkey"), col("o_custkey"),
+          struct(col("cust.seg").as("seg"),
+            (col("cust.bal_c").cast("long") + 5000000000L).as("bal_c"),
+            (col("o_custkey") % 7).as("tier")).as("cust"))) // v5
+      // time travel binds each snapshot's OWN nested shape
+      val s0 = TxnTable.read(spark, t, 1L).schema("cust").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(!s0.fieldNames.contains("tier") &&
+        s0("bal_c").dataType ==
+          org.apache.spark.sql.types.IntegerType,
+        s"v1 must bind the ORIGINAL struct shape, got $s0")
+      val sN = TxnTable.read(spark, t).schema("cust").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(sN.fieldNames.toSeq == Seq("seg", "bal_c", "tier") &&
+        sN("bal_c").dataType == org.apache.spark.sql.types.LongType,
+        s"the head must bind the evolved shape, got $sN")
+      // pruned read on the UNRELATED top-level o_custkey: zero
+      // footers, strict file subset, across all three generations
+      val f0 = graft.crawler.SkippingIndex.footerReads.get()
+      val pruned = TxnTable.readPruned(spark, t, "o_custkey",
+        1L, ck / 2)
+      val prunedCnt = pruned.count()
+      require(pruned.inputFiles.length < TxnTable.snapshotFiles(t).size,
+        "the low band must prune a strict file subset")
+      require(graft.crawler.SkippingIndex.footerReads.get() == f0,
+        "pruning must stay zero-footer across nested-ALTER generations")
+      require(prunedCnt > 0)
+      GraftSql.query(spark,
+        s"""SELECT cust.seg AS seg, count(*) AS cnt,
+           |  sum(cust.bal_c) AS bal,
+           |  sum(coalesce(cust.tier, -1)) AS tier
+           |FROM $n GROUP BY cust.seg ORDER BY seg""".stripMargin)
+    } finally GraftSql.unregister(n)
+  }
+
+  /** S65: ANALYZE-FREE CBO — a registered txn table resolves with
+    * CatalogStatistics folded from its COMMIT LOG (rows/bytes/
+    * min-max/nulls; zero file reads), so a filtered dim⋈fact plans
+    * BroadcastHashJoin by STATISTICS (row count × range selectivity
+    * under the threshold) where the raw size-only estimate
+    * sort-merges — the c13 flip with the log in place of a crawl, no
+    * ANALYZE scan anywhere. In-run: the static plan flips SMJ→BHJ
+    * with `spark.graft.cbo.logStats`, planning reads ZERO parquet
+    * footers, and both plans serve identical values (oracle-pinned,
+    * join node names pinned in the oracle's VALUES). */
+  def s65LogCbo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_s65").toString
+    val nc = freshName("cust_cbo_")
+    val no = freshName("ord_cbo_")
+    val cust = Lake.table(spark, dir, "customer")
+    val ord = Lake.table(spark, dir, "orders").select(
+      col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    TxnTable.create(spark, d + "/cust", cust, partitions = 2)
+    TxnTable.create(spark, d + "/ord", ord, partitions = 4)
+    GraftSql.register(nc, d + "/cust")
+    GraftSql.register(no, d + "/ord")
+    try {
+      val cap = cust.agg(max(col("c_custkey"))).head().getLong(0) / 50
+      val (dimBytes, _, _) = TxnTable.logTableStats(spark, d + "/cust")
+      val sql =
+        s"""SELECT count(*) AS n_rows, sum(o.price_c) AS revenue_c
+           |FROM $no o JOIN $nc c ON o.o_custkey = c.c_custkey
+           |WHERE c.c_custkey <= $cap""".stripMargin
+      val conf = spark.conf
+      val keys = Seq("spark.sql.cbo.enabled",
+        "spark.sql.autoBroadcastJoinThreshold", "spark.graft.cbo.logStats")
+      val saved = keys.map(k => k -> conf.getOption(k))
+      try {
+        conf.set("spark.sql.cbo.enabled", "true")
+        // threshold BETWEEN the two estimates, scaled to the dim's
+        // logged bytes so the flip holds at every scale factor: the
+        // stats-less plan keeps ~the (column-pruned) file size; only
+        // log row count + custkey bounds shrink the 2% band under it
+        conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (dimBytes / 16).toString)
+        val f0 = graft.crawler.SkippingIndex.footerReads.get()
+        conf.set("spark.graft.cbo.logStats", "false")
+        val off = graft.crawler.CboStats
+          .staticJoinNode(GraftSql.query(spark, sql))
+        conf.set("spark.graft.cbo.logStats", "true")
+        val dfOn = GraftSql.query(spark, sql)
+        val on = graft.crawler.CboStats.staticJoinNode(dfOn)
+        require(graft.crawler.SkippingIndex.footerReads.get() == f0,
+          "log-stats planning must read zero parquet footers")
+        require(off == "SortMergeJoin",
+          s"without injection the size-only estimate must SMJ, got $off")
+        require(on == "BroadcastHashJoin",
+          s"with log stats the dim must broadcast, got $on")
+        val r = dfOn.collect().head
+        val rOff = {
+          conf.set("spark.graft.cbo.logStats", "false")
+          GraftSql.query(spark, sql).collect().head
+        }
+        require(r.getLong(0) == rOff.getLong(0) &&
+          r.getLong(1) == rOff.getLong(1),
+          "both plans must serve identical values")
+        Seq(("log_stats", on, r.getLong(0), r.getLong(1)),
+            ("no_stats", off, r.getLong(0), r.getLong(1)))
+          .toDF("variant", "join_node", "n_rows", "revenue_c")
+          .orderBy(col("variant"))
+      } finally saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
+      }
+    } finally { GraftSql.unregister(nc); GraftSql.unregister(no) }
+  }
+
   /** S64: INCREMENTAL RE-CLUSTER — the property-driven `OPTIMIZE t
     * ZORDER` folds ONLY the un-clustered tail (files added since the
     * last cluster commit, found from log metadata) into the persisted
@@ -1717,6 +1876,8 @@ object SqlDmlQueries {
     "s62_matview" -> (s62Matview _),
     "s62b_mv_incremental" -> (s62bMvIncremental _),
     "s64_zorder_tail" -> (s64ZorderTail _),
+    "s65_log_cbo" -> (s65LogCbo _),
+    "s66_nested_alter" -> (s66NestedAlter _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
     "s36_sql_select_tt" -> (s36SqlSelectTt _),
@@ -1903,6 +2064,46 @@ object SqlDmlQueries {
     // orders minus the lost quartile band minus the post-repair
     // delete; dry-run exactness and the auditable remove asserted
     // in-run
+    // three nested-schema generations replayed relationally: base
+    // (tier null → -1), the +1-bal tranche with tier = ck%5, the
+    // widened tranche with +5e9 bal and tier = ck%7
+    "s66_nested_alter" ->
+      """WITH b AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS kx
+        |           FROM orders),
+        |u AS (SELECT o_orderstatus AS seg,
+        |        CAST(CAST(round(o_totalprice * 100) AS INTEGER)
+        |          AS BIGINT) AS bal, CAST(-1 AS BIGINT) AS tier
+        |      FROM orders
+        |      UNION ALL
+        |      SELECT o_orderstatus,
+        |        CAST(CAST(round(o_totalprice * 100) + 1 AS INTEGER)
+        |          AS BIGINT), o_custkey % 5
+        |      FROM orders, b WHERE o_orderkey <= b.kx // 4
+        |      UNION ALL
+        |      SELECT o_orderstatus,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) + 5000000000,
+        |        o_custkey % 7
+        |      FROM orders, b WHERE o_orderkey <= b.kx // 4)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(bal) AS BIGINT) AS bal,
+        |  CAST(sum(tier) AS BIGINT) AS tier
+        |FROM u GROUP BY seg ORDER BY seg""".stripMargin,
+    // the statically-planned join flips are pinned in the VALUES
+    // rows (in-run requires enforce them); the data row replays the
+    // filtered dim⋈fact aggregate
+    "s65_log_cbo" ->
+      """WITH cap AS (SELECT CAST(max(c_custkey) AS BIGINT)//50 AS v
+        |             FROM customer),
+        |r AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |      AS BIGINT) AS revenue_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey, cap
+        |  WHERE c_custkey <= cap.v)
+        |SELECT v.variant, v.join_node, r.n_rows, r.revenue_c
+        |FROM (VALUES ('log_stats','BroadcastHashJoin'),
+        |             ('no_stats','SortMergeJoin'))
+        |  v(variant, join_node), r
+        |ORDER BY variant""".stripMargin,
     // banded aggregate over base ∪ three shifted tranches — the
     // layout work (tail-only rewrite, bulk survival, prune tightness,
     // zero footers) is asserted in-run; this pins the served values

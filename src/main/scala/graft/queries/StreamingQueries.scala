@@ -932,6 +932,65 @@ object StreamingQueries {
     * pointer, and pump-checkpoint-loss idempotence (every marker
     * no-ops, terminal included). Oracle replays the three change sets
     * relationally. */
+  /** ST23: `COPY INTO t FROM STREAM '<dir>'` — statement-level
+    * streaming ingestion onto the exactly-once stream markers: three
+    * landed drops ingest through three statement runs (each an
+    * AvailableNow pass that loads ONLY files its checkpoint has not
+    * seen), every commit carries the `stream:copystream:` marker, an
+    * idle re-run commits nothing, and a LOST checkpoint re-offers
+    * everything but no-ops on the logged (streamId, batchId) markers
+    * — the st13 idempotent-writer protocol through SQL. Oracle
+    * replays the three slices relationally. */
+  def st23CopyStream(spark: SparkSession, dir: String): DataFrame = {
+    val d = Files.createTempDirectory("graft_st23").toString
+    val t = d + "/t"
+    val land = d + "/land"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    graft.core.TxnTable.create(spark, t, orders.limit(0)) // v0: shape
+    graft.sql.GraftSql.register(n, t)
+    try {
+      val stmt = s"COPY INTO $n FROM STREAM '$land'"
+      def drop(i: Int, f: org.apache.spark.sql.Column): Unit =
+        orders.filter(f).repartition(1).write.parquet(s"$land/b$i")
+      drop(1, col("o_custkey") <= ck / 3)
+      val v1 = graft.sql.GraftSql.execute(spark, stmt)
+      val c1 = graft.core.TxnTable.commits(t).last
+      require(v1 == 1L && c1.op.startsWith("stream:copystream:"),
+        s"stream ingestion must land via stream markers, got ${c1.op}")
+      drop(2, col("o_custkey") > ck / 3 && col("o_custkey") <= 2 * ck / 3)
+      val v2 = graft.sql.GraftSql.execute(spark, stmt)
+      require(v2 == 2L, s"the second drop must land as one batch, got $v2")
+      drop(3, col("o_custkey") > 2 * ck / 3)
+      val v3 = graft.sql.GraftSql.execute(spark, stmt)
+      require(v3 == 3L &&
+        graft.core.TxnTable.read(spark, t).count() == orders.count(),
+        "three drops must land exactly-once")
+      // an idle re-run commits NOTHING
+      require(graft.sql.GraftSql.execute(spark, stmt) == 3L,
+        "an idle statement re-run must no-op")
+      // checkpoint LOSS: the file stream re-offers every file; the
+      // logged markers make the replay a no-op, not a duplicate load
+      val ckpt = java.nio.file.Paths.get(t, "_stream_ckpt")
+      val w = java.nio.file.Files.walk(ckpt)
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().forEachRemaining(p =>
+          { java.nio.file.Files.deleteIfExists(p); () })
+      finally w.close()
+      require(graft.sql.GraftSql.execute(spark, stmt) == 3L &&
+        graft.core.TxnTable.read(spark, t).count() == orders.count(),
+        "a checkpoint-lost replay must no-op on the stream markers")
+      graft.core.TxnTable.read(spark, t)
+        .groupBy(col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("ps"),
+          sum(col("o_orderkey")).as("ks"))
+        .orderBy(col("st"))
+    } finally graft.sql.GraftSql.unregister(n)
+  }
+
   def st22ChangesGenerations(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.TxnTable
     import graft.streaming.StreamChanges
@@ -1037,6 +1096,7 @@ object StreamingQueries {
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st22_changes_generations" -> (st22ChangesGenerations _),
+    "st23_copy_stream" -> (st23CopyStream _),
     "st21_changes_tail" -> (st21ChangesTail _),
     "st20_changes_stream" -> (st20ChangesStream _),
     "st19_stream_replica" -> (st19StreamReplica _),
@@ -1134,6 +1194,13 @@ object StreamingQueries {
     // = custkey), the v4 F-band deletes (base <= ck/10 plus the
     // tranche's own F rows at <= ck/16, shifted keys); terminal rows
     // and generation mechanics asserted in-run
+    // exactly-once streaming ingestion replayed relationally (the
+    // marker/no-op protocol is asserted in-run)
+    "st23_copy_stream" ->
+      """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS ps,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS ks
+        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin,
     "st22_changes_generations" ->
       """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck,
         |    CAST(max(o_orderkey) AS BIGINT) AS kx FROM orders),

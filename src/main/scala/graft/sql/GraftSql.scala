@@ -148,6 +148,11 @@ object GraftSql {
       """\s+FROM\s+'([^']+)'""" +
       """(?:\s+FORMAT\s+AS\s+(CSV|JSON|PARQUET))?""" +
       """(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*$""").r
+  private val CopyStreamRe =
+    ("""(?is)^\s*COPY\s+INTO\s+""" + Ident +
+      """\s+FROM\s+STREAM\s+'([^']+)'""" +
+      """(?:\s+FORMAT\s+AS\s+(CSV|JSON|PARQUET))?""" +
+      """(?:\s+CHECKPOINT\s+'([^']+)')?\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + Ident +
       """\s+SHALLOW\s+CLONE\s+""" + Ident +
@@ -412,6 +417,53 @@ object GraftSql {
     // stats harvested); CSV/JSON materialize through the standard write
     // path (table-shape coercion + constraints) with the same
     // source-path idempotence; a re-run is a no-op at the unchanged head
+    // COPY INTO t FROM STREAM '<dir>': statement-level streaming
+    // ingestion — one AvailableNow pass of a file stream over the
+    // landing directory, each micro-batch landing through
+    // appendStreamBatch's exactly-once (streamId, batchId) markers.
+    // Re-running the statement loads only files the stream checkpoint
+    // has not seen; a LOST checkpoint re-offers everything, and every
+    // re-offered batch no-ops on its logged marker (the st13
+    // idempotent-writer protocol, now as SQL). The stream id derives
+    // from the table + source dir (NOT the checkpoint path), so the
+    // markers survive checkpoint loss — that is what makes the replay
+    // a no-op instead of a duplicate load.
+    case CopyStreamRe(name, dir, fmt, ckpt) =>
+      val (reg, _) = lookupMutable(parseIdent(name), "COPY INTO")
+      val schema = org.apache.spark.sql.types.StructType(
+        TxnTable.currentSchema(reg.path)
+          .getOrElse(TxnTable.read(spark, reg.path).schema)
+          .fields.map(_.copy(nullable = true)))
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
+          .toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val streamId = s"copystream:$key"
+      val ckptDir = Option(ckpt).getOrElse(java.nio.file.Paths
+        .get(reg.path, "_stream_ckpt", key).toString)
+      // landing dirs arrive as per-drop SUBDIRECTORIES (the batch
+      // COPY INTO contract): recurse, don't treat them as partitions
+      val reader = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+      val src = Option(fmt).map(_.toLowerCase).getOrElse("parquet") match {
+        case "parquet" => reader.parquet(dir)
+        case "csv" => reader.option("header", "true")
+          .option("mode", "FAILFAST").csv(dir)
+        case "json" => reader.option("mode", "FAILFAST").json(dir)
+      }
+      val q = src.writeStream.option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            TxnTable.appendStreamBatch(b.sparkSession, reg.path, b,
+              streamId, id)
+            ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      TxnTable.currentVersion(reg.path)
+
     case CopyIntoRe(name, dir, fmt, pat) =>
       val (reg, _) = lookupMutable(parseIdent(name), "COPY INTO")
       val pattern = Option(pat)
@@ -620,24 +672,38 @@ object GraftSql {
 
       case AddColumns(t, cols) =>
         val (reg, _) = targetMutable(t, "ALTER TABLE")
-        val specs = cols.map { c =>
-          require(c.path.isEmpty, "nested ADD COLUMNS is not supported")
-          require(c.position.isEmpty && c.default.isEmpty,
-            "column position / DEFAULT are not supported")
-          c.colName -> c.dataType
+        cols.foreach(c => require(c.position.isEmpty && c.default.isEmpty,
+          "column position / DEFAULT are not supported"))
+        val (nested, top) = cols.partition(_.path.isDefined)
+        var v = -1L
+        if (top.nonEmpty)
+          v = TxnTable.addColumns(spark, reg.path,
+            top.map(c => c.colName -> c.dataType))
+        nested.foreach { c =>
+          val parts = c.path.get match {
+            case f: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedFieldName => f.name
+            case other => throw new IllegalArgumentException(
+              s"unsupported ADD COLUMNS path: $other")
+          }
+          v = TxnTable.addStructField(spark, reg.path,
+            (parts :+ c.colName).mkString("."), c.dataType)
         }
-        TxnTable.addColumns(spark, reg.path, specs)
+        v
 
       case DropColumns(t, fields, ifExists) =>
         val (reg, _) = targetMutable(t, "ALTER TABLE")
-        val names = fields.map {
+        val parts = fields.map {
           case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName =>
-            require(f.name.length == 1,
-              "nested DROP COLUMNS is not supported")
-            f.name.head
+            f.name
           case other => throw new IllegalArgumentException(
             s"unsupported DROP COLUMNS field: $other")
         }
+        val (nestedP, topP) = parts.partition(_.length > 1)
+        require(nestedP.isEmpty || !ifExists,
+          "IF EXISTS is not supported on nested DROP COLUMNS")
+        var v = -1L
+        val names = topP.map(_.head)
         val present =
           if (!ifExists) names
           else {
@@ -645,8 +711,11 @@ object GraftSql {
               .columns.map(_.toLowerCase).toSet
             names.filter(n => have(n.toLowerCase))
           }
-        if (present.isEmpty) TxnTable.currentVersion(reg.path)
-        else TxnTable.dropColumns(spark, reg.path, present)
+        if (present.nonEmpty)
+          v = TxnTable.dropColumns(spark, reg.path, present)
+        nestedP.foreach(pp =>
+          v = TxnTable.dropStructField(spark, reg.path, pp.mkString(".")))
+        if (v < 0) TxnTable.currentVersion(reg.path) else v
 
       case RenameColumn(t, field, newName) =>
         val (reg, _) = targetMutable(t, "ALTER TABLE")
@@ -672,17 +741,18 @@ object GraftSql {
             spec.newPosition.isEmpty,
             "ALTER COLUMN supports TYPE <wider> only (nullability/" +
               "comment/position changes are not supported)")
-          val name = spec.column match {
+          val parts = spec.column match {
             case f: org.apache.spark.sql.catalyst.analysis
-                .UnresolvedFieldName =>
-              require(f.name.length == 1,
-                "nested ALTER COLUMN is not supported")
-              f.name.head
+                .UnresolvedFieldName => f.name
             case other => throw new IllegalArgumentException(
               s"unsupported ALTER COLUMN field: $other")
           }
-          v = TxnTable.widenColumnType(spark, reg.path, name,
-            spec.newDataType.get)
+          v =
+            if (parts.length == 1)
+              TxnTable.widenColumnType(spark, reg.path, parts.head,
+                spec.newDataType.get)
+            else TxnTable.widenStructFieldType(spark, reg.path,
+              parts.mkString("."), spec.newDataType.get)
         }
         v
 
@@ -1481,6 +1551,113 @@ object GraftSql {
           spark.sessionState.sqlParser.parsePlan(sqlText)))
     }
 
+  // -- log-stats CBO injection ----------------------------------------------
+  //
+  // ANALYZE-free cost-based optimization: every registered txn-table
+  // reference resolves with CatalogStatistics folded from its COMMIT
+  // LOG (rows/bytes/min-max/null counts — [[TxnTable.logTableStats]],
+  // zero file reads), attached as a synthetic external-table entry on
+  // the scan relation. With `spark.sql.cbo.enabled` the optimizer
+  // then sees row counts and column bounds exactly as if ANALYZE had
+  // scanned the table — a filtered dim⋈fact plans broadcast by
+  // statistics where the raw size-only estimate would sort-merge
+  // (the c13 flip, with the log instead of a crawl). Disable with
+  // `spark.graft.cbo.logStats=false`. Stats memoize per (path,
+  // version); a new commit is a new version, so staleness is
+  // impossible by construction.
+
+  private val logStatsCache = new ConcurrentHashMap[(String, Long),
+    Option[org.apache.spark.sql.catalyst.catalog.CatalogStatistics]]()
+
+  private def injectLogStats(spark: SparkSession, path: String,
+      asOf: Long, name: String, df: DataFrame): LogicalPlan = {
+    // the reader's pre-analysis plan is a lazy UnresolvedDataSource;
+    // the scan relation only exists in the ANALYZED plan — so the
+    // injection path resolves eagerly, and the default path keeps the
+    // historical unresolved splice byte-for-byte
+    if (!spark.conf.get("spark.graft.cbo.logStats", "true").toBoolean)
+      return df.queryExecution.logical
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = df.queryExecution.analyzed
+    // inject only onto an UNAMBIGUOUS single-scan plan: a DV'd
+    // snapshot's plan also scans the deletion-vector files, and
+    // table-level stats must not land on those relations
+    val scans = plan.collect { case lr: LogicalRelation => lr }
+    if (scans.length != 1) return plan
+    val v = if (asOf >= 0) asOf else TxnTable.currentVersion(path)
+    val stats = logStatsCache.computeIfAbsent((path, v), _ =>
+      try Some(buildCatalogStats(spark, path, v))
+      catch { case _: Exception => None })
+    stats match {
+      case Some(st) =>
+        val ct = org.apache.spark.sql.catalyst.catalog.CatalogTable(
+          identifier =
+            org.apache.spark.sql.catalyst.TableIdentifier(name),
+          tableType =
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+          storage = org.apache.spark.sql.catalyst.catalog
+            .CatalogStorageFormat.empty,
+          schema = scans.head.schema,
+          provider = Some("parquet"),
+          stats = Some(st))
+        plan.transform {
+          case lr: LogicalRelation => lr.copy(catalogTable = Some(ct))
+        }
+      case None => plan
+    }
+  }
+
+  private def buildCatalogStats(spark: SparkSession, path: String,
+      v: Long): org.apache.spark.sql.catalyst.catalog.CatalogStatistics = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+    import org.apache.spark.sql.types._
+    val (bytes, rows, cols) = TxnTable.logTableStats(spark, path, v)
+    val colStats = cols.flatMap { case (n, c) =>
+      // external-string bounds only for types whose physical int64
+      // maps losslessly onto the catalog's external form; strings
+      // carry no catalog min/max (matching ANALYZE), everything else
+      // still contributes its exact null count
+      def ext(l: Long): Option[String] = c.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             DateType | TimestampType =>
+          val internal: Any = c.dataType match {
+            case ByteType => l.toByte
+            case ShortType => l.toShort
+            case IntegerType | DateType => l.toInt
+            case _ => l
+          }
+          Some(CatalogColumnStat.toExternalString(internal, n, c.dataType))
+        case _ => None
+      }
+      // ndv: the log-derivable UPPER BOUND min(non-null rows, value
+      // span) for integral columns — exact for dense keys, an
+      // over-estimate otherwise. Catalyst's range estimation REQUIRES
+      // a distinctCount but uses min/max for the selectivity itself
+      // (ndv only caps the post-filter ndv), so the bound is safe
+      // there; equality selectivity under-estimates at worst, which
+      // errs toward NOT broadcasting.
+      val ndv: Option[BigInt] = (c.lmin, c.lmax) match {
+        case (Some(lo), Some(hi)) if ext(lo).isDefined =>
+          val span = BigInt(hi) - BigInt(lo) + 1
+          val nonNull = BigInt(math.max(0L, rows - c.nulls.getOrElse(0L)))
+          Some(span.min(nonNull).max(1))
+        case _ => None
+      }
+      if (c.lmin.isEmpty && c.nulls.isEmpty) None
+      else Some(n -> CatalogColumnStat(
+        distinctCount = ndv,
+        min = c.lmin.flatMap(ext),
+        max = c.lmax.flatMap(ext),
+        nullCount = c.nulls.map(BigInt(_)),
+        avgLen = None, maxLen = None, histogram = None,
+        version = CatalogColumnStat.VERSION))
+    }.toMap
+    CatalogStatistics(
+      sizeInBytes = BigInt(math.max(1L, bytes)),
+      rowCount = Some(BigInt(math.max(0L, rows))),
+      colStats = colStats)
+  }
+
   /** Replace every registered txn-table reference (plain or
     * time-traveled) with its snapshot's plan; everything else is left
     * for the session catalog. Shared by query(), INSERT sources, and
@@ -1496,8 +1673,8 @@ object GraftSql {
       val full = r.multipartIdentifier.mkString(".").toLowerCase
       val short = r.multipartIdentifier.last.toLowerCase
       Option(tables.get(full)).orElse(Option(tables.get(short))).map { reg =>
-        SubqueryAlias(short,
-          TxnTable.read(spark, reg.path, asOf).queryExecution.logical)
+        SubqueryAlias(short, injectLogStats(spark, reg.path, asOf, short,
+          TxnTable.read(spark, reg.path, asOf)))
       }
     }
     // a view reference expands to its freshly RE-SUBSTITUTED body

@@ -284,6 +284,50 @@ object StreamChanges {
     readGeneration(spark, spoolDir, gens.head, keyCols)
   }
 
+  /** The COMPLETE follow-schema consumer loop: one call pumps, then
+    * drains every generation available now IN ORDER under one
+    * consumer checkpoint tree — each generation as its own
+    * AvailableNow pass checkpointed at `<consumerCheckpointRoot>/
+    * gen-<g>`, its pinned schema surfaced to the callback, terminal
+    * handshake rows consumed by the loop itself (the callback sees
+    * DATA rows only). This is the helper that finishes what the
+    * manual drain → terminal row → [[readGeneration]] re-bind
+    * handshake starts: exactly-once across restarts, because a
+    * completed generation's checkpoint re-offers nothing and an
+    * interrupted one resumes mid-generation.
+    *
+    * Returns the generations visited. Scale: the loop itself is pure
+    * metadata (one directory listing + one stamp read per
+    * generation); all data movement happens inside the per-generation
+    * streams, which read only spooled ranges. */
+  def followChanges(spark: SparkSession, srcPath: String,
+      spoolDir: String, pumpCheckpointDir: String,
+      consumerCheckpointRoot: String, keyCols: Seq[String],
+      startingVersion: Option[Long] = None)(
+      onBatch: (Long, StructType, DataFrame) => Unit): Seq[Long] = {
+    pumpFollowSchema(spark, srcPath, spoolDir, pumpCheckpointDir,
+      keyCols, startingVersion)
+    val gens = generations(spoolDir)
+    gens.foreach { g =>
+      val schema = readStamp(Paths.get(spoolDir).resolve(s"gen-$g"))
+      val q = readGeneration(spark, spoolDir, g, keyCols).writeStream
+        .option("checkpointLocation", s"$consumerCheckpointRoot/gen-$g")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            // the terminal row is the LOOP's handshake, not data —
+            // the listed generation order IS the pointer chain, so
+            // consuming it here loses nothing
+            val data = b.filter(col("op") =!= "end_of_generation")
+            onBatch(g, schema, data)
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    gens
+  }
+
   /** Spool version `v` into the CURRENT generation, rolling a new one
     * at a schema change. Marker discipline: `r<v-1>_<v>` existing in
     * ANY generation means v is already spooled (the terminal marker

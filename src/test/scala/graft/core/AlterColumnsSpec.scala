@@ -392,4 +392,76 @@ class AlterColumnsSpec extends SparkSpecBase {
       rawCols.schema("n").dataType == LongType,
       "post-widen append must keep the physical name with the wide type")
   }
+
+  test("nested-field ALTER: add/widen/drop a struct leaf are " +
+    "metadata-only; guards — CHECK reference, resurrection, last " +
+    "leaf, narrowing, non-struct path") {
+    import org.apache.spark.sql.types._
+    val t = Files.createTempDirectory("graft_nalter").toString + "/t"
+    TxnTable.create(spark, t,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"))
+        .toDF("id", "bal", "seg")
+        .select(col("id"), struct(col("seg"),
+          col("bal").cast("int").as("bal_c")).as("cust")))
+    // add a leaf: metadata-only; old rows null-fill
+    val v1 = TxnTable.addStructField(spark, t, "cust.tier", LongType)
+    assert(v1 == 1L && TxnTable.commits(t).last.adds.isEmpty)
+    assert(TxnTable.read(spark, t).selectExpr("cust.tier")
+      .collect().forall(_.isNullAt(0)),
+      "old files must null-fill the added leaf")
+    // new data carries it; widen the int leaf; beyond-int32 lands
+    TxnTable.append(spark, t, Seq((3L, "c", 30, 7L)).toDF(
+      "id", "seg", "bal_c", "tier").select(col("id"),
+        struct(col("seg"), col("bal_c"), col("tier")).as("cust"))) // v2
+    val v3 = TxnTable.widenStructFieldType(spark, t, "cust.bal_c",
+      LongType)
+    assert(v3 == 3L && TxnTable.commits(t).last.adds.isEmpty)
+    TxnTable.append(spark, t, Seq((4L, "d", 6000000000L, 9L)).toDF(
+      "id", "seg", "bal_c", "tier").select(col("id"),
+        struct(col("seg"), col("bal_c"), col("tier")).as("cust"))) // v4
+    assert(TxnTable.read(spark, t).selectExpr("sum(cust.bal_c)")
+      .head().getLong(0) == 10L + 20L + 30L + 6000000000L,
+      "mixed generations must upcast the widened leaf")
+    // time travel binds each snapshot's own nested shape
+    val s0 = TxnTable.read(spark, t, 0L).schema("cust").dataType
+      .asInstanceOf[StructType]
+    assert(!s0.fieldNames.contains("tier") &&
+      s0("bal_c").dataType == IntegerType)
+    // narrowing refused
+    intercept[IllegalArgumentException] {
+      TxnTable.widenStructFieldType(spark, t, "cust.bal_c", IntegerType)
+    }
+    // CHECK referencing the leaf fences the drop
+    TxnTable.addConstraint(spark, t, "tier_pos",
+      "cust.tier IS NULL OR cust.tier >= 0")
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.dropStructField(spark, t, "cust.tier")
+    }
+    assert(e.getMessage.contains("tier_pos"))
+    assert(TxnTable.dropConstraint(t, "tier_pos"))
+    // drop works once unfenced; re-ADD of the dropped name is refused
+    // from history (old bytes must not resurrect)
+    val vd = TxnTable.dropStructField(spark, t, "cust.tier")
+    assert(TxnTable.commits(t).last.adds.isEmpty)
+    assert(!TxnTable.read(spark, t).schema("cust").dataType
+      .asInstanceOf[StructType].fieldNames.contains("tier"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxnTable.addStructField(spark, t, "cust.tier", LongType)
+    }
+    assert(e2.getMessage.contains("resurrect"), e2.getMessage)
+    // restore across the drop recovers the leaf WITH its data
+    TxnTable.restore(spark, t, vd - 1)
+    assert(TxnTable.read(spark, t).selectExpr("sum(cust.tier)")
+      .head().getLong(0) == 7L + 9L)
+    // a struct's last leaf and a non-struct path are loud errors
+    intercept[IllegalArgumentException] {
+      TxnTable.dropStructField(spark, t, "id.leaf")
+    }
+    val t2 = Files.createTempDirectory("graft_nalter2").toString + "/t"
+    TxnTable.create(spark, t2, Seq((1L, 1L)).toDF("id", "g")
+      .select(col("id"), struct(col("g")).as("one")))
+    intercept[IllegalArgumentException] {
+      TxnTable.dropStructField(spark, t2, "one.g")
+    }
+  }
 }

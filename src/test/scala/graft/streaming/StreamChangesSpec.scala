@@ -371,6 +371,51 @@ class StreamChangesSpec extends SparkSpecBase {
       s"wrong failure: ${chain(e)}")
   }
 
+  test("followChanges: ONE call drains every generation in order " +
+    "under one consumer checkpoint tree, surfaces each generation's " +
+    "schema, and stays exactly-once across restarts") {
+    val root = Files.createTempDirectory("graft_stfol").toString
+    val t = s"$root/t"
+    TxnTable.create(spark, t, Seq((1L, 10L), (2L, 20L)).toDF("id", "v")) // v0
+    TxnTable.addColumns(spark, t,
+      Seq(("w", org.apache.spark.sql.types.LongType)))                   // v1
+    TxnTable.append(spark, t, Seq((3L, 30L, 300L)).toDF("id", "v", "w")) // v2
+    TxnTable.addColumns(spark, t,
+      Seq(("x", org.apache.spark.sql.types.LongType)))                   // v3
+    TxnTable.append(spark, t,
+      Seq((4L, 40L, 400L, 4000L)).toDF("id", "v", "w", "x"))             // v4
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[String], Long, String)]
+    def drainAll(): Seq[Long] =
+      StreamChanges.followChanges(spark, t, s"$root/spool", s"$root/pc",
+        s"$root/cc", Seq("id")) { (g, schema, df) =>
+        buf ++= df.select(col("id"), col("op")).collect()
+          .map(r => (g, schema.fieldNames.toSeq, r.getLong(0),
+            r.getString(1)))
+      }
+    // two ALTERs mid-feed → three generations, one call sees all rows
+    assert(drainAll() == Seq(0L, 1L, 3L))
+    assert(buf.map(x => (x._1, x._3, x._4)).toSet == Set(
+      (0L, 1L, "insert"), (0L, 2L, "insert"),
+      (1L, 3L, "insert"), (3L, 4L, "insert")),
+      s"got $buf")
+    // each generation surfaced ITS schema
+    assert(buf.filter(_._1 == 0L).forall(_._2 == Seq("id", "v")))
+    assert(buf.filter(_._1 == 1L).forall(_._2 == Seq("id", "v", "w")))
+    assert(buf.filter(_._1 == 3L).forall(_._2 == Seq("id", "v", "w", "x")))
+    // restart with MORE data: the same consumer tree re-offers only
+    // the new rows (completed generations no-op on their checkpoints)
+    TxnTable.deleteWhereMor(spark, t, col("id") === 1L)                  // v5
+    buf.clear()
+    assert(drainAll() == Seq(0L, 1L, 3L))
+    assert(buf.map(x => (x._1, x._3, x._4)).toSet ==
+      Set((3L, 1L, "delete")), s"restart must see ONLY the delta: $buf")
+    // and an idle re-run delivers nothing
+    buf.clear()
+    drainAll()
+    assert(buf.isEmpty, s"an idle follow must deliver zero rows: $buf")
+  }
+
   test("generation roll crash window: the new generation is stamped " +
     "BEFORE the terminal marker publishes, so the only crash state " +
     "(stamp without marker) heals on redelivery") {
