@@ -75,7 +75,8 @@ case class BySourceDelete(cond: Option[Column] = None) extends MergeBySource
   *
   * Properties, each pinned by TxnTableSpec or the s13 gate:
   *  - **Atomic commit / optimistic concurrency**: a commit is staged to
-  *    a temp file and published with `Files.createLink` — POSIX link(2)
+  *    a temp file and published create-exclusive ([[Store.putIfAbsent]],
+  *    POSIX link(2) locally)
   *    is create-exclusive, so exactly ONE writer wins a version; losers
   *    see [[TxnConflictException]] and retry against the new snapshot.
   *    (On an object store this primitive becomes a conditional PUT /
@@ -407,13 +408,11 @@ object TxnTable {
     * @throws TxnConflictException if that version already exists. */
   def tryCommit(path: String, commit: TxnCommit): Unit = {
     Files.createDirectories(logDir(path))
-    val tmp = logDir(path).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, render(commit).getBytes(StandardCharsets.UTF_8))
-    try Files.createLink(versionFile(path, commit.version), tmp)
-    catch {
-      case _: FileAlreadyExistsException =>
-        throw new TxnConflictException(commit.version)
-    } finally Files.deleteIfExists(tmp)
+    // create-exclusive through the Store seam: losing the race IS the
+    // version-conflict signal
+    if (!Store.putIfAbsent(versionFile(path, commit.version),
+        render(commit).getBytes(StandardCharsets.UTF_8)))
+      throw new TxnConflictException(commit.version)
     // A version-0 commit is a table BIRTH: if a table previously lived
     // at this path in this JVM (deleted externally, then recreated),
     // every memoized (path, version) schema belongs to the dead table —
@@ -437,7 +436,7 @@ object TxnTable {
         // files, not table lifetime. The existence probe is O(entries)
         // metadata, paid only at checkpoint cadence.
         val allAdds = addsIndex(path, commit.version).values.toSeq
-          .filter(a => Files.exists(localRoot(path).resolve(a.path)))
+          .filter(a => Store.exists(localRoot(path).resolve(a.path)))
           .sortBy(_.path)
         val dvs = snapshotDvs(path, commit.version)
         val cons = constraintsInfo(path, commit.version)
@@ -469,11 +468,9 @@ object TxnTable {
           allAdds.map(renderAdd).mkString("[", ",", "]") +
           s""","files":""" +
           files.map(f => s""""${esc(f)}"""").mkString("[", ",", "]") + "}"
-        val ctmp = logDir(path).resolve(s".ckpt-tmp-${java.util.UUID.randomUUID()}")
-        Files.write(ctmp, json.getBytes(StandardCharsets.UTF_8))
-        Files.move(ctmp, checkpointFile(path, commit.version),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // derived state: overwrite-OK atomic publish via the seam
+        Store.putAtomic(checkpointFile(path, commit.version),
+          json.getBytes(StandardCharsets.UTF_8))
       } catch { case _: Throwable => () }
     }
   }
@@ -3365,8 +3362,11 @@ object TxnTable {
     val top = currentVersion(path)
     require(top >= 0, s"not a TxnTable: $path")
     val ai = addsIndex(path, top)
+    // per-file probe through the Store seam: O(live files) metadata
+    // locally; an object-store port batches per-prefix LISTs instead
+    // of per-file HEADs (see Store.exists)
     val missing = snapshotFiles(path, top)
-      .filterNot(f => Files.exists(localRoot(path).resolve(f)))
+      .filterNot(f => Store.exists(localRoot(path).resolve(f)))
     if (!dryRun && missing.nonEmpty)
       commitRewrite(path, top, "repair", Nil, missing,
         CommuteNonOverlapping)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -208,19 +208,12 @@ object StreamChanges {
   private def createStamped(genDir: java.nio.file.Path,
       schemaJson: String): Unit = {
     Files.createDirectories(genDir)
+    // create-exclusive through the Store seam: a lost race means the
+    // stamp exists (first writer wins); a genuine I/O failure throws
+    // HERE, never as a later NoSuchFileException from readStamp
     if (!Files.exists(stampPath(genDir))) {
-      val tmp = genDir.resolve(s".stamp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp,
-        schemaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      try { Files.move(tmp, stampPath(genDir),
-        StandardCopyOption.ATOMIC_MOVE); () }
-      catch { case e: java.nio.file.FileSystemException =>
-        // drop our tmp copy either way, then verify the assumed
-        // winner — a genuine I/O failure (permissions, disk full)
-        // must surface HERE, not as a later NoSuchFileException from
-        // readStamp (mirrors publish())
-        Files.deleteIfExists(tmp)
-        if (!Files.exists(stampPath(genDir))) throw e }
+      graft.core.Store.putIfAbsent(stampPath(genDir), schemaJson)
+      ()
     }
   }
 
@@ -490,14 +483,9 @@ object StreamChanges {
     val monitor = sweepMonitors.computeIfAbsent(
       root.toAbsolutePath.normalize.toString, _ => new Object)
     monitor.synchronized {
-      val lockCh = java.nio.channels.FileChannel.open(
-        root.resolve("_vacuum_lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lock = lockCh.lock()
-      try {
+      graft.core.Store.withProcessLock(root.resolve("_vacuum_lock")) {
         vacuumSpoolLocked(root, keepAfterVersion)
-      } finally { lock.release(); lockCh.close() }
+      }
     }
   }
 
@@ -509,11 +497,8 @@ object StreamChanges {
   private def vacuumSpoolLocked(root: java.nio.file.Path,
       keepAfterVersion: Long): Int = {
     val next = math.max(readWatermark(root), keepAfterVersion)
-    val tmp = root.resolve(s".wm-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, next.toString
+    graft.core.Store.putAtomic(watermarkPath(root), next.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, watermarkPath(root),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     val Range = """r(-?\d+)_(-?\d+)""".r
     import scala.jdk.CollectionConverters._
     val victims = {
@@ -627,16 +612,7 @@ object StreamChanges {
     * marker; consumers glob ranges by marker). */
   private[streaming] def publish(tmp: java.nio.file.Path,
       rangeDir: java.nio.file.Path): Unit = {
-    try { Files.move(tmp, rangeDir, StandardCopyOption.ATOMIC_MOVE); () }
-    catch {
-      case e: java.nio.file.FileSystemException =>
-        // drop our tmp copy either way, then verify the assumed winner
-        val it = Files.walk(tmp)
-        try it.sorted(java.util.Comparator.reverseOrder())
-          .iterator().forEachRemaining(p => { Files.deleteIfExists(p); () })
-        catch { case _: Throwable => () }
-        finally it.close()
-        if (!Files.exists(rangeDir)) throw e
-    }
+    graft.core.Store.publishDirIfAbsent(tmp, rangeDir)
+    ()
   }
 }

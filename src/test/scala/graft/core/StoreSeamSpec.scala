@@ -1,0 +1,83 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The storage-portability contract: every cross-process atomicity
+  * primitive (atomic rename, hard-link create-exclusive, advisory
+  * file locks) lives behind [[Store]] and NOWHERE else in main
+  * sources — so an object-store port re-implements exactly one file.
+  * Plus the seam's own semantics: win/lose signaling and the
+  * verified-swallow on directory publish. */
+class StoreSeamSpec extends AnyFunSuite {
+
+  test("Store is the only main-source caller of the raw atomicity APIs") {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala")
+    assert(Files.isDirectory(root), s"run from the repo root: $root")
+    val raw = Seq("StandardCopyOption.ATOMIC_MOVE", "Files.createLink",
+      "FileChannel.open", ".tryLock(")
+    val walk = Files.walk(root)
+    val offenders =
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .filterNot(_.getFileName.toString == "Store.scala")
+        .flatMap { p =>
+          val txt = new String(Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          raw.filter(txt.contains).map(t => s"$p uses $t")
+        }.toList
+      finally walk.close()
+    assert(offenders.isEmpty,
+      "raw atomicity APIs outside the Store seam:\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("putIfAbsent: first writer wins, loser sees false, content is " +
+    "the winner's; real I/O failures throw") {
+    val d = Files.createTempDirectory("graft_store")
+    val p = d.resolve("k")
+    assert(Store.putIfAbsent(p, "one"))
+    assert(!Store.putIfAbsent(p, "two"))
+    assert(new String(Files.readAllBytes(p)) == "one")
+    // a destination whose parent is missing is a REAL failure
+    intercept[java.io.IOException] {
+      Store.putIfAbsent(d.resolve("no/such/dir/k"), "x")
+    }
+  }
+
+  test("putAtomic overwrites derived state atomically") {
+    val d = Files.createTempDirectory("graft_store")
+    val p = d.resolve("wm")
+    Store.putAtomic(p, "1".getBytes)
+    Store.putAtomic(p, "2".getBytes)
+    assert(new String(Files.readAllBytes(p)) == "2")
+  }
+
+  test("publishDirIfAbsent: losing the race drops the staged copy and " +
+    "returns false; winning publishes") {
+    val d = Files.createTempDirectory("graft_store")
+    def staged(n: String) = {
+      val t = Files.createDirectories(d.resolve(n))
+      Files.write(t.resolve("f"), n.getBytes)
+      t
+    }
+    val dst = d.resolve("r0_1")
+    assert(Store.publishDirIfAbsent(staged("a"), dst))
+    val loser = staged("b")
+    assert(!Store.publishDirIfAbsent(loser, dst))
+    assert(!Files.exists(loser), "the losing staged copy must be dropped")
+    assert(new String(Files.readAllBytes(dst.resolve("f"))) == "a")
+  }
+
+  test("withProcessLock serializes and releases") {
+    val d = Files.createTempDirectory("graft_store")
+    val lock = d.resolve("_lock")
+    var x = 0
+    Store.withProcessLock(lock) { x = 1 }
+    // released: a second acquisition in the same thread succeeds
+    Store.withProcessLock(lock) { x = 2 }
+    assert(x == 2)
+  }
+}
