@@ -3453,6 +3453,14 @@ object TxnTable {
       "max_long", "min_str", "max_str", "null_count")
   }
 
+  /** The commit file's modification stamp — a cheap TABLE-IDENTITY
+    * witness: a table deleted and recreated at the same path restarts
+    * version numbers, so any cache keyed on (path, version) alone
+    * could serve the DEAD table's state; folding this stamp into the
+    * key makes that impossible (one stat call, no content read). */
+  def commitMtime(path: String, v: Long): Long =
+    Files.getLastModifiedTime(versionFile(path, v)).toMillis
+
   /** TIMESTAMP time travel: the latest readable version whose commit
     * landed at or before `tsMillis` — resolved from the version files'
     * MODIFICATION TIMES (the reference lake formats' design: the log

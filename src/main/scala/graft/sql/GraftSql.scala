@@ -1566,7 +1566,11 @@ object GraftSql {
   // version); a new commit is a new version, so staleness is
   // impossible by construction.
 
-  private val logStatsCache = new ConcurrentHashMap[(String, Long),
+  // keyed on (path, version, commit mtime): the mtime witnesses table
+  // IDENTITY — a table deleted and recreated at the same path restarts
+  // version numbers, and without it the cache could serve the dead
+  // table's statistics at a colliding (path, version)
+  private val logStatsCache = new ConcurrentHashMap[(String, Long, Long),
     Option[org.apache.spark.sql.catalyst.catalog.CatalogStatistics]]()
 
   private def injectLogStats(spark: SparkSession, path: String,
@@ -1585,7 +1589,9 @@ object GraftSql {
     val scans = plan.collect { case lr: LogicalRelation => lr }
     if (scans.length != 1) return plan
     val v = if (asOf >= 0) asOf else TxnTable.currentVersion(path)
-    val stats = logStatsCache.computeIfAbsent((path, v), _ =>
+    val stamp =
+      try TxnTable.commitMtime(path, v) catch { case _: Exception => -1L }
+    val stats = logStatsCache.computeIfAbsent((path, v, stamp), _ =>
       try Some(buildCatalogStats(spark, path, v))
       catch { case _: Exception => None })
     stats match {

@@ -302,7 +302,21 @@ object StreamChanges {
       keyCols, startingVersion)
     val gens = generations(spoolDir)
     gens.foreach { g =>
-      val schema = readStamp(Paths.get(spoolDir).resolve(s"gen-$g"))
+      val gd = Paths.get(spoolDir).resolve(s"gen-$g")
+      val schema = readStamp(gd)
+      // a TRAILING-ALTER generation is stamped but has no ranges yet
+      // (the ALTER commit itself changed no rows): nothing to drain —
+      // skipping keeps the consumer checkpoint tree clean for when
+      // data arrives
+      val hasRanges = {
+        val it = Files.list(gd)
+        try {
+          import scala.jdk.CollectionConverters._
+          it.iterator().asScala
+            .exists(_.getFileName.toString.startsWith("r"))
+        } finally it.close()
+      }
+      if (hasRanges) {
       val q = readGeneration(spark, spoolDir, g, keyCols).writeStream
         .option("checkpointLocation", s"$consumerCheckpointRoot/gen-$g")
         .trigger(Trigger.AvailableNow())
@@ -317,6 +331,7 @@ object StreamChanges {
         }
         .start()
       try q.awaitTermination() finally q.stop()
+      }
     }
     gens
   }

@@ -414,6 +414,21 @@ class StreamChangesSpec extends SparkSpecBase {
     buf.clear()
     drainAll()
     assert(buf.isEmpty, s"an idle follow must deliver zero rows: $buf")
+    // a TRAILING ALTER (no data after it yet) rolls an EMPTY
+    // generation: the follow surfaces it without erroring and
+    // delivers nothing until data lands
+    TxnTable.addColumns(spark, t,
+      Seq(("y", org.apache.spark.sql.types.LongType)))                 // v6
+    buf.clear()
+    assert(drainAll() == Seq(0L, 1L, 3L, 6L))
+    assert(buf.isEmpty, s"an empty trailing generation has no rows: $buf")
+    TxnTable.append(spark, t,
+      Seq((6L, 60L, 600L, 6000L, 60000L)).toDF("id", "v", "w", "x", "y"))
+    buf.clear()
+    drainAll()
+    assert(buf.map(x => (x._1, x._3, x._4)).toSet ==
+      Set((6L, 6L, "insert")),
+      s"data after the trailing ALTER lands in its generation: $buf")
   }
 
   test("generation roll crash window: the new generation is stamped " +
