@@ -131,7 +131,7 @@ object IncrementalView {
         .filter(col("mn").isNull || col("dv") <= col("mn") ||
           col("dv") >= col("mx"))
         .select(col(groupCol)).distinct()
-        .collect().map(_.getLong(0)).toSeq
+        .collect().map(_.get(0)).toSeq
       val merged = folded.join(grownExt, Seq(groupCol), "inner")
         .select(col(groupCol), col("cnt"), col("sm"), col("mn"),
           col("mx"))
@@ -189,7 +189,7 @@ object IncrementalView {
     * one full re-aggregation past the self-tuning threshold) and
     * truncate lineage. */
   private def recomputeTail(spark: SparkSession, path: String,
-      state: DataFrame, merged: DataFrame, affected: Seq[Long],
+      state: DataFrame, merged: DataFrame, affected: Seq[Any],
       groupCol: String, valueCol: String, toV: Long,
       recomputeFilter: DataFrame => DataFrame): (DataFrame, StepStats) = {
     val live = TxnTable.snapshotFiles(path, toV).size
@@ -205,8 +205,15 @@ object IncrementalView {
           TxnTable.read(spark, path, toV)), groupCol, valueCol),
           StepStats(affected.size, live, live))
       } else {
-        val pruned = TxnTable.readPrunedIn(spark, path, groupCol,
-          affected, asOf = toV)
+        // the pruned recompute rides the group type's own log-stats
+        // read: long bounds for integral groups, binary-lexicographic
+        // string bounds for string groups (the s15 contract)
+        val pruned = affected.head match {
+          case _: String => TxnTable.readPrunedInString(spark, path,
+            groupCol, affected.map(_.asInstanceOf[String]), asOf = toV)
+          case _ => TxnTable.readPrunedIn(spark, path, groupCol,
+            affected.map(_.asInstanceOf[Long]), asOf = toV)
+        }
         val recomputed = materializeMinMax(recomputeFilter(pruned),
           groupCol, valueCol)
         (merged.filter(!col(groupCol).isInCollection(affected))

@@ -1318,11 +1318,13 @@ object GraftSql {
     val integral: Set[DataType] =
       Set(ByteType, ShortType, IntegerType, LongType)
     // exact fold needs integral values; the extreme tier's pruned
-    // recompute collects group keys as longs (readPrunedIn contract)
+    // recompute needs a group type with a log-stats pruned read
+    // (long or string — readPrunedIn / readPrunedInString)
     if (shape.valueCol.exists(v => !typOf(v).exists(integral))) return None
     val extremes = shape.aggs.exists(_._1 == "min")
     if (typOf(shape.groupCol).isEmpty) return None
-    if (extremes && !typOf(shape.groupCol).contains(LongType)) return None
+    if (extremes && !typOf(shape.groupCol)
+        .exists(t => t == LongType || t == StringType)) return None
 
     val (removedRaw, addedRaw, changedFiles) =
       TxnTable.changedRowSides(spark, srcPath, fromV, toV)

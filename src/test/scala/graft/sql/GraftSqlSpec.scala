@@ -1514,6 +1514,21 @@ class GraftSqlSpec extends SparkSpecBase {
       val v1 = TxnTable.currentVersion(s"$d/m1")
       GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m1")
       assert(mode() == "noop" && TxnTable.currentVersion(s"$d/m1") == v1)
+      // the full min-max tier also maintains STRING groups (pruned
+      // recompute via the string-bounds read)
+      val m4 = "pm" + java.util.UUID.randomUUID().toString.replace("-", "")
+      GraftSql.execute(spark, s"CREATE MATERIALIZED VIEW $m4 " +
+        s"LOCATION '$d/m4' AS SELECT s, count(*) AS c, sum(v) AS sv, " +
+        s"min(v) AS mn, max(v) AS mx FROM $n GROUP BY s")
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 5") // 'a' extreme
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m4")
+      assert(mode() == "incremental")
+      assert(mvContent(s"$d/m4") == GraftSql.query(spark,
+        s"SELECT s, count(*) AS c, sum(v) AS sv, min(v) AS mn, " +
+          s"max(v) AS mx FROM $n GROUP BY s")
+        .collect().map(_.toSeq).toSet)
+      GraftSql.execute(spark, s"INSERT INTO $n VALUES (5, 50, 'a')")
+      GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $m4")
       // every non-foldable shape takes the (always-correct) full path
       val (_, n2) = mk()
       val fallbacks = Seq(
@@ -1524,9 +1539,7 @@ class GraftSqlSpec extends SparkSpecBase {
         s"SELECT s, count(DISTINCT v) AS c FROM $n " +
           "GROUP BY s",                                    // distinct
         s"SELECT a.s, count(*) AS c FROM $n a JOIN $n2 b " +
-          "ON a.id = b.id GROUP BY a.s",                   // join
-        s"SELECT s, count(*) AS c, min(v) AS mn, max(v) AS mx, " +
-          s"sum(v) AS sv FROM $n GROUP BY s")              // string group
+          "ON a.id = b.id GROUP BY a.s")                   // join
       fallbacks.zipWithIndex.foreach { case (q, i) =>
         val mv = "pf" + i + java.util.UUID.randomUUID().toString
           .replace("-", "")
