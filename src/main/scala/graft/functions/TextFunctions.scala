@@ -136,6 +136,48 @@ object TextFunctions {
           exp(-(length(text).cast("double") / tokenCount(text).cast("double") - lit(5.0)))),
         6))
 
+  /** L46: interpretable LINEAR quality scorer in integer micro-units —
+    * the model-based-filter plumbing a pretraining pipeline runs after
+    * the rule filters (the fastText/DCLM role, with a fixed
+    * hand-weighted model so the score is deterministic and the DuckDB
+    * replay is EXACT): every feature quantizes through non-negative
+    * integer division (stopword/punctuation/uppercase densities in
+    * micro-units, capped token count, word-length deviation in
+    * milli-chars), the logit is an integer dot product with fixed
+    * micro-weights, and classification is `logit > 0`. Swapping in
+    * trained weights is a constant change; the plumbing (single
+    * projection, codegen arithmetic, no UDF, no shuffle) is the
+    * operator. Divisions keep both operands non-negative so Spark's
+    * truncating `div` ≡ DuckDB's flooring `//`. */
+  def qualityLogitMicro(text: Column): Column = {
+    val sw = typedlit(stopwords("en"))
+    val lc = length(text).cast("long")
+    val t = greatest(size(split(text, " ")).cast("long"), lit(1L))
+    val st = size(filter(split(lower(text), " "),
+      w => array_contains(sw, w))).cast("long")
+    val pu = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
+      .cast("long")
+    val up = length(regexp_replace(text, "[^A-Z]", "")).cast("long")
+    val lcSafe = greatest(lc, lit(1L))
+    // floor(a/b) on longs is EXACT integer division while b*quotient
+    // stays under 2^52 (a correctly-rounded double quotient can only
+    // cross an integer boundary when the division is exact) — our
+    // numerators cap at 1e6 * doc length, far below; DuckDB replays
+    // with true integer `//`
+    def idiv(a: Column, b: Column): Column =
+      floor(a / b).cast("long")
+    val stopU = idiv(lit(1000000L) * st, t)
+    val punctU = idiv(lit(1000000L) * pu, lcSafe)
+    val upperU = idiv(lit(1000000L) * up, lcSafe)
+    val wlenM = idiv(lit(1000L) * lc, t)
+    lit(-260000L) +
+      lit(3L) * stopU -
+      lit(2L) * punctU -
+      lit(2L) * upperU +
+      lit(900L) * least(t, lit(500L)) -
+      lit(150L) * abs(wlenM - lit(5500L))
+  }
+
   /** Uppercase ratio — another quality signal (shouting / OCR noise). */
   def uppercaseRatio(text: Column): Column =
     when(length(text) > 0,

@@ -388,6 +388,34 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** L46: model-based quality FILTER plumbing — a fixed-weight linear
+    * scorer over integer-quantized text features (stopword/
+    * punctuation/uppercase densities in micro-units, capped token
+    * count, word-length deviation), classification = logit > 0: the
+    * fastText/DCLM filter role with deterministic weights so both
+    * engines compute the identical integer logit per document. The
+    * operator is the PLUMBING: one codegen projection, no UDF, no
+    * shuffle before the final aggregate — swapping trained weights in
+    * is a constant edit. In-run: both classes must be non-trivially
+    * present (a filter that keeps or drops everything is no filter).
+    * Oracle replays the integer dot product per document. */
+  def l46QualityLogit(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Lake.table(spark, dir, "documents").select(
+      col("lang"),
+      TextFunctions.qualityLogitMicro(col("text")).as("logit"))
+      .select(col("lang"), col("logit"),
+        when(col("logit") > 0, 1L).otherwise(0L).as("keep"))
+    val out = scored.groupBy(col("lang"), col("keep"))
+      .agg(count(lit(1)).as("cnt"), sum(col("logit")).as("logit_sum"))
+      .orderBy(col("lang"), col("keep"))
+    val byClass = out.groupBy(col("keep"))
+      .agg(sum(col("cnt")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(byClass.getOrElse(0L, 0L) > 0 && byClass.getOrElse(1L, 0L) > 0,
+      s"the filter must split the corpus, got $byClass")
+    out
+  }
+
   /** L4: rolling-hash document fingerprints per source (count distinct +
     * checksum pins the exact fingerprint values across engines).
     */
@@ -604,6 +632,7 @@ object PipelineQueries {
     "l4_token_stats"     -> (l4TokenStats _),
     "l4_token_estimate"  -> (l4TokenEstimate _),
     "l4_quality"         -> (l4Quality _),
+    "l46_quality_logit"  -> (l46QualityLogit _),
     "l4_fingerprint"     -> (l4Fingerprint _),
     "l4_text_ratios"     -> (l4TextRatios _),
     "l4_langid"          -> (l4LangId _),
@@ -1143,6 +1172,33 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT source, count(DISTINCT fp) AS fps, CAST(sum(fp) AS BIGINT) AS fp_sum
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    // the identical integer logit per document, replayed with true
+    // integer division (all operands non-negative, so DuckDB's
+    // flooring // ≡ Spark's exact floor-of-double division)
+    "l46_quality_logit" ->
+      """WITH f AS (SELECT lang,
+        |    CAST(length(text) AS BIGINT) AS lc,
+        |    greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS t,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      w -> list_contains(['the','and','of','to','a','in','is',
+        |                          'it','that','for'], w))) AS BIGINT) AS st,
+        |    CAST(length(regexp_replace(text, '[\pL\pN\s]', '', 'g'))
+        |      AS BIGINT) AS pu,
+        |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+        |      AS BIGINT) AS up
+        |  FROM documents),
+        |g AS (SELECT lang,
+        |    (-260000
+        |     + 3 * ((1000000 * st) // t)
+        |     - 2 * ((1000000 * pu) // greatest(lc, 1))
+        |     - 2 * ((1000000 * up) // greatest(lc, 1))
+        |     + 900 * least(t, 500)
+        |     - 150 * abs((1000 * lc) // t - 5500)) AS logit
+        |  FROM f)
+        |SELECT lang, CASE WHEN logit > 0 THEN 1 ELSE 0 END AS keep,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(logit) AS BIGINT) AS logit_sum
+        |FROM g GROUP BY 1, 2 ORDER BY lang, keep""".stripMargin,
     "l4_text_ratios" ->
       """SELECT lang, count(*) AS c,
         |  CAST(sum(CAST(round(CAST(len(list_filter(string_split(lower(text),' '),

@@ -281,4 +281,27 @@ class TextFunctionsSpec extends SparkSpecBase {
       "keep me\nno\nkeep me\nme too").asInstanceOf[String]
     assert(composed == "keep me\nme too")
   }
+
+  test("qualityLogitMicro: exact integer logit, prose above garbage, " +
+    "shouting and punctuation noise penalized") {
+    import spark.implicits._
+    def logit(t: String): Long =
+      Seq(t).toDF("text")
+        .select(TextFunctions.qualityLogitMicro(col("text")).as("l"))
+        .head().getLong(0)
+    // hand-computed: "the cat sat in the mat" — lc=22, t=6, st=3
+    // (the, in, the), pu=0, up=0; stopU=500000, wlenM=3666
+    // logit = -260000 + 1500000 + 0 - 0 + 5400 - 150*|3666-5500|
+    //       = -260000 + 1500000 + 5400 - 275100 = 970300
+    assert(logit("the cat sat in the mat") == 970300L)
+    val prose = "the quick brown fox jumps over the lazy dog and " +
+      "it runs for the hills in a hurry that is quite fast"
+    val garbage = "@@@@ ###### !!!! %%%% ^^^^ &&&& **** ((()))) ::: ;;;"
+    val shouting = "BUY NOW BEST DEAL EVER CLICK HERE LIMITED OFFER"
+    assert(logit(prose) > 0, s"prose must pass: ${logit(prose)}")
+    assert(logit(garbage) < logit(prose) && logit(garbage) < 0,
+      s"punctuation noise must fail: ${logit(garbage)}")
+    assert(logit(shouting) < logit(prose),
+      s"shouting is penalized: ${logit(shouting)}")
+  }
 }
