@@ -98,8 +98,8 @@ object IncrementalView {
   def maintainMinMaxFromSides(spark: SparkSession, path: String,
       state: DataFrame, removed: DataFrame, added: DataFrame,
       groupCol: String, valueCol: String, toV: Long,
-      recomputeFilter: DataFrame => DataFrame = identity)
-      : (DataFrame, StepStats) = {
+      recomputeFilter: DataFrame => DataFrame = identity,
+      checkpointResult: Boolean = true): (DataFrame, StepStats) = {
     val net = added.select(col(groupCol),
         col(valueCol).cast("long").as("dv"), lit(1L).as("m"))
       .unionAll(removed.select(col(groupCol),
@@ -136,7 +136,7 @@ object IncrementalView {
         .select(col(groupCol), col("cnt"), col("sm"), col("mn"),
           col("mx"))
       recomputeTail(spark, path, state, merged, affected, groupCol,
-        valueCol, toV, recomputeFilter)
+        valueCol, toV, recomputeFilter, checkpointResult)
     } finally { net.unpersist(); () }
   }
 
@@ -181,7 +181,7 @@ object IncrementalView {
         .select(col(groupCol), col("cnt"), col("sm"), col("mn"), col("mx"))
 
       recomputeTail(spark, path, state, merged, affected, groupCol,
-        valueCol, toV, recomputeFilter)
+        valueCol, toV, recomputeFilter, checkpointResult = true)
     }
   }
 
@@ -191,12 +191,16 @@ object IncrementalView {
   private def recomputeTail(spark: SparkSession, path: String,
       state: DataFrame, merged: DataFrame, affected: Seq[Any],
       groupCol: String, valueCol: String, toV: Long,
-      recomputeFilter: DataFrame => DataFrame): (DataFrame, StepStats) = {
+      recomputeFilter: DataFrame => DataFrame,
+      checkpointResult: Boolean): (DataFrame, StepStats) = {
     val live = TxnTable.snapshotFiles(path, toV).size
     val (next, stats) =
       if (affected.isEmpty)
         (merged, StepStats(0, 0, live))
-      else if (affected.size > math.max(64L, state.count() / 10)) {
+      // short-circuit the state.count() action below the 64-group
+      // floor: max(64, n/10) > size ⟺ size > 64 AND size > n/10
+      else if (affected.size > 64 &&
+          affected.size > state.count() / 10) {
         // self-tuning fallback: past ~10% of groups affected, ONE
         // re-aggregation of the snapshot beats per-group pruned reads
         // plus an InSet over a huge key list (measured, CdfBench at
@@ -221,6 +225,9 @@ object IncrementalView {
           StepStats(affected.size, pruned.inputFiles.length, live,
             pruned.inputFiles.toSeq))
       }
-    (next.localCheckpoint(true), stats)
+    // lineage truncation matters for CHAINED steps (StreamIvm); a
+    // one-shot consumer that immediately materializes (the MV
+    // refresh's overwrite) skips the extra job
+    (if (checkpointResult) next.localCheckpoint(true) else next, stats)
   }
 }

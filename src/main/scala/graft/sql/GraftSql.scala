@@ -1351,7 +1351,7 @@ object GraftSql {
           col(out("max")).cast("long").as("mx"))
         val (next, st) = graft.operators.IncrementalView
           .maintainMinMaxFromSides(spark, srcPath, state, removed,
-            added, g, v, toV, applyCond)
+            added, g, v, toV, applyCond, checkpointResult = false)
         (next, st.prunedFiles, st.liveFiles)
       } else {
         val dvAdd = shape.valueCol

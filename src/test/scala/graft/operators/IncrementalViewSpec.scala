@@ -153,4 +153,40 @@ class IncrementalViewSpec extends SparkSpecBase {
       "replayed batches must hit the applied>=target fence")
     assert(snap(TxnTable.read(spark, view)) == direct(t, 3L))
   }
+
+  test("PROPERTY: maintainMinMaxFromSides over a seeded-random DML " +
+    "sequence equals a direct recompute at every step") {
+    val rnd = new scala.util.Random(20260816L)
+    val t = Files.createTempDirectory("graft_ivprop").toString + "/t"
+    def rows(n: Int): Seq[(Long, Long)] =
+      Seq.fill(n)((rnd.nextInt(12).toLong, (rnd.nextInt(2000) - 500).toLong))
+    TxnTable.create(spark, t, rows(80).toDF("g", "v"))
+    var state = IncrementalView.materializeMinMax(
+      TxnTable.read(spark, t), "g", "v")
+    var fromV = TxnTable.currentVersion(t)
+    // 14 random steps: appends, CoW band deletes/updates, MOR deletes
+    (1 to 14).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 => TxnTable.append(spark, t, rows(30).toDF("g", "v"))
+        case 1 => TxnTable.deleteWhere(spark, t,
+          col("v") % 7 === rnd.nextInt(7) && col("g") < rnd.nextInt(12))
+        case 2 => TxnTable.updateWhere(spark, t,
+          col("g") === rnd.nextInt(12).toLong,
+          Map("v" -> (col("v") + lit(rnd.nextInt(300).toLong - 150L))))
+        case 3 => TxnTable.deleteWhereMor(spark, t,
+          col("v") > lit(1200L - step * 50L))
+      }
+      val toV = TxnTable.currentVersion(t)
+      if (toV > fromV) {
+        val (removed, added, _) =
+          TxnTable.changedRowSides(spark, t, fromV, toV)
+        val (next, _) = IncrementalView.maintainMinMaxFromSides(
+          spark, t, state, removed, added, "g", "v", toV)
+        state = next
+        fromV = toV
+        assert(snap(state).sortBy(_._1) == direct(t, toV),
+          s"step $step diverged at v$toV")
+      }
+    }
+  }
 }
