@@ -70,6 +70,59 @@ object Curation {
     df.withColumn(outCol, assigned)
   }
 
+  /** L47: TOKEN-BUDGETED corpus mixing — per source, keep the greedy
+    * prefix of the deterministic (md5(id), id) order whose cumulative
+    * token count stays within that source's budget: the "sample
+    * exactly N tokens of web + M tokens of code" step every
+    * pretraining mixture runs, reproducible across runs and engines.
+    *
+    * Scale: NO global window. A two-pass threshold decides per-source
+    * cut-off BUCKETS (md5's leading 16 bits) from per-(source, bucket)
+    * token sums — bounded driver metadata (≤ sources × 65536 rows) —
+    * and only the single BOUNDARY bucket's documents flow through the
+    * per-source window (1/65536 of the corpus), so there is no
+    * single-partition straggler at any size. The kept set is
+    * provably the same greedy prefix a global ordered cumsum would
+    * pick (full below-threshold buckets are whole prefixes; the
+    * boundary window fills the exact remainder; later buckets exceed
+    * the budget by construction). Sources without a budget entry are
+    * dropped — the budgets ARE the mixture. */
+  def tokenBudgetMix(df: DataFrame, idCol: Column, sourceCol: String,
+      tokens: Column, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "at least one source budget")
+    val h = md5(idCol.cast("string"))
+    val d = df.withColumn("__tok", tokens.cast("long"))
+      .withColumn("__h", h)
+      .withColumn("__b", conv(substring(h, 1, 4), 16, 10).cast("int"))
+    val sums = d.groupBy(col(sourceCol), col("__b"))
+      .agg(sum(col("__tok")).as("t")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val thr = budgets.toSeq.map { case (src, budget) =>
+      val bs = sums.filter(_._1 == src).sortBy(_._2)
+      var cum = 0L
+      var cut = (65536, 0L) // budget >= total: every bucket is below
+      val it = bs.iterator
+      while (it.hasNext && cut._1 == 65536) {
+        val (_, b, t) = it.next()
+        if (cum + t > budget) cut = (b, budget - cum) else cum += t
+      }
+      (src, cut._1, cut._2)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thrDf = broadcast(thr.toDF(sourceCol, "__T", "__rem"))
+    val j = d.join(thrDf, sourceCol)
+    val below = j.filter(col("__b") < col("__T"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__h"), idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = j.filter(col("__b") === col("__T"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__cum") <= col("__rem")).drop("__cum")
+    below.unionByName(boundary)
+      .drop("__tok", "__h", "__b", "__T", "__rem")
+  }
+
   /** Token-window chunks of `textCol`: chunk i = tokens [i·w, (i+1)·w).
     * The fixed-window formulation is the structure-free fallback every
     * pipeline uses when documents carry no paragraph markers.

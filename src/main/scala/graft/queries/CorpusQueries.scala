@@ -722,6 +722,49 @@ object CorpusQueries {
       .orderBy(col("source"), col("split"))
   }
 
+  /** L47: token-budgeted corpus mixing — per source, the greedy
+    * prefix of the deterministic (md5(id), id) order within a token
+    * budget (here ⅓ of each source's tokens, derived in-query so the
+    * oracle replays it). Two-pass bucket thresholds keep the window
+    * on ONE boundary bucket (in-run: boundary rows are a tiny
+    * fraction, budgets respected AND maximal — the first excluded
+    * document would overflow). id_sum pins the exact kept set. */
+  def l47TokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+    val budgets = docs.groupBy(col("source"))
+      .agg((sum(col("tok")) / 3).cast("long").as("b")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = graft.operators.Curation.tokenBudgetMix(
+      docs, col("doc_id"), "source", col("tok"), budgets)
+    val out = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("kept"), sum(col("tok")).as("kept_tokens"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"))
+    // budgets respected AND maximal: kept ≤ budget, and the first
+    // excluded document in the deterministic order would overflow
+    val keptTok = out.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    keptTok.foreach { case (src, kt) =>
+      require(kt <= budgets(src), s"$src over budget: $kt")
+    }
+    val keptIds = kept.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val firstExcluded = docs
+      .filter(!col("doc_id").isInCollection(keptIds))
+      .withColumn("__h", md5(col("doc_id").cast("string")))
+      .groupBy(col("source"))
+      .agg(min(struct(col("__h"), col("doc_id"), col("tok"))).as("m"))
+      .collect().map(r => r.getString(0) ->
+        r.getStruct(1).getLong(2)).toMap
+    firstExcluded.foreach { case (src, t) =>
+      require(keptTok(src) + t > budgets(src),
+        s"$src not maximal: ${keptTok(src)} + $t <= ${budgets(src)}")
+    }
+    out
+  }
+
   /** L45: per-document unigram surprisal — the cheap novelty/quality
     * signal before anything model-based: high = corpus-rare tokens
     * (novel or noisy), low = boilerplate; curation samples or drops
@@ -1064,6 +1107,7 @@ object CorpusQueries {
     "l42_line_curation" -> (l42LineCuration _),
     "l43_url_canon_dedup" -> (l43UrlCanonDedup _),
     "l44_hash_split" -> (l44HashSplit _),
+    "l47_token_budget_mix" -> (l47TokenBudgetMix _),
     "l45_surprisal" -> (l45Surprisal _),
     "l19_sparse_cosine" -> (l19SparseCosine _),
     "l20_mixture" -> (l20Mixture _),
@@ -1423,6 +1467,26 @@ object CorpusQueries {
     // the md5 bucket replayed digit-for-digit; integer thresholds
     // 52429/58982 = round(0.8*65536)/round(0.9*65536), same constants
     // the Spark side derives
+    // the greedy (md5, id)-ordered token-budget prefix per source,
+    // replayed as a straightforward ordered cumsum (the engine-side
+    // two-pass bucket thresholds are an execution strategy, not a
+    // semantic — kept sets must match doc-for-doc via id_sum)
+    "l47_token_budget_mix" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |bud AS (SELECT source, CAST(sum(tok) AS BIGINT)//3 AS budget
+        |        FROM d GROUP BY source),
+        |c AS (SELECT d.source, d.doc_id, d.tok, bud.budget,
+        |    sum(tok) OVER (PARTITION BY d.source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d JOIN bud USING (source))
+        |SELECT source, CAST(count(*) AS BIGINT) AS kept,
+        |  CAST(sum(tok) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM c WHERE cum <= budget
+        |GROUP BY source ORDER BY source""".stripMargin,
     "l44_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id, source,

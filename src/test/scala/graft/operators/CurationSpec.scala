@@ -217,4 +217,39 @@ class CurationSpec extends SparkSpecBase {
       .toMap
     assert(s == s2)
   }
+
+  test("tokenBudgetMix: deterministic greedy prefix per source, " +
+    "budget edge cases, unbudgeted sources dropped") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "web" else "code", 10L + (i % 7)))
+      .toDF("doc_id", "source", "tok")
+    def mix(b: Map[String, Long]) = Curation.tokenBudgetMix(
+      docs, col("doc_id"), "source", col("tok"), b)
+    // determinism: two runs pick the identical set
+    val b = Map("web" -> 400L, "code" -> 250L)
+    val ids1 = mix(b).select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = mix(b).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2 && ids1.nonEmpty)
+    // the kept set IS the greedy (md5, id)-ordered prefix
+    def greedy(src: String, budget: Long): Set[Long] = {
+      val ordered = docs.filter(col("source") === src)
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .orderBy(col("h"), col("doc_id"))
+        .select("doc_id", "tok").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      var cum = 0L
+      ordered.takeWhile { case (_, t) => cum += t; cum <= budget }
+        .map(_._1).toSet
+    }
+    assert(ids1 == greedy("web", 400L) ++ greedy("code", 250L))
+    // budget >= total keeps everything; zero keeps nothing
+    val total = docs.filter(col("source") === "web")
+      .agg(sum("tok")).head().getLong(0)
+    assert(mix(Map("web" -> total)).count() == 100L)
+    assert(mix(Map("web" -> 0L)).count() == 0L)
+    // a source with no budget entry is dropped (budgets = the mixture)
+    assert(mix(Map("web" -> total))
+      .filter(col("source") === "code").count() == 0L)
+  }
 }
