@@ -932,6 +932,71 @@ object StreamingQueries {
     * pointer, and pump-checkpoint-loss idempotence (every marker
     * no-ops, terminal included). Oracle replays the three change sets
     * relationally. */
+  /** ST24: follow-schema CDC REPLICATION — the replica survives
+    * source ALTERs: `replicateFollow` segments the version range at
+    * every schema commit, replays each segment's row images under
+    * its own schema, and applies the SAME DDL to the replica
+    * (derived from the source commit's op — a RENAME preserves the
+    * replica's data exactly like the source's column mapping). The
+    * lifecycle here: banded update → ADD COLUMN → new-shape append →
+    * RENAME (non-key) → WIDEN int→long → beyond-int32 append → MOR
+    * delete, all replicated in ONE follow call. In-run: replica ≡
+    * source row-for-row both directions, schemas equal, a fresh-
+    * checkpoint redelivery no-ops at the unchanged replica head.
+    * Oracle replays the whole lifecycle relationally. */
+  def st24ReplicaFollow(spark: SparkSession, dir: String): DataFrame = {
+    val d = Files.createTempDirectory("graft_st24").toString
+    val src = d + "/src"
+    val dst = d + "/dst"
+    import graft.core.TxnTable
+    import graft.streaming.StreamReplica
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"),
+      (col("o_custkey") % 100).cast("int").as("flag"))
+    val kx = orders.agg(max(col("k"))).head().getLong(0)
+    val cm = orders.agg(max(col("ck"))).head().getLong(0)
+    TxnTable.create(spark, src, orders)                            // v0
+    TxnTable.updateWhere(spark, src, col("ck") <= cm / 4,
+      Map("price_c" -> (col("price_c") + lit(5L))))                // v1
+    TxnTable.addColumns(spark, src,
+      Seq(("tier", org.apache.spark.sql.types.LongType)))          // v2
+    TxnTable.append(spark, src, orders.filter(col("k") <= kx / 8)
+      .select((col("k") + kx).as("k"), col("ck"),
+        col("price_c"), col("flag"), (col("ck") % 5).as("tier"))) // v3
+    TxnTable.renameColumn(spark, src, "price_c", "price_cents")    // v4
+    TxnTable.widenColumnType(spark, src, "flag",
+      org.apache.spark.sql.types.LongType)                         // v5
+    TxnTable.append(spark, src, orders.filter(col("k") <= kx / 8)
+      .select((col("k") + 2 * kx).as("k"), col("ck"),
+        col("price_c").as("price_cents"),
+        (col("ck") + 5000000000L).as("flag"),
+        (col("ck") % 7).as("tier")))                               // v6
+    TxnTable.deleteWhereMor(spark, src,
+      col("ck") > cm / 2 && col("k") <= kx)                        // v7
+    StreamReplica.replicateFollow(spark, src, dst, Seq("k"),
+      s"$d/ck")
+    // replica ≡ source, rows and schema
+    val srcDf = TxnTable.read(spark, src)
+    val dstDf = TxnTable.read(spark, dst)
+    require(dstDf.columns.toSeq == srcDf.columns.toSeq,
+      s"replica schema must follow: ${dstDf.columns.toSeq}")
+    require(srcDf.exceptAll(dstDf).isEmpty &&
+      dstDf.exceptAll(srcDf).isEmpty,
+      "replica must equal the source row-for-row")
+    // a fresh-checkpoint redelivery no-ops at the replica's head
+    val head = TxnTable.currentVersion(dst)
+    StreamReplica.replicateFollow(spark, src, dst, Seq("k"),
+      s"$d/ck_fresh")
+    require(TxnTable.currentVersion(dst) == head,
+      "a redelivered follow must not commit")
+    dstDf.groupBy((col("ck") % 10).as("bkt"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_cents")).as("ps"),
+        sum(col("flag")).as("fs"),
+        sum(coalesce(col("tier"), lit(-1L))).as("ts"))
+      .orderBy(col("bkt"))
+  }
+
   /** ST23: `COPY INTO t FROM STREAM '<dir>'` — statement-level
     * streaming ingestion onto the exactly-once stream markers: three
     * landed drops ingest through three statement runs (each an
@@ -1097,6 +1162,7 @@ object StreamingQueries {
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "st22_changes_generations" -> (st22ChangesGenerations _),
     "st23_copy_stream" -> (st23CopyStream _),
+    "st24_replica_follow" -> (st24ReplicaFollow _),
     "st21_changes_tail" -> (st21ChangesTail _),
     "st20_changes_stream" -> (st20ChangesStream _),
     "st19_stream_replica" -> (st19StreamReplica _),
@@ -1194,6 +1260,37 @@ object StreamingQueries {
     // = custkey), the v4 F-band deletes (base <= ck/10 plus the
     // tranche's own F rows at <= ck/16, shifted keys); terminal rows
     // and generation mechanics asserted in-run
+    // the whole DDL-crossing replication lifecycle replayed
+    // relationally (replica ≡ source and redelivery no-op are
+    // asserted in-run; this pins the served values)
+    "st24_replica_follow" ->
+      """WITH b AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS kx,
+        |                  CAST(max(o_custkey) AS BIGINT) AS cm
+        |           FROM orders),
+        |base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) +
+        |      (CASE WHEN o_custkey <= b.cm // 4 THEN 5 ELSE 0 END)
+        |      AS price_cents,
+        |    CAST(o_custkey % 100 AS BIGINT) AS flag,
+        |    CAST(NULL AS BIGINT) AS tier
+        |  FROM orders, b),
+        |t1 AS (SELECT o_orderkey + b.kx, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT),
+        |    CAST(o_custkey % 100 AS BIGINT), o_custkey % 5
+        |  FROM orders, b WHERE o_orderkey <= b.kx // 8),
+        |t2 AS (SELECT o_orderkey + 2 * b.kx, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT),
+        |    o_custkey + 5000000000, o_custkey % 7
+        |  FROM orders, b WHERE o_orderkey <= b.kx // 8),
+        |u AS (SELECT * FROM base UNION ALL
+        |      SELECT * FROM t1 UNION ALL SELECT * FROM t2),
+        |f AS (SELECT * FROM u, b
+        |      WHERE NOT (ck > b.cm // 2 AND k <= b.kx))
+        |SELECT ck % 10 AS bkt, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(price_cents) AS BIGINT) AS ps,
+        |  CAST(sum(flag) AS BIGINT) AS fs,
+        |  CAST(sum(coalesce(tier, -1)) AS BIGINT) AS ts
+        |FROM f GROUP BY 1 ORDER BY bkt""".stripMargin,
     // exactly-once streaming ingestion replayed relationally (the
     // marker/no-op protocol is asserted in-run)
     "st23_copy_stream" ->

@@ -119,4 +119,56 @@ class StreamReplicaSpec extends SparkSpecBase {
     assert(TxnTable.currentVersion(dst) == v)
     assert(rows(dst) == rows(src))
   }
+
+  test("applyUpToFollow: consecutive ALTERs replay as replica DDL, a " +
+    "mid-boundary redelivery is idempotent, key renames and " +
+    "schema+data commits refuse") {
+    val root = Files.createTempDirectory("graft_repfol").toString
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    TxnTable.create(spark, src,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))                   // v0
+    StreamReplica.applyUpToFollow(spark, src, dst, 0L, Seq("id"))
+    // two CONSECUTIVE ALTERs with no data between, then data
+    TxnTable.addColumns(spark, src,
+      Seq(("w", org.apache.spark.sql.types.IntegerType)))          // v1
+    TxnTable.renameColumn(spark, src, "v", "val")                  // v2
+    TxnTable.append(spark, src,
+      Seq((3L, 30L, 300)).toDF("id", "val", "w"))                  // v3
+    TxnTable.widenColumnType(spark, src, "w",
+      org.apache.spark.sql.types.LongType)                         // v4
+    TxnTable.append(spark, src,
+      Seq((4L, 40L, 6000000000L)).toDF("id", "val", "w"))          // v5
+    StreamReplica.applyUpToFollow(spark, src, dst, 5L, Seq("id"))
+    val srcDf = TxnTable.read(spark, src)
+    val dstDf = TxnTable.read(spark, dst)
+    assert(dstDf.columns.toSeq == Seq("id", "val", "w"))
+    assert(srcDf.exceptAll(dstDf).isEmpty && dstDf.exceptAll(srcDf).isEmpty)
+    // the RENAME preserved replica data (a drop+add would null it)
+    assert(TxnTable.read(spark, dst).filter(col("id") === 1L)
+      .head().getLong(1) == 10L)
+    // mid-boundary redelivery: re-running the same range no-ops at
+    // the replica head (every boundary's schema check short-circuits)
+    val head = TxnTable.currentVersion(dst)
+    StreamReplica.applyUpToFollow(spark, src, dst, 5L, Seq("id"))
+    assert(TxnTable.currentVersion(dst) == head)
+    // renaming a KEY column refuses with the re-anchor remedy
+    TxnTable.renameColumn(spark, src, "id", "pk")                  // v6
+    val e = intercept[IllegalArgumentException] {
+      StreamReplica.applyUpToFollow(spark, src, dst, 6L, Seq("id"))
+    }
+    assert(e.getMessage.contains("re-anchor"), e.getMessage)
+    // a schema+data single commit refuses with the re-materialize
+    // remedy (fresh twin source: the key rename above poisons src)
+    val src2 = s"$root/src2"
+    val dst2 = s"$root/dst2"
+    TxnTable.create(spark, src2, Seq((1L, 1L)).toDF("id", "v"))
+    StreamReplica.applyUpToFollow(spark, src2, dst2, 0L, Seq("id"))
+    TxnTable.append(spark, src2,
+      Seq((2L, 2L, 9L)).toDF("id", "v", "x"), evolveSchema = true)
+    val e2 = intercept[IllegalStateException] {
+      StreamReplica.applyUpToFollow(spark, src2, dst2, 1L, Seq("id"))
+    }
+    assert(e2.getMessage.contains("schema AND data"), e2.getMessage)
+  }
 }
