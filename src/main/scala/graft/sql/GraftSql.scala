@@ -339,8 +339,11 @@ object GraftSql {
       require(srcs.nonEmpty,
         "a materialized view must reference at least one registered " +
           "txn table (its staleness is tracked against their versions)")
-      TxnTable.create(spark, path, query(spark, text),
-        op = mvMarker(srcs))
+      // marker BEFORE the content snapshot pins: a source commit
+      // landing in between leaves the MV (conservatively) stale —
+      // the reverse order could claim fresh for content it lacks
+      val markerOp = mvMarker(srcs)
+      TxnTable.create(spark, path, query(spark, text), op = markerOp)
       matviews.put(nm, (path, text))
       tables.put(nm, Reg(path, mor = false))
       persistMv(nm, path, text)
@@ -355,8 +358,11 @@ object GraftSql {
       val (path, text) = mv
       refreshIncremental(spark, path, text).getOrElse {
         lastMvRefresh.set(MvRefreshStats("full", Set.empty, Nil, -1))
+        // marker BEFORE the content snapshot pins (see CREATE):
+        // mid-refresh source commits must leave the MV stale
+        val markerOp = mvMarker(mvSources(spark, text))
         TxnTable.overwrite(spark, path, query(spark, text),
-          op = mvMarker(mvSources(spark, text)))
+          op = markerOp)
       }
 
     case DropMvRe(name) =>

@@ -1559,4 +1559,49 @@ class GraftSqlSpec extends SparkSpecBase {
         GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $m"))
     } finally GraftSql.unregister(n)
   }
+
+  test("a source commit landing MID-REFRESH leaves the MV stale — " +
+    "the marker pins the version the refresh consumed") {
+    val d = Files.createTempDirectory("graft_mvrace2").toString
+    val w0 = GraftSql.getWarehouse
+    GraftSql.setWarehouse(d)
+    val pm = "pm" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (_, n) = mk()
+    try {
+      GraftSql.execute(spark, s"CREATE MATERIALIZED VIEW $pm AS " +
+        s"SELECT s, count(*) AS c FROM $n GROUP BY s")
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 1") // stale
+      // the racing commit fires inside the refresh's own commit window
+      var fired = false
+      TxnTable.preCommitHook = () => if (!fired) {
+        fired = true
+        GraftSql.execute(spark, s"INSERT INTO $n VALUES (9, 90, 'z')")
+      }
+      try GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $pm")
+      finally TxnTable.preCommitHook = () => ()
+      assert(fired, "the race must have fired")
+      // the refresh consumed the pre-race version: content excludes
+      // the raced row AND the MV reports STALE, never silently fresh
+      assert(GraftSql.query(spark, s"SELECT sum(c) AS n FROM $pm")
+        .head().getLong(0) == 3L,
+        "the refresh must serve the version it consumed")
+      assert(GraftSql.query(spark, "SHOW MATERIALIZED VIEWS")
+        .filter(col("name") === pm).head().getBoolean(2),
+        "a mid-refresh source commit must leave the MV stale")
+      // the NEXT refresh catches up and clears
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $pm")
+      assert(GraftSql.query(spark, s"SELECT sum(c) AS n FROM $pm")
+        .head().getLong(0) == 4L)
+      assert(!GraftSql.query(spark, "SHOW MATERIALIZED VIEWS")
+        .filter(col("name") === pm).head().getBoolean(2))
+      GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $pm")
+    } finally {
+      TxnTable.preCommitHook = () => ()
+      GraftSql.unregister(n)
+      w0 match {
+        case Some(w) => GraftSql.setWarehouse(w)
+        case None => GraftSql.setWarehouse(null)
+      }
+    }
+  }
 }
