@@ -414,7 +414,11 @@ object GraftSql {
     // files vanished out-of-band, so the table serves the survivors;
     // the inspection half (REPAIR TABLE t DRY RUN) is query()'s
     case RepairRe(name) =>
-      val (reg, _) = lookup(parseIdent(name))
+      // committing a repair on an MV would serve PARTIAL content
+      // while SHOW still reports it fresh; REFRESH recomputes it from
+      // its sources and heals the damage in one step (the dry-run
+      // diagnostic stays available through query())
+      val (reg, _) = lookupMutable(parseIdent(name), "REPAIR TABLE")
       TxnTable.repair(spark, reg.path, dryRun = false)
       TxnTable.currentVersion(reg.path)
 
@@ -920,6 +924,11 @@ object GraftSql {
         require(!dt.purge,
           "DROP TABLE … PURGE is not supported — VACUUM RETAIN 0 " +
             "HOURS, then delete the directory explicitly")
+        // a DROP TABLE on an MV name would strip the table entry but
+        // leave the matview registration behind — a ghost SHOW row
+        // over an unresolvable name
+        require(!matviews.containsKey(nm),
+          s"$nm is a materialized view — use DROP MATERIALIZED VIEW")
         val existed = tables.remove(nm) != null
         require(existed || dt.ifExists,
           s"no such registered table $nm — use DROP TABLE IF EXISTS")
@@ -1307,6 +1316,11 @@ object GraftSql {
     if (recorded.size != 1) return None
     val fromV = recorded.getOrElse(shape.src, return None)
     val srcPath = reg.path
+    // a DAMAGED materialization (out-of-band file loss) cannot seed
+    // the fold — and must not no-op either: the full recompute reads
+    // only the SOURCES and heals it. O(MV files) metadata probe.
+    if (TxnTable.repair(spark, path, dryRun = true).limit(1).count() > 0)
+      return None
     val toV = TxnTable.currentVersion(srcPath)
     if (toV == fromV) {
       // up to date: nothing to fold, nothing to commit

@@ -1314,6 +1314,8 @@ class GraftSqlSpec extends SparkSpecBase {
         s"ALTER TABLE $pm UNSET TBLPROPERTIES ('a')",
         s"ALTER TABLE $pm ADD CONSTRAINT c CHECK (v > 0)",
         s"RESTORE TABLE $pm TO VERSION AS OF 0",
+        s"REPAIR TABLE $pm",
+        s"DROP TABLE $pm",
         s"CREATE OR REPLACE TABLE $pm AS SELECT id FROM $n")
       stmts.foreach { stmt =>
         val e = intercept[IllegalArgumentException] {
@@ -1597,6 +1599,43 @@ class GraftSqlSpec extends SparkSpecBase {
       GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $pm")
     } finally {
       TxnTable.preCommitHook = () => ()
+      GraftSql.unregister(n)
+      w0 match {
+        case Some(w) => GraftSql.setWarehouse(w)
+        case None => GraftSql.setWarehouse(null)
+      }
+    }
+  }
+
+  test("a DAMAGED materialization heals through REFRESH: the fold " +
+    "never seeds from missing files — the full recompute reads only " +
+    "the sources") {
+    val d = Files.createTempDirectory("graft_mvdmg").toString
+    val w0 = GraftSql.getWarehouse
+    GraftSql.setWarehouse(d)
+    val pm = "pm" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (_, n) = mk()
+    try {
+      GraftSql.execute(spark, s"CREATE MATERIALIZED VIEW $pm " +
+        s"LOCATION '$d/mv' AS SELECT s, count(*) AS c FROM $n GROUP BY s")
+      // out-of-band loss of an MV data file
+      val lost = TxnTable.snapshotFiles(s"$d/mv").head
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$d/mv").resolve(lost))
+      // even with the SOURCE unchanged, REFRESH must heal (full path)
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $pm")
+      assert(GraftSql.lastMvRefreshStats.exists(_.mode == "full"),
+        "a damaged MV must take the healing full recompute")
+      assert(GraftSql.query(spark, s"SELECT sum(c) AS n FROM $pm")
+        .head().getLong(0) == 4L, "the refresh must heal the content")
+      // healed: the next refresh folds incrementally again
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 1")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $pm")
+      assert(GraftSql.lastMvRefreshStats.exists(_.mode == "incremental"))
+      assert(GraftSql.query(spark, s"SELECT sum(c) AS n FROM $pm")
+        .head().getLong(0) == 3L)
+      GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $pm")
+    } finally {
       GraftSql.unregister(n)
       w0 match {
         case Some(w) => GraftSql.setWarehouse(w)
