@@ -202,6 +202,38 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[minHashDedup]] with a QUALITY-KEYED survivor: within each
+    * near-dup component, keep the document with the HIGHEST
+    * `survivorKey` (ties toward the lowest id) instead of the lowest
+    * id — real pipelines keep the best copy of a duplicate, not an
+    * arbitrary one. Same candidate generation and component
+    * resolution; one extra keyed join + per-component argmax (a
+    * struct-max aggregate — no window, no skew: components are
+    * near-dup-sized). */
+  def minHashDedupBy(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      survivorKey: Column,
+      shingleLen: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val pairs = minHashBandedPairs(docs, textCol, idCol, shingleLen,
+      numHashes, bands).select(col("a_id"), col("b_id"))
+    val groups = resolveDupGroups(pairs)
+    val keyed = docs.select(col(idCol).cast("long").as("id"),
+      survivorKey.as("__k"))
+    val surv = groups.join(keyed, "id")
+      .groupBy(col("canonical"))
+      .agg(max(struct(col("__k").as("k"),
+        (-col("id")).as("nid"))).as("m"))
+      .select(col("canonical"), (-col("m.nid")).as("__survivor"))
+    val losers = groups.join(surv, "canonical")
+      .filter(col("id") =!= col("__survivor"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   private val pow2: Seq[Long] = Seq.tabulate(60)(i => 1L << i)
 
   /** 60-bit SimHash over whitespace tokens: per bit, sum +1/−1 votes from

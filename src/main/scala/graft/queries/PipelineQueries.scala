@@ -54,6 +54,32 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** L48: QUALITY-SURVIVOR near-dup dedup — within each MinHash
+    * component keep the HIGHEST-quality copy (the l46 integer logit,
+    * ties toward the lowest id) instead of the arbitrary min-id: the
+    * keep-the-best-duplicate rule real pipelines run. In-run: the
+    * kept COUNT equals the min-id variant's (same components, one
+    * survivor each) while the kept quality mass is ≥ the min-id
+    * variant's. Oracle replays components (recursive CC) + the
+    * argmax survivor with the identical integer logit. */
+  def l48QualitySurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    val logit = TextFunctions.qualityLogitMicro(col("text"))
+    val kept = Dedup.minHashDedupBy(docs, "text", "doc_id", logit)
+    val keptMin = Dedup.minHashDedup(docs, "text", "doc_id")
+    val (n1, n2) = (kept.count(), keptMin.count())
+    require(n1 == n2,
+      s"survivor choice must not change component count: $n1 vs $n2")
+    def mass(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(logit)).head().getLong(0)
+    require(mass(kept) >= mass(keptMin),
+      "the quality survivor must keep at least the min-id mass")
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("id_checksum"),
+        sum(logit).as("logit_sum"))
+      .orderBy(col("lang"))
+  }
+
   /** L2: SimHash near-dup pairs (hamming ≤ 3 over 60-bit signatures),
     * aggregated the same way. Fully deterministic (md5-derived hashes) —
     * oracle-exact: DuckDB recomputes the identical 60-bit signatures from
@@ -617,6 +643,7 @@ object PipelineQueries {
     "l1_dedup_keepfirst" -> (l1DedupKeepfirst _),
     "l2_minhash_pairs"   -> (l2MinhashPairs _),
     "l38_neardup_dedup"  -> (l38NeardupDedup _),
+    "l48_quality_survivor" -> (l48QualitySurvivor _),
     "l2_simhash_pairs"   -> (l2SimhashPairs _),
     "l2_jaccard_top_pairs" -> (l2JaccardTopPairs _),
     "l1_dup_groups"      -> (l1DupGroups _),
@@ -875,6 +902,63 @@ object PipelineQueries {
         |ORDER BY a_id, b_id""".stripMargin,
     // Same banding replay as l2_minhash_pairs, then the l1_dup_groups
     // recursive component fold over the collision graph, keep-min.
+    // l38's recursive components + the l46 integer logit as the
+    // survivor key: argmax per component, ties toward the lowest id
+    "l48_quality_survivor" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_transform(range(1, len(w)-1),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS s
+        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |m AS (
+        |  SELECT doc_id, i,
+        |    list_min(list_transform(s, x ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split_regex(substr(md5(i||':'||x),1,15), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |        (a, b) -> a*16 + b))) AS mn
+        |  FROM sh, range(0,12) t(i)),
+        |sig AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM m GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b,
+        |    array_to_string(list_slice(sig, b*3+1, b*3+3), ',') AS key
+        |  FROM sig, range(0,4) t(b)),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS a, e.doc_id AS b
+        |  FROM banded a JOIN banded e
+        |  ON a.b = e.b AND a.key = e.key AND a.doc_id < e.doc_id),
+        |e2 AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |v AS (SELECT DISTINCT src AS id FROM e2),
+        |r(id, l) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT e2.dst, r.l FROM r JOIN e2 ON e2.src = r.id),
+        |cc AS (SELECT id, min(l) AS canonical FROM r GROUP BY id),
+        |lg AS (SELECT doc_id,
+        |    (-260000
+        |     + 3 * ((1000000 * CAST(len(list_filter(string_split(lower(text), ' '),
+        |         w -> list_contains(['the','and','of','to','a','in','is',
+        |                             'it','that','for'], w))) AS BIGINT))
+        |        // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1))
+        |     - 2 * ((1000000 * CAST(length(regexp_replace(text, '[\pL\pN\s]', '', 'g')) AS BIGINT))
+        |        // greatest(CAST(length(text) AS BIGINT), 1))
+        |     - 2 * ((1000000 * CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT))
+        |        // greatest(CAST(length(text) AS BIGINT), 1))
+        |     + 900 * least(greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1), 500)
+        |     - 150 * abs((1000 * CAST(length(text) AS BIGINT))
+        |        // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) - 5500)) AS logit
+        |  FROM documents),
+        |surv AS (SELECT canonical,
+        |    (array_agg(cc.id ORDER BY lg.logit DESC, cc.id ASC))[1] AS s
+        |  FROM cc JOIN lg ON lg.doc_id = cc.id GROUP BY canonical),
+        |losers AS (SELECT cc.id FROM cc JOIN surv USING (canonical)
+        |           WHERE cc.id <> surv.s)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS kept,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(lg.logit) AS BIGINT) AS logit_sum
+        |FROM documents d JOIN lg ON lg.doc_id = d.doc_id
+        |WHERE d.doc_id NOT IN (SELECT id FROM losers)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "l38_neardup_dedup" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_transform(range(1, len(w)-1),

@@ -1643,4 +1643,42 @@ class GraftSqlSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("COPY INTO FROM STREAM: CSV coerces to the table shape with " +
+    "FAILFAST (a malformed drop commits nothing), CHECKPOINT clause " +
+    "pins the stream state") {
+    val d = Files.createTempDirectory("graft_cps").toString
+    val t = d + "/t"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t,
+      Seq((1L, 10L)).toDF("id", "v").limit(0))
+    GraftSql.register(n, t)
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$d/land/b1"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/land/b1/a.csv"),
+        "id,v\n1,10\n2,20\n")
+      val stmt = s"COPY INTO $n FROM STREAM '$d/land' FORMAT AS CSV " +
+        s"CHECKPOINT '$d/ckpt'"
+      GraftSql.execute(spark, stmt)
+      assert(rows2(t) == Set((1L, 10L), (2L, 20L)),
+        "CSV text must coerce to the table's long columns")
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$d/ckpt")),
+        "the CHECKPOINT clause must pin the stream state there")
+      // a malformed drop fails LOUDLY (FAILFAST) and commits nothing
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/land/b1/bad.csv"),
+        "id,v\n3,notanumber\n")
+      val top = TxnTable.currentVersion(t)
+      intercept[Exception] { GraftSql.execute(spark, stmt) }
+      assert(TxnTable.currentVersion(t) == top &&
+        rows2(t) == Set((1L, 10L), (2L, 20L)),
+        "a malformed streaming batch must commit NOTHING")
+    } finally GraftSql.unregister(n)
+  }
+
+  private def rows2(t: String): Set[(Long, Long)] =
+    TxnTable.read(spark, t).as[(Long, Long)].collect().toSet
 }
