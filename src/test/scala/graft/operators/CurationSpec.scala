@@ -251,5 +251,25 @@ class CurationSpec extends SparkSpecBase {
     // a source with no budget entry is dropped (budgets = the mixture)
     assert(mix(Map("web" -> total))
       .filter(col("source") === "code").count() == 0L)
+    // DENSE case: 40k docs force multi-doc buckets (65536 bucket
+    // space), so the boundary bucket's window genuinely orders
+    // several documents — the two-pass cut must STILL equal the
+    // global greedy prefix
+    val dense = (1L to 40000L).map(i => (i, "w", 5L + (i % 3)))
+      .toDF("doc_id", "source", "tok")
+    val budget = 40000L
+    val keptDense = Curation.tokenBudgetMix(dense, col("doc_id"),
+      "source", col("tok"), Map("w" -> budget))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val orderedDense = dense
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .orderBy(col("h"), col("doc_id"))
+      .select("doc_id", "tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var cum = 0L
+    val expect = orderedDense.takeWhile { case (_, t) =>
+      cum += t; cum <= budget }.map(_._1).toSet
+    assert(keptDense == expect,
+      s"dense two-pass cut diverged: ${keptDense.size} vs ${expect.size}")
   }
 }
