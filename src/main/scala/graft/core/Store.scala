@@ -40,10 +40,14 @@ object Store {
   def putIfAbsent(dst: Path, bytes: Array[Byte]): Boolean = {
     val tmp = dst.resolveSibling(
       s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, bytes)
-    try { Files.createLink(dst, tmp); true }
-    catch { case _: FileAlreadyExistsException => false }
-    finally { Files.deleteIfExists(tmp); () }
+    // The write sits INSIDE the try: a failed/interrupted write must
+    // still delete the (possibly partial) temp sibling, or hot log
+    // dirs accumulate orphaned .tmp-* files over time.
+    try {
+      Files.write(tmp, bytes)
+      try { Files.createLink(dst, tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+    } finally { Files.deleteIfExists(tmp); () }
   }
 
   /** [[putIfAbsent]] for UTF-8 text. */
@@ -57,10 +61,17 @@ object Store {
   def putAtomic(dst: Path, bytes: Array[Byte]): Unit = {
     val tmp = dst.resolveSibling(
       s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, bytes)
-    Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    ()
+    var published = false
+    try {
+      Files.write(tmp, bytes)
+      Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      published = true
+    } finally {
+      // On success the move consumed the temp; on any failure the
+      // (possibly partial) sibling must not leak into the dir.
+      if (!published) { Files.deleteIfExists(tmp); () }
+    }
   }
 
   /** Publish a staged DIRECTORY at `dstDir` iff absent; true when this

@@ -274,14 +274,29 @@ object TxnTable {
       props: Option[Map[String, String]],
       copySrcs: Option[Seq[String]])
 
-  /** `stream:<id>:<batch>` op → (id, batch); None for other ops. */
+  /** `stream:<id>:<batch>[:files:[...]]` op → (id, batch); None for
+    * other ops. The optional `:files:` suffix (a JSON array of source
+    * paths, written by the COPY INTO … FROM STREAM route) is trimmed
+    * before the batch-id parse — it feeds [[copySourcesInfo]], not the
+    * per-stream high-water. */
   private def parseStreamOp(op: String): Option[(String, Long)] =
     if (!op.startsWith("stream:")) None
     else {
-      val rest = op.stripPrefix("stream:")
+      val rest0 = op.stripPrefix("stream:")
+      val fi = rest0.indexOf(":files:[")
+      val rest = if (fi >= 0) rest0.take(fi) else rest0
       val i = rest.lastIndexOf(':')
       if (i <= 0) None
       else scala.util.Try((rest.take(i), rest.drop(i + 1).toLong)).toOption
+    }
+
+  /** The `:files:` manifest of a stream op, if present. */
+  private def parseStreamFilesOp(op: String): Seq[String] =
+    if (!op.startsWith("stream:")) Nil
+    else {
+      val fi = op.indexOf(":files:[")
+      if (fi < 0) Nil
+      else parseKeysOp(op.drop(fi + ":files:".length))
     }
 
   /** (schema generations, latest recorded schema) of the log prefix ≤
@@ -1019,15 +1034,27 @@ object TxnTable {
   }
 
   /** Validate an incoming write's schema; returns the schema to record
-    * in the commit (on create/evolution) or None (unchanged).
+    * in the commit (on create/evolution, or when a nullability-LOOSER
+    * writer auto-evolves the recorded schema to nullable — the
+    * asymmetric direction: stricter writers record nothing) or None
+    * (unchanged). Validate-only callers that discard the result accept
+    * the loosening without recording it; that is sound here because
+    * every file-backed read forces asNullable (Spark file sources do,
+    * and the zero-file path does explicitly) — recording where the
+    * caller commits a schema just keeps the metadata honest.
     * @throws SchemaMismatchException on drift without evolveSchema. */
   private def checkSchema(path: String, df: DataFrame,
       evolveSchema: Boolean): Option[String] = {
     import org.apache.spark.sql.types._
-    // nested nullability/metadata are NORMALIZED out of the match,
-    // exactly like the top-level (sig keys on name+type only): a
-    // writer with stricter-than-recorded nested nullability is safe,
-    // and nested field metadata is a reader-side concern
+    // nullability/metadata are NORMALIZED out of the NAME+TYPE match
+    // (sig keys on name+type only) — but nullability itself is then
+    // reconciled ASYMMETRICALLY below: a writer stricter than the
+    // recorded schema is safe as-is, while a writer LOOSER anywhere
+    // (top-level or nested) auto-evolves the recorded schema to
+    // nullable. Accepting a looser writer without evolving would let
+    // pinned readers bind nullable=false over parquet files that
+    // really contain nulls — Spark trusts declared nullability, so
+    // that is wrong results or codegen NPEs, not a style nit.
     def norm(dt: DataType): DataType = dt match {
       case st: StructType => StructType(st.fields.map(f =>
         StructField(f.name, norm(f.dataType), nullable = true)))
@@ -1038,8 +1065,30 @@ object TxnTable {
     }
     def sig(s: StructType) =
       s.fields.map(f => (f.name, norm(f.dataType))).toSeq
+    // The recorded type with nullability relaxed wherever the writer
+    // is looser (names/types already matched by sig, case-sensitive,
+    // so positional find-by-name is total here). Metadata — including
+    // column-mapping physical names — rides on the recorded side.
+    def relax(rec: DataType, w: DataType): DataType = (rec, w) match {
+      case (rs: StructType, ws: StructType) =>
+        StructType(rs.fields.map { rf =>
+          ws.fields.find(_.name == rf.name) match {
+            case Some(wf) => rf.copy(
+              dataType = relax(rf.dataType, wf.dataType),
+              nullable = rf.nullable || wf.nullable)
+            case None => rf
+          }
+        })
+      case (ArrayType(re, rn), ArrayType(we, wn)) =>
+        ArrayType(relax(re, we), rn || wn)
+      case (MapType(rk, rv, rn), MapType(wk, wv, wn)) =>
+        MapType(relax(rk, wk), relax(rv, wv), rn || wn)
+      case _ => rec
+    }
     currentSchema(path) match {
-      case Some(cur) if sig(cur) == sig(df.schema) => None
+      case Some(cur) if sig(cur) == sig(df.schema) =>
+        val relaxed = relax(cur, df.schema).asInstanceOf[StructType]
+        if (relaxed == cur) None else Some(relaxed.json)
       case Some(cur) if !evolveSchema =>
         throw new SchemaMismatchException(
           s"append schema ${df.schema.simpleString} does not match table " +
@@ -1344,8 +1393,26 @@ object TxnTable {
         s = s ++ parseKeysOp(op.stripPrefix("copyinto:csv:"))
       else if (op.startsWith("copyinto:json:"))
         s = s ++ parseKeysOp(op.stripPrefix("copyinto:json:"))
+      else if (op.startsWith("stream:"))
+        s = s ++ parseStreamFilesOp(op)
     }
     s
+  }
+
+  /** Source files already ingested into `path` through ANY
+    * materializing COPY INTO route — formatted batch loads
+    * (`copyinto:<fmt>:[...]` ops) and `COPY INTO … FROM STREAM`
+    * micro-batches (`stream:…:files:[...]` ops) share one per-table
+    * registry, so the same landed file loads exactly once no matter
+    * which entry point sees it, and the registry — NOT the stream
+    * checkpoint — is the source of truth: a lost checkpoint re-offers
+    * everything, already-ingested files are filtered here, and files
+    * landed SINCE the loss (bundled by the restarted stream into
+    * already-seen batch ids) still load. Checkpoint-amortized via the
+    * same `copySrcs` checkpoint field as the batch routes. */
+  def streamSourcesIngested(path: String): Set[String] = {
+    val top = currentVersion(path)
+    if (top < 0) Set.empty else copySourcesInfo(path, top)
   }
 
   /** [[copyInto]] for NON-parquet landings — `COPY INTO t FROM '<dir>'
@@ -3023,6 +3090,13 @@ object TxnTable {
     * Single-writer-per-streamId is assumed (Structured Streaming's
     * checkpoint lock provides it); concurrent DIFFERENT streams and
     * batch writers compose through the normal version protocol.
+    *
+    * `srcFiles` (the COPY INTO … FROM STREAM route): the batch's
+    * source-file manifest, recorded in the op and folded into the
+    * per-table copy-sources registry — idempotence then keys on FILE
+    * identity (like the reference's COPY INTO), not the batch id, so
+    * a lost checkpoint can never mask files landed since the loss
+    * behind a stale batch-id high-water.
     */
   def appendStreamBatch(
       spark: SparkSession,
@@ -3032,15 +3106,42 @@ object TxnTable {
       batchId: Long,
       partitions: Int = 1,
       maxAttempts: Int = 20,
-      clusterBy: Seq[Column] = Nil): Option[Long] = {
-    val op = s"stream:$streamId:$batchId"
-    // Checkpoint-amortized idempotence: per-stream high-water marks come
-    // from the nearest checkpoint plus the commit suffix. `>=` (not ==)
-    // is safe because Structured Streaming delivers batch ids
-    // monotonically per stream (single writer per streamId).
+      clusterBy: Seq[Column] = Nil,
+      srcFiles: Seq[String] = Nil): Option[Long] = {
+    val op =
+      if (srcFiles.isEmpty) s"stream:$streamId:$batchId"
+      else {
+        import org.json4s.{JArray, JString}
+        import org.json4s.jackson.JsonMethods
+        s"stream:$streamId:$batchId:files:" + JsonMethods.compact(
+          JsonMethods.render(
+            JArray(srcFiles.sorted.map(JString(_)).toList)))
+      }
+    // Idempotence has two regimes. Without srcFiles (a computed
+    // streaming sink): checkpoint-amortized per-stream high-water
+    // marks — `>=` (not ==) is safe because Structured Streaming
+    // delivers batch ids monotonically per stream (single writer per
+    // streamId). With srcFiles (the COPY INTO … FROM STREAM route):
+    // FILE-level idempotence via the copy-sources registry — the
+    // batch-id high-water must NOT govern, because a lost checkpoint
+    // restarts batch ids at 0 and would bundle files landed since the
+    // loss into already-seen ids, silently skipping them forever.
     def alreadyApplied(): Boolean = {
       val top = currentVersion(path)
-      top >= 0 && streamBatches(path, top).get(streamId).exists(_ >= batchId)
+      if (top < 0) return false
+      if (srcFiles.nonEmpty) {
+        val seen = copySourcesInfo(path, top)
+        val hits = srcFiles.count(seen.contains)
+        // partial overlap is unreachable under the single-writer-per-
+        // streamId contract (the caller filters to fresh files first);
+        // committing would double-load the overlap and skipping would
+        // drop the fresh remainder — fail loudly instead of picking
+        if (hits != 0 && hits != srcFiles.size) sys.error(
+          s"appendStreamBatch: $op overlaps the ingested-file registry " +
+            s"($hits of ${srcFiles.size} already loaded) — a concurrent " +
+            "writer violated single-writer-per-streamId")
+        hits == srcFiles.size
+      } else streamBatches(path, top).get(streamId).exists(_ >= batchId)
     }
     if (alreadyApplied()) return None
     checkSchema(path, df, evolveSchema = false)

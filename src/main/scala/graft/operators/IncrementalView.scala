@@ -15,7 +15,12 @@ import graft.core.TxnTable
   * View shape: `GROUP BY groupCol → count(*), sum(valueCol),
   * min(valueCol), max(valueCol)` with long-typed group and value
   * columns (the same physical-int64 contract as the pruned reads the
-  * recompute path rides on).
+  * recompute path rides on). A NULL group key is a legitimate SQL
+  * group and is maintained correctly: it bypasses the equi-join fold
+  * machinery (which would silently drop it) and is carried through
+  * unchanged when untouched, or re-aggregated from the snapshot's
+  * `IS NULL` slice when a delta touches it — see the nullGroupRow
+  * split in each step.
   *
   * Maintenance per version step:
   *  - **count/sum** fold exactly from the images: +after for inserts,
@@ -100,7 +105,7 @@ object IncrementalView {
       groupCol: String, valueCol: String, toV: Long,
       recomputeFilter: DataFrame => DataFrame = identity,
       checkpointResult: Boolean = true): (DataFrame, StepStats) = {
-    val net = added.select(col(groupCol),
+    val netAll = added.select(col(groupCol),
         col(valueCol).cast("long").as("dv"), lit(1L).as("m"))
       .unionAll(removed.select(col(groupCol),
         col(valueCol).cast("long").as("dv"), lit(-1L).as("m")))
@@ -108,8 +113,18 @@ object IncrementalView {
       .agg(sum(col("m")).as("m")).filter(col("m") =!= 0)
       .persist()
     try {
+      // the NULL group (a legitimate SQL group, at most one) is split
+      // out of the join/fold machinery entirely: equi-joins never
+      // match null keys (an existing null-group state row would be
+      // silently dropped by the inner merge), and a null leaking into
+      // `affected` poisons !isInCollection (three-valued IN) and
+      // readPrunedIn — see [[nullGroupRow]]
+      val nullTouched =
+        netAll.filter(col(groupCol).isNull).limit(1).count() > 0
+      val net = netAll.filter(col(groupCol).isNotNull)
+      val stateNN = state.filter(col(groupCol).isNotNull)
       // invertible half: exact fold from the netted multiplicities
-      val folded = state.select(col(groupCol), col("cnt"), col("sm"))
+      val folded = stateNN.select(col(groupCol), col("cnt"), col("sm"))
         .unionAll(net.select(col(groupCol), col("m").as("cnt"),
           (col("dv") * col("m")).as("sm")))
         .groupBy(col(groupCol))
@@ -118,7 +133,7 @@ object IncrementalView {
       // extremes: monotone growth from net-added values...
       val insExt = net.filter(col("m") > 0).groupBy(col(groupCol))
         .agg(min(col("dv")).as("imn"), max(col("dv")).as("imx"))
-      val grownExt = state.select(col(groupCol), col("mn"), col("mx"))
+      val grownExt = stateNN.select(col(groupCol), col("mn"), col("mx"))
         .join(insExt, Seq(groupCol), "full_outer")
         .select(col(groupCol),
           least(col("mn"), col("imn")).as("mn"),
@@ -126,7 +141,7 @@ object IncrementalView {
       // ...and recompute for groups whose NET-removed value sat at an
       // extreme (or with no state row — conservatively recompute)
       val affected = net.filter(col("m") < 0)
-        .join(state.select(col(groupCol), col("mn"), col("mx")),
+        .join(stateNN.select(col(groupCol), col("mn"), col("mx")),
           Seq(groupCol), "left")
         .filter(col("mn").isNull || col("dv") <= col("mn") ||
           col("dv") >= col("mx"))
@@ -136,20 +151,46 @@ object IncrementalView {
         .select(col(groupCol), col("cnt"), col("sm"), col("mn"),
           col("mx"))
       recomputeTail(spark, path, state, merged, affected, groupCol,
-        valueCol, toV, recomputeFilter, checkpointResult)
-    } finally { net.unpersist(); () }
+        valueCol, toV, recomputeFilter, checkpointResult,
+        nullGroupRow(spark, path, state, nullTouched, groupCol,
+          valueCol, toV, recomputeFilter))
+    } finally { netAll.unpersist(); () }
   }
+
+  /** The view's NULL-group row for the step result: untouched steps
+    * carry the state's null-group row through unchanged; a touched
+    * null group is re-aggregated from the snapshot's `groupCol IS
+    * NULL` slice (a pruned key-range read can't address nulls, but
+    * the isNull predicate pushes to parquet row-group null counts, so
+    * files without nulls skip). Returns 0 or 1 rows. */
+  private def nullGroupRow(spark: SparkSession, path: String,
+      state: DataFrame, touched: Boolean, groupCol: String,
+      valueCol: String, toV: Long,
+      recomputeFilter: DataFrame => DataFrame): DataFrame =
+    if (!touched) state.filter(col(groupCol).isNull)
+    else materializeMinMax(
+      recomputeFilter(TxnTable.read(spark, path, toV))
+        .filter(col(groupCol).isNull), groupCol, valueCol)
 
   /** The shared fold core: `plus`/`minus` are (groupCol, dc, dv) delta
     * rows (dv already negated on the minus side). */
   private def foldStep(spark: SparkSession, path: String,
-      state: DataFrame, plus: DataFrame, minus: DataFrame,
+      state: DataFrame, plusAll: DataFrame, minusAll: DataFrame,
       groupCol: String, valueCol: String, toV: Long,
       recomputeFilter: DataFrame => DataFrame = identity)
       : (DataFrame, StepStats) = {
     {
+      // the NULL group bypasses the join/fold machinery (equi-joins
+      // drop null keys; a null in `affected` poisons isInCollection
+      // and getLong) — same split as maintainMinMaxFromSides
+      val nullTouched =
+        plusAll.filter(col(groupCol).isNull).limit(1).count() > 0 ||
+          minusAll.filter(col(groupCol).isNull).limit(1).count() > 0
+      val plus = plusAll.filter(col(groupCol).isNotNull)
+      val minus = minusAll.filter(col(groupCol).isNotNull)
+      val stateNN = state.filter(col(groupCol).isNotNull)
       // invertible half: exact fold, no reads
-      val folded = state.select(col(groupCol), col("cnt"), col("sm"))
+      val folded = stateNN.select(col(groupCol), col("cnt"), col("sm"))
         .unionAll(plus.select(col(groupCol), col("dc").as("cnt"),
           col("dv").as("sm")))
         .unionAll(minus.select(col(groupCol), col("dc").as("cnt"),
@@ -161,7 +202,7 @@ object IncrementalView {
       // extremes half: monotone growth from after-images...
       val insExt = plus.groupBy(col(groupCol))
         .agg(min(col("dv")).as("imn"), max(col("dv")).as("imx"))
-      val grownExt = state.select(col(groupCol), col("mn"), col("mx"))
+      val grownExt = stateNN.select(col(groupCol), col("mn"), col("mx"))
         .join(insExt, Seq(groupCol), "full_outer")
         .select(col(groupCol),
           least(col("mn"), col("imn")).as("mn"),
@@ -170,7 +211,7 @@ object IncrementalView {
       // ...and recompute for groups whose before-image hit an extreme
       // (or whose state row is missing — conservatively recompute)
       val affected = minus
-        .join(state.select(col(groupCol), col("mn"), col("mx")),
+        .join(stateNN.select(col(groupCol), col("mn"), col("mx")),
           Seq(groupCol), "left")
         .filter(col("mn").isNull || (-col("dv")) <= col("mn") ||
           (-col("dv")) >= col("mx"))
@@ -181,7 +222,9 @@ object IncrementalView {
         .select(col(groupCol), col("cnt"), col("sm"), col("mn"), col("mx"))
 
       recomputeTail(spark, path, state, merged, affected, groupCol,
-        valueCol, toV, recomputeFilter, checkpointResult = true)
+        valueCol, toV, recomputeFilter, checkpointResult = true,
+        nullGroupRow(spark, path, state, nullTouched, groupCol,
+          valueCol, toV, recomputeFilter))
     }
   }
 
@@ -192,11 +235,12 @@ object IncrementalView {
       state: DataFrame, merged: DataFrame, affected: Seq[Any],
       groupCol: String, valueCol: String, toV: Long,
       recomputeFilter: DataFrame => DataFrame,
-      checkpointResult: Boolean): (DataFrame, StepStats) = {
+      checkpointResult: Boolean, nullRow: DataFrame)
+      : (DataFrame, StepStats) = {
     val live = TxnTable.snapshotFiles(path, toV).size
     val (next, stats) =
       if (affected.isEmpty)
-        (merged, StepStats(0, 0, live))
+        (merged.unionAll(nullRow), StepStats(0, 0, live))
       // short-circuit the state.count() action below the 64-group
       // floor: max(64, n/10) > size ⟺ size > 64 AND size > n/10
       else if (affected.size > 64 &&
@@ -204,24 +248,30 @@ object IncrementalView {
         // self-tuning fallback: past ~10% of groups affected, ONE
         // re-aggregation of the snapshot beats per-group pruned reads
         // plus an InSet over a huge key list (measured, CdfBench at
-        // sf0.1 / 50% churn: 15.9 s pruned-recompute vs 1.0 s reagg)
+        // sf0.1 / 50% churn: 15.9 s pruned-recompute vs 1.0 s reagg).
+        // The full re-agg covers the null group by itself — no union.
         (materializeMinMax(recomputeFilter(
           TxnTable.read(spark, path, toV)), groupCol, valueCol),
           StepStats(affected.size, live, live))
       } else {
         // the pruned recompute rides the group type's own log-stats
         // read: long bounds for integral groups, binary-lexicographic
-        // string bounds for string groups (the s15 contract)
+        // string bounds for string groups (the s15 contract);
+        // `affected` is null-free by construction (the null group is
+        // handled via nullRow), so isInCollection stays two-valued
         val pruned = affected.head match {
           case _: String => TxnTable.readPrunedInString(spark, path,
             groupCol, affected.map(_.asInstanceOf[String]), asOf = toV)
           case _ => TxnTable.readPrunedIn(spark, path, groupCol,
             affected.map(_.asInstanceOf[Long]), asOf = toV)
         }
-        val recomputed = materializeMinMax(recomputeFilter(pruned),
+        // pruned files can carry null-group rows alongside the
+        // affected keys — drop them here or they'd duplicate nullRow
+        val recomputed = materializeMinMax(
+          recomputeFilter(pruned).filter(col(groupCol).isNotNull),
           groupCol, valueCol)
         (merged.filter(!col(groupCol).isInCollection(affected))
-          .unionAll(recomputed),
+          .unionAll(recomputed).unionAll(nullRow),
           StepStats(affected.size, pruned.inputFiles.length, live,
             pruned.inputFiles.toSeq))
       }

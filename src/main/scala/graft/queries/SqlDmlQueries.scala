@@ -19,12 +19,16 @@ object SqlDmlQueries {
   private def freshName(p: String): String =
     p + java.util.UUID.randomUUID().toString.replace("-", "")
 
-  /** s54's per-run CSV landing dir, published into the oracle SQL
-    * ([[oracle]] is a `def` so the entry interpolates the value set
-    * by the gate run, not the object-init default). */
-  private val s54LandDir =
-    new java.util.concurrent.atomic.AtomicReference[String](
-      "/tmp/graft_s54_csv")
+  /** s54's CSV landing dir: DETERMINISTIC within a JVM (pid-keyed, no
+    * mutable holder), distinct across concurrent suite runs (separate
+    * JVMs → separate pids). Gate and oracle compute the SAME string
+    * independently, so a harness that snapshots the oracle map before
+    * the gate runs still replays the right files; the gate wipes the
+    * dir at start so a same-JVM re-run never collides with stale
+    * drops. */
+  private def s54LandDir: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft_s54_csv_pid${ProcessHandle.current().pid()}"
 
   /** UPDATE then DELETE as statement text on a clustered orders table;
     * both rewrite strict file subsets (asserted in-run). */
@@ -458,18 +462,24 @@ object SqlDmlQueries {
     * UNDER THE TABLE (bytes rewritten — the opposite of s52's
     * by-reference parquet adopt); a malformed row (unparseable long)
     * aborts its whole batch atomically with nothing committed. The
-    * landing directory is PER-RUN (a temp dir published through
-    * [[s54LandDir]] into the oracle SQL) so the oracle replays it
-    * with DuckDB's own read_csv over the very same files, and two
-    * concurrent suite runs never race on one path. */
+    * landing directory is pid-keyed ([[s54LandDir]] — the oracle SQL
+    * interpolates the same deterministic path) so the oracle replays
+    * it with DuckDB's own read_csv over the very same files, and two
+    * concurrent suite runs (separate JVMs) never race on one path. */
   def s54CopyCsv(spark: SparkSession, dir: String): DataFrame = {
-    // per-run landing dir (concurrent suite runs on one machine must
-    // not race on a shared path); the oracle entry interpolates the
-    // holder, so DuckDB replays THIS run's files
-    val land = java.nio.file.Files
-      .createTempDirectory("graft_s54_csv_").toString
-    s54LandDir.set(land)
+    // deterministic pid-keyed landing dir, wiped at start so a
+    // same-JVM re-run starts clean; the oracle computes the identical
+    // path with no mutable state, so snapshot order never matters
+    val land = s54LandDir
     val lp = java.nio.file.Paths.get(land)
+    if (java.nio.file.Files.exists(lp)) {
+      val it = java.nio.file.Files.walk(lp)
+      try it.sorted(java.util.Comparator.reverseOrder())
+        .iterator().forEachRemaining(p =>
+          { java.nio.file.Files.deleteIfExists(p); () })
+      finally it.close()
+    }
+    java.nio.file.Files.createDirectories(lp)
     val d = java.nio.file.Files.createTempDirectory("graft_s54").toString
     val t = d + "/t"
     val n = freshName("orders_cc_")
@@ -1884,9 +1894,10 @@ object SqlDmlQueries {
     "s37_alter_columns" -> (s37AlterColumns _),
     "s38_rename_column" -> (s38RenameColumn _))
 
-  // a def, not a val: the s54 entry interpolates the per-run landing
-  // dir its gate publishes (Verify collects oracle SQL AFTER queries)
-  def oracle: Map[String, String] = Map(
+  // s54's entry interpolates the pid-keyed deterministic landing dir
+  // ([[s54LandDir]]) — same string whether the map is snapshotted
+  // before or after the gate runs; no mutable state involved
+  val oracle: Map[String, String] = Map(
     // the lifecycle replayed relationally: n1 v1 = base + low-band
     // insert; n2 = 'O' slice of v1, then replaced by its own status
     // aggregate; n3 = the v0 half-band CTAS
@@ -2206,7 +2217,7 @@ object SqlDmlQueries {
       s"""SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(price_c) AS BIGINT) AS ps,
         |  CAST(sum(o_orderkey) AS BIGINT) AS ks
-        |FROM read_csv('${s54LandDir.get}/*/*.csv', header=true)
+        |FROM read_csv('${s54LandDir}/*/*.csv', header=true)
         |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
     // base generation = raw orders; wide generation = the low-custkey
     // band re-keyed past int32 (metadata-only widen, zero-footer

@@ -998,14 +998,16 @@ object StreamingQueries {
   }
 
   /** ST23: `COPY INTO t FROM STREAM '<dir>'` — statement-level
-    * streaming ingestion onto the exactly-once stream markers: three
-    * landed drops ingest through three statement runs (each an
-    * AvailableNow pass that loads ONLY files its checkpoint has not
-    * seen), every commit carries the `stream:copystream:` marker, an
-    * idle re-run commits nothing, and a LOST checkpoint re-offers
-    * everything but no-ops on the logged (streamId, batchId) markers
-    * — the st13 idempotent-writer protocol through SQL. Oracle
-    * replays the three slices relationally. */
+    * streaming ingestion with FILE-level idempotence (each commit's
+    * `stream:copystream:…:files:[…]` marker records the batch's
+    * source files into the table's ingested-file registry): three
+    * landed drops ingest through three statement runs, an idle
+    * re-run commits nothing, a LOST checkpoint with no new files
+    * replays as a registry no-op, and — the case a bare batch-id
+    * high-water silently loses — a drop landed AFTER the loss (which
+    * the restarted stream bundles into an already-seen batch id)
+    * still loads exactly once, with the pre-loss files filtered, not
+    * duplicated. Oracle replays the full relation. */
   def st23CopyStream(spark: SparkSession, dir: String): DataFrame = {
     val d = Files.createTempDirectory("graft_st23").toString
     val t = d + "/t"
@@ -1021,33 +1023,48 @@ object StreamingQueries {
       val stmt = s"COPY INTO $n FROM STREAM '$land'"
       def drop(i: Int, f: org.apache.spark.sql.Column): Unit =
         orders.filter(f).repartition(1).write.parquet(s"$land/b$i")
-      drop(1, col("o_custkey") <= ck / 3)
+      drop(1, col("o_custkey") <= ck / 4)
       val v1 = graft.sql.GraftSql.execute(spark, stmt)
       val c1 = graft.core.TxnTable.commits(t).last
       require(v1 == 1L && c1.op.startsWith("stream:copystream:"),
         s"stream ingestion must land via stream markers, got ${c1.op}")
-      drop(2, col("o_custkey") > ck / 3 && col("o_custkey") <= 2 * ck / 3)
+      require(c1.op.contains(":files:["),
+        s"the commit must carry its source-file manifest, got ${c1.op}")
+      drop(2, col("o_custkey") > ck / 4 && col("o_custkey") <= 2 * ck / 4)
       val v2 = graft.sql.GraftSql.execute(spark, stmt)
       require(v2 == 2L, s"the second drop must land as one batch, got $v2")
-      drop(3, col("o_custkey") > 2 * ck / 3)
+      drop(3, col("o_custkey") > 2 * ck / 4 && col("o_custkey") <= 3 * ck / 4)
       val v3 = graft.sql.GraftSql.execute(spark, stmt)
+      val afterThree = orders.filter(col("o_custkey") <= 3 * ck / 4).count()
       require(v3 == 3L &&
-        graft.core.TxnTable.read(spark, t).count() == orders.count(),
+        graft.core.TxnTable.read(spark, t).count() == afterThree,
         "three drops must land exactly-once")
       // an idle re-run commits NOTHING
       require(graft.sql.GraftSql.execute(spark, stmt) == 3L,
         "an idle statement re-run must no-op")
-      // checkpoint LOSS: the file stream re-offers every file; the
-      // logged markers make the replay a no-op, not a duplicate load
-      val ckpt = java.nio.file.Paths.get(t, "_stream_ckpt")
-      val w = java.nio.file.Files.walk(ckpt)
-      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().forEachRemaining(p =>
-          { java.nio.file.Files.deleteIfExists(p); () })
-      finally w.close()
+      // checkpoint LOSS with nothing new: the file stream re-offers
+      // every file; the ingested-file registry filters them all
+      def loseCheckpoint(): Unit = {
+        val ckpt = java.nio.file.Paths.get(t, "_stream_ckpt")
+        val w = java.nio.file.Files.walk(ckpt)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().forEachRemaining(p =>
+            { java.nio.file.Files.deleteIfExists(p); () })
+        finally w.close()
+      }
+      loseCheckpoint()
       require(graft.sql.GraftSql.execute(spark, stmt) == 3L &&
+        graft.core.TxnTable.read(spark, t).count() == afterThree,
+        "a checkpoint-lost replay must no-op on the file registry")
+      // checkpoint LOSS with a drop landed SINCE: the restarted
+      // stream bundles old + new files into batch id 0 — the old
+      // files must filter, the new ones must load (a batch-id
+      // high-water would skip them forever)
+      loseCheckpoint()
+      drop(4, col("o_custkey") > 3 * ck / 4)
+      require(graft.sql.GraftSql.execute(spark, stmt) == 4L &&
         graft.core.TxnTable.read(spark, t).count() == orders.count(),
-        "a checkpoint-lost replay must no-op on the stream markers")
+        "files landed after a checkpoint loss must load exactly once")
       graft.core.TxnTable.read(spark, t)
         .groupBy(col("o_orderstatus").as("st"))
         .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("ps"),

@@ -93,6 +93,20 @@ object GraftSql {
     norm(a) == norm(b)
   }
 
+  /** An `input_file_name()` URI as the absolute local path the
+    * ingested-file registry stores (the same spelling the batch
+    * formatted COPY INTO records from its directory walk, so the two
+    * routes share one registry). Falls back to the raw string when
+    * the URI won't parse — self-consistent either way, since only
+    * this normalization ever writes stream manifests. */
+  private def normalizeFileUri(u: String): String =
+    try {
+      val p = if (u.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(u))
+      else java.nio.file.Paths.get(u)
+      p.toAbsolutePath.normalize().toString
+    } catch { case _: Exception => u }
+
   // Maintenance verbs Spark's parser has no grammar for (they are
   // lakehouse-dialect statements): a statement-head match in front of
   // parsePlan; everything after the verb resolves through the existing
@@ -430,14 +444,16 @@ object GraftSql {
     // COPY INTO t FROM STREAM '<dir>': statement-level streaming
     // ingestion — one AvailableNow pass of a file stream over the
     // landing directory, each micro-batch landing through
-    // appendStreamBatch's exactly-once (streamId, batchId) markers.
-    // Re-running the statement loads only files the stream checkpoint
-    // has not seen; a LOST checkpoint re-offers everything, and every
-    // re-offered batch no-ops on its logged marker (the st13
-    // idempotent-writer protocol, now as SQL). The stream id derives
-    // from the table + source dir (NOT the checkpoint path), so the
-    // markers survive checkpoint loss — that is what makes the replay
-    // a no-op instead of a duplicate load.
+    // appendStreamBatch with the batch's SOURCE-FILE manifest, so
+    // idempotence keys on file identity (the reference COPY INTO
+    // contract), not the checkpoint or the batch id. Re-running the
+    // statement loads only unseen files; a LOST checkpoint re-offers
+    // everything — already-ingested files are filtered against the
+    // log-resident registry, while files landed SINCE the loss (which
+    // the restarted stream bundles into already-seen batch ids) still
+    // load exactly once. A bare batch-id high-water could not do
+    // that: restarted ids ≤ the old high-water would silently skip
+    // the new files forever.
     case CopyStreamRe(name, dir, fmt, ckpt) =>
       val (reg, _) = lookupMutable(parseIdent(name), "COPY INTO")
       val schema = org.apache.spark.sql.types.StructType(
@@ -465,10 +481,28 @@ object GraftSql {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch {
           (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           id: Long) =>
-            TxnTable.appendStreamBatch(b.sparkSession, reg.path, b,
-              streamId, id)
+           id: Long) => {
+            // file-level idempotence: the batch's source files
+            // (metadata-scale — one row per landed file, never data
+            // rows) minus the table's ingested-file registry; only
+            // rows from fresh files commit, with the manifest riding
+            // the commit op
+            val raw = b.select(
+                org.apache.spark.sql.functions.input_file_name())
+              .distinct().collect().map(_.getString(0)).filter(_.nonEmpty)
+            val normOf = raw.map(u => u -> normalizeFileUri(u)).toMap
+            val seen = TxnTable.streamSourcesIngested(reg.path)
+            val freshRaw = raw.filterNot(u => seen(normOf(u)))
+            if (freshRaw.nonEmpty) {
+              val fb =
+                if (freshRaw.length == raw.length) b
+                else b.filter(org.apache.spark.sql.functions
+                  .input_file_name().isin(freshRaw.toSeq: _*))
+              TxnTable.appendStreamBatch(b.sparkSession, reg.path, fb,
+                streamId, id, srcFiles = freshRaw.map(normOf).toSeq)
+            }
             ()
+          }
         }
         .start()
       try q.awaitTermination() finally q.stop()

@@ -71,6 +71,38 @@ class StoreSeamSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(dst.resolve("f"))) == "a")
   }
 
+  test("a failed publish never leaks a .tmp sibling into the dir") {
+    val d = Files.createTempDirectory("graft_store")
+    def tmps() = {
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(".tmp-")).toList
+      } finally s.close()
+    }
+    // putAtomic failing BETWEEN write and move (REPLACE_EXISTING onto
+    // a non-empty directory throws after the temp sibling is written):
+    // the temp must be cleaned, not left to accumulate in a hot log dir
+    val dst = Files.createDirectories(d.resolve("occupied"))
+    Files.write(dst.resolve("f"), "x".getBytes)
+    intercept[java.io.IOException] {
+      Store.putAtomic(dst, "payload".getBytes)
+    }
+    assert(tmps().isEmpty,
+      s"putAtomic leaked temp siblings: ${tmps()}")
+    // putIfAbsent failing AT the write (missing parent): same contract
+    intercept[java.io.IOException] {
+      Store.putIfAbsent(d.resolve("no/such/k"), "x")
+    }
+    assert(tmps().isEmpty)
+    // and the success paths leave nothing behind either
+    Store.putAtomic(d.resolve("wm"), "1".getBytes)
+    assert(Store.putIfAbsent(d.resolve("k2"), "v"))
+    assert(!Store.putIfAbsent(d.resolve("k2"), "w"))
+    assert(tmps().isEmpty)
+  }
+
   test("withProcessLock serializes and releases") {
     val d = Files.createTempDirectory("graft_store")
     val lock = d.resolve("_lock")

@@ -1781,4 +1781,78 @@ class TxnTableSpec extends SparkSpecBase {
       "a DV-carrying file must be folded by OPTIMIZE")
     assert(read(spark, t).count() == 5030 - 100)
   }
+
+  test("nullability check is asymmetric: a looser writer auto-evolves " +
+    "the recorded schema to nullable, a stricter one records nothing") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val t = freshTable()
+    // recorded schema declares the nested leaf NON-nullable
+    val strict = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StructType(Seq(
+        StructField("a", LongType, nullable = false))), nullable = false)))
+    create(spark, t, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, Row(10L)))), strict))
+    def nestedNullable(): Boolean = {
+      val st = currentSchema(t).get
+      st("s").dataType.asInstanceOf[StructType]("a").nullable
+    }
+    assert(!nestedNullable(), "create records the writer's strictness")
+    // a STRICTER-or-equal writer appends without touching the schema
+    append(spark, t, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, Row(20L)))), strict))
+    assert(!nestedNullable())
+    assert(commits(t).last.schema.isEmpty,
+      "an equal-strictness append must not record a schema")
+    // a LOOSER writer (nullable nested leaf, with an actual null) must
+    // evolve the recorded schema — silently accepting it would leave
+    // pinned readers declaring non-null over files that contain nulls
+    val loose = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("s", StructType(Seq(
+        StructField("a", LongType, nullable = true))), nullable = true)))
+    append(spark, t, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(3L, Row(null)))), loose))
+    assert(nestedNullable(),
+      "a looser writer must relax the recorded nested nullability")
+    val got = read(spark, t).select(col("id"), col("s.a"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq.sortBy(_._1)
+    assert(got == Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None)),
+      "the null must read back as a null, not vanish or NPE")
+  }
+
+  test("appendStreamBatch with a source-file manifest keys idempotence " +
+    "on FILES, so restarted batch ids never mask new files") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, rangeDf(0, 0).limit(0))
+    // batch 5 ingests files A — the marker carries the manifest
+    val v1 = appendStreamBatch(spark, t, rangeDf(0, 10), "s1", 5L,
+      srcFiles = Seq("/land/a1", "/land/a2"))
+    assert(v1.contains(1L))
+    assert(commits(t).last.op.contains(":files:["))
+    assert(streamSourcesIngested(t) == Set("/land/a1", "/land/a2"))
+    // checkpoint loss: the restarted stream re-offers A under batch 0 —
+    // the caller filters them against the registry and commits nothing
+    assert(appendStreamBatch(spark, t, rangeDf(0, 10), "s1", 0L,
+      srcFiles = Seq("/land/a1", "/land/a2")).isEmpty)
+    // new files B landed since the loss arrive under batch 0 too — a
+    // batch-id high-water (5 >= 0) would silently drop them forever;
+    // the file registry loads them exactly once
+    val v2 = appendStreamBatch(spark, t, rangeDf(10, 15), "s1", 0L,
+      srcFiles = Seq("/land/b1"))
+    assert(v2.contains(2L), "files landed after checkpoint loss must load")
+    assert(read(spark, t).count() == 15)
+    // partial overlap violates single-writer — loudly, never silently
+    intercept[RuntimeException] {
+      appendStreamBatch(spark, t, rangeDf(15, 20), "s1", 1L,
+        srcFiles = Seq("/land/b1", "/land/c1"))
+    }
+    // a manifest-free stream keeps the batch-id high-water semantics
+    assert(appendStreamBatch(spark, t, rangeDf(20, 25), "s2", 3L)
+      .contains(3L))
+    assert(appendStreamBatch(spark, t, rangeDf(20, 25), "s2", 2L).isEmpty)
+  }
 }

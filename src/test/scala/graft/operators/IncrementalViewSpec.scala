@@ -154,6 +154,71 @@ class IncrementalViewSpec extends SparkSpecBase {
     assert(snap(TxnTable.read(spark, view)) == direct(t, 3L))
   }
 
+  test("null group keys: carried when untouched, recomputed when hit, " +
+    "never poisoning unaffected groups") {
+    // the advice hole: equi-joins never match null keys, so a null
+    // group row silently vanished from the refreshed state; worse, a
+    // null in `affected` made !isInCollection three-valued and
+    // filtered out EVERY unaffected group
+    def snapN(df: DataFrame): Seq[(Option[Long], Long, Long, Long, Long)] =
+      df.select(col("g"), col("cnt"), col("sm"), col("mn"), col("mx"))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sortBy(_._1)
+    def directN(t: String, v: Long) = snapN(
+      IncrementalView.materializeMinMax(TxnTable.read(spark, t, v),
+        "g", "v"))
+    val t = Files.createTempDirectory("graft_ivnull").toString + "/t"
+    // group NULL = {5, 9}, group 1 = {10, 18}, group 2 = {20, 29}
+    TxnTable.create(spark, t, Seq(
+      (1L, Option.empty[Long], 5L), (2L, Option.empty[Long], 9L),
+      (3L, Some(1L), 10L), (4L, Some(1L), 18L),
+      (5L, Some(2L), 20L), (6L, Some(2L), 29L)).toDF("id", "g", "v"))
+    var state = IncrementalView.materializeMinMax(
+      TxnTable.read(spark, t, 0L), "g", "v")
+    var fromV = 0L
+    def advance(): Unit = {
+      val toV = TxnTable.currentVersion(t)
+      val (removed, added, _) =
+        TxnTable.changedRowSides(spark, t, fromV, toV)
+      val (next, _) = IncrementalView.maintainMinMaxFromSides(
+        spark, t, state, removed, added, "g", "v", toV)
+      state = next; fromV = toV
+      assert(snapN(state) == directN(t, toV), s"diverged at v$toV")
+    }
+    // v1: inserts touch ONLY the null group (grow its max)
+    TxnTable.append(spark, t,
+      Seq((7L, Option.empty[Long], 12L)).toDF("id", "g", "v"))
+    advance()
+    assert(snapN(state).head == (None, 3L, 26L, 5L, 12L))
+    // v2: delete the null group's MAX — the extreme recompute path,
+    // with non-null groups untouched (they must all survive)
+    TxnTable.deleteWhere(spark, t, col("id") === 7L)
+    advance()
+    assert(snapN(state).head == (None, 2L, 14L, 5L, 9L))
+    assert(snapN(state).size == 3, "unaffected groups must survive")
+    // v3: extreme delete in group 1 with the null group UNTOUCHED —
+    // the null state row must be carried through the merge
+    TxnTable.deleteWhere(spark, t, col("id") === 4L)
+    advance()
+    assert(snapN(state).exists(_._1.isEmpty),
+      "an untouched null group must not vanish from the state")
+    // v4: the keyed-image variant takes the same null split
+    TxnTable.append(spark, t,
+      Seq((8L, Option.empty[Long], 3L)).toDF("id", "g", "v"))
+    val toV = TxnTable.currentVersion(t)
+    val (next, _) = IncrementalView.maintainMinMaxStep(spark, t, state,
+      fromV, toV, Seq("id"), "g", "v")
+    state = next; fromV = toV
+    assert(snapN(state) == directN(t, toV))
+    assert(snapN(state).head == (None, 3L, 17L, 3L, 9L))
+    // v5: whole null-group delete — the group drops out
+    TxnTable.deleteWhere(spark, t, col("g").isNull)
+    advance()
+    assert(!snapN(state).exists(_._1.isEmpty))
+  }
+
   test("PROPERTY: maintainMinMaxFromSides over a seeded-random DML " +
     "sequence equals a direct recompute at every step") {
     val rnd = new scala.util.Random(20260816L)
