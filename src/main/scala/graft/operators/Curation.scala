@@ -87,16 +87,28 @@ object Curation {
     * boundary window fills the exact remainder; later buckets exceed
     * the budget by construction). Sources without a budget entry are
     * dropped — the budgets ARE the mixture. */
+  /** Evidence hook for specs: the last [[tokenBudgetMix]] driver
+    * collect's row count — bounded by budgeted sources × 65536, never
+    * by the source column's cardinality. */
+  @volatile private[operators] var lastMixMetadataRows: Int = -1
+
   def tokenBudgetMix(df: DataFrame, idCol: Column, sourceCol: String,
       tokens: Column, budgets: Map[String, Long]): DataFrame = {
     require(budgets.nonEmpty, "at least one source budget")
     val h = md5(idCol.cast("string"))
-    val d = df.withColumn("__tok", tokens.cast("long"))
+    // unbudgeted sources are dropped by construction — filter them out
+    // BEFORE the bucket-sum aggregate, or a high-cardinality source
+    // column (per-domain budgets over a web crawl) grows the driver
+    // collect as distinct-sources × 65536 rows of thrown-away metadata
+    // (and pays their shuffle)
+    val d = df.filter(col(sourceCol).isin(budgets.keys.toSeq: _*))
+      .withColumn("__tok", tokens.cast("long"))
       .withColumn("__h", h)
       .withColumn("__b", conv(substring(h, 1, 4), 16, 10).cast("int"))
     val sums = d.groupBy(col(sourceCol), col("__b"))
       .agg(sum(col("__tok")).as("t")).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    lastMixMetadataRows = sums.length
     val thr = budgets.toSeq.map { case (src, budget) =>
       val bs = sums.filter(_._1 == src).sortBy(_._2)
       var cum = 0L

@@ -272,4 +272,33 @@ class CurationSpec extends SparkSpecBase {
     assert(keptDense == expect,
       s"dense two-pass cut diverged: ${keptDense.size} vs ${expect.size}")
   }
+
+  test("tokenBudgetMix: a high-cardinality UNBUDGETED source column " +
+    "never reaches the driver metadata collect") {
+    import spark.implicits._
+    // 5000 distinct unbudgeted domains + one budgeted source: without
+    // the pre-filter the bucket-sum collect grows with the domain
+    // cardinality for rows that are dropped by construction
+    val docs = (1L to 6000L).map { i =>
+      val src = if (i <= 1000L) "web" else s"domain_${i}"
+      (i, src, 10L)
+    }.toDF("doc_id", "source", "tok")
+    val kept = Curation.tokenBudgetMix(docs, col("doc_id"), "source",
+      col("tok"), Map("web" -> 500L))
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 50 && ids.forall(_ <= 1000L))
+    // the collected metadata is bounded by the BUDGETED source's
+    // buckets (≤ 1000 docs → ≤ 1000 rows), not the 5000 domains
+    assert(Curation.lastMixMetadataRows >= 1 &&
+      Curation.lastMixMetadataRows <= 1000,
+      s"metadata collect leaked unbudgeted sources: " +
+        s"${Curation.lastMixMetadataRows} rows")
+    // and the kept set still equals the greedy prefix of the budgeted
+    // source alone
+    val ordered = docs.filter(col("source") === "web")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .orderBy(col("h"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(ids == ordered.take(50).toSet)
+  }
 }
