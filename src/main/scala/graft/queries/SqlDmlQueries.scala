@@ -921,6 +921,114 @@ object SqlDmlQueries {
     }
   }
 
+  /** S62c: INCREMENTAL refresh of a STAR-JOIN MV — `fact ⋈ dim GROUP
+    * BY dim.col → count/sum` refreshes by pushing the changed side's
+    * delta THROUGH the join with the other side pinned at its
+    * recorded version and broadcast. In-run: a banded fact UPDATE
+    * refreshes with mode "incremental", the delta scan a strict
+    * subset of live fact files and ZERO recompute reads (the fold
+    * reads only changed fact files + the dim); a DIM update also
+    * folds (substitution is symmetric — the dim delta re-joins the
+    * pinned fact); BOTH sides changed since the marker forces the
+    * always-correct full path, which re-records both versions; every
+    * refresh equals an independent full recompute row-for-row.
+    * Oracle replays the joined aggregate with both updates applied. */
+  def s62cMvJoinIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s62c").toString
+    val ft = d + "/fact"
+    val dt = d + "/dim"
+    val fn = freshName("orders_mvj_fact_")
+    val dn = freshName("cust_mvj_dim_")
+    val m = freshName("orders_mvj_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val cust = Lake.table(spark, dir, "customer").select(
+      col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"))
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    // four fact tranches, one file each — the banded update rewrites
+    // exactly one, so "only changed fact files" is observable
+    TxnTable.create(spark, ft, orders.filter(col("o_custkey") <= ck / 4))
+    TxnTable.append(spark, ft, orders.filter(
+      col("o_custkey") > ck / 4 && col("o_custkey") <= ck / 2)) // v1
+    TxnTable.append(spark, ft, orders.filter(
+      col("o_custkey") > ck / 2 && col("o_custkey") <= 3 * ck / 4)) // v2
+    TxnTable.append(spark, ft,
+      orders.filter(col("o_custkey") > 3 * ck / 4)) // v3
+    TxnTable.create(spark, dt, cust)
+    GraftSql.register(fn, ft)
+    GraftSql.register(dn, dt)
+    try {
+      GraftSql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW $m LOCATION '$d/mv' AS
+           |SELECT d.c_nationkey AS nk, count(*) AS cnt,
+           |  sum(f.price_c) AS ps
+           |FROM $fn f JOIN $dn d ON f.o_custkey = d.c_custkey
+           |GROUP BY d.c_nationkey""".stripMargin)
+      def parity(): Unit = {
+        val got = TxnTable.read(spark, d + "/mv")
+          .collect().map(_.toSeq).toSet
+        val full = TxnTable.read(spark, ft).as("f")
+          .join(TxnTable.read(spark, dt).as("d"),
+            col("f.o_custkey") === col("d.c_custkey"))
+          .groupBy(col("d.c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("cnt"), sum(col("f.price_c")).as("ps"))
+          .collect().map(_.toSeq).toSet
+        require(got == full,
+          "the join MV must equal the full recompute row-for-row")
+      }
+      // 1) banded FACT update → the delta folds through the dim:
+      //    strict-subset fact scan, ZERO recompute reads
+      GraftSql.execute(spark,
+        s"UPDATE $fn SET price_c = price_c + 7 " +
+          s"WHERE o_custkey <= ${ck / 64}") // fact v4
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m")
+      val st = GraftSql.lastMvRefreshStats.getOrElse(
+        throw new AssertionError("refresh must record stats"))
+      require(st.mode == "incremental",
+        s"a star-join MV must refresh incrementally, got ${st.mode}")
+      require(st.changedFiles.nonEmpty &&
+        st.changedFiles.size < st.liveFiles,
+        s"the fact delta scan must be a strict subset: " +
+          s"${st.changedFiles.size} of ${st.liveFiles}")
+      require(st.recomputeFiles.isEmpty,
+        "a count/sum star fold must read nothing beyond the delta")
+      parity()
+      // an up-to-date refresh commits nothing
+      val mvV = TxnTable.currentVersion(d + "/mv")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m")
+      require(GraftSql.lastMvRefreshStats.exists(_.mode == "noop") &&
+        TxnTable.currentVersion(d + "/mv") == mvV,
+        "an up-to-date join MV refresh must commit nothing")
+      // 2) DIM update → the dim delta folds against the pinned fact
+      GraftSql.execute(spark,
+        s"UPDATE $dn SET c_nationkey = c_nationkey + 100 " +
+          s"WHERE c_custkey <= ${ck / 64}")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m")
+      require(GraftSql.lastMvRefreshStats.exists(_.mode == "incremental"),
+        "a dim-side delta must fold too (substitution is symmetric)")
+      parity()
+      // 3) BOTH sides changed → the full path, which re-records both
+      GraftSql.execute(spark,
+        s"UPDATE $fn SET price_c = price_c + 1 " +
+          s"WHERE o_custkey > ${3 * ck / 4}")
+      GraftSql.execute(spark,
+        s"UPDATE $dn SET c_nationkey = c_nationkey + 1000 " +
+          s"WHERE c_custkey = $ck")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m")
+      require(GraftSql.lastMvRefreshStats.exists(_.mode == "full"),
+        "two changed relations must take the full recompute")
+      parity()
+      GraftSql.query(spark,
+        s"SELECT nk, cnt, ps FROM $m ORDER BY nk")
+    } finally {
+      try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $m")
+      catch { case _: Exception => () }
+      GraftSql.unregister(fn)
+      GraftSql.unregister(dn)
+    }
+  }
+
   /** S59: `REPAIR TABLE t [DRY RUN]` — FSCK after out-of-band file
     * loss (a reaped prefix, a fat-fingered rm): the dry run lists
     * EXACTLY the vanished adds with their logged extent (rows/bytes —
@@ -1885,6 +1993,7 @@ object SqlDmlQueries {
     "s59_repair" -> (s59Repair _),
     "s62_matview" -> (s62Matview _),
     "s62b_mv_incremental" -> (s62bMvIncremental _),
+    "s62c_mv_join_incremental" -> (s62cMvJoinIncremental _),
     "s64_zorder_tail" -> (s64ZorderTail _),
     "s65_log_cbo" -> (s65LogCbo _),
     "s66_nested_alter" -> (s66NestedAlter _),
@@ -2160,6 +2269,30 @@ object SqlDmlQueries {
         |  CAST(min(pc) AS BIGINT) AS mn,
         |  CAST(max(pc) AS BIGINT) AS mx
         |FROM src GROUP BY ck ORDER BY ck""".stripMargin,
+    // the star-join MV replayed relationally: both the banded fact
+    // update (+7 low band, +1 top band) and the dim re-labelings
+    // (+100 low band, +1000 max key) applied to raw orders ⋈ customer
+    "s62c_mv_join_incremental" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders),
+        |f AS (SELECT o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) +
+        |      (CASE WHEN o_custkey <= (SELECT ck FROM b)//64
+        |            THEN 7 ELSE 0 END) +
+        |      (CASE WHEN o_custkey > 3 * (SELECT ck FROM b)//4
+        |            THEN 1 ELSE 0 END) AS pc
+        |  FROM orders),
+        |d AS (SELECT c_custkey,
+        |    CAST(c_nationkey AS BIGINT) +
+        |      (CASE WHEN c_custkey <= (SELECT ck FROM b)//64
+        |            THEN 100 ELSE 0 END) +
+        |      (CASE WHEN c_custkey = (SELECT ck FROM b)
+        |            THEN 1000 ELSE 0 END) AS nk
+        |  FROM customer)
+        |SELECT nk, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS ps
+        |FROM f JOIN d ON f.o_custkey = d.c_custkey
+        |GROUP BY nk ORDER BY nk""".stripMargin,
     "s59_repair" ->
       """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
         |           FROM orders),

@@ -5,6 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualTo, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.Bridge
@@ -1221,23 +1222,37 @@ object GraftSql {
 
   // -- incremental REFRESH --------------------------------------------------
   //
-  // A fold-able MV — `SELECT g, count(*), [sum(v)], [min(v), max(v)]
-  // FROM one-txn-table [WHERE row-local-pred] GROUP BY g` — refreshes
-  // at O(changed files), not O(table): the delta between the marker's
-  // recorded source version and the head comes from
-  // [[TxnTable.changedRowSides]] (key-free row multisets scoped to the
-  // files that entered/left the snapshot), count/sum fold exactly,
-  // and min/max ride [[IncrementalView.maintainMinMaxFromSides]]
-  // (monotone growth + pruned recompute only for groups whose removed
-  // value sat at an extreme). Every other shape — joins, views,
-  // expressions, distinct aggregates, non-integral values — falls
-  // back to the full recompute, which is always correct.
+  // An incrementally-maintainable MV — `SELECT <groups, aggregates>
+  // FROM fact [JOIN dim ON ...]* [WHERE row-local] GROUP BY <attrs>`
+  // over registered txn tables — refreshes at O(changed files), not
+  // O(table). Exactly ONE relation may have changed since the marker
+  // (any one — delta substitution is symmetric); the delta between
+  // its recorded version and the head comes from
+  // [[TxnTable.changedRowSides]] (key-free row multisets scoped to
+  // the files that entered/left the snapshot) and is pushed THROUGH
+  // the MV's own FROM/WHERE subtree with every unchanged relation
+  // pinned at its recorded version and broadcast. Three regimes:
+  //  - count/sum(+WHERE, any group arity, any inner star join) fold
+  //    exactly with zero source reads beyond the delta;
+  //  - the single-table long/string-group count/sum/min/max tier
+  //    rides [[IncrementalView.maintainMinMaxFromSides]] (monotone
+  //    growth + pruned recompute only for extreme-hit groups);
+  //  - every other agg mix (avg, partial tiers, multi-value-column
+  //    extremes) carries untouched groups verbatim from the MV and
+  //    re-aggregates ONLY the netted delta's touched groups from the
+  //    pinned source (pruned where the group is a single-table
+  //    long/string column) — exact for every kind, including avg
+  //    over nullable values, with no derived-state drift.
+  // Shapes outside the contract — outer joins, subqueries, DISTINCT
+  // aggregates, expression groups, nondeterministic predicates, more
+  // than one changed relation — fall back to the full recompute,
+  // which is always correct and re-records every source version.
 
   /** Evidence for gates/specs: what the LAST `REFRESH MATERIALIZED
     * VIEW` did. `changedFiles` = the delta scan's absolute file paths;
-    * `recomputeFiles` = the extreme-recompute's pruned scan (empty for
-    * pure folds); `liveFiles` = source live file count at the target
-    * version (-1 on the full path). */
+    * `recomputeFiles` = the extreme/touched-group recompute's scan
+    * (empty for pure folds); `liveFiles` = changed-source live file
+    * count at the target version (-1 on the full path). */
   case class MvRefreshStats(mode: String, changedFiles: Set[String],
       recomputeFiles: Seq[String], liveFiles: Int)
   private val lastMvRefresh =
@@ -1245,14 +1260,35 @@ object GraftSql {
   def lastMvRefreshStats: Option[MvRefreshStats] =
     Option(lastMvRefresh.get)
 
-  /** Recognized fold shape: `aggs` maps kind ∈ cnt|sum|min|max to the
-    * definition's output name, in SELECT order. */
-  private case class MvFoldShape(src: String, srcQuals: Set[String],
-      groupCol: String, groupOut: String, valueCol: Option[String],
-      aggs: Seq[(String, String)], cond: Option[Expression])
+  /** Recognized incrementally-maintainable shape. `items` is the
+    * SELECT list in order: group attributes (each GROUP BY expression
+    * exactly once) and aggregates from count(*) / sum / min / max /
+    * avg — no DISTINCT, no FILTER, no expressions. `child` is the
+    * unresolved [Filter over] inner-join tree whose leaves are
+    * registered txn tables, each appearing at most once (a self-join
+    * would make the changed side ambiguous). */
+  private sealed trait MvItem { def out: String }
+  private case class MvGroup(g: Int, out: String) extends MvItem
+  private case class MvAgg(kind: String, v: Int, out: String)
+    extends MvItem // v = -1 for count(*)
+  private case class MvShape(
+      rels: Seq[String],
+      child: LogicalPlan,
+      groupExprs: Seq[UnresolvedAttribute],
+      valueExprs: Seq[UnresolvedAttribute],
+      items: Seq[MvItem],
+      cond: Option[Expression],
+      relQuals: Map[String, Set[String]])
+
+  private def regNameOf(r: UnresolvedRelation): Option[String] = {
+    val full = r.multipartIdentifier.mkString(".").toLowerCase
+    val short = r.multipartIdentifier.last.toLowerCase
+    if (tables.containsKey(full)) Some(full)
+    else if (tables.containsKey(short)) Some(short) else None
+  }
 
   private def recognizeFoldShape(spark: SparkSession,
-      text: String): Option[MvFoldShape] = {
+      text: String): Option[MvShape] = {
     val plan =
       try spark.sessionState.sqlParser.parsePlan(text)
       catch { case _: Exception => return None }
@@ -1260,182 +1296,366 @@ object GraftSql {
       case Aggregate(g, a, c, _) => (g, a, c)
       case _ => return None
     }
-    val (rel, quals, cond) = child match {
-      case r: UnresolvedRelation =>
-        (r, Set(r.multipartIdentifier.last.toLowerCase), None)
-      case SubqueryAlias(id, r: UnresolvedRelation) =>
-        (r, Set(id.name.toLowerCase,
-          r.multipartIdentifier.last.toLowerCase), None)
-      case Filter(c, r: UnresolvedRelation) =>
-        (r, Set(r.multipartIdentifier.last.toLowerCase), Some(c))
-      case Filter(c, SubqueryAlias(id, r: UnresolvedRelation)) =>
-        (r, Set(id.name.toLowerCase,
-          r.multipartIdentifier.last.toLowerCase), Some(c))
-      case _ => return None
-    }
-    // the WHERE predicate must be row-local: no subqueries (it will
-    // be re-applied to delta rows and to the extreme recompute)
-    if (cond.exists(_.find {
+    // everything below the aggregate is re-executed against delta
+    // rows: no subqueries anywhere (WHERE or join conditions)
+    if (child.expressions.exists(_.find {
       case _: SubqueryExpression => true; case _ => false }.nonEmpty))
       return None
-    val full = rel.multipartIdentifier.mkString(".").toLowerCase
-    val short = rel.multipartIdentifier.last.toLowerCase
-    val src = if (tables.containsKey(full)) full
-      else if (tables.containsKey(short)) short else return None
-    def srcAttr(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute
-          if a.nameParts.length == 1 ||
-            (a.nameParts.length == 2 &&
-              quals(a.nameParts.head.toLowerCase)) =>
-        Some(a.nameParts.last)
-      case _ => None
+    val (below, cond) = child match {
+      case Filter(c, u) => (u, Some(c))
+      case u => (u, None)
     }
-    val g = groupExprs match {
-      case Seq(e) => srcAttr(e).getOrElse(return None)
+    // the FROM tree: inner/cross joins over DISTINCT registered tables
+    val rels = scala.collection.mutable.ArrayBuffer[String]()
+    val quals = scala.collection.mutable.Map[String, Set[String]]()
+    var ok = true
+    def leaf(r: UnresolvedRelation, alias: Option[String]): Unit =
+      regNameOf(r) match {
+        case Some(nm) if !rels.contains(nm) =>
+          rels += nm
+          quals(nm) = Set(r.multipartIdentifier.last.toLowerCase) ++
+            alias.map(_.toLowerCase)
+        case _ => ok = false
+      }
+    def walk(p: LogicalPlan): Unit = p match {
+      case Join(l, r, Inner, _, _) => walk(l); walk(r)
+      case Join(l, r, Cross, _, _) => walk(l); walk(r)
+      case SubqueryAlias(id, r: UnresolvedRelation) => leaf(r, Some(id.name))
+      case r: UnresolvedRelation => leaf(r, None)
+      case _ => ok = false
+    }
+    walk(below)
+    if (!ok || rels.isEmpty) return None
+    val gAttrs = groupExprs.map {
+      case a: UnresolvedAttribute => a
       case _ => return None
     }
-    if (aggExprs.isEmpty) return None
-    val groupOut = aggExprs.head match {
-      case a: UnresolvedAttribute if srcAttr(a).contains(g) =>
-        a.nameParts.last
-      case al: Alias =>
-        al.child match {
-          case a: UnresolvedAttribute if srcAttr(a).contains(g) => al.name
-          case _ => return None
-        }
-      case _ => return None
+    def sameAttr(a: UnresolvedAttribute, b: UnresolvedAttribute): Boolean = {
+      val an = a.nameParts.map(_.toLowerCase)
+      val bn = b.nameParts.map(_.toLowerCase)
+      an == bn || (an.length == 1 && an.head == bn.last) ||
+        (bn.length == 1 && bn.head == an.last)
     }
-    val aggs = aggExprs.tail.map {
-      case al: Alias => al.child match {
+    val valueExprs = scala.collection.mutable.ArrayBuffer[UnresolvedAttribute]()
+    def vIdx(a: UnresolvedAttribute): Int = {
+      val i = valueExprs.indexWhere(sameAttr(_, a))
+      if (i >= 0) i else { valueExprs += a; valueExprs.length - 1 }
+    }
+    val matchedGroups = scala.collection.mutable.Set[Int]()
+    val items: Seq[MvItem] = aggExprs.map { e =>
+      val (target, name) = e match {
+        case al: Alias => (al.child, al.name)
+        case a: UnresolvedAttribute => (a, a.nameParts.last)
+        case _ => return None
+      }
+      target match {
+        case a: UnresolvedAttribute =>
+          val gi = gAttrs.indexWhere(sameAttr(_, a))
+          if (gi < 0 || !matchedGroups.add(gi)) return None
+          MvGroup(gi, name)
         case f: UnresolvedFunction
             if !f.isDistinct && f.filter.isEmpty &&
               f.nameParts.length == 1 =>
           (f.nameParts.head.toLowerCase, f.arguments) match {
-            case ("count", Seq(Literal(_, _))) => ("cnt", al.name, None)
+            case ("count", Seq(Literal(_, _))) => MvAgg("cnt", -1, name)
             case ("count",
               Seq(_: org.apache.spark.sql.catalyst.analysis.Star)) =>
-              ("cnt", al.name, None)
-            case ("sum", Seq(a: UnresolvedAttribute)) =>
-              ("sum", al.name, srcAttr(a).orElse(return None))
-            case ("min", Seq(a: UnresolvedAttribute)) =>
-              ("min", al.name, srcAttr(a).orElse(return None))
-            case ("max", Seq(a: UnresolvedAttribute)) =>
-              ("max", al.name, srcAttr(a).orElse(return None))
+              MvAgg("cnt", -1, name)
+            case (k @ ("sum" | "min" | "max" | "avg"),
+                Seq(a: UnresolvedAttribute)) =>
+              MvAgg(k, vIdx(a), name)
             case _ => return None
           }
         case _ => return None
       }
-      case _ => return None
     }
-    val kinds = aggs.map(_._1)
-    if (kinds.distinct != kinds) return None
-    val kindSet = kinds.toSet
-    // the fold tiers: cnt is mandatory (group liveness), extremes
-    // need sum's state alongside for the shared maintenance shape
-    if (kindSet != Set("cnt") && kindSet != Set("cnt", "sum") &&
-        kindSet != Set("cnt", "sum", "min", "max")) return None
-    val valueCols = aggs.flatMap(_._3).distinct
-    if (valueCols.length > 1) return None
-    Some(MvFoldShape(src, quals, g, groupOut, valueCols.headOption,
-      aggs.map(a => (a._1, a._2)), cond))
+    if (matchedGroups.size != gAttrs.length) return None
+    if (!items.exists(_.isInstanceOf[MvAgg])) return None
+    val outs = items.map(_.out.toLowerCase)
+    if (outs.distinct != outs) return None
+    Some(MvShape(rels.toSeq, child, gAttrs, valueExprs.toSeq, items,
+      cond, quals.toMap))
   }
+
+  /** The marker for an incremental refresh: the CHANGED relation pins
+    * the version the fold actually consumed (NOT a re-read of the
+    * head — a commit landing mid-refresh must leave the MV stale);
+    * unchanged relations re-record their pinned versions. */
+  private def mvMarkerPinned(rels: Seq[String], fact: String,
+      toV: Long, recorded: Map[String, Long]): String =
+    "matview:" + rels.sorted.map { s =>
+      s"${jstr(s)}:${if (s == fact) toV else recorded(s)}"
+    }.mkString("{", ",", "}")
 
   /** Attempt the O(changed-files) refresh; None → caller recomputes. */
   private def refreshIncremental(spark: SparkSession, path: String,
       text: String): Option[Long] = {
     val shape = recognizeFoldShape(spark, text).getOrElse(return None)
-    val reg = tables.get(shape.src)
-    if (reg == null) return None
     val recorded = mvRecorded(path)
-    if (recorded.size != 1) return None
-    val fromV = recorded.getOrElse(shape.src, return None)
-    val srcPath = reg.path
+    if (recorded.keySet != shape.rels.toSet) return None
     // a DAMAGED materialization (out-of-band file loss) cannot seed
     // the fold — and must not no-op either: the full recompute reads
     // only the SOURCES and heals it. O(MV files) metadata probe.
     if (TxnTable.repair(spark, path, dryRun = true).limit(1).count() > 0)
       return None
-    val toV = TxnTable.currentVersion(srcPath)
-    if (toV == fromV) {
-      // up to date: nothing to fold, nothing to commit
+    val paths = shape.rels.map(n => n -> tables.get(n).path).toMap
+    val cur = shape.rels.map(n =>
+      n -> TxnTable.currentVersion(paths(n))).toMap
+    // a RESTOREd source has no replayable delta
+    if (shape.rels.exists(n => cur(n) < recorded(n))) return None
+    val changed = shape.rels.filter(n => cur(n) > recorded(n))
+    if (changed.isEmpty) {
       lastMvRefresh.set(MvRefreshStats("noop", Set.empty, Nil,
-        TxnTable.snapshotFiles(srcPath, toV).size))
+        TxnTable.snapshotFiles(paths(shape.rels.head),
+          cur(shape.rels.head)).size))
       return Some(TxnTable.currentVersion(path))
     }
-    // a RESTOREd/vacuumed-past source has no replayable delta
-    if (toV < fromV || fromV < TxnTable.earliestVersion(srcPath))
+    if (changed.size > 1) return None
+    val fact = changed.head
+    if (recorded(fact) < TxnTable.earliestVersion(paths(fact)))
       return None
-    val schema = TxnTable.read(spark, srcPath).schema
-    def typOf(c: String) =
-      schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    // any failure inside the incremental machinery (ambiguous names,
+    // unfoldable types discovered late) degrades to the full path —
+    // always correct, and observable: gates assert mode==incremental
+    try refreshIncrementalOn(spark, path, shape, fact, recorded(fact),
+      cur(fact), recorded, paths)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def refreshIncrementalOn(spark: SparkSession, path: String,
+      shape: MvShape, fact: String, fromV: Long, toV: Long,
+      recorded: Map[String, Long], paths: Map[String, String])
+      : Option[Long] = {
+    import org.apache.spark.sql.functions.{avg => favg, broadcast,
+      col, count => fcount, lit, max => fmax, min => fmin, sum => fsum}
     import org.apache.spark.sql.types._
+    val factPath = paths(fact)
     val integral: Set[DataType] =
       Set(ByteType, ShortType, IntegerType, LongType)
-    // exact fold needs integral values; the extreme tier's pruned
-    // recompute needs a group type with a log-stats pruned read
-    // (long or string — readPrunedIn / readPrunedInString)
-    if (shape.valueCol.exists(v => !typOf(v).exists(integral))) return None
-    val extremes = shape.aggs.exists(_._1 == "min")
-    if (typOf(shape.groupCol).isEmpty) return None
-    if (extremes && !typOf(shape.groupCol)
-        .exists(t => t == LongType || t == StringType)) return None
-
-    val (removedRaw, addedRaw, changedFiles) =
-      TxnTable.changedRowSides(spark, srcPath, fromV, toV)
-    val applyCond: DataFrame => DataFrame = shape.cond match {
-      case None => identity
-      case Some(c) =>
-        val stripped = stripQual(c, shape.srcQuals)
-        df => df.filter(Bridge.column(stripped))
-    }
-    val removed = applyCond(removedRaw)
-    val added = applyCond(addedRaw)
-    val g = shape.groupCol
-    val out = shape.aggs.toMap // kind -> output name
+    val aggItems = shape.items.collect { case a: MvAgg => a }
+    val kindSet = aggItems.map(_.kind).toSet
+    val nG = shape.groupExprs.length
+    val gCols = (0 until nG).map(i => col(s"__g$i"))
+    val groupOut = (0 until nG).map(i => shape.items.collectFirst {
+      case MvGroup(g, o) if g == i => o }.get)
     val mvDf = TxnTable.read(spark, path)
-    import org.apache.spark.sql.functions.{col, greatest, least, lit, sum => fsum}
 
-    val (result, recomputeFiles, live) =
-      if (extremes) {
-        val v = shape.valueCol.get
-        val state = mvDf.select(col(shape.groupOut).as(g),
+    // ---- NARROW: the single-table full tier keeps the s62b path ----
+    // (monotone min/max growth costs zero reads; only extreme-hit
+    // groups recompute, pruned). Value pinned to LongType: the fold
+    // state is long, and the overwrite must not widen a stored int.
+    if (shape.rels.size == 1 && nG == 1 && shape.valueExprs.size == 1 &&
+        kindSet == Set("cnt", "sum", "min", "max")) {
+      val schema = TxnTable.read(spark, factPath).schema
+      def typOf(c: String) = schema.fields
+        .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+      val g = shape.groupExprs.head.nameParts.last
+      val v = shape.valueExprs.head.nameParts.last
+      if (typOf(v).contains(LongType) &&
+          typOf(g).exists(t => t == LongType || t == StringType)) {
+        val (removedRaw, addedRaw, changedFiles) =
+          TxnTable.changedRowSides(spark, factPath, fromV, toV)
+        val applyCond: DataFrame => DataFrame = shape.cond match {
+          case None => identity
+          case Some(c) =>
+            val stripped = stripQual(c, shape.relQuals(fact))
+            df => df.filter(Bridge.column(stripped))
+        }
+        val out = aggItems.map(a => a.kind -> a.out).toMap
+        val state = mvDf.select(col(groupOut.head).as(g),
           col(out("cnt")).cast("long").as("cnt"),
           col(out("sum")).cast("long").as("sm"),
           col(out("min")).cast("long").as("mn"),
           col(out("max")).cast("long").as("mx"))
         val (next, st) = graft.operators.IncrementalView
-          .maintainMinMaxFromSides(spark, srcPath, state, removed,
-            added, g, v, toV, applyCond, checkpointResult = false)
-        (next, st.prunedFiles, st.liveFiles)
-      } else {
-        val dvAdd = shape.valueCol
-          .map(v => col(v).cast("long")).getOrElse(lit(0L))
-        val dvRem = shape.valueCol
-          .map(v => (-col(v)).cast("long")).getOrElse(lit(0L))
-        val deltas = added.select(col(g), lit(1L).as("dc"),
-            dvAdd.as("dv"))
-          .unionAll(removed.select(col(g), lit(-1L).as("dc"),
-            dvRem.as("dv")))
-        val smState = if (out.contains("sum"))
-          col(out("sum")).cast("long") else lit(0L)
-        val state = mvDf.select(col(shape.groupOut).as(g),
-          col(out("cnt")).cast("long").as("dc"), smState.as("dv"))
-        val next = state.unionAll(deltas).groupBy(col(g))
-          .agg(fsum(col("dc")).as("cnt"), fsum(col("dv")).as("sm"))
-          .filter(col("cnt") > 0)
-        (next, Nil, TxnTable.snapshotFiles(srcPath, toV).size)
+          .maintainMinMaxFromSides(spark, factPath, state,
+            applyCond(removedRaw), applyCond(addedRaw), g, v, toV,
+            applyCond, checkpointResult = false)
+        val stateName = Map("cnt" -> "cnt", "sum" -> "sm",
+          "min" -> "mn", "max" -> "mx")
+        val projected = next.select(shape.items.map {
+          case MvGroup(_, o) => col(g).as(o)
+          case MvAgg(k, _, o) => col(stateName(k)).as(o)
+        }: _*)
+        val ver = TxnTable.overwrite(spark, path, projected,
+          op = mvMarkerPinned(shape.rels, fact, toV, recorded))
+        lastMvRefresh.set(MvRefreshStats("incremental", changedFiles,
+          st.prunedFiles, st.liveFiles))
+        return Some(ver)
       }
-    val stateName =
-      Map("cnt" -> "cnt", "sum" -> "sm", "min" -> "mn", "max" -> "mx")
-    val projected = result.select((col(g).as(shape.groupOut) +:
-      shape.aggs.map { case (k, o) => col(stateName(k)).as(o) }): _*)
-    // the marker pins the version the fold actually consumed (NOT a
-    // re-read of the head — a commit landing mid-refresh must leave
-    // the MV stale, not silently claimed fresh)
-    val ver = TxnTable.overwrite(spark, path, projected,
-      op = s"matview:{${jstr(shape.src)}:$toV}")
-    lastMvRefresh.set(MvRefreshStats("incremental", changedFiles,
-      recomputeFiles, live))
+      // non-long values fall through: carry+recompute handles them
+    }
+
+    // ---- shared: the delta pushed through the pinned join ----------
+    // unchanged relations read at their RECORDED versions (== current,
+    // checked by the caller) and broadcast-hinted when small, so the
+    // result is exactly consistent at (fact@toV, others@recorded) and
+    // the marker records precisely those versions
+    val pinned = scala.collection.mutable.Map[String, LogicalPlan]()
+    def pinnedPlan(nm: String): LogicalPlan =
+      pinned.getOrElseUpdate(nm, {
+        val df = TxnTable.read(spark, paths(nm), recorded(nm))
+        val (bytes, _, _) =
+          TxnTable.logTableStats(spark, paths(nm), recorded(nm))
+        (if (bytes <= (512L << 20)) broadcast(df) else df)
+          .queryExecution.logical
+      })
+    def proj(replacement: LogicalPlan): DataFrame = {
+      val substituted = shape.child.transformUp {
+        case r: UnresolvedRelation =>
+          val nm = regNameOf(r).get
+          val short = r.multipartIdentifier.last
+          if (nm == fact) SubqueryAlias(short, replacement)
+          else SubqueryAlias(short, pinnedPlan(nm))
+      }
+      val list: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
+        shape.groupExprs.zipWithIndex.map { case (e, i) =>
+          Alias(e, s"__g$i")() } ++
+          shape.valueExprs.zipWithIndex.map { case (e, i) =>
+            Alias(e, s"__v$i")() }
+      Bridge.ofRows(spark, Project(list, substituted))
+    }
+    val (removedRaw, addedRaw, changedFiles) =
+      TxnTable.changedRowSides(spark, factPath, fromV, toV)
+    val addP = proj(addedRaw.queryExecution.logical)
+    val remP = proj(removedRaw.queryExecution.logical)
+    // re-running the subtree on delta rows requires determinism
+    if (addP.queryExecution.analyzed.collectFirst {
+      case p if p.expressions.exists(!_.deterministic) => p }.nonEmpty)
+      return None
+    val pSchema = addP.schema
+    def gType(i: Int) = pSchema(s"__g$i").dataType
+    def vType(i: Int) = pSchema(s"__v$i").dataType
+    // flat comparable scalars only (AtomicType itself is private[sql])
+    def atomic(t: DataType): Boolean = t match {
+      case _: NumericType | _: StringType | _: BooleanType |
+           _: DateType | _: TimestampType | _: TimestampNTZType |
+           _: BinaryType => true
+      case _ => false
+    }
+    if ((0 until nG).exists(i => !atomic(gType(i))))
+      return None
+    val live = TxnTable.snapshotFiles(factPath, toV).size
+    val marker = mvMarkerPinned(shape.rels, fact, toV, recorded)
+
+    // ---- FOLD: count/sum only — zero reads beyond the delta --------
+    if (kindSet.subsetOf(Set("cnt", "sum")) && kindSet("cnt") &&
+        aggItems.forall(a => a.kind != "sum" || integral(vType(a.v)))) {
+      // each delta row contributes m to count and v·m to each sum
+      // (null v contributes nothing — sum skips nulls exactly like
+      // the full recompute); groupBy keeps NULL groups natively
+      def deltaRows(p: DataFrame, m: Long): DataFrame = p.select(
+        gCols ++ aggItems.map {
+          case MvAgg("cnt", _, o) => lit(m).as(s"__s_$o")
+          case MvAgg(_, v, o) =>
+            (col(s"__v$v").cast("long") * lit(m)).as(s"__s_$o")
+        }: _*)
+      val state = mvDf.select(
+        (0 until nG).map(i => col(groupOut(i)).as(s"__g$i")) ++
+          aggItems.map(a =>
+            col(a.out).cast("long").as(s"__s_${a.out}")): _*)
+      val cntOut = aggItems.find(_.kind == "cnt").get.out
+      val aggCols = aggItems.map(a =>
+        fsum(col(s"__s_${a.out}")).as(s"__s_${a.out}"))
+      val folded = state.unionAll(deltaRows(addP, 1L))
+        .unionAll(deltaRows(remP, -1L))
+        .groupBy(gCols: _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .filter(col(s"__s_$cntOut") > 0)
+      val projected = folded.select(shape.items.map {
+        case MvGroup(g, o) => col(s"__g$g").as(o)
+        case MvAgg(_, _, o) => col(s"__s_$o").as(o)
+      }: _*)
+      val ver = TxnTable.overwrite(spark, path, projected, op = marker)
+      lastMvRefresh.set(MvRefreshStats("incremental", changedFiles,
+        Nil, live))
+      return Some(ver)
+    }
+
+    // ---- CARRY+RECOMPUTE: every other mix (avg, partial tiers,
+    // multi-column extremes). Untouched groups are carried verbatim
+    // from the MV (null-safe anti join); the netted delta's touched
+    // groups are re-aggregated from the pinned source — exact for
+    // every kind (avg included, nullable values included), no
+    // derived-state drift. Sum/avg stay integral (deterministic
+    // re-aggregation); min/max take any atomic type.
+    if (aggItems.exists(a => (a.kind == "sum" || a.kind == "avg") &&
+        !integral(vType(a.v)))) return None
+    if (aggItems.exists(a => a.v >= 0 && !atomic(vType(a.v))))
+      return None
+    val vCols = shape.valueExprs.indices.map(i => col(s"__v$i"))
+    // net the sides on the full consumed row first: file-scoped CDF
+    // pads a narrow rewrite with every untouched row of its file on
+    // BOTH sides; netting cancels those exactly, leaving touched
+    // groups at O(truly changed), not O(groups in churned files)
+    val net = addP.select((gCols ++ vCols) :+ lit(1L).as("__m"): _*)
+      .unionAll(remP.select((gCols ++ vCols) :+ lit(-1L).as("__m"): _*))
+      .groupBy((gCols ++ vCols): _*)
+      .agg(fsum(col("__m")).as("__m")).filter(col("__m") =!= 0)
+    val touchedRows = net.select(gCols: _*).distinct().collect()
+    // past ~10% of groups touched, one full re-aggregation beats the
+    // per-group recompute (the recomputeTail threshold, same shape)
+    if (touchedRows.length > 64 && touchedRows.length > mvDf.count() / 10)
+      return None
+    val outCols = shape.items.map(it => col(it.out))
+    val result =
+      if (touchedRows.isEmpty) mvDf.select(outCols: _*)
+      else {
+        val tSchema = StructType((0 until nG).map(i =>
+          StructField(s"__t$i", gType(i), nullable = true)))
+        val touched = spark.createDataFrame(
+          java.util.Arrays.asList(touchedRows: _*), tSchema)
+        val carried = mvDf.join(broadcast(touched),
+          (0 until nG).map(i => col(groupOut(i)) <=> col(s"__t$i"))
+            .reduce(_ && _), "left_anti")
+          .select(outCols: _*)
+        // pruned source read when the group is a single-table
+        // long/string column with no null keys in the touched set;
+        // the exact semi join below keeps any superset read correct
+        val (srcPlan, recompFiles) =
+          if (shape.rels.size == 1 && nG == 1 &&
+              (gType(0) == LongType || gType(0) == StringType) &&
+              touchedRows.forall(!_.isNullAt(0))) {
+            val gName = shape.groupExprs.head.nameParts.last
+            val pruned = gType(0) match {
+              case StringType => TxnTable.readPrunedInString(spark,
+                factPath, gName,
+                touchedRows.map(_.getString(0)).toSeq, asOf = toV)
+              case _ => TxnTable.readPrunedIn(spark, factPath, gName,
+                touchedRows.map(_.getLong(0)).toSeq, asOf = toV)
+            }
+            (pruned.queryExecution.logical, pruned.inputFiles.toSeq)
+          } else {
+            val full = TxnTable.read(spark, factPath, toV)
+            (full.queryExecution.logical, full.inputFiles.toSeq)
+          }
+        val recompAggs = aggItems.map { a =>
+          (a.kind match {
+            case "cnt" => fcount(lit(1))
+            case "sum" => fsum(col(s"__v${a.v}"))
+            case "min" => fmin(col(s"__v${a.v}"))
+            case "max" => fmax(col(s"__v${a.v}"))
+            case "avg" => favg(col(s"__v${a.v}"))
+          }).as(a.out)
+        }
+        val recomputed = proj(srcPlan)
+          .join(broadcast(touched),
+            (0 until nG).map(i => col(s"__g$i") <=> col(s"__t$i"))
+              .reduce(_ && _), "left_semi")
+          .groupBy(gCols: _*)
+          .agg(recompAggs.head, recompAggs.tail: _*)
+          .select(shape.items.map {
+            case MvGroup(g, o) => col(s"__g$g").as(o)
+            case a: MvAgg => col(a.out)
+          }: _*)
+        lastMvRefresh.set(MvRefreshStats("incremental", changedFiles,
+          recompFiles, live))
+        carried.unionAll(recomputed)
+      }
+    if (touchedRows.isEmpty)
+      lastMvRefresh.set(MvRefreshStats("incremental", changedFiles,
+        Nil, live))
+    val ver = TxnTable.overwrite(spark, path, result, op = marker)
     Some(ver)
   }
 

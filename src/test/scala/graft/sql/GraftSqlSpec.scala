@@ -1531,17 +1531,41 @@ class GraftSqlSpec extends SparkSpecBase {
         .collect().map(_.toSeq).toSet)
       GraftSql.execute(spark, s"INSERT INTO $n VALUES (5, 50, 'a')")
       GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $m4")
-      // every non-foldable shape takes the (always-correct) full path
+      // generalized round-18 shapes refresh INCREMENTALLY now: avg
+      // and partial tiers (carry+recompute), sum-without-count, and
+      // the inner star join (fold through the pinned dim)
       val (_, n2) = mk()
-      val fallbacks = Seq(
+      val nowIncremental = Seq(
         s"SELECT s, avg(v) AS a FROM $n GROUP BY s",       // avg
         s"SELECT s, sum(v) AS sv FROM $n GROUP BY s",      // no count
         s"SELECT s, count(*) AS c, min(v) AS mn FROM $n " +
           "GROUP BY s",                                    // partial tier
+        s"SELECT a.s, count(*) AS c FROM $n a JOIN $n2 b " +
+          "ON a.id = b.id GROUP BY a.s")                   // star join
+      nowIncremental.zipWithIndex.foreach { case (q, i) =>
+        val mv = "pi" + i + java.util.UUID.randomUUID().toString
+          .replace("-", "")
+        GraftSql.execute(spark,
+          s"CREATE MATERIALIZED VIEW $mv LOCATION '$d/i$i' AS $q")
+        GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 5")
+        GraftSql.execute(spark, s"INSERT INTO $n VALUES (5, 50, 'a')")
+        GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+        assert(mode() == "incremental", s"shape must fold: $q")
+        assert(mvContent(s"$d/i$i") ==
+          GraftSql.query(spark, q).collect().map(_.toSeq).toSet,
+          s"incremental refresh must equal the definition re-run: $q")
+        GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
+      }
+      // every shape OUTSIDE the contract takes the full path
+      val fallbacks = Seq(
         s"SELECT s, count(DISTINCT v) AS c FROM $n " +
           "GROUP BY s",                                    // distinct
-        s"SELECT a.s, count(*) AS c FROM $n a JOIN $n2 b " +
-          "ON a.id = b.id GROUP BY a.s")                   // join
+        s"SELECT a.s, count(*) AS c FROM $n a JOIN $n b " +
+          "ON a.id = b.id GROUP BY a.s",                   // self-join
+        s"SELECT a.s, count(*) AS c FROM $n a LEFT JOIN $n2 b " +
+          "ON a.id = b.id GROUP BY a.s",                   // outer join
+        s"SELECT upper(s) AS u, count(*) AS c FROM $n " +
+          "GROUP BY upper(s)")                             // expr group
       fallbacks.zipWithIndex.foreach { case (q, i) =>
         val mv = "pf" + i + java.util.UUID.randomUUID().toString
           .replace("-", "")
@@ -1560,6 +1584,164 @@ class GraftSqlSpec extends SparkSpecBase {
       Seq(m1, m2, m3).foreach(m =>
         GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $m"))
     } finally GraftSql.unregister(n)
+  }
+
+  test("generalized incremental refresh: avg, multi-column GROUP BY, " +
+    "and a five-kind aggregate mix all track a direct recompute") {
+    val d = Files.createTempDirectory("graft_mvgen").toString
+    def mode(): String = GraftSql.lastMvRefreshStats.get.mode
+    val t = d + "/src"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t,
+      (1L to 40L).map(i => (i, i % 5, s"s${i % 3}", i * 10))
+        .toDF("id", "g1", "g2", "v"))
+    GraftSql.register(n, t)
+    val defs = Seq(
+      // avg alone (carry+recompute), single group
+      s"SELECT g1, avg(v) AS av, count(*) AS c FROM $n GROUP BY g1",
+      // multi-column GROUP BY, pure fold
+      s"SELECT g1, g2, count(*) AS c, sum(v) AS sv FROM $n " +
+        "GROUP BY g1, g2",
+      // all five kinds over a multi-column group, mixed order, WHERE
+      s"SELECT g2, min(v) AS mn, count(*) AS c, g1, avg(v) AS av, " +
+        s"max(v) AS mx, sum(v) AS sv FROM $n WHERE id <> 13 " +
+        "GROUP BY g2, g1",
+      // two aggregates over DIFFERENT value columns
+      s"SELECT g2, count(*) AS c, sum(v) AS sv, sum(id) AS si, " +
+        s"min(id) AS mi FROM $n GROUP BY g2")
+    val mvs = defs.zipWithIndex.map { case (q, i) =>
+      val mv = "pg" + i + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $mv LOCATION '$d/g$i' AS $q")
+      (mv, q, s"$d/g$i")
+    }
+    try {
+      val churn = Seq(
+        s"INSERT INTO $n VALUES (100, 1, 's0', 5), (101, 9, 's9', -3)",
+        s"UPDATE $n SET v = v + 1 WHERE g1 = 2",
+        s"DELETE FROM $n WHERE id % 7 = 0",
+        // remove a whole group (g1=9) and an extreme (max id)
+        s"DELETE FROM $n WHERE g1 = 9 OR id = 101")
+      churn.foreach { stmt =>
+        GraftSql.execute(spark, stmt)
+        mvs.foreach { case (mv, q, p) =>
+          GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+          assert(mode() == "incremental",
+            s"must stay incremental for: $q after $stmt")
+          assert(TxnTable.read(spark, p).collect().map(_.toSeq).toSet ==
+            GraftSql.query(spark, q).collect().map(_.toSeq).toSet,
+            s"diverged from recompute: $q after $stmt")
+        }
+      }
+    } finally {
+      mvs.foreach { case (mv, _, _) =>
+        try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
+        catch { case _: Exception => () } }
+      GraftSql.unregister(n)
+    }
+  }
+
+  test("star-join MV: the changed side's delta folds through the " +
+    "pinned other side; two changed sides fall back") {
+    val d = Files.createTempDirectory("graft_mvjoin").toString
+    def mode(): String = GraftSql.lastMvRefreshStats.get.mode
+    val ft = d + "/fact"
+    val dt = d + "/dim"
+    val fn = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dn = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, ft,
+      (1L to 60L).map(i => (i, i % 6, i * 100)).toDF("id", "k", "v"))
+    TxnTable.create(spark, dt,
+      (0L to 5L).map(k => (k, s"region_${k % 3}")).toDF("k", "rg"))
+    GraftSql.register(fn, ft)
+    GraftSql.register(dn, dt)
+    val mv = "pj" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s"SELECT d.rg, count(*) AS c, sum(f.v) AS sv " +
+      s"FROM $fn f JOIN $dn d ON f.k = d.k GROUP BY d.rg"
+    try {
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $mv LOCATION '$d/mv' AS $q")
+      def checkParity(): Unit =
+        assert(TxnTable.read(spark, s"$d/mv").collect()
+          .map(_.toSeq).toSet ==
+          GraftSql.query(spark, q).collect().map(_.toSeq).toSet)
+      // FACT delta folds through the broadcast dim, zero recompute
+      GraftSql.execute(spark, s"UPDATE $fn SET v = v + 7 WHERE id <= 10")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+      assert(mode() == "incremental", "fact delta must fold")
+      assert(GraftSql.lastMvRefreshStats.get.recomputeFiles.isEmpty,
+        "a count/sum star fold must read nothing beyond the delta")
+      checkParity()
+      // DIM delta folds the other way (substitution is symmetric):
+      // a re-labelled dim row moves its fact rows between groups
+      GraftSql.execute(spark,
+        s"UPDATE $dn SET rg = 'region_x' WHERE k = 4")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+      assert(mode() == "incremental", "dim delta must fold too")
+      checkParity()
+      // an unmatched fact key never surfaces (inner join semantics)
+      GraftSql.execute(spark, s"INSERT INTO $fn VALUES (200, 99, 1)")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+      assert(mode() == "incremental")
+      checkParity()
+      // BOTH sides changed since the marker → the full path
+      GraftSql.execute(spark, s"DELETE FROM $fn WHERE id = 3")
+      GraftSql.execute(spark, s"DELETE FROM $dn WHERE k = 5")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+      assert(mode() == "full",
+        "two changed relations must take the full recompute")
+      checkParity()
+      // and the full refresh re-recorded both: incremental again
+      GraftSql.execute(spark, s"INSERT INTO $fn VALUES (201, 2, 9)")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+      assert(mode() == "incremental")
+      checkParity()
+    } finally {
+      try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
+      catch { case _: Exception => () }
+      GraftSql.unregister(fn); GraftSql.unregister(dn)
+    }
+  }
+
+  test("generalized incremental refresh keeps NULL group keys: " +
+    "carried when untouched, exact when hit") {
+    val d = Files.createTempDirectory("graft_mvnullg").toString
+    def mode(): String = GraftSql.lastMvRefreshStats.get.mode
+    val t = d + "/src"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t, Seq(
+      (1L, Option.empty[Long], 10L), (2L, Option.empty[Long], 30L),
+      (3L, Some(1L), 100L), (4L, Some(2L), 200L))
+      .toDF("id", "g", "v"))
+    GraftSql.register(n, t)
+    val mv = "pn" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s"SELECT g, count(*) AS c, avg(v) AS av, min(v) AS mn " +
+      s"FROM $n GROUP BY g"
+    try {
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $mv LOCATION '$d/mv' AS $q")
+      def parity(): Unit =
+        assert(TxnTable.read(spark, s"$d/mv").collect()
+          .map(_.toSeq).toSet ==
+          GraftSql.query(spark, q).collect().map(_.toSeq).toSet)
+      // untouched null group carried through a non-null delta
+      GraftSql.execute(spark, s"UPDATE $n SET v = 150 WHERE id = 3")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+      assert(mode() == "incremental"); parity()
+      // the null group hit directly (its min removed)
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 1")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+      assert(mode() == "incremental"); parity()
+      // a new null-group row arrives
+      GraftSql.execute(spark, s"INSERT INTO $n VALUES (5, NULL, 7)")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+      assert(mode() == "incremental"); parity()
+    } finally {
+      try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
+      catch { case _: Exception => () }
+      GraftSql.unregister(n)
+    }
   }
 
   test("a source commit landing MID-REFRESH leaves the MV stale — " +
