@@ -2612,6 +2612,64 @@ object TxnTable {
     if (top < 0) Map.empty else propsInfo(path, top)
   }
 
+  /** [[properties]] at a pinned version — the CBO injection reads
+    * histograms at the plan's snapshot, never the racing head. */
+  def propertiesAt(path: String, asOf: Long): Map[String, String] =
+    if (asOf < 0) properties(path) else propsInfo(path, asOf)
+
+  /** `ANALYZE TABLE … COMPUTE HISTOGRAM`: per-column equi-HEIGHT
+    * histograms — bin endpoints at i/bins approximate quantiles (one
+    * aggregate pass), per-bin distinct counts (one grouped pass) —
+    * persisted as table properties (`graft.hist.<col>` →
+    * `{"h":height,"bins":[[lo,hi,ndv],…]}`) riding an ordinary
+    * tblprops commit. The CBO injection then maps them onto
+    * `CatalogColumnStat.histogram` straight from the LOG: planning
+    * stays zero-footer at any scale, and the skewed-column blind spot
+    * of the uniform min/max estimate closes. Estimation-only state:
+    * an explicit user-invoked scan (exactly like ANALYZE), recorded
+    * as-of the analyzed version; data committed later simply ages it,
+    * correctness never depends on freshness. */
+  def computeHistogram(spark: SparkSession, path: String,
+      columns: Seq[String], bins: Int = 64): Long = {
+    require(bins >= 2 && bins <= 254, s"bins must be in [2,254], got $bins")
+    require(columns.nonEmpty, "computeHistogram: no columns given")
+    val top = currentVersion(path)
+    require(top >= 0, s"computeHistogram: not a TxnTable: $path")
+    val df = read(spark, path, top)
+    val props = columns.map { c =>
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"computeHistogram: no column $c in $path"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"computeHistogram: ${f.name} is ${f.dataType.simpleString} — " +
+          "histograms need a numeric column")
+      val v = col(f.name).cast("double")
+      val nn = df.filter(v.isNotNull)
+      val pct = (0 to bins).map(i => i.toDouble / bins)
+      val qRow = nn.agg(
+        percentile_approx(v, typedlit(pct), lit(10000)).as("q"),
+        count(lit(1)).as("n")).head()
+      require(!qRow.isNullAt(0) && qRow.getLong(1) > 0,
+        s"computeHistogram: ${f.name} has no non-null values")
+      val ends = qRow.getSeq[Double](0).toArray
+      val n = qRow.getLong(1)
+      // bin id = endpoints strictly below the value (ties go low —
+      // the estimator only needs bins that cover the range)
+      val binId = (1 until bins)
+        .map(i => (v > lit(ends(i))).cast("int"))
+        .reduceOption[Column](_ + _).getOrElse(lit(0))
+      val ndvByBin = nn.groupBy(binId.as("__b"))
+        .agg(approx_count_distinct(v).as("__ndv"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val binsJson = (0 until bins).map(i =>
+        s"[${ends(i)},${ends(i + 1)},${ndvByBin.getOrElse(i, 0L)}]")
+        .mkString("[", ",", "]")
+      s"graft.hist.${f.name.toLowerCase}" ->
+        s"""{"h":${n.toDouble / bins},"bins":$binsJson}"""
+    }
+    setProperties(path, props.toMap)
+  }
+
   /** SET TBLPROPERTIES: one metadata commit carrying every pair.
     * `graft.*` keys are engine-reserved and validated here —
     * `graft.mor` (true|false, re-routes subsequent DML),
@@ -2632,11 +2690,16 @@ object TxnTable {
           s"graft.targetBytes must be a positive long, got '$v'")
         case "graft.clusterBy" => require(v.trim.nonEmpty,
           "graft.clusterBy must name at least one column")
+        // per-column equi-height histograms ([[computeHistogram]] —
+        // the CBO reads them back defensively, malformed JSON is
+        // simply not injected)
+        case h if h.startsWith("graft.hist.") => require(v.trim.nonEmpty,
+          s"$h must carry the histogram JSON")
         case other => throw new IllegalArgumentException(
           s"unknown engine property $other — graft.* keys are " +
             "reserved (known: graft.mor, graft.targetFiles, " +
-            "graft.targetBytes, graft.clusterBy); use an unprefixed " +
-            "key for user metadata")
+            "graft.targetBytes, graft.clusterBy, graft.hist.<col>); " +
+            "use an unprefixed key for user metadata")
       }
     }
     val json = props.toSeq.sortBy(_._1)

@@ -754,6 +754,100 @@ object SqlDmlQueries {
     } finally { GraftSql.unregister(nc); GraftSql.unregister(no) }
   }
 
+  /** S68: HISTOGRAM-BACKED CBO — `ANALYZE TABLE t COMPUTE HISTOGRAM
+    * (col)` persists per-column equi-height histograms as a tblprops
+    * commit (ONE explicit user-invoked scan — the only statistics
+    * scan in the engine); the log-stats injection maps them onto
+    * `CatalogColumnStat.histogram`, closing the skewed-column blind
+    * spot of the uniform min/max estimate. In-run: the SAME skewed
+    * join statement plans SortMergeJoin before the ANALYZE (the
+    * uniform range estimate says ~half the table survives the filter)
+    * and BroadcastHashJoin after it (the histogram prices the true
+    * ~1% band under the threshold); planning reads ZERO parquet
+    * footers both times (the histogram rides the log); both plans
+    * serve identical values, join node names pinned in the output
+    * rows. Oracle replays the skewed join. */
+  def s68CboHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_s68").toString
+    val ns = freshName("skew_hist_")
+    val nf = freshName("ord_hist_")
+    val orders = Lake.table(spark, dir, "orders")
+    val kx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    // 99% of k sits at 0; 1% spreads over [0, kx] — the uniform
+    // estimate for k >= kx/2 overshoots the true count ~30×
+    val skew = orders.select(
+      col("o_orderkey").as("id"),
+      when(col("o_orderkey") % 100 === 0, col("o_orderkey"))
+        .otherwise(lit(0L)).as("k"))
+    val fact = orders.select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    TxnTable.create(spark, d + "/skew", skew, partitions = 2)
+    TxnTable.create(spark, d + "/ord", fact, partitions = 4)
+    GraftSql.register(ns, d + "/skew")
+    GraftSql.register(nf, d + "/ord")
+    try {
+      val (skewBytes, _, _) = TxnTable.logTableStats(spark, d + "/skew")
+      val sql =
+        s"""SELECT count(*) AS n_rows, sum(f.price_c) AS revenue_c
+           |FROM $nf f JOIN $ns s ON f.o_orderkey = s.id
+           |WHERE s.k >= ${kx / 2}""".stripMargin
+      val conf = spark.conf
+      val keys = Seq("spark.sql.cbo.enabled",
+        "spark.sql.autoBroadcastJoinThreshold", "spark.graft.cbo.logStats")
+      val saved = keys.map(k => k -> conf.getOption(k))
+      try {
+        conf.set("spark.sql.cbo.enabled", "true")
+        conf.set("spark.graft.cbo.logStats", "true")
+        // threshold BETWEEN the uniform (~50%) and histogram (~1-bin)
+        // estimates of the filtered skew side, scaled to its logged
+        // bytes so the flip holds at every scale factor
+        conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (skewBytes / 8).toString)
+        val f0 = graft.crawler.SkippingIndex.footerReads.get()
+        val before = graft.crawler.CboStats
+          .staticJoinNode(GraftSql.query(spark, sql))
+        require(before == "SortMergeJoin",
+          s"without a histogram the uniform estimate must SMJ, got $before")
+        require(graft.crawler.SkippingIndex.footerReads.get() == f0,
+          "log-stats planning must read zero parquet footers")
+        // ONE explicit statistics scan, committed as table metadata
+        val v = GraftSql.execute(spark,
+          s"ANALYZE TABLE $ns COMPUTE HISTOGRAM (k)")
+        require(v == 1L &&
+          graft.core.TxnTable.commits(d + "/skew").last.op
+            .startsWith("tblprops:set:"),
+          "ANALYZE must land as one tblprops commit")
+        require(graft.core.TxnTable.properties(d + "/skew")
+          .contains("graft.hist.k"), "the histogram must ride the log")
+        val f1 = graft.crawler.SkippingIndex.footerReads.get()
+        val dfOn = GraftSql.query(spark, sql)
+        val after = graft.crawler.CboStats.staticJoinNode(dfOn)
+        require(after == "BroadcastHashJoin",
+          s"the histogram must price the band under the threshold " +
+            s"and broadcast, got $after")
+        require(graft.crawler.SkippingIndex.footerReads.get() == f1,
+          "histogram planning must stay zero-footer")
+        val r = dfOn.collect().head
+        val rBefore = {
+          // the pre-ANALYZE plan replayed: time-travel the skew side
+          // to the version before the stats commit
+          GraftSql.query(spark, sql.replace(s"$ns s",
+            s"$ns VERSION AS OF 0 s")).collect().head
+        }
+        require(r.getLong(0) == rBefore.getLong(0) &&
+          r.getLong(1) == rBefore.getLong(1),
+          "both plans must serve identical values")
+        Seq(("with_histogram", after, r.getLong(0), r.getLong(1)),
+            ("without", before, r.getLong(0), r.getLong(1)))
+          .toDF("variant", "join_node", "n_rows", "revenue_c")
+          .orderBy(col("variant"))
+      } finally saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
+      }
+    } finally { GraftSql.unregister(ns); GraftSql.unregister(nf) }
+  }
+
   /** S64: INCREMENTAL RE-CLUSTER — the property-driven `OPTIMIZE t
     * ZORDER` folds ONLY the un-clustered tail (files added since the
     * last cluster commit, found from log metadata) into the persisted
@@ -1996,6 +2090,7 @@ object SqlDmlQueries {
     "s62c_mv_join_incremental" -> (s62cMvJoinIncremental _),
     "s64_zorder_tail" -> (s64ZorderTail _),
     "s65_log_cbo" -> (s65LogCbo _),
+    "s68_cbo_histogram" -> (s68CboHistogram _),
     "s66_nested_alter" -> (s66NestedAlter _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
@@ -2211,6 +2306,26 @@ object SqlDmlQueries {
     // the statically-planned join flips are pinned in the VALUES
     // rows (in-run requires enforce them); the data row replays the
     // filtered dim⋈fact aggregate
+    // the skewed join served by both plans (node names pinned in the
+    // VALUES rows; the SMJ→BHJ flip itself is asserted in-run)
+    "s68_cbo_histogram" ->
+      """WITH b AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS kx
+        |           FROM orders),
+        |s AS (SELECT o_orderkey AS id,
+        |    CASE WHEN o_orderkey % 100 = 0
+        |         THEN CAST(o_orderkey AS BIGINT)
+        |         ELSE 0 END AS k
+        |  FROM orders),
+        |r AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |      AS BIGINT) AS revenue_c
+        |  FROM orders f JOIN s ON f.o_orderkey = s.id, b
+        |  WHERE s.k >= b.kx//2)
+        |SELECT v.variant, v.join_node, r.n_rows, r.revenue_c
+        |FROM (VALUES ('with_histogram','BroadcastHashJoin'),
+        |             ('without','SortMergeJoin'))
+        |  v(variant, join_node), r
+        |ORDER BY variant""".stripMargin,
     "s65_log_cbo" ->
       """WITH cap AS (SELECT CAST(max(c_custkey) AS BIGINT)//50 AS v
         |             FROM customer),

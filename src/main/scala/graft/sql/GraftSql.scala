@@ -158,6 +158,10 @@ object GraftSql {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Ident +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val AnalyzeHistRe =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+""" + Ident +
+      """\s+COMPUTE\s+HISTOGRAM\s*\(\s*([^)]+?)\s*\)""" +
+      """(?:\s+BINS\s+(\d+))?\s*;?\s*$""").r
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+""" + Ident +
       """\s+FROM\s+'([^']+)'""" +
@@ -455,6 +459,22 @@ object GraftSql {
     // load exactly once. A bare batch-id high-water could not do
     // that: restarted ids ≤ the old high-water would silently skip
     // the new files forever.
+    // ANALYZE TABLE t COMPUTE HISTOGRAM (a, b) [BINS n]: the one
+    // explicitly user-invoked statistics SCAN in the engine — builds
+    // per-column equi-height histograms and persists them as a
+    // tblprops commit; the log-stats CBO then injects them onto
+    // CatalogColumnStat.histogram at plan time with zero footer
+    // reads, closing the skewed-column blind spot of the uniform
+    // min/max estimate. (Everything else the CBO uses — rows, bytes,
+    // bounds, null counts, ndv caps — already rides the log for free.)
+    case AnalyzeHistRe(name, colsRaw, binsRaw) =>
+      val (reg, _) = lookupMutable(parseIdent(name), "ANALYZE TABLE")
+      val cols = colsRaw.split(",").map(_.trim.stripPrefix("`")
+        .stripSuffix("`")).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty, "ANALYZE TABLE: name at least one column")
+      TxnTable.computeHistogram(spark, reg.path, cols,
+        Option(binsRaw).map(_.toInt).getOrElse(64))
+
     case CopyStreamRe(name, dir, fmt, ckpt) =>
       val (reg, _) = lookupMutable(parseIdent(name), "COPY INTO")
       val schema = org.apache.spark.sql.types.StructType(
@@ -1894,6 +1914,14 @@ object GraftSql {
     import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
     import org.apache.spark.sql.types._
     val (bytes, rows, cols) = TxnTable.logTableStats(spark, path, v)
+    // ANALYZE-built equi-height histograms ride the log as properties
+    // (graft.hist.<col>, pinned at the plan's version) — parsed
+    // defensively: malformed JSON just means no histogram
+    val hists = TxnTable.propertiesAt(path, v).flatMap {
+      case (k, j) if k.startsWith("graft.hist.") =>
+        parseHistogram(j).map(k.stripPrefix("graft.hist.") -> _)
+      case _ => None
+    }
     val colStats = cols.flatMap { case (n, c) =>
       // external-string bounds only for types whose physical int64
       // maps losslessly onto the catalog's external form; strings
@@ -1925,13 +1953,14 @@ object GraftSql {
           Some(span.min(nonNull).max(1))
         case _ => None
       }
-      if (c.lmin.isEmpty && c.nulls.isEmpty) None
+      val hist = hists.get(n.toLowerCase)
+      if (c.lmin.isEmpty && c.nulls.isEmpty && hist.isEmpty) None
       else Some(n -> CatalogColumnStat(
         distinctCount = ndv,
         min = c.lmin.flatMap(ext),
         max = c.lmax.flatMap(ext),
         nullCount = c.nulls.map(BigInt(_)),
-        avgLen = None, maxLen = None, histogram = None,
+        avgLen = None, maxLen = None, histogram = hist,
         version = CatalogColumnStat.VERSION))
     }.toMap
     CatalogStatistics(
@@ -1939,6 +1968,24 @@ object GraftSql {
       rowCount = Some(BigInt(math.max(0L, rows))),
       colStats = colStats)
   }
+
+  /** `{"h":height,"bins":[[lo,hi,ndv],…]}` → Catalyst Histogram;
+    * None on any malformed input (histograms are estimation-only). */
+  private def parseHistogram(json: String)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: Formats = DefaultFormats
+      val j = JsonMethods.parse(json)
+      val h = (j \ "h").extract[Double]
+      val bins = (j \ "bins").extract[Seq[Seq[Double]]].map(b =>
+        org.apache.spark.sql.catalyst.plans.logical.HistogramBin(
+          b(0), b(1), b(2).toLong))
+      if (bins.isEmpty || h <= 0) None
+      else Some(org.apache.spark.sql.catalyst.plans.logical.Histogram(
+        h, bins.toArray))
+    } catch { case _: Exception => None }
 
   /** Replace every registered txn-table reference (plain or
     * time-traveled) with its snapshot's plan; everything else is left

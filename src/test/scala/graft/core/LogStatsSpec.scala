@@ -278,4 +278,53 @@ class LogStatsSpec extends SparkSpecBase {
       s"max must answer at the entry snapshot, got $mx")
     assert(TxnTable.minMaxOf(spark, t, "v")._2.contains(7049L * 3))
   }
+
+  test("computeHistogram: equi-height bins persisted as a tblprops " +
+    "commit, pinned per version; refusals are loud") {
+    val t = Files.createTempDirectory("graft_hist").toString + "/t"
+    // heavy skew: 900 zeros + 100 spread over [1000, 100000]
+    val rows = (1L to 900L).map(i => (i, 0L, s"s$i")) ++
+      (1L to 100L).map(i => (900L + i, i * 1000L, s"t$i"))
+    TxnTable.create(spark, t, rows.toDF("id", "k", "s"))
+    val v = TxnTable.computeHistogram(spark, t, Seq("k"), bins = 10)
+    assert(v == 1L &&
+      TxnTable.commits(t).last.op.startsWith("tblprops:set:"))
+    val json = TxnTable.properties(t)("graft.hist.k")
+    // height = nonNullRows / bins; bins cover [min, max]; the skew is
+    // visible: most endpoints sit at 0, the tail rides the last bins
+    assert(json.contains("\"h\":100.0"), s"height off: $json")
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val bins = (JsonMethods.parse(json) \ "bins")
+      .extract[Seq[Seq[Double]]]
+    assert(bins.length == 10)
+    assert(bins.head.head == 0.0 && bins.last(1) == 100000.0,
+      s"bins must cover [min, max]: $bins")
+    assert(bins.count(b => b.head == 0.0 && b(1) == 0.0) >= 7,
+      s"the 90% zero mass must occupy most bins: $bins")
+    // the property is version-pinned: v0 has none, the head does
+    assert(!TxnTable.propertiesAt(t, 0L).contains("graft.hist.k"))
+    assert(TxnTable.propertiesAt(t, v).contains("graft.hist.k"))
+    // statement surface + BINS clause
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.sql.GraftSql.register(n, t)
+    try {
+      val v2 = graft.sql.GraftSql.execute(spark,
+        s"ANALYZE TABLE $n COMPUTE HISTOGRAM (id, k) BINS 4")
+      assert(v2 == 2L)
+      val j2 = TxnTable.properties(t)("graft.hist.id")
+      assert((JsonMethods.parse(j2) \ "bins")
+        .extract[Seq[Seq[Double]]].length == 4)
+      // refusals: non-numeric column, unknown column
+      intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.execute(spark,
+          s"ANALYZE TABLE $n COMPUTE HISTOGRAM (s)")
+      }
+      intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.execute(spark,
+          s"ANALYZE TABLE $n COMPUTE HISTOGRAM (nope)")
+      }
+    } finally graft.sql.GraftSql.unregister(n)
+  }
 }
