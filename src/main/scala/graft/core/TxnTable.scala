@@ -3089,7 +3089,15 @@ object TxnTable {
     }.getOrElse(return None)
     val live = snapshotFiles(path, base)
     val bulk = snapshotFiles(path, clusterV).toSet
-    val tail = live.filterNot(bulk)
+    // files a SCOPED re-cluster (compact:zscope) wrote since the last
+    // full/tail cluster commit are clustered too — they own compact
+    // ranges — so they leave the tail WITHOUT resetting the chain
+    // baseline (a zscope must not hide unclustered files outside its
+    // box from the next bare ZORDER)
+    val scoped = commits(path, base).filter(c =>
+      c.version > clusterV && c.op == "compact:zscope")
+      .flatMap(_.adds.map(_.path)).toSet
+    val tail = live.filterNot(f => bulk(f) || scoped(f))
     val ai = addsIndex(path, base)
     Some(ClusterTail(clusterV, tail,
       tail.flatMap(ai.get).map(_.bytes).sum,
@@ -3136,6 +3144,69 @@ object TxnTable {
     }
     val adds = writeDataPrepared(spark, path, clustered)
     try commitRewrite(path, base, "compact:cluster", adds, ct.tailFiles,
+      CommuteNonOverlapping)
+    catch { case e: Throwable => cleanupStaged(path, adds); throw e }
+  }
+
+  /** SCOPED re-cluster — `OPTIMIZE t ZORDER BY (…) WHERE col BETWEEN
+    * lo AND hi`: re-cluster ONLY the files whose LOGGED range on
+    * `column` intersects the box (the binPackWhere stats walk — zero
+    * footer reads to pick the set), at a width proportional to their
+    * byte share, leaving everything outside the box byte-for-byte
+    * untouched. The re-pack-the-hot-band shape: at 100 TB, fixing one
+    * churned partition's layout is an O(band) job, not a table
+    * rewrite and not even a tail fold. Commits as `compact:zscope` —
+    * a DISTINCT op, so [[clusterTailInfo]] counts its outputs as
+    * clustered without moving the chain baseline (unclustered files
+    * outside the box keep their tail status for the next bare
+    * ZORDER). 1/2/3 columns = range/Morton2/Morton3, the same layout
+    * family as [[compactClustered]]. Unchanged head when nothing
+    * intersects. */
+  def compactClusteredWhere(spark: SparkSession, path: String,
+      cols: Seq[Column], column: String, lo: Long, hi: Long,
+      targetFiles: Int = 16): Long = {
+    require(cols.nonEmpty && cols.size <= 3,
+      s"1-3 cluster columns, got ${cols.size}")
+    val base = currentVersion(path)
+    // same loud type fence as binPackWhere: bounds live in the
+    // physical int64 space
+    val (schema, _) = snapshotSchemaFenced(spark, path, base)
+    schema(column).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"compactClusteredWhere: $column has non-integral type $dt " +
+          "(bounds live in the physical int64 space)")
+    }
+    val files = snapshotFiles(path, base)
+    val idx = statsIndexFor(spark, path, base, Seq(column))
+    val keptAbs = graft.crawler.SkippingIndex
+      .selectFiles(idx, 0, lo, hi).toSet
+    val inRange = files.filter(f =>
+      keptAbs.contains(localRoot(path).resolve(f).toString))
+    if (inRange.isEmpty) return base // nothing intersects the box
+    val ai = addsIndex(path, base)
+    val selBytes = inRange.flatMap(ai.get).map(_.bytes).sum
+    val totBytes = files.flatMap(ai.get).map(_.bytes).sum
+    val bins = math.max(1, math.round(targetFiles.toDouble *
+      selBytes / math.max(1L, totBytes)).toInt)
+    val abs = inRange.map(f => localRoot(path).resolve(f).toString)
+    val scan = applyDv(spark, path, base,
+      snapshotScan(spark, path, base, abs), keepFname = false)
+    val clustered = cols match {
+      case Seq(a) =>
+        scan.repartitionByRange(bins, a).sortWithinPartitions(a)
+      case Seq(a, b) =>
+        graft.operators.Layout.zorderPartitions(scan, a, b, bins)
+      case Seq(a, b, c) =>
+        graft.operators.Layout.zorderPartitions3(scan, a, b, c, bins)
+    }
+    val adds = writeDataPrepared(spark, path, clustered)
+    try commitRewrite(path, base, "compact:zscope", adds, inRange,
       CommuteNonOverlapping)
     catch { case e: Throwable => cleanupStaged(path, adds); throw e }
   }

@@ -848,6 +848,111 @@ object SqlDmlQueries {
     } finally { GraftSql.unregister(ns); GraftSql.unregister(nf) }
   }
 
+  /** S69: SCOPED RE-CLUSTER — `OPTIMIZE t ZORDER BY (a, b) WHERE col
+    * BETWEEN lo AND hi` re-clusters ONLY the files whose LOGGED range
+    * on the WHERE column intersects the box (zero footer reads to
+    * pick the set), at proportional width, leaving everything outside
+    * the box byte-for-byte untouched — re-pack ONE hot band without a
+    * table rewrite or even a tail fold. The `compact:zscope` commit
+    * leaves the tail chain coherent: its outputs count as clustered,
+    * but unclustered files OUTSIDE the box keep their tail status for
+    * the next bare ZORDER. In-run: rewrite set == exactly the
+    * box-intersecting files; the outside-box tail file and every
+    * non-intersecting bulk file survive; a box-pruned band read over
+    * the result is within one bin of a freshly FULL-re-clustered twin
+    * at equal rows, zero footers; an empty box no-ops; the next bare
+    * ZORDER folds exactly the outside-box tail. Oracle replays the
+    * tranche aggregate over base ∪ both appended bands. */
+  def s69ZorderWhere(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s69").toString
+    val t = d + "/t"
+    val n = freshName("orders_zw_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val kx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val ck = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    TxnTable.createClustered(spark, t, orders,
+      Seq(col("o_custkey"), col("o_orderkey")), targetFiles = 8) // v0
+    // churn INSIDE the hot band (custkey ≤ ck/8): one tail file
+    TxnTable.append(spark, t, orders
+      .filter(col("o_custkey") <= ck / 8).select(
+        (col("o_orderkey") + kx).as("o_orderkey"), col("o_custkey"),
+        (col("price_c") + 1).as("price_c"))) // v1
+    // and OUTSIDE it (custkey > 7ck/8): must stay tail afterwards
+    TxnTable.append(spark, t, orders
+      .filter(col("o_custkey") > 7 * ck / 8).select(
+        (col("o_orderkey") + 2 * kx).as("o_orderkey"), col("o_custkey"),
+        (col("price_c") + 2).as("price_c"))) // v2
+    GraftSql.register(n, t)
+    try {
+      def base(p: String) = p.split('/').last
+      // the box-intersecting file set, from the LOG (the same stats
+      // walk the operator uses — a pruned read's plan IS that set)
+      val expected = TxnTable.readPruned(spark, t, "o_custkey",
+        1L, ck / 8).inputFiles.map(base).toSet
+      val outsideTail = TxnTable.commits(t).last.adds.map(_.path).toSet
+      val before = TxnTable.snapshotFiles(t).toSet
+      val v = GraftSql.execute(spark,
+        s"OPTIMIZE $n ZORDER BY (o_custkey, o_orderkey) " +
+          s"WHERE o_custkey BETWEEN 1 AND ${ck / 8}")
+      val c = TxnTable.commits(t).last
+      require(c.op == "compact:zscope",
+        s"a scoped re-cluster is its own commit kind, got ${c.op}")
+      require(c.removes.map(base).toSet == expected,
+        s"rewrite set must be exactly the box-intersecting files: " +
+          s"${c.removes.size} vs ${expected.size}")
+      require((before -- c.removes.toSet)
+        .subsetOf(TxnTable.snapshotFiles(t).toSet),
+        "every file outside the box must survive untouched")
+      require(v == TxnTable.currentVersion(t))
+      // tightness: the band read over the re-packed box is within one
+      // bin of a freshly FULL-re-clustered twin at equal content
+      TxnTable.cloneShallow(spark, t, d + "/twin")
+      TxnTable.compactClustered(spark, d + "/twin",
+        col("o_custkey"), col("o_orderkey"), 8 + c.adds.size)
+      val f0 = graft.crawler.SkippingIndex.footerReads.get()
+      def band(path: String) = TxnTable.readPrunedBox(spark, path,
+        "o_custkey", 1L, ck / 8, "o_orderkey", 1L, 2 * kx)
+      val pt = band(t)
+      val pf = band(d + "/twin")
+      val (ct2, cf) = (pt.count(), pf.count())
+      require(ct2 == cf && ct2 > 0,
+        s"band reads must agree at equal content: $ct2 vs $cf")
+      require(pt.inputFiles.length <= pf.inputFiles.length + c.adds.size,
+        s"scoped prune (${pt.inputFiles.length} files) must be within " +
+          s"one bin of the full twin's (${pf.inputFiles.length} + " +
+          s"${c.adds.size})")
+      require(pt.inputFiles.length < TxnTable.snapshotFiles(t).size,
+        "the band must prune a strict subset")
+      require(graft.crawler.SkippingIndex.footerReads.get() == f0,
+        "box pruning must stay zero-footer")
+      // an empty box no-ops at the unchanged head
+      require(GraftSql.execute(spark,
+        s"OPTIMIZE $n ZORDER BY (o_custkey, o_orderkey) " +
+          "WHERE o_custkey BETWEEN -10 AND -1") == v &&
+        TxnTable.currentVersion(t) == v,
+        "an empty box must no-op")
+      // chain coherence: the zscope outputs are clustered, the
+      // OUTSIDE-box tail file is still tail — the next bare ZORDER
+      // folds exactly it
+      val tail = TxnTable.clusterTailInfo(t).get.tailFiles.toSet
+      require(tail == outsideTail,
+        s"the outside-box file must keep tail status: $tail")
+      GraftSql.execute(spark, s"OPTIMIZE $n ZORDER")
+      val cz = TxnTable.commits(t).last
+      require(cz.op == "compact:cluster" &&
+        cz.removes.toSet == outsideTail,
+        "the next bare ZORDER must fold exactly the outside-box tail")
+      TxnTable.read(spark, t)
+        .groupBy(((col("o_orderkey") - 1) / kx).cast("long")
+          .as("tranche"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("ps"),
+          sum(col("o_custkey")).as("cs"))
+        .orderBy(col("tranche"))
+    } finally GraftSql.unregister(n)
+  }
+
   /** S64: INCREMENTAL RE-CLUSTER — the property-driven `OPTIMIZE t
     * ZORDER` folds ONLY the un-clustered tail (files added since the
     * last cluster commit, found from log metadata) into the persisted
@@ -2089,6 +2194,7 @@ object SqlDmlQueries {
     "s62b_mv_incremental" -> (s62bMvIncremental _),
     "s62c_mv_join_incremental" -> (s62cMvJoinIncremental _),
     "s64_zorder_tail" -> (s64ZorderTail _),
+    "s69_zorder_where" -> (s69ZorderWhere _),
     "s65_log_cbo" -> (s65LogCbo _),
     "s68_cbo_histogram" -> (s68CboHistogram _),
     "s66_nested_alter" -> (s66NestedAlter _),
@@ -2342,6 +2448,27 @@ object SqlDmlQueries {
     // banded aggregate over base ∪ three shifted tranches — the
     // layout work (tail-only rewrite, bulk survival, prune tightness,
     // zero footers) is asserted in-run; this pins the served values
+    // tranche aggregate over base ∪ low-band(+kx,+1) ∪ high-band
+    // (+2kx,+2) — the layout work (exact box rewrite set, outside-box
+    // survival, prune parity, chain coherence) is asserted in-run
+    "s69_zorder_where" ->
+      """WITH b AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS kx,
+        |    CAST(max(o_custkey) AS BIGINT) AS ck FROM orders),
+        |base AS (SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders),
+        |al AS (SELECT * FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey + b.kx, o_custkey, pc + 1
+        |  FROM base, b WHERE o_custkey <= b.ck//8
+        |  UNION ALL
+        |  SELECT o_orderkey + 2 * b.kx, o_custkey, pc + 2
+        |  FROM base, b WHERE o_custkey > 7 * b.ck//8)
+        |SELECT (o_orderkey - 1)//b.kx AS tranche,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS ps,
+        |  CAST(sum(o_custkey) AS BIGINT) AS cs
+        |FROM al, b GROUP BY 1 ORDER BY tranche""".stripMargin,
     "s64_zorder_tail" ->
       """WITH b AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS kx,
         |                  CAST(max(o_custkey) AS BIGINT) AS ck

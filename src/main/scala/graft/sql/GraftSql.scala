@@ -263,10 +263,24 @@ object GraftSql {
               wLo.toLong, wHi.toLong, tb)
             case None => TxnTable.binPack(spark, reg.path, tb)
           }
-        case Some(_) if wCol != null =>
-          throw new IllegalArgumentException(
-            "OPTIMIZE ZORDER BY re-clusters the WHOLE snapshot — it " +
-              "cannot be combined with a WHERE scope")
+        // SCOPED re-cluster: `… ZORDER [BY (a,b)] WHERE col BETWEEN
+        // lo AND hi` rewrites ONLY the files whose logged range on
+        // the WHERE column intersects the box (zero footer reads to
+        // pick the set), proportional width, everything outside the
+        // box untouched — the re-pack-the-hot-band verb. Explicit
+        // 1-column ZORDER BY stays rejected (that's range
+        // clustering); the bare property-driven form accepts a
+        // 1-column layout like everywhere else.
+        case Some(cols) if wCol != null =>
+          require(zorder == null || cols.length >= 2,
+            "OPTIMIZE ZORDER BY takes 2 or 3 columns — a 1-column " +
+              "layout is range clustering (CTAS CLUSTER BY)")
+          require(cols.length <= 3,
+            s"OPTIMIZE ZORDER BY takes 2 or 3 columns, got ${cols.length}")
+          TxnTable.compactClusteredWhere(spark, reg.path,
+            cols.map(c => org.apache.spark.sql.functions.col(c)),
+            wCol, wLo.toLong, wHi.toLong,
+            zTargetFiles(reg, if (cols.length == 3) 27 else 16))
         // a single PROPERTY-declared cluster column re-clusters by
         // RANGE (the layout createClustered laid out at birth); an
         // explicit 1-column ZORDER BY stays rejected (z-ordering one

@@ -124,4 +124,50 @@ class ZOrderSpec extends SparkSpecBase {
     assert(kept.size < files.size,
       s"3rd-dim prune kept ${kept.size}/${files.size} files")
   }
+
+  test("compactClusteredWhere: box-scoped rewrite, empty box no-op, " +
+    "type fence, tail chain unmoved") {
+    import graft.core.TxnTable
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_zw")
+      .toString + "/t"
+    // 8 clustered files over g ∈ [0, 8000)
+    TxnTable.createClustered(spark, t,
+      (0L until 8000L).map(i => (i, i % 97, s"s$i")).toDF("g", "v", "s"),
+      Seq(col("g"), col("v")), targetFiles = 8) // v0
+    // a tail append outside the box
+    TxnTable.append(spark, t,
+      (9000L until 9100L).map(i => (i, i % 97, s"s$i")).toDF("g", "v", "s"))
+    val outsideTail = TxnTable.commits(t).last.adds.map(_.path).toSet
+    val n = (0L until 8000L).size + 100
+    // scope to the low quarter: only intersecting files rewrite
+    val expected = TxnTable.readPruned(spark, t, "g", 0L, 1999L)
+      .inputFiles.map(_.split('/').last).toSet
+    val v = TxnTable.compactClusteredWhere(spark, t,
+      Seq(col("g"), col("v")), "g", 0L, 1999L, targetFiles = 8)
+    val c = TxnTable.commits(t).last
+    assert(c.op == "compact:zscope")
+    assert(c.removes.map(_.split('/').last).toSet == expected)
+    assert(TxnTable.read(spark, t).count() == n,
+      "content must be unchanged by a layout-only rewrite")
+    // the zscope outputs are clustered; the outside-box append keeps
+    // tail status — the chain baseline did not move
+    assert(TxnTable.clusterTailInfo(t).get.tailFiles.toSet == outsideTail)
+    // empty box → unchanged head
+    assert(TxnTable.compactClusteredWhere(spark, t,
+      Seq(col("g"), col("v")), "g", -100L, -1L) == v)
+    // non-integral WHERE column refuses loudly
+    intercept[IllegalArgumentException] {
+      TxnTable.compactClusteredWhere(spark, t,
+        Seq(col("g"), col("v")), "s", 0L, 10L)
+    }
+    // the statement twin: explicit 1-column ZORDER BY stays rejected
+    // even with a WHERE scope
+    val nm = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.sql.GraftSql.register(nm, t)
+    try intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.execute(spark,
+        s"OPTIMIZE $nm ZORDER BY (g) WHERE g BETWEEN 0 AND 10")
+    } finally graft.sql.GraftSql.unregister(nm)
+  }
 }
