@@ -765,6 +765,52 @@ object CorpusQueries {
     out
   }
 
+  /** L51: `MIX t ON doc_id BY source WEIGH <expr> BUDGETS (…)` — the
+    * l47 token-budgeted mixing as STATEMENT TEXT, rows out through
+    * query(): the deterministic greedy per-source prefix whose WEIGH
+    * sum stays within each source's budget. In-run: statement kept
+    * set ≡ the API call's (count + id sum per source); execute()
+    * refuses with the rows-out redirect. Oracle replays the l47
+    * ordered-cumsum prefix. */
+  def l51MixStatement(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_l51").toString
+    val docs = Lake.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val t = s"$d/docs"
+    graft.core.TxnTable.create(spark, t, docs)
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.sql.GraftSql.register(n, t)
+    try {
+      val tok = size(split(col("text"), " ")).cast("long")
+      val budgets = docs.groupBy(col("source"))
+        .agg((sum(tok) / 3).cast("long").as("b")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val clause = budgets.toSeq.sorted
+        .map { case (s, b) => s"'$s' = $b" }.mkString(", ")
+      val stmt = s"MIX $n ON doc_id BY source " +
+        s"WEIGH size(split(text, ' ')) BUDGETS ($clause)"
+      val kept = graft.sql.GraftSql.query(spark, stmt)
+      // statement ≡ API, per source
+      def pin(df: DataFrame): Map[String, (Long, Long)] =
+        df.groupBy(col("source"))
+          .agg(count(lit(1)), sum(col("doc_id"))).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      require(pin(kept) == pin(graft.operators.Curation.tokenBudgetMix(
+        docs, col("doc_id"), "source", tok, budgets)),
+        "MIX statement must keep exactly the API call's rows")
+      // rows out: execute() redirects loudly
+      val redirected =
+        try { graft.sql.GraftSql.execute(spark, stmt); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("query()") }
+      require(redirected, "execute(MIX) must redirect to query()")
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("kept"), sum(tok).as("kept_tokens"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"))
+    } finally graft.sql.GraftSql.unregister(n)
+  }
+
   /** L45: per-document unigram surprisal — the cheap novelty/quality
     * signal before anything model-based: high = corpus-rare tokens
     * (novel or noisy), low = boilerplate; curation samples or drops
@@ -1108,6 +1154,7 @@ object CorpusQueries {
     "l43_url_canon_dedup" -> (l43UrlCanonDedup _),
     "l44_hash_split" -> (l44HashSplit _),
     "l47_token_budget_mix" -> (l47TokenBudgetMix _),
+    "l51_mix_statement" -> (l51MixStatement _),
     "l45_surprisal" -> (l45Surprisal _),
     "l19_sparse_cosine" -> (l19SparseCosine _),
     "l20_mixture" -> (l20Mixture _),
@@ -1471,6 +1518,24 @@ object CorpusQueries {
     // replayed as a straightforward ordered cumsum (the engine-side
     // two-pass bucket thresholds are an execution strategy, not a
     // semantic — kept sets must match doc-for-doc via id_sum)
+    // the statement twin keeps the SAME prefix as l47 — its oracle
+    // replayed verbatim
+    "l51_mix_statement" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |bud AS (SELECT source, CAST(sum(tok) AS BIGINT)//3 AS budget
+        |        FROM d GROUP BY source),
+        |c AS (SELECT d.source, d.doc_id, d.tok, bud.budget,
+        |    sum(tok) OVER (PARTITION BY d.source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d JOIN bud USING (source))
+        |SELECT source, CAST(count(*) AS BIGINT) AS kept,
+        |  CAST(sum(tok) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM c WHERE cum <= budget
+        |GROUP BY source ORDER BY source""".stripMargin,
     "l47_token_budget_mix" ->
       """WITH d AS (SELECT source, doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,

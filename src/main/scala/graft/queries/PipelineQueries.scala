@@ -80,6 +80,97 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** L49: `DEDUP t USING MINHASH (text) ON doc_id [KEEP BY expr]` —
+    * the near-dup dedup as STATEMENT TEXT (the s34 statement≡API twin
+    * pattern): the verb overwrites the registered table with the
+    * banded-LSH survivors in one atomic `dedup:minhash` commit.
+    * In-run: the statement's survivor set equals the API call's
+    * (count + id checksum) for BOTH the default min-id survivor and
+    * the KEEP BY argmax form; oracle replays the l38 kept set. */
+  def l49DedupStatement(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_l49").toString
+    val docs = Lake.table(spark, dir, "documents")
+    def mkTbl(suffix: String): (String, String) = {
+      val t = s"$d/docs_$suffix"
+      graft.core.TxnTable.create(spark, t, docs)
+      val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.sql.GraftSql.register(n, t)
+      (t, n)
+    }
+    def pin(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("doc_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (t1, n1) = mkTbl("minid")
+    val (t2, n2) = mkTbl("keepby")
+    try {
+      // default: min-id survivor ≡ the API call
+      val v = graft.sql.GraftSql.execute(spark,
+        s"DEDUP $n1 USING MINHASH (text) ON doc_id")
+      require(v == 1L &&
+        graft.core.TxnTable.commits(t1).last.op == "dedup:minhash",
+        "DEDUP must land as one dedup:minhash commit")
+      require(pin(graft.core.TxnTable.read(spark, t1)) ==
+        pin(Dedup.minHashDedup(docs, "text", "doc_id")),
+        "statement survivors must equal the API call's")
+      // KEEP BY: argmax-quality survivor ≡ the API call
+      graft.sql.GraftSql.execute(spark,
+        s"DEDUP $n2 USING MINHASH (text) ON doc_id " +
+          "KEEP BY length(text)")
+      require(pin(graft.core.TxnTable.read(spark, t2)) ==
+        pin(Dedup.minHashDedupBy(docs, "text", "doc_id",
+          length(col("text")))),
+        "KEEP BY survivors must equal the API call's")
+      graft.core.TxnTable.read(spark, t1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("source"))
+    } finally {
+      graft.sql.GraftSql.unregister(n1)
+      graft.sql.GraftSql.unregister(n2)
+    }
+  }
+
+  /** L50: `quality_filter('t')` — the l46 model-based quality filter
+    * as a TABLE-VALUED FUNCTION: the table's rows with logit >
+    * threshold (default 0) and the logit exposed as `quality_logit`,
+    * composable under any SELECT. In-run: TVF output ≡ the API
+    * projection (count + logit mass), threshold form monotone.
+    * Oracle replays the kept-class aggregate with the identical
+    * integer logit. */
+  def l50QualityTvf(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_l50").toString
+    val docs = Lake.table(spark, dir, "documents")
+    val t = s"$d/docs"
+    graft.core.TxnTable.create(spark, t, docs)
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.sql.GraftSql.register(n, t)
+    try {
+      val out = graft.sql.GraftSql.query(spark,
+        s"""SELECT lang, count(*) AS cnt,
+           |  sum(quality_logit) AS logit_sum
+           |FROM quality_filter('$n') GROUP BY lang
+           |ORDER BY lang""".stripMargin)
+      // statement ≡ API: same kept rows, same logit mass
+      val api = docs.select(col("lang"),
+          TextFunctions.qualityLogitMicro(col("text")).as("ql"))
+        .filter(col("ql") > 0)
+        .agg(count(lit(1)), sum(col("ql"))).head()
+      val got = out.agg(sum(col("cnt")), sum(col("logit_sum"))).head()
+      require(got.getLong(0) == api.getLong(0) &&
+        got.getLong(1) == api.getLong(1),
+        "the TVF must keep exactly the API's rows")
+      // an explicit threshold keeps a (non-trivial) subset
+      val hi = graft.sql.GraftSql.query(spark,
+        s"SELECT count(*) AS c FROM quality_filter('$n', 'text', " +
+          "200000)").head().getLong(0)
+      require(hi > 0 && hi < api.getLong(0),
+        s"a higher threshold must keep a strict non-empty subset: $hi")
+      out
+    } finally graft.sql.GraftSql.unregister(n)
+  }
+
   /** L2: SimHash near-dup pairs (hamming ≤ 3 over 60-bit signatures),
     * aggregated the same way. Fully deterministic (md5-derived hashes) —
     * oracle-exact: DuckDB recomputes the identical 60-bit signatures from
@@ -644,6 +735,8 @@ object PipelineQueries {
     "l2_minhash_pairs"   -> (l2MinhashPairs _),
     "l38_neardup_dedup"  -> (l38NeardupDedup _),
     "l48_quality_survivor" -> (l48QualitySurvivor _),
+    "l49_dedup_statement" -> (l49DedupStatement _),
+    "l50_quality_tvf"    -> (l50QualityTvf _),
     "l2_simhash_pairs"   -> (l2SimhashPairs _),
     "l2_jaccard_top_pairs" -> (l2JaccardTopPairs _),
     "l1_dup_groups"      -> (l1DupGroups _),
@@ -995,6 +1088,69 @@ object PipelineQueries {
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM losers)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // the statement twin keeps the SAME survivors as l38 — the oracle
+    // is that gate's recursive-CC replay verbatim
+    "l49_dedup_statement" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_transform(range(1, len(w)-1),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS s
+        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |m AS (
+        |  SELECT doc_id, i,
+        |    list_min(list_transform(s, x ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split_regex(substr(md5(i||':'||x),1,15), ''),
+        |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |        (a, b) -> a*16 + b))) AS mn
+        |  FROM sh, range(0,12) t(i)),
+        |sig AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM m GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b,
+        |    array_to_string(list_slice(sig, b*3+1, b*3+3), ',') AS key
+        |  FROM sig, range(0,4) t(b)),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS a, e.doc_id AS b
+        |  FROM banded a JOIN banded e
+        |  ON a.b = e.b AND a.key = e.key AND a.doc_id < e.doc_id),
+        |e2 AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |v AS (SELECT DISTINCT src AS id FROM e2),
+        |r(id, l) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT e2.dst, r.l FROM r JOIN e2 ON e2.src = r.id),
+        |cc AS (SELECT id, min(l) AS canonical FROM r GROUP BY id),
+        |losers AS (SELECT id FROM cc WHERE id <> canonical)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS kept,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS id_checksum
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM losers)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // the TVF keeps the logit>0 class with the identical integer logit
+    "l50_quality_tvf" ->
+      """WITH f AS (SELECT lang,
+        |    CAST(length(text) AS BIGINT) AS lc,
+        |    greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS t,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      w -> list_contains(['the','and','of','to','a','in','is',
+        |                          'it','that','for'], w))) AS BIGINT) AS st,
+        |    CAST(length(regexp_replace(text, '[\pL\pN\s]', '', 'g'))
+        |      AS BIGINT) AS pu,
+        |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+        |      AS BIGINT) AS up
+        |  FROM documents),
+        |g AS (SELECT lang,
+        |    (-260000
+        |     + 3 * ((1000000 * st) // t)
+        |     - 2 * ((1000000 * pu) // greatest(lc, 1))
+        |     - 2 * ((1000000 * up) // greatest(lc, 1))
+        |     + 900 * least(t, 500)
+        |     - 150 * abs((1000 * lc) // t - 5500)) AS logit
+        |  FROM f)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(logit) AS BIGINT) AS logit_sum
+        |FROM g WHERE logit > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "l2_simhash_pairs" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |h AS (SELECT doc_id,

@@ -158,6 +158,16 @@ object GraftSql {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+""" + Ident +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val DedupRe =
+    ("""(?is)^\s*DEDUP\s+""" + Ident +
+      """\s+USING\s+MINHASH\s*\(\s*`?(\w+)`?\s*\)""" +
+      """\s+ON\s+`?(\w+)`?""" +
+      """(?:\s+KEEP\s+BY\s+(.+?))?\s*;?\s*$""").r
+  private val MixRe =
+    ("""(?is)^\s*MIX\s+""" + Ident +
+      """\s+ON\s+`?(\w+)`?\s+BY\s+`?(\w+)`?""" +
+      """\s+WEIGH\s+(.+?)""" +
+      """\s+BUDGETS\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
   private val AnalyzeHistRe =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+""" + Ident +
       """\s+COMPUTE\s+HISTOGRAM\s*\(\s*([^)]+?)\s*\)""" +
@@ -340,6 +350,9 @@ object GraftSql {
     case VacuumDryRe(_, _) => throw new IllegalArgumentException(
       "VACUUM … DRY RUN returns rows — run it through query()")
 
+    case MixRe(_, _, _, _, _) => throw new IllegalArgumentException(
+      "MIX returns rows — run it through query()")
+
     case VacuumRe(name, hours) =>
       val (reg, _) = lookup(parseIdent(name))
       (Option(hours) match {
@@ -473,6 +486,31 @@ object GraftSql {
     // load exactly once. A bare batch-id high-water could not do
     // that: restarted ids ≤ the old high-water would silently skip
     // the new files forever.
+    // DEDUP t USING MINHASH (text) ON doc_id [KEEP BY <expr>]: the
+    // near-dup dedup pipeline as a lakehouse verb — survivors come
+    // from the banded MinHash-LSH pipeline (shingle → minhash → band
+    // buckets → connected components; never all-pairs at any size)
+    // and OVERWRITE the table in one atomic `dedup:minhash` commit.
+    // The survivor per component is the min-id copy by default; KEEP
+    // BY keeps the argmax of a row-local expression (ties toward the
+    // lowest id) — the keep-the-best-duplicate rule real pipelines
+    // run, e.g. KEEP BY the quality logit.
+    case DedupRe(name, textCol, idCol, keepBy) =>
+      val (reg, _) = lookupMutable(parseIdent(name), "DEDUP")
+      val df = TxnTable.read(spark, reg.path)
+      val kept = Option(keepBy) match {
+        case None =>
+          graft.operators.Dedup.minHashDedup(df, textCol, idCol)
+        case Some(exprText) =>
+          val e = spark.sessionState.sqlParser.parseExpression(exprText)
+          require(e.find {
+            case _: SubqueryExpression => true; case _ => false
+          }.isEmpty, "DEDUP … KEEP BY must be a row-local expression")
+          graft.operators.Dedup.minHashDedupBy(df, textCol, idCol,
+            Bridge.column(e))
+      }
+      TxnTable.overwrite(spark, reg.path, kept, op = "dedup:minhash")
+
     // ANALYZE TABLE t COMPUTE HISTOGRAM (a, b) [BINS n]: the one
     // explicitly user-invoked statistics SCAN in the engine — builds
     // per-column equi-height histograms and persists them as a
@@ -1791,6 +1829,28 @@ object GraftSql {
     * temp views mix freely in one statement. */
   def query(spark: SparkSession, sqlText: String): DataFrame =
     sqlText match {
+      // MIX t ON id BY source WEIGH <tokens-expr> BUDGETS ('web'=N,
+      // 'code'=M): token-budgeted corpus mixing as a statement — the
+      // rows of the greedy deterministic per-source prefix whose
+      // WEIGH sum stays within each source's budget (the l47
+      // operator verbatim: two-pass bucket thresholds, only the
+      // boundary bucket through a window, unbudgeted sources
+      // dropped). Rows out → query, not execute.
+      case MixRe(name, idCol, srcCol, weighExpr, budgetsRaw) =>
+        val (reg, _) = lookup(parseIdent(name))
+        val e = spark.sessionState.sqlParser.parseExpression(weighExpr)
+        require(e.find {
+          case _: SubqueryExpression => true; case _ => false
+        }.isEmpty, "MIX … WEIGH must be a row-local expression")
+        val budgets = """'([^']*)'\s*=\s*(\d+)""".r
+          .findAllMatchIn(budgetsRaw)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+        require(budgets.nonEmpty,
+          "MIX needs BUDGETS ('source' = tokens, …)")
+        graft.operators.Curation.tokenBudgetMix(
+          TxnTable.read(spark, reg.path),
+          org.apache.spark.sql.functions.col(idCol), srcCol,
+          Bridge.column(e), budgets)
       // the audit surface as a statement (rows out → query, not execute)
       case HistoryRe(name) =>
         TxnTable.history(spark, lookup(parseIdent(name))._1.path)
@@ -2100,6 +2160,40 @@ object GraftSql {
           strLit(tvf.functionArgs.head, "table name"))
         SubqueryAlias("table_history",
           TxnTable.history(spark, path).queryExecution.logical)
+      // quality_filter('t'[, 'textCol'[, threshold]]) — the l46
+      // model-based quality filter as a table-valued function: the
+      // table's rows whose integer quality logit exceeds the
+      // threshold (default 0), the logit exposed as a
+      // `quality_logit` column. One codegen projection over the scan
+      // — zero UDF, zero shuffle, composes with any SELECT on top.
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.last.equalsIgnoreCase("quality_filter") =>
+        val args = tvf.functionArgs
+        require(args.nonEmpty && args.length <= 3,
+          "quality_filter(table[, textCol[, threshold]])")
+        val path = registeredPathByName(strLit(args.head, "table name"))
+        val textCol =
+          if (args.length >= 2) strLit(args(1), "text column") else "text"
+        val thr: Long =
+          if (args.length < 3) 0L
+          else args(2) match {
+            case l: Literal if l.value != null &&
+                (l.dataType == org.apache.spark.sql.types.IntegerType ||
+                  l.dataType == org.apache.spark.sql.types.LongType) =>
+              l.value.toString.toLong
+            case other => throw new IllegalArgumentException(
+              s"quality_filter threshold must be an integer literal, " +
+                s"got $other")
+          }
+        val df = TxnTable.read(spark, path)
+        require(df.columns.exists(_.equalsIgnoreCase(textCol)),
+          s"quality_filter: no column $textCol in $path")
+        val scored = df.withColumn("quality_logit",
+          graft.functions.TextFunctions.qualityLogitMicro(
+            org.apache.spark.sql.functions.col(textCol)))
+          .filter(org.apache.spark.sql.functions
+            .col("quality_logit") > thr)
+        SubqueryAlias("quality_filter", scored.queryExecution.logical)
     }
   }
 

@@ -1586,6 +1586,65 @@ class GraftSqlSpec extends SparkSpecBase {
     } finally GraftSql.unregister(n)
   }
 
+  test("curation statement twins: DEDUP mutates atomically, MIX is " +
+    "rows-out, quality_filter composes; refusals are loud") {
+    import graft.core.TxnTable
+    val d = Files.createTempDirectory("graft_curstmt").toString
+    val t = d + "/docs"
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog today",
+      "the quick brown fox jumps over the lazy dog today",  // dup of 1
+      "an entirely different document about spark engines here",
+      "the quick brown fox jumps over the lazy dog tonight") // near-dup
+    TxnTable.create(spark, t, texts.zipWithIndex
+      .map { case (x, i) => (i.toLong + 1, "web", x) }
+      .toDF("doc_id", "source", "text"))
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    GraftSql.register(n, t)
+    try {
+      // quality_filter: scored column present, threshold literal only
+      val q = GraftSql.query(spark,
+        s"SELECT doc_id, quality_logit FROM quality_filter('$n', " +
+          "'text', -100000000)")
+      assert(q.count() == 4 && q.columns.contains("quality_logit"))
+      intercept[IllegalArgumentException] {
+        GraftSql.query(spark,
+          s"SELECT * FROM quality_filter('$n', 'text', doc_id)").collect()
+      }
+      // MIX: rows out via query(); execute() redirects; WEIGH must be
+      // row-local
+      val kept = GraftSql.query(spark,
+        s"MIX $n ON doc_id BY source WEIGH size(split(text, ' ')) " +
+          "BUDGETS ('web' = 25)")
+      assert(kept.count() > 0 && kept.count() < 4)
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          s"MIX $n ON doc_id BY source WEIGH 1 BUDGETS ('web' = 5)")
+      }
+      intercept[IllegalArgumentException] {
+        GraftSql.query(spark, s"MIX $n ON doc_id BY source " +
+          s"WEIGH (SELECT 1) BUDGETS ('web' = 5)")
+      }
+      // DEDUP: KEEP BY must be row-local; the verb commits once
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, s"DEDUP $n USING MINHASH (text) " +
+          "ON doc_id KEEP BY (SELECT 1)")
+      }
+      val v = GraftSql.execute(spark,
+        s"DEDUP $n USING MINHASH (text) ON doc_id")
+      assert(v == 1L && TxnTable.commits(t).last.op == "dedup:minhash")
+      val ids = TxnTable.read(spark, t).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(3L) && ids.contains(1L) && !ids.contains(2L),
+        s"exact dup must fold to the min id, got $ids")
+      // unregistered targets refuse
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark,
+          "DEDUP no_such_tbl USING MINHASH (text) ON doc_id")
+      }
+    } finally GraftSql.unregister(n)
+  }
+
   test("generalized incremental refresh: avg, multi-column GROUP BY, " +
     "and a five-kind aggregate mix all track a direct recompute") {
     val d = Files.createTempDirectory("graft_mvgen").toString
