@@ -187,11 +187,25 @@ object LakeCrawler {
             logFiles.map(_.getModificationTime).max))
         }
       } else if (isTextIndex(spark, filesystem, st.getPath)) {
-        // C15: one LOGICAL dataset — sized from the whole layout's data
-        // files (postings tree + stats), opened as the postings frame,
-        // and flagged changed whenever an append or compaction rewrites
-        // any part (size/mtime/numFiles keying, like every dataset).
-        val files = deepFiles(filesystem, st.getPath)
+        // C15: one LOGICAL dataset — sized from the layout's LIVE data
+        // dirs (a compacted index serves dot-prefixed generation dirs
+        // behind the CURRENT pointer, which a plain visible walk would
+        // miss entirely), opened as the postings frame, and flagged
+        // changed whenever an append or compaction rewrites any part
+        // (the pointer file's mtime counts, so a pointer-only swap
+        // still keys a change).
+        val roots = {
+          val (lp, ls) = graft.operators.Keywords
+            .liveDirs(st.getPath.toString)
+          Seq(lp, ls).map(new Path(st.getPath, _))
+            .filter(filesystem.exists(_))
+        }
+        val cur = {
+          val c = new Path(st.getPath, "CURRENT")
+          if (filesystem.exists(c)) Seq(filesystem.getFileStatus(c))
+          else Nil
+        }
+        val files = roots.flatMap(deepFiles(filesystem, _)) ++ cur
         if (files.isEmpty) None
         else Some(DatasetInfo(st.getPath.getName, st.getPath.toString,
           "graft-index", files.length, files.map(_.getLen).sum,
@@ -258,7 +272,8 @@ object LakeCrawler {
     // the index's data-shaped face is its postings (term, doc_id, dl,
     // tf, positions, bucket); the stats table is the layout's own
     // metadata, folded by the serving paths, not user data
-    case "graft-index" => spark.read.parquet(s"${info.path}/postings")
+    case "graft-index" => spark.read.parquet(
+      s"${info.path}/${graft.operators.Keywords.liveDirs(info.path)._1}")
     // partition discovery restores `__list` as the assignment column —
     // the layout's data-shaped face is (vec_id, embedding, __list)
     case "graft-ann" => spark.read.parquet(info.path)

@@ -367,6 +367,7 @@ object Keywords {
   /** One tranche of index construction (shared by build and append). */
   private def writeIndexTranche(docs: DataFrame, idCol: String,
       textCol: String, path: String, nBuckets: Int, mode: String): Unit = {
+    val (livePost, liveStats) = liveDirs(path)
     val withDl = docs.select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -385,7 +386,7 @@ object Keywords {
       .repartition(nBuckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
       .write.mode(mode).partitionBy("bucket")
-      .parquet(s"$path/postings")
+      .parquet(s"$path/$livePost")
     // Stats are stored ADDITIVELY — one (n, Σdl) row per tranche —
     // and readers fold the sum. Exactness: dl values are ints, so the
     // sums are exact and Σdl/n is bit-identical to the rescan path's
@@ -393,7 +394,7 @@ object Keywords {
     withDl
       .agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("sum_dl"))
       .withColumn("n_buckets", lit(nBuckets))
-      .write.mode(mode).parquet(s"$path/stats")
+      .write.mode(mode).parquet(s"$path/$liveStats")
     // Explicit layout marker: crawler detection and maintenance routing
     // key on this file, so a user dataset that coincidentally grows a
     // postings/+stats/ shape is never routed through compactIndex's
@@ -415,10 +416,14 @@ object Keywords {
       .collect().map(_.getInt(0)).toSeq.distinct
   }
 
-  /** Test seam: invoked between the two renames of each directory swap
-    * in [[compactIndex]] — the crash window [[recoverIndex]] must heal.
-    * No-op in production. */
-  private[graft] var compactSwapHook: String => Unit = _ => ()
+  /** Test seams for [[compactIndex]]'s two crash windows (both leave
+    * a SERVING index — there is no headless window under the pointer
+    * scheme): [[compactStageHook]] fires after the next generation is
+    * fully staged, before the pointer publish; [[compactPublishHook]]
+    * fires after the pointer flip, before the superseded dirs drop.
+    * No-ops in production. */
+  private[graft] var compactStageHook: () => Unit = () => ()
+  private[graft] var compactPublishHook: () => Unit = () => ()
 
   /** Accept both plain local paths and `file:` URIs for the java.nio
     * parts of the swap (the crawler hands over Hadoop-style URI
@@ -439,34 +444,76 @@ object Keywords {
     Files.deleteIfExists(p)
   }
 
-  /** Heal a [[compactIndex]] run that crashed between its two swap
-    * renames: if `.{name}__old` holds the ONLY copy (live dir missing),
-    * restore it — never delete it blindly; `.{name}__old` alongside a
-    * live dir is a completed swap's debris and is dropped. Idempotent;
-    * called automatically on the next compactIndex, and public so a
-    * supervisor can heal without compacting. (The same recovery
-    * contract as [[graft.crawler.Compactor.compact]].) */
+  /** Current published generation of a compacted index: the CURRENT
+    * pointer's value, or -1 when the index has never been compacted
+    * under the pointer scheme (the plain `postings`/`stats` dirs
+    * serve — every index at build time, and indexes written by the
+    * pre-pointer engine). */
+  private def currentGen(path: String): Long = {
+    val cur = java.nio.file.Paths.get(localPath(path), "CURRENT")
+    if (!java.nio.file.Files.exists(cur)) -1L
+    else new String(java.nio.file.Files.readAllBytes(cur), "UTF-8")
+      .trim.toLong
+  }
+
+  /** The index's LIVE (postings, stats) directory names. A compacted
+    * index serves generation-numbered dirs behind the CURRENT pointer
+    * (published by ONE [[graft.core.Store.putAtomic]] small-object
+    * write — the whole swap, no directory rename anywhere, which is
+    * exactly what an object-store port needs); an uncompacted index
+    * serves the plain names. Every reader and appender resolves
+    * through this. */
+  private[graft] def liveDirs(path: String): (String, String) = {
+    val g = currentGen(path)
+    if (g < 0) ("postings", "stats")
+    else (s".postings__g$g", s".stats__g$g")
+  }
+
+  /** Heal a crashed [[compactIndex]]: drop generation dirs the CURRENT
+    * pointer does not reference (staged-but-never-published, or
+    * superseded-but-not-dropped), drop the plain dirs once a pointer
+    * generation serves, and — legacy, for indexes written by the old
+    * two-rename engine — restore `.{name}__old` when it holds the
+    * ONLY copy. Idempotent; called automatically on the next
+    * compactIndex, and public so a supervisor can heal without
+    * compacting. Under the pointer scheme there is NO headless
+    * window: a crash anywhere leaves a serving generation. */
   def recoverIndex(path: String): Unit = {
     import java.nio.file.{Files, Paths}
+    // legacy two-rename era (pre-pointer indexes only): the sole-copy
+    // restore is a directory move — exempt in the Store seam scan
     Seq("postings", "stats").foreach { name =>
       val live = Paths.get(localPath(path), name)
       val old = Paths.get(localPath(path), s".${name}__old")
       if (Files.exists(old) && !Files.exists(live)) Files.move(old, live)
       else if (Files.exists(old)) rmTree(old)
     }
-    // Stale staging from a crashed compaction is always safe to drop:
-    // a swap only ever consumes a FULLY staged directory, and the live
-    // dirs are complete once the __old handling above ran.
     val root = Paths.get(localPath(path))
     if (Files.isDirectory(root)) {
+      val g = currentGen(path)
       val s = Files.list(root)
       try {
         val it = s.iterator()
         while (it.hasNext) {
           val p = it.next()
-          if (p.getFileName.toString.startsWith(".graft_idx_stage")) rmTree(p)
+          val nm = p.getFileName.toString
+          // stale legacy staging is always safe to drop: a publish
+          // only ever consumes a FULLY staged generation
+          if (nm.startsWith(".graft_idx_stage")) rmTree(p)
+          // unreferenced generations: a crash before the pointer
+          // write (never published) or after it (superseded)
+          else if (nm.startsWith(".postings__g") &&
+            nm.stripPrefix(".postings__g") != g.toString) rmTree(p)
+          else if (nm.startsWith(".stats__g") &&
+            nm.stripPrefix(".stats__g") != g.toString) rmTree(p)
         }
       } finally s.close()
+      // the pre-pointer plain dirs, once a generation serves (a crash
+      // after the first publish, before their drop)
+      if (g >= 0) {
+        rmTree(root.resolve("postings"))
+        rmTree(root.resolve("stats"))
+      }
     }
   }
 
@@ -480,47 +527,46 @@ object Keywords {
     * appenders (the TxnTable-committed variant, [[TxnIndex.compact]],
     * is the mutable-corpus shape).
     *
-    * Crash safety: each directory is staged fully, then swapped with
-    * two renames (live → `.{name}__old`, staged → live). A crash
-    * between them leaves `.{name}__old` holding the only copy, and
-    * [[recoverIndex]] — run automatically at the next compact — puts
-    * it back; no window deletes the sole copy of anything
-    * (spec-pinned via [[compactSwapHook]]).
+    * Crash safety — the Store-mediated staged publish: the next
+    * generation (`.postings__g<n>`, `.stats__g<n>`) is written fully,
+    * then BOTH directories flip together with ONE atomic small-object
+    * write of the CURRENT pointer ([[graft.core.Store.putAtomic]]).
+    * There is no headless window and no directory rename anywhere —
+    * the swap ports to an object store as a single PUT. A crash
+    * before the pointer write leaves the live generation serving and
+    * an orphaned staged generation; after it, orphaned superseded
+    * dirs; [[recoverIndex]] drops both kinds (spec-pinned via
+    * [[compactStageHook]]/[[compactPublishHook]]).
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    recoverIndex(path) // heal any previous crashed swap first
+    import java.nio.file.Paths
+    recoverIndex(path) // drop any previous crash's orphans first
+    val (livePost, liveStats) = liveDirs(path)
     val (_, nBuckets) = indexStats(spark, path)
-    // Stage INSIDE the index's own directory: both swap renames are
-    // then same-filesystem atomic moves. Staging under java.io.tmpdir
-    // broke deployments where the index lives on another filesystem —
-    // the cross-filestore move of a non-empty directory throws AFTER
-    // live → __old already happened, leaving the index headless until
-    // a recover. Dot-prefixed so readers and the crawler skip it.
-    val stagedRoot = Files.createTempDirectory(
-      Paths.get(localPath(path)), ".graft_idx_stage")
-    val staged = stagedRoot.toString
-    spark.read.schema(postingsSchema).parquet(s"$path/postings")
+    val gen = currentGen(path) + 1
+    // stage the next generation INSIDE the index's own directory
+    // (dot-prefixed: readers resolve through the pointer, the crawler
+    // skips hidden names)
+    val stagedPost = s".postings__g$gen"
+    val stagedStats = s".stats__g$gen"
+    spark.read.schema(postingsSchema).parquet(s"$path/$livePost")
       .repartition(nBuckets, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$staged/postings")
-    spark.read.parquet(s"$path/stats")
+      .parquet(s"$path/$stagedPost")
+    spark.read.parquet(s"$path/$liveStats")
       .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
       .withColumn("n_buckets", lit(nBuckets))
-      .write.mode("overwrite").parquet(s"$staged/stats")
-    def swap(name: String): Unit = {
-      val live = Paths.get(localPath(path), name)
-      val old = Paths.get(localPath(path), s".${name}__old")
-      Files.move(live, old)
-      compactSwapHook(name) // crash window: old holds the only copy
-      Files.move(Paths.get(staged, name), live)
-      rmTree(old)
-    }
-    swap("postings")
-    swap("stats")
-    rmTree(stagedRoot)
+      .write.mode("overwrite").parquet(s"$path/$stagedStats")
+    compactStageHook() // crash here: live generation untouched
+    // THE swap: one atomic pointer write flips both directories
+    graft.core.Store.putAtomic(
+      Paths.get(localPath(path), "CURRENT"),
+      s"$gen\n".getBytes("UTF-8"))
+    compactPublishHook() // crash here: superseded dirs are orphans
+    rmTree(Paths.get(localPath(path), livePost))
+    rmTree(Paths.get(localPath(path), liveStats))
   }
 
   /** The folded (n, avgdl) stats of a persisted index plus its bucket
@@ -529,7 +575,7 @@ object Keywords {
     * bit-for-bit because dl sums are exact integers. */
   private def indexStats(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, Int) = {
-    val st = spark.read.parquet(s"$path/stats")
+    val st = spark.read.parquet(s"$path/${liveDirs(path)._2}")
     val nb = st.select(col("n_buckets")).head().getInt(0)
     val folded = st
       .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sdl"))
@@ -556,7 +602,8 @@ object Keywords {
       terms: Seq[String]): DataFrame = {
     val (_, nb) = indexStats(spark, path)
     val buckets = termBuckets(spark, terms, nb)
-    spark.read.schema(postingsSchema).parquet(s"$path/postings")
+    spark.read.schema(postingsSchema)
+      .parquet(s"$path/${liveDirs(path)._1}")
       .filter(col("bucket").isInCollection(buckets))
       .filter(col("term").isInCollection(terms))
   }
@@ -588,7 +635,8 @@ object Keywords {
     val buckets = queries
       .select(pmod(xxhash64(col("term")), lit(nb)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val tf = spark.read.schema(postingsSchema).parquet(s"$path/postings")
+    val tf = spark.read.schema(postingsSchema)
+      .parquet(s"$path/${liveDirs(path)._1}")
       .filter(col("bucket").isInCollection(buckets))
       .join(queries.select(col("term")).distinct(), Seq("term"), "left_semi")
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))

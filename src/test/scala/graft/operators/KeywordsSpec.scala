@@ -229,14 +229,15 @@ class KeywordsSpec extends SparkSpecBase {
     // changes nothing served
     val before = rows(Keywords.bm25TopKIndexed(spark, idx2, terms, 15))
     Keywords.compactIndex(spark, idx2)
+    val (livePost, liveStats) = Keywords.liveDirs(idx2)
     def bucketFiles(b: Int): Int = {
-      val d = new java.io.File(s"$idx2/postings/bucket=$b")
+      val d = new java.io.File(s"$idx2/$livePost/bucket=$b")
       if (!d.isDirectory) 0
       else d.listFiles().count(_.getName.endsWith(".parquet"))
     }
     assert((0 until 8).forall(bucketFiles(_) <= 1),
       "compaction left multiple files in a bucket")
-    assert(spark.read.parquet(s"$idx2/stats").count() == 1)
+    assert(spark.read.parquet(s"$idx2/$liveStats").count() == 1)
     assert(rows(Keywords.bm25TopKIndexed(spark, idx2, terms, 15)) === before)
     assert(rows(Keywords.phraseMatchesIndexed(spark, idx2, Seq("a", "b"))
         .orderBy(col("doc_id"))) ===
@@ -244,7 +245,8 @@ class KeywordsSpec extends SparkSpecBase {
         .orderBy(col("doc_id"))))
   }
 
-  test("compactIndex crash mid-swap never loses the index; recovery heals") {
+  test("compactIndex crash windows NEVER leave the index headless; " +
+    "recovery drops orphans only") {
     import spark.implicits._
     val corpus = (0 until 60).map(i =>
       (i.toLong, s"doc $i words alpha beta gamma tail$i")).toDF("doc_id", "text")
@@ -257,26 +259,57 @@ class KeywordsSpec extends SparkSpecBase {
     val terms = Seq("alpha", "tail7")
     val before = Keywords.bm25TopKIndexed(spark, idx, terms, 10)
       .collect().toSeq
-    // kill the compaction INSIDE the postings swap window: live dir has
-    // been renamed away, the staged copy not yet moved in
-    Keywords.compactSwapHook =
-      name => if (name == "postings") sys.error("crash in swap window")
+    def gens(): Set[String] = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.startsWith(".postings__g")).toSet
+    // crash BEFORE the pointer publish: the live generation keeps
+    // serving WITHOUT any recovery step — no headless window exists
+    Keywords.compactStageHook = () => sys.error("crash before publish")
     try intercept[RuntimeException] { Keywords.compactIndex(spark, idx) }
-    finally Keywords.compactSwapHook = _ => ()
-    // the crash window is real (index headless)… but the only copy is
-    // preserved in .postings__old, never deleted
-    assert(!new java.io.File(s"$idx/postings").exists())
-    assert(new java.io.File(s"$idx/.postings__old").isDirectory)
-    // recovery restores the exact pre-compact serving state
+    finally Keywords.compactStageHook = () => ()
+    assert(Keywords.bm25TopKIndexed(spark, idx, terms, 10)
+      .collect().toSeq == before,
+      "a pre-publish crash must leave the index serving, unhealed")
+    assert(gens().nonEmpty, "the orphaned staged generation exists")
     Keywords.recoverIndex(idx)
+    assert(gens().isEmpty, "recovery must drop the unpublished staging")
+    // crash AFTER the pointer flip, before the superseded drop: the
+    // NEW generation serves immediately; old dirs are mere orphans
+    Keywords.compactPublishHook = () => sys.error("crash after publish")
+    try intercept[RuntimeException] { Keywords.compactIndex(spark, idx) }
+    finally Keywords.compactPublishHook = () => ()
+    assert(Keywords.bm25TopKIndexed(spark, idx, terms, 10)
+      .collect().toSeq == before,
+      "a post-publish crash must serve the new generation")
+    assert(new java.io.File(s"$idx/postings").isDirectory,
+      "the superseded plain dirs linger as orphans until recovery")
+    Keywords.recoverIndex(idx)
+    assert(!new java.io.File(s"$idx/postings").exists() &&
+      !new java.io.File(s"$idx/stats").exists(),
+      "recovery must drop the superseded plain dirs")
     assert(Keywords.bm25TopKIndexed(spark, idx, terms, 10)
       .collect().toSeq == before)
-    // and the next compaction (which self-heals first) completes and
-    // still serves the same answers
+    // the next compaction (self-healing first) completes, chains the
+    // generation, and still serves the same answers
     Keywords.compactIndex(spark, idx)
     assert(Keywords.bm25TopKIndexed(spark, idx, terms, 10)
       .collect().toSeq == before)
-    assert(!new java.io.File(s"$idx/.postings__old").exists())
-    assert(!new java.io.File(s"$idx/.stats__old").exists())
+    assert(gens().size == 1, s"exactly one live generation: ${gens()}")
+    // appends land INSIDE the live generation and keep serving
+    Keywords.appendToIndex(
+      (80 until 90).map(i => (i.toLong, s"doc $i alpha tail$i"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    assert(Keywords.bm25TopKIndexed(spark, idx, Seq("tail85"), 3)
+      .count() == 1)
+    // legacy heal: an old-engine index with .postings__old holding the
+    // only copy is restored (the pre-pointer recovery contract)
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft_kwidx_legacy").toString
+    Keywords.buildIndex(corpus, "doc_id", "text", legacy, nBuckets = 4)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(legacy, "postings"),
+      java.nio.file.Paths.get(legacy, ".postings__old"))
+    Keywords.recoverIndex(legacy)
+    assert(Keywords.bm25TopKIndexed(spark, legacy, terms, 10)
+      .count() > 0, "the legacy sole copy must be restored")
   }
 }
