@@ -94,6 +94,16 @@ object GraftSql {
     norm(a) == norm(b)
   }
 
+  // live continuous `COPY INTO … FROM STREAM … TRIGGER INTERVAL`
+  // queries, keyed by (table path | normalized source dir): the
+  // interval statement starts one and returns; STOP COPY INTO ends it
+  private val copyStreams = new ConcurrentHashMap[String,
+    org.apache.spark.sql.streaming.StreamingQuery]()
+
+  private def copyStreamKey(path: String, dir: String): String =
+    path + "|" + java.nio.file.Paths.get(dir)
+      .toAbsolutePath.normalize().toString
+
   /** An `input_file_name()` URI as the absolute local path the
     * ingested-file registry stores (the same spelling the batch
     * formatted COPY INTO records from its directory walk, so the two
@@ -181,7 +191,12 @@ object GraftSql {
     ("""(?is)^\s*COPY\s+INTO\s+""" + Ident +
       """\s+FROM\s+STREAM\s+'([^']+)'""" +
       """(?:\s+FORMAT\s+AS\s+(CSV|JSON|PARQUET))?""" +
-      """(?:\s+CHECKPOINT\s+'([^']+)')?\s*;?\s*$""").r
+      """(?:\s+CHECKPOINT\s+'([^']+)')?""" +
+      """(?:\s+TRIGGER\s+INTERVAL\s+'(\d+)\s+seconds?')?""" +
+      """\s*;?\s*$""").r
+  private val CopyStreamStopRe =
+    ("""(?is)^\s*STOP\s+COPY\s+INTO\s+""" + Ident +
+      """\s+FROM\s+STREAM\s+'([^']+)'\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + Ident +
       """\s+SHALLOW\s+CLONE\s+""" + Ident +
@@ -527,7 +542,19 @@ object GraftSql {
       TxnTable.computeHistogram(spark, reg.path, cols,
         Option(binsRaw).map(_.toInt).getOrElse(64))
 
-    case CopyStreamRe(name, dir, fmt, ckpt) =>
+    // STOP COPY INTO t FROM STREAM '<dir>': end the continuous form;
+    // the checkpoint and the file registry persist, so a later
+    // statement (either trigger form) resumes exactly-once
+    case CopyStreamStopRe(name, dir) =>
+      val (reg, _) = lookupMutable(parseIdent(name), "COPY INTO")
+      val key = copyStreamKey(reg.path, dir)
+      val q = copyStreams.remove(key)
+      require(q != null,
+        s"no continuous COPY INTO stream is running for $dir")
+      q.stop()
+      TxnTable.currentVersion(reg.path)
+
+    case CopyStreamRe(name, dir, fmt, ckpt, ivl) =>
       val (reg, _) = lookupMutable(parseIdent(name), "COPY INTO")
       val schema = org.apache.spark.sql.types.StructType(
         TxnTable.currentSchema(reg.path)
@@ -550,8 +577,16 @@ object GraftSql {
           .option("mode", "FAILFAST").csv(dir)
         case "json" => reader.option("mode", "FAILFAST").json(dir)
       }
-      val q = src.writeStream.option("checkpointLocation", ckptDir)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val wkey = copyStreamKey(reg.path, dir)
+      // single writer per (table, dir): a running continuous query
+      // owns the checkpoint — a second statement must not race it
+      Option(copyStreams.get(wkey)).foreach { running =>
+        if (running.isActive) throw new IllegalArgumentException(
+          s"a continuous COPY INTO stream is already running for " +
+            s"$dir — STOP COPY INTO it first")
+        copyStreams.remove(wkey, running)
+      }
+      val writer = src.writeStream.option("checkpointLocation", ckptDir)
         .foreachBatch {
           (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            id: Long) => {
@@ -577,8 +612,22 @@ object GraftSql {
             ()
           }
         }
-        .start()
-      try q.awaitTermination() finally q.stop()
+      Option(ivl) match {
+        case None =>
+          // the default: ONE AvailableNow pass per statement run
+          val q = writer.trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally q.stop()
+        case Some(sec) =>
+          // TRIGGER INTERVAL 'n seconds': the SAME marker-protected
+          // sink as a long-lived ProcessingTime query — the statement
+          // returns immediately, drops landing in the directory
+          // ingest exactly-once on the interval until STOP COPY INTO;
+          // a later re-issue resumes from the checkpoint + registry
+          val q = writer.trigger(org.apache.spark.sql.streaming
+            .Trigger.ProcessingTime(s"$sec seconds")).start()
+          copyStreams.put(wkey, q)
+      }
       TxnTable.currentVersion(reg.path)
 
     case CopyIntoRe(name, dir, fmt, pat) =>

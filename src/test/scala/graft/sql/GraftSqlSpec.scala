@@ -1922,4 +1922,61 @@ class GraftSqlSpec extends SparkSpecBase {
 
   private def rows2(t: String): Set[(Long, Long)] =
     TxnTable.read(spark, t).as[(Long, Long)].collect().toSet
+
+  test("COPY INTO FROM STREAM TRIGGER INTERVAL: timed drops land " +
+    "exactly-once; STOP + re-issue resumes from the file registry") {
+    val d = Files.createTempDirectory("graft_cpi").toString
+    val t = d + "/t"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t, Seq((1L, 10L)).toDF("id", "v").limit(0))
+    GraftSql.register(n, t)
+    def drop(name: String, lo: Long, hi: Long): Unit =
+      (lo until hi).map(i => (i, i * 10)).toDF("id", "v")
+        .coalesce(1).write.parquet(s"$d/land/$name")
+    def awaitCount(want: Long): Unit = {
+      val deadline = System.nanoTime() + 90L * 1000000000L
+      var got = -1L
+      while (got != want && System.nanoTime() < deadline) {
+        got = TxnTable.read(spark, t).count()
+        if (got != want) Thread.sleep(500)
+      }
+      assert(got == want, s"stream never reached $want rows (at $got)")
+    }
+    val continuous = s"COPY INTO $n FROM STREAM '$d/land' " +
+      "TRIGGER INTERVAL '1 seconds'"
+    try {
+      drop("b1", 0L, 5L)
+      GraftSql.execute(spark, continuous) // returns immediately
+      awaitCount(5L) // first timed drop lands without re-issuing
+      drop("b2", 5L, 10L)
+      awaitCount(10L) // second timed drop lands on the interval
+      // a second statement must not race the running query
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, continuous)
+      }
+      GraftSql.execute(spark, s"STOP COPY INTO $n FROM STREAM '$d/land'")
+      // stopping twice refuses loudly
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, s"STOP COPY INTO $n FROM STREAM '$d/land'")
+      }
+      // after the stop nothing ingests...
+      drop("b3", 10L, 15L)
+      Thread.sleep(2500)
+      assert(TxnTable.read(spark, t).count() == 10L,
+        "a stopped stream must not ingest")
+      // ...and a re-issue (the AvailableNow default) resumes from the
+      // checkpoint + file registry: only b3 loads, exactly once
+      GraftSql.execute(spark, s"COPY INTO $n FROM STREAM '$d/land'")
+      assert(TxnTable.read(spark, t).count() == 15L)
+      assert(rows2(t) == (0L until 15L).map(i => (i, i * 10)).toSet,
+        "each drop must land exactly once across trigger modes")
+      // no duplicate rows ever: every id is unique
+      assert(TxnTable.read(spark, t).select("id").distinct().count() == 15L)
+    } finally {
+      try GraftSql.execute(spark,
+        s"STOP COPY INTO $n FROM STREAM '$d/land'")
+      catch { case _: Exception => () }
+      GraftSql.unregister(n)
+    }
+  }
 }
