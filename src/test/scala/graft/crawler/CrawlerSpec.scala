@@ -147,8 +147,11 @@ class CrawlerSpec extends SparkSpecBase {
     assert(graft.core.TxnTable.read(spark, t).count() == 230)
     assert(graft.core.TxnTable.snapshotFiles(t).size < 35)
     assert(graft.core.TxnTable.commits(t).last.op == "compact")
-    // index: served answers unchanged, tranches folded
-    assert(spark.read.parquet(s"$lake/idx/stats").count() == 1)
+    // index: served answers unchanged, tranches folded (the stats dir
+    // resolves through the CURRENT pointer after a compaction)
+    assert(spark.read.parquet(
+      s"$lake/idx/${graft.operators.Keywords.liveDirs(s"$lake/idx")._2}")
+      .count() == 1)
     assert(graft.operators.Keywords
       .bm25TopKIndexed(spark, s"$lake/idx", Seq("alpha"), 5).count() == 5)
   }

@@ -439,12 +439,13 @@ class GraftSqlSpec extends SparkSpecBase {
         s"OPTIMIZE $n WHERE id BETWEEN 0 AND 10") == 2L)
       assert(TxnTable.snapshotDvs(t).isEmpty &&
         rows(t).map(_._1) == Set(2L, 3L, 4L))
-      // ZORDER cannot carry a WHERE scope
-      val e = intercept[IllegalArgumentException] {
-        GraftSql.execute(spark,
-          s"OPTIMIZE $n ZORDER BY (id, v) WHERE id BETWEEN 0 AND 10")
-      }
-      assert(e.getMessage.contains("cannot be combined"))
+      // ZORDER + WHERE is the SCOPED re-cluster now (s69): it commits
+      // its own compact:zscope op and touches only intersecting files
+      GraftSql.execute(spark,
+        s"OPTIMIZE $n ZORDER BY (id, v) WHERE id BETWEEN 0 AND 10")
+      assert(TxnTable.commits(t).last.op == "compact:zscope")
+      assert(rows(t).map(_._1) == Set(2L, 3L, 4L),
+        "a scoped re-cluster is layout-only")
       // a non-integral scope column is loud, never a silent
       // whole-table fold
       val e2 = intercept[IllegalArgumentException] {
