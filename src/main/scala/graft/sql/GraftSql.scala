@@ -1399,7 +1399,18 @@ object GraftSql {
       valueExprs: Seq[UnresolvedAttribute],
       items: Seq[MvItem],
       cond: Option[Expression],
-      relQuals: Map[String, Set[String]])
+      relQuals: Map[String, Set[String]],
+      having: Option[Expression])
+
+  /** Two unresolved attributes name the same column: identical parts,
+    * or one is the unqualified form of the other. */
+  private def sameAttr(a: UnresolvedAttribute, b: UnresolvedAttribute)
+      : Boolean = {
+    val an = a.nameParts.map(_.toLowerCase)
+    val bn = b.nameParts.map(_.toLowerCase)
+    an == bn || (an.length == 1 && an.head == bn.last) ||
+      (bn.length == 1 && bn.head == an.last)
+  }
 
   private def regNameOf(r: UnresolvedRelation): Option[String] = {
     val full = r.multipartIdentifier.mkString(".").toLowerCase
@@ -1413,13 +1424,16 @@ object GraftSql {
     val plan =
       try spark.sessionState.sqlParser.parsePlan(text)
       catch { case _: Exception => return None }
-    val (groupExprs, aggExprs, child) = plan match {
-      case Aggregate(g, a, c, _) => (g, a, c)
+    val (groupExprs, aggExprs, child, having) = plan match {
+      case Aggregate(g, a, c, _) => (g, a, c, None)
+      case org.apache.spark.sql.catalyst.analysis
+          .UnresolvedHaving(h, Aggregate(g, a, c, _)) =>
+        (g, a, c, Some(h))
       case _ => return None
     }
     // everything below the aggregate is re-executed against delta
-    // rows: no subqueries anywhere (WHERE or join conditions)
-    if (child.expressions.exists(_.find {
+    // rows: no subqueries anywhere (WHERE, HAVING, join conditions)
+    if ((child.expressions ++ having).exists(_.find {
       case _: SubqueryExpression => true; case _ => false }.nonEmpty))
       return None
     val (below, cond) = child match {
@@ -1450,12 +1464,6 @@ object GraftSql {
     val gAttrs = groupExprs.map {
       case a: UnresolvedAttribute => a
       case _ => return None
-    }
-    def sameAttr(a: UnresolvedAttribute, b: UnresolvedAttribute): Boolean = {
-      val an = a.nameParts.map(_.toLowerCase)
-      val bn = b.nameParts.map(_.toLowerCase)
-      an == bn || (an.length == 1 && an.head == bn.last) ||
-        (bn.length == 1 && bn.head == an.last)
     }
     val valueExprs = scala.collection.mutable.ArrayBuffer[UnresolvedAttribute]()
     def vIdx(a: UnresolvedAttribute): Int = {
@@ -1495,7 +1503,7 @@ object GraftSql {
     val outs = items.map(_.out.toLowerCase)
     if (outs.distinct != outs) return None
     Some(MvShape(rels.toSeq, child, gAttrs, valueExprs.toSeq, items,
-      cond, quals.toMap))
+      cond, quals.toMap, having))
   }
 
   /** The marker for an incremental refresh: the CHANGED relation pins
@@ -1540,7 +1548,15 @@ object GraftSql {
     // always correct, and observable: gates assert mode==incremental
     try refreshIncrementalOn(spark, path, shape, fact, recorded(fact),
       cur(fact), recorded, paths)
-    catch { case scala.util.control.NonFatal(_) => None }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        // diagnosable degradation: the full path is always correct,
+        // but an operator hunting a missing "incremental" can surface
+        // the reason without a debugger
+        if (sys.env.contains("GRAFT_MV_DEBUG") ||
+            sys.props.contains("graft.mv.debug")) e.printStackTrace()
+        None
+    }
   }
 
   private def refreshIncrementalOn(spark: SparkSession, path: String,
@@ -1566,7 +1582,8 @@ object GraftSql {
     // groups recompute, pruned). Value pinned to LongType: the fold
     // state is long, and the overwrite must not widen a stored int.
     if (shape.rels.size == 1 && nG == 1 && shape.valueExprs.size == 1 &&
-        kindSet == Set("cnt", "sum", "min", "max")) {
+        kindSet == Set("cnt", "sum", "min", "max") &&
+        shape.having.isEmpty) {
       val schema = TxnTable.read(spark, factPath).schema
       def typOf(c: String) = schema.fields
         .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
@@ -1661,6 +1678,7 @@ object GraftSql {
 
     // ---- FOLD: count/sum only — zero reads beyond the delta --------
     if (kindSet.subsetOf(Set("cnt", "sum")) && kindSet("cnt") &&
+        shape.having.isEmpty &&
         aggItems.forall(a => a.kind != "sum" || integral(vType(a.v)))) {
       // each delta row contributes m to count and v·m to each sum
       // (null v contributes nothing — sum skips nulls exactly like
@@ -1704,6 +1722,55 @@ object GraftSql {
         !integral(vType(a.v)))) return None
     if (aggItems.exists(a => a.v >= 0 && !atomic(vType(a.v))))
       return None
+    // HAVING is sound under carry+recompute: carried rows passed it at
+    // the last refresh and are untouched since; touched groups
+    // re-aggregate and re-apply it (newly-failing groups drop, groups
+    // below the bar stay absent). The condition must resolve onto the
+    // SELECT's own outputs — every aggregate call in it maps to a
+    // SELECT agg item, every attribute to a group column or an agg
+    // alias; anything else falls back to the full recompute.
+    val havingOut: Option[Column] = shape.having match {
+      case None => None
+      case Some(h) =>
+        var ok = true
+        // TOP-DOWN rewrite that never descends into a matched
+        // aggregate call (a bottom-up transform would rewrite the
+        // call's argument attribute first and mistake it for an
+        // unresolvable bare column)
+        def rw(e: Expression): Expression = e match {
+          case f: UnresolvedFunction
+              if f.nameParts.length == 1 && !f.isDistinct &&
+                f.filter.isEmpty =>
+            val kindArg = (f.nameParts.head.toLowerCase,
+                f.arguments) match {
+              case ("count", Seq(Literal(_, _))) => Some(("cnt", -1))
+              case ("count",
+                Seq(_: org.apache.spark.sql.catalyst.analysis.Star)) =>
+                Some(("cnt", -1))
+              case (k @ ("sum" | "min" | "max" | "avg"),
+                  Seq(a: UnresolvedAttribute)) =>
+                val vi = shape.valueExprs.indexWhere(sameAttr(_, a))
+                if (vi >= 0) Some((k, vi)) else None
+              case _ => None
+            }
+            kindArg.flatMap(ka =>
+              aggItems.find(ai => ai.kind == ka._1 && ai.v == ka._2))
+            match {
+              case Some(ai) => UnresolvedAttribute(Seq(ai.out))
+              case None => ok = false; f
+            }
+          case a: UnresolvedAttribute =>
+            val gi = shape.groupExprs.indexWhere(sameAttr(_, a))
+            if (gi >= 0) UnresolvedAttribute(Seq(groupOut(gi)))
+            else if (a.nameParts.length == 1 && shape.items.exists(
+              _.out.equalsIgnoreCase(a.nameParts.head))) a
+            else { ok = false; a }
+          case other => other.mapChildren(rw)
+        }
+        val t = rw(h)
+        if (!ok) return None
+        Some(Bridge.column(t))
+    }
     val vCols = shape.valueExprs.indices.map(i => col(s"__v$i"))
     // net the sides on the full consumed row first: file-scoped CDF
     // pads a narrow rewrite with every untouched row of its file on
@@ -1730,20 +1797,24 @@ object GraftSql {
           (0 until nG).map(i => col(groupOut(i)) <=> col(s"__t$i"))
             .reduce(_ && _), "left_anti")
           .select(outCols: _*)
-        // pruned source read when the group is a single-table
-        // long/string column with no null keys in the touched set;
-        // the exact semi join below keeps any superset read correct
+        // pruned source read when the table is the only relation and
+        // the FIRST group column is long/string with no null keys in
+        // the touched set (a multi-column group prunes on its leading
+        // column — a superset read; the exact semi join below keeps
+        // any superset correct)
         val (srcPlan, recompFiles) =
-          if (shape.rels.size == 1 && nG == 1 &&
+          if (shape.rels.size == 1 &&
               (gType(0) == LongType || gType(0) == StringType) &&
               touchedRows.forall(!_.isNullAt(0))) {
             val gName = shape.groupExprs.head.nameParts.last
             val pruned = gType(0) match {
               case StringType => TxnTable.readPrunedInString(spark,
                 factPath, gName,
-                touchedRows.map(_.getString(0)).toSeq, asOf = toV)
+                touchedRows.map(_.getString(0)).distinct.toSeq,
+                asOf = toV)
               case _ => TxnTable.readPrunedIn(spark, factPath, gName,
-                touchedRows.map(_.getLong(0)).toSeq, asOf = toV)
+                touchedRows.map(_.getLong(0)).distinct.toSeq,
+                asOf = toV)
             }
             (pruned.queryExecution.logical, pruned.inputFiles.toSeq)
           } else {
@@ -1769,9 +1840,11 @@ object GraftSql {
             case MvGroup(g, o) => col(s"__g$g").as(o)
             case a: MvAgg => col(a.out)
           }: _*)
+        val recomputedH =
+          havingOut.map(recomputed.filter).getOrElse(recomputed)
         lastMvRefresh.set(MvRefreshStats("incremental", changedFiles,
           recompFiles, live))
-        carried.unionAll(recomputed)
+        carried.unionAll(recomputedH)
       }
     if (touchedRows.isEmpty)
       lastMvRefresh.set(MvRefreshStats("incremental", changedFiles,

@@ -1702,6 +1702,74 @@ class GraftSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("HAVING-clause MVs refresh incrementally through " +
+    "carry+recompute; unresolvable HAVINGs fall back") {
+    val d = Files.createTempDirectory("graft_mvhav").toString
+    def mode(): String = GraftSql.lastMvRefreshStats.get.mode
+    val t = d + "/src"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t,
+      (1L to 60L).map(i => (i, i % 6, i * 10)).toDF("id", "g", "v"))
+    GraftSql.register(n, t)
+    val defs = Seq(
+      // aggregate call in the HAVING (count(*) maps to the c item)
+      s"SELECT g, count(*) AS c, sum(v) AS sv FROM $n GROUP BY g " +
+        "HAVING count(*) > 8",
+      // alias + group-column references
+      s"SELECT g, count(*) AS c FROM $n GROUP BY g " +
+        "HAVING c > 8 AND g <> 2",
+      // HAVING over an avg also in the SELECT
+      s"SELECT g, avg(v) AS av, count(*) AS c FROM $n GROUP BY g " +
+        "HAVING avg(v) > 250")
+    val mvs = defs.zipWithIndex.map { case (q, i) =>
+      val mv = "ph" + i + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $mv LOCATION '$d/h$i' AS $q")
+      (mv, q, s"$d/h$i")
+    }
+    try {
+      val churn = Seq(
+        // push a group BELOW the bar (g=1: delete most rows)
+        s"DELETE FROM $n WHERE g = 1 AND id > 13",
+        // push a group's avg ACROSS the bar
+        s"UPDATE $n SET v = v + 400 WHERE g = 2",
+        // grow a NEW group past the bar
+        s"INSERT INTO $n VALUES " +
+          (100L to 110L).map(i => s"($i, 9, ${i * 10})").mkString(", "))
+      churn.foreach { stmt =>
+        GraftSql.execute(spark, stmt)
+        mvs.foreach { case (mv, q, p) =>
+          GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+          assert(mode() == "incremental",
+            s"HAVING shape must stay incremental: $q after $stmt")
+          assert(TxnTable.read(spark, p).collect().map(_.toSeq).toSet ==
+            GraftSql.query(spark, q).collect().map(_.toSeq).toSet,
+            s"diverged: $q after $stmt")
+        }
+      }
+      // a HAVING over an aggregate NOT in the SELECT cannot resolve
+      // onto the outputs → the always-correct full path
+      val mvF = "phf" + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      val qf = s"SELECT g, count(*) AS c FROM $n GROUP BY g " +
+        "HAVING max(v) > 100"
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $mvF LOCATION '$d/hf' AS $qf")
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 3")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mvF")
+      assert(mode() == "full", "an unresolvable HAVING must fall back")
+      assert(TxnTable.read(spark, s"$d/hf").collect().map(_.toSeq).toSet
+        == GraftSql.query(spark, qf).collect().map(_.toSeq).toSet)
+      GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mvF")
+    } finally {
+      mvs.foreach { case (mv, _, _) =>
+        try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
+        catch { case _: Exception => () } }
+      GraftSql.unregister(n)
+    }
+  }
+
   test("star-join MV: the changed side's delta folds through the " +
     "pinned other side; two changed sides fall back") {
     val d = Files.createTempDirectory("graft_mvjoin").toString
