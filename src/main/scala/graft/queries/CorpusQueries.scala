@@ -811,6 +811,37 @@ object CorpusQueries {
     } finally graft.sql.GraftSql.unregister(n)
   }
 
+  /** L52: `SPLIT t ON doc_id INTO ('train'=80, 'val'=10, 'test'=10)`
+    * — the l44 deterministic md5 split as STATEMENT TEXT, rows out
+    * through query() with the `split` column appended. In-run:
+    * statement assignment ≡ the API call row-for-row (integer weights
+    * normalize to the same fractions). Oracle replays the l44 bucket
+    * thresholds verbatim. */
+  def l52SplitStatement(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_l52").toString
+    val docs = Lake.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val t = s"$d/docs"
+    graft.core.TxnTable.create(spark, t, docs)
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.sql.GraftSql.register(n, t)
+    try {
+      val stmt = s"SPLIT $n ON doc_id " +
+        "INTO ('train' = 80, 'val' = 10, 'test' = 10)"
+      val out = graft.sql.GraftSql.query(spark, stmt)
+      val api = graft.operators.Curation.assignSplit(docs,
+        col("doc_id"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      require(out.select(col("doc_id"), col("split")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet ==
+        api.select(col("doc_id"), col("split")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet,
+        "statement assignment must equal the API call row-for-row")
+      out.groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("source"), col("split"))
+    } finally graft.sql.GraftSql.unregister(n)
+  }
+
   /** L45: per-document unigram surprisal — the cheap novelty/quality
     * signal before anything model-based: high = corpus-rare tokens
     * (novel or noisy), low = boilerplate; curation samples or drops
@@ -1155,6 +1186,7 @@ object CorpusQueries {
     "l44_hash_split" -> (l44HashSplit _),
     "l47_token_budget_mix" -> (l47TokenBudgetMix _),
     "l51_mix_statement" -> (l51MixStatement _),
+    "l52_split_statement" -> (l52SplitStatement _),
     "l45_surprisal" -> (l45Surprisal _),
     "l19_sparse_cosine" -> (l19SparseCosine _),
     "l20_mixture" -> (l20Mixture _),
@@ -1552,6 +1584,25 @@ object CorpusQueries {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM c WHERE cum <= budget
         |GROUP BY source ORDER BY source""".stripMargin,
+    "l52_split_statement" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)),1,4), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (a, x) -> a*16 + x) AS bucket
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    CASE WHEN bucket < 52429 THEN 'train'
+        |         WHEN bucket < 58982 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    doc_id
+        |  FROM b)
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM f GROUP BY source, split ORDER BY source, split""".stripMargin,
     "l44_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id, source,

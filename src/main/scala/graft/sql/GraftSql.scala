@@ -178,6 +178,12 @@ object GraftSql {
       """\s+ON\s+`?(\w+)`?\s+BY\s+`?(\w+)`?""" +
       """\s+WEIGH\s+(.+?)""" +
       """\s+BUDGETS\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  private val SplitRe =
+    ("""(?is)^\s*SPLIT\s+""" + Ident +
+      """\s+ON\s+`?(\w+)`?\s+INTO\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  private val ShowHistRe =
+    ("""(?is)^\s*SHOW\s+HISTOGRAM\s+""" + Ident +
+      """\s*\(\s*`?(\w+)`?\s*\)\s*;?\s*$""").r
   private val AnalyzeHistRe =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+""" + Ident +
       """\s+COMPUTE\s+HISTOGRAM\s*\(\s*([^)]+?)\s*\)""" +
@@ -1973,6 +1979,41 @@ object GraftSql {
           TxnTable.read(spark, reg.path),
           org.apache.spark.sql.functions.col(idCol), srcCol,
           Bridge.column(e), budgets)
+      // SPLIT t ON id INTO ('train'=80, 'val'=10, 'test'=10):
+      // deterministic md5 train/val/test assignment as a statement —
+      // the table's rows with a `split` column appended (the l44
+      // operator verbatim: a document's split is a pure function of
+      // its id, stable across runs/engines/corpus growth; integer
+      // weights normalize to fractions). Map-side, zero shuffles.
+      case SplitRe(name, idCol, weightsRaw) =>
+        val (reg, _) = lookup(parseIdent(name))
+        val ws = """'([^']*)'\s*=\s*(\d+)""".r
+          .findAllMatchIn(weightsRaw)
+          .map(m => m.group(1) -> m.group(2).toLong).toSeq
+        require(ws.nonEmpty && ws.forall(_._2 > 0),
+          "SPLIT needs INTO ('name' = weight, …) with positive weights")
+        require(ws.map(_._1.toLowerCase).distinct.size == ws.size,
+          "SPLIT names must be distinct")
+        val total = ws.map(_._2).sum.toDouble
+        graft.operators.Curation.assignSplit(
+          TxnTable.read(spark, reg.path),
+          org.apache.spark.sql.functions.col(idCol),
+          ws.map { case (n, w) => n -> w / total })
+      // SHOW HISTOGRAM t (col): the ANALYZE-built equi-height bins as
+      // rows (bin, lo, hi, ndv) straight from the log — observability
+      // for the s68 statistics, zero scans
+      case ShowHistRe(name, c) =>
+        val (reg, _) = lookup(parseIdent(name))
+        val h = TxnTable.properties(reg.path)
+          .get(s"graft.hist.${c.toLowerCase}")
+          .flatMap(parseHistogram)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no histogram for $c — run ANALYZE TABLE " +
+              s"${parseIdent(name).mkString(".")} COMPUTE HISTOGRAM ($c)"))
+        import spark.implicits._
+        h.bins.toSeq.zipWithIndex
+          .map { case (b, i) => (i, b.lo, b.hi, b.ndv) }
+          .toDF("bin", "lo", "hi", "ndv")
       // the audit surface as a statement (rows out → query, not execute)
       case HistoryRe(name) =>
         TxnTable.history(spark, lookup(parseIdent(name))._1.path)

@@ -325,6 +325,19 @@ class LogStatsSpec extends SparkSpecBase {
         graft.sql.GraftSql.execute(spark,
           s"ANALYZE TABLE $n COMPUTE HISTOGRAM (nope)")
       }
+      // SHOW HISTOGRAM: the stored bins as rows, zero scans; an
+      // un-analyzed column refuses with the ANALYZE hint
+      val shown = graft.sql.GraftSql.query(spark,
+        s"SHOW HISTOGRAM $n (id)").collect()
+      assert(shown.length == 4 &&
+        shown.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+      assert(shown.head.getDouble(1) == 1.0 &&
+        shown.last.getDouble(2) == 1000.0,
+        s"bins must cover [min,max]: ${shown.mkString(";")}")
+      val e = intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.query(spark, s"SHOW HISTOGRAM $n (s)")
+      }
+      assert(e.getMessage.contains("ANALYZE TABLE"))
     } finally graft.sql.GraftSql.unregister(n)
   }
 }

@@ -1643,6 +1643,19 @@ class GraftSqlSpec extends SparkSpecBase {
         GraftSql.execute(spark,
           "DEDUP no_such_tbl USING MINHASH (text) ON doc_id")
       }
+      // SPLIT: deterministic assignment, rows out, refusals
+      val sp = GraftSql.query(spark,
+        s"SPLIT $n ON doc_id INTO ('train' = 3, 'test' = 1)")
+      assert(sp.columns.contains("split"))
+      assert(sp.select("split").distinct().collect()
+        .map(_.getString(0)).toSet.subsetOf(Set("train", "test")))
+      intercept[IllegalArgumentException] {
+        GraftSql.query(spark,
+          s"SPLIT $n ON doc_id INTO ('a' = 1, 'a' = 2)") // dup name
+      }
+      intercept[IllegalArgumentException] {
+        GraftSql.query(spark, s"SPLIT $n ON doc_id INTO (garbage)")
+      }
     } finally GraftSql.unregister(n)
   }
 
