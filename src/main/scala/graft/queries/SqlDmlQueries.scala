@@ -1128,9 +1128,10 @@ object SqlDmlQueries {
     * subset of live fact files and ZERO recompute reads (the fold
     * reads only changed fact files + the dim); a DIM update also
     * folds (substitution is symmetric — the dim delta re-joins the
-    * pinned fact); BOTH sides changed since the marker forces the
-    * always-correct full path, which re-records both versions; every
-    * refresh equals an independent full recompute row-for-row.
+    * pinned fact); BOTH sides changed since the marker fold via the
+    * telescoping join expansion (fact Δ ⋈ old dim + new fact ⋈ dim Δ)
+    * with zero recompute reads; every refresh equals an independent
+    * full recompute row-for-row.
     * Oracle replays the joined aggregate with both updates applied. */
   def s62cMvJoinIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = java.nio.file.Files.createTempDirectory("graft_s62c").toString
@@ -1207,7 +1208,10 @@ object SqlDmlQueries {
       require(GraftSql.lastMvRefreshStats.exists(_.mode == "incremental"),
         "a dim-side delta must fold too (substitution is symmetric)")
       parity()
-      // 3) BOTH sides changed → the full path, which re-records both
+      // 3) BOTH sides changed → the telescoping expansion folds each
+      //    side's delta in turn (fact Δ against the OLD dim, then the
+      //    dim Δ against the NEW fact) — still incremental, still
+      //    exact, still zero recompute reads for a count/sum shape
       GraftSql.execute(spark,
         s"UPDATE $fn SET price_c = price_c + 1 " +
           s"WHERE o_custkey > ${3 * ck / 4}")
@@ -1215,8 +1219,11 @@ object SqlDmlQueries {
         s"UPDATE $dn SET c_nationkey = c_nationkey + 1000 " +
           s"WHERE c_custkey = $ck")
       GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m")
-      require(GraftSql.lastMvRefreshStats.exists(_.mode == "full"),
-        "two changed relations must take the full recompute")
+      val st3 = GraftSql.lastMvRefreshStats.get
+      require(st3.mode == "incremental",
+        s"two changed relations must fold telescopically, got ${st3.mode}")
+      require(st3.recomputeFiles.isEmpty,
+        "the two-sided count/sum fold must read nothing beyond the deltas")
       parity()
       GraftSql.query(spark,
         s"SELECT nk, cnt, ps FROM $m ORDER BY nk")

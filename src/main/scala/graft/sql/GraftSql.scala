@@ -1352,13 +1352,14 @@ object GraftSql {
   // An incrementally-maintainable MV — `SELECT <groups, aggregates>
   // FROM fact [JOIN dim ON ...]* [WHERE row-local] GROUP BY <attrs>`
   // over registered txn tables — refreshes at O(changed files), not
-  // O(table). Exactly ONE relation may have changed since the marker
-  // (any one — delta substitution is symmetric); the delta between
-  // its recorded version and the head comes from
-  // [[TxnTable.changedRowSides]] (key-free row multisets scoped to
-  // the files that entered/left the snapshot) and is pushed THROUGH
-  // the MV's own FROM/WHERE subtree with every unchanged relation
-  // pinned at its recorded version and broadcast. Three regimes:
+  // O(table). ANY subset of relations may have changed since the
+  // marker: each changed relation's [[TxnTable.changedRowSides]]
+  // delta (key-free row multisets scoped to the files that
+  // entered/left the snapshot) is pushed THROUGH the MV's own
+  // FROM/WHERE subtree via the telescoping join expansion
+  // (Π new − Π old = Σᵢ new_{<i} ⋈ Δᵢ ⋈ old_{>i}), the other
+  // relations pinned at the expansion's versions and broadcast.
+  // Three regimes:
   //  - count/sum(+WHERE, any group arity, any inner star join) fold
   //    exactly with zero source reads beyond the delta;
   //  - the single-table long/string-group count/sum/min/max tier
@@ -1371,8 +1372,8 @@ object GraftSql {
   //    long/string column) — exact for every kind, including avg
   //    over nullable values, with no derived-state drift.
   // Shapes outside the contract — outer joins, subqueries, DISTINCT
-  // aggregates, expression groups, nondeterministic predicates, more
-  // than one changed relation — fall back to the full recompute,
+  // aggregates, expression groups, nondeterministic predicates —
+  // fall back to the full recompute,
   // which is always correct and re-records every source version.
 
   /** Evidence for gates/specs: what the LAST `REFRESH MATERIALIZED
@@ -1512,17 +1513,23 @@ object GraftSql {
       cond, quals.toMap, having))
   }
 
-  /** The marker for an incremental refresh: the CHANGED relation pins
-    * the version the fold actually consumed (NOT a re-read of the
-    * head — a commit landing mid-refresh must leave the MV stale);
-    * unchanged relations re-record their pinned versions. */
-  private def mvMarkerPinned(rels: Seq[String], fact: String,
-      toV: Long, recorded: Map[String, Long]): String =
+  /** The marker for an incremental refresh: EVERY changed relation
+    * pins the version its delta actually consumed (NOT a re-read of
+    * the head — a commit landing mid-refresh must leave the MV
+    * stale); unchanged relations re-record their pinned versions.
+    * Pinning only one changed relation would replay the others'
+    * deltas AGAIN at the next refresh — double-applied changes. */
+  private def mvMarkerPinned(rels: Seq[String], changed: Seq[String],
+      cur: Map[String, Long], recorded: Map[String, Long]): String =
     "matview:" + rels.sorted.map { s =>
-      s"${jstr(s)}:${if (s == fact) toV else recorded(s)}"
+      s"${jstr(s)}:${if (changed.contains(s)) cur(s) else recorded(s)}"
     }.mkString("{", ",", "}")
 
-  /** Attempt the O(changed-files) refresh; None → caller recomputes. */
+  /** Attempt the O(changed-files) refresh; None → caller recomputes.
+    * ANY subset of relations may have changed since the marker: the
+    * telescoping expansion folds one changed relation's delta at a
+    * time (earlier relations at NEW versions, later at OLD), exact
+    * for signed row multisets under inner joins. */
   private def refreshIncremental(spark: SparkSession, path: String,
       text: String): Option[Long] = {
     val shape = recognizeFoldShape(spark, text).getOrElse(return None)
@@ -1545,15 +1552,14 @@ object GraftSql {
           cur(shape.rels.head)).size))
       return Some(TxnTable.currentVersion(path))
     }
-    if (changed.size > 1) return None
-    val fact = changed.head
-    if (recorded(fact) < TxnTable.earliestVersion(paths(fact)))
+    if (changed.exists(n =>
+        recorded(n) < TxnTable.earliestVersion(paths(n))))
       return None
     // any failure inside the incremental machinery (ambiguous names,
     // unfoldable types discovered late) degrades to the full path —
     // always correct, and observable: gates assert mode==incremental
-    try refreshIncrementalOn(spark, path, shape, fact, recorded(fact),
-      cur(fact), recorded, paths)
+    try refreshIncrementalOn(spark, path, shape, changed, recorded,
+      cur, paths)
     catch {
       case scala.util.control.NonFatal(e) =>
         // diagnosable degradation: the full path is always correct,
@@ -1566,13 +1572,19 @@ object GraftSql {
   }
 
   private def refreshIncrementalOn(spark: SparkSession, path: String,
-      shape: MvShape, fact: String, fromV: Long, toV: Long,
-      recorded: Map[String, Long], paths: Map[String, String])
-      : Option[Long] = {
+      shape: MvShape, changed: Seq[String],
+      recorded: Map[String, Long], cur: Map[String, Long],
+      paths: Map[String, String]): Option[Long] = {
     import org.apache.spark.sql.functions.{avg => favg, broadcast,
       col, count => fcount, lit, max => fmax, min => fmin, sum => fsum}
     import org.apache.spark.sql.types._
+    // evidence anchors on the FIRST changed relation (the fact in the
+    // single-changed case); the marker pins every relation's consumed
+    // version
+    val fact = changed.head
     val factPath = paths(fact)
+    val fromV = recorded(fact)
+    val toV = cur(fact)
     val integral: Set[DataType] =
       Set(ByteType, ShortType, IntegerType, LongType)
     val aggItems = shape.items.collect { case a: MvAgg => a }
@@ -1622,7 +1634,7 @@ object GraftSql {
           case MvAgg(k, _, o) => col(stateName(k)).as(o)
         }: _*)
         val ver = TxnTable.overwrite(spark, path, projected,
-          op = mvMarkerPinned(shape.rels, fact, toV, recorded))
+          op = mvMarkerPinned(shape.rels, changed, cur, recorded))
         lastMvRefresh.set(MvRefreshStats("incremental", changedFiles,
           st.prunedFiles, st.liveFiles))
         return Some(ver)
@@ -1631,26 +1643,32 @@ object GraftSql {
     }
 
     // ---- shared: the delta pushed through the pinned join ----------
-    // unchanged relations read at their RECORDED versions (== current,
-    // checked by the caller) and broadcast-hinted when small, so the
-    // result is exactly consistent at (fact@toV, others@recorded) and
-    // the marker records precisely those versions
-    val pinned = scala.collection.mutable.Map[String, LogicalPlan]()
-    def pinnedPlan(nm: String): LogicalPlan =
-      pinned.getOrElseUpdate(nm, {
-        val df = TxnTable.read(spark, paths(nm), recorded(nm))
-        val (bytes, _, _) =
-          TxnTable.logTableStats(spark, paths(nm), recorded(nm))
+    // The signed delta of the joined relation comes from the
+    // TELESCOPING expansion (joins are bilinear over signed row
+    // multisets):  Π newᵢ − Π oldᵢ = Σᵢ (Π_{j<i} newⱼ) ⋈ Δᵢ ⋈
+    // (Π_{j>i} oldⱼ)  — so ANY number of changed relations folds:
+    // the i-th changed relation's row sides substitute for its leaf
+    // with every EARLIER relation pinned at its NEW version and every
+    // LATER one at its OLD (recorded) version; unchanged relations
+    // are the same either way. Pinned reads are broadcast-hinted when
+    // small; the result is exactly consistent at the marker's
+    // per-relation versions.
+    val pinned = scala.collection.mutable.Map[(String, Long), LogicalPlan]()
+    def pinnedPlan(nm: String, v: Long): LogicalPlan =
+      pinned.getOrElseUpdate((nm, v), {
+        val df = TxnTable.read(spark, paths(nm), v)
+        val (bytes, _, _) = TxnTable.logTableStats(spark, paths(nm), v)
         (if (bytes <= (512L << 20)) broadcast(df) else df)
           .queryExecution.logical
       })
-    def proj(replacement: LogicalPlan): DataFrame = {
+    def proj(replaceRel: String, replacement: LogicalPlan,
+        vOf: String => Long): DataFrame = {
       val substituted = shape.child.transformUp {
         case r: UnresolvedRelation =>
           val nm = regNameOf(r).get
           val short = r.multipartIdentifier.last
-          if (nm == fact) SubqueryAlias(short, replacement)
-          else SubqueryAlias(short, pinnedPlan(nm))
+          if (nm == replaceRel) SubqueryAlias(short, replacement)
+          else SubqueryAlias(short, pinnedPlan(nm, vOf(nm)))
       }
       val list: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
         shape.groupExprs.zipWithIndex.map { case (e, i) =>
@@ -1659,10 +1677,18 @@ object GraftSql {
             Alias(e, s"__v$i")() }
       Bridge.ofRows(spark, Project(list, substituted))
     }
-    val (removedRaw, addedRaw, changedFiles) =
-      TxnTable.changedRowSides(spark, factPath, fromV, toV)
-    val addP = proj(addedRaw.queryExecution.logical)
-    val remP = proj(removedRaw.queryExecution.logical)
+    val idxOf = shape.rels.zipWithIndex.toMap
+    def vOfFor(i: String): String => Long = nm =>
+      if (idxOf(nm) < idxOf(i)) cur(nm) else recorded(nm)
+    val sides = changed.map { nm =>
+      val (rem, add, files) = TxnTable.changedRowSides(spark,
+        paths(nm), recorded(nm), cur(nm))
+      (proj(nm, rem.queryExecution.logical, vOfFor(nm)),
+        proj(nm, add.queryExecution.logical, vOfFor(nm)), files)
+    }
+    val changedFiles = sides.flatMap(_._3).toSet
+    val remP = sides.map(_._1).reduce(_ unionAll _)
+    val addP = sides.map(_._2).reduce(_ unionAll _)
     // re-running the subtree on delta rows requires determinism
     if (addP.queryExecution.analyzed.collectFirst {
       case p if p.expressions.exists(!_.deterministic) => p }.nonEmpty)
@@ -1680,7 +1706,7 @@ object GraftSql {
     if ((0 until nG).exists(i => !atomic(gType(i))))
       return None
     val live = TxnTable.snapshotFiles(factPath, toV).size
-    val marker = mvMarkerPinned(shape.rels, fact, toV, recorded)
+    val marker = mvMarkerPinned(shape.rels, changed, cur, recorded)
 
     // ---- FOLD: count/sum only — zero reads beyond the delta --------
     if (kindSet.subsetOf(Set("cnt", "sum")) && kindSet("cnt") &&
@@ -1836,7 +1862,8 @@ object GraftSql {
             case "avg" => favg(col(s"__v${a.v}"))
           }).as(a.out)
         }
-        val recomputed = proj(srcPlan)
+        // re-aggregation source: every relation at its HEAD version
+        val recomputed = proj(fact, srcPlan, nm => cur(nm))
           .join(broadcast(touched),
             (0 until nG).map(i => col(s"__g$i") <=> col(s"__t$i"))
               .reduce(_ && _), "left_semi")

@@ -1826,15 +1826,21 @@ class GraftSqlSpec extends SparkSpecBase {
       GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
       assert(mode() == "incremental")
       checkParity()
-      // BOTH sides changed since the marker → the full path
+      // BOTH sides changed since the marker: the telescoping
+      // expansion folds the fact Δ against the OLD dim, then the dim
+      // Δ against the NEW fact — incremental and exact
       GraftSql.execute(spark, s"DELETE FROM $fn WHERE id = 3")
       GraftSql.execute(spark, s"DELETE FROM $dn WHERE k = 5")
       GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
-      assert(mode() == "full",
-        "two changed relations must take the full recompute")
+      assert(mode() == "incremental",
+        "two changed relations must fold telescopically")
       checkParity()
-      // and the full refresh re-recorded both: incremental again
+      // a THREE-way churn in one window folds too (insert + update +
+      // dim relabel between refreshes)
       GraftSql.execute(spark, s"INSERT INTO $fn VALUES (201, 2, 9)")
+      GraftSql.execute(spark, s"UPDATE $fn SET v = v - 5 WHERE id = 7")
+      GraftSql.execute(spark,
+        s"UPDATE $dn SET rg = 'region_y' WHERE k = 1")
       GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
       assert(mode() == "incremental")
       checkParity()
@@ -1842,6 +1848,63 @@ class GraftSqlSpec extends SparkSpecBase {
       try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
       catch { case _: Exception => () }
       GraftSql.unregister(fn); GraftSql.unregister(dn)
+    }
+  }
+
+  test("three-relation MV: all three relations changed in one window " +
+    "fold telescopically and track a direct recompute") {
+    val d = Files.createTempDirectory("graft_mv3rel").toString
+    def mode(): String = GraftSql.lastMvRefreshStats.get.mode
+    val ft = d + "/fact"; val at = d + "/dima"; val bt = d + "/dimb"
+    val fn = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val an = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val bn = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, ft, (1L to 120L)
+      .map(i => (i, i % 4, i % 5, i * 10)).toDF("id", "ka", "kb", "v"))
+    TxnTable.create(spark, at,
+      (0L to 3L).map(k => (k, s"a${k % 2}")).toDF("ka", "la"))
+    TxnTable.create(spark, bt,
+      (0L to 4L).map(k => (k, s"b${k % 2}")).toDF("kb", "lb"))
+    GraftSql.register(fn, ft)
+    GraftSql.register(an, at)
+    GraftSql.register(bn, bt)
+    val mv = "p3" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s"SELECT a.la, b.lb, count(*) AS c, sum(f.v) AS sv " +
+      s"FROM $fn f JOIN $an a ON f.ka = a.ka " +
+      s"JOIN $bn b ON f.kb = b.kb GROUP BY a.la, b.lb"
+    try {
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $mv LOCATION '$d/mv' AS $q")
+      def check(): Unit = {
+        GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+        assert(mode() == "incremental",
+          "an all-three-changed window must fold telescopically")
+        assert(TxnTable.read(spark, s"$d/mv").collect()
+          .map(_.toSeq).toSet ==
+          GraftSql.query(spark, q).collect().map(_.toSeq).toSet)
+      }
+      // window 1: all three relations churn before one refresh
+      GraftSql.execute(spark, s"UPDATE $fn SET v = v + 1 WHERE id <= 30")
+      GraftSql.execute(spark, s"UPDATE $an SET la = 'a9' WHERE ka = 2")
+      GraftSql.execute(spark, s"DELETE FROM $bn WHERE kb = 4")
+      check()
+      // window 2: repeated multi-churn on the REFRESHED marker (the
+      // double-replay hole: every changed version must have been
+      // pinned by the previous refresh)
+      GraftSql.execute(spark, s"DELETE FROM $fn WHERE id % 11 = 0")
+      GraftSql.execute(spark, s"UPDATE $an SET la = 'a7' WHERE ka = 0")
+      GraftSql.execute(spark, s"INSERT INTO $bn VALUES (4, 'b4')")
+      check()
+      // window 3: inserts landing in re-labeled groups
+      GraftSql.execute(spark,
+        s"INSERT INTO $fn VALUES (500, 2, 4, 7), (501, 0, 0, 8)")
+      GraftSql.execute(spark, s"UPDATE $bn SET lb = 'b9' WHERE kb = 1")
+      check()
+    } finally {
+      try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
+      catch { case _: Exception => () }
+      GraftSql.unregister(fn); GraftSql.unregister(an)
+      GraftSql.unregister(bn)
     }
   }
 
