@@ -1497,6 +1497,11 @@ object GraftSql {
             case ("count",
               Seq(_: org.apache.spark.sql.catalyst.analysis.Star)) =>
               MvAgg("cnt", -1, name)
+            // count(col) = the NON-NULL count ("cntc"): folds exactly
+            // (a delta row contributes its sign only when the value is
+            // non-null) and re-aggregates exactly
+            case ("count", Seq(a: UnresolvedAttribute)) =>
+              MvAgg("cntc", vIdx(a), name)
             case (k @ ("sum" | "min" | "max" | "avg"),
                 Seq(a: UnresolvedAttribute)) =>
               MvAgg(k, vIdx(a), name)
@@ -1709,7 +1714,7 @@ object GraftSql {
     val marker = mvMarkerPinned(shape.rels, changed, cur, recorded)
 
     // ---- FOLD: count/sum only — zero reads beyond the delta --------
-    if (kindSet.subsetOf(Set("cnt", "sum")) && kindSet("cnt") &&
+    if (kindSet.subsetOf(Set("cnt", "sum", "cntc")) && kindSet("cnt") &&
         shape.having.isEmpty &&
         aggItems.forall(a => a.kind != "sum" || integral(vType(a.v)))) {
       // each delta row contributes m to count and v·m to each sum
@@ -1718,6 +1723,10 @@ object GraftSql {
       def deltaRows(p: DataFrame, m: Long): DataFrame = p.select(
         gCols ++ aggItems.map {
           case MvAgg("cnt", _, o) => lit(m).as(s"__s_$o")
+          case MvAgg("cntc", v, o) =>
+            org.apache.spark.sql.functions.when(
+              col(s"__v$v").isNotNull, lit(m)).otherwise(lit(0L))
+              .as(s"__s_$o")
           case MvAgg(_, v, o) =>
             (col(s"__v$v").cast("long") * lit(m)).as(s"__s_$o")
         }: _*)
@@ -1733,8 +1742,36 @@ object GraftSql {
         .groupBy(gCols: _*)
         .agg(aggCols.head, aggCols.tail: _*)
         .filter(col(s"__s_$cntOut") > 0)
+      // SQL sum is NULL over zero non-null inputs, but the arithmetic
+      // fold of such a group lands on exactly 0 (every contribution
+      // that ever existed was subtracted back out) — so folded-sum==0
+      // is the ONLY ambiguous state. With a matching count(col) in
+      // the MV the fix is exact and free: cv==0 ⟺ the sum is NULL.
+      // Without one, a TOUCHED group folding to exactly 0 cannot be
+      // disambiguated from a genuine zero-sum → fall back (rare:
+      // real-world sums almost never net to exactly 0; untouched
+      // stored zeros are genuine by the exactness invariant).
+      val cntcFor: Map[Int, String] = aggItems.collect {
+        case MvAgg("cntc", v, o) => v -> s"__s_$o" }.toMap
+      val nakedSums = aggItems.filter(a =>
+        a.kind == "sum" && !cntcFor.contains(a.v))
+      if (nakedSums.nonEmpty) {
+        val touched = addP.select(gCols: _*)
+          .unionAll(remP.select(gCols: _*)).distinct()
+          .toDF((0 until nG).map(i => s"__t$i"): _*)
+        val ambiguous = folded.join(touched,
+          (0 until nG).map(i => col(s"__g$i") <=> col(s"__t$i"))
+            .reduce(_ && _), "left_semi")
+          .filter(nakedSums.map(a => col(s"__s_${a.out}") === 0)
+            .reduce(_ || _))
+        if (ambiguous.limit(1).count() > 0) return None
+      }
       val projected = folded.select(shape.items.map {
         case MvGroup(g, o) => col(s"__g$g").as(o)
+        case a @ MvAgg("sum", _, o) if cntcFor.contains(a.v) =>
+          org.apache.spark.sql.functions.when(
+            col(cntcFor(a.v)) > 0, col(s"__s_$o"))
+            .otherwise(lit(null).cast("long")).as(o)
         case MvAgg(_, _, o) => col(s"__s_$o").as(o)
       }: _*)
       val ver = TxnTable.overwrite(spark, path, projected, op = marker)
@@ -1779,6 +1816,9 @@ object GraftSql {
               case ("count",
                 Seq(_: org.apache.spark.sql.catalyst.analysis.Star)) =>
                 Some(("cnt", -1))
+              case ("count", Seq(a: UnresolvedAttribute)) =>
+                val vi = shape.valueExprs.indexWhere(sameAttr(_, a))
+                if (vi >= 0) Some(("cntc", vi)) else None
               case (k @ ("sum" | "min" | "max" | "avg"),
                   Seq(a: UnresolvedAttribute)) =>
                 val vi = shape.valueExprs.indexWhere(sameAttr(_, a))
@@ -1856,6 +1896,7 @@ object GraftSql {
         val recompAggs = aggItems.map { a =>
           (a.kind match {
             case "cnt" => fcount(lit(1))
+            case "cntc" => fcount(col(s"__v${a.v}"))
             case "sum" => fsum(col(s"__v${a.v}"))
             case "min" => fmin(col(s"__v${a.v}"))
             case "max" => fmax(col(s"__v${a.v}"))

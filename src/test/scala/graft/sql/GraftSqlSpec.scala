@@ -1851,6 +1851,82 @@ class GraftSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("count(col) MVs fold the NON-NULL count exactly, nullable " +
+    "values included") {
+    val d = Files.createTempDirectory("graft_mvcntc").toString
+    def mode(): String = GraftSql.lastMvRefreshStats.get.mode
+    val t = d + "/src"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t, Seq(
+      (1L, 0L, Some(10L)), (2L, 0L, None), (3L, 1L, Some(30L)),
+      (4L, 1L, None), (5L, 2L, Some(50L))).toDF("id", "g", "v"))
+    GraftSql.register(n, t)
+    val defs = Seq(
+      // pure fold: count(*) + count(v) + sum(v)
+      s"SELECT g, count(*) AS c, count(v) AS cv, sum(v) AS sv " +
+        s"FROM $n GROUP BY g",
+      // carry+recompute: avg alongside count(v)
+      s"SELECT g, count(v) AS cv, avg(v) AS av, count(*) AS c " +
+        s"FROM $n GROUP BY g")
+    val mvs = defs.zipWithIndex.map { case (q, i) =>
+      val mv = "pc" + i + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $mv LOCATION '$d/c$i' AS $q")
+      (mv, q, s"$d/c$i")
+    }
+    try {
+      val churn = Seq(
+        s"INSERT INTO $n VALUES (6, 0, NULL), (7, 0, 70)", // null lands
+        s"UPDATE $n SET v = NULL WHERE id = 3",            // value → null
+        s"DELETE FROM $n WHERE id = 2")                    // null leaves
+      churn.foreach { stmt =>
+        GraftSql.execute(spark, stmt)
+        mvs.foreach { case (mv, q, p) =>
+          GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+          assert(mode() == "incremental", s"must fold: $q after $stmt")
+          assert(TxnTable.read(spark, p).collect().map(_.toSeq).toSet ==
+            GraftSql.query(spark, q).collect().map(_.toSeq).toSet,
+            s"diverged: $q after $stmt")
+        }
+      }
+      // a NAKED sum (no matching count(col)) whose group loses its
+      // last non-null value is the one ambiguous fold state (folded
+      // sum lands on exactly 0) — it must take the full path and
+      // still serve the SQL-correct NULL, never a fabricated 0
+      val mvN = "pcn" + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      val qn = s"SELECT g, count(*) AS c, sum(v) AS sv FROM $n GROUP BY g"
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $mvN LOCATION '$d/cn' AS $qn")
+      GraftSql.execute(spark, s"UPDATE $n SET v = NULL WHERE id = 5")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mvN")
+      assert(mode() == "full",
+        "an all-null-transition under a naked sum must fall back")
+      val g2 = TxnTable.read(spark, s"$d/cn")
+        .filter(col("g") === 2L).head()
+      assert(g2.isNullAt(2), s"sum over no non-null values is NULL: $g2")
+      assert(TxnTable.read(spark, s"$d/cn").collect().map(_.toSeq).toSet
+        == GraftSql.query(spark, qn).collect().map(_.toSeq).toSet)
+      // an untouched genuine-zero group never forces the fallback
+      GraftSql.execute(spark,
+        s"INSERT INTO $n VALUES (8, 3, 5), (9, 3, -5)")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mvN")
+      GraftSql.execute(spark, s"INSERT INTO $n VALUES (10, 0, 1)")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mvN")
+      assert(mode() == "incremental",
+        "an untouched stored zero-sum group must not force the full path")
+      assert(TxnTable.read(spark, s"$d/cn").collect().map(_.toSeq).toSet
+        == GraftSql.query(spark, qn).collect().map(_.toSeq).toSet)
+      GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mvN")
+    } finally {
+      mvs.foreach { case (mv, _, _) =>
+        try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
+        catch { case _: Exception => () } }
+      GraftSql.unregister(n)
+    }
+  }
+
   test("three-relation MV: all three relations changed in one window " +
     "fold telescopically and track a direct recompute") {
     val d = Files.createTempDirectory("graft_mv3rel").toString
