@@ -1402,7 +1402,7 @@ object GraftSql {
   private case class MvShape(
       rels: Seq[String],
       child: LogicalPlan,
-      groupExprs: Seq[UnresolvedAttribute],
+      groupExprs: Seq[Expression],
       valueExprs: Seq[UnresolvedAttribute],
       items: Seq[MvItem],
       cond: Option[Expression],
@@ -1418,6 +1418,17 @@ object GraftSql {
     an == bn || (an.length == 1 && an.head == bn.last) ||
       (bn.length == 1 && bn.head == an.last)
   }
+
+  /** Two unresolved GROUP expressions denote the same thing:
+    * attribute-aware name matching, else the parser's own SQL
+    * rendering (conservative — a false negative just means the shape
+    * falls back to the full recompute). */
+  private def sameGroupExpr(a: Expression, b: Expression): Boolean =
+    (a, b) match {
+      case (x: UnresolvedAttribute, y: UnresolvedAttribute) =>
+        sameAttr(x, y)
+      case _ => a.sql == b.sql
+    }
 
   private def regNameOf(r: UnresolvedRelation): Option[String] = {
     val full = r.multipartIdentifier.mkString(".").toLowerCase
@@ -1468,9 +1479,14 @@ object GraftSql {
     }
     walk(below)
     if (!ok || rels.isEmpty) return None
-    val gAttrs = groupExprs.map {
-      case a: UnresolvedAttribute => a
-      case _ => return None
+    // group keys may be arbitrary row-local EXPRESSIONS (time
+    // buckets, modulo bands — the rollup-table shape); subqueries are
+    // already fenced above, nondeterminism is fenced post-analysis
+    val gAttrs: Seq[Expression] = groupExprs.map {
+      case e if e.find {
+        case _: SubqueryExpression => true; case _ => false
+      }.nonEmpty => return None
+      case e => e
     }
     val valueExprs = scala.collection.mutable.ArrayBuffer[UnresolvedAttribute]()
     def vIdx(a: UnresolvedAttribute): Int = {
@@ -1485,9 +1501,10 @@ object GraftSql {
         case _ => return None
       }
       target match {
-        case a: UnresolvedAttribute =>
-          val gi = gAttrs.indexWhere(sameAttr(_, a))
-          if (gi < 0 || !matchedGroups.add(gi)) return None
+        case a: UnresolvedAttribute
+            if gAttrs.exists(sameGroupExpr(_, a)) =>
+          val gi = gAttrs.indexWhere(sameGroupExpr(_, a))
+          if (!matchedGroups.add(gi)) return None
           MvGroup(gi, name)
         case f: UnresolvedFunction
             if !f.isDistinct && f.filter.isEmpty &&
@@ -1505,9 +1522,17 @@ object GraftSql {
             case (k @ ("sum" | "min" | "max" | "avg"),
                 Seq(a: UnresolvedAttribute)) =>
               MvAgg(k, vIdx(a), name)
-            case _ => return None
+            case _ =>
+              // an aggregate-free function could still BE a group
+              // expression (upper(s), date_trunc(...), …)
+              val gi = gAttrs.indexWhere(sameGroupExpr(_, f))
+              if (gi < 0 || !matchedGroups.add(gi)) return None
+              MvGroup(gi, name)
           }
-        case _ => return None
+        case e =>
+          val gi = gAttrs.indexWhere(sameGroupExpr(_, e))
+          if (gi < 0 || !matchedGroups.add(gi)) return None
+          MvGroup(gi, name)
       }
     }
     if (matchedGroups.size != gAttrs.length) return None
@@ -1610,9 +1635,13 @@ object GraftSql {
       val schema = TxnTable.read(spark, factPath).schema
       def typOf(c: String) = schema.fields
         .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
-      val g = shape.groupExprs.head.nameParts.last
+      val gAttr = shape.groupExprs.head match {
+        case a: UnresolvedAttribute => Some(a.nameParts.last)
+        case _ => None // expression groups take the general regimes
+      }
+      val g = gAttr.getOrElse("")
       val v = shape.valueExprs.head.nameParts.last
-      if (typOf(v).contains(LongType) &&
+      if (gAttr.isDefined && typOf(v).contains(LongType) &&
           typOf(g).exists(t => t == LongType || t == StringType)) {
         val (removedRaw, addedRaw, changedFiles) =
           TxnTable.changedRowSides(spark, factPath, fromV, toV)
@@ -1806,7 +1835,13 @@ object GraftSql {
         // aggregate call (a bottom-up transform would rewrite the
         // call's argument attribute first and mistake it for an
         // unresolvable bare column)
-        def rw(e: Expression): Expression = e match {
+        def rw(e: Expression): Expression = {
+          // a whole subtree equal to a GROUP key maps to its out
+          // column first — covers expression groups (v % 100,
+          // date_trunc(...)) appearing verbatim in the condition
+          val gi = shape.groupExprs.indexWhere(sameGroupExpr(_, e))
+          if (gi >= 0) return UnresolvedAttribute(Seq(groupOut(gi)))
+          e match {
           case f: UnresolvedFunction
               if f.nameParts.length == 1 && !f.isDistinct &&
                 f.filter.isEmpty =>
@@ -1829,15 +1864,21 @@ object GraftSql {
               aggItems.find(ai => ai.kind == ka._1 && ai.v == ka._2))
             match {
               case Some(ai) => UnresolvedAttribute(Seq(ai.out))
-              case None => ok = false; f
+              case None =>
+                // not an aggregate over a SELECT item — it may still
+                // BE an expression group key (HAVING upper(s) = '…')
+                val gi = shape.groupExprs.indexWhere(sameGroupExpr(_, f))
+                if (gi >= 0) UnresolvedAttribute(Seq(groupOut(gi)))
+                else { ok = false; f }
             }
           case a: UnresolvedAttribute =>
-            val gi = shape.groupExprs.indexWhere(sameAttr(_, a))
+            val gi = shape.groupExprs.indexWhere(sameGroupExpr(_, a))
             if (gi >= 0) UnresolvedAttribute(Seq(groupOut(gi)))
             else if (a.nameParts.length == 1 && shape.items.exists(
               _.out.equalsIgnoreCase(a.nameParts.head))) a
             else { ok = false; a }
           case other => other.mapChildren(rw)
+          }
         }
         val t = rw(h)
         if (!ok) return None
@@ -1874,11 +1915,15 @@ object GraftSql {
         // the touched set (a multi-column group prunes on its leading
         // column — a superset read; the exact semi join below keeps
         // any superset correct)
+        val leadAttr = shape.groupExprs.head match {
+          case a: UnresolvedAttribute => Some(a.nameParts.last)
+          case _ => None // expression groups cannot key a file prune
+        }
         val (srcPlan, recompFiles) =
-          if (shape.rels.size == 1 &&
+          if (shape.rels.size == 1 && leadAttr.isDefined &&
               (gType(0) == LongType || gType(0) == StringType) &&
               touchedRows.forall(!_.isNullAt(0))) {
-            val gName = shape.groupExprs.head.nameParts.last
+            val gName = leadAttr.get
             val pruned = gType(0) match {
               case StringType => TxnTable.readPrunedInString(spark,
                 factPath, gName,

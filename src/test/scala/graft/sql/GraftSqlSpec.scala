@@ -1542,7 +1542,9 @@ class GraftSqlSpec extends SparkSpecBase {
         s"SELECT s, count(*) AS c, min(v) AS mn FROM $n " +
           "GROUP BY s",                                    // partial tier
         s"SELECT a.s, count(*) AS c FROM $n a JOIN $n2 b " +
-          "ON a.id = b.id GROUP BY a.s")                   // star join
+          "ON a.id = b.id GROUP BY a.s",                   // star join
+        s"SELECT upper(s) AS u, count(*) AS c FROM $n " +
+          "GROUP BY upper(s)")                             // expr group
       nowIncremental.zipWithIndex.foreach { case (q, i) =>
         val mv = "pi" + i + java.util.UUID.randomUUID().toString
           .replace("-", "")
@@ -1565,8 +1567,8 @@ class GraftSqlSpec extends SparkSpecBase {
           "ON a.id = b.id GROUP BY a.s",                   // self-join
         s"SELECT a.s, count(*) AS c FROM $n a LEFT JOIN $n2 b " +
           "ON a.id = b.id GROUP BY a.s",                   // outer join
-        s"SELECT upper(s) AS u, count(*) AS c FROM $n " +
-          "GROUP BY upper(s)")                             // expr group
+        s"SELECT s, count(*) AS c FROM $n " +
+          s"WHERE v > (SELECT avg(v) FROM $n) GROUP BY s") // subquery
       fallbacks.zipWithIndex.foreach { case (q, i) =>
         val mv = "pf" + i + java.util.UUID.randomUUID().toString
           .replace("-", "")
@@ -1851,6 +1853,59 @@ class GraftSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("expression group keys: time-bucket / modulo-band MVs refresh " +
+    "incrementally through both regimes") {
+    val d = Files.createTempDirectory("graft_mvexpr").toString
+    def mode(): String = GraftSql.lastMvRefreshStats.get.mode
+    val t = d + "/src"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t, (1L to 200L)
+      .map(i => (i, i % 13, i * 10, s"s${i % 4}")).toDF("id", "g", "v", "s"))
+    GraftSql.register(n, t)
+    val defs = Seq(
+      // modulo band: pure fold
+      s"SELECT v % 100 AS band, count(*) AS c, sum(v) AS sv " +
+        s"FROM $n GROUP BY v % 100",
+      // function group + mixed group arity: pure fold
+      s"SELECT upper(s) AS u, g, count(*) AS c FROM $n " +
+        "GROUP BY upper(s), g",
+      // expression group through carry+recompute (min present)
+      s"SELECT id % 7 AS b7, count(*) AS c, min(v) AS mn FROM $n " +
+        "GROUP BY id % 7",
+      // expression group + HAVING referencing the group expression
+      s"SELECT v % 100 AS band, count(*) AS c FROM $n " +
+        "GROUP BY v % 100 HAVING v % 100 > 10 AND count(*) > 2")
+    val mvs = defs.zipWithIndex.map { case (q, i) =>
+      val mv = "pe" + i + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $mv LOCATION '$d/e$i' AS $q")
+      (mv, q, s"$d/e$i")
+    }
+    try {
+      val churn = Seq(
+        s"UPDATE $n SET v = v + 3 WHERE id % 9 = 0",
+        s"DELETE FROM $n WHERE id % 17 = 0",
+        s"INSERT INTO $n VALUES (500, 2, 35, 's9'), (501, 3, 135, 's1')")
+      churn.foreach { stmt =>
+        GraftSql.execute(spark, stmt)
+        mvs.foreach { case (mv, q, p) =>
+          GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+          assert(mode() == "incremental",
+            s"expression groups must fold: $q after $stmt")
+          assert(TxnTable.read(spark, p).collect().map(_.toSeq).toSet ==
+            GraftSql.query(spark, q).collect().map(_.toSeq).toSet,
+            s"diverged: $q after $stmt")
+        }
+      }
+    } finally {
+      mvs.foreach { case (mv, _, _) =>
+        try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
+        catch { case _: Exception => () } }
+      GraftSql.unregister(n)
+    }
+  }
+
   test("count(col) MVs fold the NON-NULL count exactly, nullable " +
     "values included") {
     val d = Files.createTempDirectory("graft_mvcntc").toString
@@ -1923,6 +1978,43 @@ class GraftSqlSpec extends SparkSpecBase {
       mvs.foreach { case (mv, _, _) =>
         try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
         catch { case _: Exception => () } }
+      GraftSql.unregister(n)
+    }
+  }
+
+  test("the narrow count/sum/min/max tier keeps SQL null semantics: " +
+    "an all-null transition recomputes through the extremes path") {
+    val d = Files.createTempDirectory("graft_mvnulln").toString
+    def mode(): String = GraftSql.lastMvRefreshStats.get.mode
+    val t = d + "/src"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t, Seq(
+      (1L, 0L, Some(10L)), (2L, 0L, Some(-10L)), (3L, 0L, None),
+      (4L, 1L, Some(40L)), (5L, 1L, Some(50L))).toDF("id", "g", "v"))
+    GraftSql.register(n, t)
+    val mv = "pn" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s"SELECT g, count(*) AS c, sum(v) AS sv, min(v) AS mn, " +
+      s"max(v) AS mx FROM $n GROUP BY g"
+    try {
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $mv LOCATION '$d/mv' AS $q")
+      // group 0 loses BOTH non-null values (which sum to exactly 0 —
+      // the ambiguous fold state): the removed values sit at the
+      // extremes, so the pruned recompute fires and serves NULLs
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id IN (1, 2)")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+      assert(mode() == "incremental",
+        "the extremes tier handles the transition incrementally")
+      val g0 = TxnTable.read(spark, s"$d/mv")
+        .filter(col("g") === 0L).head()
+      assert(g0.getLong(1) == 1L && g0.isNullAt(2) && g0.isNullAt(3) &&
+        g0.isNullAt(4),
+        s"sum/min/max over no non-null values must be NULL: $g0")
+      assert(TxnTable.read(spark, s"$d/mv").collect().map(_.toSeq).toSet
+        == GraftSql.query(spark, q).collect().map(_.toSeq).toSet)
+    } finally {
+      try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
+      catch { case _: Exception => () }
       GraftSql.unregister(n)
     }
   }
