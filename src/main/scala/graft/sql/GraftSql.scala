@@ -149,7 +149,7 @@ object GraftSql {
       """(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(.+?)\s*;?\s*$""").r
   private val RefreshMvRe =
     ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Ident +
-      """\s*;?\s*$""").r
+      """(\s+FULL)?\s*;?\s*$""").r
   private val DropMvRe =
     ("""(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+""" + Ident +
       """\s*;?\s*$""").r
@@ -418,12 +418,19 @@ object GraftSql {
 
     // REFRESH MATERIALIZED VIEW n: one atomic recompute-overwrite,
     // the new source versions stamped on the commit
-    case RefreshMvRe(name) =>
+    // REFRESH MATERIALIZED VIEW n [FULL]: FULL is the operational
+    // escape hatch — skip the incremental recognizer entirely and
+    // recompute from the definition (what an operator reaches for
+    // when auditing a suspected divergence, or to rebuild after
+    // out-of-band surgery without waiting for the damage probe)
+    case RefreshMvRe(name, full) =>
       val nm = parseIdent(name).mkString(".").toLowerCase
       val mv = matviews.get(nm)
       require(mv != null, s"$nm is not a materialized view")
       val (path, text) = mv
-      refreshIncremental(spark, path, text).getOrElse {
+      val inc = if (full != null) None
+        else refreshIncremental(spark, path, text)
+      inc.getOrElse {
         lastMvRefresh.set(MvRefreshStats("full", Set.empty, Nil, -1))
         // marker BEFORE the content snapshot pins (see CREATE):
         // mid-refresh source commits must leave the MV stale

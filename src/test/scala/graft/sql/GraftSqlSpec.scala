@@ -1853,6 +1853,35 @@ class GraftSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("REFRESH MATERIALIZED VIEW ... FULL skips the recognizer — the " +
+    "operational escape hatch recomputes from the definition") {
+    val d = Files.createTempDirectory("graft_mvfull").toString
+    def mode(): String = GraftSql.lastMvRefreshStats.get.mode
+    val (t, n) = mk()
+    val mv = "pf" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      GraftSql.execute(spark, s"CREATE MATERIALIZED VIEW $mv " +
+        s"LOCATION '$d/mv' AS SELECT s, count(*) AS c FROM $n GROUP BY s")
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 1")
+      // the foldable shape would refresh incrementally — FULL forces
+      // the recompute and still clears staleness
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv FULL")
+      assert(mode() == "full", "FULL must skip the incremental path")
+      assert(TxnTable.read(spark, s"$d/mv").collect().map(_.toSeq).toSet
+        == GraftSql.query(spark,
+          s"SELECT s, count(*) AS c FROM $n GROUP BY s")
+          .collect().map(_.toSeq).toSet)
+      assert(!GraftSql.query(spark, "SHOW MATERIALIZED VIEWS")
+        .filter(col("name") === mv).head().getBoolean(2),
+        "a FULL refresh must clear staleness")
+      // the plain form still folds afterwards
+      GraftSql.execute(spark, s"DELETE FROM $n WHERE id = 2")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+      assert(mode() == "incremental")
+      GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
+    } finally GraftSql.unregister(n)
+  }
+
   test("expression group keys: time-bucket / modulo-band MVs refresh " +
     "incrementally through both regimes") {
     val d = Files.createTempDirectory("graft_mvexpr").toString
