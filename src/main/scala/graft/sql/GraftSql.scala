@@ -1699,11 +1699,16 @@ object GraftSql {
       pinned.getOrElseUpdate((nm, v), {
         val df = TxnTable.read(spark, paths(nm), v)
         val (bytes, _, _) = TxnTable.logTableStats(spark, paths(nm), v)
-        (if (bytes <= (512L << 20)) broadcast(df) else df)
+        // hint only CLEARLY dim-sized relations: a generous cap here
+        // once broadcast a 16M-row pinned FACT on the dim-delta side
+        // of the expansion (measured 2.6× wall blowup at 16M rows).
+        // Above the cap Catalyst decides from the scan's own sizes —
+        // a small delta side still auto-broadcasts.
+        (if (bytes <= (32L << 20)) broadcast(df) else df)
           .queryExecution.logical
       })
     def proj(replaceRel: String, replacement: LogicalPlan,
-        vOf: String => Long): DataFrame = {
+        vOf: String => Long, signed: Boolean = false): DataFrame = {
       val substituted = shape.child.transformUp {
         case r: UnresolvedRelation =>
           val nm = regNameOf(r).get
@@ -1715,28 +1720,14 @@ object GraftSql {
         shape.groupExprs.zipWithIndex.map { case (e, i) =>
           Alias(e, s"__g$i")() } ++
           shape.valueExprs.zipWithIndex.map { case (e, i) =>
-            Alias(e, s"__v$i")() }
+            Alias(e, s"__v$i")() } ++
+          (if (signed) Seq(Alias(
+            UnresolvedAttribute(Seq("__sgn")), "__sgn")()) else Nil)
       Bridge.ofRows(spark, Project(list, substituted))
     }
     val idxOf = shape.rels.zipWithIndex.toMap
     def vOfFor(i: String): String => Long = nm =>
       if (idxOf(nm) < idxOf(i)) cur(nm) else recorded(nm)
-    val sides = changed.map { nm =>
-      val (rem, add, files) = TxnTable.changedRowSides(spark,
-        paths(nm), recorded(nm), cur(nm))
-      (proj(nm, rem.queryExecution.logical, vOfFor(nm)),
-        proj(nm, add.queryExecution.logical, vOfFor(nm)), files)
-    }
-    val changedFiles = sides.flatMap(_._3).toSet
-    val remP = sides.map(_._1).reduce(_ unionAll _)
-    val addP = sides.map(_._2).reduce(_ unionAll _)
-    // re-running the subtree on delta rows requires determinism
-    if (addP.queryExecution.analyzed.collectFirst {
-      case p if p.expressions.exists(!_.deterministic) => p }.nonEmpty)
-      return None
-    val pSchema = addP.schema
-    def gType(i: Int) = pSchema(s"__g$i").dataType
-    def vType(i: Int) = pSchema(s"__v$i").dataType
     // flat comparable scalars only (AtomicType itself is private[sql])
     def atomic(t: DataType): Boolean = t match {
       case _: NumericType | _: StringType | _: BooleanType |
@@ -1744,6 +1735,41 @@ object GraftSql {
            _: BinaryType => true
       case _ => false
     }
+    // ONE signed frame per changed relation (added m=+1 ∪ removed
+    // m=−1, the sign riding the substituted leaf as a `__sgn`
+    // column): each expansion term then joins the pinned sides ONCE —
+    // a dim-side delta costs one fact pass, not two (measured 2×)
+    val sides = changed.map { nm =>
+      val (rem, add, files) = TxnTable.changedRowSides(spark,
+        paths(nm), recorded(nm), cur(nm))
+      val signedRaw = add.withColumn("__sgn", lit(1L))
+        .unionAll(rem.withColumn("__sgn", lit(-1L)))
+      // net the relation's OWN rows before the join: file-scoped CDF
+      // re-offers every untouched row of a rewritten file on both
+      // sides, and pushing that padding THROUGH the join multiplies
+      // it by the other side's matching rows (measured: a 2000-row
+      // dim rewrite exploded into 2× the fact under the expansion).
+      // Netting here cancels it at relation-row granularity — exact,
+      // because the join is linear in signed row multisets. Skipped
+      // when a column type cannot be grouped (maps).
+      val signedRows =
+        if (add.schema.fields.forall(f => atomic(f.dataType)))
+          signedRaw.groupBy(add.columns.map(col): _*)
+            .agg(fsum(col("__sgn")).as("__sgn"))
+            .filter(col("__sgn") =!= 0)
+        else signedRaw
+      (proj(nm, signedRows.queryExecution.logical, vOfFor(nm),
+        signed = true), files)
+    }
+    val changedFiles = sides.flatMap(_._2).toSet
+    val deltaAll = sides.map(_._1).reduce(_ unionAll _)
+    // re-running the subtree on delta rows requires determinism
+    if (deltaAll.queryExecution.analyzed.collectFirst {
+      case p if p.expressions.exists(!_.deterministic) => p }.nonEmpty)
+      return None
+    val pSchema = deltaAll.schema
+    def gType(i: Int) = pSchema(s"__g$i").dataType
+    def vType(i: Int) = pSchema(s"__v$i").dataType
     if ((0 until nG).exists(i => !atomic(gType(i))))
       return None
     val live = TxnTable.snapshotFiles(factPath, toV).size
@@ -1756,15 +1782,15 @@ object GraftSql {
       // each delta row contributes m to count and v·m to each sum
       // (null v contributes nothing — sum skips nulls exactly like
       // the full recompute); groupBy keeps NULL groups natively
-      def deltaRows(p: DataFrame, m: Long): DataFrame = p.select(
+      val deltaRows: DataFrame = deltaAll.select(
         gCols ++ aggItems.map {
-          case MvAgg("cnt", _, o) => lit(m).as(s"__s_$o")
+          case MvAgg("cnt", _, o) => col("__sgn").as(s"__s_$o")
           case MvAgg("cntc", v, o) =>
             org.apache.spark.sql.functions.when(
-              col(s"__v$v").isNotNull, lit(m)).otherwise(lit(0L))
+              col(s"__v$v").isNotNull, col("__sgn")).otherwise(lit(0L))
               .as(s"__s_$o")
           case MvAgg(_, v, o) =>
-            (col(s"__v$v").cast("long") * lit(m)).as(s"__s_$o")
+            (col(s"__v$v").cast("long") * col("__sgn")).as(s"__s_$o")
         }: _*)
       val state = mvDf.select(
         (0 until nG).map(i => col(groupOut(i)).as(s"__g$i")) ++
@@ -1773,8 +1799,7 @@ object GraftSql {
       val cntOut = aggItems.find(_.kind == "cnt").get.out
       val aggCols = aggItems.map(a =>
         fsum(col(s"__s_${a.out}")).as(s"__s_${a.out}"))
-      val folded = state.unionAll(deltaRows(addP, 1L))
-        .unionAll(deltaRows(remP, -1L))
+      val folded = state.unionAll(deltaRows)
         .groupBy(gCols: _*)
         .agg(aggCols.head, aggCols.tail: _*)
         .filter(col(s"__s_$cntOut") > 0)
@@ -1792,8 +1817,7 @@ object GraftSql {
       val nakedSums = aggItems.filter(a =>
         a.kind == "sum" && !cntcFor.contains(a.v))
       if (nakedSums.nonEmpty) {
-        val touched = addP.select(gCols: _*)
-          .unionAll(remP.select(gCols: _*)).distinct()
+        val touched = deltaAll.select(gCols: _*).distinct()
           .toDF((0 until nG).map(i => s"__t$i"): _*)
         val ambiguous = folded.join(touched,
           (0 until nG).map(i => col(s"__g$i") <=> col(s"__t$i"))
@@ -1896,8 +1920,8 @@ object GraftSql {
     // pads a narrow rewrite with every untouched row of its file on
     // BOTH sides; netting cancels those exactly, leaving touched
     // groups at O(truly changed), not O(groups in churned files)
-    val net = addP.select((gCols ++ vCols) :+ lit(1L).as("__m"): _*)
-      .unionAll(remP.select((gCols ++ vCols) :+ lit(-1L).as("__m"): _*))
+    val net = deltaAll
+      .select((gCols ++ vCols) :+ col("__sgn").as("__m"): _*)
       .groupBy((gCols ++ vCols): _*)
       .agg(fsum(col("__m")).as("__m")).filter(col("__m") =!= 0)
     val touchedRows = net.select(gCols: _*).distinct().collect()

@@ -80,6 +80,20 @@ object R18Bench {
           f"(mode=${st.mode} changed=${st.changedFiles.size} " +
           f"recompute=${st.recomputeFiles.size} live=${st.liveFiles}) " +
           f"full_twin=$wFull%.3f s loadavg=$loadavg")
+        // 1b: BOTH sides churn in one window — the telescoping
+        // expansion folds each delta in turn; wall stays delta-sized
+        GraftSql.execute(spark, s"UPDATE $nf SET v = v + 1 WHERE g < 30")
+        GraftSql.execute(spark,
+          s"UPDATE $nd SET rg = concat('x', rg) WHERE k < 10")
+        val (_, wBoth) = time(GraftSql.execute(spark,
+          s"REFRESH MATERIALIZED VIEW r18jmv_$rows"))
+        val st2 = GraftSql.lastMvRefreshStats.get
+        println(f"probe1b two_sided rows=$rows incremental=$wBoth%.3f s " +
+          f"(mode=${st2.mode} changed=${st2.changedFiles.size} " +
+          f"recompute=${st2.recomputeFiles.size}) loadavg=$loadavg")
+        // restore the dim for the next fact size
+        GraftSql.execute(spark,
+          s"UPDATE $nd SET rg = substring(rg, 2) WHERE k < 10")
         GraftSql.execute(spark, s"DROP MATERIALIZED VIEW r18jmv_$rows")
         GraftSql.execute(spark, s"DROP MATERIALIZED VIEW r18jmvf_$rows")
         GraftSql.unregister(nf)
