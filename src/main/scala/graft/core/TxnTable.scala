@@ -1395,8 +1395,37 @@ object TxnTable {
         s = s ++ parseKeysOp(op.stripPrefix("copyinto:json:"))
       else if (op.startsWith("stream:"))
         s = s ++ parseStreamFilesOp(op)
+      else if (op.startsWith("copysrc:prune:"))
+        s = s -- parseKeysOp(op.stripPrefix("copysrc:prune:"))
     }
     s
+  }
+
+  /** Bound the ingested-file registry: DROP entries under `srcDir`
+    * whose source files no longer exist on disk (they were vacuumed
+    * from the landing directory) via one `copysrc:prune:` metadata
+    * commit that the registry fold subtracts — so a long-lived
+    * interval-triggered landing dir doesn't grow every future
+    * checkpoint's `copySrcs` without bound. Safe by construction:
+    * only VANISHED files are prunable (an existing file's entry is
+    * what prevents a double-load, so it must stay); if a pruned path
+    * is ever re-landed it ingests again — exactly the semantics of a
+    * fresh drop at that path. Returns the commit version, or the
+    * unchanged head when nothing is prunable. */
+  def pruneCopySources(spark: SparkSession, path: String,
+      srcDir: String): Long = {
+    val top = currentVersion(path)
+    require(top >= 0, s"pruneCopySources: not a TxnTable: $path")
+    val prefix = java.nio.file.Paths.get(srcDir)
+      .toAbsolutePath.normalize().toString + "/"
+    val gone = copySourcesInfo(path, top).toSeq.sorted.filter(p =>
+      p.startsWith(prefix) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    if (gone.isEmpty) return top
+    import org.json4s.{JArray, JString}
+    import org.json4s.jackson.JsonMethods
+    commitMarker(path, "copysrc:prune:" + JsonMethods.compact(
+      JsonMethods.render(JArray(gone.map(JString(_)).toList))))
   }
 
   /** Source files already ingested into `path` through ANY
@@ -2629,45 +2658,122 @@ object TxnTable {
     * an explicit user-invoked scan (exactly like ANALYZE), recorded
     * as-of the analyzed version; data committed later simply ages it,
     * correctness never depends on freshness. */
+  /** Evidence hook: how many table scans the LAST [[computeHistogram]]
+    * ran — the ANALYZE pass is batched (one quantile aggregate for ALL
+    * columns, one combined per-bin-ndv pass, one MCV pass for all
+    * string columns), so a 10-column ANALYZE costs 2 scans, not 20. */
+  @volatile private[graft] var lastAnalyzeScans: Int = -1
+
   def computeHistogram(spark: SparkSession, path: String,
       columns: Seq[String], bins: Int = 64): Long = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
     require(bins >= 2 && bins <= 254, s"bins must be in [2,254], got $bins")
     require(columns.nonEmpty, "computeHistogram: no columns given")
     val top = currentVersion(path)
     require(top >= 0, s"computeHistogram: not a TxnTable: $path")
     val df = read(spark, path, top)
-    val props = columns.map { c =>
-      val f = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+    val fields = columns.map { c =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
           s"computeHistogram: no column $c in $path"))
-      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"computeHistogram: ${f.name} is ${f.dataType.simpleString} — " +
-          "histograms need a numeric column")
-      val v = col(f.name).cast("double")
-      val nn = df.filter(v.isNotNull)
-      val pct = (0 to bins).map(i => i.toDouble / bins)
-      val qRow = nn.agg(
-        percentile_approx(v, typedlit(pct), lit(10000)).as("q"),
-        count(lit(1)).as("n")).head()
-      require(!qRow.isNullAt(0) && qRow.getLong(1) > 0,
-        s"computeHistogram: ${f.name} has no non-null values")
-      val ends = qRow.getSeq[Double](0).toArray
-      val n = qRow.getLong(1)
-      // bin id = endpoints strictly below the value (ties go low —
-      // the estimator only needs bins that cover the range)
-      val binId = (1 until bins)
-        .map(i => (v > lit(ends(i))).cast("int"))
-        .reduceOption[Column](_ + _).getOrElse(lit(0))
-      val ndvByBin = nn.groupBy(binId.as("__b"))
-        .agg(approx_count_distinct(v).as("__ndv"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val binsJson = (0 until bins).map(i =>
-        s"[${ends(i)},${ends(i + 1)},${ndvByBin.getOrElse(i, 0L)}]")
-        .mkString("[", ",", "]")
-      s"graft.hist.${f.name.toLowerCase}" ->
-        s"""{"h":${n.toDouble / bins},"bins":$binsJson}"""
     }
-    setProperties(path, props.toMap)
+    val numFields = fields.filter(_.dataType.isInstanceOf[NumericType])
+    val strFields = fields.filter(_.dataType == StringType)
+    fields.foreach(f => require(
+      f.dataType.isInstanceOf[NumericType] || f.dataType == StringType,
+      s"computeHistogram: ${f.name} is ${f.dataType.simpleString} — " +
+        "numeric columns get equi-height histograms, string columns " +
+        "get MCV frequency stats"))
+    var scans = 0
+    val pct = (0 to bins).map(i => i.toDouble / bins)
+    // PASS 1 — ONE aggregate over the table: every numeric column's
+    // equi-height endpoints + non-null count, every string column's
+    // EXACT ndv + non-null count (the quantile sketches and counts
+    // are independent aggregates; Spark's multi-distinct Expand still
+    // reads the table once). The per-column serial loop this replaces
+    // cost 2 scans PER column.
+    val p1 = numFields.flatMap { f =>
+      val v = col(f.name).cast("double")
+      Seq(percentile_approx(v, typedlit(pct), lit(10000))
+          .as(s"q_${f.name.toLowerCase}"),
+        count(col(f.name)).as(s"n_${f.name.toLowerCase}"))
+    } ++ strFields.flatMap { f =>
+      Seq(count_distinct(col(f.name)).as(s"d_${f.name.toLowerCase}"),
+        count(col(f.name)).as(s"n_${f.name.toLowerCase}"))
+    }
+    val r1 = df.agg(p1.head, p1.tail: _*).head()
+    scans += 1
+    def longAt(nm: String): Long = r1.getLong(r1.fieldIndex(nm))
+    // PASS 2 — ONE combined per-bin ndv aggregate for ALL numeric
+    // columns: approx_count_distinct(when(bin==b, v)) per (col, bin);
+    // a null value never matches a bin, so each sketch sees exactly
+    // the per-bin value set the old grouped pass saw.
+    val histProps: Seq[(String, String)] = if (numFields.isEmpty) Nil else {
+      val perCol = numFields.map { f =>
+        val nm = f.name.toLowerCase
+        require(!r1.isNullAt(r1.fieldIndex(s"q_$nm")) && longAt(s"n_$nm") > 0,
+          s"computeHistogram: ${f.name} has no non-null values")
+        val ends = r1.getSeq[Double](r1.fieldIndex(s"q_$nm")).toArray
+        (f, ends, longAt(s"n_$nm"))
+      }
+      val ndvAggs = perCol.flatMap { case (f, ends, _) =>
+        val v = col(f.name).cast("double")
+        // bin id = endpoints strictly below the value (ties go low —
+        // the estimator only needs bins that cover the range)
+        val binId = (1 until bins)
+          .map(i => (v > lit(ends(i))).cast("int"))
+          .reduceOption[Column](_ + _).getOrElse(lit(0))
+        (0 until bins).map(b => approx_count_distinct(
+          when(binId === b, v)).as(s"h_${f.name.toLowerCase}_$b"))
+      }
+      val r2 = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+      scans += 1
+      perCol.map { case (f, ends, n) =>
+        val nm = f.name.toLowerCase
+        val binsJson = (0 until bins).map(i =>
+          s"[${ends(i)},${ends(i + 1)}," +
+            s"${r2.getLong(r2.fieldIndex(s"h_${nm}_$i"))}]")
+          .mkString("[", ",", "]")
+        s"graft.hist.$nm" -> s"""{"h":${n.toDouble / bins},"bins":$binsJson}"""
+      }
+    }
+    // PASS 3 — ONE MCV pass for ALL string columns together: explode
+    // to (colIdx, value), partial-agg counts, per-column top-32 via
+    // the mergeable TopKRowsAgg heap (O(32) per column to the driver,
+    // never a value-set sort). The MCV list + exact ndv is what the
+    // CBO needs to price a SKEWED string equality honestly — 1/ndv
+    // alone calls the 99% value as rare as every other.
+    val mcvProps: Seq[(String, String)] = if (strFields.isEmpty) Nil else {
+      val pairs = df.select(explode(array(strFields.zipWithIndex.map {
+          case (f, i) => struct(lit(i).as("i"), col(f.name).as("v")) }: _*))
+          .as("p"))
+        .select(col("p.i").as("i"), col("p.v").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("i"), col("v")).agg(count(lit(1)).as("c"))
+      val tops = pairs.groupBy(col("i"))
+        .agg(graft.plans.TopKRowsAgg.top_k_rows(32,
+          struct(col("v"), col("c")), col("c").desc, col("v")).as("top"))
+        .collect()
+      scans += 1
+      val byIdx = tops.map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(h => (h.getString(0), h.getLong(1)))).toMap
+      strFields.zipWithIndex.map { case (f, i) =>
+        val nm = f.name.toLowerCase
+        require(longAt(s"n_$nm") > 0,
+          s"computeHistogram: ${f.name} has no non-null values")
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val j = JObject(
+          "ndv" -> JLong(longAt(s"d_$nm")),
+          "nonnull" -> JLong(longAt(s"n_$nm")),
+          "mcv" -> JArray(byIdx.getOrElse(i, Nil).toList.map { case (v, c) =>
+            JArray(List(JString(v), JLong(c))) }))
+        s"graft.mcv.$nm" -> JsonMethods.compact(JsonMethods.render(j))
+      }
+    }
+    lastAnalyzeScans = scans
+    setProperties(path, (histProps ++ mcvProps).toMap)
   }
 
   /** SET TBLPROPERTIES: one metadata commit carrying every pair.
@@ -2690,16 +2796,18 @@ object TxnTable {
           s"graft.targetBytes must be a positive long, got '$v'")
         case "graft.clusterBy" => require(v.trim.nonEmpty,
           "graft.clusterBy must name at least one column")
-        // per-column equi-height histograms ([[computeHistogram]] —
-        // the CBO reads them back defensively, malformed JSON is
-        // simply not injected)
+        // per-column equi-height histograms / string MCV stats
+        // ([[computeHistogram]] — the CBO reads them back defensively,
+        // malformed JSON is simply not injected)
         case h if h.startsWith("graft.hist.") => require(v.trim.nonEmpty,
           s"$h must carry the histogram JSON")
+        case m if m.startsWith("graft.mcv.") => require(v.trim.nonEmpty,
+          s"$m must carry the MCV JSON")
         case other => throw new IllegalArgumentException(
           s"unknown engine property $other — graft.* keys are " +
             "reserved (known: graft.mor, graft.targetFiles, " +
-            "graft.targetBytes, graft.clusterBy, graft.hist.<col>); " +
-            "use an unprefixed key for user metadata")
+            "graft.targetBytes, graft.clusterBy, graft.hist.<col>, " +
+            "graft.mcv.<col>); use an unprefixed key for user metadata")
       }
     }
     val json = props.toSeq.sortBy(_._1)

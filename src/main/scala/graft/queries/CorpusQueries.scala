@@ -243,6 +243,138 @@ object CorpusQueries {
       .toDF("doc_id", "score")
   }
 
+  /** Register a fresh TxnTable holding `df` under a unique name;
+    * returns (name, path). The l53 statement-twin gates run the
+    * retrieval TVFs against these. */
+  private def mkRegistered(spark: SparkSession, df: DataFrame,
+      tag: String): (String, String) = {
+    val t = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+      .toString + "/t"
+    graft.core.TxnTable.create(spark, t, df)
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.sql.GraftSql.register(n, t)
+    (n, t)
+  }
+
+  /** L53: `search_bm25('t', 'query terms', k)` — BM25 retrieval as
+    * STATEMENT TEXT (the s34 statement≡API twin pattern): the TVF
+    * resolves in query() and dispatches to the l32 operator verbatim.
+    * In-run: the statement's ranking equals the API call's row for
+    * row; oracle replays the l32 BM25 arithmetic. */
+  def l53SearchBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    val (n, _) = mkRegistered(spark, docs, "l53")
+    try {
+      val stmt = graft.sql.GraftSql.query(spark,
+        s"SELECT doc_id, score FROM " +
+          s"search_bm25('$n', 'dup join vector window', 25)")
+      val rows = stmt.collect().toSeq
+      val api = Keywords.bm25TopK(docs, "doc_id", "text",
+        Seq("dup", "join", "vector", "window"), 25).collect().toSeq
+      require(rows.map(_.toSeq) == api.map(_.toSeq),
+        "statement ranking must equal the API call's")
+      import spark.implicits._
+      rows.map(r => (r.getLong(0), r.getDouble(1))).toDF("doc_id", "score")
+    } finally graft.sql.GraftSql.unregister(n)
+  }
+
+  /** L53b: `search_phrase('t', 'exact phrase')` — phrase search as a
+    * TVF, COMPOSED under an aggregating SELECT (TVFs are relations:
+    * anything can stack on top). Same three phrases and the same
+    * algorithm-independent substring oracle as l35. */
+  def l53bSearchPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val (n, _) = mkRegistered(spark, Lake.table(spark, dir, "documents"),
+      "l53b")
+    try {
+      Seq("merge part", "scan join order", "window window").map { ph =>
+        graft.sql.GraftSql.query(spark,
+          s"SELECT '$ph' AS ph, count(*) AS matches, " +
+            s"coalesce(sum(doc_id), 0) AS id_checksum " +
+            s"FROM search_phrase('$n', '$ph')")
+      }.reduce(_.unionAll(_)).orderBy(col("ph"))
+    } finally graft.sql.GraftSql.unregister(n)
+  }
+
+  /** L53c: `search_ann('t', 'v1,v2,…', k[, nprobe])` — vector top-k as
+    * a TVF. With nprobe it serves from the TRANSACTIONAL IVF index
+    * (TxnVectorIndex.topK — only the probed lists' files are read);
+    * without it, exact brute-force over a plain vector table. In-run:
+    * both statement forms equal their API calls row for row; oracle
+    * replays the l3c/l3d IVF pipeline (md5 centroids, probe
+    * selection, rounded-cosine rerank). */
+  def l53cSearchAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Lake.table(spark, dir, "embeddings")
+    val data = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq
+    val qCsv = q.map(_.toString).mkString(",")
+    // the IVF form: a TxnVectorIndex-backed registered table
+    val idx = java.nio.file.Files.createTempDirectory("graft_l53c")
+      .toString + "/idx"
+    graft.operators.TxnVectorIndex.build(data, "vec_id", "embedding",
+      idx, nlist = 8)
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.sql.GraftSql.register(n, idx)
+    // the brute form: a plain (vec_id, embedding) table
+    val (nb, _) = mkRegistered(spark, data, "l53cb")
+    try {
+      val ivfStmt = graft.sql.GraftSql.query(spark,
+        s"SELECT vec_id, sim FROM search_ann('$n', '$qCsv', 10, 3)")
+      val ivfRows = ivfStmt.collect().toSeq
+      val ivfApi = graft.operators.TxnVectorIndex
+        .topK(spark, idx, q, 10, 3).collect().toSeq
+      require(ivfRows.map(_.toSeq) == ivfApi.map(_.toSeq),
+        "IVF statement must equal the TxnVectorIndex API call")
+      val bruteRows = graft.sql.GraftSql.query(spark,
+        s"SELECT vec_id, sim FROM search_ann('$nb', '$qCsv', 10)")
+        .collect().toSeq
+      val bruteApi = graft.operators.Similarity
+        .bruteTopK(data, q, 10).collect().toSeq
+      require(bruteRows.map(_.toSeq) == bruteApi.map(_.toSeq),
+        "brute statement must equal the Similarity API call")
+      import spark.implicits._
+      ivfRows.map(r => (r.getLong(0), r.getDouble(1)))
+        .toDF("vec_id", "sim")
+    } finally {
+      graft.sql.GraftSql.unregister(n)
+      graft.sql.GraftSql.unregister(nb)
+    }
+  }
+
+  /** L53d: `search_hybrid('docs', 'vectors', 'terms', 'v1,…', k,
+    * depth)` — RRF hybrid retrieval as a TVF over two registered
+    * tables, replaying the l40 oracle verbatim through statement
+    * text. In-run: statement equals the API fusion row for row. */
+  def l53dSearchHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    val emb = Lake.table(spark, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toSeq
+    val qCsv = q.map(_.toString).mkString(",")
+    val (nd, _) = mkRegistered(spark, docs, "l53d")
+    val (ne, _) = mkRegistered(spark,
+      corpus.select(col("vec_id"), col("embedding")), "l53e")
+    try {
+      val stmt = graft.sql.GraftSql.query(spark,
+        s"SELECT id, rrf FROM search_hybrid('$nd', '$ne', " +
+          s"'dup join vector window', '$qCsv', 20, 50)")
+      val rows = stmt.collect().toSeq
+      val api = graft.operators.HybridSearch.hybridTopK(
+        docs, "doc_id", "text", corpus, "vec_id", "embedding",
+        Seq("dup", "join", "vector", "window"), q, k = 20, depth = 50)
+        .select(col("id"), col("rrf")).collect().toSeq
+      require(rows.map(_.toSeq) == api.map(_.toSeq),
+        "hybrid statement must equal the API fusion")
+      import spark.implicits._
+      rows.map(r => (r.getLong(0), r.getDouble(1))).toDF("id", "rrf")
+    } finally {
+      graft.sql.GraftSql.unregister(nd)
+      graft.sql.GraftSql.unregister(ne)
+    }
+  }
+
   /** L37: the TRANSACTIONAL text index — TxnIndex commits the postings
     * + doc registry + additive stats through TxnTable, so the index
     * survives the mutable-corpus regime the plain l36 layout excludes:
@@ -1199,6 +1331,10 @@ object CorpusQueries {
     "l31_gopher_repetition" -> (l31GopherRepetition _),
     "l32_bm25_topk" -> (l32Bm25TopK _),
     "l40_hybrid_search" -> (l40HybridSearch _),
+    "l53_search_bm25" -> (l53SearchBm25 _),
+    "l53b_search_phrase" -> (l53bSearchPhrase _),
+    "l53c_search_ann" -> (l53cSearchAnn _),
+    "l53d_search_hybrid" -> (l53dSearchHybrid _),
     "l33_bigram_logprob" -> (l33BigramLogprob _),
     "l34_bm25_multi" -> (l34Bm25Multi _),
     "l35_phrase_search" -> (l35PhraseSearch _),
@@ -1297,6 +1433,39 @@ object CorpusQueries {
       |    THEN doc_id END) AS BIGINT), 0) AS id_checksum
       |FROM m CROSS JOIN p
       |GROUP BY p.ph ORDER BY p.ph""".stripMargin
+
+  /** Hybrid-retrieval oracle, shared by l40 (API) and l53d (statement):
+    * both rankings replayed (BM25 arithmetic = l32's, cosine = q14's),
+    * ranks over (score DESC, id), per-list RRF terms 6dp-rounded and
+    * DECIMAL-summed — the engine fuses the same way bit-exactly. */
+  private val hybridSql: String =
+    ("""WITH """ + bm25TopkCtes("documents").replace("LIMIT 25", "LIMIT 50")
+      .replace("FROM tf JOIN dfq USING (term) CROSS JOIN s)",
+        "FROM tf JOIN dfq USING (term) CROSS JOIN s),")
+      .replace("SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)",
+        "bm AS (SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)") +
+    """),
+      |bmr AS (SELECT doc_id AS id,
+      |  row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+      |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |cs AS (SELECT e.vec_id, round(
+      |    list_sum(list_transform(range(1,65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1,65),
+      |        i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1,65),
+      |        i -> CAST(q.qv[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE))))), 6) AS sim
+      |  FROM embeddings e, qv q WHERE e.vec_id <> 0
+      |  ORDER BY sim DESC, vec_id LIMIT 50),
+      |csr AS (SELECT vec_id AS id,
+      |  row_number() OVER (ORDER BY sim DESC, vec_id) AS r FROM cs),
+      |f AS (SELECT coalesce(bmr.id, csr.id) AS id,
+      |    CAST(coalesce(round(1.0/(60+bmr.r), 6), 0) AS DECIMAL(18,6))
+      |  + CAST(coalesce(round(1.0/(60+csr.r), 6), 0) AS DECIMAL(18,6))
+      |    AS rrf
+      |  FROM bmr FULL OUTER JOIN csr ON bmr.id = csr.id)
+      |SELECT CAST(id AS BIGINT) AS id, CAST(rrf AS DOUBLE) AS rrf
+      |FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin)
 
   val oracle: Map[String, String] = Map(
     // Identical PMI arithmetic over the same integer counts; the only
@@ -1820,34 +1989,13 @@ object CorpusQueries {
     // Both rankings replayed (BM25 arithmetic = l32's, cosine = q14's),
     // ranks over (score DESC, id), per-list RRF terms 6dp-rounded and
     // DECIMAL-summed -- the engine fuses the same way bit-exactly.
-    "l40_hybrid_search" ->
-      ("""WITH """ + bm25TopkCtes("documents").replace("LIMIT 25", "LIMIT 50")
-        .replace("FROM tf JOIN dfq USING (term) CROSS JOIN s)",
-          "FROM tf JOIN dfq USING (term) CROSS JOIN s),")
-        .replace("SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)",
-          "bm AS (SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)") +
-      """),
-        |bmr AS (SELECT doc_id AS id,
-        |  row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
-        |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |cs AS (SELECT e.vec_id, round(
-        |    list_sum(list_transform(range(1,65),
-        |      i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1,65),
-        |        i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1,65),
-        |        i -> CAST(q.qv[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE))))), 6) AS sim
-        |  FROM embeddings e, qv q WHERE e.vec_id <> 0
-        |  ORDER BY sim DESC, vec_id LIMIT 50),
-        |csr AS (SELECT vec_id AS id,
-        |  row_number() OVER (ORDER BY sim DESC, vec_id) AS r FROM cs),
-        |f AS (SELECT coalesce(bmr.id, csr.id) AS id,
-        |    CAST(coalesce(round(1.0/(60+bmr.r), 6), 0) AS DECIMAL(18,6))
-        |  + CAST(coalesce(round(1.0/(60+csr.r), 6), 0) AS DECIMAL(18,6))
-        |    AS rrf
-        |  FROM bmr FULL OUTER JOIN csr ON bmr.id = csr.id)
-        |SELECT CAST(id AS BIGINT) AS id, CAST(rrf AS DOUBLE) AS rrf
-        |FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin),
+    "l40_hybrid_search" -> hybridSql,
+    // The statement twins replay the SAME oracles as their API gates —
+    // same arithmetic, different entry point (TVF through query()).
+    "l53_search_bm25" -> bm25TopkSql,
+    "l53b_search_phrase" -> phraseSearchSql,
+    "l53c_search_ann" -> PipelineQueries.ivfDiskTopkSql,
+    "l53d_search_hybrid" -> hybridSql,
     // The indexed path must agree with the rescan path EXACTLY — same
     // oracle, different engine plan (pruned index read vs corpus scan).
     "l36_indexed_bm25" -> bm25TopkSql,

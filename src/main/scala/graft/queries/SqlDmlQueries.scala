@@ -736,6 +736,16 @@ object SqlDmlQueries {
           s"without injection the size-only estimate must SMJ, got $off")
         require(on == "BroadcastHashJoin",
           s"with log stats the dim must broadcast, got $on")
+        // the flip is USER-OBSERVABLE through the statement surface:
+        // EXPLAIN returns the substituted, stats-injected plan as
+        // rows, still zero-footer
+        val fx = graft.crawler.SkippingIndex.footerReads.get()
+        val explained = GraftSql.query(spark, s"EXPLAIN $sql")
+          .collect().map(_.getString(0)).mkString("\n")
+        require(explained.contains("BroadcastHashJoin"),
+          "EXPLAIN must show the stats-injected plan")
+        require(graft.crawler.SkippingIndex.footerReads.get() == fx,
+          "EXPLAIN must plan zero-footer")
         val r = dfOn.collect().head
         val rOff = {
           conf.set("spark.graft.cbo.logStats", "false")
@@ -840,6 +850,106 @@ object SqlDmlQueries {
           "both plans must serve identical values")
         Seq(("with_histogram", after, r.getLong(0), r.getLong(1)),
             ("without", before, r.getLong(0), r.getLong(1)))
+          .toDF("variant", "join_node", "n_rows", "revenue_c")
+          .orderBy(col("variant"))
+      } finally saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
+      }
+    } finally { GraftSql.unregister(ns); GraftSql.unregister(nf) }
+  }
+
+  /** S70: STRING-SKEW CBO — `ANALYZE TABLE t COMPUTE HISTOGRAM (k)`
+    * over a STRING column computes exact ndv + a most-common-values
+    * list (one batched scan, tblprops commit); the log-stats
+    * injection maps the ndv onto CatalogColumnStat and the
+    * per-statement MCV refinement prices string equality by actual
+    * value FREQUENCY, not 1/ndv uniform. In-run, BOTH skew
+    * directions: a RARE-value filter plans SortMergeJoin before the
+    * ANALYZE (no string stats → full-size estimate) and
+    * BroadcastHashJoin after; the 99% COMMON value must STAY
+    * SortMergeJoin after the ANALYZE — plain 1/ndv would price the
+    * hot value as rare and broadcast a near-full table (the OOM plan
+    * at scale). Planning reads zero parquet footers throughout; the
+    * ANALYZE itself is 2 batched scans (evidence hook); both plans
+    * serve oracle-pinned values, join node names pinned in the
+    * output rows. */
+  def s70StringSkew(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_s70").toString
+    val ns = freshName("skew_mcv_")
+    val nf = freshName("ord_mcv_")
+    val orders = Lake.table(spark, dir, "orders")
+    // ~1% of rows carry a singleton key 'v<orderkey>'; the other 99%
+    // share 'common' — the domain/lang shape of real curation keys
+    val skew = orders.select(
+      col("o_orderkey").as("id"),
+      when(col("o_orderkey") % 100 === 0,
+        concat(lit("v"), col("o_orderkey").cast("string")))
+        .otherwise(lit("common")).as("k"))
+    val fact = orders.select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val rare = "v" + orders.filter(col("o_orderkey") % 100 === 0)
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    TxnTable.create(spark, d + "/skew", skew, partitions = 2)
+    TxnTable.create(spark, d + "/ord", fact, partitions = 4)
+    GraftSql.register(ns, d + "/skew")
+    GraftSql.register(nf, d + "/ord")
+    try {
+      val (skewBytes, _, _) = TxnTable.logTableStats(spark, d + "/skew")
+      def sqlOf(value: String) =
+        s"""SELECT count(*) AS n_rows, sum(f.price_c) AS revenue_c
+           |FROM $nf f JOIN $ns s ON f.o_orderkey = s.id
+           |WHERE s.k = '$value'""".stripMargin
+      val conf = spark.conf
+      val keys = Seq("spark.sql.cbo.enabled",
+        "spark.sql.autoBroadcastJoinThreshold", "spark.graft.cbo.logStats")
+      val saved = keys.map(k => k -> conf.getOption(k))
+      try {
+        conf.set("spark.sql.cbo.enabled", "true")
+        conf.set("spark.graft.cbo.logStats", "true")
+        conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (skewBytes / 8).toString)
+        val f0 = graft.crawler.SkippingIndex.footerReads.get()
+        val before = graft.crawler.CboStats
+          .staticJoinNode(GraftSql.query(spark, sqlOf(rare)))
+        require(before == "SortMergeJoin",
+          s"without string stats the full-size estimate must SMJ, " +
+            s"got $before")
+        require(graft.crawler.SkippingIndex.footerReads.get() == f0,
+          "log-stats planning must read zero parquet footers")
+        GraftSql.execute(spark,
+          s"ANALYZE TABLE $ns COMPUTE HISTOGRAM (k)")
+        require(graft.core.TxnTable.properties(d + "/skew")
+          .contains("graft.mcv.k"), "the MCV stats must ride the log")
+        require(graft.core.TxnTable.lastAnalyzeScans == 2,
+          s"a string-only ANALYZE is 2 batched scans, got " +
+            s"${graft.core.TxnTable.lastAnalyzeScans}")
+        val f1 = graft.crawler.SkippingIndex.footerReads.get()
+        val dfRare = GraftSql.query(spark, sqlOf(rare))
+        val after = graft.crawler.CboStats.staticJoinNode(dfRare)
+        require(after == "BroadcastHashJoin",
+          s"the string ndv must price the rare value under the " +
+            s"threshold and broadcast, got $after")
+        val dfCommon = GraftSql.query(spark, sqlOf("common"))
+        val commonNode = graft.crawler.CboStats.staticJoinNode(dfCommon)
+        require(commonNode == "SortMergeJoin",
+          s"the MCV must price the 99% value HONESTLY and keep the " +
+            s"sort-merge (uniform 1/ndv would broadcast it), got " +
+            s"$commonNode")
+        require(graft.crawler.SkippingIndex.footerReads.get() == f1,
+          "MCV planning must stay zero-footer")
+        val rRare = dfRare.collect().head
+        val rBefore = GraftSql.query(spark, sqlOf(rare)
+          .replace(s"$ns s", s"$ns VERSION AS OF 0 s")).collect().head
+        require(rRare.getLong(0) == rBefore.getLong(0) &&
+          rRare.getLong(1) == rBefore.getLong(1),
+          "both rare plans must serve identical values")
+        val rCommon = dfCommon.collect().head
+        Seq(
+          ("common_with_mcv", commonNode,
+            rCommon.getLong(0), rCommon.getLong(1)),
+          ("rare_with_mcv", after, rRare.getLong(0), rRare.getLong(1)),
+          ("rare_without", before, rRare.getLong(0), rRare.getLong(1)))
           .toDF("variant", "join_node", "n_rows", "revenue_c")
           .orderBy(col("variant"))
       } finally saved.foreach { case (k, v) =>
@@ -2204,6 +2314,7 @@ object SqlDmlQueries {
     "s69_zorder_where" -> (s69ZorderWhere _),
     "s65_log_cbo" -> (s65LogCbo _),
     "s68_cbo_histogram" -> (s68CboHistogram _),
+    "s70_string_skew" -> (s70StringSkew _),
     "s66_nested_alter" -> (s66NestedAlter _),
     "s34_sql_update_delete" -> (s34SqlUpdateDelete _),
     "s34b_sql_merge" -> (s34bSqlMerge _),
@@ -2438,6 +2549,33 @@ object SqlDmlQueries {
         |FROM (VALUES ('with_histogram','BroadcastHashJoin'),
         |             ('without','SortMergeJoin'))
         |  v(variant, join_node), r
+        |ORDER BY variant""".stripMargin,
+    // the join-node flips are asserted in-run; this pins the served
+    // values of both filter variants, node names in the VALUES
+    "s70_string_skew" ->
+      """WITH s AS (SELECT o_orderkey AS id,
+        |    CASE WHEN o_orderkey % 100 = 0
+        |         THEN 'v' || CAST(o_orderkey AS VARCHAR)
+        |         ELSE 'common' END AS k
+        |  FROM orders),
+        |f AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |rv AS (SELECT 'v' || CAST(max(o_orderkey) AS VARCHAR) AS v
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |r AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(f.price_c) AS BIGINT) AS revenue_c
+        |  FROM f JOIN s ON f.o_orderkey = s.id, rv WHERE s.k = rv.v),
+        |c AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(f.price_c) AS BIGINT) AS revenue_c
+        |  FROM f JOIN s ON f.o_orderkey = s.id WHERE s.k = 'common')
+        |SELECT * FROM (
+        |  SELECT 'common_with_mcv' AS variant,
+        |    'SortMergeJoin' AS join_node, c.n_rows, c.revenue_c FROM c
+        |  UNION ALL SELECT 'rare_with_mcv', 'BroadcastHashJoin',
+        |    r.n_rows, r.revenue_c FROM r
+        |  UNION ALL SELECT 'rare_without', 'SortMergeJoin',
+        |    r.n_rows, r.revenue_c FROM r)
         |ORDER BY variant""".stripMargin,
     "s65_log_cbo" ->
       """WITH cap AS (SELECT CAST(max(c_custkey) AS BIGINT)//50 AS v

@@ -96,9 +96,15 @@ object GraftSql {
 
   // live continuous `COPY INTO … FROM STREAM … TRIGGER INTERVAL`
   // queries, keyed by (table path | normalized source dir): the
-  // interval statement starts one and returns; STOP COPY INTO ends it
-  private val copyStreams = new ConcurrentHashMap[String,
-    org.apache.spark.sql.streaming.StreamingQuery]()
+  // interval statement starts one and returns; STOP COPY INTO ends it.
+  // The registry keeps enough metadata for the SHOW STREAMS panel —
+  // an operator must be able to LIST running continuous ingests, see
+  // a died query's terminal exception, and STOP by table name alone.
+  private[sql] case class CopyStreamInfo(table: String, path: String,
+      dir: String, ckptDir: String, intervalSec: Long, streamId: String,
+      query: org.apache.spark.sql.streaming.StreamingQuery)
+  private val copyStreams =
+    new ConcurrentHashMap[String, CopyStreamInfo]()
 
   private def copyStreamKey(path: String, dir: String): String =
     path + "|" + java.nio.file.Paths.get(dir)
@@ -202,7 +208,10 @@ object GraftSql {
       """\s*;?\s*$""").r
   private val CopyStreamStopRe =
     ("""(?is)^\s*STOP\s+COPY\s+INTO\s+""" + Ident +
-      """\s+FROM\s+STREAM\s+'([^']+)'\s*;?\s*$""").r
+      """(?:\s+FROM\s+STREAM\s+'([^']+)')?\s*;?\s*$""").r
+  private val ShowStreamsRe = """(?is)^\s*SHOW\s+STREAMS\s*;?\s*$""".r
+  private val ExplainRe =
+    """(?is)^\s*EXPLAIN(\s+EXTENDED|\s+COST|\s+FORMATTED)?\s+(.+?)\s*;?\s*$""".r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + Ident +
       """\s+SHALLOW\s+CLONE\s+""" + Ident +
@@ -555,16 +564,38 @@ object GraftSql {
       TxnTable.computeHistogram(spark, reg.path, cols,
         Option(binsRaw).map(_.toInt).getOrElse(64))
 
-    // STOP COPY INTO t FROM STREAM '<dir>': end the continuous form;
-    // the checkpoint and the file registry persist, so a later
-    // statement (either trigger form) resumes exactly-once
+    // STOP COPY INTO t [FROM STREAM '<dir>']: end the continuous
+    // form; the checkpoint and the file registry persist, so a later
+    // statement (either trigger form) resumes exactly-once. Without
+    // the FROM STREAM clause, every continuous ingest of the table
+    // stops — the operator verb when the landing dir isn't at hand.
+    // A query that already DIED (e.g. FAILFAST on a malformed file)
+    // is evicted here too, and its terminal exception SURFACES —
+    // silent ingestion stops are the failure mode this closes; the
+    // registry is cleaned first, so a post-fix re-issue resumes.
     case CopyStreamStopRe(name, dir) =>
       val (reg, _) = lookupMutable(parseIdent(name), "COPY INTO")
-      val key = copyStreamKey(reg.path, dir)
-      val q = copyStreams.remove(key)
-      require(q != null,
-        s"no continuous COPY INTO stream is running for $dir")
-      q.stop()
+      val infos = Option(dir) match {
+        case Some(d) =>
+          Option(copyStreams.remove(copyStreamKey(reg.path, d))).toSeq
+        case None =>
+          import scala.jdk.CollectionConverters._
+          val mine = copyStreams.asScala.collect {
+            case (k, i) if i.path == reg.path => k }.toSeq
+          mine.flatMap(k => Option(copyStreams.remove(k)))
+      }
+      require(infos.nonEmpty,
+        "no continuous COPY INTO stream is running for " +
+          Option(dir).getOrElse(parseIdent(name).mkString(".")))
+      val failed = infos.flatMap(i => i.query.exception.map(i -> _))
+      infos.foreach(_.query.stop())
+      failed.headOption.foreach { case (i, e) =>
+        throw new IllegalStateException(
+          s"continuous COPY INTO for ${i.dir} had already FAILED — " +
+            s"ingestion stopped at that point; it is now evicted and " +
+            s"a re-issued statement resumes from the checkpoint + " +
+            s"file registry. Cause: ${e.message}", e)
+      }
       TxnTable.currentVersion(reg.path)
 
     case CopyStreamRe(name, dir, fmt, ckpt, ivl) =>
@@ -592,9 +623,12 @@ object GraftSql {
       }
       val wkey = copyStreamKey(reg.path, dir)
       // single writer per (table, dir): a running continuous query
-      // owns the checkpoint — a second statement must not race it
+      // owns the checkpoint — a second statement must not race it. A
+      // DEAD entry (stopped or failed) is evicted and replaced: the
+      // re-issue IS the recovery action after a fixed landing file
+      // (the failure itself surfaces through SHOW STREAMS / STOP).
       Option(copyStreams.get(wkey)).foreach { running =>
-        if (running.isActive) throw new IllegalArgumentException(
+        if (running.query.isActive) throw new IllegalArgumentException(
           s"a continuous COPY INTO stream is already running for " +
             s"$dir — STOP COPY INTO it first")
         copyStreams.remove(wkey, running)
@@ -639,7 +673,9 @@ object GraftSql {
           // a later re-issue resumes from the checkpoint + registry
           val q = writer.trigger(org.apache.spark.sql.streaming
             .Trigger.ProcessingTime(s"$sec seconds")).start()
-          copyStreams.put(wkey, q)
+          copyStreams.put(wkey, CopyStreamInfo(
+            parseIdent(name).mkString(".").toLowerCase, reg.path,
+            dir, ckptDir, sec.toLong, streamId, q))
       }
       TxnTable.currentVersion(reg.path)
 
@@ -1395,6 +1431,16 @@ object GraftSql {
   def lastMvRefreshStats: Option[MvRefreshStats] =
     Option(lastMvRefresh.get)
 
+  /** Evidence hooks for the carry+recompute regime's DRIVER-STATE
+    * audit (the lastMixMetadataRows pattern): `lastMvCarryProbe` = the
+    * distributed limit(cap+1).count() of the touched-group set (-1
+    * when the regime never ran); `lastMvCarryKeys` = how many group
+    * tuples were actually collected (-1 when the bound tripped and
+    * the refresh fell back WITHOUT materializing them). Specs pin
+    * that a wide-churn high-cardinality delta never collects. */
+  val lastMvCarryProbe = new java.util.concurrent.atomic.AtomicLong(-1L)
+  val lastMvCarryKeys = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /** Recognized incrementally-maintainable shape. `items` is the
     * SELECT list in order: group attributes (each GROUP BY expression
     * exactly once) and aggregates from count(*) / sum / min / max /
@@ -1457,8 +1503,12 @@ object GraftSql {
       case _ => return None
     }
     // everything below the aggregate is re-executed against delta
-    // rows: no subqueries anywhere (WHERE, HAVING, join conditions)
-    if ((child.expressions ++ having).exists(_.find {
+    // rows: no subqueries anywhere (WHERE, HAVING, join conditions —
+    // including NESTED join conditions, so the walk covers EVERY
+    // node's expressions, not just the top one's: a scalar subquery
+    // whose value drifts between refreshes would make carried state
+    // silently stale)
+    if ((child.flatMap(_.expressions) ++ having).exists(_.find {
       case _: SubqueryExpression => true; case _ => false }.nonEmpty))
       return None
     val (below, cond) = child match {
@@ -1569,6 +1619,8 @@ object GraftSql {
     * for signed row multisets under inner joins. */
   private def refreshIncremental(spark: SparkSession, path: String,
       text: String): Option[Long] = {
+    lastMvCarryProbe.set(-1L)
+    lastMvCarryKeys.set(-1L)
     val shape = recognizeFoldShape(spark, text).getOrElse(return None)
     val recorded = mvRecorded(path)
     if (recorded.keySet != shape.rels.toSet) return None
@@ -1924,11 +1976,25 @@ object GraftSql {
       .select((gCols ++ vCols) :+ col("__sgn").as("__m"): _*)
       .groupBy((gCols ++ vCols): _*)
       .agg(fsum(col("__m")).as("__m")).filter(col("__m") =!= 0)
-    val touchedRows = net.select(gCols: _*).distinct().collect()
-    // past ~10% of groups touched, one full re-aggregation beats the
-    // per-group recompute (the recomputeTail threshold, same shape)
-    if (touchedRows.length > 64 && touchedRows.length > mvDf.count() / 10)
-      return None
+    // Bound the driver state BEFORE any materialization: past ~10% of
+    // groups touched one full re-aggregation beats the per-group
+    // recompute (the recomputeTail threshold), and past an ABSOLUTE
+    // 65,536 keys (the l47 driver-metadata precedent) neither the
+    // collect nor the broadcast(touched) below is acceptable at any
+    // ratio — 10% of a 1B-group MV is 100M rows. The relative guard
+    // reads the MV's row count from the LOG (zero jobs, vs an extra
+    // count scan), and the touched-set size is probed DISTRIBUTIVELY
+    // with limit(cap+1).count(), so a wide-churn delta on a
+    // high-cardinality group key decides "fall back" without ever
+    // shipping its keys to the driver.
+    val touchedDf = net.select(gCols: _*).distinct()
+    val (_, mvRows, _) = TxnTable.logTableStats(spark, path)
+    val cap = math.min(65536L, math.max(64L, mvRows / 10L))
+    val probed = touchedDf.limit((cap + 1L).toInt).count()
+    lastMvCarryProbe.set(probed)
+    if (probed > cap) { lastMvCarryKeys.set(-1L); return None }
+    val touchedRows = touchedDf.collect()
+    lastMvCarryKeys.set(touchedRows.length.toLong)
     val outCols = shape.items.map(it => col(it.out))
     val result =
       if (touchedRows.isEmpty) mvDf.select(outCols: _*)
@@ -2182,6 +2248,24 @@ object GraftSql {
         import spark.implicits._
         import scala.jdk.CollectionConverters._
         views.keys.asScala.toSeq.sorted.toDF("name")
+      // the continuous-ingest panel: every registered COPY INTO …
+      // TRIGGER INTERVAL stream — running or died-in-place — with its
+      // landing dir, trigger, checkpoint, liveness, the batches it
+      // has committed (counted from the table's own `stream:` log
+      // markers, metadata-scale), and a died query's terminal error
+      // (silent ingestion stops become visible here)
+      case ShowStreamsRe() =>
+        import spark.implicits._
+        import scala.jdk.CollectionConverters._
+        copyStreams.asScala.values.toSeq.map { i =>
+          val batches = TxnTable.commits(i.path)
+            .count(_.op.startsWith(s"stream:${i.streamId}:"))
+          (i.table, i.dir, i.intervalSec, i.ckptDir,
+            i.query.isActive, batches.toLong,
+            i.query.exception.map(_.message).orNull)
+        }.sortBy(r => (r._1, r._2))
+          .toDF("table", "source_dir", "trigger_seconds", "checkpoint",
+            "active", "batches_committed", "error")
       // name, location, staleness — the stale flag is log metadata
       // (recorded vs current source versions), zero scans
       case ShowMvRe() =>
@@ -2223,9 +2307,41 @@ object GraftSql {
           .schema.fields.toSeq
           .map(f => (f.name, f.dataType.simpleString, f.nullable))
           .toDF("col_name", "data_type", "nullable")
+      // EXPLAIN [EXTENDED|COST|FORMATTED] <stmt>: the statement's plan
+      // AS ROWS, after snapshot substitution and log-stats/histogram/
+      // MCV injection — the zero-footer-planning claims become
+      // user-observable (COST mode prints the injected statistics).
+      // Row-returning statements only; DML/commands are fenced (a
+      // Dataset over a command plan would EXECUTE it eagerly).
+      case ExplainRe(modeRaw, rest) =>
+        import spark.implicits._
+        // graft-owned verb heads (SHOW/DESCRIBE/MIX/SPLIT/VACUUM/
+        // REPAIR…) are all row-returning and route through query()'s
+        // own matches below — some also happen to Spark-parse as
+        // Commands (DESCRIBE HISTORY), so they bypass the DML fence
+        val graftVerb =
+          """(?is)^\s*(MIX|SPLIT|SHOW|DESCRIBE|DESC|VACUUM|REPAIR)\b[\s\S]*""".r
+        (if (graftVerb.pattern.matcher(rest).matches()) None
+         else try Some(spark.sessionState.sqlParser.parsePlan(rest))
+         catch { case _: Exception => None }).foreach {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Command |
+               _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement |
+               _: org.apache.spark.sql.catalyst.plans.logical.UpdateTable |
+               _: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable |
+               _: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+            throw new IllegalArgumentException(
+              "EXPLAIN covers row-returning statements; DML and DDL " +
+                "verbs execute through execute()")
+          case _ => ()
+        }
+        val mode = Option(modeRaw).map(_.trim.toLowerCase)
+          .getOrElse("simple")
+        query(spark, rest).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+          .split("\n").toSeq.toDF("plan")
       case _ =>
-        Bridge.ofRows(spark, substituteRelations(spark,
-          spark.sessionState.sqlParser.parsePlan(sqlText)))
+        Bridge.ofRows(spark, refineMcvStats(spark, substituteRelations(
+          spark, spark.sessionState.sqlParser.parsePlan(sqlText))))
     }
 
   // -- log-stats CBO injection ----------------------------------------------
@@ -2247,8 +2363,12 @@ object GraftSql {
   // IDENTITY — a table deleted and recreated at the same path restarts
   // version numbers, and without it the cache could serve the dead
   // table's statistics at a colliding (path, version)
+  // value = (catalog stats, the snapshot's graft.mcv.* properties —
+  // carried onto the injected CatalogTable so the per-statement MCV
+  // selectivity refinement reads version-consistent frequencies)
   private val logStatsCache = new ConcurrentHashMap[(String, Long, Long),
-    Option[org.apache.spark.sql.catalyst.catalog.CatalogStatistics]]()
+    Option[(org.apache.spark.sql.catalyst.catalog.CatalogStatistics,
+      Map[String, String])]]()
 
   private def injectLogStats(spark: SparkSession, path: String,
       asOf: Long, name: String, df: DataFrame): LogicalPlan = {
@@ -2272,7 +2392,7 @@ object GraftSql {
       try Some(buildCatalogStats(spark, path, v))
       catch { case _: Exception => None })
     stats match {
-      case Some(st) =>
+      case Some((st, mcvProps)) =>
         val ct = org.apache.spark.sql.catalyst.catalog.CatalogTable(
           identifier =
             org.apache.spark.sql.catalyst.TableIdentifier(name),
@@ -2282,6 +2402,7 @@ object GraftSql {
             .CatalogStorageFormat.empty,
           schema = scans.head.schema,
           provider = Some("parquet"),
+          properties = mcvProps,
           stats = Some(st))
         plan.transform {
           case lr: LogicalRelation => lr.copy(catalogTable = Some(ct))
@@ -2290,18 +2411,26 @@ object GraftSql {
     }
   }
 
-  private def buildCatalogStats(spark: SparkSession, path: String,
-      v: Long): org.apache.spark.sql.catalyst.catalog.CatalogStatistics = {
+  private def buildCatalogStats(spark: SparkSession, path: String, v: Long)
+      : (org.apache.spark.sql.catalyst.catalog.CatalogStatistics,
+         Map[String, String]) = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
     import org.apache.spark.sql.types._
     val (bytes, rows, cols) = TxnTable.logTableStats(spark, path, v)
-    // ANALYZE-built equi-height histograms ride the log as properties
-    // (graft.hist.<col>, pinned at the plan's version) — parsed
-    // defensively: malformed JSON just means no histogram
-    val hists = TxnTable.propertiesAt(path, v).flatMap {
+    // ANALYZE-built equi-height histograms and string MCV stats ride
+    // the log as properties (graft.{hist,mcv}.<col>, pinned at the
+    // plan's version) — parsed defensively: malformed JSON just means
+    // no histogram / no MCV
+    val snapshotProps = TxnTable.propertiesAt(path, v)
+    val hists = snapshotProps.flatMap {
       case (k, j) if k.startsWith("graft.hist.") =>
         parseHistogram(j).map(k.stripPrefix("graft.hist.") -> _)
       case _ => None
+    }
+    val mcvProps = snapshotProps.filter(_._1.startsWith("graft.mcv."))
+    val mcvNdv: Map[String, (Long, Long)] = mcvProps.flatMap {
+      case (k, j) => parseMcv(j).map(m =>
+        k.stripPrefix("graft.mcv.") -> (m._1, m._2))
     }
     val colStats = cols.flatMap { case (n, c) =>
       // external-string bounds only for types whose physical int64
@@ -2335,19 +2464,142 @@ object GraftSql {
         case _ => None
       }
       val hist = hists.get(n.toLowerCase)
-      if (c.lmin.isEmpty && c.nulls.isEmpty && hist.isEmpty) None
+      // ANALYZE-computed string ndv (exact, riding the MCV stats):
+      // the base equality estimate for string keys — min/max stay
+      // absent, matching ANALYZE's own string behavior; null count
+      // derives from the scan when the log lacks it
+      val strNdv: Option[BigInt] =
+        if (c.dataType == StringType)
+          mcvNdv.get(n.toLowerCase).map(m => BigInt(m._1))
+        else None
+      val nullsOut = c.nulls.map(BigInt(_)).orElse(
+        if (c.dataType == StringType)
+          mcvNdv.get(n.toLowerCase)
+            .map(m => BigInt(math.max(0L, rows - m._2)))
+        else None)
+      if (c.lmin.isEmpty && c.nulls.isEmpty && hist.isEmpty &&
+          strNdv.isEmpty) None
       else Some(n -> CatalogColumnStat(
-        distinctCount = ndv,
+        distinctCount = ndv.orElse(strNdv),
         min = c.lmin.flatMap(ext),
         max = c.lmax.flatMap(ext),
-        nullCount = c.nulls.map(BigInt(_)),
+        nullCount = nullsOut,
         avgLen = None, maxLen = None, histogram = hist,
         version = CatalogColumnStat.VERSION))
     }.toMap
-    CatalogStatistics(
+    (CatalogStatistics(
       sizeInBytes = BigInt(math.max(1L, bytes)),
       rowCount = Some(BigInt(math.max(0L, rows))),
-      colStats = colStats)
+      colStats = colStats), mcvProps)
+  }
+
+  /** `{"ndv":N,"nonnull":M,"mcv":[["value",count],…]}` →
+    * (ndv, nonnull, mcv pairs); None on malformed input (MCV stats
+    * are estimation-only, exactly like histograms). */
+  private def parseMcv(json: String)
+      : Option[(Long, Long, Seq[(String, Long)])] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: Formats = DefaultFormats
+      val j = JsonMethods.parse(json)
+      val ndv = (j \ "ndv").extract[Long]
+      val nonnull = (j \ "nonnull").extract[Long]
+      val mcv = (j \ "mcv").extract[Seq[Seq[JValue]]].map(p =>
+        (p(0).extract[String], p(1).extract[Long]))
+      if (ndv <= 0 || nonnull <= 0) None else Some((ndv, nonnull, mcv))
+    } catch { case _: Exception => None }
+
+  /** Per-STATEMENT refinement of string-equality selectivity from the
+    * ANALYZE MCV stats. Catalyst's FilterEstimation prices `col = lit`
+    * as 1/ndv — uniform, so on a 99%-skewed key it is wrong in BOTH
+    * directions (the hot value estimates 99× too small, which
+    * broadcasts a huge filtered side; with no stats at all a rare
+    * value keeps the full size and sort-merges a tiny one).
+    * CatalogColumnStat has no MCV channel, so the value-aware
+    * estimate is delivered THROUGH the ndv channel: for each RESOLVED
+    * equality/IN predicate (attribute matched by exprId — never by
+    * name guessing) over a string column carrying graft.mcv stats,
+    * that relation's injected distinctCount becomes
+    * k·nonnull/est(values), making Catalyst's k/ndv exactly the
+    * MCV-estimated fraction (values absent from the MCV list take the
+    * residual mean (nonnull−Σmcv)/(ndv−|mcv|) — the classic
+    * MCV+residual estimator). Estimation-only, per-statement; stored
+    * properties and served values are untouched. */
+  private def refineMcvStats(spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, In}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.types.StringType
+    val hasMcv = plan.find {
+      case lr: LogicalRelation => lr.catalogTable.exists(
+        _.properties.keys.exists(_.startsWith("graft.mcv.")))
+      case _ => false
+    }.isDefined
+    if (!hasMcv) return plan
+    val analyzed =
+      try Bridge.ofRows(spark, plan).queryExecution.analyzed
+      catch { case scala.util.control.NonFatal(_) => return plan }
+    val preds = scala.collection.mutable.Map[Long, Set[String]]()
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    def strOf(l: Literal): Option[String] = l match {
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    def add(a: AttributeReference, vs: Set[String]): Unit =
+      preds(a.exprId.id) = preds.getOrElse(a.exprId.id, Set.empty) ++ vs
+    def record(e: Expression): Unit = e match {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        strOf(l).foreach(v => add(a, Set(v)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        strOf(l).foreach(v => add(a, Set(v)))
+      case In(a: AttributeReference, list)
+          if list.nonEmpty && list.forall {
+            case l: Literal => strOf(l).isDefined; case _ => false } =>
+        add(a, list.collect { case l: Literal => strOf(l).get }.toSet)
+      case _ => ()
+    }
+    analyzed.foreach {
+      case f: Filter => conj(f.condition).foreach(record)
+      case j: Join => j.condition.toSeq.flatMap(conj).foreach(record)
+      case _ => ()
+    }
+    if (preds.isEmpty) return analyzed
+    analyzed.transform {
+      case lr: LogicalRelation if lr.catalogTable.exists(ct =>
+          ct.stats.exists(_.colStats.nonEmpty) &&
+            ct.properties.keys.exists(_.startsWith("graft.mcv."))) =>
+        val ct = lr.catalogTable.get
+        val st = ct.stats.get
+        var changed = false
+        val newCols = st.colStats.map { case (cn, cs) =>
+          val vals = lr.output.find(_.name.equalsIgnoreCase(cn))
+            .flatMap(a => preds.get(a.exprId.id)).getOrElse(Set.empty)
+          ct.properties.get(s"graft.mcv.${cn.toLowerCase}")
+            .flatMap(parseMcv) match {
+            case Some((ndvL, nonnull, mcv)) if vals.nonEmpty =>
+              val mcvMap = mcv.toMap
+              val mcvSum = mcv.map(_._2).sum
+              val residual = math.max(1.0,
+                (nonnull - mcvSum).toDouble /
+                  math.max(1L, ndvL - mcv.size).toDouble)
+              val est = math.min(nonnull.toDouble, math.max(1.0,
+                vals.toSeq.map(v =>
+                  mcvMap.get(v).map(_.toDouble).getOrElse(residual)).sum))
+              val eff = BigInt(math.max(1L,
+                math.round(vals.size * nonnull.toDouble / est)))
+              changed = true
+              cn -> cs.copy(distinctCount = Some(eff))
+            case _ => cn -> cs
+          }
+        }
+        if (!changed) lr
+        else lr.copy(catalogTable = Some(ct.copy(
+          stats = Some(st.copy(colStats = newCols)))))
+    }
   }
 
   /** `{"h":height,"bins":[[lo,hi,ndv],…]}` → Catalyst Histogram;
@@ -2407,6 +2659,29 @@ object GraftSql {
       case l: Literal if l.value != null => l.value.toString
       case other => throw new IllegalArgumentException(
         s"$what must be a literal, got $other")
+    }
+    def intLit(e: Expression, what: String): Long = e match {
+      case l: Literal if l.value != null &&
+          (l.dataType == org.apache.spark.sql.types.IntegerType ||
+            l.dataType == org.apache.spark.sql.types.LongType) =>
+        l.value.toString.toLong
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    // a query vector as SQL text: a comma-separated float string —
+    // portable statement spelling ('0.1, -0.2, …'), array literals
+    // stay the Scala API's territory
+    def vecLit(e: Expression, what: String): Seq[Float] = {
+      val s = strLit(e, what)
+      try s.split(",").map(_.trim).filter(_.nonEmpty).map(_.toFloat).toSeq
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$what must be a comma-separated float string, got '$s'") }
+    }
+    def termsLit(e: Expression, what: String): Seq[String] = {
+      val t = strLit(e, what).split("\\s+").filter(_.nonEmpty).toSeq
+      require(t.nonEmpty, s"$what must name at least one term")
+      t
     }
     // transformUpWithSubqueries: registered names resolve inside
     // IN/EXISTS/scalar SUBQUERY expressions too, not just the FROM tree
@@ -2501,6 +2776,93 @@ object GraftSql {
           .filter(org.apache.spark.sql.functions
             .col("quality_logit") > thr)
         SubqueryAlias("quality_filter", scored.queryExecution.logical)
+      // ---- the retrieval surface as TVFs: every index a SQL user can
+      // BUILD (text index, vector index, hybrid) is also QUERYABLE
+      // from statement text, each dispatching to the existing pruned
+      // operator (statement ≡ API, the s34 twin discipline) ----------
+      // search_bm25('t', 'query terms', k[, 'textCol'[, 'idCol']]):
+      // BM25 top-k over a registered corpus table — Lucene-variant
+      // idf, decimal-summed 6dp contributions ([[Keywords.bm25TopK]]).
+      // Output: (doc_id, score).
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.last.equalsIgnoreCase("search_bm25") =>
+        val args = tvf.functionArgs
+        require(args.length >= 3 && args.length <= 5,
+          "search_bm25(table, 'query terms', k[, textCol[, idCol]])")
+        val path = registeredPathByName(strLit(args.head, "table name"))
+        val terms = termsLit(args(1), "query terms")
+        val k = intLit(args(2), "k").toInt
+        val textCol =
+          if (args.length >= 4) strLit(args(3), "text column") else "text"
+        val idCol =
+          if (args.length >= 5) strLit(args(4), "id column") else "doc_id"
+        SubqueryAlias("search_bm25",
+          graft.operators.Keywords.bm25TopK(TxnTable.read(spark, path),
+            idCol, textCol, terms, k).queryExecution.logical)
+      // search_phrase('t', 'exact phrase'[, 'textCol'[, 'idCol']]):
+      // consecutive-token phrase match via positional-postings
+      // intersection ([[Keywords.phraseMatches]] — work bounded by the
+      // rarest term's postings). Output: (doc_id, n_occ).
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.last.equalsIgnoreCase("search_phrase") =>
+        val args = tvf.functionArgs
+        require(args.length >= 2 && args.length <= 4,
+          "search_phrase(table, 'exact phrase'[, textCol[, idCol]])")
+        val path = registeredPathByName(strLit(args.head, "table name"))
+        val phrase = termsLit(args(1), "phrase")
+        val textCol =
+          if (args.length >= 3) strLit(args(2), "text column") else "text"
+        val idCol =
+          if (args.length >= 4) strLit(args(3), "id column") else "doc_id"
+        SubqueryAlias("search_phrase",
+          graft.operators.Keywords.phraseMatches(
+            TxnTable.read(spark, path), idCol, textCol, phrase)
+            .queryExecution.logical)
+      // search_ann('t', 'v1,v2,…', k[, nprobe]): cosine top-k over a
+      // registered vector table. WITH nprobe the table must be a
+      // transactional IVF index ([[TxnVectorIndex.topK]] — reads only
+      // the probed lists' files via log-stats pruning); without it,
+      // exact brute-force scoring + TakeOrderedAndProject over a plain
+      // (vec_id, embedding) table. Output: (vec_id, sim).
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.last.equalsIgnoreCase("search_ann") =>
+        val args = tvf.functionArgs
+        require(args.length >= 3 && args.length <= 4,
+          "search_ann(table, 'v1,v2,…', k[, nprobe])")
+        val path = registeredPathByName(strLit(args.head, "table name"))
+        val qv = vecLit(args(1), "query vector")
+        val k = intLit(args(2), "k").toInt
+        val served =
+          if (args.length == 4)
+            graft.operators.TxnVectorIndex.topK(spark, path, qv, k,
+              intLit(args(3), "nprobe").toInt)
+          else graft.operators.Similarity.bruteTopK(
+            TxnTable.read(spark, path), qv, k)
+        SubqueryAlias("search_ann", served.queryExecution.logical)
+      // search_hybrid('docs', 'vectors', 'query terms', 'v1,v2,…', k
+      // [, depth]): BM25 × cosine candidates fused by reciprocal rank
+      // fusion ([[HybridSearch.hybridTopK]] — fusion is metadata-scale,
+      // the corpus work lives in the two generators). Output:
+      // (id, rrf, lex_rank, vec_rank).
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.last.equalsIgnoreCase("search_hybrid") =>
+        val args = tvf.functionArgs
+        require(args.length >= 5 && args.length <= 6,
+          "search_hybrid(docsTable, vecTable, 'query terms', " +
+            "'v1,v2,…', k[, depth])")
+        val docsPath = registeredPathByName(strLit(args.head, "docs table"))
+        val vecPath = registeredPathByName(strLit(args(1), "vector table"))
+        val terms = termsLit(args(2), "query terms")
+        val qv = vecLit(args(3), "query vector")
+        val k = intLit(args(4), "k").toInt
+        val depth =
+          if (args.length == 6) intLit(args(5), "depth").toInt
+          else math.max(50, 2 * k)
+        SubqueryAlias("search_hybrid",
+          graft.operators.HybridSearch.hybridTopK(
+            TxnTable.read(spark, docsPath), "doc_id", "text",
+            TxnTable.read(spark, vecPath), "vec_id", "embedding",
+            terms, qv, k, depth).queryExecution.logical)
     }
   }
 

@@ -1855,4 +1855,82 @@ class TxnTableSpec extends SparkSpecBase {
       .contains(3L))
     assert(appendStreamBatch(spark, t, rangeDf(20, 25), "s2", 2L).isEmpty)
   }
+
+  test("batched ANALYZE: one quantile pass + one bin-ndv pass + one " +
+    "MCV pass regardless of column count; string columns get exact " +
+    "ndv + MCV frequencies") {
+    import spark.implicits._
+    val t = freshTable()
+    create(spark, t, (1L to 400L).map(i =>
+      (i, i % 7, i * 3, if (i % 100 == 0) s"v$i" else "common",
+        s"s${i % 5}")).toDF("a", "b", "c", "k", "s2"))
+    // 3 numeric + 2 string columns in ONE statement: 3 scans total
+    // (the old per-column loop would have run 2×3 + … serial jobs)
+    computeHistogram(spark, t, Seq("a", "b", "c", "k", "s2"), bins = 8)
+    assert(lastAnalyzeScans == 3, s"got $lastAnalyzeScans scans")
+    val props = properties(t)
+    Seq("a", "b", "c").foreach(c =>
+      assert(props.contains(s"graft.hist.$c"), s"missing hist for $c"))
+    Seq("k", "s2").foreach(c =>
+      assert(props.contains(s"graft.mcv.$c"), s"missing mcv for $c"))
+    // exact string stats: k has 4 singletons + 'common' (396 rows)
+    val mk = props("graft.mcv.k")
+    assert(mk.contains("\"ndv\":5") && mk.contains("\"nonnull\":400"), mk)
+    assert(mk.contains("[\"common\",396]"),
+      s"the MCV head must be the hot value with its exact count: $mk")
+    // numeric-only and string-only ANALYZE each cost 2 scans
+    computeHistogram(spark, t, Seq("a"), bins = 8)
+    assert(lastAnalyzeScans == 2)
+    computeHistogram(spark, t, Seq("k"))
+    assert(lastAnalyzeScans == 2)
+    // non-scalar columns refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      computeHistogram(spark, t, Seq("nope"))
+    }
+    assert(e.getMessage.contains("no column"))
+  }
+
+  test("pruneCopySources bounds the ingested-file registry to live " +
+    "landing files; existing files never prune; a pruned path " +
+    "re-lands as a fresh drop") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_prune").toString
+    val t = s"$root/t"
+    val land = s"$root/land"
+    create(spark, t, Seq.empty[(Long, Long)].toDF("id", "v"))
+    Files.createDirectories(java.nio.file.Paths.get(land))
+    def drop(name: String, body: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$land/$name"), body)
+    drop("a.csv", "id,v\n1,10\n2,20\n")
+    drop("b.csv", "id,v\n3,30\n")
+    copyIntoFormat(spark, t, land, "csv")
+    assert(streamSourcesIngested(t).size == 2)
+    // nothing vanished yet → prune is a no-op at the unchanged head
+    val head = currentVersion(t)
+    assert(pruneCopySources(spark, t, land) == head)
+    assert(streamSourcesIngested(t).size == 2,
+      "existing landing files must never prune (they fence re-loads)")
+    // vacuum a.csv from the landing dir → ONE metadata commit drops
+    // exactly its entry
+    Files.delete(java.nio.file.Paths.get(s"$land/a.csv"))
+    val v = pruneCopySources(spark, t, land)
+    assert(v == head + 1 &&
+      commits(t).last.op.startsWith("copysrc:prune:["))
+    val left = streamSourcesIngested(t)
+    assert(left.size == 1 && left.head.endsWith("b.csv"), left.toString)
+    // idempotent: nothing further to prune
+    assert(pruneCopySources(spark, t, land) == v)
+    // the surviving entry still fences: re-running the load ingests
+    // nothing while b.csv is the only (already-seen) file
+    assert(copyIntoFormat(spark, t, land, "csv") == v)
+    assert(read(spark, t).count() == 3)
+    // a NEW file loads alone; a drop AT THE PRUNED PATH is a fresh
+    // drop and loads too — exactly the contract of pruning vacuumed
+    // sources
+    drop("c.csv", "id,v\n4,40\n")
+    drop("a.csv", "id,v\n5,50\n")
+    copyIntoFormat(spark, t, land, "csv")
+    assert(read(spark, t).as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)))
+  }
 }

@@ -1786,7 +1786,7 @@ class GraftSqlSpec extends SparkSpecBase {
   }
 
   test("star-join MV: the changed side's delta folds through the " +
-    "pinned other side; two changed sides fall back") {
+    "pinned other side; two changed sides fold telescopically") {
     val d = Files.createTempDirectory("graft_mvjoin").toString
     def mode(): String = GraftSql.lastMvRefreshStats.get.mode
     val ft = d + "/fact"
@@ -2318,6 +2318,234 @@ class GraftSqlSpec extends SparkSpecBase {
       try GraftSql.execute(spark,
         s"STOP COPY INTO $n FROM STREAM '$d/land'")
       catch { case _: Exception => () }
+      GraftSql.unregister(n)
+    }
+  }
+
+  test("MV fold fence: a scalar subquery NESTED in a join condition " +
+    "(below the WHERE filter) forces the always-correct full path") {
+    val d = Files.createTempDirectory("graft_mvsubq").toString
+    def mode(): String = GraftSql.lastMvRefreshStats.get.mode
+    val ft = d + "/fact"
+    val dt = d + "/dim"
+    val fn = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dn = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, ft,
+      (1L to 30L).map(i => (i, i % 5, i * 10)).toDF("id", "k", "v"))
+    TxnTable.create(spark, dt,
+      (0L to 4L).map(i => (i, s"g${i % 2}")).toDF("k", "g"))
+    GraftSql.register(fn, ft)
+    GraftSql.register(dn, dt)
+    // the subquery hides INSIDE the Join node's condition, one level
+    // below the WHERE Filter — a top-node-only expressions() check
+    // misses it; its value drifts with the dim's content, so carrying
+    // state across refreshes would be silently wrong
+    val q = s"SELECT d.g AS g, count(*) AS c, sum(f.v) AS sv " +
+      s"FROM $fn f JOIN $dn d ON f.k = d.k AND " +
+      s"d.k < (SELECT max(k) FROM $dn) " +
+      s"WHERE f.v >= 0 GROUP BY d.g"
+    val mv = "pq" + java.util.UUID.randomUUID().toString.replace("-", "")
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW $mv LOCATION '$d/mv' AS $q")
+    try {
+      // shift the subquery's value AND the fact in one window: a
+      // carried fold would apply the delta under the OLD max(k)
+      GraftSql.execute(spark, s"INSERT INTO $dn VALUES (9, 'g1')")
+      GraftSql.execute(spark, s"INSERT INTO $fn VALUES (100, 4, 7)")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+      assert(mode() == "full",
+        "a subquery in a nested join condition must fall back")
+      assert(TxnTable.read(spark, s"$d/mv").collect().map(_.toSeq).toSet
+        == GraftSql.query(spark, q).collect().map(_.toSeq).toSet)
+    } finally {
+      try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
+      catch { case _: Exception => () }
+      GraftSql.unregister(fn); GraftSql.unregister(dn)
+    }
+  }
+
+  test("carry+recompute bounds its driver state: narrow churn collects " +
+    "few keys; wide high-cardinality churn falls back WITHOUT a " +
+    "driver materialization") {
+    val d = Files.createTempDirectory("graft_mvcap").toString
+    def mode(): String = GraftSql.lastMvRefreshStats.get.mode
+    val t = d + "/src"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // 1000 distinct groups → MV rows 1000 → cap = max(64, 100) = 100
+    TxnTable.create(spark, t,
+      (1L to 1000L).map(i => (i, i, i * 10)).toDF("id", "g", "v"))
+    GraftSql.register(n, t)
+    val q = s"SELECT g, avg(v) AS av, count(*) AS c FROM $n GROUP BY g"
+    val mv = "pc" + java.util.UUID.randomUUID().toString.replace("-", "")
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW $mv LOCATION '$d/mv' AS $q")
+    def checkContent(): Unit =
+      assert(TxnTable.read(spark, s"$d/mv").collect().map(_.toSeq).toSet
+        == GraftSql.query(spark, q).collect().map(_.toSeq).toSet)
+    try {
+      // NARROW churn: 5 touched groups — the probe counts 5, the
+      // collect ships exactly those 5 tuples, refresh stays incremental
+      GraftSql.execute(spark, s"INSERT INTO $n VALUES " +
+        (1L to 5L).map(g => s"(${1000 + g}, $g, 7)").mkString(", "))
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+      assert(mode() == "incremental")
+      assert(GraftSql.lastMvCarryProbe.get() == 5L &&
+        GraftSql.lastMvCarryKeys.get() == 5L,
+        s"narrow churn must collect exactly the touched keys, got " +
+          s"probe=${GraftSql.lastMvCarryProbe.get()} " +
+          s"keys=${GraftSql.lastMvCarryKeys.get()}")
+      checkContent()
+      // WIDE churn: 200 touched groups > cap=100 — the DISTRIBUTED
+      // probe stops at cap+1 and the refresh falls back to the full
+      // recompute with ZERO group tuples ever collected
+      GraftSql.execute(spark, s"INSERT INTO $n VALUES " +
+        (101L to 300L).map(g => s"(${2000 + g}, $g, 3)").mkString(", "))
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+      assert(mode() == "full",
+        "wide churn past the absolute cap must fall back")
+      assert(GraftSql.lastMvCarryProbe.get() == 101L &&
+        GraftSql.lastMvCarryKeys.get() == -1L,
+        s"the fallback must decide from the distributed probe alone, " +
+          s"got probe=${GraftSql.lastMvCarryProbe.get()} " +
+          s"keys=${GraftSql.lastMvCarryKeys.get()}")
+      checkContent()
+    } finally {
+      try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
+      catch { case _: Exception => () }
+      GraftSql.unregister(n)
+    }
+  }
+
+  test("SHOW STREAMS lists continuous ingests; STOP by table alone " +
+    "stops them; a died stream's terminal error SURFACES on STOP " +
+    "and a fixed landing file resumes") {
+    val d = Files.createTempDirectory("graft_cpshow").toString
+    val t = d + "/t"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t, Seq((1L, 10L)).toDF("id", "v").limit(0))
+    GraftSql.register(n, t)
+    def showRows() = GraftSql.query(spark, "SHOW STREAMS")
+      .collect().filter(_.getString(0) == n)
+    def awaitCount(want: Long): Unit = {
+      val deadline = System.nanoTime() + 90L * 1000000000L
+      var got = -1L
+      while (got != want && System.nanoTime() < deadline) {
+        got = TxnTable.read(spark, t).count()
+        if (got != want) Thread.sleep(500)
+      }
+      assert(got == want, s"stream never reached $want rows (at $got)")
+    }
+    try {
+      // phase 1: healthy parquet stream, visible in SHOW, STOP by table
+      (0L until 3L).map(i => (i, i * 10)).toDF("id", "v")
+        .coalesce(1).write.parquet(s"$d/land/b1")
+      GraftSql.execute(spark, s"COPY INTO $n FROM STREAM '$d/land' " +
+        "TRIGGER INTERVAL '1 seconds'")
+      awaitCount(3L)
+      val r = showRows()
+      assert(r.length == 1, "the running ingest must be listed")
+      assert(r.head.getLong(2) == 1L &&
+        r.head.getBoolean(4) && r.head.isNullAt(6) &&
+        r.head.getLong(5) >= 1L,
+        s"SHOW STREAMS row mismatch: ${r.head}")
+      GraftSql.execute(spark, s"STOP COPY INTO $n") // no dir needed
+      assert(showRows().isEmpty, "a stopped ingest must be delisted")
+      intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, s"STOP COPY INTO $n")
+      }
+      // phase 2: a FAILFAST CSV stream dies on a malformed drop — the
+      // failure is visible in SHOW STREAMS and SURFACES on STOP
+      // (ingestion silently stopping is the closed failure mode)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$d/land2/b1"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/land2/b1/a.csv"), "id,v\n10,100\n")
+      GraftSql.execute(spark, s"COPY INTO $n FROM STREAM '$d/land2' " +
+        "FORMAT AS CSV TRIGGER INTERVAL '1 seconds'")
+      awaitCount(4L)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$d/land2/b2"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/land2/b2/bad.csv"),
+        "id,v\n11,notanumber\n")
+      val deadline = System.nanoTime() + 90L * 1000000000L
+      while (showRows().forall(_.isNullAt(6)) &&
+          System.nanoTime() < deadline) Thread.sleep(500)
+      val died = showRows()
+      assert(died.length == 1 && !died.head.getBoolean(4) &&
+        !died.head.isNullAt(6),
+        s"the died stream must list inactive with its error: " +
+          died.mkString(","))
+      val e = intercept[IllegalStateException] {
+        GraftSql.execute(spark, s"STOP COPY INTO $n")
+      }
+      assert(e.getMessage.contains("FAILED"))
+      assert(showRows().isEmpty, "STOP must evict the died entry")
+      // fix the landing file IN PLACE and re-issue (AvailableNow):
+      // the checkpoint replays the failed batch against the fixed
+      // bytes, and the file registry keeps b1 exactly-once
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/land2/b2/bad.csv"), "id,v\n11,110\n")
+      GraftSql.execute(spark,
+        s"COPY INTO $n FROM STREAM '$d/land2' FORMAT AS CSV")
+      assert(TxnTable.read(spark, t).as[(Long, Long)].collect().toSet ==
+        Set((0L, 0L), (1L, 10L), (2L, 20L), (10L, 100L), (11L, 110L)),
+        "the fixed drop must land exactly once")
+    } finally {
+      try GraftSql.execute(spark, s"STOP COPY INTO $n")
+      catch { case _: Exception => () }
+      GraftSql.unregister(n)
+    }
+  }
+
+  test("EXPLAIN statement: the substituted, stats-injected plan as " +
+    "rows — zero footer reads, snapshot substitution visible, COST " +
+    "shows injected statistics, DML fenced") {
+    val d = Files.createTempDirectory("graft_explain").toString
+    val t = d + "/t"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t,
+      (1L to 100L).map(i => (i, i * 10)).toDF("id", "v"))
+    GraftSql.register(n, t)
+    val conf = spark.conf
+    val savedCbo = conf.getOption("spark.sql.cbo.enabled")
+    try {
+      // the append's own write-time stats harvest reads a footer —
+      // baseline AFTER it so the counter isolates EXPLAIN's planning
+      TxnTable.append(spark, t,
+        Seq((200L, 1L)).toDF("id", "v"))
+      val f0 = graft.crawler.SkippingIndex.footerReads.get()
+      def planText(stmt: String): String = GraftSql.query(spark, stmt)
+        .collect().map(_.getString(0)).mkString("\n")
+      val simple = planText(
+        s"EXPLAIN SELECT count(*) AS c FROM $n WHERE id <= 10")
+      assert(simple.contains("Physical Plan") &&
+        simple.toLowerCase.contains("parquet"), simple.take(400))
+      // snapshot substitution: a time-traveled reference explains to
+      // a plan over the PINNED snapshot (same relation, no error)
+      val tt = planText(
+        s"EXPLAIN SELECT sum(v) AS sv FROM $n VERSION AS OF 0")
+      assert(tt.contains("Physical Plan"), tt.take(400))
+      assert(graft.crawler.SkippingIndex.footerReads.get() == f0,
+        "EXPLAIN must never read parquet footers")
+      // COST mode surfaces the log-injected statistics (row count
+      // from the commit log, no ANALYZE, no scan)
+      conf.set("spark.sql.cbo.enabled", "true")
+      val cost = planText(s"EXPLAIN COST SELECT id FROM $n")
+      assert(cost.contains("rowCount=101"),
+        s"COST must show the log-injected row count: ${cost.take(600)}")
+      // DML through EXPLAIN would EXECUTE eagerly — fenced
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.query(spark, s"EXPLAIN DELETE FROM $n WHERE id = 1")
+      }
+      assert(e.getMessage.contains("row-returning"))
+      assert(TxnTable.read(spark, t).count() == 101L,
+        "the fenced DML must not have executed")
+      // verb heads route through query()'s own matches
+      assert(planText(s"EXPLAIN DESCRIBE HISTORY $n").nonEmpty)
+    } finally {
+      savedCbo.fold(conf.unset("spark.sql.cbo.enabled"))(
+        conf.set("spark.sql.cbo.enabled", _))
       GraftSql.unregister(n)
     }
   }
