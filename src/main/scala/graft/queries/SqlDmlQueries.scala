@@ -1230,6 +1230,106 @@ object SqlDmlQueries {
     }
   }
 
+  /** S62d: INCREMENTAL count(DISTINCT) MVs — the dual-table IVM
+    * construction: a per-(group, value) multiplicity AUX table rides
+    * the MV (itself EXACTLY maintained by the signed-delta fold), and
+    * the distinct count is its per-group row count; the other
+    * aggregates fold from the MV's own rows as before. In-run, three
+    * churn regimes (banded UPDATE that moves distinct values, INSERT
+    * adding new + existing values, DELETE dropping values and whole
+    * groups) each refresh with mode "incremental", a STRICT-SUBSET
+    * delta scan, and ZERO recompute reads (pure fold — no source
+    * group re-aggregation anywhere), and each equals an independent
+    * full recompute row-for-row. A crash between the aux and MV
+    * writes is simulated by deleting the aux table: the next refresh
+    * degrades to the full path (divergence never served) and REBUILDS
+    * the aux, after which churn folds incrementally again. Oracle
+    * replays the churned final state. */
+  def s62dMvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory("graft_s62d").toString
+    val t = d + "/src"
+    val n = freshName("orders_mvd_src_")
+    val m = freshName("orders_mvd_")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey").as("ck"),
+      (col("o_orderkey") % 50).as("d"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val kq = orders.agg(max(col("ck"))).head().getLong(0)
+    // four custkey band tranches, one file each — banded churn
+    // rewrites a strict subset, so "O(changed files)" is observable
+    TxnTable.create(spark, t, orders.filter(col("ck") <= kq / 4))
+    TxnTable.append(spark, t, orders.filter(
+      col("ck") > kq / 4 && col("ck") <= kq / 2)) // v1
+    TxnTable.append(spark, t, orders.filter(
+      col("ck") > kq / 2 && col("ck") <= 3 * kq / 4)) // v2
+    TxnTable.append(spark, t, orders.filter(col("ck") > 3 * kq / 4)) // v3
+    GraftSql.register(n, t)
+    try {
+      GraftSql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW $m LOCATION '$d/mv' AS
+           |SELECT ck, count(*) AS cnt, count(DISTINCT d) AS cd,
+           |  sum(price_c) AS ps
+           |FROM $n GROUP BY ck""".stripMargin)
+      def refreshIncr(stmt: String): Unit = {
+        GraftSql.execute(spark, stmt)
+        GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m")
+        val st = GraftSql.lastMvRefreshStats.get
+        require(st.mode == "incremental",
+          s"count(DISTINCT) must fold incrementally after [$stmt], " +
+            s"got ${st.mode}")
+        require(st.changedFiles.nonEmpty &&
+          st.changedFiles.size < st.liveFiles,
+          s"the delta scan must touch a strict subset of live files " +
+            s"after [$stmt], got ${st.changedFiles.size} of " +
+            s"${st.liveFiles}")
+        require(st.recomputeFiles.isEmpty,
+          s"the aux fold must read ZERO source groups after [$stmt], " +
+            s"got ${st.recomputeFiles.size} recompute files")
+        val got = TxnTable.read(spark, d + "/mv")
+          .collect().map(_.toSeq).toSet
+        val full = TxnTable.read(spark, t).groupBy(col("ck"))
+          .agg(count(lit(1)).as("cnt"), countDistinct(col("d")).as("cd"),
+            sum(col("price_c")).as("ps"))
+          .collect().map(_.toSeq).toSet
+        require(got == full,
+          s"incremental must equal the full recompute after [$stmt]")
+      }
+      // banded UPDATE moving distinct values within one tranche
+      refreshIncr(s"UPDATE $n SET d = d + 1000 WHERE ck <= ${kq / 64}")
+      // INSERT adding NEW distinct values and duplicating existing
+      refreshIncr(s"INSERT INTO $n SELECT o_orderkey + 10000000, ck, " +
+        s"d + 2000, price_c FROM $n WHERE o_orderkey % 97 = 1")
+      // banded DELETE dropping values (and possibly whole groups) —
+      // the ck band keeps the CoW rewrite stats-pruned to a subset
+      refreshIncr(s"DELETE FROM $n WHERE ck <= ${kq / 64} " +
+        s"AND o_orderkey % 89 = 3")
+      // up-to-date refresh no-ops
+      val mvV = TxnTable.currentVersion(d + "/mv")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m")
+      require(GraftSql.lastMvRefreshStats.exists(_.mode == "noop") &&
+        TxnTable.currentVersion(d + "/mv") == mvV,
+        "an up-to-date refresh must commit nothing")
+      // crash-window repair: losing the aux forces ONE full refresh
+      // that rebuilds it, then the fold resumes
+      val aux = new java.io.File(d + "/mv__distinct_v0")
+      require(aux.isDirectory, "the aux table must ride the MV")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
+      rm(aux)
+      GraftSql.execute(spark, s"UPDATE $n SET d = d + 3000 " +
+        s"WHERE ck <= ${kq / 64}")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m")
+      require(GraftSql.lastMvRefreshStats.exists(_.mode == "full"),
+        "a missing aux must degrade to the full path")
+      refreshIncr(s"UPDATE $n SET d = d - 3000 WHERE ck <= ${kq / 64}")
+      GraftSql.query(spark, s"SELECT ck, cnt, cd, ps FROM $m ORDER BY ck")
+    } finally {
+      try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $m")
+      catch { case _: Exception => () }
+      GraftSql.unregister(n)
+    }
+  }
+
   /** S62c: INCREMENTAL refresh of a STAR-JOIN MV — `fact ⋈ dim GROUP
     * BY dim.col → count/sum` refreshes by pushing the changed side's
     * delta THROUGH the join with the other side pinned at its
@@ -2309,6 +2409,7 @@ object SqlDmlQueries {
     "s59_repair" -> (s59Repair _),
     "s62_matview" -> (s62Matview _),
     "s62b_mv_incremental" -> (s62bMvIncremental _),
+    "s62d_mv_distinct" -> (s62dMvDistinct _),
     "s62c_mv_join_incremental" -> (s62cMvJoinIncremental _),
     "s64_zorder_tail" -> (s64ZorderTail _),
     "s69_zorder_where" -> (s69ZorderWhere _),
@@ -2656,6 +2757,33 @@ object SqlDmlQueries {
         |  CAST(min(pc) AS BIGINT) AS mn,
         |  CAST(max(pc) AS BIGINT) AS mx
         |FROM src GROUP BY ck ORDER BY ck""".stripMargin,
+    // the count(DISTINCT) MV's churned final state replayed
+    // relationally: banded d-shift (+1000; the +3000/−3000 pair
+    // cancels), the %97 insert on the post-shift state, the %89
+    // delete on NEW keys — the in-run requires pin the fold/aux
+    // claims, this pins the values
+    "s62d_mv_distinct" ->
+      """WITH b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck
+        |           FROM orders),
+        |base AS (SELECT o_orderkey, o_custkey AS ck,
+        |    o_orderkey % 50 AS d,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey, ck,
+        |    CASE WHEN ck <= (SELECT ck FROM b)//64
+        |         THEN d + 1000 ELSE d END AS d, price_c
+        |  FROM base),
+        |s2 AS (SELECT * FROM s1
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, ck, d + 2000, price_c
+        |  FROM s1 WHERE o_orderkey % 97 = 1),
+        |s3 AS (SELECT * FROM s2
+        |  WHERE NOT (ck <= (SELECT ck FROM b)//64
+        |             AND o_orderkey % 89 = 3))
+        |SELECT ck, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(DISTINCT d) AS BIGINT) AS cd,
+        |  CAST(sum(price_c) AS BIGINT) AS ps
+        |FROM s3 GROUP BY ck ORDER BY ck""".stripMargin,
     // the star-join MV replayed relationally: both the banded fact
     // update (+7 low band, +1 top band) and the dim re-labelings
     // (+100 low band, +1000 max key) applied to raw orders ⋈ customer

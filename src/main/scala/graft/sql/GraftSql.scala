@@ -420,6 +420,7 @@ object GraftSql {
       // the reverse order could claim fresh for content it lacks
       val markerOp = mvMarker(srcs)
       TxnTable.create(spark, path, query(spark, text), op = markerOp)
+      maintainAuxFull(spark, path, text, markerOp)
       matviews.put(nm, (path, text))
       tables.put(nm, Reg(path, mor = false))
       persistMv(nm, path, text)
@@ -444,8 +445,10 @@ object GraftSql {
         // marker BEFORE the content snapshot pins (see CREATE):
         // mid-refresh source commits must leave the MV stale
         val markerOp = mvMarker(mvSources(spark, text))
-        TxnTable.overwrite(spark, path, query(spark, text),
+        val ver = TxnTable.overwrite(spark, path, query(spark, text),
           op = markerOp)
+        maintainAuxFull(spark, path, text, markerOp)
+        ver
       }
 
     case DropMvRe(name) =>
@@ -1390,6 +1393,70 @@ object GraftSql {
       reg == null || TxnTable.currentVersion(reg.path) > v
     }
 
+  // -- count(DISTINCT) auxiliary state ---------------------------------------
+  //
+  // A count(DISTINCT v) cannot fold from the MV's own rows (losing a
+  // row doesn't say whether its value still occurs in the group), so
+  // fold-shaped MVs carry the classic dual-table IVM construction: a
+  // per-(group, value) multiplicity table — itself EXACTLY maintained
+  // by the signed-delta fold — rides each distinct column as a
+  // sibling TxnTable; the distinct count is its per-group row count.
+  // Each table (MV and every aux) records its OWN consumed source
+  // versions in its marker, and the incremental path requires them
+  // EQUAL: a crash between the two overwrites degrades exactly one
+  // refresh to the full path, which rebuilds both atomically-enough
+  // (each table is individually atomic, and divergence is detected,
+  // never served).
+
+  /** The aux table of the MV at `path` for distinct-value index `v`. */
+  private def auxPath(path: String, v: Int): String =
+    s"${path}__distinct_v$v"
+
+  /** Distinct-value indices whose aux tables the FOLD regime will
+    * consume — only fold-shaped definitions (cnt present, fold-able
+    * kinds only, no HAVING) maintain aux state; every other cntd mix
+    * recomputes touched groups from the source (carry+recompute). */
+  private def auxNeeded(shape: MvShape): Seq[Int] = {
+    val aggItems = shape.items.collect { case a: MvAgg => a }
+    val kinds = aggItems.map(_.kind).toSet
+    if (kinds("cntd") && kinds("cnt") && shape.having.isEmpty &&
+        kinds.subsetOf(Set("cnt", "sum", "cntc", "cntd")))
+      aggItems.collect { case MvAgg("cntd", v, _) => v }.distinct
+    else Nil
+  }
+
+  /** The (group…, value, multiplicity) frame for distinct index `v`,
+    * computed from the definition's FROM/WHERE subtree at the HEAD
+    * versions (relations resolve through the normal substitution). */
+  private def auxFrame(spark: SparkSession, shape: MvShape,
+      v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val list: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
+      shape.groupExprs.zipWithIndex.map { case (e, i) =>
+        Alias(e, s"__g$i")() } :+ Alias(shape.valueExprs(v), "__val")()
+    val base = Bridge.ofRows(spark,
+      Project(list, substituteRelations(spark, shape.child)))
+    base.filter(col("__val").isNotNull)
+      .groupBy(shape.groupExprs.indices.map(i => col(s"__g$i")) :+
+        col("__val"): _*)
+      .agg(count(lit(1)).cast("long").as("__c"))
+  }
+
+  /** (Re)build every needed aux table from scratch — the CREATE and
+    * full-REFRESH companion. Shares the caller's marker op so the MV
+    * and its aux record the same conservative source pins. */
+  private def maintainAuxFull(spark: SparkSession, path: String,
+      text: String, markerOp: String): Unit =
+    recognizeFoldShape(spark, text).foreach { shape =>
+      auxNeeded(shape).foreach { v =>
+        val ap = auxPath(path, v)
+        val df = auxFrame(spark, shape, v)
+        if (TxnTable.currentVersion(ap) < 0)
+          TxnTable.create(spark, ap, df, op = markerOp)
+        else TxnTable.overwrite(spark, ap, df, op = markerOp)
+      }
+    }
+
   // -- incremental REFRESH --------------------------------------------------
   //
   // An incrementally-maintainable MV — `SELECT <groups, aggregates>
@@ -1563,6 +1630,17 @@ object GraftSql {
           val gi = gAttrs.indexWhere(sameGroupExpr(_, a))
           if (!matchedGroups.add(gi)) return None
           MvGroup(gi, name)
+        // count(DISTINCT v): maintained through the per-(group,value)
+        // AUX table (the dual-table IVM construction) in the fold
+        // regime, or recomputed per touched group in carry+recompute
+        case f: UnresolvedFunction
+            if f.isDistinct && f.filter.isEmpty &&
+              f.nameParts.length == 1 &&
+              f.nameParts.head.equalsIgnoreCase("count") =>
+          f.arguments match {
+            case Seq(a: UnresolvedAttribute) => MvAgg("cntd", vIdx(a), name)
+            case _ => return None
+          }
         case f: UnresolvedFunction
             if !f.isDistinct && f.filter.isEmpty &&
               f.nameParts.length == 1 =>
@@ -1665,7 +1743,8 @@ object GraftSql {
       recorded: Map[String, Long], cur: Map[String, Long],
       paths: Map[String, String]): Option[Long] = {
     import org.apache.spark.sql.functions.{avg => favg, broadcast,
-      col, count => fcount, lit, max => fmax, min => fmin, sum => fsum}
+      col, count => fcount, count_distinct => fcountd, lit,
+      max => fmax, min => fmin, sum => fsum}
     import org.apache.spark.sql.types._
     // evidence anchors on the FIRST changed relation (the fact in the
     // single-changed case); the marker pins every relation's consumed
@@ -1827,15 +1906,31 @@ object GraftSql {
     val live = TxnTable.snapshotFiles(factPath, toV).size
     val marker = mvMarkerPinned(shape.rels, changed, cur, recorded)
 
-    // ---- FOLD: count/sum only — zero reads beyond the delta --------
-    if (kindSet.subsetOf(Set("cnt", "sum", "cntc")) && kindSet("cnt") &&
-        shape.having.isEmpty &&
-        aggItems.forall(a => a.kind != "sum" || integral(vType(a.v)))) {
+    // ---- FOLD: count/sum/count-distinct — zero source reads beyond
+    // the delta. count(DISTINCT) folds through its per-(group,value)
+    // AUX table (see the aux section above): the signed delta updates
+    // the multiplicity rows exactly, and the distinct count is the
+    // per-group row count of the folded aux.
+    val cntdItems = aggItems.filter(_.kind == "cntd")
+    if (kindSet.subsetOf(Set("cnt", "sum", "cntc", "cntd")) &&
+        kindSet("cnt") && shape.having.isEmpty &&
+        aggItems.forall(a => a.kind != "sum" || integral(vType(a.v))) &&
+        cntdItems.forall(a => atomic(vType(a.v)))) {
+      // every distinct column's aux must exist with the SAME recorded
+      // source pins as the MV — a crash between the two overwrites
+      // (or out-of-band aux loss) degrades this ONE refresh to the
+      // FULL path, which rebuilds the aux and restores the zero-read
+      // fold; divergence is never served
+      if (!cntdItems.map(_.v).distinct.forall { v =>
+            val ap = auxPath(path, v)
+            TxnTable.currentVersion(ap) >= 0 && mvRecorded(ap) == recorded
+          }) return None
+      val foldItems = aggItems.filterNot(_.kind == "cntd")
       // each delta row contributes m to count and v·m to each sum
       // (null v contributes nothing — sum skips nulls exactly like
       // the full recompute); groupBy keeps NULL groups natively
       val deltaRows: DataFrame = deltaAll.select(
-        gCols ++ aggItems.map {
+        gCols ++ foldItems.map {
           case MvAgg("cnt", _, o) => col("__sgn").as(s"__s_$o")
           case MvAgg("cntc", v, o) =>
             org.apache.spark.sql.functions.when(
@@ -1846,15 +1941,39 @@ object GraftSql {
         }: _*)
       val state = mvDf.select(
         (0 until nG).map(i => col(groupOut(i)).as(s"__g$i")) ++
-          aggItems.map(a =>
+          foldItems.map(a =>
             col(a.out).cast("long").as(s"__s_${a.out}")): _*)
       val cntOut = aggItems.find(_.kind == "cnt").get.out
-      val aggCols = aggItems.map(a =>
+      val aggCols = foldItems.map(a =>
         fsum(col(s"__s_${a.out}")).as(s"__s_${a.out}"))
-      val folded = state.unionAll(deltaRows)
+      val folded0 = state.unionAll(deltaRows)
         .groupBy(gCols: _*)
         .agg(aggCols.head, aggCols.tail: _*)
         .filter(col(s"__s_$cntOut") > 0)
+      // fold each distinct column's aux with the same signed delta,
+      // then attach per-group distinct counts (left join: a live
+      // group whose distinct column went all-null counts 0)
+      val auxNew: Map[Int, DataFrame] =
+        cntdItems.map(_.v).distinct.map { v =>
+          val st = TxnTable.read(spark, auxPath(path, v)).select(
+            (0 until nG).map(i => col(s"__g$i")) :+ col("__val") :+
+              col("__c").cast("long").as("__c"): _*)
+          val dl = deltaAll.filter(col(s"__v$v").isNotNull)
+            .select(gCols :+ col(s"__v$v").as("__val") :+
+              col("__sgn").as("__c"): _*)
+          v -> st.unionAll(dl)
+            .groupBy(gCols :+ col("__val"): _*)
+            .agg(fsum(col("__c")).as("__c")).filter(col("__c") > 0)
+        }.toMap
+      val folded = cntdItems.foldLeft(folded0) { (acc, a) =>
+        val cc = auxNew(a.v).groupBy(gCols: _*)
+          .agg(fcount(lit(1)).as(s"__s_${a.out}"))
+          .toDF((0 until nG).map(i => s"__h$i") :+ s"__s_${a.out}": _*)
+        acc.join(cc,
+          (0 until nG).map(i => col(s"__g$i") <=> col(s"__h$i"))
+            .reduce(_ && _), "left")
+          .drop((0 until nG).map(i => s"__h$i"): _*)
+      }
       // SQL sum is NULL over zero non-null inputs, but the arithmetic
       // fold of such a group lands on exactly 0 (every contribution
       // that ever existed was subtracted back out) — so folded-sum==0
@@ -1884,8 +2003,18 @@ object GraftSql {
           org.apache.spark.sql.functions.when(
             col(cntcFor(a.v)) > 0, col(s"__s_$o"))
             .otherwise(lit(null).cast("long")).as(o)
+        case MvAgg("cntd", _, o) =>
+          org.apache.spark.sql.functions.coalesce(
+            col(s"__s_$o"), lit(0L)).as(o)
         case MvAgg(_, _, o) => col(s"__s_$o").as(o)
       }: _*)
+      // aux first, MV second: whichever write a crash strands behind,
+      // the next refresh sees unequal recorded pins and takes the
+      // full path (rebuilding both) — divergence is never served
+      cntdItems.map(_.v).distinct.foreach { v =>
+        TxnTable.overwrite(spark, auxPath(path, v), auxNew(v),
+          op = marker)
+      }
       val ver = TxnTable.overwrite(spark, path, projected, op = marker)
       lastMvRefresh.set(MvRefreshStats("incremental", changedFiles,
         Nil, live))
@@ -2039,6 +2168,7 @@ object GraftSql {
           (a.kind match {
             case "cnt" => fcount(lit(1))
             case "cntc" => fcount(col(s"__v${a.v}"))
+            case "cntd" => fcountd(col(s"__v${a.v}"))
             case "sum" => fsum(col(s"__v${a.v}"))
             case "min" => fmin(col(s"__v${a.v}"))
             case "max" => fmax(col(s"__v${a.v}"))

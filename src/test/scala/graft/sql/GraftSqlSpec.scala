@@ -1559,10 +1559,22 @@ class GraftSqlSpec extends SparkSpecBase {
           s"incremental refresh must equal the definition re-run: $q")
         GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
       }
+      // count(DISTINCT) without a count(*) companion joined the
+      // contract in round 19: the carry+recompute regime re-counts
+      // touched groups from the pinned source
+      val mvD = "pd" + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      val qD = s"SELECT s, count(DISTINCT v) AS c FROM $n GROUP BY s"
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $mvD LOCATION '$d/pd' AS $qD")
+      GraftSql.execute(spark, s"UPDATE $n SET v = v + 1 WHERE id = 5")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mvD")
+      assert(mode() == "incremental", "distinct counts now fold")
+      assert(mvContent(s"$d/pd") ==
+        GraftSql.query(spark, qD).collect().map(_.toSeq).toSet)
+      GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mvD")
       // every shape OUTSIDE the contract takes the full path
       val fallbacks = Seq(
-        s"SELECT s, count(DISTINCT v) AS c FROM $n " +
-          "GROUP BY s",                                    // distinct
         s"SELECT a.s, count(*) AS c FROM $n a JOIN $n b " +
           "ON a.id = b.id GROUP BY a.s",                   // self-join
         s"SELECT a.s, count(*) AS c FROM $n a LEFT JOIN $n2 b " +
@@ -2495,6 +2507,74 @@ class GraftSqlSpec extends SparkSpecBase {
       try GraftSql.execute(spark, s"STOP COPY INTO $n")
       catch { case _: Exception => () }
       GraftSql.unregister(n)
+    }
+  }
+
+  test("count(DISTINCT) MVs: the avg mix refreshes through " +
+    "carry+recompute; a star-join shape folds through the aux table; " +
+    "both track a direct recompute") {
+    val d = Files.createTempDirectory("graft_mvcntd").toString
+    def mode(): String = GraftSql.lastMvRefreshStats.get.mode
+    val t = d + "/src"
+    val dt = d + "/dim"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dn = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t,
+      (1L to 60L).map(i => (i, i % 6, i % 7, i * 10))
+        .toDF("id", "g", "d", "v"))
+    TxnTable.create(spark, dt,
+      (0L to 5L).map(i => (i, s"n${i % 2}")).toDF("g", "nm"))
+    GraftSql.register(n, t)
+    GraftSql.register(dn, dt)
+    // avg + count(DISTINCT) → no aux is built (not a fold shape);
+    // carry+recompute re-aggregates touched groups from the source
+    val qa = s"SELECT g, avg(v) AS av, count(DISTINCT d) AS cd, " +
+      s"count(*) AS c FROM $n GROUP BY g"
+    // join shape with count(*), sum, count(DISTINCT fact.d) → aux fold
+    val qj = s"SELECT m.nm AS nm, count(*) AS c, sum(f.v) AS sv, " +
+      s"count(DISTINCT f.d) AS cd FROM $n f JOIN $dn m ON f.g = m.g " +
+      s"GROUP BY m.nm"
+    val mva = "pa" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val mvj = "pj" + java.util.UUID.randomUUID().toString.replace("-", "")
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW $mva LOCATION '$d/mva' AS $qa")
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW $mvj LOCATION '$d/mvj' AS $qj")
+    assert(!new java.io.File(d + "/mva__distinct_v1").exists(),
+      "a carry-shaped definition must not build aux state")
+    assert(new java.io.File(d + "/mvj__distinct_v1").isDirectory,
+      "a fold-shaped definition must build its aux table")
+    def check(mv: String, q: String, p: String, stmt: String): Unit = {
+      GraftSql.execute(spark, stmt)
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
+      assert(mode() == "incremental", s"$q after $stmt: ${mode()}")
+      assert(TxnTable.read(spark, p).collect().map(_.toSeq).toSet ==
+        GraftSql.query(spark, q).collect().map(_.toSeq).toSet,
+        s"diverged from recompute: $q after $stmt")
+    }
+    try {
+      // fact churn: moved distinct values, new rows, deletions
+      check(mva, qa, s"$d/mva", s"UPDATE $n SET d = d + 100 WHERE g = 2")
+      check(mvj, qj, s"$d/mvj", s"UPDATE $n SET d = d + 50 WHERE g = 3")
+      check(mva, qa, s"$d/mva",
+        s"INSERT INTO $n VALUES (100, 2, 999, 70), (101, 9, 1, 80)")
+      check(mvj, qj, s"$d/mvj", s"DELETE FROM $n WHERE id % 5 = 0")
+      // dim churn through the join fold (re-labeled group)
+      check(mvj, qj, s"$d/mvj", s"UPDATE $dn SET nm = 'n9' WHERE g = 4")
+      // aux content is the true multiplicity table
+      val aux = TxnTable.read(spark, s"$d/mvj__distinct_v1")
+      val direct = GraftSql.query(spark,
+        s"SELECT m.nm AS __g0, f.d AS __val, count(*) AS __c " +
+          s"FROM $n f JOIN $dn m ON f.g = m.g " +
+          s"WHERE f.d IS NOT NULL GROUP BY m.nm, f.d")
+      assert(aux.collect().map(_.toSeq).toSet ==
+        direct.collect().map(_.toSeq).toSet,
+        "the folded aux must equal a direct (group,value) recompute")
+    } finally {
+      Seq(mva, mvj).foreach(mv =>
+        try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
+        catch { case _: Exception => () })
+      GraftSql.unregister(n); GraftSql.unregister(dn)
     }
   }
 
