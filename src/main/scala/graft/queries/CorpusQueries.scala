@@ -342,6 +342,41 @@ object CorpusQueries {
     }
   }
 
+  /** L53e: the INDEXED statement path — `search_bm25`/`search_phrase`
+    * over a registered TRANSACTIONAL TEXT INDEX (the L37 layout,
+    * detected by schema) serve from committed postings: the read
+    * prunes to the query terms' bucket files, no corpus rescan, and
+    * the result must hash-match the SAME l32 oracle as the rescan
+    * twin. In-run: both statements equal their TxnIndex API calls. */
+  def l53eSearchIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.table(spark, dir, "documents")
+    val terms = Seq("dup", "join", "vector", "window")
+    val idx = java.nio.file.Files.createTempDirectory("graft_l53e")
+      .toString + "/idx"
+    graft.operators.TxnIndex.build(docs, "doc_id", "text", idx, 16)
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.sql.GraftSql.register(n, idx)
+    try {
+      val stmt = graft.sql.GraftSql.query(spark,
+        s"SELECT doc_id, score FROM " +
+          s"search_bm25('$n', '${terms.mkString(" ")}', 25)")
+      val rows = stmt.collect().toSeq
+      val api = graft.operators.TxnIndex.bm25TopK(spark, idx, terms, 25)
+        .collect().toSeq
+      require(rows.map(_.toSeq) == api.map(_.toSeq),
+        "indexed statement must equal the TxnIndex API call")
+      val ph = graft.sql.GraftSql.query(spark,
+        s"SELECT doc_id, n_occ FROM search_phrase('$n', 'merge part')")
+        .collect().toSeq
+      val phApi = graft.operators.TxnIndex
+        .phraseMatches(spark, idx, Seq("merge", "part")).collect().toSeq
+      require(ph.map(_.toSeq).toSet == phApi.map(_.toSeq).toSet,
+        "indexed phrase statement must equal the API call")
+      import spark.implicits._
+      rows.map(r => (r.getLong(0), r.getDouble(1))).toDF("doc_id", "score")
+    } finally graft.sql.GraftSql.unregister(n)
+  }
+
   /** L53d: `search_hybrid('docs', 'vectors', 'terms', 'v1,…', k,
     * depth)` — RRF hybrid retrieval as a TVF over two registered
     * tables, replaying the l40 oracle verbatim through statement
@@ -1335,6 +1370,7 @@ object CorpusQueries {
     "l53b_search_phrase" -> (l53bSearchPhrase _),
     "l53c_search_ann" -> (l53cSearchAnn _),
     "l53d_search_hybrid" -> (l53dSearchHybrid _),
+    "l53e_search_indexed" -> (l53eSearchIndexed _),
     "l33_bigram_logprob" -> (l33BigramLogprob _),
     "l34_bm25_multi" -> (l34Bm25Multi _),
     "l35_phrase_search" -> (l35PhraseSearch _),
@@ -1996,6 +2032,7 @@ object CorpusQueries {
     "l53b_search_phrase" -> phraseSearchSql,
     "l53c_search_ann" -> PipelineQueries.ivfDiskTopkSql,
     "l53d_search_hybrid" -> hybridSql,
+    "l53e_search_indexed" -> bm25TopkSql,
     // The indexed path must agree with the rescan path EXACTLY — same
     // oracle, different engine plan (pruned index read vs corpus scan).
     "l36_indexed_bm25" -> bm25TopkSql,

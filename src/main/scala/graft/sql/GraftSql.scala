@@ -2911,8 +2911,11 @@ object GraftSql {
       // from statement text, each dispatching to the existing pruned
       // operator (statement ≡ API, the s34 twin discipline) ----------
       // search_bm25('t', 'query terms', k[, 'textCol'[, 'idCol']]):
-      // BM25 top-k over a registered corpus table — Lucene-variant
-      // idf, decimal-summed 6dp contributions ([[Keywords.bm25TopK]]).
+      // BM25 top-k over a registered table. A raw corpus rescans and
+      // scores ([[Keywords.bm25TopK]]); a registered TRANSACTIONAL
+      // TEXT INDEX (the L37 layout, detected by its schema) serves
+      // from committed postings — the read prunes to the query terms'
+      // bucket files, no corpus scan, bit-identical scoring tail.
       // Output: (doc_id, score).
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if tvf.name.last.equalsIgnoreCase("search_bm25") =>
@@ -2922,17 +2925,25 @@ object GraftSql {
         val path = registeredPathByName(strLit(args.head, "table name"))
         val terms = termsLit(args(1), "query terms")
         val k = intLit(args(2), "k").toInt
-        val textCol =
-          if (args.length >= 4) strLit(args(3), "text column") else "text"
-        val idCol =
-          if (args.length >= 5) strLit(args(4), "id column") else "doc_id"
-        SubqueryAlias("search_bm25",
-          graft.operators.Keywords.bm25TopK(TxnTable.read(spark, path),
-            idCol, textCol, terms, k).queryExecution.logical)
+        val served =
+          if (isTxnTextIndex(spark, path)) {
+            require(args.length == 3, "an indexed table carries its " +
+              "own id/text layout — search_bm25(index, terms, k)")
+            graft.operators.TxnIndex.bm25TopK(spark, path, terms, k)
+          } else {
+            val textCol = if (args.length >= 4)
+              strLit(args(3), "text column") else "text"
+            val idCol = if (args.length >= 5)
+              strLit(args(4), "id column") else "doc_id"
+            graft.operators.Keywords.bm25TopK(
+              TxnTable.read(spark, path), idCol, textCol, terms, k)
+          }
+        SubqueryAlias("search_bm25", served.queryExecution.logical)
       // search_phrase('t', 'exact phrase'[, 'textCol'[, 'idCol']]):
       // consecutive-token phrase match via positional-postings
-      // intersection ([[Keywords.phraseMatches]] — work bounded by the
-      // rarest term's postings). Output: (doc_id, n_occ).
+      // intersection — work bounded by the rarest term's postings;
+      // a registered transactional text index serves it from pruned
+      // bucket files with no rescan. Output: (doc_id, n_occ).
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if tvf.name.last.equalsIgnoreCase("search_phrase") =>
         val args = tvf.functionArgs
@@ -2940,14 +2951,20 @@ object GraftSql {
           "search_phrase(table, 'exact phrase'[, textCol[, idCol]])")
         val path = registeredPathByName(strLit(args.head, "table name"))
         val phrase = termsLit(args(1), "phrase")
-        val textCol =
-          if (args.length >= 3) strLit(args(2), "text column") else "text"
-        val idCol =
-          if (args.length >= 4) strLit(args(3), "id column") else "doc_id"
-        SubqueryAlias("search_phrase",
-          graft.operators.Keywords.phraseMatches(
-            TxnTable.read(spark, path), idCol, textCol, phrase)
-            .queryExecution.logical)
+        val served =
+          if (isTxnTextIndex(spark, path)) {
+            require(args.length == 2, "an indexed table carries its " +
+              "own id/text layout — search_phrase(index, phrase)")
+            graft.operators.TxnIndex.phraseMatches(spark, path, phrase)
+          } else {
+            val textCol = if (args.length >= 3)
+              strLit(args(2), "text column") else "text"
+            val idCol = if (args.length >= 4)
+              strLit(args(3), "id column") else "doc_id"
+            graft.operators.Keywords.phraseMatches(
+              TxnTable.read(spark, path), idCol, textCol, phrase)
+          }
+        SubqueryAlias("search_phrase", served.queryExecution.logical)
       // search_ann('t', 'v1,v2,…', k[, nprobe]): cosine top-k over a
       // registered vector table. WITH nprobe the table must be a
       // transactional IVF index ([[TxnVectorIndex.topK]] — reads only
@@ -3000,6 +3017,18 @@ object GraftSql {
     Option(tables.get(name.toLowerCase)).map(_.path)
       .getOrElse(throw new IllegalArgumentException(
         s"$name is not a registered GraftSql table"))
+
+  /** A registered table IS a transactional text index (the L37
+    * layout) when it carries the index's discriminated row schema —
+    * the retrieval TVFs then serve from committed postings instead of
+    * rescanning the table as a corpus. */
+  private def isTxnTextIndex(spark: SparkSession, path: String): Boolean = {
+    val cols = TxnTable.currentSchema(path)
+      .map(_.fields.map(_.name.toLowerCase).toSet)
+      .getOrElse(TxnTable.read(spark, path).columns
+        .map(_.toLowerCase).toSet)
+    Set("kind", "bucket", "term", "doc_id", "positions").subsetOf(cols)
+  }
 
   private def registeredPath(r: UnresolvedRelation): String = {
     val full = r.multipartIdentifier.mkString(".").toLowerCase
