@@ -1726,7 +1726,7 @@ object TxnTable {
 
   def append(spark: SparkSession, path: String, df: DataFrame,
       partitions: Int = 1, maxAttempts: Int = 20,
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false, op: String = "append"): Long = {
     var newSchema = checkSchema(path, df, evolveSchema)
     // Constraint baseline taken BEFORE the write job: anything added
     // after this point is re-validated against the staged files on a
@@ -1745,7 +1745,7 @@ object TxnTable {
         val v = currentVersion(path) + 1
         preCommitHook()
         try {
-          tryCommit(path, TxnCommit(v, "append", adds, Nil, newSchema))
+          tryCommit(path, TxnCommit(v, op, adds, Nil, newSchema))
           return v
         } catch {
           case _: TxnConflictException if attempt < maxAttempts =>
