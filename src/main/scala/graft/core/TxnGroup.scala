@@ -75,6 +75,12 @@ object TxnGroup {
   def run(spark: SparkSession, groupDir: String,
       steps: Seq[Step]): Seq[Long] = {
     require(steps.nonEmpty, "TxnGroup.run: no steps")
+    // nesting fence: an inner group's commits would carry the INNER
+    // tag, so the outer rollback would classify them as foreign
+    // conflicts — there is no sound composition, refuse up front
+    require(TxnTable.activeOpTag.isEmpty,
+      "write groups do not nest — a step is already running inside " +
+        s"group tag ${TxnTable.activeOpTag.getOrElse("")}")
     require(steps.map(_.path).distinct.size == steps.size,
       "TxnGroup.run: one step per table — order inside a table is the "
         + "step's own business")
@@ -108,30 +114,35 @@ object TxnGroup {
     * recovered group ids and every conflict found. Idempotent. */
   def recover(spark: SparkSession, groupDir: String)
       : (Seq[String], Seq[Conflict]) = {
+    val recovered = scala.collection.mutable.ArrayBuffer[String]()
+    val allConflicts = scala.collection.mutable.ArrayBuffer[Conflict]()
+    listIntents(groupDir).foreach { case (id, pre) =>
+      val (_, conflicts) = rollback(spark, id, pre)
+      if (conflicts.isEmpty) {
+        Files.deleteIfExists(intentFile(groupDir, id))
+        recovered += id
+      } else allConflicts ++= conflicts
+    }
+    (recovered.toSeq, allConflicts.toSeq)
+  }
+
+  /** Outstanding (crashed or conflicted) intents under `groupDir`:
+    * (group id, table → pre-group version), id-sorted. Metadata-only —
+    * one directory listing plus one small JSON read per intent. */
+  def listIntents(groupDir: String): Seq[(String, Map[String, Long])] = {
     val dir = Paths.get(groupDir)
-    if (!Files.isDirectory(dir)) return (Nil, Nil)
-    val intents = {
+    if (!Files.isDirectory(dir)) return Nil
+    val files = {
       val s = Files.list(dir)
-      try s.iterator()
-      match { case it =>
+      try {
+        val it = s.iterator()
         val b = scala.collection.mutable.ArrayBuffer[Path]()
         while (it.hasNext) { val p = it.next()
           if (p.getFileName.toString.endsWith(".json")) b += p }
-        b.toSeq }
-      finally s.close()
+        b.toSeq
+      } finally s.close()
     }
-    val recovered = scala.collection.mutable.ArrayBuffer[String]()
-    val allConflicts = scala.collection.mutable.ArrayBuffer[Conflict]()
-    intents.foreach { f =>
-      parseIntent(f).foreach { case (id, pre) =>
-        val (_, conflicts) = rollback(spark, id, pre)
-        if (conflicts.isEmpty) {
-          Files.deleteIfExists(f)
-          recovered += id
-        } else allConflicts ++= conflicts
-      }
-    }
-    (recovered.toSeq, allConflicts.toSeq)
+    files.flatMap(parseIntent(_)).sortBy(_._1)
   }
 
   /** Roll every advanced, cleanly-tagged table back to its pre

@@ -419,9 +419,39 @@ object TxnTable {
     * covers). No-op in production. */
   private[graft] var convertHarvestHook: () => Unit = () => ()
 
+  // Scoped commit tagging for multi-table write groups: every commit
+  // made inside `withOpTag(tag) { ... }` has `tag` PREFIXED onto its
+  // op, so [[TxnGroup]]'s rollback can prove (op.startsWith(tag)) that
+  // a commit above a table's pre-group version belongs to the group —
+  // without threading an op parameter through every write verb. The
+  // fence below restricts tagged commits to PLAIN (colon-free) DML
+  // ops: maintenance/metadata ops carry parsed `verb:payload` shapes
+  // (constraint:/tblprops:/stream:/…) whose folds key on the prefix,
+  // so tagging one would corrupt its parse — a group step must not
+  // make such commits in the first place.
+  private val opTag = new scala.util.DynamicVariable[String]("")
+
+  /** Prefix every commit op inside `body` with `tag` (driver-side,
+    * nesting refused by [[TxnGroup]] — see the fence there). */
+  def withOpTag[T](tag: String)(body: => T): T = opTag.withValue(tag)(body)
+
+  /** The active group tag, if `body` runs inside [[withOpTag]]. */
+  def activeOpTag: Option[String] =
+    Option(opTag.value).filter(_.nonEmpty)
+
   /** Publish `commit` as exactly version `commit.version`.
     * @throws TxnConflictException if that version already exists. */
-  def tryCommit(path: String, commit: TxnCommit): Unit = {
+  def tryCommit(path: String, commit0: TxnCommit): Unit = {
+    val commit = activeOpTag match {
+      case None => commit0
+      case Some(tag) =>
+        require(!commit0.op.contains(':'),
+          s"a write-group step may only make plain DML commits " +
+            s"(append/overwrite/update/delete/merge and their MOR " +
+            s"twins), got '${commit0.op}' — run maintenance and DDL " +
+            "outside the group")
+        commit0.copy(op = tag + commit0.op)
+    }
     Files.createDirectories(logDir(path))
     // create-exclusive through the Store seam: losing the race IS the
     // version-conflict signal

@@ -2387,7 +2387,91 @@ object SqlDmlQueries {
       .orderBy(col("st"))
   }
 
+  /** S74: ALL-OR-NOTHING multi-table write groups as statement text —
+    * `BEGIN GROUP; <dml>; <dml>; COMMIT GROUP`. A succeeding group
+    * archives the 'F' orders (INSERT into the archive + DELETE from
+    * the hot table, both commits tag-proven to one group id, intent
+    * cleared); a FAILING group (its second step violates the archive's
+    * CHECK constraint mid-write) rolls the already-committed first
+    * step back to its pre-group version via an ordinary restore commit
+    * and rethrows with the rollback summary. Final state ≡ the
+    * successful group alone — the oracle replays exactly that. */
+  def s74TxnGroup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{TxnGroup, TxnTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_s74")
+      .toString
+    val (tHot, tArch, gdir) =
+      (root + "/hot", root + "/arch", root + "/groups")
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    TxnTable.create(spark, tHot, orders, partitions = 4)
+    TxnTable.create(spark, tArch, orders.filter(lit(false)))
+    TxnTable.addConstraint(spark, tArch, "price_nonneg", "price_c >= 0")
+    val (h, a) = (freshName("grp_hot_"), freshName("grp_arch_"))
+    GraftSql.register(h, tHot)
+    GraftSql.register(a, tArch)
+    try {
+      // group 1 succeeds: archive the 'F' orders all-or-nothing
+      GraftSql.execute(spark,
+        s"""BEGIN GROUP AT '$gdir';
+           |INSERT INTO $a SELECT * FROM $h WHERE o_orderstatus = 'F';
+           |DELETE FROM $h WHERE o_orderstatus = 'F';
+           |COMMIT GROUP""".stripMargin)
+      val (ca, ch) = (TxnTable.commits(tArch).last,
+        TxnTable.commits(tHot).last)
+      val TagRe = """txngroup:([0-9a-f]{32}):(\w+)""".r
+      (ca.op, ch.op) match {
+        case (TagRe(id1, "append"), TagRe(id2, "delete")) =>
+          require(id1 == id2,
+            s"both steps must carry ONE group id: ${ca.op} / ${ch.op}")
+        case other => throw new IllegalArgumentException(
+          s"group steps must commit tag-proven DML ops, got $other")
+      }
+      require(TxnGroup.listIntents(gdir).isEmpty,
+        "a completed group must clear its durable intent")
+      val (vHot, vArch) =
+        (TxnTable.currentVersion(tHot), TxnTable.currentVersion(tArch))
+      // group 2 fails mid-group: step 1 (UPDATE hot) commits, step 2
+      // (INSERT a negative price into arch) violates the CHECK — the
+      // group must roll hot back and leave arch untouched
+      val failed = try {
+        GraftSql.execute(spark,
+          s"""BEGIN GROUP AT '$gdir';
+             |UPDATE $h SET price_c = price_c + 7
+             |  WHERE o_orderstatus = 'P';
+             |INSERT INTO $a SELECT o_orderkey, o_custkey,
+             |  o_orderstatus, -1 AS price_c FROM $h
+             |  WHERE o_orderkey <= 5;
+             |COMMIT GROUP""".stripMargin)
+        false
+      } catch {
+        case e: TxnGroup.GroupFailedException =>
+          require(e.rolledBack == Seq(tHot) && e.conflicts.isEmpty,
+            s"the failing group must roll back exactly the hot table, " +
+              s"got ${e.rolledBack} / ${e.conflicts}")
+          true
+      }
+      require(failed, "the violating group must throw")
+      require(TxnTable.currentVersion(tArch) == vArch &&
+        TxnTable.currentVersion(tHot) == vHot + 2 &&
+        TxnTable.commits(tHot).last.op.startsWith("restore:"),
+        "rollback must be one restore commit over the tagged update, " +
+          "with the archive untouched")
+      require(TxnGroup.listIntents(gdir).isEmpty,
+        "a fully rolled-back group must clear its intent")
+    } finally { GraftSql.unregister(h); GraftSql.unregister(a) }
+    TxnTable.read(spark, tHot).withColumn("tbl", lit("hot"))
+      .unionByName(
+        TxnTable.read(spark, tArch).withColumn("tbl", lit("arch")))
+      .groupBy(col("tbl"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("cnt"), sum(col("price_c")).as("price_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("tbl"), col("st"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s74_txn_group" -> (s74TxnGroup _),
     "s40_sql_create" -> (s40SqlCreate _),
     "s41_merge_not_matched_by_source" -> (s41MergeNotMatchedBySource _),
     "s42_sql_maintenance" -> (s42SqlMaintenance _),
@@ -2427,6 +2511,20 @@ object SqlDmlQueries {
   // ([[s54LandDir]]) — same string whether the map is snapshotted
   // before or after the gate runs; no mutable state involved
   val oracle: Map[String, String] = Map(
+    // the failing group's effects vanish entirely: final state = the
+    // successful archive group alone ('F' rows moved hot → arch)
+    "s74_txn_group" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders),
+        |both_t AS (
+        |  SELECT 'hot' AS tbl, * FROM base WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT 'arch' AS tbl, * FROM base WHERE o_orderstatus = 'F')
+        |SELECT tbl, o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(pc) AS BIGINT) AS price_sum,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM both_t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the lifecycle replayed relationally: n1 v1 = base + low-band
     // insert; n2 = 'O' slice of v1, then replaced by its own status
     // aggregate; n3 = the v0 half-band CTAS

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.core.{BySourceDelete, BySourceUpdate, MatchedDelete, MatchedUpdate, MergeBySource, MergeMatched, NotMatchedInsert, TxnTable}
+import graft.core.{BySourceDelete, BySourceUpdate, MatchedDelete, MatchedUpdate, MergeBySource, MergeMatched, NotMatchedInsert, TxnGroup, TxnTable}
 
 /** SQL DML over transactional tables: `UPDATE`, `DELETE FROM`, and
   * `MERGE INTO` statements — parsed by SPARK'S OWN PARSER (full
@@ -210,6 +210,17 @@ object GraftSql {
     ("""(?is)^\s*STOP\s+COPY\s+INTO\s+""" + Ident +
       """(?:\s+FROM\s+STREAM\s+'([^']+)')?\s*;?\s*$""").r
   private val ShowStreamsRe = """(?is)^\s*SHOW\s+STREAMS\s*;?\s*$""".r
+  // multi-table write groups: BEGIN GROUP [AT '<dir>'] ; <dml> ; … ;
+  // COMMIT GROUP — one statement string, split on top-level semicolons
+  private val BeginGroupRe =
+    """(?is)^\s*BEGIN\s+GROUP(?:\s+AT\s+'([^']+)')?\s*;(.+)$""".r
+  private val ShowGroupsRe =
+    """(?is)^\s*SHOW\s+GROUPS(?:\s+AT\s+'([^']+)')?\s*;?\s*$""".r
+  private val RecoverGroupsRe =
+    """(?is)^\s*RECOVER\s+GROUPS(?:\s+AT\s+'([^']+)')?\s*;?\s*$""".r
+  private val GroupStepHeadRe =
+    ("""(?is)^\s*(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|MERGE\s+INTO)""" +
+      """\s+((?:`[^`]+`|[\w.])+)\s.*$""").r
   private val ExplainRe =
     """(?is)^\s*EXPLAIN(\s+EXTENDED|\s+COST|\s+FORMATTED)?\s+(.+?)\s*;?\s*$""".r
   private val CloneRe =
@@ -268,7 +279,63 @@ object GraftSql {
     * target; returns the committed version (or the unchanged head when
     * nothing changed). SELECTs and DESCRIBE HISTORY belong to
     * [[query]]. */
+  /** Split a group body on semicolons OUTSIDE single-quoted literals
+    * (doubled-quote escapes toggle twice — net correct). */
+  private def splitStatements(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inStr = false
+    body.foreach { c =>
+      if (c == '\'') { inStr = !inStr; cur += c }
+      else if (c == ';' && !inStr) { out += cur.toString; cur.clear() }
+      else cur += c
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** The durable intent directory for write groups: an explicit
+    * `AT '<dir>'`, else `<warehouse>/_graft_groups`. */
+  private def groupDirOf(at: Option[String]): String =
+    at.getOrElse(Option(warehouseRoot.get).map(r =>
+      java.nio.file.Paths.get(r).resolve("_graft_groups").toString)
+      .getOrElse(throw new IllegalArgumentException(
+        "BEGIN GROUP needs AT '<dir>' for the intent marker, or a " +
+          "warehouse root (GraftSql.setWarehouse)")))
+
   def execute(spark: SparkSession, sqlText: String): Long = sqlText match {
+    // ALL-OR-NOTHING multi-table statement group ([[TxnGroup]] as
+    // statement text): every inner statement is a DML step on ONE
+    // registered table; any failure rolls every committed step back
+    // (tag-proven restore commits) and rethrows. Steps see preceding
+    // steps' commits (read-committed inside the group); the DML-only
+    // contract is enforced twice — the head allowlist here, and the
+    // colon fence at the commit layer (TxnTable.withOpTag).
+    case BeginGroupRe(at, body) =>
+      val stmts = splitStatements(body)
+      require(stmts.nonEmpty &&
+        stmts.last.matches("""(?is)COMMIT\s+GROUP"""),
+        "a write group must end with COMMIT GROUP")
+      val inner = stmts.dropRight(1)
+      require(inner.nonEmpty, "an empty write group has nothing to run")
+      val steps = inner.map {
+        case st @ GroupStepHeadRe(name) =>
+          val (reg, _) = lookupMutable(parseIdent(name), "a write-group step")
+          TxnGroup.Step(reg.path, (s, tag) =>
+            TxnTable.withOpTag(tag) { execute(s, st) })
+        case st => throw new IllegalArgumentException(
+          "write-group steps must be DML (INSERT INTO / UPDATE / " +
+            "DELETE FROM / MERGE INTO) on registered tables, got: " +
+            st.linesIterator.mkString(" ").take(80))
+      }
+      val dup = steps.map(_.path).groupBy(identity).collect {
+        case (p, ps) if ps.size > 1 => p }
+      require(dup.isEmpty,
+        s"one statement per table inside a group (step = table): " +
+          s"combine the statements on ${dup.mkString(", ")} — e.g. " +
+          "one MERGE INTO")
+      TxnGroup.run(spark, groupDirOf(Option(at)), steps).last
+
     case OptimizeRe(name, zkw, zorder, wCol, wLo, wHi) =>
       val (reg, _) = lookupMutable(parseIdent(name), "OPTIMIZE")
       // a bare `OPTIMIZE t ZORDER` re-clusters on the table's
@@ -2396,6 +2463,29 @@ object GraftSql {
         }.sortBy(r => (r._1, r._2))
           .toDF("table", "source_dir", "trigger_seconds", "checkpoint",
             "active", "batches_committed", "error")
+      // outstanding write-group intents (crashed or conflicted runs):
+      // one row per (group, table) with the pre-group version a
+      // recovery would restore to — metadata-only (intent JSONs)
+      case ShowGroupsRe(at) =>
+        import spark.implicits._
+        TxnGroup.listIntents(groupDirOf(Option(at)))
+          .flatMap { case (id, pre) =>
+            pre.toSeq.sortBy(_._1).map { case (p, v) => (id, p, v) } }
+          .toDF("group_id", "table_path", "pre_version")
+      // replay every outstanding intent: tagged tables roll back to
+      // their pre-group versions (outcome 'recovered'); a foreign
+      // commit above a pre-version is reported as 'conflict' (never
+      // silently reverted) and its intent is retained
+      case RecoverGroupsRe(at) =>
+        import spark.implicits._
+        val dir = groupDirOf(Option(at))
+        val intents = TxnGroup.listIntents(dir).toMap
+        val (recovered, conflicts) = TxnGroup.recover(spark, dir)
+        (recovered.flatMap(id => intents.getOrElse(id, Map.empty).toSeq
+            .sortBy(_._1).map { case (p, _) => (id, p, "recovered", "") })
+          ++ conflicts.map(c => (c.groupId, c.path, "conflict",
+            s"foreign commit v${c.version}: ${c.op}")))
+          .toDF("group_id", "table_path", "outcome", "detail")
       // name, location, staleness — the stale flag is log metadata
       // (recorded vs current source versions), zero scans
       case ShowMvRe() =>

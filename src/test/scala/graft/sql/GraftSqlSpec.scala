@@ -2629,4 +2629,96 @@ class GraftSqlSpec extends SparkSpecBase {
       GraftSql.unregister(n)
     }
   }
+
+  test("BEGIN GROUP: statement splitting respects string literals; " +
+    "refusals teach (non-DML step, missing COMMIT GROUP, two " +
+    "statements on one table)") {
+    val (t1, n1) = mk()
+    val (t2, n2) = mk()
+    val g = Files.createTempDirectory("graft_sqlgrp").toString
+    // a semicolon INSIDE a literal must not split the statement
+    GraftSql.execute(spark,
+      s"""BEGIN GROUP AT '$g';
+         |UPDATE $n1 SET s = 'x;y' WHERE id = 1;
+         |DELETE FROM $n2 WHERE id = 4;
+         |COMMIT GROUP""".stripMargin)
+    assert(rows(t1).contains((1L, 10L, "x;y")))
+    assert(!rows(t2).exists(_._1 == 4L))
+    assert(TxnTable.commits(t1).last.op
+      .matches("""txngroup:[0-9a-f]{32}:update"""))
+    // non-DML step: refused before anything runs
+    val v1 = TxnTable.currentVersion(t1)
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"BEGIN GROUP AT '$g'; OPTIMIZE $n1; COMMIT GROUP")
+    }
+    assert(e1.getMessage.contains("must be DML"))
+    assert(TxnTable.currentVersion(t1) == v1)
+    // missing terminator
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"BEGIN GROUP AT '$g'; DELETE FROM $n1 WHERE id = 2")
+    }
+    assert(e2.getMessage.contains("COMMIT GROUP"))
+    // two statements on one table: one step per table, teach the MERGE
+    val e3 = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark,
+        s"""BEGIN GROUP AT '$g';
+           |UPDATE $n1 SET v = 1 WHERE id = 1;
+           |DELETE FROM $n1 WHERE id = 2;
+           |COMMIT GROUP""".stripMargin)
+    }
+    assert(e3.getMessage.contains("one statement per table"))
+    assert(TxnTable.currentVersion(t1) == v1,
+      "refused groups must leave the tables untouched")
+    GraftSql.unregister(n1); GraftSql.unregister(n2)
+  }
+
+  test("SHOW GROUPS / RECOVER GROUPS: a crashed intent lists, " +
+    "recovers exactly once, and a conflicted one is retained") {
+    import graft.core.{Store, TxnGroup}
+    val (t1, n1) = mk()
+    val g = Files.createTempDirectory("graft_sqlgrp2").toString
+    val before = rows(t1)
+    // simulate a crashed run: durable intent + one tagged commit
+    val id = "ab" * 16
+    assert(Store.putIfAbsent(
+      java.nio.file.Paths.get(s"$g/$id.json"),
+      s"""{"id":"$id","tables":[{"path":"$t1","pre":0}]}"""))
+    TxnTable.withOpTag(s"txngroup:$id:") {
+      GraftSql.execute(spark, s"DELETE FROM $n1 WHERE id <= 2")
+    }
+    val panel = GraftSql.query(spark, s"SHOW GROUPS AT '$g'")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(panel.toSeq == Seq((id, t1, 0L)))
+    val rec = GraftSql.query(spark, s"RECOVER GROUPS AT '$g'")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(rec == Seq((id, "recovered")))
+    assert(rows(t1) == before, "recovery must restore the pre-version")
+    assert(GraftSql.query(spark, s"SHOW GROUPS AT '$g'").count() == 0L)
+    assert(GraftSql.query(spark, s"RECOVER GROUPS AT '$g'").count() == 0L,
+      "recovery is idempotent")
+    // conflicted intent: a FOREIGN commit above the pre-version
+    val id2 = "cd" * 16
+    assert(Store.putIfAbsent(
+      java.nio.file.Paths.get(s"$g/$id2.json"),
+      s"""{"id":"$id2","tables":[{"path":"$t1","pre":${
+        TxnTable.currentVersion(t1)}}]}"""))
+    GraftSql.execute(spark, s"UPDATE $n1 SET v = v + 1 WHERE id = 3")
+    val rec2 = GraftSql.query(spark, s"RECOVER GROUPS AT '$g'")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3)))
+    assert(rec2.toSeq == Seq((id2, "conflict", "foreign commit v3: update")),
+      s"got ${rec2.toSeq}")
+    assert(GraftSql.query(spark, s"SHOW GROUPS AT '$g'").count() == 1L,
+      "a conflicted intent is retained for manual reconciliation")
+    // the commit-layer fence: a maintenance commit inside a group tag
+    // refuses loudly (defense behind the statement-head allowlist)
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.withOpTag("txngroup:ff:") {
+        TxnTable.setProperties(t1, Map("k" -> "v"))
+      }
+    }
+    assert(e.getMessage.contains("plain DML"))
+    GraftSql.unregister(n1)
+  }
 }
