@@ -4789,6 +4789,194 @@ object TxnTable {
       keepFname = false).filter(pred)
   }
 
+  // -- per-file BLOOM skipping ----------------------------------------------
+  //
+  // Point lookups on a HIGH-CARDINALITY column the table is NOT
+  // clustered on are the one read shape log min/max stats cannot
+  // prune: when every file's range covers the probe value, range
+  // pruning keeps everything and a single-key lookup scans the whole
+  // table. Per-FILE Bloom filters close that gap (the lakehouse bloom
+  // index design; Bloom 1970): one build pass records, per (file,
+  // column), a filter sized to the file's logged row count, persisted
+  // as rows of a sibling TxnTable (`<table>__bloom`) — distributed
+  // metadata, never a monolithic driver blob. Because data files are
+  // IMMUTABLE, a file's bloom can never go stale: churn only REPLACES
+  // files, the replacements simply lack blooms (conservatively kept)
+  // until the next build, and the build is incremental BY CONSTRUCTION
+  // — it scans exactly the live (file, column) pairs the aux table
+  // does not cover yet. Probe-time pruning is distributed (the filters
+  // deserialize and probe inside tasks; only kept file NAMES reach the
+  // driver, like every pruned read here) and footer-free.
+
+  private def bloomPath(path: String): String = path + "__bloom"
+
+  /** Evidence hook: the files the last [[computeBloom]] actually
+    * scanned — specs pin the incremental top-up contract with it. */
+  @volatile private[graft] var lastBloomBuiltFiles: Seq[String] = Nil
+
+  private def bloomBytes(b: org.apache.spark.util.sketch.BloomFilter)
+      : Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    b.writeTo(bos); bos.toByteArray
+  }
+
+  /** Build per-file Bloom filters for `columns` (integral or string)
+    * over every live file the aux table does not cover yet; appends
+    * the new (file, col, bloom) rows in ONE commit. Returns the aux
+    * table's version (-1 when there was nothing to build and no aux
+    * exists). Integral values hash through their Long form, so the
+    * probe side is width-independent. */
+  def computeBloom(spark: SparkSession, path: String,
+      columns: Seq[String], fpp: Double = 0.01): Long = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    import spark.implicits._
+    require(columns.nonEmpty, "computeBloom: no columns given")
+    require(fpp > 0 && fpp < 0.5, s"fpp must be in (0, 0.5), got $fpp")
+    val top = currentVersion(path)
+    require(top >= 0, s"computeBloom: not a TxnTable: $path")
+    val schema = read(spark, path, top).schema
+    val cols = columns.map(_.trim).filter(_.nonEmpty)
+    val fields = cols.map(c => schema.fields
+      .find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"computeBloom: no column $c in $path")))
+    fields.foreach(f => require(Seq(ByteType, ShortType, IntegerType,
+      LongType, StringType).contains(f.dataType),
+      s"computeBloom covers integral and string columns, got " +
+        s"${f.name}: ${f.dataType.simpleString}"))
+    val names = fields.map(_.name) // canonical case
+    val bp = bloomPath(path)
+    val have: Set[(String, String)] =
+      if (currentVersion(bp) < 0) Set.empty
+      else read(spark, bp).select(col("file"), col("col")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val live = snapshotFiles(path, top)
+    val work: Set[(String, String)] = (for {
+      f <- live; c <- names if !have((f, c)) } yield (f, c)).toSet
+    val files = work.map(_._1).toSeq.sorted
+    lastBloomBuiltFiles = files
+    if (files.isEmpty)
+      return math.max(-1L, currentVersion(bp))
+    val ai = addsIndex(path, top)
+    // basename → (add name, expected items): part files carry UUIDs,
+    // so basenames are unique within a table (the DV machinery's
+    // standing assumption)
+    val byBase: Map[String, (String, Long)] = files.map(f =>
+      f.split('/').last -> (f, math.max(1L, ai(f).rows))).toMap
+    val isStr: IndexedSeq[Boolean] =
+      fields.map(_.dataType == StringType).toIndexedSeq
+    val phys = names.map(physicalColName(path, top, _))
+    val selects = col("_metadata.file_path").as("__fp") +:
+      phys.zipWithIndex.map { case (p, i) =>
+        if (isStr(i)) col(p) else col(p).cast("long") }
+    val scan = snapshotReader(spark, path, top)
+      .parquet(files.map(f => localRoot(path).resolve(f).toString): _*)
+      .select(selects: _*)
+    val n = names.length
+    val fppB = fpp
+    // partial blooms per (file, column) inside each task, merged per
+    // file across tasks (filters built with identical sizing merge
+    // exactly); only the serialized filters shuffle, never data rows
+    val merged = scan.mapPartitions { it =>
+      val local = scala.collection.mutable.Map[(String, Int),
+        org.apache.spark.util.sketch.BloomFilter]()
+      it.foreach { row =>
+        val base = row.getString(0).split('/').last
+        var i = 0
+        while (i < n) {
+          // the filter is created even for an all-null column — an
+          // empty bloom prunes such files on every probe, and the
+          // pair counts as covered for future top-ups
+          val b = local.getOrElseUpdate((base, i),
+            org.apache.spark.util.sketch.BloomFilter.create(
+              byBase(base)._2, fppB))
+          if (!row.isNullAt(i + 1)) {
+            if (isStr(i)) b.putString(row.getString(i + 1))
+            else b.putLong(row.getLong(i + 1))
+          }
+          i += 1
+        }
+      }
+      local.iterator.map { case ((f, i), b) => (f, i, bloomBytes(b)) }
+    }.groupByKey(r => (r._1, r._2)).mapGroups {
+      (k: (String, Int), it: Iterator[(String, Int, Array[Byte])]) =>
+        val bs = it.map(t => org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(t._3))).toSeq
+        val m = bs.tail.foldLeft(bs.head)((a, b) => a.mergeInPlace(b))
+        (byBase(k._1)._1, names(k._2), bloomBytes(m))
+    }.toDF("file", "col", "bloom")
+    // a ZERO-ROW file never appears in the scan: cover it from log
+    // metadata alone (its bloom is trivially empty)
+    val zero = work.filter { case (f, _) => ai(f).rows == 0L }
+      .toSeq.sorted.map { case (f, c) =>
+        (f, c, bloomBytes(org.apache.spark.util.sketch.BloomFilter
+          .create(1L, fppB)))
+      }
+    val outDf =
+      if (zero.isEmpty) merged
+      else merged.unionByName(zero.toDF("file", "col", "bloom"))
+    val op = s"bloom:${names.mkString(",")}"
+    if (currentVersion(bp) < 0) create(spark, bp, outDf, op = op)
+    else append(spark, bp, outDf, op = op)
+  }
+
+  /** Point lookup through the per-file Bloom index: rows with `column`
+    * ∈ `values`, scanning only files whose bloom might contain one of
+    * the probes (files without a bloom row — new since the last build,
+    * or no index at all — are conservatively kept; a false positive
+    * costs one extra file scan, never a wrong row: the exact predicate
+    * always re-applies). DV-aware, zero footer reads, and the probe
+    * itself runs inside tasks — only kept file names reach the
+    * driver. */
+  def readPrunedBloom(spark: SparkSession, path: String,
+      column: String, values: Seq[Long], asOf: Long = -1L): DataFrame =
+    readPrunedBloomImpl(spark, path, column, asOf,
+      values.distinct.map(v => v: Any),
+      col(column).isInCollection(values.distinct),
+      (b, vs) => vs.exists(v =>
+        b.mightContainLong(v.asInstanceOf[Long])))
+
+  /** [[readPrunedBloom]] for STRING columns. */
+  def readPrunedBloomString(spark: SparkSession, path: String,
+      column: String, values: Seq[String], asOf: Long = -1L): DataFrame =
+    readPrunedBloomImpl(spark, path, column, asOf,
+      values.distinct.map(v => v: Any),
+      col(column).isInCollection(values.distinct),
+      (b, vs) => vs.exists(v =>
+        b.mightContainString(v.asInstanceOf[String])))
+
+  private def readPrunedBloomImpl(spark: SparkSession, path: String,
+      column: String, asOf: Long, vs: Seq[Any], pred: Column,
+      probe: (org.apache.spark.util.sketch.BloomFilter, Seq[Any]) => Boolean)
+      : DataFrame = {
+    import spark.implicits._
+    val full = read(spark, path, asOf)
+    if (vs.isEmpty) return full.filter(lit(false))
+    val bp = bloomPath(path)
+    if (currentVersion(bp) < 0) return full.filter(pred)
+    val live = snapshotFiles(path, asOf)
+    val colLc = column.toLowerCase
+    val verdicts: Map[String, Boolean] = read(spark, bp)
+      .filter(lower(col("col")) === colLc)
+      .select(col("file"), col("bloom"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (f, bytes) =>
+          val b = org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+          (f, probe(b, vs))
+        }
+      }.collect().toMap
+    val kept = live.filter(f => verdicts.getOrElse(f, true))
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
+    else applyDv(spark, path, asOf,
+      snapshotReader(spark, path, asOf).parquet(
+        kept.map(f => localRoot(path).resolve(f).toString): _*),
+      keepFname = false).filter(pred)
+  }
+
   /** MIXED-TYPE box read: one STRING range dimension conjoined with
     * any number of long/timestamp/date range dimensions — the box
     * shape a (source, n_chars)-style layout serves. The kept set is

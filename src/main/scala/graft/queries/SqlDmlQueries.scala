@@ -1299,10 +1299,18 @@ object SqlDmlQueries {
       // INSERT adding NEW distinct values and duplicating existing
       refreshIncr(s"INSERT INTO $n SELECT o_orderkey + 10000000, ck, " +
         s"d + 2000, price_c FROM $n WHERE o_orderkey % 97 = 1")
-      // banded DELETE dropping values (and possibly whole groups) —
-      // the ck band keeps the CoW rewrite stats-pruned to a subset
-      refreshIncr(s"DELETE FROM $n WHERE ck <= ${kq / 64} " +
-        s"AND o_orderkey % 89 = 3")
+      // banded DELETE dropping a concrete value class: the victim is
+      // picked FROM the band (max d), so the delete is provably
+      // non-empty at every scale factor — the fixed-modulus predicate
+      // it replaces matched nothing at sf0.001 — while the rest of
+      // the band stays alive for the aux-loss steps below and the ck
+      // band keeps the CoW rewrite stats-pruned to a subset
+      val bandRows = TxnTable.read(spark, t)
+        .filter(col("ck") <= kq / 64)
+      require(bandRows.select(col("d")).distinct().limit(2).count() == 2L,
+        s"test data: the ck<=${kq / 64} band needs two distinct d values")
+      val vict = bandRows.agg(max(col("d"))).head().getLong(0)
+      refreshIncr(s"DELETE FROM $n WHERE ck <= ${kq / 64} AND d = $vict")
       // up-to-date refresh no-ops
       val mvV = TxnTable.currentVersion(d + "/mv")
       GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $m")
@@ -2470,8 +2478,217 @@ object SqlDmlQueries {
       .orderBy(col("tbl"), col("st"))
   }
 
+  /** S75: MV-BASED QUERY REWRITE — an aggregate SELECT whose shape is
+    * subsumed by a FRESH materialized view serves from the MV instead
+    * of rescanning the fact table (at warehouse scale: a read of one
+    * row per group instead of a full fact scan). Driven end-to-end as
+    * statements: the definition's own text rewrites in EXACT mode
+    * (1:1 projection), a coarser GROUP BY rewrites in ROLLUP mode
+    * (counts/sums re-sum, min/max re-extreme, avg derives from
+    * sum+count), a WHERE on an exposed group key becomes a residual
+    * filter on the MV with ORDER BY/LIMIT re-applied above — each
+    * proven to read ONLY the MV's files (inputFiles) and to equal the
+    * same statement with `SET MATVIEW REWRITE OFF` row-for-row. A
+    * base-table UPDATE makes the MV stale: the very next query falls
+    * back to the fact table (never a stale answer), REFRESH restores
+    * the rewrite. The gate's output is the REWRITTEN post-refresh
+    * aggregate, hash-matched against the oracle's replay. */
+  def s75MvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val root = java.nio.file.Files.createTempDirectory("graft_s75")
+      .toString
+    val t = root + "/fact"
+    val fact = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"),
+      (col("o_orderkey") % 7).as("band"))
+    TxnTable.create(spark, t, fact, partitions = 4)
+    val n = freshName("mvrw_fact_")
+    GraftSql.register(n, t)
+    val mvn = freshName("mvrw_mv_")
+    val defSql = s"SELECT st, band, count(*) AS cnt, " +
+      s"count(price_c) AS cntp, sum(price_c) AS sp, " +
+      s"min(price_c) AS mn, max(price_c) AS mx FROM $n GROUP BY st, band"
+    def served(sql: String, mode: String): DataFrame = {
+      val df = GraftSql.query(spark, sql)
+      require(GraftSql.lastMvRewrite.contains((mvn, mode)),
+        s"expected $mode rewrite via $mvn, got " +
+          s"${GraftSql.lastMvRewrite} for: $sql")
+      val files = df.inputFiles
+      require(files.nonEmpty && files.forall(_.contains("/mv/")),
+        s"a rewritten query must read ONLY the MV's files, got " +
+          files.filterNot(_.contains("/mv/")).take(3).mkString(", "))
+      df
+    }
+    def direct(sql: String): DataFrame = {
+      GraftSql.execute(spark, "SET MATVIEW REWRITE OFF")
+      try {
+        val df = GraftSql.query(spark, sql)
+        require(GraftSql.lastMvRewrite.isEmpty,
+          "SET MATVIEW REWRITE OFF must disable the rewrite")
+        df
+      } finally { GraftSql.execute(spark, "SET MATVIEW REWRITE ON") }
+    }
+    def same(a: DataFrame, b: DataFrame, ordered: Boolean): Unit = {
+      val (x, y) = (a.collect().toSeq, b.collect().toSeq)
+      val (xs, ys) = if (ordered) (x, y)
+        else (x.sortBy(_.toString), y.sortBy(_.toString))
+      require(xs == ys, s"rewritten ≠ direct: ${xs.take(2)} vs " +
+        s"${ys.take(2)} (${xs.size}/${ys.size} rows)")
+    }
+    try {
+      GraftSql.execute(spark,
+        s"CREATE MATERIALIZED VIEW $mvn LOCATION '$root/mv' AS $defSql")
+      // exact: the definition's own text maps 1:1 onto MV rows
+      same(served(defSql, "exact"), direct(defSql), ordered = false)
+      // rollup: coarser groups re-aggregate, avg derives from sum+cntp
+      val rollup = s"SELECT st, count(*) AS cnt, sum(price_c) AS sp, " +
+        s"min(price_c) AS mn, max(price_c) AS mx, avg(price_c) AS ap " +
+        s"FROM $n GROUP BY st"
+      same(served(rollup, "rollup"), direct(rollup), ordered = false)
+      // residual group-key filter + ORDER BY/LIMIT above the rewrite
+      val topk = s"SELECT band, sum(price_c) AS sp FROM $n " +
+        s"WHERE st = 'F' GROUP BY band ORDER BY sp DESC, band LIMIT 3"
+      same(served(topk, "rollup"), direct(topk), ordered = true)
+      // staleness: a base commit must kill the rewrite immediately —
+      // the next query reads the fact table and sees the new values
+      GraftSql.execute(spark,
+        s"UPDATE $n SET price_c = price_c + 1 WHERE o_orderkey <= 10")
+      val live = GraftSql.query(spark, rollup)
+      require(GraftSql.lastMvRewrite.isEmpty,
+        "a stale MV must never serve a rewrite")
+      require(live.inputFiles.exists(_.contains("/fact/")),
+        "the stale-MV fallback must read the fact table")
+      GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mvn")
+      same(served(rollup, "rollup"), direct(rollup), ordered = false)
+      // gate output: the REWRITTEN post-refresh aggregate
+      served(s"SELECT st, count(*) AS cnt, sum(price_c) AS sp, " +
+        s"min(price_c) AS mn, max(price_c) AS mx FROM $n GROUP BY st " +
+        s"ORDER BY st", "rollup")
+    } finally {
+      try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mvn")
+      catch { case _: Exception => () }
+      GraftSql.unregister(n)
+    }
+  }
+
+  /** S76: PER-FILE BLOOM SKIPPING — point lookups on a
+    * high-cardinality column the table is NOT clustered on: the table
+    * is laid out in custkey band tranches, so every file's
+    * o_orderkey RANGE spans nearly the whole key space and min/max
+    * pruning keeps ALL files (asserted — the shape range stats cannot
+    * serve). `ANALYZE TABLE … COMPUTE BLOOM (o_orderkey)` builds one
+    * filter per (file, column) sized from logged row counts; the
+    * lookup then scans a strict file subset with zero footer reads,
+    * the TVF twin (`point_lookup('t','col','v1,v2')`) serves the
+    * identical rows, and an absent key touches (almost) nothing. A
+    * banded UPDATE rewrites a file: the replacement lacks a bloom and
+    * is conservatively KEPT (correct rows immediately, no staleness —
+    * files are immutable so blooms never lie), and the next ANALYZE
+    * tops up ONLY the uncovered files (evidence hook). Output: the
+    * post-churn lookup of the min and max order keys, oracle-replayed. */
+  def s76BloomPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.TxnTable
+    val root = java.nio.file.Files.createTempDirectory("graft_s76")
+      .toString
+    val t = root + "/fact"
+    val orders = Lake.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey").as("ck"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val kq = orders.agg(max(col("ck"))).head().getLong(0)
+    // four custkey tranches, one file each: o_orderkey is spread
+    // uniformly across ALL of them
+    TxnTable.create(spark, t, orders.filter(col("ck") <= kq / 4))
+    TxnTable.append(spark, t, orders.filter(
+      col("ck") > kq / 4 && col("ck") <= kq / 2))
+    TxnTable.append(spark, t, orders.filter(
+      col("ck") > kq / 2 && col("ck") <= 3 * kq / 4))
+    TxnTable.append(spark, t, orders.filter(col("ck") > 3 * kq / 4))
+    val n = freshName("bloom_fact_")
+    GraftSql.register(n, t)
+    try {
+      // INTERIOR probe keys (the 25% and 50% points of the key range,
+      // snapped to existing keys): every tranche's o_orderkey range
+      // covers them, so range pruning provably keeps everything —
+      // min/max keys would be prunable by range stats and test nothing
+      val mm = orders.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .head()
+      val (minK, maxK) = (mm.getLong(0), mm.getLong(1))
+      def keyAtLeast(v: Long): Long = orders
+        .filter(col("o_orderkey") >= v)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      val probes = Seq(keyAtLeast(minK + (maxK - minK) / 4),
+        keyAtLeast(minK + (maxK - minK) / 2))
+      require(probes.distinct.size == 2, s"degenerate key range: $probes")
+      val live0 = TxnTable.snapshotFiles(t).size
+      require(live0 == 4, s"expected the 4-tranche layout, got $live0")
+      // range stats CANNOT serve this shape: every file spans the keys
+      require(TxnTable.readPrunedIn(spark, t, "o_orderkey", probes)
+        .inputFiles.length == live0,
+        "min/max pruning must keep every file on this layout — " +
+          "otherwise the gate tests nothing")
+      GraftSql.execute(spark,
+        s"ANALYZE TABLE $n COMPUTE BLOOM (o_orderkey) FPP 0.001")
+      require(TxnTable.lastBloomBuiltFiles.size == 4,
+        s"the first build must cover all 4 files, got " +
+          s"${TxnTable.lastBloomBuiltFiles.size}")
+      // every LOOKUP below plans and probes footer-free (the aux
+      // write's own stats harvest is the write-path invariant all
+      // commits share, and is outside this bracket)
+      val f0 = graft.crawler.SkippingIndex.footerReads.get()
+      val hit = TxnTable.readPrunedBloom(spark, t, "o_orderkey", probes)
+      require(hit.inputFiles.length < live0,
+        s"the bloom lookup must scan a strict file subset, got " +
+          s"${hit.inputFiles.length} of $live0")
+      require(hit.count() == 2L, "both probed keys must come back")
+      // statement ≡ API
+      val tvf = GraftSql.query(spark,
+        s"SELECT * FROM point_lookup('$n', 'o_orderkey', " +
+          s"'${probes.mkString(",")}') ORDER BY o_orderkey")
+      require(tvf.collect().map(_.toSeq).toSeq ==
+        hit.orderBy(col("o_orderkey")).collect().map(_.toSeq).toSeq,
+        "the TVF must serve the identical rows")
+      // an absent key prunes (nearly) everything
+      val absent = TxnTable.readPrunedBloom(spark, t, "o_orderkey",
+        Seq(probes.last + 999983L))
+      require(absent.count() == 0L &&
+        absent.inputFiles.length <= 1,
+        s"an absent key must touch at most a false-positive file, " +
+          s"got ${absent.inputFiles.length}")
+      require(graft.crawler.SkippingIndex.footerReads.get() == f0,
+        "bloom lookups must plan and probe zero-footer")
+      // churn: the rewritten file lacks a bloom → conservatively kept,
+      // rows stay correct IMMEDIATELY (blooms never go stale)
+      GraftSql.execute(spark,
+        s"UPDATE $n SET price_c = price_c + 7 WHERE ck <= ${kq / 4}")
+      val f1 = graft.crawler.SkippingIndex.footerReads.get()
+      val post = TxnTable.readPrunedBloom(spark, t, "o_orderkey", probes)
+      require(post.count() == 2L,
+        "the lookup must stay correct across un-bloomed replacements")
+      require(graft.crawler.SkippingIndex.footerReads.get() == f1,
+        "the conservative-keep lookup must stay zero-footer too")
+      // top-up builds ONLY the uncovered replacement files
+      GraftSql.execute(spark,
+        s"ANALYZE TABLE $n COMPUTE BLOOM (o_orderkey) FPP 0.001")
+      val topUp = TxnTable.lastBloomBuiltFiles.size
+      require(topUp >= 1 && topUp < 4,
+        s"the top-up must scan only the replacement files, got $topUp")
+      GraftSql.execute(spark,
+        s"ANALYZE TABLE $n COMPUTE BLOOM (o_orderkey) FPP 0.001")
+      require(TxnTable.lastBloomBuiltFiles.isEmpty,
+        "a fully-covered table must build nothing")
+      val fin = TxnTable.readPrunedBloom(spark, t, "o_orderkey", probes)
+      require(fin.inputFiles.length < TxnTable.snapshotFiles(t).size,
+        "the post-top-up lookup must prune again")
+      fin.select(col("o_orderkey"), col("ck"), col("price_c"))
+        .orderBy(col("o_orderkey"))
+    } finally GraftSql.unregister(n)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "s74_txn_group" -> (s74TxnGroup _),
+    "s75_mv_rewrite" -> (s75MvRewrite _),
+    "s76_bloom_pointlookup" -> (s76BloomPointLookup _),
     "s40_sql_create" -> (s40SqlCreate _),
     "s41_merge_not_matched_by_source" -> (s41MergeNotMatchedBySource _),
     "s42_sql_maintenance" -> (s42SqlMaintenance _),
@@ -2525,6 +2742,39 @@ object SqlDmlQueries {
         |  CAST(sum(pc) AS BIGINT) AS price_sum,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM both_t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the rewritten post-refresh aggregate: base prices with the +1
+    // update applied to the low keys — values prove the MV the
+    // rewrite served was refreshed, not stale
+    "s75_mv_rewrite" ->
+      """WITH f AS (SELECT o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT)
+        |      + CASE WHEN o_orderkey <= 10 THEN 1 ELSE 0 END AS price_c
+        |  FROM orders)
+        |SELECT st, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(price_c) AS BIGINT) AS sp,
+        |  CAST(min(price_c) AS BIGINT) AS mn,
+        |  CAST(max(price_c) AS BIGINT) AS mx
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the post-churn point lookup replayed: the 25%/50% interior keys
+    // with the low-band +7 update applied where their custkey lands
+    "s76_bloom_pointlookup" ->
+      """WITH mm AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |  FROM orders),
+        |p AS (
+        |  SELECT min(o_orderkey) AS k FROM orders
+        |    WHERE o_orderkey >= (SELECT mn + (mx - mn)//4 FROM mm)
+        |  UNION
+        |  SELECT min(o_orderkey) FROM orders
+        |    WHERE o_orderkey >= (SELECT mn + (mx - mn)//2 FROM mm)),
+        |b AS (SELECT CAST(max(o_custkey) AS BIGINT) AS ck FROM orders),
+        |f AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) +
+        |      CASE WHEN o_custkey <= (SELECT ck FROM b)//4
+        |           THEN 7 ELSE 0 END AS price_c
+        |  FROM orders)
+        |SELECT o_orderkey, ck, price_c
+        |FROM f WHERE o_orderkey IN (SELECT k FROM p)
+        |ORDER BY o_orderkey""".stripMargin,
     // the lifecycle replayed relationally: n1 v1 = base + low-band
     // insert; n2 = 'O' slice of v1, then replaced by its own status
     // aggregate; n3 = the v0 half-band CTAS
@@ -2875,9 +3125,11 @@ object SqlDmlQueries {
         |  UNION ALL
         |  SELECT o_orderkey + 10000000, ck, d + 2000, price_c
         |  FROM s1 WHERE o_orderkey % 97 = 1),
+        |v AS (SELECT max(d) AS vd FROM s2
+        |  WHERE ck <= (SELECT ck FROM b)//64),
         |s3 AS (SELECT * FROM s2
         |  WHERE NOT (ck <= (SELECT ck FROM b)//64
-        |             AND o_orderkey % 89 = 3))
+        |             AND d = (SELECT vd FROM v)))
         |SELECT ck, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(count(DISTINCT d) AS BIGINT) AS cd,
         |  CAST(sum(price_c) AS BIGINT) AS ps

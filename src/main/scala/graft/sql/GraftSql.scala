@@ -194,6 +194,10 @@ object GraftSql {
     ("""(?is)^\s*ANALYZE\s+TABLE\s+""" + Ident +
       """\s+COMPUTE\s+HISTOGRAM\s*\(\s*([^)]+?)\s*\)""" +
       """(?:\s+BINS\s+(\d+))?\s*;?\s*$""").r
+  private val AnalyzeBloomRe =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+""" + Ident +
+      """\s+COMPUTE\s+BLOOM\s*\(\s*([^)]+?)\s*\)""" +
+      """(?:\s+FPP\s+([0-9.]+))?\s*;?\s*$""").r
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+""" + Ident +
       """\s+FROM\s+'([^']+)'""" +
@@ -218,6 +222,8 @@ object GraftSql {
     """(?is)^\s*SHOW\s+GROUPS(?:\s+AT\s+'([^']+)')?\s*;?\s*$""".r
   private val RecoverGroupsRe =
     """(?is)^\s*RECOVER\s+GROUPS(?:\s+AT\s+'([^']+)')?\s*;?\s*$""".r
+  private val MvRewriteSetRe =
+    """(?is)^\s*SET\s+MATVIEW\s+REWRITE\s+(ON|OFF)\s*;?\s*$""".r
   private val GroupStepHeadRe =
     ("""(?is)^\s*(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|MERGE\s+INTO)""" +
       """\s+((?:`[^`]+`|[\w.])+)\s.*$""").r
@@ -335,6 +341,13 @@ object GraftSql {
           s"combine the statements on ${dup.mkString(", ")} — e.g. " +
           "one MERGE INTO")
       TxnGroup.run(spark, groupDirOf(Option(at)), steps).last
+
+    // session-scoped optimizer switch, no table and no commit: returns
+    // -1 (MV-based query rewrite is on by default; OFF is the
+    // operational escape hatch when a rewrite must be ruled out, the
+    // REFRESH … FULL precedent)
+    case MvRewriteSetRe(onOff) =>
+      mvRewriteEnabled = onOff.equalsIgnoreCase("on"); -1L
 
     case OptimizeRe(name, zkw, zorder, wCol, wLo, wHi) =>
       val (reg, _) = lookupMutable(parseIdent(name), "OPTIMIZE")
@@ -486,7 +499,9 @@ object GraftSql {
       // landing in between leaves the MV (conservatively) stale —
       // the reverse order could claim fresh for content it lacks
       val markerOp = mvMarker(srcs)
-      TxnTable.create(spark, path, query(spark, text), op = markerOp)
+      TxnTable.create(spark, path,
+        mvRewriteSuppressed.withValue(true)(query(spark, text)),
+        op = markerOp)
       maintainAuxFull(spark, path, text, markerOp)
       matviews.put(nm, (path, text))
       tables.put(nm, Reg(path, mor = false))
@@ -512,7 +527,8 @@ object GraftSql {
         // marker BEFORE the content snapshot pins (see CREATE):
         // mid-refresh source commits must leave the MV stale
         val markerOp = mvMarker(mvSources(spark, text))
-        val ver = TxnTable.overwrite(spark, path, query(spark, text),
+        val ver = TxnTable.overwrite(spark, path,
+          mvRewriteSuppressed.withValue(true)(query(spark, text)),
           op = markerOp)
         maintainAuxFull(spark, path, text, markerOp)
         ver
@@ -633,6 +649,17 @@ object GraftSql {
       require(cols.nonEmpty, "ANALYZE TABLE: name at least one column")
       TxnTable.computeHistogram(spark, reg.path, cols,
         Option(binsRaw).map(_.toInt).getOrElse(64))
+
+    // ANALYZE TABLE t COMPUTE BLOOM (cols) [FPP p]: per-file Bloom
+    // filters for point-lookup pruning ([[TxnTable.computeBloom]] —
+    // incremental by construction: only uncovered live files scan)
+    case AnalyzeBloomRe(name, colsRaw, fppRaw) =>
+      val (reg, _) = lookupMutable(parseIdent(name), "ANALYZE TABLE")
+      val cols = colsRaw.split(",").map(_.trim.stripPrefix("`")
+        .stripSuffix("`")).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty, "ANALYZE TABLE: name at least one column")
+      TxnTable.computeBloom(spark, reg.path, cols,
+        Option(fppRaw).map(_.toDouble).getOrElse(0.01))
 
     // STOP COPY INTO t [FROM STREAM '<dir>']: end the continuous
     // form; the checkpoint and the file registry persist, so a later
@@ -1629,6 +1656,10 @@ object GraftSql {
     val plan =
       try spark.sessionState.sqlParser.parsePlan(text)
       catch { case _: Exception => return None }
+    recognizeFoldShape(plan)
+  }
+
+  private def recognizeFoldShape(plan: LogicalPlan): Option[MvShape] = {
     val (groupExprs, aggExprs, child, having) = plan match {
       case Aggregate(g, a, c, _) => (g, a, c, None)
       case org.apache.spark.sql.catalyst.analysis
@@ -1744,6 +1775,214 @@ object GraftSql {
     Some(MvShape(rels.toSeq, child, gAttrs, valueExprs.toSeq, items,
       cond, quals.toMap, having))
   }
+
+  // -- MV-based query rewrite ------------------------------------------------
+  //
+  // The summary-table optimization: an aggregate SELECT whose shape is
+  // SUBSUMED by a FRESH materialized view is served from the MV instead
+  // of rescanning its sources — at warehouse scale that turns a fact
+  // scan into a read of a table with one row per group. The contract is
+  // strictly conservative: any doubt (shape, staleness, type drift,
+  // name collision) falls through to the base tables, so a missed
+  // rewrite is only slower, never wrong. Freshness gates on the MV's
+  // own log marker (recorded vs current source versions — the same
+  // metadata SHOW MATERIALIZED VIEWS reads, zero scans); a source
+  // commit landing between the check and the read is the ordinary
+  // planning/execution race every snapshot read has.
+
+  /** The last query()'s rewrite decision: (mv name, "exact"|"rollup")
+    * when the statement was served from a materialized view; None when
+    * it ran against its base tables. Evidence hook for gates/specs. */
+  @volatile private[graft] var lastMvRewrite: Option[(String, String)] = None
+
+  /** Session kill switch: `SET MATVIEW REWRITE ON|OFF`. */
+  @volatile private[graft] var mvRewriteEnabled: Boolean = true
+
+  /** MV materialization must read the DEFINITION, never another MV:
+    * CREATE/REFRESH FULL route their SELECT through query() for the
+    * statement grammar, but a rewrite there would copy MV content
+    * into MV content — in the REFRESH FULL case defeating its whole
+    * purpose (recompute from source when divergence is suspected),
+    * and in the self-match case overwriting a table with a read of
+    * itself. Scoped, so a USER query issued concurrently on another
+    * thread still rewrites. */
+  private val mvRewriteSuppressed =
+    new scala.util.DynamicVariable[Boolean](false)
+
+  private def conjuncts(e: Option[Expression]): Seq[Expression] =
+    e match {
+      case None => Nil
+      case Some(And(l, r)) => conjuncts(Some(l)) ++ conjuncts(Some(r))
+      case Some(x) => Seq(x)
+    }
+
+  /** Attempt to serve the parsed, unresolved SELECT `plan` from a
+    * fresh materialized view. ORDER BY over output columns and LIMIT
+    * peel off and re-apply on the rewritten frame; the core must
+    * recognize as the same fold shape the refresh machinery uses.
+    * Among multiple matching MVs the one with the fewest rows wins
+    * (log metadata, zero scans). `original` is the un-rewritten frame,
+    * used once as a final output-schema guard — a derived aggregate
+    * (e.g. avg as sum/count) must not drift a column type. */
+  private def rewriteViaMv(spark: SparkSession, plan: LogicalPlan,
+      original: => DataFrame): Option[DataFrame] = {
+    lastMvRewrite = None
+    if (!mvRewriteEnabled || mvRewriteSuppressed.value ||
+      matviews.isEmpty) return None
+    // peel ORDER BY / LIMIT (applied last, so they sit above the agg)
+    var sorts: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+      Nil
+    var limit: Option[Int] = None
+    def peel(p: LogicalPlan): LogicalPlan = p match {
+      case g: GlobalLimit if limit.isEmpty && sorts.isEmpty =>
+        (g.limitExpr, g.child) match {
+          case (org.apache.spark.sql.catalyst.expressions
+              .IntegerLiteral(n), l: LocalLimit) =>
+            limit = Some(n); peel(l.child)
+          case _ => p
+        }
+      case s: Sort if s.global && sorts.isEmpty =>
+        sorts = s.order; peel(s.child)
+      case other => other
+    }
+    val core = peel(plan)
+    val q = recognizeFoldShape(core).getOrElse(return None)
+    if (q.having.nonEmpty) return None
+    val qBelow = q.child match { case Filter(_, u) => u; case u => u }
+    val qConj = conjuncts(q.cond)
+    // ORDER BY must reference the query's own output columns — those
+    // exist on the rewritten frame by construction
+    val sortCols: Seq[Column] = sorts.map { so =>
+      import org.apache.spark.sql.catalyst.expressions._
+      val out = so.child match {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+            q.items.exists(_.out.equalsIgnoreCase(a.nameParts.head)) =>
+          a.nameParts.head
+        case _ => return None
+      }
+      val c = org.apache.spark.sql.functions.col(out)
+      (so.direction, so.nullOrdering) match {
+        case (Ascending, NullsFirst) => c.asc_nulls_first
+        case (Ascending, NullsLast) => c.asc_nulls_last
+        case (Descending, NullsFirst) => c.desc_nulls_first
+        case (Descending, NullsLast) => c.desc_nulls_last
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val cands = matviews.asScala.toSeq.sortBy(_._1).flatMap {
+      case (nm, (path, text)) =>
+        planMvRewrite(spark, nm, path, text, q, qBelow, qConj)
+    }
+    if (cands.isEmpty) return None
+    // cheapest matching MV: fewest rows by log metadata (zero scans)
+    val (nm, mode, df) = cands.minBy { case (n2, _, _) =>
+      (TxnTable.logTableStats(spark,
+        matviews.get(n2)._1)._2, n2) }
+    // output-shape guard: identical names and types or no rewrite
+    if (df.schema.map(f => (f.name.toLowerCase, f.dataType)) !=
+        original.schema.toSeq.map(f => (f.name.toLowerCase, f.dataType)))
+      return None
+    val sorted = if (sortCols.isEmpty) df else df.orderBy(sortCols: _*)
+    val limited = limit.map(sorted.limit).getOrElse(sorted)
+    lastMvRewrite = Some((nm, mode))
+    Some(limited)
+  }
+
+  /** One candidate MV against the query shape: same FROM tree
+    * (alias-sensitive rendering — a mismatch only costs the rewrite),
+    * the MV's WHERE conjuncts all present in the query's, residual
+    * query conjuncts evaluable over exposed MV group columns, every
+    * query group expr mapped to an exposed MV group column, and every
+    * query aggregate either exposed directly (exact mode: the query
+    * groups on ALL the MV's group exprs, rows map 1:1) or derivable
+    * under re-aggregation (rollup mode: count/sum fold as sums,
+    * min/max as themselves, avg from sum+count(col); count(DISTINCT)
+    * does NOT roll up). Checked fresh LAST (it reads log metadata).
+    * Any analysis surprise → None, never an error. */
+  private def planMvRewrite(spark: SparkSession, nm: String,
+      path: String, text: String, q: MvShape, qBelow: LogicalPlan,
+      qConj: Seq[Expression]): Option[(String, String, DataFrame)] =
+    try {
+      import org.apache.spark.sql.functions.{col, max, min, sum}
+      val m = recognizeFoldShape(spark, text).getOrElse(return None)
+      if (m.having.nonEmpty) return None
+      val mBelow = m.child match { case Filter(_, u) => u; case u => u }
+      if (qBelow.toString != mBelow.toString) return None
+      val mSql = conjuncts(m.cond).map(_.sql)
+      if (!mSql.forall(s => qConj.exists(_.sql == s))) return None
+      val residual = qConj.filterNot(c => mSql.contains(c.sql))
+      val gOut: Map[Int, String] =
+        m.items.collect { case MvGroup(g, o) => g -> o }.toMap
+      def groupIdx(e: Expression): Option[Int] = {
+        val i = m.groupExprs.indexWhere(sameGroupExpr(_, e))
+        if (i >= 0 && gOut.contains(i)) Some(i) else None
+      }
+      val qgMap: Seq[Int] =
+        q.groupExprs.map(e => groupIdx(e).getOrElse(return None))
+      val exact = qgMap.distinct.length == m.groupExprs.length
+      // a residual predicate applies BEFORE re-aggregation, so it may
+      // reference any exposed MV group column (grouped by the query
+      // or not) — whole-subexpression group matches first (a group
+      // key `upper(s)` rewrites as a unit; its bare `s` would bail)
+      def mapResid(e: Expression): Option[Expression] =
+        groupIdx(e) match {
+          case Some(i) => Some(UnresolvedAttribute(Seq(gOut(i))))
+          case None => e match {
+            case _: UnresolvedAttribute => None
+            case _: SubqueryExpression => None
+            case _ if e.children.isEmpty => Some(e)
+            case _ =>
+              val kids = e.children.map(mapResid)
+              if (kids.exists(_.isEmpty)) None
+              else Some(e.withNewChildren(kids.map(_.get)))
+          }
+        }
+      val residMapped =
+        residual.map(c => mapResid(c).getOrElse(return None))
+      def mvAggOut(kind: String, v: Int): Option[String] =
+        m.items.collectFirst {
+          case MvAgg(k, mv, o) if k == kind &&
+              (if (v < 0) mv < 0
+               else mv >= 0 &&
+                 sameAttr(q.valueExprs(v), m.valueExprs(mv))) => o
+        }
+      if (mvStale(path)) return None
+      val mv = TxnTable.read(spark, path)
+      val filtered = residMapped.foldLeft(mv)(
+        (d, e) => d.filter(Bridge.column(e)))
+      val out: DataFrame = if (exact) {
+        filtered.select(q.items.map {
+          case MvGroup(g, o) => col(gOut(qgMap(g))).as(o)
+          case MvAgg(k, v, o) =>
+            col(mvAggOut(k, v).getOrElse(return None)).as(o)
+        }: _*)
+      } else {
+        val aggCols = q.items.collect { case MvAgg(k, v, o) =>
+          (k match {
+            case "cnt" => mvAggOut("cnt", -1).map(s => sum(col(s)))
+            case "cntc" => mvAggOut("cntc", v).map(s => sum(col(s)))
+            case "sum" => mvAggOut("sum", v).map(s => sum(col(s)))
+            case "min" => mvAggOut("min", v).map(s => min(col(s)))
+            case "max" => mvAggOut("max", v).map(s => max(col(s)))
+            case "avg" => for { s <- mvAggOut("sum", v)
+                c <- mvAggOut("cntc", v) }
+              yield sum(col(s)) / sum(col(c))
+            case _ => None // count(DISTINCT) cannot roll up
+          }).getOrElse(return None).as(o)
+        }
+        val gCols =
+          q.items.collect { case MvGroup(g, _) => col(gOut(qgMap(g))) }
+        val agged =
+          if (gCols.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
+          else filtered.groupBy(gCols: _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        agged.select(q.items.map {
+          case MvGroup(g, o) => col(gOut(qgMap(g))).as(o)
+          case MvAgg(_, _, o) => col(o)
+        }: _*)
+      }
+      Some((nm, if (exact) "exact" else "rollup", out))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The marker for an incremental refresh: EVERY changed relation
     * pins the version its delta actually consumed (NOT a re-read of
@@ -2560,8 +2799,10 @@ object GraftSql {
           org.apache.spark.sql.execution.ExplainMode.fromString(mode))
           .split("\n").toSeq.toDF("plan")
       case _ =>
-        Bridge.ofRows(spark, refineMcvStats(spark, substituteRelations(
-          spark, spark.sessionState.sqlParser.parsePlan(sqlText))))
+        val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
+        lazy val normal = Bridge.ofRows(spark, refineMcvStats(spark,
+          substituteRelations(spark, plan)))
+        rewriteViaMv(spark, plan, normal).getOrElse(normal)
     }
 
   // -- log-stats CBO injection ----------------------------------------------
@@ -2996,6 +3237,40 @@ object GraftSql {
           .filter(org.apache.spark.sql.functions
             .col("quality_logit") > thr)
         SubqueryAlias("quality_filter", scored.queryExecution.logical)
+      // point_lookup('t', 'col', 'v1,v2,…') — the per-file Bloom
+      // index as a TVF: only files whose filter might contain a probe
+      // value are scanned (files without a bloom row, or no index at
+      // all, are conservatively kept), the exact IN predicate always
+      // re-applies on top. Probes spell as a comma-separated literal
+      // (the search_ann convention); the column's type picks the
+      // integral or string probe path.
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.last.equalsIgnoreCase("point_lookup") =>
+        val args = tvf.functionArgs
+        require(args.length == 3,
+          "point_lookup(table, column, 'v1,v2,…')")
+        val path = registeredPathByName(strLit(args.head, "table name"))
+        val cn = strLit(args(1), "column")
+        val raw = strLit(args(2), "values").split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        require(raw.nonEmpty, "point_lookup: empty probe list")
+        val f = TxnTable.read(spark, path).schema.fields
+          .find(_.name.equalsIgnoreCase(cn)).getOrElse(
+            throw new IllegalArgumentException(
+              s"point_lookup: no column $cn in $path"))
+        val df = f.dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            TxnTable.readPrunedBloomString(spark, path, f.name, raw)
+          case _ =>
+            val vs = raw.map(v =>
+              try v.toLong
+              catch { case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"point_lookup: non-integer probe '$v' for ${f.name}")
+              })
+            TxnTable.readPrunedBloom(spark, path, f.name, vs)
+        }
+        SubqueryAlias("point_lookup", df.queryExecution.logical)
       // ---- the retrieval surface as TVFs: every index a SQL user can
       // BUILD (text index, vector index, hybrid) is also QUERYABLE
       // from statement text, each dispatching to the existing pruned

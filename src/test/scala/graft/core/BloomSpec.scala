@@ -1,0 +1,57 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Per-file Bloom skipping: build refusals, incremental top-up,
+  * typed probe paths, graceful degradation (no index / uncovered
+  * files), snapshot reads, and DV composition. The scale-shaped
+  * prune-vs-range contrast lives in gate s76. */
+class BloomSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("computeBloom: refusals, typed probes, fallbacks, time travel, " +
+    "top-up no-op, DV-aware lookups") {
+    val t = Files.createTempDirectory("graft_bloom").toString + "/t"
+    TxnTable.create(spark, t,
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "f"))
+    TxnTable.append(spark, t,
+      Seq((3L, "c", 3.5), (4L, "d", 4.5)).toDF("id", "s", "f"))
+    // no index yet: the lookup degrades to an ordinary filtered scan
+    assert(TxnTable.readPrunedBloom(spark, t, "id", Seq(3L)).count() == 1L)
+    intercept[IllegalArgumentException] {
+      TxnTable.computeBloom(spark, t, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      TxnTable.computeBloom(spark, t, Seq("f")) // double: unsupported
+    }
+    intercept[IllegalArgumentException] {
+      TxnTable.computeBloom(spark, t, Seq("id"), fpp = 0.9)
+    }
+    TxnTable.computeBloom(spark, t, Seq("id", "s"))
+    assert(TxnTable.lastBloomBuiltFiles.size == 2)
+    // string probe path prunes to the owning file
+    val hs = TxnTable.readPrunedBloomString(spark, t, "s", Seq("d"))
+    assert(hs.collect().map(_.getString(1)).toSeq == Seq("d"))
+    assert(hs.inputFiles.length == 1)
+    // long probe path too
+    val h = TxnTable.readPrunedBloom(spark, t, "id", Seq(1L))
+    assert(h.inputFiles.length == 1 && h.count() == 1L)
+    // empty probe list → empty frame; absent value → zero rows
+    assert(TxnTable.readPrunedBloom(spark, t, "id", Nil).count() == 0L)
+    assert(TxnTable.readPrunedBloom(spark, t, "id", Seq(99L)).count() == 0L)
+    // snapshot read: v0 keeps only the first file's rows
+    assert(TxnTable.readPrunedBloom(spark, t, "id", Seq(1L, 3L), asOf = 0L)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // a fully-covered table builds nothing
+    assert(TxnTable.computeBloom(spark, t, Seq("id", "s")) >= 0L)
+    assert(TxnTable.lastBloomBuiltFiles.isEmpty)
+    // merge-on-read delete: the bloom still (rightly) keeps the file,
+    // the DV drops the row — never a resurrected value
+    TxnTable.deleteWhereMor(spark, t, col("id") === 3L)
+    assert(TxnTable.readPrunedBloom(spark, t, "id", Seq(3L)).count() == 0L)
+  }
+}

@@ -316,11 +316,13 @@ class LogStatsSpec extends SparkSpecBase {
       val j2 = TxnTable.properties(t)("graft.hist.id")
       assert((JsonMethods.parse(j2) \ "bins")
         .extract[Seq[Seq[Double]]].length == 4)
-      // refusals: non-numeric column, unknown column
-      intercept[IllegalArgumentException] {
-        graft.sql.GraftSql.execute(spark,
-          s"ANALYZE TABLE $n COMPUTE HISTOGRAM (s)")
-      }
+      // a STRING column analyzes too since S70 — exact ndv + MCV
+      // riding the same commit shape (no equi-height bins for it)
+      graft.sql.GraftSql.execute(spark,
+        s"ANALYZE TABLE $n COMPUTE HISTOGRAM (s)")
+      assert(TxnTable.properties(t).contains("graft.mcv.s"))
+      assert(!TxnTable.properties(t).contains("graft.hist.s"))
+      // refusal: unknown column
       intercept[IllegalArgumentException] {
         graft.sql.GraftSql.execute(spark,
           s"ANALYZE TABLE $n COMPUTE HISTOGRAM (nope)")

@@ -26,6 +26,16 @@ class GraftSqlSpec extends SparkSpecBase {
   private def rows(t: String): Set[(Long, Long, String)] =
     TxnTable.read(spark, t).as[(Long, Long, String)].collect().toSet
 
+  /** The statement run DIRECTLY against its base tables — MV rewrite
+    * bracketed OFF, so ≡-recompute assertions stay independent of the
+    * very MV they are checking (a rewrite would compare the MV to
+    * itself). */
+  private def directSet(q: String): Set[Seq[Any]] = {
+    GraftSql.execute(spark, "SET MATVIEW REWRITE OFF")
+    try GraftSql.query(spark, q).collect().map(_.toSeq).toSet
+    finally { GraftSql.execute(spark, "SET MATVIEW REWRITE ON"); () }
+  }
+
   test("DELETE FROM with a parsed predicate (CoW and MOR)") {
     val (t, n) = mk()
     val v = GraftSql.execute(spark, s"DELETE FROM $n WHERE v > 25")
@@ -1555,7 +1565,7 @@ class GraftSqlSpec extends SparkSpecBase {
         GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
         assert(mode() == "incremental", s"shape must fold: $q")
         assert(mvContent(s"$d/i$i") ==
-          GraftSql.query(spark, q).collect().map(_.toSeq).toSet,
+          directSet(q),
           s"incremental refresh must equal the definition re-run: $q")
         GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
       }
@@ -1592,7 +1602,7 @@ class GraftSqlSpec extends SparkSpecBase {
         assert(mode() == "full", s"shape must fall back: $q")
         // the fallback result still equals the definition re-run
         assert(mvContent(s"$d/f$i") ==
-          GraftSql.query(spark, q).collect().map(_.toSeq).toSet)
+          directSet(q))
         GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
       }
       GraftSql.unregister(n2)
@@ -1717,7 +1727,7 @@ class GraftSqlSpec extends SparkSpecBase {
           assert(mode() == "incremental",
             s"must stay incremental for: $q after $stmt")
           assert(TxnTable.read(spark, p).collect().map(_.toSeq).toSet ==
-            GraftSql.query(spark, q).collect().map(_.toSeq).toSet,
+            directSet(q),
             s"diverged from recompute: $q after $stmt")
         }
       }
@@ -1771,7 +1781,7 @@ class GraftSqlSpec extends SparkSpecBase {
           assert(mode() == "incremental",
             s"HAVING shape must stay incremental: $q after $stmt")
           assert(TxnTable.read(spark, p).collect().map(_.toSeq).toSet ==
-            GraftSql.query(spark, q).collect().map(_.toSeq).toSet,
+            directSet(q),
             s"diverged: $q after $stmt")
         }
       }
@@ -1820,7 +1830,7 @@ class GraftSqlSpec extends SparkSpecBase {
       def checkParity(): Unit =
         assert(TxnTable.read(spark, s"$d/mv").collect()
           .map(_.toSeq).toSet ==
-          GraftSql.query(spark, q).collect().map(_.toSeq).toSet)
+          directSet(q))
       // FACT delta folds through the broadcast dim, zero recompute
       GraftSql.execute(spark, s"UPDATE $fn SET v = v + 7 WHERE id <= 10")
       GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
@@ -1935,7 +1945,7 @@ class GraftSqlSpec extends SparkSpecBase {
           assert(mode() == "incremental",
             s"expression groups must fold: $q after $stmt")
           assert(TxnTable.read(spark, p).collect().map(_.toSeq).toSet ==
-            GraftSql.query(spark, q).collect().map(_.toSeq).toSet,
+            directSet(q),
             s"diverged: $q after $stmt")
         }
       }
@@ -1982,7 +1992,7 @@ class GraftSqlSpec extends SparkSpecBase {
           GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
           assert(mode() == "incremental", s"must fold: $q after $stmt")
           assert(TxnTable.read(spark, p).collect().map(_.toSeq).toSet ==
-            GraftSql.query(spark, q).collect().map(_.toSeq).toSet,
+            directSet(q),
             s"diverged: $q after $stmt")
         }
       }
@@ -2052,7 +2062,7 @@ class GraftSqlSpec extends SparkSpecBase {
         g0.isNullAt(4),
         s"sum/min/max over no non-null values must be NULL: $g0")
       assert(TxnTable.read(spark, s"$d/mv").collect().map(_.toSeq).toSet
-        == GraftSql.query(spark, q).collect().map(_.toSeq).toSet)
+        == directSet(q))
     } finally {
       try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
       catch { case _: Exception => () }
@@ -2090,7 +2100,7 @@ class GraftSqlSpec extends SparkSpecBase {
           "an all-three-changed window must fold telescopically")
         assert(TxnTable.read(spark, s"$d/mv").collect()
           .map(_.toSeq).toSet ==
-          GraftSql.query(spark, q).collect().map(_.toSeq).toSet)
+          directSet(q))
       }
       // window 1: all three relations churn before one refresh
       GraftSql.execute(spark, s"UPDATE $fn SET v = v + 1 WHERE id <= 30")
@@ -2137,7 +2147,7 @@ class GraftSqlSpec extends SparkSpecBase {
       def parity(): Unit =
         assert(TxnTable.read(spark, s"$d/mv").collect()
           .map(_.toSeq).toSet ==
-          GraftSql.query(spark, q).collect().map(_.toSeq).toSet)
+          directSet(q))
       // untouched null group carried through a non-null delta
       GraftSql.execute(spark, s"UPDATE $n SET v = 150 WHERE id = 3")
       GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
@@ -2368,7 +2378,7 @@ class GraftSqlSpec extends SparkSpecBase {
       assert(mode() == "full",
         "a subquery in a nested join condition must fall back")
       assert(TxnTable.read(spark, s"$d/mv").collect().map(_.toSeq).toSet
-        == GraftSql.query(spark, q).collect().map(_.toSeq).toSet)
+        == directSet(q))
     } finally {
       try GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $mv")
       catch { case _: Exception => () }
@@ -2393,7 +2403,7 @@ class GraftSqlSpec extends SparkSpecBase {
       s"CREATE MATERIALIZED VIEW $mv LOCATION '$d/mv' AS $q")
     def checkContent(): Unit =
       assert(TxnTable.read(spark, s"$d/mv").collect().map(_.toSeq).toSet
-        == GraftSql.query(spark, q).collect().map(_.toSeq).toSet)
+        == directSet(q))
     try {
       // NARROW churn: 5 touched groups — the probe counts 5, the
       // collect ships exactly those 5 tuples, refresh stays incremental
@@ -2549,7 +2559,7 @@ class GraftSqlSpec extends SparkSpecBase {
       GraftSql.execute(spark, s"REFRESH MATERIALIZED VIEW $mv")
       assert(mode() == "incremental", s"$q after $stmt: ${mode()}")
       assert(TxnTable.read(spark, p).collect().map(_.toSeq).toSet ==
-        GraftSql.query(spark, q).collect().map(_.toSeq).toSet,
+        directSet(q),
         s"diverged from recompute: $q after $stmt")
     }
     try {
@@ -2720,5 +2730,101 @@ class GraftSqlSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("plain DML"))
     GraftSql.unregister(n1)
+  }
+
+  test("MV rewrite fences: missing WHERE conjunct, non-group " +
+    "residual, count(DISTINCT) rollup, and ORDER BY beyond the " +
+    "outputs all fall back to base tables") {
+    val (_, n) = mk()
+    val loc = Files.createTempDirectory("graft_mvrw").toString
+    val m = "mv" + java.util.UUID.randomUUID().toString.replace("-", "")
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW $m LOCATION '$loc/m1' AS " +
+        s"SELECT s, count(*) AS cnt, count(DISTINCT v) AS dv, " +
+        s"sum(v) AS sv FROM $n WHERE id < 4 GROUP BY s")
+    try {
+      // exact twin serves from the MV, count(DISTINCT) included
+      val ex = GraftSql.query(spark,
+        s"SELECT s, count(*) AS cnt, count(DISTINCT v) AS dv, " +
+          s"sum(v) AS sv FROM $n WHERE id < 4 GROUP BY s")
+      assert(GraftSql.lastMvRewrite.contains((m, "exact")))
+      assert(ex.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet == Set(("a", 1L, 1L, 10L), ("b", 1L, 1L, 20L),
+          ("c", 1L, 1L, 30L)))
+      // a query WITHOUT the MV's WHERE sees rows the MV lacks
+      val all4 = GraftSql.query(spark,
+        s"SELECT s, count(*) AS cnt FROM $n GROUP BY s")
+      assert(GraftSql.lastMvRewrite.isEmpty)
+      assert(all4.collect().map(_.getLong(1)).sum == 4L)
+      // residual predicate on a NON-group column cannot map
+      val nr = GraftSql.query(spark,
+        s"SELECT s, sum(v) AS sv FROM $n WHERE id < 4 AND v > 15 " +
+          s"GROUP BY s")
+      assert(GraftSql.lastMvRewrite.isEmpty)
+      assert(nr.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSet == Set(("b", 20L), ("c", 30L)))
+      // count(DISTINCT) does not roll up to coarser groups
+      val g = GraftSql.query(spark,
+        s"SELECT count(DISTINCT v) AS dv FROM $n WHERE id < 4")
+      assert(GraftSql.lastMvRewrite.isEmpty)
+      assert(g.head().getLong(0) == 3L)
+      // ORDER BY must reference the query's own output columns
+      GraftSql.query(spark,
+        s"SELECT s, sum(v) AS sv FROM $n WHERE id < 4 GROUP BY s " +
+          s"ORDER BY max(v)")
+      assert(GraftSql.lastMvRewrite.isEmpty)
+    } finally {
+      GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $m")
+      GraftSql.unregister(n)
+    }
+  }
+
+  test("MV rewrite: expression group keys map as whole units and " +
+    "the cheapest matching MV wins by log row count") {
+    val t = Files.createTempDirectory("graft_mvrw2").toString + "/t"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"),
+        (4L, 40L, "d"), (5L, 50L, "a"), (6L, 60L, "a"))
+        .toDF("id", "v", "s"))
+    GraftSql.register(n, t)
+    val loc = Files.createTempDirectory("graft_mvrw2l").toString
+    val fine = "mvf" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val coarse = "mvc" + java.util.UUID.randomUUID().toString.replace("-", "")
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW $fine LOCATION '$loc/f' AS " +
+        s"SELECT s, id % 2 AS par, count(*) AS cnt, sum(v) AS sv " +
+        s"FROM $n GROUP BY s, id % 2") // 5 group rows
+    GraftSql.execute(spark,
+      s"CREATE MATERIALIZED VIEW $coarse LOCATION '$loc/c' AS " +
+        s"SELECT s, count(*) AS cnt, sum(v) AS sv FROM $n GROUP BY s")
+    try {
+      // WHERE on the expression key rewrites as a unit — only the
+      // FINE MV exposes (id % 2); the coarse one cannot subsume it
+      val even = GraftSql.query(spark,
+        s"SELECT s, sum(v) AS sv FROM $n WHERE id % 2 = 0 GROUP BY s")
+      assert(GraftSql.lastMvRewrite.contains((fine, "rollup")))
+      assert(even.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSet == Set(("a", 60L), ("b", 20L), ("d", 40L)))
+      // a BARE id reference is not a group key anywhere → base tables
+      val gt = GraftSql.query(spark,
+        s"SELECT s, sum(v) AS sv FROM $n WHERE id > 1 GROUP BY s")
+      assert(GraftSql.lastMvRewrite.isEmpty)
+      assert(gt.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSet == Set(("a", 110L), ("b", 20L), ("c", 30L), ("d", 40L)))
+      // both MVs subsume GROUP BY s: the 4-row coarse one beats the
+      // 5-row fine one (log metadata, zero scans), and it serves in
+      // exact mode (1:1 group rows)
+      val bys = GraftSql.query(spark,
+        s"SELECT s, sum(v) AS sv FROM $n GROUP BY s")
+      assert(GraftSql.lastMvRewrite.contains((coarse, "exact")))
+      assert(bys.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSet == Set(("a", 120L), ("b", 20L), ("c", 30L), ("d", 40L)))
+    } finally {
+      GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $fine")
+      GraftSql.execute(spark, s"DROP MATERIALIZED VIEW $coarse")
+      GraftSql.unregister(n)
+    }
   }
 }
