@@ -4808,7 +4808,7 @@ object TxnTable {
   // deserialize and probe inside tasks; only kept file NAMES reach the
   // driver, like every pruned read here) and footer-free.
 
-  private def bloomPath(path: String): String = path + "__bloom"
+  private[graft] def bloomPath(path: String): String = path + "__bloom"
 
   /** Evidence hook: the files the last [[computeBloom]] actually
     * scanned — specs pin the incremental top-up contract with it. */

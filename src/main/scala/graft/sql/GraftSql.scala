@@ -224,6 +224,8 @@ object GraftSql {
     """(?is)^\s*RECOVER\s+GROUPS(?:\s+AT\s+'([^']+)')?\s*;?\s*$""".r
   private val MvRewriteSetRe =
     """(?is)^\s*SET\s+MATVIEW\s+REWRITE\s+(ON|OFF)\s*;?\s*$""".r
+  private val ShowBloomRe =
+    ("""(?is)^\s*SHOW\s+BLOOM\s+""" + Ident + """\s*;?\s*$""").r
   private val GroupStepHeadRe =
     ("""(?is)^\s*(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|MERGE\s+INTO)""" +
       """\s+((?:`[^`]+`|[\w.])+)\s.*$""").r
@@ -2702,6 +2704,28 @@ object GraftSql {
         }.sortBy(r => (r._1, r._2))
           .toDF("table", "source_dir", "trigger_seconds", "checkpoint",
             "active", "batches_committed", "error")
+      // SHOW BLOOM t: per-column coverage of the point-lookup bloom
+      // index — covered vs live files and filter bytes (metadata-only:
+      // the aux table's rows, never the filters' contents probed).
+      // Coverage < live means files churned since the last ANALYZE
+      // (conservatively kept on lookups until the next top-up).
+      case ShowBloomRe(name) =>
+        import spark.implicits._
+        import org.apache.spark.sql.functions.{col, countDistinct, length, sum}
+        val (reg, _) = lookup(parseIdent(name))
+        val bp = TxnTable.bloomPath(reg.path)
+        val live = TxnTable.snapshotFiles(reg.path)
+        if (TxnTable.currentVersion(bp) < 0)
+          Seq.empty[(String, Long, Long, Long)]
+            .toDF("column", "covered_files", "live_files", "bloom_bytes")
+        else
+          TxnTable.read(spark, bp)
+            .filter(col("file").isInCollection(live))
+            .groupBy(col("col").as("column"))
+            .agg(countDistinct(col("file")).as("covered_files"),
+              lit(live.size.toLong).as("live_files"),
+              sum(length(col("bloom"))).as("bloom_bytes"))
+            .orderBy(col("column"))
       // outstanding write-group intents (crashed or conflicted runs):
       // one row per (group, table) with the pre-group version a
       // recovery would restore to — metadata-only (intent JSONs)

@@ -54,4 +54,31 @@ class BloomSpec extends SparkSpecBase {
     TxnTable.deleteWhereMor(spark, t, col("id") === 3L)
     assert(TxnTable.readPrunedBloom(spark, t, "id", Seq(3L)).count() == 0L)
   }
+
+  test("SHOW BLOOM: coverage drops on churn and restores on top-up") {
+    import graft.sql.GraftSql
+    val t = Files.createTempDirectory("graft_bloom2").toString + "/t"
+    val n = "tbl" + java.util.UUID.randomUUID().toString.replace("-", "")
+    TxnTable.create(spark, t, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    TxnTable.append(spark, t, Seq((3L, 30L), (4L, 40L)).toDF("id", "v"))
+    GraftSql.register(n, t)
+    try {
+      // no index yet: empty panel, not an error
+      assert(GraftSql.query(spark, s"SHOW BLOOM $n").count() == 0L)
+      TxnTable.computeBloom(spark, t, Seq("id"))
+      def panel(): (Long, Long) = {
+        val r = GraftSql.query(spark, s"SHOW BLOOM $n").collect()
+        assert(r.length == 1 && r.head.getString(0) == "id")
+        (r.head.getLong(1), r.head.getLong(2))
+      }
+      assert(panel() == ((2L, 2L)))
+      // churn replaces a file: covered drops below live
+      GraftSql.execute(spark, s"UPDATE $n SET v = v + 1 WHERE id = 1")
+      val (cov, live) = panel()
+      assert(cov < live, s"churn must surface as a coverage gap: $cov/$live")
+      TxnTable.computeBloom(spark, t, Seq("id"))
+      val (cov2, live2) = panel()
+      assert(cov2 == live2, s"the top-up must close the gap: $cov2/$live2")
+    } finally GraftSql.unregister(n)
+  }
 }
