@@ -2716,23 +2716,21 @@ object TxnTable {
         "get MCV frequency stats"))
     var scans = 0
     val pct = (0 to bins).map(i => i.toDouble / bins)
-    // PASS 1 — ONE aggregate over the table: every numeric column's
-    // equi-height endpoints + non-null count, every string column's
-    // EXACT ndv + non-null count (the quantile sketches and counts
-    // are independent aggregates; Spark's multi-distinct Expand still
-    // reads the table once). The per-column serial loop this replaces
-    // cost 2 scans PER column.
+    // PASS 1 — ONE aggregate over the table for the NUMERIC columns:
+    // every column's equi-height endpoints + non-null count. String
+    // columns do not appear here at all — their exact ndv and
+    // non-null count fall out of the MCV pass below for free (ndv =
+    // the pair-group count, nonnull = the frequency sum), so a
+    // string-only ANALYZE is ONE scan. The per-column serial loop
+    // this replaced cost 2 scans PER column.
     val p1 = numFields.flatMap { f =>
       val v = col(f.name).cast("double")
       Seq(percentile_approx(v, typedlit(pct), lit(10000))
           .as(s"q_${f.name.toLowerCase}"),
         count(col(f.name)).as(s"n_${f.name.toLowerCase}"))
-    } ++ strFields.flatMap { f =>
-      Seq(count_distinct(col(f.name)).as(s"d_${f.name.toLowerCase}"),
-        count(col(f.name)).as(s"n_${f.name.toLowerCase}"))
     }
-    val r1 = df.agg(p1.head, p1.tail: _*).head()
-    scans += 1
+    val r1 = if (p1.isEmpty) null else df.agg(p1.head, p1.tail: _*).head()
+    if (p1.nonEmpty) scans += 1
     def longAt(nm: String): Long = r1.getLong(r1.fieldIndex(nm))
     // PASS 2 — ONE combined per-bin ndv aggregate for ALL numeric
     // columns: approx_count_distinct(when(bin==b, v)) per (col, bin);
@@ -2767,12 +2765,15 @@ object TxnTable {
         s"graft.hist.$nm" -> s"""{"h":${n.toDouble / bins},"bins":$binsJson}"""
       }
     }
-    // PASS 3 — ONE MCV pass for ALL string columns together: explode
-    // to (colIdx, value), partial-agg counts, per-column top-32 via
-    // the mergeable TopKRowsAgg heap (O(32) per column to the driver,
-    // never a value-set sort). The MCV list + exact ndv is what the
-    // CBO needs to price a SKEWED string equality honestly — 1/ndv
-    // alone calls the 99% value as rare as every other.
+    // PASS 2b (strings) — ONE pass for ALL string columns together:
+    // explode to (colIdx, value), partial-agg counts, then per column
+    // in the SAME aggregate: top-32 via the mergeable TopKRowsAgg
+    // heap (O(32) per column to the driver, never a value-set sort),
+    // EXACT ndv (the pair-group count — the groupBy already holds one
+    // row per distinct value) and non-null count (the frequency sum).
+    // The MCV list + exact ndv is what the CBO needs to price a
+    // SKEWED string equality honestly — 1/ndv alone calls the 99%
+    // value as rare as every other.
     val mcvProps: Seq[(String, String)] = if (strFields.isEmpty) Nil else {
       val pairs = df.select(explode(array(strFields.zipWithIndex.map {
           case (f, i) => struct(lit(i).as("i"), col(f.name).as("v")) }: _*))
@@ -2782,22 +2783,25 @@ object TxnTable {
         .groupBy(col("i"), col("v")).agg(count(lit(1)).as("c"))
       val tops = pairs.groupBy(col("i"))
         .agg(graft.plans.TopKRowsAgg.top_k_rows(32,
-          struct(col("v"), col("c")), col("c").desc, col("v")).as("top"))
+          struct(col("v"), col("c")), col("c").desc, col("v")).as("top"),
+          count(lit(1)).as("ndv"), sum(col("c")).as("nonnull"))
         .collect()
       scans += 1
       val byIdx = tops.map(r => r.getInt(0) ->
-        r.getSeq[org.apache.spark.sql.Row](1)
-          .map(h => (h.getString(0), h.getLong(1)))).toMap
+        ((r.getSeq[org.apache.spark.sql.Row](1)
+            .map(h => (h.getString(0), h.getLong(1))),
+          r.getLong(2), r.getLong(3)))).toMap
       strFields.zipWithIndex.map { case (f, i) =>
         val nm = f.name.toLowerCase
-        require(longAt(s"n_$nm") > 0,
+        require(byIdx.contains(i),
           s"computeHistogram: ${f.name} has no non-null values")
+        val (mcv, ndv, nonnull) = byIdx(i)
         import org.json4s._
         import org.json4s.jackson.JsonMethods
         val j = JObject(
-          "ndv" -> JLong(longAt(s"d_$nm")),
-          "nonnull" -> JLong(longAt(s"n_$nm")),
-          "mcv" -> JArray(byIdx.getOrElse(i, Nil).toList.map { case (v, c) =>
+          "ndv" -> JLong(ndv),
+          "nonnull" -> JLong(nonnull),
+          "mcv" -> JArray(mcv.toList.map { case (v, c) =>
             JArray(List(JString(v), JLong(c))) }))
         s"graft.mcv.$nm" -> JsonMethods.compact(JsonMethods.render(j))
       }
@@ -4876,7 +4880,15 @@ object TxnTable {
     val fppB = fpp
     // partial blooms per (file, column) inside each task, merged per
     // file across tasks (filters built with identical sizing merge
-    // exactly); only the serialized filters shuffle, never data rows
+    // exactly — the merge is a bitwise OR, so it is commutative,
+    // associative, and order-independent); only the serialized
+    // filters shuffle, never data rows. combineByKey rather than
+    // groupByKey+mapGroups (guide §2.3 "aggregate before you
+    // shuffle"): partials union map-side when a map partition holds
+    // several for one key, and the reduce side folds each incoming
+    // partial into ONE accumulator per key — streaming merge in
+    // O(filter) memory instead of materializing every task's partial
+    // for a file at once.
     val merged = scan.mapPartitions { it =>
       val local = scala.collection.mutable.Map[(String, Int),
         org.apache.spark.util.sketch.BloomFilter]()
@@ -4897,14 +4909,17 @@ object TxnTable {
           i += 1
         }
       }
-      local.iterator.map { case ((f, i), b) => (f, i, bloomBytes(b)) }
-    }.groupByKey(r => (r._1, r._2)).mapGroups {
-      (k: (String, Int), it: Iterator[(String, Int, Array[Byte])]) =>
-        val bs = it.map(t => org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(t._3))).toSeq
-        val m = bs.tail.foldLeft(bs.head)((a, b) => a.mergeInPlace(b))
-        (byBase(k._1)._1, names(k._2), bloomBytes(m))
-    }.toDF("file", "col", "bloom")
+      local.iterator.map { case ((f, i), b) => ((f, i), bloomBytes(b)) }
+    }.rdd.combineByKey(
+      (b: Array[Byte]) => org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(b)),
+      (acc: org.apache.spark.util.sketch.BloomFilter, b: Array[Byte]) =>
+        acc.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b))),
+      (a: org.apache.spark.util.sketch.BloomFilter,
+       b: org.apache.spark.util.sketch.BloomFilter) => a.mergeInPlace(b)
+    ).map { case ((f, i), b) => (byBase(f)._1, names(i), bloomBytes(b)) }
+      .toDF("file", "col", "bloom")
     // a ZERO-ROW file never appears in the scan: cover it from log
     // metadata alone (its bloom is trivially empty)
     val zero = work.filter { case (f, _) => ai(f).rows == 0L }
@@ -4945,6 +4960,13 @@ object TxnTable {
       (b, vs) => vs.exists(v =>
         b.mightContainString(v.asInstanceOf[String])))
 
+  /** Evidence hook: how many file names the last bloom probe job
+    * returned to the driver — the probe runs inside tasks and only
+    * names of files the index can EXCLUDE come back (≤ live files;
+    * rows for dead files and other columns are dropped executor-side,
+    * never collected). */
+  @volatile private[graft] var lastBloomProbeCollected: Int = -1
+
   private def readPrunedBloomImpl(spark: SparkSession, path: String,
       column: String, asOf: Long, vs: Seq[Any], pred: Column,
       probe: (org.apache.spark.util.sketch.BloomFilter, Seq[Any]) => Boolean)
@@ -4956,18 +4978,27 @@ object TxnTable {
     if (currentVersion(bp) < 0) return full.filter(pred)
     val live = snapshotFiles(path, asOf)
     val colLc = column.toLowerCase
-    val verdicts: Map[String, Boolean] = read(spark, bp)
+    // The probe runs inside tasks; only names of live files whose
+    // bloom PROVES absence reach the driver (a file with no bloom row
+    // — new since the last build, or a dead file's leftover row — is
+    // conservatively kept / ignored without ever being collected).
+    // kept = live \ excluded reproduces the verdict-map semantics
+    // exactly: getOrElse(f, true) kept unindexed files, and an indexed
+    // file was dropped iff its probe said definitely-absent.
+    val liveSet = live.toSet
+    val excluded: Set[String] = read(spark, bp)
       .filter(lower(col("col")) === colLc)
       .select(col("file"), col("bloom"))
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (f, bytes) =>
-          val b = org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(bytes))
-          (f, probe(b, vs))
-        }
-      }.collect().toMap
-    val kept = live.filter(f => verdicts.getOrElse(f, true))
+        it.filter { case (f, bytes) =>
+          liveSet.contains(f) && !probe(
+            org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(bytes)), vs)
+        }.map(_._1)
+      }.collect().toSet
+    lastBloomProbeCollected = excluded.size
+    val kept = live.filterNot(excluded)
     if (kept.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)

@@ -921,8 +921,9 @@ object SqlDmlQueries {
           s"ANALYZE TABLE $ns COMPUTE HISTOGRAM (k)")
         require(graft.core.TxnTable.properties(d + "/skew")
           .contains("graft.mcv.k"), "the MCV stats must ride the log")
-        require(graft.core.TxnTable.lastAnalyzeScans == 2,
-          s"a string-only ANALYZE is 2 batched scans, got " +
+        require(graft.core.TxnTable.lastAnalyzeScans == 1,
+          s"a string-only ANALYZE is ONE scan (ndv + nonnull ride " +
+            s"the MCV aggregate), got " +
             s"${graft.core.TxnTable.lastAnalyzeScans}")
         val f1 = graft.crawler.SkippingIndex.footerReads.get()
         val dfRare = GraftSql.query(spark, sqlOf(rare))

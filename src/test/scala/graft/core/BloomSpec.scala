@@ -40,9 +40,15 @@ class BloomSpec extends SparkSpecBase {
     // long probe path too
     val h = TxnTable.readPrunedBloom(spark, t, "id", Seq(1L))
     assert(h.inputFiles.length == 1 && h.count() == 1L)
+    // the probe job returns only names the index can EXCLUDE (here:
+    // the one non-matching file), never a verdict per candidate
+    assert(TxnTable.lastBloomProbeCollected == 1)
     // empty probe list → empty frame; absent value → zero rows
     assert(TxnTable.readPrunedBloom(spark, t, "id", Nil).count() == 0L)
     assert(TxnTable.readPrunedBloom(spark, t, "id", Seq(99L)).count() == 0L)
+    // an absent value excludes every live file (modulo bloom false
+    // positives — two tiny files make those practically impossible)
+    assert(TxnTable.lastBloomProbeCollected == 2)
     // snapshot read: v0 keeps only the first file's rows
     assert(TxnTable.readPrunedBloom(spark, t, "id", Seq(1L, 3L), asOf = 0L)
       .collect().map(_.getLong(0)).toSet == Set(1L))

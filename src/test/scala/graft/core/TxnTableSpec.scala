@@ -1878,11 +1878,14 @@ class TxnTableSpec extends SparkSpecBase {
     assert(mk.contains("\"ndv\":5") && mk.contains("\"nonnull\":400"), mk)
     assert(mk.contains("[\"common\",396]"),
       s"the MCV head must be the hot value with its exact count: $mk")
-    // numeric-only and string-only ANALYZE each cost 2 scans
+    // numeric-only ANALYZE costs 2 scans (quantiles, then bin-ndv —
+    // inherently sequential: the bins need the endpoints); a
+    // string-only ANALYZE is ONE scan (ndv + nonnull ride the MCV
+    // aggregate)
     computeHistogram(spark, t, Seq("a"), bins = 8)
     assert(lastAnalyzeScans == 2)
     computeHistogram(spark, t, Seq("k"))
-    assert(lastAnalyzeScans == 2)
+    assert(lastAnalyzeScans == 1)
     // non-scalar columns refuse loudly
     val e = intercept[IllegalArgumentException] {
       computeHistogram(spark, t, Seq("nope"))
