@@ -327,6 +327,37 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("canonical"))
   }
 
+  /** Exact Jaccard-threshold pairs over per-doc DISTINCT shingle sets,
+    * computed through an inverted index instead of an all-pairs join:
+    * explode to (doc, shingle), self-join on the shingle, count shared
+    * shingles per pair (exact |intersection| — the arrays are
+    * distinct), then filter on inter/(sz_a+sz_b-inter) >= minJaccard.
+    * For any minJaccard > 0 this is UNCONDITIONALLY equivalent to the
+    * cross-join-with-array_intersect form: a pair the index never
+    * produces shares zero shingles, so its Jaccard is 0 < threshold.
+    * Cost is Σ_shingle |docs(shingle)|² instead of |docs|²·|sh| — at
+    * corpus scale the difference between a keyed shuffle and an
+    * unrunnable cross join (guide §2.3/§8: decide with small rows).
+    *
+    * Input: (idCol, shCol array<string>, already array_distinct'd).
+    * Output: (a_id, b_id) with a_id < b_id.
+    */
+  def shingleJaccardPairs(sh: DataFrame, idCol: String, shCol: String,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0, "shingleJaccardPairs needs a positive threshold")
+    val sized = sh.select(col(idCol).as("id"), size(col(shCol)).as("sz"),
+      explode(col(shCol)).as("g"))
+    sized.select(col("id").as("a_id"), col("sz").as("sz_a"), col("g"))
+      .join(sized.select(col("id").as("b_id"), col("sz").as("sz_b"),
+        col("g")), "g")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")) >= minJaccard)
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** Exact n-gram Jaccard similarity for a candidate-pair DataFrame
     * (columns a_id, b_id) against the docs table — the rerank stage after
     * any LSH candidate generation.

@@ -209,20 +209,17 @@ object PipelineQueries {
   /** L1/L2 end-to-end: near-dup pairs (Jaccard ≥ 0.8 over 3-shingles) →
     * connected components → duplicate groups with canonical survivors.
     * Oracle: DuckDB recursive-CTE reachability computes the same
-    * component minima.
+    * component minima. Pair generation goes through the inverted-index
+    * form ([[Dedup.shingleJaccardPairs]]) — exactly the same pair set
+    * as the all-pairs array_intersect join (threshold 0.8 > 0), one
+    * keyed shuffle instead of a quadratic cross join.
     */
   def l1DupGroups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Lake.table(spark, dir, "documents")
     val sh = docs.select(col("doc_id"),
         array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val pairs = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
-        col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .filter(col("inter").cast("double") / col("uni") >= 0.8)
-      .select(col("a_id"), col("b_id"))
+    val pairs = Dedup.shingleJaccardPairs(sh, "doc_id", "sh", 0.8)
     Dedup.resolveDupGroups(pairs)
       .groupBy(col("canonical"))
       .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
@@ -634,9 +631,11 @@ object PipelineQueries {
     * Jaccard ≥ 0.8 → connected components → keep canonical) → per-source
     * doc/token accounting. Every stage is individually oracle-exact, so
     * the COMPOSITION is too — one DuckDB query replays the whole
-    * pipeline. The all-pairs Jaccard step is the sf0.01 gate
-    * formulation; at scale the pair source is minHashBandedPairs
-    * candidates (same rerank, linear candidates).
+    * pipeline. The Jaccard step runs through the inverted-index pair
+    * generator (shared-shingle join — identical pair set to the
+    * all-pairs form at any positive threshold); at extreme scale the
+    * pair source can further narrow to minHashBandedPairs candidates
+    * (same rerank, linear candidates).
     */
   def p1CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Lake.table(spark, dir, "documents")
@@ -647,13 +646,10 @@ object PipelineQueries {
     val sh = deduped.select(col("doc_id"),
         array_distinct(TextFunctions.wordShingles(col("text"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val pairs = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
-        col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .filter(col("inter").cast("double") / col("uni") >= 0.8)
-      .select(col("a_id"), col("b_id"))
+    // inverted-index pair generation — same pair set as the all-pairs
+    // array_intersect join (threshold 0.8 > 0), one keyed shuffle
+    // instead of a quadratic cross join
+    val pairs = Dedup.shingleJaccardPairs(sh, "doc_id", "sh", 0.8)
     val dropIds = Dedup.resolveDupGroups(pairs)
       .filter(col("id") =!= col("canonical"))
       .select(col("id").as("doc_id"))
