@@ -37,6 +37,14 @@ import java.nio.file.{Files, Paths}
   * the sequential order.
   */
 object Verify {
+  /** Gates that must NOT run concurrently with anything (see scaladoc).
+    * VerifySchedulingSpec pins that every name here still exists — a
+    * renamed gate silently joining the pool is the failure mode. */
+  private[graft] def sequentialOnly: Set[String] =
+    graft.queries.SqlDmlQueries.all.map(_._1).toSet ++ Set(
+      "c13_cbo_bhj", "s24_log_stats_prune", "s31_mixed_box",
+      "s32_string_in_prune", "s35_metadata_agg")
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg (local iteration only; the driver passes two):
@@ -54,10 +62,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val sequentialOnly: Set[String] =
-      graft.queries.SqlDmlQueries.all.map(_._1).toSet ++ Set(
-        "c13_cbo_bhj", "s24_log_stats_prune", "s31_mixed_box",
-        "s32_string_in_prune", "s35_metadata_agg")
     val streamingNames: Set[String] =
       graft.queries.StreamingQueries.all.map(_._1).toSet
     def runGate(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
