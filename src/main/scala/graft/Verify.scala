@@ -14,11 +14,13 @@ import java.nio.file.{Files, Paths}
   * (plan build, file commit, streaming trigger waits). Gates with
   * cross-gate shared state stay STRICTLY sequential and run only after
   * the pool drains:
-  *  - SqlDmlQueries (all): mutates session conf (CBO flags, broadcast
+  *  - SqlDmlQueries, except the audited [[Verify.sqlDmlPoolSafe]]
+  *    allowlist: the rest mutate session conf (CBO flags, broadcast
   *    threshold — which would flip plans of in-flight pool gates that
-  *    assert on executedPlan) and asserts on global evidence hooks
-  *    (lastAnalyzeScans, lastMvRefreshStats, lastBloomBuiltFiles) that
-  *    a concurrent sibling would overwrite;
+  *    assert on executedPlan), assert on global evidence hooks
+  *    (lastAnalyzeScans, lastMvRefreshStats, lastMvRewrite,
+  *    lastBloomBuiltFiles) that a concurrent sibling would overwrite,
+  *    assert zero-delta footerReads windows, or move the warehouse;
   *  - c13_cbo_bhj (Crawler): mutates the broadcast threshold and
   *    registers fixed-name catalog tables;
   *  - s24/s31/s32/s35 (Source): assert ZERO-delta windows on the
@@ -37,13 +39,29 @@ import java.nio.file.{Files, Paths}
   * the sequential order.
   */
 object Verify {
+  /** SqlDml gates AUDITED free of cross-gate shared state: no session
+    * conf mutation, no global evidence-hook reads (footerReads windows,
+    * lastMvRefreshStats, lastMvRewrite, lastAnalyzeScans,
+    * lastBloomBuiltFiles), no setWarehouse — UUID-named registrations
+    * and per-gate temp dirs only. Everything NOT on this list stays
+    * sequential, so a newly added SqlDml gate defaults to the safe
+    * side. VerifySchedulingSpec pins both lists against renames. */
+  private[graft] def sqlDmlPoolSafe: Set[String] = Set(
+    "s34_sql_update_delete", "s34b_sql_merge", "s36_sql_select_tt",
+    "s37_alter_columns", "s38_rename_column", "s39_table_changes",
+    "s41_merge_not_matched_by_source", "s42_sql_maintenance",
+    "s44_dml_subquery", "s45_table_changes_ts", "s46_sql_view",
+    "s47_update_from", "s50_restore_ts_vacuum_dry", "s51_sql_clone",
+    "s52_copy_into", "s54_copy_csv", "s59_repair", "s62_matview",
+    "s74_txn_group")
+
   /** Gates that must NOT run concurrently with anything (see scaladoc).
     * VerifySchedulingSpec pins that every name here still exists — a
     * renamed gate silently joining the pool is the failure mode. */
   private[graft] def sequentialOnly: Set[String] =
-    graft.queries.SqlDmlQueries.all.map(_._1).toSet ++ Set(
-      "c13_cbo_bhj", "s24_log_stats_prune", "s31_mixed_box",
-      "s32_string_in_prune", "s35_metadata_agg")
+    (graft.queries.SqlDmlQueries.all.map(_._1).toSet -- sqlDmlPoolSafe) ++
+      Set("c13_cbo_bhj", "s24_log_stats_prune", "s31_mixed_box",
+        "s32_string_in_prune", "s35_metadata_agg")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

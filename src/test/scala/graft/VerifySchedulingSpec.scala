@@ -19,6 +19,13 @@ class VerifySchedulingSpec extends AnyFunSuite {
       s"sequential-only names no longer match any gate: $missing")
   }
 
+  test("the SqlDml pool-safe allowlist names existing SqlDml gates only") {
+    val dml = graft.queries.SqlDmlQueries.all.map(_._1).toSet
+    val stale = Verify.sqlDmlPoolSafe.filterNot(dml)
+    assert(stale.isEmpty,
+      s"pool-safe names no longer match a SqlDml gate: $stale")
+  }
+
   test("the known conf-mutating and counter-window gates are sequential") {
     // conf mutators (CBO flags / broadcast threshold) and the gates
     // asserting zero-delta windows on SkippingIndex.footerReads
